@@ -1,0 +1,413 @@
+"""The Database: a Spark-native re-expression of the reference's
+vector-collection service (/root/reference/src/cores/database.rs).
+
+Layout on disk (all under ``dir``):
+
+- ``params.json`` — :class:`Parameters` (dimension/metric/density), written
+  once by :meth:`configure` like the reference CLI
+  (/root/reference/src/main.rs:72-102).
+- ``records/`` — versioned parquet table (see core/tables.py) with schema
+  ``id string, embedding array<float>, m_text map<string,string>,
+  m_num map<string,double>, m_bool map<string,boolean>`` and — once an IVF
+  index is built — a ``cluster_id int`` column, with the table
+  **physically partitioned by cluster_id** so query probing becomes
+  partition pruning (the Spark analog of scanning only the probed clusters,
+  /root/reference/src/cores/index.rs:176-182).
+- ``centroids/`` — versioned parquet table ``cluster_id int,
+  centroid array<double>, size bigint``; tiny (≈ N/density rows), always
+  broadcast / driver-collected.
+
+Entry-point semantics mirrored from the reference (SURVEY.md §2.1):
+dimension validation on insert & query (/root/reference/src/cores/database.rs:189-199),
+k == 0 → invalid argument (:321-325), Get/Update on missing id → not-found
+(/root/reference/src/cores/storage.rs:33-41,60-66), Delete on missing id is
+a silent no-op (index side: /root/reference/src/cores/index.rs:149,160 —
+the storage-side count underflow at /root/reference/src/cores/storage.rs:44-48
+is a reference bug we do NOT reproduce; our count is always ``df.count()``),
+Update replaces the whole metadata map and the vector is immutable
+(/root/reference/src/cores/storage.rs:50-70), query results exclude the
+vector (/root/reference/src/cores/index.rs:8-18).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import uuid
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from oasysdb_spark import errors
+from oasysdb_spark.core.config import Parameters, QueryParameters, atomic_write_text
+from oasysdb_spark.core.tables import VersionedTable
+from oasysdb_spark.filters import MapLayout, compile_filter
+from oasysdb_spark.functions.vectors import distance_expr, to_f32
+
+RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType(), False), False),
+        T.StructField("m_text", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("m_num", T.MapType(T.StringType(), T.DoubleType()), True),
+        T.StructField("m_bool", T.MapType(T.StringType(), T.BooleanType()), True),
+    ]
+)
+
+_PARAMS_FILE = "params.json"
+
+
+def split_metadata(metadata: dict[str, Any] | None):
+    """Split a python metadata dict into the three typed maps.
+
+    Value typing follows the reference's closed enum text|number|boolean
+    (/root/reference/src/types/record.rs:42-47): bool before number because
+    ``bool`` is an ``int`` subclass in Python.
+    """
+    m_text: dict[str, str] = {}
+    m_num: dict[str, float] = {}
+    m_bool: dict[str, bool] = {}
+    for k, v in (metadata or {}).items():
+        if isinstance(v, bool):
+            m_bool[k] = v
+        elif isinstance(v, (int, float)):
+            m_num[k] = float(v)
+        elif isinstance(v, str):
+            m_text[k] = v
+        else:
+            raise errors.InvalidArgumentError(
+                f"metadata value for {k!r} must be text, number, or boolean "
+                f"(got {type(v).__name__}) — nested values are unsupported, "
+                "matching /root/reference/src/types/record.rs:38-41"
+            )
+    return m_text, m_num, m_bool
+
+
+def merge_metadata(row) -> dict[str, Any]:
+    """Rebuild the flat metadata dict from the three typed maps."""
+    out: dict[str, Any] = {}
+    for field in ("m_text", "m_num", "m_bool"):
+        m = row[field]
+        if m:
+            out.update(m)
+    return out
+
+
+class Database:
+    """One database = one vector collection (like the reference —
+    /root/reference/src/cores/database.rs:70-76; no multi-table concept)."""
+
+    def __init__(self, spark: SparkSession, directory: str, params: Parameters):
+        self.spark = spark
+        self.dir = directory
+        self.params = params
+        self.records = VersionedTable(os.path.join(directory, "records"))
+        self.centroids = VersionedTable(os.path.join(directory, "centroids"))
+        self._centroid_cache: list[tuple[int, list[float]]] | None = None
+
+    # ------------------------------------------------------------------
+    # lifecycle: configure / open / heartbeat / snapshot
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def configure(
+        cls,
+        spark: SparkSession,
+        directory: str,
+        dimension: int,
+        metric: str = "euclidean",
+        density: int = 256,
+        overwrite: bool = False,
+    ) -> "Database":
+        """Create a fresh database directory (reference `configure` CLI,
+        /root/reference/src/cores/database.rs:79-109). Refuses to clobber an
+        existing one unless ``overwrite`` (the CLI prompts interactively)."""
+        params_path = os.path.join(directory, _PARAMS_FILE)
+        if os.path.exists(params_path) and not overwrite:
+            raise errors.InvalidArgumentError(
+                f"database already configured at {directory}; pass overwrite=True"
+            )
+        params = Parameters(dimension=dimension, metric=metric, density=density)
+        os.makedirs(directory, exist_ok=True)
+        db = cls(spark, directory, params)
+        empty = spark.createDataFrame([], RECORD_SCHEMA)
+        db.records.write(empty)
+        atomic_write_text(params_path, params.to_json())
+        return db
+
+    @classmethod
+    def open(cls, spark: SparkSession, directory: str) -> "Database":
+        """Open an existing database (reference `Database::open`,
+        /root/reference/src/cores/database.rs:111-126)."""
+        with open(os.path.join(directory, _PARAMS_FILE), encoding="utf-8") as f:
+            params = Parameters.from_json(f.read())
+        return cls(spark, directory, params)
+
+    def heartbeat(self) -> str:
+        """Version string (/root/reference/src/cores/database.rs:204-213)."""
+        from oasysdb_spark import __version__
+
+        return __version__
+
+    def snapshot(self) -> int:
+        """Force-persist and return the record count. Tables are already
+        durable per commit (every write IS a snapshot — SURVEY.md §3.3), so
+        this is just the count, like SnapshotResponse.count
+        (/root/reference/src/cores/database.rs:215-225)."""
+        return self.count()
+
+    def count(self) -> int:
+        return self.records_df().count()
+
+    # ------------------------------------------------------------------
+    # reads
+    # ------------------------------------------------------------------
+
+    def records_df(self) -> DataFrame:
+        return self.records.read(self.spark)
+
+    def is_indexed(self) -> bool:
+        return self.centroids.exists() and "cluster_id" in self.records_df().columns
+
+    def get(self, record_id: str) -> dict[str, Any]:
+        """Point lookup returning the full record including the vector
+        (/root/reference/src/cores/database.rs:256-268)."""
+        rows = self.records_df().where(F.col("id") == F.lit(record_id)).take(1)
+        if not rows:
+            raise errors.NotFoundError(f"record {record_id!r} not found")
+        row = rows[0]
+        return {
+            "id": row["id"],
+            "vector": list(row["embedding"]),
+            "metadata": merge_metadata(row),
+        }
+
+    # ------------------------------------------------------------------
+    # writes
+    # ------------------------------------------------------------------
+
+    def _validate_dim(self, vector: Iterable[float]) -> list[float]:
+        vec = [float(x) for x in vector]
+        if len(vec) != self.params.dimension:
+            raise errors.InvalidArgumentError(
+                f"vector dimension {len(vec)} != configured {self.params.dimension} "
+                "(/root/reference/src/cores/database.rs:189-199)"
+            )
+        return vec
+
+    def insert(
+        self,
+        vector: Iterable[float],
+        metadata: dict[str, Any] | None = None,
+        record_id: str | None = None,
+    ) -> str:
+        """Insert one record; mints a UUIDv4 id when none is given
+        (/root/reference/src/cores/database.rs:227-254). A single-row insert
+        is a degenerate batch — see :meth:`insert_batch`."""
+        vec = self._validate_dim(vector)
+        rid = record_id or str(uuid.uuid4())
+        m_text, m_num, m_bool = split_metadata(metadata)
+        df = self.spark.createDataFrame(
+            [(rid, vec, m_text, m_num, m_bool)], RECORD_SCHEMA
+        )
+        self.insert_batch(df)
+        return rid
+
+    def insert_batch(self, df: DataFrame) -> None:
+        """Append a batch of records. Storage commit precedes index
+        assignment visibility, mirroring the reference's storage-before-index
+        ordering invariant (/root/reference/src/cores/database.rs:243-247).
+
+        When an index exists, new rows are assigned to their nearest
+        centroid via a broadcast argmin (SURVEY.md §3.2) and appended into
+        the matching cluster partitions; density-triggered splits are a
+        separate maintenance job (index/ivf.py) — at scale you never want
+        index surgery on the ingest hot path.
+        """
+        missing = [f.name for f in RECORD_SCHEMA.fields[:2] if f.name not in df.columns]
+        if missing:
+            raise errors.InvalidArgumentError(f"insert batch missing columns {missing}")
+        for name in ("m_text", "m_num", "m_bool"):
+            if name not in df.columns:
+                df = df.withColumn(name, F.lit(None).cast(RECORD_SCHEMA[name].dataType))
+        df = df.select(
+            F.col("id").cast("string"),
+            F.col("embedding").cast("array<float>").alias("embedding"),
+            "m_text",
+            "m_num",
+            "m_bool",
+        )
+        if self.is_indexed():
+            from oasysdb_spark.index.ivf import assign_clusters
+
+            df = assign_clusters(self, df)
+            self.records.append(df, partition_by=["cluster_id"])
+        else:
+            self.records.append(df)
+
+    def delete(self, record_ids: str | list[str]) -> None:
+        """Delete by id; missing ids are a silent no-op (matching the index
+        side /root/reference/src/cores/index.rs:149,160 and *not* the
+        storage-side count bug — SURVEY.md §2.6.2). Empty clusters lose
+        their centroid (/root/reference/src/cores/index.rs:150-157)."""
+        ids = [record_ids] if isinstance(record_ids, str) else list(record_ids)
+        if not ids:
+            return
+        current = self.records_df()
+        remaining = current.where(~F.col("id").isin(ids))
+        if self.is_indexed():
+            self.records.write(remaining, partition_by=["cluster_id"])
+            self._cleanup_empty_clusters()
+        else:
+            self.records.write(remaining)
+
+    def update_metadata(self, record_id: str, metadata: dict[str, Any]) -> None:
+        """Replace a record's **entire** metadata map (not a merge); the
+        vector is immutable (/root/reference/src/cores/storage.rs:50-70)."""
+        current = self.records_df()
+        if current.where(F.col("id") == F.lit(record_id)).isEmpty():
+            raise errors.NotFoundError(f"record {record_id!r} not found")
+        m_text, m_num, m_bool = split_metadata(metadata)
+        hit = F.col("id") == F.lit(record_id)
+        updated = (
+            current.withColumn(
+                "m_text", F.when(hit, _map_expr(m_text, "string")).otherwise(F.col("m_text"))
+            )
+            .withColumn(
+                "m_num", F.when(hit, _map_expr(m_num, "double")).otherwise(F.col("m_num"))
+            )
+            .withColumn(
+                "m_bool", F.when(hit, _map_expr(m_bool, "boolean")).otherwise(F.col("m_bool"))
+            )
+        )
+        partition = ["cluster_id"] if self.is_indexed() else None
+        self.records.write(updated, partition_by=partition)
+
+    def _cleanup_empty_clusters(self) -> None:
+        """Drop centroids whose cluster lost its last member
+        (/root/reference/src/cores/index.rs:150-157)."""
+        if not self.centroids.exists():
+            return
+        live = self.records_df().select("cluster_id").distinct()
+        cents = self.centroids.read(self.spark)
+        kept = cents.join(live, "cluster_id", "left_semi")
+        self.centroids.write(kept)
+        self._centroid_cache = None
+
+    # ------------------------------------------------------------------
+    # query
+    # ------------------------------------------------------------------
+
+    def query_df(
+        self,
+        vector: Iterable[float],
+        k: int,
+        filter: str | None = None,
+        probes: int | None = None,
+        radius: float | None = None,
+    ) -> DataFrame:
+        """ANN top-k as a DataFrame ``(id, m_text, m_num, m_bool, distance)``
+        — the vector is excluded, like QueryResult
+        (/root/reference/src/cores/index.rs:8-18).
+
+        Plan shape (SURVEY.md §3.1): [partition-pruned] scan → distance
+        column (native zip_with/aggregate exprs) → radius + filter
+        predicates → ``ORDER BY distance LIMIT k`` which Catalyst executes
+        as TakeOrderedAndProject — the distributed equivalent of the
+        reference's bounded max-heap (/root/reference/src/cores/index.rs:201-213).
+        Filter is applied **before** top-k (pre-filtering semantics,
+        /root/reference/src/cores/index.rs:195-199).
+        """
+        vec = self._validate_dim(vector)
+        if k <= 0:
+            raise errors.InvalidArgumentError(
+                "k must be > 0 (/root/reference/src/cores/database.rs:321-325)"
+            )
+        qp = QueryParameters(
+            probes=probes if probes is not None else 32,
+            radius=radius if radius is not None else math.inf,
+        )
+        pred = compile_filter(filter, MapLayout())
+
+        df = self.records_df()
+        if self.is_indexed():
+            probe_ids = self._probe_cluster_ids(vec, qp.probes)
+            df = df.where(F.col("cluster_id").isin(probe_ids))
+
+        dist = distance_expr(self.params.metric, F.array(*[F.lit(x) for x in vec]), F.col("embedding"))
+        out = df.withColumn("distance", dist)
+        if math.isfinite(qp.radius):
+            out = out.where(F.col("distance") <= F.lit(qp.radius))
+        else:
+            out = out.where(F.col("distance").isNotNull())
+        out = (
+            out.where(pred)
+            .orderBy(F.col("distance").asc_nulls_last(), F.col("id"))
+            .limit(k)
+            .select("id", "m_text", "m_num", "m_bool", to_f32(F.col("distance")).alias("distance"))
+        )
+        return out
+
+    def query(
+        self,
+        vector: Iterable[float],
+        k: int,
+        filter: str | None = None,
+        probes: int | None = None,
+        radius: float | None = None,
+    ) -> list[dict[str, Any]]:
+        """Collect form of :meth:`query_df`: ascending-distance list of
+        ``{id, metadata, distance}`` dicts."""
+        rows = self.query_df(vector, k, filter=filter, probes=probes, radius=radius).collect()
+        return [
+            {"id": r["id"], "metadata": merge_metadata(r), "distance": r["distance"]}
+            for r in rows
+        ]
+
+    # ------------------------------------------------------------------
+    # centroid helpers (driver-side: the centroids table is tiny by design)
+    # ------------------------------------------------------------------
+
+    def centroid_rows(self) -> list[tuple[int, list[float]]]:
+        if self._centroid_cache is None:
+            rows = self.centroids.read(self.spark).select("cluster_id", "centroid").collect()
+            self._centroid_cache = [(r["cluster_id"], list(r["centroid"])) for r in rows]
+        return self._centroid_cache
+
+    def invalidate_centroid_cache(self) -> None:
+        self._centroid_cache = None
+
+    def _probe_cluster_ids(self, vec: list[float], probes: int) -> list[int]:
+        """Rank centroids by distance driver-side and keep the closest
+        ``min(probes, #centroids)`` (/root/reference/src/cores/index.rs:176-177,
+        255-275). NaN distances sort last (:269-272)."""
+        import numpy as np
+
+        rows = self.centroid_rows()
+        if not rows:
+            return []
+        ids = np.array([c for c, _ in rows])
+        mat = np.array([v for _, v in rows], dtype=np.float64)
+        q = np.array(vec, dtype=np.float64)
+        if self.params.metric == "euclidean":
+            d = ((mat - q) ** 2).sum(axis=1)
+        else:
+            norms = np.linalg.norm(mat, axis=1) * np.linalg.norm(q)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                d = 1.0 - (mat @ q) / norms
+        order = np.argsort(np.where(np.isnan(d), np.inf, d), kind="stable")
+        return [int(i) for i in ids[order][: max(1, min(probes, len(rows)))]]
+
+
+def _map_expr(mapping: dict, value_type: str):
+    """Literal map column of the given value type; empty → null map (the
+    typed-map analog of an absent metadata section)."""
+    if not mapping:
+        return F.lit(None).cast(f"map<string,{value_type}>")
+    args = []
+    for k, v in mapping.items():
+        args.append(F.lit(k))
+        args.append(F.lit(v).cast(value_type))
+    return F.create_map(*args)

@@ -1,0 +1,137 @@
+"""Vector distance functions as native Spark SQL expressions.
+
+Semantics mirror the reference's metric module
+(/root/reference/src/types/metric.rs:26-32):
+
+- ``euclidean`` is **squared** Euclidean distance — comparison-only, so the
+  sqrt is skipped on purpose (/root/reference/src/types/metric.rs:10-12).
+  A consequence preserved here: query ``radius`` is in *squared* units.
+- ``cosine`` is cosine *distance* = 1 − cosine similarity (lower = closer,
+  /root/reference/src/types/metric.rs:13-16).
+- The reference computes in f64 and truncates results to f32
+  (/root/reference/src/cores/index.rs:189-193); we compute in double and
+  expose a ``to_f32`` helper for tests that pin that behavior.
+
+All of these are pure Column expressions (``zip_with`` + ``aggregate``) —
+they run inside whole-stage codegen with no Python in the loop, so they
+scale with executor parallelism and never serialize rows to Python. For
+very wide embeddings where codegen'd per-element loops lose to BLAS, the
+``pandas_*`` variants below use Arrow-batched NumPy.
+
+Unknown metric names raise InvalidArgumentError instead of panicking
+(divergence from /root/reference/src/types/metric.rs:43-52, SURVEY.md §2.6.4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from oasysdb_spark.errors import InvalidArgumentError
+
+METRICS = ("euclidean", "cosine")
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def sqeuclidean(a: Column | str, b: Column | str) -> Column:
+    """Squared Euclidean distance between two array<numeric> columns.
+
+    Matches f32::sqeuclidean semantics (/root/reference/src/types/metric.rs:29-31)
+    but accumulates in double. Golden value: a=[1,2,3], b=[4,5,6] → 27.0
+    (/root/reference/src/types/metric.rs:64-74).
+    """
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    diffs = F.zip_with(_as_double(a), _as_double(b), lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot_product(a: Column | str, b: Column | str) -> Column:
+    """Inner product of two array<numeric> columns, accumulated in double."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column | str) -> Column:
+    """Euclidean norm of an array<numeric> column."""
+    a = F.col(a) if isinstance(a, str) else a
+    sq = F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
+    return F.sqrt(sq)
+
+
+def cosine_distance(a: Column | str, b: Column | str) -> Column:
+    """Cosine distance = 1 − dot(a,b)/(‖a‖·‖b‖).
+
+    Zero-norm inputs yield NULL (guarded division) rather than NaN; the
+    reference's NaN distances are skipped during scans
+    (/root/reference/src/cores/index.rs:190-193) and NULLs behave the same
+    under our ``WHERE dist <= radius`` / ``asc_nulls_last`` plans.
+    """
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0.0, F.lit(1.0) - dot_product(a, b) / denom)
+
+
+def distance_expr(metric: str, a: Column | str, b: Column | str) -> Column:
+    """Dispatch on metric name (case-insensitive), like Metric::from(&str)
+    (/root/reference/src/types/metric.rs:34-58) but raising a clean error."""
+    m = metric.strip().lower()
+    if m == "euclidean":
+        return sqeuclidean(a, b)
+    if m == "cosine":
+        return cosine_distance(a, b)
+    raise InvalidArgumentError(
+        f"unknown metric {metric!r}; supported: {', '.join(METRICS)}"
+    )
+
+
+def to_f32(c: Column | str) -> Column:
+    """Truncate a double distance to float32, mirroring the reference's
+    f64→f32 result cast (/root/reference/src/cores/index.rs:191)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast("float")
+
+
+# ---------------------------------------------------------------------------
+# Arrow/NumPy fallback path for very wide embeddings (the "SIMD analog").
+# Kept separate so the hot path stays JVM-side by default; benchmarks decide.
+# ---------------------------------------------------------------------------
+
+
+def make_pandas_sqeuclidean(query_vec: list[float]):
+    """Return a pandas_udf computing squared Euclidean distance to a fixed
+    query vector using NumPy (Arrow-batched). Useful for the single-query
+    top-k path at high dimension where per-element codegen loops lose to BLAS.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+
+    @pandas_udf("double")
+    def _dist(batch: pd.Series) -> pd.Series:
+        mat = np.asarray(batch.tolist(), dtype=np.float64)
+        d = mat - q
+        return pd.Series(np.einsum("ij,ij->i", d, d))
+
+    return _dist
+
+
+def make_pandas_cosine(query_vec: list[float]):
+    """pandas_udf computing cosine distance to a fixed query vector."""
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+
+    @pandas_udf("double")
+    def _dist(batch: pd.Series) -> pd.Series:
+        mat = np.asarray(batch.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1) * qn
+        with_sim = np.where(norms != 0, 1.0 - (mat @ q) / np.where(norms == 0, 1, norms), np.nan)
+        return pd.Series(with_sim)
+
+    return _dist

@@ -1,0 +1,128 @@
+"""CRUD + brute-force query semantics, mirroring the reference's canonical
+tests: test_query (/root/reference/src/cores/index.rs:368-410) on the
+sequential-vectors fixture (FIXTURES.md F2), storage CRUD invariants
+(/root/reference/src/cores/storage.rs:87-126), and the service-level
+validation rules (/root/reference/src/cores/database.rs:189-199,321-325).
+"""
+
+import pytest
+
+from oasysdb_spark.core.database import Database, RECORD_SCHEMA
+from oasysdb_spark.errors import InvalidArgumentError, NotFoundError
+
+DIM = 8
+N = 200
+
+
+@pytest.fixture(scope="module")
+def db(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("db"))
+    db = Database.configure(spark, d, dimension=DIM, metric="euclidean", density=64)
+    rows = [
+        (f"r{i:05d}", [float(i)] * DIM, {}, {"number": 1000.0 + i}, {})
+        for i in range(N)
+    ]
+    db.insert_batch(spark.createDataFrame(rows, RECORD_SCHEMA))
+    return db
+
+
+def test_count_and_heartbeat(db):
+    assert db.count() == N
+    assert db.snapshot() == N
+    assert isinstance(db.heartbeat(), str)
+
+
+def test_query_contains_nearest(db):
+    # query [1.0]*dim, k=10 → record 0 in results, ascending distance
+    res = db.query([1.0] * DIM, k=10)
+    ids = [r["id"] for r in res]
+    assert "r00000" in ids
+    dists = [r["distance"] for r in res]
+    assert dists == sorted(dists)
+    assert len(res) == 10
+    # results carry {id, metadata, distance} and no vector
+    assert set(res[0].keys()) == {"id", "metadata", "distance"}
+    assert res[0]["metadata"]["number"] == pytest.approx(1001.0)
+
+
+def test_query_prefilter_semantics(db):
+    # filter "number > 1050" → nearest matching record is 51, and ALL
+    # results satisfy the filter (pre-filtering, index.rs:195-199)
+    res = db.query([1.0] * DIM, k=10, filter="number > 1050")
+    assert res[0]["id"] == "r00051"
+    assert all(r["metadata"]["number"] > 1050 for r in res)
+    assert len(res) == 10
+
+
+def test_query_radius(db):
+    # radius is in SQUARED units for euclidean (metric.rs:10-12):
+    # dist(q=[1]*8, r_i=[i]*8) = 8*(i-1)^2; radius=32 → i ∈ {0..3}
+    res = db.query([1.0] * DIM, k=100, radius=32.0)
+    assert sorted(r["id"] for r in res) == ["r00000", "r00001", "r00002", "r00003"]
+
+
+def test_query_k_zero_invalid(db):
+    with pytest.raises(InvalidArgumentError):
+        db.query([1.0] * DIM, k=0)
+
+
+def test_dimension_validation(db):
+    with pytest.raises(InvalidArgumentError):
+        db.query([1.0] * (DIM + 1), k=5)
+    with pytest.raises(InvalidArgumentError):
+        db.insert([1.0] * (DIM - 1))
+
+
+def test_insert_get_roundtrip(spark, tmp_path):
+    db = Database.configure(spark, str(tmp_path / "db2"), dimension=3)
+    rid = db.insert([1.0, 2.0, 3.0], {"name": "Alice", "age": 20, "active": True})
+    rec = db.get(rid)
+    assert rec["vector"] == [1.0, 2.0, 3.0]
+    assert rec["metadata"] == {"name": "Alice", "age": 20.0, "active": True}
+    # server-minted id is a parseable UUID (database.rs:241)
+    import uuid
+
+    uuid.UUID(rid)
+    with pytest.raises(NotFoundError):
+        db.get("nope")
+
+
+def test_update_replaces_whole_map(spark, tmp_path):
+    db = Database.configure(spark, str(tmp_path / "db3"), dimension=2)
+    rid = db.insert([1.0, 2.0], {"a": 1.0, "b": "x"})
+    db.update_metadata(rid, {"c": True})
+    rec = db.get(rid)
+    # whole-map replace, not merge (storage.rs:68); vector immutable
+    assert rec["metadata"] == {"c": True}
+    assert rec["vector"] == [1.0, 2.0]
+    with pytest.raises(NotFoundError):
+        db.update_metadata("missing", {"a": 1.0})
+
+
+def test_delete_semantics(spark, tmp_path):
+    db = Database.configure(spark, str(tmp_path / "db4"), dimension=2)
+    ids = [db.insert([float(i), 0.0], record_id=f"d{i}") for i in range(5)]
+    db.delete(ids[0])
+    assert db.count() == 4
+    # deleting a missing id is a no-op and does NOT corrupt the count
+    # (divergence from the storage.rs:44-48 underflow bug, SURVEY.md §2.6.2)
+    db.delete("never-existed")
+    assert db.count() == 4
+    db.delete(ids[1:3])
+    assert db.count() == 2
+
+
+def test_configure_refuses_overwrite(spark, tmp_path):
+    d = str(tmp_path / "db5")
+    Database.configure(spark, d, dimension=2)
+    with pytest.raises(InvalidArgumentError):
+        Database.configure(spark, d, dimension=3)
+    db = Database.configure(spark, d, dimension=3, overwrite=True)
+    assert db.params.dimension == 3
+
+
+def test_bad_params(spark, tmp_path):
+    with pytest.raises(InvalidArgumentError):
+        Database.configure(spark, str(tmp_path / "x"), dimension=2, metric="manhattan")
+    with pytest.raises(InvalidArgumentError):
+        Database.configure(spark, str(tmp_path / "y"), dimension=0)

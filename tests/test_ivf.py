@@ -1,0 +1,148 @@
+"""IVF index invariants:
+
+- probes = #clusters degenerates to the exact brute-force answer
+  (/root/reference/src/cores/index.rs:176-177; BASELINE.md §3).
+- recall@10 vs the brute-force oracle on the embeddings fixture
+  (spirit of /root/reference/docs/changelog.md:110-116).
+- density split: oversized clusters get divided
+  (test_insert_many, /root/reference/src/cores/index.rs:315-332).
+- delete of a cluster's last member removes its centroid
+  (test_delete, /root/reference/src/cores/index.rs:334-366).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oasysdb_spark.core.database import Database, RECORD_SCHEMA
+from oasysdb_spark.index.ivf import build_index, split_oversized_clusters
+
+DIM = 8
+N = 300
+
+
+@pytest.fixture(scope="module")
+def indexed_db(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ivfdb"))
+    db = Database.configure(spark, d, dimension=DIM, density=32)
+    rows = [
+        (f"r{i:05d}", [float(i)] * DIM, {}, {"number": 1000.0 + i}, {})
+        for i in range(N)
+    ]
+    db.insert_batch(spark.createDataFrame(rows, RECORD_SCHEMA))
+    k = build_index(db, seed=42)
+    assert k >= N // 32
+    return db
+
+
+def test_indexed_exact_when_all_probed(indexed_db):
+    n_clusters = len(indexed_db.centroid_rows())
+    brute = [
+        (r["id"], round(r["distance"], 3))
+        for r in _brute(indexed_db, [5.0] * DIM, 10)
+    ]
+    ivf = [
+        (r["id"], round(r["distance"], 3))
+        for r in indexed_db.query([5.0] * DIM, k=10, probes=n_clusters)
+    ]
+    assert ivf == brute
+
+
+def _brute(db, vec, k, **kw):
+    # brute force = bypass the index by querying the unclustered plan
+    from oasysdb_spark.filters import MapLayout, compile_filter
+    from oasysdb_spark.functions.vectors import distance_expr, to_f32
+
+    df = db.records_df()
+    dist = distance_expr(db.params.metric, F.array(*[F.lit(x) for x in vec]), F.col("embedding"))
+    rows = (
+        df.withColumn("distance", dist)
+        .orderBy(F.col("distance").asc_nulls_last(), F.col("id"))
+        .limit(k)
+        .select("id", to_f32("distance").alias("distance"))
+        .collect()
+    )
+    return [{"id": r["id"], "distance": r["distance"]} for r in rows]
+
+
+def test_recall_at_default_probes(indexed_db):
+    # default probes=32 over ~10 clusters: full recall; tighten to probes=2
+    # to make the test meaningful, demand ≥0.9 like BASELINE.md §3
+    hits = 0
+    for q in ([10.0] * DIM, [100.0] * DIM, [250.0] * DIM):
+        brute_ids = {r["id"] for r in _brute(indexed_db, q, 10)}
+        ivf_ids = {r["id"] for r in indexed_db.query(q, k=10, probes=2)}
+        hits += len(brute_ids & ivf_ids)
+    assert hits / 30 >= 0.9
+
+
+def test_prefilter_on_indexed_path(indexed_db):
+    n_clusters = len(indexed_db.centroid_rows())
+    res = indexed_db.query([1.0] * DIM, k=10, filter="number > 1050", probes=n_clusters)
+    assert res[0]["id"] == "r00051"
+    assert all(r["metadata"]["number"] > 1050 for r in res)
+
+
+def test_partition_pruning_in_plan(indexed_db):
+    """The probed scan must prune cluster partitions: the parquet scan's
+    PartitionFilters should carry the cluster_id IN (...) predicate."""
+    df = indexed_db.query_df([5.0] * DIM, k=10, probes=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "cluster_id" in plan and ("PartitionFilters" in plan or "partition" in plan.lower())
+
+
+def test_split_oversized(spark, tmp_path):
+    db = Database.configure(spark, str(tmp_path / "splitdb"), dimension=4, density=16)
+    # two natural blobs, each > density, forced into one cluster first
+    rows = [
+        (f"a{i}", [float(i % 7), 0.0, 0.0, 0.0], {}, {}, {})
+        for i in range(40)
+    ] + [
+        (f"b{i}", [100.0 + (i % 7), 0.0, 0.0, 0.0], {}, {}, {})
+        for i in range(40)
+    ]
+    db.insert_batch(spark.createDataFrame(rows, RECORD_SCHEMA))
+    build_index(db, k=1, seed=42)
+    assert len(db.centroid_rows()) == 1
+    n_split = split_oversized_clusters(db, seed=42)
+    assert n_split == 1
+    assert len(db.centroid_rows()) == 2
+    # the two blobs separate cleanly
+    groups = (
+        db.records_df()
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    assert sorted(g["c"] for g in groups) == [40, 40]
+
+
+def test_incremental_insert_assigns_cluster(indexed_db):
+    before = len(indexed_db.centroid_rows())
+    indexed_db.insert([3.0] * DIM, {"number": 3.0}, record_id="r_new")
+    row = (
+        indexed_db.records_df().where(F.col("id") == "r_new").select("cluster_id").first()
+    )
+    assert row["cluster_id"] is not None
+    # assigned to the same cluster as its nearest neighbors
+    near = (
+        indexed_db.records_df().where(F.col("id") == "r00003").select("cluster_id").first()
+    )
+    assert row["cluster_id"] == near["cluster_id"]
+    assert len(indexed_db.centroid_rows()) == before  # no split on hot path
+
+
+def test_delete_last_member_removes_centroid(spark, tmp_path):
+    db = Database.configure(spark, str(tmp_path / "deldb"), dimension=2, density=4)
+    rows = [(f"x{i}", [float(i * 50), 0.0], {}, {}, {}) for i in range(4)]
+    db.insert_batch(spark.createDataFrame(rows, RECORD_SCHEMA))
+    build_index(db, k=4, seed=1)
+    n0 = len(db.centroid_rows())
+    victim_cluster = (
+        db.records_df().where(F.col("id") == "x0").select("cluster_id").first()["cluster_id"]
+    )
+    members = [
+        r["id"]
+        for r in db.records_df().where(F.col("cluster_id") == victim_cluster).collect()
+    ]
+    db.delete(members)
+    assert len(db.centroid_rows()) == n0 - 1

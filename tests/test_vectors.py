@@ -1,0 +1,80 @@
+"""Golden distance values from /root/reference/src/types/metric.rs:64-74:
+sqeuclidean([1,2,3],[4,5,6]) == 27.0 exactly; cosine distance rounds to 0.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from oasysdb_spark.errors import InvalidArgumentError
+from oasysdb_spark.functions.vectors import (
+    cosine_distance,
+    distance_expr,
+    dot_product,
+    l2_norm,
+    make_pandas_cosine,
+    make_pandas_sqeuclidean,
+    sqeuclidean,
+    to_f32,
+)
+
+
+@pytest.fixture(scope="module")
+def pair_df(spark):
+    return spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<float>, b array<float>"
+    )
+
+
+def test_sqeuclidean_golden(pair_df):
+    assert pair_df.select(sqeuclidean("a", "b").alias("d")).first()["d"] == 27.0
+
+
+def test_cosine_golden(pair_df):
+    d = pair_df.select(cosine_distance("a", "b").alias("d")).first()["d"]
+    assert round(d, 1) == 0.0
+    assert d == pytest.approx(1 - 32 / (math.sqrt(14) * math.sqrt(77)))
+
+
+def test_dot_and_norm(pair_df):
+    row = pair_df.select(
+        dot_product("a", "b").alias("dp"), l2_norm("a").alias("na")
+    ).first()
+    assert row["dp"] == 32.0
+    assert row["na"] == pytest.approx(math.sqrt(14))
+
+
+def test_cosine_zero_norm_is_null(spark):
+    df = spark.createDataFrame([([0.0, 0.0], [1.0, 2.0])], "a array<float>, b array<float>")
+    assert df.select(cosine_distance("a", "b").alias("d")).first()["d"] is None
+
+
+def test_distance_expr_dispatch_and_error(pair_df):
+    assert pair_df.select(distance_expr("EUCLIDEAN", "a", "b").alias("d")).first()["d"] == 27.0
+    with pytest.raises(InvalidArgumentError):
+        distance_expr("manhattan", "a", "b")
+
+
+def test_f32_truncation(pair_df):
+    # distances computed in f64, truncated to f32 in results
+    # (/root/reference/src/cores/index.rs:189-193)
+    d = pair_df.select(to_f32(sqeuclidean("a", "b") + 1e-9).alias("d")).first()["d"]
+    assert d == 27.0
+
+
+def test_pandas_udf_paths_match_native(spark):
+    rows = [([float(i), float(i + 1), float(i + 2)],) for i in range(50)]
+    df = spark.createDataFrame(rows, "emb array<float>")
+    q = [1.0, 2.0, 3.0]
+    native = df.select(
+        sqeuclidean(F.array(*[F.lit(x) for x in q]), F.col("emb")).alias("d")
+    ).collect()
+    arrow = df.select(make_pandas_sqeuclidean(q)(F.col("emb")).alias("d")).collect()
+    assert [r["d"] for r in native] == pytest.approx([r["d"] for r in arrow])
+
+    native_c = df.select(
+        cosine_distance(F.array(*[F.lit(x) for x in q]), F.col("emb")).alias("d")
+    ).collect()
+    arrow_c = df.select(make_pandas_cosine(q)(F.col("emb")).alias("d")).collect()
+    assert [r["d"] for r in native_c] == pytest.approx([r["d"] for r in arrow_c])
