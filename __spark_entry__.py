@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 (and the
+north-star extensions) to a callable ``(spark, sf_dir) -> DataFrame``;
+``oracle_sql()`` gives the DuckDB-equivalent SQL the driver hash-compares
+against at sf=0.01.
+
+Determinism contract shared by both sides (see operators/relational.py):
+floats are ROUNDed identically, every LIMIT orders by the rounded measure
+plus unique tie-break keys, integer outputs are cast to matching widths,
+and all hashing uses the md5-based family (functions/hashing.py) that both
+engines compute bit-identically.
 """
 
 from __future__ import annotations
@@ -13,26 +18,450 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from oasysdb_spark.filters import filter_to_sql
+from oasysdb_spark.functions.hashing import hash64_sql
+from oasysdb_spark.operators import dedup, relational as rel, textops, vectorops as vec
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: batched multi-query ANN over the sf0.001 embeddings
+    (broadcast queries × window top-k — the operator the reference serves
+    one-at-a-time over gRPC, amortized into a single Spark job)."""
+    return vec.knn_batched(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+_IVF_CACHE: dict[str, str] = {}
+
+
+def _ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = _IVF_CACHE.setdefault(sf_dir, tempfile.mkdtemp(prefix="oasys_ivf_entry_"))
+    return vec.ivf_knn(spark, sf_dir, work_dir=work)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # --- relational surface (SURVEY.md §2.5 categories) ---
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q3_shipping_priority": rel.q3_shipping_priority,
+        "q4_order_priority": rel.q4_order_priority,
+        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
+        "q6_forecast_revenue": rel.q6_forecast_revenue,
+        "top_orders_per_customer": rel.top_orders_per_customer,
+        "running_revenue": rel.running_revenue,
+        "rollup_lineitem": rel.rollup_lineitem,
+        "cube_orders": rel.cube_orders,
+        "setop_customers": rel.setop_customers,
+        "customers_without_orders": rel.customers_without_orders,
+        "string_part_stats": rel.string_part_stats,
+        "orders_by_month": rel.orders_by_month,
+        "json_event_stats": rel.json_event_stats,
+        "sessionize_events": rel.sessionize_events,
+        "math_stats": rel.math_stats,
+        "filter_dsl_embeddings": rel.filter_dsl_embeddings,
+        # --- vector search (SURVEY.md §2.3) ---
+        "vec_golden_distance": vec.golden_distances,
+        "vec_knn_euclidean": vec.knn_bruteforce,
+        "vec_knn_cosine": lambda s, d: vec.knn_bruteforce(s, d, metric="cosine"),
+        "vec_knn_filtered": vec.knn_filtered,
+        "vec_radius": vec.radius_search,
+        "vec_knn_batched": vec.knn_batched,
+        "vec_label_centroids": vec.label_centroids,
+        "vec_ivf_knn": _ivf_knn,
+        # --- dedup (LLM-pipeline surface) ---
+        "dedup_exact_stats": dedup.exact_dedup_stats,
+        "dedup_exact_pick": dedup.exact_dedup_pick,
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "dedup_simhash": dedup.simhash_buckets,
+        "dedup_simhash_pairs": dedup.simhash_near_pairs,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_embedding_cosine": dedup.embedding_near_pairs,
+        # --- text analysis ---
+        "text_language_id": textops.language_id,
+        "text_quality": textops.quality_scores,
+        "text_token_stats": textops.token_stats,
+        "text_fingerprints": textops.fingerprints,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+# shared fragments
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+_DOT = (
+    "list_sum(list_transform(list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])),"
+    " x -> x[1]*x[2]))"
+)
+_SQDIST = (
+    "list_sum(list_transform(list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])),"
+    " x -> (x[1]-x[2])*(x[1]-x[2])))"
+)
+_NORM = "sqrt(list_sum(list_transform(CAST({v} AS DOUBLE[]), z -> z*z)))"
+
+_EMB_FILTER_SQL = filter_to_sql("label >= 3 AND label <= 7", {"label": "int"})
+
+_LANG_LISTS = {
+    "de": "['der','die','das','und','ist','ein','nicht','mit','zu','auf']",
+    "en": "['the','and','of','to','a','in','is','it','that','for']",
+    "es": "['el','la','de','que','y','en','un','es','por','con']",
+    "fr": "['le','la','et','les','des','un','une','est','que','dans']",
+}
+_EN_SW = _LANG_LISTS["en"]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    q = {}
+
+    q["q1_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice*(1-l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus"""
+
+    q["q3_shipping_priority"] = """
+        SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1996-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+    q["q4_order_priority"] = """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+    q["q5_local_supplier_volume"] = """
+        SELECT n_name, round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name ORDER BY revenue DESC, n_name"""
+
+    q["q6_forecast_revenue"] = """
+        SELECT round(sum(l_extendedprice*l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""
+
+    q["top_orders_per_customer"] = """
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+               CAST(rn AS INTEGER) AS rn
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders)
+        WHERE rn <= 3"""
+
+    q["running_revenue"] = """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        FROM orders"""
+
+    q["rollup_lineitem"] = """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+
+    q["cube_orders"] = """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
+
+    q["setop_customers"] = """
+        SELECT custkey FROM
+          (SELECT o_custkey AS custkey FROM orders
+           GROUP BY o_custkey HAVING sum(o_totalprice) > 300000)
+        EXCEPT ALL
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'"""
+
+    q["customers_without_orders"] = """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey"""
+
+    q["string_part_stats"] = """
+        SELECT regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+               count(*) AS n_parts,
+               CAST(sum(CASE WHEN contains(p_name, 'red') THEN 1 ELSE 0 END) AS BIGINT) AS n_red,
+               CAST(min(length(p_name)) AS BIGINT) AS min_len,
+               CAST(max(length(p_name)) AS BIGINT) AS max_len,
+               count(DISTINCT upper(p_type)) AS n_types
+        FROM part GROUP BY 1 ORDER BY first_word"""
+
+    q["orders_by_month"] = """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+               CAST(month(o_orderdate) AS INTEGER) AS mo,
+               count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY 1, 2, 3 ORDER BY yr, mo"""
+
+    q["json_event_stats"] = """
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY event_type ORDER BY event_type"""
+
+    q["sessionize_events"] = """
+        WITH e AS (SELECT user_id, event_id, event_type, value, ts, epoch_ms(ts) AS ms FROM events),
+        g AS (SELECT *, CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                               OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+                             THEN 1 ELSE 0 END AS new_sess FROM e),
+        s AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM g)
+        SELECT CAST(user_id AS BIGINT) AS user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               count(*) AS n_events, count(DISTINCT event_type) AS n_types,
+               round(sum(value), 2) AS sum_value
+        FROM s GROUP BY user_id, session_seq"""
+
+    q["math_stats"] = """
+        SELECT l_returnflag,
+               round(sqrt(avg(l_quantity)), 6) AS sqrt_avg_qty,
+               round(avg(pow(l_discount, 2)), 6) AS avg_disc_sq,
+               round(avg(ln(l_extendedprice + 1)), 6) AS avg_ln_price,
+               CAST(sum(ceil(l_quantity)) AS BIGINT) AS sum_ceil_qty,
+               CAST(sum(floor(l_quantity)) AS BIGINT) AS sum_floor_qty,
+               round(max(abs(l_discount - 0.05)), 6) AS max_abs_disc_dev
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+    q["filter_dsl_embeddings"] = f"""
+        SELECT vec_id, label FROM embeddings WHERE {_EMB_FILTER_SQL} ORDER BY vec_id"""
+
+    # --- vector search ---
+    dot_ab = _DOT.format(a="a.v", b="b.v")
+    q["vec_golden_distance"] = f"""
+        WITH a AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id = 0),
+             b AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id = 1)
+        SELECT round({_SQDIST.format(a="a.v", b="b.v")}, 6) AS d_euclid,
+               round(1.0 - {dot_ab} / ({_NORM.format(v="a.v")} * {_NORM.format(v="b.v")}), 6) AS d_cosine
+        FROM a, b"""
+
+    knn_dist = _SQDIST.format(a="e.embedding", b="q.qv")
+    q["vec_knn_euclidean"] = f"""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, label, round({knn_dist}, 6) AS distance
+        FROM embeddings e, q
+        ORDER BY distance, vec_id LIMIT 10"""
+
+    cos_dist = (
+        f"1.0 - {_DOT.format(a='e.embedding', b='q.qv')}"
+        f" / ({_NORM.format(v='e.embedding')} * {_NORM.format(v='q.qv')})"
+    )
+    q["vec_knn_cosine"] = f"""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, label, round({cos_dist}, 6) AS distance
+        FROM embeddings e, q
+        ORDER BY distance, vec_id LIMIT 10"""
+
+    q["vec_knn_filtered"] = f"""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, label, round({knn_dist}, 6) AS distance
+        FROM embeddings e, q
+        WHERE {_EMB_FILTER_SQL}
+        ORDER BY distance, vec_id LIMIT 10"""
+
+    q["vec_radius"] = f"""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, distance FROM
+          (SELECT vec_id, round({knn_dist}, 6) AS distance FROM embeddings e, q)
+        WHERE distance <= 1.5 ORDER BY vec_id"""
+
+    q["vec_knn_batched"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv
+                   FROM embeddings WHERE vec_id < 8),
+        d AS (SELECT q.query_id, e.vec_id, round({knn_dist}, 6) AS distance
+              FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rn FROM d)
+        SELECT query_id, vec_id, distance, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 5"""
+
+    q["vec_label_centroids"] = """
+        WITH p AS (SELECT unnest(range((SELECT len(embedding) FROM embeddings LIMIT 1))) AS pos)
+        SELECT label, CAST(p.pos AS INTEGER) AS pos,
+               round(avg(CAST(embedding[CAST(p.pos AS INTEGER) + 1] AS DOUBLE)), 6) AS mean_val
+        FROM embeddings, p GROUP BY label, p.pos"""
+
+    # exact because every cluster is probed (probes = #clusters degenerates
+    # to brute force — /root/reference/src/cores/index.rs:176-177)
+    q["vec_ivf_knn"] = q["vec_knn_euclidean"]
+
+    # --- dedup ---
+    h_text = hash64_sql("text")
+    q["dedup_exact_stats"] = f"""
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups,
+               CAST(sum(cnt - 1) AS BIGINT) AS removable
+        FROM (SELECT {h_text} AS h, count(*) AS cnt FROM documents GROUP BY 1)"""
+
+    q["dedup_exact_pick"] = f"""
+        SELECT {h_text} AS content_hash, min(doc_id) AS keep_doc_id,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1"""
+
+    h_shingle_j = hash64_sql("s || '#' || CAST(j AS VARCHAR)")
+    q["dedup_minhash_lsh"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        sh AS (SELECT doc_id,
+                 CASE WHEN len(tk) >= 3
+                      THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                                         i -> array_to_string(tk[i:i+2], ' ')))
+                      ELSE [] END AS shingles
+               FROM toks),
+        ne AS (SELECT * FROM sh WHERE len(shingles) > 0),
+        shing AS (SELECT doc_id, unnest(shingles) AS s FROM ne),
+        sig_elems AS (SELECT doc_id, j, min({hash64_sql("s || '#' || CAST(j AS VARCHAR)")}) AS mh
+                      FROM shing, (SELECT unnest(range(16)) AS j)
+                      GROUP BY doc_id, j),
+        sigs AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM sig_elems GROUP BY doc_id),
+        bandrows AS (SELECT doc_id, b,
+                       CAST(sig[2*CAST(b AS INTEGER)+1] AS VARCHAR) || '_' ||
+                       CAST(sig[2*CAST(b AS INTEGER)+2] AS VARCHAR) AS band_key
+                     FROM sigs, (SELECT unnest(range(8)) AS b)),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+                 FROM bandrows a JOIN bandrows c
+                 ON a.b = c.b AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+        pairs AS (SELECT doc_a, doc_b,
+                    len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS inter,
+                    len(sa.shingles) AS la, len(sb.shingles) AS lb
+                  FROM cand JOIN ne sa ON sa.doc_id = cand.doc_a
+                            JOIN ne sb ON sb.doc_id = cand.doc_b)
+        SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+        FROM pairs ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50"""
+
+    h_tok = hash64_sql("t")
+    _simhash_cte = f"""
+        toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        th AS (SELECT doc_id, {h_tok} AS h
+               FROM (SELECT doc_id, unnest(list_distinct(tk)) AS t FROM toks)),
+        bits AS (SELECT doc_id, b,
+                   CASE WHEN sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                        THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE CAST(0 AS BIGINT) END AS bv
+                 FROM th, (SELECT unnest(range(32)) AS b) GROUP BY doc_id, b),
+        sims AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS simhash FROM bits GROUP BY doc_id),
+        allsims AS (SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+                    FROM documents d LEFT JOIN sims s ON d.doc_id = s.doc_id)"""
+
+    q["dedup_simhash"] = f"""
+        WITH {_simhash_cte}
+        SELECT doc_id, simhash,
+               simhash & 65535 AS lo16, (simhash >> 16) & 65535 AS hi16
+        FROM allsims"""
+
+    q["dedup_simhash_pairs"] = f"""
+        WITH {_simhash_cte},
+        hv AS (SELECT doc_id, simhash, simhash & 65535 AS lo16, (simhash >> 16) & 65535 AS hi16 FROM allsims)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM hv a JOIN hv b ON a.doc_id < b.doc_id AND (a.lo16 = b.lo16 OR a.hi16 = b.hi16)
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+        ORDER BY hamming, doc_a, doc_b LIMIT 50"""
+
+    q["dedup_ngram_jaccard"] = """
+        WITH d AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
+                   FROM documents WHERE doc_id < 200),
+        g AS (SELECT doc_id,
+                CASE WHEN length(norm) >= 5
+                     THEN list_distinct(list_transform(range(1, length(norm) - 3),
+                                        i -> substring(norm, CAST(i AS INTEGER), 5)))
+                     ELSE [] END AS grams
+              FROM d),
+        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                    len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS inter,
+                    len(a.grams) AS la, len(b.grams) AS lb
+                  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+        FROM pairs ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"""
+
+    q["dedup_embedding_cosine"] = f"""
+        SELECT label, vec_a, vec_b, round(dp / (na * nb), 6) AS cos_sim FROM
+          (SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  {_DOT.format(a="a.embedding", b="b.embedding")} AS dp,
+                  {_NORM.format(v="a.embedding")} AS na,
+                  {_NORM.format(v="b.embedding")} AS nb
+           FROM embeddings a JOIN embeddings b
+           ON a.label = b.label AND a.vec_id < b.vec_id)
+        ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 50"""
+
+    # --- text analysis ---
+    score_cols = ", ".join(
+        f"len(list_filter(tk, t -> list_contains({_LANG_LISTS[lang]}, t))) AS s_{lang}"
+        for lang in ("de", "en", "es", "fr")
+    )
+    g = "greatest(s_de, s_en, s_es, s_fr)"
+    q["text_language_id"] = f"""
+        WITH toks AS (SELECT doc_id, lang, {_TOKS} AS tk FROM documents),
+        sc AS (SELECT doc_id, lang, {score_cols} FROM toks),
+        p AS (SELECT doc_id, lang,
+                CASE WHEN {g} = 0 THEN 'und'
+                     WHEN s_de = {g} THEN 'de'
+                     WHEN s_en = {g} THEN 'en'
+                     WHEN s_es = {g} THEN 'es'
+                     ELSE 'fr' END AS pred_lang
+              FROM sc)
+        SELECT pred_lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_matching_label
+        FROM p GROUP BY pred_lang ORDER BY pred_lang"""
+
+    q["text_quality"] = f"""
+        WITH m AS (
+          SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS n_chars_m,
+                 CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                 round(CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
+                       / nullif(len({_TOKS}), 0), 6) AS mean_token_len,
+                 round(CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+                       / nullif(length(text), 0), 6) AS punct_ratio,
+                 round(CAST(len(list_filter({_TOKS}, t -> list_contains({_EN_SW}, t))) AS DOUBLE)
+                       / nullif(len({_TOKS}), 0), 6) AS stopword_ratio,
+                 round(CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                       / nullif(len({_TOKS}), 0), 6) AS uniq_ratio
+          FROM documents)
+        SELECT *, CAST((CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END)
+                     + (CASE WHEN punct_ratio <= 0.1 THEN 1 ELSE 0 END)
+                     + (CASE WHEN stopword_ratio >= 0.05 THEN 1 ELSE 0 END)
+                     + (CASE WHEN uniq_ratio >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS quality
+        FROM m"""
+
+    q["text_token_stats"] = """
+        WITH t AS (SELECT lang,
+                     len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS ws_tokens,
+                     len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens
+                   FROM documents)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+               CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+               round(avg(ws_tokens), 6) AS mean_ws_tokens
+        FROM t GROUP BY lang ORDER BY lang"""
+
+    norm_text = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    q["text_fingerprints"] = f"""
+        SELECT doc_id, {hash64_sql(norm_text)} AS fingerprint
+        FROM documents ORDER BY doc_id"""
+
+    return q

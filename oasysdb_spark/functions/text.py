@@ -1,0 +1,155 @@
+"""Text-analysis column functions for the LLM-pipeline surface:
+tokenization, shingling, quality metrics, language ID, fingerprinting.
+
+Everything is built from codegen'd built-ins (regexp_*, transform,
+aggregate, sequence) so the hot path stays JVM-side; every function has an
+exact DuckDB SQL equivalent used by the correctness oracle (the
+tokenization regex is deliberately a simple character class so Java regex
+and RE2 agree).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from oasysdb_spark.functions.hashing import hash64
+
+# Tokens = maximal runs of ascii alphanumerics on the lowered text.
+TOKEN_RE = "[a-z0-9]+"
+# BPE-ish lexer: words, numbers, or single non-space symbols.
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small & frozen: the oracle replicates them.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "zu", "auf"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est", "que", "dans"),
+}
+
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(c: Column | str) -> Column:
+    """Lowercased alphanumeric tokens, empties removed."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda t: t != "")
+
+
+def token_count_ws(c: Column | str) -> Column:
+    """Whitespace token count."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.size(F.filter(F.split(c, "\\s+"), lambda t: t != ""))
+
+
+def token_count_bpe(c: Column | str) -> Column:
+    """BPE-ish token count: words + numbers + individual symbols."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_RE), 0))
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) of a token array. Guarded so
+    short docs yield an empty array (Spark's ``sequence(1, 0)`` would count
+    *down*, not produce an empty list)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def char_shingles(c: Column | str, n: int = 5) -> Column:
+    """Distinct character n-grams of the normalized (lower, squashed
+    whitespace) text."""
+    c = F.col(c) if isinstance(c, str) else c
+    norm = F.regexp_replace(F.lower(c), "\\s+", " ")
+    idx = F.sequence(F.lit(1), F.length(norm) - (n - 1))
+    grams = F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, n)))
+    return F.when(F.length(norm) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def normalized_text(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+
+
+def punct_ratio(c: Column | str) -> Column:
+    """Fraction of characters that are neither alphanumeric nor whitespace."""
+    c = F.col(c) if isinstance(c, str) else c
+    stripped = F.regexp_replace(F.lower(c), "[a-z0-9\\s]", "")
+    return F.length(stripped) / F.nullif(F.length(c), F.lit(0))
+
+
+def stopword_ratio(toks: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Fraction of tokens that are (English) stopwords."""
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.nullif(F.size(toks), F.lit(0))
+
+
+def uniq_token_ratio(toks: Column) -> Column:
+    return F.size(F.array_distinct(toks)) / F.nullif(F.size(toks), F.lit(0))
+
+
+def mean_token_len(toks: Column) -> Column:
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.nullif(F.size(toks), F.lit(0))
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Stopword-hit count per candidate language."""
+    out = {}
+    for lang, words in LANG_STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return out
+
+
+def predict_lang(toks: Column) -> Column:
+    """argmax language by stopword hits; ties and all-zero scores resolve
+    to the lexicographically-first language / 'und' deterministically."""
+    scores = lang_scores(toks)
+    pairs = F.array(
+        *[F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang")) for lang in sorted(scores)]
+    )
+    # array_max on (score, lang) structs: max score, then max lang — to make
+    # ties deterministic *lexicographically first*, invert via min over
+    # (-score, lang).
+    inv = F.transform(pairs, lambda s: F.struct((-s["score"]).alias("nscore"), s["lang"].alias("lang")))
+    best = F.array_min(inv)
+    return F.when(-best["nscore"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def simhash32(toks: Column, bits: int = 32) -> Column:
+    """32-bit SimHash over the distinct token set — entirely row-local
+    (no shuffle): for each bit, sum ±1 over token hashes, set the bit when
+    the sum is positive. The bit loop unrolls at plan-build time
+    (shift amounts must be literals), producing one wide codegen'd
+    expression; empty token sets hash to 0."""
+    toks_h = F.transform(F.array_distinct(toks), lambda t: hash64(t))
+
+    # NB: the bit index must be captured via a closure factory, not a
+    # default argument — PySpark derives the number of lambda variables
+    # from the Python function's arity.
+    def bit_contrib(b: int):
+        return F.aggregate(
+            toks_h,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    total = F.lit(0).cast("bigint")
+    for b in range(bits):
+        total = total + F.when(bit_contrib(b) > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return total
+
+
+def doc_fingerprint(c: Column | str) -> Column:
+    """64-bit content fingerprint: hash of the whitespace-normalized text."""
+    return hash64(normalized_text(c))

@@ -1,0 +1,235 @@
+"""Deduplication operators over the ``documents`` table — the core
+LLM-training-pipeline surface (exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup).
+
+Scale notes (the 100 TB story):
+
+- Exact dedup is a hash groupBy — one shuffle on a 64-bit digest, with
+  map-side partial aggregation; never ships document text, only hashes.
+- MinHash+LSH: signatures are computed row-locally (no shuffle), the only
+  shuffle is the band-bucket self-join — the classic way to keep candidate
+  generation linear-ish instead of the O(n²) cross join. Band buckets are
+  the join key, so skew = popular buckets; AQE skew-join handles moderate
+  skew and ``num_hashes``/``band_size`` tune bucket selectivity.
+- SimHash is fully row-local (see functions/text.py:simhash32); candidate
+  pairing joins on 16-bit halves (pigeonhole: hamming ≤ k near-dups must
+  collide on one half for k < 16).
+- The verification joins (Jaccard on shingle sets) only touch candidate
+  pairs, never the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oasysdb_spark.functions.hashing import hash64
+from oasysdb_spark.functions.text import char_shingles, simhash32, tokens, word_shingles
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact-duplicate stats via hash groupBy: total docs,
+    distinct contents, number of duplicate groups and removable rows."""
+    docs = load_documents(spark, sf_dir)
+    groups = docs.groupBy(hash64(F.col("text")).alias("content_hash")).agg(
+        F.count("*").alias("cnt")
+    )
+    return groups.agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).cast("bigint").alias("dup_groups"),
+        F.sum(F.col("cnt") - 1).cast("bigint").alias("removable"),
+    )
+
+
+def exact_dedup_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative picking: keep the smallest doc_id per distinct
+    content hash (the standard keep-first exact dedup)."""
+    docs = load_documents(spark, sf_dir)
+    return (
+        docs.groupBy(hash64(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").cast("bigint").alias("cnt"))
+        .select("content_hash", "keep_doc_id", "cnt")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 16, shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, shingles, sig): distinct word n-gram shingles and the
+    MinHash signature — sig[j] = min over shingles of h_j(s). Entirely
+    row-local (computed inside array expressions, no shuffle, no UDF)."""
+    sh = word_shingles(tokens(F.col("text")), n=shingle_n)
+
+    # closure factory, NOT a default-arg lambda: PySpark derives the number
+    # of lambda variables from the function arity, so a 2-param lambda would
+    # receive the array *index* as its second argument.
+    def minhash_j(j: int):
+        return F.array_min(F.transform(F.col("shingles"), lambda s: hash64(s, str(j))))
+
+    sig = F.array(*[minhash_j(j) for j in range(num_hashes)])
+    return (
+        docs.select("doc_id", sh.alias("shingles"))
+        .where(F.size("shingles") > 0)
+        .withColumn("sig", sig)
+    )
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    top_n: int = 50,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate detection, verified with exact Jaccard:
+
+    shingle → minhash → band → bucket self-join → Jaccard on candidates.
+
+    Returns the ``top_n`` most similar pairs (doc_a < doc_b) ordered by
+    (jaccard desc, doc_a, doc_b) — Jaccard is a ratio of integers so it is
+    bit-identical across engines, making the top-n cut deterministic.
+    """
+    docs = load_documents(spark, sf_dir)
+    sigs = minhash_signatures(docs, num_hashes=num_hashes)
+
+    n_bands = num_hashes // band_size
+    bands = sigs.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "_", *[F.col("sig")[b * band_size + i] for i in range(band_size)]
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "shingles", "band.band_id", "band.band_key")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    out = cand.select(
+        "doc_a",
+        "doc_b",
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    )
+    return out.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b").limit(top_n)
+
+
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash plus its two 16-bit halves (the LSH
+    buckets used for hamming-distance candidate pairing)."""
+    docs = load_documents(spark, sf_dir)
+    sh = simhash32(tokens(F.col("text")))
+    return docs.select(
+        "doc_id",
+        sh.alias("simhash"),
+        (sh.bitwiseAND(F.lit(0xFFFF))).alias("lo16"),
+        F.shiftright(sh, 16).bitwiseAND(F.lit(0xFFFF)).alias("hi16"),
+    )
+
+
+def simhash_near_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 10, top_n: int = 50
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates share a 16-bit half, verified by
+    hamming distance ≤ ``max_hamming`` on the full 32 bits."""
+    s = simhash_buckets(spark, sf_dir)
+    a, b = s.alias("a"), s.alias("b")
+    lo = (F.col("a.lo16") == F.col("b.lo16")).alias("lo")
+    hi = (F.col("a.hi16") == F.col("b.hi16")).alias("hi")
+    cand = (
+        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & (lo | hi))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return cand.orderBy("hamming", "doc_a", "doc_b").limit(top_n)
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 5,
+    max_doc_id: int = 200,
+    top_n: int = 20,
+) -> DataFrame:
+    """Character n-gram Jaccard over a bounded doc_id range (the exact
+    quadratic verifier — bounded because all-pairs is the baseline, LSH is
+    the scale path)."""
+    docs = load_documents(spark, sf_dir).where(F.col("doc_id") < max_doc_id)
+    grams = docs.select("doc_id", char_shingles(F.col("text"), n=n).alias("grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.grams").alias("ga"),
+        F.col("b.grams").alias("gb"),
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    out = pairs.select(
+        "doc_a", "doc_b", F.round(inter.cast("double") / union, 6).alias("jaccard")
+    )
+    return out.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b").limit(top_n)
+
+
+def embedding_near_pairs(
+    spark: SparkSession, sf_dir: str, top_n: int = 50
+) -> DataFrame:
+    """Embedding-cosine near-duplicates: pairs within the same label
+    (label = the blocking key; at scale the block key is an IVF cluster id,
+    making this a partition-aligned self-join instead of a cross join)."""
+    from oasysdb_spark.functions.vectors import dot_product, l2_norm
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a, b = embs.alias("a"), embs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    # dot/(|a||b|) computed directly (not 1 - cosine_distance) so the
+    # arithmetic matches the SQL oracle operation-for-operation.
+    sim = dot_product(F.col("a.embedding"), F.col("b.embedding")) / (
+        l2_norm(F.col("a.embedding")) * l2_norm(F.col("b.embedding"))
+    )
+    out = pairs.select(
+        F.col("a.label").alias("label"),
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(sim, 6).alias("cos_sim"),
+    )
+    return out.orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b").limit(top_n)

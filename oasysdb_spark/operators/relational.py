@@ -1,0 +1,313 @@
+"""Relational operator suite over the TPC-H-ish fixtures — the extended
+north-star surface (SURVEY.md §2.5: every category the reference lacks,
+expressed as idiomatic Catalyst plans).
+
+Determinism rules shared with the DuckDB oracles in ``__spark_entry__.py``:
+- every float output is ROUNDed (2dp money, 6dp ratios) in BOTH engines;
+- every LIMIT/top-k cut orders by the *rounded* measure plus a unique
+  tie-break key, so FP jitter between engines can't flip the cut;
+- counts/keys are cast to bigint so schemas line up.
+
+Scale notes: fact-to-fact joins (lineitem⋈orders) shuffle on the join key
+and benefit from AQE; dimension joins (region/nation/customer/supplier ⋈
+anything) are broadcast — Catalyst picks that automatically under the size
+threshold, and the dimension tables stay small by design at any SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from oasysdb_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy agg with map-side partial aggregation;
+    the parquet scan reads only the 7 referenced columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → agg → top-10.
+    customer is broadcast; the only shuffle is lineitem⋈orders on orderkey."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1996-01-01"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "revenue")
+    )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS (left-semi join) + agg: orders in a quarter having any
+    heavy lineitem."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    heavy = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return (
+        orders.join(heavy, orders.o_orderkey == heavy.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join; all dimensions broadcast, facts shuffle
+    once on orderkey. Customer and supplier must share the nation."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan+filter+scalar agg — every predicate pushes
+    into the parquet reader; zero shuffles (single-stage partial+final agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Ranking window: top-n orders by value per customer."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window with an explicit ROWS frame: cumulative order value
+    per customer in (date, orderkey) order."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP over (returnflag, linestatus) with grouping_id —
+    partial aggregates at every level in one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over (status, priority)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+def setop_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: big-spender customers EXCEPT the BUILDING segment."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    spenders = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("tot"))
+        .where(F.col("tot") > 300000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return spenders.exceptAll(building).orderBy("custkey")
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via left-anti join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def string_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function suite: upper/substring/contains/length/regexp over
+    part names, grouped by extracted word."""
+    part = _t(spark, sf_dir, "part")
+    first_word = F.regexp_extract(F.col("p_name"), "^(\\w+)", 1)
+    return (
+        part.select(
+            first_word.alias("first_word"),
+            F.upper(F.col("p_type")).alias("ptype"),
+            F.length("p_name").alias("name_len"),
+            F.when(F.col("p_name").contains("red"), 1).otherwise(0).alias("has_red"),
+        )
+        .groupBy("first_word")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("has_red").cast("bigint").alias("n_red"),
+            F.min("name_len").cast("bigint").alias("min_len"),
+            F.max("name_len").cast("bigint").alias("max_len"),
+            F.countDistinct("ptype").alias("n_types"),
+        )
+        .orderBy("first_word")
+    )
+
+
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions: year/month extraction, quarter, date_trunc."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.quarter("o_orderdate").cast("int").alias("qtr"),
+            F.month("o_orderdate").cast("int").alias("mo"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+def json_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over events.props (a JSON object column), grouped
+    by event type."""
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        events.select("event_type", k.alias("k"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization: a session breaks when the gap to the previous
+    event of the same user exceeds ``gap_minutes``. lag + cumulative-sum
+    windows — the batch analog of a stateful streaming session window."""
+    events = _t(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    gap = ms - F.lag(ms).over(order)
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1000), 1).otherwise(0)
+    sess = events.withColumn("new_sess", is_new).withColumn(
+        "session_seq", F.sum("new_sess").over(order.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("session_seq").cast("bigint").alias("session_seq"),
+            "n_events",
+            "n_types",
+            "sum_value",
+        )
+    )
+
+
+def math_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function suite: sqrt/pow/ln/abs/ceil/floor over lineitem
+    aggregates per returnflag."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sqrt(F.avg("l_quantity")), 6).alias("sqrt_avg_qty"),
+            F.round(F.avg(F.pow(F.col("l_discount"), 2)), 6).alias("avg_disc_sq"),
+            F.round(F.avg(F.log(F.col("l_extendedprice") + 1)), 6).alias("avg_ln_price"),
+            F.sum(F.ceil("l_quantity")).cast("bigint").alias("sum_ceil_qty"),
+            F.sum(F.floor("l_quantity")).cast("bigint").alias("sum_floor_qty"),
+            F.round(F.max(F.abs(F.col("l_discount") - 0.05)), 6).alias("max_abs_disc_dev"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def filter_dsl_embeddings(
+    spark: SparkSession, sf_dir: str, expr: str = "label >= 3 AND label <= 7"
+) -> DataFrame:
+    """The reference's filter DSL applied over a relational table via the
+    ColumnLayout compiler (predicates push into the parquet scan)."""
+    from oasysdb_spark.filters import ColumnLayout, compile_filter
+
+    embs = _t(spark, sf_dir, "embeddings")
+    pred = compile_filter(expr, ColumnLayout(embs))
+    return embs.where(pred).select("vec_id", "label").orderBy("vec_id")
