@@ -324,7 +324,6 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS cnt
         FROM documents GROUP BY 1"""
 
-    h_shingle_j = hash64_sql("s || '#' || CAST(j AS VARCHAR)")
     q["dedup_minhash_lsh"] = f"""
         WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
         sh AS (SELECT doc_id,
@@ -334,8 +333,11 @@ def oracle_sql() -> dict[str, str]:
                       ELSE [] END AS shingles
                FROM toks),
         ne AS (SELECT * FROM sh WHERE len(shingles) > 0),
-        shing AS (SELECT doc_id, unnest(shingles) AS s FROM ne),
-        sig_elems AS (SELECT doc_id, j, min({hash64_sql("s || '#' || CAST(j AS VARCHAR)")}) AS mh
+        shing AS (SELECT doc_id, {hash64_sql("s")} % 2147483647 AS h0
+                  FROM (SELECT doc_id, unnest(shingles) AS s FROM ne)),
+        sig_elems AS (SELECT doc_id, j,
+                        min(((2654435761 * (j + 1)) % 2147483647 * h0
+                             + (40503 * (j + 7)) % 2147483647) % 2147483647) AS mh
                       FROM shing, (SELECT unnest(range(16)) AS j)
                       GROUP BY doc_id, j),
         sigs AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM sig_elems GROUP BY doc_id),

@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop writer (full computation,
+no driver-side result materialization cost skewing the numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: scan-heavy agg, join-heavy agg, window, sessionization,
+# vector search (single + batched + IVF), dedup (LSH + simhash), text.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "top_orders_per_customer",
+    "sessionize_events",
+    "vec_knn_euclidean",
+    "vec_knn_batched",
+    "vec_ivf_knn",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entry
+    from oasysdb_spark.session import get_spark
+
+    spark = get_spark(app_name="oasysdb_bench")
+    qs = entry.queries()
+
+    # warm the JVM/session on the smallest SF so startup cost lands outside
+    # the per-query timings
+    qs["q6_forecast_revenue"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
