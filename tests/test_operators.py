@@ -1,0 +1,107 @@
+"""Operator-level invariants for the dedup / text / vector suites (the
+cross-engine value checks live in tools/check_correctness.py; these pin
+semantic properties on the sf0.001 fixtures)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oasysdb_spark.functions.text import simhash32, tokens, word_shingles
+from oasysdb_spark.operators import dedup, textops, vectorops as vec
+
+
+def test_knn_self_is_nearest(spark, sf_dir):
+    res = vec.knn_bruteforce(spark, sf_dir, query_vec_id=7, k=3).collect()
+    assert res[0]["vec_id"] == 7 and res[0]["distance"] == 0.0
+    dists = [r["distance"] for r in res]
+    assert dists == sorted(dists)
+
+
+def test_knn_filtered_prefilter(spark, sf_dir):
+    res = vec.knn_filtered(spark, sf_dir, filter_expr="label = 2", k=5).collect()
+    assert len(res) == 5
+    assert all(r["label"] == 2 for r in res)
+
+
+def test_batched_knn_shape(spark, sf_dir):
+    res = vec.knn_batched(spark, sf_dir, n_queries=4, k=3)
+    rows = res.collect()
+    assert len(rows) == 12
+    assert all(r["vec_id"] != r["query_id"] for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rn"])
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+
+
+def test_ivf_knn_equals_bruteforce(spark, sf_dir, tmp_path):
+    brute = [
+        (r["vec_id"], r["distance"])
+        for r in vec.knn_bruteforce(spark, sf_dir, k=10).collect()
+    ]
+    ivf = [
+        (r["vec_id"], r["distance"])
+        for r in vec.ivf_knn(spark, sf_dir, k=10, work_dir=str(tmp_path / "ivf"))
+        .orderBy("distance", "vec_id")
+        .collect()
+    ]
+    assert ivf == brute
+
+
+def test_exact_dedup_consistency(spark, sf_dir):
+    stats = dedup.exact_dedup_stats(spark, sf_dir).first()
+    assert stats["n_docs"] == stats["n_distinct"] + stats["removable"]
+    pick = dedup.exact_dedup_pick(spark, sf_dir)
+    assert pick.count() == stats["n_distinct"]
+
+
+def test_minhash_jaccard_bounds(spark, sf_dir):
+    pairs = dedup.minhash_lsh_pairs(spark, sf_dir, top_n=20).collect()
+    for r in pairs:
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_identical_docs_are_found(spark):
+    """Two identical texts must produce jaccard 1.0 via LSH and identical
+    simhash/fingerprints — the core dedup guarantee."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again", "en", "s", 60),
+        (2, "the quick brown fox jumps over the lazy dog again and again", "en", "s", 60),
+        (3, "a completely different document about spark query engines today", "en", "s", 63),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    sigs = dedup.minhash_signatures(df)
+    s = {r["doc_id"]: r["sig"] for r in sigs.collect()}
+    assert s[1] == s[2] and s[1] != s[3]
+    sh = df.select("doc_id", simhash32(tokens(F.col("text"))).alias("h")).collect()
+    hs = {r["doc_id"]: r["h"] for r in sh}
+    assert hs[1] == hs[2] and hs[1] != hs[3]
+
+
+def test_simhash_hamming_monotone(spark, sf_dir):
+    pairs = dedup.simhash_near_pairs(spark, sf_dir, top_n=10).collect()
+    hams = [r["hamming"] for r in pairs]
+    assert hams == sorted(hams)
+    assert all(0 <= h <= 10 for h in hams)
+
+
+def test_quality_metrics_ranges(spark, sf_dir):
+    q = textops.quality_scores(spark, sf_dir).collect()
+    for r in q:
+        assert 0 <= r["quality"] <= 4
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert 0.0 <= r["uniq_ratio"] <= 1.0
+        assert r["n_tokens"] > 0
+
+
+def test_language_id_covers_corpus(spark, sf_dir):
+    res = textops.language_id(spark, sf_dir)
+    total = res.agg(F.sum("n_docs")).first()[0]
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert total == n_docs
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",)], "text string")
+    row = df.select(word_shingles(tokens(F.col("text")), n=3).alias("sh")).first()
+    assert row["sh"] == []
