@@ -35,6 +35,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -47,13 +49,26 @@ def _records_with_vec(df: DataFrame) -> DataFrame:
     return df.withColumn("__vec", array_to_vector(F.col("embedding").cast("array<double>")))
 
 
-def build_index(db, k: int | None = None, seed: int = 42, max_iter: int = 20) -> int:
-    """Bulk-build the IVF index: KMeans over all records, rewrite the
-    records table partitioned by cluster_id, write the centroids table.
+def build_index(
+    db,
+    k: int | None = None,
+    seed: int = 42,
+    max_iter: int = 20,
+    fit_sample_size: int = 200_000,
+) -> int:
+    """Bulk-build the IVF index: KMeans over a (seeded) sample, assign every
+    record via a one-pass BLAS argmin, rewrite the records table partitioned
+    by cluster_id, write the centroids table.
 
     Returns the number of clusters. ``k`` defaults to ceil(N / density),
     matching the reference's steady-state cluster count under its
     density-split rule (/root/reference/src/cores/index.rs:127-132).
+
+    Scale design: the iterative KMeans fit only ever sees ≤
+    ``fit_sample_size`` rows (centroid quality converges long before the
+    full corpus is consumed — standard IVF practice), so build cost is
+    (sample iterations) + (ONE linear assignment pass over the table),
+    instead of max_iter full-table passes.
     """
     from pyspark.ml.clustering import KMeans
 
@@ -74,19 +89,36 @@ def build_index(db, k: int | None = None, seed: int = 42, max_iter: int = 20) ->
         refresh_centroids(db)
         return 1
 
-    with_vec = _records_with_vec(records)
-    kmeans = KMeans(
-        k=k,
-        seed=seed,
-        maxIter=max_iter,
-        initMode="k-means||",
-        featuresCol="__vec",
-        predictionCol="cluster_id",
-        distanceMeasure="euclidean" if db.params.metric == "euclidean" else "cosine",
-    )
-    model = kmeans.fit(with_vec.select("__vec"))
-    assigned = model.transform(with_vec).drop("__vec")
+    fit_df = records
+    if n > fit_sample_size:
+        fit_df = records.sample(fraction=fit_sample_size / n, seed=seed)
 
+    # The fit sample is bounded (≤ fit_sample_size rows), so the iterative
+    # phase runs driver-local with BLAS — tens of Lloyd iterations as numpy
+    # matmuls instead of tens of Spark jobs. MLlib k-means|| remains the
+    # escape hatch for callers who raise the sample bound beyond memory.
+    sample = np.asarray(
+        [r["embedding"] for r in fit_df.select("embedding").collect()], dtype=np.float64
+    )
+    if len(sample) <= 1_000_000:
+        centroids = _kmeans_fit_local(sample, k=k, seed=seed, max_iter=max_iter)
+    else:  # pragma: no cover - huge-sample fallback
+        kmeans = KMeans(
+            k=k,
+            seed=seed,
+            maxIter=max_iter,
+            initMode="k-means||",
+            featuresCol="__vec",
+            predictionCol="cluster_id",
+            distanceMeasure="euclidean" if db.params.metric == "euclidean" else "cosine",
+        )
+        model = kmeans.fit(_records_with_vec(fit_df).select("__vec"))
+        centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+
+    assigned = records.withColumn(
+        "cluster_id",
+        _argmin_assigner(db.spark, centroids, db.params.metric)(F.col("embedding")),
+    )
     db.records.write(assigned, partition_by=["cluster_id"])
 
     # Centroids + sizes from the clustered table (one cheap agg; sizes feed
@@ -95,12 +127,77 @@ def build_index(db, k: int | None = None, seed: int = 42, max_iter: int = 20) ->
         r["cluster_id"]: r["cnt"]
         for r in db.records_df().groupBy("cluster_id").agg(F.count("*").alias("cnt")).collect()
     }
-    cents = [
-        (i, [float(x) for x in c], int(sizes.get(i, 0)))
-        for i, c in enumerate(model.clusterCenters())
-    ]
+    cents = [(i, c, int(sizes.get(i, 0))) for i, c in enumerate(centroids)]
     _write_centroids(db, cents)
     return k
+
+
+def _kmeans_fit_local(mat: "np.ndarray", k: int, seed: int, max_iter: int) -> list[list[float]]:
+    """Seeded Lloyd's k-means with k-means++ init over an in-memory sample
+    — the same algorithm the reference fits per split
+    (/root/reference/src/utils/kmeans.rs:61-131: k-means++ seeding, bounded
+    iterations, empty-cluster reseed), vectorized with BLAS."""
+    rng = np.random.default_rng(seed)
+    n = len(mat)
+    k = min(k, n)
+
+    # k-means++ seeding (probability ∝ squared distance to nearest center)
+    first = int(rng.integers(n))
+    centers = [mat[first]]
+    d2 = ((mat - centers[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        total = d2.sum()
+        if total == 0:
+            centers.append(mat[int(rng.integers(n))])
+        else:
+            nxt = int(rng.choice(n, p=d2 / total))
+            centers.append(mat[nxt])
+            d2 = np.minimum(d2, ((mat - mat[nxt]) ** 2).sum(axis=1))
+    c = np.asarray(centers)
+
+    labels = np.full(n, -1)
+    for _ in range(max_iter):
+        d = -2.0 * (mat @ c.T) + (c**2).sum(axis=1)[None, :]
+        new_labels = d.argmin(axis=1)
+        if (new_labels == labels).all():
+            break
+        labels = new_labels
+        for j in range(k):
+            members = mat[labels == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+            else:  # empty-cluster reseed (kmeans.rs:150-156)
+                c[j] = mat[int(rng.integers(n))]
+    return [[float(x) for x in row] for row in c]
+
+
+def _argmin_assigner(spark, centroids: list[list[float]], metric: str):
+    """Arrow-batched nearest-centroid argmin (the 'SIMD analog' of
+    /root/reference/src/cores/index.rs:241-253): one ``X @ C.T`` per batch
+    via BLAS. Linear in rows — never materializes the N×k pair explosion a
+    crossJoin-based argmin would — and the centroid matrix ships once per
+    executor via broadcast."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(
+        (np.asarray(centroids, dtype=np.float64), metric)
+    )
+
+    @pandas_udf("int")
+    def _assign(emb: pd.Series) -> pd.Series:
+        cents, m = bc.value
+        x = np.asarray(emb.tolist(), dtype=np.float64)
+        if m == "euclidean":
+            # |x|^2 - 2 x·c + |c|^2; |x|^2 constant per row for argmin
+            d = -2.0 * (x @ cents.T) + (cents**2).sum(axis=1)[None, :]
+        else:
+            xn = np.linalg.norm(x, axis=1, keepdims=True)
+            cn = np.linalg.norm(cents, axis=1)[None, :]
+            denom = np.where(xn * cn == 0, 1.0, xn * cn)
+            d = 1.0 - (x @ cents.T) / denom
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return _assign
 
 
 def _write_centroids(db, rows: list[tuple[int, list[float], int]]) -> None:
@@ -112,25 +209,17 @@ def _write_centroids(db, rows: list[tuple[int, list[float], int]]) -> None:
 
 
 def assign_clusters(db, df: DataFrame) -> DataFrame:
-    """Assign each row of ``df`` (schema: record schema) to its nearest
-    existing centroid — broadcast argmin (/root/reference/src/cores/index.rs:241-253
-    re-expressed as a broadcast join + min_by).
-
-    Stays fully JVM-side: centroids are exploded to rows, broadcast, and
-    the per-record argmin is a groupBy ``min_by`` — no Python in the loop.
-    """
-    from oasysdb_spark.functions.vectors import distance_expr
-
-    cents = db.centroids.read(db.spark).select("cluster_id", "centroid")
-    dist = distance_expr(db.params.metric, F.col("embedding"), F.col("centroid"))
-    joined = df.crossJoin(F.broadcast(cents)).withColumn("__d", dist)
-    best = (
-        joined.groupBy("id")
-        .agg(F.min_by("cluster_id", F.when(F.col("__d").isNull(), float("inf")).otherwise(F.col("__d"))).alias("cluster_id"))
-    )
-    return df.join(best, "id", "left").withColumn(
-        "cluster_id", F.coalesce(F.col("cluster_id"), F.lit(0))
-    )
+    """Assign each row of ``df`` (record schema) to its nearest existing
+    centroid (/root/reference/src/cores/index.rs:241-253) via the
+    Arrow-batched BLAS argmin — linear in rows, no N×k pair explosion."""
+    rows = db.centroid_rows()
+    ordered = sorted(rows)  # centroid matrix indexed by position
+    ids = [c for c, _ in ordered]
+    mat = [v for _, v in ordered]
+    assigner = _argmin_assigner(db.spark, mat, db.params.metric)
+    idx = assigner(F.col("embedding"))
+    id_map = F.array(*[F.lit(i) for i in ids])
+    return df.withColumn("cluster_id", F.element_at(id_map, idx + 1))
 
 
 def refresh_centroids(db) -> None:

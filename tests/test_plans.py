@@ -1,0 +1,69 @@
+"""Physical-plan regression tests — the scale contract.
+
+Correct results aren't enough: these assert the *plan shapes* that make
+the operators viable at 100 TB (predicate pushdown into the parquet scan,
+column pruning, broadcast joins for dimensions, TakeOrderedAndProject for
+top-k instead of a global sort). If a refactor silently degrades one of
+these, the sf0.01 oracle would still pass — this file is what fails.
+"""
+
+import pytest
+
+from oasysdb_spark.operators import relational as rel, vectorops as vec
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(rel.q6_forecast_revenue(spark, sf_dir))
+    # range predicates reach the parquet reader
+    assert "PushedFilters:" in plan and "l_shipdate" in plan.split("PushedFilters:")[1][:300]
+    # column pruning: the scan must not read unused columns
+    read_schema = plan.split("ReadSchema:")[1][:400]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_q3_broadcasts_dimension(spark, sf_dir):
+    plan = _plan(rel.q3_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(rel.q5_local_supplier_volume(spark, sf_dir))
+    # customer/supplier/nation/region all broadcast; only the fact-to-fact
+    # join may shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_knn_uses_bounded_topk(spark, sf_dir):
+    plan = _plan(vec.knn_bruteforce(spark, sf_dir))
+    # ORDER BY dist LIMIT k must become TakeOrderedAndProject (per-partition
+    # bounded heaps — the distributed twin of the reference's binary heap,
+    # /root/reference/src/cores/index.rs:201-213), never a global Sort+Limit
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    plan = _plan(rel.q1_pricing_summary(spark, sf_dir))
+    # map-side combine: HashAggregate appears in partial+final pairs
+    assert plan.count("HashAggregate") >= 2
+
+
+def _codegen_subtrees(spark, df) -> int:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    s = df._jdf.queryExecution().explainString(mode)
+    return int(s.split("Found ")[1].split(" WholeStageCodegen")[0])
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert _codegen_subtrees(spark, rel.q1_pricing_summary(spark, sf_dir)) >= 2
+        # the distance pipeline (zip_with/aggregate exprs) also compiles
+        assert _codegen_subtrees(spark, vec.knn_bruteforce(spark, sf_dir)) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
