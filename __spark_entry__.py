@@ -20,7 +20,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 from oasysdb_spark.filters import filter_to_sql
 from oasysdb_spark.functions.hashing import hash64_sql
-from oasysdb_spark.operators import dedup, relational as rel, textops, vectorops as vec
+from oasysdb_spark.operators import (
+    dedup,
+    relational as rel,
+    similarity_join as sj,
+    textops,
+    vectorops as vec,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -64,6 +70,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": rel.sessionize_events,
         "math_stats": rel.math_stats,
         "filter_dsl_embeddings": rel.filter_dsl_embeddings,
+        "window_functions_suite": rel.window_functions_suite,
+        "pivot_lineitem": rel.pivot_lineitem,
+        "setop_intersect": rel.setop_intersect,
+        "parts_above_avg_price": rel.parts_above_avg_price,
+        "ship_latency": rel.ship_latency,
+        "parts_like_patterns": rel.parts_like_patterns,
         # --- vector search (SURVEY.md §2.3) ---
         "vec_golden_distance": vec.golden_distances,
         "vec_knn_euclidean": vec.knn_bruteforce,
@@ -73,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_knn_batched": vec.knn_batched,
         "vec_label_centroids": vec.label_centroids,
         "vec_ivf_knn": _ivf_knn,
+        "vec_knn_join_blocked": sj.knn_join_blocked,
         # --- dedup (LLM-pipeline surface) ---
         "dedup_exact_stats": dedup.exact_dedup_stats,
         "dedup_exact_pick": dedup.exact_dedup_pick,
@@ -253,6 +266,53 @@ def oracle_sql() -> dict[str, str]:
     q["filter_dsl_embeddings"] = f"""
         SELECT vec_id, label FROM embeddings WHERE {_EMB_FILTER_SQL} ORDER BY vec_id"""
 
+    q["window_functions_suite"] = """
+        SELECT o_custkey, o_orderkey,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+               round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+               round(percent_rank() OVER w, 6) AS pct_rank
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)"""
+
+    q["pivot_lineitem"] = """
+        SELECT l_returnflag,
+               round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_open,
+               round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_filled
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+    q["setop_intersect"] = """
+        SELECT o_custkey AS custkey FROM orders
+        GROUP BY o_custkey HAVING sum(o_totalprice) > 200000
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders
+        GROUP BY o_custkey HAVING count(*) >= 10"""
+
+    q["parts_above_avg_price"] = """
+        SELECT p_partkey, p_name, round(p_retailprice, 2) AS p_retailprice
+        FROM part
+        WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+        ORDER BY p_partkey"""
+
+    q["ship_latency"] = """
+        SELECT o_orderpriority, count(*) AS n_items,
+               round(avg(days), 6) AS avg_days,
+               CAST(min(days) AS BIGINT) AS min_days,
+               CAST(max(days) AS BIGINT) AS max_days
+        FROM (SELECT o_orderpriority,
+                     date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS days
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+    q["parts_like_patterns"] = """
+        SELECT CAST(sum(CASE WHEN p_name LIKE 'small%' THEN 1 ELSE 0 END) AS BIGINT) AS n_small_prefix,
+               CAST(sum(CASE WHEN p_name LIKE '%gear' THEN 1 ELSE 0 END) AS BIGINT) AS n_gear_suffix,
+               CAST(sum(CASE WHEN p_name LIKE '%ring%' THEN 1 ELSE 0 END) AS BIGINT) AS n_ring_infix,
+               CAST(sum(CASE WHEN regexp_matches(p_name, '^(red|blue) ') THEN 1 ELSE 0 END) AS BIGINT) AS n_color_prefix
+        FROM part"""
+
     # --- vector search ---
     dot_ab = _DOT.format(a="a.v", b="b.v")
     q["vec_golden_distance"] = f"""
@@ -309,6 +369,17 @@ def oracle_sql() -> dict[str, str]:
     # exact because every cluster is probed (probes = #clusters degenerates
     # to brute force — /root/reference/src/cores/index.rs:176-177)
     q["vec_ivf_knn"] = q["vec_knn_euclidean"]
+
+    q["vec_knn_join_blocked"] = f"""
+        WITH pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+                 round({_SQDIST.format(a="a.embedding", b="b.embedding")}, 6) AS distance
+          FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+          WHERE a.vec_id < 100),
+        r AS (SELECT *, row_number() OVER (PARTITION BY vec_a ORDER BY distance, vec_b) AS rn
+              FROM pairs)
+        SELECT vec_a, vec_b, label, distance, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 3"""
 
     # --- dedup ---
     h_text = hash64_sql("text")

@@ -171,6 +171,34 @@ def _kmeans_fit_local(mat: "np.ndarray", k: int, seed: int, max_iter: int) -> li
     return [[float(x) for x in row] for row in c]
 
 
+def topk_cluster_assigner(spark, centroids: list[list[float]], metric: str, probes: int):
+    """Arrow-batched top-``probes`` nearest clusters per row (array<int>) —
+    the multi-probe analog of :func:`_argmin_assigner`, used by query-side
+    probing in similarity joins (/root/reference/src/cores/index.rs:176-182
+    semantics applied to a whole table of queries at once)."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast((np.asarray(centroids, dtype=np.float64), metric))
+    p = probes
+
+    @pandas_udf("array<int>")
+    def _assign(emb: pd.Series) -> pd.Series:
+        cents, m = bc.value
+        x = np.asarray(emb.tolist(), dtype=np.float64)
+        if m == "euclidean":
+            d = -2.0 * (x @ cents.T) + (cents**2).sum(axis=1)[None, :]
+        else:
+            xn = np.linalg.norm(x, axis=1, keepdims=True)
+            cn = np.linalg.norm(cents, axis=1)[None, :]
+            denom = np.where(xn * cn == 0, 1.0, xn * cn)
+            d = 1.0 - (x @ cents.T) / denom
+        kk = min(p, d.shape[1])
+        idx = np.argsort(d, axis=1, kind="stable")[:, :kk]
+        return pd.Series([row.astype("int32").tolist() for row in idx])
+
+    return _assign
+
+
 def _argmin_assigner(spark, centroids: list[list[float]], metric: str):
     """Arrow-batched nearest-centroid argmin (the 'SIMD analog' of
     /root/reference/src/cores/index.rs:241-253): one ``X @ C.T`` per batch

@@ -301,6 +301,97 @@ def math_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + analytic window functions in one pass: rank, dense_rank,
+    ntile, lag/lead, percent_rank (rank-based ⇒ exact rationals)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+def pivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns per returnflag (the oracle expresses
+    the same thing as conditional aggregation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .orderBy("l_returnflag")
+    )
+    return out.select(
+        "l_returnflag", F.col("O").alias("qty_open"), F.col("F").alias("qty_filled")
+    )
+
+
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers that are both big spenders and frequent buyers."""
+    orders = _t(spark, sf_dir, "orders")
+    spenders = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("tot"))
+        .where(F.col("tot") > 200000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    frequent = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 10)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return spenders.intersect(frequent).orderBy("custkey")
+
+
+def parts_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: parts priced above the overall average."""
+    part = _t(spark, sf_dir, "part")
+    avg_price = part.agg(F.avg("p_retailprice")).first()[0]
+    return (
+        part.where(F.col("p_retailprice") > avg_price)
+        .select("p_partkey", "p_name", F.round("p_retailprice", 2).alias("p_retailprice"))
+        .orderBy("p_partkey")
+    )
+
+
+def ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: order→ship latency in days, averaged per priority."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lat = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_orderpriority", lat.alias("days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.avg("days"), 6).alias("avg_days"),
+            F.min("days").cast("bigint").alias("min_days"),
+            F.max("days").cast("bigint").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def parts_like_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / regexp predicates: prefix, suffix, infix, and rlike counts."""
+    part = _t(spark, sf_dir, "part")
+    return part.agg(
+        F.sum(F.when(F.col("p_name").like("small%"), 1).otherwise(0)).cast("bigint").alias("n_small_prefix"),
+        F.sum(F.when(F.col("p_name").like("%gear"), 1).otherwise(0)).cast("bigint").alias("n_gear_suffix"),
+        F.sum(F.when(F.col("p_name").like("%ring%"), 1).otherwise(0)).cast("bigint").alias("n_ring_infix"),
+        F.sum(F.when(F.col("p_name").rlike("^(red|blue) "), 1).otherwise(0)).cast("bigint").alias("n_color_prefix"),
+    )
+
+
 def filter_dsl_embeddings(
     spark: SparkSession, sf_dir: str, expr: str = "label >= 3 AND label <= 7"
 ) -> DataFrame:

@@ -105,3 +105,35 @@ def test_shingles_short_doc_empty(spark):
     df = spark.createDataFrame([("a b",)], "text string")
     row = df.select(word_shingles(tokens(F.col("text")), n=3).alias("sh")).first()
     assert row["sh"] == []
+
+def test_knn_join_ivf_recall(spark, sf_dir, tmp_path):
+    """Multi-probe IVF similarity join vs the GLOBAL exact k-NN join:
+    probes=5 (of ~8 clusters) recalls ≥70% on isotropic random data
+    (measured 0.83; real clustered embeddings do far better — random
+    gaussians are IVF's worst case)."""
+    from pyspark.sql import Window
+
+    from oasysdb_spark.functions.vectors import sqeuclidean
+    from oasysdb_spark.operators import similarity_join as sj
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    left = embs.where(F.col("vec_id") < 50).alias("a")
+    pairs = left.join(embs.alias("b"), F.col("a.vec_id") != F.col("b.vec_id"))
+    w = Window.partitionBy("vec_a").orderBy("distance", "vec_b")
+    exact_df = (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(sqeuclidean(F.col("a.embedding"), F.col("b.embedding")), 6).alias("distance"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+    exact = {(r["vec_a"], r["vec_b"]) for r in exact_df.collect()}
+    approx = {
+        (r["vec_a"], r["vec_b"])
+        for r in sj.knn_join_ivf(
+            spark, sf_dir, k=3, max_left=50, probes=5, work_dir=str(tmp_path / "sj")
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.7
