@@ -76,6 +76,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_above_avg_price": rel.parts_above_avg_price,
         "ship_latency": rel.ship_latency,
         "parts_like_patterns": rel.parts_like_patterns,
+        "q14_promo_share": rel.q14_promo_share,
+        "q18_large_volume_customers": rel.q18_large_volume_customers,
+        "grouping_sets_orders": rel.grouping_sets_orders,
         # --- vector search (SURVEY.md §2.3) ---
         "vec_golden_distance": vec.golden_distances,
         "vec_knn_euclidean": vec.knn_bruteforce,
@@ -312,6 +315,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN p_name LIKE '%ring%' THEN 1 ELSE 0 END) AS BIGINT) AS n_ring_infix,
                CAST(sum(CASE WHEN regexp_matches(p_name, '^(red|blue) ') THEN 1 ELSE 0 END) AS BIGINT) AS n_color_prefix
         FROM part"""
+
+    q["q14_promo_share"] = """
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'ECONOMY'
+                                      THEN l_extendedprice*(1-l_discount) ELSE 0.0 END)
+                     / sum(l_extendedprice*(1-l_discount)), 6) AS promo_share,
+               round(sum(l_extendedprice*(1-l_discount)), 2) AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'"""
+
+    q["q18_large_volume_customers"] = """
+        SELECT c_custkey, c_name, o_orderkey,
+               round(o_totalprice, 2) AS o_totalprice,
+               round(total_qty, 2) AS total_qty
+        FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big
+        JOIN orders ON big.l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_orderkey"""
+
+    q["grouping_sets_orders"] = """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total,
+               CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
 
     # --- vector search ---
     dot_ab = _DOT.format(a="a.v", b="b.v")

@@ -76,16 +76,39 @@ def cosine_distance(a: Column | str, b: Column | str) -> Column:
     return F.when(denom != 0.0, F.lit(1.0) - dot_product(a, b) / denom)
 
 
+# User-extensible metric registry — the UDF surface the reference lacks
+# (its metrics are a closed enum, /root/reference/src/types/metric.rs:19-22;
+# SURVEY.md §2.5 'UDF/UDAF/UDTF'). A metric is any (a, b) -> Column builder;
+# pandas-UDF-backed builders are first-class for non-expressible math.
+_METRIC_REGISTRY: dict = {}
+
+
+def register_metric(name: str, builder) -> None:
+    """Register a custom distance metric: ``builder(a: Column, b: Column)
+    -> Column`` (lower = closer). Overrides are allowed except for the two
+    built-in names."""
+    key = name.strip().lower()
+    if key in METRICS:
+        raise InvalidArgumentError(f"cannot override built-in metric {key!r}")
+    _METRIC_REGISTRY[key] = builder
+
+
 def distance_expr(metric: str, a: Column | str, b: Column | str) -> Column:
     """Dispatch on metric name (case-insensitive), like Metric::from(&str)
-    (/root/reference/src/types/metric.rs:34-58) but raising a clean error."""
+    (/root/reference/src/types/metric.rs:34-58) but raising a clean error,
+    and consulting the user metric registry first."""
     m = metric.strip().lower()
     if m == "euclidean":
         return sqeuclidean(a, b)
     if m == "cosine":
         return cosine_distance(a, b)
+    if m in _METRIC_REGISTRY:
+        a = F.col(a) if isinstance(a, str) else a
+        b = F.col(b) if isinstance(b, str) else b
+        return _METRIC_REGISTRY[m](a, b)
     raise InvalidArgumentError(
-        f"unknown metric {metric!r}; supported: {', '.join(METRICS)}"
+        f"unknown metric {metric!r}; supported: "
+        f"{', '.join(list(METRICS) + sorted(_METRIC_REGISTRY))}"
     )
 
 

@@ -17,6 +17,9 @@ NANO_TS_TABLES = {"events": "ts"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Date extraction/rendering must agree with the DuckDB oracle (which is
+    # timezone-naive); pin the session to UTC regardless of who built it.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ts_col = NANO_TS_TABLES.get(name)
     if ts_col is None:
         return spark.read.parquet(f"{sf_dir}/{name}.parquet")

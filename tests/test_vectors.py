@@ -78,3 +78,23 @@ def test_pandas_udf_paths_match_native(spark):
     ).collect()
     arrow_c = df.select(make_pandas_cosine(q)(F.col("emb")).alias("d")).collect()
     assert [r["d"] for r in native_c] == pytest.approx([r["d"] for r in arrow_c])
+
+
+def test_custom_metric_registry(spark):
+    """User-extensible metrics (the UDF surface the reference's closed
+    enum lacks — /root/reference/src/types/metric.rs:19-22)."""
+    from oasysdb_spark.functions import vectors as V
+
+    def manhattan(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: F.abs(x.cast("double") - y.cast("double"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    V.register_metric("manhattan", manhattan)
+    df = spark.createDataFrame([([1.0, 2.0], [4.0, 0.0])], "a array<float>, b array<float>")
+    got = df.select(V.distance_expr("Manhattan", "a", "b").alias("d")).first()["d"]
+    assert got == 5.0
+    with pytest.raises(InvalidArgumentError):
+        V.register_metric("euclidean", manhattan)
