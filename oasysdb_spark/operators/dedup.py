@@ -86,16 +86,22 @@ def minhash_signatures(
     sh = word_shingles(tokens(F.col("text")), n=shingle_n)
     base = F.transform(F.col("shingles"), lambda s: hash64(s) % MINHASH_P)
 
-    # closure factory, NOT a default-arg lambda: PySpark derives the number
-    # of lambda variables from the function arity, so a 2-param lambda would
-    # receive the array *index* as its second argument.
-    def minhash_j(j: int):
-        a, b = minhash_coeffs(j)
-        return F.array_min(
-            F.transform(F.col("h0"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
-        )
-
-    sig = F.array(*[minhash_j(j) for j in range(num_hashes)])
+    # sig built as ONE sequence-driven expression (not num_hashes unrolled
+    # aggregates): the affine coefficients are computed from j in-plan with
+    # the same formula as minhash_coeffs, keeping the codegen unit small.
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                F.col("h0"),
+                lambda h: (
+                    ((F.lit(2654435761) * (j + 1)) % MINHASH_P) * h
+                    + (F.lit(40503) * (j + 7)) % MINHASH_P
+                )
+                % MINHASH_P,
+            )
+        ),
+    )
     return (
         docs.select("doc_id", sh.alias("shingles"))
         .where(F.size("shingles") > 0)
@@ -127,22 +133,22 @@ def minhash_lsh_pairs(
     # Candidate generation carries ONLY (doc_id, band) — shingle arrays are
     # joined back after the pair-level distinct. Shipping the arrays through
     # the self-join + dedup would dominate the shuffle at scale.
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.concat_ws(
+                "_",
                 *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.concat_ws(
-                            "_", *[F.col("sig")[b * band_size + i] for i in range(band_size)]
-                        ).alias("band_key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_key")
+                    F.element_at(F.col("sig"), b * band_size + i + 1).cast("string")
+                    for i in range(band_size)
+                ],
+            ).alias("band_key"),
+        ),
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_key"
+    )
 
     a = bands.alias("a")
     b = bands.alias("b")
