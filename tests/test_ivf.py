@@ -146,3 +146,46 @@ def test_delete_last_member_removes_centroid(spark, tmp_path):
     ]
     db.delete(members)
     assert len(db.centroid_rows()) == n0 - 1
+
+
+def test_split_density_convergence(spark, tmp_path):
+    """F6 fixture (/root/reference/src/cores/index.rs:315-332 spirit):
+    1000 seeded-random vectors at density 64 — after build + maintenance
+    splits, the cluster count grows well beyond N/density's floor and
+    oversized clusters shrink toward the density bound."""
+    import random
+
+    from oasysdb_spark.index.ivf import split_oversized_clusters
+
+    rng = random.Random(42)
+    db = Database.configure(spark, str(tmp_path / "f6"), dimension=16, density=64)
+    rows = [
+        (f"r{i:04d}", [rng.uniform(-1, 1) for _ in range(16)], {}, {}, {})
+        for i in range(1000)
+    ]
+    db.insert_batch(spark.createDataFrame(rows, RECORD_SCHEMA))
+    # deliberately under-provisioned build (k=8) so clusters start oversized
+    build_index(db, k=8, seed=42)
+    n0 = len(db.centroid_rows())
+    for _ in range(5):
+        if split_oversized_clusters(db, seed=42) == 0:
+            break
+    sizes = [
+        r["cnt"]
+        for r in db.records_df().groupBy("cluster_id").agg(F.count("*").alias("cnt")).collect()
+    ]
+    assert len(sizes) > n0
+    assert len(sizes) > 1000 // 64  # > 15 clusters, like the reference's >20-of-1000 shape
+    assert max(sizes) <= 2 * db.params.density  # converging toward the bound
+    assert sum(sizes) == 1000  # no rows lost across rewrites
+
+
+def test_reopen_database_preserves_index(spark, indexed_db):
+    """open() on an indexed directory restores params + index + data
+    (the reference's snapshot-load roundtrip,
+    /root/reference/src/cores/database.rs:111-126)."""
+    db2 = Database.open(spark, indexed_db.dir)
+    assert db2.params.dimension == DIM
+    assert db2.is_indexed()
+    res = db2.query([5.0] * DIM, k=3)
+    assert res[0]["id"] == "r00005"
