@@ -24,6 +24,7 @@ from oasysdb_spark.operators import (
     dedup,
     relational as rel,
     similarity_join as sj,
+    temporal as tmp,
     textops,
     vectorops as vec,
 )
@@ -97,6 +98,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": dedup.simhash_near_pairs,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_embedding_cosine": dedup.embedding_near_pairs,
+        # --- temporal joins + windowed aggregation (SURVEY.md §2.5) ---
+        "asof_click_view": tmp.asof_click_view,
+        "range_join_price_bands": tmp.range_join_price_bands,
+        "events_tumbling_hourly": tmp.events_tumbling_hourly,
+        "events_sliding_windows": tmp.events_sliding_windows,
         # --- text analysis ---
         "text_language_id": textops.language_id,
         "text_quality": textops.quality_scores,
@@ -515,6 +521,41 @@ def oracle_sql() -> dict[str, str]:
         for lang in ("de", "en", "es", "fr")
     )
     g = "greatest(s_de, s_en, s_es, s_fr)"
+    q["asof_click_view"] = """
+        WITH clicks AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+                        FROM events WHERE event_type = 'click'),
+        views AS (SELECT user_id, ts AS view_ts, CAST(max(event_id) AS BIGINT) AS view_id
+                  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        SELECT c.click_id, c.user_id,
+               CAST(epoch_ms(c.click_ts) - epoch_ms(v.view_ts) AS BIGINT) AS gap_ms,
+               v.view_id
+        FROM clicks c ASOF LEFT JOIN views v
+          ON c.user_id = v.user_id AND v.view_ts <= c.click_ts"""
+
+    q["range_join_price_bands"] = """
+        WITH bands(band, lo, hi) AS (VALUES
+            ('low', 0.0, 75000.0), ('mid', 75000.0, 150000.0), ('high', 150000.0, 1e12))
+        SELECT band, CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price,
+               round(avg(o_totalprice), 2) AS avg_price
+        FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band"""
+
+    q["events_tumbling_hourly"] = """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+               CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2"""
+
+    q["events_sliding_windows"] = """
+        WITH s AS (SELECT time_bucket(INTERVAL '30 minutes', ts)
+                            - o.off * INTERVAL '30 minutes' AS window_start,
+                          user_id, value
+                   FROM events CROSS JOIN (VALUES (0), (1)) o(off))
+        SELECT window_start, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               round(sum(value), 2) AS sum_value
+        FROM s GROUP BY 1"""
+
     q["text_language_id"] = f"""
         WITH toks AS (SELECT doc_id, lang, {_TOKS} AS tk FROM documents),
         sc AS (SELECT doc_id, lang, {score_cols} FROM toks),

@@ -25,6 +25,8 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",
     "top_orders_per_customer",
     "sessionize_events",
+    "asof_click_view",
+    "events_sliding_windows",
     "vec_knn_euclidean",
     "vec_knn_batched",
     "vec_ivf_knn",

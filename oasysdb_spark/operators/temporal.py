@@ -1,0 +1,166 @@
+"""Temporal join + windowed-aggregation operators.
+
+SURVEY.md §2.5 lists range/as-of/interval joins and tumbling/sliding
+windows as categories the reference lacks but a complete engine needs
+(the reference's only temporal behavior is the 600 s snapshot timer,
+/root/reference/src/main.rs:16,57-61). These are Spark-first designs:
+
+- ``asof_join`` is the union + carry-forward formulation: tag both
+  inputs, union, one shuffle on the key, and a running ``last(...,
+  ignorenulls=True)`` window. Cost is a single hash partition on the
+  join key plus a per-partition sort — linear at 100 TB, no range
+  explosion, no broadcast requirement on either side (contrast a naive
+  ``left.join(right, key).where(r_ts <= l_ts)`` + argmax, which
+  materializes every candidate pair).
+- range/band joins broadcast the (tiny) band dimension so Catalyst
+  picks BroadcastNestedLoopJoin — the right physical plan when one
+  side is a handful of rows and the predicate is an inequality.
+- tumbling/sliding aggregations use the built-in ``F.window`` bucketing
+  expression (the same operator Structured Streaming uses), so the
+  batch queries here are literally the streaming plans minus the
+  watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from oasysdb_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: dict[str, str],
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the payload of the
+    latest right row with ``right[right_ts] <= left[left_ts]`` and the
+    same ``on`` key (ties at equal timestamps DO match, like DuckDB's
+    ``ASOF JOIN ... ON r.ts <= l.ts``).
+
+    ``payload`` maps output column name -> right column name. Right rows
+    must be unique per (on, right_ts) for a deterministic answer —
+    pre-aggregate if they are not.
+
+    Implementation: union both sides with a side tag (right=0 sorts
+    before left=1 at equal ts), then carry payload forward with
+    ``last(ignorenulls=True)`` over (key, ts, side). One shuffle on
+    ``on``; scales linearly with rows.
+    """
+    out_cols = [c for c in left.columns]
+    clash = set(payload) & set(out_cols)
+    if clash:
+        raise ValueError(f"payload output names collide with left columns: {sorted(clash)}")
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_row"),
+        *[F.lit(None).cast(dict(right.dtypes)[src]).alias(dst) for dst, src in payload.items()],
+    )
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l.schema["_row"].dataType).alias("_row"),
+        *[F.col(src).alias(dst) for dst, src in payload.items()],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = l.unionByName(r).select(
+        "_side",
+        "_row",
+        *[F.last(dst, ignorenulls=True).over(w).alias(dst) for dst in payload],
+    )
+    return merged.where(F.col("_side") == 1).select(
+        *[F.col(f"_row.{c}").alias(c) for c in out_cols], *payload.keys()
+    )
+
+
+def asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every click event, the most recent view by the same user at or
+    before the click (backward as-of), plus the gap in milliseconds."""
+    events = _t(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    # unique (user, ts) on the right side keeps the as-of deterministic
+    views = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+        .select("user_id", F.col("ts").alias("view_ts"), "view_id")
+    )
+    joined = asof_join(
+        clicks, views, on="user_id", left_ts="click_ts", right_ts="view_ts",
+        payload={"view_id": "view_id", "view_ts": "view_ts"},
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        (F.unix_millis("click_ts") - F.unix_millis("view_ts")).cast("bigint").alias("gap_ms"),
+        "view_id",
+    )
+
+
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/band join: orders against a tiny price-band dimension on an
+    inequality predicate. The dim is broadcast, so the physical plan is
+    BroadcastNestedLoopJoin — correct at any fact-side scale."""
+    orders = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 75_000.0), ("mid", 75_000.0, 150_000.0), ("high", 150_000.0, 1e12)],
+        "band string, lo double, hi double",
+    )
+    j = orders.join(
+        F.broadcast(bands),
+        (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+    )
+    return (
+        j.groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation over the event stream — the
+    batch twin of the Structured Streaming windowed-count plan."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h size, 30 min slide): each event lands in two
+    overlapping windows. ``F.window`` expands the buckets JVM-side."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "n_users", "sum_value")
+    )

@@ -1,0 +1,103 @@
+"""Temporal operators: as-of join semantics, band join, window buckets.
+
+The as-of join semantics mirror DuckDB's ``ASOF LEFT JOIN ... ON r.ts <=
+l.ts`` (backward, ties match); the oracle gate cross-checks full-table
+results, these tests pin the edge cases on tiny hand-built frames.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from oasysdb_spark.operators import temporal as tmp
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "a"),   # tie with right at 10:00
+            (1, _ts("2024-01-01 12:30:00"), "b"),   # latest-of-several wins
+            (2, _ts("2024-01-01 09:00:00"), "c"),   # no right row at all
+            (1, _ts("2024-01-01 09:59:59"), "d"),   # before every right row
+        ],
+        "k bigint, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 100),
+            (1, _ts("2024-01-01 11:00:00"), 200),
+            (1, _ts("2024-01-01 12:00:00"), 300),
+        ],
+        "k bigint, ts timestamp, payload bigint",
+    )
+    return left, right
+
+
+def test_asof_join_backward_with_ties(spark, asof_frames):
+    left, right = asof_frames
+    out = tmp.asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", payload={"payload": "payload"}
+    )
+    got = {r["tag"]: r["payload"] for r in out.collect()}
+    assert got == {"a": 100, "b": 300, "c": None, "d": None}
+
+
+def test_asof_join_preserves_left_rowcount(spark, asof_frames):
+    left, right = asof_frames
+    out = tmp.asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", payload={"p": "payload"}
+    )
+    assert out.count() == left.count()
+    assert out.columns == ["k", "ts", "tag", "p"]
+
+
+def test_asof_join_rejects_colliding_payload_name(spark, asof_frames):
+    left, right = asof_frames
+    with pytest.raises(ValueError, match="collide"):
+        tmp.asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts", payload={"tag": "payload"}
+        )
+
+
+def test_asof_join_single_shuffle(spark, asof_frames):
+    """Scale contract: the union+window formulation shuffles ONCE on the
+    key — no join-explosion, no broadcast requirement on either side."""
+    left, right = asof_frames
+    out = tmp.asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", payload={"p": "payload"}
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_range_join_broadcasts_band_dim(spark, sf_dir):
+    df = tmp.range_join_price_bands(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    rows = {r["band"]: r["n_orders"] for r in df.collect()}
+    assert set(rows) <= {"low", "mid", "high"} and sum(rows.values()) > 0
+
+
+def test_tumbling_windows_partition_count(spark, sf_dir):
+    df = tmp.events_tumbling_hourly(spark, sf_dir)
+    rows = df.collect()
+    assert all(r["window_start"].minute == 0 for r in rows)
+    # every event lands in exactly one bucket
+    total = tmp._t(spark, sf_dir, "events").count()
+    assert sum(r["n"] for r in rows) == total
+
+
+def test_sliding_windows_double_count(spark, sf_dir):
+    """1 h windows on a 30 min slide: every event is in exactly 2 windows."""
+    df = tmp.events_sliding_windows(spark, sf_dir)
+    rows = df.collect()
+    assert all(r["window_start"].minute in (0, 30) for r in rows)
+    total = tmp._t(spark, sf_dir, "events").count()
+    assert sum(r["n"] for r in rows) == 2 * total
