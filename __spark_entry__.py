@@ -80,6 +80,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_share": rel.q14_promo_share,
         "q18_large_volume_customers": rel.q18_large_volume_customers,
         "grouping_sets_orders": rel.grouping_sets_orders,
+        "q7_nation_volume": rel.q7_nation_volume,
+        "q9_profit_by_nation_year": rel.q9_profit_by_nation_year,
+        "q10_returned_customers": rel.q10_returned_customers,
+        "q12_latency_priority": rel.q12_latency_priority,
+        "q13_order_count_distribution": rel.q13_order_count_distribution,
+        "q15_top_supplier": rel.q15_top_supplier,
+        "q17_small_qty_revenue": rel.q17_small_qty_revenue,
+        "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
+        "q22_idle_customers": rel.q22_idle_customers,
         # --- vector search (SURVEY.md §2.3) ---
         "vec_golden_distance": vec.golden_distances,
         "vec_knn_euclidean": vec.knn_bruteforce,
@@ -521,6 +530,106 @@ def oracle_sql() -> dict[str, str]:
         for lang in ("de", "en", "es", "fr")
     )
     g = "greatest(s_de, s_en, s_es, s_fr)"
+    q["q7_nation_volume"] = """
+        WITH supp AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+                      JOIN nation ON s_nationkey = n_nationkey
+                      WHERE n_name IN ('NATION_1', 'NATION_2')),
+        cust AS (SELECT c_custkey, n_name AS cust_nation FROM customer
+                 JOIN nation ON c_nationkey = n_nationkey
+                 WHERE n_name IN ('NATION_1', 'NATION_2'))
+        SELECT supp_nation, cust_nation, CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN supp ON l_suppkey = s_suppkey
+        JOIN cust ON o_custkey = c_custkey
+        WHERE supp_nation <> cust_nation
+          AND l_shipdate BETWEEN '1996-01-01' AND '1997-12-31'
+        GROUP BY 1, 2, 3"""
+
+    q["q9_profit_by_nation_year"] = """
+        SELECT n_name AS nation, CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - p_retailprice * l_quantity * 0.1), 2) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2"""
+
+    q["q10_returned_customers"] = """
+        SELECT c_custkey, c_name, n_name AS nation,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate BETWEEN '1996-01-01' AND '1996-12-31'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
+    q["q12_latency_priority"] = """
+        SELECT date_diff('day', o_orderdate, l_shipdate) > 90 AS late,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS critical_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS other_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1"""
+
+    q["q13_order_count_distribution"] = """
+        WITH per_cust AS (
+            SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+            FROM customer LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+            GROUP BY c_custkey)
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM per_cust GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC"""
+
+    q["q15_top_supplier"] = """
+        WITH rev AS (SELECT l_suppkey,
+                            round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                     FROM lineitem
+                     WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-03-31'
+                     GROUP BY l_suppkey)
+        SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        ORDER BY s_suppkey"""
+
+    q["q17_small_qty_revenue"] = """
+        WITH a AS (SELECT l_partkey AS ap_partkey,
+                          round(0.2 * avg(l_quantity), 6) AS qty_cut
+                   FROM lineitem GROUP BY l_partkey)
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN a ON l_partkey = ap_partkey
+        WHERE p_brand = 'Brand#1' AND l_quantity < qty_cut"""
+
+    q["q19_disjunctive_revenue"] = """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)"""
+
+    q["q22_idle_customers"] = """
+        SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
+        GROUP BY n_name"""
+
     q["asof_click_view"] = """
         WITH clicks AS (SELECT event_id AS click_id, user_id, ts AS click_ts
                         FROM events WHERE event_type = 'click'),

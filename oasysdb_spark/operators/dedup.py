@@ -82,7 +82,14 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, shingles, sig): distinct word n-gram shingles and the
     MinHash signature — sig[j] = min over shingles of h_j(s). Entirely
-    row-local (computed inside array expressions, no shuffle, no UDF)."""
+    row-local (computed inside array expressions, no shuffle, no UDF).
+
+    The short-doc filter tests the TOKEN count, not the shingle array:
+    Catalyst pushes filters below the repartition exchange, and a filter
+    on ``size(shingles) > 0`` drags the whole shingling expression into
+    the (often single-task) scan stage — measured 3× slowdown at sf0.1.
+    ``size(tokens) >= n`` is equivalent (shingle count = tokens − n + 1)
+    and costs one regex split per row at the scan."""
     sh = word_shingles(tokens(F.col("text")), n=shingle_n)
     base = F.transform(F.col("shingles"), lambda s: hash64(s) % MINHASH_P)
 
@@ -103,8 +110,8 @@ def minhash_signatures(
         ),
     )
     return (
-        docs.select("doc_id", sh.alias("shingles"))
-        .where(F.size("shingles") > 0)
+        docs.where(F.size(tokens(F.col("text"))) >= shingle_n)
+        .select("doc_id", sh.alias("shingles"))
         .withColumn("h0", base)
         .withColumn("sig", sig)
         .drop("h0")

@@ -465,3 +465,239 @@ def filter_dsl_embeddings(
     embs = _t(spark, sf_dir, "embeddings")
     pred = compile_filter(expr, ColumnLayout(embs))
     return embs.where(pred).select("vec_id", "label").orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-adapted deep-coverage suite (q7/q9/q10/q12/q13/q15/q17/q19/q22
+# shapes, adjusted to the fixture schema — no partsupp/l_shipmode/c_phone).
+# These exercise the categories Catalyst must optimize at 100 TB: correlated
+# scalar subqueries (decorrelation), outer-join aggregation, disjunctive
+# predicate pushdown, and double aggregation.
+# ---------------------------------------------------------------------------
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by ship
+    year. supplier/customer/nation are broadcast; the fact-fact shuffle is
+    lineitem⋈orders only."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    nations = ("NATION_1", "NATION_2")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .where(F.col("n_name").isin(*nations))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .where(F.col("n_name").isin(*nations))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("integer").alias("l_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (sans partsupp): profit = revenue − retail cost share,
+    per supplier nation × year, parts whose name contains 'green'."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.1
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("integer").alias("l_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20 by
+    rounded revenue (unique c_custkey tie-break keeps the cut stable)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between("1996-01-01", "1996-12-31")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q12_latency_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (l_shipmode → ship-latency bucket): count critical
+    vs non-critical orders per late/on-time shipment bucket."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    late = (F.datediff("l_shipdate", "o_orderdate") > 90).alias("late")
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(late)
+        .agg(
+            F.sum(F.when(critical, 1).otherwise(0)).cast("bigint").alias("critical_count"),
+            F.sum(F.when(critical, 0).otherwise(1)).cast("bigint").alias("other_count"),
+        )
+        .orderBy("late")
+    )
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer including
+    zero-order customers (left outer join + two-level aggregation)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue — scalar-subquery-on-aggregate, decorrelated by Catalyst.
+    The max is taken over the ROUNDED revenue so both engines cut
+    identically."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between("1996-01-01", "1996-03-31")
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("m"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == max_rev.m)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            "total_revenue",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (below 20% of the per-part mean quantity) were dropped —
+    correlated aggregate subquery, decorrelated into a self-agg join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    # the cut is rounded to 6dp in BOTH engines so summation-order ulps
+    # can't flip a boundary row between them
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.round(F.avg("l_quantity") * 0.2, 6).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ap_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three brand/size/quantity
+    conjunctions — exercises disjunctive predicate pushdown + broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    c1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.where(c1 | c2 | c3).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: wealthy customers (balance above the positive-
+    balance mean) with no URGENT order, grouped by nation — scalar
+    subquery + anti-join. (Every fixture customer has ~10 orders, so the
+    classic "never ordered" form would be vacuously empty.)"""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.where(F.col("o_orderpriority") == "1-URGENT"),
+            cust.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
