@@ -12,8 +12,11 @@ positive, fits bigint):
 A salted family h_j(s) = hash64(s || '#' || j) provides the independent
 hash functions MinHash needs — cheaper to express identically in two
 engines than the usual (a·x + b) mod p family, and md5 is uniform enough
-for sketching. All of this is JVM-side (no UDFs): md5/conv/substring are
-codegen'd built-ins.
+for sketching. md5/conv/substring are codegen'd built-ins; note that
+*higher-order array functions wrapping them* (transform/aggregate) are
+interpreted, which is why the MinHash hot path computes this same family
+in an Arrow-batched pandas UDF (operators/dedup.py) — the hash VALUES are
+identical either way.
 """
 
 from __future__ import annotations

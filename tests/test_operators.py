@@ -137,3 +137,19 @@ def test_knn_join_ivf_recall(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.7
+
+
+def test_minhash_udf_matches_expression_path(spark, sf_dir):
+    """The Arrow-batched signature UDF must be bit-identical to the pure
+    JVM expression twin — same shingles (content and order), same sig."""
+    docs = dedup.load_documents(spark, sf_dir, spread=True)
+    a = {
+        r["doc_id"]: (tuple(r["shingles"]), tuple(r["sig"]))
+        for r in dedup.minhash_signatures(docs).collect()
+    }
+    b = {
+        r["doc_id"]: (tuple(r["shingles"]), tuple(r["sig"]))
+        for r in dedup.minhash_signatures_expr(docs).collect()
+    }
+    assert a == b
+    assert len(a) > 0
