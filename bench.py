@@ -14,6 +14,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: pandas-UDF type hints resolve in module globals
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: scan-heavy agg, join-heavy agg, window, sessionization,
@@ -47,8 +49,20 @@ def main():
     qs = entry.queries()
 
     # warm the JVM/session on the smallest SF so startup cost lands outside
-    # the per-query timings
+    # the per-query timings; also spawn the Python/Arrow workers once (a
+    # trivial pandas UDF) so the first UDF-bearing query isn't charged the
+    # ~5 s one-time worker fork+import — long-running clusters run warm.
     qs["q6_forecast_revenue"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(x: pd.Series) -> pd.Series:
+        return x
+
+    ncpu = spark.sparkContext.defaultParallelism
+    spark.range(ncpu * 2).repartition(ncpu).select(_warm("id")).write.mode(
+        "overwrite"
+    ).format("noop").save()
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -85,6 +85,25 @@ def split_metadata(metadata: dict[str, Any] | None):
     return m_text, m_num, m_bool
 
 
+def normalize_records(df) -> "DataFrame":
+    """Coerce a caller DataFrame to the canonical record schema (missing
+    metadata maps become nulls; embedding cast to array<float> — the
+    reference stores f32 vectors, /root/reference/src/types/record.rs:8)."""
+    missing = [f.name for f in RECORD_SCHEMA.fields[:2] if f.name not in df.columns]
+    if missing:
+        raise errors.InvalidArgumentError(f"insert batch missing columns {missing}")
+    for name in ("m_text", "m_num", "m_bool"):
+        if name not in df.columns:
+            df = df.withColumn(name, F.lit(None).cast(RECORD_SCHEMA[name].dataType))
+    return df.select(
+        F.col("id").cast("string"),
+        F.col("embedding").cast("array<float>").alias("embedding"),
+        "m_text",
+        "m_num",
+        "m_bool",
+    )
+
+
 def merge_metadata(row) -> dict[str, Any]:
     """Rebuild the flat metadata dict from the three typed maps."""
     out: dict[str, Any] = {}
@@ -226,19 +245,7 @@ class Database:
         separate maintenance job (index/ivf.py) — at scale you never want
         index surgery on the ingest hot path.
         """
-        missing = [f.name for f in RECORD_SCHEMA.fields[:2] if f.name not in df.columns]
-        if missing:
-            raise errors.InvalidArgumentError(f"insert batch missing columns {missing}")
-        for name in ("m_text", "m_num", "m_bool"):
-            if name not in df.columns:
-                df = df.withColumn(name, F.lit(None).cast(RECORD_SCHEMA[name].dataType))
-        df = df.select(
-            F.col("id").cast("string"),
-            F.col("embedding").cast("array<float>").alias("embedding"),
-            "m_text",
-            "m_num",
-            "m_bool",
-        )
+        df = normalize_records(df)
         if self.is_indexed():
             from oasysdb_spark.index.ivf import assign_clusters
 

@@ -55,6 +55,7 @@ def build_index(
     seed: int = 42,
     max_iter: int = 20,
     fit_sample_size: int = 200_000,
+    source: "DataFrame | None" = None,
 ) -> int:
     """Bulk-build the IVF index: KMeans over a (seeded) sample, assign every
     record via a one-pass BLAS argmin, rewrite the records table partitioned
@@ -64,6 +65,12 @@ def build_index(
     matching the reference's steady-state cluster count under its
     density-split rule (/root/reference/src/cores/index.rs:127-132).
 
+    ``source`` is the bulk-load fast path: a normalized record DataFrame
+    (see Database.insert_batch's schema) that has NOT been written yet —
+    the table is then written exactly once, already clustered, instead of
+    unpartitioned-write → read-back → partitioned-rewrite. At 100 TB the
+    saved pass is the difference between 2 and 3 full-table IO cycles.
+
     Scale design: the iterative KMeans fit only ever sees ≤
     ``fit_sample_size`` rows (centroid quality converges long before the
     full corpus is consumed — standard IVF practice), so build cost is
@@ -72,7 +79,7 @@ def build_index(
     """
     from pyspark.ml.clustering import KMeans
 
-    records = db.records_df()
+    records = db.records_df() if source is None else source
     if "cluster_id" in records.columns:
         records = records.drop("cluster_id")
     n = records.count()

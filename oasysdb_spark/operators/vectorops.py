@@ -185,6 +185,8 @@ def ivf_knn(
     import os
 
     if not os.path.exists(os.path.join(work_dir, "params.json")):
+        from oasysdb_spark.core.database import normalize_records
+
         db = Database.configure(spark, work_dir, dimension=dim, density=64)
         records = embs.select(
             F.col("vec_id").cast("string").alias("id"),
@@ -193,8 +195,8 @@ def ivf_knn(
             F.create_map(F.lit("label"), F.col("label").cast("double")).alias("m_num"),
             F.lit(None).cast("map<string,boolean>").alias("m_bool"),
         )
-        db.insert_batch(records)
-        build_index(db, seed=42)
+        # bulk-load fast path: cluster on the way in, ONE table write
+        build_index(db, seed=42, source=normalize_records(records))
     else:
         db = Database.open(spark, work_dir)
 
