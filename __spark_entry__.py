@@ -22,6 +22,7 @@ from oasysdb_spark.filters import filter_to_sql
 from oasysdb_spark.functions.hashing import hash64_sql
 from oasysdb_spark.operators import (
     dedup,
+    multimodal as mm,
     relational as rel,
     similarity_join as sj,
     temporal as tmp,
@@ -112,6 +113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_price_bands": tmp.range_join_price_bands,
         "events_tumbling_hourly": tmp.events_tumbling_hourly,
         "events_sliding_windows": tmp.events_sliding_windows,
+        # --- multimodal (binary columns + Arrow feature extraction) ---
+        "multimodal_features": mm.multimodal_features,
         # --- text analysis ---
         "text_language_id": textops.language_id,
         "text_quality": textops.quality_scores,
@@ -664,6 +667,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
                round(sum(value), 2) AS sum_value
         FROM s GROUP BY 1"""
+
+    q["multimodal_features"] = """
+        SELECT doc_id AS media_id, 'image/fake' AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               round(list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
+                     * 1.0 / length(text), 6) AS byte_mean,
+               CAST(ceil((n_chars % 100 + 1) / 10.0) AS BIGINT) AS n_sampled_frames
+        FROM documents"""
 
     q["text_language_id"] = f"""
         WITH toks AS (SELECT doc_id, lang, {_TOKS} AS tk FROM documents),

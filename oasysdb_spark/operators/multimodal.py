@@ -136,3 +136,26 @@ def synthesize_media_from_documents(spark, sf_dir: str) -> DataFrame:
             (F.col("n_chars") % 100 + 1).cast("int").alias("n_frames"),
         ).alias("meta"),
     )
+
+
+def multimodal_features(spark, sf_dir: str) -> DataFrame:
+    """Oracle-checkable end-to-end multimodal pipeline: synthesize media →
+    Arrow-batched feature extraction → frame-sample schedule, joined into
+    one narrow table. byte_std/entropy8 are computed but excluded from
+    this surface — their float formulas differ across engines at ulp level
+    and would make the hash-compare flaky; byte_mean is an exact integer
+    sum divided once, identical everywhere."""
+    media = synthesize_media_from_documents(spark, sf_dir)
+    feats = extract_features(media).select(
+        "media_id", "media_type", "n_bytes", "byte_mean"
+    )
+    frames = frame_sample(media).groupBy("media_id").agg(
+        F.count("*").cast("bigint").alias("n_sampled_frames")
+    )
+    return feats.join(frames, "media_id").select(
+        F.col("media_id").cast("bigint").alias("media_id"),
+        "media_type",
+        "n_bytes",
+        "byte_mean",
+        "n_sampled_frames",
+    )
