@@ -10,6 +10,7 @@ and RE2 agree).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -158,3 +159,46 @@ def simhash32(toks: Column, bits: int = 32) -> Column:
 def doc_fingerprint(c: Column | str) -> Column:
     """64-bit content fingerprint: hash of the whitespace-normalized text."""
     return hash64(normalized_text(c))
+
+
+def simhash32_text_udf(bits: int = 32):
+    """Arrow-batched twin of ``simhash32(tokens(text))`` taking the raw
+    text column — bit-identical (asserted in tests/test_operators.py).
+    Same rationale as the MinHash UDF (operators/dedup.py): the
+    aggregate/zip_with fold is interpreted per element, ~0.4 ms/doc; the
+    numpy bit-matrix path computes identical values an order of magnitude
+    faster. Distinctness matches ``array_distinct`` (first occurrence;
+    order is irrelevant to the ±1 sums)."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    split = re.compile("[^a-z0-9]+")
+    bit_range = np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf("bigint")
+    def udf(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            if t is None:
+                out.append(None)
+                continue
+            toks = list(dict.fromkeys(w for w in split.split(t.lower()) if w))
+            if not toks:
+                out.append(0)
+                continue
+            h = np.fromiter(
+                (
+                    int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                    for w in toks
+                ),
+                dtype=np.int64,
+                count=len(toks),
+            )
+            signs = 2 * ((h[:, None] >> bit_range[None, :]) & 1) - 1
+            sums = signs.sum(axis=0)
+            out.append(int(((sums > 0).astype(np.int64) << bit_range).sum()))
+        return pd.Series(out, dtype="object")
+
+    return udf

@@ -255,8 +255,10 @@ def minhash_lsh_pairs(
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 32-bit SimHash plus its two 16-bit halves (the LSH
     buckets used for hamming-distance candidate pairing)."""
+    from oasysdb_spark.functions.text import simhash32_text_udf
+
     docs = load_documents(spark, sf_dir, spread=True)
-    sh = simhash32(tokens(F.col("text")))
+    sh = simhash32_text_udf()(F.col("text"))
     return docs.select(
         "doc_id",
         sh.alias("simhash"),

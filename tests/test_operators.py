@@ -153,3 +153,25 @@ def test_minhash_udf_matches_expression_path(spark, sf_dir):
     }
     assert a == b
     assert len(a) > 0
+
+
+def test_simhash_udf_matches_expression_path(spark, sf_dir):
+    """Arrow simhash twin must equal the aggregate/zip_with expression,
+    including empty / punctuation-only / NULL text."""
+    from oasysdb_spark.functions.text import simhash32_text_udf
+
+    docs = dedup.load_documents(spark, sf_dir, spread=True)
+    edge = docs.sparkSession.createDataFrame(
+        [(100001, ""), (100002, "!!!"), (100003, None), (100004, "a b a")],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(edge)
+    a = {
+        r["doc_id"]: r["s"]
+        for r in both.select("doc_id", simhash32_text_udf()(F.col("text")).alias("s")).collect()
+    }
+    b = {
+        r["doc_id"]: r["s"]
+        for r in both.select("doc_id", simhash32(tokens(F.col("text"))).alias("s")).collect()
+    }
+    assert a == b and len(a) > 4
