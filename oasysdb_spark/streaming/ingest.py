@@ -23,6 +23,7 @@ Design:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -89,4 +90,69 @@ def windowed_event_counts(
             "n_events",
             "sum_value",
         )
+    )
+
+
+def session_window_counts(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming session windows via the built-in ``session_window``: a
+    session closes once no event arrives for ``gap``. State per open
+    session only; the watermark bounds how long a session can stay open
+    to late data, so state is reclaimed on an unbounded stream.
+
+    The batch twin is ``relational.sessionize_events`` (lag + cumulative
+    sum) — the streaming/batch boundary semantics differ only on a gap of
+    EXACTLY ``gap`` (session_window treats the window end as exclusive;
+    the batch twin breaks strictly greater), unobservable at microsecond
+    timestamps.
+    """
+    return (
+        events_stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def user_running_totals(events_stream: DataFrame, output_mode: str = "update") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count and value sum, one updated row emitted per user
+    per micro-batch. The state (two numbers per user) is the minimal
+    demonstration of arbitrary per-key state — the pattern the reference
+    cannot express at all and Spark's aggregations don't cover when the
+    update logic stops being an algebraic fold.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, sum_value double"
+    state_schema = "n bigint, s double"
+
+    def _update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -72,3 +72,178 @@ def test_windowed_event_counts_matches_batch(spark, sf_dir, tmp_path):
     assert got
     for key, val in got.items():
         assert expected.get(key) == val
+
+def test_session_window_counts_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming session windows on bounded input agree with the batch
+    sessionizer on the (user, n_events, sum_value) multiset."""
+    from oasysdb_spark.operators.relational import sessionize_events
+    from oasysdb_spark.streaming.ingest import session_window_counts
+
+    events = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    src = str(tmp_path / "sess_src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        session_window_counts(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sess_counts").collect()
+    )
+    # append mode only emits FINAL sessions: one whose end (last event +
+    # gap) is at or before the final watermark (max ts - delay). Sessions
+    # still open at stream end are correctly withheld.
+    import datetime as dt
+
+    max_ts = events.agg(F.max("ts")).first()[0]
+    cutoff = max_ts - dt.timedelta(hours=1) - dt.timedelta(minutes=30)
+    from pyspark.sql import Window
+
+    order = Window.partitionBy("user_id").orderBy("ts")
+    ms = F.unix_millis(F.col("ts"))
+    gap_ms = ms - F.lag(ms).over(order)
+    sess = events.withColumn(
+        "new_sess", F.when(gap_ms.isNull() | (gap_ms > 1800000), 1).otherwise(0)
+    ).withColumn(
+        "session_seq",
+        F.sum("new_sess").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    batch = (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    )
+    expected_final = sorted(
+        (r["user_id"], r["n_events"], r["sum_value"])
+        for r in batch
+        if r["last_ts"] <= cutoff
+    )
+    expected_all = sorted((r["user_id"], r["n_events"], r["sum_value"]) for r in batch)
+    # every finalized session is emitted exactly once, nothing extra
+    assert set(got) <= set(expected_all)
+    assert sorted(set(expected_final) - set(got)) == []
+    assert len(got) >= len(expected_final)
+    # sanity: the batch twin from the operator module agrees with the
+    # inline recomputation
+    op = sorted(
+        (r["user_id"], r["n_events"], r["sum_value"])
+        for r in sessionize_events(spark, sf_dir).collect()
+    )
+    assert op == expected_all
+
+
+def test_late_events_dropped_past_watermark(spark, tmp_path):
+    """Two-phase availableNow run against one checkpoint: events older
+    than (max_seen - watermark) arriving in phase 2 must NOT re-emit or
+    alter windows already finalized in phase 1 (append mode)."""
+    import datetime as dt
+
+    from oasysdb_spark.streaming.ingest import windowed_event_counts
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "late_ckpt")
+    schema = "ts timestamp, event_type string, value double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    out = str(tmp_path / "late_out")
+
+    def run_phase():
+        # memory sink can't recover from a checkpoint; a file sink can —
+        # restart-with-late-data requires one
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            windowed_event_counts(
+                stream, window_duration="10 minutes", watermark_delay="10 minutes"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["window_start"], r["event_type"]): r["n_events"]
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # phase 1: events at t0 and t0+40min — watermark advances to t0+30min,
+    # so the [t0, t0+10m) window is final and emitted
+    write_batch("b1", [(t0, "a", 1.0), (t0 + dt.timedelta(minutes=40), "a", 1.0)])
+    got1 = run_phase()
+    assert got1.get((t0, "a")) == 1
+
+    # phase 2: a LATE duplicate at t0 (25 min behind the watermark)
+    write_batch("b2", [(t0, "a", 99.0)])
+    got2 = run_phase()
+    assert got2.get((t0, "a")) == 1  # unchanged — late row dropped
+
+
+def test_user_running_totals_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-user state across micro-batches:
+    phase 2 totals include phase 1 rows (state restored from checkpoint)."""
+    import datetime as dt
+
+    from oasysdb_spark.streaming.ingest import user_running_totals
+
+    src = tmp_path / "tot_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "tot_ckpt")
+    schema = "ts timestamp, user_id bigint, value double"
+    t0 = dt.datetime(2024, 1, 1)
+
+    out = str(tmp_path / "tot_out")
+
+    def run_phase(qname):
+        # file sink (recovery-capable) in append mode: each phase appends
+        # its emitted rows; the LATEST row per user (max n_events) is the
+        # current running total
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            user_running_totals(stream, output_mode="append")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        totals = {}
+        for r in spark.read.parquet(out).collect():
+            cur = totals.get(r["user_id"])
+            if cur is None or r["n_events"] > cur[0]:
+                totals[r["user_id"]] = (r["n_events"], r["sum_value"])
+        return totals
+
+    spark.createDataFrame(
+        [(t0, 1, 2.0), (t0, 1, 3.0), (t0, 2, 10.0)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    got1 = run_phase("tot1")
+    assert got1[1] == (2, 5.0) and got1[2] == (1, 10.0)
+
+    spark.createDataFrame([(t0, 1, 5.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    got2 = run_phase("tot2")
+    assert got2[1] == (3, 10.0)  # state carried: 2+1 events, 5+5 value
