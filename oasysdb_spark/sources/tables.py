@@ -28,3 +28,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if dict(df.dtypes).get(ts_col) == "bigint":
         df = df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
     return df
+
+
+FORMATS = ("parquet", "csv", "json", "orc")
+
+
+def write_table_as(df: DataFrame, path: str, fmt: str) -> None:
+    """Write a table copy in another format (connector parity helper)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    w = df.write.mode("overwrite")
+    if fmt in ("csv", "json"):
+        # ISO-8601 micros: both text writers default to millisecond
+        # precision and would silently truncate event timestamps
+        w = w.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    if fmt == "csv":
+        w = w.option("header", "true")
+    getattr(w, fmt)(path)
+
+
+def load_table_format(spark: SparkSession, path: str, fmt: str, schema=None) -> DataFrame:
+    """Read a table in any supported format. Text formats (csv/json) take
+    the authoritative schema explicitly — inference is both slow (extra
+    pass) and lossy (ints vs longs, timestamp parsing), so at scale you
+    always pass the schema."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    if fmt in ("csv", "json"):
+        r = r.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    if fmt == "csv":
+        r = r.option("header", "true")
+    return getattr(r, fmt)(path)
