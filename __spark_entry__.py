@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_knn_batched": vec.knn_batched,
         "vec_label_centroids": vec.label_centroids,
         "vec_ivf_knn": _ivf_knn,
+        "vec_lsh_knn": vec.lsh_knn,
         "vec_knn_join_blocked": sj.knn_join_blocked,
         # --- dedup (LLM-pipeline surface) ---
         "dedup_exact_stats": dedup.exact_dedup_stats,
@@ -415,6 +416,36 @@ def oracle_sql() -> dict[str, str]:
     # exact because every cluster is probed (probes = #clusters degenerates
     # to brute force — /root/reference/src/cores/index.rs:176-177)
     q["vec_ivf_knn"] = q["vec_knn_euclidean"]
+
+    # LSH oracle: replay the IDENTICAL algorithm (same md5-derived ±1
+    # planes, same integer quantization, hamming-1 multi-probe) in SQL —
+    # implementation parity at every recall level, not a recall bound.
+    from oasysdb_spark.operators.vectorops import rh_plane_signs
+
+    _LSH_PLANES = 6
+    _signs = rh_plane_signs(_LSH_PLANES, 64)
+    _plane_rows = ", ".join(
+        f"({p}, {d}, {s})" for p, row in enumerate(_signs) for d, s in enumerate(row)
+    )
+    q["vec_lsh_knn"] = f"""
+        WITH planes(p, d, s) AS (VALUES {_plane_rows}),
+        emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        dots AS (SELECT e.vec_id, pl.p,
+                        sum(pl.s * CAST(round(e.ev[pl.d + 1] * 1000) AS BIGINT)) AS dot
+                 FROM emb e CROSS JOIN planes pl GROUP BY e.vec_id, pl.p),
+        sig AS (SELECT vec_id,
+                       sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS bucket
+                FROM dots GROUP BY vec_id),
+        qb AS (SELECT bucket AS qbucket FROM sig WHERE vec_id = 0),
+        cand AS (SELECT s.vec_id FROM sig s, qb
+                 WHERE s.bucket = qb.qbucket
+                    OR {" OR ".join(f"s.bucket = xor(qb.qbucket, CAST({1 << j} AS BIGINT))" for j in range(_LSH_PLANES))}),
+        q AS (SELECT ev AS qv FROM emb WHERE vec_id = 0)
+        SELECT e.vec_id, e.label,
+               round(1.0 - {_DOT.format(a="e.ev", b="q.qv")}
+                     / ({_NORM.format(v="e.ev")} * {_NORM.format(v="q.qv")}), 6) AS distance
+        FROM emb e JOIN cand c ON e.vec_id = c.vec_id, q
+        ORDER BY distance, e.vec_id LIMIT 10"""
 
     q["vec_knn_join_blocked"] = f"""
         WITH pairs AS (

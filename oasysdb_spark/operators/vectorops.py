@@ -17,6 +17,7 @@ Plan shapes (why these scale):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -36,6 +37,10 @@ def _query_vec_col(spark: SparkSession, sf_dir: str, query_vec_id: int):
         .select("embedding")
         .first()
     )
+    if row is None:
+        from oasysdb_spark.errors import InvalidArgumentError
+
+        raise InvalidArgumentError(f"query_vec_id {query_vec_id} not found")
     return F.array(*[F.lit(float(x)) for x in row["embedding"]])
 
 
@@ -218,4 +223,116 @@ def ivf_knn(
             "label",
             F.round(sqeuclidean(q, F.col("embedding")), 6).alias("distance"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH — the second ANN scale path (IVF being the first)
+# ---------------------------------------------------------------------------
+
+
+def rh_plane_signs(num_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic Rademacher (±1) hyperplanes from the repo's md5 hash
+    family — reproducible bit-for-bit by the DuckDB oracle and across
+    runs without carrying a planes table around."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rh:{p}:{d}".encode()).hexdigest()[:15], 16) % 2
+            else -1
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def _quantize(arr, scale: int):
+    """round-half-away-from-zero on v*scale — DuckDB's round() semantics,
+    implemented explicitly because numpy's rint is round-half-even."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.float64) * scale
+    return (np.sign(a) * np.floor(np.abs(a) + 0.5)).astype(np.int64)
+
+
+def lsh_bucket_udf(signs: list[list[int]], scale: int = 1000):
+    """Arrow-batched bucket id: bit p of the bucket = sign of the dot of
+    the ±1 plane with the INTEGER-quantized vector. Integer dots are exact
+    and order-independent, so Spark and the SQL oracle can never disagree
+    on a bucket from float summation order — the quantization only moves
+    the (already arbitrary) LSH boundaries."""
+    import numpy as np
+
+    S = np.array(signs, dtype=np.int64)
+    weights = (np.int64(1) << np.arange(len(signs), dtype=np.int64))
+
+    @F.pandas_udf("bigint")
+    def udf(emb: pd.Series) -> pd.Series:
+        out = []
+        for v in emb:
+            dots = S @ _quantize(v, scale)
+            out.append(int(((dots > 0).astype(np.int64) * weights).sum()))
+        return pd.Series(out, dtype="int64")
+
+    return udf
+
+
+def lsh_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    num_planes: int = 6,
+    scale: int = 1000,
+) -> DataFrame:
+    """Approximate cosine top-k through random-hyperplane LSH with
+    hamming-1 multi-probe: candidates come from the query's bucket plus
+    the ``num_planes`` buckets one bit away, then the exact (rounded)
+    cosine re-rank runs only on candidates.
+
+    Scale story: the bucket id is a row-local Arrow computation (no
+    shuffle) and at 100 TB the records table is written partitioned by
+    bucket, so a query reads num_planes+1 partitions — the same
+    partition-pruning shape as the IVF path but with a cheaper,
+    train-free index. The oracle replays the identical algorithm in SQL
+    (same planes, same integer quantization), so the gate checks
+    implementation parity at every recall level.
+
+    Measured recall@10 vs brute force on the SYNTHETIC fixture: 0.3-0.4
+    (sf0.01/sf0.1, defaults). The fixture embeddings are near-isotropic
+    — neighbors are barely closer than random points, the worst case for
+    hyperplane LSH (multi-table L=8 only reaches 0.9 recall by scanning
+    67% of the corpus). On real embedding manifolds the same construction
+    does far better; the tuning levers are num_planes, probe depth, and
+    independent tables (salt the planes per table and union candidates).
+    IVF (ivf_knn) remains the primary ANN path; its oracle is exact.
+    """
+    import numpy as np
+
+    embs = load_embeddings(spark, sf_dir)
+    qrow = embs.where(F.col("vec_id") == query_vec_id).select("embedding").first()
+    if qrow is None:
+        from oasysdb_spark.errors import InvalidArgumentError
+
+        raise InvalidArgumentError(f"query_vec_id {query_vec_id} not found")
+    dim = len(qrow["embedding"])
+    signs = rh_plane_signs(num_planes, dim)
+
+    S = np.array(signs, dtype=np.int64)
+    qdots = S @ _quantize(qrow["embedding"], scale)
+    qbucket = int(
+        ((qdots > 0).astype(np.int64) * (np.int64(1) << np.arange(num_planes))).sum()
+    )
+    probe = [qbucket] + [qbucket ^ (1 << j) for j in range(num_planes)]
+
+    bucketed = embs.withColumn("bucket", lsh_bucket_udf(signs, scale)(F.col("embedding")))
+    q = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
+    dist = distance_expr("cosine", q, F.col("embedding"))
+    return (
+        bucketed.where(F.col("bucket").isin(probe))
+        .select("vec_id", "label", F.round(dist, 6).alias("distance"))
+        .orderBy("distance", "vec_id")
+        .limit(k)
     )

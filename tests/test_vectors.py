@@ -98,3 +98,23 @@ def test_custom_metric_registry(spark):
     assert got == 5.0
     with pytest.raises(InvalidArgumentError):
         V.register_metric("euclidean", manhattan)
+
+
+def test_lsh_knn_parity_and_semantics(spark, sf_dir):
+    """LSH results are true vectors with the same (rounded) cosine
+    distances as brute force, self is nearest, and the result is
+    deterministic across runs (seeded md5 planes)."""
+    from oasysdb_spark.operators import vectorops as vec
+
+    a = [(r["vec_id"], r["distance"]) for r in vec.lsh_knn(spark, sf_dir).collect()]
+    b = [(r["vec_id"], r["distance"]) for r in vec.lsh_knn(spark, sf_dir).collect()]
+    assert a == b and len(a) > 0
+    assert a[0][0] == 0 and a[0][1] == 0.0  # query's own bucket contains it
+    exact = {
+        r["vec_id"]: r["distance"]
+        for r in vec.knn_bruteforce(spark, sf_dir, k=500, metric="cosine").collect()
+    }
+    for vid, d in a:
+        assert exact[vid] == d  # same rounded distance as the exact scan
+    # distances ascend (orderBy contract)
+    assert [d for _, d in a] == sorted(d for _, d in a)
