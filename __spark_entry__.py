@@ -52,6 +52,28 @@ def _ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vec.ivf_knn(spark, sf_dir, work_dir=work)
 
 
+def _manhattan_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-metric registry in action (SURVEY.md §2.5 'UDF surface'):
+    a metric the reference's closed enum cannot express, registered as a
+    Column-expression builder and flowing through the SAME kNN pipeline."""
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.functions import vectors as V
+
+    if "manhattan" not in V._METRIC_REGISTRY:
+        V.register_metric(
+            "manhattan",
+            lambda a, b: F.aggregate(
+                F.zip_with(
+                    a.cast("array<double>"), b.cast("array<double>"), lambda x, y: F.abs(x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+    return vec.knn_bruteforce(spark, sf_dir, metric="manhattan")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- relational surface (SURVEY.md §2.5 categories) ---
@@ -100,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_label_centroids": vec.label_centroids,
         "vec_ivf_knn": _ivf_knn,
         "vec_lsh_knn": vec.lsh_knn,
+        "vec_knn_manhattan": _manhattan_knn,
         "vec_knn_join_blocked": sj.knn_join_blocked,
         # --- dedup (LLM-pipeline surface) ---
         "dedup_exact_stats": dedup.exact_dedup_stats,
@@ -416,6 +439,16 @@ def oracle_sql() -> dict[str, str]:
     # exact because every cluster is probed (probes = #clusters degenerates
     # to brute force — /root/reference/src/cores/index.rs:176-177)
     q["vec_ivf_knn"] = q["vec_knn_euclidean"]
+
+    _manh = (
+        "list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), q.qv),"
+        " x -> abs(x[1] - x[2])))"
+    )
+    q["vec_knn_manhattan"] = f"""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, label, round({_manh}, 6) AS distance
+        FROM embeddings e, q
+        ORDER BY distance, vec_id LIMIT 10"""
 
     # LSH oracle: replay the IDENTICAL algorithm (same md5-derived ±1
     # planes, same integer quantization, hamming-1 multi-probe) in SQL —
