@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty_revenue": rel.q17_small_qty_revenue,
         "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
         "q22_idle_customers": rel.q22_idle_customers,
+        "percentile_stats": rel.percentile_stats,
+        "skew_salted_user_join": rel.skew_salted_user_join,
         # --- vector search (SURVEY.md §2.3) ---
         "vec_golden_distance": vec.golden_distances,
         "vec_knn_euclidean": vec.knn_bruteforce,
@@ -696,6 +698,28 @@ def oracle_sql() -> dict[str, str]:
           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                           AND o_orderpriority = '1-URGENT')
         GROUP BY n_name"""
+
+    q["percentile_stats"] = """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS price_med,
+               round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90,
+               round(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99,
+               round(median(l_quantity), 6) AS qty_med,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        FROM lineitem GROUP BY l_returnflag"""
+
+    q["skew_salted_user_join"] = """
+        WITH counts AS (SELECT user_id, CAST(count(*) AS BIGINT) AS user_events
+                        FROM events GROUP BY user_id),
+        dim AS (SELECT user_id, user_events,
+                       CASE WHEN user_events >= (SELECT round(avg(user_events), 6) FROM counts)
+                            THEN 'heavy' ELSE 'light' END AS tier
+                FROM counts)
+        SELECT tier, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+               round(sum(e.value), 2) AS sum_value
+        FROM events e JOIN dim d ON e.user_id = d.user_id
+        GROUP BY tier"""
 
     q["asof_click_view"] = """
         WITH clicks AS (SELECT event_id AS click_id, user_id, ts AS click_ts

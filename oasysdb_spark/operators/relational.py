@@ -701,3 +701,61 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles/median per group — the ordered-aggregate surface.
+    Spark's ``percentile`` (exact, linear interpolation) matches DuckDB's
+    ``quantile_cont`` bit-for-bit on the same doubles; the approximate
+    twins (``percentile_approx`` / ``approx_quantile``) use different
+    sketches per engine and are deliberately NOT on the oracle surface."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("price_med"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("price_p90"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("price_p99"),
+            F.round(F.expr("median(l_quantity)"), 6).alias("qty_med"),
+            F.count_distinct("l_partkey").cast("bigint").alias("n_parts"),
+        )
+    )
+
+
+def skew_salted_user_join(spark: SparkSession, sf_dir: str, salts: int = 8) -> DataFrame:
+    """Skew-mitigated fact⋈dim join: the fact side's hot keys (events is
+    heavily skewed per user) are spread over ``salts`` sub-keys and the
+    dim side is replicated once per salt, so no single task owns a whole
+    hot key. Results are identical to the plain join — the oracle runs
+    the unsalted SQL. At fixture scale the dim also broadcasts; the
+    salted shape is what survives when BOTH sides are too big to
+    broadcast and one key dominates (AQE skew-join's manual twin).
+    """
+    events = _t(spark, sf_dir, "events")
+    # derived per-user dimension (stands in for a real user-profile table)
+    counts = events.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("user_events")
+    )
+    avg_events = counts.agg(F.round(F.avg("user_events"), 6).alias("avg_events"))
+    dim = counts.join(F.broadcast(avg_events)).withColumn(
+        "tier",
+        F.when(F.col("user_events") >= F.col("avg_events"), "heavy").otherwise("light"),
+    ).drop("avg_events")
+    salted_fact = events.withColumn(
+        "salt", (F.pmod(F.col("event_id"), F.lit(salts))).cast("int")
+    )
+    salted_dim = dim.join(
+        F.broadcast(spark.range(salts).select(F.col("id").cast("int").alias("salt"))),
+    )
+    j = salted_fact.join(
+        salted_dim,
+        (salted_fact.user_id == salted_dim.user_id) & (salted_fact.salt == salted_dim.salt),
+    )
+    return (
+        j.groupBy("tier")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct(salted_fact.user_id).cast("bigint").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

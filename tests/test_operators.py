@@ -175,3 +175,33 @@ def test_simhash_udf_matches_expression_path(spark, sf_dir):
         for r in both.select("doc_id", simhash32(tokens(F.col("text"))).alias("s")).collect()
     }
     assert a == b and len(a) > 4
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Salting must be a pure execution-strategy change: identical results
+    to the unsalted fact⋈dim join + aggregation."""
+    from oasysdb_spark.operators import relational as rel
+    from oasysdb_spark.sources.tables import load_table
+
+    salted = {
+        r["tier"]: (r["n_events"], r["n_users"], r["sum_value"])
+        for r in rel.skew_salted_user_join(spark, sf_dir).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count("*").alias("user_events"))
+    avg = counts.agg(F.round(F.avg("user_events"), 6).alias("a")).first()["a"]
+    dim = counts.withColumn(
+        "tier", F.when(F.col("user_events") >= avg, "heavy").otherwise("light")
+    ).select("user_id", "tier")
+    plain = {
+        r["tier"]: (r["n_events"], r["n_users"], r["sum_value"])
+        for r in events.join(dim, "user_id")
+        .groupBy("tier")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert salted == plain and len(salted) >= 1
