@@ -32,9 +32,12 @@ BENCH_QUERIES = [
     "vec_knn_euclidean",
     "vec_knn_batched",
     "vec_ivf_knn",
+    "vec_lsh_knn",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_quality",
+    "percentile_stats",
+    "multimodal_features",
 ]
 
 

@@ -67,3 +67,27 @@ def test_whole_stage_codegen_active(spark, sf_dir):
         assert _codegen_subtrees(spark, vec.knn_bruteforce(spark, sf_dir)) >= 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+def test_q19_disjunctive_pushdown(spark, sf_dir):
+    """The OR-of-conjunctions predicate must partially push into the
+    lineitem scan (Catalyst extracts the common l_quantity terms) and the
+    part dim must broadcast — zero shuffles end-to-end."""
+    plan = _plan(rel.q19_disjunctive_revenue(spark, sf_dir))
+    assert "Or(" in plan.split("PushedFilters:")[1][:300]
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_decorrelates_without_explosion(spark, sf_dir):
+    """The correlated avg-quantity subquery must decorrelate into a
+    self-agg join: exactly one hash shuffle, no nested-loop fallback."""
+    plan = _plan(rel.q17_small_qty_revenue(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_salted_join_no_single_hot_partition(spark, sf_dir):
+    """The salted join's fact-side shuffle key includes the salt column,
+    so a hot user cannot land in one task."""
+    plan = _plan(rel.skew_salted_user_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan

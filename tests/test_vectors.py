@@ -52,8 +52,10 @@ def test_cosine_zero_norm_is_null(spark):
 
 def test_distance_expr_dispatch_and_error(pair_df):
     assert pair_df.select(distance_expr("EUCLIDEAN", "a", "b").alias("d")).first()["d"] == 27.0
+    # "manhattan" may be registered as a user metric by other suites
+    # (global registry) — use a name nothing registers.
     with pytest.raises(InvalidArgumentError):
-        distance_expr("manhattan", "a", "b")
+        distance_expr("chebyshev", "a", "b")
 
 
 def test_f32_truncation(pair_df):
