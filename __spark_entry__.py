@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty_revenue": rel.q17_small_qty_revenue,
         "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
         "q22_idle_customers": rel.q22_idle_customers,
+        "q8_market_share": rel.q8_market_share,
+        "q21_waiting_supplier": rel.q21_waiting_supplier,
         "percentile_stats": rel.percentile_stats,
         "skew_salted_user_join": rel.skew_salted_user_join,
         # --- vector search (SURVEY.md §2.3) ---
@@ -687,6 +689,44 @@ def oracle_sql() -> dict[str, str]:
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
                AND l_quantity BETWEEN 20 AND 30)"""
+
+    q["q8_market_share"] = """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               round(sum(CASE WHEN n2.n_name = 'NATION_1'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+          AND o_orderdate BETWEEN '1995-01-01' AND '1996-12-31'
+        GROUP BY 1 ORDER BY 1"""
+
+    # faithful correlated EXISTS / NOT EXISTS form; the Spark side
+    # decorrelates it into co-partitioned aggregates (one fact exchange)
+    q["q21_waiting_supplier"] = """
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND date_diff('day', o_orderdate, l1.l_shipdate) > 90
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND date_diff('day', o_orderdate, l3.l_shipdate) > 90)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100"""
 
     q["q22_idle_customers"] = """
         SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS numcust,

@@ -759,3 +759,88 @@ def skew_salted_user_join(spark: SparkSession, sf_dir: str, salts: int = 8) -> D
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_1 suppliers' share of AMERICA-region
+    customers' STANDARD-part volume, per order year. Every dimension
+    (part, customer->nation->region, supplier->nation) broadcasts; the
+    only shuffle is lineitem join orders plus the tiny final agg, so the
+    plan survives a 1000-executor scale-up with one fact-fact exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between("1995-01-01", "1996-12-31")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("integer").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape adapted to the fixture schema (no l_receiptdate /
+    l_commitdate -> "late" means shipped >90 days after the order date):
+    suppliers who were the SOLE late shipper in a finished multi-supplier
+    order. The oracle runs the faithful EXISTS / NOT EXISTS formulation;
+    here the correlated subqueries become per-(order, supplier) aggregates
+    plus per-order window counts. The explicit ``repartition(l_orderkey)``
+    is load-bearing: hash(l_orderkey) satisfies the (l_orderkey,
+    l_suppkey) groupBy (subset rule) AND the window's partitionBy, so the
+    fact table is scanned once and shuffled ONCE -- the naive
+    per_pair/per_order self-join plan scans lineitem twice and shuffles
+    it four times."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    late = F.datediff("l_shipdate", "o_orderdate") > 90
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey", late.alias("late")
+    )
+    per_pair = (
+        j.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("late_lines"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    sole = per_pair.select(
+        "*",
+        F.count("*").over(w).alias("n_supp"),
+        F.sum((F.col("late_lines") > 0).cast("int")).over(w).alias("n_late_supp"),
+    ).where(
+        (F.col("late_lines") > 0)
+        & (F.col("n_supp") >= 2)
+        & (F.col("n_late_supp") == 1)
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        sole.join(F.broadcast(supp), sole.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("late_lines").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

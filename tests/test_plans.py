@@ -91,3 +91,21 @@ def test_salted_join_no_single_hot_partition(spark, sf_dir):
     so a hot user cannot land in one task."""
     plan = _plan(rel.skew_salted_user_join(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_q8_single_fact_exchange(spark, sf_dir):
+    """Q8's seven dims all broadcast; only the lineitem⋈orders fact work
+    and the per-year agg may shuffle."""
+    plan = _plan(rel.q8_market_share(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_q21_one_fact_shuffle_one_scan(spark, sf_dir):
+    """The decorrelated Q21 must scan lineitem exactly once and shuffle
+    the fact exactly once (repartition(l_orderkey) feeds both the
+    pair-agg and the window via the subset rule); the only other
+    exchange is the tiny final s_name agg."""
+    plan = _plan(rel.q21_waiting_supplier(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 3  # lineitem, orders, supplier
+    assert plan.count("Exchange hashpartitioning") == 2
