@@ -202,3 +202,38 @@ def simhash32_text_udf(bits: int = 32):
         return pd.Series(out, dtype="object")
 
     return udf
+
+
+_LAZY_UDTFS: dict = {}
+
+
+def shingle_udtf():
+    """Python UDTF surface (SURVEY.md §2.5 'UDF/UDAF/UDTF' row): explode a
+    document into its distinct word 3-shingles, one output row per
+    shingle. The native twin is ``posexplode(word_shingles(tokens(text)))``
+    — that expression form is the scale path (codegen, no Python workers);
+    the UDTF exists so callers can write arbitrary Python row-generators
+    against the same contract. Built lazily (decoration parses the DDL
+    return type, which needs an active SparkSession) and cached.
+    """
+    if "shingle_udtf" not in _LAZY_UDTFS:
+        from pyspark.sql.functions import udtf
+
+        @udtf(returnType="pos int, shingle string")
+        class ShingleUDTF:
+            def eval(self, text: str):
+                import re
+
+                toks = [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+                seen = set()
+                pos = 0
+                for i in range(len(toks) - 2):
+                    g = " ".join(toks[i : i + 3])
+                    if g not in seen:
+                        seen.add(g)
+                        yield pos, g
+                        pos += 1
+
+        _LAZY_UDTFS["shingle_udtf"] = ShingleUDTF
+    return _LAZY_UDTFS["shingle_udtf"]
+

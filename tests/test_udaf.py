@@ -52,3 +52,29 @@ def test_native_twin_partial_aggregates(spark, li):
         .toString()
     )
     assert "partial_" in plan
+
+
+def test_shingle_udtf_matches_native_twin(spark, sf_dir):
+    """UDTF surface: the Python row-generator must emit exactly the
+    (doc_id, pos, shingle) rows of the codegen'd posexplode twin."""
+    from oasysdb_spark.functions import text as T
+    from oasysdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    docs.createOrReplaceTempView("udtf_docs")
+    spark.udtf.register("shingles_udtf", T.shingle_udtf())
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT doc_id, s.pos, s.shingle FROM udtf_docs, "
+            "LATERAL shingles_udtf(text) s"
+        ).collect()
+    )
+    native = sorted(
+        tuple(r)
+        for r in docs.select(
+            "doc_id",
+            F.posexplode(T.word_shingles(T.tokens("text"), 3)).alias("pos", "shingle"),
+        ).collect()
+    )
+    assert got == native and len(got) > 100
