@@ -25,6 +25,8 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q8_market_share",
+    "q21_waiting_supplier",
     "top_orders_per_customer",
     "sessionize_events",
     "asof_click_view",

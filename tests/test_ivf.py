@@ -189,3 +189,16 @@ def test_reopen_database_preserves_index(spark, indexed_db):
     assert db2.is_indexed()
     res = db2.query([5.0] * DIM, k=3)
     assert res[0]["id"] == "r00005"
+
+
+def test_probe_scan_partition_prunes(indexed_db):
+    """The probe's isin(cluster_ids) must reach the file source as a
+    PartitionFilter on the cluster_id-partitioned records table — probing
+    = partition pruning is the core scale claim of the IVF design
+    (SURVEY.md §4 row 'cluster probing'); a filter evaluated after a
+    full-table scan would silently still pass every correctness test."""
+    df = indexed_db.query_df([5.0] * DIM, k=5, probes=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:300]
+    assert "cluster_id" in pf and "IN (" in pf.upper()
