@@ -156,3 +156,24 @@ def user_running_totals(events_stream: DataFrame, output_mode: str = "update") -
         outputMode=output_mode,
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication: drop re-deliveries of the same key
+    observed within the watermark horizon (at-least-once source → effectively
+    exactly-once downstream, e.g. ahead of ``stream_ingest_records``).
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes it, so state is bounded by (arrival rate x delay) —
+    the property that makes this viable on an unbounded 100 TB-scale feed,
+    unlike ``dropDuplicates`` whose state grows without bound. The batch
+    twin is the exact hash-groupBy dedup (operators/dedup.py).
+    """
+    return stream_df.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -247,3 +247,49 @@ def test_user_running_totals_accumulates_across_batches(spark, tmp_path):
     ).parquet(str(src))
     got2 = run_phase("tot2")
     assert got2[1] == (3, 10.0)  # state carried: 2+1 events, 5+5 value
+
+
+def test_dedup_stream_drops_redeliveries(spark, tmp_path):
+    """Two-phase availableNow run: a key re-delivered in a later
+    micro-batch (within the watermark) must not re-emit; a genuinely new
+    key must. State is watermark-bounded (dropDuplicatesWithinWatermark)."""
+    import datetime as dt
+
+    from oasysdb_spark.streaming.ingest import dedup_stream
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "dd_ckpt")
+    out = str(tmp_path / "dd_out")
+    schema = "ts timestamp, event_id bigint, value double"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+
+    def run_phase():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            dedup_stream(stream, ["event_id"], watermark_delay="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out).collect()
+        ids = sorted(r["event_id"] for r in rows)
+        return ids
+
+    write_batch([(t0, 1, 1.0), (t0 + dt.timedelta(minutes=1), 2, 2.0)])
+    assert run_phase() == [1, 2]
+
+    # re-delivery of id=2 (same key, within watermark) + new id=3
+    write_batch(
+        [(t0 + dt.timedelta(minutes=2), 2, 99.0), (t0 + dt.timedelta(minutes=3), 3, 3.0)]
+    )
+    assert run_phase() == [1, 2, 3]
