@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_dsl_embeddings": rel.filter_dsl_embeddings,
         "window_functions_suite": rel.window_functions_suite,
         "pivot_lineitem": rel.pivot_lineitem,
+        "unpivot_lineitem": rel.unpivot_lineitem,
         "setop_intersect": rel.setop_intersect,
         "parts_above_avg_price": rel.parts_above_avg_price,
         "ship_latency": rel.ship_latency,
@@ -331,6 +332,16 @@ def oracle_sql() -> dict[str, str]:
                round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_open,
                round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_filled
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+    q["unpivot_lineitem"] = """
+        WITH agg AS (SELECT l_returnflag,
+                            round(sum(l_quantity), 2) AS sum_qty,
+                            round(sum(l_extendedprice), 2) AS sum_price,
+                            round(sum(l_discount), 2) AS sum_disc
+                     FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, measure, value
+        FROM agg UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
+        ORDER BY 1, 2"""
 
     q["setop_intersect"] = """
         SELECT o_custkey AS custkey FROM orders

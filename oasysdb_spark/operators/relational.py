@@ -856,3 +856,20 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+def unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshaping (unpivot/melt — the inverse of
+    ``pivot_lineitem``): three per-flag measures melt into (flag, measure,
+    value) rows. Unpivot is a zero-shuffle Expand over the already-tiny
+    aggregate, so the plan is one scan + one agg exchange regardless of
+    measure count."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return agg.unpivot(
+        "l_returnflag", ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
+    ).orderBy("l_returnflag", "measure")
