@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": textops.quality_scores,
         "text_token_stats": textops.token_stats,
         "text_fingerprints": textops.fingerprints,
+        "text_clean_pipeline": textops.clean_corpus_pipeline,
     }
 
 
@@ -864,5 +865,38 @@ def oracle_sql() -> dict[str, str]:
     q["text_fingerprints"] = f"""
         SELECT doc_id, {hash64_sql(norm_text)} AS fingerprint
         FROM documents ORDER BY doc_id"""
+
+    q["text_clean_pipeline"] = f"""
+        WITH m AS (
+          SELECT doc_id, {_TOKS} AS tk, text,
+                 {hash64_sql(norm_text)} AS fp,
+                 CAST(len(regexp_extract_all(lower(text),
+                      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe
+          FROM documents),
+        sc AS (
+          SELECT doc_id, fp, bpe, {score_cols},
+                 (CASE WHEN len(tk) >= 20 THEN 1 ELSE 0 END)
+               + (CASE WHEN round(CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+                             / nullif(length(text), 0), 6) <= 0.1 THEN 1 ELSE 0 END)
+               + (CASE WHEN round(CAST(len(list_filter(tk, t -> list_contains({_EN_SW}, t))) AS DOUBLE)
+                             / nullif(len(tk), 0), 6) >= 0.05 THEN 1 ELSE 0 END)
+               + (CASE WHEN round(CAST(len(list_distinct(tk)) AS DOUBLE)
+                             / nullif(len(tk), 0), 6) >= 0.3 THEN 1 ELSE 0 END) AS quality
+          FROM m),
+        p AS (
+          SELECT *, CASE WHEN {g} = 0 THEN 'und'
+                         WHEN s_de = {g} THEN 'de'
+                         WHEN s_en = {g} THEN 'en'
+                         WHEN s_es = {g} THEN 'es'
+                         ELSE 'fr' END AS pred_lang
+          FROM sc),
+        clean AS (SELECT * FROM p WHERE quality >= 3 AND pred_lang = 'en'),
+        kept AS (SELECT fp, arg_min(bpe, doc_id) AS bpe FROM clean GROUP BY fp)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_raw,
+               (SELECT CAST(count(*) AS BIGINT) FROM clean) AS n_clean,
+               CAST(count(*) AS BIGINT) AS n_unique,
+               CAST(sum(bpe) AS BIGINT) AS total_bpe_tokens,
+               round(avg(bpe), 6) AS mean_bpe
+        FROM kept"""
 
     return q

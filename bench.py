@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_quality",
+    "text_clean_pipeline",
     "percentile_stats",
     "multimodal_features",
 ]

@@ -97,3 +97,56 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
     ).orderBy("doc_id")
+
+
+def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-training-data prep story as ONE declarative plan:
+
+        score (quality + language) -> filter -> exact-dedup -> corpus stats
+
+    Everything before the final aggregates is row-local (zero shuffle);
+    the dedup groupBy on the 64-bit fingerprint is the single data
+    shuffle, and ``min(struct(doc_id, bpe))`` picks the kept doc per
+    duplicate group without a join-back (DuckDB twin: ``arg_min``). At
+    100 TB this is the plan you want: one pass, one shuffle on a
+    uniformly-distributed hash key, counters as conditional aggregates.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    quality = (
+        F.when(F.size(toks) >= 20, 1).otherwise(0)
+        + F.when(F.round(punct_ratio(F.col("text")), 6) <= 0.1, 1).otherwise(0)
+        + F.when(F.round(stopword_ratio(toks), 6) >= 0.05, 1).otherwise(0)
+        + F.when(F.round(uniq_token_ratio(toks), 6) >= 0.3, 1).otherwise(0)
+    )
+    scored = docs.select(
+        "doc_id",
+        predict_lang(toks).alias("pred_lang"),
+        quality.alias("quality"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+        token_count_bpe(F.col("text")).cast("bigint").alias("bpe"),
+    )
+    keep = (F.col("quality") >= 3) & (F.col("pred_lang") == "en")
+    # Single pass: rejected docs get a NULL group key, so the expensive
+    # text expressions evaluate once per row and the whole pipeline is one
+    # scan + one shuffle. The NULL group is not a skew hazard: partial
+    # (map-side) aggregation collapses it to one row per task before the
+    # exchange.
+    grouped = (
+        scored.select(
+            F.when(keep, F.col("fp")).alias("fp_clean"), "doc_id", "bpe"
+        )
+        .groupBy("fp_clean")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(F.struct("doc_id", "bpe")).alias("k"),
+        )
+    )
+    is_clean = F.col("fp_clean").isNotNull()
+    return grouped.agg(
+        F.sum("n_rows").cast("bigint").alias("n_raw"),
+        F.sum(F.when(is_clean, F.col("n_rows")).otherwise(0)).cast("bigint").alias("n_clean"),
+        F.count(F.when(is_clean, 1)).cast("bigint").alias("n_unique"),
+        F.sum(F.when(is_clean, F.col("k.bpe"))).cast("bigint").alias("total_bpe_tokens"),
+        F.round(F.avg(F.when(is_clean, F.col("k.bpe"))), 6).alias("mean_bpe"),
+    )

@@ -109,3 +109,14 @@ def test_q21_one_fact_shuffle_one_scan(spark, sf_dir):
     plan = _plan(rel.q21_waiting_supplier(spark, sf_dir))
     assert plan.count("FileScan parquet") == 3  # lineitem, orders, supplier
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_clean_pipeline_one_scan_one_shuffle(spark, sf_dir):
+    """The corpus-prep pipeline must evaluate the (expensive, interpreted)
+    text expressions once per row: one documents scan, one exchange (the
+    fp groupBy) — the two-branch formulation scans and scores twice."""
+    from oasysdb_spark.operators import textops
+
+    plan = _plan(textops.clean_corpus_pipeline(spark, sf_dir))
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
