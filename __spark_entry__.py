@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_supplier": rel.q21_waiting_supplier,
         "percentile_stats": rel.percentile_stats,
         "skew_salted_user_join": rel.skew_salted_user_join,
+        "bucketed_revenue_by_priority": rel.bucketed_revenue_by_priority,
         # --- vector search (SURVEY.md §2.3) ---
         "vec_golden_distance": vec.golden_distances,
         "vec_knn_euclidean": vec.knn_bruteforce,
@@ -701,6 +702,13 @@ def oracle_sql() -> dict[str, str]:
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
                AND l_quantity BETWEEN 20 AND 30)"""
+
+    q["bucketed_revenue_by_priority"] = """
+        SELECT o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY 1"""
 
     q["q8_market_share"] = """
         SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,

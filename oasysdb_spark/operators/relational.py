@@ -873,3 +873,26 @@ def unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.unpivot(
         "l_returnflag", ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
     ).orderBy("l_returnflag", "measure")
+
+
+def bucketed_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem joins orders through their bucketed twins (both written
+    bucketBy(orderkey) once — sources/bucketed.py), so the fact-fact join
+    itself needs NO exchange: each task sort-merges one matching bucket
+    pair, and the only shuffle left is the tiny priority aggregate. This
+    is the amortize-the-shuffle path for the join every relational query
+    here repeats; results are identical to the plain join (the oracle
+    runs the unbucketed SQL)."""
+    from oasysdb_spark.sources.bucketed import bucketed_join
+
+    j = bucketed_join(spark, sf_dir, "lineitem", "orders", "l_orderkey", "o_orderkey")
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -45,6 +45,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # managed-table home for bucketed tables (sources/bucketed.py);
+        # kept out of the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/oasysdb_spark_warehouse"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -120,3 +120,41 @@ def test_clean_pipeline_one_scan_one_shuffle(spark, sf_dir):
     plan = _plan(textops.clean_corpus_pipeline(spark, sf_dir))
     assert plan.count("FileScan") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bucketed_join_eliminates_fact_shuffle(spark, sf_dir):
+    """With broadcast off, the bucketed lineitem⋈orders must sort-merge
+    directly on bucket pairs: the ONLY exchange in the whole plan is the
+    tiny final priority aggregate."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(rel.bucketed_revenue_by_priority(spark, sf_dir))
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange hashpartitioning") == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_bucketed_join_matches_plain_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.sources.tables import load_table
+
+    got = {
+        r["o_orderpriority"]: (r["revenue"], r["n_lines"])
+        for r in rel.bucketed_revenue_by_priority(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    plain = {
+        r["o_orderpriority"]: (r["revenue"], r["n_lines"])
+        for r in li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+        .collect()
+    }
+    assert got == plain
