@@ -16,6 +16,8 @@ count that keeps each bucket << executor memory at the target SF.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from oasysdb_spark.sources.tables import load_table
@@ -42,6 +44,15 @@ def ensure_bucketed(
     if key in _BUCKETED:
         return name
     if not spark.catalog.tableExists(name):
+        # the in-memory catalog dies with the process but the warehouse
+        # directory survives — clear a stale location or saveAsTable
+        # fails with LOCATION_ALREADY_EXISTS
+        import shutil
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        stale = f"{warehouse}/{name}"
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
         (
             load_table(spark, sf_dir, table)
             .write.mode("overwrite")
