@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
         "q22_idle_customers": rel.q22_idle_customers,
         "q8_market_share": rel.q8_market_share,
+        "q16_supplier_variety": rel.q16_supplier_variety,
         "q21_waiting_supplier": rel.q21_waiting_supplier,
         "percentile_stats": rel.percentile_stats,
         "skew_salted_user_join": rel.skew_salted_user_join,
@@ -727,6 +728,16 @@ def oracle_sql() -> dict[str, str]:
         WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
           AND o_orderdate BETWEEN '1995-01-01' AND '1996-12-31'
         GROUP BY 1 ORDER BY 1"""
+
+    q["q16_supplier_variety"] = """
+        SELECT p_brand, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_name LIKE '%7%')
+        GROUP BY 1, 2
+        ORDER BY supplier_cnt DESC, p_brand, p_size"""
 
     # faithful correlated EXISTS / NOT EXISTS form; the Spark side
     # decorrelates it into co-partitioned aggregates (one fact exchange)

@@ -896,3 +896,27 @@ def bucketed_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape adapted to the fixture schema (no partsupp — the
+    supplier×part relation is derived from lineitem): distinct-supplier
+    count per (brand, size), excluding complaint suppliers via NOT IN.
+    s_suppkey is non-nullable, so the null-aware NOT IN is planned as a
+    broadcast ANTI join (the scalable form — a nullable column would
+    force a BroadcastNestedLoop null-check); part broadcasts too, so the
+    only fact shuffle is the distinct aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") != "Brand#1")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_name").like("%7%"))
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )

@@ -40,6 +40,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     payload: dict[str, str],
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """Backward as-of join: for each left row, attach the payload of the
     latest right row with ``right[right_ts] <= left[left_ts]`` and the
@@ -47,13 +48,15 @@ def asof_join(
     ``ASOF JOIN ... ON r.ts <= l.ts``).
 
     ``payload`` maps output column name -> right column name. Right rows
-    must be unique per (on, right_ts) for a deterministic answer —
-    pre-aggregate if they are not.
+    must be unique per (on, right_ts) for a deterministic answer; if they
+    are not, pass ``right_tiebreak`` (a right column name) and the
+    max-tiebreak row wins each (key, ts) — the dedup rides the window's
+    sort instead of costing its own groupBy exchange.
 
     Implementation: union both sides with a side tag (right=0 sorts
     before left=1 at equal ts), then carry payload forward with
-    ``last(ignorenulls=True)`` over (key, ts, side). One shuffle on
-    ``on``; scales linearly with rows.
+    ``last(ignorenulls=True)`` over (key, ts, side[, tiebreak]). One
+    shuffle on ``on``; scales linearly with rows.
     """
     out_cols = [c for c in left.columns]
     clash = set(payload) & set(out_cols)
@@ -63,19 +66,22 @@ def asof_join(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
+        F.lit(0).cast("long").alias("_tb"),
         F.struct(*left.columns).alias("_row"),
         *[F.lit(None).cast(dict(right.dtypes)[src]).alias(dst) for dst, src in payload.items()],
     )
+    tb = (F.col(right_tiebreak) if right_tiebreak else F.lit(0)).cast("long")
     r = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
+        tb.alias("_tb"),
         F.lit(None).cast(l.schema["_row"].dataType).alias("_row"),
         *[F.col(src).alias(dst) for dst, src in payload.items()],
     )
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", "_tb")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     merged = l.unionByName(r).select(
@@ -95,16 +101,15 @@ def asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = events.where(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
     )
-    # unique (user, ts) on the right side keeps the as-of deterministic
-    views = (
-        events.where(F.col("event_type") == "view")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("view_id"))
-        .select("user_id", F.col("ts").alias("view_ts"), "view_id")
+    # duplicate (user, ts) views resolve to max event_id via the window
+    # tiebreak — no pre-dedup groupBy, so the whole as-of is ONE shuffle
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id")
     )
     joined = asof_join(
         clicks, views, on="user_id", left_ts="click_ts", right_ts="view_ts",
         payload={"view_id": "view_id", "view_ts": "view_ts"},
+        right_tiebreak="view_id",
     )
     return joined.select(
         "click_id",

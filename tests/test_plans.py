@@ -158,3 +158,13 @@ def test_bucketed_join_matches_plain_join(spark, sf_dir):
         .collect()
     }
     assert got == plain
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The union+carry-forward as-of must cost exactly one exchange (the
+    window's hash on user_id): duplicate-view dedup rides the window sort
+    via the tiebreak column instead of a second groupBy shuffle."""
+    from oasysdb_spark.operators import temporal as tmp
+
+    plan = _plan(tmp.asof_click_view(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
