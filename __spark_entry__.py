@@ -407,7 +407,7 @@ def oracle_sql() -> dict[str, str]:
         WITH a AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id = 0),
              b AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id = 1)
         SELECT round({_SQDIST.format(a="a.v", b="b.v")}, 6) AS d_euclid,
-               round(1.0 - {dot_ab} / ({_NORM.format(v="a.v")} * {_NORM.format(v="b.v")}), 6) AS d_cosine
+               round(1.0 - {dot_ab} / ({_NORM.format(v="a.v")} * {_NORM.format(v="b.v")}), 6) + 0.0 AS d_cosine
         FROM a, b"""
 
     knn_dist = _SQDIST.format(a="e.embedding", b="q.qv")
@@ -421,9 +421,12 @@ def oracle_sql() -> dict[str, str]:
         f"1.0 - {_DOT.format(a='e.embedding', b='q.qv')}"
         f" / ({_NORM.format(v='e.embedding')} * {_NORM.format(v='q.qv')})"
     )
+    # '+ 0.0' canonicalizes the -0.0 a rounded cosine self-match produces
+    # (DuckDB renders -0.0, Spark 0.0 — equal values, different driver hash);
+    # the Spark side applies the identical normalization (vectorops.round_dist)
     q["vec_knn_cosine"] = f"""
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0)
-        SELECT vec_id, label, round({cos_dist}, 6) AS distance
+        SELECT vec_id, label, round({cos_dist}, 6) + 0.0 AS distance
         FROM embeddings e, q
         ORDER BY distance, vec_id LIMIT 10"""
 
@@ -494,7 +497,7 @@ def oracle_sql() -> dict[str, str]:
         q AS (SELECT ev AS qv FROM emb WHERE vec_id = 0)
         SELECT e.vec_id, e.label,
                round(1.0 - {_DOT.format(a="e.ev", b="q.qv")}
-                     / ({_NORM.format(v="e.ev")} * {_NORM.format(v="q.qv")}), 6) AS distance
+                     / ({_NORM.format(v="e.ev")} * {_NORM.format(v="q.qv")}), 6) + 0.0 AS distance
         FROM emb e JOIN cand c ON e.vec_id = c.vec_id, q
         ORDER BY distance, e.vec_id LIMIT 10"""
 
@@ -600,7 +603,7 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"""
 
     q["dedup_embedding_cosine"] = f"""
-        SELECT label, vec_a, vec_b, round(dp / (na * nb), 6) AS cos_sim FROM
+        SELECT label, vec_a, vec_b, round(dp / (na * nb), 6) + 0.0 AS cos_sim FROM
           (SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
                   {_DOT.format(a="a.embedding", b="b.embedding")} AS dp,
                   {_NORM.format(v="a.embedding")} AS na,

@@ -336,10 +336,12 @@ def embedding_near_pairs(
     sim = dot_product(F.col("a.embedding"), F.col("b.embedding")) / (
         l2_norm(F.col("a.embedding")) * l2_norm(F.col("b.embedding"))
     )
+    from oasysdb_spark.operators.vectorops import round_dist
+
     out = pairs.select(
         F.col("a.label").alias("label"),
         F.col("a.vec_id").alias("vec_a"),
         F.col("b.vec_id").alias("vec_b"),
-        F.round(sim, 6).alias("cos_sim"),
+        round_dist(sim).alias("cos_sim"),
     )
     return out.orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b").limit(top_n)

@@ -28,6 +28,19 @@ def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def round_dist(c, scale: int = 6):
+    """``round(c, scale)`` with negative zero normalized to +0.0.
+
+    A cosine self-match computes ``1.0 - dot/(na*nb)`` where the ratio can
+    land an ulp above 1.0, so the rounded distance is ``-0.0``: equal to
+    ``0.0`` under float compare but DIFFERENT under the driver's
+    formatted-value hash (DuckDB renders ``-0.0``, Spark ``0.0``).
+    IEEE ``-0.0 + 0.0 = +0.0``, so adding literal zero canonicalizes the
+    sign on both engines; every oracle SQL that can emit a rounded cosine
+    appends the same ``+ 0.0``."""
+    return F.round(c, scale) + F.lit(0.0)
+
+
 def _query_vec_col(spark: SparkSession, sf_dir: str, query_vec_id: int):
     """The query vector as an array literal (fetched once, driver-side —
     the moral equivalent of the reference receiving it in the RPC)."""
@@ -58,7 +71,7 @@ def knn_bruteforce(
     embs = load_embeddings(spark, sf_dir)
     dist = distance_expr(metric, q, F.col("embedding"))
     return (
-        embs.select("vec_id", "label", F.round(dist, 6).alias("distance"))
+        embs.select("vec_id", "label", round_dist(dist).alias("distance"))
         .orderBy("distance", "vec_id")
         .limit(k)
     )
@@ -99,7 +112,7 @@ def golden_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = spark.range(1)
     return one.select(
         F.round(sqeuclidean(a, b), 6).alias("d_euclid"),
-        F.round(cosine_distance(a, b), 6).alias("d_cosine"),
+        round_dist(cosine_distance(a, b)).alias("d_cosine"),
     )
 
 
@@ -142,7 +155,7 @@ def knn_batched(
     dist = distance_expr(metric, F.col("qvec"), F.col("embedding"))
     w = Window.partitionBy("query_id").orderBy("distance", "vec_id")
     return (
-        pairs.select("query_id", "vec_id", F.round(dist, 6).alias("distance"))
+        pairs.select("query_id", "vec_id", round_dist(dist).alias("distance"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("query_id", "vec_id", "distance", F.col("rn").cast("int").alias("rn"))
@@ -332,7 +345,7 @@ def lsh_knn(
     dist = distance_expr("cosine", q, F.col("embedding"))
     return (
         bucketed.where(F.col("bucket").isin(probe))
-        .select("vec_id", "label", F.round(dist, 6).alias("distance"))
+        .select("vec_id", "label", round_dist(dist).alias("distance"))
         .orderBy("distance", "vec_id")
         .limit(k)
     )
