@@ -142,6 +142,123 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    extra_cond=None,
+    bucket_width: int = 3_600_000,
+) -> DataFrame:
+    """Interval-overlap join: all (left, right) pairs whose ``[start, end]``
+    ranges overlap (touching endpoints count: ``l_start <= r_end AND
+    r_start <= l_end``). Bounds are numeric (e.g. epoch millis).
+
+    NOT a nested-loop: each interval explodes to the fixed-width buckets it
+    spans, the join is an EQUI-join on bucket id, pairs are deduped, and the
+    exact overlap predicate filters candidates. Two overlapping intervals
+    always share the bucket containing ``max(starts)`` (that instant lies in
+    both), so candidate generation is complete. Cost is linear in intervals ×
+    buckets-per-interval + pairs-per-bucket — the classic spatial-grid trick,
+    vs O(|L|·|R|) for the naive inequality join Catalyst would otherwise plan
+    as BroadcastNestedLoopJoin. ``bucket_width`` trades explode factor
+    against bucket selectivity; a hot bucket (everything overlapping one
+    hour) is ordinary join skew, handled by AQE skew-join.
+
+    ``extra_cond(l, r) -> Column`` adds an extra join predicate evaluated
+    inside the equi-join (e.g. an ordering condition for self-joins).
+    """
+    l = left.select(
+        F.struct(*left.columns).alias("_l"),
+        F.explode(
+            F.sequence(
+                (F.col(l_start) / bucket_width).cast("bigint"),
+                (F.col(l_end) / bucket_width).cast("bigint"),
+            )
+        ).alias("_bucket"),
+    )
+    r = right.select(
+        F.struct(*right.columns).alias("_r"),
+        F.explode(
+            F.sequence(
+                (F.col(r_start) / bucket_width).cast("bigint"),
+                (F.col(r_end) / bucket_width).cast("bigint"),
+            )
+        ).alias("_bucket"),
+    )
+    cond = l["_bucket"] == r["_bucket"]
+    if extra_cond is not None:
+        cond = cond & extra_cond(F.col("_l"), F.col("_r"))
+    pairs = (
+        l.join(r, cond)
+        .select("_l", "_r")
+        .dropDuplicates()
+        .where(
+            (F.col(f"_l.{l_start}") <= F.col(f"_r.{r_end}"))
+            & (F.col(f"_r.{r_start}") <= F.col(f"_l.{l_end}"))
+        )
+    )
+    return pairs.select(
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_r.{c}").alias(c) for c in right.columns],
+    )
+
+
+def _user_sessions(events: DataFrame, gap_ms: int = 1_800_000) -> DataFrame:
+    """Gap-based sessionization to (user_id, session_seq, s_ms, e_ms) —
+    the same lag + cumulative-sum construction as
+    relational.sessionize_events, aggregated to interval bounds."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    new_sess = F.when(
+        (ms - F.lag(ms).over(w)).isNull() | ((ms - F.lag(ms).over(w)) > gap_ms), 1
+    ).otherwise(0)
+    ws = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        events.select("user_id", "event_id", "ts")
+        .withColumn("session_seq", F.sum(new_sess).over(ws))
+        .groupBy("user_id", "session_seq")
+        .agg(F.min(F.unix_millis("ts")).alias("s_ms"), F.max(F.unix_millis("ts")).alias("e_ms"))
+    )
+
+
+def interval_overlap_sessions(
+    spark: SparkSession, sf_dir: str, top_n: int = 50
+) -> DataFrame:
+    """Driver-contract interval join: cross-user session overlaps. Both
+    sides are the (thousands-row) derived session table, so neither is
+    broadcast-able — exactly the case the bucketized equi-join exists for.
+    Returns the ``top_n`` longest overlaps (ms), deterministic tie-break on
+    all pair keys."""
+    sessions = _user_sessions(_t(spark, sf_dir, "events"))
+    out = interval_overlap_join(
+        sessions.select(
+            F.col("user_id").alias("user_a"), F.col("session_seq").alias("sess_a"),
+            F.col("s_ms").alias("start_a"), F.col("e_ms").alias("end_a"),
+        ),
+        sessions.select(
+            F.col("user_id").alias("user_b"), F.col("session_seq").alias("sess_b"),
+            F.col("s_ms").alias("start_b"), F.col("e_ms").alias("end_b"),
+        ),
+        "start_a", "end_a", "start_b", "end_b",
+        extra_cond=lambda l, r: l["user_a"] < r["user_b"],
+    )
+    overlap = F.least("end_a", "end_b") - F.greatest("start_a", "start_b")
+    return (
+        out.select(
+            F.col("user_a").cast("bigint").alias("user_a"),
+            F.col("sess_a").cast("bigint").alias("sess_a"),
+            F.col("user_b").cast("bigint").alias("user_b"),
+            F.col("sess_b").cast("bigint").alias("sess_b"),
+            overlap.cast("bigint").alias("overlap_ms"),
+        )
+        .orderBy(F.col("overlap_ms").desc(), "user_a", "sess_a", "user_b", "sess_b")
+        .limit(top_n)
+    )
+
+
 def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window aggregation over the event stream — the
     batch twin of the Structured Streaming windowed-count plan."""

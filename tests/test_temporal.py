@@ -101,3 +101,58 @@ def test_sliding_windows_double_count(spark, sf_dir):
     assert all(r["window_start"].minute in (0, 30) for r in rows)
     total = tmp._t(spark, sf_dir, "events").count()
     assert sum(r["n"] for r in rows) == 2 * total
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap join
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def interval_frames(spark):
+    # bucket width in tests = 100 so intervals span multiple buckets;
+    # cases: touching endpoints, containment, same-bucket-no-overlap,
+    # multi-bucket spans, disjoint
+    left = spark.createDataFrame(
+        [(1, 0, 150), (2, 200, 210), (3, 340, 360), (4, 900, 1000)],
+        "lid bigint, ls bigint, le bigint",
+    )
+    right = spark.createDataFrame(
+        [(10, 150, 160), (11, 205, 206), (12, 361, 380), (13, 0, 950)],
+        "rid bigint, rs bigint, re bigint",
+    )
+    return left, right
+
+
+def test_interval_overlap_matches_naive(spark, interval_frames):
+    left, right = interval_frames
+    fast = tmp.interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bucket_width=100
+    )
+    naive = left.join(
+        right, (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le"))
+    )
+    got = sorted((r["lid"], r["rid"]) for r in fast.collect())
+    want = sorted((r["lid"], r["rid"]) for r in naive.collect())
+    assert got == want
+    # touching endpoints DO match, same-bucket non-overlap does not
+    assert (1, 10) in got and (3, 12) not in got
+
+
+def test_interval_overlap_no_duplicate_pairs(spark, interval_frames):
+    """An interval spanning many buckets collides with a partner in each;
+    the pair must still come out exactly once."""
+    left, right = interval_frames
+    out = tmp.interval_overlap_join(left, right, "ls", "le", "rs", "re", bucket_width=100)
+    rows = [(r["lid"], r["rid"]) for r in out.collect()]
+    assert len(rows) == len(set(rows))
+    assert (4, 13) in rows  # right 13 spans 10 buckets, overlaps left 4 once
+
+
+def test_interval_overlap_sessions_plan_no_nlj(spark, sf_dir):
+    """The scale contract: candidate generation is an EQUI-join on bucket
+    id — never BroadcastNestedLoopJoin/CartesianProduct."""
+    df = tmp.interval_overlap_sessions(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
