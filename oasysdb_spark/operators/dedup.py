@@ -271,21 +271,41 @@ def simhash_near_pairs(
     spark: SparkSession, sf_dir: str, max_hamming: int = 10, top_n: int = 50
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates share a 16-bit half, verified by
-    hamming distance ≤ ``max_hamming`` on the full 32 bits."""
-    s = simhash_buckets(spark, sf_dir)
-    a, b = s.alias("a"), s.alias("b")
-    lo = (F.col("a.lo16") == F.col("b.lo16")).alias("lo")
-    hi = (F.col("a.hi16") == F.col("b.hi16")).alias("hi")
-    cand = (
-        a.join(b, (F.col("a.doc_id") < F.col("b.doc_id")) & (lo | hi))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+    hamming distance ≤ ``max_hamming`` on the full 32 bits.
+
+    The half-match condition is an OR of two equalities — written as a
+    single join predicate Catalyst finds no extractable equi-key and plans
+    a nested loop (O(n²) pair evaluations). Instead: ONE equi-join per
+    half, union, dedup on the pair key. Each half-join is a plain shuffled
+    hash/sort-merge join on a 16-bit key, so the cost is pairs-per-bucket,
+    not all-pairs — the same candidate set, linear-ish at corpus scale
+    (hot buckets are ordinary join skew → AQE skew-join)."""
+    s = simhash_buckets(spark, sf_dir).cache()
+
+    def half_join(key: str) -> DataFrame:
+        a, b = s.alias("a"), s.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col(f"a.{key}") == F.col(f"b.{key}"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                ).alias("hamming"),
+            )
+            # filter BEFORE the pair-level dedup so only near-pairs transit
+            # the dropDuplicates shuffle
+            .where(F.col("hamming") <= max_hamming)
         )
-        .where(F.col("hamming") <= max_hamming)
+
+    cand = (
+        half_join("lo16")
+        .unionByName(half_join("hi16"))
+        .dropDuplicates(["doc_a", "doc_b"])
     )
     return cand.orderBy("hamming", "doc_a", "doc_b").limit(top_n)
 

@@ -168,3 +168,13 @@ def test_asof_join_single_shuffle(spark, sf_dir):
 
     plan = _plan(tmp.asof_click_view(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_simhash_pairs_no_nested_loop(spark, sf_dir):
+    """The half-match OR must compile to two equi-joins + dedup, never a
+    BroadcastNestedLoopJoin/CartesianProduct (O(n²) at corpus scale)."""
+    from oasysdb_spark.operators import dedup
+
+    plan = _plan(dedup.simhash_near_pairs(spark, sf_dir))
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
