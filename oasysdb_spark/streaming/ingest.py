@@ -23,10 +23,68 @@ Design:
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+_STARTED = "_oasys_epoch_started"
+_COMMITTED = "_oasys_epoch_committed"
+
+
+def _read_epoch(path: str) -> int:
+    try:
+        with open(path, encoding="utf-8") as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return -1
+
+
+def make_epoch_idempotent_ingest(db, checkpoint_dir: str):
+    """Build the ``foreachBatch`` function that makes micro-batch appends
+    idempotent under replay. ``foreachBatch`` is at-least-once: after a
+    crash between the table append and the checkpoint commit, Spark
+    re-delivers the last epoch — a blind ``insert_batch`` would duplicate
+    every record.
+
+    Protocol (two O(1) marker files beside the checkpoint, written with
+    the same atomic tmp+rename as the table's ``_LATEST`` pointer):
+
+    1. skip any epoch ≤ the ``committed`` marker (fully-committed replay);
+    2. write ``started = epoch`` BEFORE appending (write-ahead intent);
+    3. append; 4. write ``committed = epoch``.
+
+    A replay that finds ``started == epoch > committed`` is recovering
+    from a crash inside step 3, so — only on that path — the batch is
+    anti-joined by ``id`` against the current records table to drop
+    already-appended rows (Spark's job-commit protocol makes a crashed
+    append either invisible or file-complete, and visible rows are what
+    the anti-join removes). The happy path costs two tiny file writes and
+    never touches the records table; recovery requires records to carry
+    stable ``id`` values, which the ingest schema mandates.
+    """
+    started_f = os.path.join(checkpoint_dir, _STARTED)
+    committed_f = os.path.join(checkpoint_dir, _COMMITTED)
+
+    def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        from oasysdb_spark.core.config import atomic_write_text
+
+        epoch_id = int(epoch_id)
+        if epoch_id <= _read_epoch(committed_f):
+            return
+        replaying = _read_epoch(started_f) == epoch_id
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        atomic_write_text(started_f, str(epoch_id))
+        if not batch_df.isEmpty():
+            if replaying and db.records.exists():
+                existing = db.records_df().select("id")
+                batch_df = batch_df.join(existing, "id", "left_anti")
+            db.insert_batch(batch_df)
+        atomic_write_text(committed_f, str(epoch_id))
+
+    return _ingest
 
 
 def stream_ingest_records(
@@ -38,18 +96,15 @@ def stream_ingest_records(
     """Continuously ingest a record stream (schema: id, embedding, and
     optionally m_text/m_num/m_bool) into ``db``.
 
-    Exactly-once per micro-batch: the checkpoint tracks source progress and
-    ``insert_batch`` appends are idempotent per epoch on restart replay of
-    the last uncommitted batch.
+    Effectively exactly-once per micro-batch: the checkpoint tracks source
+    progress and :func:`make_epoch_idempotent_ingest` makes the replayed
+    last epoch a no-op (committed-epoch skip + recovery anti-join) instead
+    of a duplicate append.
     """
-
-    def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        db.insert_batch(batch_df)
-
     writer = (
-        stream_df.writeStream.foreachBatch(_ingest)
+        stream_df.writeStream.foreachBatch(
+            make_epoch_idempotent_ingest(db, checkpoint_dir)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )

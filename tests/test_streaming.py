@@ -293,3 +293,57 @@ def test_dedup_stream_drops_redeliveries(spark, tmp_path):
         [(t0 + dt.timedelta(minutes=2), 2, 99.0), (t0 + dt.timedelta(minutes=3), 3, 3.0)]
     )
     assert run_phase() == [1, 2, 3]
+
+
+def test_ingest_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: simulate every replay window of the
+    epoch protocol directly against the ingest function.
+
+    - replay of a fully committed epoch → skipped outright;
+    - crash between append and commit marker (committed marker rolled
+      back, started marker present) → recovery anti-join drops the
+      already-appended rows;
+    - a genuinely new epoch still appends.
+    """
+    import os
+
+    from oasysdb_spark.streaming.ingest import (
+        _COMMITTED,
+        make_epoch_idempotent_ingest,
+    )
+
+    dbdir = str(tmp_path / "db")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    db = Database.configure(spark, dbdir, dimension=2, density=16)
+    ingest = make_epoch_idempotent_ingest(db, ckpt)
+
+    batch0 = spark.createDataFrame(
+        [(f"a{i}", [float(i), 0.0], {}, {}, {}) for i in range(20)], RECORD_SCHEMA
+    )
+    ingest(batch0, 0)
+    assert db.count() == 20
+
+    # full replay of committed epoch 0 -> no-op
+    ingest(batch0, 0)
+    assert db.count() == 20
+
+    # crash between append and commit: epoch 1 appends, then dies before
+    # writing the committed marker
+    batch1 = spark.createDataFrame(
+        [(f"b{i}", [float(i), 1.0], {}, {}, {}) for i in range(5)], RECORD_SCHEMA
+    )
+    ingest(batch1, 1)
+    assert db.count() == 25
+    with open(os.path.join(ckpt, _COMMITTED), "w") as f:
+        f.write("0")  # roll back the commit marker; started marker stays at 1
+
+    ingest(batch1, 1)  # Spark re-delivers epoch 1
+    assert db.count() == 25  # recovery anti-join: no duplicates
+
+    # next epoch is not a replay and appends normally
+    batch2 = spark.createDataFrame(
+        [("c0", [9.0, 9.0], {}, {}, {})], RECORD_SCHEMA
+    )
+    ingest(batch2, 2)
+    assert db.count() == 26
