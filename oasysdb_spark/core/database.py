@@ -263,38 +263,82 @@ class Database:
         if not ids:
             return
         current = self.records_df()
-        remaining = current.where(~F.col("id").isin(ids))
         if self.is_indexed():
-            self.records.write(remaining, partition_by=["cluster_id"])
-            self._cleanup_empty_clusters()
+            # IO is scoped to the clusters that actually hold the ids: find
+            # them (column-pruned scan of id+cluster_id), rewrite ONLY those
+            # partitions copy-on-write, hardlink the rest. A one-id delete
+            # against a 100 TB table touches one partition directory.
+            affected = [
+                r["cluster_id"]
+                for r in current.where(F.col("id").isin(ids))
+                .select("cluster_id")
+                .distinct()
+                .collect()
+            ]
+            if not affected:
+                return  # missing ids are a silent no-op — nothing to rewrite
+            remaining = current.where(
+                F.col("cluster_id").isin(affected) & ~F.col("id").isin(ids)
+            )
+            surviving = {
+                r["cluster_id"]
+                for r in remaining.select("cluster_id").distinct().collect()
+            }
+            self.records.rewrite_partitions(remaining, "cluster_id", affected)
+            emptied = [c for c in affected if c not in surviving]
+            if emptied:
+                self._drop_centroids(emptied)
         else:
-            self.records.write(remaining)
+            self.records.write(current.where(~F.col("id").isin(ids)))
 
     def update_metadata(self, record_id: str, metadata: dict[str, Any]) -> None:
         """Replace a record's **entire** metadata map (not a merge); the
         vector is immutable (/root/reference/src/cores/storage.rs:50-70)."""
         current = self.records_df()
-        if current.where(F.col("id") == F.lit(record_id)).isEmpty():
-            raise errors.NotFoundError(f"record {record_id!r} not found")
-        m_text, m_num, m_bool = split_metadata(metadata)
         hit = F.col("id") == F.lit(record_id)
-        updated = (
-            current.withColumn(
-                "m_text", F.when(hit, _map_expr(m_text, "string")).otherwise(F.col("m_text"))
+        m_text, m_num, m_bool = split_metadata(metadata)
+
+        def _apply(df: DataFrame) -> DataFrame:
+            return (
+                df.withColumn(
+                    "m_text", F.when(hit, _map_expr(m_text, "string")).otherwise(F.col("m_text"))
+                )
+                .withColumn(
+                    "m_num", F.when(hit, _map_expr(m_num, "double")).otherwise(F.col("m_num"))
+                )
+                .withColumn(
+                    "m_bool", F.when(hit, _map_expr(m_bool, "boolean")).otherwise(F.col("m_bool"))
+                )
             )
-            .withColumn(
-                "m_num", F.when(hit, _map_expr(m_num, "double")).otherwise(F.col("m_num"))
-            )
-            .withColumn(
-                "m_bool", F.when(hit, _map_expr(m_bool, "boolean")).otherwise(F.col("m_bool"))
-            )
-        )
-        partition = ["cluster_id"] if self.is_indexed() else None
-        self.records.write(updated, partition_by=partition)
+
+        if self.is_indexed():
+            # locate the record's cluster and rewrite ONLY that partition
+            # (copy-on-write; every other partition is hardlinked)
+            rows = current.where(hit).select("cluster_id").take(1)
+            if not rows:
+                raise errors.NotFoundError(f"record {record_id!r} not found")
+            cluster = rows[0]["cluster_id"]
+            updated = _apply(current.where(F.col("cluster_id") == cluster))
+            self.records.rewrite_partitions(updated, "cluster_id", [cluster])
+        else:
+            if current.where(hit).isEmpty():
+                raise errors.NotFoundError(f"record {record_id!r} not found")
+            self.records.write(_apply(current))
+
+    def _drop_centroids(self, cluster_ids: list) -> None:
+        """Drop the named centroids — clusters that lost their last member
+        (/root/reference/src/cores/index.rs:150-157). Delete computes the
+        emptied set from the affected partitions only, so this never needs
+        the full-table liveness scan."""
+        if not self.centroids.exists():
+            return
+        cents = self.centroids.read(self.spark)
+        self.centroids.write(cents.where(~F.col("cluster_id").isin(cluster_ids)))
+        self._centroid_cache = None
 
     def _cleanup_empty_clusters(self) -> None:
-        """Drop centroids whose cluster lost its last member
-        (/root/reference/src/cores/index.rs:150-157)."""
+        """Drop centroids whose cluster lost its last member, derived from
+        a full liveness scan (used by paths that rewrote the whole table)."""
         if not self.centroids.exists():
             return
         live = self.records_df().select("cluster_id").distinct()

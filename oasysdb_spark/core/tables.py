@@ -72,6 +72,49 @@ class VersionedTable:
         self._gc(keep_versions)
         return version
 
+    def rewrite_partitions(
+        self,
+        df: DataFrame,
+        partition_col: str,
+        affected_values: list,
+        keep_versions: int = 2,
+    ) -> str:
+        """Copy-on-write at partition granularity: produce the next version
+        with only the ``affected_values`` partitions rewritten from ``df``
+        (which must hold exactly those partitions' new contents — possibly
+        none, for partitions that become empty) and every other partition
+        HARDLINKED from the current version. Untouched data costs zero IO
+        and zero extra disk; the pointer swap stays atomic, so readers of
+        the old version are unaffected.
+
+        This is what a transactional table format (Delta/Iceberg) does at
+        file granularity; partition granularity is the natural unit for the
+        cluster-partitioned records layout, where a single-id delete should
+        not rewrite a 100 TB table.
+        """
+        cur = self.current_path()
+        version = self._next_version()
+        path = os.path.join(self.root, version)
+        os.makedirs(path, exist_ok=True)
+        affected_dirs = {f"{partition_col}={v}" for v in affected_values}
+        for entry in os.listdir(cur):
+            if not entry.startswith(f"{partition_col}="):
+                continue
+            if entry in affected_dirs:
+                continue
+            src, dst = os.path.join(cur, entry), os.path.join(path, entry)
+            os.makedirs(dst, exist_ok=True)
+            for fname in os.listdir(src):
+                try:
+                    os.link(os.path.join(src, fname), os.path.join(dst, fname))
+                except OSError:  # pragma: no cover - non-hardlink filesystem
+                    shutil.copy2(os.path.join(src, fname), os.path.join(dst, fname))
+        if not df.isEmpty():
+            df.write.mode("append").partitionBy(partition_col).parquet(path)
+        atomic_write_text(os.path.join(self.root, _LATEST), version)
+        self._gc(keep_versions)
+        return version
+
     def append(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
         """Append files into the current version (no pointer change).
 

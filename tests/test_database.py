@@ -6,6 +6,7 @@ validation rules (/root/reference/src/cores/database.rs:189-199,321-325).
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from oasysdb_spark.core.database import Database, RECORD_SCHEMA
 from oasysdb_spark.errors import InvalidArgumentError, NotFoundError
@@ -126,3 +127,80 @@ def test_bad_params(spark, tmp_path):
         Database.configure(spark, str(tmp_path / "x"), dimension=2, metric="manhattan")
     with pytest.raises(InvalidArgumentError):
         Database.configure(spark, str(tmp_path / "y"), dimension=0)
+
+
+def test_indexed_delete_rewrites_only_affected_partition(spark, tmp_path):
+    """Copy-on-write delete: a one-id delete against the clustered layout
+    rewrites only that cluster's partition; every other partition directory
+    in the new version is a hardlink of the previous version's files."""
+    import os
+
+    from oasysdb_spark.index.ivf import build_index
+
+    d = str(tmp_path / "dbp")
+    db = Database.configure(spark, d, dimension=2, density=8)
+    rows = [
+        (f"p{i:03d}", [float(i % 4) * 100.0, float(i % 4) * 100.0], {}, {}, {})
+        for i in range(64)
+    ]
+    from oasysdb_spark.core.database import RECORD_SCHEMA
+
+    db.insert_batch(spark.createDataFrame(rows, RECORD_SCHEMA))
+    build_index(db, seed=7)
+    before = db.records.current_path()
+    victim_cluster = db.records_df().where(F.col("id") == "p000").first()["cluster_id"]
+
+    db.delete("p000")
+    after = db.records.current_path()
+    assert after != before
+    assert db.count() == 63
+    assert db.records_df().where(F.col("id") == "p000").isEmpty()
+
+    part_dirs = [e for e in os.listdir(after) if e.startswith("cluster_id=")]
+    assert len(part_dirs) >= 2
+    for entry in part_dirs:
+        old_files = sorted(os.listdir(os.path.join(before, entry)))
+        new_files = sorted(os.listdir(os.path.join(after, entry)))
+        linked = old_files == new_files and all(
+            os.path.samefile(os.path.join(before, entry, f), os.path.join(after, entry, f))
+            for f in old_files
+        )
+        if entry == f"cluster_id={victim_cluster}":
+            assert not linked, "affected partition must be rewritten"
+        else:
+            assert linked, f"untouched partition {entry} must be hardlinked, not rewritten"
+
+
+def test_indexed_update_rewrites_only_affected_partition(spark, tmp_path):
+    import os
+
+    from oasysdb_spark.core.database import RECORD_SCHEMA
+    from oasysdb_spark.index.ivf import build_index
+
+    d = str(tmp_path / "dbu")
+    db = Database.configure(spark, d, dimension=2, density=8)
+    rows = [
+        (f"u{i:03d}", [float(i % 4) * 100.0, 0.0], {}, {"n": float(i)}, {})
+        for i in range(64)
+    ]
+    db.insert_batch(spark.createDataFrame(rows, RECORD_SCHEMA))
+    build_index(db, seed=7)
+    before = db.records.current_path()
+    victim_cluster = db.records_df().where(F.col("id") == "u001").first()["cluster_id"]
+
+    db.update_metadata("u001", {"tag": "new"})
+    after = db.records.current_path()
+    assert db.get("u001")["metadata"] == {"tag": "new"}
+    assert db.count() == 64
+
+    untouched = [
+        e
+        for e in os.listdir(after)
+        if e.startswith("cluster_id=") and e != f"cluster_id={victim_cluster}"
+    ]
+    assert untouched
+    for entry in untouched:
+        for f in os.listdir(os.path.join(after, entry)):
+            assert os.path.samefile(
+                os.path.join(before, entry, f), os.path.join(after, entry, f)
+            )
