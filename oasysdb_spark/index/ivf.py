@@ -56,6 +56,7 @@ def build_index(
     max_iter: int = 20,
     fit_sample_size: int = 200_000,
     source: "DataFrame | None" = None,
+    local_fit_limit: int = 1_000_000,
 ) -> int:
     """Bulk-build the IVF index: KMeans over a (seeded) sample, assign every
     record via a one-pass BLAS argmin, rewrite the records table partitioned
@@ -97,19 +98,17 @@ def build_index(
         return 1
 
     fit_df = records
+    n_fit = n
     if n > fit_sample_size:
         fit_df = records.sample(fraction=fit_sample_size / n, seed=seed)
+        n_fit = fit_sample_size  # expected sample size; exact count not needed
 
-    # The fit sample is bounded (≤ fit_sample_size rows), so the iterative
-    # phase runs driver-local with BLAS — tens of Lloyd iterations as numpy
-    # matmuls instead of tens of Spark jobs. MLlib k-means|| remains the
-    # escape hatch for callers who raise the sample bound beyond memory.
-    sample = np.asarray(
-        [r["embedding"] for r in fit_df.select("embedding").collect()], dtype=np.float64
-    )
-    if len(sample) <= 1_000_000:
-        centroids = _kmeans_fit_local(sample, k=k, seed=seed, max_iter=max_iter)
-    else:  # pragma: no cover - huge-sample fallback
+    # Path choice happens BEFORE any collect: a fit set beyond
+    # ``local_fit_limit`` rows goes to distributed MLlib k-means|| (the
+    # centroids — k × dim — are the only driver-side materialization);
+    # smaller fits collect the sample and run driver-local Lloyd with BLAS
+    # (tens of iterations as numpy matmuls instead of tens of Spark jobs).
+    if n_fit > local_fit_limit:
         kmeans = KMeans(
             k=k,
             seed=seed,
@@ -121,6 +120,12 @@ def build_index(
         )
         model = kmeans.fit(_records_with_vec(fit_df).select("__vec"))
         centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    else:
+        sample = np.asarray(
+            [r["embedding"] for r in fit_df.select("embedding").collect()],
+            dtype=np.float64,
+        )
+        centroids = _kmeans_fit_local(sample, k=k, seed=seed, max_iter=max_iter)
 
     assigned = records.withColumn(
         "cluster_id",

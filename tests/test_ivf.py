@@ -202,3 +202,23 @@ def test_probe_scan_partition_prunes(indexed_db):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters")[1][:300]
     assert "cluster_id" in pf and "IN (" in pf.upper()
+
+
+def test_distributed_kmeans_path_end_to_end(spark, tmp_path):
+    """Force the MLlib k-means|| branch (local_fit_limit=0): the fit never
+    collects vectors to the driver, its centroids feed the same one-pass
+    argmin assignment, and probing every cluster stays EXACT vs brute
+    force — the path a 100 TB build would actually take."""
+    d = str(tmp_path / "dist_ivf")
+    db = Database.configure(spark, d, dimension=DIM, density=32)
+    rows = [
+        (f"m{i:05d}", [float(i)] * DIM, {}, {"number": float(i)}, {})
+        for i in range(N)
+    ]
+    db.insert_batch(spark.createDataFrame(rows, RECORD_SCHEMA))
+    k = build_index(db, seed=42, local_fit_limit=0)
+    assert k >= N // 32
+    assert len(db.centroid_rows()) == k
+
+    brute = [r["id"] for r in db.query([7.0] * DIM, k=5, probes=k)]
+    assert brute == [f"m{i:05d}" for i in (7, 6, 8, 5, 9)]
