@@ -82,11 +82,17 @@ class Filter:
 
 def _parse_value(raw: str) -> str | float | bool:
     """Literal coercion: number → bool → quote-trimmed text
-    (/root/reference/src/types/record.rs:55-77)."""
-    try:
-        return float(raw)
-    except ValueError:
-        pass
+    (/root/reference/src/types/record.rs:55-77).
+
+    Python ``float()`` accepts underscore digit separators ('1_0' → 10.0)
+    but Rust ``f64::from_str`` does not — such a literal must type as Text
+    here too, or the type-mismatch → false truth table flips for the term.
+    """
+    if "_" not in raw:
+        try:
+            return float(raw)
+        except ValueError:
+            pass
     # Rust bool::from_str accepts exactly "true" / "false".
     if raw == "true":
         return True
@@ -161,7 +167,10 @@ class ColumnLayout:
         if dtype is None:
             # Missing key → false (/root/reference/src/types/filter.rs:75-79).
             return F.lit(False)
-        is_num = dtype in ("double", "float", "int", "bigint", "smallint", "tinyint", "decimal")
+        # Spark renders decimal dtypes as 'decimal(p,s)' — prefix match
+        is_num = dtype in (
+            "double", "float", "int", "bigint", "smallint", "tinyint"
+        ) or dtype.startswith("decimal")
         is_bool = dtype == "boolean"
         is_text = dtype in ("string", "varchar")
         val = F.col(term.key)
@@ -240,7 +249,9 @@ def filter_to_sql(expr: str | None, column_types: dict[str, str]) -> str:
         dtype = column_types.get(term.key)
         if dtype is None:
             return "FALSE"
-        is_num = dtype in ("double", "float", "int", "bigint", "integer")
+        is_num = dtype in (
+            "double", "float", "int", "bigint", "integer"
+        ) or dtype.startswith("decimal")
         is_bool = dtype == "boolean"
         is_text = dtype in ("string", "varchar")
         if term.vtype == "num":

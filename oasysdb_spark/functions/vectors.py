@@ -67,10 +67,16 @@ def l2_norm(a: Column | str) -> Column:
 def cosine_distance(a: Column | str, b: Column | str) -> Column:
     """Cosine distance = 1 − dot(a,b)/(‖a‖·‖b‖).
 
-    Zero-norm inputs yield NULL (guarded division) rather than NaN; the
-    reference's NaN distances are skipped during scans
-    (/root/reference/src/cores/index.rs:190-193) and NULLs behave the same
-    under our ``WHERE dist <= radius`` / ``asc_nulls_last`` plans.
+    Zero-norm inputs yield NULL (guarded division) rather than NaN.
+    DELIBERATE DIVERGENCE (SURVEY.md §2.6 family): the reference skips
+    only ``None`` distances, not NaN — a NaN from a zero-norm record
+    fails ``distance > radius`` (NaN comparisons are false) and therefore
+    ENTERS its result heap (/root/reference/src/cores/index.rs:190-199),
+    so zero-norm records can appear in reference results with NaN
+    distance. Here the NULL distance is excluded by ``isNotNull`` /
+    radius predicates and sorts last under ``asc_nulls_last`` — the
+    well-defined behavior a SQL engine should have; we consider the
+    reference's NaN admission a quirk not worth reproducing.
     """
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom != 0.0, F.lit(1.0) - dot_product(a, b) / denom)

@@ -122,3 +122,33 @@ def test_filter_to_sql_duckdb_parity(spark):
         duck = con.execute(f"SELECT count(*) FROM t WHERE {sql}").fetchone()[0] == 1
         sparkside = df.where(compile_filter(expr, layout)).count() == 1
         assert duck == sparkside == expected
+
+
+def test_underscore_literal_types_as_text():
+    """Python float() accepts '1_0' (= 10.0); Rust f64::from_str does not,
+    so the reference types such a literal as Text. Match Rust."""
+    from oasysdb_spark.filters import parse_filter
+
+    term = parse_filter("x = 1_0").terms[0]
+    assert term.value == "1_0" and term.vtype == "text"
+    # plain numerics still parse as numbers
+    assert parse_filter("x = 10").terms[0].vtype == "num"
+    assert parse_filter("x = 1.5e3").terms[0].vtype == "num"
+
+
+def test_decimal_column_numeric_filter(spark):
+    """Spark renders decimal dtypes as 'decimal(p,s)'; the numeric-type
+    check must prefix-match or decimal terms silently compile to FALSE."""
+    import duckdb
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(Decimal("12.50"),), (Decimal("99.99"),)], "price decimal(10,2)"
+    )
+    layout = ColumnLayout(df)
+    assert df.where(compile_filter("price > 50", layout)).count() == 1
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT 12.50::DECIMAL(10,2) AS price UNION ALL SELECT 99.99")
+    sql = filter_to_sql("price > 50", dict(df.dtypes))
+    assert con.execute(f"SELECT count(*) FROM t WHERE {sql}").fetchone()[0] == 1
