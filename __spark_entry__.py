@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_label_centroids": vec.label_centroids,
         "vec_ivf_knn": _ivf_knn,
         "vec_lsh_knn": vec.lsh_knn,
+        "vec_lsh_knn_indexed": vec.lsh_knn_indexed,
         "vec_knn_manhattan": _manhattan_knn,
         "vec_knn_join_blocked": sj.knn_join_blocked,
         # --- relational category representatives (SURVEY.md §2.5) ---
@@ -133,12 +134,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_lineitem": rel.pivot_lineitem,
         "unpivot_lineitem": rel.unpivot_lineitem,
         "setop_customers": rel.setop_customers,
-        "customers_without_orders": rel.customers_without_orders,
         "parts_above_avg_price": rel.parts_above_avg_price,
         "skew_salted_user_join": rel.skew_salted_user_join,
         "bucketed_revenue_by_priority": rel.bucketed_revenue_by_priority,
         # ---- driver window boundary (~50) — tail below is the same
         # categories again, locally oracle-verified ----
+        "customers_without_orders": rel.customers_without_orders,
         "top_orders_per_customer": rel.top_orders_per_customer,
         "running_revenue": rel.running_revenue,
         "cube_orders": rel.cube_orders,
@@ -508,6 +509,11 @@ def oracle_sql() -> dict[str, str]:
                      / ({_NORM.format(v="e.ev")} * {_NORM.format(v="q.qv")}), 6) + 0.0 AS distance
         FROM emb e JOIN cand c ON e.vec_id = c.vec_id, q
         ORDER BY distance, e.vec_id LIMIT 10"""
+
+    # the materialized bucket-partitioned layout probes the SAME salt-0
+    # planes/buckets, so the single-table indexed path returns identical
+    # rows — one oracle checks both implementations
+    q["vec_lsh_knn_indexed"] = q["vec_lsh_knn"]
 
     q["vec_knn_join_blocked"] = f"""
         WITH pairs AS (

@@ -244,16 +244,21 @@ def ivf_knn(
 # ---------------------------------------------------------------------------
 
 
-def rh_plane_signs(num_planes: int, dim: int) -> list[list[int]]:
+def rh_plane_signs(num_planes: int, dim: int, salt: int = 0) -> list[list[int]]:
     """Deterministic Rademacher (±1) hyperplanes from the repo's md5 hash
     family — reproducible bit-for-bit by the DuckDB oracle and across
-    runs without carrying a planes table around."""
+    runs without carrying a planes table around. ``salt`` derives an
+    independent plane family per LSH table (salt 0 keeps the original
+    keys, so existing oracles replay unchanged)."""
     import hashlib
+
+    def key(p: int, d: int) -> str:
+        return f"rh:{p}:{d}" if salt == 0 else f"rh{salt}:{p}:{d}"
 
     return [
         [
             1
-            if int(hashlib.md5(f"rh:{p}:{d}".encode()).hexdigest()[:15], 16) % 2
+            if int(hashlib.md5(key(p, d).encode()).hexdigest()[:15], 16) % 2
             else -1
             for d in range(dim)
         ]
@@ -349,3 +354,115 @@ def lsh_knn(
         .orderBy("distance", "vec_id")
         .limit(k)
     )
+
+
+# -- materialized bucket-partitioned layout (the 100 TB shape) --------------
+
+
+def _query_probe_buckets(qvec, signs: list[list[int]], scale: int) -> list[int]:
+    """The query's bucket plus every bucket one hamming bit away."""
+    import numpy as np
+
+    num_planes = len(signs)
+    S = np.array(signs, dtype=np.int64)
+    dots = S @ _quantize(qvec, scale)
+    bucket = int(
+        ((dots > 0).astype(np.int64) * (np.int64(1) << np.arange(num_planes))).sum()
+    )
+    return [bucket] + [bucket ^ (1 << j) for j in range(num_planes)]
+
+
+def build_lsh_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    num_planes: int = 6,
+    scale: int = 1000,
+    num_tables: int = 1,
+) -> str:
+    """Materialize the embeddings PARTITIONED BY LSH bucket — one
+    sub-layout per independent (salted) plane table, mirroring the IVF
+    clustered layout (index/ivf.py): querying becomes partition pruning
+    instead of recomputing every row's bucket per query. Build cost is
+    ``num_tables`` row-local passes (no shuffle beyond the partitioned
+    write); at 100 TB this is the train-free analog of the IVF build.
+    Multiple salted tables trade disk for recall: candidates are the
+    union across tables."""
+    import os
+
+    for t in range(num_tables):
+        path = os.path.join(work_dir, f"t{t}")
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            continue
+        embs = load_embeddings(spark, sf_dir)
+        dim = len(embs.select("embedding").first()["embedding"])
+        signs = rh_plane_signs(num_planes, dim, salt=t)
+        bucketed = embs.withColumn(
+            "bucket", lsh_bucket_udf(signs, scale)(F.col("embedding"))
+        )
+        bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    return work_dir
+
+
+def lsh_knn_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    num_planes: int = 6,
+    scale: int = 1000,
+    num_tables: int = 1,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k over the MATERIALIZED bucket-partitioned
+    layout: per table, the query's bucket + hamming-1 probes select
+    ``num_planes + 1`` partition directories (plan shows PartitionFilters
+    — the scan never reads the rest of the corpus), candidates union
+    across salted tables, and the exact rounded-cosine re-rank runs on
+    candidates only.
+
+    With ``num_tables=1`` the result is IDENTICAL to :func:`lsh_knn`
+    (same salt-0 planes, same probes), so the same SQL oracle checks both
+    paths; more tables raise recall (union of independent candidate
+    sets) at proportional disk/probe cost."""
+    import os
+    import tempfile
+
+    embs = load_embeddings(spark, sf_dir)
+    qrow = embs.where(F.col("vec_id") == query_vec_id).select("embedding").first()
+    if qrow is None:
+        from oasysdb_spark.errors import InvalidArgumentError
+
+        raise InvalidArgumentError(f"query_vec_id {query_vec_id} not found")
+    dim = len(qrow["embedding"])
+
+    if work_dir is None:
+        key = (sf_dir, num_planes, scale, num_tables)
+        work_dir = _LSH_LAYOUT_CACHE.setdefault(
+            key, tempfile.mkdtemp(prefix="oasys_lsh_")
+        )
+    build_lsh_layout(spark, sf_dir, work_dir, num_planes, scale, num_tables)
+
+    cand = None
+    for t in range(num_tables):
+        signs = rh_plane_signs(num_planes, dim, salt=t)
+        probe = _query_probe_buckets(qrow["embedding"], signs, scale)
+        part = (
+            spark.read.parquet(os.path.join(work_dir, f"t{t}"))
+            .where(F.col("bucket").isin(probe))
+            .select("vec_id", "label", "embedding")
+        )
+        cand = part if cand is None else cand.unionByName(part)
+    if num_tables > 1:
+        cand = cand.dropDuplicates(["vec_id"])
+
+    q = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
+    dist = distance_expr("cosine", q, F.col("embedding"))
+    return (
+        cand.select("vec_id", "label", round_dist(dist).alias("distance"))
+        .orderBy("distance", "vec_id")
+        .limit(k)
+    )
+
+
+_LSH_LAYOUT_CACHE: dict = {}

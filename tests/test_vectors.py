@@ -120,3 +120,50 @@ def test_lsh_knn_parity_and_semantics(spark, sf_dir):
         assert exact[vid] == d  # same rounded distance as the exact scan
     # distances ascend (orderBy contract)
     assert [d for _, d in a] == sorted(d for _, d in a)
+
+
+def test_lsh_indexed_prunes_partitions_and_matches(spark, sf_dir, tmp_path):
+    """The materialized bucket layout turns probing into partition pruning
+    (scan reads num_planes+1 directories, never the corpus), and the
+    single-table result is identical to the recompute-per-query path."""
+    from oasysdb_spark.operators import vectorops as vec
+
+    wd = str(tmp_path / "lsh_layout")
+    df = vec.lsh_knn_indexed(spark, sf_dir, work_dir=wd)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_line = [l for l in plan.splitlines() if "FileScan" in l and "bucket" in l]
+    assert scan_line and "PartitionFilters" in plan
+    # the probed-bucket predicate must sit in PartitionFilters (pruning),
+    # not a post-scan Filter over the whole corpus
+    assert "bucket" in plan.split("PartitionFilters")[1][:200]
+
+    indexed = [(r["vec_id"], r["distance"]) for r in df.collect()]
+    recompute = [
+        (r["vec_id"], r["distance"]) for r in vec.lsh_knn(spark, sf_dir).collect()
+    ]
+    assert indexed == recompute
+
+
+def test_lsh_multi_table_recall_improves(spark, sf_dir, tmp_path):
+    """Salted plane tables union independent candidate sets: recall@10 vs
+    brute force must not drop, and the candidate pool strictly widens."""
+    from oasysdb_spark.operators import vectorops as vec
+
+    exact = [
+        r["vec_id"]
+        for r in vec.knn_bruteforce(spark, sf_dir, k=10, metric="cosine").collect()
+    ]
+
+    def recall(n_tables):
+        got = [
+            r["vec_id"]
+            for r in vec.lsh_knn_indexed(
+                spark, sf_dir, num_tables=n_tables,
+                work_dir=str(tmp_path / f"l{n_tables}"),
+            ).collect()
+        ]
+        return len(set(got) & set(exact)) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1
+    assert r4 > 0.3  # multi-table lifts the documented single-table floor
