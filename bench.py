@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "vec_knn_batched",
     "vec_ivf_knn",
     "vec_lsh_knn",
+    "vec_lsh_knn_indexed",
+    "interval_overlap_join",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_quality",
