@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clean_pipeline": textops.clean_corpus_pipeline,
         # --- multimodal (binary columns + Arrow feature extraction) ---
         "multimodal_features": mm.multimodal_features,
+        "multimodal_pixel_stats": mm.multimodal_pixel_stats,
         # --- temporal joins + windowed aggregation (SURVEY.md §2.5) ---
         "asof_click_view": tmp.asof_click_view,
         "range_join_price_bands": tmp.range_join_price_bands,
@@ -134,12 +135,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_lineitem": rel.pivot_lineitem,
         "unpivot_lineitem": rel.unpivot_lineitem,
         "setop_customers": rel.setop_customers,
-        "parts_above_avg_price": rel.parts_above_avg_price,
         "skew_salted_user_join": rel.skew_salted_user_join,
         "bucketed_revenue_by_priority": rel.bucketed_revenue_by_priority,
         # ---- driver window boundary (~50) — tail below is the same
         # categories again, locally oracle-verified ----
         "customers_without_orders": rel.customers_without_orders,
+        "parts_above_avg_price": rel.parts_above_avg_price,
         "top_orders_per_customer": rel.top_orders_per_customer,
         "running_revenue": rel.running_revenue,
         "cube_orders": rel.cube_orders,
@@ -869,6 +870,28 @@ def oracle_sql() -> dict[str, str]:
                      * 1.0 / length(text), 6) AS byte_mean,
                CAST(ceil((n_chars % 100 + 1) / 10.0) AS BIGINT) AS n_sampled_frames
         FROM documents"""
+
+    # pixel payload = utf-8 text bytes zero-padded to 16-px RGB rows; the
+    # oracle recomputes channel means straight from the characters, so the
+    # Spark side's REAL PPM decode must agree byte-for-byte
+    q["multimodal_pixel_stats"] = """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 list_transform(string_split(text, ''), c -> ascii(c)) AS bytes,
+                 greatest(1, CAST(ceil(octet_length(encode(text)) / 48.0) AS BIGINT)) AS h
+          FROM documents)
+        SELECT media_id, CAST(16 AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+               round(COALESCE(list_sum(bytes), 0) / (h * 48.0), 6) AS pix_mean,
+               round(COALESCE(list_sum(list_transform(range(1, len(bytes) + 1),
+                     i -> CASE WHEN (i - 1) % 3 = 0 THEN bytes[CAST(i AS INTEGER)] ELSE 0 END)), 0)
+                     / (h * 16.0), 6) AS mean_r,
+               round(COALESCE(list_sum(list_transform(range(1, len(bytes) + 1),
+                     i -> CASE WHEN (i - 1) % 3 = 1 THEN bytes[CAST(i AS INTEGER)] ELSE 0 END)), 0)
+                     / (h * 16.0), 6) AS mean_g,
+               round(COALESCE(list_sum(list_transform(range(1, len(bytes) + 1),
+                     i -> CASE WHEN (i - 1) % 3 = 2 THEN bytes[CAST(i AS INTEGER)] ELSE 0 END)), 0)
+                     / (h * 16.0), 6) AS mean_b
+        FROM m"""
 
     q["text_language_id"] = f"""
         WITH toks AS (SELECT doc_id, lang, {_TOKS} AS tk FROM documents),
