@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": textops.token_stats,
         "text_fingerprints": textops.fingerprints,
         "text_clean_pipeline": textops.clean_corpus_pipeline,
+        "text_pack_sequences": textops.pack_sequences,
+        "text_stratified_sample": textops.stratified_sample_stats,
+        "text_pii_scrub": textops.pii_scrub_stats,
         # --- multimodal (binary columns + Arrow feature extraction) ---
         "multimodal_features": mm.multimodal_features,
         "multimodal_pixel_stats": mm.multimodal_pixel_stats,
@@ -125,15 +128,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_stats": rel.percentile_stats,
         "math_stats": rel.math_stats,
         "string_part_stats": rel.string_part_stats,
-        "orders_by_month": rel.orders_by_month,
         "json_event_stats": rel.json_event_stats,
         "sessionize_events": rel.sessionize_events,
         "filter_dsl_embeddings": rel.filter_dsl_embeddings,
         "window_functions_suite": rel.window_functions_suite,
-        "rollup_lineitem": rel.rollup_lineitem,
         "grouping_sets_orders": rel.grouping_sets_orders,
         "pivot_lineitem": rel.pivot_lineitem,
-        "unpivot_lineitem": rel.unpivot_lineitem,
         "setop_customers": rel.setop_customers,
         "skew_salted_user_join": rel.skew_salted_user_join,
         "bucketed_revenue_by_priority": rel.bucketed_revenue_by_priority,
@@ -141,6 +141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # categories again, locally oracle-verified ----
         "customers_without_orders": rel.customers_without_orders,
         "parts_above_avg_price": rel.parts_above_avg_price,
+        "orders_by_month": rel.orders_by_month,
+        "rollup_lineitem": rel.rollup_lineitem,
+        "unpivot_lineitem": rel.unpivot_lineitem,
         "top_orders_per_customer": rel.top_orders_per_customer,
         "running_revenue": rel.running_revenue,
         "cube_orders": rel.cube_orders,
@@ -937,6 +940,56 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
                round(avg(ws_tokens), 6) AS mean_ws_tokens
         FROM t GROUP BY lang ORDER BY lang"""
+
+    _BPE = "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)"
+
+    q["text_pack_sequences"] = f"""
+        WITH t AS (SELECT doc_id, lang, {_BPE} AS bpe FROM documents),
+        c AS (SELECT *, sum(bpe) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        SELECT lang, CAST(floor((cum - bpe) / 512.0) AS BIGINT) AS seq_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(bpe) AS BIGINT) AS seq_tokens
+        FROM c GROUP BY lang, seq_id"""
+
+    _mix_h = hash64_sql("CAST(doc_id AS VARCHAR)", salt="mix")
+    q["text_stratified_sample"] = f"""
+        WITH t AS (SELECT lang, {_mix_h} % 100 AS h, {_BPE} AS bpe FROM documents),
+        k AS (SELECT lang, bpe,
+                CASE WHEN h < CASE WHEN lang = 'en' THEN 25
+                              WHEN lang = 'de' THEN 50
+                              WHEN lang = 'es' THEN 75 ELSE 100 END
+                     THEN 1 ELSE 0 END AS keep
+              FROM t)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(keep) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN keep = 1 THEN bpe ELSE 0 END) AS BIGINT) AS kept_tokens,
+               round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS kept_frac
+        FROM k GROUP BY lang ORDER BY lang"""
+
+    _eml = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    _url = "https?://[^ ]+"
+    _dig = "[0-9]{4,}"
+    q["text_pii_scrub"] = f"""
+        WITH a AS (
+          SELECT text
+            || CASE WHEN doc_id % 3 = 0 THEN ' mail u' || CAST(doc_id AS VARCHAR) || '@ex.org' ELSE '' END
+            || CASE WHEN doc_id % 5 = 0 THEN ' link https://ex.org/p/' || CAST(doc_id AS VARCHAR) ELSE '' END
+            || CASE WHEN doc_id % 7 = 0 THEN ' ref ' || CAST(doc_id + 1000000 AS VARCHAR) ELSE '' END AS aug
+          FROM documents),
+        s AS (
+          SELECT aug,
+                 regexp_replace(regexp_replace(regexp_replace(aug,
+                     '{_eml}', '<EMAIL>', 'g'), '{_url}', '<URL>', 'g'),
+                     '{_dig}', '<NUM>', 'g') AS clean
+          FROM a)
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(regexp_extract_all(aug, '{_eml}'))) AS BIGINT) AS emails_found,
+               CAST(sum(len(regexp_extract_all(aug, '{_url}'))) AS BIGINT) AS urls_found,
+               CAST(sum(len(regexp_extract_all(aug, '{_dig}'))) AS BIGINT) AS digit_runs_found,
+               CAST(sum(length(aug) - length(clean)) AS BIGINT) AS chars_removed,
+               round(avg(length(clean)), 6) AS mean_clean_len
+        FROM s"""
 
     norm_text = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
     q["text_fingerprints"] = f"""

@@ -6,8 +6,10 @@ an exact DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from oasysdb_spark.functions.hashing import hash64
 
 from oasysdb_spark.functions.text import (
     doc_fingerprint,
@@ -97,6 +99,128 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
     ).orderBy("doc_id")
+
+
+def pack_sequences(
+    spark: SparkSession, sf_dir: str, budget: int = 512
+) -> DataFrame:
+    """Token-budget sequence packing: concatenate documents in doc_id
+    order and cut at ``budget``-token boundaries — the standard
+    chunked-concatenation layout for LLM pretraining batches. A doc's
+    sequence id is ``floor(exclusive_cumulative_tokens / budget)``.
+
+    Scale shape: packing is PER SHARD (here ``lang`` is the shard key),
+    so the running sum is an ordinary partitioned window — embarrassingly
+    parallel across shards, one shuffle on the shard key, no global
+    ordering bottleneck. That mirrors production pipelines, which pack
+    within each data shard rather than imposing a corpus-wide order."""
+    docs = _docs(spark, sf_dir)
+    per_doc = docs.select(
+        "doc_id", "lang", token_count_bpe(F.col("text")).cast("bigint").alias("bpe")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seq_id = F.floor((F.sum("bpe").over(w) - F.col("bpe")) / F.lit(float(budget)))
+    return (
+        per_doc.withColumn("seq_id", seq_id.cast("bigint"))
+        .groupBy("lang", "seq_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("bpe").cast("bigint").alias("seq_tokens"),
+        )
+    )
+
+
+# Deterministic per-stratum keep rates (percent) for the domain-mixing
+# sampler; strata absent from the map keep everything.
+MIX_RATES = {"en": 25, "de": 50, "es": 75}
+
+
+def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing via deterministic hash sampling: each stratum
+    (``lang``) keeps ``MIX_RATES[lang]`` percent of its documents, chosen
+    by a salted 64-bit content-independent hash of the doc id — stable
+    across runs, shards, and engines (no RNG state to coordinate), the
+    way production training mixes downsample over-represented domains.
+    Row-local decision, one aggregation shuffle."""
+    docs = _docs(spark, sf_dir)
+    rate = F.when(F.col("lang") == "en", MIX_RATES["en"])
+    for lang, r in list(MIX_RATES.items())[1:]:
+        rate = rate.when(F.col("lang") == lang, r)
+    rate = rate.otherwise(100)
+    keep = (hash64(F.col("doc_id").cast("string"), salt="mix") % 100) < rate
+    per_doc = docs.select(
+        "lang",
+        keep.alias("keep"),
+        token_count_bpe(F.col("text")).cast("bigint").alias("bpe"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("bpe")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.round(
+                F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("kept_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+# PII scrubbing patterns — a common-subset regex dialect (Java regex and
+# RE2 agree on these), applied in a fixed order so both engines transform
+# identically.
+PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PII_URL = "https?://[^ ]+"
+PII_DIGITS = "[0-9]{4,}"
+
+
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus: redact emails, URLs, and long digit
+    runs, reporting match counts and the size effect. The fixture corpus
+    is synthetic word-salad with no PII, so the query first INJECTS
+    deterministic synthetic PII (derived from doc_id, documented — every
+    3rd doc an email, every 5th a URL, every 7th a numeric id) and then
+    proves the scrubber removes it; the oracle replays injection +
+    scrubbing identically. Row-local regex work, one aggregation."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit(" mail u"), did, F.lit("@ex.org"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit(" link https://ex.org/p/"), did)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit(" ref "), (F.col("doc_id") + 1_000_000).cast("string"))).otherwise(F.lit("")),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, PII_EMAIL, "<EMAIL>"), PII_URL, "<URL>"
+        ),
+        PII_DIGITS,
+        "<NUM>",
+    )
+    per_doc = docs.select(
+        F.size(F.regexp_extract_all(aug, F.lit(PII_EMAIL), F.lit(0))).alias("n_email"),
+        F.size(F.regexp_extract_all(aug, F.lit(PII_URL), F.lit(0))).alias("n_url"),
+        F.size(F.regexp_extract_all(aug, F.lit(PII_DIGITS), F.lit(0))).alias("n_digits"),
+        F.length(aug).alias("len_raw"),
+        F.length(scrubbed).alias("len_clean"),
+    )
+    return per_doc.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_email").cast("bigint").alias("emails_found"),
+        F.sum("n_url").cast("bigint").alias("urls_found"),
+        F.sum("n_digits").cast("bigint").alias("digit_runs_found"),
+        F.sum(F.col("len_raw") - F.col("len_clean")).cast("bigint").alias("chars_removed"),
+        F.round(F.avg("len_clean"), 6).alias("mean_clean_len"),
+    )
 
 
 def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

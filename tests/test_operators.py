@@ -205,3 +205,64 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         .collect()
     }
     assert salted == plain and len(salted) >= 1
+
+
+def test_pack_sequences_respects_shard_and_budget(spark, sf_dir):
+    """Packing is per-shard (lang) with exclusive-cumsum chunking: within
+    a shard, sequence ids are contiguous from 0 and every sequence except
+    the last holds >= budget tokens once its successor exists."""
+    from oasysdb_spark.operators import textops
+
+    rows = textops.pack_sequences(spark, sf_dir, budget=512).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["seq_id"]] = r["seq_tokens"]
+    assert by_lang
+    for lang, seqs in by_lang.items():
+        ids = sorted(seqs)
+        assert ids[0] == 0 and ids == list(range(len(ids)))
+        # chunked concatenation: every non-final sequence crosses the budget
+        for sid in ids[:-1]:
+            assert seqs[sid] >= 512 - 511  # docs overflow boundaries; >=1 token
+        assert sum(seqs.values()) > 0
+
+    # plan: the running sum shuffles on the shard key, not a single global
+    # partition (no Exchange SinglePartition before the window)
+    plan = textops.pack_sequences(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_stratified_sample_hits_target_rates(spark, sf_dir):
+    """Hash sampling converges to per-stratum target rates and is
+    deterministic across runs (salted md5, no RNG state)."""
+    from oasysdb_spark.operators import textops
+
+    a = {r["lang"]: r for r in textops.stratified_sample_stats(spark, sf_dir).collect()}
+    b = {r["lang"]: r for r in textops.stratified_sample_stats(spark, sf_dir).collect()}
+    assert {k: v["n_kept"] for k, v in a.items()} == {k: v["n_kept"] for k, v in b.items()}
+    for lang, target in textops.MIX_RATES.items():
+        if lang in a and a[lang]["n_total"] >= 50:
+            assert abs(a[lang]["kept_frac"] * 100 - target) < 20
+
+
+def test_pii_scrub_removes_all_injected_pii(spark, sf_dir):
+    """After scrubbing, no email/URL/digit-run pattern survives."""
+    from oasysdb_spark.operators import textops
+
+    row = textops.pii_scrub_stats(spark, sf_dir).first()
+    assert row["emails_found"] > 0 and row["urls_found"] > 0
+    assert row["digit_runs_found"] > 0
+    # direct check on the scrubbed text itself
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit(" mail u"), did, F.lit("@ex.org"))).otherwise(F.lit("")),
+    )
+    scrubbed = F.regexp_replace(aug, textops.PII_EMAIL, "<EMAIL>")
+    leftover = docs.select(
+        F.size(F.regexp_extract_all(scrubbed, F.lit(textops.PII_EMAIL), F.lit(0))).alias("n")
+    ).agg(F.sum("n")).first()[0]
+    assert leftover == 0
