@@ -213,6 +213,55 @@ def user_running_totals(events_stream: DataFrame, output_mode: str = "update") -
     )
 
 
+def stream_click_view_join(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: every click pairs with the same user's
+    views in the ``gap`` window ending at the click (time-bounded
+    condition, both sides watermarked).
+
+    The time bound + watermarks are what make this viable on unbounded
+    streams: each side's join state is evicted once the watermark passes
+    the range a future match could need, so state is bounded by
+    (arrival rate × (gap + delay)) instead of growing forever — Spark
+    rejects an unbounded stream-stream inner join outright. The batch
+    twin is the identical join on static frames (asserted equal in
+    tests); the as-of variant (latest view only) is
+    ``operators/temporal.asof_join``.
+    """
+    clicks = (
+        events_stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark_delay)
+    )
+    views = (
+        events_stream.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark_delay)
+    )
+    cond = (
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {gap}"))
+    )
+    return clicks.join(views, cond).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        "view_id",
+        (F.unix_millis("click_ts") - F.unix_millis("view_ts")).cast("bigint").alias("gap_ms"),
+    )
+
+
 def dedup_stream(
     stream_df: DataFrame,
     keys: list[str],

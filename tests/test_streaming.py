@@ -347,3 +347,56 @@ def test_ingest_replay_is_idempotent(spark, tmp_path):
     )
     ingest(batch2, 2)
     assert db.count() == 26
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked time-bounded stream-stream join == the identical batch
+    join (availableNow drains the whole fixture, so no rows are lost to
+    watermark eviction mid-run)."""
+    from oasysdb_spark.streaming.ingest import stream_click_view_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    src = str(tmp_path / "ev_src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    joined = stream_click_view_join(stream)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["click_id"], r["view_id"], r["gap_ms"])
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 30 minutes"))
+    )
+    want = {
+        (r["click_id"], r["view_id"], r["gap_ms"])
+        for r in clicks.join(views, cond)
+        .select(
+            "click_id", "view_id",
+            (F.unix_millis("click_ts") - F.unix_millis("view_ts")).cast("bigint").alias("gap_ms"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
