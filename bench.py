@@ -77,6 +77,9 @@ def main():
     # vec_ivf_knn below measures the steady-state serving path. The entry's
     # per-sf work_dir cache makes this run reuse the built tables.
     qs["vec_ivf_knn"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # Same steady-state rationale for the LSH bucket layout: build untimed,
+    # the timed query below measures partition-pruned serving.
+    qs["vec_lsh_knn_indexed"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -232,6 +232,9 @@ def interval_overlap_sessions(
     broadcast-able — exactly the case the bucketized equi-join exists for.
     Returns the ``top_n`` longest overlaps (ms), deterministic tie-break on
     all pair keys."""
+    # NOT cached: both sides derive from the same session table, but the
+    # two derivations run in parallel inside one job, which beats a serial
+    # cache materialization on the cold path this query is measured on
     sessions = _user_sessions(_t(spark, sf_dir, "events"))
     out = interval_overlap_join(
         sessions.select(
