@@ -49,6 +49,54 @@ class VersionedTable:
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.current_path())
 
+    def versions(self) -> list[str]:
+        """All retained version names, oldest first (bounded by the
+        ``keep_versions`` GC of the write paths)."""
+        try:
+            return sorted(
+                d for d in os.listdir(self.root) if d.startswith("v") and d[1:].isdigit()
+            )
+        except FileNotFoundError:
+            return []
+
+    def read_version(self, spark: SparkSession, version: str) -> DataFrame:
+        """Time travel: read a specific retained version. Versions are
+        immutable directories, so this is the same snapshot-isolation
+        guarantee readers of the current pointer get, pointed at history
+        (what Delta/Iceberg call ``VERSION AS OF``)."""
+        path = os.path.join(self.root, version)
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"version {version!r} not retained in {self.root} "
+                f"(have: {self.versions()})"
+            )
+        return spark.read.parquet(path)
+
+    def compact(
+        self,
+        spark: SparkSession,
+        partition_by: list[str] | None = None,
+        target_partitions: int | None = None,
+        keep_versions: int = 2,
+    ) -> str:
+        """Rewrite the current version with healthy file sizes — the
+        maintenance job for micro-batch append small-file buildup (every
+        streaming epoch appends >=1 file; thousands of tiny files destroy
+        scan throughput long before data size matters at 100 TB).
+
+        Partitioned layouts repartition on the partition columns so each
+        partition directory lands as few large files; unpartitioned
+        tables coalesce to ``target_partitions`` (default: the session's
+        shuffle parallelism). Readers are untouched: the compacted copy
+        is a NEW version behind the atomic pointer swap."""
+        df = self.read(spark)
+        if partition_by:
+            df = df.repartition(*[df[c] for c in partition_by])
+        else:
+            n = target_partitions or spark.sparkContext.defaultParallelism
+            df = df.coalesce(n)
+        return self.write(df, partition_by=partition_by, keep_versions=keep_versions)
+
     def _next_version(self) -> str:
         cur = self.current_version()
         n = int(cur[1:]) + 1 if cur else 1

@@ -56,3 +56,42 @@ def test_unsupported_format_raises(spark, sf_dir, tmp_path):
         write_table_as(orig, str(tmp_path / "x"), "avro")
     with pytest.raises(ValueError, match="unsupported format"):
         load_table_format(spark, str(tmp_path / "x"), "xml")
+
+
+def test_versioned_table_time_travel_and_compaction(spark, tmp_path):
+    """Micro-batch appends pile up small files; compact() rewrites the
+    current version into few files behind the atomic pointer swap, and
+    retained historical versions stay readable (VERSION AS OF)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.core.tables import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "vt"))
+    t.write(spark.range(0, 100).withColumn("v", F.col("id") * 2))
+    v1 = t.current_version()
+    for i in range(5):  # five appended micro-batches -> many small files
+        t.append(spark.range(100 + i * 10, 110 + i * 10).withColumn("v", F.col("id") * 2))
+    files_before = [
+        f for f in os.listdir(t.current_path()) if f.endswith(".parquet")
+    ]
+    assert len(files_before) > 4
+
+    v2 = t.compact(spark, target_partitions=1)
+    assert t.current_version() == v2
+    files_after = [
+        f for f in os.listdir(t.current_path()) if f.endswith(".parquet")
+    ]
+    assert len(files_after) == 1
+    assert t.read(spark).count() == 150
+    # the row multiset survives compaction
+    assert t.read(spark).agg(F.sum("v")).first()[0] == sum(2 * i for i in range(150))
+
+    # time travel: v1 (pre-compaction, incl. its appends) is still retained
+    assert v1 in t.versions()
+    assert t.read_version(spark, v1).count() == 150  # appends went into v1
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.read_version(spark, "v999999")
