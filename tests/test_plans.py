@@ -178,3 +178,47 @@ def test_simhash_pairs_no_nested_loop(spark, sf_dir):
     plan = _plan(dedup.simhash_near_pairs(spark, sf_dir))
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+# Queries whose nested-loop/cartesian is INTENTIONAL and bounded:
+# broadcast band dim (range join), the bounded quadratic Jaccard verifier,
+# and the broadcast-small-side batched kNN / golden-pair cross joins.
+_NLJ_WHITELIST = {
+    "range_join_price_bands",
+    "dedup_ngram_jaccard",
+    "vec_knn_batched",
+    "vec_golden_distance",
+    # scalar-threshold queries: the BNLJ build side is a ONE-ROW aggregate
+    # (crossJoin of a scalar), so the "nested loop" is a single broadcast
+    # value per row — O(n), the correct distributed scalar pattern
+    "skew_salted_user_join",
+    "q22_idle_customers",
+}
+
+# Construction has driver-side side effects (index/layout builds, query
+# vector fetch) — their plan shapes are asserted by dedicated tests above
+# and in test_vectors/test_ivf.
+_PLAN_SKIP_PREFIXES = ("vec_",)
+
+
+def test_no_accidental_nested_loops_anywhere(spark):
+    """Blanket scale guard over the whole driver-contract surface: no
+    query may plan a CartesianProduct or BroadcastNestedLoopJoin unless
+    whitelisted as intentionally bounded. Catches any future predicate
+    rewrite that silently loses its equi-key (the simhash OR-join bug
+    class)."""
+    import __spark_entry__ as entry
+
+    offenders = {}
+    for name, fn in entry.queries().items():
+        if name in _NLJ_WHITELIST or name.startswith(_PLAN_SKIP_PREFIXES):
+            continue
+        plan = _plan(fn(spark, "/root/testdata/sf0.001"))
+        bad = [
+            op
+            for op in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if op in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"unintended non-equi join plans: {offenders}"
