@@ -180,6 +180,15 @@ class Database:
     def count(self) -> int:
         return self.records_df().count()
 
+    def compact(self) -> str:
+        """Maintenance job: rewrite the records table with healthy file
+        sizes (micro-batch ingest appends >=1 file per epoch; see
+        VersionedTable.compact). Preserves the clustered layout when
+        indexed. Run on the same schedule as ``split_oversized_clusters``
+        — off the ingest hot path."""
+        partition = ["cluster_id"] if self.is_indexed() else None
+        return self.records.compact(self.spark, partition_by=partition)
+
     # ------------------------------------------------------------------
     # reads
     # ------------------------------------------------------------------

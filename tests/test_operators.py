@@ -266,3 +266,64 @@ def test_pii_scrub_removes_all_injected_pii(spark, sf_dir):
         F.size(F.regexp_extract_all(scrubbed, F.lit(textops.PII_EMAIL), F.lit(0))).alias("n")
     ).agg(F.sum("n")).first()[0]
     assert leftover == 0
+
+
+def test_embedding_near_pairs_ivf_recall(spark, sf_dir):
+    """IVF-cluster blocking must recover (almost all of) the exact
+    all-pairs top near-duplicates: near-dups share a centroid by
+    construction of 'near'."""
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.functions.vectors import dot_product, l2_norm
+    from oasysdb_spark.operators import dedup
+
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_near_pairs_ivf(spark, sf_dir, top_n=20).collect()
+    }
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a, b = embs.alias("a"), embs.alias("b")
+    sim = dot_product(F.col("a.embedding"), F.col("b.embedding")) / (
+        l2_norm(F.col("a.embedding")) * l2_norm(F.col("b.embedding"))
+    )
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("s"),
+        )
+        .orderBy(F.col("s").desc(), "vec_a", "vec_b")
+        .limit(20)
+        .collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.7, f"IVF blocking recall {recall}"
+
+
+def test_database_compact_after_stream_appends(spark, tmp_path):
+    """db.compact() collapses micro-batch small files while preserving the
+    clustered layout and every row."""
+    import os
+
+    from oasysdb_spark.core.database import Database, RECORD_SCHEMA
+    from oasysdb_spark.index.ivf import build_index
+
+    db = Database.configure(spark, str(tmp_path / "cdb"), dimension=2, density=8)
+    rows = [(f"c{i:03d}", [float(i % 4), 0.0], {}, {}, {}) for i in range(32)]
+    db.insert_batch(spark.createDataFrame(rows, RECORD_SCHEMA))
+    build_index(db, seed=3)
+    for i in range(4):  # appended micro-batches -> small files per cluster
+        more = [(f"x{i}{j}", [float(j % 4), 0.0], {}, {}, {}) for j in range(8)]
+        db.insert_batch(spark.createDataFrame(more, RECORD_SCHEMA))
+    n_before = db.count()
+
+    db.compact()
+    assert db.count() == n_before == 64
+    root = db.records.current_path()
+    for d in os.listdir(root):
+        if d.startswith("cluster_id="):
+            files = [f for f in os.listdir(os.path.join(root, d)) if f.endswith(".parquet")]
+            assert len(files) <= 2, f"{d} still fragmented: {len(files)} files"
