@@ -156,3 +156,41 @@ def test_interval_overlap_sessions_plan_no_nlj(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_property_random_intervals(spark):
+    """Property check: for random interval sets (including degenerate
+    points, duplicates, bucket-boundary endpoints, and spans far wider
+    than the bucket), the bucketized equi-join equals the naive
+    inequality join. One generated batch, many adversarial cases."""
+    import random
+
+    rng = random.Random(20260813)
+    rows_l, rows_r = [], []
+    for i in range(120):
+        s = rng.randrange(0, 2000)
+        rows_l.append((i, s, s + rng.choice([0, 1, 37, 100, 250, 999])))
+    for j in range(120):
+        s = rng.randrange(0, 2000)
+        rows_r.append((j, s, s + rng.choice([0, 3, 100, 400, 1500])))
+    # exact bucket-boundary endpoints
+    rows_l += [(200, 100, 200), (201, 300, 300)]
+    rows_r += [(300, 200, 300), (301, 0, 100)]
+
+    left = spark.createDataFrame(rows_l, "lid bigint, ls bigint, le bigint")
+    right = spark.createDataFrame(rows_r, "rid bigint, rs bigint, re bigint")
+    from pyspark.sql import functions as F
+
+    fast = sorted(
+        (r["lid"], r["rid"])
+        for r in tmp.interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_width=100
+        ).collect()
+    )
+    naive = sorted(
+        (r["lid"], r["rid"])
+        for r in left.join(
+            right, (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le"))
+        ).collect()
+    )
+    assert fast == naive and len(naive) > 100
