@@ -1,0 +1,105 @@
+"""ANN recall/latency trade-off measurement: IVF probe depth and LSH
+table count vs the brute-force oracle, averaged over several queries.
+
+Usage: python tools/ann_tradeoff.py [sf_dir] [n_queries]
+
+Prints one JSON line per configuration:
+  {"index": "ivf", "probes": 4, "recall_at_10": 0.9, "avg_sec": 0.41}
+The point of this tool is the measurement culture the changelog of the
+reference shows (recall measured against brute force / HNSWLib,
+/root/reference/docs/changelog.md:110-116) — tune knobs by numbers, not
+vibes.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    k = 10
+
+    from oasysdb_spark.operators import vectorops as vec
+    from oasysdb_spark.session import get_spark
+
+    spark = get_spark(app_name="ann_tradeoff")
+
+    exact_euc = {}
+    exact_cos = {}
+    for qid in range(n_queries):
+        exact_euc[qid] = [
+            r["vec_id"]
+            for r in vec.knn_bruteforce(spark, sf_dir, query_vec_id=qid, k=k).collect()
+        ]
+        exact_cos[qid] = [
+            r["vec_id"]
+            for r in vec.knn_bruteforce(
+                spark, sf_dir, query_vec_id=qid, k=k, metric="cosine"
+            ).collect()
+        ]
+
+    # IVF: shared pre-built index, vary probe depth
+    work = tempfile.mkdtemp(prefix="ann_tradeoff_ivf_")
+    vec.ivf_knn(spark, sf_dir, work_dir=work).collect()  # build untimed
+    from oasysdb_spark.core.database import Database
+
+    n_clusters = len(Database.open(spark, work).centroid_rows())
+    for probes in sorted({1, 2, 4, 8, n_clusters}):
+        if probes > n_clusters:
+            continue
+        hits, t0 = 0, time.time()
+        for qid in range(n_queries):
+            got = [
+                r["vec_id"]
+                for r in vec.ivf_knn(
+                    spark, sf_dir, query_vec_id=qid, k=k, probes=probes, work_dir=work
+                ).collect()
+            ]
+            hits += len(set(got) & set(exact_euc[qid]))
+        print(
+            json.dumps(
+                {
+                    "index": "ivf",
+                    "probes": probes,
+                    "n_clusters": n_clusters,
+                    "recall_at_10": round(hits / (n_queries * k), 3),
+                    "avg_sec": round((time.time() - t0) / n_queries, 3),
+                }
+            )
+        )
+
+    # LSH: shared layouts, vary table count
+    for n_tables in (1, 2, 4):
+        wd = tempfile.mkdtemp(prefix=f"ann_tradeoff_lsh{n_tables}_")
+        vec.lsh_knn_indexed(spark, sf_dir, num_tables=n_tables, work_dir=wd).collect()
+        hits, t0 = 0, time.time()
+        for qid in range(n_queries):
+            got = [
+                r["vec_id"]
+                for r in vec.lsh_knn_indexed(
+                    spark, sf_dir, query_vec_id=qid, k=k,
+                    num_tables=n_tables, work_dir=wd,
+                ).collect()
+            ]
+            hits += len(set(got) & set(exact_cos[qid]))
+        print(
+            json.dumps(
+                {
+                    "index": "lsh",
+                    "tables": n_tables,
+                    "recall_at_10": round(hits / (n_queries * k), 3),
+                    "avg_sec": round((time.time() - t0) / n_queries, 3),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
