@@ -327,3 +327,45 @@ def test_database_compact_after_stream_appends(spark, tmp_path):
         if d.startswith("cluster_id="):
             files = [f for f in os.listdir(os.path.join(root, d)) if f.endswith(".parquet")]
             assert len(files) <= 2, f"{d} still fragmented: {len(files)} files"
+
+
+def test_corpus_operators_handle_empty_tables(spark, tmp_path):
+    """Empty shards are routine at scale: every corpus operator must
+    return an empty (or zero-count) result on 0-row inputs, not crash."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "empty_sf")
+    import os
+
+    os.makedirs(d)
+    docs_schema = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()),
+         ("n_chars", pa.int64()), ("text", pa.string())]
+    )
+    pq.write_table(
+        pa.Table.from_pylist([], schema=docs_schema), f"{d}/documents.parquet"
+    )
+    events_schema = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("event_type", pa.string()), ("ts", pa.timestamp("us", tz="UTC")),
+         ("value", pa.float64()), ("props", pa.string())]
+    )
+    pq.write_table(
+        pa.Table.from_pylist([], schema=events_schema), f"{d}/events.parquet"
+    )
+
+    from oasysdb_spark.operators import dedup, temporal, textops
+
+    assert dedup.minhash_lsh_pairs(spark, d).count() == 0
+    assert dedup.simhash_near_pairs(spark, d).count() == 0
+    assert dedup.exact_dedup_stats(spark, d).first()["n_docs"] is None or \
+        dedup.exact_dedup_stats(spark, d).first()["n_docs"] == 0
+    assert textops.pack_sequences(spark, d).count() == 0
+    assert textops.stratified_sample_stats(spark, d).count() == 0
+    assert textops.fingerprints(spark, d).count() == 0
+    row = textops.pii_scrub_stats(spark, d).first()
+    assert row["n_docs"] == 0
+    assert temporal.interval_overlap_sessions(spark, d).count() == 0
+    assert temporal.events_tumbling_hourly(spark, d).count() == 0
