@@ -83,8 +83,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- dedup (LLM-pipeline surface) ---
         "dedup_exact_stats": dedup.exact_dedup_stats,
-        "dedup_exact_pick": dedup.exact_dedup_pick,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "dedup_components": dedup.dedup_components,
         "dedup_simhash": dedup.simhash_buckets,
         "dedup_simhash_pairs": dedup.simhash_near_pairs,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window boundary (~50) — tail below is the same
         # categories again, locally oracle-verified ----
         "customers_without_orders": rel.customers_without_orders,
+        "dedup_exact_pick": dedup.exact_dedup_pick,
         "parts_above_avg_price": rel.parts_above_avg_price,
         "orders_by_month": rel.orders_by_month,
         "rollup_lineitem": rel.rollup_lineitem,
@@ -544,8 +545,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS cnt
         FROM documents GROUP BY 1"""
 
-    q["dedup_minhash_lsh"] = f"""
-        WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    _mh_cte = f"""toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
         sh AS (SELECT doc_id,
                  CASE WHEN len(tk) >= 3
                       THEN list_distinct(list_transform(range(1, len(tk) - 1),
@@ -572,9 +572,27 @@ def oracle_sql() -> dict[str, str]:
                     len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS inter,
                     len(sa.shingles) AS la, len(sb.shingles) AS lb
                   FROM cand JOIN ne sa ON sa.doc_id = cand.doc_a
-                            JOIN ne sb ON sb.doc_id = cand.doc_b)
+                            JOIN ne sb ON sb.doc_id = cand.doc_b)"""
+
+    q["dedup_minhash_lsh"] = f"""
+        WITH {_mh_cte}
         SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
         FROM pairs ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50"""
+
+    # the iterative Spark label-propagation fixpoint, expressed as a
+    # recursive min-root reachability CTE — same components, hash-checked
+    q["dedup_components"] = f"""
+        WITH RECURSIVE {_mh_cte},
+        thresh AS (SELECT doc_a, doc_b FROM pairs
+                   WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM thresh
+                  UNION ALL SELECT doc_b, doc_a FROM thresh),
+        reach(doc, root) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc)
+        SELECT doc AS doc_id, CAST(min(root) AS BIGINT) AS component_id
+        FROM reach GROUP BY doc"""
 
     h_tok = hash64_sql("t")
     _simhash_cte = f"""

@@ -252,6 +252,124 @@ def minhash_lsh_pairs(
     return out.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b").limit(top_n)
 
 
+def minhash_candidate_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All near-duplicate edges (doc_a < doc_b) whose exact Jaccard meets
+    ``threshold`` — the thresholded (not top-n) variant of
+    :func:`minhash_lsh_pairs`, used as graph input for clustering."""
+    docs = load_documents(spark, sf_dir, spread=True)
+    sigs = minhash_signatures(docs, num_hashes=num_hashes).cache()
+    n_bands = num_hashes // band_size
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.concat_ws(
+                "_",
+                *[
+                    F.element_at(F.col("sig"), b * band_size + i + 1).cast("string")
+                    for i in range(band_size)
+                ],
+            ).alias("band_key"),
+        ),
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_key"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    shingle_sets = sigs.select("doc_id", "shingles")
+    pairs = cand.join(
+        shingle_sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+        "doc_a",
+    ).join(
+        shingle_sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return pairs.where(jac >= threshold).select("doc_a", "doc_b")
+
+
+def dedup_components(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTERING: pairs alone don't dedup a corpus — the
+    connected components of the near-dup graph do (keep one doc per
+    component). Component id = the minimum doc_id in the component,
+    computed by iterative min-label propagation over the MinHash candidate
+    edges: each round every doc takes the min of its own label and its
+    neighbors' labels, until fixpoint.
+
+    Scale shape: each round is one equi-join + one groupBy-min — the
+    simple variant of the large-star/small-star connected-components
+    algorithm; rounds needed = graph diameter, and near-dup clusters are
+    shallow (dup groups are cliques or near-cliques, diameter ≤ 2-3), so
+    the loop converges in a handful of rounds even at corpus scale. The
+    driver only ever sees a convergence COUNT per round, never data.
+
+    Oracle: the same fixpoint expressed as a DuckDB recursive CTE
+    (min-root reachability), so this iterative operator still gets a full
+    hash-checked row."""
+    docs = load_documents(spark, sf_dir)
+    edges = minhash_candidate_edges(spark, sf_dir, threshold=threshold)
+    # undirected: propagate labels both ways
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).cache()
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("component_id")).cache()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("component_id").alias("neighbor_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "component_id", F.coalesce("neighbor_label", "component_id")
+                ).alias("component_id"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component_id") < F.col("o.component_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", F.col("component_id").cast("bigint").alias("component_id")
+    )
+
+
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 32-bit SimHash plus its two 16-bit halves (the LSH
     buckets used for hamming-distance candidate pairing)."""

@@ -369,3 +369,39 @@ def test_corpus_operators_handle_empty_tables(spark, tmp_path):
     assert row["n_docs"] == 0
     assert temporal.interval_overlap_sessions(spark, d).count() == 0
     assert temporal.events_tumbling_hourly(spark, d).count() == 0
+
+
+def test_dedup_components_match_union_find(spark, sf_dir):
+    """Label propagation must produce exactly the components a driver-side
+    union-find over the same edge list produces (independent algorithm)."""
+    from oasysdb_spark.operators import dedup
+
+    edges = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_candidate_edges(spark, sf_dir).collect()
+    ]
+    docs = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    ]
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in docs}
+
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.dedup_components(spark, sf_dir).collect()
+    }
+    assert got == want
+    # the fixture contains real near-dup clusters, not just singletons
+    assert any(v != k for k, v in got.items())
