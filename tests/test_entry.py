@@ -45,7 +45,8 @@ def test_driver_window_covers_every_category():
     window = list(entry.queries())[:50]
     required = {
         # extension surface leads
-        "dedup_exact_stats", "dedup_minhash_lsh", "dedup_simhash_pairs",
+        "dedup_exact_stats", "dedup_minhash_lsh", "dedup_components",
+        "dedup_simhash_pairs",
         "text_clean_pipeline", "text_pack_sequences", "text_stratified_sample",
         "text_pii_scrub", "multimodal_features", "multimodal_pixel_stats",
         "asof_click_view", "range_join_price_bands", "interval_overlap_join",
