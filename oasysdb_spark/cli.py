@@ -1,0 +1,137 @@
+"""Command-line surface mapping the reference's service verbs
+(/root/reference/src/main.rs: the gRPC endpoints Heartbeat / Snapshot /
+Insert / Get / Delete / Update / Query and server configure) onto the
+Database API, so a reference user can drive the engine without writing
+Python. One JSON line per result on stdout.
+
+    python -m oasysdb_spark configure --dir /tmp/db --dimension 4
+    python -m oasysdb_spark insert --dir /tmp/db --vector 1,2,3,4 \
+        --metadata '{"name": "a"}'
+    python -m oasysdb_spark query --dir /tmp/db --vector 1,2,3,4 -k 5 \
+        --filter "name = a" --probes 4
+    python -m oasysdb_spark build-index --dir /tmp/db
+    python -m oasysdb_spark compact --dir /tmp/db
+
+This is an operational convenience layer: one short-lived SparkSession
+per invocation (local mode). Long-running deployments should hold a
+session and call the Database API directly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _vector(s: str) -> list[float]:
+    return [float(x) for x in s.replace(",", " ").split()]
+
+
+def _emit(obj) -> None:
+    print(json.dumps(obj, sort_keys=True))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="oasysdb_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add(name, **kw):
+        sp = sub.add_parser(name, **kw)
+        sp.add_argument("--dir", required=True, help="database directory")
+        return sp
+
+    c = add("configure", help="create a database")
+    c.add_argument("--dimension", type=int, required=True)
+    c.add_argument("--metric", default="euclidean")
+    c.add_argument("--density", type=int, default=256)
+    c.add_argument("--overwrite", action="store_true")
+
+    add("heartbeat", help="engine version")
+    add("snapshot", help="persist + record count")
+
+    i = add("insert", help="insert one record")
+    i.add_argument("--vector", required=True)
+    i.add_argument("--metadata", default=None, help="JSON object")
+    i.add_argument("--id", dest="record_id", default=None)
+
+    g = add("get", help="fetch a record by id")
+    g.add_argument("--id", dest="record_id", required=True)
+
+    d = add("delete", help="delete records by id")
+    d.add_argument("--id", dest="record_ids", nargs="+", required=True)
+
+    u = add("update", help="replace a record's metadata map")
+    u.add_argument("--id", dest="record_id", required=True)
+    u.add_argument("--metadata", required=True, help="JSON object")
+
+    q = add("query", help="ANN query")
+    q.add_argument("--vector", required=True)
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--filter", dest="filter_expr", default=None)
+    q.add_argument("--radius", type=float, default=None)
+    q.add_argument("--probes", type=int, default=None)
+
+    b = add("build-index", help="build/rebuild the IVF index")
+    b.add_argument("--seed", type=int, default=42)
+    b.add_argument("--k", type=int, default=None)
+
+    add("compact", help="rewrite the records table with healthy file sizes")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from oasysdb_spark.core.database import Database
+    from oasysdb_spark.session import get_spark
+
+    spark = get_spark(app_name=f"oasysdb_cli_{args.cmd}")
+
+    if args.cmd == "configure":
+        Database.configure(
+            spark, args.dir, dimension=args.dimension, metric=args.metric,
+            density=args.density, overwrite=args.overwrite,
+        )
+        _emit({"ok": True, "dir": args.dir})
+        return 0
+
+    db = Database.open(spark, args.dir)
+    if args.cmd == "heartbeat":
+        _emit({"version": db.heartbeat()})
+    elif args.cmd == "snapshot":
+        _emit({"count": db.snapshot()})
+    elif args.cmd == "insert":
+        meta = json.loads(args.metadata) if args.metadata else None
+        rid = db.insert(_vector(args.vector), meta, record_id=args.record_id)
+        _emit({"id": rid})
+    elif args.cmd == "get":
+        _emit(db.get(args.record_id))
+    elif args.cmd == "delete":
+        db.delete(args.record_ids)
+        _emit({"ok": True, "deleted": args.record_ids})
+    elif args.cmd == "update":
+        db.update_metadata(args.record_id, json.loads(args.metadata))
+        _emit({"ok": True, "id": args.record_id})
+    elif args.cmd == "query":
+        kwargs = {}
+        if args.probes is not None:
+            kwargs["probes"] = args.probes
+        if args.radius is not None:
+            kwargs["radius"] = args.radius
+        res = db.query(_vector(args.vector), k=args.k,
+                       filter=args.filter_expr, **kwargs)
+        _emit({"results": res})
+    elif args.cmd == "build-index":
+        from oasysdb_spark.index.ivf import build_index
+
+        n = build_index(db, k=args.k, seed=args.seed)
+        _emit({"ok": True, "n_clusters": n})
+    elif args.cmd == "compact":
+        version = db.compact()
+        _emit({"ok": True, "version": version})
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via __main__
+    sys.exit(main())

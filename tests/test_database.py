@@ -204,3 +204,40 @@ def test_indexed_update_rewrites_only_affected_partition(spark, tmp_path):
             assert os.path.samefile(
                 os.path.join(before, entry, f), os.path.join(after, entry, f)
             )
+
+
+def test_cli_verbs_roundtrip(spark, tmp_path, capsys):
+    """The CLI maps every reference service verb onto the Database API;
+    drive a full configure -> insert -> query -> update -> delete ->
+    compact lifecycle through it (in-process, shared session)."""
+    import json
+
+    from oasysdb_spark.cli import main
+
+    d = str(tmp_path / "clidb")
+
+    def run(*argv):
+        assert main(list(argv)) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert run("configure", "--dir", d, "--dimension", "3") == {"ok": True, "dir": d}
+    assert "version" in run("heartbeat", "--dir", d)
+    rid = run("insert", "--dir", d, "--vector", "1,2,3",
+              "--metadata", '{"name": "a"}')["id"]
+    run("insert", "--dir", d, "--vector", "4,5,6", "--id", "r2")
+    assert run("snapshot", "--dir", d)["count"] == 2
+
+    rec = run("get", "--dir", d, "--id", rid)
+    assert rec["vector"] == [1.0, 2.0, 3.0] and rec["metadata"] == {"name": "a"}
+
+    res = run("query", "--dir", d, "--vector", "1,2,3", "-k", "1",
+              "--filter", "name = a")
+    assert [r["id"] for r in res["results"]] == [rid]
+
+    run("update", "--dir", d, "--id", rid, "--metadata", '{"name": "b"}')
+    assert run("get", "--dir", d, "--id", rid)["metadata"] == {"name": "b"}
+
+    assert run("build-index", "--dir", d, "--k", "2")["n_clusters"] == 2
+    run("delete", "--dir", d, "--id", "r2")
+    assert run("snapshot", "--dir", d)["count"] == 1
+    assert run("compact", "--dir", d)["ok"] is True
