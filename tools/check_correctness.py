@@ -30,7 +30,12 @@ def normalize(v):
     if isinstance(v, float):
         if math.isnan(v):
             return ("f", "nan")
-        return ("f", v)
+        # BIT-level compare (not ==): the driver hashes formatted values,
+        # so -0.0 vs 0.0 — equal under float compare — is a driver
+        # mismatch. struct-packing makes the local gate exactly as strict.
+        import struct
+
+        return ("f", struct.pack("<d", v))
     if v is None:
         return ("n",)
     return ("s", str(v))
