@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # categories again, locally oracle-verified ----
         "customers_without_orders": rel.customers_without_orders,
         "dedup_exact_pick": dedup.exact_dedup_pick,
+        "text_boilerplate_ngrams": textops.boilerplate_ngrams,
         "parts_above_avg_price": rel.parts_above_avg_price,
         "orders_by_month": rel.orders_by_month,
         "rollup_lineitem": rel.rollup_lineitem,
@@ -969,6 +970,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(bpe) AS BIGINT) AS seq_tokens
         FROM c GROUP BY lang, seq_id"""
+
+    q["text_boilerplate_ngrams"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        sh AS (SELECT doc_id,
+                 CASE WHEN len(tk) >= 3
+                      THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                                         i -> array_to_string(tk[i:i+2], ' ')))
+                      ELSE [] END AS shingles
+               FROM toks)
+        SELECT ngram, CAST(count(*) AS BIGINT) AS doc_freq
+        FROM (SELECT unnest(shingles) AS ngram FROM sh WHERE len(shingles) > 0)
+        GROUP BY ngram ORDER BY doc_freq DESC, ngram LIMIT 20"""
 
     _mix_h = hash64_sql("CAST(doc_id AS VARCHAR)", salt="mix")
     q["text_stratified_sample"] = f"""

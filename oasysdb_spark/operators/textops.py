@@ -223,6 +223,29 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def boilerplate_ngrams(
+    spark: SparkSession, sf_dir: str, n: int = 3, top_n: int = 20
+) -> DataFrame:
+    """Boilerplate mining: the word n-grams appearing in the most
+    documents (shingles are distinct per doc, so the count IS document
+    frequency). High-DF n-grams are template/boilerplate candidates a
+    cleaning pipeline strips before training. Row-local shingling, one
+    count shuffle on the n-gram, top-n cut — linear at corpus scale."""
+    from oasysdb_spark.functions.text import tokens, word_shingles
+
+    docs = _docs(spark, sf_dir)
+    grams = (
+        docs.where(F.size(tokens(F.col("text"))) >= n)
+        .select(F.explode(word_shingles(tokens(F.col("text")), n=n)).alias("ngram"))
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").cast("bigint").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "ngram")
+        .limit(top_n)
+    )
+
+
 def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LLM-training-data prep story as ONE declarative plan:
 
