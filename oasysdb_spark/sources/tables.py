@@ -63,3 +63,24 @@ def load_table_format(spark: SparkSession, path: str, fmt: str, schema=None) -> 
     if fmt == "csv":
         r = r.option("header", "true")
     return getattr(r, fmt)(path)
+
+
+ALL_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, prefix: str = ""
+) -> list[str]:
+    """Register every fixture table as a temp view so the whole engine
+    surface is reachable from ``spark.sql(...)`` — the same declarative
+    plans Catalyst builds for the DataFrame API, just SQL-authored.
+    Returns the registered view names."""
+    names = []
+    for t in ALL_TABLES:
+        name = f"{prefix}{t}"
+        load_table(spark, sf_dir, t).createOrReplaceTempView(name)
+        names.append(name)
+    return names

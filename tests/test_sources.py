@@ -95,3 +95,28 @@ def test_versioned_table_time_travel_and_compaction(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         t.read_version(spark, "v999999")
+
+
+def test_register_tables_sql_surface(spark, sf_dir):
+    """spark.sql over the registered views produces the same results as
+    the DataFrame-built operator (same Catalyst plans, SQL-authored)."""
+    from oasysdb_spark.operators import relational as rel
+    from oasysdb_spark.sources.tables import ALL_TABLES, register_tables
+
+    names = register_tables(spark, sf_dir)
+    assert names == list(ALL_TABLES)
+    assert spark.sql("SELECT count(*) n FROM lineitem").first()["n"] > 0
+
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): r["count_order"]
+        for r in spark.sql(
+            """SELECT l_returnflag, l_linestatus, count(*) AS count_order
+               FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+               GROUP BY l_returnflag, l_linestatus"""
+        ).collect()
+    }
+    want = {
+        (r["l_returnflag"], r["l_linestatus"]): r["count_order"]
+        for r in rel.q1_pricing_summary(spark, sf_dir).collect()
+    }
+    assert got == want
