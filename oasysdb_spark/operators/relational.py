@@ -703,6 +703,30 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_stats(spark: SparkSession, sf_dir: str, rsd: float = 0.02) -> DataFrame:
+    """Sketch-based aggregates: HLL++ approximate distinct counts and
+    T-digest-style approximate percentiles next to their exact twins.
+
+    At 100 TB the exact forms are the expensive ones — ``count(DISTINCT)``
+    shuffles every distinct key and exact percentiles buffer whole groups,
+    while both sketches are fixed-size mergeable state with map-side
+    partial aggregation. No cross-engine oracle by nature (Spark's HLL++ /
+    percentile_approx differ from DuckDB's sketches), so this operator is
+    gated by error-bound tests against the exact twins instead
+    (tests/test_operators.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd).alias("parts_approx"),
+            F.countDistinct("l_partkey").alias("parts_exact"),
+            F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("price_med_approx"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("price_med_exact"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles/median per group — the ordered-aggregate surface.
     Spark's ``percentile`` (exact, linear interpolation) matches DuckDB's

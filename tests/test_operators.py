@@ -405,3 +405,20 @@ def test_dedup_components_match_union_find(spark, sf_dir):
     assert got == want
     # the fixture contains real near-dup clusters, not just singletons
     assert any(v != k for k, v in got.items())
+
+
+def test_sketch_stats_error_bounds(spark, sf_dir):
+    """Sketches must land within their advertised error of the exact
+    twins: HLL++ distinct within ~3x rsd, approx median within 2% of the
+    exact median (plenty of headroom for the 10k accuracy parameter)."""
+    from oasysdb_spark.operators import relational as rel
+
+    rows = rel.sketch_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["parts_approx"] - r["parts_exact"]) <= max(
+            2, 0.06 * r["parts_exact"]
+        )
+        assert abs(r["price_med_approx"] - r["price_med_exact"]) <= (
+            0.02 * r["price_med_exact"]
+        )
