@@ -262,6 +262,79 @@ def stream_click_view_join(
     )
 
 
+def near_dedup_stream_flags(
+    docs_stream: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 2,
+) -> DataFrame:
+    """Streaming NEAR-duplicate detection: MinHash-LSH with per-bucket
+    state. ``dedup_stream`` drops exact re-deliveries; this flags docs
+    that are merely *similar* to anything seen before — the streaming twin
+    of ``operators/dedup.minhash_lsh_pairs``.
+
+    Shape: signatures compute row-locally (the same Arrow MinHash UDF as
+    batch), each doc explodes to its LSH band rows, and an
+    ``applyInPandasWithState`` op keyed by ``(band_id, band_key)``
+    remembers the FIRST doc to claim each bucket. Emits one row per
+    (doc, band) with ``collided`` = an earlier doc already held the
+    bucket (earlier = smaller doc_id within a batch, arrival order across
+    batches). A doc is a near-dup candidate iff ANY of its bands
+    collided — that verdict is an ordinary aggregation over this output
+    (batch-side in foreachBatch, or windowed downstream).
+
+    State is one doc_id per OCCUPIED band bucket — proportional to
+    distinct content, not stream length; production pipelines bound it
+    further with a state TTL (GroupStateTimeout) when "recent dup" is the
+    requirement."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from oasysdb_spark.operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(docs_stream, num_hashes=num_hashes)
+    n_bands = num_hashes // band_size
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.concat_ws(
+                "_",
+                *[
+                    F.element_at(F.col("sig"), b * band_size + i + 1).cast("string")
+                    for i in range(band_size)
+                ],
+            ).alias("band_key"),
+        ),
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_key"
+    )
+
+    out_schema = "doc_id bigint, band_id int, collided boolean"
+    state_schema = "first_doc bigint"
+
+    def _claim(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs)).sort_values("doc_id")
+        first = state.get[0] if state.exists else None
+        out = []
+        for doc_id in rows["doc_id"]:
+            doc_id = int(doc_id)
+            if first is None:
+                first, collided = doc_id, False
+            else:
+                collided = doc_id != first
+            out.append((doc_id, int(key[0]), collided))
+        state.update((first,))
+        yield pd.DataFrame(out, columns=["doc_id", "band_id", "collided"])
+
+    return bands.groupBy("band_id", "band_key").applyInPandasWithState(
+        _claim,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def dedup_stream(
     stream_df: DataFrame,
     keys: list[str],

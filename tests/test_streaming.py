@@ -400,3 +400,79 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_near_dedup_stream_matches_batch_lsh(spark, sf_dir, tmp_path):
+    """Streaming MinHash-LSH flags exactly the docs the batch LSH marks as
+    non-first in some band bucket (earlier = smaller doc_id), including
+    across a restart with new data (state persists in the checkpoint)."""
+    from oasysdb_spark.operators.dedup import minhash_signatures
+    from oasysdb_spark.streaming.ingest import near_dedup_stream_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "nd_ckpt")
+    docs.write.parquet(src)
+
+    out_dir = str(tmp_path / "nd_out")
+
+    def drain():
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = (
+            near_dedup_stream_flags(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(out_dir)
+
+    flags = drain()
+    got_dups = {
+        r["doc_id"]
+        for r in flags.where(F.col("collided")).select("doc_id").distinct().collect()
+    }
+
+    # batch twin: doc is a near-dup candidate iff it is not the min doc_id
+    # in at least one of its band buckets
+    sigs = minhash_signatures(docs)
+    n_bands = 8
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.concat_ws(
+                "_",
+                F.element_at(F.col("sig"), b * 2 + 1).cast("string"),
+                F.element_at(F.col("sig"), b * 2 + 2).cast("string"),
+            ).alias("band_key"),
+        ),
+    )
+    bands = sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_key"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "band_key")
+    want_dups = {
+        r["doc_id"]
+        for r in bands.withColumn("first", F.min("doc_id").over(w))
+        .where(F.col("doc_id") != F.col("first"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert got_dups == want_dups and len(want_dups) > 0
+
+    # restart with an exact copy of doc 0's text under a new id: the
+    # checkpointed bucket state flags it immediately
+    dup_text = docs.where(F.col("doc_id") == 0).first()["text"]
+    spark.createDataFrame([(990001, dup_text)], "doc_id bigint, text string") \
+        .write.mode("append").parquet(src)
+    flags2 = drain()
+    new_rows = flags2.where(F.col("doc_id") == 990001)
+    assert new_rows.count() == 8  # one row per band
+    assert new_rows.where(F.col("collided")).count() == 8
