@@ -334,6 +334,35 @@ def synthesize_media_from_documents(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def load_media_dir(
+    spark, path: str, glob: str = "*", media_type: str = "application/octet-stream"
+) -> DataFrame:
+    """Ingest a directory of media files through Spark's ``binaryFile``
+    source into the MEDIA_SCHEMA shape: media_id = a 64-bit hash of the
+    file path (stable across runs and executors), content = the raw
+    bytes. This is how real image/audio corpora enter the pipeline — the
+    source parallelizes over files and never funnels blobs through the
+    driver."""
+    from oasysdb_spark.functions.hashing import hash64
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return raw.select(
+        hash64(F.col("path")).alias("media_id"),
+        F.col("content"),
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
 def multimodal_features(spark, sf_dir: str) -> DataFrame:
     """Oracle-checkable end-to-end multimodal pipeline: synthesize media →
     Arrow-batched feature extraction → frame-sample schedule, joined into

@@ -94,3 +94,39 @@ def test_pixel_stats_decode_matches_source_bytes(spark):
     row = media.orderBy("media_id").first()
     arr = decode_image(bytes(row["content"]))
     assert arr.shape[1] == 16 and arr.shape[2] == 3
+
+
+def test_binary_file_source_to_pixel_features(spark, tmp_path):
+    """Real files on disk -> binaryFile source -> native decode ->
+    pixel features: the ingest path an actual image corpus takes."""
+    import numpy as np
+
+    from oasysdb_spark.operators.multimodal import (
+        encode_bmp,
+        encode_ppm,
+        extract_pixel_features,
+        load_media_dir,
+    )
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(11)
+    arrays = {}
+    for i in range(4):
+        arr = rng.integers(0, 256, size=(4 + i, 5, 3), dtype=np.uint8)
+        blob = encode_ppm(arr) if i % 2 == 0 else encode_bmp(arr)
+        ext = "ppm" if i % 2 == 0 else "bmp"
+        (d / f"img_{i}.{ext}").write_bytes(blob)
+        arrays[i] = arr
+
+    media = load_media_dir(spark, str(d), glob="img_*")
+    assert media.count() == 4
+    feats = {
+        (r["height"], r["width"]): r["pix_mean"]
+        for r in extract_pixel_features(media).collect()
+    }
+    assert len(feats) == 4
+    for i, arr in arrays.items():
+        h, w, _ = arr.shape
+        expected = int(arr.sum()) / (h * w * 3.0)
+        assert feats[(h, w)] == expected
