@@ -140,6 +140,104 @@ def _decode_bmp(content: bytes):
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+def encode_wav(samples, sample_rate: int = 16_000) -> bytes:
+    """Encode a 1-D int16 array as a mono PCM WAV (RIFF) file."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(pcm),
+    )
+    return hdr + pcm
+
+
+def decode_audio(content: bytes):
+    """Decode a PCM WAV file into ``(samples int16 ndarray, sample_rate)``
+    — pure RIFF chunk parsing + numpy, no audio library. Covers the
+    uncompressed format (format tag 1, 16-bit); compressed codecs raise
+    NotImplementedError (the ffmpeg integration point)."""
+    import struct
+
+    import numpy as np
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE file: external codec required")
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(content):
+        cid, size = struct.unpack_from("<4sI", content, pos)
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            tag, channels, rate, _, _, bits = fmt
+            if tag != 1 or bits != 16:
+                raise NotImplementedError(
+                    "only 16-bit PCM WAV decodes natively; compressed audio "
+                    "needs an external codec"
+                )
+            samples = np.frombuffer(body, dtype="<i2")
+            if channels > 1:
+                samples = samples.reshape(-1, channels).mean(axis=1).astype("<i2")
+            return samples.copy(), rate
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    raise ValueError("WAV file has no data chunk")
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("duration_s", T.DoubleType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("peak", T.IntegerType(), False),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Real audio decode → features inside Arrow batches: duration, RMS
+    level, and peak amplitude per clip."""
+    import numpy as np
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                samples, rate = decode_audio(bytes(content))
+                n = len(samples)
+                x = samples.astype(np.float64)
+                rows.append(
+                    (
+                        int(media_id),
+                        int(rate),
+                        n,
+                        n / float(rate),
+                        float(np.sqrt((x * x).mean())) if n else 0.0,
+                        int(np.abs(samples).max()) if n else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_samples",
+                    "duration_s", "rms", "peak",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        _extract, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
 def decode_image(content: bytes):
     """Decode an encoded image into an ``(h, w, 3)`` uint8 RGB array.
 

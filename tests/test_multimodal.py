@@ -130,3 +130,44 @@ def test_binary_file_source_to_pixel_features(spark, tmp_path):
         h, w, _ = arr.shape
         expected = int(arr.sum()) / (h * w * 3.0)
         assert feats[(h, w)] == expected
+
+
+def test_audio_codec_roundtrip_and_features(spark, tmp_path):
+    """WAV PCM is the audio analog of PPM/BMP: encode→decode identity
+    (incl. stereo downmix and odd-size word alignment), then real files
+    through binaryFile → decode → duration/RMS/peak features."""
+    import numpy as np
+
+    from oasysdb_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+        extract_audio_features,
+        load_media_dir,
+    )
+
+    rng = np.random.default_rng(5)
+    mono = rng.integers(-2000, 2000, size=1601, dtype=np.int16)  # odd length
+    samples, rate = decode_audio(encode_wav(mono, 8000))
+    assert rate == 8000 and (samples == mono).all()
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x03....")  # mp3-ish: external codec point
+
+    d = tmp_path / "clips"
+    d.mkdir()
+    clips = {}
+    for i in range(3):
+        n = 4000 * (i + 1)
+        s = rng.integers(-3000, 3000, size=n, dtype=np.int16)
+        (d / f"clip_{i}.wav").write_bytes(encode_wav(s, 16_000))
+        clips[n] = s
+
+    media = load_media_dir(spark, str(d), glob="clip_*", media_type="audio/wav")
+    feats = {r["n_samples"]: r for r in extract_audio_features(media).collect()}
+    assert len(feats) == 3
+    for n, s in clips.items():
+        r = feats[n]
+        x = s.astype(np.float64)
+        assert r["duration_s"] == n / 16_000.0
+        assert r["rms"] == pytest.approx(float(np.sqrt((x * x).mean())))
+        assert r["peak"] == int(np.abs(s).max())
