@@ -22,6 +22,7 @@ from oasysdb_spark.filters import filter_to_sql
 from oasysdb_spark.functions.hashing import hash64_sql
 from oasysdb_spark.operators import (
     dedup,
+    embed,
     multimodal as mm,
     relational as rel,
     similarity_join as sj,
@@ -142,6 +143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": rel.customers_without_orders,
         "dedup_exact_pick": dedup.exact_dedup_pick,
         "text_boilerplate_ngrams": textops.boilerplate_ngrams,
+        "text_hash_embeddings": embed.hash_embeddings,
         "parts_above_avg_price": rel.parts_above_avg_price,
         "orders_by_month": rel.orders_by_month,
         "rollup_lineitem": rel.rollup_lineitem,
@@ -982,6 +984,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT ngram, CAST(count(*) AS BIGINT) AS doc_freq
         FROM (SELECT unnest(shingles) AS ngram FROM sh WHERE len(shingles) > 0)
         GROUP BY ngram ORDER BY doc_freq DESC, ngram LIMIT 20"""
+
+    # feature-hashing embedding (signed bucket counts, sign bit 40) —
+    # integer sums, so cross-engine exact with no float hazards
+    q["text_hash_embeddings"] = f"""
+        WITH th AS (SELECT doc_id, {hash64_sql("t")} AS h
+                    FROM (SELECT doc_id, unnest({_TOKS}) AS t FROM documents)),
+        sums AS (SELECT doc_id, CAST(h % 8 AS INTEGER) AS pos,
+                        CAST(sum(CASE WHEN (h >> 40) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS val
+                 FROM th GROUP BY doc_id, pos),
+        grid AS (SELECT doc_id, CAST(p AS INTEGER) AS pos
+                 FROM documents, (SELECT unnest(range(8)) AS p))
+        SELECT g.doc_id, g.pos, COALESCE(s.val, 0) AS val
+        FROM grid g LEFT JOIN sums s ON g.doc_id = s.doc_id AND g.pos = s.pos"""
 
     _mix_h = hash64_sql("CAST(doc_id AS VARCHAR)", salt="mix")
     q["text_stratified_sample"] = f"""

@@ -1,0 +1,129 @@
+"""Text → embedding → ANN, end to end, with a REAL embedding algorithm:
+feature hashing (the "hashing trick", Weinberger et al. 2009 — the
+construction behind HashingVectorizer). Each token hashes to a bucket
+``h % dim`` with sign from an independent hash bit; the document vector
+is the signed bucket count, optionally L2-normalized. No vocabulary, no
+training, deterministic across engines — so unlike a learned-model stub,
+the whole text→vector→search path is exactly checkable.
+
+The bucket sums are INTEGERS (sums of ±1), so the driver oracle compares
+them with no float hazards; cosine re-ranking on top reuses the
+oracle-covered vector machinery.
+
+Scale shape: embedding is row-local (one Arrow batch pass, no shuffle);
+search is the same brute-force / IVF / LSH machinery as the embeddings
+table — build the IVF layout over hashed vectors and probing is partition
+pruning, exactly as in index/ivf.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oasysdb_spark.functions.hashing import hash64
+from oasysdb_spark.functions.text import tokens
+
+SIGN_BIT = 40  # sign bit far above any bucket bit (bucket = h % dim, dim < 2^40)
+
+
+def _hash_embed_py(toks: list[str], dim: int) -> list[int]:
+    """Driver/test-side twin of the expression + UDF paths."""
+    import hashlib
+
+    out = [0] * dim
+    for t in toks:
+        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+        out[h % dim] += 1 if (h >> SIGN_BIT) & 1 else -1
+    return out
+
+
+def hashing_embedding_expr(toks, dim: int):
+    """Signed-bucket-count embedding as a pure Column expression (JVM
+    twin, kept for cross-validation — interpreted HOFs make it the slow
+    path at high dim; the Arrow UDF below is the hot path)."""
+    h = lambda t: hash64(t)  # noqa: E731
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.when(
+                h(t) % dim == d,
+                F.when(h(t).bitwiseAND(F.lit(1 << SIGN_BIT)) != 0, 1).otherwise(-1),
+            ).otherwise(0),
+        ),
+    )
+
+
+def hashing_embedding_udf(dim: int):
+    """Arrow-batched hot path: identical values to the expression twin
+    (md5 → first 15 hex → int64, bucket ``h % dim``, sign bit 40)."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    split = re.compile("[^a-z0-9]+")
+
+    @F.pandas_udf("array<bigint>")
+    def udf(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            toks_ = [w for w in split.split(t.lower()) if w]
+            v = np.zeros(dim, dtype=np.int64)
+            for w in toks_:
+                h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                v[h % dim] += 1 if (h >> SIGN_BIT) & 1 else -1
+            out.append(v.tolist())
+        return pd.Series(out)
+
+    return udf
+
+
+def hash_embeddings(
+    spark: SparkSession, sf_dir: str, dim: int = 8
+) -> DataFrame:
+    """Driver-contract query: every document's feature-hashed embedding,
+    exploded to (doc_id, pos, val) integer rows — cross-engine exact."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = hashing_embedding_expr(tokens(F.col("text")), dim)
+    return (
+        docs.select("doc_id", F.posexplode(emb).alias("pos", "val"))
+        .select("doc_id", F.col("pos").cast("int").alias("pos"), F.col("val").cast("bigint").alias("val"))
+    )
+
+
+def corpus_text_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query_text: str,
+    k: int = 10,
+    dim: int = 64,
+) -> DataFrame:
+    """Search the document corpus BY TEXT: hash-embed every doc (Arrow,
+    row-local), hash-embed the query driver-side with the same function,
+    cosine top-k via TakeOrderedAndProject. The full text→vector→ANN
+    story in one call; at corpus scale the embedding column is written
+    once and indexed (IVF/LSH layouts) instead of recomputed."""
+    import re
+
+    from oasysdb_spark.functions.vectors import cosine_distance
+    from oasysdb_spark.operators.vectorops import round_dist
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embedded = docs.select(
+        "doc_id", hashing_embedding_udf(dim)(F.col("text")).alias("emb")
+    )
+    qtoks = [w for w in re.split("[^a-z0-9]+", query_text.lower()) if w]
+    qv = _hash_embed_py(qtoks, dim)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    dist = cosine_distance(q, F.col("emb"))
+    return (
+        embedded.select("doc_id", round_dist(dist).alias("distance"))
+        .where(F.col("distance").isNotNull())
+        .orderBy("distance", "doc_id")
+        .limit(k)
+    )

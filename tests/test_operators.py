@@ -422,3 +422,47 @@ def test_sketch_stats_error_bounds(spark, sf_dir):
         assert abs(r["price_med_approx"] - r["price_med_exact"]) <= (
             0.02 * r["price_med_exact"]
         )
+
+
+def test_hash_embedding_twins_agree(spark, sf_dir):
+    """Expression, Arrow-UDF, and pure-Python feature-hashing embeddings
+    must be value-identical (same md5 family, bucket, sign bit)."""
+    import re
+
+    from oasysdb_spark.functions.text import tokens as tok_expr
+    from oasysdb_spark.operators import embed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    dim = 16
+    a = {
+        r["doc_id"]: r["e"]
+        for r in docs.select(
+            "doc_id", embed.hashing_embedding_expr(tok_expr(F.col("text")), dim).alias("e")
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["e"]
+        for r in docs.select(
+            "doc_id", embed.hashing_embedding_udf(dim)(F.col("text")).alias("e")
+        ).collect()
+    }
+    split = re.compile("[^a-z0-9]+")
+    c = {
+        r["doc_id"]: embed._hash_embed_py(
+            [w for w in split.split(r["text"].lower()) if w], dim
+        )
+        for r in docs.collect()
+    }
+    assert a == b == c and len(a) == 50
+
+
+def test_corpus_text_search_self_retrieval(spark, sf_dir):
+    """Querying with a document's own text must return that doc at
+    distance 0 (identical hashed vector) — the text→vector→ANN loop."""
+    from oasysdb_spark.operators import embed
+
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet").orderBy("doc_id").first()
+    res = embed.corpus_text_search(spark, sf_dir, doc["text"], k=5).collect()
+    assert res[0]["doc_id"] == doc["doc_id"] and res[0]["distance"] == 0.0
+    dists = [r["distance"] for r in res]
+    assert dists == sorted(dists)
