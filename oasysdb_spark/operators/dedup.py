@@ -254,15 +254,18 @@ def minhash_lsh_pairs(
 
 def minhash_candidate_edges(
     spark: SparkSession,
-    sf_dir: str,
+    sf_dir: str | None = None,
     num_hashes: int = 16,
     band_size: int = 2,
     threshold: float = 0.5,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """All near-duplicate edges (doc_a < doc_b) whose exact Jaccard meets
     ``threshold`` — the thresholded (not top-n) variant of
-    :func:`minhash_lsh_pairs`, used as graph input for clustering."""
-    docs = load_documents(spark, sf_dir, spread=True)
+    :func:`minhash_lsh_pairs`, used as graph input for clustering. Pass
+    ``docs`` to run over any (doc_id, text) frame instead of the fixture."""
+    if docs is None:
+        docs = load_documents(spark, sf_dir, spread=True)
     sigs = minhash_signatures(docs, num_hashes=num_hashes).cache()
     n_bands = num_hashes // band_size
     band_structs = F.transform(
@@ -308,9 +311,10 @@ def minhash_candidate_edges(
 
 def dedup_components(
     spark: SparkSession,
-    sf_dir: str,
+    sf_dir: str | None = None,
     threshold: float = 0.5,
     max_iter: int = 20,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate CLUSTERING: pairs alone don't dedup a corpus — the
     connected components of the near-dup graph do (keep one doc per
@@ -328,9 +332,11 @@ def dedup_components(
 
     Oracle: the same fixpoint expressed as a DuckDB recursive CTE
     (min-root reachability), so this iterative operator still gets a full
-    hash-checked row."""
-    docs = load_documents(spark, sf_dir)
-    edges = minhash_candidate_edges(spark, sf_dir, threshold=threshold)
+    hash-checked row. Pass ``docs`` to cluster any (doc_id, text) frame
+    instead of the fixture table."""
+    if docs is None:
+        docs = load_documents(spark, sf_dir)
+    edges = minhash_candidate_edges(spark, sf_dir, threshold=threshold, docs=docs)
     # undirected: propagate labels both ways
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")

@@ -223,6 +223,103 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def prepare_training_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = 512,
+    near_threshold: float = 0.5,
+    n_shards: int = 8,
+) -> DataFrame:
+    """The COMPLETE training-data prep pipeline composed from the tested
+    pieces, text in → packed sequences out:
+
+        quality+language filter → exact dedup (fingerprint, keep min id)
+        → NEAR-dup clustering (MinHash components, keep the component
+        representative) → token-budget sequence packing per hash shard
+
+    Returns one summary row: document counts surviving each stage, the
+    packed sequence count, and the token total. Every stage is the
+    oracle-checked operator it composes (`text_quality` /
+    `text_fingerprints` / `dedup_components` / `text_pack_sequences`);
+    this composition pins the stage ORDER a real pipeline uses — near-dup
+    clustering runs after exact dedup (why hash N docs' shingles when
+    fingerprints already collapsed exact copies), packing runs last over
+    survivors only."""
+    from oasysdb_spark.operators.dedup import dedup_components
+
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    quality = (
+        F.when(F.size(toks) >= 20, 1).otherwise(0)
+        + F.when(F.round(punct_ratio(F.col("text")), 6) <= 0.1, 1).otherwise(0)
+        + F.when(F.round(stopword_ratio(toks), 6) >= 0.05, 1).otherwise(0)
+        + F.when(F.round(uniq_token_ratio(toks), 6) >= 0.3, 1).otherwise(0)
+    )
+    scored = docs.select(
+        "doc_id",
+        "text",
+        quality.alias("q"),
+        predict_lang(toks).alias("pl"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+        token_count_bpe(F.col("text")).cast("bigint").alias("bpe"),
+    )
+    n_raw = docs.count()
+    clean = scored.where((F.col("q") >= 3) & (F.col("pl") == "en")).cache()
+    n_clean = clean.count()
+
+    # exact dedup: keep the min doc_id per fingerprint
+    keep_exact = (
+        clean.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
+    exact_unique = clean.join(keep_exact, "doc_id").cache()
+    n_exact = exact_unique.count()
+
+    # near-dup clustering over the exact-unique survivors; the component
+    # representative (min doc_id == component_id) survives
+    comps = dedup_components(
+        spark, threshold=near_threshold, docs=exact_unique.select("doc_id", "text")
+    )
+    reps = comps.where(F.col("doc_id") == F.col("component_id")).select("doc_id")
+    final = exact_unique.join(reps, "doc_id").cache()
+    n_final = final.count()
+
+    # pack survivors into budgeted sequences, sharded by doc_id hash so
+    # packing parallelizes (no corpus-wide ordering)
+    shard = F.pmod(F.hash("doc_id"), F.lit(n_shards))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = (
+        final.withColumn("shard", shard)
+        .withColumn(
+            "seq_id",
+            F.floor((F.sum("bpe").over(w) - F.col("bpe")) / F.lit(float(budget))),
+        )
+        .groupBy("shard", "seq_id")
+        .agg(F.sum("bpe").alias("toks"))
+    )
+    seq_stats = packed.agg(
+        F.count("*").alias("n_sequences"), F.sum("toks").alias("total_tokens")
+    ).first()
+
+    return spark.createDataFrame(
+        [
+            (
+                n_raw,
+                n_clean,
+                n_exact,
+                n_final,
+                seq_stats["n_sequences"],
+                int(seq_stats["total_tokens"] or 0),
+            )
+        ],
+        "n_raw bigint, n_clean bigint, n_exact_unique bigint, "
+        "n_neardup_unique bigint, n_sequences bigint, total_tokens bigint",
+    )
+
+
 def boilerplate_ngrams(
     spark: SparkSession, sf_dir: str, n: int = 3, top_n: int = 20
 ) -> DataFrame:

@@ -466,3 +466,18 @@ def test_corpus_text_search_self_retrieval(spark, sf_dir):
     assert res[0]["doc_id"] == doc["doc_id"] and res[0]["distance"] == 0.0
     dists = [r["distance"] for r in res]
     assert dists == sorted(dists)
+
+
+def test_prepare_training_corpus_invariants(spark, sf_dir):
+    """The composed pipeline's counts must shrink monotonically through
+    the stages, pack all surviving tokens, and be deterministic."""
+    from oasysdb_spark.operators import textops
+
+    r = textops.prepare_training_corpus(spark, sf_dir).first()
+    assert r["n_raw"] >= r["n_clean"] >= r["n_exact_unique"] >= r["n_neardup_unique"] > 0
+    assert r["n_sequences"] > 0 and r["total_tokens"] > 0
+    # every surviving token is packed exactly once: sequences * budget
+    # bounds the total from below (all but the last sequence per shard
+    # crossed the budget)
+    r2 = textops.prepare_training_corpus(spark, sf_dir).first()
+    assert r == r2
