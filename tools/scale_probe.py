@@ -1,0 +1,81 @@
+"""Scaling probe: per-operator wall time at sf0.01 vs sf0.1 (10x the
+data) on a warmed session. A time ratio near (or below) the data ratio
+is linear-or-better scaling; a ratio far above it flags a super-linear
+operator before a 1000-executor cluster finds it the hard way.
+
+Usage: python tools/scale_probe.py [query ...]
+Prints one JSON line per query: {"query": ..., "sec_small": ...,
+"sec_big": ..., "ratio": ...} then a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+SMALL = "/root/testdata/sf0.01"
+BIG = "/root/testdata/sf0.1"
+
+# Default probe set: one per operator family, heaviest first.
+DEFAULT = [
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "dedup_simhash_pairs",
+    "text_clean_pipeline",
+    "text_pack_sequences",
+    "interval_overlap_join",
+    "sessionize_events",
+    "q1_pricing_summary",
+    "q21_waiting_supplier",
+    "vec_knn_euclidean",
+    "multimodal_pixel_stats",
+]
+
+
+def main():
+    names = sys.argv[1:] or DEFAULT
+
+    import __spark_entry__ as entry
+    from oasysdb_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_probe")
+    qs = entry.queries()
+
+    def run(name, sf_dir):
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
+    # warm: JVM, Python workers, codegen for each query shape
+    for name in names:
+        run(name, SMALL)
+
+    ratios = []
+    for name in names:
+        s = run(name, SMALL)
+        b = run(name, BIG)
+        ratio = round(b / s, 2) if s > 0 else None
+        ratios.append(ratio)
+        print(
+            json.dumps(
+                {"query": name, "sec_small": round(s, 3), "sec_big": round(b, 3), "ratio": ratio}
+            )
+        )
+    ok = [r for r in ratios if r is not None]
+    print(
+        json.dumps(
+            {
+                "summary": "time ratio for 10x data (10.0 = linear; fixed "
+                "per-query overhead pulls small-query ratios far below 10)",
+                "median_ratio": sorted(ok)[len(ok) // 2] if ok else None,
+                "max_ratio": max(ok) if ok else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
