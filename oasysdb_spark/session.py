@@ -42,6 +42,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound Arrow batch row count so wide-row batches (multimodal
+        # binary blobs) can't balloon executor memory — the claim in
+        # operators/multimodal.py rests on this being set deliberately
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # push COUNT/MIN/MAX down to parquet footer statistics
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
