@@ -96,6 +96,66 @@ def hash_embeddings(
     )
 
 
+def train_lang_classifier(
+    spark: SparkSession,
+    sf_dir: str,
+    dim: int = 256,
+    test_fold: int = 4,
+    n_folds: int = 5,
+):
+    """The engine-feeds-training story: hashed-feature embeddings from
+    this module train an MLlib model end to end (StringIndexer →
+    LogisticRegression), split train/test by a deterministic doc_id fold.
+    Returns ``(model, metrics_df)`` where metrics_df has one row:
+    n_train, n_test, accuracy.
+
+    The target is WEAK SUPERVISION: the engine's own stopword-heuristic
+    language prediction (``functions.text.predict_lang``) — the standard
+    production move of distilling a cheap rule into a model that
+    generalizes past it. (The fixture's ``lang`` column is intentionally
+    label noise — word-salad text drawn from a shared pool — so it is not
+    learnable from content and is not the target.)
+
+    Everything upstream of the estimator is this engine's machinery —
+    row-local Arrow embedding, no driver materialization; MLlib consumes
+    the DataFrame directly (the same handoff a real pretraining-data
+    pipeline makes to a trainer)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import StringIndexer
+    from pyspark.ml.functions import array_to_vector
+
+    from oasysdb_spark.functions.text import predict_lang
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    data = docs.select(
+        "doc_id",
+        predict_lang(tokens(F.col("text"))).alias("lang"),
+        array_to_vector(
+            hashing_embedding_udf(dim)(F.col("text")).cast("array<double>")
+        ).alias("features"),
+    )
+    train = data.where(F.col("doc_id") % n_folds != test_fold)
+    test = data.where(F.col("doc_id") % n_folds == test_fold)
+
+    pipe = Pipeline(
+        stages=[
+            StringIndexer(inputCol="lang", outputCol="label"),
+            LogisticRegression(maxIter=30, regParam=0.01),
+        ]
+    )
+    model = pipe.fit(train)
+    pred = model.transform(test)
+    metrics = pred.select(
+        (F.col("label") == F.col("prediction")).cast("int").alias("hit")
+    ).agg(
+        F.lit(train.count()).cast("bigint").alias("n_train"),
+        F.count("*").cast("bigint").alias("n_test"),
+        F.round(F.avg("hit"), 6).alias("accuracy"),
+    )
+    return model, metrics
+
+
 def corpus_text_search(
     spark: SparkSession,
     sf_dir: str,

@@ -481,3 +481,16 @@ def test_prepare_training_corpus_invariants(spark, sf_dir):
     # crossed the budget)
     r2 = textops.prepare_training_corpus(spark, sf_dir).first()
     assert r == r2
+
+
+def test_lang_classifier_trains_on_hashed_features(spark, sf_dir):
+    """Weak-supervision distillation: an MLlib classifier on the hashed
+    embeddings must recover the engine's heuristic language prediction on
+    held-out docs (the fixture's lang column is label noise by design and
+    is not the target)."""
+    from oasysdb_spark.operators import embed
+
+    model, metrics = embed.train_lang_classifier(spark, sf_dir, dim=128)
+    r = metrics.first()
+    assert r["n_train"] > 0 and r["n_test"] > 0
+    assert r["accuracy"] >= 0.9, f"held-out accuracy {r['accuracy']}"
