@@ -170,7 +170,21 @@ class VersionedTable:
         version before the append simply sees the old file set. Used for
         micro-batch inserts; full rewrites (delete/update/index build) go
         through :meth:`write`.
+
+        Appends are schema-checked against the current version: a
+        mismatched frame would otherwise SILENTLY write incompatible
+        parquet files into the live directory and poison every future
+        read — the failure mode transactional formats reject at commit
+        time, rejected here before any file lands.
         """
+        current = self.read(df.sparkSession)
+        want = {f.name: f.dataType.simpleString() for f in current.schema.fields}
+        got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        if want != got:
+            raise ValueError(
+                f"append schema mismatch for {self.root}: table has {want}, "
+                f"frame has {got}"
+            )
         writer = df.write.mode("append")
         if partition_by:
             writer = writer.partitionBy(*partition_by)

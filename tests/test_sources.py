@@ -120,3 +120,23 @@ def test_register_tables_sql_surface(spark, sf_dir):
         for r in rel.q1_pricing_summary(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_append_rejects_schema_mismatch(spark, tmp_path):
+    """A wrong-schema append must fail BEFORE any file lands (it would
+    silently poison the live version directory otherwise)."""
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.core.tables import VersionedTable
+
+    t = VersionedTable(str(tmp_path / "vt2"))
+    t.write(spark.range(5).withColumn("v", F.col("id").cast("double")))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(spark.range(5).withColumn("v", F.lit("oops")))
+    # matching schema still appends, in any column order
+    t.append(
+        spark.range(5, 8)
+        .withColumn("v", F.col("id").cast("double"))
+        .select("v", "id")
+    )
+    assert t.read(spark).count() == 8
