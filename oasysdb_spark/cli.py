@@ -77,6 +77,9 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--k", type=int, default=None)
 
     add("compact", help="rewrite the records table with healthy file sizes")
+
+    v = add("versions", help="retained table versions (time travel)")
+    v.add_argument("--at", default=None, help="also count records AS OF this version")
     return p
 
 
@@ -130,6 +133,11 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "compact":
         version = db.compact()
         _emit({"ok": True, "version": version})
+    elif args.cmd == "versions":
+        out = {"versions": db.versions(), "current": db.records.current_version()}
+        if args.at:
+            out["count_at"] = db.records_df_at(args.at).count()
+        _emit(out)
     return 0
 
 

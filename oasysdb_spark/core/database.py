@@ -180,6 +180,15 @@ class Database:
     def count(self) -> int:
         return self.records_df().count()
 
+    def versions(self) -> list[str]:
+        """Retained records-table versions, oldest first (time travel)."""
+        return self.records.versions()
+
+    def records_df_at(self, version: str) -> DataFrame:
+        """Read the records table AS OF a retained version — e.g. count
+        or re-run a query against the pre-delete snapshot."""
+        return self.records.read_version(self.spark, version)
+
     def compact(self) -> str:
         """Maintenance job: rewrite the records table with healthy file
         sizes (micro-batch ingest appends >=1 file per epoch; see

@@ -241,3 +241,25 @@ def test_cli_verbs_roundtrip(spark, tmp_path, capsys):
     run("delete", "--dir", d, "--id", "r2")
     assert run("snapshot", "--dir", d)["count"] == 1
     assert run("compact", "--dir", d)["ok"] is True
+
+
+def test_time_travel_surface(spark, tmp_path, capsys):
+    """Database-level time travel: a delete produces a new version while
+    the pre-delete snapshot stays readable, incl. through the CLI."""
+    import json
+
+    from oasysdb_spark.cli import main
+
+    d = str(tmp_path / "ttdb")
+    db = Database.configure(spark, d, dimension=2)
+    for i in range(3):
+        db.insert([float(i), 0.0], record_id=f"t{i}")
+    v_before = db.records.current_version()
+    db.delete("t0")
+    assert db.count() == 2
+    assert db.records_df_at(v_before).count() == 3
+    assert v_before in db.versions()
+
+    assert main(["versions", "--dir", d, "--at", v_before]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["count_at"] == 3 and v_before in out["versions"]
