@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from oasysdb_spark.functions.time import epoch_ms
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from oasysdb_spark.sources.tables import load_table
@@ -260,7 +262,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
     windows — the batch analog of a stateful streaming session window."""
     events = _t(spark, sf_dir, "events")
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ms = F.unix_millis(F.col("ts"))
+    ms = epoch_ms("ts")
     gap = ms - F.lag(ms).over(order)
     is_new = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1000), 1).otherwise(0)
     sess = events.withColumn("new_sess", is_new).withColumn(

@@ -40,8 +40,11 @@ def write_table_as(df: DataFrame, path: str, fmt: str) -> None:
     w = df.write.mode("overwrite")
     if fmt in ("csv", "json"):
         # ISO-8601 micros: both text writers default to millisecond
-        # precision and would silently truncate event timestamps
+        # precision and would silently truncate event timestamps. NTZ
+        # columns (what parquet micros now load as) use the separate
+        # timestampNTZFormat option — set both.
         w = w.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        w = w.option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
     if fmt == "csv":
         w = w.option("header", "true")
     getattr(w, fmt)(path)
@@ -60,6 +63,7 @@ def load_table_format(spark: SparkSession, path: str, fmt: str, schema=None) -> 
         r = r.schema(schema)
     if fmt in ("csv", "json"):
         r = r.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        r = r.option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
     if fmt == "csv":
         r = r.option("header", "true")
     return getattr(r, fmt)(path)

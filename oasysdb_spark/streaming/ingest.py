@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from oasysdb_spark.functions.time import epoch_ms
+
 _STARTED = "_oasys_epoch_started"
 _COMMITTED = "_oasys_epoch_committed"
 
@@ -131,6 +133,10 @@ def windowed_event_counts(
         if slide_duration
         else F.window("ts", window_duration)
     )
+    # watermarks require tz-aware TIMESTAMP event time (Spark rejects
+    # TIMESTAMP_NTZ, which parquet sources now infer) — cast is a no-op
+    # for already-aware inputs and preserves values in a UTC session
+    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events_stream.withWatermark("ts", watermark_delay)
         .groupBy(win.alias("w"), "event_type")
@@ -164,6 +170,7 @@ def session_window_counts(
     the batch twin breaks strictly greater), unobservable at microsecond
     timestamps.
     """
+    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events_stream.withWatermark("ts", watermark_delay)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
@@ -236,7 +243,7 @@ def stream_click_view_join(
         .select(
             F.col("event_id").alias("click_id"),
             F.col("user_id").alias("c_user"),
-            F.col("ts").alias("click_ts"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
         )
         .withWatermark("click_ts", watermark_delay)
     )
@@ -245,7 +252,7 @@ def stream_click_view_join(
         .select(
             F.col("event_id").alias("view_id"),
             F.col("user_id").alias("v_user"),
-            F.col("ts").alias("view_ts"),
+            F.col("ts").cast("timestamp").alias("view_ts"),
         )
         .withWatermark("view_ts", watermark_delay)
     )
@@ -258,7 +265,7 @@ def stream_click_view_join(
         "click_id",
         F.col("c_user").alias("user_id"),
         "view_id",
-        (F.unix_millis("click_ts") - F.unix_millis("view_ts")).cast("bigint").alias("gap_ms"),
+        (epoch_ms("click_ts") - epoch_ms("view_ts")).cast("bigint").alias("gap_ms"),
     )
 
 
@@ -351,6 +358,7 @@ def dedup_stream(
     unlike ``dropDuplicates`` whose state grows without bound. The batch
     twin is the exact hash-groupBy dedup (operators/dedup.py).
     """
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return stream_df.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
         keys
     )

@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from oasysdb_spark.core.database import Database, RECORD_SCHEMA
+from oasysdb_spark.functions.time import epoch_ms
 from oasysdb_spark.sources.tables import load_table
 from oasysdb_spark.streaming.ingest import stream_ingest_records, windowed_event_counts
 
@@ -108,7 +109,7 @@ def test_session_window_counts_matches_batch(spark, sf_dir, tmp_path):
     from pyspark.sql import Window
 
     order = Window.partitionBy("user_id").orderBy("ts")
-    ms = F.unix_millis(F.col("ts"))
+    ms = epoch_ms(F.col("ts"))
     gap_ms = ms - F.lag(ms).over(order)
     sess = events.withColumn(
         "new_sess", F.when(gap_ms.isNull() | (gap_ms > 1800000), 1).otherwise(0)
@@ -395,7 +396,7 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
         for r in clicks.join(views, cond)
         .select(
             "click_id", "view_id",
-            (F.unix_millis("click_ts") - F.unix_millis("view_ts")).cast("bigint").alias("gap_ms"),
+            (epoch_ms("click_ts") - epoch_ms("view_ts")).cast("bigint").alias("gap_ms"),
         )
         .collect()
     }
