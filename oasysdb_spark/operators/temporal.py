@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from oasysdb_spark.functions.time import epoch_ms
 from oasysdb_spark.sources.tables import load_table
 
 
@@ -114,7 +115,7 @@ def asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "click_id",
         "user_id",
-        (F.unix_millis("click_ts") - F.unix_millis("view_ts")).cast("bigint").alias("gap_ms"),
+        (epoch_ms("click_ts") - epoch_ms("view_ts")).cast("bigint").alias("gap_ms"),
         "view_id",
     )
 
@@ -157,10 +158,14 @@ def interval_overlap_join(
     r_start <= l_end``). Bounds are numeric (e.g. epoch millis).
 
     NOT a nested-loop: each interval explodes to the fixed-width buckets it
-    spans, the join is an EQUI-join on bucket id, pairs are deduped, and the
-    exact overlap predicate filters candidates. Two overlapping intervals
-    always share the bucket containing ``max(starts)`` (that instant lies in
-    both), so candidate generation is complete. Cost is linear in intervals ×
+    spans, the join is an EQUI-join on bucket id, and the exact overlap
+    predicate filters candidates. Two overlapping intervals always share the
+    bucket containing ``max(starts)`` (that instant lies in both), so
+    candidate generation is complete — and because that bucket is *unique*
+    per pair, keeping only the join row whose bucket equals it emits each
+    pair exactly once with NO dedup exchange at all (the old version
+    ``dropDuplicates``'d full payload structs — a whole-row shuffle this
+    filter replaces for free). Cost is linear in intervals ×
     buckets-per-interval + pairs-per-bucket — the classic spatial-grid trick,
     vs O(|L|·|R|) for the naive inequality join Catalyst would otherwise plan
     as BroadcastNestedLoopJoin. ``bucket_width`` trades explode factor
@@ -191,14 +196,19 @@ def interval_overlap_join(
     cond = l["_bucket"] == r["_bucket"]
     if extra_cond is not None:
         cond = cond & extra_cond(F.col("_l"), F.col("_r"))
+    # one-bucket-owns-the-pair: emit only in the bucket of max(starts)
+    owner = F.greatest(
+        (F.col(f"_l.{l_start}") / bucket_width).cast("bigint"),
+        (F.col(f"_r.{r_start}") / bucket_width).cast("bigint"),
+    )
     pairs = (
         l.join(r, cond)
-        .select("_l", "_r")
-        .dropDuplicates()
+        .where(l["_bucket"] == owner)
         .where(
             (F.col(f"_l.{l_start}") <= F.col(f"_r.{r_end}"))
             & (F.col(f"_r.{r_start}") <= F.col(f"_l.{l_end}"))
         )
+        .select("_l", "_r")
     )
     return pairs.select(
         *[F.col(f"_l.{c}").alias(c) for c in left.columns],
@@ -211,7 +221,7 @@ def _user_sessions(events: DataFrame, gap_ms: int = 1_800_000) -> DataFrame:
     the same lag + cumulative-sum construction as
     relational.sessionize_events, aggregated to interval bounds."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ms = F.unix_millis("ts")
+    ms = epoch_ms("ts")
     new_sess = F.when(
         (ms - F.lag(ms).over(w)).isNull() | ((ms - F.lag(ms).over(w)) > gap_ms), 1
     ).otherwise(0)
@@ -220,7 +230,7 @@ def _user_sessions(events: DataFrame, gap_ms: int = 1_800_000) -> DataFrame:
         events.select("user_id", "event_id", "ts")
         .withColumn("session_seq", F.sum(new_sess).over(ws))
         .groupBy("user_id", "session_seq")
-        .agg(F.min(F.unix_millis("ts")).alias("s_ms"), F.max(F.unix_millis("ts")).alias("e_ms"))
+        .agg(F.min(epoch_ms("ts")).alias("s_ms"), F.max(epoch_ms("ts")).alias("e_ms"))
     )
 
 
