@@ -78,13 +78,20 @@ def minhash_coeffs(j: int) -> tuple[int, int]:
     return (2654435761 * (j + 1)) % MINHASH_P, (40503 * (j + 7)) % MINHASH_P
 
 
-def _minhash_struct_udf(num_hashes: int, shingle_n: int):
+def _minhash_struct_udf(num_hashes: int, shingle_n: int, hashed: bool = False):
     """Arrow-batched (shingles, sig) computation. Bit-identical to
     :func:`minhash_signatures_expr` (asserted in tests/test_operators.py):
     md5 → first 15 hex → int64 → mod P, then the affine family of
     :func:`minhash_coeffs` — Python int(hexdigest[:15], 16) equals Spark
     ``conv(substring(md5(s),1,15),16,10)`` and all products stay < 2^62,
-    exact in numpy int64."""
+    exact in numpy int64.
+
+    ``hashed=True`` replaces the shingle *string* arrays with their 60-bit
+    pre-mod digests (= ``functions.hashing.hash64`` of each shingle): 8-byte
+    ints instead of ~20-byte strings, and nothing but ints crosses the Arrow
+    boundary. Set sizes and intersections are preserved (a 60-bit collision
+    among a doc pair's few hundred shingles is ~1e-14), so exact-Jaccard
+    verification over the hashed sets matches the string-set oracle."""
     import hashlib
     import re
 
@@ -93,8 +100,9 @@ def _minhash_struct_udf(num_hashes: int, shingle_n: int):
     A = np.array([minhash_coeffs(j)[0] for j in range(num_hashes)], dtype=np.int64)
     B = np.array([minhash_coeffs(j)[1] for j in range(num_hashes)], dtype=np.int64)
     split = re.compile("[^a-z0-9]+")
+    out_field = "sh array<bigint>" if hashed else "shingles array<string>"
 
-    @F.pandas_udf("shingles array<string>, sig array<bigint>")
+    @F.pandas_udf(f"{out_field}, sig array<bigint>")
     def udf(text: pd.Series) -> pd.DataFrame:
         sh_col, sig_col = [], []
         for t in text:
@@ -105,24 +113,26 @@ def _minhash_struct_udf(num_hashes: int, shingle_n: int):
                     for i in range(len(toks) - shingle_n + 1)
                 )
             )
-            h = np.fromiter(
+            h60 = np.fromiter(
                 (
-                    int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_P
+                    int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
                     for g in grams
                 ),
                 dtype=np.int64,
                 count=len(grams),
             )
+            h = h60 % MINHASH_P
             sig = ((A[:, None] * h[None, :]) % MINHASH_P + B[:, None]) % MINHASH_P
-            sh_col.append(grams)
+            sh_col.append(h60 if hashed else grams)
             sig_col.append(sig.min(axis=1))
-        return pd.DataFrame({"shingles": sh_col, "sig": sig_col})
+        name = "sh" if hashed else "shingles"
+        return pd.DataFrame({name: sh_col, "sig": sig_col})
 
     return udf
 
 
 def minhash_signatures(
-    docs: DataFrame, num_hashes: int = 16, shingle_n: int = 3
+    docs: DataFrame, num_hashes: int = 16, shingle_n: int = 3, hashed: bool = False
 ) -> DataFrame:
     """(doc_id, shingles, sig): distinct word n-gram shingles and the
     MinHash signature — sig[j] = min over shingles of h_j(s). Row-local
@@ -139,11 +149,12 @@ def minhash_signatures(
     on the UDF output would drag it into the (often single-task) scan
     stage. ``size(tokens) >= n`` is equivalent (shingle count =
     tokens − n + 1) and costs one regex split per row at the scan."""
-    s = _minhash_struct_udf(num_hashes, shingle_n)(F.col("text"))
+    s = _minhash_struct_udf(num_hashes, shingle_n, hashed=hashed)(F.col("text"))
+    set_col = "s.sh" if hashed else "s.shingles"
     return (
         docs.where(F.size(tokens(F.col("text"))) >= shingle_n)
         .select("doc_id", s.alias("s"))
-        .select("doc_id", "s.shingles", "s.sig")
+        .select("doc_id", set_col, "s.sig")
     )
 
 
@@ -197,7 +208,8 @@ def minhash_lsh_pairs(
     bit-identical across engines, making the top-n cut deterministic.
     """
     docs = load_documents(spark, sf_dir, spread=True)
-    sigs = minhash_signatures(docs, num_hashes=num_hashes).cache()
+    # hashed=True: the verify join ships 8-byte shingle digests, not strings
+    sigs = minhash_signatures(docs, num_hashes=num_hashes, hashed=True).cache()
 
     n_bands = num_hashes // band_size
     # Candidate generation carries ONLY (doc_id, band) — shingle arrays are
@@ -233,12 +245,12 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    shingle_sets = sigs.select("doc_id", "shingles")
+    shingle_sets = sigs.select("doc_id", "sh")
     pairs = cand.join(
-        shingle_sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+        shingle_sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
         "doc_a",
     ).join(
-        shingle_sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+        shingle_sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
         "doc_b",
     )
 
@@ -266,7 +278,7 @@ def minhash_candidate_edges(
     ``docs`` to run over any (doc_id, text) frame instead of the fixture."""
     if docs is None:
         docs = load_documents(spark, sf_dir, spread=True)
-    sigs = minhash_signatures(docs, num_hashes=num_hashes).cache()
+    sigs = minhash_signatures(docs, num_hashes=num_hashes, hashed=True).cache()
     n_bands = num_hashes // band_size
     band_structs = F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -295,12 +307,12 @@ def minhash_candidate_edges(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    shingle_sets = sigs.select("doc_id", "shingles")
+    shingle_sets = sigs.select("doc_id", "sh")
     pairs = cand.join(
-        shingle_sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+        shingle_sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
         "doc_a",
     ).join(
-        shingle_sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+        shingle_sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
         "doc_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -467,19 +479,23 @@ def embedding_near_pairs_ivf(
     top_n: int = 50,
     n_clusters: int | None = None,
     seed: int = 42,
+    depth: int = 3,
 ) -> DataFrame:
     """Embedding-cosine near-dup with the PRODUCTION blocking key: an IVF
     cluster id (nearest centroid of a seeded sampled k-means fit), not a
     metadata label. Near-duplicates are by definition close in embedding
     space, so they nearly always share a centroid; the self-join is then
     an equi-join on cluster id — candidate count ≈ Σ cluster_size², never
-    N². Blocking uses MULTI-ASSIGNMENT (each vector blocks on its top-2
-    nearest centroids — IVF multi-probe for joins), so boundary-straddling
-    pairs still collide. Measured recall@50 vs exact all-pairs on the
-    near-isotropic synthetic fixture (worst case for any space
-    partitioning): 0.86 at sf0.001, 0.78 at sf0.01; rank-1 blocking
-    measured 0.55. Real embedding manifolds cluster far more cleanly;
-    the levers are k, assignment depth, and the sample size.
+    N². Blocking uses MULTI-ASSIGNMENT (each vector blocks on its
+    ``depth`` nearest centroids — IVF multi-probe for joins), so
+    boundary-straddling pairs still collide. Measured recall@50 vs exact
+    all-pairs on the near-isotropic synthetic fixture (worst case for any
+    space partitioning) at sf0.01: depth=2 → 0.78, depth=3 → the ≥0.9
+    target (see tests/test_operators.py); rank-1 blocking measured 0.55.
+    Real embedding manifolds cluster far more cleanly; the levers are k,
+    ``depth``, and the sample size — candidates grow ~quadratically in
+    depth/k-ratio, so depth=3 with the same k trades ≈2× candidates for
+    the recall headroom.
 
     No SQL oracle by nature (the blocking is a learned clustering); the
     exact label-blocked twin (:func:`embedding_near_pairs`) carries the
@@ -494,21 +510,22 @@ def embedding_near_pairs_ivf(
     sample_rows = embs.select("embedding").limit(100_000).collect()
     mat = np.asarray([r["embedding"] for r in sample_rows], dtype=np.float64)
     k = n_clusters or max(2, len(mat) // 64)
+    depth = min(depth, k)
     C = np.asarray(_kmeans_fit_local(mat, k=k, seed=seed, max_iter=10))
     c2 = (C**2).sum(axis=1)
 
     # multi-assignment (IVF multi-probe for joins): each vector blocks on
-    # its TOP-2 nearest centroids, so a near-dup pair straddling a cluster
-    # boundary still collides on the runner-up block
+    # its `depth` nearest centroids, so a near-dup pair straddling a
+    # cluster boundary still collides on a runner-up block
     @F.pandas_udf("array<int>")
-    def top2(emb: pd.Series) -> pd.Series:
+    def topd(emb: pd.Series) -> pd.Series:
         m = np.asarray(emb.tolist(), dtype=np.float64)
         d = c2[None, :] - 2.0 * (m @ C.T)
-        idx = np.argsort(d, axis=1, kind="stable")[:, :2].astype("int32")
+        idx = np.argsort(d, axis=1, kind="stable")[:, :depth].astype("int32")
         return pd.Series(list(idx))
 
     blocks = embs.select(
-        "vec_id", F.explode(top2(F.col("embedding"))).alias("cid")
+        "vec_id", F.explode(topd(F.col("embedding"))).alias("cid")
     )
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
