@@ -272,31 +272,41 @@ class Database:
         else:
             self.records.append(df)
 
-    def delete(self, record_ids: str | list[str]) -> None:
+    def delete(self, record_ids: str | list[str] | DataFrame) -> None:
         """Delete by id; missing ids are a silent no-op (matching the index
         side /root/reference/src/cores/index.rs:149,160 and *not* the
         storage-side count bug — SURVEY.md §2.6.2). Empty clusters lose
-        their centroid (/root/reference/src/cores/index.rs:150-157)."""
-        ids = [record_ids] if isinstance(record_ids, str) else list(record_ids)
-        if not ids:
-            return
+        their centroid (/root/reference/src/cores/index.rs:150-157).
+
+        Accepts a single id, a list, or a DataFrame with an ``id`` column.
+        All paths anti-/semi-join against an ids DataFrame (small lists are
+        auto-broadcast by Catalyst), so delete-batch size is unbounded —
+        never a driver-side ``isin`` literal list."""
+        if isinstance(record_ids, DataFrame):
+            ids_df = record_ids.select(F.col("id").cast("string")).distinct()
+        else:
+            ids = [record_ids] if isinstance(record_ids, str) else list(record_ids)
+            if not ids:
+                return
+            ids_df = self.spark.createDataFrame([(i,) for i in ids], "id string")
         current = self.records_df()
         if self.is_indexed():
             # IO is scoped to the clusters that actually hold the ids: find
-            # them (column-pruned scan of id+cluster_id), rewrite ONLY those
-            # partitions copy-on-write, hardlink the rest. A one-id delete
-            # against a 100 TB table touches one partition directory.
+            # them (semi-join over a column-pruned scan of id+cluster_id),
+            # rewrite ONLY those partitions copy-on-write, hardlink the
+            # rest. A one-id delete against a 100 TB table touches one
+            # partition directory.
             affected = [
                 r["cluster_id"]
-                for r in current.where(F.col("id").isin(ids))
+                for r in current.join(ids_df, "id", "left_semi")
                 .select("cluster_id")
                 .distinct()
                 .collect()
             ]
             if not affected:
                 return  # missing ids are a silent no-op — nothing to rewrite
-            remaining = current.where(
-                F.col("cluster_id").isin(affected) & ~F.col("id").isin(ids)
+            remaining = current.where(F.col("cluster_id").isin(affected)).join(
+                ids_df, "id", "left_anti"
             )
             surviving = {
                 r["cluster_id"]
@@ -307,7 +317,7 @@ class Database:
             if emptied:
                 self._drop_centroids(emptied)
         else:
-            self.records.write(current.where(~F.col("id").isin(ids)))
+            self.records.write(current.join(ids_df, "id", "left_anti"))
 
     def update_metadata(self, record_id: str, metadata: dict[str, Any]) -> None:
         """Replace a record's **entire** metadata map (not a merge); the

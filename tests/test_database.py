@@ -113,6 +113,27 @@ def test_delete_semantics(spark, tmp_path):
     assert db.count() == 2
 
 
+def test_bulk_delete_via_ids_dataframe(spark, tmp_path):
+    """delete() accepts an ids DataFrame and anti-joins — no driver-side
+    literal list, so batch size is unbounded (here: 10k ids in one call)."""
+    from oasysdb_spark.core.database import RECORD_SCHEMA
+
+    db = Database.configure(spark, str(tmp_path / "db_bulk"), dimension=2)
+    rows = [(f"r{i:05d}", [float(i), 0.0], {}, {}, {}) for i in range(12_000)]
+    db.insert_batch(spark.createDataFrame(rows, RECORD_SCHEMA))
+    assert db.count() == 12_000
+
+    ids_df = spark.range(10_000).select(
+        F.format_string("r%05d", F.col("id").cast("int")).alias("id")
+    )
+    db.delete(ids_df)
+    assert db.count() == 2_000
+    # survivors are exactly the tail; re-deleting the same ids is a no-op
+    assert db.records_df().where(F.col("id") < "r10000").isEmpty()
+    db.delete(ids_df)
+    assert db.count() == 2_000
+
+
 def test_configure_refuses_overwrite(spark, tmp_path):
     d = str(tmp_path / "db5")
     Database.configure(spark, d, dimension=2)
