@@ -238,20 +238,40 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     )
 
 
+def _pillow_decode(content: bytes):
+    """Decode via Pillow when it is importable (the optional external-codec
+    hook for JPEG/PNG/…); returns None when Pillow is absent so the caller
+    falls through to the documented NotImplementedError boundary."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+    import numpy as np
+
+    with Image.open(io.BytesIO(content)) as img:
+        return np.asarray(img.convert("RGB"), dtype=np.uint8).copy()
+
+
 def decode_image(content: bytes):
     """Decode an encoded image into an ``(h, w, 3)`` uint8 RGB array.
 
     Native (no external library): binary PPM (P6) and 24-bit uncompressed
-    BMP. Compressed formats raise NotImplementedError — the entropy-coding
-    step is where PIL/libvips would plug in; everything downstream of this
-    function is format-agnostic."""
+    BMP. Compressed formats (JPEG/PNG/…) decode through Pillow when it is
+    importable — the optional external-codec hook — and otherwise raise
+    NotImplementedError at the documented entropy-coding boundary;
+    everything downstream of this function is format-agnostic."""
     if content[:2] == b"P6":
         return _decode_ppm(content)
     if content[:2] == b"BM":
         return _decode_bmp(content)
+    decoded = _pillow_decode(content)
+    if decoded is not None:
+        return decoded
     raise NotImplementedError(
         "compressed/unknown image format: native decode covers PPM (P6) and "
-        "24-bit BMP; JPEG/PNG need an external codec"
+        "24-bit BMP; JPEG/PNG need an external codec (Pillow, when installed)"
     )
 
 

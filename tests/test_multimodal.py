@@ -132,6 +132,43 @@ def test_binary_file_source_to_pixel_features(spark, tmp_path):
         assert feats[(h, w)] == expected
 
 
+def test_pillow_hook_decodes_png_corpus(spark, tmp_path):
+    """Optional external-codec hook: a real PNG corpus through
+    load_media_dir -> decode_image (Pillow) -> pixel features. Skips
+    cleanly when Pillow is absent (the container default)."""
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from oasysdb_spark.operators.multimodal import (
+        extract_pixel_features,
+        load_media_dir,
+    )
+
+    d = tmp_path / "pngs"
+    d.mkdir()
+    rng = np.random.default_rng(23)
+    arrays = {}
+    for i in range(3):
+        arr = rng.integers(0, 256, size=(6 + i, 7, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        (d / f"img_{i}.png").write_bytes(buf.getvalue())
+        arrays[i] = arr
+
+    media = load_media_dir(spark, str(d), glob="img_*")
+    feats = {
+        (r["height"], r["width"]): r["pix_mean"]
+        for r in extract_pixel_features(media).collect()
+    }
+    assert len(feats) == 3
+    for arr in arrays.values():
+        h, w, _ = arr.shape
+        assert feats[(h, w)] == int(arr.sum()) / (h * w * 3.0)
+
+
 def test_audio_codec_roundtrip_and_features(spark, tmp_path):
     """WAV PCM is the audio analog of PPM/BMP: encode→decode identity
     (incl. stereo downmix and odd-size word alignment), then real files
