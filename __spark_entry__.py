@@ -76,74 +76,28 @@ def _manhattan_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordering contract: the driver oracle-checks the FIRST 50 entries, so
-    the window leads with the LLM-pipeline extension surface (dedup, text,
-    multimodal, temporal), then the full vector-search suite, then one
-    representative per relational category; the remaining TPC-H join/agg
-    variants (same categories, locally oracle-verified) form the tail."""
+    """Ordering contract: the driver oracle-checks the FIRST 50 entries.
+    Round-4 rotation: the window leads with (a) the three entries that had
+    never had a driver row, (b) the three that errored in round 3
+    (TIMESTAMP_NTZ — fixed via functions/time.epoch_ms), (c) the two dedup
+    entries whose verify-join was rewritten this round, then (d) the TPC-H
+    tail last driver-checked in round 1, and finally a representative
+    spread of the round-3-green surface. Every entry outside this window
+    has a green CORRECTNESS_r03 row and is unchanged since."""
     return {
-        # --- dedup (LLM-pipeline surface) ---
-        "dedup_exact_stats": dedup.exact_dedup_stats,
-        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
-        "dedup_components": dedup.dedup_components,
-        "dedup_simhash": dedup.simhash_buckets,
-        "dedup_simhash_pairs": dedup.simhash_near_pairs,
-        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
-        "dedup_embedding_cosine": dedup.embedding_near_pairs,
-        # --- text analysis ---
-        "text_language_id": textops.language_id,
-        "text_quality": textops.quality_scores,
-        "text_token_stats": textops.token_stats,
-        "text_fingerprints": textops.fingerprints,
-        "text_clean_pipeline": textops.clean_corpus_pipeline,
-        "text_pack_sequences": textops.pack_sequences,
-        "text_stratified_sample": textops.stratified_sample_stats,
-        "text_pii_scrub": textops.pii_scrub_stats,
-        # --- multimodal (binary columns + Arrow feature extraction) ---
-        "multimodal_features": mm.multimodal_features,
-        "multimodal_pixel_stats": mm.multimodal_pixel_stats,
-        # --- temporal joins + windowed aggregation (SURVEY.md §2.5) ---
-        "asof_click_view": tmp.asof_click_view,
-        "range_join_price_bands": tmp.range_join_price_bands,
-        "interval_overlap_join": tmp.interval_overlap_sessions,
-        "events_tumbling_hourly": tmp.events_tumbling_hourly,
-        "events_sliding_windows": tmp.events_sliding_windows,
-        # --- vector search (SURVEY.md §2.3) ---
-        "vec_golden_distance": vec.golden_distances,
-        "vec_knn_euclidean": vec.knn_bruteforce,
-        "vec_knn_cosine": lambda s, d: vec.knn_bruteforce(s, d, metric="cosine"),
-        "vec_knn_filtered": vec.knn_filtered,
-        "vec_radius": vec.radius_search,
-        "vec_knn_batched": vec.knn_batched,
-        "vec_label_centroids": vec.label_centroids,
-        "vec_ivf_knn": _ivf_knn,
-        "vec_lsh_knn": vec.lsh_knn,
-        "vec_lsh_knn_indexed": vec.lsh_knn_indexed,
-        "vec_knn_manhattan": _manhattan_knn,
-        "vec_knn_join_blocked": sj.knn_join_blocked,
-        # --- relational category representatives (SURVEY.md §2.5) ---
-        "q1_pricing_summary": rel.q1_pricing_summary,
-        "q8_market_share": rel.q8_market_share,
-        "q16_supplier_variety": rel.q16_supplier_variety,
-        "q21_waiting_supplier": rel.q21_waiting_supplier,
-        "percentile_stats": rel.percentile_stats,
-        "math_stats": rel.math_stats,
-        "string_part_stats": rel.string_part_stats,
-        "json_event_stats": rel.json_event_stats,
-        "sessionize_events": rel.sessionize_events,
-        "filter_dsl_embeddings": rel.filter_dsl_embeddings,
-        "window_functions_suite": rel.window_functions_suite,
-        "grouping_sets_orders": rel.grouping_sets_orders,
-        "pivot_lineitem": rel.pivot_lineitem,
-        "setop_customers": rel.setop_customers,
-        "skew_salted_user_join": rel.skew_salted_user_join,
-        "bucketed_revenue_by_priority": rel.bucketed_revenue_by_priority,
-        # ---- driver window boundary (~50) — tail below is the same
-        # categories again, locally oracle-verified ----
-        "customers_without_orders": rel.customers_without_orders,
+        # --- (a) never driver-checked before round 4 ---
         "dedup_exact_pick": dedup.exact_dedup_pick,
         "text_boilerplate_ngrams": textops.boilerplate_ngrams,
         "text_hash_embeddings": embed.hash_embeddings,
+        # --- (b) errored in r3 on TIMESTAMP_NTZ; re-verify the fix ---
+        "asof_click_view": tmp.asof_click_view,
+        "sessionize_events": rel.sessionize_events,
+        "interval_overlap_join": tmp.interval_overlap_sessions,
+        # --- (c) verify-join rewritten this round (hashed shingle sets) ---
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "dedup_components": dedup.dedup_components,
+        # --- (d) TPC-H / relational tail last driver-checked in round 1 ---
+        "customers_without_orders": rel.customers_without_orders,
         "parts_above_avg_price": rel.parts_above_avg_price,
         "orders_by_month": rel.orders_by_month,
         "rollup_lineitem": rel.rollup_lineitem,
@@ -169,6 +123,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_volume_customers": rel.q18_large_volume_customers,
         "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
         "q22_idle_customers": rel.q22_idle_customers,
+        # --- representative spread of the r3-green surface ---
+        "dedup_exact_stats": dedup.exact_dedup_stats,
+        "dedup_simhash_pairs": dedup.simhash_near_pairs,
+        "dedup_embedding_cosine": dedup.embedding_near_pairs,
+        "text_clean_pipeline": textops.clean_corpus_pipeline,
+        "text_pack_sequences": textops.pack_sequences,
+        "text_pii_scrub": textops.pii_scrub_stats,
+        "multimodal_features": mm.multimodal_features,
+        "multimodal_pixel_stats": mm.multimodal_pixel_stats,
+        "events_tumbling_hourly": tmp.events_tumbling_hourly,
+        "range_join_price_bands": tmp.range_join_price_bands,
+        "vec_golden_distance": vec.golden_distances,
+        "vec_ivf_knn": _ivf_knn,
+        "vec_knn_cosine": lambda s, d: vec.knn_bruteforce(s, d, metric="cosine"),
+        "vec_lsh_knn_indexed": vec.lsh_knn_indexed,
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q21_waiting_supplier": rel.q21_waiting_supplier,
+        # ---- driver window boundary (~50) — every entry below has a green
+        # CORRECTNESS_r03 driver row and is unchanged since ----
+        "dedup_simhash": dedup.simhash_buckets,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "text_language_id": textops.language_id,
+        "text_quality": textops.quality_scores,
+        "text_token_stats": textops.token_stats,
+        "text_fingerprints": textops.fingerprints,
+        "text_stratified_sample": textops.stratified_sample_stats,
+        "events_sliding_windows": tmp.events_sliding_windows,
+        "vec_knn_euclidean": vec.knn_bruteforce,
+        "vec_knn_filtered": vec.knn_filtered,
+        "vec_radius": vec.radius_search,
+        "vec_knn_batched": vec.knn_batched,
+        "vec_label_centroids": vec.label_centroids,
+        "vec_lsh_knn": vec.lsh_knn,
+        "vec_knn_manhattan": _manhattan_knn,
+        "vec_knn_join_blocked": sj.knn_join_blocked,
+        "q8_market_share": rel.q8_market_share,
+        "q16_supplier_variety": rel.q16_supplier_variety,
+        "percentile_stats": rel.percentile_stats,
+        "math_stats": rel.math_stats,
+        "string_part_stats": rel.string_part_stats,
+        "json_event_stats": rel.json_event_stats,
+        "filter_dsl_embeddings": rel.filter_dsl_embeddings,
+        "window_functions_suite": rel.window_functions_suite,
+        "grouping_sets_orders": rel.grouping_sets_orders,
+        "pivot_lineitem": rel.pivot_lineitem,
+        "setop_customers": rel.setop_customers,
+        "skew_salted_user_join": rel.skew_salted_user_join,
+        "bucketed_revenue_by_priority": rel.bucketed_revenue_by_priority,
     }
 
 

@@ -36,31 +36,52 @@ def test_each_query_runs_smoke(spark, sf_dir, name):
     assert df.columns
     df.limit(5).collect()
 
-def test_driver_window_covers_every_category():
-    """The driver oracle-checks only the FIRST 50 queries() entries; this
-    pins the window composition so a future append/reorder can't silently
-    push a category out of hard-correctness coverage."""
+def test_driver_window_rotation_closes_coverage():
+    """The driver oracle-checks only the FIRST 50 queries() entries. The
+    round-4 rotation contract: every entry that LACKED a green driver row
+    (never checked, errored in r3, or last checked in r1) must be inside
+    the window, and every entry pushed OUTSIDE must already hold a green
+    hash-matched CORRECTNESS_r03 row — so after this round every query has
+    a driver-verified row within the last two rounds."""
+    import json
+    import os
+
     import __spark_entry__ as entry
 
     window = list(entry.queries())[:50]
-    required = {
-        # extension surface leads
-        "dedup_exact_stats", "dedup_minhash_lsh", "dedup_components",
-        "dedup_simhash_pairs",
-        "text_clean_pipeline", "text_pack_sequences", "text_stratified_sample",
-        "text_pii_scrub", "multimodal_features", "multimodal_pixel_stats",
-        "asof_click_view", "range_join_price_bands", "interval_overlap_join",
-        "vec_knn_cosine", "vec_ivf_knn", "vec_lsh_knn", "vec_lsh_knn_indexed",
-        # one representative per relational category
-        "q1_pricing_summary", "percentile_stats", "math_stats",
-        "string_part_stats", "json_event_stats", "sessionize_events",
-        "filter_dsl_embeddings", "window_functions_suite",
-        "grouping_sets_orders", "pivot_lineitem", "setop_customers",
-        "skew_salted_user_join", "bucketed_revenue_by_priority",
-        "q8_market_share", "q16_supplier_variety", "q21_waiting_supplier",
+    must_rotate_in = {
+        # never driver-checked before round 4
+        "dedup_exact_pick", "text_boilerplate_ngrams", "text_hash_embeddings",
+        # errored in r3 (TIMESTAMP_NTZ) — re-verify the fix
+        "asof_click_view", "sessionize_events", "interval_overlap_join",
+        # verify-join rewritten this round
+        "dedup_minhash_lsh", "dedup_components",
+        # TPC-H / relational tail last driver-checked in round 1
+        "customers_without_orders", "parts_above_avg_price", "orders_by_month",
+        "rollup_lineitem", "unpivot_lineitem", "top_orders_per_customer",
+        "running_revenue", "cube_orders", "setop_intersect", "ship_latency",
+        "parts_like_patterns", "q3_shipping_priority", "q4_order_priority",
+        "q5_local_supplier_volume", "q6_forecast_revenue", "q7_nation_volume",
+        "q9_profit_by_nation_year", "q10_returned_customers",
+        "q12_latency_priority", "q13_order_count_distribution",
+        "q14_promo_share", "q15_top_supplier", "q17_small_qty_revenue",
+        "q18_large_volume_customers", "q19_disjunctive_revenue",
+        "q22_idle_customers",
     }
-    missing = required - set(window)
+    missing = must_rotate_in - set(window)
     assert not missing, f"driver window lost: {sorted(missing)}"
+
+    # everything rotated out must already be driver-green from round 3
+    r3_path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r03.json")
+    with open(r3_path) as f:
+        r3 = json.load(f)
+    for qname in entry.queries():
+        if qname in window:
+            continue
+        row = r3.get(qname)
+        assert row is not None and row["hash_match"] is True, (
+            f"{qname} is outside the driver window without a green r3 row"
+        )
 
     # every query must have an oracle twin (column-name-matched contract)
     qs, osql = entry.queries(), entry.oracle_sql()
