@@ -490,8 +490,8 @@ def embedding_near_pairs_ivf(
     ``depth`` nearest centroids — IVF multi-probe for joins), so
     boundary-straddling pairs still collide. Measured recall@50 vs exact
     all-pairs on the near-isotropic synthetic fixture (worst case for any
-    space partitioning) at sf0.01: depth=2 → 0.78, depth=3 → the ≥0.9
-    target (see tests/test_operators.py); rank-1 blocking measured 0.55.
+    space partitioning) at sf0.01: depth=2 → 0.78, depth=3 → 1.0
+    (gated ≥0.9 in tests/test_operators.py); rank-1 blocking measured 0.55.
     Real embedding manifolds cluster far more cleanly; the levers are k,
     ``depth``, and the sample size — candidates grow ~quadratically in
     depth/k-ratio, so depth=3 with the same k trades ≈2× candidates for

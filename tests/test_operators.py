@@ -300,7 +300,9 @@ def test_embedding_near_pairs_ivf_recall(spark, sf_dir):
         .collect()
     }
     recall = len(got & exact) / len(exact)
-    assert recall >= 0.7, f"IVF blocking recall {recall}"
+    # depth-3 multi-assignment measured 1.0 at sf0.001 and sf0.01 on the
+    # isotropic fixture (depth-2 was 0.78-0.9); gate at the 0.9 target
+    assert recall >= 0.9, f"IVF blocking recall {recall}"
 
 
 def test_database_compact_after_stream_appends(spark, tmp_path):
