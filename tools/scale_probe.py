@@ -6,18 +6,24 @@ operator before a 1000-executor cluster finds it the hard way.
 Usage: python tools/scale_probe.py [query ...]
 Prints one JSON line per query: {"query": ..., "sec_small": ...,
 "sec_big": ..., "ratio": ...} then a summary line.
+
+Override the pair of directories with SCALE_SMALL / SCALE_BIG, e.g. the
+synthetic sf1 built by tools/make_scale_fixture.py:
+  SCALE_SMALL=/root/testdata/sf0.1 SCALE_BIG=/tmp/scale_sf1 \
+      python tools/scale_probe.py
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
 
-SMALL = "/root/testdata/sf0.01"
-BIG = "/root/testdata/sf0.1"
+SMALL = os.environ.get("SCALE_SMALL", "/root/testdata/sf0.01")
+BIG = os.environ.get("SCALE_BIG", "/root/testdata/sf0.1")
 
 # Default probe set: one per operator family, heaviest first.
 DEFAULT = [
