@@ -946,3 +946,138 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
     )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape adapted to the fixture schema (no partsupp — the
+    part×supplier offer relation is derived from lineitem, priced as the
+    average discounted sale price): for each EUROPE-region part of the
+    target size/type, the supplier(s) achieving the regional minimum
+    price. The correlated min subquery decorrelates to a groupBy-min +
+    equi-join on p_partkey; every dimension (part, supplier, nation,
+    region) broadcasts, so the only fact shuffle is the offer aggregate.
+    Reference surface: /root/reference has no relational tier at all
+    (SURVEY.md §2.5) — this is the completeness extension."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") < 15) & (F.col("p_type") == "ECONOMY")
+    )
+    eur = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(eur), li.l_suppkey == eur.s_suppkey)
+        .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.avg(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("avg_price")
+        )
+    )
+    min_price = offers.groupBy("p_partkey").agg(F.min("avg_price").alias("min_price"))
+    return (
+        offers.join(min_price, "p_partkey")
+        .where(F.col("avg_price") == F.col("min_price"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("p_partkey").cast("bigint").alias("p_partkey"),
+            "p_brand",
+            "avg_price",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (no partsupp — part value is the discounted sale
+    revenue from one nation's suppliers over lineitem): parts whose value
+    exceeds ``fraction`` of the national total. The scalar total is a
+    broadcast single-row cross join — no second fact scan order is
+    imposed; Catalyst reuses the aggregated offers for both sides.
+    Both engines compare on ROUNDED values so the HAVING cut is
+    bit-identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    nat_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_0")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    value = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == nat_supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("value")
+        )
+    )
+    total = value.agg(F.round(F.sum("value"), 2).alias("total"))
+    return (
+        value.join(F.broadcast(total))
+        .where(F.col("value") > 0.001 * F.col("total"))
+        .select(F.col("l_partkey").cast("bigint").alias("p_partkey"), "value")
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp — "availqty" becomes the all-time
+    shipped quantity per part×supplier): suppliers of NATION_0 who, for
+    some part named ``small%``, shipped more than half of their all-time
+    quantity of that part during 1995 alone. The nested correlated IN
+    decorrelates to one conditional aggregate per (supplier, part) —
+    quantity sums are integer-valued doubles, so the 0.5× comparison is
+    exact on both engines — followed by a semi join onto supplier."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    pair = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum("l_quantity").alias("qty_total"),
+            F.sum(
+                F.when(
+                    F.col("l_shipdate").between("1995-01-01", "1995-12-31"),
+                    F.col("l_quantity"),
+                ).otherwise(0.0)
+            ).alias("qty_1995"),
+        )
+        .where(F.col("qty_1995") > 0.5 * F.col("qty_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_0")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    return (
+        supp.join(pair, supp.s_suppkey == pair.l_suppkey, "left_semi")
+        .select(F.col("s_suppkey").cast("bigint").alias("s_suppkey"), "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )

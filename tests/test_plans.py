@@ -193,6 +193,7 @@ _NLJ_WHITELIST = {
     # value per row — O(n), the correct distributed scalar pattern
     "skew_salted_user_join",
     "q22_idle_customers",
+    "q11_important_parts",
 }
 
 # Construction has driver-side side effects (index/layout builds, query
