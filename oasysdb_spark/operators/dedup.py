@@ -349,14 +349,39 @@ def dedup_components(
     if docs is None:
         docs = load_documents(spark, sf_dir)
     edges = minhash_candidate_edges(spark, sf_dir, threshold=threshold, docs=docs)
-    # undirected: propagate labels both ways
-    sym = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).cache()
+    return connected_components(
+        docs.select("doc_id"), edges, "doc_a", "doc_b", max_iter=max_iter
+    )
 
-    labels = docs.select("doc_id", F.col("doc_id").alias("component_id")).cache()
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Min-label propagation over an undirected edge list: returns
+    ``(doc_id, component_id)`` where component id = minimum node id in the
+    component. ``nodes`` is a one-column frame naming every node (isolated
+    nodes become their own component); ``edges`` lists each undirected
+    edge once as ``(src, dst)``.
+
+    Each round is one equi-join + one groupBy-min — the simple variant of
+    large-star/small-star; rounds = component diameter, and near-dup
+    clusters are shallow (cliques or near-cliques, diameter ≤ 2-3). The
+    driver only ever sees a convergence COUNT per round, never data."""
+    id_col = nodes.columns[0]
+    # undirected: propagate labels both ways
+    sym = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .unionByName(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+        .cache()
+    )
+
+    labels = nodes.select(
+        F.col(id_col).alias("doc_id"), F.col(id_col).alias("component_id")
+    ).cache()
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["src"] == labels["doc_id"])
@@ -480,6 +505,7 @@ def embedding_near_pairs_ivf(
     n_clusters: int | None = None,
     seed: int = 42,
     depth: int = 3,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup with the PRODUCTION blocking key: an IVF
     cluster id (nearest centroid of a seeded sampled k-means fit), not a
@@ -496,6 +522,10 @@ def embedding_near_pairs_ivf(
     ``depth``, and the sample size — candidates grow ~quadratically in
     depth/k-ratio, so depth=3 with the same k trades ≈2× candidates for
     the recall headroom.
+
+    ``threshold`` switches from top-``top_n`` output to ALL pairs with
+    ``cos_sim >= threshold`` — the edge-list mode
+    :func:`embedding_dedup_components` clusters on.
 
     No SQL oracle by nature (the blocking is a learned clustering); the
     exact label-blocked twin (:func:`embedding_near_pairs`) carries the
@@ -544,6 +574,8 @@ def embedding_near_pairs_ivf(
         l2_norm(F.col("emb_a")) * l2_norm(F.col("emb_b"))
     )
     out = pairs.select("vec_a", "vec_b", round_dist(sim).alias("cos_sim"))
+    if threshold is not None:
+        return out.where(F.col("cos_sim") >= threshold)
     return out.orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b").limit(top_n)
 
 
@@ -575,3 +607,42 @@ def embedding_near_pairs(
         round_dist(sim).alias("cos_sim"),
     )
     return out.orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b").limit(top_n)
+
+
+def embedding_dedup_components(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.9,
+    depth: int = 3,
+    n_clusters: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """SEMANTIC deduplication end to end: IVF-blocked embedding-cosine
+    candidate pairs at ``cos_sim >= threshold`` become the edge list, and
+    min-label connected components assign every vector a semantic-group
+    id — keep ``component_id == vec_id`` rows and the corpus is deduped
+    at the meaning level (the embedding analog of the MinHash →
+    components pipeline the text side uses).
+
+    Returns ``(doc_id, component_id, keep)`` where ``doc_id`` is the
+    vec_id (the generic components contract names its id column doc_id)
+    and ``keep`` marks the component representative (minimum vec_id).
+
+    Scale shape: candidates are IVF-blocked (never N²), each component
+    round is one equi-join + groupBy-min, and semantic dup groups are
+    near-cliques so the fixpoint lands in 2-3 rounds. No SQL oracle by
+    nature (learned blocking, iterative fixpoint); correctness is gated
+    in pytest against exact all-pairs edges + driver-side union-find."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    edges = embedding_near_pairs_ivf(
+        spark, sf_dir, depth=depth, n_clusters=n_clusters, seed=seed,
+        threshold=threshold,
+    )
+    comp = connected_components(
+        embs.select("vec_id"), edges, "vec_a", "vec_b"
+    )
+    return comp.select(
+        "doc_id",
+        "component_id",
+        (F.col("doc_id") == F.col("component_id")).alias("keep"),
+    )

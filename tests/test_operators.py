@@ -496,3 +496,58 @@ def test_lang_classifier_trains_on_hashed_features(spark, sf_dir):
     r = metrics.first()
     assert r["n_train"] > 0 and r["n_test"] > 0
     assert r["accuracy"] >= 0.9, f"held-out accuracy {r['accuracy']}"
+
+
+def test_embedding_dedup_components_matches_exact_unionfind(spark, sf_dir):
+    """Semantic dedup end to end: the IVF-blocked component assignment
+    must reproduce the exact all-pairs graph's components (cos_sim >=
+    threshold edges + union-find computed driver-side on the tiny
+    fixture)."""
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.functions.vectors import dot_product, l2_norm
+    from oasysdb_spark.operators import dedup
+
+    thr = 0.9
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.embedding_dedup_components(spark, sf_dir, threshold=thr).collect()
+    }
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a, b = embs.alias("a"), embs.alias("b")
+    sim = dot_product(F.col("a.embedding"), F.col("b.embedding")) / (
+        l2_norm(F.col("a.embedding")) * l2_norm(F.col("b.embedding"))
+    )
+    exact_edges = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"), sim.alias("s")
+        )
+        .where(F.col("s") >= thr)
+        .collect()
+    )
+    parent = {r["vec_id"]: r["vec_id"] for r in embs.select("vec_id").collect()}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in exact_edges:
+        ra, rb = find(r["va"]), find(r["vb"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in parent}
+    # representative ids must match exactly: min-label propagation and
+    # min-root union-find both label a component by its minimum vec_id
+    assert got == expected
+    # keep flags mark exactly one representative per component
+    keeps = {
+        r["doc_id"]
+        for r in dedup.embedding_dedup_components(spark, sf_dir, threshold=thr)
+        .where("keep")
+        .collect()
+    }
+    assert keeps == set(expected.values())
