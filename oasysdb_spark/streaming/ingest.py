@@ -297,7 +297,9 @@ def near_dedup_stream_flags(
 
     from oasysdb_spark.operators.dedup import minhash_signatures
 
-    sigs = minhash_signatures(docs_stream, num_hashes=num_hashes)
+    # hashed=True: only sig (+ int shingle digests) crosses the Arrow
+    # boundary — band keys never need the shingle strings
+    sigs = minhash_signatures(docs_stream, num_hashes=num_hashes, hashed=True)
     n_bands = num_hashes // band_size
     band_structs = F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
