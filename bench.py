@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",
     "q8_market_share",
     "q21_waiting_supplier",
+    "q2_min_cost_supplier",
     "top_orders_per_customer",
     "sessionize_events",
     "asof_click_view",
