@@ -353,6 +353,64 @@ class Database:
                 raise errors.NotFoundError(f"record {record_id!r} not found")
             self.records.write(_apply(current))
 
+    def update_metadata_batch(self, updates: DataFrame) -> None:
+        """Bulk whole-map metadata replace: ``updates`` carries ``(id,
+        m_text, m_num, m_bool)`` — the same typed-map encoding the record
+        store uses (``split_metadata`` produces it from a dict). Every map
+        column must be non-null (pass an empty map to clear); the vector
+        stays immutable, matching the single-record
+        :meth:`update_metadata`.
+
+        Scale shape mirrors the bulk delete: a semi-join locates the
+        affected clusters, only those partitions rewrite copy-on-write
+        (the rest hardlink), and the update set joins in as an ordinary
+        broadcast-able DataFrame — no driver-side literal lists. Raises
+        NotFoundError if ANY id is missing (the strict single-record
+        semantics, checked set-wide)."""
+        upd = updates.select(
+            F.col("id").cast("string").alias("_uid"),
+            F.col("m_text").alias("_ut"),
+            F.col("m_num").alias("_un"),
+            F.col("m_bool").alias("_ub"),
+        )
+        current = self.records_df()
+        n_missing = upd.join(
+            current, upd["_uid"] == current["id"], "left_anti"
+        ).count()
+        if n_missing:
+            raise errors.NotFoundError(
+                f"{n_missing} update id(s) not found in the record store"
+            )
+
+        def _apply(df: DataFrame) -> DataFrame:
+            j = df.join(upd, df["id"] == upd["_uid"], "left")
+            cols = []
+            for c in df.columns:
+                if c == "m_text":
+                    cols.append(F.coalesce("_ut", "m_text").alias("m_text"))
+                elif c == "m_num":
+                    cols.append(F.coalesce("_un", "m_num").alias("m_num"))
+                elif c == "m_bool":
+                    cols.append(F.coalesce("_ub", "m_bool").alias("m_bool"))
+                else:
+                    cols.append(df[c])
+            return j.select(*cols)
+
+        if self.is_indexed():
+            affected = [
+                r["cluster_id"]
+                for r in current.join(
+                    upd, current["id"] == upd["_uid"], "left_semi"
+                )
+                .select("cluster_id")
+                .distinct()
+                .collect()
+            ]
+            touched = _apply(current.where(F.col("cluster_id").isin(affected)))
+            self.records.rewrite_partitions(touched, "cluster_id", affected)
+        else:
+            self.records.write(_apply(current))
+
     def _drop_centroids(self, cluster_ids: list) -> None:
         """Drop the named centroids — clusters that lost their last member
         (/root/reference/src/cores/index.rs:150-157). Delete computes the

@@ -284,3 +284,43 @@ def test_time_travel_surface(spark, tmp_path, capsys):
     assert main(["versions", "--dir", d, "--at", v_before]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["count_at"] == 3 and v_before in out["versions"]
+
+
+def test_bulk_metadata_update_via_dataframe(spark, tmp_path):
+    """update_metadata_batch: whole-map replace for many ids in one
+    partition-scoped pass; untouched rows and the vector stay intact;
+    any missing id fails the whole batch (strict single-record
+    semantics, set-wide)."""
+    from oasysdb_spark.core.database import RECORD_SCHEMA
+    from oasysdb_spark.index.ivf import build_index
+
+    db = Database.configure(spark, str(tmp_path / "db_bmu"), dimension=2, density=8)
+    rows = [
+        (f"m{i:03d}", [float(i % 4), 0.0], {"k": f"v{i}"}, {"n": float(i)}, {})
+        for i in range(64)
+    ]
+    db.insert_batch(spark.createDataFrame(rows, RECORD_SCHEMA))
+    build_index(db, seed=7)
+
+    upd = spark.createDataFrame(
+        [(f"m{i:03d}", {"k": "new"}, {}, {"flag": True}) for i in range(10)],
+        "id string, m_text map<string,string>, m_num map<string,double>, "
+        "m_bool map<string,boolean>",
+    )
+    db.update_metadata_batch(upd)
+
+    got = db.get("m003")
+    assert got["metadata"] == {"k": "new", "flag": True}  # m_num cleared
+    assert got["vector"] == [3.0, 0.0]
+    untouched = db.get("m042")
+    assert untouched["metadata"] == {"k": "v42", "n": 42.0}
+
+    bad = spark.createDataFrame(
+        [("m001", {}, {}, {}), ("nope", {}, {}, {})],
+        "id string, m_text map<string,string>, m_num map<string,double>, "
+        "m_bool map<string,boolean>",
+    )
+    with pytest.raises(NotFoundError):
+        db.update_metadata_batch(bad)
+    # failed batch must not have applied its first row
+    assert db.get("m001")["metadata"] == {"k": "new", "flag": True}
