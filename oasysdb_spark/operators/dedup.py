@@ -382,30 +382,32 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("doc_id"), F.col(id_col).alias("component_id")
     ).cache()
+    cached = labels  # the frame currently holding a cache (unpersist target)
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["src"] == labels["doc_id"])
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("component_id").alias("neighbor_label"))
         )
-        new_labels = (
+        # carry old + new labels in ONE cached frame: the convergence
+        # count reads it directly instead of re-joining old vs new
+        stepped = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
+                F.col("component_id").alias("old_component_id"),
                 F.least(
                     "component_id", F.coalesce("neighbor_label", "component_id")
                 ).alias("component_id"),
             )
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.component_id") < F.col("o.component_id"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = stepped.where(
+            F.col("component_id") < F.col("old_component_id")
+        ).count()
+        cached.unpersist()
+        cached = stepped
+        labels = stepped.select("doc_id", "component_id")
         if changed == 0:
             break
     return labels.select(
