@@ -59,7 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--id", dest="record_id", required=True)
 
     d = add("delete", help="delete records by id")
-    d.add_argument("--id", dest="record_ids", nargs="+", required=True)
+    group = d.add_mutually_exclusive_group(required=True)
+    group.add_argument("--id", dest="record_ids", nargs="+")
+    group.add_argument(
+        "--ids-file",
+        help="bulk path: text file with one id per line (or .parquet with "
+        "an id column) — anti-joined, no size cap",
+    )
 
     u = add("update", help="replace a record's metadata map")
     u.add_argument("--id", dest="record_id", required=True)
@@ -111,8 +117,19 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "get":
         _emit(db.get(args.record_id))
     elif args.cmd == "delete":
-        db.delete(args.record_ids)
-        _emit({"ok": True, "deleted": args.record_ids})
+        if args.ids_file:
+            if args.ids_file.endswith(".parquet"):
+                ids_df = spark.read.parquet(args.ids_file).select("id")
+            else:
+                ids_df = spark.read.text(args.ids_file).selectExpr(
+                    "trim(value) AS id"
+                ).where("id <> ''")
+            before = db.count()
+            db.delete(ids_df)
+            _emit({"ok": True, "deleted_count": before - db.count()})
+        else:
+            db.delete(args.record_ids)
+            _emit({"ok": True, "deleted": args.record_ids})
     elif args.cmd == "update":
         db.update_metadata(args.record_id, json.loads(args.metadata))
         _emit({"ok": True, "id": args.record_id})

@@ -263,6 +263,15 @@ def test_cli_verbs_roundtrip(spark, tmp_path, capsys):
     assert run("snapshot", "--dir", d)["count"] == 1
     assert run("compact", "--dir", d)["ok"] is True
 
+    # bulk path: ids from a text file, anti-joined (no size cap)
+    run("insert", "--dir", d, "--vector", "7,8,9", "--id", "r3")
+    run("insert", "--dir", d, "--vector", "7,8,10", "--id", "r4")
+    ids_file = tmp_path / "ids.txt"
+    ids_file.write_text("r3\nr4\nmissing-id\n")
+    out = run("delete", "--dir", d, "--ids-file", str(ids_file))
+    assert out["deleted_count"] == 2
+    assert run("snapshot", "--dir", d)["count"] == 1
+
 
 def test_time_travel_surface(spark, tmp_path, capsys):
     """Database-level time travel: a delete produces a new version while
