@@ -53,6 +53,21 @@ def _ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vec.ivf_knn(spark, sf_dir, work_dir=work)
 
 
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over a deterministic corpus split:
+    train = doc_id % 10 != 3 scrubbed against eval = doc_id % 10 == 3
+    (interleaved so fixture dup groups straddle the split and the check
+    exercises non-empty output)."""
+    from pyspark.sql import functions as F
+
+    docs = dedup.load_documents(spark, sf_dir, spread=True).select("doc_id", "text")
+    return dedup.decontaminate_against(
+        docs.where(F.col("doc_id") % 10 != 3),
+        docs.where(F.col("doc_id") % 10 == 3),
+        threshold=0.5,
+    )
+
+
 def _manhattan_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The user-metric registry in action (SURVEY.md §2.5 'UDF surface'):
     a metric the reference's closed enum cannot express, registered as a
@@ -96,6 +111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (c) verify-join rewritten this round (hashed shingle sets) ---
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
         "dedup_components": dedup.dedup_components,
+        # --- new in round 4: two-sided decontamination join ---
+        "dedup_decontaminate": _decontaminate,
         # --- (d) TPC-H / relational tail last driver-checked in round 1 ---
         "customers_without_orders": rel.customers_without_orders,
         "parts_above_avg_price": rel.parts_above_avg_price,
@@ -133,7 +150,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": dedup.simhash_near_pairs,
         "dedup_embedding_cosine": dedup.embedding_near_pairs,
         "text_clean_pipeline": textops.clean_corpus_pipeline,
-        "text_pack_sequences": textops.pack_sequences,
         "text_pii_scrub": textops.pii_scrub_stats,
         "multimodal_features": mm.multimodal_features,
         "multimodal_pixel_stats": mm.multimodal_pixel_stats,
@@ -147,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_price_bands": tmp.range_join_price_bands,
         "vec_golden_distance": vec.golden_distances,
         "vec_lsh_knn_indexed": vec.lsh_knn_indexed,
+        "text_pack_sequences": textops.pack_sequences,
         "dedup_simhash": dedup.simhash_buckets,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "text_language_id": textops.language_id,
@@ -588,6 +605,30 @@ def oracle_sql() -> dict[str, str]:
         WITH {_mh_cte}
         SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
         FROM pairs ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50"""
+
+    # two-sided decontamination: same signature/band prep, cross-subset
+    # candidates (train doc_id >= 500 against eval doc_id < 500); the
+    # unused self-join CTEs (cand/pairs) are lazily skipped by DuckDB
+    q["dedup_decontaminate"] = f"""
+        WITH {_mh_cte},
+        dcand AS (SELECT DISTINCT t.doc_id AS doc_id, e.doc_id AS eval_doc_id
+                  FROM bandrows t JOIN bandrows e
+                  ON t.b = e.b AND t.band_key = e.band_key
+                  WHERE t.doc_id % 10 <> 3 AND e.doc_id % 10 = 3),
+        dscore AS (SELECT dcand.doc_id AS doc_id, dcand.eval_doc_id AS eval_doc_id,
+                     round(CAST(len(list_filter(st.shingles,
+                                 x -> list_contains(se.shingles, x))) AS DOUBLE)
+                           / (len(st.shingles) + len(se.shingles)
+                              - len(list_filter(st.shingles,
+                                    x -> list_contains(se.shingles, x)))), 6) AS jaccard
+                   FROM dcand JOIN ne st ON st.doc_id = dcand.doc_id
+                              JOIN ne se ON se.doc_id = dcand.eval_doc_id)
+        SELECT doc_id, eval_doc_id, jaccard FROM (
+            SELECT doc_id, eval_doc_id, jaccard,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY jaccard DESC, eval_doc_id) AS rn
+            FROM dscore WHERE jaccard >= 0.5)
+        WHERE rn = 1"""
 
     # the iterative Spark label-propagation fixpoint, expressed as a
     # recursive min-root reachability CTE — same components, hash-checked

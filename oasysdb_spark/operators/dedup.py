@@ -21,7 +21,7 @@ Scale notes (the 100 TB story):
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from oasysdb_spark.functions.hashing import hash64
@@ -647,4 +647,89 @@ def embedding_dedup_components(
         "doc_id",
         "component_id",
         (F.col("doc_id") == F.col("component_id")).alias("keep"),
+    )
+
+
+def decontaminate_against(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION: flag training documents whose n-gram
+    Jaccard against ANY eval-set document meets ``threshold`` — the
+    standard pretraining hygiene step (drop train docs that leak eval
+    content), expressed as the TWO-SIDED variant of the MinHash-LSH
+    self-join.
+
+    Shape: both corpora compute signatures row-locally (hashed mode — no
+    strings past the Arrow boundary), explode to LSH band keys, and the
+    cross-corpus candidate set is an EQUI-join on (band_id, band_key) —
+    never |train|x|eval|. Exact Jaccard over hashed shingle sets verifies
+    candidates; one row per contaminated train doc carries its best
+    (max-Jaccard, tie-break min eval id) eval match. The eval side is
+    typically tiny (benchmarks), so its band table broadcasts and the
+    train corpus streams through map-side — at 100 TB the train side
+    never shuffles at all.
+
+    Returns ``(doc_id, eval_doc_id, jaccard)`` for flagged train docs;
+    anti-join the corpus against it to scrub."""
+    t_sigs = minhash_signatures(train_docs, num_hashes=num_hashes, hashed=True)
+    e_sigs = minhash_signatures(eval_docs, num_hashes=num_hashes, hashed=True)
+
+    n_bands = num_hashes // band_size
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.concat_ws(
+                "_",
+                *[
+                    F.element_at(F.col("sig"), b * band_size + i + 1).cast("string")
+                    for i in range(band_size)
+                ],
+            ).alias("band_key"),
+        ),
+    )
+
+    def bands(sigs):
+        return sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
+            "doc_id", "band.band_id", "band.band_key"
+        )
+
+    t, e = bands(t_sigs).alias("t"), bands(e_sigs).alias("e")
+    cand = (
+        t.join(
+            F.broadcast(e),
+            (F.col("t.band_id") == F.col("e.band_id"))
+            & (F.col("t.band_key") == F.col("e.band_key")),
+        )
+        .select(
+            F.col("t.doc_id").alias("doc_id"),
+            F.col("e.doc_id").alias("eval_doc_id"),
+        )
+        .distinct()
+    )
+    pairs = cand.join(
+        t_sigs.select("doc_id", F.col("sh").alias("sh_t")), "doc_id"
+    ).join(
+        F.broadcast(
+            e_sigs.select(F.col("doc_id").alias("eval_doc_id"), F.col("sh").alias("sh_e"))
+        ),
+        "eval_doc_id",
+    )
+    inter = F.size(F.array_intersect("sh_t", "sh_e"))
+    union = F.size("sh_t") + F.size("sh_e") - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    scored = pairs.select("doc_id", "eval_doc_id", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("eval_doc_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "eval_doc_id", "jaccard")
     )

@@ -551,3 +551,64 @@ def test_embedding_dedup_components_matches_exact_unionfind(spark, sf_dir):
         .collect()
     }
     assert keeps == set(expected.values())
+
+
+def test_decontaminate_flags_exactly_leaked_docs(spark, sf_dir):
+    """Two-sided MinHash decontamination: an eval set built from mutated
+    copies of some corpus docs must flag exactly those docs (plus any
+    true cross-corpus near-dup at the threshold), with jaccard matching
+    a direct computation."""
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.operators import dedup
+
+    train = dedup.load_documents(spark, sf_dir).select("doc_id", "text")
+    # eval set: verbatim copy of doc 3, light mutation of doc 7 (drop the
+    # last 2 words), and one alien doc that matches nothing
+    rows = {r["doc_id"]: r["text"] for r in train.where("doc_id in (3, 7)").collect()}
+    mutated = " ".join(rows[7].split()[:-2])
+    eval_docs = spark.createDataFrame(
+        [
+            (9001, rows[3]),
+            (9002, mutated),
+            (9003, "zq xv wk jn pq rs tu vw completely alien benchmark text"),
+        ],
+        "doc_id long, text string",
+    )
+
+    flagged = {
+        r["doc_id"]: (r["eval_doc_id"], r["jaccard"])
+        for r in dedup.decontaminate_against(train, eval_docs, threshold=0.5).collect()
+    }
+    # the verbatim leak is jaccard 1.0 against eval 9001
+    assert flagged[3] == (9001, 1.0)
+    # the mutated leak is flagged against eval 9002 below 1.0
+    ev, j = flagged[7]
+    assert ev == 9002 and 0.5 <= j < 1.0
+    # nothing matches the alien doc
+    assert all(ev != 9003 for ev, _ in flagged.values())
+    # every flagged doc's jaccard agrees with a direct exact computation
+    from oasysdb_spark.functions.text import tokens, word_shingles
+
+    sh = train.select(
+        "doc_id", word_shingles(tokens(F.col("text")), n=3).alias("g")
+    )
+    eh = eval_docs.select(
+        F.col("doc_id").alias("ed"), word_shingles(tokens(F.col("text")), n=3).alias("ge")
+    )
+    direct = {
+        (r["doc_id"], r["ed"]): r["j"]
+        for r in sh.crossJoin(eh)
+        .select(
+            "doc_id",
+            "ed",
+            F.round(
+                F.size(F.array_intersect("g", "ge")).cast("double")
+                / (F.size("g") + F.size("ge") - F.size(F.array_intersect("g", "ge"))),
+                6,
+            ).alias("j"),
+        )
+        .collect()
+    }
+    for doc_id, (ev, j) in flagged.items():
+        assert direct[(doc_id, ev)] == j
