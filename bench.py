@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "vec_lsh_knn_indexed",
     "interval_overlap_join",
     "dedup_minhash_lsh",
+    "dedup_decontaminate",
     "dedup_simhash",
     "text_quality",
     "text_clean_pipeline",

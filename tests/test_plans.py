@@ -223,3 +223,22 @@ def test_no_accidental_nested_loops_anywhere(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, f"unintended non-equi join plans: {offenders}"
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The two-sided decontamination join must broadcast the (tiny) eval
+    corpus on both the candidate join and the verify join — the train
+    side never shuffles — and never fall back to a nested loop."""
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.operators import dedup
+
+    docs = dedup.load_documents(spark, sf_dir, spread=True).select("doc_id", "text")
+    df = dedup.decontaminate_against(
+        docs.where(F.col("doc_id") % 10 != 3),
+        docs.where(F.col("doc_id") % 10 == 3),
+    )
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
