@@ -675,8 +675,10 @@ def decontaminate_against(
 
     Returns ``(doc_id, eval_doc_id, jaccard)`` for flagged train docs;
     anti-join the corpus against it to scrub."""
-    t_sigs = minhash_signatures(train_docs, num_hashes=num_hashes, hashed=True)
-    e_sigs = minhash_signatures(eval_docs, num_hashes=num_hashes, hashed=True)
+    # cached: both sides feed TWO consumers (band explode + verify join);
+    # without the cache the Arrow MinHash UDF runs twice per corpus
+    t_sigs = minhash_signatures(train_docs, num_hashes=num_hashes, hashed=True).cache()
+    e_sigs = minhash_signatures(eval_docs, num_hashes=num_hashes, hashed=True).cache()
 
     n_bands = num_hashes // band_size
     band_structs = F.transform(
