@@ -78,8 +78,6 @@ def build_index(
     (sample iterations) + (ONE linear assignment pass over the table),
     instead of max_iter full-table passes.
     """
-    from pyspark.ml.clustering import KMeans
-
     records = db.records_df() if source is None else source
     if "cluster_id" in records.columns:
         records = records.drop("cluster_id")
@@ -97,35 +95,16 @@ def build_index(
         refresh_centroids(db)
         return 1
 
-    fit_df = records
-    n_fit = n
-    if n > fit_sample_size:
-        fit_df = records.sample(fraction=fit_sample_size / n, seed=seed)
-        n_fit = fit_sample_size  # expected sample size; exact count not needed
-
-    # Path choice happens BEFORE any collect: a fit set beyond
-    # ``local_fit_limit`` rows goes to distributed MLlib k-means|| (the
-    # centroids — k × dim — are the only driver-side materialization);
-    # smaller fits collect the sample and run driver-local Lloyd with BLAS
-    # (tens of iterations as numpy matmuls instead of tens of Spark jobs).
-    if n_fit > local_fit_limit:
-        kmeans = KMeans(
-            k=k,
-            seed=seed,
-            maxIter=max_iter,
-            initMode="k-means||",
-            featuresCol="__vec",
-            predictionCol="cluster_id",
-            distanceMeasure="euclidean" if db.params.metric == "euclidean" else "cosine",
-        )
-        model = kmeans.fit(_records_with_vec(fit_df).select("__vec"))
-        centroids = [[float(x) for x in c] for c in model.clusterCenters()]
-    else:
-        sample = np.asarray(
-            [r["embedding"] for r in fit_df.select("embedding").collect()],
-            dtype=np.float64,
-        )
-        centroids = _kmeans_fit_local(sample, k=k, seed=seed, max_iter=max_iter)
+    centroids = fit_centroids(
+        records,
+        k=k,
+        seed=seed,
+        max_iter=max_iter,
+        fit_sample_size=fit_sample_size,
+        local_fit_limit=local_fit_limit,
+        metric=db.params.metric,
+        n=n,
+    )
 
     assigned = records.withColumn(
         "cluster_id",
@@ -142,6 +121,60 @@ def build_index(
     cents = [(i, c, int(sizes.get(i, 0))) for i, c in enumerate(centroids)]
     _write_centroids(db, cents)
     return k
+
+
+def fit_centroids(
+    df: DataFrame,
+    k: int,
+    seed: int = 42,
+    max_iter: int = 20,
+    fit_sample_size: int = 200_000,
+    local_fit_limit: int = 1_000_000,
+    metric: str = "euclidean",
+    n: int | None = None,
+) -> list[list[float]]:
+    """Centroid fit over an ``embedding`` column with the scale-guarded
+    sample path shared by index builds and IVF-blocked dedup: a SEEDED
+    uniform ``sample(fraction)`` — never ``limit``, which takes the first
+    file splits and on a partitioned corpus fits one shard's biased
+    distribution — capped at ``fit_sample_size`` rows. The
+    local-vs-distributed choice happens BEFORE any collect: a fit set
+    beyond ``local_fit_limit`` rows goes to MLlib k-means|| (the k × dim
+    centroid matrix is the only driver-side materialization); smaller
+    fits collect the sample and run driver-local Lloyd with BLAS (tens
+    of iterations as numpy matmuls instead of tens of Spark jobs)."""
+    if n is None:
+        n = df.count()
+    if n == 0:
+        raise InvalidArgumentError("cannot fit centroids over zero rows")
+    k = min(k, n)
+
+    fit_df = df
+    n_fit = n
+    if n > fit_sample_size:
+        fit_df = df.sample(fraction=fit_sample_size / n, seed=seed)
+        n_fit = fit_sample_size  # expected sample size; exact count not needed
+
+    if k > 1 and n_fit > local_fit_limit:
+        from pyspark.ml.clustering import KMeans
+
+        kmeans = KMeans(
+            k=k,
+            seed=seed,
+            maxIter=max_iter,
+            initMode="k-means||",
+            featuresCol="__vec",
+            predictionCol="cluster_id",
+            distanceMeasure="euclidean" if metric == "euclidean" else "cosine",
+        )
+        model = kmeans.fit(_records_with_vec(fit_df).select("__vec"))
+        return [[float(x) for x in c] for c in model.clusterCenters()]
+
+    sample = np.asarray(
+        [r["embedding"] for r in fit_df.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    return _kmeans_fit_local(sample, k=min(k, len(sample)), seed=seed, max_iter=max_iter)
 
 
 def _kmeans_fit_local(mat: "np.ndarray", k: int, seed: int, max_iter: int) -> list[list[float]]:

@@ -508,6 +508,7 @@ def embedding_near_pairs_ivf(
     seed: int = 42,
     depth: int = 3,
     threshold: float | None = None,
+    fit_sample_size: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup with the PRODUCTION blocking key: an IVF
     cluster id (nearest centroid of a seeded sampled k-means fit), not a
@@ -535,15 +536,28 @@ def embedding_near_pairs_ivf(
     import numpy as np
 
     from oasysdb_spark.functions.vectors import dot_product, l2_norm
-    from oasysdb_spark.index.ivf import _kmeans_fit_local
+    from oasysdb_spark.index.ivf import fit_centroids
     from oasysdb_spark.operators.vectorops import round_dist
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    sample_rows = embs.select("embedding").limit(100_000).collect()
-    mat = np.asarray([r["embedding"] for r in sample_rows], dtype=np.float64)
-    k = n_clusters or max(2, len(mat) // 64)
+    # Centroid fit goes through the shared guarded path (seeded uniform
+    # sample + local-BLAS-vs-MLlib choice) — a `limit(...).collect()` here
+    # would fit the first parquet splits only, and on a corpus partitioned
+    # by any content-correlated key that biased fit craters blocking
+    # recall silently.
+    n = embs.count()
+    k = n_clusters or max(2, min(n, fit_sample_size) // 64)
     depth = min(depth, k)
-    C = np.asarray(_kmeans_fit_local(mat, k=k, seed=seed, max_iter=10))
+    C = np.asarray(
+        fit_centroids(
+            embs.select("embedding"),
+            k=k,
+            seed=seed,
+            max_iter=10,
+            fit_sample_size=fit_sample_size,
+            n=n,
+        )
+    )
     c2 = (C**2).sum(axis=1)
 
     # multi-assignment (IVF multi-probe for joins): each vector blocks on
@@ -656,6 +670,7 @@ def decontaminate_against(
     num_hashes: int = 16,
     band_size: int = 2,
     threshold: float = 0.5,
+    eval_broadcast_limit: int = 1_000_000,
 ) -> DataFrame:
     """Benchmark DECONTAMINATION: flag training documents whose n-gram
     Jaccard against ANY eval-set document meets ``threshold`` — the
@@ -671,7 +686,11 @@ def decontaminate_against(
     (max-Jaccard, tie-break min eval id) eval match. The eval side is
     typically tiny (benchmarks), so its band table broadcasts and the
     train corpus streams through map-side — at 100 TB the train side
-    never shuffles at all.
+    never shuffles at all. The broadcast is SIZE-GUARDED, not assumed:
+    an eval corpus beyond ``eval_broadcast_limit`` rows (counted on the
+    cached signature table, so the count reuses the Arrow UDF work) falls
+    back to a plain shuffled band equi-join instead of OOMing every
+    executor; set the limit to 0 to force the shuffle path.
 
     Returns ``(doc_id, eval_doc_id, jaccard)`` for flagged train docs;
     anti-join the corpus against it to scrub."""
@@ -679,6 +698,12 @@ def decontaminate_against(
     # without the cache the Arrow MinHash UDF runs twice per corpus
     t_sigs = minhash_signatures(train_docs, num_hashes=num_hashes, hashed=True).cache()
     e_sigs = minhash_signatures(eval_docs, num_hashes=num_hashes, hashed=True).cache()
+
+    # The guard count doubles as the cache materialization the plan
+    # needed anyway; rows (not bytes) because band keys + shingle digests
+    # are fixed-width per row.
+    broadcast_eval = e_sigs.count() <= eval_broadcast_limit
+    maybe_bc = F.broadcast if broadcast_eval else (lambda df: df)
 
     n_bands = num_hashes // band_size
     band_structs = F.transform(
@@ -703,7 +728,7 @@ def decontaminate_against(
     t, e = bands(t_sigs).alias("t"), bands(e_sigs).alias("e")
     cand = (
         t.join(
-            F.broadcast(e),
+            maybe_bc(e),
             (F.col("t.band_id") == F.col("e.band_id"))
             & (F.col("t.band_key") == F.col("e.band_key")),
         )
@@ -716,7 +741,7 @@ def decontaminate_against(
     pairs = cand.join(
         t_sigs.select("doc_id", F.col("sh").alias("sh_t")), "doc_id"
     ).join(
-        F.broadcast(
+        maybe_bc(
             e_sigs.select(F.col("doc_id").alias("eval_doc_id"), F.col("sh").alias("sh_e"))
         ),
         "eval_doc_id",

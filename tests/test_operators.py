@@ -305,6 +305,62 @@ def test_embedding_near_pairs_ivf_recall(spark, sf_dir):
     assert recall >= 0.9, f"IVF blocking recall {recall}"
 
 
+def test_embedding_ivf_recall_adversarial_ordering(spark, sf_dir, tmp_path):
+    """The centroid fit must survive adversarially ORDERED input: the
+    embeddings parquet rewritten as range-partitioned files sorted by
+    label, so the first file splits hold a single cluster's distribution.
+    A limit(...)-based sample (the pre-r5 code) fits centroids on one
+    cluster and blocking recall craters silently; the seeded uniform
+    sample holds the recall gate. fit_sample_size < n forces the
+    sampling path, which full-fixture runs never exercise."""
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.functions.vectors import dot_product, l2_norm
+    from oasysdb_spark.operators import dedup
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    adv = str(tmp_path / "adversarial")
+    (
+        embs.repartitionByRange(8, "label", "vec_id")
+        .sortWithinPartitions("label", "vec_id")
+        .write.parquet(f"{adv}/embeddings.parquet")
+    )
+    # sanity: the adversarial layout is really label-clustered — every
+    # file holds a narrow label range, so any first-splits read sees a
+    # biased slice of the distribution
+    per_file = (
+        spark.read.parquet(f"{adv}/embeddings.parquet")
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.countDistinct("label").alias("nl"))
+    )
+    assert per_file.agg(F.max("nl")).first()[0] <= 3
+
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_near_pairs_ivf(
+            spark, adv, top_n=20, n_clusters=8, fit_sample_size=128
+        ).collect()
+    }
+    a, b = embs.alias("a"), embs.alias("b")
+    sim = dot_product(F.col("a.embedding"), F.col("b.embedding")) / (
+        l2_norm(F.col("a.embedding")) * l2_norm(F.col("b.embedding"))
+    )
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("s"),
+        )
+        .orderBy(F.col("s").desc(), "vec_a", "vec_b")
+        .limit(20)
+        .collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"adversarial-ordering recall {recall}"
+
+
 def test_database_compact_after_stream_appends(spark, tmp_path):
     """db.compact() collapses micro-batch small files while preserving the
     clustered layout and every row."""
@@ -612,3 +668,26 @@ def test_decontaminate_flags_exactly_leaked_docs(spark, sf_dir):
     }
     for doc_id, (ev, j) in flagged.items():
         assert direct[(doc_id, ev)] == j
+
+
+def test_decontaminate_shuffle_fallback_matches_broadcast(spark, sf_dir):
+    """Past the eval-size guard the decontamination join falls back to a
+    plain shuffled band equi-join; the fallback must produce exactly the
+    broadcast path's output (and really drop the broadcast hints)."""
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.operators import dedup
+
+    docs = dedup.load_documents(spark, sf_dir, spread=True).select("doc_id", "text")
+    train = docs.where(F.col("doc_id") % 10 != 3)
+    eval_docs = docs.where(F.col("doc_id") % 10 == 3)
+
+    bc = dedup.decontaminate_against(train, eval_docs, threshold=0.5)
+    sh = dedup.decontaminate_against(
+        train, eval_docs, threshold=0.5, eval_broadcast_limit=0
+    )
+    rows_bc = {tuple(r) for r in bc.collect()}
+    rows_sh = {tuple(r) for r in sh.collect()}
+    assert rows_bc and rows_bc == rows_sh
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
