@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (a) never driver-checked before round 4 ---
         "dedup_exact_pick": dedup.exact_dedup_pick,
         "text_boilerplate_ngrams": textops.boilerplate_ngrams,
+        # --- new in round 5: boilerplate REMOVAL (mining's other half) ---
+        "text_boilerplate_scrub": textops.boilerplate_scrub,
         "text_hash_embeddings": embed.hash_embeddings,
         # --- (b) errored in r3 on TIMESTAMP_NTZ; re-verify the fix ---
         "asof_click_view": tmp.asof_click_view,
@@ -1081,6 +1083,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT ngram, CAST(count(*) AS BIGINT) AS doc_freq
         FROM (SELECT unnest(shingles) AS ngram FROM sh WHERE len(shingles) > 0)
         GROUP BY ngram ORDER BY doc_freq DESC, ngram LIMIT 20"""
+
+    # boilerplate removal: injection (doc_id % 4), mining, and the
+    # min-hits drop decision replayed stage-for-stage; all-integer
+    # output so cross-engine exact
+    q["text_boilerplate_scrub"] = f"""
+        WITH aug AS (SELECT doc_id,
+               text || CASE WHEN doc_id % 4 = 0
+                            THEN ' subscribe to our newsletter terms of service apply all rights reserved'
+                            ELSE '' END AS text
+             FROM documents),
+        toks AS (SELECT doc_id, {_TOKS} AS tk FROM aug),
+        sh AS (SELECT doc_id,
+                 CASE WHEN len(tk) >= 3
+                      THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                                         i -> array_to_string(tk[i:i+2], ' ')))
+                      ELSE [] END AS grams
+               FROM toks),
+        mined AS (SELECT ngram FROM (SELECT unnest(grams) AS ngram FROM sh)
+                  GROUP BY ngram ORDER BY count(*) DESC, ngram LIMIT 20),
+        hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS boiler_hits
+                 FROM (SELECT doc_id, unnest(grams) AS ngram FROM sh) e
+                 JOIN mined USING (ngram) GROUP BY doc_id)
+        SELECT s.doc_id,
+               CAST(len(s.grams) AS BIGINT) AS n_shingles,
+               CAST(COALESCE(h.boiler_hits, 0) AS BIGINT) AS boiler_hits,
+               COALESCE(h.boiler_hits, 0) < 5 AS keep
+        FROM sh s LEFT JOIN hits h USING (doc_id)"""
 
     # feature-hashing embedding (signed bucket counts, sign bit 40) —
     # integer sums, so cross-engine exact with no float hazards

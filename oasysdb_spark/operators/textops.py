@@ -229,22 +229,30 @@ def prepare_training_corpus(
     budget: int = 512,
     near_threshold: float = 0.5,
     n_shards: int = 8,
+    boiler_top_n: int = 20,
+    boiler_min_hits: int = 5,
 ) -> DataFrame:
     """The COMPLETE training-data prep pipeline composed from the tested
     pieces, text in → packed sequences out:
 
-        quality+language filter → exact dedup (fingerprint, keep min id)
+        quality+language filter → BOILERPLATE scrub (mine top-DF n-grams,
+        drop dominated docs) → exact dedup (fingerprint, keep min id)
         → NEAR-dup clustering (MinHash components, keep the component
         representative) → token-budget sequence packing per hash shard
 
     Returns one summary row: document counts surviving each stage, the
     packed sequence count, and the token total. Every stage is the
     oracle-checked operator it composes (`text_quality` /
-    `text_fingerprints` / `dedup_components` / `text_pack_sequences`);
-    this composition pins the stage ORDER a real pipeline uses — near-dup
+    `text_boilerplate_scrub` / `text_fingerprints` / `dedup_components` /
+    `text_pack_sequences`); this composition pins the stage ORDER a real
+    pipeline uses — boilerplate is mined over the quality survivors
+    (template chrome on junk pages shouldn't steer the miner), near-dup
     clustering runs after exact dedup (why hash N docs' shingles when
     fingerprints already collapsed exact copies), packing runs last over
-    survivors only."""
+    survivors only. The fixture is word-salad so the boilerplate stage
+    drops ~0 docs here; on a real corpus it is the C4 template-cleaning
+    pass (the injection-backed proof lives in :func:`boilerplate_scrub`)."""
+    from oasysdb_spark.functions.text import word_shingles
     from oasysdb_spark.operators.dedup import dedup_components
 
     docs = _docs(spark, sf_dir)
@@ -267,11 +275,31 @@ def prepare_training_corpus(
     clean = scored.where((F.col("q") >= 3) & (F.col("pl") == "en")).cache()
     n_clean = clean.count()
 
+    # boilerplate scrub: mine the top-DF n-grams over the quality
+    # survivors, drop docs carrying >= boiler_min_hits of them (row-local
+    # array_intersect against the driver-collected top_n-row mined set —
+    # no join, no extra shuffle beyond the mining count)
+    shingled = clean.withColumn(
+        "grams", word_shingles(tokens(F.col("text")), n=3)
+    ).cache()
+    mined = (
+        shingled.select(F.explode("grams").alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), "ngram")
+        .limit(boiler_top_n)
+    )
+    boiler = F.array(*[F.lit(r["ngram"]) for r in mined.collect()])
+    scrubbed = shingled.where(
+        F.size(F.array_intersect(F.col("grams"), boiler)) < boiler_min_hits
+    ).drop("grams").cache()
+    n_scrubbed = scrubbed.count()
+
     # exact dedup: keep the min doc_id per fingerprint
     keep_exact = (
-        clean.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+        scrubbed.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     )
-    exact_unique = clean.join(keep_exact, "doc_id").cache()
+    exact_unique = scrubbed.join(keep_exact, "doc_id").cache()
     n_exact = exact_unique.count()
 
     # near-dup clustering over the exact-unique survivors; the component
@@ -309,13 +337,14 @@ def prepare_training_corpus(
             (
                 n_raw,
                 n_clean,
+                n_scrubbed,
                 n_exact,
                 n_final,
                 seq_stats["n_sequences"],
                 int(seq_stats["total_tokens"] or 0),
             )
         ],
-        "n_raw bigint, n_clean bigint, n_exact_unique bigint, "
+        "n_raw bigint, n_clean bigint, n_boiler_kept bigint, n_exact_unique bigint, "
         "n_neardup_unique bigint, n_sequences bigint, total_tokens bigint",
     )
 
@@ -340,6 +369,69 @@ def boilerplate_ngrams(
         .agg(F.count("*").cast("bigint").alias("doc_freq"))
         .orderBy(F.col("doc_freq").desc(), "ngram")
         .limit(top_n)
+    )
+
+
+# Deterministic boilerplate template injected by boilerplate_scrub (the
+# fixture corpus is word-salad with near-unique n-grams, so removal has
+# nothing real to remove — same injection pattern as pii_scrub_stats).
+# 11 tokens → 9 distinct 3-gram shingles, far past the drop threshold.
+BOILERPLATE_TEMPLATE = (
+    "subscribe to our newsletter terms of service apply all rights reserved"
+)
+
+
+def boilerplate_scrub(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    top_n: int = 20,
+    min_hits: int = 5,
+) -> DataFrame:
+    """Boilerplate REMOVAL — the other half of :func:`boilerplate_ngrams`:
+    mine the corpus's ``top_n`` highest-document-frequency n-grams, then
+    flag every document containing ``min_hits`` or more of them as
+    boilerplate-dominated (C4-style template cleaning: pages carrying the
+    site chrome get dropped, everything else keeps). The synthetic
+    fixture is word-salad whose 3-grams are near-unique, so the query
+    first INJECTS :data:`BOILERPLATE_TEMPLATE` into every 4th document
+    (``doc_id % 4 == 0`` — the pii_scrub_stats pattern) and then proves
+    mining + scrubbing identifies exactly the injected docs.
+
+    Returns per-doc ``(doc_id, n_shingles, boiler_hits, keep)``.
+
+    Scale shape: mining is one count shuffle + deterministic top-n cut
+    (ties broken by the n-gram itself); the mined set is ``top_n`` rows
+    by construction, so it collects to the driver like a centroid table
+    and hit-counting is a row-local ``array_intersect`` — no join, no
+    second shuffle, one cached shingle scan feeding both consumers."""
+    from oasysdb_spark.functions.text import tokens, word_shingles
+
+    docs = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0, F.lit(" " + BOILERPLATE_TEMPLATE)
+        ).otherwise(F.lit("")),
+    )
+    shingled = docs.select(
+        "doc_id", word_shingles(tokens(aug), n=n).alias("grams")
+    ).cache()
+    mined = (
+        shingled.select(F.explode("grams").alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), "ngram")
+        .limit(top_n)
+    )
+    top = [r["ngram"] for r in mined.collect()]
+    boiler = F.array(*[F.lit(g) for g in top])
+    hits = F.size(F.array_intersect(F.col("grams"), boiler))
+    return shingled.select(
+        "doc_id",
+        F.size("grams").cast("bigint").alias("n_shingles"),
+        hits.cast("bigint").alias("boiler_hits"),
+        (hits < min_hits).alias("keep"),
     )
 
 

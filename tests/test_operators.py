@@ -532,13 +532,40 @@ def test_prepare_training_corpus_invariants(spark, sf_dir):
     from oasysdb_spark.operators import textops
 
     r = textops.prepare_training_corpus(spark, sf_dir).first()
-    assert r["n_raw"] >= r["n_clean"] >= r["n_exact_unique"] >= r["n_neardup_unique"] > 0
+    assert (
+        r["n_raw"]
+        >= r["n_clean"]
+        >= r["n_boiler_kept"]
+        >= r["n_exact_unique"]
+        >= r["n_neardup_unique"]
+        > 0
+    )
     assert r["n_sequences"] > 0 and r["total_tokens"] > 0
     # every surviving token is packed exactly once: sequences * budget
     # bounds the total from below (all but the last sequence per shard
     # crossed the budget)
     r2 = textops.prepare_training_corpus(spark, sf_dir).first()
     assert r == r2
+
+
+def test_boilerplate_scrub_drops_injected_template_docs(spark, sf_dir):
+    """Mining + removal must identify exactly the documents carrying the
+    injected template: every doc_id % 4 == 0 doc gains the 9 template
+    shingles (all mined — DF ~= n_docs/4 vs ~1-2 for word-salad grams)
+    and is dropped; everything else keeps."""
+    from oasysdb_spark.operators import textops
+
+    out = textops.boilerplate_scrub(spark, sf_dir).collect()
+    assert len(out) > 0
+    dropped = {r["doc_id"] for r in out if not r["keep"]}
+    injected = {r["doc_id"] for r in out if r["doc_id"] % 4 == 0}
+    assert injected <= dropped
+    # non-injected docs can only hit the handful of word-salad n-grams
+    # that fill the remaining top-20 slots; they never reach min_hits
+    assert dropped == injected
+    by_id = {r["doc_id"]: r for r in out}
+    for d in injected:
+        assert by_id[d]["boiler_hits"] >= 9
 
 
 def test_lang_classifier_trains_on_hashed_features(spark, sf_dir):
