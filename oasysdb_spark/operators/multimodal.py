@@ -1,15 +1,14 @@
 """Multimodal columns: images/audio/video as opaque ``binary`` columns with
 typed metadata, processed through Arrow-batched ``mapInPandas`` pipelines.
 
-The codec layer is REAL for uncompressed formats: :func:`decode_image`
-natively parses binary PPM (P6) and 24-bit uncompressed BMP into
-``(h, w, 3)`` uint8 arrays with no external imaging library (pure
-header parsing + numpy reshape), and the pixel-feature pipeline
-(:func:`extract_pixel_features`, driver query ``multimodal_pixel_stats``)
-runs decode → features end-to-end against a DuckDB oracle. Compressed
-formats (JPEG/PNG/...) still raise NotImplementedError — that entropy
-coding is what PIL/libvips/ffmpeg would plug in for; the decode→feature
-CONTRACT is exercised for real either way.
+The codec layer is REAL: :func:`decode_image` natively parses binary PPM
+(P6), 24-bit uncompressed BMP, and 8-bit non-interlaced PNG (stdlib zlib
+inflate + all five scanline filters — no external imaging library), and
+the pixel-feature pipeline (:func:`extract_pixel_features`, driver query
+``multimodal_pixel_stats``) runs decode → features end-to-end against a
+DuckDB oracle. JPEG and exotic PNG variants (16-bit, Adam7) fall back to
+Pillow when installed and otherwise raise NotImplementedError — that
+entropy coding is what PIL/libvips/ffmpeg would plug in for.
 :func:`fake_decode_stats` remains the byte-level stand-in for opaque
 formats.
 
@@ -238,10 +237,137 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     )
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(arr) -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 RGB array as an 8-bit truecolor PNG
+    (filter-0 scanlines, single zlib IDAT) — stdlib struct+zlib only."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.ascontiguousarray(np.asarray(arr, dtype=np.uint8))
+    h, w, c = a.shape
+    if c != 3:
+        raise ValueError("PNG encoder takes RGB (h, w, 3)")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(content: bytes):
+    """Pure-stdlib PNG decode: chunk walk, zlib inflate, scanline
+    unfilter (all five filter types), channel normalization to RGB.
+    Covers 8-bit non-interlaced grayscale / RGB / palette / gray+alpha /
+    RGBA — i.e. what PNG encoders actually emit; 16-bit and Adam7 raise
+    NotImplementedError so the caller can try the Pillow fallback."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos, w = 8, None
+    idat = bytearray()
+    palette = None
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack_from(">I", content, pos)
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                raise NotImplementedError(
+                    "only 8-bit non-interlaced PNG decodes natively"
+                )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunks")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color} not supported")
+
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload has the wrong size")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f}")
+        prev = line
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+
+    px = out.reshape(h, w, channels)
+    if color == 2:  # RGB
+        return px.copy()
+    if color == 6:  # RGBA -> drop alpha
+        return px[:, :, :3].copy()
+    if color == 0:  # grayscale -> replicate
+        return np.repeat(px, 3, axis=2).copy()
+    if color == 4:  # gray+alpha -> replicate luma
+        return np.repeat(px[:, :, :1], 3, axis=2).copy()
+    # color == 3: palette lookup
+    if palette is None:
+        raise ValueError("paletted PNG without PLTE chunk")
+    return palette[px[:, :, 0]].copy()
+
+
 def _pillow_decode(content: bytes):
     """Decode via Pillow when it is importable (the optional external-codec
-    hook for JPEG/PNG/…); returns None when Pillow is absent so the caller
-    falls through to the documented NotImplementedError boundary."""
+    FALLBACK for JPEG, 16-bit/interlaced PNG, …); returns None when Pillow
+    is absent — or when Pillow itself cannot parse the bytes — so the
+    caller falls through to the documented NotImplementedError boundary
+    instead of leaking PIL's exception types into the contract."""
     try:
         import io
 
@@ -250,28 +376,45 @@ def _pillow_decode(content: bytes):
         return None
     import numpy as np
 
-    with Image.open(io.BytesIO(content)) as img:
-        return np.asarray(img.convert("RGB"), dtype=np.uint8).copy()
+    try:
+        with Image.open(io.BytesIO(content)) as img:
+            return np.asarray(img.convert("RGB"), dtype=np.uint8).copy()
+    except Exception:
+        return None
 
 
 def decode_image(content: bytes):
     """Decode an encoded image into an ``(h, w, 3)`` uint8 RGB array.
 
-    Native (no external library): binary PPM (P6) and 24-bit uncompressed
-    BMP. Compressed formats (JPEG/PNG/…) decode through Pillow when it is
-    importable — the optional external-codec hook — and otherwise raise
-    NotImplementedError at the documented entropy-coding boundary;
+    Native (no external library): binary PPM (P6), 24-bit uncompressed
+    BMP, and 8-bit non-interlaced PNG (stdlib zlib inflate + scanline
+    unfilter — :func:`_decode_png`). Whatever the native tier can't parse
+    (JPEG, 16-bit/interlaced PNG, corrupt bytes) goes to Pillow when it
+    is importable — the optional external-codec fallback — and otherwise
+    raises NotImplementedError at the documented entropy-coding boundary;
     everything downstream of this function is format-agnostic."""
     if content[:2] == b"P6":
         return _decode_ppm(content)
     if content[:2] == b"BM":
         return _decode_bmp(content)
+    if content[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
+        try:
+            return _decode_png(content)
+        except Exception:
+            decoded = _pillow_decode(content)
+            if decoded is not None:
+                return decoded
+            raise NotImplementedError(
+                "PNG variant outside the native tier (16-bit, interlaced, or "
+                "corrupt) and no external codec (Pillow) is installed"
+            ) from None
     decoded = _pillow_decode(content)
     if decoded is not None:
         return decoded
     raise NotImplementedError(
-        "compressed/unknown image format: native decode covers PPM (P6) and "
-        "24-bit BMP; JPEG/PNG need an external codec (Pillow, when installed)"
+        "compressed/unknown image format: native decode covers PPM (P6), "
+        "24-bit BMP, and 8-bit PNG; JPEG needs an external codec (Pillow, "
+        "when installed)"
     )
 
 

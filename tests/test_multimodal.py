@@ -133,16 +133,14 @@ def test_binary_file_source_to_pixel_features(spark, tmp_path):
 
 
 def test_pillow_hook_decodes_png_corpus(spark, tmp_path):
-    """Optional external-codec hook: a real PNG corpus through
-    load_media_dir -> decode_image (Pillow) -> pixel features. Skips
-    cleanly when Pillow is absent (the container default)."""
-    pytest.importorskip("PIL")
-    import io
-
+    """Compressed-image decode exercised IN CI with zero dependencies: a
+    real PNG corpus (stdlib encoder) through load_media_dir ->
+    decode_image (native stdlib inflate+unfilter; Pillow is only the
+    fallback for exotic variants now) -> pixel features."""
     import numpy as np
-    from PIL import Image
 
     from oasysdb_spark.operators.multimodal import (
+        encode_png,
         extract_pixel_features,
         load_media_dir,
     )
@@ -153,9 +151,7 @@ def test_pillow_hook_decodes_png_corpus(spark, tmp_path):
     arrays = {}
     for i in range(3):
         arr = rng.integers(0, 256, size=(6 + i, 7, 3), dtype=np.uint8)
-        buf = io.BytesIO()
-        Image.fromarray(arr).save(buf, format="PNG")
-        (d / f"img_{i}.png").write_bytes(buf.getvalue())
+        (d / f"img_{i}.png").write_bytes(encode_png(arr))
         arrays[i] = arr
 
     media = load_media_dir(spark, str(d), glob="img_*")
@@ -167,6 +163,113 @@ def test_pillow_hook_decodes_png_corpus(spark, tmp_path):
     for arr in arrays.values():
         h, w, _ = arr.shape
         assert feats[(h, w)] == int(arr.sum()) / (h * w * 3.0)
+
+
+def _forward_filter(ftype: int, cur: bytes, prev: bytes, bpp: int) -> bytes:
+    """Reference forward PNG filter (RFC 2083 §6) used to build test
+    scanlines that exercise every unfilter branch."""
+    out = bytearray(len(cur))
+    for i in range(len(cur)):
+        a = cur[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) // 2
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        out[i] = (cur[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def test_png_decoder_all_filters_and_color_types():
+    """Unfiltering must invert all five scanline filters, and each color
+    type must normalize to (h, w, 3) RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from oasysdb_spark.operators.multimodal import (
+        PNG_SIGNATURE,
+        decode_image,
+        encode_png,
+    )
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.default_rng(7)
+
+    # every filter type on an RGB image: forward-filter row y with y % 5
+    arr = rng.integers(0, 256, size=(10, 5, 3), dtype=np.uint8)
+    raw = bytearray()
+    prev = bytes(5 * 3)
+    for y in range(10):
+        cur = arr[y].tobytes()
+        f = y % 5
+        raw += bytes([f]) + _forward_filter(f, cur, prev, bpp=3)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", 5, 10, 8, 2, 0, 0, 0)
+    png = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_image(png) == arr).all()
+
+    # encoder/decoder round trip (filter-0 path, multi-IDAT irrelevant)
+    rt = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    assert (decode_image(encode_png(rt)) == rt).all()
+
+    # grayscale (0), gray+alpha (4), RGBA (6), palette (3)
+    def build(color, channels, w=4, h=3, plte=None):
+        px = rng.integers(0, 256, size=(h, w * channels), dtype=np.uint8)
+        raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        body = chunk(b"IHDR", ihdr)
+        if plte is not None:
+            body += chunk(b"PLTE", plte.tobytes())
+        body += chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        return PNG_SIGNATURE + body, px.reshape(h, w, channels)
+
+    png, px = build(0, 1)
+    assert (decode_image(png) == np.repeat(px, 3, axis=2)).all()
+    png, px = build(4, 2)
+    assert (decode_image(png) == np.repeat(px[:, :, :1], 3, axis=2)).all()
+    png, px = build(6, 4)
+    assert (decode_image(png) == px[:, :, :3]).all()
+    plte = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    png, px = build(3, 1, plte=plte)
+    assert (decode_image(png) == plte[px[:, :, 0]]).all()
+
+    # 16-bit depth is outside the native tier -> NotImplementedError
+    # (no Pillow in the container; with Pillow it would decode)
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    deep = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr16)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (2 * (2 * 6 + 1))))
+        + chunk(b"IEND", b"")
+    )
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            decode_image(deep)
 
 
 def test_audio_codec_roundtrip_and_features(spark, tmp_path):
