@@ -9,6 +9,8 @@ Python. One JSON line per result on stdout.
         --metadata '{"name": "a"}'
     python -m oasysdb_spark query --dir /tmp/db --vector 1,2,3,4 -k 5 \
         --filter "name = a" --probes 4
+    python -m oasysdb_spark query-many --dir /tmp/db \
+        --vectors '1,2,3,4;5,6,7,8' -k 5
     python -m oasysdb_spark build-index --dir /tmp/db
     python -m oasysdb_spark compact --dir /tmp/db
 
@@ -78,6 +80,21 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--radius", type=float, default=None)
     q.add_argument("--probes", type=int, default=None)
 
+    qm = add("query-many", help="batched ANN: many vectors, one job")
+    src = qm.add_mutually_exclusive_group(required=True)
+    src.add_argument(
+        "--vectors", help="semicolon-separated vectors, e.g. '1,2,3;4,5,6'"
+    )
+    src.add_argument(
+        "--vectors-file",
+        help="text file with one vector per line (or .parquet with "
+        "query_id + qvec columns)",
+    )
+    qm.add_argument("-k", type=int, default=10)
+    qm.add_argument("--filter", dest="filter_expr", default=None)
+    qm.add_argument("--radius", type=float, default=None)
+    qm.add_argument("--probes", type=int, default=None)
+
     b = add("build-index", help="build/rebuild the IVF index")
     b.add_argument("--seed", type=int, default=42)
     b.add_argument("--k", type=int, default=None)
@@ -142,6 +159,21 @@ def main(argv: list[str] | None = None) -> int:
         res = db.query(_vector(args.vector), k=args.k,
                        filter=args.filter_expr, **kwargs)
         _emit({"results": res})
+    elif args.cmd == "query-many":
+        kwargs = {}
+        if args.probes is not None:
+            kwargs["probes"] = args.probes
+        if args.radius is not None:
+            kwargs["radius"] = args.radius
+        if args.vectors_file and args.vectors_file.endswith(".parquet"):
+            queries = spark.read.parquet(args.vectors_file)
+        elif args.vectors_file:
+            with open(args.vectors_file) as fh:
+                queries = [_vector(line) for line in fh if line.strip()]
+        else:
+            queries = [_vector(v) for v in args.vectors.split(";") if v.strip()]
+        res = db.query_many(queries, k=args.k, filter=args.filter_expr, **kwargs)
+        _emit({"results": {str(qid): hits for qid, hits in res.items()}})
     elif args.cmd == "build-index":
         from oasysdb_spark.index.ivf import build_index
 

@@ -503,6 +503,123 @@ class Database:
             for r in rows
         ]
 
+    def query_many_df(
+        self,
+        queries: "DataFrame | Iterable[Iterable[float]]",
+        k: int,
+        filter: str | None = None,
+        probes: int | None = None,
+        radius: float | None = None,
+    ) -> DataFrame:
+        """Batched multi-query ANN as ONE job — the amortized form of
+        :meth:`query_df` (the reference RPC is single-vector,
+        /root/reference/protos/database.proto:27; a client with a query
+        batch would loop it, paying per-query scan cost — here the whole
+        batch shares one scan).
+
+        ``queries`` is either a ``(query_id bigint, qvec array<float>)``
+        DataFrame or a plain list of vectors (auto-numbered 0..n-1).
+        Returns ``(query_id, id, m_text, m_num, m_bool, distance)`` rows,
+        top-``k`` per query by ascending distance.
+
+        Plan shape: broadcast the (small) query batch; when indexed, each
+        query explodes to its ``probes`` nearest clusters (the same
+        Arrow-batched assigner the similarity join uses) and the
+        candidate set is an EQUI-join on cluster_id against the
+        cluster-partitioned records table — Spark's dynamic partition
+        pruning skips unprobed partitions at scan time, the batched
+        analog of query_df's static ``isin`` pruning. Unindexed falls
+        back to scan × broadcast. Per-query top-k is one window over the
+        broadcast-joined candidates — no per-query jobs, no driver loop."""
+        if k <= 0:
+            raise errors.InvalidArgumentError(
+                "k must be > 0 (/root/reference/src/cores/database.rs:321-325)"
+            )
+        if not isinstance(queries, DataFrame):
+            vecs = [self._validate_dim(v) for v in queries]
+            queries = self.spark.createDataFrame(
+                list(enumerate(vecs)), "query_id bigint, qvec array<float>"
+            )
+        else:
+            queries = queries.select(
+                F.col("query_id").cast("bigint").alias("query_id"),
+                F.col("qvec").cast("array<float>").alias("qvec"),
+            )
+        n_probes = probes if probes is not None else 32
+        qp = QueryParameters(
+            probes=n_probes, radius=radius if radius is not None else math.inf
+        )
+        pred = compile_filter(filter, MapLayout())
+
+        recs = self.records_df()
+        if self.is_indexed():
+            from oasysdb_spark.index.ivf import topk_cluster_assigner
+
+            cents = self.centroid_rows()
+            assigner = topk_cluster_assigner(
+                self.spark,
+                [v for _, v in cents],
+                self.params.metric,
+                max(1, min(qp.probes, len(cents))),
+            )
+            # assigner emits positions into the centroid list; map them to
+            # (possibly non-contiguous) cluster ids in-plan
+            idmap = F.array(*[F.lit(int(c)) for c, _ in cents])
+            qprobe = (
+                queries.withColumn("__pos", F.explode(assigner(F.col("qvec"))))
+                .withColumn("cluster_id", F.element_at(idmap, F.col("__pos") + 1))
+                .select("query_id", "qvec", "cluster_id")
+            )
+            pairs = recs.join(F.broadcast(qprobe), "cluster_id")
+        else:
+            pairs = recs.crossJoin(F.broadcast(queries))
+
+        dist = distance_expr(self.params.metric, F.col("qvec"), F.col("embedding"))
+        out = pairs.withColumn("distance", dist)
+        if math.isfinite(qp.radius):
+            out = out.where(F.col("distance") <= F.lit(qp.radius))
+        else:
+            out = out.where(F.col("distance").isNotNull())
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("distance").asc_nulls_last(), F.col("id")
+        )
+        return (
+            out.where(pred)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .select(
+                "query_id",
+                "id",
+                "m_text",
+                "m_num",
+                "m_bool",
+                to_f32(F.col("distance")).alias("distance"),
+            )
+        )
+
+    def query_many(
+        self,
+        queries: "DataFrame | Iterable[Iterable[float]]",
+        k: int,
+        filter: str | None = None,
+        probes: int | None = None,
+        radius: float | None = None,
+    ) -> dict[int, list[dict[str, Any]]]:
+        """Collect form of :meth:`query_many_df`: ``{query_id: ascending
+        [{id, metadata, distance}, ...]}`` — each list identical to what
+        :meth:`query` returns for that vector alone."""
+        rows = self.query_many_df(
+            queries, k, filter=filter, probes=probes, radius=radius
+        ).collect()
+        out: dict[int, list[dict[str, Any]]] = {}
+        for r in sorted(rows, key=lambda r: (r["query_id"], r["distance"], r["id"])):
+            out.setdefault(r["query_id"], []).append(
+                {"id": r["id"], "metadata": merge_metadata(r), "distance": r["distance"]}
+            )
+        return out
+
     # ------------------------------------------------------------------
     # centroid helpers (driver-side: the centroids table is tiny by design)
     # ------------------------------------------------------------------

@@ -227,6 +227,27 @@ def test_indexed_update_rewrites_only_affected_partition(spark, tmp_path):
             )
 
 
+def test_query_many_unindexed_matches_single(db):
+    """Batched ANN over the unclustered table: each query's hit list is
+    identical to a standalone query() call — same ids, same float32
+    distances, same metadata — for plain, filtered, and radius forms."""
+    qs = [[1.0] * DIM, [50.0] * DIM, [199.0] * DIM]
+    batched = db.query_many(qs, k=5)
+    for i, q in enumerate(qs):
+        assert batched[i] == db.query(q, k=5)
+    batched = db.query_many(qs, k=4, filter="number > 1050")
+    for i, q in enumerate(qs):
+        assert batched[i] == db.query(q, k=4, filter="number > 1050")
+    # radius=32 (squared units): only queries near the data keep hits
+    batched = db.query_many(qs, k=10, radius=32.0)
+    for i, q in enumerate(qs):
+        assert batched.get(i, []) == db.query(q, k=10, radius=32.0)
+    with pytest.raises(InvalidArgumentError):
+        db.query_many(qs, k=0)
+    with pytest.raises(InvalidArgumentError):
+        db.query_many([[1.0] * (DIM - 1)], k=1)
+
+
 def test_cli_verbs_roundtrip(spark, tmp_path, capsys):
     """The CLI maps every reference service verb onto the Database API;
     drive a full configure -> insert -> query -> update -> delete ->
@@ -262,6 +283,11 @@ def test_cli_verbs_roundtrip(spark, tmp_path, capsys):
     run("delete", "--dir", d, "--id", "r2")
     assert run("snapshot", "--dir", d)["count"] == 1
     assert run("compact", "--dir", d)["ok"] is True
+
+    # batched ANN through the CLI (indexed path after build-index)
+    qm = run("query-many", "--dir", d, "--vectors", "1,2,3;9,9,9", "-k", "1")
+    assert [h["id"] for h in qm["results"]["0"]] == [rid]
+    assert [h["id"] for h in qm["results"]["1"]] == [rid]
 
     # bulk path: ids from a text file, anti-joined (no size cap)
     run("insert", "--dir", d, "--vector", "7,8,9", "--id", "r3")

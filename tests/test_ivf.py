@@ -82,6 +82,22 @@ def test_prefilter_on_indexed_path(indexed_db):
     assert all(r["metadata"]["number"] > 1050 for r in res)
 
 
+def test_query_many_indexed_agrees_with_single(indexed_db):
+    """Batched multi-probe ANN through the index: every query's hit list
+    equals its standalone query() call, at full probing (exact) and at
+    tight probes with a filter (the approximate scale path)."""
+    n_clusters = len(indexed_db.centroid_rows())
+    qs = [[5.0] * DIM, [100.0] * DIM, [333.0] * DIM]
+    batched = indexed_db.query_many(qs, k=7, probes=n_clusters)
+    for i, q in enumerate(qs):
+        assert batched[i] == indexed_db.query(q, k=7, probes=n_clusters)
+    batched = indexed_db.query_many(qs, k=5, filter="number > 1050", probes=2)
+    for i, q in enumerate(qs):
+        assert batched.get(i, []) == indexed_db.query(
+            q, k=5, filter="number > 1050", probes=2
+        )
+
+
 def test_partition_pruning_in_plan(indexed_db):
     """The probed scan must prune cluster partitions: the parquet scan's
     PartitionFilters should carry the cluster_id IN (...) predicate."""
