@@ -102,7 +102,11 @@ def _parse_value(raw: str) -> str | float | bool:
 
 
 def _parse_term(raw: str) -> Term:
-    parts = raw.split(" ", 2)
+    # splitn(3, ' ') + per-token trim, exactly like the reference
+    # (/root/reference/src/types/filter.rs:127-132): "name =  a " parses
+    # as ('name', '=', 'a'); doubled spaces BEFORE the operator still
+    # yield an empty operator token -> clean error, both engines.
+    parts = [p.strip() for p in raw.split(" ", 2)]
     if len(parts) < 3:
         raise InvalidArgumentError(
             f"malformed filter term {raw!r}: expected 'key op value'"

@@ -101,6 +101,23 @@ _expr = st.one_of(
 )
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    k=st.sampled_from(KEYS),
+    o=st.sampled_from(["=", "!=", ">", ">=", "<", "<=", "CONTAINS"]),
+    v=_value,
+    post=st.sampled_from([" ", "  ", "   "]),
+    trail=st.sampled_from(["", " ", "  "]),
+)
+def test_padded_terms_parse_like_reference_trim(k, o, v, post, trail):
+    """filter.rs:127-132 trims every splitn(3, ' ') token: extra spaces
+    between the operator and the value, or trailing the value, must parse
+    to the same Term as the canonical single-spaced string."""
+    canonical = parse_filter(f"{k} {o} {v}")
+    padded = parse_filter(f"{k} {o}{post}{v}{trail}")
+    assert padded == canonical
+
+
 @pytest.fixture(scope="module")
 def fdf(spark):
     return spark.createDataFrame(ROWS, SCHEMA).cache()
