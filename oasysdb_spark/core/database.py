@@ -361,55 +361,75 @@ class Database:
         stays immutable, matching the single-record
         :meth:`update_metadata`.
 
-        Scale shape mirrors the bulk delete: a semi-join locates the
-        affected clusters, only those partitions rewrite copy-on-write
-        (the rest hardlink), and the update set joins in as an ordinary
-        broadcast-able DataFrame — no driver-side literal lists. Raises
-        NotFoundError if ANY id is missing (the strict single-record
-        semantics, checked set-wide)."""
+        Scale shape mirrors the bulk delete: ONE probe pass (a left join
+        + aggregate over the cached update set) validates the batch —
+        empty batch → no-op without version churn, duplicate ids →
+        InvalidArgumentError (a duplicated id would fan out its record
+        row through the apply join), any missing id → NotFoundError (the
+        strict single-record semantics, checked set-wide) — and collects
+        the affected clusters in the same job; only those partitions
+        rewrite copy-on-write (the rest hardlink), and the update set
+        joins in as an ordinary broadcast-able DataFrame — no driver-side
+        literal lists."""
         upd = updates.select(
             F.col("id").cast("string").alias("_uid"),
             F.col("m_text").alias("_ut"),
             F.col("m_num").alias("_un"),
             F.col("m_bool").alias("_ub"),
-        )
+        ).cache()
         current = self.records_df()
-        n_missing = upd.join(
-            current, upd["_uid"] == current["id"], "left_anti"
-        ).count()
-        if n_missing:
-            raise errors.NotFoundError(
-                f"{n_missing} update id(s) not found in the record store"
-            )
-
-        def _apply(df: DataFrame) -> DataFrame:
-            j = df.join(upd, df["id"] == upd["_uid"], "left")
-            cols = []
-            for c in df.columns:
-                if c == "m_text":
-                    cols.append(F.coalesce("_ut", "m_text").alias("m_text"))
-                elif c == "m_num":
-                    cols.append(F.coalesce("_un", "m_num").alias("m_num"))
-                elif c == "m_bool":
-                    cols.append(F.coalesce("_ub", "m_bool").alias("m_bool"))
-                else:
-                    cols.append(df[c])
-            return j.select(*cols)
-
-        if self.is_indexed():
-            affected = [
-                r["cluster_id"]
-                for r in current.join(
-                    upd, current["id"] == upd["_uid"], "left_semi"
+        indexed = self.is_indexed()
+        probe_cols = ["id", "cluster_id"] if indexed else ["id"]
+        aggs = [
+            F.count("*").alias("n_rows"),
+            F.count_distinct("_uid").alias("n_ids"),
+            F.sum(F.when(F.col("id").isNull(), 1).otherwise(0)).alias("n_missing"),
+        ]
+        if indexed:
+            aggs.append(F.collect_set("cluster_id").alias("affected"))
+        try:
+            stats = (
+                upd.join(
+                    current.select(*probe_cols),
+                    upd["_uid"] == F.col("id"),
+                    "left",
                 )
-                .select("cluster_id")
-                .distinct()
-                .collect()
-            ]
-            touched = _apply(current.where(F.col("cluster_id").isin(affected)))
-            self.records.rewrite_partitions(touched, "cluster_id", affected)
-        else:
-            self.records.write(_apply(current))
+                .agg(*aggs)
+                .first()
+            )
+            if stats["n_rows"] == 0:
+                return  # empty batch: no-op, no new version
+            if stats["n_rows"] != stats["n_ids"]:
+                raise errors.InvalidArgumentError(
+                    "duplicate ids in update batch: each id may appear at most once"
+                )
+            if stats["n_missing"]:
+                raise errors.NotFoundError(
+                    f"{stats['n_missing']} update id(s) not found in the record store"
+                )
+
+            def _apply(df: DataFrame) -> DataFrame:
+                j = df.join(upd, df["id"] == upd["_uid"], "left")
+                cols = []
+                for c in df.columns:
+                    if c == "m_text":
+                        cols.append(F.coalesce("_ut", "m_text").alias("m_text"))
+                    elif c == "m_num":
+                        cols.append(F.coalesce("_un", "m_num").alias("m_num"))
+                    elif c == "m_bool":
+                        cols.append(F.coalesce("_ub", "m_bool").alias("m_bool"))
+                    else:
+                        cols.append(df[c])
+                return j.select(*cols)
+
+            if indexed:
+                affected = sorted(stats["affected"])
+                touched = _apply(current.where(F.col("cluster_id").isin(affected)))
+                self.records.rewrite_partitions(touched, "cluster_id", affected)
+            else:
+                self.records.write(_apply(current))
+        finally:
+            upd.unpersist()
 
     def _drop_centroids(self, cluster_ids: list) -> None:
         """Drop the named centroids — clusters that lost their last member

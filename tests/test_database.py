@@ -359,3 +359,21 @@ def test_bulk_metadata_update_via_dataframe(spark, tmp_path):
         db.update_metadata_batch(bad)
     # failed batch must not have applied its first row
     assert db.get("m001")["metadata"] == {"k": "new", "flag": True}
+
+    map_schema = (
+        "id string, m_text map<string,string>, m_num map<string,double>, "
+        "m_bool map<string,boolean>"
+    )
+    # duplicate ids would fan out record rows through the apply join ->
+    # rejected up front, nothing applied
+    dup = spark.createDataFrame(
+        [("m001", {"k": "a"}, {}, {}), ("m001", {"k": "b"}, {}, {})], map_schema
+    )
+    with pytest.raises(InvalidArgumentError):
+        db.update_metadata_batch(dup)
+    assert db.get("m001")["metadata"] == {"k": "new", "flag": True}
+
+    # empty batch: complete no-op, no copy-on-write version churn
+    v = db.records.current_version()
+    db.update_metadata_batch(spark.createDataFrame([], map_schema))
+    assert db.records.current_version() == v
