@@ -609,7 +609,8 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50"""
 
     # two-sided decontamination: same signature/band prep, cross-subset
-    # candidates (train doc_id >= 500 against eval doc_id < 500); the
+    # candidates over the interleaved split (train doc_id % 10 <> 3
+    # against eval doc_id % 10 = 3, matching the Spark side); the
     # unused self-join CTEs (cand/pairs) are lazily skipped by DuckDB
     q["dedup_decontaminate"] = f"""
         WITH {_mh_cte},

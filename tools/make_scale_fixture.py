@@ -18,6 +18,11 @@ intact within a copy. Two deliberate choices:
   make every doc a true near-duplicate of its 9 copies — near-dup pair
   count then grows quadratically in copies, a fixture artifact that
   swamps the engine-scaling signal (simhash probe ratio 54x vs ~2x).
+- ``embeddings.embedding`` gets a per-copy signed coordinate
+  permutation (seeded): an exact isometry, so intra-copy near-dup and
+  cluster structure is untouched while cross-copy cosine decorrelates —
+  otherwise every vector keeps 9 exact cosine-1.0 cross-copy twins and
+  any embedding-dedup scale probe measures the fixture, not the engine.
 - order/lineitem dates are NOT shifted: the TPC-H queries' date-range
   predicates must keep their selectivity under scaling.
 
@@ -101,7 +106,39 @@ def main():
             F.col("text") if i == 0 else F.translate(F.col("text"), "aeiousc", perms[i]),
         ),
     )
-    copies("embeddings", lambda df, i: shift(df, "vec_id", 10_000_000, i))
+    # per-copy signed coordinate permutation: an exact isometry, so
+    # intra-copy distances/cosines are preserved bit-for-bit while
+    # cross-copy cosine decorrelates toward 0 (the embedding analog of
+    # the documents translate() bijection). Without it every vector kept
+    # 9 exact cosine-1.0 cross-copy twins — the quadratic near-dup
+    # fixture artifact this file's docstring rules out for documents.
+    import numpy as np
+
+    dim = len(
+        spark.read.parquet(f"{SRC}/embeddings.parquet")
+        .select("embedding")
+        .first()["embedding"]
+    )
+
+    def rotate(df, i):
+        df = shift(df, "vec_id", 10_000_000, i)
+        if i == 0:
+            return df
+        rng = np.random.default_rng(1234 + i)
+        perm = rng.permutation(dim)
+        signs = rng.choice([-1.0, 1.0], size=dim)
+        rotated = F.array(
+            *[
+                (
+                    F.element_at(F.col("embedding"), int(perm[j]) + 1)
+                    * float(signs[j])
+                ).cast("float")
+                for j in range(dim)
+            ]
+        )
+        return df.withColumn("embedding", rotated)
+
+    copies("embeddings", rotate)
 
     for name in (
         "region nation customer supplier part orders lineitem events documents embeddings"
