@@ -344,6 +344,103 @@ def near_dedup_stream_flags(
     )
 
 
+def decontaminate_stream_flags(
+    train_stream: DataFrame,
+    eval_docs: DataFrame,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Streaming benchmark DECONTAMINATION: flag contaminated training
+    docs AT INGEST TIME against a static eval corpus — the streaming twin
+    of ``operators/dedup.decontaminate_against`` with the same output
+    contract ``(doc_id, eval_doc_id, jaccard)``, one best (max-Jaccard,
+    tie-break min eval id) row per flagged train doc.
+
+    Shape: the eval side is static and benchmark-sized, so its band
+    table (LSH band keys + hashed shingle sets) rides a BROADCAST
+    stream-static equi-join — no stream-stream state, and the train
+    stream never shuffles for candidate generation. Exact hashed-shingle
+    Jaccard verifies candidates inline; the per-doc best is a stateful
+    reduce (``applyInPandasWithState`` keyed by doc_id). All of a doc's
+    band rows ride the micro-batch its row arrived in, so the reduce is
+    batch-local and append-mode-safe; the one-bit state exists only to
+    suppress re-emission when a doc is re-delivered (at-least-once
+    source, checkpoint restart)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from oasysdb_spark.operators.dedup import minhash_signatures
+
+    n_bands = num_hashes // band_size
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.concat_ws(
+                "_",
+                *[
+                    F.element_at(F.col("sig"), b * band_size + i + 1).cast("string")
+                    for i in range(band_size)
+                ],
+            ).alias("band_key"),
+        ),
+    )
+
+    def band_rows(sigs: DataFrame, id_alias: str, sh_alias: str) -> DataFrame:
+        return sigs.select(
+            F.col("doc_id").alias(id_alias),
+            F.col("sh").alias(sh_alias),
+            F.explode(band_structs).alias("band"),
+        ).select(id_alias, sh_alias, "band.band_id", "band.band_key")
+
+    # static side computed once and cached: the Arrow MinHash UDF should
+    # not re-run over the eval corpus every micro-batch
+    e_rows = band_rows(
+        minhash_signatures(eval_docs, num_hashes=num_hashes, hashed=True),
+        "eval_doc_id",
+        "sh_e",
+    ).cache()
+    t_rows = band_rows(
+        minhash_signatures(train_stream, num_hashes=num_hashes, hashed=True),
+        "doc_id",
+        "sh_t",
+    )
+
+    cand = t_rows.join(F.broadcast(e_rows), ["band_id", "band_key"])
+    inter = F.size(F.array_intersect("sh_t", "sh_e"))
+    union = F.size("sh_t") + F.size("sh_e") - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    scored = cand.select("doc_id", "eval_doc_id", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+
+    out_schema = "doc_id bigint, eval_doc_id bigint, jaccard double"
+    state_schema = "emitted boolean"
+
+    def _best(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs))
+        if state.exists or rows.empty:
+            # re-delivered doc (or spurious call): already flagged once
+            yield pd.DataFrame(columns=["doc_id", "eval_doc_id", "jaccard"])
+            return
+        best = rows.sort_values(
+            ["jaccard", "eval_doc_id"], ascending=[False, True]
+        ).iloc[0]
+        state.update((True,))
+        yield pd.DataFrame(
+            [(int(key[0]), int(best["eval_doc_id"]), float(best["jaccard"]))],
+            columns=["doc_id", "eval_doc_id", "jaccard"],
+        )
+
+    return scored.groupBy("doc_id").applyInPandasWithState(
+        _best,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def dedup_stream(
     stream_df: DataFrame,
     keys: list[str],

@@ -477,3 +477,60 @@ def test_near_dedup_stream_matches_batch_lsh(spark, sf_dir, tmp_path):
     new_rows = flags2.where(F.col("doc_id") == 990001)
     assert new_rows.count() == 8  # one row per band
     assert new_rows.where(F.col("collided")).count() == 8
+
+
+def test_decontaminate_stream_matches_batch_and_survives_restart(
+    spark, sf_dir, tmp_path
+):
+    """Streaming decontamination replayed over the train corpus must flag
+    exactly what batch decontaminate_against flags (same best-match rows),
+    across a two-phase availableNow run with a checkpoint restart; a
+    third phase re-delivering already-flagged docs must not re-emit."""
+    from oasysdb_spark.operators import dedup
+    from oasysdb_spark.streaming.ingest import decontaminate_stream_flags
+
+    docs = dedup.load_documents(spark, sf_dir).select("doc_id", "text")
+    train = docs.where("doc_id % 10 <> 3")
+    eval_docs = docs.where("doc_id % 10 = 3")
+    expected = {
+        (r["doc_id"], r["eval_doc_id"], r["jaccard"])
+        for r in dedup.decontaminate_against(train, eval_docs, threshold=0.5).collect()
+    }
+    assert expected  # the fixture's near-dup families cross the split
+
+    src = str(tmp_path / "train_src")
+    out = str(tmp_path / "flags_out")
+    ckpt = str(tmp_path / "decon_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(train.schema).parquet(src)
+        q = (
+            decontaminate_stream_flags(stream, eval_docs, threshold=0.5)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["doc_id"], r["eval_doc_id"], r["jaccard"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # phase 1: half the train corpus
+    train.where("doc_id % 2 = 0").write.parquet(src)
+    got1 = drain()
+    assert got1 == {t for t in expected if t[0] % 2 == 0}
+
+    # phase 2 (restart from checkpoint): the other half
+    train.where("doc_id % 2 = 1").write.mode("append").parquet(src)
+    got2 = drain()
+    assert got2 == expected
+
+    # phase 3: re-deliver phase-1 rows — the per-doc state suppresses
+    # re-emission, so the flag set is unchanged
+    train.where("doc_id % 2 = 0").write.mode("append").parquet(src)
+    got3 = drain()
+    assert got3 == expected
