@@ -92,76 +92,32 @@ def _manhattan_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver oracle-checks the FIRST 50 entries.
-    Round-4 rotation: the window leads with (a) the three entries that had
-    never had a driver row, (b) the three that errored in round 3
-    (TIMESTAMP_NTZ — fixed via functions/time.epoch_ms), (c) the two dedup
-    entries whose verify-join was rewritten this round, then (d) the TPC-H
-    tail last driver-checked in round 1, and finally a representative
-    spread of the round-3-green surface. Every entry outside this window
-    has a green CORRECTNESS_r03 row and is unchanged since."""
+    Round-5 rotation: the window leads with (a) the one NEW entry
+    (`text_boilerplate_scrub`), (b) every entry whose underlying code
+    changed this round (decontamination broadcast guard, multimodal
+    decode tier, the fit_centroids refactor under vec_ivf_knn, the
+    filter-term trim under filter_dsl_embeddings), then (c) ALL 34
+    entries whose latest driver row is CORRECTNESS_r03 — they cycle back
+    in before going a third round unchecked — and (d) a watched-bench
+    representative (`text_clean_pipeline`) plus shared-signature dedup
+    paths. Every entry pushed outside the window holds a green
+    hash-matched CORRECTNESS_r04 row and is unchanged since."""
     return {
-        # --- (a) never driver-checked before round 4 ---
-        "dedup_exact_pick": dedup.exact_dedup_pick,
-        "text_boilerplate_ngrams": textops.boilerplate_ngrams,
-        # --- new in round 5: boilerplate REMOVAL (mining's other half) ---
+        # --- (a) new in round 5: boilerplate REMOVAL (mining's other half) ---
         "text_boilerplate_scrub": textops.boilerplate_scrub,
-        "text_hash_embeddings": embed.hash_embeddings,
-        # --- (b) errored in r3 on TIMESTAMP_NTZ; re-verify the fix ---
-        "asof_click_view": tmp.asof_click_view,
-        "sessionize_events": rel.sessionize_events,
-        "interval_overlap_join": tmp.interval_overlap_sessions,
-        # --- (c) verify-join rewritten this round (hashed shingle sets) ---
-        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
-        "dedup_components": dedup.dedup_components,
-        # --- new in round 4: two-sided decontamination join ---
+        # --- (b) code touched in round 5: re-verify through the driver ---
         "dedup_decontaminate": _decontaminate,
-        # --- (d) TPC-H / relational tail last driver-checked in round 1 ---
-        "customers_without_orders": rel.customers_without_orders,
-        "parts_above_avg_price": rel.parts_above_avg_price,
-        "orders_by_month": rel.orders_by_month,
-        "rollup_lineitem": rel.rollup_lineitem,
-        "unpivot_lineitem": rel.unpivot_lineitem,
-        "top_orders_per_customer": rel.top_orders_per_customer,
-        "running_revenue": rel.running_revenue,
-        "cube_orders": rel.cube_orders,
-        "setop_intersect": rel.setop_intersect,
-        "ship_latency": rel.ship_latency,
-        "parts_like_patterns": rel.parts_like_patterns,
-        "q3_shipping_priority": rel.q3_shipping_priority,
-        "q4_order_priority": rel.q4_order_priority,
-        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
-        "q6_forecast_revenue": rel.q6_forecast_revenue,
-        "q7_nation_volume": rel.q7_nation_volume,
-        "q9_profit_by_nation_year": rel.q9_profit_by_nation_year,
-        "q10_returned_customers": rel.q10_returned_customers,
-        "q12_latency_priority": rel.q12_latency_priority,
-        "q13_order_count_distribution": rel.q13_order_count_distribution,
-        "q14_promo_share": rel.q14_promo_share,
-        "q15_top_supplier": rel.q15_top_supplier,
-        "q17_small_qty_revenue": rel.q17_small_qty_revenue,
-        "q18_large_volume_customers": rel.q18_large_volume_customers,
-        "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
-        "q22_idle_customers": rel.q22_idle_customers,
-        # --- new in round 4: the remaining TPC-H shapes (no partsupp in
-        # the fixture — re-expressed over lineitem; see docstrings) ---
-        "q2_min_cost_supplier": rel.q2_min_cost_supplier,
-        "q11_important_parts": rel.q11_important_parts,
-        "q20_excess_shippers": rel.q20_excess_shippers,
-        # --- representative spread of the r3-green surface ---
-        "dedup_exact_stats": dedup.exact_dedup_stats,
-        "dedup_simhash_pairs": dedup.simhash_near_pairs,
-        "dedup_embedding_cosine": dedup.embedding_near_pairs,
-        "text_clean_pipeline": textops.clean_corpus_pipeline,
-        "text_pii_scrub": textops.pii_scrub_stats,
         "multimodal_features": mm.multimodal_features,
         "multimodal_pixel_stats": mm.multimodal_pixel_stats,
-        "events_tumbling_hourly": tmp.events_tumbling_hourly,
         "vec_ivf_knn": _ivf_knn,
-        "vec_knn_cosine": lambda s, d: vec.knn_bruteforce(s, d, metric="cosine"),
-        "q1_pricing_summary": rel.q1_pricing_summary,
-        "q21_waiting_supplier": rel.q21_waiting_supplier,
-        # ---- driver window boundary (~50) — every entry below has a green
-        # CORRECTNESS_r03 driver row and is unchanged since ----
+        "filter_dsl_embeddings": rel.filter_dsl_embeddings,
+        # --- (d) shared-signature dedup paths + the bench-watched pipeline ---
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "dedup_components": dedup.dedup_components,
+        "dedup_embedding_cosine": dedup.embedding_near_pairs,
+        "text_clean_pipeline": textops.clean_corpus_pipeline,
+        # --- (c) the whole r3-green tail: latest driver row is r03,
+        # cycle back in before a third unchecked round ---
         "range_join_price_bands": tmp.range_join_price_bands,
         "vec_golden_distance": vec.golden_distances,
         "vec_lsh_knn_indexed": vec.lsh_knn_indexed,
@@ -188,13 +144,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "math_stats": rel.math_stats,
         "string_part_stats": rel.string_part_stats,
         "json_event_stats": rel.json_event_stats,
-        "filter_dsl_embeddings": rel.filter_dsl_embeddings,
         "window_functions_suite": rel.window_functions_suite,
         "grouping_sets_orders": rel.grouping_sets_orders,
         "pivot_lineitem": rel.pivot_lineitem,
         "setop_customers": rel.setop_customers,
         "skew_salted_user_join": rel.skew_salted_user_join,
         "bucketed_revenue_by_priority": rel.bucketed_revenue_by_priority,
+        # --- r4-green fillers rounding the window to 50 ---
+        "dedup_exact_pick": dedup.exact_dedup_pick,
+        "dedup_exact_stats": dedup.exact_dedup_stats,
+        "dedup_simhash_pairs": dedup.simhash_near_pairs,
+        "text_hash_embeddings": embed.hash_embeddings,
+        "events_tumbling_hourly": tmp.events_tumbling_hourly,
+        "vec_knn_cosine": lambda s, d: vec.knn_bruteforce(s, d, metric="cosine"),
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q21_waiting_supplier": rel.q21_waiting_supplier,
+        # ---- driver window boundary (50) — every entry below has a green
+        # hash-matched CORRECTNESS_r04 row and is unchanged since ----
+        "text_boilerplate_ngrams": textops.boilerplate_ngrams,
+        "asof_click_view": tmp.asof_click_view,
+        "sessionize_events": rel.sessionize_events,
+        "interval_overlap_join": tmp.interval_overlap_sessions,
+        "customers_without_orders": rel.customers_without_orders,
+        "parts_above_avg_price": rel.parts_above_avg_price,
+        "orders_by_month": rel.orders_by_month,
+        "rollup_lineitem": rel.rollup_lineitem,
+        "unpivot_lineitem": rel.unpivot_lineitem,
+        "top_orders_per_customer": rel.top_orders_per_customer,
+        "running_revenue": rel.running_revenue,
+        "cube_orders": rel.cube_orders,
+        "setop_intersect": rel.setop_intersect,
+        "ship_latency": rel.ship_latency,
+        "parts_like_patterns": rel.parts_like_patterns,
+        "q3_shipping_priority": rel.q3_shipping_priority,
+        "q4_order_priority": rel.q4_order_priority,
+        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
+        "q6_forecast_revenue": rel.q6_forecast_revenue,
+        "q7_nation_volume": rel.q7_nation_volume,
+        "q9_profit_by_nation_year": rel.q9_profit_by_nation_year,
+        "q10_returned_customers": rel.q10_returned_customers,
+        "q12_latency_priority": rel.q12_latency_priority,
+        "q13_order_count_distribution": rel.q13_order_count_distribution,
+        "q14_promo_share": rel.q14_promo_share,
+        "q15_top_supplier": rel.q15_top_supplier,
+        "q17_small_qty_revenue": rel.q17_small_qty_revenue,
+        "q18_large_volume_customers": rel.q18_large_volume_customers,
+        "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
+        "q22_idle_customers": rel.q22_idle_customers,
+        "q2_min_cost_supplier": rel.q2_min_cost_supplier,
+        "q11_important_parts": rel.q11_important_parts,
+        "q20_excess_shippers": rel.q20_excess_shippers,
+        "text_pii_scrub": textops.pii_scrub_stats,
     }
 
 

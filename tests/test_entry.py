@@ -38,49 +38,50 @@ def test_each_query_runs_smoke(spark, sf_dir, name):
 
 def test_driver_window_rotation_closes_coverage():
     """The driver oracle-checks only the FIRST 50 queries() entries. The
-    round-4 rotation contract: every entry that LACKED a green driver row
-    (never checked, errored in r3, or last checked in r1) must be inside
-    the window, and every entry pushed OUTSIDE must already hold a green
-    hash-matched CORRECTNESS_r03 row — so after this round every query has
-    a driver-verified row within the last two rounds."""
+    round-5 rotation contract: the NEW entry, every entry whose
+    underlying code changed this round, and ALL entries whose latest
+    driver row is CORRECTNESS_r03 (two rounds stale) must be inside the
+    window; every entry pushed OUTSIDE must already hold a green
+    hash-matched row from the MOST RECENT round that checked it (r04,
+    else r03) — so no query ever goes three rounds unchecked."""
     import json
     import os
 
     import __spark_entry__ as entry
 
+    here = os.path.dirname(__file__)
+
+    def load(name):
+        with open(os.path.join(here, "..", name)) as f:
+            return json.load(f)
+
+    r3, r4 = load("CORRECTNESS_r03.json"), load("CORRECTNESS_r04.json")
     window = list(entry.queries())[:50]
-    must_rotate_in = {
-        # never driver-checked before round 4
-        "dedup_exact_pick", "text_boilerplate_ngrams", "text_hash_embeddings",
-        # errored in r3 (TIMESTAMP_NTZ) — re-verify the fix
-        "asof_click_view", "sessionize_events", "interval_overlap_join",
-        # verify-join rewritten this round
-        "dedup_minhash_lsh", "dedup_components",
-        # TPC-H / relational tail last driver-checked in round 1
-        "customers_without_orders", "parts_above_avg_price", "orders_by_month",
-        "rollup_lineitem", "unpivot_lineitem", "top_orders_per_customer",
-        "running_revenue", "cube_orders", "setop_intersect", "ship_latency",
-        "parts_like_patterns", "q3_shipping_priority", "q4_order_priority",
-        "q5_local_supplier_volume", "q6_forecast_revenue", "q7_nation_volume",
-        "q9_profit_by_nation_year", "q10_returned_customers",
-        "q12_latency_priority", "q13_order_count_distribution",
-        "q14_promo_share", "q15_top_supplier", "q17_small_qty_revenue",
-        "q18_large_volume_customers", "q19_disjunctive_revenue",
-        "q22_idle_customers",
-    }
+
+    must_rotate_in = (
+        # new in round 5
+        {"text_boilerplate_scrub"}
+        # code touched in round 5
+        | {
+            "dedup_decontaminate",
+            "multimodal_features",
+            "multimodal_pixel_stats",
+            "vec_ivf_knn",
+            "filter_dsl_embeddings",
+        }
+        # latest driver row is r03: cycle in before a third stale round
+        | {q for q in entry.queries() if q in r3 and q not in r4}
+    )
     missing = must_rotate_in - set(window)
     assert not missing, f"driver window lost: {sorted(missing)}"
 
-    # everything rotated out must already be driver-green from round 3
-    r3_path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r03.json")
-    with open(r3_path) as f:
-        r3 = json.load(f)
+    # everything rotated out must be green in its most recent check
     for qname in entry.queries():
         if qname in window:
             continue
-        row = r3.get(qname)
+        row = r4.get(qname) or r3.get(qname)
         assert row is not None and row["hash_match"] is True, (
-            f"{qname} is outside the driver window without a green r3 row"
+            f"{qname} is outside the driver window without a green prior row"
         )
 
     # every query must have an oracle twin (column-name-matched contract)

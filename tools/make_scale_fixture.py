@@ -122,6 +122,11 @@ def main():
 
     def rotate(df, i):
         df = shift(df, "vec_id", 10_000_000, i)
+        # labels get disjoint spaces per copy too (like every other key):
+        # label-blocked operators then see 10x the blocks at the same
+        # block size, not 10x-bigger blocks (which would grow their
+        # within-block pair count 100x — fixture artifact, not scale)
+        df = df.withColumn("label", (F.col("label") + F.lit(i * 1000)).cast("int"))
         if i == 0:
             return df
         rng = np.random.default_rng(1234 + i)

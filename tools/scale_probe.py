@@ -38,6 +38,9 @@ DEFAULT = [
     "q21_waiting_supplier",
     "vec_knn_euclidean",
     "multimodal_pixel_stats",
+    # not a queries() entry (no SQL oracle by nature) — resolved from
+    # operators.dedup below; the IVF-blocked semantic-dedup scale path
+    "embedding_dedup_components",
 ]
 
 
@@ -50,9 +53,16 @@ def main():
     spark = get_spark(app_name="scale_probe")
     qs = entry.queries()
 
+    def fn_for(name):
+        if name in qs:
+            return qs[name]
+        from oasysdb_spark.operators import dedup
+
+        return getattr(dedup, name)
+
     def run(name, sf_dir):
         t0 = time.time()
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        fn_for(name)(spark, sf_dir).write.mode("overwrite").format("noop").save()
         return time.time() - t0
 
     # warm: JVM, Python workers, codegen for each query shape
