@@ -170,49 +170,83 @@ def fit_centroids(
         model = kmeans.fit(_records_with_vec(fit_df).select("__vec"))
         return [[float(x) for x in c] for c in model.clusterCenters()]
 
-    sample = np.asarray(
-        [r["embedding"] for r in fit_df.select("embedding").collect()],
-        dtype=np.float64,
-    )
+    # Arrow toPandas, not collect(): Row-object conversion of array
+    # columns is several times slower than the Arrow batch path and the
+    # sample collect was the single largest cost of a big blocking fit.
+    pdf = fit_df.select("embedding").toPandas()
+    sample = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
     return _kmeans_fit_local(sample, k=min(k, len(sample)), seed=seed, max_iter=max_iter)
 
 
+# Above this much seeding work (k sequential passes over the sample →
+# k·n row-distance evaluations) the O(k·n) k-means++ loop stops paying
+# for itself: blocking-grade centroids (data-sampled Voronoi sites + a
+# couple of Lloyd sweeps) partition just as well for candidate
+# generation, at a tiny fraction of the fit cost. 5M keeps every
+# index-build-sized fit on full k-means++ and routes only the large
+# blocking fits (big sample × many clusters) to the cheap path.
+KMEANSPP_WORK_BUDGET = 5_000_000
+# Row-chunk for the n×k distance matrix so a 100k-sample × many-k fit
+# stays a few hundred MB instead of materializing multi-GB arrays.
+_ASSIGN_CHUNK = 16_384
+
+
+def _argmin_labels(mat: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
+    c2 = (c**2).sum(axis=1)[None, :]
+    out = np.empty(len(mat), dtype=np.int64)
+    for s in range(0, len(mat), _ASSIGN_CHUNK):
+        chunk = mat[s : s + _ASSIGN_CHUNK]
+        out[s : s + _ASSIGN_CHUNK] = (-2.0 * (chunk @ c.T) + c2).argmin(axis=1)
+    return out
+
+
 def _kmeans_fit_local(mat: "np.ndarray", k: int, seed: int, max_iter: int) -> list[list[float]]:
-    """Seeded Lloyd's k-means with k-means++ init over an in-memory sample
-    — the same algorithm the reference fits per split
+    """Seeded Lloyd's k-means over an in-memory sample — the same
+    algorithm the reference fits per split
     (/root/reference/src/utils/kmeans.rs:61-131: k-means++ seeding, bounded
-    iterations, empty-cluster reseed), vectorized with BLAS."""
+    iterations, empty-cluster reseed), vectorized with BLAS. Past
+    ``KMEANSPP_WORK_BUDGET`` of seeding work (k·n) the quadratic
+    k-means++ loop is replaced by a seeded distinct-row draw
+    (data-sampled Voronoi sites — cells follow the data density, which
+    is all candidate blocking needs) and Lloyd is capped at 3 sweeps."""
     rng = np.random.default_rng(seed)
     n = len(mat)
     k = min(k, n)
 
-    # k-means++ seeding (probability ∝ squared distance to nearest center)
-    first = int(rng.integers(n))
-    centers = [mat[first]]
-    d2 = ((mat - centers[0]) ** 2).sum(axis=1)
-    for _ in range(1, k):
-        total = d2.sum()
-        if total == 0:
-            centers.append(mat[int(rng.integers(n))])
-        else:
-            nxt = int(rng.choice(n, p=d2 / total))
-            centers.append(mat[nxt])
-            d2 = np.minimum(d2, ((mat - mat[nxt]) ** 2).sum(axis=1))
-    c = np.asarray(centers)
+    if k * n > KMEANSPP_WORK_BUDGET:
+        centers = mat[rng.choice(n, size=k, replace=False)]
+        c = np.array(centers, dtype=np.float64)
+        max_iter = min(max_iter, 3)
+    else:
+        # k-means++ seeding (probability ∝ squared distance to nearest center)
+        first = int(rng.integers(n))
+        centers = [mat[first]]
+        d2 = ((mat - centers[0]) ** 2).sum(axis=1)
+        for _ in range(1, k):
+            total = d2.sum()
+            if total == 0:
+                centers.append(mat[int(rng.integers(n))])
+            else:
+                nxt = int(rng.choice(n, p=d2 / total))
+                centers.append(mat[nxt])
+                d2 = np.minimum(d2, ((mat - mat[nxt]) ** 2).sum(axis=1))
+        c = np.asarray(centers)
 
     labels = np.full(n, -1)
     for _ in range(max_iter):
-        d = -2.0 * (mat @ c.T) + (c**2).sum(axis=1)[None, :]
-        new_labels = d.argmin(axis=1)
+        new_labels = _argmin_labels(mat, c)
         if (new_labels == labels).all():
             break
         labels = new_labels
-        for j in range(k):
-            members = mat[labels == j]
-            if len(members):
-                c[j] = members.mean(axis=0)
-            else:  # empty-cluster reseed (kmeans.rs:150-156)
-                c[j] = mat[int(rng.integers(n))]
+        # vectorized per-cluster mean: sums via index-add, no k-loop scan
+        counts = np.bincount(labels, minlength=k).astype(np.float64)
+        sums = np.zeros_like(c)
+        np.add.at(sums, labels, mat)
+        nonempty = counts > 0
+        c[nonempty] = sums[nonempty] / counts[nonempty, None]
+        n_empty = int((~nonempty).sum())
+        if n_empty:  # empty-cluster reseed (kmeans.rs:150-156)
+            c[~nonempty] = mat[rng.integers(n, size=n_empty)]
     return [[float(x) for x in row] for row in c]
 
 

@@ -545,8 +545,16 @@ def embedding_near_pairs_ivf(
     # would fit the first parquet splits only, and on a corpus partitioned
     # by any content-correlated key that biased fit craters blocking
     # recall silently.
+    #
+    # k scales with the FULL corpus size (n // 64), NOT with the fit
+    # sample: a sample-capped k freezes the cluster count past the cap,
+    # so block size grows linearly with n and the candidate-pair count
+    # quadratically — the r5 sf0.1→sf1 probe measured 35.8× time for 10×
+    # data before this fix. Constant expected block size keeps candidates
+    # (and the pair-distinct shuffle, the expensive part) linear in n;
+    # the extra assignment cost is dense BLAS, cheap by comparison.
     n = embs.count()
-    k = n_clusters or max(2, min(n, fit_sample_size) // 64)
+    k = n_clusters or max(2, n // 64)
     depth = min(depth, k)
     C = np.asarray(
         fit_centroids(
@@ -570,9 +578,12 @@ def embedding_near_pairs_ivf(
         idx = np.argsort(d, axis=1, kind="stable")[:, :depth].astype("int32")
         return pd.Series(list(idx))
 
+    # cached: the block table feeds BOTH sides of the self-join — without
+    # the cache the Arrow assignment UDF (the priciest row-local step)
+    # evaluates twice
     blocks = embs.select(
         "vec_id", F.explode(topd(F.col("embedding"))).alias("cid")
-    )
+    ).cache()
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(

@@ -65,14 +65,19 @@ def main():
         fn_for(name)(spark, sf_dir).write.mode("overwrite").format("noop").save()
         return time.time() - t0
 
+    def best2(name, sf_dir):
+        # min of two timed runs, like bench.py: the shared VM shows ~2x
+        # single-pass noise, and the warm number reflects the plan
+        return min(run(name, sf_dir), run(name, sf_dir))
+
     # warm: JVM, Python workers, codegen for each query shape
     for name in names:
         run(name, SMALL)
 
     ratios = []
     for name in names:
-        s = run(name, SMALL)
-        b = run(name, BIG)
+        s = best2(name, SMALL)
+        b = best2(name, BIG)
         ratio = round(b / s, 2) if s > 0 else None
         ratios.append(ratio)
         print(
