@@ -92,8 +92,9 @@ def _manhattan_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver oracle-checks the FIRST 50 entries.
-    Round-5 rotation: the window leads with (a) the one NEW entry
-    (`text_boilerplate_scrub`), (b) every entry whose underlying code
+    Round-5 rotation: the window leads with (a) the four NEW entries
+    (`text_boilerplate_scrub`, `text_bm25_search`, `text_gopher_quality`,
+    `events_funnel`), (b) every entry whose underlying code
     changed this round (decontamination broadcast guard, multimodal
     decode tier, the fit_centroids refactor under vec_ivf_knn, the
     filter-term trim under filter_dsl_embeddings), then (c) ALL 34
@@ -103,8 +104,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     paths. Every entry pushed outside the window holds a green
     hash-matched CORRECTNESS_r04 row and is unchanged since."""
     return {
-        # --- (a) new in round 5: boilerplate REMOVAL (mining's other half) ---
+        # --- (a) new in round 5: boilerplate REMOVAL (mining's other half),
+        # BM25 retrieval, Gopher quality rules, sequential funnel ---
         "text_boilerplate_scrub": textops.boilerplate_scrub,
+        "text_bm25_search": textops.bm25_search,
+        "text_gopher_quality": textops.gopher_quality_flags,
+        "events_funnel": rel.events_funnel,
         # --- (b) code touched in round 5: re-verify through the driver ---
         "dedup_decontaminate": _decontaminate,
         "multimodal_features": mm.multimodal_features,
@@ -1111,6 +1116,70 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(h.boiler_hits, 0) AS BIGINT) AS boiler_hits,
                COALESCE(h.boiler_hits, 0) < 5 AS keep
         FROM sh s LEFT JOIN hits h USING (doc_id)"""
+
+    # BM25: identical arithmetic shape on both sides (left-assoc idf *
+    # (tf*(k1+1)) / norm, (1 - b + b*dl/avgdl) spelled out) so the only
+    # cross-engine drift is sub-ulp, absorbed by the 6-decimal round
+    # applied BEFORE the deterministic (score desc, doc_id) cut
+    q["text_bm25_search"] = f"""
+        WITH tk AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        len AS (SELECT doc_id, len(tk) AS dl FROM tk),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM len),
+        tf AS (SELECT doc_id, t AS term, count(*) AS tf
+               FROM (SELECT doc_id, unnest(tk) AS t FROM tk)
+               WHERE t IN ('hash', 'join', 'merge', 'sort', 'window')
+               GROUP BY doc_id, t),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        sc AS (SELECT tf.doc_id,
+                 ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * (tf.tf * (1.2 + 1.0))
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * len.dl / stats.avgdl)) AS s
+               FROM tf JOIN df USING (term)
+                       JOIN len ON tf.doc_id = len.doc_id, stats)
+        SELECT doc_id, round(sum(s), 6) AS bm25
+        FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"""
+
+    # Gopher rules: whitespace words (the paper's definition), all-integer
+    # pass counts
+    q["text_gopher_quality"] = """
+        WITH w AS (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+                   FROM documents),
+        per AS (SELECT len(ws) AS nw,
+                  CASE WHEN len(ws) > 0
+                       THEN CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) / len(ws)
+                  END AS mwl,
+                  CASE WHEN len(ws) > 0
+                       THEN CAST(len(list_filter(ws, x -> regexp_matches(lower(x), '[a-z]'))) AS DOUBLE) / len(ws)
+                  END AS af,
+                  len(list_filter(ws,
+                      x -> list_contains(['the','be','to','of','and','that','have','with'], lower(x)))) AS sn
+                FROM w)
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN nw >= 50 AND nw <= 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_word_count_ok,
+               CAST(sum(CASE WHEN nw > 0 AND mwl >= 3.0 AND mwl <= 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mean_wl_ok,
+               CAST(sum(CASE WHEN nw > 0 AND af >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_ok,
+               CAST(sum(CASE WHEN sn >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword_ok,
+               CAST(sum(CASE WHEN nw >= 50 AND nw <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+                             AND af >= 0.8 AND sn >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+        FROM per"""
+
+    # sequential funnel: strict event ordering via staged min-joins
+    q["events_funnel"] = """
+        WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+              JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.t_view
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+              JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+              GROUP BY e.user_id)
+        SELECT CAST(count(*) AS BIGINT) AS n_viewed,
+               CAST(count(c.t_click) AS BIGINT) AS n_clicked_after_view,
+               CAST(count(p.t_purchase) AS BIGINT) AS n_purchased_after_click
+        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
 
     # feature-hashing embedding (signed bucket counts, sign bit 40) —
     # integer sums, so cross-engine exact with no float hazards

@@ -1081,3 +1081,45 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_suppkey").cast("bigint").alias("s_suppkey"), "s_name", "s_acctbal")
         .orderBy("s_suppkey")
     )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel over the event stream: per user, the
+    first ``view``, the first ``click`` STRICTLY AFTER that view, and the
+    first ``purchase`` strictly after that click; returns one row of
+    stage counts — the order-sensitive funnel metric (a click before any
+    view does not count) that plain per-type counts can't express.
+
+    Scale shape: three per-type min-aggregates and two joins, ALL keyed
+    on user_id — after the first shuffle every stage is co-partitioned,
+    so the funnel costs one logical repartition of the events table no
+    matter how many stages are added. No windows over the full stream,
+    no per-user collect."""
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    funnel = views.join(clicks, "user_id", "left").join(
+        purchases, "user_id", "left"
+    )
+    return funnel.agg(
+        F.count("*").cast("bigint").alias("n_viewed"),
+        F.count("t_click").cast("bigint").alias("n_clicked_after_view"),
+        F.count("t_purchase").cast("bigint").alias("n_purchased_after_click"),
+    )

@@ -372,6 +372,114 @@ def boilerplate_ngrams(
     )
 
 
+def bm25_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str = "hash join merge sort window",
+    top_k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k retrieval over the corpus (Robertson/Sparck-Jones idf
+    with the +1 smoothing Lucene uses): score(D, Q) = Σ_t idf(t) ·
+    tf·(k1+1) / (tf + k1·(1 − b + b·|D|/avgdl)).
+
+    Returns ``(doc_id, bm25)`` for the ``top_k`` best documents, ordered
+    by (rounded score desc, doc_id) so the cut is deterministic across
+    engines.
+
+    Scale shape: doc lengths are row-local; the term explode is filtered
+    to the query's terms BEFORE the tf groupBy, so the only per-corpus
+    shuffle carries ≈ |matching (doc, term)| rows, not the whole token
+    stream; df and the corpus stats (N, avgdl) are tiny aggregates that
+    broadcast back in. One scan of the corpus feeds lengths and terms."""
+    q_terms = sorted({t for t in query.lower().split() if t})
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("tk")).cache()
+
+    lengths = base.select("doc_id", F.size("tk").alias("dl"))
+    stats = lengths.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select("doc_id", F.explode("tk").alias("term"))
+        .where(F.col("term").isin(q_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    joined = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(lengths, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    score = idf * (F.col("tf") * (k1 + 1.0)) / norm
+    return (
+        joined.groupBy("doc_id")
+        .agg(F.round(F.sum(score), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(top_k)
+    )
+
+
+# The stopword list Gopher's quality rules check for (Rae et al. 2021,
+# "Scaling Language Models" §A1.1): a document should contain at least
+# two of these to look like running English prose.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (the public Rae et al. 2021
+    repetition/format heuristics that apply to a plain-text corpus):
+    word count in [50, 100k], mean word length in [3, 10], ≥80% of words
+    containing an alphabetic character, and ≥2 stopword occurrences.
+    Returns ONE summary row of per-rule pass counts plus the all-rules
+    count — the corpus-health dashboard a filtering pipeline reads before
+    choosing thresholds. 'Word' here = whitespace token (the paper's
+    definition), unlike the alphanumeric `tokens()` used elsewhere.
+
+    Scale shape: every rule is a row-local array expression over one
+    scan; the only shuffle is the final single-row aggregate."""
+    docs = _docs(spark, sf_dir)
+    ws = F.filter(F.split(F.col("text"), "\\s+"), lambda w: w != "")
+    nw = F.size(ws)
+    total_wl = F.aggregate(
+        F.transform(ws, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = total_wl.cast("double") / nw
+    alpha_n = F.size(F.filter(ws, lambda w: F.lower(w).rlike("[a-z]")))
+    stop_n = F.size(F.filter(ws, lambda w: F.lower(w).isin(*GOPHER_STOPWORDS)))
+
+    per = docs.select(
+        ((nw >= 50) & (nw <= 100_000)).alias("r_wc"),
+        ((nw > 0) & (mean_wl >= 3.0) & (mean_wl <= 10.0)).alias("r_wl"),
+        ((nw > 0) & (alpha_n.cast("double") / nw >= 0.8)).alias("r_alpha"),
+        (stop_n >= 2).alias("r_stop"),
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        cnt("r_wc").alias("n_word_count_ok"),
+        cnt("r_wl").alias("n_mean_wl_ok"),
+        cnt("r_alpha").alias("n_alpha_ok"),
+        cnt("r_stop").alias("n_stopword_ok"),
+        F.sum(
+            F.when(
+                F.col("r_wc") & F.col("r_wl") & F.col("r_alpha") & F.col("r_stop"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_pass_all"),
+    )
+
+
 # Deterministic boilerplate template injected by boilerplate_scrub (the
 # fixture corpus is word-salad with near-unique n-grams, so removal has
 # nothing real to remove — same injection pattern as pii_scrub_stats).

@@ -60,7 +60,12 @@ def test_driver_window_rotation_closes_coverage():
 
     must_rotate_in = (
         # new in round 5
-        {"text_boilerplate_scrub"}
+        {
+            "text_boilerplate_scrub",
+            "text_bm25_search",
+            "text_gopher_quality",
+            "events_funnel",
+        }
         # code touched in round 5
         | {
             "dedup_decontaminate",

@@ -718,3 +718,57 @@ def test_decontaminate_shuffle_fallback_matches_broadcast(spark, sf_dir):
     assert rows_bc and rows_bc == rows_sh
     plan = sh._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_returns_matching_docs_in_score_order(spark, sf_dir):
+    """Every BM25 hit must contain at least one query term; scores are
+    non-increasing; a doc with no query terms never outranks one with."""
+    from oasysdb_spark.operators import textops
+
+    rows = textops.bm25_search(spark, sf_dir, query="hash join", top_k=10).collect()
+    assert 0 < len(rows) <= 10
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for r in rows:
+        toks = set(texts[r["doc_id"]].lower().split())
+        assert toks & {"hash", "join"}
+
+
+def test_gopher_quality_counts_are_consistent(spark, sf_dir):
+    from oasysdb_spark.operators import textops
+
+    r = textops.gopher_quality_flags(spark, sf_dir).first()
+    for c in ("n_word_count_ok", "n_mean_wl_ok", "n_alpha_ok", "n_stopword_ok"):
+        assert r["n_pass_all"] <= r[c] <= r["n_docs"]
+    # the word-salad fixture is all-lowercase words: alpha + stopword
+    # rules judge real content, not degenerate zeros
+    assert r["n_alpha_ok"] > 0 and r["n_docs"] > 0
+
+
+def test_events_funnel_stage_monotonicity_and_strict_order(spark, sf_dir):
+    """Funnel stages shrink monotonically, and the strict-ordering rule
+    holds: recompute stage 2 by hand (first click AFTER first view)."""
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.operators import relational as rel
+    from oasysdb_spark.sources.tables import load_table
+
+    r = rel.events_funnel(spark, sf_dir).first()
+    assert r["n_viewed"] >= r["n_clicked_after_view"] >= r["n_purchased_after_click"] >= 0
+    assert r["n_viewed"] > 0
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where("event_type = 'view'").groupBy("user_id").agg(F.min("ts").alias("tv"))
+    by_hand = (
+        ev.where("event_type = 'click'")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("tv"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r["n_clicked_after_view"] == by_hand
