@@ -167,3 +167,50 @@ def test_lsh_multi_table_recall_improves(spark, sf_dir, tmp_path):
     r1, r4 = recall(1), recall(4)
     assert r4 >= r1
     assert r4 > 0.3  # multi-table lifts the documented single-table floor
+
+
+def test_pq_codes_shape_and_adc_matches_numpy(spark, sf_dir):
+    """PQ encode yields m in-range codes per row (4 bytes vs 256 raw),
+    and the JVM ADC lookup expression equals the numpy table lookup."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.index import pq
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq.fit_codebooks(embs.select("embedding"), m=8, nbits=4, seed=1)
+    assert books.shape == (8, 16, 8)
+    codes = pq.encode(embs, books).cache()
+    sample = codes.orderBy("vec_id").limit(20).collect()
+    for r in sample:
+        assert len(r["pq_code"]) == 8
+        assert all(0 <= c < 16 for c in r["pq_code"])
+
+    q = list(sample[0]["embedding"])
+    table = pq.adc_table(q, books)
+    got = {
+        r["vec_id"]: r["adc"]
+        for r in codes.select("vec_id", pq.adc_score_expr(table).alias("adc"))
+        .orderBy("vec_id")
+        .limit(20)
+        .collect()
+    }
+    for r in sample:
+        expect = float(sum(table[j][c] for j, c in enumerate(r["pq_code"])))
+        assert abs(got[r["vec_id"]] - expect) < 1e-9
+
+
+def test_pq_knn_rerank_recall(spark, sf_dir):
+    """ADC candidate generation + exact re-rank must recover (almost
+    all of) the true top-10 on the isotropic fixture — PQ's worst case;
+    the self-match (distance 0) must always survive."""
+    from oasysdb_spark.index import pq
+    from oasysdb_spark.operators import vectorops as vec
+
+    got = [r["vec_id"] for r in pq.pq_knn(spark, sf_dir, query_vec_id=7, k=10).collect()]
+    brute = [
+        r["vec_id"] for r in vec.knn_bruteforce(spark, sf_dir, query_vec_id=7, k=10).collect()
+    ]
+    assert got[0] == 7  # self-match survives ADC + re-rank
+    recall = len(set(got) & set(brute)) / len(brute)
+    assert recall >= 0.8, f"PQ rerank recall {recall}"
