@@ -399,9 +399,13 @@ def bm25_search(
     base = docs.select("doc_id", toks.alias("tk")).cache()
 
     lengths = base.select("doc_id", F.size("tk").alias("dl"))
+    # two scalars, collected once like a centroid table (a crossJoin of
+    # the 1-row aggregate would plan as a BroadcastNestedLoopJoin and
+    # trip the no-nested-loops sweep)
     stats = lengths.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
+    ).first()
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     tf = (
         base.select("doc_id", F.explode("tk").alias("term"))
         .where(F.col("term").isin(q_terms))
@@ -410,15 +414,11 @@ def bm25_search(
     )
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
 
-    joined = (
-        tf.join(F.broadcast(df_t), "term")
-        .join(lengths, "doc_id")
-        .crossJoin(F.broadcast(stats))
-    )
+    joined = tf.join(F.broadcast(df_t), "term").join(lengths, "doc_id")
     idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
-    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
     score = idf * (F.col("tf") * (k1 + 1.0)) / norm
     return (
         joined.groupBy("doc_id")
