@@ -289,7 +289,12 @@ def prepare_training_corpus(
         .orderBy(F.col("df").desc(), "ngram")
         .limit(boiler_top_n)
     )
-    boiler = F.array(*[F.lit(r["ngram"]) for r in mined.collect()])
+    top = [r["ngram"] for r in mined.collect()]
+    boiler = (
+        F.array(*[F.lit(g) for g in top])
+        if top
+        else F.array().cast("array<string>")
+    )
     scrubbed = shingled.where(
         F.size(F.array_intersect(F.col("grams"), boiler)) < boiler_min_hits
     ).drop("grams").cache()
@@ -533,7 +538,13 @@ def boilerplate_scrub(
         .limit(top_n)
     )
     top = [r["ngram"] for r in mined.collect()]
-    boiler = F.array(*[F.lit(g) for g in top])
+    # empty mined set (corpus of sub-n-token docs): typed empty literal,
+    # F.array() alone would be array<null> and break array_intersect
+    boiler = (
+        F.array(*[F.lit(g) for g in top])
+        if top
+        else F.array().cast("array<string>")
+    )
     hits = F.size(F.array_intersect(F.col("grams"), boiler))
     return shingled.select(
         "doc_id",

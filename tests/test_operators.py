@@ -772,3 +772,18 @@ def test_events_funnel_stage_monotonicity_and_strict_order(spark, sf_dir):
         .count()
     )
     assert r["n_clicked_after_view"] == by_hand
+
+
+def test_boilerplate_scrub_empty_corpus_edge(spark, tmp_path):
+    """A corpus of sub-n-token docs mines nothing: every doc keeps with
+    zero hits (the typed-empty-array edge)."""
+    from oasysdb_spark.operators import textops
+
+    d = str(tmp_path / "tinydocs")
+    spark.createDataFrame(
+        [(1, "a b", "en", "s", 3), (2, "x", "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    rows = textops.boilerplate_scrub(spark, d).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2}
+    assert all(r["keep"] and r["boiler_hits"] == 0 for r in rows)
