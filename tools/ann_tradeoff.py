@@ -75,6 +75,9 @@ def main():
             )
         )
 
+    # PQ: shared codebooks + codes, vary re-rank depth
+    _pq_sweep(spark, sf_dir, n_queries, k, exact_euc)
+
     # LSH: shared layouts, vary table count
     for n_tables in (1, 2, 4):
         wd = tempfile.mkdtemp(prefix=f"ann_tradeoff_lsh{n_tables}_")
@@ -94,6 +97,38 @@ def main():
                 {
                     "index": "lsh",
                     "tables": n_tables,
+                    "recall_at_10": round(hits / (n_queries * k), 3),
+                    "avg_sec": round((time.time() - t0) / n_queries, 3),
+                }
+            )
+        )
+
+
+def _pq_sweep(spark, sf_dir, n_queries, k, exact_euc):
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.index import pq
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq.fit_codebooks(embs.select("embedding"))
+    codes = pq.encode(embs, books).cache()
+    codes.count()  # materialize untimed (encode-once-at-ingest shape)
+    for rerank in (32, 64, 128, 256):
+        hits, t0 = 0, time.time()
+        for qid in range(n_queries):
+            got = [
+                r["vec_id"]
+                for r in pq.pq_knn(
+                    spark, sf_dir, query_vec_id=qid, k=k, rerank=rerank,
+                    codes_df=codes, codebooks=books,
+                ).collect()
+            ]
+            hits += len(set(got) & set(exact_euc[qid]))
+        print(
+            json.dumps(
+                {
+                    "index": "pq",
+                    "rerank": rerank,
                     "recall_at_10": round(hits / (n_queries * k), 3),
                     "avg_sec": round((time.time() - t0) / n_queries, 3),
                 }
