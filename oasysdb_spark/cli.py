@@ -79,6 +79,10 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--filter", dest="filter_expr", default=None)
     q.add_argument("--radius", type=float, default=None)
     q.add_argument("--probes", type=int, default=None)
+    q.add_argument("--approx", default=None, choices=["pq"],
+                   help="serve from the PQ compression tier (build-pq first)")
+    q.add_argument("--rerank", type=int, default=128,
+                   help="exact re-rank depth for --approx pq")
 
     qm = add("query-many", help="batched ANN: many vectors, one job")
     src = qm.add_mutually_exclusive_group(required=True)
@@ -98,6 +102,11 @@ def build_parser() -> argparse.ArgumentParser:
     b = add("build-index", help="build/rebuild the IVF index")
     b.add_argument("--seed", type=int, default=42)
     b.add_argument("--k", type=int, default=None)
+
+    bp = add("build-pq", help="build/rebuild the PQ compression tier")
+    bp.add_argument("--m", type=int, default=8)
+    bp.add_argument("--nbits", type=int, default=4)
+    bp.add_argument("--seed", type=int, default=42)
 
     add("compact", help="rewrite the records table with healthy file sizes")
 
@@ -156,6 +165,9 @@ def main(argv: list[str] | None = None) -> int:
             kwargs["probes"] = args.probes
         if args.radius is not None:
             kwargs["radius"] = args.radius
+        if args.approx is not None:
+            kwargs["approx"] = args.approx
+            kwargs["rerank"] = args.rerank
         res = db.query(_vector(args.vector), k=args.k,
                        filter=args.filter_expr, **kwargs)
         _emit({"results": res})
@@ -179,6 +191,11 @@ def main(argv: list[str] | None = None) -> int:
 
         n = build_index(db, k=args.k, seed=args.seed)
         _emit({"ok": True, "n_clusters": n})
+    elif args.cmd == "build-pq":
+        from oasysdb_spark.index.pq import build_pq
+
+        books = build_pq(db, m=args.m, nbits=args.nbits, seed=args.seed)
+        _emit({"ok": True, "m": books.shape[0], "codewords": books.shape[1]})
     elif args.cmd == "compact":
         version = db.compact()
         _emit({"ok": True, "version": version})

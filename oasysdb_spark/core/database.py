@@ -125,6 +125,7 @@ class Database:
         self.records = VersionedTable(os.path.join(directory, "records"))
         self.centroids = VersionedTable(os.path.join(directory, "centroids"))
         self._centroid_cache: list[tuple[int, list[float]]] | None = None
+        self._pq_cache = None  # codebooks, loaded lazily by index.pq
 
     # ------------------------------------------------------------------
     # lifecycle: configure / open / heartbeat / snapshot
@@ -264,6 +265,13 @@ class Database:
         index surgery on the ingest hot path.
         """
         df = normalize_records(df)
+        from oasysdb_spark.index.pq import encode, load_codebooks
+
+        books = load_codebooks(self)
+        if books is not None:
+            # PQ tier built: encode at ingest (codes are part of the row,
+            # exactly like cluster assignment — never a separate backfill)
+            df = encode(df, books)
         if self.is_indexed():
             from oasysdb_spark.index.ivf import assign_clusters
 
@@ -464,6 +472,8 @@ class Database:
         filter: str | None = None,
         probes: int | None = None,
         radius: float | None = None,
+        approx: str | None = None,
+        rerank: int = 128,
     ) -> DataFrame:
         """ANN top-k as a DataFrame ``(id, m_text, m_num, m_bool, distance)``
         — the vector is excluded, like QueryResult
@@ -476,7 +486,13 @@ class Database:
         reference's bounded max-heap (/root/reference/src/cores/index.rs:201-213).
         Filter is applied **before** top-k (pre-filtering semantics,
         /root/reference/src/cores/index.rs:195-199).
-        """
+
+        ``approx="pq"`` (after ``index.pq.build_pq``) swaps the candidate
+        stage for ADC over the 4-byte ``pq_code`` column — the scan never
+        touches raw vectors — then exact-re-ranks the best ``rerank``
+        rows; pre-filter, radius, and probe-pruning semantics are
+        unchanged (the filter applies before the ADC cut, the radius to
+        the exact distances). Euclidean metric only."""
         vec = self._validate_dim(vector)
         if k <= 0:
             raise errors.InvalidArgumentError(
@@ -492,6 +508,32 @@ class Database:
         if self.is_indexed():
             probe_ids = self._probe_cluster_ids(vec, qp.probes)
             df = df.where(F.col("cluster_id").isin(probe_ids))
+
+        if approx is not None:
+            if approx != "pq":
+                raise errors.InvalidArgumentError(
+                    f"unknown approx mode {approx!r}; supported: 'pq'"
+                )
+            if self.params.metric != "euclidean":
+                raise errors.InvalidArgumentError(
+                    "approx='pq' supports the euclidean metric only"
+                )
+            from oasysdb_spark.index.pq import adc_score_expr, adc_table, load_codebooks
+
+            books = load_codebooks(self)
+            if books is None or "pq_code" not in df.columns:
+                raise errors.InvalidArgumentError(
+                    "PQ tier not built: call oasysdb_spark.index.pq.build_pq first"
+                )
+            table = adc_table(vec, books)
+            df = (
+                df.where(pred)
+                .withColumn("__adc", adc_score_expr(table))
+                .orderBy(F.col("__adc").asc_nulls_last(), F.col("id"))
+                .limit(max(rerank, k))
+                .drop("__adc")
+            )
+            pred = F.lit(True)  # already applied before the ADC cut
 
         dist = distance_expr(self.params.metric, F.array(*[F.lit(x) for x in vec]), F.col("embedding"))
         out = df.withColumn("distance", dist)
@@ -514,10 +556,15 @@ class Database:
         filter: str | None = None,
         probes: int | None = None,
         radius: float | None = None,
+        approx: str | None = None,
+        rerank: int = 128,
     ) -> list[dict[str, Any]]:
         """Collect form of :meth:`query_df`: ascending-distance list of
         ``{id, metadata, distance}`` dicts."""
-        rows = self.query_df(vector, k, filter=filter, probes=probes, radius=radius).collect()
+        rows = self.query_df(
+            vector, k, filter=filter, probes=probes, radius=radius,
+            approx=approx, rerank=rerank,
+        ).collect()
         return [
             {"id": r["id"], "metadata": merge_metadata(r), "distance": r["distance"]}
             for r in rows

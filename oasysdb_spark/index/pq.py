@@ -124,6 +124,74 @@ def adc_score_expr(table: np.ndarray):
     return F.aggregate(partials, F.lit(0.0), lambda acc, x: acc + x)
 
 
+PQ_FILE = "pq.json"
+
+
+def build_pq(
+    db,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    max_iter: int = 10,
+    fit_sample_size: int = 100_000,
+) -> np.ndarray:
+    """Attach the PQ compression tier to a Database: fit codebooks over
+    the record embeddings (seeded guarded sample), rewrite the records
+    table with a ``pq_code`` column (cluster layout preserved), and
+    persist the codebooks as ``pq.json`` beside ``params.json`` (m·2^nbits
+    ·dsub doubles — centroid-table sized). Afterwards
+    ``Database.query(..., approx="pq")`` serves ADC + exact-re-rank from
+    the codes, and ``insert_batch`` encodes new rows at ingest so codes
+    never go missing. Codebooks drift as the data distribution does —
+    rebuild on the same maintenance schedule as ``compact()``."""
+    import json
+    import os
+
+    from oasysdb_spark.core.config import atomic_write_text
+
+    records = db.records_df()
+    if "pq_code" in records.columns:
+        records = records.drop("pq_code")
+    n = records.count()
+    if n == 0:
+        raise InvalidArgumentError("cannot build PQ over zero records")
+    books = fit_codebooks(
+        records.select("embedding"),
+        m=m,
+        nbits=nbits,
+        seed=seed,
+        max_iter=max_iter,
+        fit_sample_size=fit_sample_size,
+        n=n,
+    )
+    encoded = encode(records, books)
+    partition = ["cluster_id"] if db.is_indexed() else None
+    db.records.write(encoded, partition_by=partition)
+    atomic_write_text(
+        os.path.join(db.dir, PQ_FILE),
+        json.dumps({"m": m, "nbits": nbits, "codebooks": books.tolist()}),
+    )
+    db._pq_cache = books
+    return books
+
+
+def load_codebooks(db) -> "np.ndarray | None":
+    """Codebooks for a Database, or None when PQ was never built.
+    Cached on the Database like the centroid rows."""
+    import json
+    import os
+
+    if getattr(db, "_pq_cache", None) is not None:
+        return db._pq_cache
+    path = os.path.join(db.dir, PQ_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path, encoding="utf-8") as f:
+        d = json.load(f)
+    db._pq_cache = np.asarray(d["codebooks"], dtype=np.float64)
+    return db._pq_cache
+
+
 def pq_knn(
     spark,
     sf_dir: str,

@@ -238,3 +238,53 @@ def test_distributed_kmeans_path_end_to_end(spark, tmp_path):
 
     brute = [r["id"] for r in db.query([7.0] * DIM, k=5, probes=k)]
     assert brute == [f"m{i:05d}" for i in (7, 6, 8, 5, 9)]
+
+
+def test_pq_tier_on_database(spark, tmp_path):
+    """PQ through the Database surface: build_pq rewrites records with
+    codes, query(approx='pq') at full rerank equals the exact query,
+    pre-filtering holds, and post-build inserts are encoded at ingest."""
+    from oasysdb_spark.index.pq import build_pq
+
+    d = str(tmp_path / "pqdb")
+    db = Database.configure(spark, d, dimension=8, density=32)
+    rows = [
+        (f"p{i:04d}", [float(i)] * 8, {}, {"number": 1000.0 + i}, {})
+        for i in range(120)
+    ]
+    db.insert_batch(spark.createDataFrame(rows, RECORD_SCHEMA))
+    build_index(db, seed=5)
+    books = build_pq(db, m=4, nbits=4, seed=5)
+    assert books.shape == (4, 16, 2)
+    assert "pq_code" in db.records_df().columns
+
+    exact = db.query([7.0] * 8, k=10, probes=99)
+    approx = db.query([7.0] * 8, k=10, probes=99, approx="pq", rerank=120)
+    assert approx == exact  # full rerank == exact, metadata and all
+
+    flt = db.query([7.0] * 8, k=5, probes=99, filter="number > 1050",
+                   approx="pq", rerank=120)
+    assert flt == db.query([7.0] * 8, k=5, probes=99, filter="number > 1050")
+    assert all(r["metadata"]["number"] > 1050 for r in flt)
+
+    # tight rerank still finds the near neighborhood on this 1-D line
+    tight = db.query([7.0] * 8, k=5, probes=99, approx="pq", rerank=16)
+    assert {r["id"] for r in tight} & {r["id"] for r in exact[:5]}
+
+    # inserts after build_pq carry codes (encode-at-ingest)
+    db.insert([500.0] * 8, record_id="late")
+    late = db.records_df().where("id = 'late'").first()
+    assert late["pq_code"] is not None and len(late["pq_code"]) == 4
+
+    # unknown approx mode / non-built DB raise cleanly
+    import pytest as _pytest
+
+    from oasysdb_spark.errors import InvalidArgumentError
+
+    with _pytest.raises(InvalidArgumentError):
+        db.query([1.0] * 8, k=3, approx="nope")
+    d2 = str(tmp_path / "nopq")
+    db2 = Database.configure(spark, d2, dimension=2)
+    db2.insert([1.0, 2.0], record_id="x")
+    with _pytest.raises(InvalidArgumentError):
+        db2.query([1.0, 2.0], k=1, approx="pq")
