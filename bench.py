@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "text_quality",
     "text_clean_pipeline",
+    "text_bm25_search",
+    "events_funnel",
     "percentile_stats",
     "multimodal_features",
 ]
