@@ -92,17 +92,20 @@ def _manhattan_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver oracle-checks the FIRST 50 entries.
-    Round-5 rotation: the window leads with (a) the four NEW entries
+    Round-5 rotation: the window leads with (a) the six NEW entries
     (`text_boilerplate_scrub`, `text_bm25_search`, `text_gopher_quality`,
-    `events_funnel`), (b) every entry whose underlying code
+    `events_funnel`, `text_repetition_stats`, `text_vocabulary`),
+    (b) every entry whose underlying code
     changed this round (decontamination broadcast guard, multimodal
     decode tier, the fit_centroids refactor under vec_ivf_knn, the
     filter-term trim under filter_dsl_embeddings), then (c) ALL 34
     entries whose latest driver row is CORRECTNESS_r03 — they cycle back
     in before going a third round unchecked — and (d) a watched-bench
     representative (`text_clean_pipeline`) plus shared-signature dedup
-    paths. Every entry pushed outside the window holds a green
-    hash-matched CORRECTNESS_r04 row and is unchanged since."""
+    paths. Every entry pushed outside the window (including
+    `text_hash_embeddings` / `events_tumbling_hourly`, displaced by the
+    two newest entries) holds a green hash-matched CORRECTNESS_r04 row
+    and is unchanged since."""
     return {
         # --- (a) new in round 5: boilerplate REMOVAL (mining's other half),
         # BM25 retrieval, Gopher quality rules, sequential funnel ---
@@ -110,6 +113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_search": textops.bm25_search,
         "text_gopher_quality": textops.gopher_quality_flags,
         "events_funnel": rel.events_funnel,
+        "text_repetition_stats": textops.repetition_stats,
+        "text_vocabulary": textops.vocabulary,
         # --- (b) code touched in round 5: re-verify through the driver ---
         "dedup_decontaminate": _decontaminate,
         "multimodal_features": mm.multimodal_features,
@@ -1163,6 +1168,71 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN nw >= 50 AND nw <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
                              AND af >= 0.8 AND sn >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
         FROM per"""
+
+    # Gopher repetition rules: per-doc mode of the word n-gram list.
+    # Tie-break = (count DESC, gram ASC), matching the Spark side's
+    # sorted run-length scan (first gram at the max run wins). Character
+    # accounting over the normalized token stream on both engines.
+    # starts 1..len-n+1 (range end-exclusive -> len-(n-2)); slice
+    # tk[i:i+n-1] is DuckDB-inclusive -> n elements
+    _gr = (
+        "CASE WHEN len(tk) >= {n} THEN list_transform(range(1, len(tk) - {e}),"
+        " i -> array_to_string(tk[i:i+{s}], ' ')) ELSE [] END"
+    )
+
+    def _ngr(n: int) -> str:
+        return _gr.format(n=n, e=n - 2, s=n - 1)
+
+    def _topfrac(n: int) -> str:
+        return f"""
+        (SELECT doc_id, round(CAST(c * len(g) AS DOUBLE) / nc, 6) AS frac
+         FROM (SELECT doc_id, g, count(*) AS c,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY count(*) DESC, g) AS rn
+               FROM (SELECT doc_id, unnest({_ngr(n)}) AS g
+                     FROM tk)
+               GROUP BY doc_id, g) t
+         JOIN tot USING (doc_id) WHERE rn = 1 AND nc > 0)"""
+
+    q["text_repetition_stats"] = f"""
+        WITH tk AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        tot AS (SELECT doc_id, len(array_to_string(tk, ' ')) AS nc FROM tk),
+        t2 AS {_topfrac(2)},
+        t3 AS {_topfrac(3)},
+        t4 AS {_topfrac(4)},
+        d5 AS (SELECT doc_id,
+                 CASE WHEN len(g) > 0
+                      THEN round(CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+                                 / len(g), 6)
+                      ELSE 0.0 END AS dup5
+               FROM (SELECT doc_id, {_ngr(5)} AS g FROM tk))
+        SELECT tk.doc_id,
+               COALESCE(t2.frac, 0.0) AS top2_frac,
+               COALESCE(t3.frac, 0.0) AS top3_frac,
+               COALESCE(t4.frac, 0.0) AS top4_frac,
+               d5.dup5 AS dup5_frac,
+               COALESCE(t2.frac, 0.0) <= 0.20 AND COALESCE(t3.frac, 0.0) <= 0.18
+               AND COALESCE(t4.frac, 0.0) <= 0.16 AND d5.dup5 <= 0.15
+                   AS pass_repetition
+        FROM tk LEFT JOIN t2 ON tk.doc_id = t2.doc_id
+                LEFT JOIN t3 ON tk.doc_id = t3.doc_id
+                LEFT JOIN t4 ON tk.doc_id = t4.doc_id
+                JOIN d5 ON tk.doc_id = d5.doc_id"""
+
+    # per-language vocabulary: tf-ranked terms above a df floor,
+    # deterministic (tf DESC, term) cut
+    q["text_vocabulary"] = f"""
+        WITH t AS (SELECT doc_id, lang, unnest({_TOKS}) AS term FROM documents),
+        agg AS (SELECT lang, term,
+                       CAST(count(*) AS BIGINT) AS tf,
+                       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM t GROUP BY lang, term HAVING count(DISTINCT doc_id) >= 5),
+        r AS (SELECT lang, term, tf, df,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY tf DESC, term) AS rank
+              FROM agg)
+        SELECT lang, CAST(rank AS BIGINT) AS rank, term, tf, df
+        FROM r WHERE rank <= 15 ORDER BY lang, rank"""
 
     # sequential funnel: strict event ordering via staged min-joins
     q["events_funnel"] = """

@@ -605,3 +605,147 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_clean, F.col("k.bpe"))).cast("bigint").alias("total_bpe_tokens"),
         F.round(F.avg(F.when(is_clean, F.col("k.bpe"))), 6).alias("mean_bpe"),
     )
+
+
+def _word_ngrams(tk, n: int):
+    """Space-joined word n-grams of a token array, ascending position.
+    Empty (typed) array when the doc has fewer than ``n`` tokens."""
+    return F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - n),
+            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _top_gram_run(grams):
+    """Row-local mode of a gram array: ``struct(best_run, best)`` where
+    ``best`` is the most frequent gram (ties -> lexicographically first,
+    matching the oracle's ``ORDER BY c DESC, g``). Implemented as
+    array_sort + a run-length scan inside ``F.aggregate`` — O(m log m)
+    per ROW, no shuffle, so at 100 TB it rides the scan instead of
+    exploding ~100 tokens/doc into a (doc_id, gram) aggregation
+    exchange. The empty-string sentinel in ``prev`` cannot collide with
+    a real gram (tokens are non-empty by construction)."""
+
+    def merge(acc, x):
+        run2 = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = run2 > acc["best_run"]
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.when(better, run2).otherwise(acc["best_run"]).alias("best_run"),
+            F.when(better, x).otherwise(acc["best"]).alias("best"),
+        )
+
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best_run"),
+        F.lit("").alias("best"),
+    )
+    acc = F.aggregate(F.array_sort(grams), init, merge)
+    return F.struct(acc["best_run"].alias("best_run"), acc["best"].alias("best"))
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style REPETITION rules (Rae et al. 2021 §A1.1) — the other
+    half of :func:`gopher_quality_flags`'s format rules: per document,
+    the fraction of characters contained in the most frequent word
+    {2,3,4}-gram (thresholds 0.20 / 0.18 / 0.16) and the fraction of
+    duplicated 5-grams (threshold 0.15; the paper counts duplicated-gram
+    *characters* — we use the gram-count fraction, same signal, and
+    document the simplification). ``pass_repetition`` is the AND of all
+    four — the template/spam filter a corpus pipeline runs right after
+    the format rules.
+
+    Character accounting is over the normalized token stream
+    (``len(concat_ws(' ', tokens))``), so both engines measure the same
+    string. Every metric is a row-local array expression over one scan —
+    the plan has NO shuffle at all (no groupBy, no explode), which is
+    the shape that survives 100 TB."""
+    docs = _docs(spark, sf_dir)
+    tk = tokens(F.col("text"))
+    base = docs.select("doc_id", tk.alias("tk")).select(
+        "doc_id",
+        "tk",
+        F.length(F.concat_ws(" ", F.col("tk"))).alias("nc"),
+        *[_word_ngrams(F.col("tk"), n).alias(f"g{n}") for n in (2, 3, 4, 5)],
+    )
+
+    def top_frac(g):
+        t = _top_gram_run(g)
+        return F.when(
+            (F.size(g) > 0) & (F.col("nc") > 0),
+            F.round(
+                (t["best_run"] * F.length(t["best"])).cast("double")
+                / F.col("nc"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0))
+
+    dup5 = F.when(
+        F.size("g5") > 0,
+        F.round(
+            (F.size("g5") - F.size(F.array_distinct("g5"))).cast("double")
+            / F.size("g5"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+
+    out = base.select(
+        "doc_id",
+        top_frac(F.col("g2")).alias("top2_frac"),
+        top_frac(F.col("g3")).alias("top3_frac"),
+        top_frac(F.col("g4")).alias("top4_frac"),
+        dup5.alias("dup5_frac"),
+    )
+    return out.select(
+        "*",
+        (
+            (F.col("top2_frac") <= 0.20)
+            & (F.col("top3_frac") <= 0.18)
+            & (F.col("top4_frac") <= 0.16)
+            & (F.col("dup5_frac") <= 0.15)
+        ).alias("pass_repetition"),
+    )
+
+
+def vocabulary(
+    spark: SparkSession,
+    sf_dir: str,
+    top_k: int = 15,
+    min_df: int = 5,
+) -> DataFrame:
+    """Per-language vocabulary construction — the tokenizer-training /
+    feature-selection primitive: for each ``lang``, the ``top_k`` terms
+    by corpus term frequency (ties -> term ascending) among terms whose
+    document frequency is at least ``min_df``. Returns
+    ``(lang, rank, term, tf, df)``.
+
+    Scale shape: explode -> ONE (lang, term) aggregation (map-side
+    partial combine collapses each task to its local vocab before the
+    exchange; ``count_distinct(doc_id)`` is the standard two-phase
+    expand). The ranking window partitions by ``lang`` — cardinality =
+    vocab size per language, far below the corpus, so the top-k cut is
+    over an already-tiny aggregate, never the raw token stream."""
+    docs = _docs(spark, sf_dir)
+    terms = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    agg = (
+        terms.groupBy("lang", "term")
+        .agg(
+            F.count("*").cast("bigint").alias("tf"),
+            F.countDistinct("doc_id").cast("bigint").alias("df"),
+        )
+        .where(F.col("df") >= min_df)
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tf").desc(), F.col("term"))
+    return (
+        agg.select("*", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= top_k)
+        .select("lang", F.col("rank").cast("bigint").alias("rank"), "term", "tf", "df")
+        .orderBy("lang", "rank")
+    )

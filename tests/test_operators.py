@@ -787,3 +787,85 @@ def test_boilerplate_scrub_empty_corpus_edge(spark, tmp_path):
     rows = textops.boilerplate_scrub(spark, d).collect()
     assert {r["doc_id"] for r in rows} == {1, 2}
     assert all(r["keep"] and r["boiler_hits"] == 0 for r in rows)
+
+
+def test_repetition_stats_detects_injected_repetition(spark, sf_dir):
+    """A synthetic doc that is one phrase repeated must fail every
+    repetition rule; the word-salad fixture docs (near-unique n-grams)
+    overwhelmingly pass. Also pins the tie-break: the row-local
+    run-length mode equals a hand count via explode+groupBy."""
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.operators import textops
+
+    out = textops.repetition_stats(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == 500
+    # the fixture's ~40-word vocabulary makes chance 4-gram repeats
+    # common (real prose would pass ~always) -> 0.75, not 0.9
+    passed = sum(1 for r in rows if r["pass_repetition"])
+    assert passed > 0.75 * len(rows)
+    for r in rows:
+        for c in ("top2_frac", "top3_frac", "top4_frac", "dup5_frac"):
+            assert 0.0 <= r[c] <= 1.0
+
+    # injected pathological doc: "spam ham" * 30 -> top2_frac ~ 1
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        doc = " ".join(["spam ham"] * 30)
+        spark.createDataFrame(
+            [(1, doc, "en", "synt", len(doc))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        bad = textops.repetition_stats(spark, d).first()
+    assert not bad["pass_repetition"]
+    assert bad["top2_frac"] > 0.5 and bad["dup5_frac"] > 0.9
+
+    # cross-check the row-local mode against an explode+groupBy count on
+    # a sample of fixture docs (same tie-break: count desc, gram asc)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    from oasysdb_spark.functions.text import tokens
+    from oasysdb_spark.operators.textops import _top_gram_run, _word_ngrams
+
+    sample = docs.select(
+        "doc_id", _word_ngrams(tokens(F.col("text")), 2).alias("g")
+    )
+    local = {
+        r["doc_id"]: (r["t"]["best_run"], r["t"]["best"])
+        for r in sample.select(
+            "doc_id", _top_gram_run(F.col("g")).alias("t")
+        ).collect()
+    }
+    byhand = (
+        sample.select("doc_id", F.explode("g").alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+        .collect()
+    )
+    best: dict = {}
+    for r in byhand:
+        key = (-r["count"], r["g"])
+        if r["doc_id"] not in best or key < best[r["doc_id"]][0]:
+            best[r["doc_id"]] = (key, (r["count"], r["g"]))
+    for doc_id, (_, expected) in best.items():
+        assert local[doc_id] == expected
+
+
+def test_vocabulary_ranks_terms_per_language(spark, sf_dir):
+    """Per-lang vocab: ranks are 1..k contiguous, tf non-increasing
+    within a language, every df >= the floor, and tf >= df always."""
+    from oasysdb_spark.operators import textops
+
+    rows = textops.vocabulary(spark, sf_dir, top_k=10, min_df=5).collect()
+    assert rows
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        tfs = [r["tf"] for r in rs]
+        assert tfs == sorted(tfs, reverse=True)
+        for r in rs:
+            assert r["df"] >= 5 and r["tf"] >= r["df"]
