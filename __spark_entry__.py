@@ -92,10 +92,10 @@ def _manhattan_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver oracle-checks the FIRST 50 entries.
-    Round-5 rotation: the window leads with (a) the six NEW entries
+    Round-5 rotation: the window leads with (a) the seven NEW entries
     (`text_boilerplate_scrub`, `text_bm25_search`, `text_gopher_quality`,
-    `events_funnel`, `text_repetition_stats`, `text_vocabulary`),
-    (b) every entry whose underlying code
+    `events_funnel`, `text_repetition_stats`, `text_vocabulary`,
+    `text_span_dedup`), (b) every entry whose underlying code
     changed this round (decontamination broadcast guard, multimodal
     decode tier, the fit_centroids refactor under vec_ivf_knn, the
     filter-term trim under filter_dsl_embeddings), then (c) ALL 34
@@ -103,9 +103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in before going a third round unchecked — and (d) a watched-bench
     representative (`text_clean_pipeline`) plus shared-signature dedup
     paths. Every entry pushed outside the window (including
-    `text_hash_embeddings` / `events_tumbling_hourly`, displaced by the
-    two newest entries) holds a green hash-matched CORRECTNESS_r04 row
-    and is unchanged since."""
+    `text_hash_embeddings` / `events_tumbling_hourly` /
+    `dedup_simhash_pairs`, displaced by the three newest entries) holds
+    a green hash-matched CORRECTNESS_r04 row and is unchanged since."""
     return {
         # --- (a) new in round 5: boilerplate REMOVAL (mining's other half),
         # BM25 retrieval, Gopher quality rules, sequential funnel ---
@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": rel.events_funnel,
         "text_repetition_stats": textops.repetition_stats,
         "text_vocabulary": textops.vocabulary,
+        "text_span_dedup": textops.span_dedup_stats,
         # --- (b) code touched in round 5: re-verify through the driver ---
         "dedup_decontaminate": _decontaminate,
         "multimodal_features": mm.multimodal_features,
@@ -1233,6 +1234,47 @@ def oracle_sql() -> dict[str, str]:
               FROM agg)
         SELECT lang, CAST(rank AS BIGINT) AS rank, term, tf, df
         FROM r WHERE rank <= 15 ORDER BY lang, rank"""
+
+    # ExactSubstr span dedup: duplicated k-gram spans (k=5) over the
+    # injection-augmented corpus; interval union via lag gaps (Spark:
+    # run-length aggregate over sorted starts — same sum)
+    _span_h = hash64_sql("array_to_string(tk[i:i+4], ' ')")
+    q["text_span_dedup"] = f"""
+        WITH aug AS (SELECT doc_id,
+                       text || CASE WHEN doc_id % 4 = 0
+                                    THEN ' subscribe to our newsletter terms"""
+    q["text_span_dedup"] += f""" of service apply all rights reserved'
+                                    ELSE '' END AS text
+                     FROM documents),
+        tk AS (SELECT doc_id, {_TOKS} AS tk FROM aug),
+        base AS (SELECT doc_id, len(tk) AS n_tokens, tk FROM tk),
+        pos AS (SELECT doc_id, s['p'] AS p, s['h'] AS h
+                FROM (SELECT doc_id,
+                        unnest(CASE WHEN len(tk) >= 5
+                               THEN list_transform(range(1, len(tk) - 3),
+                                    i -> {{'p': i, 'h': {_span_h}}})
+                               ELSE [] END) AS s
+                      FROM base)),
+        dup AS (SELECT h FROM pos GROUP BY h HAVING count(*) > 1),
+        mark AS (SELECT doc_id, p FROM pos JOIN dup USING (h)),
+        gaps AS (SELECT doc_id, p,
+                        lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp
+                 FROM mark),
+        per AS (SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_dup_positions,
+                       CAST(sum(CASE WHEN pp IS NULL THEN 5
+                                     ELSE least(5, p - pp) END) AS BIGINT)
+                           AS n_removed_tokens
+                FROM gaps GROUP BY doc_id)
+        SELECT b.doc_id,
+               CAST(b.n_tokens AS BIGINT) AS n_tokens,
+               COALESCE(per.n_dup_positions, 0) AS n_dup_positions,
+               COALESCE(per.n_removed_tokens, 0) AS n_removed_tokens,
+               CASE WHEN b.n_tokens > 0
+                    THEN round(1.0 - CAST(COALESCE(per.n_removed_tokens, 0)
+                                          AS DOUBLE) / b.n_tokens, 6)
+                    ELSE 1.0 END AS keep_frac
+        FROM base b LEFT JOIN per ON b.doc_id = per.doc_id"""
 
     # sequential funnel: strict event ordering via staged min-joins
     q["events_funnel"] = """

@@ -749,3 +749,106 @@ def vocabulary(
         .select("lang", F.col("rank").cast("bigint").alias("rank"), "term", "tf", "df")
         .orderBy("lang", "rank")
     )
+
+
+def span_dedup_stats(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """EXACT-SUBSTRING span dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr side
+    of the paper, reduced to token k-grams): any ``k``-token span whose
+    content appears more than once ANYWHERE in the corpus (cross-doc or
+    within-doc) is marked duplicated, and the per-doc union of the
+    marked fixed-length intervals is the text that substring dedup would
+    cut. Returns per doc ``(doc_id, n_tokens, n_dup_positions,
+    n_removed_tokens, keep_frac)``.
+
+    The word-salad fixture's k-grams are near-unique, so the query
+    injects :data:`BOILERPLATE_TEMPLATE` into every 4th document (the
+    boilerplate_scrub / pii_scrub pattern) and the stats prove exactly
+    the injected spans get cut.
+
+    Scale shape (the 100 TB contract): spans are hashed to 8 bytes
+    row-locally BEFORE any exchange, so the only shuffles are one
+    count aggregation and one equi-join on the 64-bit span hash —
+    raw text never shuffles. The interval union is a row-local
+    run-length pass over the sorted duplicate positions
+    (``sum(min(k, gap))``), never a window over the token stream."""
+    docs = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0, F.lit(" " + BOILERPLATE_TEMPLATE)
+        ).otherwise(F.lit("")),
+    )
+    tk = tokens(aug)
+    base = docs.select(
+        "doc_id",
+        tk.alias("tk"),
+    ).select(
+        "doc_id",
+        F.size("tk").alias("n_tokens"),
+        F.when(
+            F.size("tk") >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - k),
+                lambda i: F.struct(
+                    i.alias("p"),
+                    hash64(F.concat_ws(" ", F.slice(F.col("tk"), i + 1, k))).alias("h"),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<struct<p:int,h:bigint>>"))
+        .alias("sh"),
+    )
+    base = base.cache()  # feeds positions AND the final left join
+    pos = base.select("doc_id", F.explode("sh").alias("s")).select(
+        "doc_id", F.col("s.p").alias("p"), F.col("s.h").alias("h")
+    )
+    dup = pos.groupBy("h").agg(F.count("*").alias("c")).where(F.col("c") > 1)
+    mark = pos.join(dup.select("h"), "h")
+
+    # row-local union of fixed-length intervals over sorted dup starts:
+    # first span contributes k, each next min(k, gap to previous start)
+    def cover(acc, p):
+        add = F.when(acc["prev"] < 0, F.lit(k)).otherwise(
+            F.least(F.lit(k), p - acc["prev"])
+        )
+        return F.struct(p.alias("prev"), (acc["cov"] + add).alias("cov"))
+
+    per = mark.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_dup_positions"),
+        F.sort_array(F.collect_list("p")).alias("ps"),
+    )
+    per = per.select(
+        "doc_id",
+        "n_dup_positions",
+        F.aggregate(
+            F.col("ps"),
+            F.struct(F.lit(-1).alias("prev"), F.lit(0).alias("cov")),
+            cover,
+        )["cov"]
+        .cast("bigint")
+        .alias("n_removed_tokens"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce("n_dup_positions", F.lit(0)).cast("bigint").alias("n_dup_positions"),
+            F.coalesce("n_removed_tokens", F.lit(0)).cast("bigint").alias("n_removed_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    1.0
+                    - F.coalesce("n_removed_tokens", F.lit(0)).cast("double")
+                    / F.col("n_tokens"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("keep_frac"),
+        )
+    )

@@ -869,3 +869,49 @@ def test_vocabulary_ranks_terms_per_language(spark, sf_dir):
         assert tfs == sorted(tfs, reverse=True)
         for r in rs:
             assert r["df"] >= 5 and r["tf"] >= r["df"]
+
+
+def test_span_dedup_cuts_exactly_the_injected_template(spark, sf_dir):
+    """Every 4th doc carries the injected 11-token template: its 7
+    duplicated 5-gram starts must union to exactly 11 removed tokens
+    (plus any chance fixture dups); un-injected docs are near-clean."""
+    from oasysdb_spark.operators import textops
+
+    rows = {r["doc_id"]: r for r in textops.span_dedup_stats(spark, sf_dir).collect()}
+    assert len(rows) == 500
+    injected = [r for d, r in rows.items() if d % 4 == 0]
+    clean = [r for d, r in rows.items() if d % 4 != 0]
+    # the template contributes 7 dup positions / 11 covered tokens
+    assert all(r["n_dup_positions"] >= 7 for r in injected)
+    assert all(r["n_removed_tokens"] >= 11 for r in injected)
+    # word-salad 5-grams are near-unique (~40-word vocab -> some chance
+    # repeats; measured 90% fully clean): most un-injected docs lose nothing
+    assert sum(1 for r in clean if r["n_removed_tokens"] == 0) > 0.85 * len(clean)
+    for r in rows.values():
+        assert 0 <= r["n_removed_tokens"] <= r["n_tokens"]
+        assert r["n_dup_positions"] <= max(0, r["n_tokens"] - 4)
+
+
+def test_span_dedup_interval_union_math(spark):
+    """Hand-built corpus: two docs sharing one 5-gram plus a doc with an
+    internal overlap chain — covered counts follow union-of-intervals,
+    not positions*k."""
+    import tempfile
+
+    from oasysdb_spark.operators import textops
+
+    # doc 1/2 share 'a b c d e' (cross-doc dup); doc 3 = 'x '*8 repeats
+    # its 5-gram at starts 0..3 -> union covers all 8 tokens, not 4*5
+    d1 = "a b c d e q w r t y"
+    d2 = "z a b c d e k l m n"
+    d3 = "x x x x x x x x"
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            [(1, d1, "en", "s", len(d1)), (2, d2, "en", "s", len(d2)),
+             (3, d3, "en", "s", len(d3))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{tmp}/documents.parquet")
+        rows = {r["doc_id"]: r for r in textops.span_dedup_stats(spark, tmp).collect()}
+    assert rows[1]["n_dup_positions"] == 1 and rows[1]["n_removed_tokens"] == 5
+    assert rows[2]["n_dup_positions"] == 1 and rows[2]["n_removed_tokens"] == 5
+    assert rows[3]["n_dup_positions"] == 4 and rows[3]["n_removed_tokens"] == 8
