@@ -92,20 +92,21 @@ def _manhattan_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver oracle-checks the FIRST 50 entries.
-    Round-5 rotation: the window leads with (a) the seven NEW entries
+    Round-5 rotation: the window leads with (a) the eight NEW entries
     (`text_boilerplate_scrub`, `text_bm25_search`, `text_gopher_quality`,
     `events_funnel`, `text_repetition_stats`, `text_vocabulary`,
-    `text_span_dedup`), (b) every entry whose underlying code
+    `text_span_dedup`, `embedding_balanced_sample`), (b) every entry
+    whose underlying code
     changed this round (decontamination broadcast guard, multimodal
     decode tier, the fit_centroids refactor under vec_ivf_knn, the
     filter-term trim under filter_dsl_embeddings), then (c) ALL 34
     entries whose latest driver row is CORRECTNESS_r03 — they cycle back
     in before going a third round unchecked — and (d) a watched-bench
     representative (`text_clean_pipeline`) plus shared-signature dedup
-    paths. Every entry pushed outside the window (including
-    `text_hash_embeddings` / `events_tumbling_hourly` /
-    `dedup_simhash_pairs`, displaced by the three newest entries) holds
-    a green hash-matched CORRECTNESS_r04 row and is unchanged since."""
+    paths. Every entry pushed outside the window (`text_hash_embeddings`,
+    `events_tumbling_hourly`, `dedup_simhash_pairs`, `dedup_exact_stats`,
+    displaced by the four newest entries) holds a green hash-matched
+    CORRECTNESS_r04 row and is unchanged since."""
     return {
         # --- (a) new in round 5: boilerplate REMOVAL (mining's other half),
         # BM25 retrieval, Gopher quality rules, sequential funnel ---
@@ -116,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_stats": textops.repetition_stats,
         "text_vocabulary": textops.vocabulary,
         "text_span_dedup": textops.span_dedup_stats,
+        "embedding_balanced_sample": embed.label_balanced_sample,
         # --- (b) code touched in round 5: re-verify through the driver ---
         "dedup_decontaminate": _decontaminate,
         "multimodal_features": mm.multimodal_features,
@@ -1275,6 +1277,28 @@ def oracle_sql() -> dict[str, str]:
                                           AS DOUBLE) / b.n_tokens, 6)
                     ELSE 1.0 END AS keep_frac
         FROM base b LEFT JOIN per ON b.doc_id = per.doc_id"""
+
+    # balanced domain-mix sampling (label twin of the learned-cluster
+    # path): median target, salted-hash ppm keep rule — all arithmetic
+    # integer or deterministic double
+    _mix_keep = hash64_sql("CAST(vec_id AS VARCHAR)", salt="cmix")
+    q["embedding_balanced_sample"] = f"""
+        WITH sizes AS (SELECT label, count(*) AS n_total
+                       FROM embeddings GROUP BY label),
+        t AS (SELECT CAST(median(n_total) AS DOUBLE) AS target FROM sizes),
+        rates AS (SELECT label, n_total,
+                         least(1000000, CAST(floor(1000000.0 * t.target / n_total)
+                                             AS BIGINT)) AS keep_ppm
+                  FROM sizes, t),
+        kept AS (SELECT e.label, count(*) AS n_kept
+                 FROM embeddings e JOIN rates USING (label)
+                 WHERE {_mix_keep} % 1000000 < rates.keep_ppm
+                 GROUP BY e.label)
+        SELECT r.label,
+               CAST(r.n_total AS BIGINT) AS n_total,
+               CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+               r.keep_ppm
+        FROM rates r LEFT JOIN kept k USING (label) ORDER BY label"""
 
     # sequential funnel: strict event ordering via staged min-joins
     q["events_funnel"] = """

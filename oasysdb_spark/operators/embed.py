@@ -187,3 +187,90 @@ def corpus_text_search(
         .orderBy("distance", "doc_id")
         .limit(k)
     )
+
+
+def _balanced_sample_summary(
+    labeled: DataFrame, stratum: str, salt: str = "cmix"
+) -> DataFrame:
+    """Shared tail of the domain-mix rebalancers: given ``(vec_id,
+    <stratum>)`` rows, downsample every stratum toward the MEDIAN stratum
+    size with a deterministic salted-hash keep rule (the
+    text_stratified_sample discipline — reproducible across runs AND
+    engines, no rand()). Returns per-stratum
+    ``(<stratum>, n_total, n_kept, keep_ppm)``.
+
+    Scale shape: two stratum-keyed aggregations with map-side partials
+    (sizes, then kept counts) and one broadcast of the k-row rate table —
+    the corpus shuffles nothing wider than partial counts; the keep
+    decision is a row-local hash compare."""
+    labeled = labeled.cache()
+    sizes = labeled.groupBy(stratum).agg(F.count("*").alias("n_total"))
+    # k-row aggregate -> scalar collect (a crossJoin of the 1-row median
+    # frame would plan as BroadcastNestedLoopJoin and trip the plan sweep)
+    target = float(sizes.agg(F.median("n_total")).first()[0])
+    rates = sizes.select(
+        stratum,
+        "n_total",
+        F.least(
+            F.lit(1_000_000),
+            F.floor(F.lit(1_000_000.0) * F.lit(target) / F.col("n_total")),
+        )
+        .cast("bigint")
+        .alias("keep_ppm"),
+    )
+    kept = (
+        labeled.join(F.broadcast(rates.select(stratum, "keep_ppm")), stratum)
+        .where(
+            hash64(F.col("vec_id").cast("string"), salt) % 1_000_000
+            < F.col("keep_ppm")
+        )
+        .groupBy(stratum)
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, stratum, "left")
+        .select(
+            stratum,
+            F.col("n_total").cast("bigint").alias("n_total"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            "keep_ppm",
+        )
+        .orderBy(stratum)
+    )
+
+
+def label_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing blocked on the fixture's ``label`` column —
+    the EXACT twin of :func:`cluster_balanced_sample` (same salted-hash
+    keep rule, same median target), fully DuckDB-replayable since the
+    stratum is a stored column instead of a learned cluster id. Carries
+    the driver-oracle row for the sampling arithmetic."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _balanced_sample_summary(embs.select("vec_id", "label"), "label")
+
+
+def cluster_balanced_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    n_clusters: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """SEMANTIC domain-mix rebalancing — the production path: strata are
+    learned IVF cluster ids (seeded :func:`fit_centroids` through the
+    guarded sample path, argmin assignment), so over-represented
+    semantic domains get downsampled toward the median cluster size even
+    when no domain metadata exists (the SemDeDup / DoReMi-style curation
+    move). Same deterministic keep rule as the label twin; no SQL oracle
+    by nature (learned clustering) — the twin carries the oracle row,
+    and tests gate determinism + proportion convergence."""
+    from oasysdb_spark.index.ivf import _argmin_assigner, fit_centroids
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = embs.count()
+    k = min(n_clusters, n)
+    C = fit_centroids(embs.select("embedding"), k=k, seed=seed, max_iter=10, n=n)
+    assigner = _argmin_assigner(spark, C, "euclidean")
+    labeled = embs.select(
+        "vec_id", assigner(F.col("embedding")).alias("cluster_id")
+    )
+    return _balanced_sample_summary(labeled, "cluster_id")

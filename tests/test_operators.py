@@ -915,3 +915,53 @@ def test_span_dedup_interval_union_math(spark):
     assert rows[1]["n_dup_positions"] == 1 and rows[1]["n_removed_tokens"] == 5
     assert rows[2]["n_dup_positions"] == 1 and rows[2]["n_removed_tokens"] == 5
     assert rows[3]["n_dup_positions"] == 4 and rows[3]["n_removed_tokens"] == 8
+
+
+def test_balanced_sample_label_twin_invariants(spark, sf_dir):
+    """Label-blocked balanced sampling: strata at/below the median keep
+    everything (ppm=1e6); larger strata converge to ~the median with
+    binomial tolerance; the rule is deterministic across runs."""
+    from oasysdb_spark.operators import embed
+
+    rows = embed.label_balanced_sample(spark, sf_dir).collect()
+    assert rows
+    totals = sorted(r["n_total"] for r in rows)
+    m = len(totals)
+    median = (
+        totals[m // 2]
+        if m % 2
+        else (totals[m // 2 - 1] + totals[m // 2]) / 2
+    )
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_total"]
+        if r["n_total"] <= median:
+            assert r["keep_ppm"] == 1_000_000 and r["n_kept"] == r["n_total"]
+        else:
+            expect = r["n_total"] * r["keep_ppm"] / 1_000_000
+            tol = 4 * (expect**0.5) + 2
+            assert abs(r["n_kept"] - expect) <= tol
+    again = embed.label_balanced_sample(spark, sf_dir).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_cluster_balanced_sample_rebalances_and_is_deterministic(spark, sf_dir):
+    """Learned-cluster (semantic) rebalancing: same run twice is
+    identical; post-sample imbalance (max/median kept) is no worse than
+    the pre-sample imbalance and within sampling noise of 1."""
+    from oasysdb_spark.operators import embed
+
+    a = embed.cluster_balanced_sample(spark, sf_dir, n_clusters=6).collect()
+    b = embed.cluster_balanced_sample(spark, sf_dir, n_clusters=6).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) >= 2
+    kept = sorted(r["n_kept"] for r in a)
+    totals = sorted(r["n_total"] for r in a)
+    med_kept = kept[len(kept) // 2]
+    med_tot = totals[len(totals) // 2]
+    assert med_kept > 0
+    # the whole point: the over-represented tail gets pulled in
+    assert max(kept) / med_kept <= max(totals) / med_tot + 0.2
+    for r in a:
+        if r["n_total"] > med_tot:
+            expect = r["n_total"] * r["keep_ppm"] / 1_000_000
+            assert abs(r["n_kept"] - expect) <= 4 * (expect**0.5) + 2
