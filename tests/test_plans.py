@@ -242,3 +242,30 @@ def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_stats_zero_shuffle(spark, sf_dir):
+    """The Gopher repetition rules are computed entirely row-locally
+    (array_sort + run-length aggregate): the plan must contain NO
+    Exchange at all — the per-doc n-gram mode never becomes a
+    (doc, gram) aggregation shuffle."""
+    from oasysdb_spark.operators import textops
+
+    plan = _plan(textops.repetition_stats(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_span_dedup_shuffles_hashes_not_text(spark, sf_dir):
+    """Span dedup may exchange only the (doc_id, p, h) position stream
+    and per-doc aggregates — the raw text column must not appear in any
+    Exchange input, and no nested-loop join sneaks in."""
+    from oasysdb_spark.operators import textops
+
+    df = textops.span_dedup_stats(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every Exchange's projected schema is hashes/ids, never `text`
+    for seg in plan.split("Exchange")[1:]:
+        head = seg.split("\n")[0]
+        assert "text#" not in head
