@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "text_quality",
     "text_clean_pipeline",
     "text_bm25_search",
+    "text_repetition_stats",
+    "text_span_dedup",
     "events_funnel",
     "percentile_stats",
     "multimodal_features",

@@ -965,3 +965,32 @@ def test_cluster_balanced_sample_rebalances_and_is_deterministic(spark, sf_dir):
         if r["n_total"] > med_tot:
             expect = r["n_total"] * r["keep_ppm"] / 1_000_000
             assert abs(r["n_kept"] - expect) <= 4 * (expect**0.5) + 2
+
+
+def test_repetition_udf_matches_expression_path(spark, sf_dir):
+    """The Arrow repetition hot path must be bit-identical to the pure
+    expression twin (rounding applied JVM-side in both), including
+    degenerate texts."""
+    import tempfile
+
+    from oasysdb_spark.operators import textops
+
+    a = sorted(tuple(r) for r in textops.repetition_stats(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in textops.repetition_stats_expr(spark, sf_dir).collect())
+    assert a == b and len(a) > 0
+
+    edge = [
+        (1, "", "en", "s", 0),
+        (2, "!!!", "en", "s", 3),
+        (3, "one", "en", "s", 3),
+        (4, "a b a b a b a b a b", "en", "s", 19),
+        (5, "x x x x x x", "en", "s", 11),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            edge,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        ea = sorted(tuple(r) for r in textops.repetition_stats(spark, d).collect())
+        eb = sorted(tuple(r) for r in textops.repetition_stats_expr(spark, d).collect())
+    assert ea == eb and len(ea) == 5

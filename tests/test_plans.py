@@ -245,14 +245,17 @@ def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
 
 
 def test_repetition_stats_zero_shuffle(spark, sf_dir):
-    """The Gopher repetition rules are computed entirely row-locally
-    (array_sort + run-length aggregate): the plan must contain NO
+    """The Gopher repetition rules are computed entirely row-locally:
+    BOTH paths (Arrow hot path, expression twin) must plan with NO
     Exchange at all — the per-doc n-gram mode never becomes a
-    (doc, gram) aggregation shuffle."""
+    (doc, gram) aggregation shuffle; the hot path adds exactly one
+    ArrowEvalPython, nothing wider."""
     from oasysdb_spark.operators import textops
 
-    plan = _plan(textops.repetition_stats(spark, sf_dir))
-    assert "Exchange" not in plan
+    hot = _plan(textops.repetition_stats(spark, sf_dir))
+    assert "Exchange" not in hot and "ArrowEvalPython" in hot
+    expr = _plan(textops.repetition_stats_expr(spark, sf_dir))
+    assert "Exchange" not in expr and "ArrowEvalPython" not in expr
 
 
 def test_span_dedup_shuffles_hashes_not_text(spark, sf_dir):

@@ -38,6 +38,10 @@ DEFAULT = [
     "q21_waiting_supplier",
     "vec_knn_euclidean",
     "multimodal_pixel_stats",
+    "text_repetition_stats",
+    "text_span_dedup",
+    "text_vocabulary",
+    "embedding_balanced_sample",
     # not a queries() entry (no SQL oracle by nature) — resolved from
     # operators.dedup below; the IVF-blocked semantic-dedup scale path
     "embedding_dedup_components",
