@@ -92,11 +92,11 @@ def _manhattan_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver oracle-checks the FIRST 50 entries.
-    Round-5 rotation: the window leads with (a) the eight NEW entries
+    Round-5 rotation: the window leads with (a) the nine NEW entries
     (`text_boilerplate_scrub`, `text_bm25_search`, `text_gopher_quality`,
     `events_funnel`, `text_repetition_stats`, `text_vocabulary`,
-    `text_span_dedup`, `embedding_balanced_sample`), (b) every entry
-    whose underlying code
+    `text_span_dedup`, `embedding_balanced_sample`,
+    `text_heavy_hitters`), (b) every entry whose underlying code
     changed this round (decontamination broadcast guard, multimodal
     decode tier, the fit_centroids refactor under vec_ivf_knn, the
     filter-term trim under filter_dsl_embeddings), then (c) ALL 34
@@ -105,8 +105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     representative (`text_clean_pipeline`) plus shared-signature dedup
     paths. Every entry pushed outside the window (`text_hash_embeddings`,
     `events_tumbling_hourly`, `dedup_simhash_pairs`, `dedup_exact_stats`,
-    displaced by the four newest entries) holds a green hash-matched
-    CORRECTNESS_r04 row and is unchanged since."""
+    `dedup_exact_pick`, displaced by the five newest entries) holds a
+    green hash-matched CORRECTNESS_r04 row and is unchanged since."""
     return {
         # --- (a) new in round 5: boilerplate REMOVAL (mining's other half),
         # BM25 retrieval, Gopher quality rules, sequential funnel ---
@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocabulary": textops.vocabulary,
         "text_span_dedup": textops.span_dedup_stats,
         "embedding_balanced_sample": embed.label_balanced_sample,
+        "text_heavy_hitters": textops.heavy_hitter_terms,
         # --- (b) code touched in round 5: re-verify through the driver ---
         "dedup_decontaminate": _decontaminate,
         "multimodal_features": mm.multimodal_features,
@@ -1299,6 +1300,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
                r.keep_ppm
         FROM rates r LEFT JOIN kept k USING (label) ORDER BY label"""
+
+    # heavy hitters: the Misra-Gries candidate prune affects only
+    # efficiency — the exact recount + threshold makes the answer a
+    # plain GROUP BY ... HAVING, replayed here directly
+    q["text_heavy_hitters"] = f"""
+        WITH t AS (SELECT unnest({_TOKS}) AS term FROM documents),
+        n AS (SELECT count(*) AS n FROM t)
+        SELECT term, CAST(count(*) AS BIGINT) AS tf
+        FROM t, n GROUP BY term, n.n HAVING count(*) * 64 > n.n
+        ORDER BY tf DESC, term"""
 
     # sequential funnel: strict event ordering via staged min-joins
     q["events_funnel"] = """

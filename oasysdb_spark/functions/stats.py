@@ -59,3 +59,34 @@ def harmonic_mean_expr(c: Column | str) -> Column:
     """Native twin: n / sum(1/x)."""
     col = F.col(c) if isinstance(c, str) else c
     return F.count(col) / F.sum(F.lit(1.0) / col)
+
+
+def misra_gries_update(counters: dict, x, k: int) -> None:
+    """One Misra-Gries step: bounded-state frequency sketch over a
+    stream (at most ``k`` live counters). Guarantee: after n items,
+    every key with true frequency > n/k is present, and each estimate
+    is within [true - n/k, true]."""
+    if x in counters:
+        counters[x] += 1
+    elif len(counters) < k:
+        counters[x] = 1
+    else:
+        dead = []
+        for key in counters:
+            counters[key] -= 1
+            if counters[key] == 0:
+                dead.append(key)
+        for key in dead:
+            del counters[key]
+
+
+def misra_gries_merge(a: dict, b: dict) -> dict:
+    """Merge two Misra-Gries sketches by summing estimates (no extra
+    pruning). Errors add: merged estimates are within
+    [true - (n_a/k + n_b/k), true], so any key with global frequency
+    above the summed error bound survives the merge — the property the
+    two-pass heavy-hitter operator's candidate set relies on."""
+    out = dict(a)
+    for key, c in b.items():
+        out[key] = out.get(key, 0) + c
+    return out

@@ -919,3 +919,63 @@ def span_dedup_stats(
             .alias("keep_frac"),
         )
     )
+
+
+def heavy_hitter_terms(
+    spark: SparkSession,
+    sf_dir: str,
+    share_denom: int = 64,
+    sketch_k: int = 256,
+) -> DataFrame:
+    """Corpus-wide heavy-hitter terms — every term with frequency above
+    ``1/share_denom`` of all tokens, with EXACT counts. The classic
+    two-pass shape that survives 100 TB:
+
+    pass 1 (sketch): a Misra-Gries sketch per partition via
+    ``mapInPandas`` — state is ``sketch_k`` counters regardless of
+    partition size, and only the ≤ ``partitions × sketch_k`` sketch rows
+    leave the executors (never the token stream). Merged sketches keep
+    the no-false-negative guarantee (error bounds add: anything with
+    global share > 1/share_denom survives when sketch_k ≥ share_denom).
+
+    pass 2 (exact): recount ONLY the surviving candidates (an `isin`
+    prune pushed into the scan) and apply the exact threshold — so the
+    sketch affects efficiency, never the answer, and the output is
+    DuckDB-replayable with a plain GROUP BY ... HAVING. A term's exact
+    count also certifies the MG bound in tests.
+
+    Returns ``(term, tf)`` ordered by tf desc, term."""
+    from oasysdb_spark.functions.stats import misra_gries_merge, misra_gries_update
+
+    if sketch_k < share_denom:
+        raise ValueError("sketch_k must be >= share_denom for the capture guarantee")
+    docs = _docs(spark, sf_dir)
+    terms = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+
+    def sketch_partition(batches):
+        counters: dict = {}
+        n = 0
+        for pdf in batches:
+            for t in pdf["term"]:
+                n += 1
+                misra_gries_update(counters, t, sketch_k)
+        rows = [(t, int(c), 0) for t, c in counters.items()]
+        rows.append((None, 0, n))
+        yield pd.DataFrame(rows, columns=["term", "est", "n"])
+
+    sk = terms.mapInPandas(sketch_partition, "term string, est long, n long").collect()
+    total_n = sum(r["n"] for r in sk)
+    merged: dict = {}
+    for r in sk:
+        if r["term"] is not None:
+            merged = misra_gries_merge(merged, {r["term"]: r["est"]})
+    cand = sorted(merged)
+    if not cand or total_n == 0:
+        return terms.groupBy("term").agg(F.count("*").cast("bigint").alias("tf")).limit(0)
+    return (
+        terms.where(F.col("term").isin(cand))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .where(F.col("tf") * share_denom > total_n)
+        .orderBy(F.col("tf").desc(), "term")
+    )

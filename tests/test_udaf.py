@@ -78,3 +78,70 @@ def test_shingle_udtf_matches_native_twin(spark, sf_dir):
         ).collect()
     )
     assert got == native and len(got) > 100
+
+
+def test_misra_gries_capture_guarantee():
+    """Pure-sketch property: on a skewed synthetic stream, every item
+    with frequency > n/k is present after the pass AND after a merge of
+    two half-stream sketches; estimates never exceed truth."""
+    import random
+
+    from collections import Counter
+
+    from oasysdb_spark.functions.stats import misra_gries_merge, misra_gries_update
+
+    rng = random.Random(7)
+    # zipf-ish: item i appears ~ 1/(i+1)
+    stream = [f"w{i}" for i in range(50) for _ in range(1000 // (i + 1))]
+    rng.shuffle(stream)
+    n = len(stream)
+    truth = Counter(stream)
+    k = 16
+
+    whole: dict = {}
+    for x in stream:
+        misra_gries_update(whole, x, k)
+    half_a: dict = {}
+    half_b: dict = {}
+    for x in stream[: n // 2]:
+        misra_gries_update(half_a, x, k)
+    for x in stream[n // 2 :]:
+        misra_gries_update(half_b, x, k)
+    merged = misra_gries_merge(half_a, half_b)
+
+    for sk in (whole, merged):
+        assert len(sk) <= 2 * k  # merged may hold up to 2k entries
+        for item, f in truth.items():
+            if f > n / k:
+                assert item in sk
+        for item, est in sk.items():
+            assert est <= truth[item]
+
+
+def test_heavy_hitter_terms_equals_exact(spark, sf_dir):
+    """The sketch prune must not change the answer: heavy_hitter_terms
+    == the exact GROUP BY ... HAVING computation, at more than one
+    threshold, and under a repartitioned (multi-sketch) input."""
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.functions.text import tokens
+    from oasysdb_spark.operators import textops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    n = terms.count()
+
+    for denom in (32, 64):
+        got = [
+            (r["term"], r["tf"])
+            for r in textops.heavy_hitter_terms(spark, sf_dir, share_denom=denom).collect()
+        ]
+        exact = (
+            terms.groupBy("term")
+            .agg(F.count("*").alias("tf"))
+            .where(F.col("tf") * denom > n)
+            .orderBy(F.col("tf").desc(), "term")
+            .collect()
+        )
+        assert got == [(r["term"], r["tf"]) for r in exact]
+        assert got  # non-degenerate on the fixture
