@@ -95,18 +95,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-5 rotation: the window leads with (a) the nine NEW entries
     (`text_boilerplate_scrub`, `text_bm25_search`, `text_gopher_quality`,
     `events_funnel`, `text_repetition_stats`, `text_vocabulary`,
-    `text_span_dedup`, `embedding_balanced_sample`,
-    `text_heavy_hitters`), (b) every entry whose underlying code
+    `text_span_dedup`, `embedding_balanced_sample`, `text_heavy_hitters`,
+    `orders_trailing_spend`, `events_retention_cohorts`), (b) every
+    entry whose underlying code
     changed this round (decontamination broadcast guard, multimodal
     decode tier, the fit_centroids refactor under vec_ivf_knn, the
     filter-term trim under filter_dsl_embeddings), then (c) ALL 34
     entries whose latest driver row is CORRECTNESS_r03 — they cycle back
     in before going a third round unchecked — and (d) a watched-bench
     representative (`text_clean_pipeline`) plus shared-signature dedup
-    paths. Every entry pushed outside the window (`text_hash_embeddings`,
-    `events_tumbling_hourly`, `dedup_simhash_pairs`, `dedup_exact_stats`,
-    `dedup_exact_pick`, displaced by the five newest entries) holds a
-    green hash-matched CORRECTNESS_r04 row and is unchanged since."""
+    paths. The seven entries added after the rotation displaced seven
+    r4-green rows (`text_hash_embeddings`, `events_tumbling_hourly`,
+    `dedup_simhash_pairs`, `dedup_exact_stats`, `dedup_exact_pick`,
+    `dedup_components`, `dedup_embedding_cosine`) — every entry outside
+    the window holds a green hash-matched CORRECTNESS_r04 row and is
+    unchanged since; the whole r3-stale tail stays inside."""
     return {
         # --- (a) new in round 5: boilerplate REMOVAL (mining's other half),
         # BM25 retrieval, Gopher quality rules, sequential funnel ---
@@ -119,6 +122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_span_dedup": textops.span_dedup_stats,
         "embedding_balanced_sample": embed.label_balanced_sample,
         "text_heavy_hitters": textops.heavy_hitter_terms,
+        "orders_trailing_spend": rel.orders_trailing_spend,
+        "events_retention_cohorts": rel.events_retention_cohorts,
         # --- (b) code touched in round 5: re-verify through the driver ---
         "dedup_decontaminate": _decontaminate,
         "multimodal_features": mm.multimodal_features,
@@ -127,8 +132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_dsl_embeddings": rel.filter_dsl_embeddings,
         # --- (d) shared-signature dedup paths + the bench-watched pipeline ---
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
-        "dedup_components": dedup.dedup_components,
-        "dedup_embedding_cosine": dedup.embedding_near_pairs,
+        "skew_salted_user_join": rel.skew_salted_user_join,
+        "bucketed_revenue_by_priority": rel.bucketed_revenue_by_priority,
         "text_clean_pipeline": textops.clean_corpus_pipeline,
         # --- (c) the whole r3-green tail: latest driver row is r03,
         # cycle back in before a third unchecked round ---
@@ -162,9 +167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_orders": rel.grouping_sets_orders,
         "pivot_lineitem": rel.pivot_lineitem,
         "setop_customers": rel.setop_customers,
-        "skew_salted_user_join": rel.skew_salted_user_join,
-        "bucketed_revenue_by_priority": rel.bucketed_revenue_by_priority,
         # --- r4-green fillers rounding the window to 50 ---
+        "dedup_components": dedup.dedup_components,
+        "dedup_embedding_cosine": dedup.embedding_near_pairs,
         "dedup_exact_pick": dedup.exact_dedup_pick,
         "dedup_exact_stats": dedup.exact_dedup_stats,
         "dedup_simhash_pairs": dedup.simhash_near_pairs,
@@ -1310,6 +1315,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT term, CAST(count(*) AS BIGINT) AS tf
         FROM t, n GROUP BY term, n.n HAVING count(*) * 64 > n.n
         ORDER BY tf DESC, term"""
+
+    # RANGE-framed trailing window: value-bounded frame over epoch days,
+    # tie dates enter together -> engine-independent
+    q["orders_trailing_spend"] = """
+        SELECT o_custkey, o_orderkey,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)
+                   AS day_no,
+               round(sum(o_totalprice) OVER w, 2) AS trailing30_spend,
+               CAST(count(*) OVER w AS BIGINT) AS trailing30_orders
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY (CAST(o_orderdate AS DATE) - DATE '1992-01-01')
+                     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)"""
+
+    # weekly retention cohorts: Monday-truncated first-active week,
+    # integer week offsets
+    q["events_retention_cohorts"] = """
+        WITH ev AS (SELECT DISTINCT user_id,
+                           CAST(date_trunc('week', ts) AS DATE) AS wk
+                    FROM events),
+        f AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id)
+        SELECT f.cohort_week,
+               CAST(floor((ev.wk - f.cohort_week) / 7) AS BIGINT) AS week_offset,
+               CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_active
+        FROM ev JOIN f USING (user_id)
+        GROUP BY f.cohort_week, week_offset
+        ORDER BY f.cohort_week, week_offset"""
 
     # sequential funnel: strict event ordering via staged min-joins
     q["events_funnel"] = """

@@ -1123,3 +1123,46 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_click").cast("bigint").alias("n_clicked_after_view"),
         F.count("t_purchase").cast("bigint").alias("n_purchased_after_click"),
     )
+
+
+def orders_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (the frame type :func:`window_functions_suite`
+    and ``running_revenue`` don't cover): per order, the customer's
+    total spend over the trailing 30 days — a VALUE-bounded frame
+    (``rangeBetween(-30, 0)`` over epoch days), so all orders on a tie
+    date enter the frame together regardless of row order, which is what
+    makes the result engine-independent. One shuffle on the window key."""
+    orders = _t(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-30, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        days.cast("bigint").alias("day_no"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing30_spend"),
+        F.count("*").over(w).cast("bigint").alias("trailing30_orders"),
+    )
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts — the product-analytics staple: cohort =
+    the Monday of a user's first active week; for every later week the
+    user is active, count them into (cohort_week, week_offset). Scale
+    shape: one distinct on (user, week) — partial-aggregatable — one
+    per-user min, one broadcast-sized join back (users ≪ events), one
+    final aggregation."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    joined = ev.join(first, "user_id")
+    offset = F.floor(F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+    return (
+        joined.groupBy("cohort_week", offset.cast("bigint").alias("week_offset"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -994,3 +994,55 @@ def test_repetition_udf_matches_expression_path(spark, sf_dir):
         ea = sorted(tuple(r) for r in textops.repetition_stats(spark, d).collect())
         eb = sorted(tuple(r) for r in textops.repetition_stats_expr(spark, d).collect())
     assert ea == eb and len(ea) == 5
+
+
+def test_trailing_spend_range_frame_semantics(spark, sf_dir):
+    """RANGE frame: recompute one customer's trailing-30-day spend by
+    hand and compare; tie dates must contribute jointly."""
+    from oasysdb_spark.operators import relational as rel
+    from oasysdb_spark.sources.tables import load_table
+
+    rows = rel.orders_trailing_spend(spark, sf_dir).collect()
+    assert rows
+    cust = rows[0]["o_custkey"]
+    mine = [r for r in rows if r["o_custkey"] == cust]
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") == cust)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    import datetime
+
+    base = datetime.date(1992, 1, 1)
+    days = {
+        r["o_orderkey"]: (r["o_orderdate"].date() - base).days
+        if hasattr(r["o_orderdate"], "date")
+        else (r["o_orderdate"] - base).days
+        for r in orders
+    }
+    price = {r["o_orderkey"]: r["o_totalprice"] for r in orders}
+    for r in mine:
+        d = days[r["o_orderkey"]]
+        exp = sum(p for k, p in price.items() if d - 30 <= days[k] <= d)
+        assert abs(r["trailing30_spend"] - round(exp, 2)) < 0.05
+        assert r["trailing30_orders"] == sum(
+            1 for k in price if d - 30 <= days[k] <= d
+        )
+
+
+def test_retention_cohorts_shape(spark, sf_dir):
+    """Cohort invariants: offsets non-negative; week-0 actives equal the
+    cohort size (every user is active in their first week); totals over
+    offsets never exceed cohort_size * n_weeks."""
+    from oasysdb_spark.operators import relational as rel
+
+    rows = rel.events_retention_cohorts(spark, sf_dir).collect()
+    assert rows
+    by_cohort: dict = {}
+    for r in rows:
+        assert r["week_offset"] >= 0 and r["n_active"] > 0
+        by_cohort.setdefault(r["cohort_week"], {})[r["week_offset"]] = r["n_active"]
+    for cohort, offs in by_cohort.items():
+        assert 0 in offs  # week 0 always present
+        assert offs[0] == max(offs.values())  # no later week beats week 0
