@@ -96,20 +96,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (`text_boilerplate_scrub`, `text_bm25_search`, `text_gopher_quality`,
     `events_funnel`, `text_repetition_stats`, `text_vocabulary`,
     `text_span_dedup`, `embedding_balanced_sample`, `text_heavy_hitters`,
-    `orders_trailing_spend`, `events_retention_cohorts`), (b) every
-    entry whose underlying code
+    `orders_trailing_spend`, `events_retention_cohorts`,
+    `text_unigram_surprisal`), (b) every entry whose underlying code
     changed this round (decontamination broadcast guard, multimodal
     decode tier, the fit_centroids refactor under vec_ivf_knn, the
     filter-term trim under filter_dsl_embeddings), then (c) ALL 34
     entries whose latest driver row is CORRECTNESS_r03 — they cycle back
     in before going a third round unchecked — and (d) a watched-bench
     representative (`text_clean_pipeline`) plus shared-signature dedup
-    paths. The seven entries added after the rotation displaced seven
+    paths. The eight entries added after the rotation displaced eight
     r4-green rows (`text_hash_embeddings`, `events_tumbling_hourly`,
     `dedup_simhash_pairs`, `dedup_exact_stats`, `dedup_exact_pick`,
-    `dedup_components`, `dedup_embedding_cosine`) — every entry outside
-    the window holds a green hash-matched CORRECTNESS_r04 row and is
-    unchanged since; the whole r3-stale tail stays inside."""
+    `dedup_components`, `dedup_embedding_cosine`, `dedup_minhash_lsh`)
+    — every entry outside the window holds a green hash-matched
+    CORRECTNESS_r04 row and is unchanged since; the whole r3-stale tail
+    stays inside."""
     return {
         # --- (a) new in round 5: boilerplate REMOVAL (mining's other half),
         # BM25 retrieval, Gopher quality rules, sequential funnel ---
@@ -124,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_heavy_hitters": textops.heavy_hitter_terms,
         "orders_trailing_spend": rel.orders_trailing_spend,
         "events_retention_cohorts": rel.events_retention_cohorts,
+        "text_unigram_surprisal": textops.unigram_surprisal,
         # --- (b) code touched in round 5: re-verify through the driver ---
         "dedup_decontaminate": _decontaminate,
         "multimodal_features": mm.multimodal_features,
@@ -134,7 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
         "skew_salted_user_join": rel.skew_salted_user_join,
         "bucketed_revenue_by_priority": rel.bucketed_revenue_by_priority,
-        "text_clean_pipeline": textops.clean_corpus_pipeline,
+        "setop_customers": rel.setop_customers,
         # --- (c) the whole r3-green tail: latest driver row is r03,
         # cycle back in before a third unchecked round ---
         "range_join_price_bands": tmp.range_join_price_bands,
@@ -166,7 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_functions_suite": rel.window_functions_suite,
         "grouping_sets_orders": rel.grouping_sets_orders,
         "pivot_lineitem": rel.pivot_lineitem,
-        "setop_customers": rel.setop_customers,
+        "text_clean_pipeline": textops.clean_corpus_pipeline,
         # --- r4-green fillers rounding the window to 50 ---
         "dedup_components": dedup.dedup_components,
         "dedup_embedding_cosine": dedup.embedding_near_pairs,
@@ -1342,6 +1344,18 @@ def oracle_sql() -> dict[str, str]:
         FROM ev JOIN f USING (user_id)
         GROUP BY f.cohort_week, week_offset
         ORDER BY f.cohort_week, week_offset"""
+
+    # unigram surprisal: identical arithmetic shape (ln(N/tf)/ln(2),
+    # avg, THEN round 6) — the BM25 float discipline
+    q["text_unigram_surprisal"] = f"""
+        WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        v AS (SELECT term, count(*) AS tf FROM t GROUP BY term),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t)
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(ln(n.n / v.tf) / ln(2.0)), 6) AS bits_per_token
+        FROM t JOIN v USING (term), n
+        GROUP BY t.doc_id"""
 
     # sequential funnel: strict event ordering via staged min-joins
     q["events_funnel"] = """

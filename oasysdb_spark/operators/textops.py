@@ -979,3 +979,35 @@ def heavy_hitter_terms(
         .where(F.col("tf") * share_denom > total_n)
         .orderBy(F.col("tf").desc(), "term")
     )
+
+
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM statistical quality signal (the CCNet move, with the
+    honest training-free surrogate: a unigram LM instead of KenLM): fit
+    token frequencies over the corpus itself, then score every document
+    by its mean per-token surprisal in bits — template/spam text scores
+    low (high-frequency tokens), lexically rich text scores high; both
+    tails are what a curation pipeline inspects. Returns
+    ``(doc_id, n_tokens, bits_per_token)``.
+
+    Scale shape: one (term) aggregation builds the LM (map-side
+    partials; vocab ≪ corpus), one equi-join scores the token stream
+    (Spark auto-broadcasts a small vocab), one (doc) aggregation
+    averages. The BM25 float discipline applies: identical arithmetic
+    shape on both engines (``ln(N/tf)/ln(2)``, averaged, THEN rounded
+    to 6), so cross-engine drift stays sub-ulp and under the round."""
+    docs = _docs(spark, sf_dir)
+    terms = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).cache()
+    vocab = terms.groupBy("term").agg(F.count("*").alias("tf"))
+    n_total = terms.count()
+    bits = F.log(F.lit(float(n_total)) / F.col("tf")) / F.log(F.lit(2.0))
+    return (
+        terms.join(vocab, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.avg(bits), 6).alias("bits_per_token"),
+        )
+    )

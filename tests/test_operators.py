@@ -1046,3 +1046,31 @@ def test_retention_cohorts_shape(spark, sf_dir):
     for cohort, offs in by_cohort.items():
         assert 0 in offs  # week 0 always present
         assert offs[0] == max(offs.values())  # no later week beats week 0
+
+
+def test_unigram_surprisal_orders_rarity(spark):
+    """A doc of only the corpus's most common token must score the
+    minimum bits; a doc of rare tokens scores strictly higher; scores
+    are positive and bounded by log2(N)."""
+    import math
+    import tempfile
+
+    from oasysdb_spark.operators import textops
+
+    rows = [
+        (1, "common common common common", "en", "s", 27),
+        (2, "common common common rare1", "en", "s", 26),
+        (3, "rare2 rare3 rare4 rare5", "en", "s", 23),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {r["doc_id"]: r for r in textops.unigram_surprisal(spark, d).collect()}
+    n = 12
+    assert got[1]["bits_per_token"] == round(math.log2(n / 7), 6)
+    assert got[1]["bits_per_token"] < got[2]["bits_per_token"] < got[3]["bits_per_token"]
+    assert got[3]["bits_per_token"] == round(math.log2(n / 1), 6)
+    for r in got.values():
+        assert 0 < r["bits_per_token"] <= round(math.log2(n), 6)
