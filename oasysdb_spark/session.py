@@ -55,7 +55,15 @@ def get_spark(
         # kept out of the repo tree
         .config(
             "spark.sql.warehouse.dir",
-            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/oasysdb_spark_warehouse"),
+            # per-process default: two concurrent test/driver processes
+            # sharing one warehouse race on the bucketed managed tables
+            # (process A reads while B rmtree+rewrites a "stale" dir the
+            # fresh in-memory catalog doesn't know about). Pin
+            # SPARK_GRAFT_WAREHOUSE to share deliberately.
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                f"/tmp/oasysdb_spark_warehouse_{os.getpid()}",
+            ),
         )
     )
     if extra_conf:
