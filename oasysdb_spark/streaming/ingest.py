@@ -461,3 +461,69 @@ def dedup_stream(
     return stream_df.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def heavy_hitter_stream_sketches(
+    docs_stream: DataFrame, sketch_k: int = 64, shards: int = 8
+) -> DataFrame:
+    """STREAMING heavy hitters: per-shard Misra-Gries sketches over an
+    unbounded token stream via ``applyInPandasWithState`` — the
+    streaming twin of :func:`oasysdb_spark.operators.textops.
+    heavy_hitter_terms`'s pass 1. Terms hash-partition into ``shards``
+    disjoint key groups, so each group's state is ONE bounded MG sketch
+    (``sketch_k`` counters + a count — independent of stream length),
+    and the per-shard capture guarantee implies the global one: a term
+    with global frequency > n_shard/sketch_k of ITS shard (≥ its global
+    share, since n_shard ≤ N) survives in that shard's sketch. Each
+    micro-batch emits every shard's full current sketch (append mode —
+    the file-sink-compatible choice; the freshest emission per shard is
+    the one with the max ``shard_n``): downstream either monitors the
+    live candidate set or runs the exact recount pass over it, exactly
+    as in batch.
+
+    Output: ``(shard, term, est, shard_n)`` rows; estimates are within
+    [true - n_shard/sketch_k, true] and state survives checkpoint
+    restarts like every stateful op here."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from oasysdb_spark.functions.hashing import hash64
+    from oasysdb_spark.functions.stats import misra_gries_update
+    from oasysdb_spark.functions.text import tokens
+
+    terms = docs_stream.select(F.explode(tokens(F.col("text"))).alias("term"))
+    sharded = terms.select(
+        (hash64(F.col("term")) % shards).cast("bigint").alias("shard"), "term"
+    )
+
+    out_schema = "shard bigint, term string, est bigint, shard_n bigint"
+    state_schema = "terms array<string>, ests array<bigint>, n bigint"
+
+    def _update(key, pdfs, state: GroupState):
+        if state.exists:
+            ts, es, n = state.get
+            counters = dict(zip(ts, (int(e) for e in es)))
+        else:
+            counters, n = {}, 0
+        for pdf in pdfs:
+            for t in pdf["term"]:
+                n += 1
+                misra_gries_update(counters, t, sketch_k)
+        state.update(
+            (list(counters.keys()), [int(v) for v in counters.values()], int(n))
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(counters),
+                "term": list(counters.keys()),
+                "est": [int(v) for v in counters.values()],
+                "shard_n": [int(n)] * len(counters),
+            }
+        )
+
+    return sharded.groupBy("shard").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

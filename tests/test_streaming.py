@@ -534,3 +534,72 @@ def test_decontaminate_stream_matches_batch_and_survives_restart(
     train.where("doc_id % 2 = 0").write.mode("append").parquet(src)
     got3 = drain()
     assert got3 == expected
+
+
+def test_heavy_hitter_stream_captures_batch_hitters_across_restart(
+    spark, sf_dir, tmp_path
+):
+    """Streaming MG sketches: after draining the corpus (split across a
+    checkpoint restart), every batch heavy hitter is present in its
+    shard's final sketch with est <= true tf, and per-shard state stayed
+    bounded (<= sketch_k entries)."""
+    from oasysdb_spark.functions.text import tokens as tokens_expr
+    from oasysdb_spark.streaming.ingest import heavy_hitter_stream_sketches
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "hh_src")
+    ckpt = str(tmp_path / "hh_ckpt")
+    out_dir = str(tmp_path / "hh_out")
+    half_a.write.parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = (
+            heavy_hitter_stream_sketches(stream, sketch_k=64, shards=4)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(out_dir)
+
+    drain()  # first half
+    half_b.write.mode("append").parquet(src)
+    sketches = drain()  # second half resumes from checkpointed state
+
+    # final sketch per shard = rows with the max shard_n (update mode
+    # appends one emission per batch)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard")
+    final = (
+        sketches.withColumn("max_n", F.max("shard_n").over(w))
+        .where(F.col("shard_n") == F.col("max_n"))
+        .select("shard", "term", "est")
+        .collect()
+    )
+    est = {r["term"]: r["est"] for r in final}
+    per_shard: dict = {}
+    for r in final:
+        per_shard.setdefault(r["shard"], set()).add(r["term"])
+    assert all(len(s) <= 64 for s in per_shard.values())
+
+    truth = {
+        r["term"]: r["tf"]
+        for r in docs.select(F.explode(tokens_expr(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+        .collect()
+    }
+    n_total = sum(truth.values())
+    hitters = {t for t, f in truth.items() if f * 64 > n_total}
+    assert hitters  # fixture has heavy hitters at 1/64
+    for t in hitters:
+        assert t in est, f"heavy hitter {t} missing from final sketches"
+    for t, e in est.items():
+        assert e <= truth[t]
