@@ -236,10 +236,12 @@ def prepare_training_corpus(
     """The COMPLETE training-data prep pipeline composed from the tested
     pieces, text in → packed sequences out:
 
-        quality+language filter → BOILERPLATE scrub (mine top-DF n-grams,
-        drop dominated docs) → exact dedup (fingerprint, keep min id)
-        → NEAR-dup clustering (MinHash components, keep the component
-        representative) → token-budget sequence packing per hash shard
+        quality+language filter → Gopher REPETITION filter (top-n-gram /
+        duplicate-5-gram rules, Arrow hot path) → BOILERPLATE scrub
+        (mine top-DF n-grams, drop dominated docs) → exact dedup
+        (fingerprint, keep min id) → NEAR-dup clustering (MinHash
+        components, keep the component representative) → token-budget
+        sequence packing per hash shard
 
     Returns one summary row: document counts surviving each stage, the
     packed sequence count, and the token total. Every stage is the
@@ -276,11 +278,22 @@ def prepare_training_corpus(
     clean = scored.where((F.col("q") >= 3) & (F.col("pl") == "en")).cache()
     n_clean = clean.count()
 
+    # Gopher repetition filter: the template/spam rules run right after
+    # the format rules, before anything expensive touches the text —
+    # row-local Arrow pass, same flags as text_repetition_stats
+    rep_kept = (
+        clean.withColumn("rep", _rep_struct_udf()(F.col("text")))
+        .where(_rep_pass(F.col("rep")))
+        .drop("rep")
+        .cache()
+    )
+    n_rep = rep_kept.count()
+
     # boilerplate scrub: mine the top-DF n-grams over the quality
     # survivors, drop docs carrying >= boiler_min_hits of them (row-local
     # array_intersect against the driver-collected top_n-row mined set —
     # no join, no extra shuffle beyond the mining count)
-    shingled = clean.withColumn(
+    shingled = rep_kept.withColumn(
         "grams", word_shingles(tokens(F.col("text")), n=3)
     ).cache()
     mined = (
@@ -343,6 +356,7 @@ def prepare_training_corpus(
             (
                 n_raw,
                 n_clean,
+                n_rep,
                 n_scrubbed,
                 n_exact,
                 n_final,
@@ -350,8 +364,9 @@ def prepare_training_corpus(
                 int(seq_stats["total_tokens"] or 0),
             )
         ],
-        "n_raw bigint, n_clean bigint, n_boiler_kept bigint, n_exact_unique bigint, "
-        "n_neardup_unique bigint, n_sequences bigint, total_tokens bigint",
+        "n_raw bigint, n_clean bigint, n_rep_kept bigint, n_boiler_kept bigint, "
+        "n_exact_unique bigint, n_neardup_unique bigint, n_sequences bigint, "
+        "total_tokens bigint",
     )
 
 
@@ -678,6 +693,37 @@ def _rep_metrics_py(text) -> list[float]:
     return out
 
 
+_REP_UDF = {}
+
+
+def _rep_struct_udf():
+    """Arrow-batched repetition metrics UDF (built lazily — pandas_udf
+    decoration needs an active SparkSession; cached per process). Shared
+    by :func:`repetition_stats` and the corpus-pipeline stage."""
+    if "rep" not in _REP_UDF:
+
+        @F.pandas_udf("top2 double, top3 double, top4 double, dup5 double")
+        def rep(text: pd.Series) -> pd.DataFrame:
+            return pd.DataFrame(
+                [_rep_metrics_py(t) for t in text],
+                columns=["top2", "top3", "top4", "dup5"],
+            )
+
+        _REP_UDF["rep"] = rep
+    return _REP_UDF["rep"]
+
+
+def _rep_pass(m) -> "F.Column":
+    """The pass_repetition predicate over a metrics struct column —
+    rounds first so stand-alone stats and pipeline stage agree exactly."""
+    return (
+        (F.round(m["top2"], 6) <= 0.20)
+        & (F.round(m["top3"], 6) <= 0.18)
+        & (F.round(m["top4"], 6) <= 0.16)
+        & (F.round(m["dup5"], 6) <= 0.15)
+    )
+
+
 def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style REPETITION rules (Rae et al. 2021 §A1.1) — the other
     half of :func:`gopher_quality_flags`'s format rules: per document,
@@ -699,15 +745,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     is asserted bit-identical in tests. Still zero-shuffle: one scan,
     one ArrowEvalPython, no exchange."""
     docs = _docs(spark, sf_dir)
-
-    @F.pandas_udf("top2 double, top3 double, top4 double, dup5 double")
-    def rep(text: pd.Series) -> pd.DataFrame:
-        return pd.DataFrame(
-            [_rep_metrics_py(t) for t in text],
-            columns=["top2", "top3", "top4", "dup5"],
-        )
-
-    m = docs.select("doc_id", rep(F.col("text")).alias("m"))
+    m = docs.select("doc_id", _rep_struct_udf()(F.col("text")).alias("m"))
     out = m.select(
         "doc_id",
         F.round(F.col("m.top2"), 6).alias("top2_frac"),

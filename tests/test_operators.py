@@ -535,6 +535,7 @@ def test_prepare_training_corpus_invariants(spark, sf_dir):
     assert (
         r["n_raw"]
         >= r["n_clean"]
+        >= r["n_rep_kept"]
         >= r["n_boiler_kept"]
         >= r["n_exact_unique"]
         >= r["n_neardup_unique"]
