@@ -526,13 +526,22 @@ class Database:
                     "PQ tier not built: call oasysdb_spark.index.pq.build_pq first"
                 )
             table = adc_table(vec, books)
-            df = (
-                df.where(pred)
+            # candidate stage reads CODES, never raw vectors: the scan
+            # schema is the row minus `embedding` (4-byte codes + the
+            # filter's metadata maps), so the top-`rerank` heap carries
+            # no vector payload; raw embeddings are fetched by a second
+            # id-equi-join scan for ONLY the rerank winners (broadcast —
+            # `rerank` rows by construction). Cluster pruning from the
+            # probe stage applies to both scans.
+            cand = (
+                df.drop("embedding")
+                .where(pred)
                 .withColumn("__adc", adc_score_expr(table))
                 .orderBy(F.col("__adc").asc_nulls_last(), F.col("id"))
                 .limit(max(rerank, k))
                 .drop("__adc")
             )
+            df = df.select("id", "embedding").join(F.broadcast(cand), "id")
             pred = F.lit(True)  # already applied before the ADC cut
 
         dist = distance_expr(self.params.metric, F.array(*[F.lit(x) for x in vec]), F.col("embedding"))

@@ -288,3 +288,52 @@ def test_pq_tier_on_database(spark, tmp_path):
     db2.insert([1.0, 2.0], record_id="x")
     with _pytest.raises(InvalidArgumentError):
         db2.query([1.0, 2.0], k=1, approx="pq")
+
+
+def test_ivfpq_combined_pruning_and_code_only_candidate_scan(spark, tmp_path):
+    """IVF + PQ composed: with a genuinely small probe count the PQ path
+    answers from the probed clusters only (equal to the exact probed
+    query at full rerank), and the ADC candidate stage's scan schema
+    excludes the raw embedding column — codes (and filter maps) only;
+    vectors are read by the second scan for the rerank winners alone."""
+    from oasysdb_spark.index.pq import build_pq
+
+    d = str(tmp_path / "ivfpqdb")
+    db = Database.configure(spark, d, dimension=8, density=16)
+    rows = [
+        (f"v{i:04d}", [float(i % 40) + (i // 40) * 0.01] * 8, {}, {"n": float(i)}, {})
+        for i in range(200)
+    ]
+    db.insert_batch(spark.createDataFrame(rows, RECORD_SCHEMA))
+    build_index(db, seed=5)
+    build_pq(db, m=4, nbits=4, seed=5)
+
+    q = [7.0] * 8
+    exact_probed = db.query(q, k=10, probes=2)
+    pq_probed = db.query(q, k=10, probes=2, approx="pq", rerank=200)
+    assert pq_probed == exact_probed
+
+    # FileScan metadata (ReadSchema included) truncates at 100 chars by
+    # default — widen it so the schema assertion sees every column
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        plan = (
+            db.query_df(q, k=10, probes=2, approx="pq")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    import re
+
+    # capture to end of line — nested generics (map<string,string>) break
+    # a non-greedy <...> match
+    schemas = re.findall(r"ReadSchema: struct<(.*)", plan)
+    assert schemas, "expected parquet scans in the plan"
+    code_scans = [s for s in schemas if "pq_code" in s]
+    assert code_scans and all("embedding" not in s for s in code_scans)
+    vec_scans = [s for s in schemas if "embedding" in s]
+    assert vec_scans and all("pq_code" not in s for s in vec_scans)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
