@@ -391,6 +391,9 @@ class Database:
         aggs = [
             F.count("*").alias("n_rows"),
             F.count_distinct("_uid").alias("n_ids"),
+            # count_distinct skips NULLs, so a null-id row would otherwise
+            # misreport as "duplicate ids" — surface it as its own error
+            F.sum(F.when(F.col("_uid").isNull(), 1).otherwise(0)).alias("n_null_ids"),
             F.sum(F.when(F.col("id").isNull(), 1).otherwise(0)).alias("n_missing"),
         ]
         if indexed:
@@ -407,6 +410,10 @@ class Database:
             )
             if stats["n_rows"] == 0:
                 return  # empty batch: no-op, no new version
+            if stats["n_null_ids"]:
+                raise errors.InvalidArgumentError(
+                    f"{stats['n_null_ids']} update row(s) have a null id"
+                )
             if stats["n_rows"] != stats["n_ids"]:
                 raise errors.InvalidArgumentError(
                     "duplicate ids in update batch: each id may appear at most once"
@@ -611,16 +618,33 @@ class Database:
             raise errors.InvalidArgumentError(
                 "k must be > 0 (/root/reference/src/cores/database.rs:321-325)"
             )
+        # qvec stays DOUBLE on both input paths so the batched distance
+        # arithmetic is bit-identical to query_df's double literals —
+        # an f32-cast query can swap near-tie results vs N single calls
         if not isinstance(queries, DataFrame):
             vecs = [self._validate_dim(v) for v in queries]
             queries = self.spark.createDataFrame(
-                list(enumerate(vecs)), "query_id bigint, qvec array<float>"
+                list(enumerate(vecs)), "query_id bigint, qvec array<double>"
             )
         else:
             queries = queries.select(
                 F.col("query_id").cast("bigint").alias("query_id"),
-                F.col("qvec").cast("array<float>").alias("qvec"),
+                F.col("qvec").cast("array<double>").alias("qvec"),
             )
+            # same dimension contract as the list branch / single query
+            # (/root/reference/src/cores/database.rs:189-199) — without
+            # this, a wrong-dim qvec row nulls out of zip_with and
+            # silently returns zero hits. The batch is broadcast-sized
+            # by contract, so the probe count() is cheap.
+            n_bad = queries.where(
+                F.col("qvec").isNull()
+                | (F.size("qvec") != F.lit(self.params.dimension))
+            ).count()
+            if n_bad:
+                raise errors.InvalidArgumentError(
+                    f"{n_bad} query vector(s) missing or not of dimension "
+                    f"{self.params.dimension}"
+                )
         n_probes = probes if probes is not None else 32
         qp = QueryParameters(
             probes=n_probes, radius=radius if radius is not None else math.inf

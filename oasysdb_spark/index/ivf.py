@@ -187,16 +187,22 @@ def fit_centroids(
 # blocking fits (big sample × many clusters) to the cheap path.
 KMEANSPP_WORK_BUDGET = 5_000_000
 # Row-chunk for the n×k distance matrix so a 100k-sample × many-k fit
-# stays a few hundred MB instead of materializing multi-GB arrays.
-_ASSIGN_CHUNK = 16_384
+# stays bounded instead of materializing multi-GB arrays. The chunk
+# row count ADAPTS to k: the transient distance matrix is chunk × k
+# float64, so a fixed row chunk that is "a few hundred MB" at k=1000
+# becomes tens of GB at k=100k (the blocking tier scales k with corpus
+# size). Budget ≈ 400 MB per chunk.
+_ASSIGN_BUDGET_ELEMS = 50_000_000
+_ASSIGN_CHUNK = 16_384  # upper bound; shrinks when k is large
 
 
 def _argmin_labels(mat: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
     c2 = (c**2).sum(axis=1)[None, :]
     out = np.empty(len(mat), dtype=np.int64)
-    for s in range(0, len(mat), _ASSIGN_CHUNK):
-        chunk = mat[s : s + _ASSIGN_CHUNK]
-        out[s : s + _ASSIGN_CHUNK] = (-2.0 * (chunk @ c.T) + c2).argmin(axis=1)
+    step = max(64, min(_ASSIGN_CHUNK, _ASSIGN_BUDGET_ELEMS // max(len(c), 1)))
+    for s in range(0, len(mat), step):
+        chunk = mat[s : s + step]
+        out[s : s + step] = (-2.0 * (chunk @ c.T) + c2).argmin(axis=1)
     return out
 
 

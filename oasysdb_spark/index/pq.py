@@ -171,25 +171,37 @@ def build_pq(
         os.path.join(db.dir, PQ_FILE),
         json.dumps({"m": m, "nbits": nbits, "codebooks": books.tolist()}),
     )
-    db._pq_cache = books
+    db._pq_cache = None  # next load_codebooks re-reads + stamps pq.json
     return books
 
 
 def load_codebooks(db) -> "np.ndarray | None":
     """Codebooks for a Database, or None when PQ was never built.
-    Cached on the Database like the centroid rows."""
+
+    Cached on the Database like the centroid rows, but STAMPED with
+    pq.json's mtime: a second handle that cached books before a
+    ``build_pq`` rebuild (different m/nbits) would otherwise encode new
+    inserts with stale codebooks — wrong-length codes that score NULL
+    under ADC and silently vanish from approx queries. A stat per call
+    is the price of the invalidation, like the centroid cache's
+    invalidate-on-write."""
     import json
     import os
 
-    if getattr(db, "_pq_cache", None) is not None:
-        return db._pq_cache
     path = os.path.join(db.dir, PQ_FILE)
-    if not os.path.exists(path):
+    try:
+        stamp = os.stat(path).st_mtime_ns
+    except FileNotFoundError:
+        db._pq_cache = None
         return None
+    cached = getattr(db, "_pq_cache", None)
+    if isinstance(cached, tuple) and cached[0] == stamp:
+        return cached[1]
     with open(path, encoding="utf-8") as f:
         d = json.load(f)
-    db._pq_cache = np.asarray(d["codebooks"], dtype=np.float64)
-    return db._pq_cache
+    books = np.asarray(d["codebooks"], dtype=np.float64)
+    db._pq_cache = (stamp, books)
+    return books
 
 
 def pq_knn(

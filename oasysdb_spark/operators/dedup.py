@@ -192,6 +192,37 @@ def minhash_signatures_expr(
     )
 
 
+def lsh_band_structs(num_hashes: int, band_size: int, sig_col: str = "sig"):
+    """The LSH banding expression shared by every MinHash consumer
+    (batch pairs/edges, decontamination, the streaming twins): an array
+    of ``(band_id, band_key)`` structs where ``band_key`` concatenates
+    the band's ``band_size`` signature rows. One definition — a change
+    to the key encoding propagates to all of them."""
+    n_bands = num_hashes // band_size
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.concat_ws(
+                "_",
+                *[
+                    F.element_at(F.col(sig_col), b * band_size + i + 1).cast("string")
+                    for i in range(band_size)
+                ],
+            ).alias("band_key"),
+        ),
+    )
+
+
+def lsh_bands(sigs: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
+    """Explode signatures into ``(doc_id, band_id, band_key)`` rows — the
+    candidate-generation shape that carries NO shingle/text payload."""
+    structs = lsh_band_structs(num_hashes, band_size)
+    return sigs.select("doc_id", F.explode(structs).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_key"
+    )
+
+
 def minhash_lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -211,26 +242,10 @@ def minhash_lsh_pairs(
     # hashed=True: the verify join ships 8-byte shingle digests, not strings
     sigs = minhash_signatures(docs, num_hashes=num_hashes, hashed=True).cache()
 
-    n_bands = num_hashes // band_size
     # Candidate generation carries ONLY (doc_id, band) — shingle arrays are
     # joined back after the pair-level distinct. Shipping the arrays through
     # the self-join + dedup would dominate the shuffle at scale.
-    band_structs = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.struct(
-            b.alias("band_id"),
-            F.concat_ws(
-                "_",
-                *[
-                    F.element_at(F.col("sig"), b * band_size + i + 1).cast("string")
-                    for i in range(band_size)
-                ],
-            ).alias("band_key"),
-        ),
-    )
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
-        "doc_id", "band.band_id", "band.band_key"
-    )
+    bands = lsh_bands(sigs, num_hashes, band_size)
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -279,23 +294,7 @@ def minhash_candidate_edges(
     if docs is None:
         docs = load_documents(spark, sf_dir, spread=True)
     sigs = minhash_signatures(docs, num_hashes=num_hashes, hashed=True).cache()
-    n_bands = num_hashes // band_size
-    band_structs = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.struct(
-            b.alias("band_id"),
-            F.concat_ws(
-                "_",
-                *[
-                    F.element_at(F.col("sig"), b * band_size + i + 1).cast("string")
-                    for i in range(band_size)
-                ],
-            ).alias("band_key"),
-        ),
-    )
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
-        "doc_id", "band.band_id", "band.band_key"
-    )
+    bands = lsh_bands(sigs, num_hashes, band_size)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -553,9 +552,18 @@ def embedding_near_pairs_ivf(
     # data before this fix. Constant expected block size keeps candidates
     # (and the pair-distinct shuffle, the expensive part) linear in n;
     # the extra assignment cost is dense BLAS, cheap by comparison.
+    #
+    # The fit SAMPLE grows with k (≥ 8 points per centroid): with a fixed
+    # 100k sample, k == n//64 overtakes the sample around n ≈ 6.4M and
+    # the fit degenerates to one centroid per sample row. Past
+    # fit_centroids' local_fit_limit the grown sample routes to MLlib
+    # k-means|| automatically; _argmin_labels' chunking is k-adaptive so
+    # the local path's transient distance matrix stays ~400 MB whatever
+    # k is.
     n = embs.count()
     k = n_clusters or max(2, n // 64)
     depth = min(depth, k)
+    fit_sample_size = max(fit_sample_size, 8 * k)
     C = np.asarray(
         fit_centroids(
             embs.select("embedding"),
@@ -716,27 +724,8 @@ def decontaminate_against(
     broadcast_eval = e_sigs.count() <= eval_broadcast_limit
     maybe_bc = F.broadcast if broadcast_eval else (lambda df: df)
 
-    n_bands = num_hashes // band_size
-    band_structs = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.struct(
-            b.alias("band_id"),
-            F.concat_ws(
-                "_",
-                *[
-                    F.element_at(F.col("sig"), b * band_size + i + 1).cast("string")
-                    for i in range(band_size)
-                ],
-            ).alias("band_key"),
-        ),
-    )
-
-    def bands(sigs):
-        return sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
-            "doc_id", "band.band_id", "band.band_key"
-        )
-
-    t, e = bands(t_sigs).alias("t"), bands(e_sigs).alias("e")
+    t = lsh_bands(t_sigs, num_hashes, band_size).alias("t")
+    e = lsh_bands(e_sigs, num_hashes, band_size).alias("e")
     cand = (
         t.join(
             maybe_bc(e),

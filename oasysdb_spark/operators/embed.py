@@ -207,7 +207,12 @@ def _balanced_sample_summary(
     sizes = labeled.groupBy(stratum).agg(F.count("*").alias("n_total"))
     # k-row aggregate -> scalar collect (a crossJoin of the 1-row median
     # frame would plan as BroadcastNestedLoopJoin and trip the plan sweep)
-    target = float(sizes.agg(F.median("n_total")).first()[0])
+    med = sizes.agg(F.median("n_total")).first()[0]
+    if med is None:
+        from oasysdb_spark.errors import InvalidArgumentError
+
+        raise InvalidArgumentError("cannot balance-sample an empty corpus")
+    target = float(med)
     rates = sizes.select(
         stratum,
         "n_total",

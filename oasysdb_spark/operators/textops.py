@@ -296,19 +296,7 @@ def prepare_training_corpus(
     shingled = rep_kept.withColumn(
         "grams", word_shingles(tokens(F.col("text")), n=3)
     ).cache()
-    mined = (
-        shingled.select(F.explode("grams").alias("ngram"))
-        .groupBy("ngram")
-        .agg(F.count("*").alias("df"))
-        .orderBy(F.col("df").desc(), "ngram")
-        .limit(boiler_top_n)
-    )
-    top = [r["ngram"] for r in mined.collect()]
-    boiler = (
-        F.array(*[F.lit(g) for g in top])
-        if top
-        else F.array().cast("array<string>")
-    )
+    _, boiler = _mine_boilerplate(shingled, boiler_top_n)
     scrubbed = shingled.where(
         F.size(F.array_intersect(F.col("grams"), boiler)) < boiler_min_hits
     ).drop("grams").cache()
@@ -546,6 +534,25 @@ def boilerplate_scrub(
     shingled = docs.select(
         "doc_id", word_shingles(tokens(aug), n=n).alias("grams")
     ).cache()
+    _, boiler = _mine_boilerplate(shingled, top_n)
+    hits = F.size(F.array_intersect(F.col("grams"), boiler))
+    return shingled.select(
+        "doc_id",
+        F.size("grams").cast("bigint").alias("n_shingles"),
+        hits.cast("bigint").alias("boiler_hits"),
+        (hits < min_hits).alias("keep"),
+    )
+
+
+
+def _mine_boilerplate(shingled, top_n: int):
+    """Top-``top_n`` document-frequency n-grams over a frame carrying a
+    ``grams`` column (ties -> n-gram ascending), collected driver-side
+    like a centroid table, returned as (list, typed array Column) ready
+    for a row-local ``array_intersect`` hit count. Shared by
+    :func:`boilerplate_scrub` and the composed pipeline so the keep rule
+    and the empty-mined-set guard (a bare ``F.array()`` is array<null>
+    and breaks array_intersect) exist exactly once."""
     mined = (
         shingled.select(F.explode("grams").alias("ngram"))
         .groupBy("ngram")
@@ -554,20 +561,12 @@ def boilerplate_scrub(
         .limit(top_n)
     )
     top = [r["ngram"] for r in mined.collect()]
-    # empty mined set (corpus of sub-n-token docs): typed empty literal,
-    # F.array() alone would be array<null> and break array_intersect
     boiler = (
         F.array(*[F.lit(g) for g in top])
         if top
         else F.array().cast("array<string>")
     )
-    hits = F.size(F.array_intersect(F.col("grams"), boiler))
-    return shingled.select(
-        "doc_id",
-        F.size("grams").cast("bigint").alias("n_shingles"),
-        hits.cast("bigint").alias("boiler_hits"),
-        (hits < min_hits).alias("keep"),
-    )
+    return top, boiler
 
 
 def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

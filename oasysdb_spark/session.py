@@ -15,6 +15,24 @@ import os
 
 from pyspark.sql import SparkSession
 
+_WAREHOUSE_CLEANUP_REGISTERED = False
+
+
+def _default_warehouse() -> str:
+    """Pid-scoped warehouse path, deleted at interpreter exit. Processes
+    killed hard still leak their dir; normal runs clean up, which keeps
+    repeated test/bench invocations from accumulating warehouses in
+    /tmp (managed bucketed tables are rebuilt per process anyway)."""
+    global _WAREHOUSE_CLEANUP_REGISTERED
+    path = f"/tmp/oasysdb_spark_warehouse_{os.getpid()}"
+    if not _WAREHOUSE_CLEANUP_REGISTERED:
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _WAREHOUSE_CLEANUP_REGISTERED = True
+    return path
+
 
 def get_spark(
     app_name: str = "oasysdb_spark",
@@ -59,11 +77,10 @@ def get_spark(
             # sharing one warehouse race on the bucketed managed tables
             # (process A reads while B rmtree+rewrites a "stale" dir the
             # fresh in-memory catalog doesn't know about). Pin
-            # SPARK_GRAFT_WAREHOUSE to share deliberately.
-            os.environ.get(
-                "SPARK_GRAFT_WAREHOUSE",
-                f"/tmp/oasysdb_spark_warehouse_{os.getpid()}",
-            ),
+            # SPARK_GRAFT_WAREHOUSE to share deliberately. The pid dir
+            # is removed at interpreter exit (below) so repeated runs
+            # don't accumulate warehouses in /tmp.
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", _default_warehouse()),
         )
     )
     if extra_conf:

@@ -299,24 +299,10 @@ def near_dedup_stream_flags(
 
     # hashed=True: only sig (+ int shingle digests) crosses the Arrow
     # boundary — band keys never need the shingle strings
+    from oasysdb_spark.operators.dedup import lsh_bands
+
     sigs = minhash_signatures(docs_stream, num_hashes=num_hashes, hashed=True)
-    n_bands = num_hashes // band_size
-    band_structs = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.struct(
-            b.alias("band_id"),
-            F.concat_ws(
-                "_",
-                *[
-                    F.element_at(F.col("sig"), b * band_size + i + 1).cast("string")
-                    for i in range(band_size)
-                ],
-            ).alias("band_key"),
-        ),
-    )
-    bands = sigs.select("doc_id", F.explode(band_structs).alias("band")).select(
-        "doc_id", "band.band_id", "band.band_key"
-    )
+    bands = lsh_bands(sigs, num_hashes, band_size)
 
     out_schema = "doc_id bigint, band_id int, collided boolean"
     state_schema = "first_doc bigint"
@@ -369,22 +355,9 @@ def decontaminate_stream_flags(
     source, checkpoint restart)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from oasysdb_spark.operators.dedup import minhash_signatures
+    from oasysdb_spark.operators.dedup import lsh_band_structs, minhash_signatures
 
-    n_bands = num_hashes // band_size
-    band_structs = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.struct(
-            b.alias("band_id"),
-            F.concat_ws(
-                "_",
-                *[
-                    F.element_at(F.col("sig"), b * band_size + i + 1).cast("string")
-                    for i in range(band_size)
-                ],
-            ).alias("band_key"),
-        ),
-    )
+    band_structs = lsh_band_structs(num_hashes, band_size)
 
     def band_rows(sigs: DataFrame, id_alias: str, sh_alias: str) -> DataFrame:
         return sigs.select(
@@ -406,33 +379,62 @@ def decontaminate_stream_flags(
         "sh_t",
     )
 
-    cand = t_rows.join(F.broadcast(e_rows), ["band_id", "band_key"])
-    inter = F.size(F.array_intersect("sh_t", "sh_e"))
-    union = F.size("sh_t") + F.size("sh_e") - inter
-    jac = F.round(inter.cast("double") / union, 6)
-    scored = cand.select("doc_id", "eval_doc_id", jac.alias("jaccard")).where(
-        F.col("jaccard") >= threshold
+    # A true near-dup pair matches on MOST of the bands, so the band join
+    # emits the same (train, eval) pair up to n_bands times. The batch
+    # twin dedupes with .distinct() before the verify join; on a stream
+    # that would be a second unbounded stateful operator, so instead the
+    # pair-dedup + exact-Jaccard verify moves INTO the per-doc stateful
+    # reduce (drop_duplicates within the group, one set-intersection per
+    # pair per micro-batch — not per matching band).
+    cand = t_rows.join(F.broadcast(e_rows), ["band_id", "band_key"]).select(
+        "doc_id", "eval_doc_id", "sh_t", "sh_e"
     )
 
     out_schema = "doc_id bigint, eval_doc_id bigint, jaccard double"
     state_schema = "emitted boolean"
 
+    def _jaccard6(sh_t, sh_e) -> float:
+        # Spark F.round is HALF_UP over the double's exact expansion —
+        # Decimal(float) reproduces it exactly (Python round is banker's)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        a, b = set(sh_t), set(sh_e)
+        inter = len(a & b)
+        union = len(a) + len(b) - inter
+        if union == 0:
+            return 0.0
+        return float(
+            Decimal(inter / union).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
     def _best(key, pdfs, state: GroupState):
         rows = pd.concat(list(pdfs))
+        empty = pd.DataFrame(columns=["doc_id", "eval_doc_id", "jaccard"])
         if state.exists or rows.empty:
             # re-delivered doc (or spurious call): already flagged once
-            yield pd.DataFrame(columns=["doc_id", "eval_doc_id", "jaccard"])
+            yield empty
             return
-        best = rows.sort_values(
-            ["jaccard", "eval_doc_id"], ascending=[False, True]
-        ).iloc[0]
+        rows = rows.drop_duplicates(subset=["eval_doc_id"])
+        scored = [
+            (int(r["eval_doc_id"]), _jaccard6(r["sh_t"], r["sh_e"]))
+            for _, r in rows.iterrows()
+        ]
+        scored = [(e, j) for e, j in scored if j >= threshold]
+        if not scored:
+            # nothing over threshold yet: leave state unset so a later
+            # batch can still flag this doc
+            yield empty
+            return
+        best_e, best_j = min(scored, key=lambda x: (-x[1], x[0]))
         state.update((True,))
         yield pd.DataFrame(
-            [(int(key[0]), int(best["eval_doc_id"]), float(best["jaccard"]))],
+            [(int(key[0]), best_e, best_j)],
             columns=["doc_id", "eval_doc_id", "jaccard"],
         )
 
-    return scored.groupBy("doc_id").applyInPandasWithState(
+    return cand.groupBy("doc_id").applyInPandasWithState(
         _best,
         outputStructType=out_schema,
         stateStructType=state_schema,

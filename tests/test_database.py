@@ -377,3 +377,36 @@ def test_bulk_metadata_update_via_dataframe(spark, tmp_path):
     v = db.records.current_version()
     db.update_metadata_batch(spark.createDataFrame([], map_schema))
     assert db.records.current_version() == v
+
+
+def test_update_metadata_batch_null_id_reports_null_not_duplicate(spark, tmp_path):
+    """A batch containing a NULL id must raise a null-id error, not the
+    misleading 'duplicate ids' (count_distinct skips nulls)."""
+    d = str(tmp_path / "nulldb")
+    db = Database.configure(spark, d, dimension=2)
+    db.insert([1.0, 2.0], record_id="a")
+    upd = spark.createDataFrame(
+        [(None, {"k": "v"}, {}, {})],
+        "id string, m_text map<string,string>, m_num map<string,double>, "
+        "m_bool map<string,boolean>",
+    )
+    with pytest.raises(InvalidArgumentError, match="null id"):
+        db.update_metadata_batch(upd)
+
+
+def test_query_many_df_input_validates_dimension(spark, tmp_path):
+    """DataFrame-typed query batches get the same dimension contract as
+    the list form: wrong-dim or null qvec rows raise instead of silently
+    returning zero hits."""
+    d = str(tmp_path / "qmdb")
+    db = Database.configure(spark, d, dimension=4)
+    db.insert([1.0, 2.0, 3.0, 4.0], record_id="a")
+    bad = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None)], "query_id bigint, qvec array<double>"
+    )
+    with pytest.raises(InvalidArgumentError, match="dimension"):
+        db.query_many(bad, k=1)
+    ok = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0])], "query_id bigint, qvec array<double>"
+    )
+    assert len(db.query_many(ok, k=1)) == 1

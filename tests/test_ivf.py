@@ -337,3 +337,30 @@ def test_ivfpq_combined_pruning_and_code_only_candidate_scan(spark, tmp_path):
     vec_scans = [s for s in schemas if "embedding" in s]
     assert vec_scans and all("pq_code" not in s for s in vec_scans)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pq_codebook_cache_invalidated_across_handles(spark, tmp_path):
+    """A handle that cached codebooks before another handle's rebuild
+    must pick up the NEW books (mtime-stamped cache): encode-at-ingest
+    after a rebuild writes codes of the new m, never stale-length codes
+    that would NULL out of ADC scoring."""
+    from oasysdb_spark.index.pq import build_pq, load_codebooks
+
+    d = str(tmp_path / "pqswap")
+    db1 = Database.configure(spark, d, dimension=8, density=32)
+    rows = [(f"r{i:03d}", [float(i)] * 8, {}, {}, {}) for i in range(64)]
+    db1.insert_batch(spark.createDataFrame(rows, RECORD_SCHEMA))
+    build_pq(db1, m=4, nbits=4, seed=5)
+
+    db2 = Database.open(spark, d)
+    assert load_codebooks(db2).shape[0] == 4  # db2 caches the m=4 books
+
+    import time
+
+    time.sleep(0.05)  # mtime granularity
+    build_pq(db1, m=8, nbits=4, seed=5)  # rebuild with different m
+
+    assert load_codebooks(db2).shape[0] == 8  # stale cache invalidated
+    db2.insert([9.0] * 8, record_id="late")
+    late = db2.records_df().where("id = 'late'").first()
+    assert late["pq_code"] is not None and len(late["pq_code"]) == 8
