@@ -98,6 +98,10 @@ def build_parser() -> argparse.ArgumentParser:
     qm.add_argument("--filter", dest="filter_expr", default=None)
     qm.add_argument("--radius", type=float, default=None)
     qm.add_argument("--probes", type=int, default=None)
+    qm.add_argument("--approx", default=None, choices=["pq"],
+                    help="serve the batch from the PQ tier (build-pq first)")
+    qm.add_argument("--rerank", type=int, default=128,
+                    help="exact re-rank depth for --approx pq")
 
     b = add("build-index", help="build/rebuild the IVF index")
     b.add_argument("--seed", type=int, default=42)
@@ -177,6 +181,9 @@ def main(argv: list[str] | None = None) -> int:
             kwargs["probes"] = args.probes
         if args.radius is not None:
             kwargs["radius"] = args.radius
+        if args.approx is not None:
+            kwargs["approx"] = args.approx
+            kwargs["rerank"] = args.rerank
         if args.vectors_file and args.vectors_file.endswith(".parquet"):
             queries = spark.read.parquet(args.vectors_file)
         elif args.vectors_file:

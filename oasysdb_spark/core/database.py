@@ -593,6 +593,8 @@ class Database:
         filter: str | None = None,
         probes: int | None = None,
         radius: float | None = None,
+        approx: str | None = None,
+        rerank: int = 128,
     ) -> DataFrame:
         """Batched multi-query ANN as ONE job — the amortized form of
         :meth:`query_df` (the reference RPC is single-vector,
@@ -613,7 +615,15 @@ class Database:
         pruning skips unprobed partitions at scan time, the batched
         analog of query_df's static ``isin`` pruning. Unindexed falls
         back to scan × broadcast. Per-query top-k is one window over the
-        broadcast-joined candidates — no per-query jobs, no driver loop."""
+        broadcast-joined candidates — no per-query jobs, no driver loop.
+
+        ``approx="pq"`` (after ``index.pq.build_pq``) batches the
+        memory-bounded tier too: each query row broadcasts with its own
+        flattened ADC table, the candidate stage scans codes without the
+        embedding column, a per-query window keeps the ``rerank`` best
+        by ADC, and one id-join fetches raw vectors for only those
+        winners before the exact top-k. Each query's result list equals
+        its standalone ``query(..., approx='pq')`` call."""
         if k <= 0:
             raise errors.InvalidArgumentError(
                 "k must be > 0 (/root/reference/src/cores/database.rs:321-325)"
@@ -652,6 +662,39 @@ class Database:
         pred = compile_filter(filter, MapLayout())
 
         recs = self.records_df()
+        adc_k = None
+        if approx is not None:
+            # batched PQ: each query row carries its own flattened ADC
+            # table (computed driver-side — the batch is broadcast-sized
+            # by contract, like the single query's table)
+            if approx != "pq":
+                raise errors.InvalidArgumentError(
+                    f"unknown approx mode {approx!r}; supported: 'pq'"
+                )
+            if self.params.metric != "euclidean":
+                raise errors.InvalidArgumentError(
+                    "approx='pq' supports the euclidean metric only"
+                )
+            from oasysdb_spark.index.pq import adc_table, load_codebooks
+
+            books = load_codebooks(self)
+            if books is None or "pq_code" not in recs.columns:
+                raise errors.InvalidArgumentError(
+                    "PQ tier not built: call oasysdb_spark.index.pq.build_pq first"
+                )
+            adc_k = int(books.shape[1])
+            tabled = [
+                (
+                    r["query_id"],
+                    list(r["qvec"]),
+                    [float(x) for x in adc_table(list(r["qvec"]), books).ravel()],
+                )
+                for r in queries.collect()
+            ]
+            queries = self.spark.createDataFrame(
+                tabled, "query_id bigint, qvec array<double>, qtable array<double>"
+            )
+
         if self.is_indexed():
             from oasysdb_spark.index.ivf import topk_cluster_assigner
 
@@ -665,14 +708,50 @@ class Database:
             # assigner emits positions into the centroid list; map them to
             # (possibly non-contiguous) cluster ids in-plan
             idmap = F.array(*[F.lit(int(c)) for c, _ in cents])
+            qcols = ["query_id", "qvec", "cluster_id"] + (
+                ["qtable"] if adc_k is not None else []
+            )
             qprobe = (
                 queries.withColumn("__pos", F.explode(assigner(F.col("qvec"))))
                 .withColumn("cluster_id", F.element_at(idmap, F.col("__pos") + 1))
-                .select("query_id", "qvec", "cluster_id")
+                .select(*qcols)
             )
-            pairs = recs.join(F.broadcast(qprobe), "cluster_id")
+            qside, join_on = qprobe, "cluster_id"
         else:
-            pairs = recs.crossJoin(F.broadcast(queries))
+            qside, join_on = queries, None
+
+        if adc_k is not None:
+            # code-only candidate stage (the batched analog of query_df's
+            # PQ path): the scan carries codes + filter maps, never raw
+            # vectors; per-query top-rerank by ADC, then ONE id-join
+            # fetches embeddings for the winners (Q×rerank rows —
+            # broadcast-sized for serving batches)
+            from pyspark.sql import Window
+
+            from oasysdb_spark.index.pq import adc_score_col
+
+            recs_codes = recs.drop("embedding")
+            cand = (
+                recs_codes.join(F.broadcast(qside), join_on)
+                if join_on
+                else recs_codes.crossJoin(F.broadcast(qside))
+            )
+            w_adc = Window.partitionBy("query_id").orderBy(
+                F.col("__adc").asc_nulls_last(), F.col("id")
+            )
+            cand = (
+                cand.where(pred)
+                .withColumn("__adc", adc_score_col(F.col("qtable"), adc_k))
+                .withColumn("__arn", F.row_number().over(w_adc))
+                .where(F.col("__arn") <= max(rerank, k))
+                .drop("__adc", "__arn", "qtable")
+            )
+            pairs = recs.select("id", "embedding").join(F.broadcast(cand), "id")
+            pred = F.lit(True)  # already applied before the ADC cut
+        elif join_on:
+            pairs = recs.join(F.broadcast(qside), join_on)
+        else:
+            pairs = recs.crossJoin(F.broadcast(qside))
 
         dist = distance_expr(self.params.metric, F.col("qvec"), F.col("embedding"))
         out = pairs.withColumn("distance", dist)
@@ -706,12 +785,15 @@ class Database:
         filter: str | None = None,
         probes: int | None = None,
         radius: float | None = None,
+        approx: str | None = None,
+        rerank: int = 128,
     ) -> dict[int, list[dict[str, Any]]]:
         """Collect form of :meth:`query_many_df`: ``{query_id: ascending
         [{id, metadata, distance}, ...]}`` — each list identical to what
         :meth:`query` returns for that vector alone."""
         rows = self.query_many_df(
-            queries, k, filter=filter, probes=probes, radius=radius
+            queries, k, filter=filter, probes=probes, radius=radius,
+            approx=approx, rerank=rerank,
         ).collect()
         out: dict[int, list[dict[str, Any]]] = {}
         for r in sorted(rows, key=lambda r: (r["query_id"], r["distance"], r["id"])):

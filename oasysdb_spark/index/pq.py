@@ -124,6 +124,21 @@ def adc_score_expr(table: np.ndarray):
     return F.aggregate(partials, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def adc_score_col(table_col, k: int):
+    """Batched ADC: score ``pq_code`` against a PER-ROW flattened lookup
+    table column — the multi-query form, where each broadcast-joined
+    query row carries its own ``m*k`` table instead of a plan literal.
+    Same whole-stage-codegen aggregate(zip_with) shape as
+    :func:`adc_score_expr`."""
+    idx = F.sequence(F.lit(0), F.size("pq_code") - 1)
+    partials = F.zip_with(
+        F.col("pq_code"),
+        idx,
+        lambda c, j: F.element_at(table_col, (j * k + c + 1).cast("int")),
+    )
+    return F.aggregate(partials, F.lit(0.0), lambda acc, x: acc + x)
+
+
 PQ_FILE = "pq.json"
 
 

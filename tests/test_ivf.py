@@ -364,3 +364,36 @@ def test_pq_codebook_cache_invalidated_across_handles(spark, tmp_path):
     db2.insert([9.0] * 8, record_id="late")
     late = db2.records_df().where("id = 'late'").first()
     assert late["pq_code"] is not None and len(late["pq_code"]) == 8
+
+
+def test_query_many_pq_agrees_with_single_pq_and_exact(spark, tmp_path):
+    """Batched PQ: each query's list equals its standalone
+    query(approx='pq') call; at full rerank both equal the exact batched
+    answer. Runs indexed with small probes so the combined
+    IVF+PQ+batched path is what executes."""
+    from oasysdb_spark.index.pq import build_pq
+
+    d = str(tmp_path / "qmpq")
+    db = Database.configure(spark, d, dimension=8, density=16)
+    rows = [
+        (f"v{i:04d}", [float(i % 40) + (i // 40) * 0.01] * 8, {}, {"n": float(i)}, {})
+        for i in range(200)
+    ]
+    db.insert_batch(spark.createDataFrame(rows, RECORD_SCHEMA))
+    build_index(db, seed=5)
+    build_pq(db, m=4, nbits=4, seed=5)
+
+    qs = [[7.0] * 8, [23.0] * 8, [39.5] * 8]
+    batched = db.query_many(qs, k=5, probes=3, approx="pq", rerank=200)
+    for i, q in enumerate(qs):
+        assert batched[i] == db.query(q, k=5, probes=3, approx="pq", rerank=200)
+        assert batched[i] == db.query(q, k=5, probes=3)  # full rerank == exact
+
+    # tight rerank + filter still agrees with the single-query path
+    batched = db.query_many(
+        qs, k=3, probes=3, filter="n > 100", approx="pq", rerank=16
+    )
+    for i, q in enumerate(qs):
+        assert batched.get(i, []) == db.query(
+            q, k=3, probes=3, filter="n > 100", approx="pq", rerank=16
+        )
