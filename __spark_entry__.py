@@ -97,20 +97,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `events_funnel`, `text_repetition_stats`, `text_vocabulary`,
     `text_span_dedup`, `embedding_balanced_sample`, `text_heavy_hitters`,
     `orders_trailing_spend`, `events_retention_cohorts`,
-    `text_unigram_surprisal`), (b) every entry whose underlying code
+    `text_unigram_surprisal`, `multimodal_dhash_dedup`), (b) every
+    entry whose underlying code
     changed this round (decontamination broadcast guard, multimodal
     decode tier, the fit_centroids refactor under vec_ivf_knn, the
     filter-term trim under filter_dsl_embeddings), then (c) ALL 34
     entries whose latest driver row is CORRECTNESS_r03 — they cycle back
     in before going a third round unchecked — and (d) a watched-bench
     representative (`text_clean_pipeline`) plus shared-signature dedup
-    paths. The eight entries added after the rotation displaced eight
+    paths. The nine entries added after the rotation displaced nine
     r4-green rows (`text_hash_embeddings`, `events_tumbling_hourly`,
     `dedup_simhash_pairs`, `dedup_exact_stats`, `dedup_exact_pick`,
-    `dedup_components`, `dedup_embedding_cosine`, `dedup_minhash_lsh`)
-    — every entry outside the window holds a green hash-matched
-    CORRECTNESS_r04 row and is unchanged since; the whole r3-stale tail
-    stays inside."""
+    `dedup_components`, `dedup_embedding_cosine`, `dedup_minhash_lsh`,
+    `multimodal_pixel_stats` — the codec path stays in-window via the
+    new dhash entry) — every entry outside the window holds a green
+    hash-matched CORRECTNESS_r04 row and is unchanged since; the whole
+    r3-stale tail stays inside."""
     return {
         # --- (a) new in round 5: boilerplate REMOVAL (mining's other half),
         # BM25 retrieval, Gopher quality rules, sequential funnel ---
@@ -126,10 +128,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_trailing_spend": rel.orders_trailing_spend,
         "events_retention_cohorts": rel.events_retention_cohorts,
         "text_unigram_surprisal": textops.unigram_surprisal,
+        "multimodal_dhash_dedup": mm.multimodal_dhash_dedup,
         # --- (b) code touched in round 5: re-verify through the driver ---
         "dedup_decontaminate": _decontaminate,
         "multimodal_features": mm.multimodal_features,
-        "multimodal_pixel_stats": mm.multimodal_pixel_stats,
+        "pivot_lineitem": rel.pivot_lineitem,
         "vec_ivf_knn": _ivf_knn,
         "filter_dsl_embeddings": rel.filter_dsl_embeddings,
         # --- (d) shared-signature dedup paths + the bench-watched pipeline ---
@@ -167,7 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_event_stats": rel.json_event_stats,
         "window_functions_suite": rel.window_functions_suite,
         "grouping_sets_orders": rel.grouping_sets_orders,
-        "pivot_lineitem": rel.pivot_lineitem,
+        "multimodal_pixel_stats": mm.multimodal_pixel_stats,
         "text_clean_pipeline": textops.clean_corpus_pipeline,
         # --- r4-green fillers rounding the window to 50 ---
         "dedup_components": dedup.dedup_components,
@@ -1356,6 +1359,45 @@ def oracle_sql() -> dict[str, str]:
                round(avg(ln(n.n / v.tf) / ln(2.0)), 6) AS bits_per_token
         FROM t JOIN v USING (term), n
         GROUP BY t.doc_id"""
+
+    # perceptual dHash dedup: replay the exact integer pipeline (768-byte
+    # payload -> 16x16 RGB-sum plane -> 2x2 block sums -> 56-bit gradient
+    # hash) from the text bytes, injected near-copies included
+    q["multimodal_dhash_dedup"] = """
+        WITH base AS (
+          SELECT doc_id AS media_id, doc_id AS src, 0 AS pert FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, doc_id, 1 FROM documents WHERE doc_id % 10 = 0),
+        payload AS (
+          SELECT b.media_id,
+                 list_transform(range(1, 769), i ->
+                   CASE WHEN b.pert = 1 AND i = 1
+                        THEN (CASE WHEN i <= length(d.text)
+                                   THEN ascii(d.text[i]) ELSE 0 END + 1) % 256
+                        WHEN i <= length(d.text) THEN ascii(d.text[i])
+                        ELSE 0 END) AS by
+          FROM base b JOIN documents d ON b.src = d.doc_id),
+        plane AS (
+          SELECT media_id,
+                 list_transform(range(0, 256), p ->
+                   by[3*p + 1] + by[3*p + 2] + by[3*p + 3]) AS v
+          FROM payload),
+        blocks AS (
+          SELECT media_id,
+                 list_transform(range(0, 64), i ->
+                   v[(2*(i//8))*16 + 2*(i%8) + 1] + v[(2*(i//8))*16 + 2*(i%8) + 2]
+                 + v[(2*(i//8)+1)*16 + 2*(i%8) + 1] + v[(2*(i//8)+1)*16 + 2*(i%8) + 2]) AS bk
+          FROM plane),
+        hashed AS (
+          SELECT media_id,
+                 list_sum(list_transform(range(0, 56), j ->
+                   CASE WHEN bk[(j//7)*8 + (j%7) + 1] > bk[(j//7)*8 + (j%7) + 2]
+                        THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
+                        ELSE 0 END)) AS dhash
+          FROM blocks)
+        SELECT h.media_id, CAST(h.dhash AS BIGINT) AS dhash,
+               CAST(count(*) OVER (PARTITION BY h.dhash) AS BIGINT) AS n_same
+        FROM hashed h"""
 
     # sequential funnel: strict event ordering via staged min-joins
     q["events_funnel"] = """

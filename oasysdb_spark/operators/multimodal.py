@@ -645,3 +645,87 @@ def multimodal_features(spark, sf_dir: str) -> DataFrame:
         "byte_mean",
         "n_sampled_frames",
     )
+
+
+def synthesize_ppm16_with_near_copies(spark, sf_dir: str) -> DataFrame:
+    """Deterministic FIXED-SIZE (16×16) PPM blobs from the documents
+    fixture, plus injected perceptual near-copies: every 10th doc also
+    appears as ``media_id = doc_id + 100000`` with its FIRST payload
+    byte incremented — a one-pixel perturbation, the minimal perceptual
+    near-duplicate. Payload = utf-8 text bytes cropped/zero-padded to
+    768 (= 16 rows × 16 px × RGB), so an oracle can recompute every
+    pixel from the text column with integer math."""
+    import numpy as np
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")[:768]
+                payload = bytearray(b + b"\x00" * (768 - len(b)))
+                arr = np.frombuffer(bytes(payload), np.uint8).reshape(16, 16, 3)
+                rows.append((int(doc_id), encode_ppm(arr)))
+                if doc_id % 10 == 0:
+                    pert = bytearray(payload)
+                    pert[0] = (pert[0] + 1) % 256
+                    arr2 = np.frombuffer(bytes(pert), np.uint8).reshape(16, 16, 3)
+                    rows.append((int(doc_id) + 100000, encode_ppm(arr2)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", "text").mapInPandas(
+        _gen, schema="media_id long, content binary"
+    )
+
+
+def extract_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash over the REAL codec path — the image
+    near-dup primitive (the aHash/dHash family behind large-scale image
+    dataset dedup): decode → integer RGB-sum plane → 2×2 box sums to an
+    8×8 grid → 56-bit row-wise gradient sign hash (8 rows × 7 adjacent
+    column comparisons; 56 bits keeps the value int64-safe in every
+    engine). All integer math, so blobs with equal pixels hash equal and
+    an oracle can replay the hash exactly. Requires 16×16 inputs (the
+    fixed-size synth or any pre-resized corpus); row-local, no shuffle."""
+    import numpy as np
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                arr = decode_image(bytes(content))
+                if arr.shape[:2] != (16, 16):
+                    from oasysdb_spark.errors import InvalidArgumentError
+
+                    raise InvalidArgumentError(
+                        f"extract_dhash expects 16x16 images, got {arr.shape}"
+                    )
+                plane = arr.astype(np.int64).sum(axis=2)  # rgb sum, ints
+                block = plane.reshape(8, 2, 8, 2).sum(axis=(1, 3))
+                h = 0
+                for r in range(8):
+                    for c in range(7):
+                        if block[r, c] > block[r, c + 1]:
+                            h |= 1 << (r * 7 + c)
+                rows.append((int(media_id), h))
+            yield pd.DataFrame(rows, columns=["media_id", "dhash"])
+
+    return media.select("media_id", "content").mapInPandas(
+        _extract, schema="media_id long, dhash long"
+    )
+
+
+def multimodal_dhash_dedup(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract query: perceptual dedup end-to-end through the
+    real codec — fixed-size PPM synthesis (with injected one-pixel
+    near-copies) → native decode → dHash → per-hash group sizes. An
+    injected copy whose perturbation doesn't flip any gradient sign
+    lands in its source's hash group (group_size ≥ 2) — exactly how
+    exact-perceptual dedup collapses re-encodes and trivial edits.
+    Output: ``(media_id, dhash, n_same)``."""
+    media = synthesize_ppm16_with_near_copies(spark, sf_dir)
+    hashed = extract_dhash(media)
+    sizes = hashed.groupBy("dhash").agg(F.count("*").alias("n_same"))
+    return hashed.join(sizes, "dhash").select(
+        "media_id", "dhash", F.col("n_same").cast("bigint").alias("n_same")
+    )

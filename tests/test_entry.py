@@ -66,11 +66,13 @@ def test_driver_window_rotation_closes_coverage():
             "text_gopher_quality",
             "events_funnel",
         }
-        # code touched in round 5
+        # code touched in round 5 (multimodal_pixel_stats rotated out
+        # late-round — r4-green and unchanged; the decode path it
+        # exercises stays in-window via multimodal_dhash_dedup)
         | {
             "dedup_decontaminate",
             "multimodal_features",
-            "multimodal_pixel_stats",
+            "multimodal_dhash_dedup",
             "vec_ivf_knn",
             "filter_dsl_embeddings",
         }

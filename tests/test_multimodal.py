@@ -311,3 +311,40 @@ def test_audio_codec_roundtrip_and_features(spark, tmp_path):
         assert r["duration_s"] == n / 16_000.0
         assert r["rms"] == pytest.approx(float(np.sqrt((x * x).mean())))
         assert r["peak"] == int(np.abs(s).max())
+
+
+def test_dhash_perceptual_properties(spark, sf_dir):
+    """dHash through the real codec: identical payloads hash equal; the
+    injected one-pixel near-copy is within hamming 2 of its source
+    (usually 0 — one gradient sign at most can flip per neighboring
+    block pair); unrelated docs rarely collide."""
+    from oasysdb_spark.operators.multimodal import (
+        extract_dhash,
+        synthesize_ppm16_with_near_copies,
+    )
+
+    media = synthesize_ppm16_with_near_copies(spark, sf_dir)
+    hashes = {r["media_id"]: r["dhash"] for r in extract_dhash(media).collect()}
+    copies = [(m - 100000, m) for m in hashes if m >= 100000]
+    assert copies
+    for src, cp in copies:
+        ham = bin(hashes[src] ^ hashes[cp]).count("1")
+        assert ham <= 2, f"near-copy {cp} drifted hamming {ham} from {src}"
+    base_ids = [m for m in hashes if m < 100000]
+    distinct = len({hashes[m] for m in base_ids})
+    assert distinct > 0.9 * len(base_ids)  # word-salad docs rarely collide
+
+
+def test_dhash_rejects_wrong_size(spark):
+    """The 16x16 contract is enforced with a clean error."""
+    import numpy as np
+    import pytest as _pytest
+
+    from oasysdb_spark.errors import InvalidArgumentError
+    from oasysdb_spark.operators.multimodal import encode_ppm, extract_dhash
+
+    blob = encode_ppm(np.zeros((4, 4, 3), dtype=np.uint8))
+    df = spark.createDataFrame([(1, bytearray(blob))], "media_id long, content binary")
+    with _pytest.raises(Exception) as ei:
+        extract_dhash(df).collect()
+    assert "16x16" in str(ei.value)
