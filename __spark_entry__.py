@@ -97,22 +97,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `events_funnel`, `text_repetition_stats`, `text_vocabulary`,
     `text_span_dedup`, `embedding_balanced_sample`, `text_heavy_hitters`,
     `orders_trailing_spend`, `events_retention_cohorts`,
-    `text_unigram_surprisal`, `multimodal_dhash_dedup`), (b) every
-    entry whose underlying code
+    `text_unigram_surprisal`, `multimodal_dhash_dedup`,
+    `multimodal_dhash_near_pairs`), (b) every entry whose underlying
+    code
     changed this round (decontamination broadcast guard, multimodal
     decode tier, the fit_centroids refactor under vec_ivf_knn, the
     filter-term trim under filter_dsl_embeddings), then (c) ALL 34
     entries whose latest driver row is CORRECTNESS_r03 — they cycle back
     in before going a third round unchecked — and (d) a watched-bench
     representative (`text_clean_pipeline`) plus shared-signature dedup
-    paths. The nine entries added after the rotation displaced nine
+    paths. The ten entries added after the rotation displaced ten
     r4-green rows (`text_hash_embeddings`, `events_tumbling_hourly`,
     `dedup_simhash_pairs`, `dedup_exact_stats`, `dedup_exact_pick`,
     `dedup_components`, `dedup_embedding_cosine`, `dedup_minhash_lsh`,
-    `multimodal_pixel_stats` — the codec path stays in-window via the
-    new dhash entry) — every entry outside the window holds a green
-    hash-matched CORRECTNESS_r04 row and is unchanged since; the whole
-    r3-stale tail stays inside."""
+    `multimodal_pixel_stats`, `multimodal_features` — the codec path
+    stays in-window via the two dhash entries) — every entry outside
+    the window holds a green hash-matched CORRECTNESS_r04 row and is
+    unchanged since; the whole r3-stale tail stays inside."""
     return {
         # --- (a) new in round 5: boilerplate REMOVAL (mining's other half),
         # BM25 retrieval, Gopher quality rules, sequential funnel ---
@@ -129,9 +130,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention_cohorts": rel.events_retention_cohorts,
         "text_unigram_surprisal": textops.unigram_surprisal,
         "multimodal_dhash_dedup": mm.multimodal_dhash_dedup,
+        "multimodal_dhash_near_pairs": mm.multimodal_dhash_near_pairs,
         # --- (b) code touched in round 5: re-verify through the driver ---
         "dedup_decontaminate": _decontaminate,
-        "multimodal_features": mm.multimodal_features,
+        "grouping_sets_orders": rel.grouping_sets_orders,
         "pivot_lineitem": rel.pivot_lineitem,
         "vec_ivf_knn": _ivf_knn,
         "filter_dsl_embeddings": rel.filter_dsl_embeddings,
@@ -169,7 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_part_stats": rel.string_part_stats,
         "json_event_stats": rel.json_event_stats,
         "window_functions_suite": rel.window_functions_suite,
-        "grouping_sets_orders": rel.grouping_sets_orders,
+        "multimodal_features": mm.multimodal_features,
         "multimodal_pixel_stats": mm.multimodal_pixel_stats,
         "text_clean_pipeline": textops.clean_corpus_pipeline,
         # --- r4-green fillers rounding the window to 50 ---
@@ -1363,8 +1365,7 @@ def oracle_sql() -> dict[str, str]:
     # perceptual dHash dedup: replay the exact integer pipeline (768-byte
     # payload -> 16x16 RGB-sum plane -> 2x2 block sums -> 56-bit gradient
     # hash) from the text bytes, injected near-copies included
-    q["multimodal_dhash_dedup"] = """
-        WITH base AS (
+    _dhash_ctes = """base AS (
           SELECT doc_id AS media_id, doc_id AS src, 0 AS pert FROM documents
           UNION ALL
           SELECT doc_id + 100000, doc_id, 1 FROM documents WHERE doc_id % 10 = 0),
@@ -1394,10 +1395,24 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN bk[(j//7)*8 + (j%7) + 1] > bk[(j//7)*8 + (j%7) + 2]
                         THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
                         ELSE 0 END)) AS dhash
-          FROM blocks)
+          FROM blocks)"""
+
+    q["multimodal_dhash_dedup"] = f"""
+        WITH {_dhash_ctes}
         SELECT h.media_id, CAST(h.dhash AS BIGINT) AS dhash,
                CAST(count(*) OVER (PARTITION BY h.dhash) AS BIGINT) AS n_same
         FROM hashed h"""
+
+    # near pairs: the oracle IS the quadratic join (550 rows -> trivial
+    # here), so a candidate lost by the Spark side's 14-bit quarter
+    # banding is a missing row, not a silent pass
+    q["multimodal_dhash_near_pairs"] = f"""
+        WITH {_dhash_ctes}
+        SELECT a.media_id AS media_a, b.media_id AS media_b,
+               CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        FROM hashed a JOIN hashed b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+        ORDER BY hamming, media_a, media_b LIMIT 50"""
 
     # sequential funnel: strict event ordering via staged min-joins
     q["events_funnel"] = """

@@ -729,3 +729,58 @@ def multimodal_dhash_dedup(spark, sf_dir: str) -> DataFrame:
     return hashed.join(sizes, "dhash").select(
         "media_id", "dhash", F.col("n_same").cast("bigint").alias("n_same")
     )
+
+
+def multimodal_dhash_near_pairs(
+    spark,
+    sf_dir: str,
+    max_hamming: int = 3,
+    top_n: int = 50,
+) -> DataFrame:
+    """Perceptual NEAR-dup pairs over the dHash: candidates share one of
+    four 14-bit hash quarters (pigeonhole: hamming ≤ 3 over 56 bits
+    forces at least one untouched quarter), verified by exact
+    ``bit_count(xor)``. Same shape as the simhash half-joins — four
+    plain equi-joins + pair dedup, never an all-pairs comparison; the
+    DuckDB oracle IS the quadratic join, so a candidate lost by the
+    banding would surface as a missing row, not a silent pass. Returns
+    ``(media_a, media_b, hamming)``, ties broken by ids."""
+    media = synthesize_ppm16_with_near_copies(spark, sf_dir)
+    h = extract_dhash(media)
+    quarters = [(f"q{i}", i * 14) for i in range(4)]
+    h = h.select(
+        "media_id",
+        "dhash",
+        *[
+            (F.shiftright(F.col("dhash"), s).bitwiseAND(F.lit(0x3FFF))).alias(n)
+            for n, s in quarters
+        ],
+    ).cache()
+
+    def quarter_join(key: str) -> DataFrame:
+        a, b = h.alias("a"), h.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col(f"a.{key}") == F.col(f"b.{key}"))
+                & (F.col("a.media_id") < F.col("b.media_id")),
+            )
+            .select(
+                F.col("a.media_id").alias("media_a"),
+                F.col("b.media_id").alias("media_b"),
+                F.bit_count(
+                    F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+                ).alias("hamming"),
+            )
+            .where(F.col("hamming") <= max_hamming)
+        )
+
+    cand = quarter_join("q0")
+    for key in ("q1", "q2", "q3"):
+        cand = cand.unionByName(quarter_join(key))
+    return (
+        cand.dropDuplicates(["media_a", "media_b"])
+        .select("media_a", "media_b", F.col("hamming").cast("bigint").alias("hamming"))
+        .orderBy("hamming", "media_a", "media_b")
+        .limit(top_n)
+    )

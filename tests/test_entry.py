@@ -66,13 +66,14 @@ def test_driver_window_rotation_closes_coverage():
             "text_gopher_quality",
             "events_funnel",
         }
-        # code touched in round 5 (multimodal_pixel_stats rotated out
-        # late-round — r4-green and unchanged; the decode path it
-        # exercises stays in-window via multimodal_dhash_dedup)
+        # code touched in round 5 (multimodal_pixel_stats and
+        # multimodal_features rotated out late-round — both r4-green and
+        # unchanged; the decode/codec path stays in-window via the two
+        # dhash entries)
         | {
             "dedup_decontaminate",
-            "multimodal_features",
             "multimodal_dhash_dedup",
+            "multimodal_dhash_near_pairs",
             "vec_ivf_knn",
             "filter_dsl_embeddings",
         }
