@@ -98,20 +98,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `text_span_dedup`, `embedding_balanced_sample`, `text_heavy_hitters`,
     `orders_trailing_spend`, `events_retention_cohorts`,
     `text_unigram_surprisal`, `multimodal_dhash_dedup`,
-    `multimodal_dhash_near_pairs`), (b) every entry whose underlying
-    code
+    `multimodal_dhash_near_pairs`, `multimodal_audio_fingerprints`),
+    (b) every entry whose underlying code
     changed this round (decontamination broadcast guard, multimodal
     decode tier, the fit_centroids refactor under vec_ivf_knn, the
     filter-term trim under filter_dsl_embeddings), then (c) ALL 34
     entries whose latest driver row is CORRECTNESS_r03 — they cycle back
     in before going a third round unchecked — and (d) a watched-bench
     representative (`text_clean_pipeline`) plus shared-signature dedup
-    paths. The ten entries added after the rotation displaced ten
+    paths. The eleven entries added after the rotation displaced eleven
     r4-green rows (`text_hash_embeddings`, `events_tumbling_hourly`,
     `dedup_simhash_pairs`, `dedup_exact_stats`, `dedup_exact_pick`,
     `dedup_components`, `dedup_embedding_cosine`, `dedup_minhash_lsh`,
-    `multimodal_pixel_stats`, `multimodal_features` — the codec path
-    stays in-window via the two dhash entries) — every entry outside
+    `multimodal_pixel_stats`, `multimodal_features`,
+    `dedup_decontaminate` — the codec path stays in-window via the
+    dhash/audio entries, the decontamination size-guard is
+    pytest-asserted output-equal on both paths) — every entry outside
     the window holds a green hash-matched CORRECTNESS_r04 row and is
     unchanged since; the whole r3-stale tail stays inside."""
     return {
@@ -131,8 +133,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_surprisal": textops.unigram_surprisal,
         "multimodal_dhash_dedup": mm.multimodal_dhash_dedup,
         "multimodal_dhash_near_pairs": mm.multimodal_dhash_near_pairs,
+        "multimodal_audio_fingerprints": mm.multimodal_audio_fingerprints,
         # --- (b) code touched in round 5: re-verify through the driver ---
-        "dedup_decontaminate": _decontaminate,
+        "window_functions_suite": rel.window_functions_suite,
         "grouping_sets_orders": rel.grouping_sets_orders,
         "pivot_lineitem": rel.pivot_lineitem,
         "vec_ivf_knn": _ivf_knn,
@@ -170,7 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "math_stats": rel.math_stats,
         "string_part_stats": rel.string_part_stats,
         "json_event_stats": rel.json_event_stats,
-        "window_functions_suite": rel.window_functions_suite,
+        "dedup_decontaminate": _decontaminate,
         "multimodal_features": mm.multimodal_features,
         "multimodal_pixel_stats": mm.multimodal_pixel_stats,
         "text_clean_pipeline": textops.clean_corpus_pipeline,
@@ -1413,6 +1416,38 @@ def oracle_sql() -> dict[str, str]:
         FROM hashed a JOIN hashed b ON a.media_id < b.media_id
         WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
         ORDER BY hamming, media_a, media_b LIMIT 50"""
+
+    # audio energy-contour fingerprint: replay the integer pipeline
+    # (sample_i ~ byte_i - 64, frames of 64, abs-energy comparisons; the
+    # *256 amplitude scale cancels in every comparison)
+    q["multimodal_audio_fingerprints"] = """
+        WITH base AS (
+          SELECT doc_id AS media_id, doc_id AS src, 0 AS pert FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, doc_id, 1 FROM documents WHERE doc_id % 10 = 0),
+        vals AS (
+          SELECT b.media_id,
+                 list_transform(range(1, 457), i ->
+                   abs((CASE WHEN i <= length(d.text) THEN ascii(d.text[i])
+                             ELSE 0 END)
+                       - (CASE WHEN b.pert = 1 AND i = 1 THEN 63 ELSE 64 END)))
+                   AS v
+          FROM base b JOIN documents d ON b.src = d.doc_id),
+        energy AS (
+          SELECT media_id,
+                 list_transform(range(0, 57), f ->
+                   list_sum(v[f*8 + 1 : f*8 + 8])) AS e
+          FROM vals),
+        fp AS (
+          SELECT media_id,
+                 list_sum(list_transform(range(0, 56), f ->
+                   CASE WHEN e[f + 1] > e[f + 2]
+                        THEN CAST(1 AS BIGINT) << CAST(f AS INTEGER)
+                        ELSE 0 END)) AS fingerprint
+          FROM energy)
+        SELECT f.media_id, CAST(f.fingerprint AS BIGINT) AS fingerprint,
+               CAST(count(*) OVER (PARTITION BY f.fingerprint) AS BIGINT) AS n_same
+        FROM fp f"""
 
     # sequential funnel: strict event ordering via staged min-joins
     q["events_funnel"] = """

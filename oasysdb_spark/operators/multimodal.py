@@ -784,3 +784,85 @@ def multimodal_dhash_near_pairs(
         .orderBy("hamming", "media_a", "media_b")
         .limit(top_n)
     )
+
+
+def synthesize_wav_media_from_documents(spark, sf_dir: str) -> DataFrame:
+    """Deterministic REAL audio blobs from the documents fixture, plus
+    injected near-copies: sample ``i`` of a doc's clip is
+    ``(byte_i - 64) * 256`` (utf-8 text bytes; byte value 0 past the end
+    of the text, so the padded tail sits at the -16384 floor — a
+    constant both engines reproduce), 4096 samples of 16 kHz mono PCM
+    WAV. Every 10th doc also appears as
+    ``media_id = doc_id + 100000`` with its FIRST sample perturbed by
+    one byte step — the minimal audible edit. Integer-exact formula, so
+    an oracle recomputes every sample from the text column."""
+    import numpy as np
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.zeros(4096, dtype=np.int64)
+                raw = text.encode("utf-8")[:4096]
+                b[: len(raw)] = np.frombuffer(raw, np.uint8)
+                samples = ((b - 64) * 256).astype("<i2")
+                rows.append((int(doc_id), encode_wav(samples, 16_000)))
+                if doc_id % 10 == 0:
+                    pert = samples.copy()
+                    pert[0] = int(pert[0]) + 256  # one byte step
+                    rows.append((int(doc_id) + 100000, encode_wav(pert, 16_000)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", "text").mapInPandas(
+        _gen, schema="media_id long, content binary"
+    )
+
+
+def extract_audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Energy-contour audio fingerprint through the REAL WAV codec — the
+    audio analog of :func:`extract_dhash` (the simplification of the
+    spectral fingerprints behind audio dedup/retrieval): decode → first
+    456 samples (floor-padded) → 57 frames × 8 samples → integer
+    absolute-energy per frame → 56-bit contour hash (bit f set when
+    frame f's energy exceeds frame f+1's; 56 bits keeps int64-safe
+    parity with the image tier). Short frames matter: with the fixture's
+    ~300-sample signal region, 64-sample frames left only ~5
+    informative comparisons and 500 docs collapsed to 61 fingerprints —
+    8-sample frames put most of the 56 comparisons inside the signal.
+    All integer math — equal clips hash equal and an oracle replays the
+    hash exactly. Row-local, no shuffle."""
+    import numpy as np
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                samples, _rate = decode_audio(bytes(content))
+                x = np.zeros(456, dtype=np.int64)
+                n = min(len(samples), 456)
+                x[:n] = samples[:n]
+                energy = np.abs(x).reshape(57, 8).sum(axis=1)
+                h = 0
+                for f in range(56):
+                    if energy[f] > energy[f + 1]:
+                        h |= 1 << f
+                rows.append((int(media_id), h))
+            yield pd.DataFrame(rows, columns=["media_id", "fingerprint"])
+
+    return media.select("media_id", "content").mapInPandas(
+        _extract, schema="media_id long, fingerprint long"
+    )
+
+
+def multimodal_audio_fingerprints(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract query: audio dedup end-to-end through the real
+    WAV codec — synthesis (with injected one-sample near-copies) →
+    decode → energy-contour fingerprint → per-fingerprint group sizes.
+    Output: ``(media_id, fingerprint, n_same)``."""
+    media = synthesize_wav_media_from_documents(spark, sf_dir)
+    fp = extract_audio_fingerprint(media)
+    sizes = fp.groupBy("fingerprint").agg(F.count("*").alias("n_same"))
+    return fp.join(sizes, "fingerprint").select(
+        "media_id", "fingerprint", F.col("n_same").cast("bigint").alias("n_same")
+    )

@@ -70,10 +70,13 @@ def test_driver_window_rotation_closes_coverage():
         # multimodal_features rotated out late-round — both r4-green and
         # unchanged; the decode/codec path stays in-window via the two
         # dhash entries)
+        # (dedup_decontaminate also rotated out late-round — r4-green;
+        # its r5 size-guard change is pytest-asserted output-equal on
+        # both the broadcast and fallback paths)
         | {
-            "dedup_decontaminate",
             "multimodal_dhash_dedup",
             "multimodal_dhash_near_pairs",
+            "multimodal_audio_fingerprints",
             "vec_ivf_knn",
             "filter_dsl_embeddings",
         }

@@ -348,3 +348,26 @@ def test_dhash_rejects_wrong_size(spark):
     with _pytest.raises(Exception) as ei:
         extract_dhash(df).collect()
     assert "16x16" in str(ei.value)
+
+
+def test_audio_fingerprint_perceptual_properties(spark, sf_dir):
+    """Energy-contour fingerprints through the real WAV codec: the
+    injected one-sample near-copy stays within hamming 1 of its source
+    (only frame 0's energy moved, so only the frame0-vs-frame1 bit can
+    flip); distinct docs rarely collide."""
+    from oasysdb_spark.operators.multimodal import (
+        extract_audio_fingerprint,
+        synthesize_wav_media_from_documents,
+    )
+
+    media = synthesize_wav_media_from_documents(spark, sf_dir)
+    fps = {
+        r["media_id"]: r["fingerprint"]
+        for r in extract_audio_fingerprint(media).collect()
+    }
+    copies = [(m - 100000, m) for m in fps if m >= 100000]
+    assert copies
+    for src, cp in copies:
+        assert bin(fps[src] ^ fps[cp]).count("1") <= 1
+    base = [m for m in fps if m < 100000]
+    assert len({fps[m] for m in base}) > 0.9 * len(base)
