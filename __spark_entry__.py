@@ -92,7 +92,7 @@ def _manhattan_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver oracle-checks the FIRST 50 entries.
-    Round-5 rotation: the window leads with (a) the nine NEW entries
+    Round-5 rotation: the window leads with (a) the fifteen NEW entries
     (`text_boilerplate_scrub`, `text_bm25_search`, `text_gopher_quality`,
     `events_funnel`, `text_repetition_stats`, `text_vocabulary`,
     `text_span_dedup`, `embedding_balanced_sample`, `text_heavy_hitters`,
@@ -100,9 +100,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `text_unigram_surprisal`, `multimodal_dhash_dedup`,
     `multimodal_dhash_near_pairs`, `multimodal_audio_fingerprints`),
     (b) every entry whose underlying code
-    changed this round (decontamination broadcast guard, multimodal
-    decode tier, the fit_centroids refactor under vec_ivf_knn, the
-    filter-term trim under filter_dsl_embeddings), then (c) ALL 34
+    changed this round (the fit_centroids refactor under vec_ivf_knn,
+    the filter-term trim under filter_dsl_embeddings; the multimodal
+    decode tier is covered by the dhash/audio entries, the
+    decontamination guard by its both-paths pytest), then (c) ALL 34
     entries whose latest driver row is CORRECTNESS_r03 — they cycle back
     in before going a third round unchecked — and (d) a watched-bench
     representative (`text_clean_pipeline`) plus shared-signature dedup
@@ -1377,8 +1378,12 @@ def oracle_sql() -> dict[str, str]:
                  list_transform(range(1, 769), i ->
                    CASE WHEN b.pert = 1 AND i = 1
                         THEN (CASE WHEN i <= length(d.text)
-                                   THEN ascii(d.text[i]) ELSE 0 END + 1) % 256
-                        WHEN i <= length(d.text) THEN ascii(d.text[i])
+                                   THEN CASE WHEN ascii(d.text[i]) <= 127
+                                             THEN ascii(d.text[i]) ELSE 63 END
+                                   ELSE 0 END + 1) % 256
+                        WHEN i <= length(d.text)
+                        THEN CASE WHEN ascii(d.text[i]) <= 127
+                                  THEN ascii(d.text[i]) ELSE 63 END
                         ELSE 0 END) AS by
           FROM base b JOIN documents d ON b.src = d.doc_id),
         plane AS (
@@ -1428,7 +1433,9 @@ def oracle_sql() -> dict[str, str]:
         vals AS (
           SELECT b.media_id,
                  list_transform(range(1, 457), i ->
-                   abs((CASE WHEN i <= length(d.text) THEN ascii(d.text[i])
+                   abs((CASE WHEN i <= length(d.text)
+                             THEN CASE WHEN ascii(d.text[i]) <= 127
+                                       THEN ascii(d.text[i]) ELSE 63 END
                              ELSE 0 END)
                        - (CASE WHEN b.pert = 1 AND i = 1 THEN 63 ELSE 64 END)))
                    AS v

@@ -36,7 +36,7 @@ import os
 import uuid
 from typing import Any, Iterable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -631,10 +631,12 @@ class Database:
         # qvec stays DOUBLE on both input paths so the batched distance
         # arithmetic is bit-identical to query_df's double literals —
         # an f32-cast query can swap near-tie results vs N single calls
+        qvec_rows: "list[tuple[int, list[float]]] | None" = None
         if not isinstance(queries, DataFrame):
             vecs = [self._validate_dim(v) for v in queries]
+            qvec_rows = list(enumerate(vecs))
             queries = self.spark.createDataFrame(
-                list(enumerate(vecs)), "query_id bigint, qvec array<double>"
+                qvec_rows, "query_id bigint, qvec array<double>"
             )
         else:
             queries = queries.select(
@@ -683,13 +685,13 @@ class Database:
                     "PQ tier not built: call oasysdb_spark.index.pq.build_pq first"
                 )
             adc_k = int(books.shape[1])
+            if qvec_rows is None:  # DataFrame input: one collect (tiny batch)
+                qvec_rows = [
+                    (r["query_id"], list(r["qvec"])) for r in queries.collect()
+                ]
             tabled = [
-                (
-                    r["query_id"],
-                    list(r["qvec"]),
-                    [float(x) for x in adc_table(list(r["qvec"]), books).ravel()],
-                )
-                for r in queries.collect()
+                (qid, qv, [float(x) for x in adc_table(qv, books).ravel()])
+                for qid, qv in qvec_rows
             ]
             queries = self.spark.createDataFrame(
                 tabled, "query_id bigint, qvec array<double>, qtable array<double>"
@@ -726,8 +728,6 @@ class Database:
             # vectors; per-query top-rerank by ADC, then ONE id-join
             # fetches embeddings for the winners (Q×rerank rows —
             # broadcast-sized for serving batches)
-            from pyspark.sql import Window
-
             from oasysdb_spark.index.pq import adc_score_col
 
             recs_codes = recs.drop("embedding")
@@ -746,7 +746,15 @@ class Database:
                 .where(F.col("__arn") <= max(rerank, k))
                 .drop("__adc", "__arn", "qtable")
             )
-            pairs = recs.select("id", "embedding").join(F.broadcast(cand), "id")
+            # rerank fetch joins on (cluster_id, id) when indexed so the
+            # broadcast side drives dynamic partition pruning — the same
+            # cluster pruning the single-query PQ path keeps on both scans
+            if join_on:
+                pairs = recs.select("cluster_id", "id", "embedding").join(
+                    F.broadcast(cand), ["cluster_id", "id"]
+                )
+            else:
+                pairs = recs.select("id", "embedding").join(F.broadcast(cand), "id")
             pred = F.lit(True)  # already applied before the ADC cut
         elif join_on:
             pairs = recs.join(F.broadcast(qside), join_on)
@@ -759,8 +767,6 @@ class Database:
             out = out.where(F.col("distance") <= F.lit(qp.radius))
         else:
             out = out.where(F.col("distance").isNotNull())
-        from pyspark.sql import Window
-
         w = Window.partitionBy("query_id").orderBy(
             F.col("distance").asc_nulls_last(), F.col("id")
         )

@@ -223,6 +223,55 @@ def lsh_bands(sigs: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
     )
 
 
+def banded_hamming_pairs(
+    banded: DataFrame,
+    id_col: str,
+    hash_col: str,
+    band_cols: list[str],
+    max_hamming: int,
+    top_n: int,
+    out_names: tuple[str, str],
+) -> DataFrame:
+    """Banded hamming self-join shared by the simhash and perceptual-hash
+    tiers: candidates share one of the ``band_cols`` key columns, pairs
+    verify by exact ``bit_count(xor)``. One equi-join per band (an OR-of-
+    equalities predicate would lose the equi-key and plan a nested loop),
+    union, pair-level dedup, deterministic (hamming, a, b) cut. The
+    hamming filter runs BEFORE the dedup so only near-pairs transit the
+    dropDuplicates shuffle. Exhaustiveness is the CALLER's contract:
+    pigeonhole guarantees it only when max_hamming < number of bands."""
+    a_name, b_name = out_names
+    cached = banded.cache()
+
+    def band_join(key: str) -> DataFrame:
+        a, b = cached.alias("a"), cached.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col(f"a.{key}") == F.col(f"b.{key}"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias(a_name),
+                F.col(f"b.{id_col}").alias(b_name),
+                F.bit_count(
+                    F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+                ).alias("hamming"),
+            )
+            .where(F.col("hamming") <= max_hamming)
+        )
+
+    out = band_join(band_cols[0])
+    for key in band_cols[1:]:
+        out = out.unionByName(band_join(key))
+    return (
+        out.dropDuplicates([a_name, b_name])
+        .select(a_name, b_name, F.col("hamming").cast("bigint").alias("hamming"))
+        .orderBy("hamming", a_name, b_name)
+        .limit(top_n)
+    )
+
+
 def minhash_lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -442,34 +491,16 @@ def simhash_near_pairs(
     hash/sort-merge join on a 16-bit key, so the cost is pairs-per-bucket,
     not all-pairs — the same candidate set, linear-ish at corpus scale
     (hot buckets are ordinary join skew → AQE skew-join)."""
-    s = simhash_buckets(spark, sf_dir).cache()
-
-    def half_join(key: str) -> DataFrame:
-        a, b = s.alias("a"), s.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col(f"a.{key}") == F.col(f"b.{key}"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-                F.bit_count(
-                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-                ).alias("hamming"),
-            )
-            # filter BEFORE the pair-level dedup so only near-pairs transit
-            # the dropDuplicates shuffle
-            .where(F.col("hamming") <= max_hamming)
-        )
-
-    cand = (
-        half_join("lo16")
-        .unionByName(half_join("hi16"))
-        .dropDuplicates(["doc_a", "doc_b"])
+    s = simhash_buckets(spark, sf_dir)
+    return banded_hamming_pairs(
+        s,
+        id_col="doc_id",
+        hash_col="simhash",
+        band_cols=["lo16", "hi16"],
+        max_hamming=max_hamming,
+        top_n=top_n,
+        out_names=("doc_a", "doc_b"),
     )
-    return cand.orderBy("hamming", "doc_a", "doc_b").limit(top_n)
 
 
 def ngram_jaccard_pairs(

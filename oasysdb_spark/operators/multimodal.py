@@ -661,7 +661,10 @@ def synthesize_ppm16_with_near_copies(spark, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                b = text.encode("utf-8")[:768]
+                # ascii-replace: one byte per CHARACTER (non-ascii -> 63),
+                # matching the oracle's per-char ascii() indexing; utf-8
+                # multi-byte sequences would desync the two engines
+                b = text.encode("ascii", errors="replace")[:768]
                 payload = bytearray(b + b"\x00" * (768 - len(b)))
                 arr = np.frombuffer(bytes(payload), np.uint8).reshape(16, 16, 3)
                 rows.append((int(doc_id), encode_ppm(arr)))
@@ -740,11 +743,23 @@ def multimodal_dhash_near_pairs(
     """Perceptual NEAR-dup pairs over the dHash: candidates share one of
     four 14-bit hash quarters (pigeonhole: hamming ≤ 3 over 56 bits
     forces at least one untouched quarter), verified by exact
-    ``bit_count(xor)``. Same shape as the simhash half-joins — four
-    plain equi-joins + pair dedup, never an all-pairs comparison; the
-    DuckDB oracle IS the quadratic join, so a candidate lost by the
-    banding would surface as a missing row, not a silent pass. Returns
-    ``(media_a, media_b, hamming)``, ties broken by ids."""
+    ``bit_count(xor)`` — the shared
+    :func:`oasysdb_spark.operators.dedup.banded_hamming_pairs` shape,
+    never an all-pairs comparison; the DuckDB oracle IS the quadratic
+    join, so a candidate lost by the banding would surface as a missing
+    row, not a silent pass. Pigeonhole over 4 bands is exhaustive ONLY
+    for hamming ≤ 3, so larger thresholds are rejected instead of
+    silently dropping pairs. Returns ``(media_a, media_b, hamming)``,
+    ties broken by ids."""
+    from oasysdb_spark.operators.dedup import banded_hamming_pairs
+
+    if max_hamming > 3:
+        from oasysdb_spark.errors import InvalidArgumentError
+
+        raise InvalidArgumentError(
+            "4-quarter banding is exhaustive only for max_hamming <= 3 "
+            "(pigeonhole); add bands for larger thresholds"
+        )
     media = synthesize_ppm16_with_near_copies(spark, sf_dir)
     h = extract_dhash(media)
     quarters = [(f"q{i}", i * 14) for i in range(4)]
@@ -752,37 +767,18 @@ def multimodal_dhash_near_pairs(
         "media_id",
         "dhash",
         *[
-            (F.shiftright(F.col("dhash"), s).bitwiseAND(F.lit(0x3FFF))).alias(n)
-            for n, s in quarters
+            (F.shiftright(F.col("dhash"), sh).bitwiseAND(F.lit(0x3FFF))).alias(n)
+            for n, sh in quarters
         ],
-    ).cache()
-
-    def quarter_join(key: str) -> DataFrame:
-        a, b = h.alias("a"), h.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col(f"a.{key}") == F.col(f"b.{key}"))
-                & (F.col("a.media_id") < F.col("b.media_id")),
-            )
-            .select(
-                F.col("a.media_id").alias("media_a"),
-                F.col("b.media_id").alias("media_b"),
-                F.bit_count(
-                    F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
-                ).alias("hamming"),
-            )
-            .where(F.col("hamming") <= max_hamming)
-        )
-
-    cand = quarter_join("q0")
-    for key in ("q1", "q2", "q3"):
-        cand = cand.unionByName(quarter_join(key))
-    return (
-        cand.dropDuplicates(["media_a", "media_b"])
-        .select("media_a", "media_b", F.col("hamming").cast("bigint").alias("hamming"))
-        .orderBy("hamming", "media_a", "media_b")
-        .limit(top_n)
+    )
+    return banded_hamming_pairs(
+        h,
+        id_col="media_id",
+        hash_col="dhash",
+        band_cols=[n for n, _ in quarters],
+        max_hamming=max_hamming,
+        top_n=top_n,
+        out_names=("media_a", "media_b"),
     )
 
 
@@ -803,7 +799,7 @@ def synthesize_wav_media_from_documents(spark, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 b = np.zeros(4096, dtype=np.int64)
-                raw = text.encode("utf-8")[:4096]
+                raw = text.encode("ascii", errors="replace")[:4096]
                 b[: len(raw)] = np.frombuffer(raw, np.uint8)
                 samples = ((b - 64) * 256).astype("<i2")
                 rows.append((int(doc_id), encode_wav(samples, 16_000)))
