@@ -92,13 +92,14 @@ def _manhattan_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver oracle-checks the FIRST 50 entries.
-    Round-5 rotation: the window leads with (a) the fifteen NEW entries
+    Round-5 rotation: the window leads with (a) the sixteen NEW entries
     (`text_boilerplate_scrub`, `text_bm25_search`, `text_gopher_quality`,
     `events_funnel`, `text_repetition_stats`, `text_vocabulary`,
     `text_span_dedup`, `embedding_balanced_sample`, `text_heavy_hitters`,
     `orders_trailing_spend`, `events_retention_cohorts`,
     `text_unigram_surprisal`, `multimodal_dhash_dedup`,
-    `multimodal_dhash_near_pairs`, `multimodal_audio_fingerprints`),
+    `multimodal_dhash_near_pairs`, `multimodal_audio_fingerprints`,
+    `dedup_representative_pick`),
     (b) every entry whose underlying code
     changed this round (the fit_centroids refactor under vec_ivf_knn,
     the filter-term trim under filter_dsl_embeddings; the multimodal
@@ -107,10 +108,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries whose latest driver row is CORRECTNESS_r03 — they cycle back
     in before going a third round unchecked — and (d) a watched-bench
     representative (`text_clean_pipeline`) plus shared-signature dedup
-    paths. The eleven entries added after the rotation displaced eleven
-    r4-green rows (`text_hash_embeddings`, `events_tumbling_hourly`,
+    paths. The entries added after the rotation displaced r4-green rows
+    (`text_hash_embeddings`, `events_tumbling_hourly`,
     `dedup_simhash_pairs`, `dedup_exact_stats`, `dedup_exact_pick`,
-    `dedup_components`, `dedup_embedding_cosine`, `dedup_minhash_lsh`,
+    `dedup_components`, `dedup_embedding_cosine`, `dedup_minhash_lsh` —
+    whose band/verify join path stays driver-checked through
+    `dedup_representative_pick`'s edge generator —
     `multimodal_pixel_stats`, `multimodal_features`,
     `dedup_decontaminate` — the codec path stays in-window via the
     dhash/audio entries, the decontamination size-guard is
@@ -135,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_dhash_dedup": mm.multimodal_dhash_dedup,
         "multimodal_dhash_near_pairs": mm.multimodal_dhash_near_pairs,
         "multimodal_audio_fingerprints": mm.multimodal_audio_fingerprints,
+        "dedup_representative_pick": dedup.representative_pick,
         # --- (b) code touched in round 5: re-verify through the driver ---
         "window_functions_suite": rel.window_functions_suite,
         "grouping_sets_orders": rel.grouping_sets_orders,
@@ -142,7 +146,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_ivf_knn": _ivf_knn,
         "filter_dsl_embeddings": rel.filter_dsl_embeddings,
         # --- (d) shared-signature dedup paths + the bench-watched pipeline ---
-        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
         "skew_salted_user_join": rel.skew_salted_user_join,
         "bucketed_revenue_by_priority": rel.bucketed_revenue_by_priority,
         "setop_customers": rel.setop_customers,
@@ -191,6 +194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_supplier": rel.q21_waiting_supplier,
         # ---- driver window boundary (50) — every entry below has a green
         # hash-matched CORRECTNESS_r04 row and is unchanged since ----
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
         "text_boilerplate_ngrams": textops.boilerplate_ngrams,
         "asof_click_view": tmp.asof_click_view,
         "sessionize_events": rel.sessionize_events,
@@ -677,6 +681,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc)
         SELECT doc AS doc_id, CAST(min(root) AS BIGINT) AS component_id
         FROM reach GROUP BY doc"""
+
+    # representative pick: same components, then keep the longest doc per
+    # multi-member group (tie → min doc_id) via a window rank replay
+    q["dedup_representative_pick"] = f"""
+        WITH RECURSIVE {_mh_cte},
+        thresh AS (SELECT doc_a, doc_b FROM pairs
+                   WHERE CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM thresh
+                  UNION ALL SELECT doc_b, doc_a FROM thresh),
+        reach(doc, root) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.doc),
+        comps AS (SELECT doc AS doc_id, min(root) AS component_id FROM reach GROUP BY doc),
+        members AS (SELECT c.component_id, c.doc_id, d.n_chars
+                    FROM comps c JOIN documents d ON c.doc_id = d.doc_id),
+        ranked AS (SELECT component_id, doc_id,
+                     row_number() OVER (PARTITION BY component_id
+                                        ORDER BY n_chars DESC, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY component_id) AS n_members
+                   FROM members)
+        SELECT CAST(component_id AS BIGINT) AS component_id,
+               CAST(doc_id AS BIGINT) AS rep_doc_id,
+               CAST(n_members AS BIGINT) AS n_members,
+               CAST(n_members - 1 AS BIGINT) AS n_dropped
+        FROM ranked WHERE rn = 1 AND n_members > 1"""
 
     h_tok = hash64_sql("t")
     _simhash_cte = f"""

@@ -463,6 +463,49 @@ def connected_components(
     )
 
 
+def representative_pick(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    threshold: float = 0.5,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """The dedup DECISION the reference never has to make: given near-dup
+    components (:func:`dedup_components`), keep ONE representative per
+    multi-doc group — the longest document (``n_chars``), ties broken by
+    the smallest ``doc_id`` — and report what gets dropped. This is the
+    "what do you actually keep" half of corpus near-dedup; pairs and
+    components alone don't shrink a corpus.
+
+    Output: ``(component_id, rep_doc_id, n_members, n_dropped)`` for every
+    component with ≥ 2 members (singletons are trivially kept and omitted,
+    so the result is ∝ dup groups, not corpus size).
+
+    Scale shape: components cost the usual label-propagation rounds; the
+    pick itself is ONE extra equi-join (components × doc lengths, both
+    keyed by ``doc_id``) and ONE groupBy on ``component_id`` using a
+    struct-max aggregate — max of ``(n_chars, -doc_id)`` — so there is no
+    window sort, partial aggregation is map-side, and the full text never
+    shuffles. Pass ``docs`` to dedup any (doc_id, text, n_chars) frame."""
+    if docs is None:
+        docs = load_documents(spark, sf_dir, spread=True)
+    comps = dedup_components(spark, sf_dir, threshold=threshold, docs=docs)
+    members = comps.join(docs.select("doc_id", "n_chars"), "doc_id")
+    best = F.max(
+        F.struct(F.col("n_chars").alias("q"), (-F.col("doc_id")).alias("neg_id"))
+    )
+    return (
+        members.groupBy("component_id")
+        .agg(best.alias("best"), F.count("*").cast("bigint").alias("n_members"))
+        .where(F.col("n_members") > 1)
+        .select(
+            F.col("component_id").cast("bigint").alias("component_id"),
+            (-F.col("best.neg_id")).cast("bigint").alias("rep_doc_id"),
+            "n_members",
+            (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+        )
+    )
+
+
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 32-bit SimHash plus its two 16-bit halves (the LSH
     buckets used for hamming-distance candidate pairing)."""

@@ -65,6 +65,7 @@ def test_driver_window_rotation_closes_coverage():
             "text_bm25_search",
             "text_gopher_quality",
             "events_funnel",
+            "dedup_representative_pick",
         }
         # code touched in round 5 (multimodal_pixel_stats and
         # multimodal_features rotated out late-round — both r4-green and

@@ -465,6 +465,44 @@ def test_dedup_components_match_union_find(spark, sf_dir):
     assert any(v != k for k, v in got.items())
 
 
+def test_representative_pick_keeps_longest_then_min_id(spark, sf_dir):
+    """representative_pick must choose, per multi-member component, the doc
+    with max n_chars (tie → min doc_id), and report member/drop counts
+    consistent with dedup_components — verified against a driver-side
+    replay over the same components."""
+    from collections import defaultdict
+
+    from oasysdb_spark.operators import dedup
+
+    comps = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.dedup_components(spark, sf_dir).collect()
+    }
+    lengths = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    groups = defaultdict(list)
+    for doc, comp in comps.items():
+        groups[comp].append(doc)
+    want = {
+        comp: (
+            min(members, key=lambda d: (-lengths[d], d)),
+            len(members),
+            len(members) - 1,
+        )
+        for comp, members in groups.items()
+        if len(members) > 1
+    }
+
+    got = {
+        r["component_id"]: (r["rep_doc_id"], r["n_members"], r["n_dropped"])
+        for r in dedup.representative_pick(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want  # fixture has real dup groups, so the pick is exercised
+
+
 def test_sketch_stats_error_bounds(spark, sf_dir):
     """Sketches must land within their advertised error of the exact
     twins: HLL++ distinct within ~3x rsd, approx median within 2% of the
