@@ -240,7 +240,8 @@ def prepare_training_corpus(
         duplicate-5-gram rules, Arrow hot path) → BOILERPLATE scrub
         (mine top-DF n-grams, drop dominated docs) → exact dedup
         (fingerprint, keep min id) → NEAR-dup clustering (MinHash
-        components, keep the component representative) → token-budget
+        components, keep the QUALITY representative: most tokens,
+        tie → min doc_id, as dedup.representative_pick) → token-budget
         sequence packing per hash shard
 
     Returns one summary row: document counts surviving each stage, the
@@ -309,12 +310,24 @@ def prepare_training_corpus(
     exact_unique = scrubbed.join(keep_exact, "doc_id").cache()
     n_exact = exact_unique.count()
 
-    # near-dup clustering over the exact-unique survivors; the component
-    # representative (min doc_id == component_id) survives
+    # near-dup clustering over the exact-unique survivors; keep the
+    # QUALITY representative per component — the member with the most
+    # tokens (tie → min doc_id), the same struct-max pick as
+    # dedup.representative_pick — rather than blindly keeping the
+    # smallest id: real pipelines keep the longest/most complete copy
     comps = dedup_components(
         spark, threshold=near_threshold, docs=exact_unique.select("doc_id", "text")
     )
-    reps = comps.where(F.col("doc_id") == F.col("component_id")).select("doc_id")
+    reps = (
+        comps.join(exact_unique.select("doc_id", "bpe"), "doc_id")
+        .groupBy("component_id")
+        .agg(
+            F.max(
+                F.struct(F.col("bpe"), (-F.col("doc_id")).alias("neg_id"))
+            ).alias("best")
+        )
+        .select((-F.col("best.neg_id")).alias("doc_id"))
+    )
     final = exact_unique.join(reps, "doc_id").cache()
     n_final = final.count()
 

@@ -29,6 +29,7 @@ BIG = os.environ.get("SCALE_BIG", "/root/testdata/sf0.1")
 DEFAULT = [
     "dedup_minhash_lsh",
     "dedup_components",
+    "dedup_representative_pick",
     "dedup_simhash_pairs",
     "text_clean_pipeline",
     "text_pack_sequences",
