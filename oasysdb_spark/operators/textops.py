@@ -1031,6 +1031,68 @@ def heavy_hitter_terms(
     )
 
 
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram corpus-LM quality signal — the next rung up from
+    :func:`unigram_surprisal` toward the CCNet/KenLM perplexity filter:
+    fit add-one-smoothed bigram probabilities over the corpus itself,
+    then score every document by its mean per-bigram surprisal in bits,
+    ``-log2 (c(w1,w2) + 1) / (c(w1) + V)``. Repetitive/templated text
+    (predictable continuations) scores low; incoherent token salad
+    scores near ``log2 V``; both tails are curation targets. Returns
+    ``(doc_id, n_bigrams, bits_per_bigram)`` for docs with ≥ 2 tokens.
+
+    Scale shape: bigrams form ROW-LOCALLY (an expression-level
+    ``transform`` over the token array — no window, no shuffle), then
+    one (bigram) aggregation builds the LM; context counts ``c(w1)``
+    derive from the already-aggregated bigram-count table (vocab²-bounded,
+    ≪ corpus) rather than a second pass over the stream; scoring is two
+    hash equi-joins (bigram → c2, first-token → c1) and one (doc)
+    aggregation. Float discipline follows BM25/unigram: identical
+    integer-ratio-into-log arithmetic on both engines, round(avg, 6)."""
+    docs = _docs(spark, sf_dir)
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("tk")).cache()
+    bigr = (
+        tk.where(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tk") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("tk", i + 1),
+                        F.element_at("tk", i + 2),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .cache()
+    )
+    bg_counts = bigr.groupBy("bg").agg(F.count("*").alias("c2"))
+    ctx = (
+        bg_counts.withColumn("w1", F.split("bg", " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("c2").alias("c1"))
+    )
+    vocab_size = (
+        tk.select(F.explode("tk").alias("t")).agg(F.countDistinct("t")).first()[0]
+    )
+    bits = F.log(
+        (F.col("c1") + F.lit(int(vocab_size))).cast("double")
+        / (F.col("c2") + F.lit(1.0))
+    ) / F.log(F.lit(2.0))
+    return (
+        bigr.join(bg_counts, "bg")
+        .withColumn("w1", F.split("bg", " ")[0])
+        .join(ctx, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(bits), 6).alias("bits_per_bigram"),
+        )
+    )
+
+
 def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-LM statistical quality signal (the CCNet move, with the
     honest training-free surrogate: a unigram LM instead of KenLM): fit

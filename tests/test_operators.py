@@ -2,6 +2,8 @@
 cross-engine value checks live in tools/check_correctness.py; these pin
 semantic properties on the sf0.001 fixtures)."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -463,6 +465,54 @@ def test_dedup_components_match_union_find(spark, sf_dir):
     assert got == want
     # the fixture contains real near-dup clusters, not just singletons
     assert any(v != k for k, v in got.items())
+
+
+def test_bigram_surprisal_matches_duckdb_oracle(spark, sf_dir):
+    """bigram_surprisal hash-compared against an independent DuckDB
+    replay (same compare machinery as tools/check_correctness.py) — the
+    self-oracle gate ahead of the operator's driver-window rotation."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.operators import textops
+
+    got = textops.bigram_surprisal(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    res = con.execute(f"""
+        WITH toks AS (SELECT doc_id, {toks} AS tk FROM documents),
+        bg AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(tk)),
+                        i -> tk[i] || ' ' || tk[i+1])) AS bg
+               FROM toks WHERE len(tk) >= 2),
+        bgc AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+        ctx AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1
+                FROM bgc GROUP BY 1),
+        v AS (SELECT count(DISTINCT t) AS vs
+              FROM (SELECT unnest(tk) AS t FROM toks)),
+        scored AS (SELECT b.doc_id,
+                     ln(CAST(c1 + vs AS DOUBLE) / (c2 + 1.0)) / ln(2) AS bits
+                   FROM bg b JOIN bgc USING (bg)
+                   JOIN ctx ON string_split(b.bg, ' ')[1] = ctx.w1, v)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               ROUND(avg(bits), 6) AS bits_per_bigram
+        FROM scored GROUP BY doc_id""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    issues = compare("bigram_surprisal", spark_rows, spark_cols, duck_rows, duck_cols)
+    assert not issues, issues
+    assert len(spark_rows) > 0
 
 
 def test_representative_pick_keeps_longest_then_min_id(spark, sf_dir):
