@@ -1031,6 +1031,86 @@ def heavy_hitter_terms(
     )
 
 
+def shard_plan(
+    spark: SparkSession, sf_dir: str, n_shards: int = 16, seed: str = "shard0"
+) -> DataFrame:
+    """Training-output shard planning — the step between a cleaned corpus
+    and the files a trainer reads: assign every doc to one of
+    ``n_shards`` shards by a SEEDED deterministic hash of its id (the
+    global shuffle that decorrelates adjacent source docs), and report
+    per-shard balance, ``(shard, n_docs, total_tokens, distinct_sources)``.
+    A skewed row means a bad hash or key pathology — this is the check
+    you run BEFORE burning a 1000-executor write.
+
+    Scale shape: assignment is a row-local md5-based hash (the same
+    cross-engine family the dedup tier uses, salted by ``seed`` so
+    re-sharding for a new epoch is a salt change, not new machinery);
+    the stats are one groupBy on the shard id. The physical write is
+    ``df.repartition(n_shards, "shard").write`` — assignment and
+    partitioning share the same key, so the plan has exactly one
+    exchange and shard files come out size-balanced."""
+    from oasysdb_spark.functions.hashing import hash64
+
+    docs = _docs(spark, sf_dir)
+    shard = F.pmod(
+        hash64(F.col("doc_id").cast("string"), salt=seed), F.lit(n_shards)
+    )
+    return (
+        docs.select(
+            shard.cast("int").alias("shard"),
+            token_count_bpe(F.col("text")).cast("bigint").alias("n_tokens"),
+            "source",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.countDistinct("source").cast("bigint").alias("distinct_sources"),
+        )
+    )
+
+
+def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-based curriculum assignment (short→long is the classic
+    LM curriculum): bucket every doc into quartiles of its BPE token
+    count and report per-bucket corpus stats,
+    ``(bucket, n_docs, min_tokens, max_tokens, total_tokens)``.
+
+    Scale shape: assignment is NOT a global sort/ntile — the three exact
+    quartile thresholds are computed once by an ordered aggregate (the
+    same exact-``percentile`` surface as ``percentile_stats``; its
+    mergeable-sketch twin is the 100 TB path), collected driver-side as
+    three doubles, and bucketing is then a row-local comparison chain,
+    so the corpus itself never globally sorts. Spark's exact
+    ``percentile`` matches DuckDB's ``quantile_cont`` bit-for-bit, and
+    every output column is integer, so the oracle hash has no float
+    surface at all."""
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", token_count_bpe(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    t1, t2, t3 = (
+        scored.agg(
+            F.expr("percentile(n_tokens, array(0.25, 0.5, 0.75))").alias("t")
+        ).first()["t"]
+    )
+    bucket = (
+        F.when(F.col("n_tokens") > F.lit(float(t1)), 1).otherwise(0)
+        + F.when(F.col("n_tokens") > F.lit(float(t2)), 1).otherwise(0)
+        + F.when(F.col("n_tokens") > F.lit(float(t3)), 1).otherwise(0)
+    )
+    return (
+        scored.withColumn("bucket", bucket.cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
 def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram corpus-LM quality signal — the next rung up from
     :func:`unigram_surprisal` toward the CCNet/KenLM perplexity filter:

@@ -467,6 +467,94 @@ def test_dedup_components_match_union_find(spark, sf_dir):
     assert any(v != k for k, v in got.items())
 
 
+def _duck_compare(spark_df, sf_dir, sql, tables=("documents",)):
+    """Hash-compare a Spark result against a DuckDB replay with the same
+    machinery tools/check_correctness.py uses (self-oracle gate for
+    operators staged ahead of their driver-window rotation)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    spark_cols = spark_df.columns
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    res = con.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare("self_oracle", spark_rows, spark_cols, duck_rows, duck_cols)
+    assert not issues, issues
+    assert len(spark_rows) > 0
+
+
+_BPE_SQL = "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))"
+
+
+def test_curriculum_buckets_matches_duckdb_oracle(spark, sf_dir):
+    """Quartile thresholds (Spark exact percentile == DuckDB
+    quantile_cont) + row-local bucketing must agree across engines;
+    buckets partition the corpus."""
+    from oasysdb_spark.operators import textops
+
+    got = textops.curriculum_buckets(spark, sf_dir)
+    _duck_compare(
+        got,
+        sf_dir,
+        f"""
+        WITH scored AS (SELECT doc_id, CAST({_BPE_SQL} AS BIGINT) AS n_tokens
+                        FROM documents),
+        t AS (SELECT quantile_cont(n_tokens, 0.25) AS t1,
+                     quantile_cont(n_tokens, 0.5) AS t2,
+                     quantile_cont(n_tokens, 0.75) AS t3 FROM scored)
+        SELECT CAST((CASE WHEN n_tokens > t1 THEN 1 ELSE 0 END
+                   + CASE WHEN n_tokens > t2 THEN 1 ELSE 0 END
+                   + CASE WHEN n_tokens > t3 THEN 1 ELSE 0 END) AS INTEGER) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+               CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM scored, t GROUP BY 1""",
+    )
+    rows = got.collect()
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n  # buckets partition the corpus
+
+
+def test_shard_plan_matches_duckdb_oracle_and_balances(spark, sf_dir):
+    """Seeded-hash shard assignment must replay exactly in DuckDB via
+    the shared md5 hash family, cover every doc, and balance within a
+    loose bound (no shard > 2x the mean)."""
+    from oasysdb_spark.functions.hashing import hash64_sql
+    from oasysdb_spark.operators import textops
+
+    n_shards = 16
+    got = textops.shard_plan(spark, sf_dir, n_shards=n_shards)
+    h = hash64_sql("CAST(doc_id AS VARCHAR)", salt="shard0")
+    _duck_compare(
+        got,
+        sf_dir,
+        f"""
+        WITH assigned AS (SELECT CAST({h} % {n_shards} AS INTEGER) AS shard,
+                            CAST({_BPE_SQL} AS BIGINT) AS n_tokens, source
+                          FROM documents)
+        SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(count(DISTINCT source) AS BIGINT) AS distinct_sources
+        FROM assigned GROUP BY shard""",
+    )
+    rows = got.collect()
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n
+    mean = n / n_shards
+    assert max(r["n_docs"] for r in rows) <= 2 * mean
+
+
 def test_bigram_surprisal_matches_duckdb_oracle(spark, sf_dir):
     """bigram_surprisal hash-compared against an independent DuckDB
     replay (same compare machinery as tools/check_correctness.py) — the
