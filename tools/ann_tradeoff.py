@@ -135,6 +135,36 @@ def _pq_sweep(spark, sf_dir, n_queries, k, exact_euc):
             )
         )
 
+    # IVFADC: residual coding under the coarse quantizer — sweep the
+    # probes×rerank grid (the two independent levers)
+    codes_r, cents, books_r = pq.build_ivfpq(spark, sf_dir, n_clusters=16)
+    codes_r = codes_r.cache()
+    codes_r.count()  # materialize untimed
+    for probes in (2, 4, 8, 16):
+        for rerank in (32, 128):
+            hits, t0 = 0, time.time()
+            for qid in range(n_queries):
+                got = [
+                    r["vec_id"]
+                    for r in pq.ivfpq_knn(
+                        spark, sf_dir, query_vec_id=qid, k=k,
+                        probes=probes, rerank=rerank,
+                        codes_df=codes_r, centroids=cents, codebooks=books_r,
+                    ).collect()
+                ]
+                hits += len(set(got) & set(exact_euc[qid]))
+            print(
+                json.dumps(
+                    {
+                        "index": "ivfpq",
+                        "probes": probes,
+                        "rerank": rerank,
+                        "recall_at_10": round(hits / (n_queries * k), 3),
+                        "avg_sec": round((time.time() - t0) / n_queries, 3),
+                    }
+                )
+            )
+
 
 if __name__ == "__main__":
     main()
