@@ -1031,6 +1031,92 @@ def heavy_hitter_terms(
     )
 
 
+def source_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation report — the per-SOURCE rollup a curation
+    team reads before deciding what to crawl more of or cut: for each
+    ``source``, doc count, total BPE tokens, how many of its docs are
+    corpus-wide exact duplicates (hash-membership in >1-sized content
+    groups — dup-heavy sources are usually mirrors/scrapers), and mean
+    quality score (the same 4-rule composite as ``text_quality``).
+
+    Scale shape: quality and content hash are row-local; duplicate
+    membership is one (hash) aggregation + one hash equi-join back (the
+    text itself never shuffles — only the 8-byte digest does); the
+    rollup is one (source) aggregation."""
+    from oasysdb_spark.functions.hashing import hash64
+
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    quality = (
+        F.when(F.size(toks) >= 20, 1).otherwise(0)
+        + F.when(F.round(punct_ratio(F.col("text")), 6) <= 0.1, 1).otherwise(0)
+        + F.when(F.round(stopword_ratio(toks), 6) >= 0.05, 1).otherwise(0)
+        + F.when(F.round(uniq_token_ratio(toks), 6) >= 0.3, 1).otherwise(0)
+    )
+    scored = docs.select(
+        "source",
+        token_count_bpe(F.col("text")).cast("bigint").alias("n_tokens"),
+        quality.cast("bigint").alias("quality"),
+        hash64(F.col("text")).alias("ch"),
+    )
+    dup_hashes = (
+        scored.groupBy("ch")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .select("ch")
+    )
+    flagged = scored.join(
+        dup_hashes.withColumn("is_dup", F.lit(1)), "ch", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+        )
+    )
+
+
+def oov_rate(spark: SparkSession, sf_dir: str, top_k: int = 500) -> DataFrame:
+    """Vocabulary-coverage scoring — the tokenizer-fit signal: build the
+    corpus-wide ``top_k`` vocabulary (by term frequency, ties → term
+    ascending, the same deterministic cut as :func:`vocabulary`), then
+    report each doc's out-of-vocabulary token share,
+    ``(doc_id, n_tokens, n_oov, oov_rate)``. High-OOV docs are the ones
+    a fixed tokenizer will shred into bytes — a curation/routing signal.
+
+    Scale shape: one (term) aggregation (map-side partials) feeds a
+    top-k cut over the already-aggregated vocab table (≪ corpus); the
+    vocab broadcasts to the token stream (k rows by construction); one
+    (doc) aggregation finishes. The raw text never shuffles."""
+    docs = _docs(spark, sf_dir)
+    terms = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    vocab = (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.col("tf").desc(), "term")
+        .limit(top_k)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        terms.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn("oov_rate", F.round(F.col("n_oov") / F.col("n_tokens"), 6))
+    )
+
+
 def shard_plan(
     spark: SparkSession, sf_dir: str, n_shards: int = 16, seed: str = "shard0"
 ) -> DataFrame:

@@ -555,6 +555,78 @@ def test_shard_plan_matches_duckdb_oracle_and_balances(spark, sf_dir):
     assert max(r["n_docs"] for r in rows) <= 2 * mean
 
 
+def test_source_curation_stats_matches_duckdb_oracle(spark, sf_dir):
+    """Per-source rollup (docs, tokens, corpus-wide dup membership, mean
+    quality) must replay exactly in DuckDB, and totals must cover the
+    corpus."""
+    import __spark_entry__ as entry
+    from oasysdb_spark.functions.hashing import hash64_sql
+    from oasysdb_spark.operators import textops
+
+    got = textops.source_curation_stats(spark, sf_dir)
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    sw = entry._EN_SW
+    ch = hash64_sql("text")
+    _duck_compare(
+        got,
+        sf_dir,
+        f"""
+        WITH scored AS (
+          SELECT source, CAST({_BPE_SQL} AS BIGINT) AS n_tokens,
+                 CAST((CASE WHEN len({toks}) >= 20 THEN 1 ELSE 0 END)
+                    + (CASE WHEN round(CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+                              / nullif(length(text), 0), 6) <= 0.1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN round(CAST(len(list_filter({toks}, t -> list_contains({sw}, t))) AS DOUBLE)
+                              / nullif(len({toks}), 0), 6) >= 0.05 THEN 1 ELSE 0 END)
+                    + (CASE WHEN round(CAST(len(list_distinct({toks})) AS DOUBLE)
+                              / nullif(len({toks}), 0), 6) >= 0.3 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS quality,
+                 {ch} AS ch
+          FROM documents),
+        dups AS (SELECT ch FROM scored GROUP BY ch HAVING count(*) > 1)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(CASE WHEN ch IN (SELECT ch FROM dups) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+               round(avg(quality), 6) AS mean_quality
+        FROM scored GROUP BY source""",
+    )
+    rows = got.collect()
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n
+
+
+def test_oov_rate_matches_duckdb_oracle(spark, sf_dir):
+    """Top-k vocabulary cut (tf desc, term asc) + OOV share per doc must
+    replay exactly in DuckDB; shrinking the vocabulary can only raise
+    any doc's OOV rate."""
+    from oasysdb_spark.operators import textops
+
+    got = textops.oov_rate(spark, sf_dir, top_k=200)
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    _duck_compare(
+        got,
+        sf_dir,
+        f"""
+        WITH terms AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+        vocab AS (SELECT term FROM (
+                    SELECT term, count(*) AS tf FROM terms GROUP BY term
+                    ORDER BY tf DESC, term LIMIT 200)),
+        j AS (SELECT t.doc_id,
+                CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+              FROM terms t LEFT JOIN vocab v ON t.term = v.term)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(oov) AS BIGINT) AS n_oov,
+               round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+        FROM j GROUP BY doc_id""",
+    )
+    small = {
+        r["doc_id"]: r["oov_rate"]
+        for r in textops.oov_rate(spark, sf_dir, top_k=50).collect()
+    }
+    big = {r["doc_id"]: r["oov_rate"] for r in got.collect()}
+    assert all(small[d] >= big[d] for d in big)
+
+
 def test_bigram_surprisal_matches_duckdb_oracle(spark, sf_dir):
     """bigram_surprisal hash-compared against an independent DuckDB
     replay (same compare machinery as tools/check_correctness.py) — the
