@@ -100,26 +100,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     `text_unigram_surprisal`, `multimodal_dhash_dedup`,
     `multimodal_dhash_near_pairs`, `multimodal_audio_fingerprints`,
     `dedup_representative_pick`),
-    (b) every entry whose underlying code
-    changed this round (the fit_centroids refactor under vec_ivf_knn,
-    the filter-term trim under filter_dsl_embeddings; the multimodal
-    decode tier is covered by the dhash/audio entries, the
-    decontamination guard by its both-paths pytest), then (c) ALL 34
-    entries whose latest driver row is CORRECTNESS_r03 — they cycle back
-    in before going a third round unchecked — and (d) a watched-bench
-    representative (`text_clean_pipeline`) plus shared-signature dedup
-    paths. The entries added after the rotation displaced r4-green rows
-    (`text_hash_embeddings`, `events_tumbling_hourly`,
-    `dedup_simhash_pairs`, `dedup_exact_stats`, `dedup_exact_pick`,
-    `dedup_components`, `dedup_embedding_cosine`, `dedup_minhash_lsh` —
-    whose band/verify join path stays driver-checked through
-    `dedup_representative_pick`'s edge generator —
-    `multimodal_pixel_stats`, `multimodal_features`,
-    `dedup_decontaminate` — the codec path stays in-window via the
-    dhash/audio entries, the decontamination size-guard is
-    pytest-asserted output-equal on both paths) — every entry outside
-    the window holds a green hash-matched CORRECTNESS_r04 row and is
-    unchanged since; the whole r3-stale tail stays inside."""
+    then (b) ALL 33 entries whose latest driver row is CORRECTNESS_r03
+    (they cycle back in before going a third round unchecked — this set
+    already contains the round-5-touched `filter_dsl_embeddings`
+    filter-term trim, the skew/bucketed/setop join paths, and the whole
+    vec_* tier), and (c) `vec_ivf_knn`, r4-green but re-verified because
+    the fit_centroids refactor sits under it. 16 + 33 + 1 = exactly 50;
+    the window is FULL, so every other entry sits outside it holding a
+    green hash-matched row from the most recent round that checked it
+    (r04 — `text_clean_pipeline`, `dedup_decontaminate`,
+    `multimodal_features`/`_pixel_stats`, the dedup_* fillers,
+    `dedup_minhash_lsh` whose band/verify join path stays driver-checked
+    through `dedup_representative_pick`'s edge generator, q1/q21, …) and
+    unchanged since; the multimodal decode tier is driver-covered via
+    the in-window dhash/audio entries, the decontamination size-guard by
+    its both-paths pytest. The boundary comment below marks entry 50 —
+    but the rotation test checks the real slice, not the comment."""
     return {
         # --- (a) new in round 5: boilerplate REMOVAL (mining's other half),
         # BM25 retrieval, Gopher quality rules, sequential funnel ---
@@ -177,11 +173,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "math_stats": rel.math_stats,
         "string_part_stats": rel.string_part_stats,
         "json_event_stats": rel.json_event_stats,
+        # ---- driver window boundary: json_event_stats above is entry 50
+        # (count them — don't trust a comment's position; the rotation
+        # test in tests/test_entry.py checks the REAL first-50 slice).
+        # Every entry below holds a green hash-matched row from the most
+        # recent round that checked it (r04 unless noted) and is
+        # unchanged since ----
         "dedup_decontaminate": _decontaminate,
         "multimodal_features": mm.multimodal_features,
         "multimodal_pixel_stats": mm.multimodal_pixel_stats,
         "text_clean_pipeline": textops.clean_corpus_pipeline,
-        # --- r4-green fillers rounding the window to 50 ---
         "dedup_components": dedup.dedup_components,
         "dedup_embedding_cosine": dedup.embedding_near_pairs,
         "dedup_exact_pick": dedup.exact_dedup_pick,
@@ -192,8 +193,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_knn_cosine": lambda s, d: vec.knn_bruteforce(s, d, metric="cosine"),
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q21_waiting_supplier": rel.q21_waiting_supplier,
-        # ---- driver window boundary (50) — every entry below has a green
-        # hash-matched CORRECTNESS_r04 row and is unchanged since ----
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
         "text_boilerplate_ngrams": textops.boilerplate_ngrams,
         "asof_click_view": tmp.asof_click_view,

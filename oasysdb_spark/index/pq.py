@@ -291,7 +291,9 @@ def build_ivfpq(
 
     Returns ``(codes_df, centroids, codebooks)`` where ``codes_df`` is
     ``(vec_id, cluster_id, pq_code)`` — the steady-state table an ingest
-    job would persist partitioned by ``cluster_id``. The residual is
+    job would persist partitioned by ``cluster_id``. The codes come back
+    CACHED and materialized (the assign+encode UDF chain runs once, at
+    build time), and the intermediate residual frame is unpersisted. The residual is
     computed JVM-side (``zip_with`` against the broadcast-joined
     centroid), so the only Python in the build is the Arrow-batched
     assign/encode pair that already powers the IVF and PQ tiers."""
@@ -315,11 +317,18 @@ def build_ivfpq(
                 "embedding", "centroid", lambda a, b: a.cast("double") - b
             ).alias("embedding"),
         )
+        .cache()  # reused by the codebook fit AND the encode pass
     )
     books = fit_codebooks(
         resid.select("embedding"), m=m, nbits=nbits, seed=seed
     )
-    codes = encode(resid, books).select("vec_id", "cluster_id", "pq_code")
+    # materialize the codes eagerly (build is the batch/ingest step) so
+    # the assign+encode UDF chain runs ONCE, then release the residuals
+    codes = (
+        encode(resid, books).select("vec_id", "cluster_id", "pq_code").cache()
+    )
+    codes.count()
+    resid.unpersist()
     return codes, cents, books
 
 
@@ -358,7 +367,16 @@ def ivfpq_knn(
     from oasysdb_spark.functions.vectors import sqeuclidean
     from oasysdb_spark.operators.vectorops import load_embeddings, round_dist
 
-    if codes_df is None or centroids is None or codebooks is None:
+    prebuilt = (codes_df is not None, centroids is not None, codebooks is not None)
+    if any(prebuilt) and not all(prebuilt):
+        # a partial layout is always a mistake: rebuilding would silently
+        # ignore the expensive pieces the caller DID pass, and mixing
+        # pieces from different builds scores garbage
+        raise InvalidArgumentError(
+            "pass codes_df, centroids and codebooks together (from build_ivfpq) "
+            "or none of them"
+        )
+    if codes_df is None:
         codes_df, centroids, codebooks = build_ivfpq(
             spark, sf_dir, n_clusters=n_clusters, m=m, nbits=nbits, seed=seed
         )
@@ -381,7 +399,15 @@ def ivfpq_knn(
     cand = (
         codes_df.where(F.col("cluster_id").isin(probe_ids))
         .join(F.broadcast(tab_df), "cluster_id")
-        .select("vec_id", adc_score_col(F.col("adc_flat"), 2**nbits).alias("adc"))
+        # stride derives from the codebooks actually in use, NOT the
+        # nbits parameter — a prebuilt layout with a different nbits
+        # would otherwise silently read the wrong table entries
+        .select(
+            "vec_id",
+            adc_score_col(F.col("adc_flat"), int(np.asarray(codebooks).shape[1])).alias(
+                "adc"
+            ),
+        )
         .orderBy(F.col("adc").asc_nulls_last(), "vec_id")
         .limit(max(rerank, k))
     )

@@ -49,12 +49,28 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_rules(text_col, toks) -> "F.Column":
+    """The 4-rule quality composite — THE single definition shared by
+    ``quality_scores`` (the ``text_quality`` oracle surface), both corpus
+    pipelines, and ``source_curation_stats``: +1 each for ≥20 tokens,
+    punct ratio ≤0.1, stopword ratio ≥0.05, distinct-token ratio ≥0.3.
+    Each ratio is rounded to 6 BEFORE the threshold compare, matching the
+    DuckDB oracle's arithmetic exactly; tweak a threshold here and every
+    consumer (and its oracle twin) moves together."""
+    return (
+        F.when(F.size(toks) >= 20, 1).otherwise(0)
+        + F.when(F.round(punct_ratio(text_col), 6) <= 0.1, 1).otherwise(0)
+        + F.when(F.round(stopword_ratio(toks), 6) >= 0.05, 1).otherwise(0)
+        + F.when(F.round(uniq_token_ratio(toks), 6) >= 0.3, 1).otherwise(0)
+    )
+
+
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality metrics: length, token stats, punctuation /
     stopword / uniqueness ratios, and a composite quality bucket."""
     docs = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))
-    out = docs.select(
+    return docs.select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_chars_m"),
         F.size(toks).cast("bigint").alias("n_tokens"),
@@ -62,14 +78,8 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
         F.round(stopword_ratio(toks), 6).alias("stopword_ratio"),
         F.round(uniq_token_ratio(toks), 6).alias("uniq_ratio"),
+        quality_rules(F.col("text"), toks).cast("bigint").alias("quality"),
     )
-    score = (
-        F.when(F.col("n_tokens") >= 20, 1).otherwise(0)
-        + F.when(F.col("punct_ratio") <= 0.1, 1).otherwise(0)
-        + F.when(F.col("stopword_ratio") >= 0.05, 1).otherwise(0)
-        + F.when(F.col("uniq_ratio") >= 0.3, 1).otherwise(0)
-    )
-    return out.withColumn("quality", score.cast("bigint"))
 
 
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,12 +271,7 @@ def prepare_training_corpus(
 
     docs = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))
-    quality = (
-        F.when(F.size(toks) >= 20, 1).otherwise(0)
-        + F.when(F.round(punct_ratio(F.col("text")), 6) <= 0.1, 1).otherwise(0)
-        + F.when(F.round(stopword_ratio(toks), 6) >= 0.05, 1).otherwise(0)
-        + F.when(F.round(uniq_token_ratio(toks), 6) >= 0.3, 1).otherwise(0)
-    )
+    quality = quality_rules(F.col("text"), toks)
     scored = docs.select(
         "doc_id",
         "text",
@@ -596,12 +601,7 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))
-    quality = (
-        F.when(F.size(toks) >= 20, 1).otherwise(0)
-        + F.when(F.round(punct_ratio(F.col("text")), 6) <= 0.1, 1).otherwise(0)
-        + F.when(F.round(stopword_ratio(toks), 6) >= 0.05, 1).otherwise(0)
-        + F.when(F.round(uniq_token_ratio(toks), 6) >= 0.3, 1).otherwise(0)
-    )
+    quality = quality_rules(F.col("text"), toks)
     scored = docs.select(
         "doc_id",
         predict_lang(toks).alias("pred_lang"),
@@ -1047,18 +1047,14 @@ def source_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))
-    quality = (
-        F.when(F.size(toks) >= 20, 1).otherwise(0)
-        + F.when(F.round(punct_ratio(F.col("text")), 6) <= 0.1, 1).otherwise(0)
-        + F.when(F.round(stopword_ratio(toks), 6) >= 0.05, 1).otherwise(0)
-        + F.when(F.round(uniq_token_ratio(toks), 6) >= 0.3, 1).otherwise(0)
-    )
+    quality = quality_rules(F.col("text"), toks)
     scored = docs.select(
         "source",
         token_count_bpe(F.col("text")).cast("bigint").alias("n_tokens"),
         quality.cast("bigint").alias("quality"),
         hash64(F.col("text")).alias("ch"),
-    )
+    ).cache()  # feeds BOTH sides of the dup join: without this the
+    # tokenize/ratio/md5 expressions run twice over the corpus
     dup_hashes = (
         scored.groupBy("ch")
         .agg(F.count("*").alias("cnt"))
@@ -1216,7 +1212,10 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation. Float discipline follows BM25/unigram: identical
     integer-ratio-into-log arithmetic on both engines, round(avg, 6)."""
     docs = _docs(spark, sf_dir)
-    tk = docs.select("doc_id", tokens(F.col("text")).alias("tk")).cache()
+    # tk is read twice (bigram build + vocab count) but both passes are
+    # cheap row-local tokenization — recompute beats pinning a second
+    # corpus-scale frame in executor storage for the session lifetime
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
     bigr = (
         tk.where(F.size("tk") >= 2)
         .select(

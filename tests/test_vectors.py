@@ -224,8 +224,9 @@ def test_ivfpq_residual_beats_flat_pq_and_prunes(spark, sf_dir):
     must be >= flat PQ's at the SAME code budget and rerank, minus a
     small tolerance; (b) the pruned path (probes=4 of 16) keeps the
     self-match and usable recall; (c) prebuilt-layout reuse equals the
-    one-shot path. Measured means at rerank=32 over 10 queries:
-    residual 0.64, flat 0.55, pruned 0.53."""
+    one-shot path. (A wider 10-query probe measured means at rerank=32
+    of residual 0.64 / flat 0.55 / pruned 0.53; this test's 5-query
+    subset gates the same ordering with a 0.05 tolerance.)"""
     from oasysdb_spark.index import pq
     from oasysdb_spark.operators import vectorops as vec
 
