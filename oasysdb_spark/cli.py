@@ -111,6 +111,9 @@ def build_parser() -> argparse.ArgumentParser:
     bp.add_argument("--m", type=int, default=8)
     bp.add_argument("--nbits", type=int, default=4)
     bp.add_argument("--seed", type=int, default=42)
+    bp.add_argument("--residual", action="store_true",
+                    help="IVFADC: quantize embedding - centroid residuals "
+                    "(requires build-index first)")
 
     add("compact", help="rewrite the records table with healthy file sizes")
 
@@ -201,8 +204,16 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "build-pq":
         from oasysdb_spark.index.pq import build_pq
 
-        books = build_pq(db, m=args.m, nbits=args.nbits, seed=args.seed)
-        _emit({"ok": True, "m": books.shape[0], "codewords": books.shape[1]})
+        books = build_pq(
+            db, m=args.m, nbits=args.nbits, seed=args.seed,
+            residual=args.residual,
+        )
+        _emit({
+            "ok": True,
+            "m": books.shape[0],
+            "codewords": books.shape[1],
+            "residual": args.residual,
+        })
     elif args.cmd == "compact":
         version = db.compact()
         _emit({"ok": True, "version": version})

@@ -265,17 +265,28 @@ class Database:
         index surgery on the ingest hot path.
         """
         df = normalize_records(df)
-        from oasysdb_spark.index.pq import encode, load_codebooks
+        from oasysdb_spark.index.pq import (
+            encode,
+            encode_residual,
+            load_codebooks_meta,
+        )
 
-        books = load_codebooks(self)
-        if books is not None:
-            # PQ tier built: encode at ingest (codes are part of the row,
-            # exactly like cluster assignment — never a separate backfill)
-            df = encode(df, books)
         if self.is_indexed():
             from oasysdb_spark.index.ivf import assign_clusters
 
+            # assignment BEFORE encoding: a residual PQ layout quantizes
+            # embedding − centroid[cluster_id], so codes need the cluster
             df = assign_clusters(self, df)
+        meta = load_codebooks_meta(self)
+        if meta is not None:
+            # PQ tier built: encode at ingest (codes are part of the row,
+            # exactly like cluster assignment — never a separate backfill)
+            books, residual = meta
+            if residual:
+                df = encode_residual(df, books, self.centroid_rows())
+            else:
+                df = encode(df, books)
+        if self.is_indexed():
             self.records.append(df, partition_by=["cluster_id"])
         else:
             self.records.append(df)
@@ -525,14 +536,19 @@ class Database:
                 raise errors.InvalidArgumentError(
                     "approx='pq' supports the euclidean metric only"
                 )
-            from oasysdb_spark.index.pq import adc_score_expr, adc_table, load_codebooks
+            from oasysdb_spark.index.pq import (
+                adc_score_col,
+                adc_score_expr,
+                adc_table,
+                load_codebooks_meta,
+            )
 
-            books = load_codebooks(self)
-            if books is None or "pq_code" not in df.columns:
+            meta = load_codebooks_meta(self)
+            if meta is None or "pq_code" not in df.columns:
                 raise errors.InvalidArgumentError(
                     "PQ tier not built: call oasysdb_spark.index.pq.build_pq first"
                 )
-            table = adc_table(vec, books)
+            books, residual = meta
             # candidate stage reads CODES, never raw vectors: the scan
             # schema is the row minus `embedding` (4-byte codes + the
             # filter's metadata maps), so the top-`rerank` heap carries
@@ -540,11 +556,41 @@ class Database:
             # id-equi-join scan for ONLY the rerank winners (broadcast —
             # `rerank` rows by construction). Cluster pruning from the
             # probe stage applies to both scans.
+            cand = df.drop("embedding").where(pred)
+            if residual:
+                # IVFADC: codes quantize embedding − centroid, so each
+                # probed cluster gets its own ADC table on q − centroid_c,
+                # shipped as a probes-row broadcast frame
+                if not self.is_indexed():
+                    raise errors.InvalidArgumentError(
+                        "residual PQ layout requires the IVF index it was "
+                        "built with: build_index before querying"
+                    )
+                import numpy as np
+
+                cmap = {c: np.asarray(v, dtype=np.float64) for c, v in self.centroid_rows()}
+                qarr = np.asarray(vec, dtype=np.float64)
+                tab_df = self.spark.createDataFrame(
+                    [
+                        (
+                            int(c),
+                            [float(x) for x in adc_table(qarr - cmap[c], books).ravel()],
+                        )
+                        for c in probe_ids
+                    ],
+                    "cluster_id int, __qtable array<double>",
+                )
+                cand = (
+                    cand.join(F.broadcast(tab_df), "cluster_id")
+                    .withColumn(
+                        "__adc", adc_score_col(F.col("__qtable"), int(books.shape[1]))
+                    )
+                    .drop("__qtable")
+                )
+            else:
+                cand = cand.withColumn("__adc", adc_score_expr(adc_table(vec, books)))
             cand = (
-                df.drop("embedding")
-                .where(pred)
-                .withColumn("__adc", adc_score_expr(table))
-                .orderBy(F.col("__adc").asc_nulls_last(), F.col("id"))
+                cand.orderBy(F.col("__adc").asc_nulls_last(), F.col("id"))
                 .limit(max(rerank, k))
                 .drop("__adc")
             )
@@ -665,6 +711,7 @@ class Database:
 
         recs = self.records_df()
         adc_k = None
+        pq_residual = False
         if approx is not None:
             # batched PQ: each query row carries its own flattened ADC
             # table (computed driver-side — the batch is broadcast-sized
@@ -677,27 +724,75 @@ class Database:
                 raise errors.InvalidArgumentError(
                     "approx='pq' supports the euclidean metric only"
                 )
-            from oasysdb_spark.index.pq import adc_table, load_codebooks
+            from oasysdb_spark.index.pq import adc_table, load_codebooks_meta
 
-            books = load_codebooks(self)
-            if books is None or "pq_code" not in recs.columns:
+            meta = load_codebooks_meta(self)
+            if meta is None or "pq_code" not in recs.columns:
                 raise errors.InvalidArgumentError(
                     "PQ tier not built: call oasysdb_spark.index.pq.build_pq first"
                 )
+            books, pq_residual = meta
             adc_k = int(books.shape[1])
             if qvec_rows is None:  # DataFrame input: one collect (tiny batch)
                 qvec_rows = [
                     (r["query_id"], list(r["qvec"])) for r in queries.collect()
                 ]
-            tabled = [
-                (qid, qv, [float(x) for x in adc_table(qv, books).ravel()])
-                for qid, qv in qvec_rows
-            ]
-            queries = self.spark.createDataFrame(
-                tabled, "query_id bigint, qvec array<double>, qtable array<double>"
-            )
+            if pq_residual:
+                # IVFADC: the ADC table depends on the probed cluster, so
+                # the probe selection happens driver-side (the query batch
+                # is already driver-side by contract) and the broadcast
+                # frame carries one row per (query, probed cluster) with
+                # that pair's table on q − centroid_c
+                if not self.is_indexed():
+                    raise errors.InvalidArgumentError(
+                        "residual PQ layout requires the IVF index it was "
+                        "built with: build_index before querying"
+                    )
+                import numpy as np
 
-        if self.is_indexed():
+                cents = self.centroid_rows()
+                carr = np.asarray([v for _, v in cents], dtype=np.float64)
+                cids = [int(c) for c, _ in cents]
+                p = max(1, min(qp.probes, len(cents)))
+                pair_rows = []
+                for qid, qv in qvec_rows:
+                    qarr = np.asarray(qv, dtype=np.float64)
+                    d = ((carr - qarr[None, :]) ** 2).sum(axis=1)
+                    order = np.argsort(
+                        np.where(np.isnan(d), np.inf, d), kind="stable"
+                    )[:p]
+                    for pos in order:
+                        pair_rows.append(
+                            (
+                                qid,
+                                qv,
+                                cids[int(pos)],
+                                [
+                                    float(x)
+                                    for x in adc_table(
+                                        qarr - carr[int(pos)], books
+                                    ).ravel()
+                                ],
+                            )
+                        )
+                queries = self.spark.createDataFrame(
+                    pair_rows,
+                    "query_id bigint, qvec array<double>, "
+                    "cluster_id int, qtable array<double>",
+                )
+            else:
+                tabled = [
+                    (qid, qv, [float(x) for x in adc_table(qv, books).ravel()])
+                    for qid, qv in qvec_rows
+                ]
+                queries = self.spark.createDataFrame(
+                    tabled, "query_id bigint, qvec array<double>, qtable array<double>"
+                )
+
+        if adc_k is not None and pq_residual:
+            # probing already resolved driver-side above
+            qside, join_on = queries, "cluster_id"
+        elif self.is_indexed():
             from oasysdb_spark.index.ivf import topk_cluster_assigner
 
             cents = self.centroid_rows()

@@ -75,11 +75,11 @@ def fit_codebooks(
     return books
 
 
-def encode(df: DataFrame, codebooks: np.ndarray) -> DataFrame:
+def encode(df: DataFrame, codebooks: np.ndarray, col: str = "embedding") -> DataFrame:
     """Append ``pq_code array<int>`` (length m): per-subspace nearest
-    codeword, computed Arrow-batched with one BLAS matmul per subspace.
-    Run ONCE at ingest and store the codes — queries never touch raw
-    vectors except in the re-rank tail."""
+    codeword of the ``col`` array column, computed Arrow-batched with one
+    BLAS matmul per subspace. Run ONCE at ingest and store the codes —
+    queries never touch raw vectors except in the re-rank tail."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(np.asarray(codebooks, dtype=np.float64))
 
@@ -96,7 +96,40 @@ def encode(df: DataFrame, codebooks: np.ndarray) -> DataFrame:
             codes[:, j] = d.argmin(axis=1)
         return pd.Series([row.tolist() for row in codes])
 
-    return df.withColumn("pq_code", _enc(F.col("embedding")))
+    return df.withColumn("pq_code", _enc(F.col(col)))
+
+
+def residual_frame(
+    df: DataFrame, centroid_rows: "list[tuple[int, list[float]]]"
+) -> DataFrame:
+    """Append ``__resid = embedding − centroid[cluster_id]`` (JVM-side
+    ``zip_with`` against the broadcast-joined centroid table). ``df`` must
+    carry ``cluster_id``; the joined ``__cent`` column is dropped."""
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroid_rows],
+        "cluster_id int, __cent array<double>",
+    )
+    return (
+        df.join(F.broadcast(cent_df), "cluster_id")
+        .withColumn(
+            "__resid",
+            F.zip_with("embedding", "__cent", lambda a, b: a.cast("double") - b),
+        )
+        .drop("__cent")
+    )
+
+
+def encode_residual(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    centroid_rows: "list[tuple[int, list[float]]]",
+) -> DataFrame:
+    """Residual (IVFADC) encode for a frame that carries ``cluster_id``:
+    codes quantize ``embedding − centroid[cluster_id]``."""
+    return encode(residual_frame(df, centroid_rows), codebooks, col="__resid").drop(
+        "__resid"
+    )
 
 
 def adc_table(query: "list[float] | np.ndarray", codebooks: np.ndarray) -> np.ndarray:
@@ -149,6 +182,7 @@ def build_pq(
     seed: int = 42,
     max_iter: int = 10,
     fit_sample_size: int = 100_000,
+    residual: bool = False,
 ) -> np.ndarray:
     """Attach the PQ compression tier to a Database: fit codebooks over
     the record embeddings (seeded guarded sample), rewrite the records
@@ -158,20 +192,37 @@ def build_pq(
     ``Database.query(..., approx="pq")`` serves ADC + exact-re-rank from
     the codes, and ``insert_batch`` encodes new rows at ingest so codes
     never go missing. Codebooks drift as the data distribution does —
-    rebuild on the same maintenance schedule as ``compact()``."""
+    rebuild on the same maintenance schedule as ``compact()``.
+
+    ``residual=True`` builds the IVFADC variant (requires the IVF index):
+    codes quantize ``embedding − centroid[cluster_id]`` instead of the
+    raw vector — residual norms shrink with the coarse fit, so the same
+    code bytes quantize finer. Query-side, each probed cluster then gets
+    its own ADC table on ``q − centroid_c`` (see ``Database.query``). The
+    flag is persisted in ``pq.json`` so serving and ingest agree with the
+    build forever after."""
     import json
     import os
 
     from oasysdb_spark.core.config import atomic_write_text
 
+    if residual and not db.is_indexed():
+        raise InvalidArgumentError(
+            "residual PQ (IVFADC) requires the IVF index: build_index first"
+        )
     records = db.records_df()
     if "pq_code" in records.columns:
         records = records.drop("pq_code")
     n = records.count()
     if n == 0:
         raise InvalidArgumentError("cannot build PQ over zero records")
+    if residual:
+        fit_src = residual_frame(records, db.centroid_rows())
+        fit_col, fit_frame = "__resid", fit_src
+    else:
+        fit_col, fit_frame = "embedding", records
     books = fit_codebooks(
-        records.select("embedding"),
+        fit_frame.select(F.col(fit_col).alias("embedding")),
         m=m,
         nbits=nbits,
         seed=seed,
@@ -179,26 +230,39 @@ def build_pq(
         fit_sample_size=fit_sample_size,
         n=n,
     )
-    encoded = encode(records, books)
+    if residual:
+        encoded = encode(fit_src, books, col="__resid").drop("__resid")
+    else:
+        encoded = encode(records, books)
     partition = ["cluster_id"] if db.is_indexed() else None
     db.records.write(encoded, partition_by=partition)
     atomic_write_text(
         os.path.join(db.dir, PQ_FILE),
-        json.dumps({"m": m, "nbits": nbits, "codebooks": books.tolist()}),
+        json.dumps(
+            {
+                "m": m,
+                "nbits": nbits,
+                "residual": residual,
+                "codebooks": books.tolist(),
+            }
+        ),
     )
     db._pq_cache = None  # next load_codebooks re-reads + stamps pq.json
     return books
 
 
-def load_codebooks(db) -> "np.ndarray | None":
-    """Codebooks for a Database, or None when PQ was never built.
+def load_codebooks_meta(db) -> "tuple[np.ndarray, bool] | None":
+    """``(codebooks, residual)`` for a Database, or None when PQ was
+    never built. The ``residual`` flag records whether the layout is
+    IVFADC (codes over ``embedding − centroid``) — serving and ingest
+    must honor it or scores are garbage.
 
     Cached on the Database like the centroid rows, but STAMPED with
     pq.json's mtime: a second handle that cached books before a
-    ``build_pq`` rebuild (different m/nbits) would otherwise encode new
-    inserts with stale codebooks — wrong-length codes that score NULL
-    under ADC and silently vanish from approx queries. A stat per call
-    is the price of the invalidation, like the centroid cache's
+    ``build_pq`` rebuild (different m/nbits/residual) would otherwise
+    encode new inserts with stale codebooks — wrong-length codes that
+    score NULL under ADC and silently vanish from approx queries. A stat
+    per call is the price of the invalidation, like the centroid cache's
     invalidate-on-write."""
     import json
     import os
@@ -211,12 +275,19 @@ def load_codebooks(db) -> "np.ndarray | None":
         return None
     cached = getattr(db, "_pq_cache", None)
     if isinstance(cached, tuple) and cached[0] == stamp:
-        return cached[1]
+        return cached[1], cached[2]
     with open(path, encoding="utf-8") as f:
         d = json.load(f)
     books = np.asarray(d["codebooks"], dtype=np.float64)
-    db._pq_cache = (stamp, books)
-    return books
+    residual = bool(d.get("residual", False))
+    db._pq_cache = (stamp, books, residual)
+    return books, residual
+
+
+def load_codebooks(db) -> "np.ndarray | None":
+    """Codebooks only (see :func:`load_codebooks_meta`)."""
+    meta = load_codebooks_meta(db)
+    return None if meta is None else meta[0]
 
 
 def pq_knn(

@@ -298,6 +298,15 @@ def test_cli_verbs_roundtrip(spark, tmp_path, capsys):
     assert out["deleted_count"] == 2
     assert run("snapshot", "--dir", d)["count"] == 1
 
+    # residual PQ (IVFADC) through the CLI: build on top of the index,
+    # then approx serving must agree with the exact query at full rerank
+    bp = run("build-pq", "--dir", d, "--m", "1", "--nbits", "2", "--residual")
+    assert bp["ok"] is True and bp["residual"] is True
+    exact_q = run("query", "--dir", d, "--vector", "1,2,3", "-k", "1")
+    pq_q = run("query", "--dir", d, "--vector", "1,2,3", "-k", "1",
+               "--approx", "pq", "--rerank", "10")
+    assert pq_q == exact_q
+
 
 def test_time_travel_surface(spark, tmp_path, capsys):
     """Database-level time travel: a delete produces a new version while

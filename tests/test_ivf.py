@@ -397,3 +397,83 @@ def test_query_many_pq_agrees_with_single_pq_and_exact(spark, tmp_path):
         assert batched.get(i, []) == db.query(
             q, k=3, probes=3, filter="n > 100", approx="pq", rerank=16
         )
+
+
+def test_residual_pq_tier_on_database(spark, tmp_path):
+    """IVFADC through the Database surface: build_pq(residual=True)
+    quantizes embedding - centroid, query(approx='pq') transparently
+    serves per-probed-cluster ADC tables and equals the exact query at
+    full rerank, query_many matches N single queries, inserts after the
+    build carry RESIDUAL codes, and the unindexed/residual mismatch
+    raises cleanly."""
+    import pytest as _pytest
+
+    from oasysdb_spark.errors import InvalidArgumentError
+    from oasysdb_spark.index.pq import PQ_FILE, build_pq, load_codebooks_meta
+
+    d = str(tmp_path / "rpqdb")
+    db = Database.configure(spark, d, dimension=8, density=16)
+    rows = [
+        (f"r{i:04d}", [float(i % 40), float(i // 40)] * 4, {}, {"number": float(i)}, {})
+        for i in range(160)
+    ]
+    db.insert_batch(spark.createDataFrame(rows, RECORD_SCHEMA))
+
+    # residual build without an index is an explicit error
+    with _pytest.raises(InvalidArgumentError):
+        build_pq(db, m=4, nbits=4, residual=True)
+
+    build_index(db, seed=5)
+    build_pq(db, m=4, nbits=4, seed=5, residual=True)
+    books, residual = load_codebooks_meta(db)
+    assert residual is True and books.shape == (4, 16, 2)
+
+    q = [7.0, 0.0] * 4
+    exact = db.query(q, k=10, probes=99)
+    approx = db.query(q, k=10, probes=99, approx="pq", rerank=160)
+    assert approx == exact  # full rerank == exact through residual codes
+
+    flt = db.query(q, k=5, probes=99, filter="number > 30",
+                   approx="pq", rerank=160)
+    assert flt == db.query(q, k=5, probes=99, filter="number > 30")
+
+    # batched residual serving agrees with N single queries
+    qs = [q, [1.0, 1.0] * 4]
+    many = db.query_many(qs, k=5, probes=99, approx="pq", rerank=160)
+    for qid, qv in enumerate(qs):
+        assert many[qid] == db.query(qv, k=5, probes=99, approx="pq", rerank=160)
+
+    # pruned probing still keeps the near neighborhood
+    pruned = db.query(q, k=5, probes=2, approx="pq", rerank=64)
+    assert {r["id"] for r in pruned} & {r["id"] for r in exact[:5]}
+
+    # inserts after the residual build carry codes that DIFFER from a
+    # raw-vector encode (they quantize the residual, not the embedding)
+    from oasysdb_spark.index.pq import encode
+
+    db.insert([3.0, 0.0] * 4, record_id="late")
+    late = db.records_df().where("id = 'late'").first()
+    assert late["pq_code"] is not None and len(late["pq_code"]) == 4
+    raw_code = (
+        encode(
+            spark.createDataFrame([([3.0, 0.0] * 4,)], "embedding array<float>"),
+            books,
+        ).first()["pq_code"]
+    )
+    # raw encode vs residual encode agree only if the centroid were ~0;
+    # the fixture's centroids are far from 0, so the codes must differ
+    assert list(late["pq_code"]) != list(raw_code)
+
+    # corrupting the layout to residual-without-index raises at query time
+    import json as _json
+
+    with open(f"{d}/{PQ_FILE}") as f:
+        meta = _json.load(f)
+    d2 = str(tmp_path / "rpq_noidx")
+    db2 = Database.configure(spark, d2, dimension=8, density=16)
+    db2.insert_batch(spark.createDataFrame(rows[:20], RECORD_SCHEMA))
+    with open(f"{d2}/{PQ_FILE}", "w") as f:
+        _json.dump(meta, f)
+    # give the copied layout matching codes so only the index is missing
+    with _pytest.raises(InvalidArgumentError):
+        db2.query(q, k=3, approx="pq")
