@@ -61,9 +61,14 @@ def main():
     def fn_for(name):
         if name in qs:
             return qs[name]
-        from oasysdb_spark.operators import dedup
+        # package-level operators staged ahead of their driver-window
+        # rotation (self-oracle-gated in pytest) resolve by module scan
+        from oasysdb_spark.operators import dedup, textops
 
-        return getattr(dedup, name)
+        for mod in (dedup, textops):
+            if hasattr(mod, name):
+                return getattr(mod, name)
+        raise KeyError(name)
 
     def run(name, sf_dir):
         t0 = time.time()
