@@ -119,6 +119,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     v = add("versions", help="retained table versions (time travel)")
     v.add_argument("--at", default=None, help="also count records AS OF this version")
+
+    df = add("diff", help="snapshot delta: added/deleted/updated ids between versions")
+    df.add_argument("--from", dest="from_version", required=True,
+                    help="older version id (see `versions`)")
+    df.add_argument("--to", dest="to_version", default=None,
+                    help="newer version id (default: current)")
     return p
 
 
@@ -222,6 +228,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.at:
             out["count_at"] = db.records_df_at(args.at).count()
         _emit(out)
+    elif args.cmd == "diff":
+        rows = db.diff(args.from_version, args.to_version).collect()
+        _emit({
+            "changes": sorted(
+                ({"change": r["change"], "id": r["id"]} for r in rows),
+                key=lambda c: (c["change"], c["id"]),
+            )
+        })
     return 0
 
 

@@ -190,6 +190,56 @@ class Database:
         or re-run a query against the pre-delete snapshot."""
         return self.records.read_version(self.spark, version)
 
+    def diff(self, version: str, to_version: str | None = None) -> DataFrame:
+        """Snapshot delta — the CDC/audit read the reference's whole-state
+        bincode snapshots can't answer without full deserialization
+        (/root/reference/src/cores/database.rs:147-187): ``(change, id)``
+        rows describing how the records table moved from ``version`` to
+        ``to_version`` (default: the current version), with ``change`` ∈
+        ``{'added', 'deleted', 'updated'}``; unchanged records don't
+        appear. Note that appends land in the current version IN PLACE
+        (no pointer swap — see ``VersionedTable.append``), so rows
+        appended since the last rewrite show as 'added' relative to any
+        older snapshot.
+
+        Scale shape: ONE full-outer equi-join on ``id`` between the two
+        snapshot scans; change detection hashes a row-local md5 content
+        fingerprint (embedding + each metadata map canonicalized via
+        ``array_sort(map_entries(...))`` — Spark cannot compare map
+        columns directly), so only ``(id, 16-byte fp)`` pairs shuffle,
+        never vectors or metadata payloads."""
+        old = self.records_df_at(version)
+        new = (
+            self.records_df_at(to_version)
+            if to_version is not None
+            else self.records_df()
+        )
+
+        def fp(df: DataFrame) -> DataFrame:
+            canon = F.struct(
+                F.col("embedding"),
+                F.array_sort(F.map_entries("m_text")),
+                F.array_sort(F.map_entries("m_num")),
+                F.array_sort(F.map_entries("m_bool")),
+            )
+            return df.select("id", F.md5(F.to_json(canon)).alias("__fp"))
+
+        o, n = fp(old).alias("o"), fp(new).alias("n")
+        change = (
+            F.when(F.col("o.id").isNull(), F.lit("added"))
+            .when(F.col("n.id").isNull(), F.lit("deleted"))
+            .when(F.col("o.__fp") != F.col("n.__fp"), F.lit("updated"))
+        )
+        return (
+            o.join(n, F.col("o.id") == F.col("n.id"), "full_outer")
+            .withColumn("change", change)
+            .where(F.col("change").isNotNull())
+            .select(
+                "change",
+                F.coalesce(F.col("n.id"), F.col("o.id")).alias("id"),
+            )
+        )
+
     def compact(self) -> str:
         """Maintenance job: rewrite the records table with healthy file
         sizes (micro-batch ingest appends >=1 file per epoch; see

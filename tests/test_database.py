@@ -419,3 +419,51 @@ def test_query_many_df_input_validates_dimension(spark, tmp_path):
         [(0, [1.0, 2.0, 3.0, 4.0])], "query_id bigint, qvec array<double>"
     )
     assert len(db.query_many(ok, k=1)) == 1
+
+
+def test_snapshot_diff(spark, tmp_path, capsys):
+    """db.diff(v_old[, v_new]) reports exactly the added/deleted/updated
+    ids between two retained snapshots — metadata-only updates count as
+    'updated', untouched rows don't appear, diff(v, v) is empty, and the
+    CLI `diff` verb emits the same delta. Appends land in the CURRENT
+    version in place (no pointer swap), so they show up as 'added' when
+    diffing an older snapshot against the current one; the default
+    retention keeps 2 versions, so diffs run against adjacent
+    snapshots (the realistic usage under GC)."""
+    import json
+
+    from oasysdb_spark.cli import main
+
+    d = str(tmp_path / "diffdb")
+    db = Database.configure(spark, d, dimension=2)
+    rows = [(f"d{i}", [float(i), 0.0], {}, {"n": float(i)}, {}) for i in range(4)]
+    db.insert_batch(spark.createDataFrame(rows, RECORD_SCHEMA))
+    v1 = db.records.current_version()
+
+    db.update_metadata("d1", {"n": 99.0})  # rewrite -> v2
+    v2 = db.records.current_version()
+    assert v2 != v1
+    assert {(r["change"], r["id"]) for r in db.diff(v1, v2).collect()} == {
+        ("updated", "d1")
+    }
+
+    db.delete("d2")  # rewrite -> v3
+    v3 = db.records.current_version()
+    assert {(r["change"], r["id"]) for r in db.diff(v2, v3).collect()} == {
+        ("deleted", "d2")
+    }
+    assert db.diff(v2, v2).count() == 0
+
+    db.insert([9.0, 9.0], record_id="d9")  # append INTO v3, no new version
+    assert db.records.current_version() == v3
+    assert {(r["change"], r["id"]) for r in db.diff(v2).collect()} == {
+        ("deleted", "d2"),
+        ("added", "d9"),
+    }
+
+    assert main(["diff", "--dir", d, "--from", v2]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["changes"] == [
+        {"change": "added", "id": "d9"},
+        {"change": "deleted", "id": "d2"},
+    ]
