@@ -336,6 +336,7 @@ def decontaminate_stream_flags(
     num_hashes: int = 16,
     band_size: int = 2,
     threshold: float = 0.5,
+    eval_broadcast_limit: int = 1_000_000,
 ) -> DataFrame:
     """Streaming benchmark DECONTAMINATION: flag contaminated training
     docs AT INGEST TIME against a static eval corpus — the streaming twin
@@ -346,7 +347,11 @@ def decontaminate_stream_flags(
     Shape: the eval side is static and benchmark-sized, so its band
     table (LSH band keys + hashed shingle sets) rides a BROADCAST
     stream-static equi-join — no stream-stream state, and the train
-    stream never shuffles for candidate generation. Exact hashed-shingle
+    stream never shuffles for candidate generation. Like the batch twin,
+    the broadcast is SIZE-GUARDED, not assumed: a static side beyond
+    ``eval_broadcast_limit`` rows (counted once at plan-build time on the
+    cached band table) drops the broadcast hint and lets the
+    stream-static equi-join shuffle instead of OOMing every executor. Exact hashed-shingle
     Jaccard verifies candidates inline; the per-doc best is a stateful
     reduce (``applyInPandasWithState`` keyed by doc_id). All of a doc's
     band rows ride the micro-batch its row arrived in, so the reduce is
@@ -386,7 +391,12 @@ def decontaminate_stream_flags(
     # pair-dedup + exact-Jaccard verify moves INTO the per-doc stateful
     # reduce (drop_duplicates within the group, one set-intersection per
     # pair per micro-batch — not per matching band).
-    cand = t_rows.join(F.broadcast(e_rows), ["band_id", "band_key"]).select(
+    e_side = (
+        F.broadcast(e_rows)
+        if e_rows.count() <= eval_broadcast_limit
+        else e_rows
+    )
+    cand = t_rows.join(e_side, ["band_id", "band_key"]).select(
         "doc_id", "eval_doc_id", "sh_t", "sh_e"
     )
 

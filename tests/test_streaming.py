@@ -535,6 +535,28 @@ def test_decontaminate_stream_matches_batch_and_survives_restart(
     got3 = drain()
     assert got3 == expected
 
+    # the size-guard fallback (broadcast hint dropped, shuffled
+    # stream-static equi-join) must flag the identical set
+    out2, ckpt2 = str(tmp_path / "flags_out2"), str(tmp_path / "decon_ckpt2")
+    stream = spark.readStream.schema(train.schema).parquet(src)
+    q = (
+        decontaminate_stream_flags(
+            stream, eval_docs, threshold=0.5, eval_broadcast_limit=0
+        )
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt2)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_shuffled = {
+        (r["doc_id"], r["eval_doc_id"], r["jaccard"])
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert got_shuffled == expected
+
 
 def test_heavy_hitter_stream_captures_batch_hitters_across_restart(
     spark, sf_dir, tmp_path
