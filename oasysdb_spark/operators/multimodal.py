@@ -362,6 +362,186 @@ def _decode_png(content: bytes):
     return palette[px[:, :, 0]].copy()
 
 
+GIF_SIGNATURES = (b"GIF87a", b"GIF89a")
+
+
+def encode_gif(arr) -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 RGB array (≤256 distinct colors —
+    GIF is palette-indexed) as a single-frame GIF89a with a REAL LZW
+    stream (growing dictionary, variable code width, clear-on-full), so
+    decoding it exercises the same paths a wild GIF does. Stdlib only."""
+    import struct
+
+    import numpy as np
+
+    a = np.ascontiguousarray(np.asarray(arr, dtype=np.uint8))
+    h, w, c = a.shape
+    if c != 3:
+        raise ValueError("GIF encoder takes RGB (h, w, 3)")
+    colors, inverse = np.unique(a.reshape(-1, 3), axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("GIF encoder takes <=256 distinct colors")
+    size = max(2, 1 << max(1, (len(colors) - 1).bit_length()))
+    pal = np.zeros((size, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    gct_bits = size.bit_length() - 1  # palette has 2**gct_bits entries
+
+    mcs = max(2, gct_bits)  # LZW minimum code size
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    codes = [(clear, width)]
+    buf: tuple = ()
+    for px in inverse.tolist():
+        cand = buf + (px,)
+        if cand in table:
+            buf = cand
+            continue
+        codes.append((table[buf], width))
+        table[cand] = next_code
+        # width-growth rule mirrors the decoder: it widens after ITS
+        # dictionary reaches 2**width, which lags the encoder's by one —
+        # so grow when the code just added IS 2**width
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        if next_code >= 4095:  # table nearly full: reset like real encoders
+            codes.append((clear, width))
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = mcs + 1
+        buf = (px,)
+    if buf:
+        codes.append((table[buf], width))
+    codes.append((eoi, width))
+
+    val = nbits = 0
+    packed = bytearray()
+    for code, cw in codes:  # GIF packs LSB-first
+        val |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            packed.append(val & 0xFF)
+            val >>= 8
+            nbits -= 8
+    if nbits:
+        packed.append(val & 0xFF)
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((gct_bits - 1) << 4) | (gct_bits - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(mcs)
+    for i in range(0, len(packed), 255):
+        block = packed[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int) -> "list[int]":
+    """Full GIF LZW decode: growing dictionary, variable code width
+    (grows when the dict reaches 2**width, caps at 12 bits / 4096 codes
+    with deferred-clear handling), clear + end-of-information codes."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    stream = int.from_bytes(data, "little")
+    total_bits = len(data) * 8
+    bitpos = 0
+    table: dict[int, list[int]] = {i: [i] for i in range(clear)}
+    next_code = eoi + 1
+    prev: "list[int] | None" = None
+    out: list[int] = []
+    while bitpos + width <= total_bits:
+        code = (stream >> bitpos) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = {i: [i] for i in range(clear)}
+            next_code = eoi + 1
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + [prev[0]]  # the KwKwK case
+        else:
+            raise NotImplementedError("corrupt GIF LZW stream")
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + [entry[0]]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        out.extend(entry)
+        prev = entry
+    return out
+
+
+def _decode_gif(content: bytes):
+    """Pure-stdlib GIF decode: logical-screen walk, global/local color
+    table, extension-block skip, full LZW inflate, palette lookup to RGB.
+    First image frame only; interlaced images raise NotImplementedError
+    so the caller can try the Pillow fallback."""
+    import struct
+
+    import numpy as np
+
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(content[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(content):
+        marker = content[pos]
+        pos += 1
+        if marker == 0x21:  # extension: label byte then sub-blocks
+            pos += 1
+            while content[pos] != 0:
+                pos += 1 + content[pos]
+            pos += 1
+        elif marker == 0x2C:  # image descriptor
+            _l, _t, iw, ih, iflags = struct.unpack_from("<HHHHB", content, pos)
+            pos += 9
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF outside the native tier")
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(
+                    content[pos : pos + 3 * n], np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise NotImplementedError("GIF without a color table")
+            mcs = content[pos]
+            pos += 1
+            data = bytearray()
+            while content[pos] != 0:
+                ln = content[pos]
+                data += content[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(bytes(data), mcs)
+            if len(idx) < iw * ih:
+                raise NotImplementedError("truncated GIF pixel data")
+            arr = pal[np.asarray(idx[: iw * ih], dtype=np.int32)]
+            return np.ascontiguousarray(arr.reshape(ih, iw, 3))
+        elif marker == 0x3B:  # trailer
+            break
+        else:
+            raise NotImplementedError("unparseable GIF block")
+    raise NotImplementedError("GIF without image data")
+
+
 def _pillow_decode(content: bytes):
     """Decode via Pillow when it is importable (the optional external-codec
     FALLBACK for JPEG, 16-bit/interlaced PNG, …); returns None when Pillow
@@ -387,8 +567,9 @@ def decode_image(content: bytes):
     """Decode an encoded image into an ``(h, w, 3)`` uint8 RGB array.
 
     Native (no external library): binary PPM (P6), 24-bit uncompressed
-    BMP, and 8-bit non-interlaced PNG (stdlib zlib inflate + scanline
-    unfilter — :func:`_decode_png`). Whatever the native tier can't parse
+    BMP, 8-bit non-interlaced PNG (stdlib zlib inflate + scanline
+    unfilter — :func:`_decode_png`), and non-interlaced GIF (full LZW
+    inflate — :func:`_decode_gif`). Whatever the native tier can't parse
     (JPEG, 16-bit/interlaced PNG, corrupt bytes) goes to Pillow when it
     is importable — the optional external-codec fallback — and otherwise
     raises NotImplementedError at the documented entropy-coding boundary;
@@ -408,13 +589,24 @@ def decode_image(content: bytes):
                 "PNG variant outside the native tier (16-bit, interlaced, or "
                 "corrupt) and no external codec (Pillow) is installed"
             ) from None
+    if content[:6] in GIF_SIGNATURES:
+        try:
+            return _decode_gif(content)
+        except Exception:
+            decoded = _pillow_decode(content)
+            if decoded is not None:
+                return decoded
+            raise NotImplementedError(
+                "GIF variant outside the native tier (interlaced, truncated, "
+                "or corrupt) and no external codec (Pillow) is installed"
+            ) from None
     decoded = _pillow_decode(content)
     if decoded is not None:
         return decoded
     raise NotImplementedError(
         "compressed/unknown image format: native decode covers PPM (P6), "
-        "24-bit BMP, and 8-bit PNG; JPEG needs an external codec (Pillow, "
-        "when installed)"
+        "24-bit BMP, 8-bit PNG, and non-interlaced GIF; JPEG needs an "
+        "external codec (Pillow, when installed)"
     )
 
 

@@ -371,3 +371,56 @@ def test_audio_fingerprint_perceptual_properties(spark, sf_dir):
         assert bin(fps[src] ^ fps[cp]).count("1") <= 1
     base = [m for m in fps if m < 100000]
     assert len({fps[m] for m in base}) > 0.9 * len(base)
+
+
+def test_gif_roundtrip_exercises_real_lzw():
+    """encode_gif -> decode_image must roundtrip exactly. The cases force
+    the LZW paths a wild GIF hits: tiny palette (2 colors), structured
+    gradients (dictionary growth + variable code width), high-entropy
+    noise over a full 256-color palette (KwKwK + width growth to >9
+    bits), and an image large enough to trip the 4095 clear-and-reset."""
+    import numpy as np
+
+    from oasysdb_spark.operators.multimodal import decode_image, encode_gif
+
+    rng = np.random.default_rng(7)
+
+    two_tone = np.zeros((16, 16, 3), np.uint8)
+    two_tone[::2] = 255
+    gradient = np.stack(
+        [np.tile(np.arange(64, dtype=np.uint8) * 4, (64, 1))] * 3, axis=2
+    )
+    noise = rng.integers(0, 256, size=(48, 48), dtype=np.uint8)
+    noise_rgb = np.stack([noise, noise, noise], axis=2)
+    big = np.stack(
+        [rng.integers(0, 250, size=(128, 128), dtype=np.uint8)] * 3, axis=2
+    )
+
+    for arr in (two_tone, gradient, noise_rgb, big):
+        out = decode_image(encode_gif(arr))
+        assert out.dtype == np.uint8 and out.shape == arr.shape
+        assert np.array_equal(out, arr), "GIF roundtrip must be exact"
+
+
+def test_gif_interlaced_hits_codec_boundary():
+    """An interlaced GIF is outside the native tier: with no Pillow in
+    the container the documented NotImplementedError boundary fires."""
+    import numpy as np
+    import pytest
+
+    from oasysdb_spark.operators.multimodal import decode_image, encode_gif
+
+    content = bytearray(encode_gif(np.zeros((4, 4, 3), np.uint8)))
+    # image descriptor flag byte: set the interlace bit
+    pos = content.index(0x2C, 6)
+    content[pos + 9] |= 0x40
+    try:
+        import PIL  # noqa: F401
+
+        has_pillow = True
+    except ImportError:
+        has_pillow = False
+    if has_pillow:
+        pytest.skip("Pillow present: the fallback handles interlaced GIFs")
+    with pytest.raises(NotImplementedError):
+        decode_image(bytes(content))
