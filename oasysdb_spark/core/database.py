@@ -801,30 +801,34 @@ class Database:
                 import numpy as np
 
                 cents = self.centroid_rows()
-                carr = np.asarray([v for _, v in cents], dtype=np.float64)
-                cids = [int(c) for c, _ in cents]
-                p = max(1, min(qp.probes, len(cents)))
                 pair_rows = []
-                for qid, qv in qvec_rows:
-                    qarr = np.asarray(qv, dtype=np.float64)
-                    d = ((carr - qarr[None, :]) ** 2).sum(axis=1)
-                    order = np.argsort(
-                        np.where(np.isnan(d), np.inf, d), kind="stable"
-                    )[:p]
-                    for pos in order:
-                        pair_rows.append(
-                            (
-                                qid,
-                                qv,
-                                cids[int(pos)],
-                                [
-                                    float(x)
-                                    for x in adc_table(
-                                        qarr - carr[int(pos)], books
-                                    ).ravel()
-                                ],
+                # no centroids (e.g. every cluster emptied by deletes):
+                # zero probe rows → empty result, matching the single-
+                # query path's _probe_cluster_ids returning []
+                if cents:
+                    carr = np.asarray([v for _, v in cents], dtype=np.float64)
+                    cids = [int(c) for c, _ in cents]
+                    p = max(1, min(qp.probes, len(cents)))
+                    for qid, qv in qvec_rows:
+                        qarr = np.asarray(qv, dtype=np.float64)
+                        d = ((carr - qarr[None, :]) ** 2).sum(axis=1)
+                        order = np.argsort(
+                            np.where(np.isnan(d), np.inf, d), kind="stable"
+                        )[:p]
+                        for pos in order:
+                            pair_rows.append(
+                                (
+                                    qid,
+                                    qv,
+                                    cids[int(pos)],
+                                    [
+                                        float(x)
+                                        for x in adc_table(
+                                            qarr - carr[int(pos)], books
+                                        ).ravel()
+                                    ],
+                                )
                             )
-                        )
                 queries = self.spark.createDataFrame(
                     pair_rows,
                     "query_id bigint, qvec array<double>, "

@@ -120,6 +120,9 @@ def build_index(
     }
     cents = [(i, c, int(sizes.get(i, 0))) for i, c in enumerate(centroids)]
     _write_centroids(db, cents)
+    from oasysdb_spark.index.pq import reencode_residual_codes
+
+    reencode_residual_codes(db)  # stale residual codes never survive a rebuild
     return k
 
 
@@ -364,6 +367,11 @@ def refresh_centroids(db) -> None:
     )
     db.centroids.write(means)
     db.invalidate_centroid_cache()
+    # residual PQ codes quantize embedding − centroid: moving centroids
+    # invalidates them, so the residual layout (if any) re-encodes here
+    from oasysdb_spark.index.pq import reencode_residual_codes
+
+    reencode_residual_codes(db)
 
 
 def split_oversized_clusters(db, seed: int = 42, max_iter: int = 25) -> int:

@@ -251,6 +251,35 @@ def build_pq(
     return books
 
 
+def reencode_residual_codes(db) -> bool:
+    """Re-encode ``pq_code`` over the CURRENT centroids when a RESIDUAL
+    PQ layout is attached; returns True when a rewrite happened.
+
+    Residual codes quantize ``embedding − centroid[cluster_id]``, so ANY
+    centroid movement (``build_index`` re-run, ``refresh_centroids``,
+    ``split_oversized_clusters``) silently invalidates them — the query
+    side would join fresh centroids' ADC tables against stale residuals
+    and return garbage candidates with no error. Every centroid-
+    maintenance path therefore calls this hook after writing the new
+    centroid table. Raw-vector PQ codes don't depend on centroids and
+    are left untouched (returns False). The rewrite is one encode pass
+    over the table — maintenance-job cost, same class as the rewrite
+    that moved the centroids. Codebook DRIFT (the residual distribution
+    changing shape) is the separate, documented rebuild-on-schedule
+    concern; this hook restores the serving math's correctness, which
+    requires codes against current centroids."""
+    meta = load_codebooks_meta(db)
+    if meta is None or not meta[1]:
+        return False
+    books = meta[0]
+    records = db.records_df()
+    if "pq_code" in records.columns:
+        records = records.drop("pq_code")
+    encoded = encode_residual(records, books, db.centroid_rows())
+    db.records.write(encoded, partition_by=["cluster_id"])
+    return True
+
+
 def load_codebooks_meta(db) -> "tuple[np.ndarray, bool] | None":
     """``(codebooks, residual)`` for a Database, or None when PQ was
     never built. The ``residual`` flag records whether the layout is

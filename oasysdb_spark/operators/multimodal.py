@@ -448,16 +448,27 @@ def _gif_lzw_decode(data: bytes, mcs: int) -> "list[int]":
     with deferred-clear handling), clear + end-of-information codes."""
     clear, eoi = 1 << mcs, (1 << mcs) + 1
     width = mcs + 1
-    stream = int.from_bytes(data, "little")
-    total_bits = len(data) * 8
-    bitpos = 0
     table: dict[int, list[int]] = {i: [i] for i in range(clear)}
     next_code = eoi + 1
     prev: "list[int] | None" = None
     out: list[int] = []
-    while bitpos + width <= total_bits:
-        code = (stream >> bitpos) & ((1 << width) - 1)
-        bitpos += width
+    # incremental LSB-first bit buffer (the mirror of encode_gif's
+    # packer): consume bytes as needed so decode stays LINEAR — shifting
+    # one whole-stream big int per code would be O(n^2) and takes tens
+    # of seconds on a few-hundred-KB GIF
+    acc = nbits = 0
+    pos_byte = 0
+    n_bytes = len(data)
+    while True:
+        while nbits < width and pos_byte < n_bytes:
+            acc |= data[pos_byte] << nbits
+            nbits += 8
+            pos_byte += 1
+        if nbits < width:
+            break
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
         if code == clear:
             table = {i: [i] for i in range(clear)}
             next_code = eoi + 1

@@ -349,8 +349,9 @@ def decontaminate_stream_flags(
     stream-static equi-join — no stream-stream state, and the train
     stream never shuffles for candidate generation. Like the batch twin,
     the broadcast is SIZE-GUARDED, not assumed: a static side beyond
-    ``eval_broadcast_limit`` rows (counted once at plan-build time on the
-    cached band table) drops the broadcast hint and lets the
+    ``eval_broadcast_limit`` rows (counted once at plan-build time on
+    the cached SIGNATURE table — one row per eval doc, the same basis
+    as the batch twin's guard) drops the broadcast hint and lets the
     stream-static equi-join shuffle instead of OOMing every executor. Exact hashed-shingle
     Jaccard verifies candidates inline; the per-doc best is a stateful
     reduce (``applyInPandasWithState`` keyed by doc_id). All of a doc's
@@ -373,11 +374,13 @@ def decontaminate_stream_flags(
 
     # static side computed once and cached: the Arrow MinHash UDF should
     # not re-run over the eval corpus every micro-batch
-    e_rows = band_rows(
-        minhash_signatures(eval_docs, num_hashes=num_hashes, hashed=True),
-        "eval_doc_id",
-        "sh_e",
-    ).cache()
+    e_sigs = minhash_signatures(eval_docs, num_hashes=num_hashes, hashed=True).cache()
+    # the size guard counts SIGNATURE rows (one per eval doc), the same
+    # basis as the batch twin's e_sigs.count() — counting the exploded
+    # band table would trip ~(num_hashes/band_size)x earlier at the
+    # identically named, identically defaulted parameter
+    n_eval = e_sigs.count()
+    e_rows = band_rows(e_sigs, "eval_doc_id", "sh_e").cache()
     t_rows = band_rows(
         minhash_signatures(train_stream, num_hashes=num_hashes, hashed=True),
         "doc_id",
@@ -391,11 +394,7 @@ def decontaminate_stream_flags(
     # pair-dedup + exact-Jaccard verify moves INTO the per-doc stateful
     # reduce (drop_duplicates within the group, one set-intersection per
     # pair per micro-batch — not per matching band).
-    e_side = (
-        F.broadcast(e_rows)
-        if e_rows.count() <= eval_broadcast_limit
-        else e_rows
-    )
+    e_side = F.broadcast(e_rows) if n_eval <= eval_broadcast_limit else e_rows
     cand = t_rows.join(e_side, ["band_id", "band_key"]).select(
         "doc_id", "eval_doc_id", "sh_t", "sh_e"
     )

@@ -464,8 +464,13 @@ def test_residual_pq_tier_on_database(spark, tmp_path):
     # the fixture's centroids are far from 0, so the codes must differ
     assert list(late["pq_code"]) != list(raw_code)
 
-    # corrupting the layout to residual-without-index raises at query time
+    # corrupting the layout to residual-without-index must hit the
+    # residual guard itself, not the generic "PQ tier not built" check —
+    # so db2's records DO carry pq_code columns (written directly) and
+    # only the index is missing
     import json as _json
+
+    from pyspark.sql import functions as F
 
     with open(f"{d}/{PQ_FILE}") as f:
         meta = _json.load(f)
@@ -474,6 +479,61 @@ def test_residual_pq_tier_on_database(spark, tmp_path):
     db2.insert_batch(spark.createDataFrame(rows[:20], RECORD_SCHEMA))
     with open(f"{d2}/{PQ_FILE}", "w") as f:
         _json.dump(meta, f)
-    # give the copied layout matching codes so only the index is missing
-    with _pytest.raises(InvalidArgumentError):
+    coded = db2.records_df().withColumn(
+        "pq_code", F.array(*[F.lit(0)] * 4)
+    )
+    db2.records.write(coded)
+    assert not db2.is_indexed() and "pq_code" in db2.records_df().columns
+    with _pytest.raises(InvalidArgumentError, match="residual"):
         db2.query(q, k=3, approx="pq")
+    with _pytest.raises(InvalidArgumentError, match="residual"):
+        db2.query_many([q], k=3, approx="pq")
+
+
+def test_residual_codes_survive_centroid_maintenance(spark, tmp_path):
+    """Centroid maintenance must re-encode the residual layout: a
+    density split rewrites records into NEW clusters with NEW centroids,
+    which silently invalidates codes quantized against the old ones —
+    the reencode hook restores them, so residual approx queries at full
+    rerank still equal the exact query, and the stored codes match a
+    fresh residual encode over the current centroids."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.index.pq import build_pq, encode_residual, load_codebooks_meta
+
+    d = str(tmp_path / "rpq_maint")
+    db = Database.configure(spark, d, dimension=8, density=8)
+    rng = np.random.default_rng(3)
+    blob = [
+        (f"b{i:03d}", [float(x) for x in rng.normal(0.0, 1.0, 8)], {}, {}, {})
+        for i in range(30)
+    ]
+    far = [
+        (f"f{i:03d}", [float(x) for x in rng.normal(50.0, 1.0, 8)], {}, {}, {})
+        for i in range(10)
+    ]
+    db.insert_batch(spark.createDataFrame(blob + far, RECORD_SCHEMA))
+    build_index(db, k=2, seed=5)
+    build_pq(db, m=4, nbits=4, seed=5, residual=True)
+
+    n_split = split_oversized_clusters(db, seed=5)
+    assert n_split >= 1  # the 30-point blob exceeded density=8
+
+    q = [0.0] * 8
+    exact = db.query(q, k=10, probes=99)
+    approx = db.query(q, k=10, probes=99, approx="pq", rerank=40)
+    assert approx == exact  # stale codes would break this silently
+
+    books, residual = load_codebooks_meta(db)
+    assert residual
+    stored = {
+        r["id"]: list(r["pq_code"]) for r in db.records_df().collect()
+    }
+    fresh = {
+        r["id"]: list(r["pq_code"])
+        for r in encode_residual(
+            db.records_df().drop("pq_code"), books, db.centroid_rows()
+        ).collect()
+    }
+    assert stored == fresh
