@@ -424,3 +424,35 @@ def test_gif_interlaced_hits_codec_boundary():
         pytest.skip("Pillow present: the fallback handles interlaced GIFs")
     with pytest.raises(NotImplementedError):
         decode_image(bytes(content))
+
+
+def test_gif_media_flows_through_pixel_features(spark):
+    """The decode plumbing is format-agnostic: a media frame of GIF
+    blobs runs through extract_pixel_features' Arrow mapInPandas path
+    and yields exactly the per-channel means numpy computes from the
+    same arrays."""
+    import numpy as np
+
+    from oasysdb_spark.operators.multimodal import (
+        encode_gif,
+        extract_pixel_features,
+    )
+
+    rng = np.random.default_rng(11)
+    arrs = {
+        i: np.stack(
+            [rng.integers(0, 200, size=(12 + i, 10 + i), dtype=np.uint8)] * 3,
+            axis=2,
+        )
+        for i in range(4)
+    }
+    media = spark.createDataFrame(
+        [(i, bytearray(encode_gif(a))) for i, a in arrs.items()],
+        "media_id bigint, content binary",
+    )
+    got = {r["media_id"]: r for r in extract_pixel_features(media).collect()}
+    assert set(got) == set(arrs)
+    for i, a in arrs.items():
+        h, w, _ = a.shape
+        assert (got[i]["width"], got[i]["height"]) == (w, h)
+        assert got[i]["mean_r"] == int(a[:, :, 0].sum()) / float(h * w)
