@@ -430,25 +430,47 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("doc_id"), F.col(id_col).alias("component_id")
     ).cache()
-    cached = labels  # the frame currently holding a cache (unpersist target)
+    cached = labels  # the frame currently holding storage (unpersist target)
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["src"] == labels["doc_id"])
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("component_id").alias("neighbor_label"))
         )
-        # carry old + new labels in ONE cached frame: the convergence
-        # count reads it directly instead of re-joining old vs new
+        relaxed = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.col("component_id").alias("old_component_id"),
+            F.least(
+                "component_id", F.coalesce("neighbor_label", "component_id")
+            ).alias("component_id"),
+        )
+        # path-halving shortcut: also adopt your current label's OWN label
+        # (labels are node ids, so this is a self-join on the label table).
+        # Neighbor relaxation alone needs diameter rounds — a 1000-node
+        # chain would exhaust max_iter and silently return wrong labels;
+        # with the shortcut convergence is O(log diameter), so max_iter=20
+        # covers diameters beyond any realistic graph. One extra (id,
+        # label)-pair equi-join per round buys that bound. The self-join
+        # references the round's frame twice, so lineage would DOUBLE per
+        # round — localCheckpoint below truncates it (cache() alone does
+        # not shorten the analyzed plan, and the plan string goes
+        # exponential). On a fault-tolerant cluster run, set a reliable
+        # checkpoint dir and swap localCheckpoint for checkpoint.
+        roots = relaxed.select(
+            F.col("doc_id").alias("rid"), F.col("component_id").alias("rlabel")
+        )
         stepped = (
-            labels.join(neighbor_min, "doc_id", "left")
+            relaxed.join(roots, relaxed["component_id"] == roots["rid"], "left")
             .select(
                 "doc_id",
-                F.col("component_id").alias("old_component_id"),
+                "old_component_id",
                 F.least(
-                    "component_id", F.coalesce("neighbor_label", "component_id")
+                    F.col("component_id"),
+                    F.coalesce("rlabel", F.col("component_id")),
                 ).alias("component_id"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = stepped.where(
             F.col("component_id") < F.col("old_component_id")
@@ -457,7 +479,16 @@ def connected_components(
         cached = stepped
         labels = stepped.select("doc_id", "component_id")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # a fixpoint was NOT reached: wrong labels must never return
+        # silently (they would under-merge components = under-dedup)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (convergence is O(log diameter) with the "
+            "path-halving shortcut, so this indicates a pathological graph)"
+        )
     return labels.select(
         "doc_id", F.col("component_id").cast("bigint").alias("component_id")
     )

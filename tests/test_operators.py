@@ -1323,3 +1323,60 @@ def test_unigram_surprisal_orders_rarity(spark):
     assert got[3]["bits_per_token"] == round(math.log2(n / 1), 6)
     for r in got.values():
         assert 0 < r["bits_per_token"] <= round(math.log2(n), 6)
+
+
+def test_connected_components_deep_chain_and_random_graphs(spark):
+    """Label propagation with the path-halving shortcut must converge on
+    a 60-node path graph within the default 20 rounds (plain neighbor
+    relaxation needs 59 — the silent-wrong-labels case the shortcut and
+    the non-convergence error exist for), and must match a driver-side
+    union-find on seeded random graphs of varied shapes."""
+    import random
+
+    from oasysdb_spark.operators import dedup
+
+    n = 60
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a bigint, doc_b bigint"
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.connected_components(
+            nodes, chain, "doc_a", "doc_b", max_iter=20
+        ).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == n
+
+    rng = random.Random(13)
+    for trial in range(3):
+        m = 40
+        edge_list = [
+            (rng.randrange(m), rng.randrange(m)) for _ in range(20 + 10 * trial)
+        ]
+        parent = list(range(m))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {i: find(i) for i in range(m)}
+
+        nodes_df = spark.createDataFrame([(i,) for i in range(m)], "doc_id bigint")
+        edges_df = spark.createDataFrame(
+            [(a, b) for a, b in edge_list if a != b] or [(0, 0)],
+            "doc_a bigint, doc_b bigint",
+        )
+        got = {
+            r["doc_id"]: r["component_id"]
+            for r in dedup.connected_components(
+                nodes_df, edges_df, "doc_a", "doc_b"
+            ).collect()
+        }
+        assert got == want, f"trial {trial}"
