@@ -1,0 +1,322 @@
+"""Distributed BPE tokenizer training and encoding.
+
+The tokenizer-training primitive of an LLM data pipeline: learn a
+byte-pair-encoding merge table from the corpus, then encode documents
+with it. Semantics follow the published BPE algorithm (Sennrich et al.
+2016 training; GPT-2-style min-rank encoding) — the reference engine has
+no text tier at all (SURVEY §2.5), so this is north-star surface.
+
+Scale design (the 100 TB story):
+
+- The ONLY corpus-scale pass is ``pretoken_counts``: one
+  ``groupBy(pretoken).count()`` with map-side partial aggregation —
+  document text never shuffles; only (pretoken, count) pairs do.
+  Training then operates on the Zipf-collapsed distinct-pretoken table,
+  which is orders of magnitude smaller than the corpus (and bounded
+  further by the standard ``min_count`` frequency floor).
+- ``bpe_train`` makes the local-vs-distributed choice BEFORE any
+  collect, mirroring ``index/ivf.py fit_centroids``: a floored pretoken
+  table within ``local_train_limit`` rows is collected and trained with
+  the incremental pair-count algorithm every production tokenizer
+  trainer uses; above the limit a pure-Spark iterative path runs one
+  pair-count aggregation per merge round, with ``localCheckpoint``
+  truncating lineage each round (the same exponential-plan hazard as
+  ``dedup.connected_components``). Both paths implement identical
+  deterministic semantics — overlap-inclusive pair counting, greedy
+  left-to-right merge application, ties broken by (count desc, left asc,
+  right asc) — and are equivalence-tested against each other.
+- ``encode`` is row-local: an Arrow-batched pandas UDF with the (tiny,
+  ≤ n_merges rows) rank table captured in the closure and a per-batch
+  pretoken memo — words repeat heavily, so each distinct pretoken is
+  encoded once per batch, not once per occurrence.
+
+Encoding in rank order is EXACTLY equivalent to replaying training:
+a pair can only match merge r if both its symbols existed at training
+step r, so pairs created by applying merge r only ever match merges
+ranked after r — processing ranks in increasing order reproduces the
+training-time transformation (pinned in tests).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter, defaultdict
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+_PRETOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def pretoken_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus → (pretoken, cnt), the one corpus-scale aggregation.
+
+    Pretokens are the lowercased alphanumeric runs of
+    ``functions.text.tokens`` so the tokenizer tier shares the corpus
+    stats tier's notion of a word."""
+    from oasysdb_spark.functions import text as T
+
+    return (
+        docs.select(F.explode(T.tokens(F.col(text_col))).alias("pretoken"))
+        .groupBy("pretoken")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _initial_symbols(pretoken: str) -> tuple[str, ...]:
+    """A pretoken's starting symbol sequence: its characters plus the
+    end-of-word marker as a separate symbol."""
+    return tuple(pretoken) + (END_OF_WORD,)
+
+
+def _merge_word(sym: tuple[str, ...], left: str, right: str) -> tuple[str, ...]:
+    """Greedy left-to-right application of one merge to one symbol
+    sequence ("aaa" under (a,a) → (aa, a), not (a, aa))."""
+    out: list[str] = []
+    i = 0
+    n = len(sym)
+    while i < n:
+        if i + 1 < n and sym[i] == left and sym[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def _pairs(sym: tuple[str, ...]) -> list[tuple[str, str]]:
+    """Adjacent symbol pairs, overlap-inclusive ("aaa" → (a,a) twice) —
+    the published counting rule, and what the distributed recount
+    computes, so the local delta updates must match it exactly."""
+    return [(sym[i], sym[i + 1]) for i in range(len(sym) - 1)]
+
+
+def _bpe_train_local(
+    word_counts: list[tuple[str, int]],
+    n_merges: int,
+    min_pair_count: int,
+) -> list[tuple[str, str, int]]:
+    """Driver-side trainer: incremental pair-count maintenance via exact
+    per-word multiset deltas (subtract a touched word's old pairs, add
+    its new ones — arithmetically identical to a full recount, without
+    the known off-by-overlap bugs of in-place counters)."""
+    words: list[tuple[tuple[str, ...], int]] = [
+        (_initial_symbols(w), c) for w, c in word_counts
+    ]
+    pair_counts: Counter = Counter()
+    where: defaultdict = defaultdict(set)  # pair -> word ids containing it
+    for wid, (sym, cnt) in enumerate(words):
+        for p in _pairs(sym):
+            pair_counts[p] += cnt
+            where[p].add(wid)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        best: tuple[str, str] | None = None
+        best_cnt = 0
+        for p, c in pair_counts.items():
+            if c > best_cnt or (c == best_cnt and best is not None and p < best):
+                best, best_cnt = p, c
+        if best is None or best_cnt < min_pair_count:
+            break
+        left, right = best
+        merges.append((left, right, best_cnt))
+        for wid in list(where[best]):
+            sym, cnt = words[wid]
+            new_sym = _merge_word(sym, left, right)
+            for p in _pairs(sym):
+                pair_counts[p] -= cnt
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                where[p].discard(wid)
+            for p in _pairs(new_sym):
+                pair_counts[p] += cnt
+                where[p].add(wid)
+            words[wid] = (new_sym, cnt)
+    return merges
+
+
+def _pairs_col(sym_col):
+    """Expression-level adjacent-pair structs over a symbols array."""
+    idx = F.sequence(F.lit(1), F.size(sym_col) - 1)
+    grams = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(sym_col, i).alias("left"),
+            F.element_at(sym_col, i + 1).alias("right"),
+        ),
+    )
+    return F.when(F.size(sym_col) >= 2, grams).otherwise(
+        F.array().cast("array<struct<left:string,right:string>>")
+    )
+
+
+def _bpe_train_distributed(
+    counts: DataFrame,
+    n_merges: int,
+    min_pair_count: int,
+) -> list[tuple[str, str, int]]:
+    """Pure-Spark trainer for pretoken tables too large to collect: one
+    overlap-inclusive pair aggregation + one row-local merge application
+    per round. The driver only ever sees the single argmax pair per
+    round; symbol tables stay distributed, lineage is truncated per
+    round with localCheckpoint."""
+    chars = F.filter(F.split(F.col("pretoken"), ""), lambda t: t != "")
+    words = counts.select(
+        F.concat(chars, F.array(F.lit(END_OF_WORD))).alias("symbols"),
+        F.col("cnt"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            words.select(F.explode(_pairs_col(F.col("symbols"))).alias("p"), "cnt")
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.desc("pc"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["pc"] < min_pair_count:
+            break
+        left, right = top[0]["left"], top[0]["right"]
+        merges.append((left, right, int(top[0]["pc"])))
+
+        @F.pandas_udf("array<string>")
+        def apply_merge(s: pd.Series) -> pd.Series:
+            return s.map(lambda sym: list(_merge_word(tuple(sym), left, right)))
+
+        prev = words
+        words = words.select(
+            apply_merge(F.col("symbols")).alias("symbols"), "cnt"
+        ).localCheckpoint(eager=True)
+        prev.unpersist()
+    words.unpersist()
+    return merges
+
+
+def bpe_train(
+    counts: DataFrame,
+    n_merges: int = 256,
+    min_count: int = 1,
+    min_pair_count: int = 2,
+    local_train_limit: int = 2_000_000,
+    force_distributed: bool = False,
+) -> list[tuple[str, str, int]]:
+    """Learn a ranked merge table ``[(left, right, pair_count), ...]``
+    from a (pretoken, cnt) frame. ``min_count`` floors rare pretokens
+    out before training (the standard frequency threshold — at corpus
+    scale this is the knob bounding the training working set);
+    ``min_pair_count`` stops once the best pair is no longer worth a
+    vocab slot. The local-vs-distributed choice happens BEFORE any
+    collect, on the floored distinct-pretoken count."""
+    floored = counts.where(F.col("cnt") >= min_count)
+    if not force_distributed and floored.count() <= local_train_limit:
+        rows = floored.collect()
+        # deterministic regardless of partition order: the trainer's
+        # tie-break is on pair identity, but word ORDER never matters
+        # (pair counts are order-free sums); sort only for stable tests
+        wc = sorted((r["pretoken"], int(r["cnt"])) for r in rows)
+        return _bpe_train_local(wc, n_merges, min_pair_count)
+    return _bpe_train_distributed(floored, n_merges, min_pair_count)
+
+
+def merges_df(spark: SparkSession, merges: list[tuple[str, str, int]]) -> DataFrame:
+    """The learned merge table as a (rank, left, right, pair_count)
+    frame — tiny by construction (≤ n_merges rows)."""
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank int, left string, right string, pair_count bigint",
+    )
+
+
+def encode_pretoken(
+    pretoken: str, ranks: dict[tuple[str, str], int], merges: list[tuple[str, str, int]]
+) -> list[str]:
+    """GPT-2-style encode of one pretoken: repeatedly apply the
+    lowest-ranked merge present (greedy left-to-right within the word).
+    Characters unseen in training simply remain single-symbol — the
+    byte-fallback analogue."""
+    sym = _initial_symbols(pretoken)
+    while len(sym) > 1:
+        best_rank: int | None = None
+        for p in _pairs(sym):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+        if best_rank is None:
+            break
+        left, right, _ = merges[best_rank]
+        sym = _merge_word(sym, left, right)
+    return list(sym)
+
+
+def encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document encoding stats: pretoken/token/char counts under the
+    learned merges, as ``bpe_``-prefixed columns (the documents fixture
+    already carries an ``n_chars`` of its own). Row-local Arrow UDF; the
+    rank table rides the closure (≤ n_merges entries) and a per-batch
+    memo encodes each DISTINCT pretoken once."""
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+
+    @F.pandas_udf("struct<bpe_pretokens:int,bpe_tokens:int,bpe_chars:int>")
+    def enc(texts: pd.Series) -> pd.DataFrame:
+        memo: dict[str, int] = {}
+        out = []
+        for t in texts:
+            pts = _PRETOKEN_RE.findall((t or "").lower())
+            n_tok = 0
+            n_chars = 0
+            for p in pts:
+                if p not in memo:
+                    memo[p] = len(encode_pretoken(p, ranks, merges))
+                n_tok += memo[p]
+                n_chars += len(p)
+            out.append((len(pts), n_tok, n_chars))
+        return pd.DataFrame(
+            out, columns=["bpe_pretokens", "bpe_tokens", "bpe_chars"]
+        )
+
+    return docs.withColumn("_enc", enc(F.col(text_col))).select(
+        *[c for c in docs.columns], "_enc.*"
+    )
+
+
+def tokenizer_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = 256,
+    min_count: int = 2,
+) -> DataFrame:
+    """End-to-end entry: train BPE on the documents corpus, encode it,
+    and report per-source compression — tokens, chars/token (how much
+    each merge budget buys per domain), and the fertility ratio
+    (tokens per whitespace-ish word). Deterministic: the merge table is
+    a pure function of the corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train(
+        pretoken_counts(docs), n_merges=n_merges, min_count=min_count
+    )
+    enc = encode(docs, merges)
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("bpe_pretokens").cast("bigint").alias("pretokens"),
+            F.sum("bpe_tokens").cast("bigint").alias("tokens"),
+            F.round(
+                F.sum("bpe_chars") / F.sum("bpe_tokens"), 6
+            ).alias("chars_per_token"),
+            F.round(
+                F.sum("bpe_tokens") / F.sum("bpe_pretokens"), 6
+            ).alias("fertility"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,171 @@
+"""BPE tokenizer trainer/encoder gates: pinned hand-computed merges,
+local==distributed equivalence, encode==training-replay equivalence,
+overlap/greedy semantics, floors, determinism, and the fixture run."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from oasysdb_spark.operators import tokenizer as tok
+
+
+def _counts_df(spark, pairs):
+    return spark.createDataFrame(pairs, "pretoken string, cnt bigint")
+
+
+def test_merges_pinned_on_classic_corpus(spark):
+    """Sennrich-style toy corpus, merges hand-computed. Corpus:
+    low x5, lower x2, newest x6, widest x3 (each ending in </w>).
+
+    Round 1 pair counts: (e,s) = (s,t) = (t,</w>) = 9 (newest+widest),
+    (w,e) = 8, (l,o) = (o,w) = 7 — the three-way tie at 9 breaks to the
+    lexicographically smallest (left, right) tuple, ("e","s").
+    Round 2: (es,t) and (t,</w>) tie at 9 → ("es","t") wins ("es" <
+    "t"). Round 3: (est,</w>) = 9 beats everything else (≤ 8)."""
+    df = _counts_df(
+        spark, [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    )
+    merges = tok.bpe_train(df, n_merges=3, min_count=1)
+    assert [(l, r) for l, r, _ in merges] == [
+        ("e", "s"),
+        ("es", "t"),
+        ("est", "</w>"),
+    ]
+    assert [c for _, _, c in merges] == [9, 9, 9]
+
+
+def test_local_equals_distributed(spark):
+    """Both trainer paths must learn the identical ranked merge table,
+    including on tie-heavy and overlap-heavy inputs."""
+    words = [
+        ("aaa", 4),       # overlap-inclusive counting: (a,a) counts twice
+        ("aaaa", 1),
+        ("banana", 3),
+        ("bandana", 2),
+        ("abracadabra", 2),
+        ("cab", 7),
+        ("abc", 7),       # tie pressure on (a,b)/(b,c)/(c,a)
+    ]
+    df = _counts_df(spark, words)
+    local = tok.bpe_train(df, n_merges=10, min_count=1)
+    dist = tok.bpe_train(df, n_merges=10, min_count=1, force_distributed=True)
+    assert local == dist
+    assert len(local) > 0
+
+
+def test_greedy_overlap_semantics():
+    """'aaaa' under (a,a) merges greedily left-to-right → (aa, aa);
+    'aaa' → (aa, a). Counting stays overlap-inclusive."""
+    assert tok._merge_word(("a", "a", "a", "a"), "a", "a") == ("aa", "aa")
+    assert tok._merge_word(("a", "a", "a"), "a", "a") == ("aa", "a")
+    assert tok._pairs(("a", "a", "a")) == [("a", "a"), ("a", "a")]
+
+
+def test_min_count_and_min_pair_floors(spark):
+    df = _counts_df(spark, [("aa", 10), ("zz", 1)])
+    # min_count floors 'zz' out entirely: no (z,z) merge can appear
+    merges = tok.bpe_train(df, n_merges=5, min_count=2)
+    assert all(l != "z" for l, _, _ in merges)
+    # min_pair_count stops training before singleton pairs get slots
+    df2 = _counts_df(spark, [("ab", 1)])
+    assert tok.bpe_train(df2, n_merges=5, min_count=1, min_pair_count=2) == []
+
+
+def test_encode_replays_training(spark):
+    """Encoding a training pretoken with the learned ranks reproduces
+    the exact symbol sequence training left it with — pinned by
+    re-deriving the training-side sequences via sequential replay."""
+    words = [("banana", 3), ("bandana", 2), ("low", 5), ("lowest", 4)]
+    df = _counts_df(spark, words)
+    merges = tok.bpe_train(df, n_merges=8, min_count=1)
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+    for w, _ in words:
+        replay = tok._initial_symbols(w)
+        for l, r, _ in merges:
+            replay = tok._merge_word(replay, l, r)
+        assert tuple(tok.encode_pretoken(w, ranks, merges)) == replay, w
+
+
+def test_encode_roundtrip_and_monotone_compression(spark):
+    """Concatenating a pretoken's symbols (marker stripped) recovers the
+    pretoken; a larger merge budget never increases its token count."""
+    df = _counts_df(spark, [("internationalization", 3), ("nation", 9), ("inter", 4)])
+    merges = tok.bpe_train(df, n_merges=12, min_count=1)
+    prev = None
+    for cut in range(len(merges) + 1):
+        sub = merges[:cut]
+        ranks = {(l, r): i for i, (l, r, _) in enumerate(sub)}
+        sym = tok.encode_pretoken("internationalization", ranks, sub)
+        assert "".join(sym).replace(tok.END_OF_WORD, "") == "internationalization"
+        n = len(sym)
+        if prev is not None:
+            assert n <= prev
+        prev = n
+    # unseen characters stay single-symbol (byte-fallback analogue)
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+    sym = tok.encode_pretoken("xyz", ranks, merges)
+    assert sym == ["x", "y", "z", tok.END_OF_WORD]
+
+
+def test_tokenizer_stats_fixture_run(spark, sf_dir):
+    """End-to-end on the sf0.001 documents fixture: deterministic
+    across two runs, per-source rows, sane bounds (every pretoken
+    yields at least one token so fertility ≥ 1; chars_per_token can
+    dip below 1 only via the </w> marker on unmerged short words)."""
+    a = tok.tokenizer_stats(spark, sf_dir, n_merges=64, min_count=2)
+    b = tok.tokenizer_stats(spark, sf_dir, n_merges=64, min_count=2)
+    ra, rb = a.collect(), b.collect()
+    assert ra == rb and len(ra) > 0
+    for r in ra:
+        assert r["tokens"] > 0 and r["pretokens"] > 0
+        assert r["chars_per_token"] > 0
+        assert r["fertility"] >= 1.0
+    # more merges ⇒ corpus-wide token count must not increase
+    small = tok.tokenizer_stats(spark, sf_dir, n_merges=8, min_count=2)
+    tot_small = small.agg(F.sum("tokens")).collect()[0][0]
+    tot_big = a.agg(F.sum("tokens")).collect()[0][0]
+    assert tot_big <= tot_small
+
+
+def test_pretoken_counts_matches_duckdb(spark, sf_dir):
+    """The corpus-scale aggregation hash-matches a DuckDB replay —
+    the SQL-expressible half of the tokenizer tier."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    got = (
+        tok.pretoken_counts(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+        .orderBy(F.desc("cnt"), F.asc("pretoken"))
+        .limit(50)
+    )
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    res = con.execute("""
+        WITH toks AS (
+          SELECT unnest(
+            list_filter(
+              string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''
+            )
+          ) AS pretoken
+          FROM documents
+        )
+        SELECT pretoken, CAST(count(*) AS BIGINT) AS cnt FROM toks
+        GROUP BY pretoken ORDER BY cnt DESC, pretoken ASC LIMIT 50
+    """)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare("pretoken_counts", spark_rows, spark_cols, duck_rows, duck_cols)
+    assert not issues, issues
+    # the sf0.001 fixture vocabulary is small (~31 distinct pretokens),
+    # so the LIMIT 50 cap is not binding there — both engines must agree
+    # on the full ranked list regardless
+    assert len(spark_rows) > 10
