@@ -427,10 +427,13 @@ def connected_components(
         .cache()
     )
 
+    from oasysdb_spark.session import free_local_checkpoint
+
     labels = nodes.select(
         F.col(id_col).alias("doc_id"), F.col(id_col).alias("component_id")
     ).cache()
-    cached = labels  # the frame currently holding storage (unpersist target)
+    initial = labels  # the cache()d round-0 frame (plain unpersist works)
+    ckpt = None  # previous round's checkpoint (needs explicit block free)
     converged = False
     for _ in range(max_iter):
         neighbor_min = (
@@ -475,20 +478,34 @@ def connected_components(
         changed = stepped.where(
             F.col("component_id") < F.col("old_component_id")
         ).count()
-        cached.unpersist()
-        cached = stepped
+        # the eager checkpoint above already materialized stepped, so the
+        # frames it was derived from are now droppable. unpersist() is a
+        # no-op on checkpoints — free their blocks explicitly.
+        if initial is not None:
+            initial.unpersist()
+            initial = None
+        if ckpt is not None:
+            free_local_checkpoint(ckpt)
+        ckpt = stepped
         labels = stepped.select("doc_id", "component_id")
         if changed == 0:
             converged = True
             break
+    sym.unpersist()
     if not converged:
         # a fixpoint was NOT reached: wrong labels must never return
-        # silently (they would under-merge components = under-dedup)
+        # silently (they would under-merge components = under-dedup).
+        # Nothing downstream will read the labels — free the last round.
+        if ckpt is not None:
+            free_local_checkpoint(ckpt)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
             "raise max_iter (convergence is O(log diameter) with the "
             "path-halving shortcut, so this indicates a pathological graph)"
         )
+    # the FINAL round's checkpoint backs the returned frame and stays
+    # resident (same retention the old cache()-based loop had); callers
+    # that materialize the result can free it via free_local_checkpoint.
     return labels.select(
         "doc_id", F.col("component_id").cast("bigint").alias("component_id")
     )

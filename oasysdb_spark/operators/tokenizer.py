@@ -46,8 +46,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from oasysdb_spark.functions.text import TOKEN_RE
+from oasysdb_spark.session import free_local_checkpoint
+
 END_OF_WORD = "</w>"
-_PRETOKEN_RE = re.compile(r"[a-z0-9]+")
+# compiled from the SAME constant functions/text.tokens splits on the
+# complement of — training (Spark side) and encoding (Python side) must
+# agree on what a pretoken is, or every word goes effectively OOV
+_PRETOKEN_RE = re.compile(TOKEN_RE)
 
 
 def pretoken_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -171,30 +177,41 @@ def _bpe_train_distributed(
     ).localCheckpoint(eager=True)
 
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
-        top = (
-            words.select(F.explode(_pairs_col(F.col("symbols"))).alias("p"), "cnt")
-            .groupBy("p.left", "p.right")
-            .agg(F.sum("cnt").alias("pc"))
-            .orderBy(F.desc("pc"), F.asc("left"), F.asc("right"))
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0]["pc"] < min_pair_count:
-            break
-        left, right = top[0]["left"], top[0]["right"]
-        merges.append((left, right, int(top[0]["pc"])))
+    try:
+        for _ in range(n_merges):
+            top = (
+                words.select(
+                    F.explode(_pairs_col(F.col("symbols"))).alias("p"), "cnt"
+                )
+                .groupBy("p.left", "p.right")
+                .agg(F.sum("cnt").alias("pc"))
+                .orderBy(F.desc("pc"), F.asc("left"), F.asc("right"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["pc"] < min_pair_count:
+                break
+            left, right = top[0]["left"], top[0]["right"]
+            merges.append((left, right, int(top[0]["pc"])))
 
-        @F.pandas_udf("array<string>")
-        def apply_merge(s: pd.Series) -> pd.Series:
-            return s.map(lambda sym: list(_merge_word(tuple(sym), left, right)))
+            @F.pandas_udf("array<string>")
+            def apply_merge(s: pd.Series) -> pd.Series:
+                return s.map(
+                    lambda sym: list(_merge_word(tuple(sym), left, right))
+                )
 
-        prev = words
-        words = words.select(
-            apply_merge(F.col("symbols")).alias("symbols"), "cnt"
-        ).localCheckpoint(eager=True)
-        prev.unpersist()
-    words.unpersist()
+            prev = words
+            # eager: materialized before `left`/`right` rebind next round
+            words = words.select(
+                apply_merge(F.col("symbols")).alias("symbols"), "cnt"
+            ).localCheckpoint(eager=True)
+            # plain unpersist() is a no-op on checkpoints — free the
+            # superseded round's blocks explicitly, or n_merges copies
+            # of the symbol table pile up in executor storage
+            free_local_checkpoint(prev)
+    finally:
+        # only the merges list (driver-side, tiny) leaves this function
+        free_local_checkpoint(words)
     return merges
 
 
@@ -214,14 +231,23 @@ def bpe_train(
     vocab slot. The local-vs-distributed choice happens BEFORE any
     collect, on the floored distinct-pretoken count."""
     floored = counts.where(F.col("cnt") >= min_count)
-    if not force_distributed and floored.count() <= local_train_limit:
-        rows = floored.collect()
-        # deterministic regardless of partition order: the trainer's
-        # tie-break is on pair identity, but word ORDER never matters
-        # (pair counts are order-free sums); sort only for stable tests
-        wc = sorted((r["pretoken"], int(r["cnt"])) for r in rows)
-        return _bpe_train_local(wc, n_merges, min_pair_count)
-    return _bpe_train_distributed(floored, n_merges, min_pair_count)
+    if force_distributed:
+        return _bpe_train_distributed(floored, n_merges, min_pair_count)
+    # cache so the size guard's count() and the path taken after it share
+    # ONE execution of the corpus-scale aggregation feeding `counts`
+    # (the cached table is the collapsed vocab — small by construction)
+    floored = floored.cache()
+    try:
+        if floored.count() <= local_train_limit:
+            rows = floored.collect()
+            # deterministic regardless of partition order: the trainer's
+            # tie-break is on pair identity, and word ORDER never matters
+            # (pair counts are order-free sums); sort for stable tests
+            wc = sorted((r["pretoken"], int(r["cnt"])) for r in rows)
+            return _bpe_train_local(wc, n_merges, min_pair_count)
+        return _bpe_train_distributed(floored, n_merges, min_pair_count)
+    finally:
+        floored.unpersist()
 
 
 def merges_df(spark: SparkSession, merges: list[tuple[str, str, int]]) -> DataFrame:
@@ -294,13 +320,16 @@ def tokenizer_stats(
     sf_dir: str,
     n_merges: int = 256,
     min_count: int = 2,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end entry: train BPE on the documents corpus, encode it,
     and report per-source compression — tokens, chars/token (how much
     each merge budget buys per domain), and the fertility ratio
     (tokens per whitespace-ish word). Deterministic: the merge table is
-    a pure function of the corpus."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a pure function of the corpus. ``docs`` overrides the fixture read
+    (any frame with text + source columns)."""
+    if docs is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     merges = bpe_train(
         pretoken_counts(docs), n_merges=n_merges, min_count=min_count
     )
@@ -311,12 +340,20 @@ def tokenizer_stats(
             F.count("*").alias("docs"),
             F.sum("bpe_pretokens").cast("bigint").alias("pretokens"),
             F.sum("bpe_tokens").cast("bigint").alias("tokens"),
-            F.round(
-                F.sum("bpe_chars") / F.sum("bpe_tokens"), 6
-            ).alias("chars_per_token"),
-            F.round(
-                F.sum("bpe_tokens") / F.sum("bpe_pretokens"), 6
-            ).alias("fertility"),
+            # a source with no [a-z0-9] text at all has zero pretokens
+            # AND zero tokens: 0.0 ratios, not silent nulls
+            F.when(
+                F.sum("bpe_tokens") > 0,
+                F.round(F.sum("bpe_chars") / F.sum("bpe_tokens"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("chars_per_token"),
+            F.when(
+                F.sum("bpe_pretokens") > 0,
+                F.round(F.sum("bpe_tokens") / F.sum("bpe_pretokens"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("fertility"),
         )
         .orderBy("source")
     )

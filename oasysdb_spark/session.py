@@ -89,3 +89,28 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def free_local_checkpoint(df) -> None:
+    """Release the executor-storage blocks behind a ``localCheckpoint``ed
+    DataFrame. ``DataFrame.unpersist()`` is a NO-OP for checkpoint
+    blocks — it only uncaches CacheManager entries — so an iterative
+    operator that checkpoints per round (connected components, the
+    distributed BPE trainer) would otherwise pin EVERY round's table in
+    MEMORY_AND_DISK until nondeterministic ContextCleaner GC, filling
+    the block manager at exactly the scale the loop exists for.
+
+    Only call this once every frame DERIVED from ``df`` has been
+    materialized (eagerly checkpointed or collected): the checkpoint's
+    lineage is truncated, so after this the frame is unreadable.
+    Best-effort: reaches the LogicalRDD leaves through the classic Py4J
+    handle (the frame may be a projection OVER the checkpoint) and
+    silently no-ops where that handle doesn't exist (Connect)."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
+    except Exception:
+        pass

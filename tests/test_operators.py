@@ -1380,3 +1380,26 @@ def test_connected_components_deep_chain_and_random_graphs(spark):
             ).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_connected_components_releases_intermediate_storage(spark):
+    """Per-round label checkpoints must be freed as they are superseded
+    (unpersist() alone is a no-op on checkpoint blocks): after the run,
+    only the final round's table may remain resident."""
+    from oasysdb_spark.operators import dedup
+    from oasysdb_spark.session import free_local_checkpoint
+
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a bigint, doc_b bigint"
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = len(jsc.getRDDStorageInfo())
+    labels = dedup.connected_components(nodes, chain, "doc_a", "doc_b")
+    got = labels.collect()
+    assert len(got) == n and {r["component_id"] for r in got} == {0}
+    after = len(jsc.getRDDStorageInfo())
+    assert after <= before + 1, f"storage leak: {before} -> {after}"
+    free_local_checkpoint(labels)
+    assert len(jsc.getRDDStorageInfo()) <= before

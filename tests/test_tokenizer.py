@@ -169,3 +169,41 @@ def test_pretoken_counts_matches_duckdb(spark, sf_dir):
     # so the LIMIT 50 cap is not binding there — both engines must agree
     # on the full ranked list regardless
     assert len(spark_rows) > 10
+
+
+def _n_stored_rdds(spark):
+    return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+
+def test_distributed_trainer_releases_checkpoint_storage(spark):
+    """unpersist() is a no-op on localCheckpointed frames; the trainer
+    must free each superseded round's blocks explicitly or n_merges
+    symbol-table copies pile up in executor storage. Only the merges
+    list leaves the function, so storage must return to its baseline."""
+    df = _counts_df(spark, [("banana", 3), ("bandana", 2), ("cabana", 4)])
+    before = _n_stored_rdds(spark)
+    merges = tok.bpe_train(df, n_merges=6, min_count=1, force_distributed=True)
+    assert len(merges) > 0
+    assert _n_stored_rdds(spark) <= before
+
+
+def test_zero_token_source_yields_zero_ratios(spark, sf_dir):
+    """A source whose docs contain no [a-z0-9] at all must report 0.0
+    compression ratios, not silent nulls."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "en", "web", 19),
+            (2, "!!! ??? ***", "xx", "punct", 11),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    rows = {
+        r["source"]: r
+        for r in tok.tokenizer_stats(
+            spark, sf_dir, n_merges=4, min_count=1, docs=docs
+        ).collect()
+    }
+    assert rows["punct"]["tokens"] == 0
+    assert rows["punct"]["chars_per_token"] == 0.0
+    assert rows["punct"]["fertility"] == 0.0
+    assert rows["web"]["fertility"] >= 1.0
