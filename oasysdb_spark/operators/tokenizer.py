@@ -315,6 +315,125 @@ def encode(
     )
 
 
+UNK_ID = 0
+
+
+def build_vocab(
+    counts: DataFrame,
+    merges: list[tuple[str, str, int]],
+    min_count: int = 1,
+) -> list[str]:
+    """The token vocabulary a merge table implies: every single
+    character observed in the (floored) pretoken table, the end-of-word
+    marker, and every merged symbol. Returned as a deterministic
+    driver-side list where index = token id; id 0 is reserved for
+    ``<unk>`` (characters unseen in training). Tiny by construction:
+    |charset| + n_merges + 2 entries."""
+    chars = (
+        counts.where(F.col("cnt") >= min_count)
+        .select(
+            F.explode(
+                F.filter(F.split("pretoken", ""), lambda t: t != "")
+            ).alias("ch")
+        )
+        .distinct()
+        .collect()
+    )
+    base = sorted({r["ch"] for r in chars} | {END_OF_WORD})
+    return ["<unk>"] + base + [l + r for l, r, _ in merges]
+
+
+def encode_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    vocab: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document token-ID sequences (``bpe_ids: array<int>``) under
+    the learned merges — the tensor-ready form. Row-local Arrow UDF,
+    memoized per distinct pretoken; symbols outside the vocabulary
+    (characters unseen in training) map to UNK_ID."""
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+    ids = {t: i for i, t in enumerate(vocab)}
+
+    @F.pandas_udf("array<int>")
+    def enc(texts: pd.Series) -> pd.Series:
+        memo: dict[str, list[int]] = {}
+        out = []
+        for t in texts:
+            seq: list[int] = []
+            for p in _PRETOKEN_RE.findall((t or "").lower()):
+                if p not in memo:
+                    memo[p] = [
+                        ids.get(s, UNK_ID)
+                        for s in encode_pretoken(p, ranks, merges)
+                    ]
+                seq.extend(memo[p])
+            out.append(seq)
+        return pd.Series(out)
+
+    return docs.withColumn("bpe_ids", enc(F.col(text_col)))
+
+
+def tokenize_and_shard(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int = 16,
+    n_merges: int = 256,
+    min_count: int = 2,
+    seed: str = "shard0",
+) -> DataFrame:
+    """The end of the pipeline: train BPE on the corpus, encode every
+    document to token ids, assign each doc to a shard by the same
+    seeded row-local hash rule as ``textops.shard_plan`` (re-sharding
+    for a new epoch = a salt change), and write
+    ``out_dir/shard=K/*.parquet`` with (doc_id, source, bpe_ids).
+    Returns the per-shard manifest (docs, tokens) read back FROM the
+    written files, so the returned stats are the artifact's, not the
+    plan's.
+
+    Scale shape: one corpus aggregation (training), one row-local
+    encode pass, and exactly ONE exchange — assignment key ==
+    repartition key == partition column, so the write is a single
+    shuffle into size-balanced shard files."""
+    from oasysdb_spark.functions.hashing import hash64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # trainer AND vocab builder read the pretoken table: cache it so the
+    # corpus-scale aggregation executes once
+    counts = pretoken_counts(docs).cache()
+    try:
+        merges = bpe_train(counts, n_merges=n_merges, min_count=min_count)
+        vocab = build_vocab(counts, merges, min_count=min_count)
+    finally:
+        counts.unpersist()
+
+    encoded = encode_ids(docs, merges, vocab).select(
+        "doc_id",
+        "source",
+        "bpe_ids",
+        F.pmod(hash64(F.col("doc_id").cast("string"), salt=seed), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+    )
+    (
+        encoded.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.size("bpe_ids")).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
 def tokenizer_stats(
     spark: SparkSession,
     sf_dir: str,

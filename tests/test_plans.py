@@ -272,3 +272,30 @@ def test_span_dedup_shuffles_hashes_not_text(spark, sf_dir):
     for seg in plan.split("Exchange")[1:]:
         head = seg.split("\n")[0]
         assert "text#" not in head
+
+
+def test_tokenize_shard_write_plan_single_exchange(spark, sf_dir):
+    """The tokenized-shard artifact plan: encode is one ArrowEvalPython
+    (row-local), and the only Exchange is the shard repartition the
+    write needs — assignment key == repartition key, nothing else
+    shuffles the encoded corpus."""
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.functions.hashing import hash64
+    from oasysdb_spark.operators import tokenizer as tok
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = tok.pretoken_counts(docs)
+    merges = tok.bpe_train(counts, n_merges=8, min_count=2)
+    vocab = tok.build_vocab(counts, merges, min_count=2)
+    enc = tok.encode_ids(docs, merges, vocab).select(
+        "doc_id",
+        "source",
+        "bpe_ids",
+        F.pmod(hash64(F.col("doc_id").cast("string"), salt="s"), F.lit(4))
+        .cast("int")
+        .alias("shard"),
+    )
+    plan = _plan(enc.repartition(4, "shard"))
+    assert plan.count("Exchange") == 1
+    assert plan.count("ArrowEvalPython") == 1

@@ -207,3 +207,61 @@ def test_zero_token_source_yields_zero_ratios(spark, sf_dir):
     assert rows["punct"]["chars_per_token"] == 0.0
     assert rows["punct"]["fertility"] == 0.0
     assert rows["web"]["fertility"] >= 1.0
+
+
+def test_encode_ids_decode_roundtrip(spark):
+    """Token-ID sequences decode back to the document's pretokens, and
+    unseen characters map to UNK_ID."""
+    counts = _counts_df(spark, [("hello", 5), ("world", 5), ("held", 2)])
+    merges = tok.bpe_train(counts, n_merges=6, min_count=1)
+    vocab = tok.build_vocab(counts, merges)
+    assert vocab[tok.UNK_ID] == "<unk>"
+    assert len(vocab) == len(set(vocab)), "vocab ids must be unique"
+    docs = spark.createDataFrame(
+        [(1, "Hello, WORLD!"), (2, "held hello"), (3, "qqq")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["bpe_ids"] for r in tok.encode_ids(docs, merges, vocab).collect()}
+    for did, text in [(1, "hello world"), (2, "held hello")]:
+        decoded = "".join(vocab[i] for i in got[did])
+        assert decoded.replace(tok.END_OF_WORD, " ").strip() == text
+    # 'q' never appeared in training: every char of doc 3 is <unk>,
+    # but the </w> marker itself IS in-vocab
+    assert got[3].count(tok.UNK_ID) == 3 and len(got[3]) == 4
+
+
+def test_tokenize_and_shard_writes_balanced_artifact(spark, sf_dir, tmp_path):
+    """The written shard artifact: manifest matches a direct re-read,
+    partition layout is shard=K dirs, every doc appears exactly once,
+    assignment is deterministic (two writes identical), and balance is
+    within the same 2x-of-mean bound shard_plan is gated on."""
+    import os
+
+    out = str(tmp_path / "shards")
+    manifest = tok.tokenize_and_shard(
+        spark, sf_dir, out, n_shards=4, n_merges=32, min_count=2
+    ).collect()
+    assert {r["shard"] for r in manifest} == {0, 1, 2, 3}
+    sizes = [r["n_docs"] for r in manifest]
+    mean = sum(sizes) / len(sizes)
+    assert max(sizes) <= 2 * mean, f"skewed shards: {sizes}"
+    assert sorted(os.listdir(out))[:1] and any(
+        d.startswith("shard=") for d in os.listdir(out)
+    )
+    back = spark.read.parquet(out)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert back.count() == n_docs
+    assert back.select("doc_id").distinct().count() == n_docs
+    assert dict(back.dtypes)["bpe_ids"] == "array<int>"
+    # determinism: a second run writes the identical artifact
+    out2 = str(tmp_path / "shards2")
+    tok.tokenize_and_shard(spark, sf_dir, out2, n_shards=4, n_merges=32, min_count=2)
+    a = sorted(
+        (r["doc_id"], r["shard"], tuple(r["bpe_ids"]))
+        for r in spark.read.parquet(out).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["shard"], tuple(r["bpe_ids"]))
+        for r in spark.read.parquet(out2).collect()
+    )
+    assert a == b
