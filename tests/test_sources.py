@@ -140,3 +140,108 @@ def test_append_rejects_schema_mismatch(spark, tmp_path):
         .select("v", "id")
     )
     assert t.read(spark).count() == 8
+
+
+def _wet_record(rid, uri, text, rtype="conversion"):
+    body = text.encode("utf-8")
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        f"\r\n"
+    ).encode("utf-8")
+    return head + body + b"\r\n\r\n"
+
+
+def test_wet_corpus_parses_plain_and_multimember_gzip(spark, tmp_path):
+    """WET framing honored exactly (Content-Length, CRLF separators),
+    warcinfo records skipped, multi-member gzip (the Common Crawl
+    layout) decompressed, and the documents-shaped view composes."""
+    import gzip
+
+    from oasysdb_spark.sources import corpus
+
+    recs = (
+        _wet_record("w0", "", "robots: classic", rtype="warcinfo")
+        + _wet_record("a1", "https://example.com/a", "alpha doc text")
+        + _wet_record("b2", "https://other.net/b", "beta doc text\nwith lines")
+    )
+    (tmp_path / "f1.warc.wet").write_bytes(recs)
+    # per-record gzip members concatenated, exactly like CC WET files
+    members = b"".join(
+        gzip.compress(_wet_record(f"g{i}", f"https://gz.org/{i}", f"gz doc {i}"))
+        for i in range(3)
+    )
+    (tmp_path / "f2.warc.wet.gz").write_bytes(members)
+
+    wet = corpus.read_wet_corpus(spark, str(tmp_path)).collect()
+    got = {r["record_id"]: r for r in wet if r["record_id"]}
+    assert len(got) == 5  # warcinfo skipped
+    assert got["<urn:uuid:a1>"]["text"] == "alpha doc text"
+    assert got["<urn:uuid:b2>"]["n_bytes"] == len(b"beta doc text\nwith lines")
+    assert all(r["n_malformed"] == 0 for r in wet)
+
+    docs = corpus.wet_to_documents(corpus.read_wet_corpus(spark, str(tmp_path)))
+    rows = {r["source"] for r in docs.collect()}
+    assert {"example.com", "other.net", "gz.org"} == rows
+    assert docs.count() == 5
+    assert dict(docs.dtypes)["doc_id"] == "bigint"
+
+
+def test_wet_corpus_surfaces_malformed_without_failing(spark, tmp_path):
+    """Truncated payloads and garbage framing raise the per-file
+    malformed count; a wholly-corrupt file still emits its marker row
+    instead of disappearing."""
+    from oasysdb_spark.sources import corpus
+
+    good = _wet_record("ok", "https://x.org/ok", "fine")
+    truncated = _wet_record("cut", "https://x.org/cut", "this body is long")[:-12]
+    (tmp_path / "mixed.warc.wet").write_bytes(good + truncated)
+    (tmp_path / "garbage.warc.wet").write_bytes(b"not a warc at all")
+
+    rows = corpus.read_wet_corpus(spark, str(tmp_path)).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["file"].rsplit("/", 1)[-1], []).append(r)
+    mixed = by_file["mixed.warc.wet"]
+    assert [r["record_id"] for r in mixed if r["record_id"]] == ["<urn:uuid:ok>"]
+    assert all(r["n_malformed"] == 1 for r in mixed)
+    garbage = by_file["garbage.warc.wet"]
+    assert len(garbage) == 1 and garbage[0]["record_id"] is None
+    assert garbage[0]["n_malformed"] == 1
+
+
+def test_jsonl_corpus_quarantines_corrupt_and_all_null(spark, tmp_path):
+    """PERMISSIVE jsonl read: parse failures AND schema-drifted
+    (all-null) lines land in quarantine with the raw line; clean rows
+    come out typed. Gzipped input reads identically."""
+    import gzip
+    import json as _json
+
+    from oasysdb_spark.sources import corpus
+
+    lines = [
+        _json.dumps({"doc_id": 1, "text": "good one", "lang": "en", "source": "web"}),
+        '{"doc_id": 2, "text": "broken',  # parse failure
+        _json.dumps({"id": 3, "body": "renamed keys"}),  # schema drift
+        _json.dumps({"doc_id": 4, "text": "also good", "lang": "fr", "source": "book"}),
+    ]
+    (tmp_path / "a.jsonl").write_text("\n".join(lines))
+    clean, quar = corpus.read_jsonl_corpus(spark, str(tmp_path / "a.jsonl"))
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 4]
+    assert quar.count() == 2
+    qr = quar.collect()
+    # the parse failure carries its raw line; the schema-drift line
+    # parsed fine (so no corrupt column) but is all-null on our schema
+    assert sum(1 for r in qr if r["_corrupt_record"] is not None) == 1
+    assert sum(1 for r in qr if r["_corrupt_record"] is None) == 1
+    # same corpus gzipped parses identically
+    (tmp_path / "b.jsonl.gz").write_bytes(
+        gzip.compress("\n".join(lines).encode())
+    )
+    clean_gz, quar_gz = corpus.read_jsonl_corpus(spark, str(tmp_path / "b.jsonl.gz"))
+    assert sorted(r["doc_id"] for r in clean_gz.collect()) == [1, 4]
+    assert quar_gz.count() == 2
