@@ -1,0 +1,205 @@
+"""Persisted near-duplicate signature index + incremental delta dedup.
+
+Production corpora are refreshed in increments: recomputing MinHash over
+100 TB of corpus to dedup a 100 GB crawl batch is the anti-pattern this
+module removes. The corpus's signature tables are computed ONCE and
+persisted; each new batch probes them, and — once scrubbed — extends
+them, so per-batch cost scales with the batch, not the corpus.
+
+Layout under ``index_dir``:
+
+- ``bands/``    (doc_id, band_id, band_key) — candidate generation side
+- ``shingles/`` (doc_id, sh: array<bigint>) — hashed-shingle verify side
+- ``_META.json`` — the (num_hashes, band_size, shingle_n) the index was
+  built with. A probe MUST use the same parameters (band keys from a
+  different signature scheme silently match nothing), so the probe
+  reads them from the index instead of trusting the caller.
+
+Scale shape of :func:`delta_near_dups` (mirrors
+``dedup.decontaminate_against``, whose physics are driver-verified):
+the batch side computes signatures row-locally and BROADCASTS
+(size-guarded) — candidate generation is then a map-side broadcast-hash
+join streaming over the persisted band table, and the verify join
+broadcasts the (batch-bounded) candidate list over the persisted
+shingle table: the corpus-scale index is never shuffled on either step.
+Past the guard the probe degrades to plain shuffled equi-joins — still
+bucketed, never all-pairs.
+
+Intra-batch duplicates are deliberately out of scope here: run the
+existing self-join ops (``dedup.minhash_lsh_pairs`` /
+``minhash_candidate_edges``) on the batch alone — it is batch-sized
+work and needs no index.
+
+Reference parity note: the reference engine has no text/dedup tier at
+all (SURVEY §2.5); this extends the north-star LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oasysdb_spark.errors import InvalidArgumentError
+from oasysdb_spark.operators.dedup import lsh_bands, minhash_signatures
+
+_META = "_META.json"
+
+
+def _meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, _META)
+
+
+def load_index_meta(index_dir: str) -> dict:
+    try:
+        with open(_meta_path(index_dir)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise InvalidArgumentError(
+            f"{index_dir} is not a signature index (missing {_META}); "
+            "build one with build_signature_index"
+        )
+
+
+def build_signature_index(
+    docs: DataFrame,
+    index_dir: str,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    shingle_n: int = 3,
+) -> dict:
+    """Compute and persist the corpus signature index. One corpus pass:
+    the Arrow MinHash UDF runs once (cached) and feeds both tables.
+    Returns the meta dict (parameters + row counts)."""
+    if num_hashes % band_size != 0:
+        raise InvalidArgumentError("num_hashes must be divisible by band_size")
+    sigs = minhash_signatures(
+        docs, num_hashes=num_hashes, shingle_n=shingle_n, hashed=True
+    ).cache()
+    try:
+        n_docs = sigs.count()
+        bands = lsh_bands(sigs, num_hashes, band_size)
+        bands.write.mode("overwrite").parquet(os.path.join(index_dir, "bands"))
+        sigs.select("doc_id", "sh").write.mode("overwrite").parquet(
+            os.path.join(index_dir, "shingles")
+        )
+    finally:
+        sigs.unpersist()
+    meta = {
+        "num_hashes": num_hashes,
+        "band_size": band_size,
+        "shingle_n": shingle_n,
+        "n_docs": n_docs,
+    }
+    with open(_meta_path(index_dir), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def delta_near_dups(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_dir: str,
+    threshold: float = 0.5,
+    batch_broadcast_limit: int = 1_000_000,
+) -> DataFrame:
+    """Flag new-batch documents that near-duplicate the indexed corpus:
+    ``(doc_id, corpus_doc_id, jaccard)`` with each flagged batch doc's
+    best corpus match (max Jaccard, tie-break min corpus id) — the same
+    output contract as ``decontaminate_against`` so the two are
+    cross-checkable. Signature parameters come from the index's meta."""
+    meta = load_index_meta(index_dir)
+    num_hashes, band_size = meta["num_hashes"], meta["band_size"]
+
+    b_sigs = minhash_signatures(
+        new_docs,
+        num_hashes=num_hashes,
+        shingle_n=meta["shingle_n"],
+        hashed=True,
+    ).cache()
+    # guard count doubles as cache materialization (rows, not bytes:
+    # band keys + shingle digests are fixed-width per row)
+    broadcast_batch = b_sigs.count() <= batch_broadcast_limit
+    maybe_bc = F.broadcast if broadcast_batch else (lambda df: df)
+
+    idx_bands = spark.read.parquet(os.path.join(index_dir, "bands")).alias("i")
+    b_bands = lsh_bands(b_sigs, num_hashes, band_size).alias("b")
+    cand = (
+        idx_bands.join(
+            maybe_bc(b_bands),
+            (F.col("i.band_id") == F.col("b.band_id"))
+            & (F.col("i.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("i.doc_id").alias("corpus_doc_id"),
+        )
+        .distinct()
+    )
+
+    idx_sh = spark.read.parquet(os.path.join(index_dir, "shingles"))
+    pairs = idx_sh.select(
+        F.col("doc_id").alias("corpus_doc_id"), F.col("sh").alias("sh_i")
+    ).join(maybe_bc(cand), "corpus_doc_id")
+    pairs = pairs.join(
+        maybe_bc(b_sigs.select("doc_id", F.col("sh").alias("sh_b"))), "doc_id"
+    )
+    inter = F.size(F.array_intersect("sh_i", "sh_b"))
+    union = F.size("sh_i") + F.size("sh_b") - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    scored = pairs.select("doc_id", "corpus_doc_id", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("corpus_doc_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "corpus_doc_id", "jaccard")
+    )
+
+
+def extend_signature_index(
+    new_docs: DataFrame,
+    index_dir: str,
+    exclude_ids: DataFrame | None = None,
+) -> int:
+    """Append a (scrubbed) batch to the index so the NEXT batch dedups
+    against it too. ``exclude_ids`` (one id column) drops the batch's
+    flagged duplicates via a broadcast anti-join before writing — pass
+    the ``doc_id`` column of :func:`delta_near_dups`'s output. Appends
+    are plain parquet file adds (no rewrite of the corpus-scale
+    tables); returns the number of docs appended."""
+    meta = load_index_meta(index_dir)
+    sigs = minhash_signatures(
+        new_docs,
+        num_hashes=meta["num_hashes"],
+        shingle_n=meta["shingle_n"],
+        hashed=True,
+    )
+    if exclude_ids is not None:
+        key = exclude_ids.columns[0]
+        sigs = sigs.join(
+            F.broadcast(exclude_ids.select(F.col(key).alias("doc_id"))),
+            "doc_id",
+            "left_anti",
+        )
+    sigs = sigs.cache()
+    try:
+        n = sigs.count()
+        lsh_bands(sigs, meta["num_hashes"], meta["band_size"]).write.mode(
+            "append"
+        ).parquet(os.path.join(index_dir, "bands"))
+        sigs.select("doc_id", "sh").write.mode("append").parquet(
+            os.path.join(index_dir, "shingles")
+        )
+    finally:
+        sigs.unpersist()
+    meta["n_docs"] += n
+    with open(_meta_path(index_dir), "w") as f:
+        json.dump(meta, f)
+    return n
