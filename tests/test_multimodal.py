@@ -456,3 +456,102 @@ def test_gif_media_flows_through_pixel_features(spark):
         h, w, _ = a.shape
         assert (got[i]["width"], got[i]["height"]) == (w, h)
         assert got[i]["mean_r"] == int(a[:, :, 0].sum()) / float(h * w)
+
+
+def test_y4m_roundtrip_all_colorspaces():
+    """Encode → decode recovers every plane byte-exactly for 420/422/
+    444/mono, and header metadata (dims, fps, frame count) survives."""
+    import numpy as np
+
+    from oasysdb_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    for cs, (wd, hd) in [("420", (2, 2)), ("422", (2, 1)), ("444", (1, 1))]:
+        frames = [
+            (
+                rng.integers(0, 256, (12, 16), dtype=np.uint8),
+                rng.integers(0, 256, (12 // hd, 16 // wd), dtype=np.uint8),
+                rng.integers(0, 256, (12 // hd, 16 // wd), dtype=np.uint8),
+            )
+            for _ in range(3)
+        ]
+        blob = mm.encode_y4m(frames, fps=(30, 1), colorspace=cs)
+        got, meta = mm.decode_y4m(blob)
+        assert meta == {
+            "width": 16, "height": 12, "fps_num": 30, "fps_den": 1,
+            "colorspace": cs, "n_frames": 3,
+        }
+        for (y, u, v), (gy, gu, gv) in zip(frames, got):
+            assert (y == gy).all() and (u == gu).all() and (v == gv).all()
+    mono = [(rng.integers(0, 256, (8, 8), dtype=np.uint8), None, None)]
+    got, meta = mm.decode_y4m(mm.encode_y4m(mono, colorspace="mono"))
+    assert meta["colorspace"] == "mono" and (got[0][0] == mono[0][0]).all()
+    assert got[0][1] is None
+
+
+def test_y4m_corrupt_and_boundary_semantics():
+    """Truncated frames and bad framing raise ValueError; unknown
+    colorspaces and non-y4m containers hit the documented
+    NotImplementedError external-codec boundary."""
+    import numpy as np
+    import pytest
+
+    from oasysdb_spark.operators import multimodal as mm
+
+    frames = [(np.zeros((8, 8), np.uint8), np.zeros((4, 4), np.uint8),
+               np.zeros((4, 4), np.uint8))]
+    blob = mm.encode_y4m(frames)
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_y4m(blob[:-5])
+    with pytest.raises(ValueError, match="marker"):
+        mm.decode_y4m(blob.replace(b"FRAME", b"FRAMX"))
+    with pytest.raises(NotImplementedError, match="colorspace"):
+        mm.decode_y4m(b"YUV4MPEG2 W8 H8 F25:1 C410\nFRAME\n" + b"\x00" * 96)
+    with pytest.raises(ValueError, match="divisible"):
+        mm.decode_y4m(b"YUV4MPEG2 W9 H9 F25:1 C420\nFRAME\n" + b"\x00" * 99)
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        mm.decode_video(b"\x00\x00\x00\x20ftypisom rest-of-an-mp4")
+
+
+def test_video_features_match_local_recompute(spark, sf_dir):
+    """End-to-end through the real codec: multimodal_video_stats values
+    re-derived locally from the document text bytes (luma = padded
+    utf-8 payload, chroma constant) — decode, sampling schedule, and
+    the exact-integer-sum contract all pinned."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from oasysdb_spark.operators import multimodal as mm
+
+    def r6(x):
+        # Spark ROUND on doubles = BigDecimal.valueOf (decimal string
+        # repr) + HALF_UP; Python's round() is banker's and diverges on
+        # exact .5 boundaries like 47.2578125
+        return float(Decimal(str(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    got = {
+        r["media_id"]: r
+        for r in mm.multimodal_video_stats(spark, sf_dir, every_n=2).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    assert len(got) == len(docs) > 0
+    for d in docs:
+        b = d["text"].encode("utf-8")
+        nf = max(1, math.ceil(len(b) / 256))
+        payload = b + b"\x00" * (nf * 256 - len(b))
+        sampled = list(range(0, nf, 2))
+        lsum = sum(sum(payload[i * 256 : (i + 1) * 256]) for i in sampled)
+        want_mean = r6(lsum / (256.0 * len(sampled)))
+        r = got[d["doc_id"]]
+        assert r["n_frames"] == nf and r["n_sampled"] == len(sampled)
+        assert r["width"] == 16 and r["height"] == 16
+        assert r["luma_mean"] == want_mean, d["doc_id"]
+        if len(sampled) > 1:
+            dsum = 0
+            for a, bidx in zip(sampled, sampled[1:]):
+                pa = payload[a * 256 : (a + 1) * 256]
+                pb = payload[bidx * 256 : (bidx + 1) * 256]
+                dsum += sum(abs(x - y) for x, y in zip(pa, pb))
+            assert r["motion"] == r6(dsum / (256.0 * (len(sampled) - 1)))
+        else:
+            assert r["motion"] == 0.0
