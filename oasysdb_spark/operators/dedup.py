@@ -805,6 +805,37 @@ def embedding_dedup_components(
     )
 
 
+def jaccard_best_match(
+    pairs: DataFrame,
+    id_col: str,
+    match_col: str,
+    sh_a: str,
+    sh_b: str,
+    threshold: float,
+) -> DataFrame:
+    """Shared verify-and-pick-best step: exact Jaccard over hashed
+    shingle-set columns ``sh_a``/``sh_b``, thresholded, keeping each
+    ``id_col``'s best match (max Jaccard, tie-break min ``match_col``).
+    ``decontaminate_against`` and ``dedup_index.delta_near_dups`` are
+    asserted output-EQUAL in tests, so this arithmetic must live once —
+    a contract change applied to one copy would silently break the
+    other's equality gate."""
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(sh_a) + F.size(sh_b) - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    scored = pairs.select(id_col, match_col, jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("jaccard").desc(), F.col(match_col)
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, match_col, "jaccard")
+    )
+
+
 def decontaminate_against(
     train_docs: DataFrame,
     eval_docs: DataFrame,
@@ -868,17 +899,6 @@ def decontaminate_against(
         ),
         "eval_doc_id",
     )
-    inter = F.size(F.array_intersect("sh_t", "sh_e"))
-    union = F.size("sh_t") + F.size("sh_e") - inter
-    jac = F.round(inter.cast("double") / union, 6)
-    scored = pairs.select("doc_id", "eval_doc_id", jac.alias("jaccard")).where(
-        F.col("jaccard") >= threshold
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("jaccard").desc(), F.col("eval_doc_id")
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("doc_id", "eval_doc_id", "jaccard")
+    return jaccard_best_match(
+        pairs, "doc_id", "eval_doc_id", "sh_t", "sh_e", threshold
     )

@@ -19,11 +19,13 @@ Scale shape of :func:`delta_near_dups` (mirrors
 ``dedup.decontaminate_against``, whose physics are driver-verified):
 the batch side computes signatures row-locally and BROADCASTS
 (size-guarded) — candidate generation is then a map-side broadcast-hash
-join streaming over the persisted band table, and the verify join
-broadcasts the (batch-bounded) candidate list over the persisted
-shingle table: the corpus-scale index is never shuffled on either step.
-Past the guard the probe degrades to plain shuffled equi-joins — still
-bucketed, never all-pairs.
+join streaming over the persisted band table, so the corpus-scale band
+index never shuffles. The verify join (candidates ⋈ index shingles) is
+a plain equi-join: the candidate count is batch_rows × per-doc corpus
+collisions — NOT bounded by the batch-row guard — so it is never
+force-broadcast; AQE converts it to a broadcast join at runtime
+whenever it measures small. Past the guard the whole probe degrades to
+shuffled equi-joins — still bucketed, never all-pairs.
 
 Intra-batch duplicates are deliberately out of scope here: run the
 existing self-join ops (``dedup.minhash_lsh_pairs`` /
@@ -41,10 +43,13 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from oasysdb_spark.errors import InvalidArgumentError
-from oasysdb_spark.operators.dedup import lsh_bands, minhash_signatures
+from oasysdb_spark.operators.dedup import (
+    jaccard_best_match,
+    lsh_bands,
+    minhash_signatures,
+)
 
 _META = "_META.json"
 
@@ -76,6 +81,16 @@ def build_signature_index(
     Returns the meta dict (parameters + row counts)."""
     if num_hashes % band_size != 0:
         raise InvalidArgumentError("num_hashes must be divisible by band_size")
+    # torn-build safety: invalidate the meta FIRST, restore it (atomic
+    # rename) only after both tables are fully written — a rebuild that
+    # dies mid-write leaves an index that fails LOUD ("not a signature
+    # index") instead of stale meta silently matching nothing against
+    # half-rewritten band tables
+    os.makedirs(index_dir, exist_ok=True)
+    try:
+        os.remove(_meta_path(index_dir))
+    except FileNotFoundError:
+        pass
     sigs = minhash_signatures(
         docs, num_hashes=num_hashes, shingle_n=shingle_n, hashed=True
     ).cache()
@@ -94,9 +109,15 @@ def build_signature_index(
         "shingle_n": shingle_n,
         "n_docs": n_docs,
     }
-    with open(_meta_path(index_dir), "w") as f:
-        json.dump(meta, f)
+    _write_meta(index_dir, meta)
     return meta
+
+
+def _write_meta(index_dir: str, meta: dict) -> None:
+    tmp = _meta_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _meta_path(index_dir))
 
 
 def delta_near_dups(
@@ -140,26 +161,21 @@ def delta_near_dups(
         .distinct()
     )
 
+    # cand is NOT broadcast: its size is batch_rows x per-doc corpus
+    # collisions, unbounded by the batch-row guard (a template-heavy web
+    # corpus can fan one batch doc out to thousands of band matches).
+    # The verify join shuffles (cand ⋈ index shingles) on corpus id —
+    # AQE still converts it to a broadcast join at runtime whenever cand
+    # MEASURES small, which is the common case the guard can't prove.
     idx_sh = spark.read.parquet(os.path.join(index_dir, "shingles"))
     pairs = idx_sh.select(
         F.col("doc_id").alias("corpus_doc_id"), F.col("sh").alias("sh_i")
-    ).join(maybe_bc(cand), "corpus_doc_id")
+    ).join(cand, "corpus_doc_id")
     pairs = pairs.join(
         maybe_bc(b_sigs.select("doc_id", F.col("sh").alias("sh_b"))), "doc_id"
     )
-    inter = F.size(F.array_intersect("sh_i", "sh_b"))
-    union = F.size("sh_i") + F.size("sh_b") - inter
-    jac = F.round(inter.cast("double") / union, 6)
-    scored = pairs.select("doc_id", "corpus_doc_id", jac.alias("jaccard")).where(
-        F.col("jaccard") >= threshold
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("jaccard").desc(), F.col("corpus_doc_id")
-    )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("doc_id", "corpus_doc_id", "jaccard")
+    return jaccard_best_match(
+        pairs, "doc_id", "corpus_doc_id", "sh_i", "sh_b", threshold
     )
 
 
@@ -167,13 +183,16 @@ def extend_signature_index(
     new_docs: DataFrame,
     index_dir: str,
     exclude_ids: DataFrame | None = None,
+    batch_broadcast_limit: int = 1_000_000,
 ) -> int:
     """Append a (scrubbed) batch to the index so the NEXT batch dedups
     against it too. ``exclude_ids`` (one id column) drops the batch's
-    flagged duplicates via a broadcast anti-join before writing — pass
-    the ``doc_id`` column of :func:`delta_near_dups`'s output. Appends
-    are plain parquet file adds (no rewrite of the corpus-scale
-    tables); returns the number of docs appended."""
+    flagged duplicates via an anti-join before writing — pass the
+    ``doc_id`` column of :func:`delta_near_dups`'s output; the anti-join
+    broadcasts only under the same size guard as the probe (a mostly-
+    duplicate re-crawl flags nearly the whole batch). Appends are plain
+    parquet file adds (no rewrite of the corpus-scale tables); returns
+    the number of docs appended."""
     meta = load_index_meta(index_dir)
     sigs = minhash_signatures(
         new_docs,
@@ -183,11 +202,10 @@ def extend_signature_index(
     )
     if exclude_ids is not None:
         key = exclude_ids.columns[0]
-        sigs = sigs.join(
-            F.broadcast(exclude_ids.select(F.col(key).alias("doc_id"))),
-            "doc_id",
-            "left_anti",
-        )
+        excl = exclude_ids.select(F.col(key).alias("doc_id"))
+        if excl.count() <= batch_broadcast_limit:
+            excl = F.broadcast(excl)
+        sigs = sigs.join(excl, "doc_id", "left_anti")
     sigs = sigs.cache()
     try:
         n = sigs.count()

@@ -1173,6 +1173,10 @@ def decode_y4m(content: bytes):
             u = v = None
         frames.append((y, u, v))
         pos = end
+    if not frames:
+        # a header-only stream is corrupt, not a zero-length video:
+        # callers divide by the frame count
+        raise ValueError("y4m stream contains no frames")
     meta = {
         "width": w,
         "height": h,
@@ -1305,7 +1309,12 @@ def synthesize_y4m_media_from_documents(spark, sf_dir: str) -> DataFrame:
             F.lit(16).cast("int").alias("width"),
             F.lit(16).cast("int").alias("height"),
             F.lit(None).cast("int").alias("sample_rate"),
-            F.ceil(F.col("n_chars") / 256).cast("int").alias("n_frames"),
+            # frame count follows the utf-8 OCTET length (multi-byte
+            # chars desync n_chars from the encoded payload) with the
+            # encoder's min-one-frame floor
+            F.greatest(
+                F.lit(1), F.ceil(F.octet_length("text") / 256)
+            ).cast("int").alias("n_frames"),
         ).alias("meta"),
     )
 

@@ -89,7 +89,13 @@ def _iter_gzip_members(data: bytes) -> bytes:
     rest = data
     while rest.startswith(b"\x1f\x8b"):
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out.write(d.decompress(rest))
+        try:
+            out.write(d.decompress(rest))
+        except zlib.error:
+            # a corrupt member must degrade to the malformed count, not
+            # fail the task: keep whatever inflated cleanly so far — the
+            # record parser will count the torn tail
+            break
         rest = d.unused_data
     return out.getvalue()
 
@@ -113,12 +119,17 @@ def parse_wet_records(data: bytes) -> tuple[list[dict], int]:
             pos += 1
         if pos >= n:
             break
-        head_end = data.find(b"\r\n\r\n", pos)
-        sep = 4
-        if head_end == -1:
-            head_end = data.find(b"\n\n", pos)
-            sep = 2
-        if head_end == -1:
+        # a record may be CRLF- or LF-framed: take whichever blank line
+        # comes FIRST (searching for CRLFCRLF across the whole buffer
+        # would swallow an LF-framed record whenever a later record is
+        # CRLF-framed)
+        crlf = data.find(b"\r\n\r\n", pos)
+        lf = data.find(b"\n\n", pos)
+        if crlf != -1 and (lf == -1 or crlf <= lf):
+            head_end, sep = crlf, 4
+        elif lf != -1:
+            head_end, sep = lf, 2
+        else:
             n_malformed += 1
             break
         head = data[pos:head_end].decode("utf-8", errors="replace")
@@ -138,6 +149,10 @@ def parse_wet_records(data: bytes) -> tuple[list[dict], int]:
                 headers[k.strip().lower()] = v.strip()
         try:
             length = int(headers.get("content-length", ""))
+            if length < 0:
+                # negative slices would read from the file tail — and a
+                # crafted value can stall pos entirely (infinite loop)
+                raise ValueError("negative Content-Length")
         except ValueError:
             n_malformed += 1
             nxt = data.find(b"WARC/1.", head_end)
@@ -226,9 +241,10 @@ def wet_to_documents(wet: DataFrame) -> DataFrame:
         hash64(F.col("record_id")).alias("doc_id"),
         "text",
         F.lit(None).cast("string").alias("lang"),
-        F.coalesce(
-            F.regexp_extract("target_uri", r"^[a-z]+://([^/]+)", 1),
-            F.lit(""),
-        ).alias("source"),
+        # regexp_extract returns '' (never null) on no-match; (?i) keeps
+        # mixed-case schemes (HTTPS://) from bucketing to ''
+        F.regexp_extract("target_uri", r"(?i)^[a-z]+://([^/]+)", 1).alias(
+            "source"
+        ),
         F.length("text").cast("bigint").alias("n_chars"),
     )

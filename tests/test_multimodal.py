@@ -555,3 +555,38 @@ def test_video_features_match_local_recompute(spark, sf_dir):
             assert r["motion"] == r6(dsum / (256.0 * (len(sampled) - 1)))
         else:
             assert r["motion"] == 0.0
+
+
+def test_y4m_header_only_stream_is_corrupt():
+    """A stream truncated right after the header must raise a clean
+    codec error, not divide-by-zero inside the feature extractor."""
+    import pytest
+
+    from oasysdb_spark.operators import multimodal as mm
+
+    with pytest.raises(ValueError, match="no frames"):
+        mm.decode_y4m(b"YUV4MPEG2 W16 H16 F25:1 C420\n")
+
+
+def test_y4m_meta_frames_follow_utf8_octets(spark):
+    """meta.n_frames must match the ENCODED stream (utf-8 octet length,
+    min one frame) even for multi-byte text and empty docs."""
+    import pandas as pd
+
+    from oasysdb_spark.operators import multimodal as mm
+
+    # 200 two-byte chars = 400 octets -> 2 frames (n_chars says 1)
+    rows = [(1, "é" * 200, "xx", "t", 200), (2, "", "xx", "t", 0)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    import os
+    out = "/tmp/y4m_meta_probe"
+    docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    media = mm.synthesize_y4m_media_from_documents(spark, out)
+    got = {r["media_id"]: r for r in media.collect()}
+    assert got[1]["meta"]["n_frames"] == 2
+    assert got[2]["meta"]["n_frames"] == 1
+    for mid, r in got.items():
+        _, meta = mm.decode_y4m(bytes(r["content"]))
+        assert meta["n_frames"] == r["meta"]["n_frames"], mid

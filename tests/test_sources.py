@@ -245,3 +245,53 @@ def test_jsonl_corpus_quarantines_corrupt_and_all_null(spark, tmp_path):
     clean_gz, quar_gz = corpus.read_jsonl_corpus(spark, str(tmp_path / "b.jsonl.gz"))
     assert sorted(r["doc_id"] for r in clean_gz.collect()) == [1, 4]
     assert quar_gz.count() == 2
+
+
+def test_wet_parser_framing_edge_cases(spark, tmp_path):
+    """Review-pinned parser hazards: LF-framed records survive alongside
+    CRLF-framed ones (earlier-separator rule), negative Content-Length
+    routes to malformed instead of looping/wrapping, and a corrupt gzip
+    member degrades to the malformed count instead of raising."""
+    import gzip
+
+    from oasysdb_spark.sources import corpus
+
+    # LF-framed record followed by a CRLF-framed one: both must emerge
+    lf_rec = (
+        b"WARC/1.0\n"
+        b"WARC-Type: conversion\n"
+        b"WARC-Record-ID: <urn:uuid:lf1>\n"
+        b"Content-Length: 7\n"
+        b"\n"
+        b"lf body"
+        b"\n\n"
+    )
+    crlf_rec = _wet_record("cr1", "https://x.org/c", "crlf body")
+    recs, bad = corpus.parse_wet_records(lf_rec + crlf_rec)
+    assert [r["record_id"] for r in recs] == ["<urn:uuid:lf1>", "<urn:uuid:cr1>"]
+    assert recs[0]["text"] == "lf body" and bad == 0
+
+    # negative Content-Length: malformed, parser terminates
+    neg = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"Content-Length: -47\r\n"
+        b"\r\n"
+    )
+    recs, bad = corpus.parse_wet_records(neg + crlf_rec)
+    assert bad == 1 and [r["record_id"] for r in recs] == ["<urn:uuid:cr1>"]
+
+    # corrupt second gzip member: first member's records survive
+    good_gz = gzip.compress(_wet_record("g1", "https://x.org/g", "gz body"))
+    corrupt = good_gz + b"\x1f\x8b" + b"\xde\xad\xbe\xef" * 4
+    (tmp_path / "c.warc.wet.gz").write_bytes(corrupt)
+    rows = corpus.read_wet_corpus(spark, str(tmp_path / "c.warc.wet.gz")).collect()
+    assert [r["record_id"] for r in rows] == ["<urn:uuid:g1>"]
+
+    # mixed-case scheme still buckets to host
+    up = _wet_record("up1", "HTTPS://Example.COM/x", "upper scheme")
+    (tmp_path / "u.warc.wet").write_bytes(up)
+    docs = corpus.wet_to_documents(
+        corpus.read_wet_corpus(spark, str(tmp_path / "u.warc.wet"))
+    ).collect()
+    assert docs[0]["source"] == "Example.COM"
