@@ -1288,3 +1288,144 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(bits), 6).alias("bits_per_token"),
         )
     )
+
+
+def trigram_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram LM quality signal with STUPID BACKOFF (Brants et al.
+    2007, "Large Language Models in Machine Translation") — the scoring
+    scheme invented FOR distributed count-based LMs: no discounting or
+    normalization pass, just raw count ratios with a fixed 0.4 backoff
+    factor, so the whole model is three aggregation tables:
+
+        S(w3|w1 w2) = c(w1 w2 w3) / c(w1 w2)      if trigram seen
+                    = 0.4  * c(w2 w3) / c(w2)     else if bigram seen
+                    = 0.4² * c(w3) / N            otherwise
+
+    Every doc scores its mean per-position -log2 S in bits; repetitive
+    text scores low, token salad high — one rung past
+    :func:`bigram_surprisal` toward the KenLM filter. The model fits on
+    a REFERENCE partition (``doc_id % 2 == 0`` — the CCNet shape: fit
+    on a trusted slice, score the whole corpus): scoring the fit corpus
+    against itself would make tier 1 total by construction and the
+    backoff dead code. Unseen final words (w3 outside the fit vocab)
+    take add-one in the unigram tier, ``0.4² (c(w3)+1)/(N+V)`` —
+    documented deviation, Brants leaves OOV unspecified. Returns
+    ``(doc_id, n_trigrams, bits_per_trigram)`` for docs with ≥ 3
+    tokens.
+
+    Scale shape: n-grams form ROW-LOCALLY (expression transforms, no
+    window/shuffle); the model is three hash aggregations (trigram,
+    bigram, unigram — each vocab-bounded below corpus size); scoring is
+    left hash equi-joins of the position stream against those tables
+    plus one doc aggregation. Tier 2 only fires when the (w2 w3) bigram
+    was seen in fit, which implies w2 was too — so only the w3 lookup
+    needs the null-coalesced add-one. Float discipline: integer-count
+    ratios into ln/log2 with identical parenthesization in the DuckDB
+    oracle, round(avg, 6) once at the end."""
+    docs = _docs(spark, sf_dir)
+    all_tk = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    tk = all_tk.where(F.col("doc_id") % 2 == 0)
+
+    def grams(n):
+        return F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("tk", i + j) for j in range(1, n + 1)]
+                ),
+            )
+        )
+
+    uni = (
+        tk.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    n_tokens = int(
+        tk.select(F.sum(F.size("tk")).alias("n")).first()["n"] or 0
+    )
+    vocab_size = int(
+        tk.select(F.explode("tk").alias("t"))
+        .agg(F.countDistinct("t"))
+        .first()[0]
+        or 0
+    )
+    bi = (
+        tk.where(F.size("tk") >= 2)
+        .select(grams(2).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("cb"))
+    )
+    tri = (
+        tk.where(F.size("tk") >= 3)
+        .select(grams(3).alias("tg"))
+        .groupBy("tg")
+        .agg(F.count("*").alias("c3"))
+    )
+
+    pos = all_tk.where(F.size("tk") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - 3),
+                lambda i: F.struct(
+                    F.concat_ws(
+                        " ",
+                        F.element_at("tk", i + 1),
+                        F.element_at("tk", i + 2),
+                        F.element_at("tk", i + 3),
+                    ).alias("tg"),
+                    F.concat_ws(
+                        " ",
+                        F.element_at("tk", i + 1),
+                        F.element_at("tk", i + 2),
+                    ).alias("ctx12"),
+                    F.concat_ws(
+                        " ",
+                        F.element_at("tk", i + 2),
+                        F.element_at("tk", i + 3),
+                    ).alias("bg23"),
+                    F.element_at("tk", i + 2).alias("w2"),
+                    F.element_at("tk", i + 3).alias("w3"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.*")
+
+    scored = (
+        pos.join(tri, "tg", "left")
+        .join(bi.select(F.col("bg").alias("ctx12"), F.col("cb").alias("c12")), "ctx12", "left")
+        .join(bi.select(F.col("bg").alias("bg23"), F.col("cb").alias("c23")), "bg23", "left")
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c1").alias("cw2")),
+            "w2",
+            "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("w3"), F.col("c1").alias("cw3")),
+            "w3",
+            "left",
+        )
+    )
+    s = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("c12"),
+        )
+        .when(
+            F.col("c23").isNotNull(),
+            F.lit(0.4) * (F.col("c23").cast("double") / F.col("cw2")),
+        )
+        .otherwise(
+            F.lit(0.16)
+            * (
+                (F.coalesce(F.col("cw3"), F.lit(0)) + F.lit(1)).cast("double")
+                / F.lit(n_tokens + vocab_size)
+            )
+        )
+    )
+    bits = -(F.log(s) / F.log(F.lit(2.0)))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_trigrams"),
+        F.round(F.avg(bits), 6).alias("bits_per_trigram"),
+    )

@@ -1403,3 +1403,117 @@ def test_connected_components_releases_intermediate_storage(spark):
     assert after <= before + 1, f"storage leak: {before} -> {after}"
     free_local_checkpoint(labels)
     assert len(jsc.getRDDStorageInfo()) <= before
+
+
+def test_trigram_backoff_tiers_on_hand_corpus(spark, tmp_path):
+    """Every stupid-backoff tier pinned on a hand corpus with the
+    fit-on-even-ids split: tier 1 (trigram seen in fit), tier 3 with a
+    fit-vocab word, and tier 3 with an OOV word (add-one floor)."""
+    import math
+
+    from oasysdb_spark.operators import textops
+
+    rows = [
+        (2, "a b c a b c a b c"),  # FIT: ab=3 bc=3 ca=2; tri "a b c"x3
+        (4, "a b d"),              # FIT: ab=4 total, bd=1; tri "a b d"
+        (1, "a b c"),              # scored: tier 1
+        (3, "c b a"),              # scored: tier 3, w3="a" in fit vocab
+        (5, "b d q"),              # scored: tier 3, w3="q" OOV
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "t", len(t)) for i, t in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: r
+        for r in textops.trigram_backoff_surprisal(spark, str(tmp_path)).collect()
+    }
+    # fit stats: N = 12 tokens, V = 4 ({a, b, c, d})
+    def bits(s):
+        return round(-(math.log(s) / math.log(2.0)), 6)
+
+    # doc1 "a b c": tier 1 -> c3("a b c")/c12("a b") = 3/4
+    assert got[1]["bits_per_trigram"] == bits(3 / 4.0)
+    # doc3 "c b a": trigram+bigram("b a") unseen in fit; w3="a" c=4
+    assert got[3]["bits_per_trigram"] == bits(0.16 * ((4 + 1) / 16.0))
+    # doc5 "b d q": w3="q" OOV -> add-one floor (the corpus minimum s)
+    assert got[5]["bits_per_trigram"] == bits(0.16 * (1 / 16.0))
+    # the OOV tier is the most surprising of the three
+    assert (
+        got[1]["bits_per_trigram"]
+        < got[3]["bits_per_trigram"]
+        < got[5]["bits_per_trigram"]
+    )
+    # fit docs are scored too (fit-on-reference, score-all)
+    assert set(got) == {1, 2, 3, 4, 5}
+
+
+def test_trigram_backoff_matches_duckdb_oracle(spark, sf_dir):
+    """Full DuckDB replay of the stupid-backoff model (three count
+    tables + tiered CASE with identical parenthesization) hash-compared
+    through the driver's compare machinery — the self-oracle gate ahead
+    of a driver-window rotation."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.operators import textops
+
+    got = textops.trigram_backoff_surprisal(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) > 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    res = con.execute(f"""
+        WITH all_tk AS (SELECT doc_id, {toks} AS tk FROM documents),
+        tk AS (SELECT * FROM all_tk WHERE doc_id % 2 = 0),
+        uni AS (SELECT t AS w, count(*) AS c1
+                FROM (SELECT unnest(tk) AS t FROM tk) GROUP BY 1),
+        nv AS (SELECT (SELECT sum(len(tk)) FROM tk)
+                      + (SELECT count(*) FROM uni) AS nv),
+        bi AS (SELECT bg, count(*) AS cb FROM (
+                 SELECT unnest(list_transform(range(1, len(tk)),
+                        i -> tk[i] || ' ' || tk[i+1])) AS bg
+                 FROM tk WHERE len(tk) >= 2) GROUP BY bg),
+        tri AS (SELECT tg, count(*) AS c3 FROM (
+                 SELECT unnest(list_transform(range(1, len(tk) - 1),
+                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tg
+                 FROM tk WHERE len(tk) >= 3) GROUP BY tg),
+        pos AS (SELECT doc_id,
+                  tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS tg,
+                  tk[i] || ' ' || tk[i+1] AS ctx12,
+                  tk[i+1] || ' ' || tk[i+2] AS bg23,
+                  tk[i+1] AS w2, tk[i+2] AS w3
+                FROM all_tk, unnest(range(1, len(tk) - 1)) AS u(i)
+                WHERE len(tk) >= 3),
+        scored AS (
+          SELECT p.doc_id,
+            CASE WHEN t.c3 IS NOT NULL THEN CAST(t.c3 AS DOUBLE) / b12.cb
+                 WHEN b23.cb IS NOT NULL THEN 0.4 * (CAST(b23.cb AS DOUBLE) / u2.c1)
+                 ELSE 0.16 * (CAST(coalesce(u3.c1, 0) + 1 AS DOUBLE) / nv.nv)
+            END AS s
+          FROM pos p
+          LEFT JOIN tri t USING (tg)
+          LEFT JOIN bi b12 ON p.ctx12 = b12.bg
+          LEFT JOIN bi b23 ON p.bg23 = b23.bg
+          LEFT JOIN uni u2 ON p.w2 = u2.w
+          LEFT JOIN uni u3 ON p.w3 = u3.w, nv)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+               ROUND(avg(-(ln(s) / ln(2.0))), 6) AS bits_per_trigram
+        FROM scored GROUP BY doc_id""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "trigram_backoff_surprisal", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
