@@ -70,14 +70,47 @@ def read_jsonl_corpus(
         .option("columnNameOfCorruptRecord", _CORRUPT)
         .json(path)
     )
+    return _split_corrupt(raw, schema)
+
+
+def _split_corrupt(raw: DataFrame, schema: T.StructType) -> tuple[DataFrame, DataFrame]:
+    """The clean/quarantine routing shared by the batch and streaming
+    jsonl readers — one definition, so the two ingest modes can never
+    disagree on what counts as corrupt."""
     data_cols = [f.name for f in schema.fields]
-    all_null = F.expr(
-        " AND ".join(f"{c} IS NULL" for c in data_cols)
-    )
+    all_null = F.expr(" AND ".join(f"{c} IS NULL" for c in data_cols))
     bad = F.col(_CORRUPT).isNotNull() | all_null
     clean = raw.where(~bad).select(*data_cols)
     quarantine = raw.where(bad)
     return clean, quarantine
+
+
+def stream_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = JSONL_CORPUS_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Streaming twin of :func:`read_jsonl_corpus`: a file-source
+    ``readStream`` over a GROWING corpus directory with the identical
+    clean/quarantine split (shared routing predicate). Returns two
+    streaming frames; each started sink tracks file progress in its own
+    checkpoint, so the clean and quarantine queries advance and recover
+    independently — file-source offsets are the processed-file log, so
+    a restart resumes exactly, never re-ingesting a file.
+    ``max_files_per_trigger`` bounds micro-batch size on backfills."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())]
+    )
+    reader = (
+        spark.readStream.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.json(path)
+    return _split_corrupt(raw, schema)
 
 
 def _iter_gzip_members(data: bytes) -> bytes:

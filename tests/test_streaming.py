@@ -625,3 +625,67 @@ def test_heavy_hitter_stream_captures_batch_hitters_across_restart(
         assert t in est, f"heavy hitter {t} missing from final sketches"
     for t, e in est.items():
         assert e <= truth[t]
+
+
+def test_stream_jsonl_corpus_matches_batch_and_survives_restart(spark, tmp_path):
+    """The streaming jsonl ingest must route clean/quarantine EXACTLY
+    like the batch reader on the same files (shared predicate), and a
+    restarted query must pick up only files added since the checkpoint
+    — never re-ingesting."""
+    import json as _json
+
+    from oasysdb_spark.sources import corpus
+
+    src = tmp_path / "corpus_in"
+    src.mkdir()
+    out_clean = str(tmp_path / "clean_out")
+    out_quar = str(tmp_path / "quar_out")
+    ck1, ck2 = str(tmp_path / "ck_clean"), str(tmp_path / "ck_quar")
+
+    def doc(i, txt):
+        return _json.dumps(
+            {"doc_id": i, "text": txt, "lang": "en", "source": "web"}
+        )
+
+    (src / "a.jsonl").write_text(
+        "\n".join([doc(1, "one"), '{"doc_id": 2, "broken', doc(3, "three")])
+    )
+
+    def run_once():
+        clean, quar = corpus.stream_jsonl_corpus(spark, str(src))
+        q1 = (
+            clean.writeStream.format("parquet")
+            .option("path", out_clean)
+            .option("checkpointLocation", ck1)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2 = (
+            quar.writeStream.format("parquet")
+            .option("path", out_quar)
+            .option("checkpointLocation", ck2)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q1.awaitTermination(120)
+        q2.awaitTermination(120)
+
+    run_once()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out_clean).collect()
+    ) == [1, 3]
+    assert spark.read.parquet(out_quar).count() == 1
+
+    # batch twin on the same directory agrees exactly
+    b_clean, b_quar = corpus.read_jsonl_corpus(spark, str(src))
+    assert sorted(r["doc_id"] for r in b_clean.collect()) == [1, 3]
+    assert b_quar.count() == 1
+
+    # a second file lands; the restarted queries ingest ONLY it
+    (src / "b.jsonl").write_text(
+        "\n".join([doc(4, "four"), _json.dumps({"renamed": "drift"})])
+    )
+    run_once()
+    clean_rows = sorted(r["doc_id"] for r in spark.read.parquet(out_clean).collect())
+    assert clean_rows == [1, 3, 4]  # no re-ingest duplication
+    assert spark.read.parquet(out_quar).count() == 2
