@@ -383,6 +383,7 @@ def tokenize_and_shard(
     n_merges: int = 256,
     min_count: int = 2,
     seed: str = "shard0",
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """The end of the pipeline: train BPE on the corpus, encode every
     document to token ids, assign each doc to a shard by the same
@@ -399,7 +400,8 @@ def tokenize_and_shard(
     shuffle into size-balanced shard files."""
     from oasysdb_spark.functions.hashing import hash64
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if docs is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # trainer AND vocab builder read the pretoken table: cache it so the
     # corpus-scale aggregation executes once
     counts = pretoken_counts(docs).cache()

@@ -1,0 +1,99 @@
+"""End-to-end pipeline gate: raw jsonl/WET files through ingest →
+filter → dedup → tokenized shards, manifest counts pinned stage by
+stage against hand-constructed corpus contents."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from oasysdb_spark import pipeline
+
+
+STORY_A = (
+    "the quick brown fox jumps over the lazy dog near the river and "
+    "then walks back home with a small bag of red apples for everyone"
+)
+STORY_B = (
+    "a tall grey mountain rises over the quiet valley where the old "
+    "shepherd keeps his flock of white sheep through the long winter"
+)
+STORY_C = (
+    "deep in the green forest the children found an ancient stone "
+    "bridge covered with soft moss and carved letters from another age"
+)
+
+
+def _doc(i, text, source="web"):
+    return json.dumps(
+        {"doc_id": i, "text": text, "lang": "en", "source": source}
+    )
+
+
+def test_corpus_to_shards_jsonl_end_to_end(spark, tmp_path):
+    lines = [
+        _doc(1, STORY_A),
+        _doc(2, STORY_B),
+        # exact duplicate of doc 1 (higher id -> dropped, keep min)
+        _doc(3, STORY_A),
+        # near duplicate of doc 2 (trailing edit; longer -> becomes rep)
+        _doc(4, STORY_B + " indeed truly and forever more"),
+        # junk that fails the quality rules
+        _doc(5, "!!! ??? *** ### $$$"),
+        # corrupt line -> quarantine
+        '{"doc_id": 6, "text": "broken',
+        _doc(7, STORY_C),
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "part0.jsonl").write_text("\n".join(lines))
+    out = str(tmp_path / "shards")
+
+    m = pipeline.corpus_to_shards(
+        spark, str(src), out, fmt="jsonl", n_shards=2, n_merges=32,
+        near_threshold=0.5, lang="en",
+    )
+    assert m["n_raw"] == 6  # corrupt line never reaches the pipeline
+    assert m["n_quarantined"] == 1
+    assert m["n_clean"] == 5  # junk doc 5 dropped
+    assert m["n_exact_unique"] == 4  # doc 3 collapsed into doc 1
+    # docs 2 and 4 are near-dups: the LONGER doc 4 is the representative
+    assert m["n_survivors"] == 3
+    back = spark.read.parquet(out)
+    ids = sorted(r["doc_id"] for r in back.collect())
+    assert ids == [1, 4, 7]
+    assert m["total_tokens"] == back.agg(
+        F.sum(F.size("bpe_ids"))
+    ).first()[0] > 0
+    assert m["n_shards"] == 2 and sum(s["n_docs"] for s in m["shards"]) == 3
+
+
+def test_corpus_to_shards_wet_input(spark, tmp_path):
+    from tests.test_sources import _wet_record
+
+    stories = [STORY_A, STORY_B, STORY_C,
+               STORY_A.replace("fox", "hare").replace("river", "lake")
+               .replace("apples", "pears").replace("dog", "cat")
+               .replace("quick", "slow").replace("brown", "white")
+               .replace("small", "large").replace("red", "green")]
+    recs = b"".join(
+        _wet_record(f"r{i}", f"https://site{i % 2}.org/p{i}", stories[i])
+        for i in range(4)
+    )
+    src = tmp_path / "wet"
+    src.mkdir()
+    (src / "crawl.warc.wet").write_bytes(recs)
+    out = str(tmp_path / "shards")
+
+    m = pipeline.corpus_to_shards(
+        spark, str(src), out, fmt="wet", n_shards=2, n_merges=16, lang="en"
+    )
+    assert m["n_raw"] == 4 and m["n_survivors"] == 4
+    back = spark.read.parquet(out)
+    assert back.count() == 4
+    assert {r["source"] for r in back.collect()} == {"site0.org", "site1.org"}
+
+
+def test_unknown_format_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="unknown corpus format"):
+        pipeline.corpus_to_shards(spark, str(tmp_path), str(tmp_path / "o"), fmt="csv")
