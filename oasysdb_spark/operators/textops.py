@@ -234,6 +234,48 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_then_near_dedup(
+    spark: SparkSession, scored: DataFrame, near_threshold: float
+):
+    """The dedup-survivors stage shared by :func:`prepare_training_corpus`
+    and :func:`oasysdb_spark.pipeline.corpus_to_shards` — one definition
+    so the two pipeline entry points can never dedup differently.
+
+    ``scored`` carries at least (doc_id, text, fp, bpe). Exact dedup
+    keeps the min doc_id per fingerprint; near-dup MinHash components
+    keep the QUALITY representative — the member with the most tokens,
+    tie → min doc_id, the same struct-max pick as
+    ``dedup.representative_pick`` (real pipelines keep the longest/most
+    complete copy, not blindly the smallest id).
+
+    Returns ``(exact_unique, survivors, comps)``: the first two cached,
+    ``comps`` backed by the components' final-round localCheckpoint —
+    the CALLER must release it with ``free_local_checkpoint`` once every
+    action over the survivors is finished (not merely once they are
+    cached: cache eviction recomputes through lineage)."""
+    from oasysdb_spark.operators.dedup import dedup_components
+
+    keep_exact = (
+        scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
+    exact_unique = scored.join(keep_exact, "doc_id").cache()
+    comps = dedup_components(
+        spark, threshold=near_threshold, docs=exact_unique.select("doc_id", "text")
+    )
+    reps = (
+        comps.join(exact_unique.select("doc_id", "bpe"), "doc_id")
+        .groupBy("component_id")
+        .agg(
+            F.max(
+                F.struct(F.col("bpe"), (-F.col("doc_id")).alias("neg_id"))
+            ).alias("best")
+        )
+        .select((-F.col("best.neg_id")).alias("doc_id"))
+    )
+    survivors = exact_unique.join(reps, "doc_id").cache()
+    return exact_unique, survivors, comps
+
+
 def prepare_training_corpus(
     spark: SparkSession,
     sf_dir: str,
@@ -309,31 +351,10 @@ def prepare_training_corpus(
     n_scrubbed = scrubbed.count()
 
     # exact dedup: keep the min doc_id per fingerprint
-    keep_exact = (
-        scrubbed.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    exact_unique, final, comps = exact_then_near_dedup(
+        spark, scrubbed, near_threshold
     )
-    exact_unique = scrubbed.join(keep_exact, "doc_id").cache()
     n_exact = exact_unique.count()
-
-    # near-dup clustering over the exact-unique survivors; keep the
-    # QUALITY representative per component — the member with the most
-    # tokens (tie → min doc_id), the same struct-max pick as
-    # dedup.representative_pick — rather than blindly keeping the
-    # smallest id: real pipelines keep the longest/most complete copy
-    comps = dedup_components(
-        spark, threshold=near_threshold, docs=exact_unique.select("doc_id", "text")
-    )
-    reps = (
-        comps.join(exact_unique.select("doc_id", "bpe"), "doc_id")
-        .groupBy("component_id")
-        .agg(
-            F.max(
-                F.struct(F.col("bpe"), (-F.col("doc_id")).alias("neg_id"))
-            ).alias("best")
-        )
-        .select((-F.col("best.neg_id")).alias("doc_id"))
-    )
-    final = exact_unique.join(reps, "doc_id").cache()
     n_final = final.count()
 
     # pack survivors into budgeted sequences, sharded by doc_id hash so
@@ -356,6 +377,15 @@ def prepare_training_corpus(
     seq_stats = packed.agg(
         F.count("*").alias("n_sequences"), F.sum("toks").alias("total_tokens")
     ).first()
+
+    # every action over the dedup frames is done and the return row is
+    # built from driver-side literals — the components checkpoint can't
+    # be needed for any recompute now, so release its executor blocks
+    # (a cached-but-not-checkpointed frame would NOT be safe to free
+    # earlier: cache eviction recomputes through lineage)
+    from oasysdb_spark.session import free_local_checkpoint
+
+    free_local_checkpoint(comps)
 
     return spark.createDataFrame(
         [
@@ -1297,9 +1327,12 @@ def trigram_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalization pass, just raw count ratios with a fixed 0.4 backoff
     factor, so the whole model is three aggregation tables:
 
-        S(w3|w1 w2) = c(w1 w2 w3) / c(w1 w2)      if trigram seen
-                    = 0.4  * c(w2 w3) / c(w2)     else if bigram seen
-                    = 0.4² * c(w3) / N            otherwise
+        S(w3|w1 w2) = c(w1 w2 w3) / c(w1 w2)       if trigram seen
+                    = 0.4  * c(w2 w3) / c(w2)      else if bigram seen
+                    = 0.4² * (c(w3) + 1) / (N + V) otherwise
+
+    (the unigram tier is UNIFORMLY add-one-smoothed — for OOV w3 it is
+    the floor 1/(N+V); Brants' plain c(w3)/N would send OOV to -inf)
 
     Every doc scores its mean per-position -log2 S in bits; repetitive
     text scores low, token salad high — one rung past
@@ -1307,11 +1340,10 @@ def trigram_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     a REFERENCE partition (``doc_id % 2 == 0`` — the CCNet shape: fit
     on a trusted slice, score the whole corpus): scoring the fit corpus
     against itself would make tier 1 total by construction and the
-    backoff dead code. Unseen final words (w3 outside the fit vocab)
-    take add-one in the unigram tier, ``0.4² (c(w3)+1)/(N+V)`` —
-    documented deviation, Brants leaves OOV unspecified. Returns
-    ``(doc_id, n_trigrams, bits_per_trigram)`` for docs with ≥ 3
-    tokens.
+    backoff dead code. Returns ``(doc_id, n_trigrams,
+    bits_per_trigram)`` for docs with ≥ 3 tokens; an empty fit split
+    raises instead of dividing by zero (ANSI mode) or silently nulling
+    every score.
 
     Scale shape: n-grams form ROW-LOCALLY (expression transforms, no
     window/shuffle); the model is three hash aggregations (trigram,
@@ -1336,20 +1368,26 @@ def trigram_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # uni is vocab-bounded and feeds three consumers (N/V stats + two
+    # scoring joins) — cache it so the fit corpus is tokenized once for
+    # the unigram side; N = Σc1 and V = |uni| come from the tiny
+    # aggregated table, not extra corpus-scale scans
     uni = (
         tk.select(F.explode("tk").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c1"))
+        .cache()
     )
-    n_tokens = int(
-        tk.select(F.sum(F.size("tk")).alias("n")).first()["n"] or 0
-    )
-    vocab_size = int(
-        tk.select(F.explode("tk").alias("t"))
-        .agg(F.countDistinct("t"))
-        .first()[0]
-        or 0
-    )
+    stats = uni.agg(
+        F.sum("c1").alias("n"), F.count("*").alias("v")
+    ).first()
+    n_tokens = int(stats["n"] or 0)
+    vocab_size = int(stats["v"] or 0)
+    if n_tokens == 0:
+        raise ValueError(
+            "trigram_backoff_surprisal: the fit split (doc_id % 2 == 0) "
+            "matched no tokens — the backoff denominators would be zero"
+        )
     bi = (
         tk.where(F.size("tk") >= 2)
         .select(grams(2).alias("bg"))

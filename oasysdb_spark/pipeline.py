@@ -34,9 +34,9 @@ from oasysdb_spark.functions.text import (
     token_count_bpe,
     tokens,
 )
-from oasysdb_spark.operators.dedup import dedup_components
-from oasysdb_spark.operators.textops import quality_rules
+from oasysdb_spark.operators.textops import exact_then_near_dedup, quality_rules
 from oasysdb_spark.operators.tokenizer import tokenize_and_shard
+from oasysdb_spark.session import free_local_checkpoint
 from oasysdb_spark.sources import corpus as corpus_src
 
 
@@ -82,63 +82,61 @@ def corpus_to_shards(
         doc_fingerprint(F.col("text")).alias("fp"),
         token_count_bpe(F.col("text")).cast("bigint").alias("bpe"),
     ).cache()
-    n_raw = scored.count()
-    n_quarantined = quarantine.count() if quarantine is not None else 0
+    to_unpersist = [scored]
+    comps = None
+    try:
+        n_raw = scored.count()
+        n_quarantined = quarantine.count() if quarantine is not None else 0
 
-    clean = scored.where(F.col("q") >= min_quality)
-    if lang is not None:
-        clean = clean.where(F.col("pl") == lang)
-    clean = clean.cache()
-    n_clean = clean.count()
+        clean = scored.where(F.col("q") >= min_quality)
+        if lang is not None:
+            clean = clean.where(F.col("pl") == lang)
+        clean = clean.cache()
+        to_unpersist.append(clean)
+        n_clean = clean.count()
 
-    keep_exact = (
-        clean.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-    )
-    exact_unique = clean.join(keep_exact, "doc_id").cache()
-    n_exact = exact_unique.count()
-
-    # near-dup components over survivors; keep the member with the most
-    # tokens (tie -> min doc_id) — the representative_pick contract
-    comps = dedup_components(
-        spark,
-        threshold=near_threshold,
-        docs=exact_unique.select("doc_id", "text"),
-    )
-    reps = (
-        comps.join(exact_unique.select("doc_id", "bpe"), "doc_id")
-        .groupBy("component_id")
-        .agg(
-            F.max(F.struct(F.col("bpe"), (-F.col("doc_id")).alias("neg"))).alias(
-                "best"
-            )
+        # the dedup-survivors stage shared verbatim with
+        # textops.prepare_training_corpus — one definition, so the two
+        # pipeline entry points can never dedup differently
+        exact_unique, survivors, comps = exact_then_near_dedup(
+            spark, clean, near_threshold
         )
-        .select((-F.col("best.neg")).alias("doc_id"))
-    )
-    survivors = exact_unique.join(reps, "doc_id").cache()
-    n_near = survivors.count()
+        to_unpersist += [exact_unique, survivors]
+        n_exact = exact_unique.count()
+        n_near = survivors.count()
 
-    manifest_df = tokenize_and_shard(
-        spark,
-        sf_dir="",
-        out_dir=out_dir,
-        n_shards=n_shards,
-        n_merges=n_merges,
-        min_count=min_token_count,
-        docs=survivors.select("doc_id", "text", "source"),
-    )
-    shards = [
-        {"shard": r["shard"], "n_docs": r["n_docs"], "n_tokens": r["n_tokens"]}
-        for r in manifest_df.collect()
-    ]
-    for frame in (scored, clean, exact_unique, survivors):
-        frame.unpersist()
+        manifest_df = tokenize_and_shard(
+            spark,
+            sf_dir="",
+            out_dir=out_dir,
+            n_shards=n_shards,
+            n_merges=n_merges,
+            min_count=min_token_count,
+            docs=survivors.select("doc_id", "text", "source"),
+        )
+        # manifest rows come from the WRITTEN parquet (independent
+        # lineage) — after this collect, nothing can re-read the dedup
+        # frames, so the finally below may safely free the components
+        # checkpoint
+        shards = [
+            {"shard": r["shard"], "n_docs": r["n_docs"], "n_tokens": r["n_tokens"]}
+            for r in manifest_df.collect()
+        ]
+    finally:
+        for frame in to_unpersist:
+            frame.unpersist()
+        if comps is not None:
+            free_local_checkpoint(comps)
     return {
         "n_raw": n_raw,
         "n_quarantined": n_quarantined,
         "n_clean": n_clean,
         "n_exact_unique": n_exact,
         "n_survivors": n_near,
-        "n_shards": len(shards),
+        # the REQUESTED layout; empty shard partitions write no files,
+        # so the read-back list below may be shorter
+        "n_shards": n_shards,
+        "n_nonempty_shards": len(shards),
         "total_tokens": sum(s["n_tokens"] for s in shards),
         "shards": shards,
     }

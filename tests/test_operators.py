@@ -1517,3 +1517,19 @@ def test_trigram_backoff_matches_duckdb_oracle(spark, sf_dir):
         "trigram_backoff_surprisal", spark_rows, spark_cols, duck_rows, duck_cols
     )
     assert not issues, issues
+
+
+def test_trigram_backoff_empty_fit_split_raises(spark, tmp_path):
+    """All-odd doc_ids leave the fit split empty: the op must raise a
+    clear error, not divide by zero under ANSI mode or null every row."""
+    import pytest as _pytest
+
+    from oasysdb_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e", "en", "t", 9), (3, "f g h i j", "en", "t", 9)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    with _pytest.raises(ValueError, match="fit split"):
+        textops.trigram_backoff_surprisal(spark, str(tmp_path)).collect()

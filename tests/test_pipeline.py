@@ -65,7 +65,9 @@ def test_corpus_to_shards_jsonl_end_to_end(spark, tmp_path):
     assert m["total_tokens"] == back.agg(
         F.sum(F.size("bpe_ids"))
     ).first()[0] > 0
-    assert m["n_shards"] == 2 and sum(s["n_docs"] for s in m["shards"]) == 3
+    assert m["n_shards"] == 2  # the REQUESTED layout
+    assert 1 <= m["n_nonempty_shards"] <= 2  # empty partitions write no files
+    assert sum(s["n_docs"] for s in m["shards"]) == 3
 
 
 def test_corpus_to_shards_wet_input(spark, tmp_path):
