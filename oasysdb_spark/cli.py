@@ -125,6 +125,52 @@ def build_parser() -> argparse.ArgumentParser:
                     help="older version id (see `versions`)")
     df.add_argument("--to", dest="to_version", default=None,
                     help="newer version id (default: current)")
+
+    # ---- corpus family: no database directory involved ----
+    cs = sub.add_parser(
+        "corpus-to-shards",
+        help="raw jsonl/WET corpus -> filtered, deduped, tokenized shards",
+    )
+    cs.add_argument("--in", dest="in_path", required=True)
+    cs.add_argument("--out", required=True)
+    cs.add_argument("--format", default="jsonl", choices=["jsonl", "wet"])
+    cs.add_argument("--n-shards", type=int, default=8)
+    cs.add_argument("--n-merges", type=int, default=256)
+    cs.add_argument("--min-quality", type=int, default=3)
+    cs.add_argument("--lang", default="en",
+                    help="language filter; 'any' disables it")
+    cs.add_argument("--near-threshold", type=float, default=0.5)
+
+    sb = sub.add_parser(
+        "sigindex-build", help="persist a near-dup signature index over a corpus"
+    )
+    sb.add_argument("--index", required=True, help="index directory")
+    sb.add_argument("--docs", required=True,
+                    help="parquet path with doc_id + text columns")
+    sb.add_argument("--num-hashes", type=int, default=16)
+    sb.add_argument("--band-size", type=int, default=2)
+    sb.add_argument("--shingle-n", type=int, default=3)
+
+    sp_ = sub.add_parser(
+        "sigindex-probe",
+        help="flag batch docs near-duplicating the indexed corpus",
+    )
+    sp_.add_argument("--index", required=True)
+    sp_.add_argument("--batch", required=True,
+                     help="parquet path with doc_id + text columns")
+    sp_.add_argument("--threshold", type=float, default=0.5)
+    sp_.add_argument("--limit", type=int, default=100,
+                     help="max flagged rows to print (count is always exact)")
+
+    se = sub.add_parser(
+        "sigindex-extend",
+        help="append a batch to the index (optionally scrubbing its dups first)",
+    )
+    se.add_argument("--index", required=True)
+    se.add_argument("--batch", required=True)
+    se.add_argument("--scrub", action="store_true",
+                    help="probe first and exclude flagged dups from the append")
+    se.add_argument("--threshold", type=float, default=0.5)
     return p
 
 
@@ -142,6 +188,55 @@ def main(argv: list[str] | None = None) -> int:
             density=args.density, overwrite=args.overwrite,
         )
         _emit({"ok": True, "dir": args.dir})
+        return 0
+
+    if args.cmd == "corpus-to-shards":
+        from oasysdb_spark.pipeline import corpus_to_shards
+
+        manifest = corpus_to_shards(
+            spark, args.in_path, args.out, fmt=args.format,
+            min_quality=args.min_quality,
+            lang=None if args.lang == "any" else args.lang,
+            near_threshold=args.near_threshold,
+            n_shards=args.n_shards, n_merges=args.n_merges,
+        )
+        _emit(manifest)
+        return 0
+
+    if args.cmd.startswith("sigindex-"):
+        from oasysdb_spark.operators import dedup_index
+
+        if args.cmd == "sigindex-build":
+            meta = dedup_index.build_signature_index(
+                spark.read.parquet(args.docs), args.index,
+                num_hashes=args.num_hashes, band_size=args.band_size,
+                shingle_n=args.shingle_n,
+            )
+            _emit({"ok": True, **meta})
+        elif args.cmd == "sigindex-probe":
+            flagged = dedup_index.delta_near_dups(
+                spark, spark.read.parquet(args.batch), args.index,
+                threshold=args.threshold,
+            ).cache()
+            n = flagged.count()
+            rows = [
+                {"doc_id": r["doc_id"], "corpus_doc_id": r["corpus_doc_id"],
+                 "jaccard": r["jaccard"]}
+                for r in flagged.orderBy("doc_id").limit(args.limit).collect()
+            ]
+            flagged.unpersist()
+            _emit({"n_flagged": n, "flagged": rows})
+        else:  # sigindex-extend
+            batch = spark.read.parquet(args.batch)
+            exclude = None
+            if args.scrub:
+                exclude = dedup_index.delta_near_dups(
+                    spark, batch, args.index, threshold=args.threshold
+                ).select("doc_id")
+            n = dedup_index.extend_signature_index(
+                batch, args.index, exclude_ids=exclude
+            )
+            _emit({"ok": True, "n_appended": n})
         return 0
 
     db = Database.open(spark, args.dir)

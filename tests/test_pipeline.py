@@ -99,3 +99,57 @@ def test_corpus_to_shards_wet_input(spark, tmp_path):
 def test_unknown_format_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown corpus format"):
         pipeline.corpus_to_shards(spark, str(tmp_path), str(tmp_path / "o"), fmt="csv")
+
+
+def test_cli_corpus_and_sigindex_verbs(spark, tmp_path, capsys):
+    """The corpus CLI family end to end: corpus-to-shards over a jsonl
+    dir, then sigindex build -> probe -> scrubbed extend over parquet
+    doc tables, all emitting one JSON line per verb."""
+    from oasysdb_spark.cli import main
+
+    def run(*argv):
+        assert main(list(argv)) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "c.jsonl").write_text(
+        "\n".join([_doc(1, STORY_A), _doc(2, STORY_B), _doc(3, STORY_A)])
+    )
+    out = str(tmp_path / "shards")
+    m = run(
+        "corpus-to-shards", "--in", str(src), "--out", out,
+        "--n-shards", "2", "--n-merges", "16", "--lang", "any",
+    )
+    assert m["n_raw"] == 3 and m["n_survivors"] == 2
+    assert spark.read.parquet(out).count() == 2
+
+    corpus_pq = str(tmp_path / "corpus_pq")
+    spark.createDataFrame(
+        [(1, STORY_A), (2, STORY_B)], "doc_id bigint, text string"
+    ).write.parquet(corpus_pq)
+    batch_pq = str(tmp_path / "batch_pq")
+    spark.createDataFrame(
+        [(10, STORY_A), (11, STORY_C)], "doc_id bigint, text string"
+    ).write.parquet(batch_pq)
+
+    idx = str(tmp_path / "sigidx")
+    meta = run("sigindex-build", "--index", idx, "--docs", corpus_pq)
+    assert meta["ok"] and meta["n_docs"] == 2
+
+    probe = run("sigindex-probe", "--index", idx, "--batch", batch_pq)
+    assert probe["n_flagged"] == 1
+    assert probe["flagged"][0] == {
+        "doc_id": 10, "corpus_doc_id": 1, "jaccard": 1.0
+    }
+
+    ext = run("sigindex-extend", "--index", idx, "--batch", batch_pq, "--scrub")
+    assert ext == {"ok": True, "n_appended": 1}  # the dup was scrubbed
+    # the extended index now flags a copy of the NEW doc
+    batch2 = str(tmp_path / "batch2_pq")
+    spark.createDataFrame(
+        [(20, STORY_C)], "doc_id bigint, text string"
+    ).write.parquet(batch2)
+    probe2 = run("sigindex-probe", "--index", idx, "--batch", batch2)
+    assert probe2["n_flagged"] == 1
+    assert probe2["flagged"][0]["corpus_doc_id"] == 11
