@@ -288,3 +288,93 @@ def test_ivfpq_residual_beats_flat_pq_and_prunes(spark, sf_dir):
         ).collect()
     ]
     assert oneshot == prebuilt
+
+
+def test_sq_fit_encode_decode_error_bound(spark, sf_dir):
+    """SQ8 quantization error is bounded per dimension: |x − decode| ≤
+    step/2 (+eps); constant dimensions encode 0 with zero error; codes
+    stay in [0, 255]."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.index import sq
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # add a constant dimension to pin the zero-width path
+    embs2 = embs.withColumn(
+        "embedding", F.concat(F.col("embedding"), F.array(F.lit(3.5)))
+    )
+    model = sq.fit_sq(embs2)
+    mins, steps = model
+    assert steps[-1] == 0.0 and mins[-1] == 3.5
+    rows = sq.encode_sq(embs2, model).orderBy("vec_id").limit(30).collect()
+    for r in rows:
+        codes = np.array(r["sq_code"])
+        assert codes.min() >= 0 and codes.max() <= 255
+        assert codes[-1] == 0
+        dec = sq.decode_sq(codes, model)
+        err = np.abs(np.array(r["embedding"]) - dec)
+        assert (err <= steps / 2 + 1e-9).all()
+
+
+def test_sq_score_expr_matches_numpy_decode(spark, sf_dir):
+    """The expanded-square JVM score equals the numpy squared distance
+    to the DECODED vectors — the expression is exact over the codes,
+    not an approximation of an approximation."""
+    import numpy as np
+
+    from oasysdb_spark.index import sq
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = sq.fit_sq(embs)
+    codes = sq.encode_sq(embs, model)
+    sample = codes.orderBy("vec_id").limit(20).collect()
+    q = np.array(sample[3]["embedding"])
+    got = {
+        r["vec_id"]: r["s"]
+        for r in codes.select("vec_id", sq.sq_score_expr(q, model).alias("s"))
+        .orderBy("vec_id")
+        .limit(20)
+        .collect()
+    }
+    for r in sample:
+        dec = sq.decode_sq(r["sq_code"], model)
+        want = float(((q - dec) ** 2).sum())
+        assert abs(got[r["vec_id"]] - want) < 1e-6 * max(1.0, want)
+
+
+def test_sq_knn_near_exact_recall(spark, sf_dir):
+    """SQ8 first-pass scores are near-exact, so recall@10 vs brute force
+    must be full at a small rerank; the self-match survives; prebuilt
+    model/codes reuse equals the one-shot path; dimension mismatch
+    raises cleanly."""
+    import pytest as _pytest
+
+    from oasysdb_spark.errors import InvalidArgumentError
+    from oasysdb_spark.index import sq
+    from oasysdb_spark.operators import vectorops as vec
+
+    got = [
+        r["vec_id"]
+        for r in sq.sq_knn(spark, sf_dir, query_vec_id=7, k=10).collect()
+    ]
+    brute = [
+        r["vec_id"]
+        for r in vec.knn_bruteforce(spark, sf_dir, query_vec_id=7, k=10).collect()
+    ]
+    assert got[0] == 7
+    recall = len(set(got) & set(brute)) / len(brute)
+    assert recall >= 0.9, f"SQ8 rerank recall {recall}"
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = sq.fit_sq(embs)
+    codes = sq.encode_sq(embs, model).cache()
+    pre = [
+        r["vec_id"]
+        for r in sq.sq_knn(
+            spark, sf_dir, query_vec_id=7, k=10, codes_df=codes, model=model
+        ).collect()
+    ]
+    assert pre == got
+    with _pytest.raises(InvalidArgumentError, match="dimension"):
+        sq.sq_score_expr([1.0, 2.0], model)
