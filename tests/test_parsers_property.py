@@ -1,0 +1,105 @@
+"""Property/fuzz gates for the byte-level parsers: arbitrary (including
+adversarial) bytes must never hang, loop, or raise anything but the
+documented error types — the WET negative-Content-Length infinite loop
+was exactly this class of bug.
+
+Every strategy mixes pure noise with structure-bearing mutations
+(real headers spliced into garbage) so the fuzz reaches past the first
+magic-byte check.
+"""
+
+import gzip
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from oasysdb_spark.operators import multimodal as mm
+from oasysdb_spark.operators import tokenizer as tok
+from oasysdb_spark.sources import corpus
+
+
+def _wet_fragmenty():
+    frags = st.sampled_from(
+        [
+            b"WARC/1.0\r\n",
+            b"WARC/1.0\n",
+            b"WARC-Type: conversion\r\n",
+            b"Content-Length: 5\r\n",
+            b"Content-Length: -5\r\n",
+            b"Content-Length: 99999999\r\n",
+            b"Content-Length: x\r\n",
+            b"\r\n\r\n",
+            b"\n\n",
+            b"hello",
+            b"\x1f\x8b",
+            b"\x00" * 7,
+        ]
+    )
+    return st.lists(frags, min_size=0, max_size=12).map(b"".join)
+
+
+@settings(max_examples=120, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.one_of(st.binary(max_size=400), _wet_fragmenty()))
+def test_wet_parser_total_on_arbitrary_bytes(data):
+    """parse_wet_records terminates on ANY input and returns well-typed
+    records plus a non-negative malformed count — never an exception,
+    never an infinite loop (hypothesis' deadline guards the latter via
+    the example count staying bounded in time)."""
+    records, bad = corpus.parse_wet_records(data)
+    assert bad >= 0
+    for r in records:
+        assert isinstance(r["text"], str) and r["n_bytes"] >= 0
+
+
+@settings(max_examples=120, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.binary(max_size=300))
+def test_gzip_member_walk_total(data):
+    """_iter_gzip_members never raises: corrupt members degrade to the
+    cleanly-inflated prefix."""
+    out = corpus._iter_gzip_members(b"\x1f\x8b" + data)
+    assert isinstance(out, bytes)
+    # a valid member followed by garbage keeps the member's payload
+    ok = corpus._iter_gzip_members(gzip.compress(b"payload") + b"\x1f\x8b" + data)
+    assert ok.startswith(b"payload")
+
+
+@settings(max_examples=120, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.one_of(
+        st.binary(max_size=300),
+        st.binary(max_size=200).map(lambda b: b"YUV4MPEG2 " + b),
+        st.binary(max_size=100).map(
+            lambda b: b"YUV4MPEG2 W4 H4 F25:1 C420\nFRAME\n" + b
+        ),
+    )
+)
+def test_y4m_decoder_total_on_arbitrary_bytes(data):
+    """decode_y4m either returns well-formed frames or raises exactly
+    ValueError / NotImplementedError — nothing else, and never hangs."""
+    try:
+        frames, meta = mm.decode_y4m(data)
+    except (ValueError, NotImplementedError):
+        return
+    assert meta["n_frames"] == len(frames) > 0
+    for y, _, _ in frames:
+        assert y.shape == (meta["height"], meta["width"])
+
+
+@settings(max_examples=80, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.text(alphabet="ab</w>", min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    ),
+    st.text(alphabet="ab", min_size=1, max_size=3),
+    st.text(alphabet="ab<>/w", min_size=1, max_size=3),
+)
+def test_merge_word_invariants(sym, left, right):
+    """_merge_word conserves content (concatenation is unchanged),
+    never grows the sequence, and a merged output contains no adjacent
+    (left, right) pair."""
+    out = tok._merge_word(tuple(sym), left, right)
+    assert "".join(out) == "".join(sym)
+    assert len(out) <= len(sym)
+    assert (left, right) not in tok._pairs(out)
