@@ -78,6 +78,9 @@ def main():
     # PQ: shared codebooks + codes, vary re-rank depth
     _pq_sweep(spark, sf_dir, n_queries, k, exact_euc)
 
+    # SQ8: the 4x near-exact rung — small reranks should already saturate
+    _sq_sweep(spark, sf_dir, n_queries, k, exact_euc)
+
     # LSH: shared layouts, vary table count
     for n_tables in (1, 2, 4):
         wd = tempfile.mkdtemp(prefix=f"ann_tradeoff_lsh{n_tables}_")
@@ -102,6 +105,37 @@ def main():
                 }
             )
         )
+
+
+def _sq_sweep(spark, sf_dir, n_queries, k, exact_euc):
+    from oasysdb_spark.index import sq
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = sq.fit_sq(embs)
+    codes = sq.encode_sq(embs, model).cache()
+    codes.count()  # materialize untimed (encode-once-at-ingest shape)
+    for rerank in (10, 16, 32):
+        hits, t0 = 0, time.time()
+        for qid in range(n_queries):
+            got = [
+                r["vec_id"]
+                for r in sq.sq_knn(
+                    spark, sf_dir, query_vec_id=qid, k=k, rerank=rerank,
+                    codes_df=codes, model=model,
+                ).collect()
+            ]
+            hits += len(set(got) & set(exact_euc[qid]))
+        print(
+            json.dumps(
+                {
+                    "index": "sq8",
+                    "rerank": rerank,
+                    "recall_at_10": round(hits / (n_queries * k), 3),
+                    "avg_sec": round((time.time() - t0) / n_queries, 3),
+                }
+            )
+        )
+    codes.unpersist()
 
 
 def _pq_sweep(spark, sf_dir, n_queries, k, exact_euc):
