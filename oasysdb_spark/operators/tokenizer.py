@@ -39,6 +39,7 @@ training-time transformation (pinned in tests).
 
 from __future__ import annotations
 
+import json
 import re
 from collections import Counter, defaultdict
 
@@ -478,3 +479,43 @@ def tokenizer_stats(
         )
         .orderBy("source")
     )
+
+
+def save_tokenizer(
+    path: str, merges: list[tuple[str, str, int]], vocab: list[str]
+) -> None:
+    """Persist a trained tokenizer (merge table + id space) as one JSON
+    file — tiny by construction (n_merges + |vocab| rows), written
+    atomically like the PQ codebooks, so encode jobs never refit:
+    train once on the corpus, ship the file to every consumer."""
+    from oasysdb_spark.core.config import atomic_write_text
+
+    atomic_write_text(
+        path,
+        json.dumps(
+            {
+                "format": "oasysdb_bpe_v1",
+                "end_of_word": END_OF_WORD,
+                "merges": [[l, r, c] for l, r, c in merges],
+                "vocab": vocab,
+            }
+        ),
+    )
+
+
+def load_tokenizer(path: str) -> tuple[list[tuple[str, str, int]], list[str]]:
+    """Load a tokenizer saved by :func:`save_tokenizer`; a wrong or
+    corrupt file raises a clean error instead of mis-encoding."""
+    from oasysdb_spark.errors import InvalidArgumentError
+
+    try:
+        with open(path) as f:
+            blob = json.load(f)
+    except (OSError, json.JSONDecodeError) as e:
+        raise InvalidArgumentError(f"cannot read tokenizer file {path}: {e}")
+    if blob.get("format") != "oasysdb_bpe_v1":
+        raise InvalidArgumentError(
+            f"{path} is not an oasysdb_bpe_v1 tokenizer file"
+        )
+    merges = [(l, r, int(c)) for l, r, c in blob["merges"]]
+    return merges, list(blob["vocab"])

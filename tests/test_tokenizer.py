@@ -265,3 +265,30 @@ def test_tokenize_and_shard_writes_balanced_artifact(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(out2).collect()
     )
     assert a == b
+
+
+def test_tokenizer_save_load_roundtrip(spark, tmp_path):
+    """Persisted tokenizer reloads to identical merges + vocab, and the
+    reloaded artifact encodes identically; wrong files raise cleanly."""
+    import pytest as _pytest
+
+    from oasysdb_spark.errors import InvalidArgumentError
+
+    counts = _counts_df(spark, [("hello", 5), ("help", 3), ("world", 4)])
+    merges = tok.bpe_train(counts, n_merges=8, min_count=1)
+    vocab = tok.build_vocab(counts, merges)
+    path = str(tmp_path / "bpe.json")
+    tok.save_tokenizer(path, merges, vocab)
+    m2, v2 = tok.load_tokenizer(path)
+    assert m2 == merges and v2 == vocab
+
+    docs = spark.createDataFrame([(1, "hello world help")], "doc_id bigint, text string")
+    a = tok.encode_ids(docs, merges, vocab).collect()[0]["bpe_ids"]
+    b = tok.encode_ids(docs, m2, v2).collect()[0]["bpe_ids"]
+    assert a == b and len(a) > 0
+
+    (tmp_path / "junk.json").write_text('{"format": "nope"}')
+    with _pytest.raises(InvalidArgumentError, match="not an oasysdb_bpe_v1"):
+        tok.load_tokenizer(str(tmp_path / "junk.json"))
+    with _pytest.raises(InvalidArgumentError, match="cannot read"):
+        tok.load_tokenizer(str(tmp_path / "missing.json"))
