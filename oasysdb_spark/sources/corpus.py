@@ -220,47 +220,78 @@ WET_SCHEMA = (
 )
 
 
+def _wet_map(batches):
+    """The blob → record-rows Arrow transform shared by the batch and
+    streaming WET readers — one definition so the two modes parse
+    identically."""
+    for pdf in batches:
+        out = []
+        for fname, blob in zip(pdf["path"], pdf["content"]):
+            recs, bad = parse_wet_records(bytes(blob))
+            if not recs:
+                out.append(
+                    {
+                        "file": fname,
+                        "record_id": None,
+                        "target_uri": None,
+                        "warc_date": None,
+                        "n_bytes": None,
+                        "text": None,
+                        "n_malformed": bad,
+                    }
+                )
+            for r in recs:
+                out.append({"file": fname, **r, "n_malformed": bad})
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "file",
+                "record_id",
+                "target_uri",
+                "warc_date",
+                "n_bytes",
+                "text",
+                "n_malformed",
+            ],
+        )
+
+
 def read_wet_corpus(spark: SparkSession, path: str) -> DataFrame:
     """Directory (or glob) of ``.warc.wet(.gz)`` files → one row per
     conversion record, plus the per-file ``n_malformed`` count repeated
     on each of the file's rows (a file that parses to zero records
     still emits one all-null marker row carrying its count, so wholly
     corrupt inputs are visible, not silently absent)."""
-
-    def parse(batches):
-        for pdf in batches:
-            out = []
-            for fname, blob in zip(pdf["path"], pdf["content"]):
-                recs, bad = parse_wet_records(bytes(blob))
-                if not recs:
-                    out.append(
-                        {
-                            "file": fname,
-                            "record_id": None,
-                            "target_uri": None,
-                            "warc_date": None,
-                            "n_bytes": None,
-                            "text": None,
-                            "n_malformed": bad,
-                        }
-                    )
-                for r in recs:
-                    out.append({"file": fname, **r, "n_malformed": bad})
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "file",
-                    "record_id",
-                    "target_uri",
-                    "warc_date",
-                    "n_bytes",
-                    "text",
-                    "n_malformed",
-                ],
-            )
-
     blobs = spark.read.format("binaryFile").load(path).select("path", "content")
-    return blobs.mapInPandas(parse, WET_SCHEMA)
+    return blobs.mapInPandas(_wet_map, WET_SCHEMA)
+
+
+_BINARY_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("modificationTime", T.TimestampType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def stream_wet_corpus(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming twin of :func:`read_wet_corpus` for a crawl directory
+    that GROWS (the Common Crawl delivery shape — new WET files land per
+    fetch): a ``binaryFile`` readStream (explicit schema — streaming
+    file sources cannot infer) through the SAME Arrow parse transform,
+    so the two modes can never parse differently. One file per task
+    either way; file-source offsets make restarts exactly-once per
+    file. Feed the output to a parquet sink and the batch text tier
+    composes on the landed table."""
+    reader = spark.readStream.format("binaryFile").schema(_BINARY_FILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    blobs = reader.load(path).select("path", "content")
+    return blobs.mapInPandas(_wet_map, WET_SCHEMA)
 
 
 def wet_to_documents(wet: DataFrame) -> DataFrame:

@@ -689,3 +689,49 @@ def test_stream_jsonl_corpus_matches_batch_and_survives_restart(spark, tmp_path)
     clean_rows = sorted(r["doc_id"] for r in spark.read.parquet(out_clean).collect())
     assert clean_rows == [1, 3, 4]  # no re-ingest duplication
     assert spark.read.parquet(out_quar).count() == 2
+
+
+def test_stream_wet_corpus_matches_batch_and_is_exactly_once(spark, tmp_path):
+    """Streaming WET ingest over a growing crawl directory: parses
+    identically to the batch reader (shared transform), and a restart
+    after new files land processes only the delta."""
+    from oasysdb_spark.sources import corpus
+    from tests.test_sources import _wet_record
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    (src / "f1.warc.wet").write_bytes(
+        _wet_record("a1", "https://x.org/a", "alpha text")
+        + _wet_record("a2", "https://x.org/b", "beta text")
+    )
+    out = str(tmp_path / "landed")
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        q = (
+            corpus.stream_wet_corpus(spark, str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = {r["record_id"] for r in spark.read.parquet(out).collect()}
+    batch = {
+        r["record_id"]
+        for r in corpus.read_wet_corpus(spark, str(src)).collect()
+    }
+    assert got == batch == {"<urn:uuid:a1>", "<urn:uuid:a2>"}
+
+    (src / "f2.warc.wet").write_bytes(
+        _wet_record("b1", "https://y.org/c", "gamma text")
+    )
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3  # no re-ingest of f1
+    assert {r["record_id"] for r in rows} == {
+        "<urn:uuid:a1>", "<urn:uuid:a2>", "<urn:uuid:b1>"
+    }
