@@ -902,3 +902,89 @@ def decontaminate_against(
     return jaccard_best_match(
         pairs, "doc_id", "eval_doc_id", "sh_t", "sh_e", threshold
     )
+
+
+def ngram_overlap_flags(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    eval_broadcast_limit: int = 10_000_000,
+) -> DataFrame:
+    """EXACT n-gram overlap decontamination — the GPT-3 appendix-C /
+    PaLM-style contamination check, complementing the fuzzy MinHash-LSH
+    :func:`decontaminate_against`: a training document is contaminated
+    at any token position whose ``n``-gram also occurs verbatim anywhere
+    in the eval corpus. Where the LSH path asks "is this train doc
+    mostly an eval doc?", this asks "does this train doc quote ANY eval
+    n-gram?" — the stricter hygiene rule used for benchmark overlap
+    reporting.
+
+    Returns one row per train document: ``(doc_id, n_grams,
+    n_hit_positions, hit_frac)`` — total n-gram positions, positions
+    whose gram is in the eval set, and their ratio (rounded 6, the
+    cross-engine float discipline). Filter ``n_hit_positions > 0`` to
+    scrub, or report ``hit_frac`` percentiles for audit.
+
+    Scale shape (the 100 TB contract): each side hashes its n-grams to
+    8 bytes ROW-LOCALLY (same ``hash64`` family the DuckDB oracle
+    replays bit-for-bit) — raw text never shuffles. The eval gram set
+    is distinct-aggregated to one bigint column and size-guard
+    broadcast (``eval_broadcast_limit`` rows; benchmarks are a few
+    million grams at most), so the train corpus streams map-side
+    through one hash semi-join and aggregates per doc with map-side
+    partials. Past the guard the join degrades to a plain shuffled
+    equi-join — same answer, one extra exchange.
+    """
+
+    def grams(df: DataFrame) -> DataFrame:
+        tk = tokens(F.col("text"))
+        return df.select("doc_id", tk.alias("tk")).select(
+            "doc_id",
+            F.when(
+                F.size("tk") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tk") - n),
+                    lambda i: hash64(
+                        F.concat_ws(" ", F.slice(F.col("tk"), i + 1, n))
+                    ),
+                ),
+            )
+            .otherwise(F.array().cast("array<bigint>"))
+            .alias("gh"),
+        )
+
+    ev = grams(eval_docs).select(F.explode("gh").alias("h")).distinct().cache()
+    broadcast_eval = ev.count() <= eval_broadcast_limit
+    maybe_bc = F.broadcast if broadcast_eval else (lambda df: df)
+
+    tr = grams(train_docs).select(
+        "doc_id", F.size("gh").alias("n_grams"), F.col("gh")
+    )
+    tr = tr.cache()  # feeds the position explode AND the final left join
+    pos = tr.select("doc_id", F.explode("gh").alias("h"))
+    hits = (
+        pos.join(maybe_bc(ev), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_hit_positions"))
+    )
+    return (
+        tr.select("doc_id", "n_grams")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce("n_hit_positions", F.lit(0))
+            .cast("bigint")
+            .alias("n_hit_positions"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    F.coalesce("n_hit_positions", F.lit(0)).cast("double")
+                    / F.col("n_grams"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("hit_frac"),
+        )
+    )

@@ -1467,3 +1467,38 @@ def trigram_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_trigrams"),
         F.round(F.avg(bits), 6).alias("bits_per_trigram"),
     )
+
+
+def ngram_decontaminate_stats(
+    spark: SparkSession, sf_dir: str, n: int = 8
+) -> DataFrame:
+    """Exact n-gram overlap decontamination over the fixture — the
+    (spark, sf_dir) entry shape for :func:`~oasysdb_spark.operators.
+    dedup.ngram_overlap_flags` (GPT-3/PaLM-style verbatim-quote
+    contamination, vs the fuzzy whole-doc MinHash path of
+    ``dedup_decontaminate``). Split mirrors ``dedup_decontaminate``:
+    train = ``doc_id % 10 != 3`` against eval = ``doc_id % 10 == 3``.
+    The word-salad fixture shares no natural 8-grams across the split,
+    so the query INJECTS :data:`BOILERPLATE_TEMPLATE` into every eval
+    document and every 4th train document (the span_dedup/pii_scrub
+    injection pattern) and the stats prove exactly the injected train
+    docs are flagged — ≥4 template-internal 8-gram positions each
+    (11-token template ⇒ 4 fully-internal 8-grams; boundary-straddling
+    grams match too when a train doc's trailing salad tokens coincide
+    with an eval doc's)."""
+    from oasysdb_spark.operators.dedup import ngram_overlap_flags
+
+    docs = _docs(spark, sf_dir)
+    aug_train = docs.where(F.col("doc_id") % 10 != 3).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit(" " + BOILERPLATE_TEMPLATE)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    aug_eval = docs.where(F.col("doc_id") % 10 == 3).select(
+        "doc_id", F.concat("text", F.lit(" " + BOILERPLATE_TEMPLATE)).alias("text")
+    )
+    return ngram_overlap_flags(aug_train, aug_eval, n=n)

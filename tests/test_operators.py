@@ -1533,3 +1533,126 @@ def test_trigram_backoff_empty_fit_split_raises(spark, tmp_path):
     docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     with _pytest.raises(ValueError, match="fit split"):
         textops.trigram_backoff_surprisal(spark, str(tmp_path)).collect()
+
+
+def test_ngram_decontaminate_flags_exactly_injected_train_docs(spark, sf_dir):
+    """ngram_overlap_flags semantics pinned by an exact driver-side
+    Python replay (independent of the md5-hash family the DuckDB oracle
+    shares): every 4th train doc carries the injected 11-token template
+    shared with all eval docs -> >= 4 fully-template-internal 8-gram
+    hits; the fixture's deliberate cross-doc duplicates (e.g. a train
+    doc whose text duplicates an eval doc's) are REAL contamination and
+    must be flagged at hit_frac 1.0 — the replay computes the exact
+    expected count for every doc from raw token tuples."""
+    import re
+
+    from oasysdb_spark.operators import textops
+    from oasysdb_spark.operators.textops import BOILERPLATE_TEMPLATE
+
+    rows = {
+        r["doc_id"]: r
+        for r in textops.ngram_decontaminate_stats(spark, sf_dir).collect()
+    }
+    assert rows, "no train docs"
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+
+    def toks(doc_id, text, is_eval):
+        if is_eval or doc_id % 4 == 0:
+            text = text + " " + BOILERPLATE_TEMPLATE
+        return re.findall(r"[a-z0-9]+", text.lower())
+
+    n = 8
+    eval_grams = set()
+    for r in raw:
+        if r["doc_id"] % 10 == 3:
+            tk = toks(r["doc_id"], r["text"], True)
+            for i in range(len(tk) - n + 1):
+                eval_grams.add(tuple(tk[i : i + n]))
+    injected_seen = 0
+    for r in raw:
+        if r["doc_id"] % 10 == 3:
+            assert r["doc_id"] not in rows  # eval split excluded
+            continue
+        tk = toks(r["doc_id"], r["text"], False)
+        want_n = max(0, len(tk) - n + 1)
+        want_hits = sum(
+            1
+            for i in range(want_n)
+            if tuple(tk[i : i + n]) in eval_grams
+        )
+        got = rows[r["doc_id"]]
+        assert got["n_grams"] == want_n, (r["doc_id"], got, want_n)
+        assert got["n_hit_positions"] == want_hits, (r["doc_id"], got, want_hits)
+        if r["doc_id"] % 4 == 0:
+            assert want_hits >= 4  # template-internal grams always hit
+            injected_seen += 1
+    assert injected_seen > 0
+
+
+def test_ngram_decontaminate_matches_duckdb_oracle(spark, sf_dir):
+    """ngram_decontaminate_stats hash-compared against an independent
+    DuckDB replay (same compare machinery as tools/check_correctness.py)
+    — the self-oracle gate ahead of the operator's driver-window
+    rotation (r6 candidate)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.functions.hashing import hash64_sql
+    from oasysdb_spark.operators import textops
+
+    got = textops.ngram_decontaminate_stats(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    tmpl = " subscribe to our newsletter terms of service apply all rights reserved"
+    h_sql = hash64_sql("array_to_string(tk[i:i+7], ' ')")
+    grams = (
+        "CASE WHEN len(tk) >= 8 THEN list_transform(range(1, len(tk) - 6), "
+        f"i -> {h_sql}) ELSE [] END"
+    )
+    res = con.execute(f"""
+        WITH aug_t AS (SELECT doc_id,
+                         text || CASE WHEN doc_id % 4 = 0 THEN '{tmpl}'
+                                      ELSE '' END AS text
+                       FROM documents WHERE doc_id % 10 <> 3),
+        aug_e AS (SELECT doc_id, text || '{tmpl}' AS text
+                  FROM documents WHERE doc_id % 10 = 3),
+        tkt AS (SELECT doc_id, {toks} AS tk FROM aug_t),
+        tke AS (SELECT doc_id, {toks} AS tk FROM aug_e),
+        evg AS (SELECT DISTINCT h FROM
+                  (SELECT unnest({grams}) AS h FROM tke)),
+        base AS (SELECT doc_id,
+                        CASE WHEN len(tk) >= 8 THEN len(tk) - 7 ELSE 0 END
+                            AS n_grams
+                 FROM tkt),
+        pos AS (SELECT doc_id, unnest({grams}) AS h FROM tkt),
+        hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+                 FROM pos JOIN evg USING (h) GROUP BY doc_id)
+        SELECT b.doc_id,
+               CAST(b.n_grams AS BIGINT) AS n_grams,
+               COALESCE(h.n_hit, 0) AS n_hit_positions,
+               CASE WHEN b.n_grams > 0
+                    THEN round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+                               / b.n_grams, 6)
+                    ELSE 0.0 END AS hit_frac
+        FROM base b LEFT JOIN hits h ON b.doc_id = h.doc_id""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    issues = compare(
+        "ngram_decontaminate", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+    assert len(spark_rows) > 0
