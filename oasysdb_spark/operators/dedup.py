@@ -904,6 +904,26 @@ def decontaminate_against(
     )
 
 
+def _token_ngram_hashes(df: DataFrame, n: int) -> DataFrame:
+    """``(doc_id, gh)`` — per doc, the 64-bit hashes of its token
+    ``n``-grams in position order (empty array when shorter than ``n``).
+    Row-local: the oracle-replayable md5 family over space-joined token
+    slices; raw text never leaves the row."""
+    tk = tokens(F.col("text"))
+    return df.select("doc_id", tk.alias("tk")).select(
+        "doc_id",
+        F.when(
+            F.size("tk") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - n),
+                lambda i: hash64(F.concat_ws(" ", F.slice(F.col("tk"), i + 1, n))),
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("gh"),
+    )
+
+
 def ngram_overlap_flags(
     train_docs: DataFrame,
     eval_docs: DataFrame,
@@ -936,28 +956,16 @@ def ngram_overlap_flags(
     equi-join — same answer, one extra exchange.
     """
 
-    def grams(df: DataFrame) -> DataFrame:
-        tk = tokens(F.col("text"))
-        return df.select("doc_id", tk.alias("tk")).select(
-            "doc_id",
-            F.when(
-                F.size("tk") >= n,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("tk") - n),
-                    lambda i: hash64(
-                        F.concat_ws(" ", F.slice(F.col("tk"), i + 1, n))
-                    ),
-                ),
-            )
-            .otherwise(F.array().cast("array<bigint>"))
-            .alias("gh"),
-        )
-
-    ev = grams(eval_docs).select(F.explode("gh").alias("h")).distinct().cache()
+    ev = (
+        _token_ngram_hashes(eval_docs, n)
+        .select(F.explode("gh").alias("h"))
+        .distinct()
+        .cache()
+    )
     broadcast_eval = ev.count() <= eval_broadcast_limit
     maybe_bc = F.broadcast if broadcast_eval else (lambda df: df)
 
-    tr = grams(train_docs).select(
+    tr = _token_ngram_hashes(train_docs, n).select(
         "doc_id", F.size("gh").alias("n_grams"), F.col("gh")
     )
     tr = tr.cache()  # feeds the position explode AND the final left join
@@ -986,5 +994,112 @@ def ngram_overlap_flags(
             )
             .otherwise(F.lit(0.0))
             .alias("hit_frac"),
+        )
+    )
+
+
+def ngram_contamination_report(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    eval_broadcast_limit: int = 10_000_000,
+    max_train_df: int | None = None,
+) -> DataFrame:
+    """Per-EVAL-doc contamination audit — the reverse direction of
+    :func:`ngram_overlap_flags` and the number actually published with
+    model releases (GPT-3 appendix C "dirty" fractions per benchmark):
+    for each eval document, how much of it appears verbatim in the
+    training corpus, and how many distinct train docs quote it.
+
+    Returns one row per eval document: ``(doc_id, n_grams,
+    n_dirty_positions, dirty_frac, n_train_docs)`` — total n-gram
+    positions, positions whose gram occurs anywhere in train,
+    their rounded ratio, and the distinct train docs sharing at least
+    one gram. Aggregate ``dirty_frac`` over an eval suite to decide
+    clean/dirty subset reporting.
+
+    Scale shape (the 100 TB contract): the distinct eval gram set
+    (tiny — benchmarks) broadcasts size-guarded and FILTERS the train
+    gram stream map-side, so the only data that ever shuffles from the
+    train side is the matched grams — proportional to contamination
+    volume, not corpus size. Per-gram and per-pair aggregations then
+    run on that filtered sliver; raw text never crosses an exchange.
+
+    The one output-bound hazard: ``n_train_docs`` must touch every
+    (eval doc, quoting train doc) pair, so a gram present in BOTH many
+    eval docs and many train docs (boilerplate, licence headers) makes
+    the pair set — and the hot join key — quadratic. The 10× scale
+    probe surfaces exactly this on the injected fixture (the template
+    is in every eval and 25% of train docs by design: 46.9× at
+    sf0.1→sf1 exact, vs 2.05× at sf0.01→sf0.1). ``max_train_df`` is
+    the published answer (GPT-3 appendix C drops too-frequent grams
+    from the overlap count as non-contamination): grams quoted by more
+    than that many distinct train docs are excluded from BOTH the
+    dirty positions and the pair count — bounding per-gram fan-out and
+    collapsing the probe back to ~linear — at the cost of the oracle
+    needing the same HAVING clause. ``None`` (default) = exact.
+    """
+    ev = _token_ngram_hashes(eval_docs, n).cache()
+    ev_pos = ev.select(
+        F.col("doc_id").alias("eval_doc_id"), F.explode("gh").alias("h")
+    )
+    ev_set = ev_pos.select("h").distinct().cache()
+    broadcast_eval = ev_set.count() <= eval_broadcast_limit
+    maybe_bc = F.broadcast if broadcast_eval else (lambda df: df)
+
+    tr_pos = _token_ngram_hashes(train_docs, n).select(
+        F.col("doc_id").alias("train_doc_id"), F.explode("gh").alias("h")
+    )
+    # map-side filter: only contaminated train grams survive the join
+    matched = (
+        tr_pos.join(maybe_bc(ev_set), "h").select("h", "train_doc_id").distinct().cache()
+    )
+
+    if max_train_df is not None:
+        # GPT-3-style frequent-gram exclusion — also the skew guard:
+        # caps every gram's train-side fan-out at max_train_df
+        keep_h = (
+            matched.groupBy("h")
+            .agg(F.count("*").alias("train_df"))
+            .where(F.col("train_df") <= max_train_df)
+            .select("h")
+        )
+        matched = matched.join(maybe_bc(keep_h), "h")
+
+    dirty = (
+        ev_pos.join(maybe_bc(matched.select("h").distinct()), "h")
+        .groupBy("eval_doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_dirty_positions"))
+    )
+    pairs = (
+        ev_pos.select("eval_doc_id", "h")
+        .distinct()
+        .join(maybe_bc(matched), "h")
+        .groupBy("eval_doc_id")
+        .agg(F.countDistinct("train_doc_id").cast("bigint").alias("n_train_docs"))
+    )
+    return (
+        ev.select("doc_id", F.size("gh").alias("n_grams"))
+        .join(dirty, ev.doc_id == dirty.eval_doc_id, "left")
+        .drop("eval_doc_id")
+        .join(pairs, F.col("doc_id") == pairs.eval_doc_id, "left")
+        .drop("eval_doc_id")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce("n_dirty_positions", F.lit(0))
+            .cast("bigint")
+            .alias("n_dirty_positions"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    F.coalesce("n_dirty_positions", F.lit(0)).cast("double")
+                    / F.col("n_grams"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dirty_frac"),
+            F.coalesce("n_train_docs", F.lit(0)).cast("bigint").alias("n_train_docs"),
         )
     )

@@ -1502,3 +1502,33 @@ def ngram_decontaminate_stats(
         "doc_id", F.concat("text", F.lit(" " + BOILERPLATE_TEMPLATE)).alias("text")
     )
     return ngram_overlap_flags(aug_train, aug_eval, n=n)
+
+
+def ngram_contamination_report_stats(
+    spark: SparkSession, sf_dir: str, n: int = 8
+) -> DataFrame:
+    """Per-eval-doc contamination audit over the fixture — the
+    (spark, sf_dir) entry shape for :func:`~oasysdb_spark.operators.
+    dedup.ngram_contamination_report`, on the SAME split + template
+    injection as :func:`ngram_decontaminate_stats` (train =
+    ``doc_id % 10 != 3`` with every 4th doc injected, eval =
+    ``doc_id % 10 == 3`` all injected). Every eval doc therefore shows
+    ≥4 dirty template positions and counts every injected train doc
+    (plus the fixture's deliberate cross-split duplicates) among its
+    ``n_train_docs``."""
+    from oasysdb_spark.operators.dedup import ngram_contamination_report
+
+    docs = _docs(spark, sf_dir)
+    aug_train = docs.where(F.col("doc_id") % 10 != 3).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit(" " + BOILERPLATE_TEMPLATE)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    aug_eval = docs.where(F.col("doc_id") % 10 == 3).select(
+        "doc_id", F.concat("text", F.lit(" " + BOILERPLATE_TEMPLATE)).alias("text")
+    )
+    return ngram_contamination_report(aug_train, aug_eval, n=n)

@@ -1656,3 +1656,208 @@ def test_ngram_decontaminate_matches_duckdb_oracle(spark, sf_dir):
     )
     assert not issues, issues
     assert len(spark_rows) > 0
+
+
+def test_ngram_contamination_report_matches_python_replay(spark, sf_dir):
+    """ngram_contamination_report pinned by an exact driver-side Python
+    replay: per eval doc, dirty positions = positions whose 8-gram occurs
+    in ANY (injection-augmented) train doc, and n_train_docs = distinct
+    train docs sharing >= 1 gram. Every eval doc must see >= 4 dirty
+    template positions and count every injected train doc."""
+    import re
+
+    from oasysdb_spark.operators import textops
+    from oasysdb_spark.operators.textops import BOILERPLATE_TEMPLATE
+
+    rows = {
+        r["doc_id"]: r
+        for r in textops.ngram_contamination_report_stats(spark, sf_dir).collect()
+    }
+    assert rows, "no eval docs"
+
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+
+    def toks(doc_id, text, is_eval):
+        if is_eval or doc_id % 4 == 0:
+            text = text + " " + BOILERPLATE_TEMPLATE
+        return re.findall(r"[a-z0-9]+", text.lower())
+
+    n = 8
+    train_grams = {}  # gram -> set of train doc_ids
+    n_injected_train = 0
+    for r in raw:
+        if r["doc_id"] % 10 == 3:
+            continue
+        tk = toks(r["doc_id"], r["text"], False)
+        if r["doc_id"] % 4 == 0:
+            n_injected_train += 1
+        for i in range(max(0, len(tk) - n + 1)):
+            train_grams.setdefault(tuple(tk[i : i + n]), set()).add(r["doc_id"])
+    assert n_injected_train > 0
+    for r in raw:
+        if r["doc_id"] % 10 != 3:
+            assert r["doc_id"] not in rows  # train split excluded
+            continue
+        tk = toks(r["doc_id"], r["text"], True)
+        want_n = max(0, len(tk) - n + 1)
+        want_dirty = 0
+        want_train = set()
+        for i in range(want_n):
+            g = tuple(tk[i : i + n])
+            if g in train_grams:
+                want_dirty += 1
+                want_train |= train_grams[g]
+        got = rows[r["doc_id"]]
+        assert got["n_grams"] == want_n, (r["doc_id"], got, want_n)
+        assert got["n_dirty_positions"] == want_dirty, (r["doc_id"], got, want_dirty)
+        assert got["n_train_docs"] == len(want_train), (r["doc_id"], got)
+        # the injected template makes every eval doc dirty and visible
+        # to every injected train doc
+        assert want_dirty >= 4
+        assert got["n_train_docs"] >= n_injected_train
+
+
+def test_ngram_contamination_report_matches_duckdb_oracle(spark, sf_dir):
+    """ngram_contamination_report_stats hash-compared against an
+    independent DuckDB replay — the self-oracle gate ahead of driver-
+    window rotation (r6 candidate)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.functions.hashing import hash64_sql
+    from oasysdb_spark.operators import textops
+
+    got = textops.ngram_contamination_report_stats(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    tmpl = " subscribe to our newsletter terms of service apply all rights reserved"
+    h_sql = hash64_sql("array_to_string(tk[i:i+7], ' ')")
+    grams = (
+        "CASE WHEN len(tk) >= 8 THEN list_transform(range(1, len(tk) - 6), "
+        f"i -> {h_sql}) ELSE [] END"
+    )
+    res = con.execute(f"""
+        WITH aug_t AS (SELECT doc_id,
+                         text || CASE WHEN doc_id % 4 = 0 THEN '{tmpl}'
+                                      ELSE '' END AS text
+                       FROM documents WHERE doc_id % 10 <> 3),
+        aug_e AS (SELECT doc_id, text || '{tmpl}' AS text
+                  FROM documents WHERE doc_id % 10 = 3),
+        tkt AS (SELECT doc_id, {toks} AS tk FROM aug_t),
+        tke AS (SELECT doc_id, {toks} AS tk FROM aug_e),
+        base AS (SELECT doc_id,
+                        CASE WHEN len(tk) >= 8 THEN len(tk) - 7 ELSE 0 END
+                            AS n_grams
+                 FROM tke),
+        epos AS (SELECT doc_id, unnest({grams}) AS h FROM tke),
+        tpos AS (SELECT doc_id AS train_doc_id, unnest({grams}) AS h
+                 FROM tkt),
+        th AS (SELECT DISTINCT h FROM tpos),
+        dirty AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dirty
+                  FROM epos JOIN th USING (h) GROUP BY doc_id),
+        pr AS (SELECT e.doc_id,
+                      CAST(count(DISTINCT t.train_doc_id) AS BIGINT)
+                          AS n_train_docs
+               FROM (SELECT DISTINCT doc_id, h FROM epos) e
+               JOIN (SELECT DISTINCT train_doc_id, h FROM tpos) t USING (h)
+               GROUP BY e.doc_id)
+        SELECT b.doc_id,
+               CAST(b.n_grams AS BIGINT) AS n_grams,
+               COALESCE(d.n_dirty, 0) AS n_dirty_positions,
+               CASE WHEN b.n_grams > 0
+                    THEN round(CAST(COALESCE(d.n_dirty, 0) AS DOUBLE)
+                               / b.n_grams, 6)
+                    ELSE 0.0 END AS dirty_frac,
+               COALESCE(p.n_train_docs, 0) AS n_train_docs
+        FROM base b
+        LEFT JOIN dirty d ON b.doc_id = d.doc_id
+        LEFT JOIN pr p ON b.doc_id = p.doc_id""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    issues = compare(
+        "ngram_contamination_report", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+    assert len(spark_rows) > 0
+
+
+def test_ngram_contamination_max_train_df_excludes_boilerplate(spark, sf_dir):
+    """max_train_df (the GPT-3 frequent-gram exclusion / skew guard)
+    drops grams quoted by more than that many train docs from BOTH the
+    dirty-position and pair counts — pinned against a Python replay
+    with the same HAVING semantics. With df<=2 the injected template
+    (quoted by every 4th train doc) is excluded, so only the fixture's
+    natural cross-split duplicates remain."""
+    import re
+
+    from oasysdb_spark.operators import textops
+    from oasysdb_spark.operators.dedup import ngram_contamination_report
+    from oasysdb_spark.operators.textops import BOILERPLATE_TEMPLATE
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug_train = docs.where(F.col("doc_id") % 10 != 3).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit(" " + BOILERPLATE_TEMPLATE)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    aug_eval = docs.where(F.col("doc_id") % 10 == 3).select(
+        "doc_id", F.concat("text", F.lit(" " + BOILERPLATE_TEMPLATE)).alias("text")
+    )
+    got = {
+        r["doc_id"]: r
+        for r in ngram_contamination_report(
+            aug_train, aug_eval, n=8, max_train_df=2
+        ).collect()
+    }
+
+    raw = docs.select("doc_id", "text").collect()
+
+    def toks(doc_id, text, is_eval):
+        if is_eval or doc_id % 4 == 0:
+            text = text + " " + BOILERPLATE_TEMPLATE
+        return re.findall(r"[a-z0-9]+", text.lower())
+
+    n = 8
+    train_grams = {}
+    for r in raw:
+        if r["doc_id"] % 10 == 3:
+            continue
+        tk = toks(r["doc_id"], r["text"], False)
+        for i in range(max(0, len(tk) - n + 1)):
+            train_grams.setdefault(tuple(tk[i : i + n]), set()).add(r["doc_id"])
+    kept = {g: d for g, d in train_grams.items() if len(d) <= 2}
+    any_excluded = len(kept) < len(train_grams)
+    assert any_excluded  # the template grams exceed df=2 on every fixture
+    for r in raw:
+        if r["doc_id"] % 10 != 3:
+            continue
+        tk = toks(r["doc_id"], r["text"], True)
+        want_n = max(0, len(tk) - n + 1)
+        want_dirty, want_train = 0, set()
+        for i in range(want_n):
+            g = tuple(tk[i : i + n])
+            if g in kept:
+                want_dirty += 1
+                want_train |= kept[g]
+        gr = got[r["doc_id"]]
+        assert gr["n_grams"] == want_n
+        assert gr["n_dirty_positions"] == want_dirty, (r["doc_id"], gr, want_dirty)
+        assert gr["n_train_docs"] == len(want_train), (r["doc_id"], gr)
