@@ -90,35 +90,138 @@ def _manhattan_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vec.knn_bruteforce(spark, sf_dir, metric="manhattan")
 
 
+def _pretoken_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer tier's one corpus-scale aggregation, driver-shaped:
+    ranked (pretoken, cnt) with a fully-ordered deterministic LIMIT
+    (cnt desc, pretoken asc — no ties survive the compound key)."""
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.operators import tokenizer as tok
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        tok.pretoken_counts(docs)
+        .orderBy(F.desc("cnt"), F.asc("pretoken"))
+        .limit(50)
+    )
+
+
+def _bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end BPE train+encode per-source compression stats
+    (operators/tokenizer.py tokenizer_stats). Rows-only driver check:
+    the learned merge table is an iterative argmax fixpoint no single
+    SQL statement expresses — determinism and local==distributed
+    equivalence are pinned in tests/test_tokenizer.py instead."""
+    from oasysdb_spark.operators import tokenizer as tok
+
+    return tok.tokenizer_stats(spark, sf_dir, n_merges=64, min_count=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver oracle-checks the FIRST 50 entries.
-    Round-5 rotation: the window leads with (a) the sixteen NEW entries
-    (`text_boilerplate_scrub`, `text_bm25_search`, `text_gopher_quality`,
-    `events_funnel`, `text_repetition_stats`, `text_vocabulary`,
-    `text_span_dedup`, `embedding_balanced_sample`, `text_heavy_hitters`,
-    `orders_trailing_spend`, `events_retention_cohorts`,
-    `text_unigram_surprisal`, `multimodal_dhash_dedup`,
-    `multimodal_dhash_near_pairs`, `multimodal_audio_fingerprints`,
-    `dedup_representative_pick`),
-    then (b) ALL 33 entries whose latest driver row is CORRECTNESS_r03
-    (they cycle back in before going a third round unchecked — this set
-    already contains the round-5-touched `filter_dsl_embeddings`
-    filter-term trim, the skew/bucketed/setop join paths, and the whole
-    vec_* tier), and (c) `vec_ivf_knn`, r4-green but re-verified because
-    the fit_centroids refactor sits under it. 16 + 33 + 1 = exactly 50;
-    the window is FULL, so every other entry sits outside it holding a
-    green hash-matched row from the most recent round that checked it
-    (r04 — `text_clean_pipeline`, `dedup_decontaminate`,
-    `multimodal_features`/`_pixel_stats`, the dedup_* fillers,
-    `dedup_minhash_lsh` whose band/verify join path stays driver-checked
-    through `dedup_representative_pick`'s edge generator, q1/q21, …) and
-    unchanged since; the multimodal decode tier is driver-covered via
-    the in-window dhash/audio entries, the decontamination size-guard by
-    its both-paths pytest. The boundary comment below marks entry 50 —
-    but the rotation test checks the real slice, not the comment."""
+    Round-6 rotation: the window leads with (a) the eleven NEW entries —
+    the staged LM-pipeline tier promoted from pytest self-oracles
+    (`text_bigram_surprisal`, `text_trigram_surprisal`,
+    `text_curriculum_buckets`, `text_shard_plan`,
+    `source_curation_stats`, `text_oov_rate`, `ngram_decontaminate_stats`,
+    `ngram_contamination_report_stats` — the latter under the NEW
+    default-on ``max_train_df`` frequent-gram guard, its oracle carrying
+    the matching HAVING clause — `text_pretoken_counts`,
+    `text_bpe_tokenizer` (rows-only: learned merges aren't
+    SQL-expressible), and `multimodal_video_stats`, closing the last
+    modality's driver-coverage gap); then (b) the two dhash entries
+    whose code grew the r6 hash-width parameter (default output
+    unchanged — re-verified through the driver anyway); then (c) 37 of
+    the 49 entries whose latest driver row is CORRECTNESS_r04 — every
+    dedup/text/multimodal/temporal entry over code the r6 diffs touch,
+    plus q1/q2/q11/q18-q22 — cycling in before a third unchecked round.
+    11 + 2 + 37 = exactly 50; the window is FULL. The twelve deferred
+    r4-green TPC-H shapes (q3-q7, q9, q10, q12-q15, q17 — untouched
+    single-file relational queries) hold green r04 rows, the allowed
+    two-round maximum, and MUST lead the r7 window; everything checked
+    in r5 sits just outside holding its green r05 row. The boundary
+    comment below marks entry 50 — but the rotation test checks the
+    real slice, not the comment."""
     return {
-        # --- (a) new in round 5: boilerplate REMOVAL (mining's other half),
-        # BM25 retrieval, Gopher quality rules, sequential funnel ---
+        # --- (a) new in round 6: the staged LM-data tier, promoted ---
+        "text_bigram_surprisal": textops.bigram_surprisal,
+        "text_trigram_surprisal": textops.trigram_backoff_surprisal,
+        "text_curriculum_buckets": textops.curriculum_buckets,
+        "text_shard_plan": textops.shard_plan,
+        "source_curation_stats": textops.source_curation_stats,
+        "text_oov_rate": lambda s, d: textops.oov_rate(s, d, top_k=20),
+        "ngram_decontaminate_stats": textops.ngram_decontaminate_stats,
+        "ngram_contamination_report_stats": (
+            textops.ngram_contamination_report_stats
+        ),
+        "text_pretoken_counts": _pretoken_counts,
+        "text_bpe_tokenizer": _bpe_tokenizer,
+        "multimodal_video_stats": mm.multimodal_video_stats,
+        # --- (b) code touched in round 6 (hash-width parameter):
+        # re-verify through the driver ---
+        "multimodal_dhash_dedup": mm.multimodal_dhash_dedup,
+        "multimodal_dhash_near_pairs": mm.multimodal_dhash_near_pairs,
+        # --- (c) latest driver row is r04: cycle back in before a third
+        # unchecked round (dedup/text/multimodal/temporal first — their
+        # modules carry r6 diffs — then the non-deferred TPC-H) ---
+        "dedup_decontaminate": _decontaminate,
+        "dedup_components": dedup.dedup_components,
+        "dedup_embedding_cosine": dedup.embedding_near_pairs,
+        "dedup_exact_pick": dedup.exact_dedup_pick,
+        "dedup_exact_stats": dedup.exact_dedup_stats,
+        "dedup_simhash_pairs": dedup.simhash_near_pairs,
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "text_clean_pipeline": textops.clean_corpus_pipeline,
+        "text_boilerplate_ngrams": textops.boilerplate_ngrams,
+        "text_pii_scrub": textops.pii_scrub_stats,
+        "text_hash_embeddings": embed.hash_embeddings,
+        "multimodal_features": mm.multimodal_features,
+        "multimodal_pixel_stats": mm.multimodal_pixel_stats,
+        "asof_click_view": tmp.asof_click_view,
+        "sessionize_events": rel.sessionize_events,
+        "interval_overlap_join": tmp.interval_overlap_sessions,
+        "events_tumbling_hourly": tmp.events_tumbling_hourly,
+        "vec_knn_cosine": lambda s, d: vec.knn_bruteforce(s, d, metric="cosine"),
+        "customers_without_orders": rel.customers_without_orders,
+        "parts_above_avg_price": rel.parts_above_avg_price,
+        "orders_by_month": rel.orders_by_month,
+        "rollup_lineitem": rel.rollup_lineitem,
+        "unpivot_lineitem": rel.unpivot_lineitem,
+        "top_orders_per_customer": rel.top_orders_per_customer,
+        "running_revenue": rel.running_revenue,
+        "cube_orders": rel.cube_orders,
+        "setop_intersect": rel.setop_intersect,
+        "ship_latency": rel.ship_latency,
+        "parts_like_patterns": rel.parts_like_patterns,
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q2_min_cost_supplier": rel.q2_min_cost_supplier,
+        "q11_important_parts": rel.q11_important_parts,
+        "q18_large_volume_customers": rel.q18_large_volume_customers,
+        "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
+        "q20_excess_shippers": rel.q20_excess_shippers,
+        "q21_waiting_supplier": rel.q21_waiting_supplier,
+        "q22_idle_customers": rel.q22_idle_customers,
+        # ---- driver window boundary: q22_idle_customers above is entry
+        # 50 (count them — don't trust a comment's position; the
+        # rotation test in tests/test_entry.py checks the REAL first-50
+        # slice). Every entry below holds a green hash-matched row from
+        # the most recent round that checked it and is unchanged since:
+        # the twelve deferred r04-green TPC-H shapes first (two rounds
+        # stale — the allowed maximum — r7 window MUST lead with them),
+        # then the r05-green set ----
+        "q3_shipping_priority": rel.q3_shipping_priority,
+        "q4_order_priority": rel.q4_order_priority,
+        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
+        "q6_forecast_revenue": rel.q6_forecast_revenue,
+        "q7_nation_volume": rel.q7_nation_volume,
+        "q9_profit_by_nation_year": rel.q9_profit_by_nation_year,
+        "q10_returned_customers": rel.q10_returned_customers,
+        "q12_latency_priority": rel.q12_latency_priority,
+        "q13_order_count_distribution": rel.q13_order_count_distribution,
+        "q14_promo_share": rel.q14_promo_share,
+        "q15_top_supplier": rel.q15_top_supplier,
+        "q17_small_qty_revenue": rel.q17_small_qty_revenue,
+        # ---- r05-green below ----
         "text_boilerplate_scrub": textops.boilerplate_scrub,
         "text_bm25_search": textops.bm25_search,
         "text_gopher_quality": textops.gopher_quality_flags,
@@ -131,22 +234,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_trailing_spend": rel.orders_trailing_spend,
         "events_retention_cohorts": rel.events_retention_cohorts,
         "text_unigram_surprisal": textops.unigram_surprisal,
-        "multimodal_dhash_dedup": mm.multimodal_dhash_dedup,
-        "multimodal_dhash_near_pairs": mm.multimodal_dhash_near_pairs,
         "multimodal_audio_fingerprints": mm.multimodal_audio_fingerprints,
         "dedup_representative_pick": dedup.representative_pick,
-        # --- (b) code touched in round 5: re-verify through the driver ---
         "window_functions_suite": rel.window_functions_suite,
         "grouping_sets_orders": rel.grouping_sets_orders,
         "pivot_lineitem": rel.pivot_lineitem,
         "vec_ivf_knn": _ivf_knn,
         "filter_dsl_embeddings": rel.filter_dsl_embeddings,
-        # --- (d) shared-signature dedup paths + the bench-watched pipeline ---
         "skew_salted_user_join": rel.skew_salted_user_join,
         "bucketed_revenue_by_priority": rel.bucketed_revenue_by_priority,
         "setop_customers": rel.setop_customers,
-        # --- (c) the whole r3-green tail: latest driver row is r03,
-        # cycle back in before a third unchecked round ---
         "range_join_price_bands": tmp.range_join_price_bands,
         "vec_golden_distance": vec.golden_distances,
         "vec_lsh_knn_indexed": vec.lsh_knn_indexed,
@@ -173,61 +270,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "math_stats": rel.math_stats,
         "string_part_stats": rel.string_part_stats,
         "json_event_stats": rel.json_event_stats,
-        # ---- driver window boundary: json_event_stats above is entry 50
-        # (count them — don't trust a comment's position; the rotation
-        # test in tests/test_entry.py checks the REAL first-50 slice).
-        # Every entry below holds a green hash-matched row from the most
-        # recent round that checked it (r04 unless noted) and is
-        # unchanged since ----
-        "dedup_decontaminate": _decontaminate,
-        "multimodal_features": mm.multimodal_features,
-        "multimodal_pixel_stats": mm.multimodal_pixel_stats,
-        "text_clean_pipeline": textops.clean_corpus_pipeline,
-        "dedup_components": dedup.dedup_components,
-        "dedup_embedding_cosine": dedup.embedding_near_pairs,
-        "dedup_exact_pick": dedup.exact_dedup_pick,
-        "dedup_exact_stats": dedup.exact_dedup_stats,
-        "dedup_simhash_pairs": dedup.simhash_near_pairs,
-        "text_hash_embeddings": embed.hash_embeddings,
-        "events_tumbling_hourly": tmp.events_tumbling_hourly,
-        "vec_knn_cosine": lambda s, d: vec.knn_bruteforce(s, d, metric="cosine"),
-        "q1_pricing_summary": rel.q1_pricing_summary,
-        "q21_waiting_supplier": rel.q21_waiting_supplier,
-        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
-        "text_boilerplate_ngrams": textops.boilerplate_ngrams,
-        "asof_click_view": tmp.asof_click_view,
-        "sessionize_events": rel.sessionize_events,
-        "interval_overlap_join": tmp.interval_overlap_sessions,
-        "customers_without_orders": rel.customers_without_orders,
-        "parts_above_avg_price": rel.parts_above_avg_price,
-        "orders_by_month": rel.orders_by_month,
-        "rollup_lineitem": rel.rollup_lineitem,
-        "unpivot_lineitem": rel.unpivot_lineitem,
-        "top_orders_per_customer": rel.top_orders_per_customer,
-        "running_revenue": rel.running_revenue,
-        "cube_orders": rel.cube_orders,
-        "setop_intersect": rel.setop_intersect,
-        "ship_latency": rel.ship_latency,
-        "parts_like_patterns": rel.parts_like_patterns,
-        "q3_shipping_priority": rel.q3_shipping_priority,
-        "q4_order_priority": rel.q4_order_priority,
-        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
-        "q6_forecast_revenue": rel.q6_forecast_revenue,
-        "q7_nation_volume": rel.q7_nation_volume,
-        "q9_profit_by_nation_year": rel.q9_profit_by_nation_year,
-        "q10_returned_customers": rel.q10_returned_customers,
-        "q12_latency_priority": rel.q12_latency_priority,
-        "q13_order_count_distribution": rel.q13_order_count_distribution,
-        "q14_promo_share": rel.q14_promo_share,
-        "q15_top_supplier": rel.q15_top_supplier,
-        "q17_small_qty_revenue": rel.q17_small_qty_revenue,
-        "q18_large_volume_customers": rel.q18_large_volume_customers,
-        "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
-        "q22_idle_customers": rel.q22_idle_customers,
-        "q2_min_cost_supplier": rel.q2_min_cost_supplier,
-        "q11_important_parts": rel.q11_important_parts,
-        "q20_excess_shippers": rel.q20_excess_shippers,
-        "text_pii_scrub": textops.pii_scrub_stats,
     }
 
 
@@ -1591,5 +1633,242 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(bpe) AS BIGINT) AS total_bpe_tokens,
                round(avg(bpe), 6) AS mean_bpe
         FROM kept"""
+
+    # --- round-6 promotions: the staged LM-pipeline tier (each SQL is
+    # the pytest self-oracle that gated the entry, moved verbatim) ---
+
+    q["text_bigram_surprisal"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        bg AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(tk)),
+                        i -> tk[i] || ' ' || tk[i+1])) AS bg
+               FROM toks WHERE len(tk) >= 2),
+        bgc AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+        ctx AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1
+                FROM bgc GROUP BY 1),
+        v AS (SELECT count(DISTINCT t) AS vs
+              FROM (SELECT unnest(tk) AS t FROM toks)),
+        scored AS (SELECT b.doc_id,
+                     ln(CAST(c1 + vs AS DOUBLE) / (c2 + 1.0)) / ln(2) AS bits
+                   FROM bg b JOIN bgc USING (bg)
+                   JOIN ctx ON string_split(b.bg, ' ')[1] = ctx.w1, v)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               ROUND(avg(bits), 6) AS bits_per_bigram
+        FROM scored GROUP BY doc_id"""
+
+    q["text_trigram_surprisal"] = f"""
+        WITH all_tk AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        tk AS (SELECT * FROM all_tk WHERE doc_id % 2 = 0),
+        uni AS (SELECT t AS w, count(*) AS c1
+                FROM (SELECT unnest(tk) AS t FROM tk) GROUP BY 1),
+        nv AS (SELECT (SELECT sum(len(tk)) FROM tk)
+                      + (SELECT count(*) FROM uni) AS nv),
+        bi AS (SELECT bg, count(*) AS cb FROM (
+                 SELECT unnest(list_transform(range(1, len(tk)),
+                        i -> tk[i] || ' ' || tk[i+1])) AS bg
+                 FROM tk WHERE len(tk) >= 2) GROUP BY bg),
+        tri AS (SELECT tg, count(*) AS c3 FROM (
+                 SELECT unnest(list_transform(range(1, len(tk) - 1),
+                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tg
+                 FROM tk WHERE len(tk) >= 3) GROUP BY tg),
+        pos AS (SELECT doc_id,
+                  tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS tg,
+                  tk[i] || ' ' || tk[i+1] AS ctx12,
+                  tk[i+1] || ' ' || tk[i+2] AS bg23,
+                  tk[i+1] AS w2, tk[i+2] AS w3
+                FROM all_tk, unnest(range(1, len(tk) - 1)) AS u(i)
+                WHERE len(tk) >= 3),
+        scored AS (
+          SELECT p.doc_id,
+            CASE WHEN t.c3 IS NOT NULL THEN CAST(t.c3 AS DOUBLE) / b12.cb
+                 WHEN b23.cb IS NOT NULL THEN 0.4 * (CAST(b23.cb AS DOUBLE) / u2.c1)
+                 ELSE 0.16 * (CAST(coalesce(u3.c1, 0) + 1 AS DOUBLE) / nv.nv)
+            END AS s
+          FROM pos p
+          LEFT JOIN tri t USING (tg)
+          LEFT JOIN bi b12 ON p.ctx12 = b12.bg
+          LEFT JOIN bi b23 ON p.bg23 = b23.bg
+          LEFT JOIN uni u2 ON p.w2 = u2.w
+          LEFT JOIN uni u3 ON p.w3 = u3.w, nv)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+               ROUND(avg(-(ln(s) / ln(2.0))), 6) AS bits_per_trigram
+        FROM scored GROUP BY doc_id"""
+
+    q["text_curriculum_buckets"] = f"""
+        WITH scored AS (SELECT doc_id, {_BPE} AS n_tokens FROM documents),
+        t AS (SELECT quantile_cont(n_tokens, 0.25) AS t1,
+                     quantile_cont(n_tokens, 0.5) AS t2,
+                     quantile_cont(n_tokens, 0.75) AS t3 FROM scored)
+        SELECT CAST((CASE WHEN n_tokens > t1 THEN 1 ELSE 0 END
+                   + CASE WHEN n_tokens > t2 THEN 1 ELSE 0 END
+                   + CASE WHEN n_tokens > t3 THEN 1 ELSE 0 END) AS INTEGER) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+               CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM scored, t GROUP BY 1"""
+
+    _shard_h = hash64_sql("CAST(doc_id AS VARCHAR)", salt="shard0")
+    q["text_shard_plan"] = f"""
+        WITH assigned AS (SELECT CAST({_shard_h} % 16 AS INTEGER) AS shard,
+                            {_BPE} AS n_tokens, source
+                          FROM documents)
+        SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(count(DISTINCT source) AS BIGINT) AS distinct_sources
+        FROM assigned GROUP BY shard"""
+
+    _content_h = hash64_sql("text")
+    q["source_curation_stats"] = f"""
+        WITH scored AS (
+          SELECT source, {_BPE} AS n_tokens,
+                 CAST((CASE WHEN len({_TOKS}) >= 20 THEN 1 ELSE 0 END)
+                    + (CASE WHEN round(CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+                              / nullif(length(text), 0), 6) <= 0.1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN round(CAST(len(list_filter({_TOKS}, t -> list_contains({_EN_SW}, t))) AS DOUBLE)
+                              / nullif(len({_TOKS}), 0), 6) >= 0.05 THEN 1 ELSE 0 END)
+                    + (CASE WHEN round(CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                              / nullif(len({_TOKS}), 0), 6) >= 0.3 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS quality,
+                 {_content_h} AS ch
+          FROM documents),
+        dups AS (SELECT ch FROM scored GROUP BY ch HAVING count(*) > 1)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(CASE WHEN ch IN (SELECT ch FROM dups) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+               round(avg(quality), 6) AS mean_quality
+        FROM scored GROUP BY source"""
+
+    q["text_oov_rate"] = f"""
+        WITH terms AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        vocab AS (SELECT term FROM (
+                    SELECT term, count(*) AS tf FROM terms GROUP BY term
+                    ORDER BY tf DESC, term LIMIT 20)),
+        j AS (SELECT t.doc_id,
+                CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+              FROM terms t LEFT JOIN vocab v ON t.term = v.term)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(oov) AS BIGINT) AS n_oov,
+               round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+        FROM j GROUP BY doc_id"""
+
+    _tmpl = " subscribe to our newsletter terms of service apply all rights reserved"
+    _gram_h = hash64_sql("array_to_string(tk[i:i+7], ' ')")
+    _grams8 = (
+        "CASE WHEN len(tk) >= 8 THEN list_transform(range(1, len(tk) - 6), "
+        f"i -> {_gram_h}) ELSE [] END"
+    )
+
+    q["ngram_decontaminate_stats"] = f"""
+        WITH aug_t AS (SELECT doc_id,
+                         text || CASE WHEN doc_id % 4 = 0 THEN '{_tmpl}'
+                                      ELSE '' END AS text
+                       FROM documents WHERE doc_id % 10 <> 3),
+        aug_e AS (SELECT doc_id, text || '{_tmpl}' AS text
+                  FROM documents WHERE doc_id % 10 = 3),
+        tkt AS (SELECT doc_id, {_TOKS} AS tk FROM aug_t),
+        tke AS (SELECT doc_id, {_TOKS} AS tk FROM aug_e),
+        evg AS (SELECT DISTINCT h FROM
+                  (SELECT unnest({_grams8}) AS h FROM tke)),
+        base AS (SELECT doc_id,
+                        CASE WHEN len(tk) >= 8 THEN len(tk) - 7 ELSE 0 END
+                            AS n_grams
+                 FROM tkt),
+        pos AS (SELECT doc_id, unnest({_grams8}) AS h FROM tkt),
+        hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+                 FROM pos JOIN evg USING (h) GROUP BY doc_id)
+        SELECT b.doc_id,
+               CAST(b.n_grams AS BIGINT) AS n_grams,
+               COALESCE(h.n_hit, 0) AS n_hit_positions,
+               CASE WHEN b.n_grams > 0
+                    THEN round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+                               / b.n_grams, 6)
+                    ELSE 0.0 END AS hit_frac
+        FROM base b LEFT JOIN hits h ON b.doc_id = h.doc_id"""
+
+    # guarded DEFAULT mode (max_train_df=10): the HAVING df<=10 twin of
+    # the frequent-gram exclusion — grams quoted by >10 distinct train
+    # docs are boilerplate, excluded from dirty AND pair counts
+    q["ngram_contamination_report_stats"] = f"""
+        WITH aug_t AS (SELECT doc_id,
+                         text || CASE WHEN doc_id % 4 = 0 THEN '{_tmpl}'
+                                      ELSE '' END AS text
+                       FROM documents WHERE doc_id % 10 <> 3),
+        aug_e AS (SELECT doc_id, text || '{_tmpl}' AS text
+                  FROM documents WHERE doc_id % 10 = 3),
+        tkt AS (SELECT doc_id, {_TOKS} AS tk FROM aug_t),
+        tke AS (SELECT doc_id, {_TOKS} AS tk FROM aug_e),
+        base AS (SELECT doc_id,
+                        CASE WHEN len(tk) >= 8 THEN len(tk) - 7 ELSE 0 END
+                            AS n_grams
+                 FROM tke),
+        epos AS (SELECT doc_id, unnest({_grams8}) AS h FROM tke),
+        tpos AS (SELECT doc_id AS train_doc_id, unnest({_grams8}) AS h
+                 FROM tkt),
+        evh AS (SELECT DISTINCT h FROM epos),
+        keep AS (SELECT t.h FROM tpos t JOIN evh USING (h)
+                 GROUP BY t.h
+                 HAVING count(DISTINCT t.train_doc_id) <= 10),
+        dirty AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dirty
+                  FROM epos JOIN keep USING (h) GROUP BY doc_id),
+        pr AS (SELECT e.doc_id,
+                      CAST(count(DISTINCT t.train_doc_id) AS BIGINT)
+                          AS n_train_docs
+               FROM (SELECT DISTINCT doc_id, h FROM epos) e
+               JOIN keep USING (h)
+               JOIN (SELECT DISTINCT train_doc_id, h FROM tpos) t USING (h)
+               GROUP BY e.doc_id)
+        SELECT b.doc_id,
+               CAST(b.n_grams AS BIGINT) AS n_grams,
+               COALESCE(d.n_dirty, 0) AS n_dirty_positions,
+               CASE WHEN b.n_grams > 0
+                    THEN round(CAST(COALESCE(d.n_dirty, 0) AS DOUBLE)
+                               / b.n_grams, 6)
+                    ELSE 0.0 END AS dirty_frac,
+               COALESCE(p.n_train_docs, 0) AS n_train_docs
+        FROM base b
+        LEFT JOIN dirty d ON b.doc_id = d.doc_id
+        LEFT JOIN pr p ON b.doc_id = p.doc_id"""
+
+    q["text_pretoken_counts"] = f"""
+        WITH toks AS (SELECT unnest({_TOKS}) AS pretoken FROM documents)
+        SELECT pretoken, CAST(count(*) AS BIGINT) AS cnt FROM toks
+        GROUP BY pretoken ORDER BY cnt DESC, pretoken ASC LIMIT 50"""
+
+    # multimodal_video_stats: replay the y4m synth→decode→features path
+    # from first principles — the luma payload IS the doc's (ASCII)
+    # bytes in 256-byte (16x16) frames, zero-padded; every 2nd frame is
+    # sampled; motion = mean |luma diff| between consecutive samples
+    q["multimodal_video_stats"] = """
+        WITH m AS (
+          SELECT doc_id AS media_id,
+                 list_transform(string_split(text, ''), c -> ascii(c)) AS raw,
+                 greatest(1, CAST(ceil(length(text) / 256.0) AS BIGINT)) AS nf
+          FROM documents),
+        p AS (SELECT media_id, nf,
+                 raw || list_transform(
+                     range(1, nf * 256 - len(raw) + 1), x -> 0) AS b
+              FROM m),
+        s AS (SELECT media_id, nf, b,
+                list_filter(range(0, nf), f -> f % 2 = 0) AS sf
+              FROM p),
+        agg AS (SELECT media_id, nf, len(sf) AS ns,
+                  list_sum(list_transform(sf,
+                    f -> list_sum(b[CAST(f*256+1 AS BIGINT):CAST(f*256+256 AS BIGINT)]))) AS lsum,
+                  CASE WHEN len(sf) > 1 THEN
+                    list_sum(list_transform(range(1, len(sf)),
+                      j -> list_sum(list_transform(range(1, 257),
+                        k -> abs(b[CAST(sf[CAST(j AS INTEGER)]*256 + k AS BIGINT)]
+                               - b[CAST(sf[CAST(j + 1 AS INTEGER)]*256 + k AS BIGINT)])))))
+                  ELSE 0 END AS dsum
+                FROM s)
+        SELECT media_id, CAST(16 AS INTEGER) AS width,
+               CAST(16 AS INTEGER) AS height,
+               CAST(nf AS INTEGER) AS n_frames,
+               CAST(ns AS INTEGER) AS n_sampled,
+               round(lsum / (256.0 * ns), 6) AS luma_mean,
+               CASE WHEN ns > 1 THEN round(dsum / (256.0 * (ns - 1)), 6)
+                    ELSE 0.0 END AS motion
+        FROM agg"""
 
     return q

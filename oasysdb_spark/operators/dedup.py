@@ -1003,7 +1003,8 @@ def ngram_contamination_report(
     eval_docs: DataFrame,
     n: int = 8,
     eval_broadcast_limit: int = 10_000_000,
-    max_train_df: int | None = None,
+    max_train_df: int | None = 10,
+    pair_broadcast_limit: int = 10_000_000,
 ) -> DataFrame:
     """Per-EVAL-doc contamination audit — the reverse direction of
     :func:`ngram_overlap_flags` and the number actually published with
@@ -1037,7 +1038,21 @@ def ngram_contamination_report(
     than that many distinct train docs are excluded from BOTH the
     dirty positions and the pair count — bounding per-gram fan-out and
     collapsing the probe back to ~linear — at the cost of the oracle
-    needing the same HAVING clause. ``None`` (default) = exact.
+    needing the same HAVING clause. The guard DEFAULTS ON
+    (``max_train_df=10``: a verbatim 8-gram quoted by more than ten
+    distinct train docs is boilerplate, not leakage — true cross-split
+    duplicates have train-df 1-2); pass ``None`` explicitly for the
+    exact audit mode, which is output-bound quadratic on hot grams and
+    priced accordingly.
+
+    Broadcast discipline: the distinct eval-gram set and the surviving
+    gram list are bounded by ``eval_broadcast_limit`` (eval suites are
+    small), but the ``matched`` (gram, train_doc_id) PAIR table is
+    bounded only by contamination volume × fan-out, so its broadcast
+    into the pair-count join is guarded by its OWN cached count against
+    ``pair_broadcast_limit`` — past it the join falls back to a plain
+    shuffled equi-join (same answer, one extra exchange) instead of
+    force-broadcasting an arbitrarily large pair set.
     """
     ev = _token_ngram_hashes(eval_docs, n).cache()
     ev_pos = ev.select(
@@ -1071,10 +1086,17 @@ def ngram_contamination_report(
         .groupBy("eval_doc_id")
         .agg(F.count("*").cast("bigint").alias("n_dirty_positions"))
     )
+    # the PAIR table is eval-grams × per-gram train fan-out — NOT bounded
+    # by the ev_set guard — so it gets its own size guard before the hint
+    maybe_bc_pairs = (
+        F.broadcast
+        if matched.count() <= pair_broadcast_limit
+        else (lambda df: df)
+    )
     pairs = (
         ev_pos.select("eval_doc_id", "h")
         .distinct()
-        .join(maybe_bc(matched), "h")
+        .join(maybe_bc_pairs(matched), "h")
         .groupBy("eval_doc_id")
         .agg(F.countDistinct("train_doc_id").cast("bigint").alias("n_train_docs"))
     )

@@ -1505,17 +1505,21 @@ def ngram_decontaminate_stats(
 
 
 def ngram_contamination_report_stats(
-    spark: SparkSession, sf_dir: str, n: int = 8
+    spark: SparkSession, sf_dir: str, n: int = 8, max_train_df: int | None = 10
 ) -> DataFrame:
     """Per-eval-doc contamination audit over the fixture — the
     (spark, sf_dir) entry shape for :func:`~oasysdb_spark.operators.
     dedup.ngram_contamination_report`, on the SAME split + template
     injection as :func:`ngram_decontaminate_stats` (train =
     ``doc_id % 10 != 3`` with every 4th doc injected, eval =
-    ``doc_id % 10 == 3`` all injected). Every eval doc therefore shows
-    ≥4 dirty template positions and counts every injected train doc
-    (plus the fixture's deliberate cross-split duplicates) among its
-    ``n_train_docs``."""
+    ``doc_id % 10 == 3`` all injected). Under the DEFAULT
+    ``max_train_df=10`` frequent-gram guard the injected template grams
+    (quoted by 25% of train docs) are excluded as boilerplate — exactly
+    the GPT-3 appendix-C rule — so the report surfaces only the
+    fixture's deliberate cross-split duplicates (train-df 1-2); pass
+    ``max_train_df=None`` for the exact audit, where every eval doc
+    shows ≥4 dirty template positions and counts every injected train
+    doc (both modes pinned by the pytest replays)."""
     from oasysdb_spark.operators.dedup import ngram_contamination_report
 
     docs = _docs(spark, sf_dir)
@@ -1531,4 +1535,6 @@ def ngram_contamination_report_stats(
     aug_eval = docs.where(F.col("doc_id") % 10 == 3).select(
         "doc_id", F.concat("text", F.lit(" " + BOILERPLATE_TEMPLATE)).alias("text")
     )
-    return ngram_contamination_report(aug_train, aug_eval, n=n)
+    return ngram_contamination_report(
+        aug_train, aug_eval, n=n, max_train_df=max_train_df
+    )

@@ -1659,11 +1659,12 @@ def test_ngram_decontaminate_matches_duckdb_oracle(spark, sf_dir):
 
 
 def test_ngram_contamination_report_matches_python_replay(spark, sf_dir):
-    """ngram_contamination_report pinned by an exact driver-side Python
-    replay: per eval doc, dirty positions = positions whose 8-gram occurs
-    in ANY (injection-augmented) train doc, and n_train_docs = distinct
-    train docs sharing >= 1 gram. Every eval doc must see >= 4 dirty
-    template positions and count every injected train doc."""
+    """ngram_contamination_report EXACT mode (max_train_df=None, opt-in
+    since r6) pinned by an exact driver-side Python replay: per eval
+    doc, dirty positions = positions whose 8-gram occurs in ANY
+    (injection-augmented) train doc, and n_train_docs = distinct train
+    docs sharing >= 1 gram. Every eval doc must see >= 4 dirty template
+    positions and count every injected train doc."""
     import re
 
     from oasysdb_spark.operators import textops
@@ -1671,7 +1672,9 @@ def test_ngram_contamination_report_matches_python_replay(spark, sf_dir):
 
     rows = {
         r["doc_id"]: r
-        for r in textops.ngram_contamination_report_stats(spark, sf_dir).collect()
+        for r in textops.ngram_contamination_report_stats(
+            spark, sf_dir, max_train_df=None
+        ).collect()
     }
     assert rows, "no eval docs"
 
@@ -1720,9 +1723,10 @@ def test_ngram_contamination_report_matches_python_replay(spark, sf_dir):
 
 
 def test_ngram_contamination_report_matches_duckdb_oracle(spark, sf_dir):
-    """ngram_contamination_report_stats hash-compared against an
-    independent DuckDB replay — the self-oracle gate ahead of driver-
-    window rotation (r6 candidate)."""
+    """ngram_contamination_report_stats EXACT mode (max_train_df=None)
+    hash-compared against an independent DuckDB replay; the guarded
+    DEFAULT mode is driver-checked through the in-window oracle entry
+    (whose SQL carries the matching HAVING clause) since r6."""
     import sys
 
     import duckdb
@@ -1733,7 +1737,7 @@ def test_ngram_contamination_report_matches_duckdb_oracle(spark, sf_dir):
     from oasysdb_spark.functions.hashing import hash64_sql
     from oasysdb_spark.operators import textops
 
-    got = textops.ngram_contamination_report_stats(spark, sf_dir)
+    got = textops.ngram_contamination_report_stats(spark, sf_dir, max_train_df=None)
     spark_cols = got.columns
     spark_rows = [tuple(r) for r in got.collect()]
 
