@@ -18,13 +18,21 @@ Scale design (the 100 TB story):
   collect, mirroring ``index/ivf.py fit_centroids``: a floored pretoken
   table within ``local_train_limit`` rows is collected and trained with
   the incremental pair-count algorithm every production tokenizer
-  trainer uses; above the limit a pure-Spark iterative path runs one
-  pair-count aggregation per merge round, with ``localCheckpoint``
-  truncating lineage each round (the same exponential-plan hazard as
-  ``dedup.connected_components``). Both paths implement identical
-  deterministic semantics — overlap-inclusive pair counting, greedy
-  left-to-right merge application, ties broken by (count desc, left asc,
-  right asc) — and are equivalence-tested against each other.
+  trainer uses; above the limit the pure-Spark path runs block
+  Zipf-head training (r6) — per BLOCK, one pair-count aggregation
+  picks a frequency threshold, the words containing any
+  above-threshold pair are collected and trained incrementally on the
+  driver (exact, see ``_bpe_train_distributed``), and the whole merge
+  block is applied in one Arrow pass with ``localCheckpoint``
+  truncating lineage (the same exponential-plan hazard as
+  ``dedup.connected_components``) — so the job count is per block,
+  not per merge (the pre-r6 one-aggregation-per-merge loop was a
+  ~50k-sequential-job driver bottleneck at production vocab sizes).
+  Both paths implement identical deterministic semantics —
+  overlap-inclusive pair counting, greedy left-to-right merge
+  application, ties broken by (count desc, left asc, right asc) — and
+  are equivalence-tested against each other, including a forced
+  multi-block run.
 - ``encode`` is row-local: an Arrow-batched pandas UDF with the (tiny,
   ≤ n_merges rows) rank table captured in the closure and a per-batch
   pretoken memo — words repeat heavily, so each distinct pretoken is
@@ -106,13 +114,26 @@ def _bpe_train_local(
     n_merges: int,
     min_pair_count: int,
 ) -> list[tuple[str, str, int]]:
-    """Driver-side trainer: incremental pair-count maintenance via exact
+    """Driver-side trainer over raw pretokens: split to initial symbol
+    sequences, then run the incremental core."""
+    return _bpe_train_local_presplit(
+        [(_initial_symbols(w), c) for w, c in word_counts],
+        n_merges,
+        min_pair_count,
+    )
+
+
+def _bpe_train_local_presplit(
+    word_counts: list[tuple[tuple[str, ...], int]],
+    n_merges: int,
+    min_pair_count: int,
+) -> list[tuple[str, str, int]]:
+    """Incremental trainer core over already-split symbol sequences
+    (the block Zipf-head path feeds partially-merged words here): exact
     per-word multiset deltas (subtract a touched word's old pairs, add
     its new ones — arithmetically identical to a full recount, without
     the known off-by-overlap bugs of in-place counters)."""
-    words: list[tuple[tuple[str, ...], int]] = [
-        (_initial_symbols(w), c) for w, c in word_counts
-    ]
+    words: list[tuple[tuple[str, ...], int]] = list(word_counts)
     pair_counts: Counter = Counter()
     where: defaultdict = defaultdict(set)  # pair -> word ids containing it
     for wid, (sym, cnt) in enumerate(words):
@@ -161,16 +182,90 @@ def _pairs_col(sym_col):
     )
 
 
+def _in_head_udf(hset: frozenset):
+    """Arrow-batched membership test: does a symbol sequence contain any
+    adjacent pair from ``hset``? (factory, so the set binds eagerly)."""
+
+    @F.pandas_udf("boolean")
+    def in_head(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda sym: any(
+                (sym[i], sym[i + 1]) in hset for i in range(len(sym) - 1)
+            )
+        )
+
+    return in_head
+
+
+def _apply_merges_distributed(words: DataFrame, block: list[tuple[str, str, int]]):
+    """One Arrow-batched pass applying a whole merge BLOCK in learned
+    order to every word — identical to replaying training round by
+    round, because within a word the greedy left-to-right application
+    of merge r transforms exactly the symbols training had at step r."""
+    seq = [(l, r) for l, r, _ in block]
+
+    @F.pandas_udf("array<string>")
+    def apply_block(s: pd.Series) -> pd.Series:
+        def rewrite(sym):
+            t = tuple(sym)
+            for left, right in seq:
+                t = _merge_word(t, left, right)
+            return list(t)
+
+        return s.map(rewrite)
+
+    out = words.select(
+        apply_block(F.col("symbols")).alias("symbols"), "cnt"
+    ).localCheckpoint(eager=True)
+    free_local_checkpoint(words)
+    return out
+
+
 def _bpe_train_distributed(
     counts: DataFrame,
     n_merges: int,
     min_pair_count: int,
+    head_limit: int = 500_000,
+    head_pairs: int = 4096,
 ) -> list[tuple[str, str, int]]:
-    """Pure-Spark trainer for pretoken tables too large to collect: one
-    overlap-inclusive pair aggregation + one row-local merge application
-    per round. The driver only ever sees the single argmax pair per
-    round; symbol tables stay distributed, lineage is truncated per
-    round with localCheckpoint."""
+    """Pure-Spark trainer for pretoken tables too large to collect —
+    block Zipf-head training, EXACTLY equivalent to the sequential
+    local algorithm (equivalence-gated in tests/test_tokenizer.py,
+    including a multi-block run forced with a tiny ``head_limit``).
+
+    Per block: ONE overlap-inclusive pair aggregation ranks pairs by
+    count; a frequency threshold ``T`` is chosen so that every pair at
+    or above it is known (``T`` = count of the ``head_pairs``-th pair
+    + 1, or ``min_pair_count`` when the ranking is complete); the words
+    containing any such pair — the Zipf HEAD, driver-bounded by
+    ``head_limit`` — are collected and trained with the incremental
+    local algorithm until the best pair falls below ``T``; the learned
+    block is applied to the distributed table in ONE Arrow pass and the
+    loop recounts. Jobs per BLOCK, not per merge (the r5 version ran
+    one full aggregation + one full rewrite + one checkpoint per merge
+    — a ~50k-job driver bottleneck at production vocab sizes;
+    job-count now gated by a status-tracker test).
+
+    Why block training is exact and not an approximation:
+
+    - every word containing a pair of current count ≥ T contains, by
+      definition, a pair of count ≥ T — so it is IN the head, and the
+      driver's pair counts for all candidates ≥ T are total counts,
+      not samples;
+    - old pairs only ever lose occurrences (merging a,b removes
+      (x,a)/(a,b)/(b,y) adjacencies and creates only pairs involving
+      the new symbol ab), so a tail pair (count < T) can never rise to
+      argmax while the argmax stays ≥ T;
+    - new pairs involve the merged symbol, which exists only in head
+      words — their counts are fully tracked on the driver and their
+      tail contribution is zero;
+    - therefore, while the driver-side argmax is ≥ T it equals the
+      global argmax, and the block stops exactly when that guarantee
+      expires.
+
+    Degenerate shapes (threshold excludes everything, or the head
+    exceeds ``head_limit`` after retries) fall back to single-merge
+    rounds — same semantics, old cost — so progress is guaranteed."""
     chars = F.filter(F.split(F.col("pretoken"), ""), lambda t: t != "")
     words = counts.select(
         F.concat(chars, F.array(F.lit(END_OF_WORD))).alias("symbols"),
@@ -179,37 +274,68 @@ def _bpe_train_distributed(
 
     merges: list[tuple[str, str, int]] = []
     try:
-        for _ in range(n_merges):
-            top = (
+        while len(merges) < n_merges:
+            ranked = (
                 words.select(
                     F.explode(_pairs_col(F.col("symbols"))).alias("p"), "cnt"
                 )
                 .groupBy("p.left", "p.right")
                 .agg(F.sum("cnt").alias("pc"))
                 .orderBy(F.desc("pc"), F.asc("left"), F.asc("right"))
-                .limit(1)
+                .limit(head_pairs)
                 .collect()
             )
-            if not top or top[0]["pc"] < min_pair_count:
+            if not ranked or ranked[0]["pc"] < min_pair_count:
                 break
-            left, right = top[0]["left"], top[0]["right"]
-            merges.append((left, right, int(top[0]["pc"])))
+            complete = len(ranked) < head_pairs
+            t_floor = (
+                min_pair_count if complete else int(ranked[-1]["pc"]) + 1
+            )
+            block = self_block = None
+            for _ in range(4):  # shrink the head at most 4 times
+                hset = {
+                    (r["left"], r["right"])
+                    for r in ranked
+                    if r["pc"] >= t_floor
+                }
+                if not hset:
+                    break
 
-            @F.pandas_udf("array<string>")
-            def apply_merge(s: pd.Series) -> pd.Series:
-                return s.map(
-                    lambda sym: list(_merge_word(tuple(sym), left, right))
+                head = (
+                    words.where(_in_head_udf(frozenset(hset))(F.col("symbols")))
+                    .limit(head_limit + 1)
+                    .collect()
                 )
-
-            prev = words
-            # eager: materialized before `left`/`right` rebind next round
-            words = words.select(
-                apply_merge(F.col("symbols")).alias("symbols"), "cnt"
-            ).localCheckpoint(eager=True)
-            # plain unpersist() is a no-op on checkpoints — free the
-            # superseded round's blocks explicitly, or n_merges copies
-            # of the symbol table pile up in executor storage
-            free_local_checkpoint(prev)
+                if len(head) <= head_limit:
+                    wc = sorted(
+                        (tuple(r["symbols"]), int(r["cnt"])) for r in head
+                    )
+                    self_block = _bpe_train_local_presplit(
+                        wc,
+                        n_merges - len(merges),
+                        max(t_floor, min_pair_count),
+                    )
+                    block = self_block
+                    break
+                # head too big for the driver: raise the bar to the
+                # median surviving pair count and retry
+                alive = sorted(
+                    {int(r["pc"]) for r in ranked if r["pc"] >= t_floor}
+                )
+                if len(alive) <= 1:
+                    break
+                t_floor = alive[len(alive) // 2] + 1
+                complete = False
+            if not block:
+                # degenerate: fall back to one exact single-merge round
+                top = ranked[0]
+                block = [(top["left"], top["right"], int(top["pc"]))]
+            merges.extend(block)
+            words = _apply_merges_distributed(words, block)
+            if complete and self_block is not None and len(merges) < n_merges:
+                # the ranking was complete and the local trainer stopped
+                # below min_pair_count on full information: globally done
+                break
     finally:
         # only the merges list (driver-side, tiny) leaves this function
         free_local_checkpoint(words)

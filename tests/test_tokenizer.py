@@ -171,6 +171,82 @@ def test_pretoken_counts_matches_duckdb(spark, sf_dir):
     assert len(spark_rows) > 10
 
 
+def _zipf_corpus(n_words=600, seed=7):
+    """Deterministic synthetic pretoken table with a fat Zipf head and
+    enough symbol diversity to support >512 distinct merges."""
+    import random
+
+    rng = random.Random(seed)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    out = []
+    for i in range(n_words):
+        ln = 4 + (i % 9)
+        w = "".join(rng.choice(alpha) for _ in range(ln))
+        out.append((w, max(1, n_words // (i + 1))))
+    # dedupe keeping the max count (createDataFrame rows need not be
+    # unique, but the trainer contract is a (pretoken, cnt) AGGREGATE)
+    agg = {}
+    for w, c in out:
+        agg[w] = max(agg.get(w, 0), c)
+    return sorted(agg.items())
+
+
+def test_distributed_block_trainer_job_count(spark):
+    """The r6 block Zipf-head trainer must spend Spark jobs per BLOCK,
+    not per merge: >=512 merges on the distributed path must launch far
+    fewer jobs than the one-aggregation-per-merge loop it replaced
+    (which cost >=3 jobs x 512 merges), while learning the exact same
+    table as the local trainer."""
+    words = _zipf_corpus()
+    df = _counts_df(spark, words)
+    local = tok.bpe_train(df, n_merges=512, min_count=1)
+    assert len(local) >= 512
+
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe_block_probe", "job-count gate")
+    try:
+        dist = tok.bpe_train(
+            df, n_merges=512, min_count=1, force_distributed=True
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    jobs = sc.statusTracker().getJobIdsForGroup("bpe_block_probe")
+    assert dist == local
+    # one block (complete ranking) is ~5 jobs; leave headroom for limit
+    # re-evaluation — but nowhere near one job per merge
+    assert len(jobs) <= 40, f"{len(jobs)} jobs for 512 merges"
+
+
+def test_multiblock_distributed_equals_local(spark):
+    """Forcing tiny head/ranking budgets makes the block trainer run
+    many blocks, threshold retries, and the single-merge fallback — the
+    learned table must still be IDENTICAL to the sequential local
+    algorithm (the exactness proof in _bpe_train_distributed's
+    docstring, exercised end to end)."""
+    words = [
+        ("aaa", 4), ("aaaa", 1), ("banana", 3), ("bandana", 2),
+        ("abracadabra", 2), ("cab", 7), ("abc", 7), ("low", 5),
+        ("lower", 2), ("newest", 6), ("widest", 3), ("nation", 9),
+        ("inter", 4), ("internationalization", 3), ("zebra", 1),
+        ("quartz", 2), ("jigsaw", 2), ("mixing", 5), ("boxing", 5),
+    ]
+    df = _counts_df(spark, words)
+    local = tok.bpe_train(df, n_merges=64, min_count=1)
+    dist = tok._bpe_train_distributed(
+        df, n_merges=64, min_pair_count=2, head_limit=4, head_pairs=8
+    )
+    # same floors as bpe_train's default min_pair_count=2
+    local2 = tok.bpe_train(df, n_merges=64, min_count=1, min_pair_count=2)
+    assert dist == local2
+    assert len(dist) > 8
+    # and the default-budget distributed path agrees with the unfloored
+    # local table too
+    assert (
+        tok.bpe_train(df, n_merges=64, min_count=1, force_distributed=True)
+        == local
+    )
+
+
 def _n_stored_rdds(spark):
     return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
 
