@@ -921,6 +921,142 @@ def extract_dhash(media: DataFrame) -> DataFrame:
     )
 
 
+def extract_dhash_wide(media: DataFrame) -> DataFrame:
+    """256-bit PDQ-style perceptual gradient hash — the production-scale
+    variant of :func:`extract_dhash` (same decode path, same integer
+    discipline): decode → integer RGB-sum 16×16 plane → per-row
+    horizontal gradient signs with wraparound (16 rows × 16 comparisons
+    = 256 bits), packed little-endian into ``dhash_words:
+    array<bigint>`` of four signed int64 words (bit k → word k//64,
+    offset k%64). Why it exists: banding a 56-bit hash at hamming ≤ 3
+    leaves 14-bit bands, so random collisions grow ~n²/2¹⁴ — measured
+    8.0× per 10× data; the same 4-band pigeonhole over 256 bits gives
+    64-bit bands and ~n²/2⁶⁴ random collisions, i.e. candidates ≈ true
+    near-dups only, at ANY corpus size. All integer math; row-local."""
+    import numpy as np
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                arr = decode_image(bytes(content))
+                if arr.shape[:2] != (16, 16):
+                    from oasysdb_spark.errors import InvalidArgumentError
+
+                    raise InvalidArgumentError(
+                        f"extract_dhash_wide expects 16x16 images, got {arr.shape}"
+                    )
+                plane = arr.astype(np.int64).sum(axis=2)
+                # vectorized gradient signs: bit r*16+c set iff
+                # plane[r,c] > plane[r,(c+1)%16] (wraparound column)
+                bits = (plane > np.roll(plane, -1, axis=1)).reshape(-1)
+                weights = np.left_shift(
+                    np.uint64(1), np.arange(64, dtype=np.uint64)
+                )
+                words = [
+                    int(
+                        np.bitwise_or.reduce(
+                            weights[bits[64 * w : 64 * w + 64]]
+                        ).astype(np.int64)
+                    )
+                    if bits[64 * w : 64 * w + 64].any()
+                    else 0
+                    for w in range(4)
+                ]
+                rows.append((int(media_id), words))
+            yield pd.DataFrame(rows, columns=["media_id", "dhash_words"])
+
+    return media.select("media_id", "content").mapInPandas(
+        _extract, schema="media_id long, dhash_words array<long>"
+    )
+
+
+def banded_hamming_pairs_wide(
+    banded: DataFrame,
+    id_col: str,
+    words_col: str,
+    band_cols: list[str],
+    max_hamming: int,
+    top_n: int,
+    out_names: tuple[str, str],
+) -> DataFrame:
+    """:func:`oasysdb_spark.operators.dedup.banded_hamming_pairs` for
+    multi-word hashes: identical join/dedup/cut shape, with hamming =
+    Σ bit_count(xor) over the zipped word arrays (native expressions,
+    no UDF in the verify). Exhaustiveness is still the caller's
+    pigeonhole contract (max_hamming < number of bands)."""
+    a_name, b_name = out_names
+    cached = banded.cache()
+
+    def hamming_expr():
+        return F.aggregate(
+            F.zip_with(
+                F.col(f"a.{words_col}"),
+                F.col(f"b.{words_col}"),
+                lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+
+    def band_join(key: str) -> DataFrame:
+        a, b = cached.alias("a"), cached.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col(f"a.{key}") == F.col(f"b.{key}"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias(a_name),
+                F.col(f"b.{id_col}").alias(b_name),
+                hamming_expr().alias("hamming"),
+            )
+            .where(F.col("hamming") <= max_hamming)
+        )
+
+    out = band_join(band_cols[0])
+    for key in band_cols[1:]:
+        out = out.unionByName(band_join(key))
+    return (
+        out.dropDuplicates([a_name, b_name])
+        .select(a_name, b_name, F.col("hamming").cast("bigint").alias("hamming"))
+        .orderBy("hamming", a_name, b_name)
+        .limit(top_n)
+    )
+
+
+def _wide_band_cols(words_col: str, max_hamming: int):
+    """Contiguous-band split of a 256-bit word-array hash, width derived
+    from the hamming budget: the smallest band count in {2,4,8,16,32}
+    that exceeds ``max_hamming`` (pigeonhole needs > max_hamming bands;
+    power-of-two counts keep bands word-aligned). Returns (names,
+    exprs); rejects budgets past 31 (bands would drop under 8 bits and
+    stop discriminating)."""
+    from oasysdb_spark.errors import InvalidArgumentError
+
+    n_bands = next((d for d in (2, 4, 8, 16, 32) if d > max_hamming), None)
+    if n_bands is None:
+        raise InvalidArgumentError(
+            "wide banding supports max_hamming <= 31 (32 bands of 8 bits)"
+        )
+    width = 256 // n_bands
+    names, exprs = [], []
+    for j in range(n_bands):
+        bit = j * width
+        word, off = bit // 64, bit % 64
+        e = F.element_at(F.col(words_col), word + 1)
+        if width == 64:
+            pass  # the whole word IS the band
+        else:
+            # arithmetic shift then mask: sign-extended high bits are
+            # masked away, so the band value is exact for width < 64
+            e = F.shiftright(e, off).bitwiseAND(F.lit((1 << width) - 1))
+        names.append(f"wb{j}")
+        exprs.append(e.alias(f"wb{j}"))
+    return names, exprs
+
+
 def multimodal_dhash_dedup(spark, sf_dir: str) -> DataFrame:
     """Driver-contract query: perceptual dedup end-to-end through the
     real codec — fixed-size PPM synthesis (with injected one-pixel
@@ -942,6 +1078,7 @@ def multimodal_dhash_near_pairs(
     sf_dir: str,
     max_hamming: int = 3,
     top_n: int = 50,
+    hash_bits: int = 56,
 ) -> DataFrame:
     """Perceptual NEAR-dup pairs over the dHash: candidates share one of
     four 14-bit hash quarters (pigeonhole: hamming ≤ 3 over 56 bits
@@ -953,9 +1090,44 @@ def multimodal_dhash_near_pairs(
     row, not a silent pass. Pigeonhole over 4 bands is exhaustive ONLY
     for hamming ≤ 3, so larger thresholds are rejected instead of
     silently dropping pairs. Returns ``(media_a, media_b, hamming)``,
-    ties broken by ids."""
+    ties broken by ids.
+
+    ``hash_bits`` picks the hash width — the scale lever (r6):
+
+    - 56 (default, the oracle-matched driver entry): 14-bit bands ⇒
+      random band collisions ~n²/2¹⁴ — fine to ~10⁵ images, measured
+      8.0× per 10× data at the sf0.1→sf1 rung;
+    - 256 (:func:`extract_dhash_wide`, PDQ-style): band count derives
+      from the hamming budget (``_wide_band_cols``) so hamming ≤ 3
+      gets four 64-bit bands ⇒ random collisions ~n²/2⁶⁴ ≈ none —
+      candidates are the true near-dups at any corpus size, and wider
+      budgets (to 31) stay exhaustive by adding narrower bands. The
+      wide path supports any ``max_hamming ≤ 31``; hamming semantics
+      differ from the 56-bit hash only in resolution (256 gradient
+      signs vs 56), recall on the injected one-pixel near-copies is
+      gated equal in pytest."""
     from oasysdb_spark.operators.dedup import banded_hamming_pairs
 
+    if hash_bits == 256:
+        media = synthesize_ppm16_with_near_copies(spark, sf_dir)
+        hw = extract_dhash_wide(media)
+        names, exprs = _wide_band_cols("dhash_words", max_hamming)
+        hw = hw.select("media_id", "dhash_words", *exprs)
+        return banded_hamming_pairs_wide(
+            hw,
+            id_col="media_id",
+            words_col="dhash_words",
+            band_cols=names,
+            max_hamming=max_hamming,
+            top_n=top_n,
+            out_names=("media_a", "media_b"),
+        )
+    if hash_bits != 56:
+        from oasysdb_spark.errors import InvalidArgumentError
+
+        raise InvalidArgumentError(
+            f"hash_bits must be 56 or 256, got {hash_bits}"
+        )
     if max_hamming > 3:
         from oasysdb_spark.errors import InvalidArgumentError
 

@@ -350,6 +350,97 @@ def test_dhash_rejects_wrong_size(spark):
     assert "16x16" in str(ei.value)
 
 
+def test_dhash_wide_near_pairs_exhaustive_vs_quadratic_truth(spark, sf_dir):
+    """The 256-bit wide path (r6 scale lever) must return EXACTLY the
+    pairs the quadratic all-pairs truth finds at hamming <= 3 — banding
+    loses nothing (pigeonhole over four 64-bit words) and adds nothing
+    (exact bit_count verify) — and must recall every injected one-pixel
+    near-copy the 56-bit path recalls."""
+    from oasysdb_spark.operators.multimodal import (
+        extract_dhash_wide,
+        multimodal_dhash_near_pairs,
+        synthesize_ppm16_with_near_copies,
+    )
+
+    media = synthesize_ppm16_with_near_copies(spark, sf_dir)
+    wide = {
+        r["media_id"]: tuple(r["dhash_words"])
+        for r in extract_dhash_wide(media).collect()
+    }
+
+    def ham(a, b):
+        return sum(
+            bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")
+            for x, y in zip(a, b)
+        )
+
+    ids = sorted(wide)
+    truth = {
+        (a, b): ham(wide[a], wide[b])
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(wide[a], wide[b]) <= 3
+    }
+    got = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in multimodal_dhash_near_pairs(
+            spark, sf_dir, max_hamming=3, top_n=10**6, hash_bits=256
+        ).collect()
+    }
+    assert got == truth
+    # equal recall on the injected near-copies vs the 56-bit default
+    narrow = {
+        (r["media_a"], r["media_b"])
+        for r in multimodal_dhash_near_pairs(
+            spark, sf_dir, max_hamming=3, top_n=10**6
+        ).collect()
+    }
+    injected_narrow = {(a, b) for a, b in narrow if b == a + 100000}
+    injected_wide = {(a, b) for a, b in got if b == a + 100000}
+    assert injected_wide >= injected_narrow
+    assert injected_wide  # the one-pixel copies are found at all
+
+
+def test_dhash_wide_band_budget_derivation(spark):
+    """Band count derives from the hamming budget: a budget of 7 gets
+    eight 32-bit bands, and a pair differing in 5 bits packed inside
+    ONE 32-bit band (worst case for banding) is still found via any of
+    the 7 untouched bands — including bands at word boundaries. Budgets
+    past 31 are rejected."""
+    import pytest as _pytest
+
+    from oasysdb_spark.errors import InvalidArgumentError
+    from oasysdb_spark.operators.multimodal import (
+        _wide_band_cols,
+        banded_hamming_pairs_wide,
+    )
+
+    base = [0x0123456789ABCDEF, -0x7EDCBA9876543211, 0x0F0F0F0F0F0F0F0F, -1]
+    # flip 5 bits inside word 1's low 32-bit band (bits 64..95 → band 2)
+    flipped = list(base)
+    flipped[1] ^= 0b11111 << 10
+    df = spark.createDataFrame(
+        [(1, base), (2, flipped)], "media_id long, dhash_words array<long>"
+    )
+    names, exprs = _wide_band_cols("dhash_words", 7)
+    assert len(names) == 8
+    banded = df.select("media_id", "dhash_words", *exprs)
+    rows = banded_hamming_pairs_wide(
+        banded,
+        id_col="media_id",
+        words_col="dhash_words",
+        band_cols=names,
+        max_hamming=7,
+        top_n=10,
+        out_names=("media_a", "media_b"),
+    ).collect()
+    assert [(r["media_a"], r["media_b"], r["hamming"]) for r in rows] == [
+        (1, 2, 5)
+    ]
+    with _pytest.raises(InvalidArgumentError):
+        _wide_band_cols("dhash_words", 32)
+
+
 def test_audio_fingerprint_perceptual_properties(spark, sf_dir):
     """Energy-contour fingerprints through the real WAV codec: the
     injected one-sample near-copy stays within hamming 1 of its source
