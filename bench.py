@@ -49,7 +49,68 @@ BENCH_QUERIES = [
     "events_funnel",
     "percentile_stats",
     "multimodal_features",
+    # approx-ANN serving tier (r6): the reference's core competency,
+    # wall-clock-tracked in steady state — codes/codebooks build once
+    # untimed (ingest amortizes), the timed path is query-only
+    "vec_pq_knn",
+    "vec_ivfpq_knn",
+    "vec_sq_knn",
 ]
+
+# Bench-local callables for operators outside the driver-oracle window
+# (the PQ/IVFADC/SQ8 tier is recall-gated in pytest, not SQL-expressible
+# end to end): same (spark, sf_dir) shape as queries() entries, with the
+# build artifacts cached per sf_dir so pass 1/2 time the SERVING path.
+_ANN_STATE: dict = {}
+
+
+def _bench_vec_pq_knn(spark, sf_dir):
+    from oasysdb_spark.index import pq
+    from oasysdb_spark.operators.vectorops import load_embeddings
+
+    key = ("pq", sf_dir)
+    if key not in _ANN_STATE:
+        embs = load_embeddings(spark, sf_dir)
+        books = pq.fit_codebooks(embs.select("embedding"), m=8, nbits=4, seed=42)
+        codes = pq.encode(embs, books).cache()
+        codes.count()
+        _ANN_STATE[key] = (codes, books)
+    codes, books = _ANN_STATE[key]
+    return pq.pq_knn(spark, sf_dir, codes_df=codes, codebooks=books)
+
+
+def _bench_vec_ivfpq_knn(spark, sf_dir):
+    from oasysdb_spark.index import pq
+
+    key = ("ivfpq", sf_dir)
+    if key not in _ANN_STATE:
+        _ANN_STATE[key] = pq.build_ivfpq(spark, sf_dir)
+    codes, cents, books = _ANN_STATE[key]
+    return pq.ivfpq_knn(
+        spark, sf_dir, codes_df=codes, centroids=cents, codebooks=books
+    )
+
+
+def _bench_vec_sq_knn(spark, sf_dir):
+    from oasysdb_spark.index import sq
+    from oasysdb_spark.operators.vectorops import load_embeddings
+
+    key = ("sq", sf_dir)
+    if key not in _ANN_STATE:
+        embs = load_embeddings(spark, sf_dir)
+        model = sq.fit_sq(embs)
+        codes = sq.encode_sq(embs, model).cache()
+        codes.count()
+        _ANN_STATE[key] = (codes, model)
+    codes, model = _ANN_STATE[key]
+    return sq.sq_knn(spark, sf_dir, codes_df=codes, model=model)
+
+
+EXTRA_BENCH = {
+    "vec_pq_knn": _bench_vec_pq_knn,
+    "vec_ivfpq_knn": _bench_vec_ivfpq_knn,
+    "vec_sq_knn": _bench_vec_sq_knn,
+}
 
 
 def main():
@@ -60,7 +121,8 @@ def main():
     from oasysdb_spark.session import get_spark
 
     spark = get_spark(app_name="oasysdb_bench")
-    qs = entry.queries()
+    qs = dict(entry.queries())
+    qs.update(EXTRA_BENCH)
 
     # warm the JVM/session on the smallest SF so startup cost lands outside
     # the per-query timings; also spawn the Python/Arrow workers once (a
@@ -87,7 +149,15 @@ def main():
     # maintained index (build amortizes over every query), so the timed
     # vec_ivf_knn below measures the steady-state serving path. The entry's
     # per-sf work_dir cache makes this run reuse the built tables.
-    for _builder in ("vec_ivf_knn", "vec_lsh_knn_indexed"):
+    for _builder in (
+        "vec_ivf_knn",
+        "vec_lsh_knn_indexed",
+        # PQ/IVFADC/SQ8: the first call fits+encodes into _ANN_STATE
+        # (the ingest step); the timed passes below hit the cached codes
+        "vec_pq_knn",
+        "vec_ivfpq_knn",
+        "vec_sq_knn",
+    ):
         # Same steady-state rationale for the LSH bucket layout: build
         # untimed, the timed query below measures partition-pruned serving.
         try:

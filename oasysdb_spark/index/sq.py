@@ -145,7 +145,9 @@ def sq_knn(
     cand = (
         codes_df.select("vec_id", sq_score_expr(qvec, model).alias("adc"))
         .orderBy(F.col("adc").asc(), "vec_id")
-        .limit(rerank)
+        # max(rerank, k): a rerank under k must not silently shrink the
+        # result below k — same contract as pq_knn/ivfpq_knn/query
+        .limit(max(rerank, k))
     )
     qlit = F.array(*[F.lit(float(x)) for x in qvec])
     exact = cand.join(embs, "vec_id").select(

@@ -67,6 +67,13 @@ def load_index_meta(index_dir: str) -> dict:
             f"{index_dir} is not a signature index (missing {_META}); "
             "build one with build_signature_index"
         )
+    except json.JSONDecodeError as e:
+        # a torn/corrupt meta fails LOUD with the same remedy as a
+        # missing one, not a raw decode traceback
+        raise InvalidArgumentError(
+            f"{index_dir} has a corrupt {_META} ({e}); rebuild with "
+            "build_signature_index"
+        )
 
 
 def build_signature_index(
@@ -209,6 +216,14 @@ def extend_signature_index(
     sigs = sigs.cache()
     try:
         n = sigs.count()
+        # torn-append safety, mirroring build_signature_index: invalidate
+        # the meta FIRST, restore it (atomic rename via _write_meta) only
+        # after BOTH appends land — a crash between the bands append and
+        # the shingles append would otherwise leave band rows whose
+        # candidates silently vanish in the verify inner join
+        # (under-dedup with no signal); this way a torn index fails LOUD
+        # at the next load instead
+        os.remove(_meta_path(index_dir))
         lsh_bands(sigs, meta["num_hashes"], meta["band_size"]).write.mode(
             "append"
         ).parquet(os.path.join(index_dir, "bands"))
@@ -218,6 +233,5 @@ def extend_signature_index(
     finally:
         sigs.unpersist()
     meta["n_docs"] += n
-    with open(_meta_path(index_dir), "w") as f:
-        json.dump(meta, f)
+    _write_meta(index_dir, meta)
     return n

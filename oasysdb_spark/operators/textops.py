@@ -243,10 +243,14 @@ def exact_then_near_dedup(
 
     ``scored`` carries at least (doc_id, text, fp, bpe). Exact dedup
     keeps the min doc_id per fingerprint; near-dup MinHash components
-    keep the QUALITY representative — the member with the most tokens,
-    tie → min doc_id, the same struct-max pick as
-    ``dedup.representative_pick`` (real pipelines keep the longest/most
-    complete copy, not blindly the smallest id).
+    keep the QUALITY representative — the member with the most BPE
+    tokens, tie → min doc_id (real pipelines keep the longest/most
+    complete copy, not blindly the smallest id). This shares the
+    struct-max MECHANISM with ``dedup.representative_pick`` but not the
+    measure: the oracle-gated pick ranks by ``n_chars`` (the fixture's
+    raw length column), this pipeline stage by the token count it has
+    already computed — the two can keep different survivors for the
+    same component when char-longest ≠ token-longest.
 
     Returns ``(exact_unique, survivors, comps)``: the first two cached,
     ``comps`` backed by the components' final-round localCheckpoint —
@@ -292,8 +296,9 @@ def prepare_training_corpus(
         duplicate-5-gram rules, Arrow hot path) → BOILERPLATE scrub
         (mine top-DF n-grams, drop dominated docs) → exact dedup
         (fingerprint, keep min id) → NEAR-dup clustering (MinHash
-        components, keep the QUALITY representative: most tokens,
-        tie → min doc_id, as dedup.representative_pick) → token-budget
+        components, keep the QUALITY representative: most BPE tokens,
+        tie → min doc_id — representative_pick's struct-max mechanism
+        over the pipeline's token measure) → token-budget
         sequence packing per hash shard
 
     Returns one summary row: document counts surviving each stage, the

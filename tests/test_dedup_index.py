@@ -126,6 +126,48 @@ def test_index_meta_required_and_param_validation(spark, sf_dir, tmp_path):
         dedup_index.build_signature_index(
             _corpus(spark, sf_dir), str(tmp_path / "bad"), num_hashes=16, band_size=3
         )
+    # a torn/corrupt meta (crash mid-write) fails LOUD with the rebuild
+    # remedy, not a raw JSONDecodeError traceback
+    torn = tmp_path / "torn"
+    torn.mkdir()
+    (torn / "_META.json").write_text('{"num_hashes": 16, "band_')
+    with pytest.raises(InvalidArgumentError, match="corrupt"):
+        dedup_index.load_index_meta(str(torn))
+
+
+def test_extend_invalidates_meta_until_both_appends_land(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A crash between the bands append and the shingles append must
+    leave the index failing LOUD (meta gone) instead of silently
+    under-deduping — extend mirrors build's invalidate-first/restore-
+    after discipline, and the restore goes through the atomic
+    _write_meta."""
+    import os as _os
+
+    idx = str(tmp_path / "idx")
+    corpus = _corpus(spark, sf_dir).where("doc_id < 100")
+    dedup_index.build_signature_index(corpus, idx)
+
+    batch = _corpus(spark, sf_dir).where("doc_id >= 100 AND doc_id < 150")
+    real_bands = dedup_index.lsh_bands
+
+    def exploding_bands(*a, **k):
+        raise RuntimeError("simulated crash before the shingles append")
+
+    monkeypatch.setattr(dedup_index, "lsh_bands", exploding_bands)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        dedup_index.extend_signature_index(batch, idx)
+    assert not _os.path.exists(_os.path.join(idx, "_META.json"))
+    with pytest.raises(InvalidArgumentError, match="not a signature index"):
+        dedup_index.load_index_meta(idx)
+
+    # a rebuild restores service; a successful extend keeps meta intact
+    monkeypatch.setattr(dedup_index, "lsh_bands", real_bands)
+    dedup_index.build_signature_index(corpus, idx)
+    n = dedup_index.extend_signature_index(batch, idx)
+    assert n > 0
+    assert dedup_index.load_index_meta(idx)["n_docs"] == 100 + n
 
 
 def test_delta_probe_plan_has_no_nested_loops(spark, sf_dir, tmp_path):

@@ -378,3 +378,10 @@ def test_sq_knn_near_exact_recall(spark, sf_dir):
     assert pre == got
     with _pytest.raises(InvalidArgumentError, match="dimension"):
         sq.sq_score_expr([1.0, 2.0], model)
+    # rerank < k must not shrink the result below k (the candidate cut
+    # is max(rerank, k), matching pq_knn/ivfpq_knn/Database.query)
+    short = sq.sq_knn(
+        spark, sf_dir, query_vec_id=7, k=10, rerank=3,
+        codes_df=codes, model=model,
+    ).collect()
+    assert len(short) == 10
