@@ -621,6 +621,30 @@ def ngram_jaccard_pairs(
     return out.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b").limit(top_n)
 
 
+def _meta_cluster_centroids(C, g: int, seed: int, iters: int = 5):
+    """Tiny seeded local k-means over the k×d CENTROID matrix — the
+    top level of the two-level assignment in
+    :func:`embedding_near_pairs_ivf`. Deterministic (seeded init,
+    argmin first-wins ties); cost k·g·d·iters, negligible next to one
+    assignment pass. Returns ``(meta_centroids, meta_label_per_centroid)``."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    k = C.shape[0]
+    g = min(g, k)
+    M = C[rng.choice(k, size=g, replace=False)].copy()
+    for _ in range(iters):
+        d = (M**2).sum(axis=1)[None, :] - 2.0 * (C @ M.T)
+        lab = np.argmin(d, axis=1)
+        for mm in range(g):
+            pts = C[lab == mm]
+            if len(pts):
+                M[mm] = pts.mean(axis=0)
+    # labels against the FINAL meta centroids (the ones vectors probe)
+    d = (M**2).sum(axis=1)[None, :] - 2.0 * (C @ M.T)
+    return M, np.argmin(d, axis=1)
+
+
 def embedding_near_pairs_ivf(
     spark: SparkSession,
     sf_dir: str,
@@ -656,9 +680,7 @@ def embedding_near_pairs_ivf(
     driver-oracle row for the cosine arithmetic itself."""
     import numpy as np
 
-    from oasysdb_spark.functions.vectors import dot_product, l2_norm
     from oasysdb_spark.index.ivf import fit_centroids
-    from oasysdb_spark.operators.vectorops import round_dist
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # Centroid fit goes through the shared guarded path (seeded uniform
@@ -700,40 +722,143 @@ def embedding_near_pairs_ivf(
 
     # multi-assignment (IVF multi-probe for joins): each vector blocks on
     # its `depth` nearest centroids, so a near-dup pair straddling a
-    # cluster boundary still collides on a runner-up block
+    # cluster boundary still collides on a runner-up block.
+    #
+    # Assignment is TWO-LEVEL past 256 centroids (r6): flat assignment
+    # is O(n·k·d) dense work, and with k ∝ n that is quadratic in n —
+    # the sf1→sf10 probe read 6.2× per 10× data with the flat path.
+    # The centroids themselves are clustered into g ≈ √k meta-groups
+    # (tiny local k-means over the k×d centroid matrix); each vector
+    # probes its `meta_probes` nearest meta-groups and takes exact
+    # top-`depth` centroids within them — O(n·√k·d). Blocking RECALL is
+    # robust to the approximation because it needs assignment
+    # CONSISTENCY, not global accuracy: two ε-close vectors see the
+    # same meta distances and land in the same blocks even when those
+    # blocks aren't the globally nearest ones (the recall gate in
+    # tests/test_operators.py stays on the same ≥0.9 bound, and the
+    # flat-vs-two-level block agreement is pinned in pytest).
+    g = int(np.ceil(np.sqrt(k)))
+    two_level = k > 256 and g > depth
+    if two_level:
+        meta_C, meta_of = _meta_cluster_centroids(C, g, seed)
+        groups = [np.flatnonzero(meta_of == mm) for mm in range(len(meta_C))]
+        meta_c2 = (meta_C**2).sum(axis=1)
+        meta_probes = 3
+
     @F.pandas_udf("array<int>")
     def topd(emb: pd.Series) -> pd.Series:
         m = np.asarray(emb.tolist(), dtype=np.float64)
-        d = c2[None, :] - 2.0 * (m @ C.T)
-        idx = np.argsort(d, axis=1, kind="stable")[:, :depth].astype("int32")
-        return pd.Series(list(idx))
+        if not two_level:
+            d = c2[None, :] - 2.0 * (m @ C.T)
+            idx = np.argsort(d, axis=1, kind="stable")[:, :depth].astype("int32")
+            return pd.Series(list(idx))
+        nrow = m.shape[0]
+        dm = meta_c2[None, :] - 2.0 * (m @ meta_C.T)
+        t = min(meta_probes, dm.shape[1])
+        probe = np.argsort(dm, axis=1, kind="stable")[:, :t]
+        # running top-`depth` (dist, centroid) buffers per row, merged
+        # group by group — each merge is vectorized over the rows that
+        # probe the group; ties break on centroid id (deterministic)
+        best_d = np.full((nrow, depth), np.inf)
+        best_i = np.full((nrow, depth), -1, dtype=np.int64)
+        for mm in np.unique(probe):
+            cols = groups[mm]
+            if cols.size == 0:
+                continue
+            rows = np.nonzero((probe == mm).any(axis=1))[0]
+            sub = c2[cols][None, :] - 2.0 * (m[rows] @ C[cols].T)
+            take = min(depth, cols.size)
+            part = np.argsort(sub, axis=1, kind="stable")[:, :take]
+            cand_d = np.take_along_axis(sub, part, axis=1)
+            cand_i = cols[part]
+            md = np.concatenate([best_d[rows], cand_d], axis=1)
+            mi = np.concatenate([best_i[rows], cand_i], axis=1)
+            order = np.lexsort((mi, md), axis=1)[:, :depth]
+            best_d[rows] = np.take_along_axis(md, order, axis=1)
+            best_i[rows] = np.take_along_axis(mi, order, axis=1)
+        out = [row[row >= 0].astype("int32") for row in best_i]
+        return pd.Series(out)
 
-    # cached: the block table feeds BOTH sides of the self-join — without
-    # the cache the Arrow assignment UDF (the priciest row-local step)
-    # evaluates twice
+    # Verify is PER-BLOCK GEMM (r6), not a pair join: the old shape
+    # (self-join emitting the candidate pair list, then joining each
+    # pair back to the embeddings table — or computing a higher-order
+    # zip_with cosine per joined row) moves/evaluates work per PAIR:
+    # at the sf10 probe's 64M candidates that was a ~65 GB array
+    # shuffle or 64M interpreted-lambda cosines, ~100 s either way.
+    # Instead the block table (n·depth rows, WITH embeddings) groups by
+    # cluster id and one Arrow task computes each block's full cosine
+    # matrix as a single dense GEMM (~192×192 per block), emitting only
+    # pairs that survive the cut — the faiss-style verify, with pair
+    # work done at BLAS speed and only results ever shuffled.
+    # Exactness of the per-block top_n cut: a pair in the GLOBAL top_n
+    # has at most n-1 pairs above it globally, so at most n-1 above it
+    # inside any of its blocks — it survives every per-block cut.
+    # Multi-assigned duplicate pairs recompute the same rounded cosine
+    # (same vectors, same arithmetic), so dropDuplicates is exact.
+    # Skew guard: a degenerate giant block is chunked inside its task
+    # (bounded GEMM tiles), so memory stays flat at any block size.
     blocks = embs.select(
-        "vec_id", F.explode(topd(F.col("embedding"))).alias("cid")
-    ).cache()
-    a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.cid") == F.col("b.cid"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
+        "vec_id", "embedding", F.explode(topd(F.col("embedding"))).alias("cid")
     )
-    ea = embs.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    eb = embs.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    pairs = cand.join(ea, "vec_a").join(eb, "vec_b")
-    sim = dot_product(F.col("emb_a"), F.col("emb_b")) / (
-        l2_norm(F.col("emb_a")) * l2_norm(F.col("emb_b"))
+
+    thr = threshold
+    cap = None if threshold is not None else top_n
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        nb = len(ids)
+        if nb < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+            )
+        m = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        va = np.array([], dtype="int64")
+        vb = np.array([], dtype="int64")
+        cs = np.array([], dtype="float64")
+        col = np.arange(nb)
+        # tile height bounded so a tile's cos matrix stays ~80 MB even
+        # on a degenerate giant block
+        tile = max(1, min(4096, 10_000_000 // nb))
+        for lo in range(0, nb, tile):
+            hi = min(nb, lo + tile)
+            cos = (m[lo:hi] @ m.T) / np.outer(norms[lo:hi], norms)
+            # upper triangle by position: each unordered pair once
+            mask = col[None, :] > np.arange(lo, hi)[:, None]
+            if thr is not None:
+                # pre-cut unrounded (with rounding slack) so only
+                # near-pairs ever materialize index arrays
+                mask &= cos >= thr - 1e-6
+            r, c = np.nonzero(mask)
+            t_cs = np.round(cos[r, c], 6)
+            if thr is not None:
+                k2 = t_cs >= thr
+                r, c, t_cs = r[k2], c[k2], t_cs[k2]
+            t_a = np.minimum(ids[r + lo], ids[c])
+            t_b = np.maximum(ids[r + lo], ids[c])
+            va = np.concatenate([va, t_a])
+            vb = np.concatenate([vb, t_b])
+            cs = np.concatenate([cs, t_cs])
+            if cap is not None and len(cs) > cap:
+                # running top-cap keeps memory bounded in top_n mode
+                order = np.lexsort((vb, va, -cs))[:cap]
+                va, vb, cs = va[order], vb[order], cs[order]
+        if cap is not None and len(cs) > cap:
+            order = np.lexsort((vb, va, -cs))[:cap]
+            va, vb, cs = va[order], vb[order], cs[order]
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cos_sim": cs})
+
+    cand = blocks.groupBy("cid").applyInPandas(
+        verify, schema="vec_a long, vec_b long, cos_sim double"
     )
-    out = pairs.select("vec_a", "vec_b", round_dist(sim).alias("cos_sim"))
     if threshold is not None:
-        return out.where(F.col("cos_sim") >= threshold)
-    return out.orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b").limit(top_n)
+        return cand.dropDuplicates(["vec_a", "vec_b"])
+    return (
+        cand.dropDuplicates(["vec_a", "vec_b"])
+        .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
+        .limit(top_n)
+    )
 
 
 def embedding_near_pairs(

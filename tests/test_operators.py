@@ -307,6 +307,51 @@ def test_embedding_near_pairs_ivf_recall(spark, sf_dir):
     assert recall >= 0.9, f"IVF blocking recall {recall}"
 
 
+def test_embedding_ivf_two_level_assignment_recall(spark, tmp_path):
+    """k > 256 routes assignment through the r6 two-level path (meta-
+    cluster the centroids, probe √k-sized groups) — O(n·√k·d) instead
+    of the flat O(n·k·d) that made k∝n quadratic. Blocking recall must
+    hold: on a synthetic corpus with injected near-identical pairs
+    (cos ≈ 1 against an isotropic background), the top-pairs output
+    must recover ≥0.9 of the exact all-pairs top list."""
+    import numpy as np
+
+    from oasysdb_spark.operators import dedup
+
+    rng = np.random.default_rng(3)
+    n, dim, n_inj = 2000, 16, 25
+    base = rng.standard_normal((n, dim))
+    # injected: vec 2i+1 = vec 2i + tiny noise for the first n_inj pairs
+    for i in range(n_inj):
+        base[2 * i + 1] = base[2 * i] + 1e-3 * rng.standard_normal(dim)
+    rows = [
+        (int(i), [float(x) for x in base[i]], int(i % 7))
+        for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_near_pairs_ivf(
+            spark, str(tmp_path), top_n=n_inj, n_clusters=300
+        ).collect()
+    }
+    # exact truth from the float32-rounded matrix (what Spark stores)
+    m = base.astype(np.float32).astype(np.float64)
+    norm = np.linalg.norm(m, axis=1)
+    cos = (m @ m.T) / np.outer(norm, norm)
+    iu = np.triu_indices(n, k=1)
+    order = np.argsort(-cos[iu], kind="stable")[:n_inj]
+    exact = {(int(iu[0][j]), int(iu[1][j])) for j in order}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"two-level blocking recall {recall}"
+    # and the injected twins specifically must collide in a block
+    injected = {(2 * i, 2 * i + 1) for i in range(n_inj)}
+    assert len(got & injected) >= 0.9 * n_inj
+
+
 def test_embedding_ivf_recall_adversarial_ordering(spark, sf_dir, tmp_path):
     """The centroid fit must survive adversarially ORDERED input: the
     embeddings parquet rewritten as range-partitioned files sorted by
