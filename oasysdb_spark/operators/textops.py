@@ -1543,3 +1543,135 @@ def ngram_contamination_report_stats(
     return ngram_contamination_report(
         aug_train, aug_eval, n=n, max_train_df=max_train_df
     )
+
+
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain-mixture rebalancing to a UNIFORM token target:
+    compute each source's token mass, then deterministically downsample
+    every source to the SCARCEST source's mass — the "equalize domains"
+    step a training-mix pipeline runs before packing (DoReMi/Pile-style
+    reweighting with uniform target weights; non-uniform targets are the
+    same math with ``w_s*λ`` in place of ``min``). Where
+    :func:`stratified_sample_stats` applies GIVEN per-stratum rates,
+    this op DERIVES the rates from the corpus itself.
+
+    Per-doc acceptance is the shared salted content-independent hash
+    (stable across runs/shards/engines); the keep threshold is an
+    integer ppm — ``floor(1e6 * min_tokens / src_tokens)`` — so both
+    engines compare identical integers (IEEE double division + floor is
+    bit-deterministic; token sums stay far below 2^53). Doc-level
+    acceptance approximates token mass (docs are exchangeable under the
+    hash), which is exactly how production mixes subsample.
+
+    Scale shape: one corpus aggregation for the totals (map-side
+    partials), a ~|sources|-row broadcast of the derived rates, and one
+    row-local accept + final aggregation — the corpus text never
+    shuffles. Returns one row per source:
+    ``(source, src_tokens, keep_ppm, n_docs, n_kept, kept_tokens,
+    realized_frac)``."""
+    docs = _docs(spark, sf_dir)
+    per_doc = docs.select(
+        "source",
+        "doc_id",
+        token_count_bpe(F.col("text")).cast("bigint").alias("bpe"),
+    )
+    totals = per_doc.groupBy("source").agg(
+        F.sum("bpe").cast("bigint").alias("src_tokens")
+    )
+    mt = totals.agg(F.min("src_tokens").alias("min_tokens"))
+    rates = totals.crossJoin(F.broadcast(mt)).select(
+        "source",
+        "src_tokens",
+        F.floor(
+            F.lit(1_000_000.0) * F.col("min_tokens") / F.col("src_tokens")
+        )
+        .cast("bigint")
+        .alias("keep_ppm"),
+    )
+    keep = (
+        hash64(F.col("doc_id").cast("string"), salt="mixture")
+        % F.lit(1_000_000)
+    ) < F.col("keep_ppm")
+    return (
+        per_doc.join(F.broadcast(rates), "source")
+        .select("source", "src_tokens", "keep_ppm", "bpe", keep.alias("keep"))
+        .groupBy("source", "src_tokens", "keep_ppm")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("bpe")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.round(
+                F.sum(F.when(F.col("keep"), F.col("bpe")).otherwise(0))
+                / F.col("src_tokens").cast("double"),
+                6,
+            ).alias("realized_frac"),
+        )
+    )
+
+
+# Injected encoding-damage marker (the span_dedup/pii_scrub injection
+# pattern — the ASCII fixture carries no natural mojibake): a classic
+# latin-1-as-utf-8 mojibake pair and a U+FFFD replacement character.
+ENCODING_MARKER = " caf\u00c3\u00a9 bro\ufffdken"
+
+_CTL_RE = "[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+_NON_ASCII_RE = "[^\\x00-\\x7f]"
+_REPL_RE = "\ufffd"
+
+
+def encoding_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage audit — the data-quality check a web-scale corpus
+    runs before training (mojibake from double-decoded latin-1, U+FFFD
+    replacement chars from lossy decodes, stray control characters):
+    per source, documents flagged and characters counted per damage
+    class. Every 7th doc gets :data:`ENCODING_MARKER` appended so the
+    deterministic fixture exercises the detectors; real corpora skip
+    the injection and audit as-is.
+
+    Char counts use the length-delta idiom (``len(text) -
+    len(regexp_replace(text, cls, ''))``) over a regex dialect both
+    engines agree on (same common-subset discipline as the PII tier).
+    Row-local + one aggregation; text never shuffles."""
+    docs = _docs(spark, sf_dir)
+    aug = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(ENCODING_MARKER)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+    def n_matched(cls):
+        return F.length("text") - F.length(F.regexp_replace("text", cls, ""))
+
+    m = aug.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        n_matched(_REPL_RE).alias("repl"),
+        n_matched(_CTL_RE).alias("ctl"),
+        n_matched(_NON_ASCII_RE).alias("non_ascii"),
+    )
+    flagged = (
+        (F.col("repl") > 0) | (F.col("ctl") > 0) | (F.col("non_ascii") > 0)
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(flagged, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.sum("repl").cast("bigint").alias("repl_chars"),
+            F.sum("ctl").cast("bigint").alias("ctl_chars"),
+            F.sum("non_ascii").cast("bigint").alias("non_ascii_chars"),
+            F.round(
+                F.sum("non_ascii") / F.sum("n_chars").cast("double"), 6
+            ).alias("non_ascii_ratio"),
+        )
+    )

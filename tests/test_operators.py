@@ -1910,3 +1910,123 @@ def test_ngram_contamination_max_train_df_excludes_boilerplate(spark, sf_dir):
         assert gr["n_grams"] == want_n
         assert gr["n_dirty_positions"] == want_dirty, (r["doc_id"], gr, want_dirty)
         assert gr["n_train_docs"] == len(want_train), (r["doc_id"], gr)
+
+
+def test_domain_mixture_sample_matches_duckdb_oracle(spark, sf_dir):
+    """domain_mixture_sample hash-compared against an independent DuckDB
+    replay (uniform-target token equalization: integer-ppm thresholds
+    derived from corpus totals + the shared salted hash acceptance) —
+    the self-oracle gate ahead of driver-window rotation (r7
+    candidate). Also pins the invariants: the scarcest source keeps
+    everything, and every keep_ppm is exact integer math."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.functions.hashing import hash64_sql
+    from oasysdb_spark.operators import textops
+
+    got = textops.domain_mixture_sample(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    bpe = "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)"
+    h = hash64_sql("CAST(doc_id AS VARCHAR)", salt="mixture")
+    res = con.execute(f"""
+        WITH per_doc AS (SELECT source, doc_id, {bpe} AS bpe FROM documents),
+        tot AS (SELECT source, CAST(sum(bpe) AS BIGINT) AS src_tokens
+                FROM per_doc GROUP BY source),
+        m AS (SELECT min(src_tokens) AS mt FROM tot),
+        r AS (SELECT source, src_tokens,
+                CAST(floor(1000000.0 * mt / src_tokens) AS BIGINT) AS keep_ppm
+              FROM tot, m),
+        k AS (SELECT p.source, src_tokens, keep_ppm, bpe,
+                CASE WHEN {h} % 1000000 < keep_ppm THEN 1 ELSE 0 END AS keep
+              FROM per_doc p JOIN r USING (source))
+        SELECT source, src_tokens, keep_ppm,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(keep) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN keep = 1 THEN bpe ELSE 0 END) AS BIGINT)
+                   AS kept_tokens,
+               round(CAST(sum(CASE WHEN keep = 1 THEN bpe ELSE 0 END) AS DOUBLE)
+                     / src_tokens, 6) AS realized_frac
+        FROM k GROUP BY source, src_tokens, keep_ppm""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "domain_mixture_sample", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+    assert len(spark_rows) > 1
+    by_src = {r[0]: r for r in spark_rows}
+    cols = {c: i for i, c in enumerate(spark_cols)}
+    scarcest = min(by_src.values(), key=lambda r: r[cols["src_tokens"]])
+    assert scarcest[cols["keep_ppm"]] == 1_000_000
+    assert scarcest[cols["n_kept"]] == scarcest[cols["n_docs"]]
+    # every other source downsampled toward the scarcest token mass
+    for r in by_src.values():
+        assert 0 < r[cols["keep_ppm"]] <= 1_000_000
+
+
+def test_encoding_quality_stats_matches_duckdb_oracle(spark, sf_dir):
+    """encoding_quality_stats hash-compared against an independent
+    DuckDB replay (length-delta char counts over the injected mojibake
+    markers) — the self-oracle gate ahead of driver-window rotation
+    (r7 candidate). Every injected doc must be flagged; un-injected
+    sources' clean docs contribute zero damage chars."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.operators import textops
+
+    got = textops.encoding_quality_stats(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    marker = textops.ENCODING_MARKER
+    res = con.execute(f"""
+        WITH aug AS (SELECT source,
+                       text || CASE WHEN doc_id % 7 = 0 THEN '{marker}'
+                                    ELSE '' END AS text
+                     FROM documents),
+        m AS (SELECT source, length(text) AS n_chars,
+                length(text) - length(regexp_replace(text, '\ufffd', '', 'g')) AS repl,
+                length(text) - length(regexp_replace(text, '[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')) AS ctl,
+                length(text) - length(regexp_replace(text, '[^\\x00-\\x7f]', '', 'g')) AS non_ascii
+              FROM aug)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN repl > 0 OR ctl > 0 OR non_ascii > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+               CAST(sum(repl) AS BIGINT) AS repl_chars,
+               CAST(sum(ctl) AS BIGINT) AS ctl_chars,
+               CAST(sum(non_ascii) AS BIGINT) AS non_ascii_chars,
+               round(CAST(sum(non_ascii) AS DOUBLE) / sum(n_chars), 6)
+                   AS non_ascii_ratio
+        FROM m GROUP BY source""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "encoding_quality_stats", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+    assert len(spark_rows) > 1
+    # the injection is visible: marker carries 3 non-ascii chars (2
+    # mojibake + 1 replacement), so totals are positive multiples
+    total_repl = sum(r[spark_cols.index("repl_chars")] for r in spark_rows)
+    total_na = sum(r[spark_cols.index("non_ascii_chars")] for r in spark_rows)
+    assert total_repl > 0 and total_na == 3 * total_repl
