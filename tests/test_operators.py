@@ -2030,3 +2030,39 @@ def test_encoding_quality_stats_matches_duckdb_oracle(spark, sf_dir):
     total_repl = sum(r[spark_cols.index("repl_chars")] for r in spark_rows)
     total_na = sum(r[spark_cols.index("non_ascii_chars")] for r in spark_rows)
     assert total_repl > 0 and total_na == 3 * total_repl
+
+
+def test_contamination_pair_broadcast_guard_paths_agree(spark, sf_dir):
+    """The r6 pair-table broadcast guard: forcing the shuffled fallback
+    (pair_broadcast_limit=0) must produce output identical to the
+    broadcast path — same contract as the decontaminate and delta-probe
+    size guards."""
+    from oasysdb_spark.operators.dedup import ngram_contamination_report
+    from oasysdb_spark.operators.textops import BOILERPLATE_TEMPLATE
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug_train = docs.where(F.col("doc_id") % 10 != 3).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit(" " + BOILERPLATE_TEMPLATE)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    aug_eval = docs.where(F.col("doc_id") % 10 == 3).select(
+        "doc_id", F.concat("text", F.lit(" " + BOILERPLATE_TEMPLATE)).alias("text")
+    )
+    bc = sorted(
+        tuple(r)
+        for r in ngram_contamination_report(aug_train, aug_eval, n=8).collect()
+    )
+    shuffled = sorted(
+        tuple(r)
+        for r in ngram_contamination_report(
+            aug_train, aug_eval, n=8, pair_broadcast_limit=0
+        ).collect()
+    )
+    assert bc == shuffled
+    assert len(bc) > 0
