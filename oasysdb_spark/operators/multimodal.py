@@ -971,60 +971,10 @@ def extract_dhash_wide(media: DataFrame) -> DataFrame:
     )
 
 
-def banded_hamming_pairs_wide(
-    banded: DataFrame,
-    id_col: str,
-    words_col: str,
-    band_cols: list[str],
-    max_hamming: int,
-    top_n: int,
-    out_names: tuple[str, str],
-) -> DataFrame:
-    """:func:`oasysdb_spark.operators.dedup.banded_hamming_pairs` for
-    multi-word hashes: identical join/dedup/cut shape, with hamming =
-    Σ bit_count(xor) over the zipped word arrays (native expressions,
-    no UDF in the verify). Exhaustiveness is still the caller's
-    pigeonhole contract (max_hamming < number of bands)."""
-    a_name, b_name = out_names
-    cached = banded.cache()
-
-    def hamming_expr():
-        return F.aggregate(
-            F.zip_with(
-                F.col(f"a.{words_col}"),
-                F.col(f"b.{words_col}"),
-                lambda x, y: F.bit_count(x.bitwiseXOR(y)),
-            ),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
-
-    def band_join(key: str) -> DataFrame:
-        a, b = cached.alias("a"), cached.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col(f"a.{key}") == F.col(f"b.{key}"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-            )
-            .select(
-                F.col(f"a.{id_col}").alias(a_name),
-                F.col(f"b.{id_col}").alias(b_name),
-                hamming_expr().alias("hamming"),
-            )
-            .where(F.col("hamming") <= max_hamming)
-        )
-
-    out = band_join(band_cols[0])
-    for key in band_cols[1:]:
-        out = out.unionByName(band_join(key))
-    return (
-        out.dropDuplicates([a_name, b_name])
-        .select(a_name, b_name, F.col("hamming").cast("bigint").alias("hamming"))
-        .orderBy("hamming", a_name, b_name)
-        .limit(top_n)
-    )
-
+# banded_hamming_pairs_wide moved to operators/dedup.py in r6 (it is
+# generic over any multi-word hash — the wide simhash tier uses it too);
+# re-exported here for the multimodal call sites and tests.
+from oasysdb_spark.operators.dedup import banded_hamming_pairs_wide  # noqa: E402
 
 def _wide_band_cols(words_col: str, max_hamming: int):
     """Contiguous-band split of a 256-bit word-array hash, width derived

@@ -2066,3 +2066,38 @@ def test_contamination_pair_broadcast_guard_paths_agree(spark, sf_dir):
     )
     assert bc == shuffled
     assert len(bc) > 0
+
+
+def test_simhash_wide_pairs_exhaustive_vs_quadratic_truth(spark, sf_dir):
+    """The wide (2x60-bit) simhash tier must return EXACTLY the pairs
+    the quadratic all-pairs truth finds at hamming <= 3 — 30-bit
+    banding loses nothing (pigeonhole) and adds nothing (exact
+    bit_count verify) — and the fixture's exact-duplicate docs must
+    surface at hamming 0. Budgets past the pigeonhole bound are
+    rejected."""
+    import pytest as _pytest
+
+    from oasysdb_spark.errors import InvalidArgumentError
+    from oasysdb_spark.operators import dedup
+
+    rows = dedup.simhash_wide_buckets(spark, sf_dir).collect()
+    sh = {r["doc_id"]: tuple(r["sh_words"]) for r in rows}
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    ids = sorted(sh)
+    truth = {
+        (a, b): ham(sh[a], sh[b])
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(sh[a], sh[b]) <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_wide_pairs(spark, sf_dir, top_n=10**6).collect()
+    }
+    assert got == truth
+    assert any(h == 0 for h in got.values())  # fixture exact dups collide
+    with _pytest.raises(InvalidArgumentError, match="pigeonhole"):
+        dedup.simhash_wide_pairs(spark, sf_dir, max_hamming=7)
