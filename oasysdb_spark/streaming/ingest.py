@@ -452,6 +452,98 @@ def decontaminate_stream_flags(
     )
 
 
+def ngram_overlap_stream_flags(
+    train_stream: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    eval_broadcast_limit: int = 10_000_000,
+) -> DataFrame:
+    """Streaming EXACT n-gram decontamination: flag verbatim eval-gram
+    quotes in training docs AT INGEST TIME — the streaming twin of
+    ``operators/dedup.ngram_overlap_flags`` with the same output
+    contract ``(doc_id, n_grams, n_hit_positions, hit_frac)``, one row
+    per streamed train doc (zero-hit docs included, like the batch op —
+    the report is the product, not just the flags). Complements
+    :func:`decontaminate_stream_flags` exactly as the batch pair do:
+    LSH asks "is this doc mostly an eval doc?", this asks "does it
+    quote ANY eval n-gram?".
+
+    Shape: the static eval side reduces to ONE distinct 8-byte gram
+    column (cached; benchmarks are a few million grams), size-guard
+    broadcast into a stream-static LEFT join against the train stream's
+    position rows — ``posexplode_outer`` so gram-less docs still emit.
+    Grams are hashed row-locally (the md5 family), so raw text never
+    shuffles and the stream side carries only (doc_id, h). All of a
+    doc's position rows ride its own micro-batch, so the per-doc count
+    is batch-local; the one-bit ``applyInPandasWithState`` state exists
+    only to suppress re-emission of re-delivered docs (at-least-once
+    source, checkpoint restart) — identical discipline to the LSH twin.
+    Past the guard the broadcast hint drops and the equi-join shuffles
+    (same answer, one extra exchange)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from oasysdb_spark.operators.dedup import _token_ngram_hashes
+
+    ev = (
+        _token_ngram_hashes(eval_docs, n)
+        .select(F.explode("gh").alias("h"))
+        .distinct()
+        .cache()
+    )
+    n_eval_grams = ev.count()
+    ev_hits = ev.withColumn("hit", F.lit(1))
+    e_side = (
+        F.broadcast(ev_hits) if n_eval_grams <= eval_broadcast_limit else ev_hits
+    )
+
+    pos = _token_ngram_hashes(train_stream, n).select(
+        "doc_id", F.posexplode_outer("gh").alias("pos", "h")
+    )
+    joined = pos.join(e_side, "h", "left").select("doc_id", "pos", "h", "hit")
+
+    out_schema = "doc_id bigint, n_grams bigint, n_hit_positions bigint, hit_frac double"
+    state_schema = "emitted boolean"
+
+    def _flags(key, pdfs, state: GroupState):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        rows = pd.concat(list(pdfs))
+        empty = pd.DataFrame(
+            columns=["doc_id", "n_grams", "n_hit_positions", "hit_frac"]
+        )
+        if state.exists or rows.empty:
+            yield empty
+            return
+        # a re-delivered doc can land in the SAME micro-batch as its
+        # first copy (fresh checkpoint over an at-least-once source):
+        # position indices dedupe deliveries without collapsing a doc's
+        # legitimately repeated grams (distinct positions)
+        rows = rows.drop_duplicates(subset=["pos"])
+        n_grams = int(rows["h"].notna().sum())
+        n_hit = int(rows["hit"].notna().sum())
+        if n_grams > 0:
+            frac = float(
+                Decimal(n_hit / n_grams).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+        else:
+            frac = 0.0
+        state.update((True,))
+        yield pd.DataFrame(
+            [(int(key[0]), n_grams, n_hit, frac)],
+            columns=["doc_id", "n_grams", "n_hit_positions", "hit_frac"],
+        )
+
+    return joined.groupBy("doc_id").applyInPandasWithState(
+        _flags,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def dedup_stream(
     stream_df: DataFrame,
     keys: list[str],

@@ -735,3 +735,81 @@ def test_stream_wet_corpus_matches_batch_and_is_exactly_once(spark, tmp_path):
     assert {r["record_id"] for r in rows} == {
         "<urn:uuid:a1>", "<urn:uuid:a2>", "<urn:uuid:b1>"
     }
+
+
+def test_ngram_overlap_stream_matches_batch_and_survives_restart(
+    spark, sf_dir, tmp_path
+):
+    """Streaming exact n-gram decontamination replayed over the
+    (injection-augmented) train corpus must report exactly what batch
+    ngram_overlap_flags reports — every doc, including zero-hit docs —
+    across a two-phase availableNow run with a checkpoint restart; a
+    third phase re-delivering docs must not re-emit; the size-guard
+    fallback (shuffled stream-static join) flags the identical set."""
+    from oasysdb_spark.operators.dedup import ngram_overlap_flags
+    from oasysdb_spark.operators.textops import BOILERPLATE_TEMPLATE
+    from oasysdb_spark.streaming.ingest import ngram_overlap_stream_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    aug_train = docs.where(F.col("doc_id") % 10 != 3).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit(" " + BOILERPLATE_TEMPLATE)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    aug_eval = docs.where(F.col("doc_id") % 10 == 3).select(
+        "doc_id", F.concat("text", F.lit(" " + BOILERPLATE_TEMPLATE)).alias("text")
+    )
+    expected = {
+        tuple(r) for r in ngram_overlap_flags(aug_train, aug_eval).collect()
+    }
+    assert expected and any(r[2] > 0 for r in expected)  # real hits
+    assert any(r[2] == 0 for r in expected)  # and zero-hit docs reported
+
+    src = str(tmp_path / "ngram_src")
+    out = str(tmp_path / "ngram_out")
+    ckpt = str(tmp_path / "ngram_ckpt")
+
+    def drain(limit=10_000_000, out_dir=None, ckpt_dir=None):
+        stream = spark.readStream.schema(aug_train.schema).parquet(src)
+        q = (
+            ngram_overlap_stream_flags(
+                stream, aug_eval, eval_broadcast_limit=limit
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir or out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir or ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            tuple(r) for r in spark.read.parquet(out_dir or out).collect()
+        }
+
+    aug_train.where("doc_id % 2 = 0").write.parquet(src)
+    got1 = drain()
+    assert got1 == {t for t in expected if t[0] % 2 == 0}
+
+    aug_train.where("doc_id % 2 = 1").write.mode("append").parquet(src)
+    got2 = drain()
+    assert got2 == expected
+
+    # re-delivery: the one-bit state suppresses duplicate emission
+    aug_train.where("doc_id % 2 = 0").write.mode("append").parquet(src)
+    got3 = drain()
+    assert got3 == expected
+
+    # size-guard fallback path
+    got_shuffled = drain(
+        limit=0,
+        out_dir=str(tmp_path / "ngram_out2"),
+        ckpt_dir=str(tmp_path / "ngram_ckpt2"),
+    )
+    assert got_shuffled == expected
