@@ -299,3 +299,31 @@ def test_tokenize_shard_write_plan_single_exchange(spark, sf_dir):
     plan = _plan(enc.repartition(4, "shard"))
     assert plan.count("Exchange") == 1
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_ngram_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The exact n-gram decontamination pair (promoted to the driver
+    window in r6) must keep its 100 TB shape: the train side streams
+    through BROADCAST joins on the 8-byte gram hash (the eval gram set
+    and its derivatives are the only broadcast sides), never a
+    train-side sort-merge shuffle for candidate generation."""
+    import re
+
+    from oasysdb_spark.operators import textops
+
+    def smj_keys(plan):
+        return " ".join(
+            m.group(1) for m in re.finditer(r"SortMergeJoin \[([^\]]*)\]", plan)
+        )
+
+    for fn in (
+        textops.ngram_decontaminate_stats,
+        textops.ngram_contamination_report_stats,
+    ):
+        plan = _plan(fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan
+        # any sort-merge join may only key on doc_id (the final
+        # doc-level stats join — linear rows both sides); the gram-hash
+        # candidate joins must never shuffle the position stream
+        keys = smj_keys(plan)
+        assert "h#" not in keys, f"{fn.__name__} shuffles the gram stream: {keys}"
