@@ -241,7 +241,9 @@ def shingle_udtf():
 
 def simhash_words_udf(words: int = 2, bits: int = 60):
     """Arrow-batched WIDE simhash: ``words`` independent ``bits``-bit
-    simhashes (token hashes salted per word — ``md5("s{j}|" + token)``)
+    simhashes (token hashes salted per word with the standard suffix
+    family — ``hash64(token, salt="s{j}")``, oracle-replayable via
+    ``hash64_sql``)
     returned as ``array<bigint>`` — the scale variant of
     :func:`simhash32_text_udf`. Why: banded near-pair search over a
     fixed-width hash has random band collisions ~n²/2^band_bits, so
@@ -271,11 +273,11 @@ def simhash_words_udf(words: int = 2, bits: int = 60):
                 continue
             ws = []
             for j in range(words):
-                pre = f"s{j}|".encode()
+                suf = f"#s{j}".encode()
                 h = np.fromiter(
                     (
                         int(
-                            hashlib.md5(pre + w.encode("utf-8")).hexdigest()[
+                            hashlib.md5(w.encode("utf-8") + suf).hexdigest()[
                                 :15
                             ],
                             16,

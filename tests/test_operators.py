@@ -2101,3 +2101,67 @@ def test_simhash_wide_pairs_exhaustive_vs_quadratic_truth(spark, sf_dir):
     assert any(h == 0 for h in got.values())  # fixture exact dups collide
     with _pytest.raises(InvalidArgumentError, match="pigeonhole"):
         dedup.simhash_wide_pairs(spark, sf_dir, max_hamming=7)
+
+
+def test_simhash_wide_pairs_matches_duckdb_oracle(spark, sf_dir):
+    """simhash_wide_pairs hash-compared against an independent DuckDB
+    replay (two salted 60-bit simhash words via the shared hash64
+    family, quadratic pairs at hamming <= 3 — banding is exhaustive
+    there, so the pure quadratic IS the oracle) — the self-oracle gate
+    ahead of driver-window rotation (r7 candidate)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.functions.hashing import hash64_sql
+    from oasysdb_spark.operators import dedup
+
+    got = dedup.simhash_wide_pairs(spark, sf_dir, top_n=50)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) > 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+    def word_cte(j):
+        h = hash64_sql("t", salt=f"s{j}")
+        return f"""
+        th{j} AS (SELECT doc_id, {h} AS h
+                  FROM (SELECT doc_id, unnest(list_distinct(tk)) AS t FROM toks)),
+        bits{j} AS (SELECT doc_id, b,
+                      CASE WHEN sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1
+                                         THEN 1 ELSE -1 END) > 0
+                           THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+                           ELSE CAST(0 AS BIGINT) END AS bv
+                    FROM th{j}, (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b),
+        sims{j} AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS w{j}
+                    FROM bits{j} GROUP BY doc_id)"""
+
+    res = con.execute(f"""
+        WITH toks AS (SELECT doc_id, {toks} AS tk FROM documents),
+        {word_cte(0)},
+        {word_cte(1)},
+        allsims AS (SELECT d.doc_id, COALESCE(s0.w0, 0) AS w0,
+                           COALESCE(s1.w1, 0) AS w1
+                    FROM documents d
+                    LEFT JOIN sims0 s0 ON d.doc_id = s0.doc_id
+                    LEFT JOIN sims1 s1 ON d.doc_id = s1.doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.w0, b.w0))
+                  + bit_count(xor(a.w1, b.w1)) AS BIGINT) AS hamming
+        FROM allsims a JOIN allsims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3
+        ORDER BY hamming, doc_a, doc_b LIMIT 50""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "simhash_wide_pairs", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
