@@ -1675,3 +1675,52 @@ def encoding_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("non_ascii_ratio"),
         )
     )
+
+
+def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift: KL(source ‖ corpus) in bits
+    over the unigram distributions — the domain-shift diagnostic a mix
+    designer reads next to :func:`source_curation_stats` (a source whose
+    KL spikes is off-distribution: boilerplate farm, wrong language,
+    template dump). KL is computed with the cross-engine float
+    discipline: the probability ratio is formed as ONE integer-product
+    ratio ``(c_st·N) / (n_s·c_t)`` (exact in doubles far past this
+    corpus scale), log2'd, weighted, and rounded once after the final
+    sum (sum order across engines differs only past the 1e-6 round at
+    this vocabulary scale — the same post-round stability contract the
+    surprisal tier has held across rounds). Vocabulary-bounded
+    aggregations only — the corpus-scale pass is the (source, term)
+    count; text never shuffles. Returns
+    ``(source, n_tokens, n_terms, kl_bits)``."""
+    from oasysdb_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    terms = docs.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+    st = terms.groupBy("source", "t").agg(F.count("*").alias("c_st"))
+    s_tot = st.groupBy("source").agg(
+        F.sum("c_st").alias("n_s"), F.count("*").alias("n_terms")
+    )
+    ct = st.groupBy("t").agg(F.sum("c_st").alias("c_t"))
+    n_total = F.broadcast(
+        ct.agg(F.sum("c_t").cast("bigint").alias("n_all"))
+    )
+    j = (
+        st.join(F.broadcast(ct), "t")
+        .join(F.broadcast(s_tot), "source")
+        .crossJoin(n_total)
+    )
+    contrib = (
+        (F.col("c_st") / F.col("n_s"))
+        * F.log2(
+            (F.col("c_st") * F.col("n_all"))
+            / (F.col("n_s") * F.col("c_t")).cast("double")
+        )
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.first("n_s").cast("bigint").alias("n_tokens"),
+            F.first("n_terms").cast("bigint").alias("n_terms"),
+            F.round(F.sum(contrib), 6).alias("kl_bits"),
+        )
+    )

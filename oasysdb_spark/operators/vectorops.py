@@ -162,6 +162,42 @@ def knn_batched(
     )
 
 
+def hard_negative_mining(
+    spark: SparkSession, sf_dir: str, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each query vector,
+    the ``k`` NEAREST embeddings carrying a DIFFERENT label — the
+    "looks similar, means different" examples a contrastive or reranker
+    trainer pairs against positives (the retrieval-training counterpart
+    of ``knn_batched``). Broadcast queries × filtered distance ×
+    per-query window top-k — one job for the whole query batch, same
+    scale shape as the serving path. Returns
+    ``(query_id, vec_id, distance, rn)``."""
+    from oasysdb_spark.functions.vectors import distance_expr
+    from oasysdb_spark.operators.vectorops import load_embeddings, round_dist
+
+    embs = load_embeddings(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    pairs = embs.crossJoin(F.broadcast(queries)).where(
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") != F.col("qlabel"))
+    )
+    dist = distance_expr("euclidean", F.col("qvec"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy("distance", "vec_id")
+    return (
+        pairs.select("query_id", "vec_id", round_dist(dist).alias("distance"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            "query_id", "vec_id", "distance", F.col("rn").cast("int").alias("rn")
+        )
+    )
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding, exploded to (label, pos, mean_val) rows —
     posexplode + avg shuffles only (label, pos) pairs, so the reduce state

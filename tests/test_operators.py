@@ -2165,3 +2165,105 @@ def test_simhash_wide_pairs_matches_duckdb_oracle(spark, sf_dir):
         "simhash_wide_pairs", spark_rows, spark_cols, duck_rows, duck_cols
     )
     assert not issues, issues
+
+
+def test_hard_negative_mining_matches_duckdb_oracle(spark, sf_dir):
+    """hard_negative_mining hash-compared against an independent DuckDB
+    replay (quadratic distance + different-label filter + per-query
+    window top-k) — the self-oracle gate ahead of driver-window
+    rotation (r7 candidate). Every returned negative must carry a label
+    different from its query's."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.operators import vectorops as vec
+
+    got = vec.hard_negative_mining(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) > 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    sqd = ("list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), qv),"
+           " x -> (x[1]-x[2])*(x[1]-x[2])))")
+    res = con.execute(f"""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv,
+                          label AS qlabel
+                   FROM embeddings WHERE vec_id < 8),
+        d AS (SELECT q.query_id, e.vec_id, round({sqd}, 6) AS distance
+              FROM embeddings e, q
+              WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY distance, vec_id) AS rn FROM d)
+        SELECT query_id, vec_id, distance, CAST(rn AS INTEGER) AS rn
+        FROM r WHERE rn <= 5""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "hard_negative_mining", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    for qid, vid, _, _ in spark_rows:
+        assert labels[vid] != labels[qid]
+
+
+def test_source_token_divergence_matches_duckdb_oracle(spark, sf_dir):
+    """source_token_divergence hash-compared against an independent
+    DuckDB replay (same integer-product ratio into log2, one final
+    round) — the self-oracle gate ahead of driver-window rotation (r7
+    candidate). KL is non-negative for every source (Gibbs)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.operators import textops
+
+    got = textops.source_token_divergence(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) > 1
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    res = con.execute(f"""
+        WITH terms AS (SELECT source, unnest({toks}) AS t FROM documents),
+        st AS (SELECT source, t, count(*) AS c_st FROM terms GROUP BY source, t),
+        s_tot AS (SELECT source, sum(c_st) AS n_s, count(*) AS n_terms
+                  FROM st GROUP BY source),
+        ct AS (SELECT t, sum(c_st) AS c_t FROM st GROUP BY t),
+        n AS (SELECT sum(c_t) AS n_all FROM ct)
+        SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
+               CAST(n_terms AS BIGINT) AS n_terms,
+               round(sum((CAST(c_st AS DOUBLE) / n_s)
+                         * log2(CAST(c_st * n_all AS DOUBLE) / (n_s * c_t))), 6)
+                   AS kl_bits
+        FROM st JOIN ct USING (t) JOIN s_tot USING (source), n
+        GROUP BY source, n_s, n_terms""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "source_token_divergence", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+    for r in spark_rows:
+        assert r[spark_cols.index("kl_bits")] >= 0.0
