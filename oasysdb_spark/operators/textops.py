@@ -1545,13 +1545,17 @@ def ngram_contamination_report_stats(
     )
 
 
-def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def domain_mixture_sample(
+    spark: SparkSession, sf_dir: str, temperature: float | None = None
+) -> DataFrame:
     """DoReMi-style domain-mixture rebalancing to a UNIFORM token target:
     compute each source's token mass, then deterministically downsample
     every source to the SCARCEST source's mass — the "equalize domains"
     step a training-mix pipeline runs before packing (DoReMi/Pile-style
-    reweighting with uniform target weights; non-uniform targets are the
-    same math with ``w_s*λ`` in place of ``min``). Where
+    reweighting with uniform target weights). ``temperature`` switches
+    to exponentiated smoothing — target share ∝ tokens^(1/T), the
+    multilingual-LM sampling rule (T→∞ = uniform, T=1 = natural mix),
+    with rates derived driver-side from the tiny totals table. Where
     :func:`stratified_sample_stats` applies GIVEN per-stratum rates,
     this op DERIVES the rates from the corpus itself.
 
@@ -1578,16 +1582,43 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = per_doc.groupBy("source").agg(
         F.sum("bpe").cast("bigint").alias("src_tokens")
     )
-    mt = totals.agg(F.min("src_tokens").alias("min_tokens"))
-    rates = totals.crossJoin(F.broadcast(mt)).select(
-        "source",
-        "src_tokens",
-        F.floor(
-            F.lit(1_000_000.0) * F.col("min_tokens") / F.col("src_tokens")
+    if temperature is None:
+        mt = totals.agg(F.min("src_tokens").alias("min_tokens"))
+        rates = totals.crossJoin(F.broadcast(mt)).select(
+            "source",
+            "src_tokens",
+            F.floor(
+                F.lit(1_000_000.0) * F.col("min_tokens") / F.col("src_tokens")
+            )
+            .cast("bigint")
+            .alias("keep_ppm"),
         )
-        .cast("bigint")
-        .alias("keep_ppm"),
-    )
+    else:
+        # exponentiated (temperature) smoothing, the multilingual-LM
+        # sampling rule: target share w_s ∝ tokens_s^(1/T), keep rate
+        # r_s = λ·w_s / tokens_s with λ = min_s tokens_s/w_s so the most
+        # under-sampled source keeps everything and no rate exceeds 1.
+        # T→∞ recovers the uniform target; T=1 keeps the natural mix.
+        # Rates are computed DRIVER-SIDE from the ~|sources|-row totals
+        # (pow is not bit-identical across libm implementations, so this
+        # parameterized mode is pytest-gated by a Python replay rather
+        # than a SQL oracle; the uniform default stays oracle-exact).
+        rows = totals.collect()
+        alpha = 1.0 / float(temperature)
+        w = {r["source"]: float(r["src_tokens"]) ** alpha for r in rows}
+        lam = min(r["src_tokens"] / w[r["source"]] for r in rows)
+        ppm = {
+            r["source"]: int(
+                (1_000_000.0 * lam * w[r["source"]]) // r["src_tokens"]
+            )
+            for r in rows
+        }
+        spark_rows = [
+            (r["source"], int(r["src_tokens"]), ppm[r["source"]]) for r in rows
+        ]
+        rates = spark.createDataFrame(
+            spark_rows, "source string, src_tokens bigint, keep_ppm bigint"
+        )
     keep = (
         hash64(F.col("doc_id").cast("string"), salt="mixture")
         % F.lit(1_000_000)

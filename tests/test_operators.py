@@ -2267,3 +2267,66 @@ def test_source_token_divergence_matches_duckdb_oracle(spark, sf_dir):
     assert not issues, issues
     for r in spark_rows:
         assert r[spark_cols.index("kl_bits")] >= 0.0
+
+
+def test_domain_mixture_temperature_matches_python_replay(spark, sf_dir):
+    """The temperature (exponentiated-smoothing) mode pinned by a full
+    Python replay: rates from tokens^(1/T) target shares, acceptance by
+    the shared salted hash — and the limiting behaviors hold: a huge T
+    reproduces the uniform-target ppm table, T=1 keeps everything."""
+    import hashlib
+
+    from oasysdb_spark.operators import textops
+
+    got = {
+        r["source"]: r
+        for r in textops.domain_mixture_sample(
+            spark, sf_dir, temperature=2.0
+        ).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    ).collect()
+
+    import re
+    bpe_re = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+    tok_n = {}
+    for r in docs:
+        tok_n[r["doc_id"]] = (r["source"], len(bpe_re.findall(r["text"].lower())))
+    totals = {}
+    for src, n in tok_n.values():
+        totals[src] = totals.get(src, 0) + n
+    alpha = 0.5
+    w = {s: t**alpha for s, t in totals.items()}
+    lam = min(t / w[s] for s, t in totals.items())
+    ppm = {s: int((1_000_000.0 * lam * w[s]) // t) for s, t in totals.items()}
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    kept = {s: [0, 0, 0] for s in totals}  # n_docs, n_kept, kept_tokens
+    for doc_id, (src, n) in tok_n.items():
+        kept[src][0] += 1
+        if h64(f"{doc_id}#mixture") % 1_000_000 < ppm[src]:
+            kept[src][1] += 1
+            kept[src][2] += n
+    for src, (nd, nk, kt) in kept.items():
+        g = got[src]
+        assert g["keep_ppm"] == ppm[src], (src, g["keep_ppm"], ppm[src])
+        assert (g["n_docs"], g["n_kept"], g["kept_tokens"]) == (nd, nk, kt)
+
+    # limits: T→∞ == the uniform-target (oracle-exact) mode; T=1 keeps all
+    uni = {
+        (r["source"], r["keep_ppm"])
+        for r in textops.domain_mixture_sample(spark, sf_dir).collect()
+    }
+    hot = {
+        (r["source"], r["keep_ppm"])
+        for r in textops.domain_mixture_sample(
+            spark, sf_dir, temperature=1e9
+        ).collect()
+    }
+    assert hot == uni
+    nat = textops.domain_mixture_sample(spark, sf_dir, temperature=1.0)
+    for r in nat.collect():
+        assert r["keep_ppm"] == 1_000_000 and r["n_kept"] == r["n_docs"]
