@@ -119,96 +119,43 @@ def _bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver oracle-checks the FIRST 50 entries.
-    Round-6 rotation: the window leads with (a) the eleven NEW entries —
-    the staged LM-pipeline tier promoted from pytest self-oracles
-    (`text_bigram_surprisal`, `text_trigram_surprisal`,
-    `text_curriculum_buckets`, `text_shard_plan`,
-    `source_curation_stats`, `text_oov_rate`, `ngram_decontaminate_stats`,
-    `ngram_contamination_report_stats` — the latter under the NEW
-    default-on ``max_train_df`` frequent-gram guard, its oracle carrying
-    the matching HAVING clause — `text_pretoken_counts`,
-    `text_bpe_tokenizer` (rows-only: learned merges aren't
-    SQL-expressible), and `multimodal_video_stats`, closing the last
-    modality's driver-coverage gap); then (b) the two dhash entries
-    whose code grew the r6 hash-width parameter (default output
-    unchanged — re-verified through the driver anyway); then (c) 37 of
-    the 49 entries whose latest driver row is CORRECTNESS_r04 — every
-    dedup/text/multimodal/temporal entry over code the r6 diffs touch,
-    plus q1/q2/q11/q18-q22 — cycling in before a third unchecked round.
-    11 + 2 + 37 = exactly 50; the window is FULL. The twelve deferred
-    r4-green TPC-H shapes (q3-q7, q9, q10, q12-q15, q17 — untouched
-    single-file relational queries) hold green r04 rows, the allowed
-    two-round maximum, and MUST lead the r7 window; everything checked
-    in r5 sits just outside holding its green r05 row. The boundary
+
+    Round-7 rotation (window math: 115 entries, 50-slot window, every
+    out-of-window entry must hold a green row no older than round N-2):
+
+    (a) the twelve deferred TPC-H shapes whose latest green row is
+        CORRECTNESS_r04 — at the two-round staleness limit, so they
+        MUST lead this window (pinned by name in tests/test_entry.py's
+        r6 deferral assertion);
+    (b) five NEW entries promoted from r6-staged pytest self-oracles:
+        `dedup_simhash_wide_pairs` (the scale-safe 2×60-bit tier, now
+        also the `simhash_near_pairs` default), `domain_mixture_sample`
+        (uniform-target mode — the oracle-exact one),
+        `encoding_quality_stats`, `source_token_divergence`,
+        `hard_negative_mining`;
+    (c) three entries whose CODE changed in r7 (a stale green row
+        doesn't cover changed code): `dedup_simhash_pairs` (now pinned
+        `wide=False` — the oracle-matched narrow twin of the flipped
+        default), `multimodal_dhash_near_pairs` (follows the NEW
+        hash_bits=256 default, oracle rewritten to the 256-bit
+        replay), `customers_without_orders` (subtrahend restricted to
+        URGENT orders so the anti-join is non-empty at sf0.01 — the
+        old row matched 0-vs-0);
+    (d) 30 of the 48 entries whose latest green row is CORRECTNESS_r05
+        (2-stale at r7, the allowed maximum). 12+5+3+30 = exactly 50.
+
+    Below the window: the 18 r5-green leftovers (3-stale at r8 — they
+    MUST lead the r8 window), then the r6-green cohort (2-stale at r8,
+    rotate by r9). `text_bpe_tokenizer` moved below the window this
+    round (judge r6 task 5): a permanently `no_oracle` rows-only entry
+    spends a hash-checked slot; its SQL-expressible half
+    (`text_pretoken_counts`) is the in-contract twin and the merge
+    sequence stays pytest-pinned (tests/test_tokenizer.py), so outside
+    the window it is pytest-gated rather than stale. The boundary
     comment below marks entry 50 — but the rotation test checks the
     real slice, not the comment."""
     return {
-        # --- (a) new in round 6: the staged LM-data tier, promoted ---
-        "text_bigram_surprisal": textops.bigram_surprisal,
-        "text_trigram_surprisal": textops.trigram_backoff_surprisal,
-        "text_curriculum_buckets": textops.curriculum_buckets,
-        "text_shard_plan": textops.shard_plan,
-        "source_curation_stats": textops.source_curation_stats,
-        "text_oov_rate": lambda s, d: textops.oov_rate(s, d, top_k=20),
-        "ngram_decontaminate_stats": textops.ngram_decontaminate_stats,
-        "ngram_contamination_report_stats": (
-            textops.ngram_contamination_report_stats
-        ),
-        "text_pretoken_counts": _pretoken_counts,
-        "text_bpe_tokenizer": _bpe_tokenizer,
-        "multimodal_video_stats": mm.multimodal_video_stats,
-        # --- (b) code touched in round 6 (hash-width parameter):
-        # re-verify through the driver ---
-        "multimodal_dhash_dedup": mm.multimodal_dhash_dedup,
-        "multimodal_dhash_near_pairs": mm.multimodal_dhash_near_pairs,
-        # --- (c) latest driver row is r04: cycle back in before a third
-        # unchecked round (dedup/text/multimodal/temporal first — their
-        # modules carry r6 diffs — then the non-deferred TPC-H) ---
-        "dedup_decontaminate": _decontaminate,
-        "dedup_components": dedup.dedup_components,
-        "dedup_embedding_cosine": dedup.embedding_near_pairs,
-        "dedup_exact_pick": dedup.exact_dedup_pick,
-        "dedup_exact_stats": dedup.exact_dedup_stats,
-        "dedup_simhash_pairs": dedup.simhash_near_pairs,
-        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
-        "text_clean_pipeline": textops.clean_corpus_pipeline,
-        "text_boilerplate_ngrams": textops.boilerplate_ngrams,
-        "text_pii_scrub": textops.pii_scrub_stats,
-        "text_hash_embeddings": embed.hash_embeddings,
-        "multimodal_features": mm.multimodal_features,
-        "multimodal_pixel_stats": mm.multimodal_pixel_stats,
-        "asof_click_view": tmp.asof_click_view,
-        "sessionize_events": rel.sessionize_events,
-        "interval_overlap_join": tmp.interval_overlap_sessions,
-        "events_tumbling_hourly": tmp.events_tumbling_hourly,
-        "vec_knn_cosine": lambda s, d: vec.knn_bruteforce(s, d, metric="cosine"),
-        "customers_without_orders": rel.customers_without_orders,
-        "parts_above_avg_price": rel.parts_above_avg_price,
-        "orders_by_month": rel.orders_by_month,
-        "rollup_lineitem": rel.rollup_lineitem,
-        "unpivot_lineitem": rel.unpivot_lineitem,
-        "top_orders_per_customer": rel.top_orders_per_customer,
-        "running_revenue": rel.running_revenue,
-        "cube_orders": rel.cube_orders,
-        "setop_intersect": rel.setop_intersect,
-        "ship_latency": rel.ship_latency,
-        "parts_like_patterns": rel.parts_like_patterns,
-        "q1_pricing_summary": rel.q1_pricing_summary,
-        "q2_min_cost_supplier": rel.q2_min_cost_supplier,
-        "q11_important_parts": rel.q11_important_parts,
-        "q18_large_volume_customers": rel.q18_large_volume_customers,
-        "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
-        "q20_excess_shippers": rel.q20_excess_shippers,
-        "q21_waiting_supplier": rel.q21_waiting_supplier,
-        "q22_idle_customers": rel.q22_idle_customers,
-        # ---- driver window boundary: q22_idle_customers above is entry
-        # 50 (count them — don't trust a comment's position; the
-        # rotation test in tests/test_entry.py checks the REAL first-50
-        # slice). Every entry below holds a green hash-matched row from
-        # the most recent round that checked it and is unchanged since:
-        # the twelve deferred r04-green TPC-H shapes first (two rounds
-        # stale — the allowed maximum — r7 window MUST lead with them),
-        # then the r05-green set ----
+        # --- (a) deferred r4-green TPC-H: staleness limit, must lead ---
         "q3_shipping_priority": rel.q3_shipping_priority,
         "q4_order_priority": rel.q4_order_priority,
         "q5_local_supplier_volume": rel.q5_local_supplier_volume,
@@ -221,7 +168,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_share": rel.q14_promo_share,
         "q15_top_supplier": rel.q15_top_supplier,
         "q17_small_qty_revenue": rel.q17_small_qty_revenue,
-        # ---- r05-green below ----
+        # --- (b) new in round 7: staged self-oracles promoted ---
+        "dedup_simhash_wide_pairs": dedup.simhash_wide_pairs,
+        "domain_mixture_sample": textops.domain_mixture_sample,
+        "encoding_quality_stats": textops.encoding_quality_stats,
+        "source_token_divergence": textops.source_token_divergence,
+        "hard_negative_mining": vec.hard_negative_mining,
+        # --- (c) code changed in round 7: re-verify through the driver ---
+        "dedup_simhash_pairs": lambda s, d: dedup.simhash_near_pairs(
+            s, d, wide=False
+        ),
+        "multimodal_dhash_near_pairs": mm.multimodal_dhash_near_pairs,
+        "customers_without_orders": rel.customers_without_orders,
+        # --- (d) latest driver row is r05: cycle back in before a third
+        # unchecked round ---
         "text_boilerplate_scrub": textops.boilerplate_scrub,
         "text_bm25_search": textops.bm25_search,
         "text_gopher_quality": textops.gopher_quality_flags,
@@ -252,6 +212,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "text_language_id": textops.language_id,
         "text_quality": textops.quality_scores,
+        # ---- driver window boundary: text_quality above is entry 50
+        # (count them — don't trust a comment's position; the rotation
+        # test in tests/test_entry.py checks the REAL first-50 slice).
+        # Every entry below holds a green hash-matched row from the most
+        # recent round that checked it and is unchanged since: first the
+        # 18 r5-green leftovers (2-stale — the allowed maximum — they
+        # MUST lead the r8 window), then the r6-green cohort (rotate by
+        # r9), plus the pytest-gated rows-only bpe entry ----
         "text_token_stats": textops.token_stats,
         "text_fingerprints": textops.fingerprints,
         "text_stratified_sample": textops.stratified_sample_stats,
@@ -270,6 +238,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "math_stats": rel.math_stats,
         "string_part_stats": rel.string_part_stats,
         "json_event_stats": rel.json_event_stats,
+        # ---- r6-green below (latest driver row is CORRECTNESS_r06) ----
+        "text_bigram_surprisal": textops.bigram_surprisal,
+        "text_trigram_surprisal": textops.trigram_backoff_surprisal,
+        "text_curriculum_buckets": textops.curriculum_buckets,
+        "text_shard_plan": textops.shard_plan,
+        "source_curation_stats": textops.source_curation_stats,
+        "text_oov_rate": lambda s, d: textops.oov_rate(s, d, top_k=20),
+        "ngram_decontaminate_stats": textops.ngram_decontaminate_stats,
+        "ngram_contamination_report_stats": (
+            textops.ngram_contamination_report_stats
+        ),
+        "text_pretoken_counts": _pretoken_counts,
+        "text_bpe_tokenizer": _bpe_tokenizer,
+        "multimodal_video_stats": mm.multimodal_video_stats,
+        "multimodal_dhash_dedup": mm.multimodal_dhash_dedup,
+        "dedup_decontaminate": _decontaminate,
+        "dedup_components": dedup.dedup_components,
+        "dedup_embedding_cosine": dedup.embedding_near_pairs,
+        "dedup_exact_pick": dedup.exact_dedup_pick,
+        "dedup_exact_stats": dedup.exact_dedup_stats,
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "text_clean_pipeline": textops.clean_corpus_pipeline,
+        "text_boilerplate_ngrams": textops.boilerplate_ngrams,
+        "text_pii_scrub": textops.pii_scrub_stats,
+        "text_hash_embeddings": embed.hash_embeddings,
+        "multimodal_features": mm.multimodal_features,
+        "multimodal_pixel_stats": mm.multimodal_pixel_stats,
+        "asof_click_view": tmp.asof_click_view,
+        "sessionize_events": rel.sessionize_events,
+        "interval_overlap_join": tmp.interval_overlap_sessions,
+        "events_tumbling_hourly": tmp.events_tumbling_hourly,
+        "vec_knn_cosine": lambda s, d: vec.knn_bruteforce(s, d, metric="cosine"),
+        "parts_above_avg_price": rel.parts_above_avg_price,
+        "orders_by_month": rel.orders_by_month,
+        "rollup_lineitem": rel.rollup_lineitem,
+        "unpivot_lineitem": rel.unpivot_lineitem,
+        "top_orders_per_customer": rel.top_orders_per_customer,
+        "running_revenue": rel.running_revenue,
+        "cube_orders": rel.cube_orders,
+        "setop_intersect": rel.setop_intersect,
+        "ship_latency": rel.ship_latency,
+        "parts_like_patterns": rel.parts_like_patterns,
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q2_min_cost_supplier": rel.q2_min_cost_supplier,
+        "q11_important_parts": rel.q11_important_parts,
+        "q18_large_volume_customers": rel.q18_large_volume_customers,
+        "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
+        "q20_excess_shippers": rel.q20_excess_shippers,
+        "q21_waiting_supplier": rel.q21_waiting_supplier,
+        "q22_idle_customers": rel.q22_idle_customers,
     }
 
 
@@ -384,9 +402,14 @@ def oracle_sql() -> dict[str, str]:
         EXCEPT ALL
         SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'"""
 
+    # r7: restricted to URGENT orders so the anti-join is NON-EMPTY at
+    # sf0.01 (203 rows) — the unrestricted form matched 0-vs-0 rows and
+    # proved nothing (judge's r6 coverage-hygiene finding)
     q["customers_without_orders"] = """
         SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
         ORDER BY c_custkey"""
 
     q["string_part_stats"] = """
@@ -1483,14 +1506,39 @@ def oracle_sql() -> dict[str, str]:
         FROM hashed h"""
 
     # near pairs: the oracle IS the quadratic join (550 rows -> trivial
-    # here), so a candidate lost by the Spark side's 14-bit quarter
-    # banding is a missing row, not a silent pass
+    # here), so a candidate lost by the Spark side's banding is a
+    # missing row, not a silent pass. r7: the entry follows the NEW
+    # hash_bits=256 default (extract_dhash_wide, PDQ-style), so the
+    # replay computes the full 16x16 gradient-sign matrix (bit r*16+c =
+    # plane[r,c] > plane[r,(c+1)%16], wraparound column) packed into
+    # eight 32-bit chunks (DuckDB BIGINT rejects a 1<<63 literal, so
+    # 64-bit words can't be built SQL-side; chunked xor+bit_count is
+    # hamming-identical)
+    _g256_chunks = ",\n               ".join(
+        f"CAST(list_sum(list_transform(range(0, 32), j -> "
+        f"CASE WHEN g[{32 * t} + j + 1] = 1 "
+        f"THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER) ELSE 0 END)) "
+        f"AS BIGINT) AS c{t}"
+        for t in range(8)
+    )
+    _g256_ham = " + ".join(f"bit_count(xor(a.c{t}, b.c{t}))" for t in range(8))
     q["multimodal_dhash_near_pairs"] = f"""
-        WITH {_dhash_ctes}
+        WITH {_dhash_ctes},
+        grad AS (
+          SELECT media_id,
+                 list_transform(range(0, 256), j ->
+                   CASE WHEN v[(j//16)*16 + (j%16) + 1]
+                           > v[(j//16)*16 + ((j%16)+1)%16 + 1]
+                        THEN 1 ELSE 0 END) AS g
+          FROM plane),
+        words256 AS (
+          SELECT media_id,
+               {_g256_chunks}
+          FROM grad)
         SELECT a.media_id AS media_a, b.media_id AS media_b,
-               CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
-        FROM hashed a JOIN hashed b ON a.media_id < b.media_id
-        WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+               CAST({_g256_ham} AS BIGINT) AS hamming
+        FROM words256 a JOIN words256 b ON a.media_id < b.media_id
+        WHERE {_g256_ham} <= 3
         ORDER BY hamming, media_a, media_b LIMIT 50"""
 
     # audio energy-contour fingerprint: replay the integer pipeline
@@ -1870,5 +1918,129 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN ns > 1 THEN round(dsum / (256.0 * (ns - 1)), 6)
                     ELSE 0.0 END AS motion
         FROM agg"""
+
+    # ------------------------------------------------------------------
+    # new in round 7: the five staged self-oracles promoted (SQL lifted
+    # verbatim from the r6 pytest gates in tests/test_operators.py)
+    # ------------------------------------------------------------------
+
+    # wide (2x60-bit) simhash: banding is pigeonhole-exhaustive at
+    # hamming <= 3, so the pure quadratic over the replayed salted
+    # words IS the oracle — a candidate lost by the 30-bit banding
+    # surfaces as a missing row
+    def _sw_word_cte(j: int) -> str:
+        h = hash64_sql("t", salt=f"s{j}")
+        return f"""
+        th{j} AS (SELECT doc_id, {h} AS h
+                  FROM (SELECT doc_id, unnest(list_distinct(tk)) AS t FROM toks)),
+        bits{j} AS (SELECT doc_id, b,
+                      CASE WHEN sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1
+                                         THEN 1 ELSE -1 END) > 0
+                           THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+                           ELSE CAST(0 AS BIGINT) END AS bv
+                    FROM th{j}, (SELECT unnest(range(60)) AS b) GROUP BY doc_id, b),
+        sims{j} AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS w{j}
+                    FROM bits{j} GROUP BY doc_id)"""
+
+    q["dedup_simhash_wide_pairs"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        {_sw_word_cte(0)},
+        {_sw_word_cte(1)},
+        allsims AS (SELECT d.doc_id, COALESCE(s0.w0, 0) AS w0,
+                           COALESCE(s1.w1, 0) AS w1
+                    FROM documents d
+                    LEFT JOIN sims0 s0 ON d.doc_id = s0.doc_id
+                    LEFT JOIN sims1 s1 ON d.doc_id = s1.doc_id)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.w0, b.w0))
+                  + bit_count(xor(a.w1, b.w1)) AS BIGINT) AS hamming
+        FROM allsims a JOIN allsims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3
+        ORDER BY hamming, doc_a, doc_b LIMIT 50"""
+
+    # uniform-target domain mixture: integer-ppm thresholds from corpus
+    # totals + the shared salted-hash acceptance (bit-identical engines)
+    _mix_bpe = (
+        "CAST(len(regexp_extract_all(lower(text),"
+        " '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)"
+    )
+    _mix_h = hash64_sql("CAST(doc_id AS VARCHAR)", salt="mixture")
+    q["domain_mixture_sample"] = f"""
+        WITH per_doc AS (SELECT source, doc_id, {_mix_bpe} AS bpe FROM documents),
+        tot AS (SELECT source, CAST(sum(bpe) AS BIGINT) AS src_tokens
+                FROM per_doc GROUP BY source),
+        m AS (SELECT min(src_tokens) AS mt FROM tot),
+        r AS (SELECT source, src_tokens,
+                CAST(floor(1000000.0 * mt / src_tokens) AS BIGINT) AS keep_ppm
+              FROM tot, m),
+        k AS (SELECT p.source, src_tokens, keep_ppm, bpe,
+                CASE WHEN {_mix_h} % 1000000 < keep_ppm THEN 1 ELSE 0 END AS keep
+              FROM per_doc p JOIN r USING (source))
+        SELECT source, src_tokens, keep_ppm,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(keep) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN keep = 1 THEN bpe ELSE 0 END) AS BIGINT)
+                   AS kept_tokens,
+               round(CAST(sum(CASE WHEN keep = 1 THEN bpe ELSE 0 END) AS DOUBLE)
+                     / src_tokens, 6) AS realized_frac
+        FROM k GROUP BY source, src_tokens, keep_ppm"""
+
+    # encoding-damage audit: length-delta char counts over the injected
+    # mojibake markers (the op injects ENCODING_MARKER on every 7th doc)
+    q["encoding_quality_stats"] = f"""
+        WITH aug AS (SELECT source,
+                       text || CASE WHEN doc_id % 7 = 0
+                                    THEN '{textops.ENCODING_MARKER}'
+                                    ELSE '' END AS text
+                     FROM documents),
+        m AS (SELECT source, length(text) AS n_chars,
+                length(text) - length(regexp_replace(text, '�', '', 'g')) AS repl,
+                length(text) - length(regexp_replace(text, '[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')) AS ctl,
+                length(text) - length(regexp_replace(text, '[^\\x00-\\x7f]', '', 'g')) AS non_ascii
+              FROM aug)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN repl > 0 OR ctl > 0 OR non_ascii > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+               CAST(sum(repl) AS BIGINT) AS repl_chars,
+               CAST(sum(ctl) AS BIGINT) AS ctl_chars,
+               CAST(sum(non_ascii) AS BIGINT) AS non_ascii_chars,
+               round(CAST(sum(non_ascii) AS DOUBLE) / sum(n_chars), 6)
+                   AS non_ascii_ratio
+        FROM m GROUP BY source"""
+
+    # per-source KL divergence: same integer-product ratio into log2,
+    # one final round (the surprisal float discipline)
+    q["source_token_divergence"] = f"""
+        WITH terms AS (SELECT source, unnest({_TOKS}) AS t FROM documents),
+        st AS (SELECT source, t, count(*) AS c_st FROM terms GROUP BY source, t),
+        s_tot AS (SELECT source, sum(c_st) AS n_s, count(*) AS n_terms
+                  FROM st GROUP BY source),
+        ct AS (SELECT t, sum(c_st) AS c_t FROM st GROUP BY t),
+        n AS (SELECT sum(c_t) AS n_all FROM ct)
+        SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
+               CAST(n_terms AS BIGINT) AS n_terms,
+               round(sum((CAST(c_st AS DOUBLE) / n_s)
+                         * log2(CAST(c_st * n_all AS DOUBLE) / (n_s * c_t))), 6)
+                   AS kl_bits
+        FROM st JOIN ct USING (t) JOIN s_tot USING (source), n
+        GROUP BY source, n_s, n_terms"""
+
+    # contrastive hard negatives: quadratic distance + different-label
+    # filter + per-query window top-k
+    _hn_sqd = (
+        "list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), qv),"
+        " x -> (x[1]-x[2])*(x[1]-x[2])))"
+    )
+    q["hard_negative_mining"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv,
+                          label AS qlabel
+                   FROM embeddings WHERE vec_id < 8),
+        d AS (SELECT q.query_id, e.vec_id, round({_hn_sqd}, 6) AS distance
+              FROM embeddings e, q
+              WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY distance, vec_id) AS rn FROM d)
+        SELECT query_id, vec_id, distance, CAST(rn AS INTEGER) AS rn
+        FROM r WHERE rn <= 5"""
 
     return q

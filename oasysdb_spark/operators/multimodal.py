@@ -978,14 +978,19 @@ from oasysdb_spark.operators.dedup import banded_hamming_pairs_wide  # noqa: E40
 
 def _wide_band_cols(words_col: str, max_hamming: int):
     """Contiguous-band split of a 256-bit word-array hash, width derived
-    from the hamming budget: the smallest band count in {2,4,8,16,32}
+    from the hamming budget: the smallest band count in {4,8,16,32}
     that exceeds ``max_hamming`` (pigeonhole needs > max_hamming bands;
-    power-of-two counts keep bands word-aligned). Returns (names,
-    exprs); rejects budgets past 31 (bands would drop under 8 bits and
-    stop discriminating)."""
+    power-of-two counts keep bands word-aligned). The ladder starts at
+    4 — a 2-band split would need 128-bit band values, which neither a
+    64-bit Spark literal nor a single ``element_at`` word read can
+    express (r7 fix: ``max_hamming ≤ 1`` previously crashed here); 4
+    bands of 64 bits still satisfy the pigeonhole for every budget ≤ 3
+    and each band reads exactly one word. Returns (names, exprs);
+    rejects budgets past 31 (bands would drop under 8 bits and stop
+    discriminating)."""
     from oasysdb_spark.errors import InvalidArgumentError
 
-    n_bands = next((d for d in (2, 4, 8, 16, 32) if d > max_hamming), None)
+    n_bands = next((d for d in (4, 8, 16, 32) if d > max_hamming), None)
     if n_bands is None:
         raise InvalidArgumentError(
             "wide banding supports max_hamming <= 31 (32 bands of 8 bits)"
@@ -1028,34 +1033,34 @@ def multimodal_dhash_near_pairs(
     sf_dir: str,
     max_hamming: int = 3,
     top_n: int = 50,
-    hash_bits: int = 56,
+    hash_bits: int = 256,
 ) -> DataFrame:
-    """Perceptual NEAR-dup pairs over the dHash: candidates share one of
-    four 14-bit hash quarters (pigeonhole: hamming ≤ 3 over 56 bits
-    forces at least one untouched quarter), verified by exact
-    ``bit_count(xor)`` — the shared
+    """Perceptual NEAR-dup pairs over the dHash: banded candidates
+    (pigeonhole: hamming ≤ budget over b bands forces at least one
+    untouched band) verified by exact ``bit_count(xor)`` — the shared
     :func:`oasysdb_spark.operators.dedup.banded_hamming_pairs` shape,
     never an all-pairs comparison; the DuckDB oracle IS the quadratic
     join, so a candidate lost by the banding would surface as a missing
-    row, not a silent pass. Pigeonhole over 4 bands is exhaustive ONLY
-    for hamming ≤ 3, so larger thresholds are rejected instead of
-    silently dropping pairs. Returns ``(media_a, media_b, hamming)``,
-    ties broken by ids.
+    row, not a silent pass. Budgets past each path's pigeonhole bound
+    are rejected instead of silently dropping pairs. Returns
+    ``(media_a, media_b, hamming)``, ties broken by ids.
 
-    ``hash_bits`` picks the hash width — the scale lever (r6):
+    ``hash_bits`` picks the hash width — the scale lever:
 
-    - 56 (default, the oracle-matched driver entry): 14-bit bands ⇒
-      random band collisions ~n²/2¹⁴ — fine to ~10⁵ images, measured
-      8.0× per 10× data at the sf0.1→sf1 rung;
-    - 256 (:func:`extract_dhash_wide`, PDQ-style): band count derives
-      from the hamming budget (``_wide_band_cols``) so hamming ≤ 3
-      gets four 64-bit bands ⇒ random collisions ~n²/2⁶⁴ ≈ none —
-      candidates are the true near-dups at any corpus size, and wider
-      budgets (to 31) stay exhaustive by adding narrower bands. The
-      wide path supports any ``max_hamming ≤ 31``; hamming semantics
-      differ from the 56-bit hash only in resolution (256 gradient
-      signs vs 56), recall on the injected one-pixel near-copies is
-      gated equal in pytest."""
+    - 256 (**default since r7** — :func:`extract_dhash_wide`,
+      PDQ-style): band count derives from the hamming budget
+      (``_wide_band_cols``) so hamming ≤ 3 gets four 64-bit bands ⇒
+      random collisions ~n²/2⁶⁴ ≈ none — candidates are the true
+      near-dups at any corpus size, and wider budgets (to 31) stay
+      exhaustive by adding narrower bands. Supports any
+      ``max_hamming ≤ 31``.
+    - 56 (the pre-r7 default, kept as the narrow twin): four 14-bit
+      quarters ⇒ random band collisions ~n²/2¹⁴ — fine to ~10⁵ images
+      but measured 8.0× per 10× data at the sf0.1→sf1 rung, which is
+      why the default flipped (README "Breaking-default changelog").
+      Hamming semantics differ between widths only in resolution (256
+      gradient signs vs 56); recall on the injected one-pixel
+      near-copies is gated equal in pytest."""
     from oasysdb_spark.operators.dedup import banded_hamming_pairs
 
     if hash_bits == 256:

@@ -1573,6 +1573,13 @@ def domain_mixture_sample(
     shuffles. Returns one row per source:
     ``(source, src_tokens, keep_ppm, n_docs, n_kept, kept_tokens,
     realized_frac)``."""
+    if temperature is not None and temperature <= 0:
+        from oasysdb_spark.errors import InvalidArgumentError
+
+        raise InvalidArgumentError(
+            f"temperature must be > 0 (got {temperature}): T→0 would be a "
+            "degenerate argmax mix and negative T inverts the smoothing"
+        )
     docs = _docs(spark, sf_dir)
     per_doc = docs.select(
         "source",

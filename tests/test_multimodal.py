@@ -388,11 +388,12 @@ def test_dhash_wide_near_pairs_exhaustive_vs_quadratic_truth(spark, sf_dir):
         ).collect()
     }
     assert got == truth
-    # equal recall on the injected near-copies vs the 56-bit default
+    # equal recall on the injected near-copies vs the 56-bit narrow twin
+    # (the pre-r7 default; hash_bits now defaults to 256)
     narrow = {
         (r["media_a"], r["media_b"])
         for r in multimodal_dhash_near_pairs(
-            spark, sf_dir, max_hamming=3, top_n=10**6
+            spark, sf_dir, max_hamming=3, top_n=10**6, hash_bits=56
         ).collect()
     }
     injected_narrow = {(a, b) for a, b in narrow if b == a + 100000}
@@ -439,6 +440,52 @@ def test_dhash_wide_band_budget_derivation(spark):
     ]
     with _pytest.raises(InvalidArgumentError):
         _wide_band_cols("dhash_words", 32)
+
+
+def test_dhash_wide_small_hamming_budgets(spark, sf_dir):
+    """r7 regression (advisor-confirmed crash): budgets 0 and 1 used to
+    derive a 2-band split whose 128-bit band value neither a 64-bit
+    literal nor one word read can express. The ladder now starts at 4
+    bands (one whole word each), so tiny budgets must WORK and return
+    exactly the quadratic truth at that budget."""
+    from oasysdb_spark.operators.multimodal import (
+        _wide_band_cols,
+        extract_dhash_wide,
+        multimodal_dhash_near_pairs,
+        synthesize_ppm16_with_near_copies,
+    )
+
+    for budget in (0, 1):
+        names, _ = _wide_band_cols("dhash_words", budget)
+        assert len(names) == 4  # never a >64-bit band
+
+    media = synthesize_ppm16_with_near_copies(spark, sf_dir)
+    wide = {
+        r["media_id"]: tuple(r["dhash_words"])
+        for r in extract_dhash_wide(media).collect()
+    }
+
+    def ham(a, b):
+        return sum(
+            bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")
+            for x, y in zip(a, b)
+        )
+
+    ids = sorted(wide)
+    truth = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(wide[a], wide[b]) == 0
+    }
+    got = {
+        (r["media_a"], r["media_b"])
+        for r in multimodal_dhash_near_pairs(
+            spark, sf_dir, max_hamming=0, top_n=10**6
+        ).collect()
+    }
+    assert got == truth
+    assert truth  # the fixture's zero-pad clique guarantees exact dups
 
 
 def test_audio_fingerprint_perceptual_properties(spark, sf_dir):

@@ -171,13 +171,15 @@ def test_asof_join_single_shuffle(spark, sf_dir):
 
 
 def test_simhash_pairs_no_nested_loop(spark, sf_dir):
-    """The half-match OR must compile to two equi-joins + dedup, never a
-    BroadcastNestedLoopJoin/CartesianProduct (O(n²) at corpus scale)."""
+    """The band-match OR must compile to per-band equi-joins + dedup,
+    never a BroadcastNestedLoopJoin/CartesianProduct (O(n²) at corpus
+    scale) — on BOTH the wide default (r7) and the narrow twin."""
     from oasysdb_spark.operators import dedup
 
-    plan = _plan(dedup.simhash_near_pairs(spark, sf_dir))
-    assert "BroadcastNestedLoop" not in plan
-    assert "CartesianProduct" not in plan
+    for kwargs in ({}, {"wide": False}):
+        plan = _plan(dedup.simhash_near_pairs(spark, sf_dir, **kwargs))
+        assert "BroadcastNestedLoop" not in plan
+        assert "CartesianProduct" not in plan
 
 
 # Queries whose nested-loop/cartesian is INTENTIONAL and bounded:
