@@ -41,6 +41,10 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_decontaminate",
     "dedup_simhash",
+    # r7: the scale-safe wide (2x60-bit) simhash near-pair tier — now
+    # the simhash_near_pairs default — wall-clock-tracked so a banding
+    # regression shows up as a bench knee, not just a probe number
+    "dedup_simhash_wide_pairs",
     "text_quality",
     "text_clean_pipeline",
     "text_bm25_search",

@@ -308,9 +308,10 @@ def test_embedding_near_pairs_ivf_recall(spark, sf_dir):
 
 
 def test_embedding_ivf_two_level_assignment_recall(spark, tmp_path):
-    """k > 256 routes assignment through the r6 two-level path (meta-
-    cluster the centroids, probe √k-sized groups) — O(n·√k·d) instead
-    of the flat O(n·k·d) that made k∝n quadratic. Blocking recall must
+    """k > 256 routes assignment through the hierarchical path (r6:
+    two-level meta-clusters; since r7 the log-depth beam tree, which
+    at k=300 and fanout 256 builds exactly one internal level — the
+    two-level shape this test originally pinned). Blocking recall must
     hold: on a synthetic corpus with injected near-identical pairs
     (cos ≈ 1 against an isotropic background), the top-pairs output
     must recover ≥0.9 of the exact all-pairs top list."""
@@ -348,6 +349,63 @@ def test_embedding_ivf_two_level_assignment_recall(spark, tmp_path):
     recall = len(got & exact) / len(exact)
     assert recall >= 0.9, f"two-level blocking recall {recall}"
     # and the injected twins specifically must collide in a block
+    injected = {(2 * i, 2 * i + 1) for i in range(n_inj)}
+    assert len(got & injected) >= 0.9 * n_inj
+
+
+def test_embedding_ivf_beam_tree_recall(spark, tmp_path):
+    """The r7 log-depth beam tree (replacing the r6 two-level path):
+    forcing a tiny fanout makes the centroid tree genuinely multi-level
+    (300 centroids at fanout 4 → 300→75→19→5 nodes = 3 internal
+    levels), and the recall gate must hold unchanged — near-identical
+    vectors see identical tree distances, so they beam to the same
+    leaves. Also pins the tree builder's shape: leaf-parent-first
+    ordering, ≤fanout top level, no empty nodes, children partition the
+    next level exactly."""
+    import numpy as np
+
+    from oasysdb_spark.operators import dedup
+
+    rng = np.random.default_rng(17)
+    n, dim, n_inj = 2000, 16, 25
+    base = rng.standard_normal((n, dim))
+    for i in range(n_inj):
+        base[2 * i + 1] = base[2 * i] + 1e-3 * rng.standard_normal(dim)
+
+    # tree-builder shape invariants (driver-side, no Spark)
+    C = rng.standard_normal((300, dim))
+    tree = dedup._centroid_tree(C, seed=7, fanout=4)
+    assert len(tree) >= 3  # genuinely multi-level
+    assert len(tree[-1][0]) <= 4  # top fits the fanout
+    next_sizes = [len(C)] + [len(lvl[0]) for lvl in tree[:-1]]
+    for (M, c2, children), nxt in zip(tree, next_sizes):
+        assert len(M) == len(children) and len(c2) == len(M)
+        assert all(ch.size > 0 for ch in children)  # pruned
+        covered = np.concatenate(children)
+        assert sorted(covered) == list(range(nxt))  # exact partition
+
+    rows = [
+        (int(i), [float(x) for x in base[i]], int(i % 7))
+        for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_near_pairs_ivf(
+            spark, str(tmp_path), top_n=n_inj, n_clusters=300, tree_fanout=4
+        ).collect()
+    }
+    m = base.astype(np.float32).astype(np.float64)
+    norm = np.linalg.norm(m, axis=1)
+    cos = (m @ m.T) / np.outer(norm, norm)
+    iu = np.triu_indices(n, k=1)
+    order = np.argsort(-cos[iu], kind="stable")[:n_inj]
+    exact = {(int(iu[0][j]), int(iu[1][j])) for j in order}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"beam-tree blocking recall {recall}"
     injected = {(2 * i, 2 * i + 1) for i in range(n_inj)}
     assert len(got & injected) >= 0.9 * n_inj
 

@@ -196,6 +196,13 @@ _NLJ_WHITELIST = {
     "skew_salted_user_join",
     "q22_idle_customers",
     "q11_important_parts",
+    # r7 window entries with the same bounded shapes: mixture/divergence
+    # crossJoin a ONE-ROW corpus total (scalar pattern above);
+    # hard_negative_mining broadcasts the tiny fixed query set against
+    # the embeddings scan (the vec_knn_batched pattern)
+    "domain_mixture_sample",
+    "source_token_divergence",
+    "hard_negative_mining",
 }
 
 # Construction has driver-side side effects (index/layout builds, query
