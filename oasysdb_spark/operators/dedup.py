@@ -223,6 +223,30 @@ def lsh_bands(sigs: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
     )
 
 
+def _melt_bands(banded: DataFrame, keep_cols: list[str], band_cols: list[str]):
+    """(id, hash..., b0..bN) → (id, hash..., band_id, band_val): one row
+    per band via a single explode — the melt that lets ONE self-join on
+    ``(band_id, band_val)`` replace a join per band. Stage count stays
+    constant whatever the band count (a 32-band hamming budget plans
+    the same 1-join shape as a 4-band one)."""
+    bk = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band_id"),
+                    F.col(c).cast("bigint").alias("band_val"),
+                )
+                for i, c in enumerate(band_cols)
+            ]
+        )
+    ).alias("bk")
+    return banded.select(*keep_cols, bk).select(
+        *keep_cols,
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_val").alias("band_val"),
+    )
+
+
 def banded_hamming_pairs(
     banded: DataFrame,
     id_col: str,
@@ -234,38 +258,36 @@ def banded_hamming_pairs(
 ) -> DataFrame:
     """Banded hamming self-join shared by the simhash and perceptual-hash
     tiers: candidates share one of the ``band_cols`` key columns, pairs
-    verify by exact ``bit_count(xor)``. One equi-join per band (an OR-of-
-    equalities predicate would lose the equi-key and plan a nested loop),
-    union, pair-level dedup, deterministic (hamming, a, b) cut. The
-    hamming filter runs BEFORE the dedup so only near-pairs transit the
-    dropDuplicates shuffle. Exhaustiveness is the CALLER's contract:
-    pigeonhole guarantees it only when max_hamming < number of bands."""
+    verify by exact ``bit_count(xor)``. The bands MELT into
+    ``(band_id, band_val)`` rows (an OR-of-equalities join predicate
+    would lose the equi-key and plan a nested loop; per-band joins — the
+    pre-r7 shape — cost one join stage per band), so candidate
+    generation is ONE equi-join on the compound band key whatever the
+    band count, then pair-level dedup and a deterministic
+    (hamming, a, b) cut. The hamming filter runs BEFORE the dedup so
+    only near-pairs transit the dropDuplicates shuffle. Exhaustiveness
+    is the CALLER's contract: pigeonhole guarantees it only when
+    max_hamming < number of bands."""
     a_name, b_name = out_names
     cached = banded.cache()
-
-    def band_join(key: str) -> DataFrame:
-        a, b = cached.alias("a"), cached.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col(f"a.{key}") == F.col(f"b.{key}"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-            )
-            .select(
-                F.col(f"a.{id_col}").alias(a_name),
-                F.col(f"b.{id_col}").alias(b_name),
-                F.bit_count(
-                    F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
-                ).alias("hamming"),
-            )
-            .where(F.col("hamming") <= max_hamming)
-        )
-
-    out = band_join(band_cols[0])
-    for key in band_cols[1:]:
-        out = out.unionByName(band_join(key))
+    melted = _melt_bands(cached, [id_col, hash_col], band_cols)
+    a, b = melted.alias("a"), melted.alias("b")
     return (
-        out.dropDuplicates([a_name, b_name])
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(a_name),
+            F.col(f"b.{id_col}").alias(b_name),
+            F.bit_count(
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates([a_name, b_name])
         .select(a_name, b_name, F.col("hamming").cast("bigint").alias("hamming"))
         .orderBy("hamming", a_name, b_name)
         .limit(top_n)
@@ -282,45 +304,37 @@ def banded_hamming_pairs_wide(
     out_names: tuple[str, str],
 ) -> DataFrame:
     """:func:`oasysdb_spark.operators.dedup.banded_hamming_pairs` for
-    multi-word hashes: identical join/dedup/cut shape, with hamming =
-    Σ bit_count(xor) over the zipped word arrays (native expressions,
-    no UDF in the verify). Exhaustiveness is still the caller's
-    pigeonhole contract (max_hamming < number of bands)."""
+    multi-word hashes: identical melt/join/dedup/cut shape, with
+    hamming = Σ bit_count(xor) over the zipped word arrays (native
+    expressions, no UDF in the verify). Exhaustiveness is still the
+    caller's pigeonhole contract (max_hamming < number of bands)."""
     a_name, b_name = out_names
     cached = banded.cache()
-
-    def hamming_expr():
-        return F.aggregate(
-            F.zip_with(
-                F.col(f"a.{words_col}"),
-                F.col(f"b.{words_col}"),
-                lambda x, y: F.bit_count(x.bitwiseXOR(y)),
-            ),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        )
-
-    def band_join(key: str) -> DataFrame:
-        a, b = cached.alias("a"), cached.alias("b")
-        return (
-            a.join(
-                b,
-                (F.col(f"a.{key}") == F.col(f"b.{key}"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-            )
-            .select(
-                F.col(f"a.{id_col}").alias(a_name),
-                F.col(f"b.{id_col}").alias(b_name),
-                hamming_expr().alias("hamming"),
-            )
-            .where(F.col("hamming") <= max_hamming)
-        )
-
-    out = band_join(band_cols[0])
-    for key in band_cols[1:]:
-        out = out.unionByName(band_join(key))
+    melted = _melt_bands(cached, [id_col, words_col], band_cols)
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col(f"a.{words_col}"),
+            F.col(f"b.{words_col}"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    a, b = melted.alias("a"), melted.alias("b")
     return (
-        out.dropDuplicates([a_name, b_name])
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(a_name),
+            F.col(f"b.{id_col}").alias(b_name),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates([a_name, b_name])
         .select(a_name, b_name, F.col("hamming").cast("bigint").alias("hamming"))
         .orderBy("hamming", a_name, b_name)
         .limit(top_n)
