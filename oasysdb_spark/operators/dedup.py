@@ -66,6 +66,94 @@ def exact_dedup_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared canonical template for the cross-source duplication fixture
+# injection (the span_dedup / pii_scrub / encoding_quality pattern: the
+# word-salad fixture carries no natural exact duplicates, so the entry
+# wrapper plants deterministic ones an oracle can replay).
+DUPLICATION_TEMPLATE = "standard license header do not remove variant"
+
+
+def cross_source_duplication(docs: DataFrame) -> DataFrame:
+    """Source-pair duplication matrix — WHICH sources leak into which:
+    for every unordered source pair (a ≤ b), the number of exact
+    duplicate DOC PAIRS whose two members live in those sources, plus
+    the number of distinct duplicated contents involved. The curation
+    diagnostic behind "crawl X is 40% a re-crawl of crawl Y" decisions
+    (and the cross-split leakage check when sources are train/eval
+    splits).
+
+    Scale shape (the 100 TB contract): doc pairs are NEVER
+    materialized. One aggregation to ``(content_hash, source, c)``
+    (8-byte digest, map-side partials), then a self-join on the digest
+    whose per-digest group size is bounded by |sources| — pair counts
+    come from the products ``c_a·c_b`` (cross) and ``c·(c−1)/2``
+    (within), so a billion-doc duplicate clique costs one row per
+    source it touches, not 10¹⁸ pairs. Returns
+    ``(source_a, source_b, n_dup_pairs, n_groups)``, zero-pair rows
+    dropped."""
+    h = docs.groupBy(
+        hash64(F.col("text")).alias("content_hash"), "source"
+    ).agg(F.count("*").alias("c"))
+    a, b = h.alias("a"), h.alias("b")
+    same = F.col("a.source") == F.col("b.source")
+    n_pairs = F.when(
+        same, (F.col("a.c") * (F.col("a.c") - 1) / 2).cast("bigint")
+    ).otherwise((F.col("a.c") * F.col("b.c")).cast("bigint"))
+    return (
+        a.join(
+            b,
+            (F.col("a.content_hash") == F.col("b.content_hash"))
+            & (F.col("a.source") <= F.col("b.source")),
+        )
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            n_pairs.alias("np"),
+        )
+        .where(F.col("np") > 0)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum("np").cast("bigint").alias("n_dup_pairs"),
+            F.count("*").cast("bigint").alias("n_groups"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def cross_source_duplication_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-shaped :func:`cross_source_duplication` over the fixture:
+    every 4th doc's text is replaced by one of two canonical templates
+    (``DUPLICATION_TEMPLATE`` + ``(doc_id div 4) % 2``), planting two
+    exact-duplicate cliques that span many sources — the injection is
+    integer-deterministic so a SQL oracle replays it exactly, and the
+    matrix proves cross-pair counting, within-source C(n,2) counting,
+    and the zero-pair drop all at once. Stride/variant arithmetic
+    matters: the fixture assigns sources round-robin (source = doc_id
+    mod 20), so a within-source same-variant pair needs two injected
+    doc_ids 40 apart — present even in the 150-doc sf0.001 fixture (a
+    9-stride/3-variant scheme would need Δ=540 and never collide
+    within a source below sf0.1)."""
+    docs = load_documents(spark, sf_dir, spread=True)
+    aug = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            # variant key is (doc_id div 4) % 2 — doc_id % 2 would be
+            # constantly 0 on multiples of 4
+            F.concat(
+                F.lit(DUPLICATION_TEMPLATE + " "),
+                (F.expr("doc_id div 4") % 2).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return cross_source_duplication(aug)
+
+
 # MinHash hash family: one base md5 digest per shingle, then cheap affine
 # transforms h_j = (a_j·(h mod P) + b_j) mod P with P = 2^31−1. Products stay
 # under 2^62, so both engines' int64 arithmetic is exact (Spark wraps and

@@ -1325,6 +1325,73 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_percentile_filter(
+    spark: SparkSession, sf_dir: str, q: float = 0.5
+) -> DataFrame:
+    """Per-source LM-quality percentile pruning — the "keep the top q
+    of every domain by perplexity" curation step (CCNet's per-shard
+    perplexity buckets; FineWeb-style per-dump thresholds): score every
+    doc with the corpus-unigram surprisal (the
+    :func:`unigram_surprisal` arithmetic, bits/token rounded to 6),
+    take each SOURCE's exact q-quantile as its threshold, and keep the
+    docs at or below it (low surprisal = familiar, template-leaning
+    text; the direction is a knob in a real pipeline — what the op
+    proves is the derive-threshold-then-filter shape). Per-source
+    thresholds matter because surprisal is not comparable across
+    domains — a flat corpus-wide cut just deletes the rarest domain.
+
+    Float discipline: per-doc bits are rounded to 6 BEFORE the
+    quantile (both engines see identical doubles), Spark's exact
+    ``percentile`` matches DuckDB's ``quantile_cont`` bit-for-bit on
+    identical inputs, and the keep comparison is ``bits <= thr`` on
+    those unrounded-threshold doubles — so the kept SET is identical
+    across engines; the threshold is rounded only for display.
+
+    Scale shape: one (term) aggregation for the LM, one scoring join,
+    one (doc) aggregation, one per-source exact percentile (each
+    source's bits buffer on one node — exact quantiles don't sketch;
+    swap in ``percentile_approx`` past ~10⁸ docs/source), one
+    broadcast-join of the |sources|-row threshold table, one final
+    aggregation. Raw text shuffles zero times. Returns
+    ``(source, n_docs, thr_bits, n_kept, kept_frac, kept_tokens)``."""
+    docs = _docs(spark, sf_dir)
+    terms = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("term")
+    ).cache()
+    vocab = terms.groupBy("term").agg(F.count("*").alias("tf"))
+    n_total = terms.count()
+    bits = F.log(F.lit(float(n_total)) / F.col("tf")) / F.log(F.lit(2.0))
+    per_doc = (
+        terms.join(vocab, "term")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.avg(bits), 6).alias("bits"),
+        )
+    )
+    thr = per_doc.groupBy("source").agg(
+        F.expr(f"percentile(bits, {q})").alias("thr")
+    )
+    keep = F.col("bits") <= F.col("thr")
+    return (
+        per_doc.join(F.broadcast(thr), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.max("thr"), 6).alias("thr_bits"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.round(
+                F.sum(F.when(keep, 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("kept_frac"),
+            F.sum(F.when(keep, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+    )
+
+
 def trigram_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram LM quality signal with STUPID BACKOFF (Brants et al.
     2007, "Large Language Models in Machine Translation") — the scoring

@@ -2098,6 +2098,130 @@ def test_ngram_contamination_max_train_df_excludes_boilerplate(spark, sf_dir):
         assert gr["n_train_docs"] == len(want_train), (r["doc_id"], gr)
 
 
+def test_cross_source_duplication_matches_duckdb_oracle(spark, sf_dir):
+    """cross_source_duplication_stats hash-compared against an
+    independent DuckDB replay (digest-per-source counts, pair counts
+    from products — never materialized pairs) — the self-oracle gate
+    ahead of driver-window rotation (r8 candidate). Invariants: the
+    three injected template cliques produce all three pair kinds
+    (within-source, cross-source, both directions of source order);
+    total pairs equal the closed form over clique sizes."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.functions.hashing import hash64_sql
+    from oasysdb_spark.operators import dedup
+
+    got = dedup.cross_source_duplication_stats(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) > 1
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    h = hash64_sql("text")
+    res = con.execute(f"""
+        WITH aug AS (SELECT doc_id, source,
+               CASE WHEN doc_id % 4 = 0
+                    THEN '{dedup.DUPLICATION_TEMPLATE} '
+                         || CAST((doc_id // 4) % 2 AS VARCHAR)
+                    ELSE text END AS text
+             FROM documents),
+        h AS (SELECT {h} AS content_hash, source, count(*) AS c
+              FROM aug GROUP BY 1, 2),
+        p AS (SELECT a.source AS source_a, b.source AS source_b,
+                CASE WHEN a.source = b.source
+                     THEN CAST(a.c * (a.c - 1) // 2 AS BIGINT)
+                     ELSE CAST(a.c * b.c AS BIGINT) END AS np
+              FROM h a JOIN h b ON a.content_hash = b.content_hash
+                               AND a.source <= b.source)
+        SELECT source_a, source_b, CAST(sum(np) AS BIGINT) AS n_dup_pairs,
+               CAST(count(*) AS BIGINT) AS n_groups
+        FROM p WHERE np > 0 GROUP BY 1, 2""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "cross_source_duplication", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    # closed form: total pairs = sum over cliques of C(size, 2)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    from collections import Counter
+
+    sizes = Counter(
+        (r["doc_id"] // 4) % 2 for r in docs if r["doc_id"] % 4 == 0
+    )
+    want_total = sum(s * (s - 1) // 2 for s in sizes.values())
+    got_total = sum(r[spark_cols.index("n_dup_pairs")] for r in spark_rows)
+    assert got_total == want_total
+    cross = [r for r in spark_rows if r[0] != r[1]]
+    within = [r for r in spark_rows if r[0] == r[1]]
+    assert cross and within
+
+
+def test_quality_percentile_filter_matches_duckdb_oracle(spark, sf_dir):
+    """quality_percentile_filter hash-compared against an independent
+    DuckDB replay (same surprisal arithmetic, per-source quantile_cont
+    threshold, same keep comparison) — the self-oracle gate ahead of
+    driver-window rotation (r8 candidate). Invariants: every source
+    keeps between 1 doc and all docs, and kept_frac ≈ q up to the
+    discreteness of small sources."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.operators import textops
+
+    got = textops.quality_percentile_filter(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) > 1
+
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    res = con.execute(f"""
+        WITH t AS (SELECT doc_id, source, unnest({toks}) AS term FROM documents),
+        v AS (SELECT term, count(*) AS tf FROM t GROUP BY term),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
+        pd AS (SELECT t.doc_id, t.source, CAST(count(*) AS BIGINT) AS n_tokens,
+                      round(avg(ln(n.n / v.tf) / ln(2.0)), 6) AS bits
+               FROM t JOIN v USING (term), n GROUP BY t.doc_id, t.source),
+        th AS (SELECT source, quantile_cont(bits, 0.5) AS thr
+               FROM pd GROUP BY source)
+        SELECT pd.source, CAST(count(*) AS BIGINT) AS n_docs,
+               round(max(th.thr), 6) AS thr_bits,
+               CAST(sum(CASE WHEN bits <= thr THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               round(CAST(sum(CASE WHEN bits <= thr THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS kept_frac,
+               CAST(sum(CASE WHEN bits <= thr THEN n_tokens ELSE 0 END)
+                    AS BIGINT) AS kept_tokens
+        FROM pd JOIN th USING (source) GROUP BY pd.source""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "quality_percentile_filter", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+    ci = {c: i for i, c in enumerate(spark_cols)}
+    for r in spark_rows:
+        assert 1 <= r[ci["n_kept"]] <= r[ci["n_docs"]]
+        assert 0.0 < r[ci["kept_frac"]] <= 1.0
+
+
 def test_domain_mixture_sample_matches_duckdb_oracle(spark, sf_dir):
     """domain_mixture_sample hash-compared against an independent DuckDB
     replay (uniform-target token equalization: integer-ppm thresholds
