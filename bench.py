@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "vec_pq_knn",
     "vec_ivfpq_knn",
     "vec_sq_knn",
+    # graph tier (r7): sharded HNSW — the reference family's pre-v0.7
+    # index lineage; build untimed like the other index tiers
+    "vec_hnsw_knn",
 ]
 
 # Bench-local callables for operators outside the driver-oracle window
@@ -110,10 +113,22 @@ def _bench_vec_sq_knn(spark, sf_dir):
     return sq.sq_knn(spark, sf_dir, codes_df=codes, model=model)
 
 
+def _bench_vec_hnsw_knn(spark, sf_dir):
+    from oasysdb_spark.index import hnsw
+
+    key = ("hnsw", sf_dir)
+    if key not in _ANN_STATE:
+        g = hnsw.build_hnsw_shards(spark, sf_dir).cache()
+        g.count()
+        _ANN_STATE[key] = g
+    return hnsw.hnsw_knn(spark, sf_dir, graph_df=_ANN_STATE[key])
+
+
 EXTRA_BENCH = {
     "vec_pq_knn": _bench_vec_pq_knn,
     "vec_ivfpq_knn": _bench_vec_ivfpq_knn,
     "vec_sq_knn": _bench_vec_sq_knn,
+    "vec_hnsw_knn": _bench_vec_hnsw_knn,
 }
 
 
@@ -161,6 +176,7 @@ def main():
         "vec_pq_knn",
         "vec_ivfpq_knn",
         "vec_sq_knn",
+        "vec_hnsw_knn",
     ):
         # Same steady-state rationale for the LSH bucket layout: build
         # untimed, the timed query below measures partition-pruned serving.

@@ -385,3 +385,82 @@ def test_sq_knn_near_exact_recall(spark, sf_dir):
         codes_df=codes, model=model,
     ).collect()
     assert len(short) == 10
+
+
+def test_hnsw_sharded_knn_recall_and_discipline(spark, sf_dir):
+    """Sharded HNSW (index/hnsw.py — the reference family's pre-v0.7
+    graph index, restored Spark-first as independent per-shard graphs):
+    recall@10 vs brute force averaged over 5 queries must be ≥ 0.9;
+    the self-match survives; returned distances bit-match the
+    brute-force op's round_dist values for shared ids (the shard task's
+    numpy distances only pick candidates — output re-ranks through the
+    exact JVM path); prebuilt-graph reuse equals the one-shot path;
+    m < 2 raises cleanly."""
+    import pytest as _pytest
+
+    from oasysdb_spark.errors import InvalidArgumentError
+    from oasysdb_spark.index import hnsw
+    from oasysdb_spark.operators import vectorops as vec
+
+    g = hnsw.build_hnsw_shards(spark, sf_dir, shards=8).cache()
+    g.count()
+
+    hits = 0
+    for qid in (0, 7, 13, 21, 34):
+        got = [
+            (r["vec_id"], r["distance"])
+            for r in hnsw.hnsw_knn(
+                spark, sf_dir, query_vec_id=qid, k=10, graph_df=g
+            ).collect()
+        ]
+        brute = {
+            r["vec_id"]: r["distance"]
+            for r in vec.knn_bruteforce(
+                spark, sf_dir, query_vec_id=qid, k=10
+            ).collect()
+        }
+        assert got[0][0] == qid  # self-match first at distance 0.0
+        hits += len({v for v, _ in got} & set(brute))
+        for v, d in got:
+            if v in brute:
+                assert d == brute[v], (qid, v, d, brute[v])
+    recall = hits / 50
+    assert recall >= 0.9, f"sharded-HNSW recall@10 {recall}"
+
+    one_shot = [
+        tuple(r)
+        for r in hnsw.hnsw_knn(spark, sf_dir, query_vec_id=7, k=10, shards=8).collect()
+    ]
+    reused = [
+        tuple(r)
+        for r in hnsw.hnsw_knn(
+            spark, sf_dir, query_vec_id=7, k=10, graph_df=g
+        ).collect()
+    ]
+    assert one_shot == reused
+    with _pytest.raises(InvalidArgumentError, match="m must be"):
+        hnsw.build_hnsw_shards(spark, sf_dir, m=1)
+
+
+def test_hnsw_graph_deterministic_and_bounded_degree(spark, sf_dir):
+    """The graph is a pure function of the shard contents: two builds
+    yield identical rows (levels come from the md5 family, insertion
+    order is sorted, ties break on id). Degrees respect the paper's
+    bounds (M at upper layers, 2M at layer 0), and every neighbor id
+    stays inside its own shard (graphs are independent)."""
+    from oasysdb_spark.index import hnsw
+
+    rows = lambda: sorted(  # noqa: E731
+        (r["shard_id"], r["vec_id"], r["level"], [list(x) for x in r["neighbors"]])
+        for r in hnsw.build_hnsw_shards(spark, sf_dir, shards=4, m=8).collect()
+    )
+    a, b = rows(), rows()
+    assert a == b
+    shard_of = {vid: sid for sid, vid, _, _ in a}
+    for sid, vid, level, nbrs in a:
+        assert len(nbrs) == level + 1
+        for lc, lst in enumerate(nbrs):
+            bound = 16 if lc == 0 else 8
+            assert len(lst) <= bound, (vid, lc, len(lst))
+            for nb in lst:
+                assert shard_of[nb] == sid
