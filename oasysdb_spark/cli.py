@@ -79,10 +79,13 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--filter", dest="filter_expr", default=None)
     q.add_argument("--radius", type=float, default=None)
     q.add_argument("--probes", type=int, default=None)
-    q.add_argument("--approx", default=None, choices=["pq"],
-                   help="serve from the PQ compression tier (build-pq first)")
+    q.add_argument("--approx", default=None, choices=["pq", "hnsw"],
+                   help="serve from an approx tier: the PQ compression "
+                   "tier (build-pq first) or the HNSW graph tier "
+                   "(build-hnsw first; no --filter)")
     q.add_argument("--rerank", type=int, default=128,
-                   help="exact re-rank depth for --approx pq")
+                   help="exact re-rank depth (pq) / beam width ef_search "
+                   "(hnsw)")
 
     qm = add("query-many", help="batched ANN: many vectors, one job")
     src = qm.add_mutually_exclusive_group(required=True)
@@ -98,10 +101,12 @@ def build_parser() -> argparse.ArgumentParser:
     qm.add_argument("--filter", dest="filter_expr", default=None)
     qm.add_argument("--radius", type=float, default=None)
     qm.add_argument("--probes", type=int, default=None)
-    qm.add_argument("--approx", default=None, choices=["pq"],
-                    help="serve the batch from the PQ tier (build-pq first)")
+    qm.add_argument("--approx", default=None, choices=["pq", "hnsw"],
+                    help="serve the batch from the PQ tier (build-pq "
+                    "first) or the HNSW graph tier (build-hnsw first)")
     qm.add_argument("--rerank", type=int, default=128,
-                    help="exact re-rank depth for --approx pq")
+                    help="exact re-rank depth (pq) / beam width ef_search "
+                    "(hnsw)")
 
     b = add("build-index", help="build/rebuild the IVF index")
     b.add_argument("--seed", type=int, default=42)
@@ -114,6 +119,13 @@ def build_parser() -> argparse.ArgumentParser:
     bp.add_argument("--residual", action="store_true",
                     help="IVFADC: quantize embedding - centroid residuals "
                     "(requires build-index first)")
+
+    bh = add("build-hnsw", help="build/rebuild the HNSW graph tier")
+    bh.add_argument("--m", type=int, default=16,
+                    help="max neighbors per node per layer (2M at layer 0)")
+    bh.add_argument("--ef-construction", type=int, default=100)
+    bh.add_argument("--shards", type=int, default=None,
+                    help="independent per-shard graphs (default: one per core)")
 
     add("compact", help="rewrite the records table with healthy file sizes")
 
@@ -315,6 +327,14 @@ def main(argv: list[str] | None = None) -> int:
             "codewords": books.shape[1],
             "residual": args.residual,
         })
+    elif args.cmd == "build-hnsw":
+        from oasysdb_spark.index.hnsw import build_hnsw
+
+        n = build_hnsw(
+            db, m=args.m, ef_construction=args.ef_construction,
+            shards=args.shards,
+        )
+        _emit({"ok": True, "n_nodes": n})
     elif args.cmd == "compact":
         version = db.compact()
         _emit({"ok": True, "version": version})

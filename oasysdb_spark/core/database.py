@@ -560,7 +560,21 @@ class Database:
         touches raw vectors — then exact-re-ranks the best ``rerank``
         rows; pre-filter, radius, and probe-pruning semantics are
         unchanged (the filter applies before the ADC cut, the radius to
-        the exact distances). Euclidean metric only."""
+        the exact distances). Euclidean metric only.
+
+        ``approx="hnsw"`` (after ``index.hnsw.build_hnsw``) serves from
+        the persisted graph tier: every shard's graph beams
+        ``max(rerank, k)`` candidates (ef_search), then ONLY those ids
+        re-rank through the exact JVM distance path — output values
+        bit-match the exact query for shared ids. Radius applies to the
+        exact distances; ``probes`` is moot (candidates come from graph
+        edges, not cluster pruning). Metadata FILTERS are rejected with
+        a clean error: graph traversal cannot apply a predicate
+        mid-beam, so pre-filtering semantics — the reference contract —
+        cannot hold on this tier (post-filtering would silently return
+        fewer than k matching rows); use approx='pq' or the exact path
+        for filtered queries. A graph built before any record mutation
+        is refused as stale (see ``index.hnsw.load_hnsw_graph``)."""
         vec = self._validate_dim(vector)
         if k <= 0:
             raise errors.InvalidArgumentError(
@@ -572,6 +586,50 @@ class Database:
         )
         pred = compile_filter(filter, MapLayout())
 
+        if approx == "hnsw":
+            if filter is not None:
+                raise errors.InvalidArgumentError(
+                    "approx='hnsw' cannot honor pre-filtering semantics "
+                    "(graph traversal ignores predicates; post-filtering "
+                    "would under-fill k): use approx='pq' or the exact "
+                    "path for filtered queries"
+                )
+            if self.params.metric != "euclidean":
+                raise errors.InvalidArgumentError(
+                    "approx='hnsw' supports the euclidean metric only"
+                )
+            from oasysdb_spark.index.hnsw import (
+                batched_candidates,
+                load_hnsw_graph,
+            )
+
+            graph = load_hnsw_graph(self)
+            cand = batched_candidates(
+                graph, [(0, vec)], ef_search=max(rerank, k), id_type="string"
+            ).select(F.col("vec_id").alias("id"))
+            df = self.records_df().join(F.broadcast(cand), "id")
+            dist = distance_expr(
+                self.params.metric,
+                F.array(*[F.lit(x) for x in vec]),
+                F.col("embedding"),
+            )
+            out = df.withColumn("distance", dist)
+            if math.isfinite(qp.radius):
+                out = out.where(F.col("distance") <= F.lit(qp.radius))
+            else:
+                out = out.where(F.col("distance").isNotNull())
+            return (
+                out.orderBy(F.col("distance").asc_nulls_last(), F.col("id"))
+                .limit(k)
+                .select(
+                    "id",
+                    "m_text",
+                    "m_num",
+                    "m_bool",
+                    to_f32(F.col("distance")).alias("distance"),
+                )
+            )
+
         df = self.records_df()
         if self.is_indexed():
             probe_ids = self._probe_cluster_ids(vec, qp.probes)
@@ -580,7 +638,7 @@ class Database:
         if approx is not None:
             if approx != "pq":
                 raise errors.InvalidArgumentError(
-                    f"unknown approx mode {approx!r}; supported: 'pq'"
+                    f"unknown approx mode {approx!r}; supported: 'pq', 'hnsw'"
                 )
             if self.params.metric != "euclidean":
                 raise errors.InvalidArgumentError(
@@ -719,7 +777,15 @@ class Database:
         embedding column, a per-query window keeps the ``rerank`` best
         by ADC, and one id-join fetches raw vectors for only those
         winners before the exact top-k. Each query's result list equals
-        its standalone ``query(..., approx='pq')`` call."""
+        its standalone ``query(..., approx='pq')`` call.
+
+        ``approx="hnsw"`` (after ``index.hnsw.build_hnsw``) batches the
+        graph tier: one pass over the persisted graph beams EVERY query
+        through each shard's adjacency (rebuilt once per task), and the
+        candidates re-rank exactly. Same contract as the single-query
+        hnsw path: no metadata filters (clean error), euclidean only,
+        stale graphs refused; each query's list equals its standalone
+        ``query(..., approx='hnsw')`` call."""
         if k <= 0:
             raise errors.InvalidArgumentError(
                 "k must be > 0 (/root/reference/src/cores/database.rs:321-325)"
@@ -760,6 +826,66 @@ class Database:
         pred = compile_filter(filter, MapLayout())
 
         recs = self.records_df()
+
+        if approx == "hnsw":
+            # batched graph tier: ONE pass over the graph beams every
+            # query (each shard task rebuilds its adjacency once), then
+            # the candidate (query_id, id) rows join back for the exact
+            # re-rank — same contract as the single-query hnsw branch
+            # (no filters, euclidean only, stale graph refused)
+            if filter is not None:
+                raise errors.InvalidArgumentError(
+                    "approx='hnsw' cannot honor pre-filtering semantics "
+                    "(graph traversal ignores predicates; post-filtering "
+                    "would under-fill k): use approx='pq' or the exact "
+                    "path for filtered queries"
+                )
+            if self.params.metric != "euclidean":
+                raise errors.InvalidArgumentError(
+                    "approx='hnsw' supports the euclidean metric only"
+                )
+            from oasysdb_spark.index.hnsw import (
+                batched_candidates,
+                load_hnsw_graph,
+            )
+
+            graph = load_hnsw_graph(self)
+            if qvec_rows is None:  # DataFrame input: one collect (tiny batch)
+                qvec_rows = [
+                    (r["query_id"], list(r["qvec"])) for r in queries.collect()
+                ]
+            cand = batched_candidates(
+                graph,
+                qvec_rows,
+                ef_search=max(rerank, k),
+                id_type="string",
+            ).select("query_id", F.col("vec_id").alias("id"))
+            cand = cand.join(F.broadcast(queries), "query_id")
+            pairs = recs.join(F.broadcast(cand), "id")
+            dist = distance_expr(
+                self.params.metric, F.col("qvec"), F.col("embedding")
+            )
+            out = pairs.withColumn("distance", dist)
+            if math.isfinite(qp.radius):
+                out = out.where(F.col("distance") <= F.lit(qp.radius))
+            else:
+                out = out.where(F.col("distance").isNotNull())
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("distance").asc_nulls_last(), F.col("id")
+            )
+            return (
+                out.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= k)
+                .select(
+                    "query_id",
+                    "id",
+                    "m_text",
+                    "m_num",
+                    "m_bool",
+                    to_f32(F.col("distance")).alias("distance"),
+                )
+            )
+
         adc_k = None
         pq_residual = False
         if approx is not None:
@@ -768,7 +894,7 @@ class Database:
             # by contract, like the single query's table)
             if approx != "pq":
                 raise errors.InvalidArgumentError(
-                    f"unknown approx mode {approx!r}; supported: 'pq'"
+                    f"unknown approx mode {approx!r}; supported: 'pq', 'hnsw'"
                 )
             if self.params.metric != "euclidean":
                 raise errors.InvalidArgumentError(

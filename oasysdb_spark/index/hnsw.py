@@ -52,8 +52,11 @@ GRAPH_SCHEMA = (
     "neighbors array<array<long>>"
 )
 
+HNSW_FILE = "hnsw.json"
+GRAPH_DIR = "hnsw_graph"
 
-def node_level(vec_id: int, m: int) -> int:
+
+def node_level(vec_id, m: int) -> int:
     """Deterministic HNSW level: u = md5-uniform(vec_id) in (0,1),
     level = floor(-ln(u) · 1/ln(M)) — the paper's exponential decay with
     the repo's cross-engine hash family instead of an RNG, so the same
@@ -86,7 +89,9 @@ def build_hnsw_local(
     if n == 0:
         return [], []
     c2 = (vecs**2).sum(axis=1)
-    levels = [node_level(int(i), m) for i in ids]
+    # f"{np.int64(5)}" == f"{5}" and str ids pass through, so the level
+    # hash is identical whatever the id carrier type
+    levels = [node_level(i, m) for i in ids]
     max_level = max(levels)
     adj: list[dict[int, np.ndarray]] = [dict() for _ in range(max_level + 1)]
     empty = np.array([], dtype=np.int64)
@@ -261,12 +266,37 @@ def build_hnsw_shards(
     ef_search — on a large cluster prefer the largest shards whose
     build time you can amortize at ingest (probed: 25k-node shards
     build in ~50 s each)."""
-    if m < 2:
-        raise InvalidArgumentError(f"HNSW m must be >= 2, got {m}")
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     if shards is None:
         shards = max(2, spark.sparkContext.defaultParallelism)
-    sharded = embs.select(
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return graph_from_df(
+        embs.select("vec_id", "embedding"),
+        shards=shards,
+        m=m,
+        ef_construction=ef_construction,
+        id_type="long",
+    )
+
+
+def graph_from_df(
+    df: DataFrame,
+    shards: int,
+    m: int = 16,
+    ef_construction: int = 100,
+    id_type: str = "long",
+) -> DataFrame:
+    """The distributed build over any ``(vec_id, embedding)`` frame —
+    :func:`build_hnsw_shards` reads the fixture parquet into this;
+    :func:`build_hnsw` feeds it a Database's records (string ids, hence
+    ``id_type``)."""
+    if m < 2:
+        raise InvalidArgumentError(f"HNSW m must be >= 2, got {m}")
+    conv = int if id_type == "long" else str
+    schema = (
+        f"shard_id int, vec_id {id_type}, embedding array<float>, "
+        f"level int, neighbors array<array<{id_type}>>"
+    )
+    sharded = df.select(
         "vec_id",
         "embedding",
         (F.pmod(hash64(F.col("vec_id").cast("string"), salt="hnsw"), F.lit(shards)))
@@ -291,13 +321,13 @@ def build_hnsw_shards(
             rows = []
             for i in range(len(ids)):
                 nbrs = [
-                    [int(ids[x]) for x in adj[lc].get(i, [])]
+                    [conv(ids[x]) for x in adj[lc].get(i, [])]
                     for lc in range(levels[i] + 1)
                 ]
                 rows.append(
                     (
                         int(shard_id),
-                        int(ids[i]),
+                        conv(ids[i]),
                         [float(v) for v in grp["embedding"].iloc[i]],
                         int(levels[i]),
                         nbrs,
@@ -314,7 +344,172 @@ def build_hnsw_shards(
                 ],
             )
 
-    return sharded.mapInPandas(_build, schema=GRAPH_SCHEMA)
+    return sharded.mapInPandas(_build, schema=schema)
+
+
+def batched_candidates(
+    graph_df: DataFrame,
+    qvecs: "list[tuple[int, list[float]]]",
+    ef_search: int,
+    id_type: str = "long",
+) -> DataFrame:
+    """Candidate ids for a BATCH of queries in one pass over the graph:
+    each shard's task rebuilds its adjacency once and beams every query
+    through it (the amortization query_many_df applies to scans,
+    applied to graphs). Returns ``(query_id, vec_id)`` — ef_search rows
+    per (query, shard); exact re-ranking is the caller's job so output
+    values stay on the JVM round_dist path."""
+    qarr = [
+        (int(qid), np.asarray(qv, dtype=np.float64)) for qid, qv in qvecs
+    ]
+    out_schema = f"query_id long, vec_id {id_type}"
+
+    def _search(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"query_id": [], "vec_id": []})
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        vecs = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        levels = [int(x) for x in pdf["level"]]
+        id_to_loc = {v: i for i, v in enumerate(ids)}
+        max_level = max(levels)
+        adj = [dict() for _ in range(max_level + 1)]
+        for i, nbrs in enumerate(pdf["neighbors"]):
+            for lc, lst in enumerate(nbrs):
+                adj[lc][i] = np.array(
+                    [id_to_loc[x] for x in lst], dtype=np.int64
+                )
+        rows = []
+        for qid, qv in qarr:
+            got, _ = search_hnsw_local(ids, vecs, levels, adj, qv, ef_search)
+            rows.extend((qid, g) for g in got.tolist())
+        return pd.DataFrame(rows, columns=["query_id", "vec_id"])
+
+    return graph_df.groupBy("shard_id").applyInPandas(
+        _search, schema=out_schema
+    )
+
+
+def _records_fingerprint(db) -> dict:
+    """Cheap change detector for the records table: version pointer +
+    row count + a wrap-safe id-hash sum (each term < 2^20, so the sum
+    stays exact far past 2^40 rows under ANSI arithmetic). Updates and
+    deletes rewrite (new version); inserts append (count/sum change) —
+    every mutation moves at least one component."""
+    row = (
+        db.records_df()
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.pmod(hash64(F.col("id")), F.lit(1_048_576))).alias("s"),
+        )
+        .first()
+    )
+    return {
+        "version": db.records.current_version(),
+        "count": int(row["n"]),
+        "id_sum": int(row["s"]) if row["s"] is not None else 0,
+    }
+
+
+def build_hnsw(
+    db,
+    m: int = 16,
+    ef_construction: int = 100,
+    shards: int | None = None,
+) -> int:
+    """Attach the graph tier to a Database: build the sharded HNSW over
+    the record (id, embedding) rows, persist it as a versioned table
+    (``hnsw_graph/`` beside the records — same atomic pointer-swap
+    layout) plus ``hnsw.json`` holding the build knobs and a records
+    FINGERPRINT. Serving (``query(..., approx='hnsw')``) re-checks the
+    fingerprint and refuses a stale graph with a clean error instead of
+    silently missing newly inserted rows — unlike PQ codes (which
+    ingest re-encodes row-locally), graph edges are global state, so
+    the maintenance contract is rebuild-on-mutation (the compact()
+    schedule). Returns the number of graph rows."""
+    import json
+    import os
+
+    from oasysdb_spark.core.config import atomic_write_text
+    from oasysdb_spark.core.tables import VersionedTable
+
+    records = db.records_df().select(
+        F.col("id").alias("vec_id"), "embedding"
+    )
+    if shards is None:
+        shards = max(2, db.spark.sparkContext.defaultParallelism)
+    graph = graph_from_df(
+        records,
+        shards=shards,
+        m=m,
+        ef_construction=ef_construction,
+        id_type="string",
+    )
+    table = VersionedTable(os.path.join(db.dir, GRAPH_DIR))
+    n = graph.count()
+    if n == 0:
+        raise InvalidArgumentError("cannot build HNSW over zero records")
+    table.write(graph)
+    atomic_write_text(
+        os.path.join(db.dir, HNSW_FILE),
+        json.dumps(
+            {
+                "m": m,
+                "ef_construction": ef_construction,
+                "shards": shards,
+                "fingerprint": _records_fingerprint(db),
+            }
+        ),
+    )
+    db._hnsw_cache = None
+    return n
+
+
+def load_hnsw_graph(db) -> DataFrame:
+    """The persisted graph for serving, or a clean error when the tier
+    was never built or the records changed since the build (stale
+    edges would silently drop newly inserted rows from every result).
+    The freshness re-check is one count+sum aggregation, cached on the
+    handle and stamped by hnsw.json's mtime + the records version so
+    repeated queries don't re-aggregate an unchanged table."""
+    import json
+    import os
+
+    from oasysdb_spark.core.tables import VersionedTable
+    from oasysdb_spark.errors import InvalidArgumentError as _IAE
+
+    path = os.path.join(db.dir, HNSW_FILE)
+    try:
+        stamp = os.stat(path).st_mtime_ns
+    except FileNotFoundError:
+        raise _IAE(
+            "HNSW tier not built: call oasysdb_spark.index.hnsw.build_hnsw "
+            "(or the build-hnsw CLI command) first"
+        ) from None
+    with open(path, encoding="utf-8") as f:
+        meta = json.load(f)
+    fp = meta["fingerprint"]
+    cache = getattr(db, "_hnsw_cache", None)
+    cur_version = db.records.current_version()
+    # the version-DIR mtime catches appends: insert_batch writes new
+    # files INTO the current version (no pointer move), and adding a
+    # file bumps the directory's mtime
+    try:
+        dir_stamp = os.stat(db.records.current_path()).st_mtime_ns
+    except FileNotFoundError:
+        dir_stamp = 0
+    key = (stamp, cur_version, dir_stamp)
+    if not (isinstance(cache, tuple) and cache[0] == key):
+        now = _records_fingerprint(db)
+        if now != fp:
+            raise _IAE(
+                "HNSW graph is stale: records changed since build_hnsw "
+                f"(built at {fp}, records now {now}); rebuild the graph "
+                "(graph edges are global state — unlike PQ codes they "
+                "cannot be patched row-locally at ingest)"
+            )
+        db._hnsw_cache = (key,)
+    return VersionedTable(os.path.join(db.dir, GRAPH_DIR)).read(db.spark)
 
 
 def hnsw_knn(
@@ -345,29 +540,9 @@ def hnsw_knn(
         raise InvalidArgumentError(f"query vec_id {query_vec_id} not found")
     qvec = [float(x) for x in qrow["embedding"]]
 
-    def _search(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) == 0:
-            return pd.DataFrame({"vec_id": []}).astype({"vec_id": "int64"})
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        vecs = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
-        levels = [int(x) for x in pdf["level"]]
-        id_to_loc = {int(v): i for i, v in enumerate(ids)}
-        max_level = max(levels)
-        adj = [dict() for _ in range(max_level + 1)]
-        for i, nbrs in enumerate(pdf["neighbors"]):
-            for lc, lst in enumerate(nbrs):
-                adj[lc][i] = np.array(
-                    [id_to_loc[int(x)] for x in lst], dtype=np.int64
-                )
-        got, _ = search_hnsw_local(
-            ids, vecs, levels, adj, np.asarray(qvec), ef_search
-        )
-        return pd.DataFrame({"vec_id": got.astype("int64")})
-
-    cand = graph_df.groupBy("shard_id").applyInPandas(
-        _search, schema="vec_id long"
-    )
+    cand = batched_candidates(
+        graph_df, [(0, qvec)], ef_search=ef_search, id_type="long"
+    ).select("vec_id")
     qlit = F.array(*[F.lit(float(x)) for x in qvec])
     exact = cand.join(embs, "vec_id").select(
         "vec_id",

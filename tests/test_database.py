@@ -307,6 +307,17 @@ def test_cli_verbs_roundtrip(spark, tmp_path, capsys):
                "--approx", "pq", "--rerank", "10")
     assert pq_q == exact_q
 
+    # HNSW graph tier through the CLI: build, serve, agree with exact
+    bh = run("build-hnsw", "--dir", d, "--m", "4", "--shards", "2")
+    assert bh["ok"] is True and bh["n_nodes"] == 1
+    hq = run("query", "--dir", d, "--vector", "1,2,3", "-k", "1",
+             "--approx", "hnsw")
+    assert hq == exact_q
+    hqm = run("query-many", "--dir", d, "--vectors", "1,2,3;9,9,9",
+              "-k", "1", "--approx", "hnsw")
+    assert [h["id"] for h in hqm["results"]["0"]] == [rid]
+    assert [h["id"] for h in hqm["results"]["1"]] == [rid]
+
 
 def test_time_travel_surface(spark, tmp_path, capsys):
     """Database-level time travel: a delete produces a new version while
@@ -467,3 +478,64 @@ def test_snapshot_diff(spark, tmp_path, capsys):
         {"change": "added", "id": "d9"},
         {"change": "deleted", "id": "d2"},
     ]
+
+
+def test_hnsw_tier_lifecycle(spark, tmp_path):
+    """The graph serving tier end to end (index/hnsw.py build_hnsw →
+    query/query_many approx='hnsw'): results match the exact query
+    bit-for-bit on this fixture (per-shard graphs beam far more than k
+    over 200 sequential vectors); filters are rejected with the
+    documented pre-filtering error; a record mutation makes the graph
+    STALE and serving refuses it until rebuild; the batched form equals
+    N single calls; radius applies to the exact distances."""
+    from oasysdb_spark.index.hnsw import build_hnsw
+
+    d = str(tmp_path / "db_hnsw")
+    db = Database.configure(spark, d, dimension=DIM, metric="euclidean")
+    rows = [
+        (f"r{i:05d}", [float(i)] * DIM, {}, {"number": 1000.0 + i}, {})
+        for i in range(N)
+    ]
+    db.insert_batch(spark.createDataFrame(rows, RECORD_SCHEMA))
+
+    # not built yet → clean error
+    with pytest.raises(InvalidArgumentError, match="not built"):
+        db.query([1.0] * DIM, k=5, approx="hnsw")
+
+    n_nodes = build_hnsw(db, m=8, ef_construction=50, shards=4)
+    assert n_nodes == N
+
+    exact = db.query([1.0] * DIM, k=10)
+    approx = db.query([1.0] * DIM, k=10, approx="hnsw")
+    assert [r["id"] for r in approx] == [r["id"] for r in exact]
+    assert [r["distance"] for r in approx] == [r["distance"] for r in exact]
+    assert set(approx[0].keys()) == {"id", "metadata", "distance"}
+
+    # radius on exact distances: dist([1]*8, [i]*8) = 8(i-1)^2 ≤ 32 → i ∈ 0..3
+    rad = db.query([1.0] * DIM, k=100, radius=32.0, approx="hnsw")
+    assert sorted(r["id"] for r in rad) == [
+        "r00000", "r00001", "r00002", "r00003",
+    ]
+
+    # pre-filtering cannot hold on a graph: clean error, not silent loss
+    with pytest.raises(InvalidArgumentError, match="pre-filter"):
+        db.query([1.0] * DIM, k=5, filter="number > 1050", approx="hnsw")
+    with pytest.raises(InvalidArgumentError, match="pre-filter"):
+        db.query_many([[1.0] * DIM], k=5, filter="number > 1050", approx="hnsw")
+
+    # batched == N singles
+    qs = [[1.0] * DIM, [50.0] * DIM, [199.0] * DIM]
+    batched = db.query_many(qs, k=5, approx="hnsw")
+    for qi, qv in enumerate(qs):
+        single = db.query(qv, k=5, approx="hnsw")
+        assert [(r["id"], r["distance"]) for r in batched[qi]] == [
+            (r["id"], r["distance"]) for r in single
+        ]
+
+    # mutation → stale graph refused with the rebuild hint
+    db.insert([500.0] * DIM, {"number": 1500.0})
+    with pytest.raises(InvalidArgumentError, match="stale"):
+        db.query([1.0] * DIM, k=5, approx="hnsw")
+    build_hnsw(db, m=8, ef_construction=50, shards=4)
+    res = db.query([500.0] * DIM, k=1, approx="hnsw")
+    assert res[0]["distance"] == 0.0  # the new record is in the graph
