@@ -395,7 +395,12 @@ def _records_fingerprint(db) -> dict:
     row count + a wrap-safe id-hash sum (each term < 2^20, so the sum
     stays exact far past 2^40 rows under ANSI arithmetic). Updates and
     deletes rewrite (new version); inserts append (count/sum change) —
-    every mutation moves at least one component."""
+    every mutation moves at least one component. Deliberately
+    CONSERVATIVE: a metadata-only update also bumps the version and
+    flags the graph stale even though its edges (which depend only on
+    vectors) are still valid — the version component is what catches a
+    delete + same-id re-insert with a different vector, the mutation
+    that would otherwise serve silently wrong neighbors."""
     row = (
         db.records_df()
         .agg(
