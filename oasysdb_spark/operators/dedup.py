@@ -382,6 +382,171 @@ def banded_hamming_pairs(
     )
 
 
+_POP8 = None
+
+
+def _pairs_within_hamming(ids, W, mh: int, cap: int):
+    """EXACT all-pairs-within-hamming over one degenerate bucket,
+    top-``cap`` by the global ``(hamming, a, b)`` order — the in-task
+    engine behind :func:`banded_hamming_pairs_wide`'s big-bucket path.
+
+    A bucket this size exists because most of its hash bits are
+    CONSTANT (a blank image region, boilerplate text), so the classic
+    divide-and-conquer for Hamming-ball joins applies:
+
+    1. collapse rows to DISTINCT hash values (duplicate groups expand
+       at emission — a million-row clique costs one value);
+    2. if ≤1024 distinct values remain, brute-force their pairwise
+       hammings with a uint8-LUT popcount (≤ 0.5 M pairs);
+    3. else find the INFORMATIVE bit positions (OR ≠ AND across the
+       scope), split them into max(mh+1, ⌈bits/64⌉) sub-bands, and
+       recurse into each sub-band's value groups — pigeonhole over
+       > mh bands guarantees every qualifying pair shares some
+       sub-band, and every sub-scope is strictly smaller (a band is
+       built from a bit that VARIES in the scope), so the recursion
+       terminates. Pairs reachable through several bands dedup in the
+       found-set.
+
+    Emission expands value groups in ascending (hamming, a, b) order
+    with a running ``cap`` — exact for the caller's top-``top_n`` cut
+    by the per-block argument (a global top-n pair has at most n-1
+    pairs above it anywhere, so it survives every per-bucket cap).
+
+    ids: int64 (n,); W: uint64 (n, n_words). Returns (a, b, hamming)
+    arrays."""
+    import numpy as np
+
+    global _POP8
+    if _POP8 is None:
+        _POP8 = np.array(
+            [bin(i).count("1") for i in range(256)], dtype=np.uint16
+        )
+    pop = _POP8
+
+    empty = (
+        np.array([], dtype=np.int64),
+        np.array([], dtype=np.int64),
+        np.array([], dtype=np.int64),
+    )
+    n = len(ids)
+    if n < 2:
+        return empty
+    uniq, inv = np.unique(W, axis=0, return_inverse=True)
+    u = len(uniq)
+    order = np.argsort(inv, kind="stable")
+    bounds = np.searchsorted(inv[order], np.arange(u + 1))
+    members = [
+        np.sort(ids[order[bounds[g] : bounds[g + 1]]]) for g in range(u)
+    ]
+
+    found: dict = {}  # (gi, gj) i<j -> hamming (1..mh)
+
+    def brute(idx):
+        sub = uniq[idx]
+        m = len(idx)
+        x = sub[:, None, :] ^ sub[None, :, :]
+        h = pop[x.view(np.uint8)].sum(axis=2, dtype=np.int64)
+        iu = np.triu_indices(m, k=1)
+        ok = h[iu] <= mh
+        for r, c, hv in zip(iu[0][ok], iu[1][ok], h[iu][ok]):
+            gi, gj = int(idx[r]), int(idx[c])
+            if gi > gj:
+                gi, gj = gj, gi
+            found[(gi, gj)] = int(hv)
+
+    def rec(idx):
+        m = len(idx)
+        if m < 2:
+            return
+        if m <= 1024:
+            brute(idx)
+            return
+        sub = uniq[idx]
+        varw = np.bitwise_or.reduce(sub, axis=0) ^ np.bitwise_and.reduce(
+            sub, axis=0
+        )
+        positions = [
+            (wd, b)
+            for wd in range(sub.shape[1])
+            for b in range(64)
+            if (int(varw[wd]) >> b) & 1
+        ]
+        nb = max(mh + 1, (len(positions) + 63) // 64)
+        bands = np.array_split(np.arange(len(positions)), nb)
+        for band in bands:
+            if len(band) == 0:
+                continue
+            key = np.zeros(m, dtype=np.uint64)
+            for p in band:
+                wd, b = positions[int(p)]
+                key = (key << np.uint64(1)) | (
+                    (sub[:, wd] >> np.uint64(b)) & np.uint64(1)
+                )
+            o = np.argsort(key, kind="stable")
+            ks = key[o]
+            starts = np.concatenate(
+                ([0], np.nonzero(ks[1:] != ks[:-1])[0] + 1, [m])
+            )
+            for s, e in zip(starts[:-1], starts[1:]):
+                if e - s >= 2:
+                    rec(idx[o[s:e]])
+
+    rec(np.arange(u))
+
+    # candidates in ascending hamming: same-value groups are hamming 0
+    cands = [(0, g, g) for g in range(u) if len(members[g]) >= 2]
+    cands += [(h, gi, gj) for (gi, gj), h in sorted(found.items())]
+    cands.sort()
+
+    # Emission with a PROVEN prefix bound per candidate (members are
+    # sorted ascending): a pair in a cand's top-c must draw its A-side
+    # from A's first c+1 members and its B-side from B's first c+1
+    # (else c+1 strictly-smaller pairs exist by swapping in smaller
+    # members); a same-group pair (m_i, m_j) in the top-c has i ≤ c and
+    # j ≤ i + c + 1, so the first 2c+2 members suffice. So each cand
+    # expands a bounded slice, the level lexsorts, and the running cap
+    # cuts — exact, never a heuristic truncation.
+    out_a: list = []
+    out_b: list = []
+    out_h: list = []
+    kept = 0
+    i = 0
+    while i < len(cands) and kept < cap:
+        h = cands[i][0]
+        c_each = cap - kept
+        level_a, level_b = [], []
+        # expand every candidate at THIS hamming level before cutting
+        while i < len(cands) and cands[i][0] == h:
+            _, gi, gj = cands[i]
+            if gi == gj:
+                ms = members[gi][: 2 * c_each + 2]
+                iu = np.triu_indices(len(ms), k=1)
+                level_a.append(ms[iu[0]])
+                level_b.append(ms[iu[1]])
+            else:
+                A = members[gi][: c_each + 1]
+                B = members[gj][: c_each + 1]
+                x = np.repeat(A, len(B))
+                y = np.tile(B, len(A))
+                level_a.append(np.minimum(x, y))
+                level_b.append(np.maximum(x, y))
+            i += 1
+        la = np.concatenate(level_a)
+        lb = np.concatenate(level_b)
+        o = np.lexsort((lb, la))[:c_each]
+        out_a.append(la[o])
+        out_b.append(lb[o])
+        out_h.append(np.full(len(o), h, dtype=np.int64))
+        kept += len(o)
+    if not out_a:
+        return empty
+    return (
+        np.concatenate(out_a),
+        np.concatenate(out_b),
+        np.concatenate(out_h),
+    )
+
+
 def banded_hamming_pairs_wide(
     banded: DataFrame,
     id_col: str,
@@ -390,26 +555,72 @@ def banded_hamming_pairs_wide(
     max_hamming: int,
     top_n: int,
     out_names: tuple[str, str],
+    n_words: int = 0,
+    bucket_verify_threshold: int = 4096,
 ) -> DataFrame:
     """:func:`oasysdb_spark.operators.dedup.banded_hamming_pairs` for
-    multi-word hashes: identical melt/join/dedup/cut shape, with
-    hamming = Σ bit_count(xor) over the zipped word arrays (native
-    expressions, no UDF in the verify). Exhaustiveness is still the
-    caller's pigeonhole contract (max_hamming < number of bands)."""
+    multi-word hashes: the same melt/join/dedup/cut shape with two
+    defenses a wide hash needs at scale (r7, found by the sf1 probe of
+    the flipped 256-bit default):
+
+    - hamming is an UNROLLED Σ bit_count(element_at xor) over the
+      ``n_words`` words (pass it; 0 falls back to the interpreted
+      ``aggregate(zip_with)`` fold) — higher-order array folds run
+      OUTSIDE whole-stage codegen, a ~100× per-row tax that only shows
+      up when a band bucket fans out;
+    - DEGENERATE BUCKETS — a band value shared by ≥
+      ``bucket_verify_threshold`` rows — never reach the self-join.
+      The hazard: a constant image region / boilerplate text makes one
+      band value near-universal (the fixture's zero-padded short docs
+      leave the 3 high bands all-zero on EVERY short doc), so that
+      bucket's join degenerates to all-pairs row materialization —
+      ~1.5 B joined rows at 55k docs, unbounded at corpus scale. Such
+      buckets route to a per-bucket Arrow task that computes pairwise
+      hammings as tiled numpy uint8-LUT popcounts (~1e9 pairs/s,
+      bounded tiles) and EMITS only pairs ≤ ``max_hamming`` — exact,
+      never a sampled or dropped bucket, the same
+      giant-block-verify move as ``embedding_near_pairs_ivf``. Output
+      is identical either way (both paths are exact; dropDuplicates
+      merges pairs found via several bands).
+
+    Exhaustiveness is still the caller's pigeonhole contract
+    (max_hamming < number of bands)."""
+    import numpy as np
+
     a_name, b_name = out_names
     cached = banded.cache()
     melted = _melt_bands(cached, [id_col, words_col], band_cols)
-    hamming = F.aggregate(
-        F.zip_with(
-            F.col(f"a.{words_col}"),
-            F.col(f"b.{words_col}"),
-            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
+    sizes = melted.groupBy("band_id", "band_val").agg(
+        F.count("*").alias("__bc")
     )
-    a, b = melted.alias("a"), melted.alias("b")
-    return (
+    melted = melted.join(sizes, ["band_id", "band_val"])
+    small = melted.where(F.col("__bc") < bucket_verify_threshold)
+    big = melted.where(F.col("__bc") >= bucket_verify_threshold)
+
+    if n_words > 0:
+        terms = [
+            F.bit_count(
+                F.element_at(F.col(f"a.{words_col}"), i + 1).bitwiseXOR(
+                    F.element_at(F.col(f"b.{words_col}"), i + 1)
+                )
+            )
+            for i in range(n_words)
+        ]
+        hamming = terms[0]
+        for t in terms[1:]:
+            hamming = hamming + t
+    else:
+        hamming = F.aggregate(
+            F.zip_with(
+                F.col(f"a.{words_col}"),
+                F.col(f"b.{words_col}"),
+                lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+    a, b = small.alias("a"), small.alias("b")
+    join_pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -422,6 +633,23 @@ def banded_hamming_pairs_wide(
             hamming.alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+    )
+
+    mh = max_hamming
+    cap = top_n
+
+    def bucket_verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy().astype(np.int64)
+        w = np.asarray(pdf[words_col].tolist(), dtype=np.int64).view(np.uint64)
+        ta, tb, th = _pairs_within_hamming(ids, w, mh, cap)
+        return pd.DataFrame({a_name: ta, b_name: tb, "hamming": th})
+
+    big_pairs = big.groupBy("band_id", "band_val").applyInPandas(
+        bucket_verify, schema=f"{a_name} long, {b_name} long, hamming long"
+    )
+
+    return (
+        join_pairs.unionByName(big_pairs)
         .dropDuplicates([a_name, b_name])
         .select(a_name, b_name, F.col("hamming").cast("bigint").alias("hamming"))
         .orderBy("hamming", a_name, b_name)
@@ -826,6 +1054,7 @@ def simhash_wide_pairs(
         max_hamming=max_hamming,
         top_n=top_n,
         out_names=("doc_a", "doc_b"),
+        n_words=2,
     )
 
 

@@ -1076,6 +1076,7 @@ def multimodal_dhash_near_pairs(
             max_hamming=max_hamming,
             top_n=top_n,
             out_names=("media_a", "media_b"),
+            n_words=4,
         )
     if hash_bits != 56:
         from oasysdb_spark.errors import InvalidArgumentError

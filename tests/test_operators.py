@@ -2098,6 +2098,60 @@ def test_ngram_contamination_max_train_df_excludes_boilerplate(spark, sf_dir):
         assert gr["n_train_docs"] == len(want_train), (r["doc_id"], gr)
 
 
+def test_pairs_within_hamming_matches_quadratic_truth():
+    """The degenerate-bucket engine (dedup._pairs_within_hamming — r7,
+    found when the flipped 256-bit dhash default hit the fixture's
+    zero-pad bucket: one band value shared by ~55k rows degenerates the
+    band join to ~1.5 B materialized rows): distinct-collapse +
+    informative-bit re-banding recursion + proven-slice capped emission
+    must return EXACTLY the quadratic truth's top-cap under the global
+    (hamming, a, b) order, on adversarial structure — duplicate
+    cliques, a constant region (the degenerate-band shape), random
+    tails, and a cap that actually binds. Pure numpy, no Spark."""
+    import numpy as np
+
+    from oasysdb_spark.operators.dedup import _pairs_within_hamming
+
+    rng = np.random.default_rng(23)
+    rows = []
+    # duplicate cliques: 3 values × 30 members each (hamming-0 mass)
+    for v in range(3):
+        base = rng.integers(0, 2**63, size=4, dtype=np.int64)
+        for _ in range(30):
+            rows.append(base.copy())
+    # constant-region family: word 2 and 3 fixed, words 0-1 low-entropy
+    # (8 informative bits) — forces the re-banding recursion
+    fixed = rng.integers(0, 2**63, size=2, dtype=np.int64)
+    for _ in range(600):
+        w0 = int(rng.integers(0, 16)) | (1 << 40)
+        w1 = int(rng.integers(0, 16))
+        rows.append(np.array([w0, w1, fixed[0], fixed[1]], dtype=np.int64))
+    # random tail
+    for _ in range(200):
+        rows.append(rng.integers(0, 2**63, size=4, dtype=np.int64))
+    W = np.asarray(rows, dtype=np.int64)
+    ids = rng.permutation(len(W)).astype(np.int64)  # ids ≠ positions
+
+    def ham(a, b):
+        return sum(
+            bin(int(x) ^ int(y)).count("1")
+            for x, y in zip(a.view(np.uint64), b.view(np.uint64))
+        )
+
+    truth = sorted(
+        (ham(W[i], W[j]), min(int(ids[i]), int(ids[j])),
+         max(int(ids[i]), int(ids[j])))
+        for i in range(len(W))
+        for j in range(i + 1, len(W))
+        if ham(W[i], W[j]) <= 3
+    )
+    for cap in (7, 50, 10**6):
+        a, b, h = _pairs_within_hamming(ids, W.view(np.uint64), 3, cap)
+        got = list(zip(h.tolist(), a.tolist(), b.tolist()))
+        assert got == truth[:cap], (cap, got[:5], truth[:5])
+    assert len(truth) > 60  # the structures actually produced pairs
+
+
 def test_cross_source_duplication_matches_duckdb_oracle(spark, sf_dir):
     """cross_source_duplication_stats hash-compared against an
     independent DuckDB replay (digest-per-source counts, pair counts
