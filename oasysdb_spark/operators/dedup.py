@@ -343,6 +343,7 @@ def banded_hamming_pairs(
     max_hamming: int,
     top_n: int,
     out_names: tuple[str, str],
+    bucket_verify_threshold: int = 4096,
 ) -> DataFrame:
     """Banded hamming self-join shared by the simhash and perceptual-hash
     tiers: candidates share one of the ``band_cols`` key columns, pairs
@@ -353,14 +354,26 @@ def banded_hamming_pairs(
     generation is ONE equi-join on the compound band key whatever the
     band count, then pair-level dedup and a deterministic
     (hamming, a, b) cut. The hamming filter runs BEFORE the dedup so
-    only near-pairs transit the dropDuplicates shuffle. Exhaustiveness
-    is the CALLER's contract: pigeonhole guarantees it only when
-    max_hamming < number of bands."""
+    only near-pairs transit the dropDuplicates shuffle. DEGENERATE
+    band buckets (≥ ``bucket_verify_threshold`` rows sharing one value
+    — a constant hash region at corpus scale) skip the join and run the
+    exact in-task engine, same as the wide variant (see
+    :func:`banded_hamming_pairs_wide` / :func:`_pairs_within_hamming`).
+    Exhaustiveness is the CALLER's contract: pigeonhole guarantees it
+    only when max_hamming < number of bands."""
+    import numpy as np
+
     a_name, b_name = out_names
     cached = banded.cache()
     melted = _melt_bands(cached, [id_col, hash_col], band_cols)
-    a, b = melted.alias("a"), melted.alias("b")
-    return (
+    sizes = melted.groupBy("band_id", "band_val").agg(
+        F.count("*").alias("__bc")
+    )
+    melted = melted.join(sizes, ["band_id", "band_val"])
+    small = melted.where(F.col("__bc") < bucket_verify_threshold)
+    big = melted.where(F.col("__bc") >= bucket_verify_threshold)
+    a, b = small.alias("a"), small.alias("b")
+    join_pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -375,6 +388,25 @@ def banded_hamming_pairs(
             ).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+    )
+
+    mh = max_hamming
+    cap = top_n
+
+    def bucket_verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy().astype(np.int64)
+        w = pdf[hash_col].to_numpy().astype(np.int64).reshape(-1, 1).view(
+            np.uint64
+        )
+        ta, tb, th = _pairs_within_hamming(ids, w, mh, cap)
+        return pd.DataFrame({a_name: ta, b_name: tb, "hamming": th})
+
+    big_pairs = big.groupBy("band_id", "band_val").applyInPandas(
+        bucket_verify, schema=f"{a_name} long, {b_name} long, hamming long"
+    )
+
+    return (
+        join_pairs.unionByName(big_pairs)
         .dropDuplicates([a_name, b_name])
         .select(a_name, b_name, F.col("hamming").cast("bigint").alias("hamming"))
         .orderBy("hamming", a_name, b_name)
