@@ -1006,6 +1006,128 @@ def span_dedup_stats(
     )
 
 
+# Exactly line_dedup_stats' line_len (10) tokens, so the injected line
+# occupies pseudo-line 0 of every 3rd document verbatim and the rest of
+# the document's chunk boundaries are untouched.
+LINE_TEMPLATE = "subscribe to our newsletter terms of service apply all rights"
+
+
+def line_dedup_stats(
+    spark: SparkSession, sf_dir: str, line_len: int = 10
+) -> DataFrame:
+    """CCNet-style LINE-level dedup (Wenzek et al. 2019, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    every line that appears more than once ANYWHERE in the corpus keeps
+    exactly ONE copy — the first winner by ``(doc_id, position)`` — and
+    all other occurrences are cut; documents are then reassembled from
+    their surviving lines. The fixture corpus has no newlines, so a
+    "line" is a deterministic ``line_len``-token chunk of the token
+    stream (the last chunk may be shorter), and :data:`LINE_TEMPLATE`
+    (exactly ``line_len`` tokens) is prepended to every 3rd document so
+    cross-doc duplicate lines actually exist — the same injection
+    pattern as :func:`span_dedup_stats` / :func:`boilerplate_scrub`.
+
+    Returns per doc ``(doc_id, n_lines, n_kept, n_dup_dropped,
+    kept_chars, kept_hash_sum, keep_frac)``. ``kept_hash_sum`` —
+    ``sum(line_hash % 1_000_000_007)`` over the SURVIVING lines — is an
+    order-independent checksum of exactly which lines each reassembled
+    document contains, so the oracle hash-checks the reassembly without
+    either engine ever concatenating (or shuffling) text.
+
+    Scale shape (the 100 TB contract): line hashes and char counts are
+    computed row-locally BEFORE any exchange, so the only rows that
+    ever shuffle are ``(doc_id, p, h, nc)`` — four fixed-width ints per
+    line, never text. Two shuffles total: a ``row_number`` window
+    partitioned by the uniform 64-bit line hash (first-winner pick —
+    partitions are duplicate cliques, almost all of size 1), then the
+    per-doc aggregation. CCNet's production sharding (hash-bucketed
+    line files) is exactly this plan with the window's exchange made
+    explicit."""
+    docs = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit(LINE_TEMPLATE + " ")
+        ).otherwise(F.lit("")),
+        F.col("text"),
+    )
+    line = lambda i: F.concat_ws(  # noqa: E731 — row-local chunk expr
+        " ", F.slice(F.col("tk"), i * line_len + 1, line_len)
+    )
+    base = docs.select("doc_id", tokens(aug).alias("tk")).select(
+        "doc_id",
+        F.when(
+            F.size("tk") > 0,
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("tk") / F.lit(float(line_len))).cast("int")
+                    - 1,
+                ),
+                lambda i: F.struct(
+                    i.alias("p"),
+                    hash64(line(i)).alias("h"),
+                    F.length(line(i)).alias("nc"),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<struct<p:int,h:bigint,nc:int>>"))
+        .alias("ln"),
+    )
+    base = base.cache()  # feeds the line table AND the 0-line left join
+    pos = base.select("doc_id", F.explode("ln").alias("s")).select(
+        "doc_id",
+        F.col("s.p").alias("p"),
+        F.col("s.h").alias("h"),
+        F.col("s.nc").alias("nc"),
+    )
+    win = Window.partitionBy("h").orderBy("doc_id", "p")
+    kept = F.row_number().over(win) == 1
+    per = (
+        pos.withColumn("keep", kept.cast("int"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("keep") == 1, F.col("nc")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+            F.sum(
+                F.when(
+                    F.col("keep") == 1, F.col("h") % F.lit(1_000_000_007)
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("kept_hash_sum"),
+        )
+    )
+    return (
+        base.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.coalesce("n_lines", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_dropped"),
+            F.coalesce("kept_chars", F.lit(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+            F.coalesce("kept_hash_sum", F.lit(0))
+            .cast("bigint")
+            .alias("kept_hash_sum"),
+            F.when(
+                F.coalesce("n_lines", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_kept").cast("double") / F.col("n_lines"), 6
+                ),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("keep_frac"),
+        )
+    )
+
+
 def heavy_hitter_terms(
     spark: SparkSession,
     sf_dir: str,

@@ -2694,3 +2694,112 @@ def test_domain_mixture_temperature_matches_python_replay(spark, sf_dir):
     nat = textops.domain_mixture_sample(spark, sf_dir, temperature=1.0)
     for r in nat.collect():
         assert r["keep_ppm"] == 1_000_000 and r["n_kept"] == r["n_docs"]
+
+
+def test_line_dedup_stats_matches_duckdb_oracle(spark, sf_dir):
+    """line_dedup_stats (CCNet line-level dedup, first-winner keep,
+    reassembly checksum) hash-compared against an independent DuckDB
+    replay — the self-oracle gate ahead of driver-window rotation (r8
+    candidate). Invariants: the injected template line survives in
+    EXACTLY one document corpus-wide; every later injected doc drops at
+    least its template copy; total drops equal total lines minus
+    distinct line hashes; the kept-checksum equals the sum over
+    distinct hashes (each kept exactly once)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.functions.hashing import hash64_sql
+    from oasysdb_spark.operators import textops
+
+    got = textops.line_dedup_stats(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) > 1
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    lh = hash64_sql("array_to_string(tk[i*10+1 : i*10+10], ' ')")
+    res = con.execute(f"""
+        WITH aug AS (SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN '{textops.LINE_TEMPLATE} ' ELSE '' END || text AS text
+             FROM documents),
+        base AS (SELECT doc_id, {toks} AS tk FROM aug),
+        ln AS (SELECT doc_id, s['p'] AS p, s['h'] AS h, s['nc'] AS nc
+               FROM (SELECT doc_id,
+                       unnest(CASE WHEN len(tk) > 0
+                              THEN list_transform(
+                                   range(0, CAST(ceil(len(tk) / 10.0) AS INT)),
+                                   i -> {{'p': i, 'h': {lh},
+                                         'nc': length(array_to_string(
+                                                  tk[i*10+1 : i*10+10], ' '))}})
+                              ELSE [] END) AS s
+                     FROM base)),
+        r AS (SELECT doc_id, p, h, nc,
+                     row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+              FROM ln),
+        per AS (SELECT doc_id,
+                  CAST(count(*) AS BIGINT) AS n_lines,
+                  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                  CAST(sum(CASE WHEN rn = 1 THEN nc ELSE 0 END) AS BIGINT) AS kept_chars,
+                  CAST(sum(CASE WHEN rn = 1 THEN h % 1000000007 ELSE 0 END) AS BIGINT)
+                      AS kept_hash_sum
+                FROM r GROUP BY doc_id)
+        SELECT b.doc_id,
+               COALESCE(per.n_lines, 0) AS n_lines,
+               COALESCE(per.n_kept, 0) AS n_kept,
+               COALESCE(per.n_lines, 0) - COALESCE(per.n_kept, 0) AS n_dup_dropped,
+               COALESCE(per.kept_chars, 0) AS kept_chars,
+               COALESCE(per.kept_hash_sum, 0) AS kept_hash_sum,
+               CASE WHEN COALESCE(per.n_lines, 0) > 0
+                    THEN round(CAST(per.n_kept AS DOUBLE) / per.n_lines, 6)
+                    ELSE 1.0 END AS keep_frac
+        FROM (SELECT doc_id FROM base) b
+        LEFT JOIN per ON b.doc_id = per.doc_id""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "line_dedup_stats", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    # invariants over the Spark result
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    by_doc = {r[ix["doc_id"]]: r for r in spark_rows}
+    injected = sorted(d for d in by_doc if d % 3 == 0)
+    assert len(injected) > 1
+    # every injected doc after the first winner drops at least one line
+    for d in injected[1:]:
+        assert by_doc[d][ix["n_dup_dropped"]] >= 1, d
+    # corpus-level conservation: drops == total lines - distinct hashes
+    stats = con.execute(f"""
+        WITH aug AS (SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN '{textops.LINE_TEMPLATE} ' ELSE '' END || text AS text
+             FROM documents),
+        base AS (SELECT doc_id, {toks} AS tk FROM aug),
+        ln AS (SELECT s['h'] AS h
+               FROM (SELECT unnest(CASE WHEN len(tk) > 0
+                              THEN list_transform(
+                                   range(0, CAST(ceil(len(tk) / 10.0) AS INT)),
+                                   i -> {{'h': {lh}}})
+                              ELSE [] END) AS s
+                     FROM base))
+        SELECT count(*), count(DISTINCT h),
+               sum(DISTINCT_H) FROM (SELECT h, min(h % 1000000007) AS DISTINCT_H
+                                     FROM ln GROUP BY h)""").fetchone()
+    n_distinct_rows, n_distinct, distinct_sum = stats
+    total_lines = sum(r[ix["n_lines"]] for r in spark_rows)
+    total_kept = sum(r[ix["n_kept"]] for r in spark_rows)
+    total_drop = sum(r[ix["n_dup_dropped"]] for r in spark_rows)
+    assert total_kept == n_distinct
+    assert total_drop == total_lines - n_distinct
+    # reassembly checksum: each distinct line kept exactly once
+    assert sum(r[ix["kept_hash_sum"]] for r in spark_rows) == distinct_sum
