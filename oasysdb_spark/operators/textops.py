@@ -1514,6 +1514,103 @@ def quality_percentile_filter(
     )
 
 
+def dsir_importance_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = 1024,
+    top_k: int = 100,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw doc by
+    how target-like its hashed n-gram feature distribution is, then
+    keep the highest-scoring docs. Features are word bigrams hashed
+    into ``n_buckets`` buckets; the target slice is the corpus's
+    English documents (``lang = 'en'`` — the DSIR shape: a trusted
+    target distribution vs the whole raw crawl). Per bucket the
+    add-one-smoothed log-likelihood ratio
+
+        lr_f = log2( (t_f + 1) * (R + B)  /  ((r_f + 1) * (T + B)) )
+
+    (t_f/r_f = target/raw bucket counts, T/R their totals, B =
+    ``n_buckets``) is rounded to 6; a doc's score is the MEAN lr over
+    its bigram positions (mean, not sum, so score is length-invariant
+    — DSIR's per-feature normalization), rounded to 6. The
+    deterministic variant of DSIR's Gumbel-top-k: rank by
+    ``(score_bits DESC, doc_id)`` and keep ``top_k``. Returns
+    ``(rank, doc_id, source, lang, n_bigrams, score_bits)``.
+
+    Float discipline: the ratio is ONE log2 of integer products
+    (identical parenthesization in the oracle), rounded to 6 before
+    the per-doc mean so both engines average identical doubles; the
+    rank orders by the ROUNDED score with doc_id as tiebreak.
+
+    Scale shape (the 100 TB contract): bigrams form and hash
+    row-locally; the model is two bucket aggregations each bounded by
+    ``n_buckets`` rows regardless of corpus size; the ≤ B-row
+    log-ratio table broadcasts; scoring is one (doc_id) aggregation —
+    fixed-width partial sums, never text; the final top-k is a
+    bounded TakeOrderedAndProject, not a global sort."""
+    docs = _docs(spark, sf_dir)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("tk") - 2),
+        lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i + 1, 2)),
+    )
+    feats = (
+        docs.select(
+            "doc_id", "source", "lang", tokens(F.col("text")).alias("tk")
+        )
+        .where(F.size("tk") >= 2)
+        .select(
+            "doc_id", "source", "lang", F.explode(grams).alias("g")
+        )
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            (hash64(F.col("g")) % n_buckets).alias("f"),
+        )
+        .cache()
+    )
+    tgt = feats.where(F.col("lang") == "en")
+    t_counts = tgt.groupBy("f").agg(F.count("*").alias("t_f"))
+    r_counts = feats.groupBy("f").agg(F.count("*").alias("r_f"))
+    t_total = tgt.count()
+    r_total = feats.count()
+    lr = (
+        r_counts.join(t_counts, "f", "left")
+        .select(
+            "f",
+            F.round(
+                F.log(
+                    (F.coalesce("t_f", F.lit(0)) + 1).cast("double")
+                    * (r_total + n_buckets)
+                    / (
+                        (F.col("r_f") + 1).cast("double")
+                        * (t_total + n_buckets)
+                    )
+                )
+                / F.log(F.lit(2.0)),
+                6,
+            ).alias("lr"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(lr), "f")
+        .groupBy("doc_id", "source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("lr"), 6).alias("score_bits"),
+        )
+    )
+    # bounded top-k FIRST (TakeOrderedAndProject — never a global sort),
+    # then the rank window runs over ≤ top_k rows, not the corpus
+    top = scored.orderBy(F.desc("score_bits"), F.asc("doc_id")).limit(top_k)
+    win = Window.orderBy(F.desc("score_bits"), F.asc("doc_id"))
+    return top.withColumn(
+        "rank", F.row_number().over(win).cast("bigint")
+    ).select("rank", "doc_id", "source", "lang", "n_bigrams", "score_bits")
+
+
 def trigram_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram LM quality signal with STUPID BACKOFF (Brants et al.
     2007, "Large Language Models in Machine Translation") — the scoring

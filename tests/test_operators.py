@@ -2803,3 +2803,75 @@ def test_line_dedup_stats_matches_duckdb_oracle(spark, sf_dir):
     assert total_drop == total_lines - n_distinct
     # reassembly checksum: each distinct line kept exactly once
     assert sum(r[ix["kept_hash_sum"]] for r in spark_rows) == distinct_sum
+
+
+def test_dsir_importance_sample_matches_duckdb_oracle(spark, sf_dir):
+    """dsir_importance_sample (DSIR hashed-bigram importance weights,
+    deterministic top-k) hash-compared against an independent DuckDB
+    replay — the self-oracle gate ahead of driver-window rotation (r8
+    candidate). Invariants: exactly top_k rows; ranks are 1..k with
+    scores non-increasing; the target slice (lang='en') dominates the
+    selection — importance weighting must pull the target distribution
+    forward or the op is a no-op."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.functions.hashing import hash64_sql
+    from oasysdb_spark.operators import textops
+
+    got = textops.dsir_importance_sample(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) == 100
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    gh = hash64_sql("array_to_string(tk[i:i+1], ' ')")
+    res = con.execute(f"""
+        WITH tk AS (SELECT doc_id, source, lang, {toks} AS tk FROM documents),
+        feats AS (SELECT doc_id, source, lang, {gh} % 1024 AS f
+                  FROM (SELECT doc_id, source, lang, tk,
+                               unnest(range(1, len(tk))) AS i
+                        FROM tk WHERE len(tk) >= 2)),
+        t AS (SELECT f, count(*) AS t_f FROM feats WHERE lang = 'en' GROUP BY f),
+        r AS (SELECT f, count(*) AS r_f FROM feats GROUP BY f),
+        tot AS (SELECT (SELECT count(*) FROM feats WHERE lang = 'en') AS T,
+                       (SELECT count(*) FROM feats) AS R),
+        lr AS (SELECT r.f,
+                      round(log2(CAST(COALESCE(t.t_f, 0) + 1 AS DOUBLE)
+                                 * (tot.R + 1024)
+                                 / (CAST(r.r_f + 1 AS DOUBLE) * (tot.T + 1024))),
+                            6) AS lr
+               FROM r LEFT JOIN t ON r.f = t.f, tot),
+        scored AS (SELECT doc_id, source, lang,
+                          CAST(count(*) AS BIGINT) AS n_bigrams,
+                          round(avg(lr), 6) AS score_bits
+                   FROM feats JOIN lr USING (f)
+                   GROUP BY doc_id, source, lang),
+        ranked AS (SELECT row_number() OVER (ORDER BY score_bits DESC, doc_id)
+                       AS rank, *
+                   FROM scored)
+        SELECT CAST(rank AS BIGINT) AS rank, doc_id, source, lang,
+               n_bigrams, score_bits
+        FROM ranked WHERE rank <= 100""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "dsir_importance_sample", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    by_rank = sorted(spark_rows, key=lambda r: r[ix["rank"]])
+    assert [r[ix["rank"]] for r in by_rank] == list(range(1, 101))
+    scores = [r[ix["score_bits"]] for r in by_rank]
+    assert scores == sorted(scores, reverse=True)
+    n_en = sum(1 for r in spark_rows if r[ix["lang"]] == "en")
+    assert n_en > 50, n_en  # the target slice dominates the selection
