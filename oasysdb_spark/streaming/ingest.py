@@ -566,6 +566,121 @@ def dedup_stream(
     )
 
 
+def line_dedup_stream_flags(
+    docs_stream: DataFrame, line_len: int = 10, shards: int = 32
+) -> DataFrame:
+    """STREAMING CCNet line-level dedup — the twin of
+    :func:`oasysdb_spark.operators.textops.line_dedup_stats`: the FIRST
+    arrival of each distinct line keeps its copy, every later
+    occurrence (same doc re-delivered, or another doc quoting the same
+    line) is flagged cut. Docs chunk into the same deterministic
+    ``line_len``-token pseudo-lines as batch; each line row carries
+    ``(doc_id, p, h, nc, keep)`` so downstream reassembles survivors or
+    aggregates per-doc stats exactly as the batch op does.
+
+    Batch/stream divergence, pinned by the twin test: batch's winner is
+    the global ``(doc_id, position)`` minimum, the stream's is arrival
+    order (within one micro-batch group the rows are sorted by
+    ``(doc_id, p)`` so a single-batch replay matches batch exactly).
+    The SET of surviving lines — one copy per distinct hash — is
+    identical either way; the twin test checks that via the same
+    mod-1e9+7 hash checksum the batch op exposes.
+
+    Scale shape: lines hash row-locally, then only ``(doc_id, p, h,
+    nc)`` int rows reach the stateful operator — text never shuffles.
+    State is the seen-hash set, hash-partitioned into ``shards``
+    disjoint groups so each group holds ~distinct/shards 8-byte
+    entries; like the decontamination twins the state grows with the
+    DISTINCT corpus (a corpus-processing stream, not an infinite
+    feed) — an eviction horizon would bound it at the cost of
+    re-admitting lines older than the horizon."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from oasysdb_spark.functions.hashing import hash64
+    from oasysdb_spark.functions.text import tokens
+
+    line = lambda i: F.concat_ws(  # noqa: E731 — row-local chunk expr
+        " ", F.slice(F.col("tk"), i * line_len + 1, line_len)
+    )
+    lines = (
+        docs_stream.select("doc_id", tokens(F.col("text")).alias("tk"))
+        .where(F.size("tk") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(
+                            F.size("tk") / F.lit(float(line_len))
+                        ).cast("int")
+                        - 1,
+                    ),
+                    lambda i: F.struct(
+                        i.alias("p"),
+                        hash64(line(i)).alias("h"),
+                        F.length(line(i)).alias("nc"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("s.p").alias("p"),
+            F.col("s.h").alias("h"),
+            F.col("s.nc").alias("nc"),
+            (F.col("s.h") % shards).cast("bigint").alias("shard"),
+        )
+    )
+
+    out_schema = "doc_id bigint, p int, h bigint, nc int, keep boolean"
+    state_schema = "seen array<bigint>"
+
+    def _update(key, pdfs, state: GroupState):
+        seen = set(int(x) for x in state.get[0]) if state.exists else set()
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            if state.exists:
+                state.update(([int(x) for x in seen],))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "p": pd.Series([], dtype="int32"),
+                    "h": pd.Series([], dtype="int64"),
+                    "nc": pd.Series([], dtype="int32"),
+                    "keep": pd.Series([], dtype="bool"),
+                }
+            )
+            return
+        pdf = pd.concat(frames).sort_values(["doc_id", "p"])
+        keeps = []
+        for h in pdf["h"]:
+            h = int(h)
+            if h in seen:
+                keeps.append(False)
+            else:
+                seen.add(h)
+                keeps.append(True)
+        state.update(([int(x) for x in seen],))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "p": pdf["p"].astype("int32"),
+                "h": pdf["h"].astype("int64"),
+                "nc": pdf["nc"].astype("int32"),
+                "keep": keeps,
+            }
+        )
+
+    return lines.groupBy("shard").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def heavy_hitter_stream_sketches(
     docs_stream: DataFrame, sketch_k: int = 64, shards: int = 8
 ) -> DataFrame:

@@ -813,3 +813,104 @@ def test_ngram_overlap_stream_matches_batch_and_survives_restart(
         ckpt_dir=str(tmp_path / "ngram_ckpt2"),
     )
     assert got_shuffled == expected
+
+
+def test_line_dedup_stream_matches_batch_and_survives_restart(
+    spark, sf_dir, tmp_path
+):
+    """Streaming CCNet line dedup must keep exactly one copy of every
+    distinct line across a two-phase availableNow run with a checkpoint
+    restart (set-of-survivors invariant, checked via the same mod-1e9+7
+    checksum the batch op exposes); a re-delivery phase must flag every
+    re-delivered line cut without ever re-keeping; and a single-batch
+    replay of the whole corpus must reproduce batch line_dedup_stats'
+    per-doc kept counts EXACTLY (within one micro-batch the group sorts
+    by (doc_id, p), so the stream's first winner is batch's winner)."""
+    from oasysdb_spark.operators.textops import LINE_TEMPLATE, line_dedup_stats
+    from oasysdb_spark.streaming.ingest import line_dedup_stream_flags
+
+    batch = {
+        r["doc_id"]: r for r in line_dedup_stats(spark, sf_dir).collect()
+    }
+    want_kept = sum(r["n_kept"] for r in batch.values())
+    want_lines = sum(r["n_lines"] for r in batch.values())
+    want_checksum = sum(r["kept_hash_sum"] for r in batch.values())
+    assert want_kept < want_lines  # injected duplicates actually dropped
+
+    aug = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            F.concat(
+                F.when(
+                    F.col("doc_id") % 3 == 0, F.lit(LINE_TEMPLATE + " ")
+                ).otherwise(F.lit("")),
+                F.col("text"),
+            ).alias("text"),
+        )
+    )
+
+    src = str(tmp_path / "ld_src")
+    out = str(tmp_path / "ld_out")
+    ckpt = str(tmp_path / "ld_ckpt")
+
+    def drain(out_dir=None, ckpt_dir=None):
+        stream = spark.readStream.schema(aug.schema).parquet(src)
+        q = (
+            line_dedup_stream_flags(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir or out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt_dir or ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir or out)
+
+    aug.where("doc_id % 2 = 0").write.parquet(src)
+    got1 = drain()
+    kept1 = {tuple(r) for r in got1.where("keep").collect()}
+    # phase 1 survivors: one copy per distinct hash seen so far
+    assert len(kept1) == len({k[2] for k in kept1})
+
+    aug.where("doc_id % 2 = 1").write.mode("append").parquet(src)
+    got2 = drain()
+    kept2 = {tuple(r) for r in got2.where("keep").collect()}
+    hashes2 = {k[2] for k in kept2}
+    assert len(kept2) == len(hashes2) == want_kept
+    assert sum(h % 1_000_000_007 for h in hashes2) == want_checksum
+    assert got2.select("doc_id", "p").distinct().count() == want_lines
+    # restart kept phase-1 state: phase-1 winners never re-keyed
+    assert kept1 <= kept2
+
+    # re-delivery: every re-delivered line is already seen -> cut
+    aug.where("doc_id % 2 = 0").write.mode("append").parquet(src)
+    got3 = drain()
+    kept3 = {tuple(r) for r in got3.where("keep").collect()}
+    assert kept3 == kept2
+
+    # single-batch replay == batch op exactly (per-doc kept counts)
+    src1 = str(tmp_path / "ld_src1")
+    aug.write.parquet(src1)
+    stream = spark.readStream.schema(aug.schema).parquet(src1)
+    q = (
+        line_dedup_stream_flags(stream)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "ld_out1"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ld_ckpt1"))
+        .start()
+    )
+    q.awaitTermination(120)
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in spark.read.parquet(str(tmp_path / "ld_out1"))
+        .where("keep")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for d, r in batch.items():
+        assert per_doc.get(d, 0) == r["n_kept"], d
