@@ -1845,3 +1845,146 @@ def ngram_contamination_report(
             F.coalesce("n_train_docs", F.lit(0)).cast("bigint").alias("n_train_docs"),
         )
     )
+
+
+def _bloom_params(n_items: int, fpp: float, max_bits: int) -> tuple[int, int]:
+    """Standard Bloom sizing (Bloom 1970): m = -n·ln(p)/ln2², k =
+    (m/n)·ln2, with m rounded up to a whole number of 64-bit words and
+    capped at ``max_bits`` (past the cap the ACHIEVED fpp degrades
+    gracefully instead of memory growing unboundedly)."""
+    import math
+
+    if n_items <= 0:
+        return 64, 1
+    m = int(math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+    m = min(max_bits, ((m + 63) // 64) * 64)
+    k = max(1, round(m / n_items * math.log(2)))
+    return m, min(k, 16)
+
+
+def _bloom_positions(h, j: int, m: int):
+    """Kirsch-Mitzenmacher double hashing (2006, "Less Hashing, Same
+    Performance"): position_j = (h1 + j·h2) mod m from two halves of
+    the 60-bit gram hash, h2 forced odd so the stride cycles all of m.
+    Works on numpy int64 arrays; all arithmetic stays in uint64."""
+    import numpy as np
+
+    hu = h.astype(np.uint64)
+    h1 = hu & np.uint64((1 << 30) - 1)
+    h2 = ((hu >> np.uint64(30)) | np.uint64(1)) & np.uint64((1 << 30) - 1)
+    return ((h1 + np.uint64(j) * h2) % np.uint64(m)).astype(np.int64)
+
+
+def bloom_overlap_flags(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    fpp: float = 0.001,
+    max_bits: int = 1 << 27,
+) -> DataFrame:
+    """Bloom-filter n-gram decontamination — the Dolma-style (Soldaini
+    et al. 2024) scale path of :func:`ngram_overlap_flags`: the eval
+    corpus's n-gram set is compressed into an ``m``-bit Bloom filter
+    (``-n·ln(fpp)/ln2²`` bits — ~1.8 MB per million grams at 0.1%), so
+    the train side needs NO join at all: every executor tests its gram
+    positions against the broadcast bitmap map-side. Same output schema
+    as the exact op; guarantees by construction: ZERO false negatives
+    (every exact hit is flagged), false positives at ~``fpp`` per clean
+    position (the twin test bounds the achieved rate).
+
+    Measured trade-off (sf0.1/sf1/sf10, local[32]): while the eval gram
+    set FITS the exact op's broadcast guard, the exact codegen
+    semi-join is ~4-30x faster than this op's Arrow probe — use exact.
+    This op's regime is the other side of the guard: a benchmark suite
+    whose gram set is too large to broadcast-join forces exact into a
+    shuffled equi-join of the ENTIRE train gram stream, while the
+    bloom stays a fixed-size bitmap broadcast and the train pass stays
+    shuffle-free regardless of eval size.
+
+    Scale shape (the 100 TB contract): the build is one distinct over
+    eval gram hashes then a partition-local bitmap per partition
+    (``mapInPandas`` — each task emits m/8 bytes REGARDLESS of row
+    count) OR-merged on the driver — the collect is bounded by
+    partitions × m/8, never by data; the probe is an Arrow-vectorized
+    batch test against the task-broadcast bitmap (k numpy gathers per
+    batch — no per-row Python), and the only shuffle in the whole op
+    is the final per-doc count aggregation. Hashing is the same
+    row-local ``hash64`` family as the exact op, split
+    Kirsch-Mitzenmacher-style into k strided bit positions."""
+    import numpy as np
+
+    ev = (
+        _token_ngram_hashes(eval_docs, n)
+        .select(F.explode("gh").alias("h"))
+        .distinct()
+        .cache()
+    )
+    n_items = ev.count()
+    m, k = _bloom_params(n_items, fpp, max_bits)
+
+    def build(batches):
+        bm = np.zeros(m // 8, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            any_rows = True
+            h = pdf["h"].to_numpy()
+            for j in range(k):
+                pos = _bloom_positions(h, j, m)
+                np.bitwise_or.at(
+                    bm, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+                )
+        if any_rows:
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = ev.mapInPandas(build, schema="bm binary").collect()
+    bitmap = np.zeros(m // 8, dtype=np.uint8)
+    for r in parts:  # OR-merge the partition bitmaps (bounded: parts × m/8)
+        bitmap |= np.frombuffer(r["bm"], dtype=np.uint8)
+    spark = train_docs.sparkSession
+    bc = spark.sparkContext.broadcast(bitmap.tobytes())
+
+    @F.pandas_udf("boolean")
+    def member(h: pd.Series) -> pd.Series:
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        hv = h.to_numpy()
+        hit = np.ones(len(hv), dtype=bool)
+        for j in range(k):
+            pos = _bloom_positions(hv, j, m)
+            hit &= (bm[pos >> 3] >> (pos & 7).astype(np.uint8) & 1).astype(
+                bool
+            )
+        return pd.Series(hit)
+
+    tr = _token_ngram_hashes(train_docs, n).select(
+        "doc_id", F.size("gh").alias("n_grams"), F.col("gh")
+    )
+    tr = tr.cache()  # feeds the position explode AND the final left join
+    pos = tr.select("doc_id", F.explode("gh").alias("h"))
+    hits = (
+        pos.where(member(F.col("h")))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_hit_positions"))
+    )
+    return (
+        tr.select("doc_id", "n_grams")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce("n_hit_positions", F.lit(0))
+            .cast("bigint")
+            .alias("n_hit_positions"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    F.coalesce("n_hit_positions", F.lit(0)).cast("double")
+                    / F.col("n_grams"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("hit_frac"),
+        )
+    )

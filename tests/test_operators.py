@@ -2875,3 +2875,65 @@ def test_dsir_importance_sample_matches_duckdb_oracle(spark, sf_dir):
     assert scores == sorted(scores, reverse=True)
     n_en = sum(1 for r in spark_rows if r[ix["lang"]] == "en")
     assert n_en > 50, n_en  # the target slice dominates the selection
+
+
+def test_bloom_overlap_flags_superset_of_exact_with_bounded_fp(spark, sf_dir):
+    """Bloom-filter decontamination vs the exact n-gram op on the same
+    injection-augmented corpora: ZERO false negatives (per-doc bloom
+    hit counts >= exact, and every exactly-contaminated doc is
+    flagged), achieved false-positive rate on clean positions within a
+    generous multiple of the requested fpp, deterministic across runs,
+    and the degenerate empty-eval case flags nothing."""
+    from oasysdb_spark.operators.dedup import bloom_overlap_flags, ngram_overlap_flags
+    from oasysdb_spark.operators.textops import BOILERPLATE_TEMPLATE
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    aug_train = docs.where(F.col("doc_id") % 10 != 3).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit(" " + BOILERPLATE_TEMPLATE)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    aug_eval = docs.where(F.col("doc_id") % 10 == 3).select(
+        "doc_id", F.concat("text", F.lit(" " + BOILERPLATE_TEMPLATE)).alias("text")
+    )
+
+    exact = {
+        r["doc_id"]: r for r in ngram_overlap_flags(aug_train, aug_eval).collect()
+    }
+    got = {
+        r["doc_id"]: r
+        for r in bloom_overlap_flags(aug_train, aug_eval, fpp=0.001).collect()
+    }
+    assert set(got) == set(exact)
+    assert any(r["n_hit_positions"] > 0 for r in exact.values())
+
+    extra = clean = 0
+    for d, e in exact.items():
+        b = got[d]
+        assert b["n_grams"] == e["n_grams"]
+        # no false negatives: bloom flags every exact hit position
+        assert b["n_hit_positions"] >= e["n_hit_positions"], d
+        extra += b["n_hit_positions"] - e["n_hit_positions"]
+        clean += e["n_grams"] - e["n_hit_positions"]
+    # achieved FP rate within a generous multiple of the requested fpp
+    assert clean > 0
+    assert extra / clean <= max(10 * 0.001, 20 / clean), (extra, clean)
+
+    # deterministic: a second run produces the identical report
+    again = {
+        r["doc_id"]: tuple(r)
+        for r in bloom_overlap_flags(aug_train, aug_eval, fpp=0.001).collect()
+    }
+    assert again == {d: tuple(r) for d, r in got.items()}
+
+    # empty eval side -> empty bloom -> nothing flagged
+    none = bloom_overlap_flags(
+        aug_train, aug_eval.where(F.lit(False)), fpp=0.001
+    )
+    assert none.agg(F.sum("n_hit_positions")).collect()[0][0] == 0
