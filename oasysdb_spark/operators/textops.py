@@ -145,6 +145,74 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Overlapping token-window chunking — the standard RAG /
+    embedding-prep split (LangChain/LlamaIndex's recursive splitter
+    reduced to its fixed-window token core): each document yields
+    windows of ``chunk_tokens`` tokens advancing by ``chunk_tokens -
+    overlap`` (the stride), so consecutive chunks share ``overlap``
+    tokens of context; the last window may be shorter but every token
+    is covered. ``n_chunks = max(1, ceil((t - overlap) / stride))``
+    for a ``t``-token doc. Returns one row per chunk ``(doc_id,
+    chunk_id, start_tok, n_tokens, chunk_hash)`` — the hash (same
+    oracle-replayable ``hash64`` family) identifies chunk CONTENT so
+    downstream joins/dedups/embeds without this op ever emitting text.
+
+    Scale shape: pure row-local expression work — one ``transform``
+    over the start sequence then ``explode``; ZERO shuffles, no UDFs,
+    fully whole-stage-codegen. The op that feeds `embed.py`'s
+    text→vector bridge and the ANN tier at corpus scale."""
+    if overlap < 0 or overlap >= chunk_tokens:
+        from oasysdb_spark.errors import InvalidArgumentError
+
+        raise InvalidArgumentError(
+            f"overlap must be in [0, chunk_tokens) (got overlap={overlap}, "
+            f"chunk_tokens={chunk_tokens}): stride would be <= 0 and the "
+            "window would never advance"
+        )
+    stride = chunk_tokens - overlap
+    docs = _docs(spark, sf_dir)
+    piece = lambda i: F.slice(  # noqa: E731 — row-local window expr
+        F.col("tk"), i * stride + 1, chunk_tokens
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("tk") - overlap) / F.lit(float(stride))).cast("int"),
+    )
+    return (
+        docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+        .where(F.size("tk") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.struct(
+                        i.cast("bigint").alias("chunk_id"),
+                        (i * stride).cast("bigint").alias("start_tok"),
+                        F.size(piece(i)).cast("bigint").alias("n_tokens"),
+                        hash64(F.concat_ws(" ", piece(i))).alias(
+                            "chunk_hash"
+                        ),
+                    ),
+                )
+            ).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.start_tok").alias("start_tok"),
+            F.col("c.n_tokens").alias("n_tokens"),
+            F.col("c.chunk_hash").alias("chunk_hash"),
+        )
+    )
+
+
 # Deterministic per-stratum keep rates (percent) for the domain-mixing
 # sampler; strata absent from the map keep everything.
 MIX_RATES = {"en": 25, "de": 50, "es": 75}

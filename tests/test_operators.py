@@ -2937,3 +2937,88 @@ def test_bloom_overlap_flags_superset_of_exact_with_bounded_fp(spark, sf_dir):
         aug_train, aug_eval.where(F.lit(False)), fpp=0.001
     )
     assert none.agg(F.sum("n_hit_positions")).collect()[0][0] == 0
+
+
+def test_chunk_documents_matches_duckdb_oracle(spark, sf_dir):
+    """chunk_documents (overlapping token-window RAG chunking)
+    hash-compared against an independent DuckDB replay — the
+    self-oracle gate ahead of driver-window rotation (r8 candidate).
+    Invariants: chunk_ids are dense 0..n-1 per doc; starts advance by
+    the stride; consecutive chunks overlap by exactly `overlap` token
+    positions; coverage is total (last chunk reaches the doc's end);
+    and a degenerate overlap raises InvalidArgumentError."""
+    import sys
+
+    import duckdb
+    import pytest as _pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.errors import InvalidArgumentError
+    from oasysdb_spark.functions.hashing import hash64_sql
+    from oasysdb_spark.operators import textops
+
+    got = textops.chunk_documents(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) > 500  # multi-chunk docs exist
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    ch = hash64_sql("array_to_string(tk[i*24+1 : i*24+32], ' ')")
+    res = con.execute(f"""
+        WITH tk AS (SELECT doc_id, {toks} AS tk FROM documents),
+        n AS (SELECT doc_id, tk,
+                     greatest(1, CAST(ceil((len(tk) - 8) / 24.0) AS INT)) AS nc
+              FROM tk WHERE len(tk) > 0)
+        SELECT doc_id,
+               CAST(c['chunk_id'] AS BIGINT) AS chunk_id,
+               CAST(c['start_tok'] AS BIGINT) AS start_tok,
+               CAST(c['n_tokens'] AS BIGINT) AS n_tokens,
+               c['chunk_hash'] AS chunk_hash
+        FROM (SELECT doc_id,
+                unnest(list_transform(range(0, nc),
+                  i -> {{'chunk_id': i, 'start_tok': i*24,
+                        'n_tokens': len(tk[i*24+1 : i*24+32]),
+                        'chunk_hash': {ch}}})) AS c
+              FROM n)""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "chunk_documents", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    from collections import defaultdict
+
+    per_doc = defaultdict(list)
+    for r in spark_rows:
+        per_doc[r[ix["doc_id"]]].append(r)
+    n_toks = {
+        r["doc_id"]: r["t"]
+        for r in spark.sql(
+            f"SELECT doc_id, size(filter(split(lower(text), '[^a-z0-9]+'), "
+            f"t -> t != '')) AS t FROM parquet.`{sf_dir}/documents.parquet`"
+        ).collect()
+    }
+    multi = 0
+    for d, rows in per_doc.items():
+        rows.sort(key=lambda r: r[ix["chunk_id"]])
+        assert [r[ix["chunk_id"]] for r in rows] == list(range(len(rows)))
+        for j, r in enumerate(rows):
+            assert r[ix["start_tok"]] == j * 24
+        last = rows[-1]
+        # total coverage: the last chunk reaches the doc's final token
+        assert last[ix["start_tok"]] + last[ix["n_tokens"]] == n_toks[d], d
+        if len(rows) > 1:
+            multi += 1
+            assert all(r[ix["n_tokens"]] == 32 for r in rows[:-1])
+    assert multi > 0
+
+    with _pytest.raises(InvalidArgumentError):
+        textops.chunk_documents(spark, sf_dir, chunk_tokens=8, overlap=8)
