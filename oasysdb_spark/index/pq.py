@@ -59,6 +59,16 @@ def fit_codebooks(
         fit_df = df.sample(fraction=fit_sample_size / n, seed=seed)
     pdf = fit_df.select("embedding").toPandas()
     mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+    return _fit_codebooks_local(mat, m, nbits, seed, max_iter)
+
+
+def _fit_codebooks_local(
+    mat: np.ndarray, m: int, nbits: int, seed: int, max_iter: int
+) -> np.ndarray:
+    """Driver-side per-subspace codebook fit over an (n, dim) sample
+    matrix — shared by the plain PQ fit and the OPQ alternation."""
+    from oasysdb_spark.index.ivf import _kmeans_fit_local
+
     dim = mat.shape[1]
     if dim % m != 0:
         raise InvalidArgumentError(f"dimension {dim} not divisible by m={m}")
@@ -75,19 +85,113 @@ def fit_codebooks(
     return books
 
 
-def encode(df: DataFrame, codebooks: np.ndarray, col: str = "embedding") -> DataFrame:
+def _encode_local(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Driver-side encode of an (n, dim) matrix: per-subspace argmin
+    codeword indices, shape (n, m) int32 — the same BLAS shape the
+    distributed ``encode`` UDF runs per Arrow batch."""
+    m, k, dsub = books.shape
+    codes = np.empty((len(mat), m), dtype=np.int32)
+    for j in range(m):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        c = books[j]
+        d = -2.0 * (sub @ c.T) + (c**2).sum(axis=1)[None, :]
+        codes[:, j] = d.argmin(axis=1)
+    return codes
+
+
+def _reconstruct_local(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_encode_local`: concatenate each row's chosen
+    codewords back into an (n, dim) reconstruction."""
+    m, k, dsub = books.shape
+    return np.concatenate([books[j][codes[:, j]] for j in range(m)], axis=1)
+
+
+def fit_opq(
+    df: DataFrame,
+    m: int = 8,
+    nbits: int = 4,
+    seed: int = 42,
+    n_iter: int = 5,
+    max_iter: int = 10,
+    fit_sample_size: int = 100_000,
+    n: int | None = None,
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Optimized Product Quantization (Ge et al. 2013, "Optimized
+    Product Quantization for Approximate Nearest Neighbor Search" —
+    the non-parametric alternation): learn an ORTHOGONAL rotation
+    ``R`` so the rotated data's subspaces are as independent and
+    balanced as PQ assumes, then quantize the rotated vectors. Plain
+    PQ's error is dominated by correlated/unbalanced dimensions
+    (energy concentrated in one subspace); rotation redistributes it.
+
+    Alternation from ``R = I``: (1) fix R, fit per-subspace codebooks
+    on ``X @ R``; (2) fix the quantization ``Y``, solve the orthogonal
+    Procrustes problem ``min_R ||X R − Y||_F`` in closed form
+    (``R = U Vᵀ`` from ``svd(Xᵀ Y)``) — each half-step cannot increase
+    the quantization error, so the sample MSE is non-increasing (the
+    twin test asserts OPQ ≤ plain PQ on correlated data). All fit work
+    is driver-side over the same seeded bounded sample discipline as
+    :func:`fit_codebooks` (the d×d SVD is O(d³), microseconds at
+    embedding dims); serving reuses the entire PQ/ADC path with the
+    query rotated driver-side and rows rotated inside the one
+    Arrow-batched encode pass — distances are rotation-invariant so
+    the exact re-rank tail is unchanged.
+
+    Returns ``(R, codebooks)`` with ``R`` (dim, dim) orthogonal and
+    codebooks shaped like :func:`fit_codebooks`'s."""
+    if n is None:
+        n = df.count()
+    if n == 0:
+        raise InvalidArgumentError("cannot fit OPQ over zero rows")
+    fit_df = df
+    if n > fit_sample_size:
+        fit_df = df.sample(fraction=fit_sample_size / n, seed=seed)
+    pdf = fit_df.select("embedding").toPandas()
+    mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+    dim = mat.shape[1]
+    if dim % m != 0:
+        raise InvalidArgumentError(f"dimension {dim} not divisible by m={m}")
+    rot = np.eye(dim)
+    books = _fit_codebooks_local(mat, m, nbits, seed, max_iter)
+    for _ in range(n_iter):
+        xr = mat @ rot
+        books = _fit_codebooks_local(xr, m, nbits, seed, max_iter)
+        y = _reconstruct_local(_encode_local(xr, books), books)
+        u, _s, vt = np.linalg.svd(mat.T @ y)
+        rot = u @ vt
+    # final books consistent with the final rotation
+    books = _fit_codebooks_local(mat @ rot, m, nbits, seed, max_iter)
+    return rot, books
+
+
+def encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    col: str = "embedding",
+    rotation: "np.ndarray | None" = None,
+) -> DataFrame:
     """Append ``pq_code array<int>`` (length m): per-subspace nearest
     codeword of the ``col`` array column, computed Arrow-batched with one
     BLAS matmul per subspace. Run ONCE at ingest and store the codes —
-    queries never touch raw vectors except in the re-rank tail."""
+    queries never touch raw vectors except in the re-rank tail.
+    ``rotation`` (OPQ): rotate each batch by the broadcast (dim, dim)
+    orthogonal matrix before quantizing — one extra GEMM in the same
+    Arrow pass, nothing else changes."""
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(np.asarray(codebooks, dtype=np.float64))
+    bc = spark.sparkContext.broadcast(
+        (
+            np.asarray(codebooks, dtype=np.float64),
+            None if rotation is None else np.asarray(rotation, dtype=np.float64),
+        )
+    )
 
     @F.pandas_udf("array<int>")
     def _enc(emb: pd.Series) -> pd.Series:
-        books = bc.value
+        books, rot = bc.value
         m, k, dsub = books.shape
         x = np.asarray(emb.tolist(), dtype=np.float64)
+        if rot is not None:
+            x = x @ rot
         codes = np.empty((len(x), m), dtype=np.int32)
         for j in range(m):
             sub = x[:, j * dsub : (j + 1) * dsub]
@@ -361,6 +465,59 @@ def pq_knn(
     qvec = list(qrow["embedding"])
 
     table = adc_table(qvec, codebooks)
+    cand = (
+        codes_df.select("vec_id", adc_score_expr(table).alias("adc"))
+        .orderBy(F.col("adc").asc(), "vec_id")
+        .limit(rerank)
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    exact = cand.join(embs, "vec_id").select(
+        "vec_id", round_dist(sqeuclidean(qlit, F.col("embedding"))).alias("distance")
+    )
+    return exact.orderBy(F.col("distance").asc(), "vec_id").limit(k)
+
+
+def opq_knn(
+    spark,
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    m: int = 8,
+    nbits: int = 4,
+    rerank: int = 128,
+    seed: int = 42,
+    n_iter: int = 5,
+    codes_df: DataFrame | None = None,
+    opq: "tuple[np.ndarray, np.ndarray] | None" = None,
+) -> DataFrame:
+    """OPQ + exact-re-rank k-NN — :func:`pq_knn` with the learned
+    rotation applied: rows rotate inside the one ingest-time encode
+    pass, the query rotates driver-side before the ADC table, and
+    because rotation preserves Euclidean distance the candidate
+    ADC ordering approximates the SAME true distances, so the exact
+    re-rank tail (raw vectors, unrotated) is byte-identical to PQ's.
+    Same memory budget as PQ at equal (m, nbits); the rotation buys
+    quantization error, which buys recall-per-rerank on correlated
+    data (the fixture is isotropic — PQ's worst case and OPQ's
+    no-op case — so the recall gate reuses PQ's bar and the
+    MSE-improvement gate runs on correlated synthetic data)."""
+    from oasysdb_spark.functions.vectors import sqeuclidean
+    from oasysdb_spark.operators.vectorops import load_embeddings, round_dist
+
+    embs = load_embeddings(spark, sf_dir)
+    if opq is None:
+        opq = fit_opq(
+            embs.select("embedding"), m=m, nbits=nbits, seed=seed, n_iter=n_iter
+        )
+    rot, books = opq
+    if codes_df is None:
+        codes_df = encode(embs, books, rotation=rot).cache()
+    qrow = embs.where(F.col("vec_id") == query_vec_id).select("embedding").first()
+    if qrow is None:
+        raise InvalidArgumentError(f"query vec_id {query_vec_id} not found")
+    qvec = np.asarray(qrow["embedding"], dtype=np.float64)
+
+    table = adc_table(qvec @ rot, books)
     cand = (
         codes_df.select("vec_id", adc_score_expr(table).alias("adc"))
         .orderBy(F.col("adc").asc(), "vec_id")

@@ -464,3 +464,73 @@ def test_hnsw_graph_deterministic_and_bounded_degree(spark, sf_dir):
             assert len(lst) <= bound, (vid, lc, len(lst))
             for nb in lst:
                 assert shard_of[nb] == sid
+
+
+def test_opq_rotation_orthogonal_and_beats_pq_on_correlated_data(spark):
+    """OPQ gates (Ge et al. 2013): the learned rotation is orthogonal
+    to machine precision, and on data with strong cross-subspace
+    correlation (where plain PQ's independent-subspace assumption is
+    maximally wrong) the OPQ sample quantization MSE is at or below
+    plain PQ's at the same (m, nbits) budget. Built on a seeded
+    synthetic: isotropic Gaussian pushed through a skewed mixing
+    matrix so energy concentrates along rotated directions."""
+    import numpy as np
+
+    from oasysdb_spark.index import pq
+
+    rng = np.random.default_rng(7)
+    d, n = 64, 2000
+    mix = rng.normal(size=(d, d)) * np.geomspace(1.0, 0.05, d)[None, :]
+    mat = rng.normal(size=(n, d)) @ mix
+    df = spark.createDataFrame(
+        [([float(x) for x in row],) for row in mat], "embedding array<double>"
+    )
+
+    books_pq = pq.fit_codebooks(df, m=8, nbits=4, seed=1)
+    rot, books_opq = pq.fit_opq(df, m=8, nbits=4, seed=1, n_iter=5)
+
+    assert np.allclose(rot @ rot.T, np.eye(d), atol=1e-10)
+
+    def mse(x, books, r=None):
+        xr = x if r is None else x @ r
+        y = pq._reconstruct_local(pq._encode_local(xr, books), books)
+        return float(((xr - y) ** 2).sum(axis=1).mean())
+
+    m_pq = mse(mat, books_pq)
+    m_opq = mse(mat, books_opq, rot)
+    assert m_opq <= m_pq, (m_opq, m_pq)
+    # on this correlated design the rotation buys a real margin
+    assert m_opq < 0.9 * m_pq, (m_opq, m_pq)
+
+
+def test_opq_knn_rerank_recall(spark, sf_dir):
+    """OPQ serving path: same recall bar as pq_knn on the isotropic
+    fixture (rotation is a no-op distribution-wise there — the gate
+    proves the rotated encode/query plumbing doesn't LOSE anything),
+    self-match survives, and the prebuilt (codes_df, opq) reuse path
+    equals the one-shot path."""
+    from oasysdb_spark.index import pq
+    from oasysdb_spark.operators import vectorops as vec
+
+    got = [
+        r["vec_id"]
+        for r in pq.opq_knn(spark, sf_dir, query_vec_id=7, k=10).collect()
+    ]
+    brute = [
+        r["vec_id"]
+        for r in vec.knn_bruteforce(spark, sf_dir, query_vec_id=7, k=10).collect()
+    ]
+    assert got[0] == 7
+    recall = len(set(got) & set(brute)) / len(brute)
+    assert recall >= 0.8, f"OPQ rerank recall {recall}"
+
+    embs = vec.load_embeddings(spark, sf_dir)
+    opq = pq.fit_opq(embs.select("embedding"), m=8, nbits=4, seed=42, n_iter=5)
+    codes = pq.encode(embs, opq[1], rotation=opq[0]).cache()
+    again = [
+        r["vec_id"]
+        for r in pq.opq_knn(
+            spark, sf_dir, query_vec_id=7, k=10, codes_df=codes, opq=opq
+        ).collect()
+    ]
+    assert again == got
