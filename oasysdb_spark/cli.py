@@ -119,6 +119,10 @@ def build_parser() -> argparse.ArgumentParser:
     bp.add_argument("--residual", action="store_true",
                     help="IVFADC: quantize embedding - centroid residuals "
                     "(requires build-index first)")
+    bp.add_argument("--opq", action="store_true",
+                    help="learn an orthogonal rotation (Ge et al. OPQ) "
+                    "before quantizing; composes with --residual")
+    bp.add_argument("--opq-iter", type=int, default=5)
 
     bh = add("build-hnsw", help="build/rebuild the HNSW graph tier")
     bh.add_argument("--m", type=int, default=16,
@@ -319,13 +323,14 @@ def main(argv: list[str] | None = None) -> int:
 
         books = build_pq(
             db, m=args.m, nbits=args.nbits, seed=args.seed,
-            residual=args.residual,
+            residual=args.residual, opq=args.opq, opq_iter=args.opq_iter,
         )
         _emit({
             "ok": True,
             "m": books.shape[0],
             "codewords": books.shape[1],
             "residual": args.residual,
+            "opq": args.opq,
         })
     elif args.cmd == "build-hnsw":
         from oasysdb_spark.index.hnsw import build_hnsw

@@ -331,11 +331,13 @@ class Database:
         if meta is not None:
             # PQ tier built: encode at ingest (codes are part of the row,
             # exactly like cluster assignment — never a separate backfill)
-            books, residual = meta
+            books, residual, pq_rot = meta
             if residual:
-                df = encode_residual(df, books, self.centroid_rows())
+                df = encode_residual(
+                    df, books, self.centroid_rows(), rotation=pq_rot
+                )
             else:
-                df = encode(df, books)
+                df = encode(df, books, rotation=pq_rot)
         if self.is_indexed():
             self.records.append(df, partition_by=["cluster_id"])
         else:
@@ -656,7 +658,7 @@ class Database:
                 raise errors.InvalidArgumentError(
                     "PQ tier not built: call oasysdb_spark.index.pq.build_pq first"
                 )
-            books, residual = meta
+            books, residual, pq_rot = meta
             # candidate stage reads CODES, never raw vectors: the scan
             # schema is the row minus `embedding` (4-byte codes + the
             # filter's metadata maps), so the top-`rerank` heap carries
@@ -678,11 +680,16 @@ class Database:
 
                 cmap = {c: np.asarray(v, dtype=np.float64) for c, v in self.centroid_rows()}
                 qarr = np.asarray(vec, dtype=np.float64)
+
+                def _resid_q(c):
+                    r = qarr - cmap[c]
+                    return r if pq_rot is None else r @ pq_rot
+
                 tab_df = self.spark.createDataFrame(
                     [
                         (
                             int(c),
-                            [float(x) for x in adc_table(qarr - cmap[c], books).ravel()],
+                            [float(x) for x in adc_table(_resid_q(c), books).ravel()],
                         )
                         for c in probe_ids
                     ],
@@ -696,7 +703,12 @@ class Database:
                     .drop("__qtable")
                 )
             else:
-                cand = cand.withColumn("__adc", adc_score_expr(adc_table(vec, books)))
+                import numpy as np
+
+                qv = np.asarray(vec, dtype=np.float64)
+                if pq_rot is not None:
+                    qv = qv @ pq_rot
+                cand = cand.withColumn("__adc", adc_score_expr(adc_table(qv, books)))
             cand = (
                 cand.orderBy(F.col("__adc").asc_nulls_last(), F.col("id"))
                 .limit(max(rerank, k))
@@ -907,7 +919,7 @@ class Database:
                 raise errors.InvalidArgumentError(
                     "PQ tier not built: call oasysdb_spark.index.pq.build_pq first"
                 )
-            books, pq_residual = meta
+            books, pq_residual, pq_rot = meta
             adc_k = int(books.shape[1])
             if qvec_rows is None:  # DataFrame input: one collect (tiny batch)
                 qvec_rows = [
@@ -942,17 +954,15 @@ class Database:
                             np.where(np.isnan(d), np.inf, d), kind="stable"
                         )[:p]
                         for pos in order:
+                            rq = qarr - carr[int(pos)]
+                            if pq_rot is not None:
+                                rq = rq @ pq_rot
                             pair_rows.append(
                                 (
                                     qid,
                                     qv,
                                     cids[int(pos)],
-                                    [
-                                        float(x)
-                                        for x in adc_table(
-                                            qarr - carr[int(pos)], books
-                                        ).ravel()
-                                    ],
+                                    [float(x) for x in adc_table(rq, books).ravel()],
                                 )
                             )
                 queries = self.spark.createDataFrame(
@@ -961,8 +971,15 @@ class Database:
                     "cluster_id int, qtable array<double>",
                 )
             else:
+                import numpy as np
+
+                def _rotq(qv):
+                    if pq_rot is None:
+                        return np.asarray(qv, dtype=np.float64)
+                    return np.asarray(qv, dtype=np.float64) @ pq_rot
+
                 tabled = [
-                    (qid, qv, [float(x) for x in adc_table(qv, books).ravel()])
+                    (qid, qv, [float(x) for x in adc_table(_rotq(qv), books).ravel()])
                     for qid, qv in qvec_rows
                 ]
                 queries = self.spark.createDataFrame(

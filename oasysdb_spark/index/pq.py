@@ -228,12 +228,16 @@ def encode_residual(
     df: DataFrame,
     codebooks: np.ndarray,
     centroid_rows: "list[tuple[int, list[float]]]",
+    rotation: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Residual (IVFADC) encode for a frame that carries ``cluster_id``:
-    codes quantize ``embedding − centroid[cluster_id]``."""
-    return encode(residual_frame(df, centroid_rows), codebooks, col="__resid").drop(
-        "__resid"
-    )
+    codes quantize ``embedding − centroid[cluster_id]`` (rotated first
+    when an OPQ rotation is attached — rotation is linear, so
+    ``R(x − c) = Rx − Rc`` and the query side rotates its residual the
+    same way)."""
+    return encode(
+        residual_frame(df, centroid_rows), codebooks, col="__resid", rotation=rotation
+    ).drop("__resid")
 
 
 def adc_table(query: "list[float] | np.ndarray", codebooks: np.ndarray) -> np.ndarray:
@@ -287,6 +291,8 @@ def build_pq(
     max_iter: int = 10,
     fit_sample_size: int = 100_000,
     residual: bool = False,
+    opq: bool = False,
+    opq_iter: int = 5,
 ) -> np.ndarray:
     """Attach the PQ compression tier to a Database: fit codebooks over
     the record embeddings (seeded guarded sample), rewrite the records
@@ -304,7 +310,14 @@ def build_pq(
     code bytes quantize finer. Query-side, each probed cluster then gets
     its own ADC table on ``q − centroid_c`` (see ``Database.query``). The
     flag is persisted in ``pq.json`` so serving and ingest agree with the
-    build forever after."""
+    build forever after.
+
+    ``opq=True`` additionally learns the Ge-et-al. orthogonal rotation
+    (:func:`fit_opq`) over the same fit frame (raw vectors, or the
+    residuals under ``residual=True`` — rotation is linear so residual
+    OPQ is sound) and persists it in ``pq.json``: ingest rotates inside
+    the one encode pass and every query path rotates its vector (or
+    per-cluster residual) driver-side before building ADC tables."""
     import json
     import os
 
@@ -325,19 +338,32 @@ def build_pq(
         fit_col, fit_frame = "__resid", fit_src
     else:
         fit_col, fit_frame = "embedding", records
-    books = fit_codebooks(
-        fit_frame.select(F.col(fit_col).alias("embedding")),
-        m=m,
-        nbits=nbits,
-        seed=seed,
-        max_iter=max_iter,
-        fit_sample_size=fit_sample_size,
-        n=n,
-    )
-    if residual:
-        encoded = encode(fit_src, books, col="__resid").drop("__resid")
+    rot = None
+    if opq:
+        rot, books = fit_opq(
+            fit_frame.select(F.col(fit_col).alias("embedding")),
+            m=m,
+            nbits=nbits,
+            seed=seed,
+            n_iter=opq_iter,
+            max_iter=max_iter,
+            fit_sample_size=fit_sample_size,
+            n=n,
+        )
     else:
-        encoded = encode(records, books)
+        books = fit_codebooks(
+            fit_frame.select(F.col(fit_col).alias("embedding")),
+            m=m,
+            nbits=nbits,
+            seed=seed,
+            max_iter=max_iter,
+            fit_sample_size=fit_sample_size,
+            n=n,
+        )
+    if residual:
+        encoded = encode(fit_src, books, col="__resid", rotation=rot).drop("__resid")
+    else:
+        encoded = encode(records, books, rotation=rot)
     partition = ["cluster_id"] if db.is_indexed() else None
     db.records.write(encoded, partition_by=partition)
     atomic_write_text(
@@ -348,6 +374,7 @@ def build_pq(
                 "nbits": nbits,
                 "residual": residual,
                 "codebooks": books.tolist(),
+                "rotation": None if rot is None else rot.tolist(),
             }
         ),
     )
@@ -375,20 +402,21 @@ def reencode_residual_codes(db) -> bool:
     meta = load_codebooks_meta(db)
     if meta is None or not meta[1]:
         return False
-    books = meta[0]
+    books, _residual, rot = meta
     records = db.records_df()
     if "pq_code" in records.columns:
         records = records.drop("pq_code")
-    encoded = encode_residual(records, books, db.centroid_rows())
+    encoded = encode_residual(records, books, db.centroid_rows(), rotation=rot)
     db.records.write(encoded, partition_by=["cluster_id"])
     return True
 
 
-def load_codebooks_meta(db) -> "tuple[np.ndarray, bool] | None":
-    """``(codebooks, residual)`` for a Database, or None when PQ was
-    never built. The ``residual`` flag records whether the layout is
-    IVFADC (codes over ``embedding − centroid``) — serving and ingest
-    must honor it or scores are garbage.
+def load_codebooks_meta(db) -> "tuple[np.ndarray, bool, np.ndarray | None] | None":
+    """``(codebooks, residual, rotation)`` for a Database, or None when
+    PQ was never built. The ``residual`` flag records whether the
+    layout is IVFADC (codes over ``embedding − centroid``); ``rotation``
+    is the OPQ matrix (None for plain PQ) — serving and ingest must
+    honor both or scores are garbage.
 
     Cached on the Database like the centroid rows, but STAMPED with
     pq.json's mtime: a second handle that cached books before a
@@ -408,13 +436,15 @@ def load_codebooks_meta(db) -> "tuple[np.ndarray, bool] | None":
         return None
     cached = getattr(db, "_pq_cache", None)
     if isinstance(cached, tuple) and cached[0] == stamp:
-        return cached[1], cached[2]
+        return cached[1], cached[2], cached[3]
     with open(path, encoding="utf-8") as f:
         d = json.load(f)
     books = np.asarray(d["codebooks"], dtype=np.float64)
     residual = bool(d.get("residual", False))
-    db._pq_cache = (stamp, books, residual)
-    return books, residual
+    raw_rot = d.get("rotation")
+    rot = None if raw_rot is None else np.asarray(raw_rot, dtype=np.float64)
+    db._pq_cache = (stamp, books, residual, rot)
+    return books, residual, rot
 
 
 def load_codebooks(db) -> "np.ndarray | None":

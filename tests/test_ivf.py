@@ -425,7 +425,7 @@ def test_residual_pq_tier_on_database(spark, tmp_path):
 
     build_index(db, seed=5)
     build_pq(db, m=4, nbits=4, seed=5, residual=True)
-    books, residual = load_codebooks_meta(db)
+    books, residual, _rot = load_codebooks_meta(db)
     assert residual is True and books.shape == (4, 16, 2)
 
     q = [7.0, 0.0] * 4
@@ -525,7 +525,7 @@ def test_residual_codes_survive_centroid_maintenance(spark, tmp_path):
     approx = db.query(q, k=10, probes=99, approx="pq", rerank=40)
     assert approx == exact  # stale codes would break this silently
 
-    books, residual = load_codebooks_meta(db)
+    books, residual, _rot = load_codebooks_meta(db)
     assert residual
     stored = {
         r["id"]: list(r["pq_code"]) for r in db.records_df().collect()
@@ -537,3 +537,89 @@ def test_residual_codes_survive_centroid_maintenance(spark, tmp_path):
         ).collect()
     }
     assert stored == fresh
+
+
+def test_opq_tier_on_database(spark, tmp_path):
+    """OPQ through the Database surface: build_pq(opq=True) persists
+    the learned rotation in pq.json, query(approx='pq') rotates the
+    query driver-side and equals the exact query at full rerank,
+    query_many matches N single queries, inserts after the build are
+    encoded through the rotation (codes differ from an unrotated
+    encode), a second handle picks the rotation up from disk, and the
+    residual+opq composition serves correctly too."""
+    import numpy as np
+
+    from oasysdb_spark.index.pq import build_pq, encode, load_codebooks_meta
+
+    d = str(tmp_path / "opqdb")
+    db = Database.configure(spark, d, dimension=8, density=16)
+    rows = [
+        (f"r{i:04d}", [float(i % 40), float(i // 40)] * 4, {}, {"number": float(i)}, {})
+        for i in range(160)
+    ]
+    db.insert_batch(spark.createDataFrame(rows, RECORD_SCHEMA))
+
+    build_pq(db, m=4, nbits=4, seed=5, opq=True)
+    books, residual, rot = load_codebooks_meta(db)
+    assert residual is False and rot is not None and rot.shape == (8, 8)
+    assert np.allclose(rot @ rot.T, np.eye(8), atol=1e-10)
+
+    q = [7.0, 0.0] * 4
+    exact = db.query(q, k=10)
+    approx = db.query(q, k=10, approx="pq", rerank=160)
+    assert approx == exact  # full rerank == exact through rotated codes
+
+    qs = [q, [1.0, 1.0] * 4]
+    many = db.query_many(qs, k=5, approx="pq", rerank=160)
+    for qid, qv in enumerate(qs):
+        assert many[qid] == db.query(qv, k=5, approx="pq", rerank=160)
+
+    # inserts after the build go through the rotation: the stored code
+    # differs from an UNROTATED encode of the same vector
+    db.insert([3.0, 0.0] * 4, record_id="late")
+    late = db.records_df().where("id = 'late'").first()
+    assert late["pq_code"] is not None and len(late["pq_code"]) == 4
+    raw_code = (
+        encode(
+            spark.createDataFrame([([3.0, 0.0] * 4,)], "embedding array<float>"),
+            books,
+        )
+        .first()["pq_code"]
+    )
+    rot_code = (
+        encode(
+            spark.createDataFrame([([3.0, 0.0] * 4,)], "embedding array<float>"),
+            books,
+            rotation=rot,
+        )
+        .first()["pq_code"]
+    )
+    assert list(late["pq_code"]) == list(rot_code)
+    del raw_code
+    # the rotation is materially non-identity: across the table, the
+    # rotated and unrotated encodes disagree somewhere (a single vector
+    # can coincide by chance, the whole table cannot)
+    base = db.records_df().select("embedding")
+    both = (
+        encode(base, books)
+        .withColumnRenamed("pq_code", "raw")
+        .join(
+            encode(base, books, rotation=rot).withColumnRenamed(
+                "pq_code", "rotated"
+            ),
+            on="embedding",
+        )
+    )
+    assert both.where("raw != rotated").count() > 0
+
+    # a FRESH handle reads the rotation from pq.json and serves equally
+    db2 = Database.open(spark, d)
+    assert db2.query(q, k=10, approx="pq", rerank=160) == exact
+
+    # residual + opq compose: rebuild as IVFADC with rotation
+    build_index(db, seed=5)
+    build_pq(db, m=4, nbits=4, seed=5, residual=True, opq=True)
+    books2, residual2, rot2 = load_codebooks_meta(db)
+    assert residual2 is True and rot2 is not None
+    exact2 = db.query(q, k=10, probes=99)
+    assert db.query(q, k=10, probes=99, approx="pq", rerank=200) == exact2
