@@ -1613,11 +1613,17 @@ def dsir_importance_sample(
     rank orders by the ROUNDED score with doc_id as tiebreak.
 
     Scale shape (the 100 TB contract): bigrams form and hash
-    row-locally; the model is two bucket aggregations each bounded by
-    ``n_buckets`` rows regardless of corpus size; the ≤ B-row
-    log-ratio table broadcasts; scoring is one (doc_id) aggregation —
-    fixed-width partial sums, never text; the final top-k is a
-    bounded TakeOrderedAndProject, not a global sort."""
+    row-locally, then ONE aggregation compresses the corpus into
+    per-doc bucket counts — at most ``n_buckets`` rows per document
+    however long it is, the only pass that ever touches the token
+    stream. Everything downstream works off that bounded frame: the
+    bucket model is a second tiny aggregation over it (raw + target
+    counts in one pass, ≤ B rows out, totals derived from the bucket
+    table itself — no extra corpus jobs), the ≤ B-row log-ratio table
+    broadcasts back onto it, and the per-doc score is the exact
+    weighted mean ``Σ c_f·lr_f / Σ c_f`` (identical to the
+    per-position mean). The final top-k is a bounded
+    TakeOrderedAndProject, not a global sort."""
     docs = _docs(spark, sf_dir)
     grams = F.transform(
         F.sequence(F.lit(0), F.size("tk") - 2),
@@ -1637,37 +1643,40 @@ def dsir_importance_sample(
             "lang",
             (hash64(F.col("g")) % n_buckets).alias("f"),
         )
-        .cache()
+        .groupBy("doc_id", "source", "lang", "f")
+        .agg(F.count("*").alias("c"))
+        .cache()  # bounded: ≤ n_buckets rows per doc, reused twice
     )
-    tgt = feats.where(F.col("lang") == "en")
-    t_counts = tgt.groupBy("f").agg(F.count("*").alias("t_f"))
-    r_counts = feats.groupBy("f").agg(F.count("*").alias("r_f"))
-    t_total = tgt.count()
-    r_total = feats.count()
-    lr = (
-        r_counts.join(t_counts, "f", "left")
-        .select(
-            "f",
-            F.round(
-                F.log(
-                    (F.coalesce("t_f", F.lit(0)) + 1).cast("double")
-                    * (r_total + n_buckets)
-                    / (
-                        (F.col("r_f") + 1).cast("double")
-                        * (t_total + n_buckets)
-                    )
-                )
-                / F.log(F.lit(2.0)),
-                6,
-            ).alias("lr"),
-        )
+    counts = feats.groupBy("f").agg(
+        F.sum("c").alias("r_f"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias(
+            "t_f"
+        ),
+    )
+    tot = counts.agg(
+        F.sum("r_f").alias("r_total"), F.sum("t_f").alias("t_total")
+    ).first()
+    r_total, t_total = int(tot["r_total"]), int(tot["t_total"])
+    lr = counts.select(
+        "f",
+        F.round(
+            F.log(
+                (F.col("t_f") + 1).cast("double")
+                * (r_total + n_buckets)
+                / ((F.col("r_f") + 1).cast("double") * (t_total + n_buckets))
+            )
+            / F.log(F.lit(2.0)),
+            6,
+        ).alias("lr"),
     )
     scored = (
         feats.join(F.broadcast(lr), "f")
         .groupBy("doc_id", "source", "lang")
         .agg(
-            F.count("*").cast("bigint").alias("n_bigrams"),
-            F.round(F.avg("lr"), 6).alias("score_bits"),
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("c") * F.col("lr")) / F.sum("c"), 6
+            ).alias("score_bits"),
         )
     )
     # bounded top-k FIRST (TakeOrderedAndProject — never a global sort),

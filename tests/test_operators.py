@@ -2850,10 +2850,12 @@ def test_dsir_importance_sample_matches_duckdb_oracle(spark, sf_dir):
                                  / (CAST(r.r_f + 1 AS DOUBLE) * (tot.T + 1024))),
                             6) AS lr
                FROM r LEFT JOIN t ON r.f = t.f, tot),
+        pf AS (SELECT doc_id, source, lang, f, count(*) AS c
+               FROM feats GROUP BY doc_id, source, lang, f),
         scored AS (SELECT doc_id, source, lang,
-                          CAST(count(*) AS BIGINT) AS n_bigrams,
-                          round(avg(lr), 6) AS score_bits
-                   FROM feats JOIN lr USING (f)
+                          CAST(sum(c) AS BIGINT) AS n_bigrams,
+                          round(sum(c * lr) / sum(c), 6) AS score_bits
+                   FROM pf JOIN lr USING (f)
                    GROUP BY doc_id, source, lang),
         ranked AS (SELECT row_number() OVER (ORDER BY score_bits DESC, doc_id)
                        AS rank, *
