@@ -336,3 +336,44 @@ def test_ngram_decontaminate_broadcasts_eval_grams(spark, sf_dir):
         # candidate joins must never shuffle the position stream
         keys = smj_keys(plan)
         assert "h#" not in keys, f"{fn.__name__} shuffles the gram stream: {keys}"
+
+
+def test_chunk_documents_zero_shuffle(spark, sf_dir):
+    """Chunking is pure row-local expression work: NO Exchange, no
+    Python evaluator of any kind — the whole op stays inside
+    whole-stage codegen on the scan."""
+    from oasysdb_spark.operators import textops
+
+    plan = _plan(textops.chunk_documents(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    assert "*(" in plan  # codegen spans (executedPlan marks them `*(n)`)
+
+
+def test_dsir_bounded_topk_and_no_text_exchange(spark, sf_dir):
+    """DSIR's selection must stay a bounded TakeOrderedAndProject (never
+    a global Sort over the corpus), and no Exchange may carry raw text
+    — only bucket ids/counts and per-doc aggregates move."""
+    from oasysdb_spark.operators import textops
+
+    plan = _plan(textops.dsir_importance_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for seg in plan.split("Exchange")[1:]:
+        head = seg.split("\n")[0]
+        assert "text#" not in head
+
+
+def test_line_dedup_shuffles_ints_not_text(spark, sf_dir):
+    """Line dedup may exchange only (doc_id, p, h, nc) int rows and
+    per-doc aggregates — raw text must never appear in an Exchange, and
+    no nested-loop join sneaks in."""
+    from oasysdb_spark.operators import textops
+
+    plan = _plan(textops.line_dedup_stats(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for seg in plan.split("Exchange")[1:]:
+        head = seg.split("\n")[0]
+        assert "text#" not in head
