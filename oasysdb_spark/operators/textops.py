@@ -1196,6 +1196,78 @@ def line_dedup_stats(
     )
 
 
+def line_dedup_apply(
+    docs: DataFrame, line_len: int = 10
+) -> DataFrame:
+    """The TRANSFORM half of :func:`line_dedup_stats` — CCNet line
+    dedup applied: returns ``(doc_id, text)`` with every non-winning
+    duplicate line removed and each document reassembled from its
+    surviving lines in position order. Takes a ``(doc_id, text)``
+    DataFrame (no fixture injection — callers pass the corpus as-is),
+    so it slots into pipeline compositions between quality filtering
+    and fuzzy dedup exactly where CCNet runs it. Docs whose every line
+    was claimed elsewhere come back with empty text (callers drop or
+    keep them; CCNet drops).
+
+    Scale shape: winner selection is the stats op's int-only plan —
+    the (doc_id, p, h) stream shuffles twice (hash window + per-doc
+    collect of kept positions), never text. Reassembly then joins the
+    per-doc kept-position ARRAY (one small int array per doc) back to
+    the original docs on doc_id and rebuilds the text ROW-LOCALLY by
+    re-chunking the token array and concatenating the kept chunks — so
+    the corpus text moves through exactly ONE doc_id-keyed exchange
+    (the join), not the two line-level text shuffles of the naive
+    explode→dedup→regroup plan."""
+    line = lambda i: F.concat_ws(  # noqa: E731 — row-local chunk expr
+        " ", F.slice(F.col("tk"), i * line_len + 1, line_len)
+    )
+    base = docs.select("doc_id", tokens(F.col("text")).alias("tk")).select(
+        "doc_id",
+        "tk",
+        F.when(
+            F.size("tk") > 0,
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("tk") / F.lit(float(line_len))).cast("int")
+                    - 1,
+                ),
+                lambda i: F.struct(
+                    i.alias("p"), hash64(line(i)).alias("h")
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<struct<p:int,h:bigint>>"))
+        .alias("ln"),
+    )
+    pos = base.select("doc_id", F.explode("ln").alias("s")).select(
+        "doc_id", F.col("s.p").alias("p"), F.col("s.h").alias("h")
+    )
+    win = Window.partitionBy("h").orderBy("doc_id", "p")
+    kept_pos = (
+        pos.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("p")).alias("keep_ps"))
+    )
+    return (
+        base.select("doc_id", "tk")
+        .join(kept_pos, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("keep_ps").isNotNull(),
+                F.concat_ws(
+                    " ",
+                    F.transform(F.col("keep_ps"), lambda p: line(p)),
+                ),
+            )
+            .otherwise(F.lit(""))
+            .alias("text"),
+        )
+    )
+
+
 def heavy_hitter_terms(
     spark: SparkSession,
     sf_dir: str,

@@ -3024,3 +3024,60 @@ def test_chunk_documents_matches_duckdb_oracle(spark, sf_dir):
 
     with _pytest.raises(InvalidArgumentError):
         textops.chunk_documents(spark, sf_dir, chunk_tokens=8, overlap=8)
+
+
+def test_line_dedup_apply_matches_python_replay(spark, sf_dir):
+    """The transform half of line dedup pinned by a full Python replay
+    of the first-winner rule (same md5 hash family, same 10-token
+    chunking): every reassembled document equals the space-join of its
+    surviving lines in position order, the injected template line
+    survives in exactly ONE document corpus-wide, and non-injected
+    docs with unique lines come through verbatim (token-normalized)."""
+    import hashlib
+    import re
+
+    from oasysdb_spark.operators.textops import LINE_TEMPLATE, line_dedup_apply
+
+    aug = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            F.concat(
+                F.when(
+                    F.col("doc_id") % 3 == 0, F.lit(LINE_TEMPLATE + " ")
+                ).otherwise(F.lit("")),
+                F.col("text"),
+            ).alias("text"),
+        )
+    )
+    got = {r["doc_id"]: r["text"] for r in line_dedup_apply(aug).collect()}
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    tok_re = re.compile(r"[^a-z0-9]+")
+    rows = sorted(
+        (r["doc_id"], r["text"]) for r in aug.collect()
+    )
+    seen = set()
+    want = {}
+    for d, t in rows:  # doc_id order == the op's (doc_id, p) winner rule
+        tk = [w for w in tok_re.split(t.lower()) if w]
+        keep = []
+        for i in range(0, len(tk), 10):
+            ln = " ".join(tk[i : i + 10])
+            h = h64(ln)
+            if h not in seen:
+                seen.add(h)
+                keep.append(ln)
+        want[d] = " ".join(keep)
+    assert got == want
+
+    n_template = sum(1 for t in got.values() if LINE_TEMPLATE in t)
+    assert n_template == 1
+    # a non-injected doc with all-unique lines passes through verbatim
+    verbatim = [
+        d for d, t in rows
+        if d % 3 != 0 and got[d] == " ".join(w for w in tok_re.split(t.lower()) if w)
+    ]
+    assert verbatim
