@@ -218,6 +218,84 @@ def chunk_documents(
 MIX_RATES = {"en": 25, "de": 50, "es": 75}
 
 
+def pack_sequences_ffd(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = 512,
+    n_buckets: int = 4,
+) -> DataFrame:
+    """WHOLE-DOCUMENT packing via first-fit-decreasing (Krell et al.
+    2021, "Efficient Sequence Packing without Cross-contamination"):
+    where :func:`pack_sequences` concatenates and CUTS at the budget
+    (documents straddle sequence boundaries), FFD keeps every document
+    intact — docs sorted longest-first, each placed into the first bin
+    with room — trading a little padding waste for no cross-document
+    attention contamination. Docs longer than ``budget`` are truncated
+    to it (the standard pretraining rule). Returns one row per bin:
+    ``(lang, bucket, bin_id, n_docs, bin_tokens, fill_frac)``.
+
+    Scale shape: true FFD is inherently sequential, so packing runs
+    per ``(lang, bucket)`` group with ``bucket = hash64(doc_id) %
+    n_buckets`` — each group is a BOUNDED, independent packing problem
+    solved in one Arrow task over (doc_id, n_tokens) int pairs (text
+    never enters the op at all), and bucket count scales with the
+    cluster. Per-bucket packing costs at most ``n_buckets - 1`` extra
+    partially-filled bins versus corpus-global FFD — amortized to
+    nothing as bins-per-bucket grows; the greedy itself is within
+    11/9·OPT + 6/9 bins of optimal (Dósa's tight FFD bound)."""
+    docs = _docs(spark, sf_dir)
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        (hash64(F.col("doc_id").cast("string"), salt="ffd") % n_buckets).alias(
+            "bucket"
+        ),
+        F.least(
+            token_count_bpe(F.col("text")).cast("bigint"), F.lit(budget)
+        ).alias("n"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n", "doc_id"], ascending=[False, True]
+        )  # decreasing, doc_id tiebreak → deterministic
+        fills: list[int] = []
+        counts: list[int] = []
+        assign = []
+        for n in pdf["n"]:
+            n = int(n)
+            for b in range(len(fills)):
+                if fills[b] + n <= budget:
+                    fills[b] += n
+                    counts[b] += 1
+                    assign.append(b)
+                    break
+            else:
+                fills.append(n)
+                counts.append(1)
+                assign.append(len(fills) - 1)
+        lang = pdf["lang"].iloc[0]
+        bucket = int(pdf["bucket"].iloc[0])
+        return pd.DataFrame(
+            {
+                "lang": [lang] * len(fills),
+                "bucket": [bucket] * len(fills),
+                "bin_id": list(range(len(fills))),
+                "n_docs": counts,
+                "bin_tokens": fills,
+                "fill_frac": [round(f / budget, 6) for f in fills],
+            }
+        )
+
+    return per_doc.groupBy("lang", "bucket").applyInPandas(
+        pack,
+        schema=(
+            "lang string, bucket int, bin_id int, n_docs bigint, "
+            "bin_tokens bigint, fill_frac double"
+        ),
+    )
+
+
 def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain mixing via deterministic hash sampling: each stratum
     (``lang``) keeps ``MIX_RATES[lang]`` percent of its documents, chosen

@@ -3081,3 +3081,66 @@ def test_line_dedup_apply_matches_python_replay(spark, sf_dir):
         if d % 3 != 0 and got[d] == " ".join(w for w in tok_re.split(t.lower()) if w)
     ]
     assert verbatim
+
+
+def test_pack_sequences_ffd_matches_python_replay(spark, sf_dir):
+    """FFD whole-document packing pinned by a full Python replay (same
+    salted bucket hash, same longest-first/doc_id-tiebreak order, same
+    first-fit rule). Invariants: no bin exceeds the budget; every doc
+    is packed exactly once (token conservation); bin count meets the
+    ceil(total/budget) lower bound per group; at most one bin per
+    group is under half full (the classic FFD property); deterministic
+    across runs."""
+    import hashlib
+    import math
+    import re
+
+    from oasysdb_spark.operators.textops import pack_sequences_ffd
+
+    budget = 512
+    got = [tuple(r) for r in pack_sequences_ffd(spark, sf_dir).collect()]
+    again = [tuple(r) for r in pack_sequences_ffd(spark, sf_dir).collect()]
+    assert sorted(got) == sorted(again)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    bpe_re = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    groups = {}
+    for r in docs:
+        n = min(len(bpe_re.findall(r["text"].lower())), budget)
+        b = h64(f"{r['doc_id']}#ffd") % 4
+        groups.setdefault((r["lang"], b), []).append((n, r["doc_id"]))
+
+    want = []
+    for (lang, b), items in groups.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        fills, counts = [], []
+        for n, _d in items:
+            for i in range(len(fills)):
+                if fills[i] + n <= budget:
+                    fills[i] += n
+                    counts[i] += 1
+                    break
+            else:
+                fills.append(n)
+                counts.append(1)
+        for i, (f, c) in enumerate(zip(fills, counts)):
+            want.append((lang, b, i, c, f, round(f / budget, 6)))
+    assert sorted(got) == sorted(want)
+
+    # invariants
+    by_group = {}
+    for lang, b, bin_id, n_docs, bin_tokens, fill in got:
+        assert bin_tokens <= budget
+        by_group.setdefault((lang, b), []).append((bin_tokens, fill))
+    for (lang, b), bins in by_group.items():
+        total = sum(t for t, _ in bins)
+        assert len(bins) >= math.ceil(total / budget)
+        under_half = sum(1 for t, _ in bins if t < budget / 2)
+        assert under_half <= 1, (lang, b, under_half)
+    assert sum(r[3] for r in got) == len(docs)  # every doc packed once
