@@ -1666,7 +1666,10 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def quality_percentile_filter(
-    spark: SparkSession, sf_dir: str, q: float = 0.5
+    spark: SparkSession,
+    sf_dir: str,
+    q: float = 0.5,
+    approx_accuracy: int | None = None,
 ) -> DataFrame:
     """Per-source LM-quality percentile pruning — the "keep the top q
     of every domain by perplexity" curation step (CCNet's per-shard
@@ -1689,11 +1692,18 @@ def quality_percentile_filter(
 
     Scale shape: one (term) aggregation for the LM, one scoring join,
     one (doc) aggregation, one per-source exact percentile (each
-    source's bits buffer on one node — exact quantiles don't sketch;
-    swap in ``percentile_approx`` past ~10⁸ docs/source), one
-    broadcast-join of the |sources|-row threshold table, one final
+    source's bits buffer on one node — exact quantiles don't sketch),
+    one broadcast-join of the |sources|-row threshold table, one final
     aggregation. Raw text shuffles zero times. Returns
-    ``(source, n_docs, thr_bits, n_kept, kept_frac, kept_tokens)``."""
+    ``(source, n_docs, thr_bits, n_kept, kept_frac, kept_tokens)``.
+
+    ``approx_accuracy``: past ~10⁸ docs per source the exact
+    percentile's single-node buffer is the knee — pass an accuracy
+    (e.g. 10_000) to switch the threshold to ``percentile_approx``
+    (Greenwald-Khanna sketch: bounded memory, mergeable partials, rank
+    error ≤ 1/accuracy). The kept SET then differs from exact only for
+    docs whose bits fall inside the sketch's rank-error band around
+    the threshold — the twin test bounds that drift on the fixture."""
     docs = _docs(spark, sf_dir)
     terms = docs.select(
         "doc_id", "source", F.explode(tokens(F.col("text"))).alias("term")
@@ -1709,9 +1719,14 @@ def quality_percentile_filter(
             F.round(F.avg(bits), 6).alias("bits"),
         )
     )
-    thr = per_doc.groupBy("source").agg(
-        F.expr(f"percentile(bits, {q})").alias("thr")
-    )
+    if approx_accuracy is not None:
+        thr = per_doc.groupBy("source").agg(
+            F.percentile_approx("bits", q, approx_accuracy).alias("thr")
+        )
+    else:
+        thr = per_doc.groupBy("source").agg(
+            F.expr(f"percentile(bits, {q})").alias("thr")
+        )
     keep = F.col("bits") <= F.col("thr")
     return (
         per_doc.join(F.broadcast(thr), "source")

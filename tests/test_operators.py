@@ -3144,3 +3144,38 @@ def test_pack_sequences_ffd_matches_python_replay(spark, sf_dir):
         under_half = sum(1 for t, _ in bins if t < budget / 2)
         assert under_half <= 1, (lang, b, under_half)
     assert sum(r[3] for r in got) == len(docs)  # every doc packed once
+
+
+def test_quality_percentile_filter_approx_tracks_exact(spark, sf_dir):
+    """The percentile_approx scale path (the documented lever past the
+    exact percentile's single-node buffer): at high sketch accuracy the
+    approx thresholds and kept sets equal the exact op's EXACTLY on the
+    fixture (rank error < one rank); at a coarse accuracy each source's
+    kept fraction still lands within the sketch's rank-error band of
+    the requested quantile."""
+    from oasysdb_spark.operators.textops import quality_percentile_filter
+
+    exact = {
+        r["source"]: r for r in quality_percentile_filter(spark, sf_dir).collect()
+    }
+    fine = {
+        r["source"]: r
+        for r in quality_percentile_filter(
+            spark, sf_dir, approx_accuracy=100_000
+        ).collect()
+    }
+    assert set(fine) == set(exact)
+    for s, e in exact.items():
+        assert fine[s]["n_kept"] == e["n_kept"], s
+        assert fine[s]["kept_tokens"] == e["kept_tokens"], s
+
+    coarse = {
+        r["source"]: r
+        for r in quality_percentile_filter(
+            spark, sf_dir, approx_accuracy=100
+        ).collect()
+    }
+    for s, c in coarse.items():
+        # rank error ≤ 1/accuracy = 1% of ranks; small per-source doc
+        # counts at sf0.01 add discreteness, hence the 5-point band
+        assert abs(c["kept_frac"] - 0.5) <= 0.01 + 0.05, s
