@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "vec_pq_knn",
     "vec_ivfpq_knn",
     "vec_sq_knn",
+    "vec_opq_knn",
     # graph tier (r7): sharded HNSW — the reference family's pre-v0.7
     # index lineage; build untimed like the other index tiers
     "vec_hnsw_knn",
@@ -113,6 +114,21 @@ def _bench_vec_sq_knn(spark, sf_dir):
     return sq.sq_knn(spark, sf_dir, codes_df=codes, model=model)
 
 
+def _bench_vec_opq_knn(spark, sf_dir):
+    from oasysdb_spark.index import pq
+    from oasysdb_spark.operators.vectorops import load_embeddings
+
+    key = ("opq", sf_dir)
+    if key not in _ANN_STATE:
+        embs = load_embeddings(spark, sf_dir)
+        opq = pq.fit_opq(embs.select("embedding"), m=8, nbits=4, seed=42)
+        codes = pq.encode(embs, opq[1], rotation=opq[0]).cache()
+        codes.count()
+        _ANN_STATE[key] = (codes, opq)
+    codes, opq = _ANN_STATE[key]
+    return pq.opq_knn(spark, sf_dir, codes_df=codes, opq=opq)
+
+
 def _bench_vec_hnsw_knn(spark, sf_dir):
     from oasysdb_spark.index import hnsw
 
@@ -128,6 +144,7 @@ EXTRA_BENCH = {
     "vec_pq_knn": _bench_vec_pq_knn,
     "vec_ivfpq_knn": _bench_vec_ivfpq_knn,
     "vec_sq_knn": _bench_vec_sq_knn,
+    "vec_opq_knn": _bench_vec_opq_knn,
     "vec_hnsw_knn": _bench_vec_hnsw_knn,
 }
 
