@@ -1183,12 +1183,16 @@ def line_dedup_stats(
     Scale shape (the 100 TB contract): line hashes and char counts are
     computed row-locally BEFORE any exchange, so the only rows that
     ever shuffle are ``(doc_id, p, h, nc)`` — four fixed-width ints per
-    line, never text. Two shuffles total: a ``row_number`` window
-    partitioned by the uniform 64-bit line hash (first-winner pick —
-    partitions are duplicate cliques, almost all of size 1), then the
-    per-doc aggregation. CCNet's production sharding (hash-bucketed
-    line files) is exactly this plan with the window's exchange made
-    explicit."""
+    line, never text. The first-winner pick is ``min(struct(doc_id,
+    p, nc))`` grouped by the line hash — an aggregation, NOT a
+    ``row_number`` window, deliberately: partial (map-side) combine
+    collapses even a boilerplate mega-clique (one line quoted by
+    billions of docs — a guaranteed hot key at corpus scale) to one
+    row per task before the exchange, where a window would funnel the
+    whole clique through a single reducer and sort it. Two shuffles
+    total (winner agg + per-doc agg), both skew-proof. CCNet's
+    production sharding (hash-bucketed line files) is exactly this
+    plan with the exchange made explicit."""
     docs = _docs(spark, sf_dir)
     aug = F.concat(
         F.when(
@@ -1219,36 +1223,38 @@ def line_dedup_stats(
         .otherwise(F.array().cast("array<struct<p:int,h:bigint,nc:int>>"))
         .alias("ln"),
     )
-    base = base.cache()  # feeds the line table AND the 0-line left join
+    base = base.cache()  # feeds the line table AND the final left joins
     pos = base.select("doc_id", F.explode("ln").alias("s")).select(
         "doc_id",
         F.col("s.p").alias("p"),
         F.col("s.h").alias("h"),
         F.col("s.nc").alias("nc"),
     )
-    win = Window.partitionBy("h").orderBy("doc_id", "p")
-    kept = F.row_number().over(win) == 1
-    per = (
-        pos.withColumn("keep", kept.cast("int"))
+    # first winner per distinct line = min (doc_id, p); nc rides along
+    # (never compared — (doc_id, p) is unique). Partial-agg, skew-proof.
+    winners = pos.groupBy("h").agg(
+        F.min(F.struct("doc_id", "p", "nc")).alias("w")
+    )
+    per_kept = (
+        winners.select(
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.nc").alias("nc"),
+            (F.col("h") % F.lit(1_000_000_007)).alias("hm"),
+        )
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_lines"),
-            F.sum("keep").cast("bigint").alias("n_kept"),
-            F.sum(F.when(F.col("keep") == 1, F.col("nc")).otherwise(0))
-            .cast("bigint")
-            .alias("kept_chars"),
-            F.sum(
-                F.when(
-                    F.col("keep") == 1, F.col("h") % F.lit(1_000_000_007)
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("kept_hash_sum"),
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum("nc").cast("bigint").alias("kept_chars"),
+            F.sum("hm").cast("bigint").alias("kept_hash_sum"),
         )
+    )
+    totals = pos.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_lines")
     )
     return (
         base.select("doc_id")
-        .join(per, "doc_id", "left")
+        .join(totals, "doc_id", "left")
+        .join(per_kept, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
@@ -1265,7 +1271,9 @@ def line_dedup_stats(
             F.when(
                 F.coalesce("n_lines", F.lit(0)) > 0,
                 F.round(
-                    F.col("n_kept").cast("double") / F.col("n_lines"), 6
+                    F.coalesce("n_kept", F.lit(0)).cast("double")
+                    / F.col("n_lines"),
+                    6,
                 ),
             )
             .otherwise(F.lit(1.0))
@@ -1287,9 +1295,10 @@ def line_dedup_apply(
     was claimed elsewhere come back with empty text (callers drop or
     keep them; CCNet drops).
 
-    Scale shape: winner selection is the stats op's int-only plan —
-    the (doc_id, p, h) stream shuffles twice (hash window + per-doc
-    collect of kept positions), never text. Reassembly then joins the
+    Scale shape: winner selection is the stats op's int-only,
+    skew-proof plan — the (doc_id, p, h) stream shuffles twice
+    (min-struct winner aggregation + per-doc collect of kept
+    positions), never text. Reassembly then joins the
     per-doc kept-position ARRAY (one small int array per doc) back to
     the original docs on doc_id and rebuilds the text ROW-LOCALLY by
     re-chunking the token array and concatenating the kept chunks — so
@@ -1321,10 +1330,13 @@ def line_dedup_apply(
     pos = base.select("doc_id", F.explode("ln").alias("s")).select(
         "doc_id", F.col("s.p").alias("p"), F.col("s.h").alias("h")
     )
-    win = Window.partitionBy("h").orderBy("doc_id", "p")
+    # min-struct winner agg, not a window: partial combine keeps a
+    # boilerplate mega-clique from funneling into one reducer (same
+    # skew argument as line_dedup_stats)
     kept_pos = (
-        pos.withColumn("rn", F.row_number().over(win))
-        .where(F.col("rn") == 1)
+        pos.groupBy("h")
+        .agg(F.min(F.struct("doc_id", "p")).alias("w"))
+        .select(F.col("w.doc_id").alias("doc_id"), F.col("w.p").alias("p"))
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("p")).alias("keep_ps"))
     )
