@@ -1785,9 +1785,13 @@ def dsir_importance_sample(
     ``(rank, doc_id, source, lang, n_bigrams, score_bits)``.
 
     Float discipline: the ratio is ONE log2 of integer products
-    (identical parenthesization in the oracle), rounded to 6 before
-    the per-doc mean so both engines average identical doubles; the
-    rank orders by the ROUNDED score with doc_id as tiebreak.
+    (identical parenthesization in the oracle), immediately quantized
+    to integer MICRO-bits (round(lr·10⁶) as bigint) — so the per-doc
+    accumulation is EXACT integer arithmetic, immune to partial-
+    aggregation summation order (a double-sum here hash-flipped at the
+    6th decimal between runs depending on partitioning); one division
+    and one round at the end, and the rank orders by that rounded
+    score with doc_id as tiebreak.
 
     Scale shape (the 100 TB contract): bigrams form and hash
     row-locally, then ONE aggregation compresses the corpus into
@@ -1842,9 +1846,11 @@ def dsir_importance_sample(
                 * (r_total + n_buckets)
                 / ((F.col("r_f") + 1).cast("double") * (t_total + n_buckets))
             )
-            / F.log(F.lit(2.0)),
-            6,
-        ).alias("lr"),
+            / F.log(F.lit(2.0))
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("lr_micro"),
     )
     scored = (
         feats.join(F.broadcast(lr), "f")
@@ -1852,7 +1858,9 @@ def dsir_importance_sample(
         .agg(
             F.sum("c").cast("bigint").alias("n_bigrams"),
             F.round(
-                F.sum(F.col("c") * F.col("lr")) / F.sum("c"), 6
+                F.sum(F.col("c") * F.col("lr_micro"))
+                / (F.sum("c") * F.lit(1e6)),
+                6,
             ).alias("score_bits"),
         )
     )

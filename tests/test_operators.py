@@ -2845,16 +2845,17 @@ def test_dsir_importance_sample_matches_duckdb_oracle(spark, sf_dir):
         tot AS (SELECT (SELECT count(*) FROM feats WHERE lang = 'en') AS T,
                        (SELECT count(*) FROM feats) AS R),
         lr AS (SELECT r.f,
-                      round(log2(CAST(COALESCE(t.t_f, 0) + 1 AS DOUBLE)
+                      CAST(round(log2(CAST(COALESCE(t.t_f, 0) + 1 AS DOUBLE)
                                  * (tot.R + 1024)
-                                 / (CAST(r.r_f + 1 AS DOUBLE) * (tot.T + 1024))),
-                            6) AS lr
+                                 / (CAST(r.r_f + 1 AS DOUBLE) * (tot.T + 1024)))
+                            * 1e6) AS BIGINT) AS lr_micro
                FROM r LEFT JOIN t ON r.f = t.f, tot),
         pf AS (SELECT doc_id, source, lang, f, count(*) AS c
                FROM feats GROUP BY doc_id, source, lang, f),
         scored AS (SELECT doc_id, source, lang,
                           CAST(sum(c) AS BIGINT) AS n_bigrams,
-                          round(sum(c * lr) / sum(c), 6) AS score_bits
+                          round(sum(c * lr_micro) / (sum(c) * 1e6), 6)
+                              AS score_bits
                    FROM pf JOIN lr USING (f)
                    GROUP BY doc_id, source, lang),
         ranked AS (SELECT row_number() OVER (ORDER BY score_bits DESC, doc_id)
