@@ -189,6 +189,132 @@ def corpus_text_search(
     )
 
 
+def chunk_retrieval_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_doc_id: int = 0,
+    k: int = 10,
+    dim: int = 16,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """RAG retrieval end-to-end, cross-engine EXACT: chunk every
+    document into overlapping token windows (the
+    :func:`~oasysdb_spark.operators.textops.chunk_documents` geometry),
+    hash-embed each chunk with the signed-bucket family, and return the
+    top ``k`` chunks by cosine similarity to the query — here the full
+    text of document ``query_doc_id``, embedded driver-side with the
+    byte-identical Python twin (the query doc's own chunks are
+    excluded). Returns ``(rank, doc_id, chunk_id, cos_sim)``.
+
+    Float discipline: embeddings are INTEGER vectors, so the dot
+    product and both squared norms are exact integer aggregations —
+    partition order cannot move them; the only floating step is ONE
+    ``dot / sqrt(nq·nc)`` division and ONE round(6) at the end,
+    identical in the oracle. Zero-norm chunks (signs cancelled) are
+    excluded on both sides before ranking, and ties break on
+    (doc_id, chunk_id).
+
+    Scale shape: chunk embeddings form row-locally (expression HOFs —
+    at production dim swap in the Arrow
+    :func:`hashing_embedding_udf` twin and WRITE the chunk embedding
+    table once, then serve it through the IVF/PQ/HNSW tiers instead of
+    rescoring); scoring is a literal-vector expression over one scan,
+    and the selection is a bounded TakeOrderedAndProject."""
+    import re
+
+    stride = chunk_tokens - overlap
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    piece = lambda i: F.slice(  # noqa: E731 — row-local window expr
+        F.col("tk"), i * stride + 1, chunk_tokens
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("tk") - overlap) / F.lit(float(stride))).cast("int"),
+    )
+    chunks = (
+        docs.where(F.col("doc_id") != query_doc_id)
+        .select("doc_id", tokens(F.col("text")).alias("tk"))
+        .where(F.size("tk") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.struct(
+                        i.cast("bigint").alias("chunk_id"),
+                        hashing_embedding_expr(piece(i), dim).alias("emb"),
+                    ),
+                )
+            ).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.emb").alias("emb"),
+        )
+    )
+
+    qrow = (
+        docs.where(F.col("doc_id") == query_doc_id)
+        .select("text")
+        .first()
+    )
+    if qrow is None:
+        from oasysdb_spark.errors import InvalidArgumentError
+
+        raise InvalidArgumentError(f"query doc_id {query_doc_id} not found")
+    qtoks = [w for w in re.split("[^a-z0-9]+", qrow["text"].lower()) if w]
+    qv = _hash_embed_py(qtoks, dim)
+    nq = sum(x * x for x in qv)
+    if nq == 0:
+        from oasysdb_spark.errors import InvalidArgumentError
+
+        raise InvalidArgumentError(
+            f"query doc {query_doc_id} hash-embeds to the zero vector "
+            "(empty text or fully cancelled signs): cosine is undefined"
+        )
+    qlit = F.array(*[F.lit(int(x)).cast("long") for x in qv])
+
+    dot = F.aggregate(
+        F.zip_with(F.col("emb"), qlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nc = F.aggregate(
+        F.col("emb"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x * x,
+    )
+    scored = (
+        chunks.select(
+            "doc_id",
+            "chunk_id",
+            dot.alias("dot"),
+            nc.alias("nc"),
+        )
+        .where(F.col("nc") > 0)
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.round(
+                F.col("dot")
+                / F.sqrt((F.col("nc") * F.lit(int(nq))).cast("double")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("cos_sim"), F.asc("doc_id"), F.asc("chunk_id")
+    ).limit(k)
+    from pyspark.sql import Window
+
+    win = Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"), F.asc("chunk_id"))
+    return top.withColumn(
+        "rank", F.row_number().over(win).cast("bigint")
+    ).select("rank", "doc_id", "chunk_id", "cos_sim")
+
+
 def _balanced_sample_summary(
     labeled: DataFrame, stratum: str, salt: str = "cmix"
 ) -> DataFrame:

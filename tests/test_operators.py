@@ -3180,3 +3180,94 @@ def test_quality_percentile_filter_approx_tracks_exact(spark, sf_dir):
         # rank error ≤ 1/accuracy = 1% of ranks; small per-source doc
         # counts at sf0.01 add discreteness, hence the 5-point band
         assert abs(c["kept_frac"] - 0.5) <= 0.01 + 0.05, s
+
+
+def test_chunk_retrieval_topk_matches_duckdb_oracle(spark, sf_dir):
+    """chunk_retrieval_topk (chunk -> signed-bucket hash-embed ->
+    integer-exact cosine top-k) hash-compared against an independent
+    DuckDB replay — the self-oracle gate ahead of driver-window
+    rotation (r8 candidate). Invariants: ranks dense, scores
+    non-increasing, query doc excluded, all |cos| <= 1, and a missing
+    query doc raises cleanly."""
+    import sys
+
+    import duckdb
+    import pytest as _pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.errors import InvalidArgumentError
+    from oasysdb_spark.functions.hashing import hash64_sql
+    from oasysdb_spark.operators import embed
+
+    got = embed.chunk_retrieval_topk(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) == 10
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    th = hash64_sql("t")
+    res = con.execute(f"""
+        WITH tk AS (SELECT doc_id, {toks} AS tk FROM documents),
+        n AS (SELECT doc_id, tk,
+                     greatest(1, CAST(ceil((len(tk) - 8) / 24.0) AS INT)) AS nch
+              FROM tk WHERE len(tk) > 0 AND doc_id <> 0),
+        ct AS (SELECT doc_id, c['chunk_id'] AS chunk_id, unnest(c['toks']) AS t
+               FROM (SELECT doc_id,
+                       unnest(list_transform(range(0, nch),
+                         i -> {{'chunk_id': i, 'toks': tk[i*24+1 : i*24+32]}})) AS c
+                     FROM n)),
+        emb AS (SELECT doc_id, chunk_id, CAST(h % 16 AS INT) AS pos,
+                       CAST(sum(CASE WHEN (h >> 40) & 1 = 1 THEN 1 ELSE -1 END)
+                            AS BIGINT) AS val
+                FROM (SELECT doc_id, chunk_id, {th} AS h FROM ct)
+                GROUP BY doc_id, chunk_id, pos),
+        qe AS (SELECT CAST(h % 16 AS INT) AS pos,
+                      CAST(sum(CASE WHEN (h >> 40) & 1 = 1 THEN 1 ELSE -1 END)
+                           AS BIGINT) AS val
+               FROM (SELECT {th} AS h
+                     FROM (SELECT unnest({toks}) AS t
+                           FROM documents WHERE doc_id = 0))
+               GROUP BY pos),
+        nq AS (SELECT sum(val * val) AS nq FROM qe),
+        ncs AS (SELECT doc_id, chunk_id, sum(val * val) AS nc2
+                FROM emb GROUP BY doc_id, chunk_id),
+        dots AS (SELECT e.doc_id, e.chunk_id, sum(e.val * q.val) AS dot
+                 FROM emb e JOIN qe q USING (pos)
+                 GROUP BY e.doc_id, e.chunk_id),
+        scored AS (SELECT ncs.doc_id, ncs.chunk_id,
+                          round(COALESCE(dots.dot, 0)
+                                / sqrt(CAST(ncs.nc2 * nq.nq AS DOUBLE)), 6)
+                              AS cos_sim
+                   FROM ncs LEFT JOIN dots
+                     ON ncs.doc_id = dots.doc_id
+                    AND ncs.chunk_id = dots.chunk_id, nq
+                   WHERE ncs.nc2 > 0),
+        ranked AS (SELECT row_number() OVER (ORDER BY cos_sim DESC, doc_id,
+                                             chunk_id) AS rank, *
+                   FROM scored)
+        SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+               CAST(chunk_id AS BIGINT) AS chunk_id, cos_sim
+        FROM ranked WHERE rank <= 10""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "chunk_retrieval_topk", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    by_rank = sorted(spark_rows, key=lambda r: r[ix["rank"]])
+    assert [r[ix["rank"]] for r in by_rank] == list(range(1, 11))
+    scores = [r[ix["cos_sim"]] for r in by_rank]
+    assert scores == sorted(scores, reverse=True)
+    assert all(abs(s) <= 1.0 for s in scores)
+    assert all(r[ix["doc_id"]] != 0 for r in spark_rows)
+
+    with _pytest.raises(InvalidArgumentError):
+        embed.chunk_retrieval_topk(spark, sf_dir, query_doc_id=10**9)
