@@ -1695,7 +1695,11 @@ def quality_percentile_filter(
     thresholds matter because surprisal is not comparable across
     domains — a flat corpus-wide cut just deletes the rarest domain.
 
-    Float discipline: per-doc bits are rounded to 6 BEFORE the
+    Float discipline: each TERM's surprisal is quantized to integer
+    micro-bits (``round(bits·10⁶)`` as bigint), so the per-doc
+    accumulation is exact integer math immune to partial-aggregation
+    summation order (the DSIR double-sum flake, fixed here too, r7);
+    one division + ``round(…, 6)`` yields the per-doc bits BEFORE the
     quantile (both engines see identical doubles), Spark's exact
     ``percentile`` matches DuckDB's ``quantile_cont`` bit-for-bit on
     identical inputs, and the keep comparison is ``bits <= thr`` on
@@ -1722,13 +1726,24 @@ def quality_percentile_filter(
     ).cache()
     vocab = terms.groupBy("term").agg(F.count("*").alias("tf"))
     n_total = terms.count()
-    bits = F.log(F.lit(float(n_total)) / F.col("tf")) / F.log(F.lit(2.0))
+    # per-TERM surprisal quantized to integer micro-bits, so the per-doc
+    # accumulation is exact integer math — immune to partial-aggregation
+    # summation order (the DSIR double-sum flake, applied here r7)
+    bits_micro = (
+        F.round(
+            F.log(F.lit(float(n_total)) / F.col("tf"))
+            / F.log(F.lit(2.0))
+            * 1e6
+        )
+    ).cast("bigint")
     per_doc = (
-        terms.join(vocab, "term")
+        terms.join(vocab.withColumn("bm", bits_micro), "term")
         .groupBy("doc_id", "source")
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),
-            F.round(F.avg(bits), 6).alias("bits"),
+            F.round(
+                F.sum("bm") / (F.count("*") * F.lit(1e6)), 6
+            ).alias("bits"),
         )
     )
     if approx_accuracy is not None:

@@ -2250,9 +2250,12 @@ def test_quality_percentile_filter_matches_duckdb_oracle(spark, sf_dir):
         WITH t AS (SELECT doc_id, source, unnest({toks}) AS term FROM documents),
         v AS (SELECT term, count(*) AS tf FROM t GROUP BY term),
         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
+        vm AS (SELECT term,
+                      CAST(round(ln(n.n / v.tf) / ln(2.0) * 1e6) AS BIGINT) AS bm
+               FROM v, n),
         pd AS (SELECT t.doc_id, t.source, CAST(count(*) AS BIGINT) AS n_tokens,
-                      round(avg(ln(n.n / v.tf) / ln(2.0)), 6) AS bits
-               FROM t JOIN v USING (term), n GROUP BY t.doc_id, t.source),
+                      round(sum(vm.bm) / (count(*) * 1e6), 6) AS bits
+               FROM t JOIN vm USING (term) GROUP BY t.doc_id, t.source),
         th AS (SELECT source, quantile_cont(bits, 0.5) AS thr
                FROM pd GROUP BY source)
         SELECT pd.source, CAST(count(*) AS BIGINT) AS n_docs,
