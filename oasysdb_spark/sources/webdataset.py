@@ -139,6 +139,36 @@ def write_webdataset_shards(
     )
 
 
+WDS_SCHEMA = (
+    "shard_path string, key string, field string, data binary, "
+    "n_malformed int"
+)
+
+
+def _wds_map(batches):
+    """Shared Arrow parse transform (batch AND streaming read use this
+    one function, so the two modes can never parse differently — the
+    corpus.py rule)."""
+    for pdf in batches:
+        out = []
+        for p, content in zip(pdf["path"], pdf["content"]):
+            try:
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                    for m in tf:
+                        if not m.isfile():
+                            continue
+                        name = m.name
+                        key, _, field = name.partition(".")
+                        data = tf.extractfile(m).read()
+                        out.append((p, key, field, data, 0))
+            except (tarfile.TarError, EOFError, OSError):
+                out.append((p, None, None, None, 1))
+        yield pd.DataFrame(
+            out,
+            columns=["shard_path", "key", "field", "data", "n_malformed"],
+        )
+
+
 def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
     """Read a directory of WebDataset tar shards: one tar per task via
     ``binaryFile``, stdlib parse executor-side. Returns one row per
@@ -149,34 +179,27 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.tar")
+        .option("recursiveFileLookup", "true")
         .load(path)
         .select("path", "content")
     )
+    return raw.mapInPandas(_wds_map, WDS_SCHEMA)
 
-    def parse(batches):
-        for pdf in batches:
-            out = []
-            for p, content in zip(pdf["path"], pdf["content"]):
-                try:
-                    with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
-                        for m in tf:
-                            if not m.isfile():
-                                continue
-                            name = m.name
-                            key, _, field = name.partition(".")
-                            data = tf.extractfile(m).read()
-                            out.append((p, key, field, data, 0))
-                except (tarfile.TarError, EOFError, OSError):
-                    out.append((p, None, None, None, 1))
-            yield pd.DataFrame(
-                out,
-                columns=["shard_path", "key", "field", "data", "n_malformed"],
-            )
 
-    return raw.mapInPandas(
-        parse,
-        schema=(
-            "shard_path string, key string, field string, data binary, "
-            "n_malformed int"
-        ),
-    )
+def stream_webdataset(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming twin of :func:`read_webdataset` for a shard directory
+    that GROWS (the delivery shape of a crawling/encoding pipeline that
+    lands one tar at a time): ``binaryFile`` readStream with an
+    explicit schema through the SAME parse transform; file-source
+    offsets make restarts exactly-once per tar."""
+    from oasysdb_spark.sources.corpus import _BINARY_FILE_SCHEMA
+
+    reader = spark.readStream.format("binaryFile").schema(_BINARY_FILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    reader = reader.option("pathGlobFilter", "*.tar")
+    reader = reader.option("recursiveFileLookup", "true")
+    blobs = reader.load(path).select("path", "content")
+    return blobs.mapInPandas(_wds_map, WDS_SCHEMA)

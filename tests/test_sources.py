@@ -382,3 +382,55 @@ def test_webdataset_roundtrip_deterministic_and_quarantines(spark, tmp_path):
     back2 = read_webdataset(spark, d1)
     assert back2.where("n_malformed = 1").count() == 1
     assert back2.where("n_malformed = 0").count() == n_docs
+
+
+def test_stream_webdataset_matches_batch_and_is_exactly_once(spark, tmp_path):
+    """Streaming WebDataset reader over a growing shard directory: two
+    availableNow phases with a checkpoint deliver exactly the batch
+    reader's member set with no re-delivery of already-processed tars."""
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.sources.webdataset import (
+        read_webdataset,
+        stream_webdataset,
+        write_webdataset_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "wds_src")
+    out = str(tmp_path / "wds_out")
+    ckpt = str(tmp_path / "wds_ckpt")
+    write_webdataset_shards(docs.where("doc_id % 2 = 0"), src, n_shards=2)
+
+    def drain():
+        q = (
+            stream_webdataset(spark, src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    got1 = drain()
+    n1 = got1.where("n_malformed = 0").count()
+    assert n1 == docs.where("doc_id % 2 = 0").count()
+
+    # second delivery lands in DIFFERENT shard files (phase suffix dirs
+    # aren't needed — new tars get new names via a subdir)
+    import os
+
+    sub = os.path.join(src, "late")
+    write_webdataset_shards(docs.where("doc_id % 2 = 1"), sub, n_shards=2)
+    got2 = drain()
+    keys = {int(r["key"]) for r in got2.where("n_malformed = 0").collect()}
+    want = {r["doc_id"] for r in docs.collect()}
+    assert keys == want
+    # exactly-once: member count equals batch read of the whole tree
+    batch_n = read_webdataset(spark, src).where("n_malformed = 0").count()
+    assert got2.where("n_malformed = 0").count() == batch_n
