@@ -157,6 +157,19 @@ def build_parser() -> argparse.ArgumentParser:
                     help="language filter; 'any' disables it")
     cs.add_argument("--near-threshold", type=float, default=0.5)
 
+    cw = sub.add_parser(
+        "corpus-to-wds",
+        help="raw jsonl/WET corpus -> filtered, deduped WebDataset tar shards",
+    )
+    cw.add_argument("--in", dest="in_path", required=True)
+    cw.add_argument("--out", required=True)
+    cw.add_argument("--format", default="jsonl", choices=["jsonl", "wet"])
+    cw.add_argument("--n-shards", type=int, default=8)
+    cw.add_argument("--min-quality", type=int, default=3)
+    cw.add_argument("--lang", default="en",
+                    help="language filter; 'any' disables it")
+    cw.add_argument("--near-threshold", type=float, default=0.5)
+
     sb = sub.add_parser(
         "sigindex-build", help="persist a near-dup signature index over a corpus"
     )
@@ -215,6 +228,19 @@ def main(argv: list[str] | None = None) -> int:
             lang=None if args.lang == "any" else args.lang,
             near_threshold=args.near_threshold,
             n_shards=args.n_shards, n_merges=args.n_merges,
+        )
+        _emit(manifest)
+        return 0
+
+    if args.cmd == "corpus-to-wds":
+        from oasysdb_spark.pipeline import corpus_to_wds
+
+        manifest = corpus_to_wds(
+            spark, args.in_path, args.out, fmt=args.format,
+            min_quality=args.min_quality,
+            lang=None if args.lang == "any" else args.lang,
+            near_threshold=args.near_threshold,
+            n_shards=args.n_shards,
         )
         _emit(manifest)
         return 0

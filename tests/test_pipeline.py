@@ -191,3 +191,32 @@ def test_corpus_to_wds_end_to_end(spark, tmp_path):
     }
     assert set(texts) == {2, 4, 7} or set(texts) == {1, 4, 7} or len(texts) == 3
     assert STORY_C in texts.values()
+
+
+def test_cli_corpus_to_wds_verb(spark, tmp_path, capsys):
+    """corpus-to-wds CLI verb: one JSON manifest line, tars on disk,
+    survivors readable back."""
+    from oasysdb_spark.cli import main
+
+    def run(*argv):
+        assert main(list(argv)) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    src = tmp_path / "in_cliwds"
+    src.mkdir()
+    (src / "c.jsonl").write_text(
+        "\n".join([_doc(1, STORY_A), _doc(2, STORY_B), _doc(3, STORY_A)])
+    )
+    out = str(tmp_path / "cli_wds")
+    m = run(
+        "corpus-to-wds", "--in", str(src), "--out", out,
+        "--n-shards", "2", "--lang", "any",
+    )
+    assert m["n_raw"] == 3 and m["n_survivors"] == 2
+
+    from oasysdb_spark.sources.webdataset import read_webdataset
+
+    back = read_webdataset(spark, out).where(
+        "n_malformed = 0 AND field = 'text.txt'"
+    )
+    assert back.count() == 2
