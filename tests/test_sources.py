@@ -359,9 +359,11 @@ def test_webdataset_roundtrip_deterministic_and_quarantines(spark, tmp_path):
     assert sum(r["n_members"] for r in man1) == n_docs  # one text col, no nulls
     assert len(man1) <= 4 and all(r["tar_bytes"] > 0 for r in man1)
 
-    # deterministic: a second write produces byte-identical tars
+    # deterministic: a second write — from a DIFFERENTLY-PARTITIONED
+    # frame — produces byte-identical tars (the in-task sort is the
+    # only order that matters)
     d2 = str(tmp_path / "wds2")
-    write_webdataset_shards(docs, d2, n_shards=4).collect()
+    write_webdataset_shards(docs.repartition(7), d2, n_shards=4).collect()
     for r in man1:
         with open(r["path"], "rb") as f1, open(
             os.path.join(d2, os.path.basename(r["path"])), "rb"
