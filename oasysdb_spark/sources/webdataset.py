@@ -130,7 +130,7 @@ def write_webdataset_shards(
     rows = written.collect()
     sizes = [
         (r["shard"], r["path"], r["n_samples"], r["n_members"],
-         int(__import__("os").stat(r["path"]).st_size))
+         int(os.stat(r["path"]).st_size))
         for r in rows
     ]
     return spark.createDataFrame(
