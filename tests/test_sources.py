@@ -378,9 +378,13 @@ def test_webdataset_roundtrip_deterministic_and_quarantines(spark, tmp_path):
     assert got == want
     assert all(r["field"] == "text.txt" for r in rows)
 
-    # corrupt tar → one quarantine row, clean shards unaffected
+    # corrupt tar → one quarantine row, clean shards unaffected; a torn
+    # .inprogress file from a killed writer task is invisible to readers
+    # (the atomic-rename publish contract)
     with open(os.path.join(d1, "shard-99999.tar"), "wb") as f:
         f.write(b"this is not a tar archive at all" * 16)
+    with open(os.path.join(d1, "shard-00007.tar.inprogress"), "wb") as f:
+        f.write(b"torn partial write")
     back2 = read_webdataset(spark, d1)
     assert back2.where("n_malformed = 1").count() == 1
     assert back2.where("n_malformed = 0").count() == n_docs
