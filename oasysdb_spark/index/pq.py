@@ -152,7 +152,6 @@ def fit_opq(
     if dim % m != 0:
         raise InvalidArgumentError(f"dimension {dim} not divisible by m={m}")
     rot = np.eye(dim)
-    books = _fit_codebooks_local(mat, m, nbits, seed, max_iter)
     for _ in range(n_iter):
         xr = mat @ rot
         books = _fit_codebooks_local(xr, m, nbits, seed, max_iter)

@@ -223,6 +223,14 @@ def chunk_retrieval_topk(
     and the selection is a bounded TakeOrderedAndProject."""
     import re
 
+    if overlap < 0 or overlap >= chunk_tokens:
+        from oasysdb_spark.errors import InvalidArgumentError
+
+        raise InvalidArgumentError(
+            f"overlap must be in [0, chunk_tokens) (got overlap={overlap}, "
+            f"chunk_tokens={chunk_tokens}): stride would be <= 0 and the "
+            "window would never advance"
+        )
     stride = chunk_tokens - overlap
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     piece = lambda i: F.slice(  # noqa: E731 — row-local window expr

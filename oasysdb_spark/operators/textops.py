@@ -1327,6 +1327,7 @@ def line_dedup_apply(
         .otherwise(F.array().cast("array<struct<p:int,h:bigint>>"))
         .alias("ln"),
     )
+    base = base.cache()  # feeds the winner agg AND the reassembly join
     pos = base.select("doc_id", F.explode("ln").alias("s")).select(
         "doc_id", F.col("s.p").alias("p"), F.col("s.h").alias("h")
     )
@@ -1852,7 +1853,14 @@ def dsir_importance_sample(
     tot = counts.agg(
         F.sum("r_f").alias("r_total"), F.sum("t_f").alias("t_total")
     ).first()
-    r_total, t_total = int(tot["r_total"]), int(tot["t_total"])
+    if tot["r_total"] is None:
+        from oasysdb_spark.errors import InvalidArgumentError
+
+        raise InvalidArgumentError(
+            "cannot fit DSIR importance weights: no document has >= 2 "
+            "tokens (the bigram feature stream is empty)"
+        )
+    r_total, t_total = int(tot["r_total"]), int(tot["t_total"] or 0)
     lr = counts.select(
         "f",
         F.round(

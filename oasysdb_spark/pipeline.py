@@ -56,21 +56,22 @@ def ingest(spark: SparkSession, in_path: str, fmt: str = "jsonl"):
     raise ValueError(f"unknown corpus format {fmt!r}; one of jsonl, wet")
 
 
-def corpus_to_shards(
+def _filter_and_dedup(
     spark: SparkSession,
     in_path: str,
-    out_dir: str,
-    fmt: str = "jsonl",
-    min_quality: int = 3,
-    lang: str | None = "en",
-    near_threshold: float = 0.5,
-    n_shards: int = 8,
-    n_merges: int = 256,
-    min_token_count: int = 2,
-) -> dict:
-    """Run the whole pipeline; returns the manifest dict:
-    per-stage doc counts plus the per-shard (docs, tokens) rows read
-    back from the written artifact."""
+    fmt: str,
+    min_quality: int,
+    lang: "str | None",
+    near_threshold: float,
+):
+    """Shared front half of every corpus pipeline entry point: ingest
+    (quarantine) → quality + language filter → exact dedup → near-dup
+    representative pick. ONE definition, so the terminal artifacts
+    (tokenized parquet, WebDataset tars, ...) can never filter or dedup
+    differently. Returns ``(counts, survivors, to_unpersist, comps)``
+    — the caller runs its terminal stage, then unpersists the frames
+    and frees the components checkpoint in its ``finally``; on failure
+    BEFORE returning, this helper cleans up its own caches."""
     docs, quarantine = ingest(spark, in_path, fmt=fmt)
     toks = tokens(F.col("text"))
     scored = docs.select(
@@ -96,13 +97,46 @@ def corpus_to_shards(
         n_clean = clean.count()
 
         # the dedup-survivors stage shared verbatim with
-        # textops.prepare_training_corpus — one definition, so the two
+        # textops.prepare_training_corpus — one definition, so the
         # pipeline entry points can never dedup differently
         exact_unique, survivors, comps = exact_then_near_dedup(
             spark, clean, near_threshold
         )
         to_unpersist += [exact_unique, survivors]
-        n_exact = exact_unique.count()
+        counts = {
+            "n_raw": n_raw,
+            "n_quarantined": n_quarantined,
+            "n_clean": n_clean,
+            "n_exact_unique": exact_unique.count(),
+        }
+    except Exception:
+        for frame in to_unpersist:
+            frame.unpersist()
+        if comps is not None:
+            free_local_checkpoint(comps)
+        raise
+    return counts, survivors, to_unpersist, comps
+
+
+def corpus_to_shards(
+    spark: SparkSession,
+    in_path: str,
+    out_dir: str,
+    fmt: str = "jsonl",
+    min_quality: int = 3,
+    lang: str | None = "en",
+    near_threshold: float = 0.5,
+    n_shards: int = 8,
+    n_merges: int = 256,
+    min_token_count: int = 2,
+) -> dict:
+    """Run the whole pipeline; returns the manifest dict:
+    per-stage doc counts plus the per-shard (docs, tokens) rows read
+    back from the written artifact."""
+    counts, survivors, to_unpersist, comps = _filter_and_dedup(
+        spark, in_path, fmt, min_quality, lang, near_threshold
+    )
+    try:
         n_near = survivors.count()
 
         manifest_df = tokenize_and_shard(
@@ -128,10 +162,7 @@ def corpus_to_shards(
         if comps is not None:
             free_local_checkpoint(comps)
     return {
-        "n_raw": n_raw,
-        "n_quarantined": n_quarantined,
-        "n_clean": n_clean,
-        "n_exact_unique": n_exact,
+        **counts,
         "n_survivors": n_near,
         # the REQUESTED layout; empty shard partitions write no files,
         # so the read-back list below may be shorter
@@ -162,35 +193,10 @@ def corpus_to_wds(
     :func:`corpus_to_shards` runs — this entry point only swaps the
     terminal artifact. Returns the manifest dict with per-stage doc
     counts plus the per-shard rows read back from the written tars."""
-    docs, quarantine = ingest(spark, in_path, fmt=fmt)
-    toks = tokens(F.col("text"))
-    scored = docs.select(
-        "doc_id",
-        "text",
-        "source",
-        quality_rules(F.col("text"), toks).alias("q"),
-        predict_lang(toks).alias("pl"),
-        doc_fingerprint(F.col("text")).alias("fp"),
-        token_count_bpe(F.col("text")).cast("bigint").alias("bpe"),
-    ).cache()
-    comps = None
-    to_unpersist = [scored]
+    counts, survivors, to_unpersist, comps = _filter_and_dedup(
+        spark, in_path, fmt, min_quality, lang, near_threshold
+    )
     try:
-        n_raw = scored.count()
-        n_quarantined = quarantine.count() if quarantine is not None else 0
-        clean = scored.where(F.col("q") >= min_quality)
-        if lang is not None:
-            clean = clean.where(F.col("pl") == lang)
-        clean = clean.cache()
-        to_unpersist.append(clean)
-        n_clean = clean.count()
-
-        exact_unique, survivors, comps = exact_then_near_dedup(
-            spark, clean, near_threshold
-        )
-        to_unpersist += [exact_unique, survivors]
-        n_exact = exact_unique.count()
-
         from oasysdb_spark.sources.webdataset import write_webdataset_shards
 
         manifest_df = write_webdataset_shards(
@@ -214,10 +220,7 @@ def corpus_to_wds(
         if comps is not None:
             free_local_checkpoint(comps)
     return {
-        "n_raw": n_raw,
-        "n_quarantined": n_quarantined,
-        "n_clean": n_clean,
-        "n_exact_unique": n_exact,
+        **counts,
         "n_survivors": sum(s["n_samples"] for s in shards),
         "n_shards": n_shards,
         "n_nonempty_shards": len(shards),

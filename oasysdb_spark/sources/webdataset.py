@@ -15,9 +15,11 @@ key (``hash64(key) % n_shards`` — deterministic, no global sort), each
 shard's members sort by key inside ONE Arrow task that streams the tar
 to disk (``applyInPandas`` per shard group), and the returned manifest
 is read back from the WRITTEN files, not from the writer's bookkeeping.
-Per-task memory is one sample at a time (tarfile streams); per-shard
-size is bounded by the key distribution, which the uniform 64-bit hash
-keeps even.
+Per-task memory is ONE SHARD's samples (the applyInPandas group) —
+the scale lever is ``n_shards``: size it so a shard lands at the
+format's conventional ~1 GB (WebDataset ships corpora as tens of
+thousands of shards), and the uniform 64-bit key hash keeps shard
+sizes even. The tar write itself streams sample by sample.
 
 Source (``read_webdataset``): ``binaryFile`` one-tar-per-task (the
 corpus.py WET pattern — archive bytes never transit the driver), stdlib
@@ -152,6 +154,7 @@ def _wds_map(batches):
     for pdf in batches:
         out = []
         for p, content in zip(pdf["path"], pdf["content"]):
+            file_rows = []  # buffered: a tar is published whole or not at all
             try:
                 with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
                     for m in tf:
@@ -160,9 +163,15 @@ def _wds_map(batches):
                         name = m.name
                         key, _, field = name.partition(".")
                         data = tf.extractfile(m).read()
-                        out.append((p, key, field, data, 0))
+                        file_rows.append((p, key, field, data, 0))
             except (tarfile.TarError, EOFError, OSError):
+                # a tar that fails MID-parse contributes ONLY its
+                # quarantine row — already-parsed members are discarded
+                # (a truncated final payload would otherwise pass every
+                # n_malformed = 0 filter as a silently-partial sample)
                 out.append((p, None, None, None, 1))
+                continue
+            out.extend(file_rows)
         yield pd.DataFrame(
             out,
             columns=["shard_path", "key", "field", "data", "n_malformed"],

@@ -3274,3 +3274,31 @@ def test_chunk_retrieval_topk_matches_duckdb_oracle(spark, sf_dir):
 
     with _pytest.raises(InvalidArgumentError):
         embed.chunk_retrieval_topk(spark, sf_dir, query_doc_id=10**9)
+
+
+def test_retrieval_and_dsir_degenerate_inputs_raise_cleanly(spark, tmp_path):
+    """Degenerate-argument pins from the r7 self-review: a zero/negative
+    stride in chunk_retrieval_topk and an empty bigram stream in DSIR
+    raise InvalidArgumentError instead of exploding downstream."""
+    import pytest as _pytest
+
+    from oasysdb_spark.errors import InvalidArgumentError
+    from oasysdb_spark.operators import embed, textops
+
+    with _pytest.raises(InvalidArgumentError):
+        embed.chunk_retrieval_topk(
+            spark, "/root/testdata/sf0.001", chunk_tokens=8, overlap=8
+        )
+    with _pytest.raises(InvalidArgumentError):
+        embed.chunk_retrieval_topk(
+            spark, "/root/testdata/sf0.001", chunk_tokens=8, overlap=9
+        )
+
+    # one-token docs -> no bigrams anywhere -> clean error
+    d = str(tmp_path / "tiny_sf")
+    spark.createDataFrame(
+        [(0, "word", "en", "src0"), (1, "other", "de", "src1")],
+        "doc_id bigint, text string, lang string, source string",
+    ).write.parquet(f"{d}/documents.parquet")
+    with _pytest.raises(InvalidArgumentError):
+        textops.dsir_importance_sample(spark, d)

@@ -440,3 +440,34 @@ def test_stream_webdataset_matches_batch_and_is_exactly_once(spark, tmp_path):
     # exactly-once: member count equals batch read of the whole tree
     batch_n = read_webdataset(spark, src).where("n_malformed = 0").count()
     assert got2.where("n_malformed = 0").count() == batch_n
+
+
+def test_webdataset_midparse_truncation_discards_partial_members(spark, tmp_path):
+    """A tar that fails MID-parse (valid leading members, truncated
+    tail) must contribute ONLY its quarantine row — the already-parsed
+    members are discarded, never leaked as n_malformed = 0 rows
+    (r7 self-review fix)."""
+    import io
+    import os
+    import tarfile
+
+    from oasysdb_spark.sources.webdataset import read_webdataset
+
+    d = str(tmp_path / "wds_trunc")
+    os.makedirs(d)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for i in range(3):
+            data = (f"member {i} payload " * 20).encode()
+            info = tarfile.TarInfo(name=f"{i}.text.txt")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    raw = buf.getvalue()
+    # cut inside the THIRD member's data region: members 0-1 parse fine,
+    # member 2's extraction hits EOF
+    with open(os.path.join(d, "shard-00000.tar"), "wb") as f:
+        f.write(raw[: 2 * 1024 + 512 + 100])
+
+    got = read_webdataset(spark, d)
+    assert got.where("n_malformed = 1").count() == 1
+    assert got.where("n_malformed = 0").count() == 0
