@@ -1988,3 +1988,33 @@ def bloom_overlap_flags(
             .alias("hit_frac"),
         )
     )
+
+
+def component_size_histogram(
+    spark: SparkSession, sf_dir: str | None = None, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup CLUSTER SIZE distribution — the number a pipeline owner
+    actually watches after a dedup pass: per component size, how many
+    components and how many documents sit in them. Size 1 = unique
+    docs; the tail (large sizes) is boilerplate/mirror mass, and a
+    sudden new heavy size-k spike after an ingest batch is the classic
+    scraper-loop signal. Returns ``(size, n_components, n_docs)``.
+
+    Built directly ON :func:`dedup_components` (same components, same
+    oracle lineage), plus two vocabulary-bounded aggregations — the
+    histogram has at most one row per distinct size. Scale cost is the
+    components op's; the histogram itself is free."""
+    comps = dedup_components(spark, sf_dir, threshold=threshold)
+    per = comps.groupBy("component_id").agg(F.count("*").alias("size"))
+    return (
+        per.groupBy("size")
+        .agg(
+            F.count("*").cast("bigint").alias("n_components"),
+            F.sum("size").cast("bigint").alias("n_docs"),
+        )
+        .select(
+            F.col("size").cast("bigint").alias("size"),
+            "n_components",
+            "n_docs",
+        )
+    )

@@ -3302,3 +3302,51 @@ def test_retrieval_and_dsir_degenerate_inputs_raise_cleanly(spark, tmp_path):
     ).write.parquet(f"{d}/documents.parquet")
     with _pytest.raises(InvalidArgumentError):
         textops.dsir_importance_sample(spark, d)
+
+
+def test_component_size_histogram_matches_duckdb_oracle(spark, sf_dir):
+    """component_size_histogram hash-compared against a DuckDB replay
+    that wraps the driver-green dedup_components oracle SQL as a
+    derived table (same components, histogram on top) — the self-oracle
+    gate ahead of driver-window rotation (r8 candidate). Invariants:
+    doc conservation (Σ n_docs == corpus size), sizes ≥ 1, and at least
+    one multi-doc component exists at the fixture's threshold."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import __spark_entry__ as entry
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.operators import dedup
+
+    got = dedup.component_size_histogram(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) >= 1
+
+    comp_sql = entry.oracle_sql()["dedup_components"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    res = con.execute(f"""
+        WITH per AS (SELECT component_id, count(*) AS size
+                     FROM ({comp_sql}) comps GROUP BY component_id)
+        SELECT CAST(size AS BIGINT) AS size,
+               CAST(count(*) AS BIGINT) AS n_components,
+               CAST(sum(size) AS BIGINT) AS n_docs
+        FROM per GROUP BY size""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "component_size_histogram", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    n_corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r[ix["n_docs"]] for r in spark_rows) == n_corpus
+    assert all(r[ix["size"]] >= 1 for r in spark_rows)
+    assert any(r[ix["size"]] > 1 for r in spark_rows)
