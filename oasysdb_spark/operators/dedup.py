@@ -1910,7 +1910,11 @@ def bloom_overlap_flags(
     batch — no per-row Python), and the only shuffle in the whole op
     is the final per-doc count aggregation. Hashing is the same
     row-local ``hash64`` family as the exact op, split
-    Kirsch-Mitzenmacher-style into k strided bit positions."""
+    Kirsch-Mitzenmacher-style into k strided bit positions. (A pure
+    JVM-expression probe — binary-literal substr + bit test — was
+    measured at 20M rows: 1.73 s warm vs the Arrow probe's 1.03 s;
+    numpy's gathers beat codegen's per-position byte extraction, so
+    Arrow stays the probe path.)"""
     import numpy as np
 
     ev = (
