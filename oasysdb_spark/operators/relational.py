@@ -296,6 +296,79 @@ def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
     )
 
 
+def event_funnel(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: "tuple[str, ...]" = ("view", "click", "purchase"),
+) -> DataFrame:
+    """ORDERED funnel analysis — the classic product-analytics query
+    (Amplitude/Mixpanel's core op): for each step of ``steps``, how
+    many users performed it AFTER completing every earlier step, in
+    event-time order. Matching is greedy-earliest (provably maximal
+    for funnel reachability: taking the earliest valid event for each
+    step can only leave MORE room for later steps), with ``(ts,
+    event_id)`` as the deterministic order so same-timestamp events
+    tie-break identically in both engines. Returns ``(step, step_name,
+    n_users, conversion_frac)`` with conversion relative to step 1.
+
+    Scale shape: ONE shuffle — events filter to the step types
+    row-locally, group by user, and the greedy match is a row-local
+    ``aggregate`` fold over each user's sorted event list (per-user
+    event counts bound the sort, the universal assumption of
+    user-keyed funnels); the summary is an aggregation over one row
+    per user, and the step table is |steps| rows. Contrast with the
+    textbook k-way self-join funnel, which shuffles the events table
+    k−1 times."""
+    events = _t(spark, sf_dir, "events")
+    k = len(steps)
+    # sentinel pad so element_at(acc+1) stays in bounds at acc == k
+    # (ANSI mode raises on out-of-range element_at)
+    steps_lit = F.array(*[F.lit(s) for s in steps], F.lit("__done__"))
+    per_user = (
+        events.where(F.col("event_type").isin(list(steps)))
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("seq")
+        )
+    )
+    reached = per_user.select(
+        F.aggregate(
+            F.col("seq"),
+            F.lit(0),
+            lambda acc, e: F.when(
+                (acc < k)
+                & (e["event_type"] == F.element_at(steps_lit, acc + 1)),
+                acc + 1,
+            ).otherwise(acc),
+        ).alias("reached")
+    )
+    counts = reached.select(
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("step"), "reached"
+    ).groupBy("step").agg(
+        F.sum((F.col("reached") >= F.col("step")).cast("long"))
+        .cast("bigint")
+        .alias("n_users")
+    )
+    # k-row bounded window: conversion relative to step 1
+    w = Window.orderBy("step").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    first_n = F.max(F.when(F.col("step") == 1, F.col("n_users"))).over(w)
+    return counts.select(
+        F.col("step").cast("bigint").alias("step"),
+        F.element_at(steps_lit, F.col("step")).alias("step_name"),
+        "n_users",
+        F.when(
+            first_n > 0,
+            F.round(F.col("n_users").cast("double") / first_n, 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("conversion_frac"),
+    )
+
+
 def math_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math-function suite: sqrt/pow/ln/abs/ceil/floor over lineitem
     aggregates per returnflag."""

@@ -3350,3 +3350,74 @@ def test_component_size_histogram_matches_duckdb_oracle(spark, sf_dir):
     assert sum(r[ix["n_docs"]] for r in spark_rows) == n_corpus
     assert all(r[ix["size"]] >= 1 for r in spark_rows)
     assert any(r[ix["size"]] > 1 for r in spark_rows)
+
+
+def test_event_funnel_matches_duckdb_oracle(spark, sf_dir):
+    """event_funnel (greedy-earliest ordered funnel) hash-compared
+    against an independent DuckDB replay built the OTHER way — chained
+    argmin self-joins with (ts, event_id) row comparisons — so the two
+    engines implement genuinely different algorithms for the same
+    semantics. Invariants: counts non-increasing down the funnel,
+    step-1 conversion is exactly 1.0, every step present."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.operators import relational as rel
+
+    got = rel.event_funnel(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) == 3
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    res = con.execute("""
+        WITH m1 AS (SELECT user_id, ts, event_id
+                    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn
+                          FROM events WHERE event_type = 'view')
+                    WHERE rn = 1),
+        m2 AS (SELECT user_id, ts, event_id
+               FROM (SELECT e.user_id, e.ts, e.event_id,
+                            row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+                     FROM events e JOIN m1 USING (user_id)
+                     WHERE e.event_type = 'click'
+                       AND (e.ts, e.event_id) > (m1.ts, m1.event_id))
+               WHERE rn = 1),
+        m3 AS (SELECT user_id, ts, event_id
+               FROM (SELECT e.user_id, e.ts, e.event_id,
+                            row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+                     FROM events e JOIN m2 USING (user_id)
+                     WHERE e.event_type = 'purchase'
+                       AND (e.ts, e.event_id) > (m2.ts, m2.event_id))
+               WHERE rn = 1),
+        c AS (SELECT 1 AS step, 'view' AS step_name,
+                     CAST((SELECT count(*) FROM m1) AS BIGINT) AS n_users
+              UNION ALL SELECT 2, 'click',
+                     CAST((SELECT count(*) FROM m2) AS BIGINT)
+              UNION ALL SELECT 3, 'purchase',
+                     CAST((SELECT count(*) FROM m3) AS BIGINT)),
+        f AS (SELECT max(CASE WHEN step = 1 THEN n_users END) AS n1 FROM c)
+        SELECT CAST(step AS BIGINT) AS step, step_name, n_users,
+               CASE WHEN f.n1 > 0
+                    THEN round(CAST(n_users AS DOUBLE) / f.n1, 6)
+                    ELSE 0.0 END AS conversion_frac
+        FROM c, f""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "event_funnel", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    by_step = {r[0]: r for r in spark_rows}
+    assert by_step[1][3] == 1.0
+    assert by_step[1][2] >= by_step[2][2] >= by_step[3][2] > 0
