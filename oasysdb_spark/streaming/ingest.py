@@ -681,6 +681,80 @@ def line_dedup_stream_flags(
     )
 
 
+def funnel_stream_progress(
+    events_stream: DataFrame,
+    steps: "tuple[str, ...]" = ("view", "click", "purchase"),
+) -> DataFrame:
+    """STREAMING ordered funnel — the live twin of
+    :func:`oasysdb_spark.operators.relational.event_funnel`: per-user
+    greedy-earliest step matching kept as keyed state
+    ``(step, ts, event_id)``, emitting a ``(user_id, reached)`` row
+    whenever a user advances. Within a micro-batch events sort by
+    ``(ts, event_id)`` so a single-batch replay matches batch exactly;
+    across batches the ``(ts, event_id)`` guard only advances on
+    events ordered after the last matched one — a LATE-arriving
+    earlier event cannot retro-improve a match (streaming funnels
+    accept this no-retraction approximation; the batch op is the
+    exact audit).
+
+    State is three fixed-width values per user — bounded by the user
+    population, not the stream; downstream aggregates the latest
+    ``reached`` per user into the step counts exactly as batch does."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    k = len(steps)
+    ev = events_stream.where(F.col("event_type").isin(list(steps))).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+
+    out_schema = "user_id bigint, reached int"
+    state_schema = "step int, ts timestamp, eid bigint"
+
+    def _update(key, pdfs, state: GroupState):
+        import pandas as pd_  # noqa: N813 — keep the module alias clear
+
+        if state.exists:
+            step, last_ts, last_eid = state.get
+            step = int(step)
+        else:
+            step, last_ts, last_eid = 0, None, None
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            yield pd_.DataFrame({"user_id": [], "reached": []}).astype(
+                {"user_id": "int64", "reached": "int32"}
+            )
+            return
+        pdf = pd_.concat(frames).sort_values(["ts", "event_id"])
+        advanced = False
+        for _, row in pdf.iterrows():
+            if step >= k:
+                break
+            ts, eid = row["ts"], int(row["event_id"])
+            if last_ts is not None and (ts, eid) <= (last_ts, last_eid):
+                continue  # ordered-after guard across batches
+            if row["event_type"] == steps[step]:
+                step += 1
+                last_ts, last_eid = ts, eid
+                advanced = True
+        state.update((int(step), last_ts, last_eid))
+        if advanced:
+            yield pd_.DataFrame(
+                {"user_id": [int(key[0])], "reached": [int(step)]}
+            )
+        else:
+            yield pd_.DataFrame({"user_id": [], "reached": []}).astype(
+                {"user_id": "int64", "reached": "int32"}
+            )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def heavy_hitter_stream_sketches(
     docs_stream: DataFrame, sketch_k: int = 64, shards: int = 8
 ) -> DataFrame:

@@ -914,3 +914,68 @@ def test_line_dedup_stream_matches_batch_and_survives_restart(
     }
     for d, r in batch.items():
         assert per_doc.get(d, 0) == r["n_kept"], d
+
+
+def test_funnel_stream_matches_batch_and_survives_restart(
+    spark, sf_dir, tmp_path
+):
+    """Streaming funnel progress: a single-batch replay reproduces the
+    batch funnel's step counts exactly (in-batch sort makes greedy
+    matching identical); a two-phase time-split delivery with a
+    checkpoint restart converges to the same counts (the fixture's
+    per-user event order is delivered chronologically, so the
+    no-retraction guard never bites); users only ever advance."""
+    from oasysdb_spark.operators.relational import event_funnel
+    from oasysdb_spark.streaming.ingest import funnel_stream_progress
+
+    batch = {r["step"]: r["n_users"] for r in event_funnel(spark, sf_dir).collect()}
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cut = events.selectExpr(
+        "percentile(unix_micros(cast(ts as timestamp)), 0.5) p"
+    ).first()["p"]
+
+    src = str(tmp_path / "fn_src")
+    out = str(tmp_path / "fn_out")
+    ckpt = str(tmp_path / "fn_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            funnel_stream_progress(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    # phase 1: first half of time; phase 2: the rest (chronological
+    # delivery — the streaming-funnel contract)
+    events.where(
+        f"unix_micros(cast(ts as timestamp)) <= {int(cut)}"
+    ).write.parquet(src)
+    drain()
+    events.where(
+        f"unix_micros(cast(ts as timestamp)) > {int(cut)}"
+    ).write.mode("append").parquet(src)
+    got = drain()
+
+    # latest reached per user (max: users only advance)
+    per_user = {
+        r["user_id"]: r["m"]
+        for r in got.groupBy("user_id").agg(F.max("reached").alias("m")).collect()
+    }
+    for s in (1, 2, 3):
+        assert sum(1 for v in per_user.values() if v >= s) == batch[s], s
+
+    # progress is monotone per user across emissions
+    from collections import defaultdict
+
+    seen = defaultdict(list)
+    for r in got.collect():
+        seen[r["user_id"]].append(r["reached"])
+    assert all(len(set(v)) == len(v) for v in seen.values())
