@@ -124,6 +124,10 @@ def build_parser() -> argparse.ArgumentParser:
                     "before quantizing; composes with --residual")
     bp.add_argument("--opq-iter", type=int, default=5)
 
+    add("extend-hnsw",
+        help="index appended records into the HNSW graph "
+        "(touched shards only; pure appends)")
+
     bh = add("build-hnsw", help="build/rebuild the HNSW graph tier")
     bh.add_argument("--m", type=int, default=16,
                     help="max neighbors per node per layer (2M at layer 0)")
@@ -358,6 +362,11 @@ def main(argv: list[str] | None = None) -> int:
             "residual": args.residual,
             "opq": args.opq,
         })
+    elif args.cmd == "extend-hnsw":
+        from oasysdb_spark.index.hnsw import extend_hnsw
+
+        n = extend_hnsw(db)
+        _emit({"ok": True, "n_new": n})
     elif args.cmd == "build-hnsw":
         from oasysdb_spark.index.hnsw import build_hnsw
 

@@ -299,10 +299,26 @@ def graph_from_df(
     sharded = df.select(
         "vec_id",
         "embedding",
-        (F.pmod(hash64(F.col("vec_id").cast("string"), salt="hnsw"), F.lit(shards)))
-        .cast("int")
-        .alias("shard_id"),
+        _shard_of(F.col("vec_id"), shards),
     ).repartition(shards, "shard_id")
+    return _build_shard_tasks(sharded, m, ef_construction, conv, schema)
+
+
+def _shard_of(vec_id_col, shards: int):
+    """The ONE shard-assignment expression (build and extension must
+    agree or extension rebuilds the wrong shards)."""
+    return (
+        F.pmod(hash64(vec_id_col.cast("string"), salt="hnsw"), F.lit(shards))
+        .cast("int")
+        .alias("shard_id")
+    )
+
+
+def _build_shard_tasks(sharded, m, ef_construction, conv, schema):
+    """Per-shard sequential builds over a (vec_id, embedding, shard_id)
+    frame — shared by the fresh build and the shard-incremental
+    extension, so both produce the identical pure-function-of-content
+    graph."""
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         parts = list(batches)
@@ -345,6 +361,54 @@ def graph_from_df(
             )
 
     return sharded.mapInPandas(_build, schema=schema)
+
+
+def extend_hnsw_graph(
+    graph_df: DataFrame,
+    new_df: DataFrame,
+    shards: int,
+    m: int = 16,
+    ef_construction: int = 100,
+    id_type: str = "long",
+) -> DataFrame:
+    """SHARD-INCREMENTAL extension: only the shards that receive new
+    vectors rebuild — from the vectors already stored in their graph
+    rows plus the new ones — while untouched shards' rows pass through
+    unchanged. Because each shard's graph is a pure function of its
+    content (ascending-id insertion, deterministic md5 levels), the
+    result is IDENTICAL to a fresh full build over the union — pinned
+    by an equality test — so extension is a pure cost optimization:
+    an ingest batch touching t of S shards costs t/S of a rebuild.
+
+    Scale shape: the touched-shard list is one bounded collect
+    (≤ ``shards`` ints); pass-through rows never deserialize; the
+    rebuild tasks are the same bounded per-shard jobs as the fresh
+    build."""
+    conv = int if id_type == "long" else str
+    schema = (
+        f"shard_id int, vec_id {id_type}, embedding array<float>, "
+        f"level int, neighbors array<array<{id_type}>>"
+    )
+    new_sharded = new_df.select(
+        "vec_id",
+        F.col("embedding").cast("array<float>").alias("embedding"),
+        _shard_of(F.col("vec_id"), shards),
+    )
+    touched = sorted(
+        r["shard_id"]
+        for r in new_sharded.select("shard_id").distinct().collect()
+    )
+    if not touched:
+        return graph_df
+    keep = graph_df.where(~F.col("shard_id").isin(touched))
+    union = (
+        graph_df.where(F.col("shard_id").isin(touched))
+        .select("vec_id", "embedding", "shard_id")
+        .unionByName(new_sharded)
+        .repartition(len(touched), "shard_id")
+    )
+    rebuilt = _build_shard_tasks(union, m, ef_construction, conv, schema)
+    return keep.unionByName(rebuilt)
 
 
 def batched_candidates(
@@ -509,9 +573,10 @@ def load_hnsw_graph(db) -> DataFrame:
         if now != fp:
             raise _IAE(
                 "HNSW graph is stale: records changed since build_hnsw "
-                f"(built at {fp}, records now {now}); rebuild the graph "
-                "(graph edges are global state — unlike PQ codes they "
-                "cannot be patched row-locally at ingest)"
+                f"(built at {fp}, records now {now}); for pure appends "
+                "run extend_hnsw (rebuilds only the touched shards), "
+                "otherwise rebuild the graph (updates/deletes move "
+                "global edge state no ingest-local patch can fix)"
             )
         db._hnsw_cache = (key,)
     return VersionedTable(os.path.join(db.dir, GRAPH_DIR)).read(db.spark)
@@ -554,3 +619,67 @@ def hnsw_knn(
         round_dist(sqeuclidean(qlit, F.col("embedding"))).alias("distance"),
     )
     return exact.orderBy(F.col("distance").asc(), "vec_id").limit(k)
+
+
+def extend_hnsw(db) -> int:
+    """Shard-incremental maintenance for PURE APPENDS — the ingest-time
+    companion to :func:`build_hnsw`: finds records not yet in the
+    persisted graph, rebuilds only the shards they hash into
+    (:func:`extend_hnsw_graph` — result provably identical to a fresh
+    full build), writes the new graph version, and refreshes the
+    fingerprint so serving accepts it. Returns the number of new
+    vectors indexed (0 = already fresh, a no-op). Raises a clean error
+    when records were UPDATED or DELETED since the build — extension
+    can only add shard content; mutation invalidates existing edges
+    and needs ``build_hnsw``."""
+    import json
+    import os
+
+    from oasysdb_spark.core.config import atomic_write_text
+    from oasysdb_spark.core.tables import VersionedTable
+    from oasysdb_spark.errors import InvalidArgumentError as _IAE
+
+    path = os.path.join(db.dir, HNSW_FILE)
+    try:
+        with open(path, encoding="utf-8") as f:
+            meta = json.load(f)
+    except FileNotFoundError:
+        raise _IAE(
+            "HNSW tier not built: call build_hnsw before extend_hnsw"
+        ) from None
+    table = VersionedTable(os.path.join(db.dir, GRAPH_DIR))
+    graph = table.read(db.spark)
+    records = db.records_df().select(
+        F.col("id").alias("vec_id"), "embedding"
+    )
+    removed = (
+        graph.select("vec_id").join(records.select("vec_id"), "vec_id", "left_anti")
+    )
+    if removed.limit(1).count() > 0:
+        raise _IAE(
+            "extend_hnsw handles pure appends only: records present at "
+            "build time are gone (delete/update detected) — run "
+            "build_hnsw to rebuild the graph"
+        )
+    new = records.join(graph.select("vec_id"), "vec_id", "left_anti")
+    n_new = new.count()
+    if n_new == 0:
+        # nothing to index; still refresh the fingerprint so a
+        # metadata-only records version bump stops reading as stale
+        meta["fingerprint"] = _records_fingerprint(db)
+        atomic_write_text(path, json.dumps(meta))
+        db._hnsw_cache = None
+        return 0
+    extended = extend_hnsw_graph(
+        graph,
+        new,
+        shards=int(meta["shards"]),
+        m=int(meta["m"]),
+        ef_construction=int(meta["ef_construction"]),
+        id_type="string",
+    )
+    table.write(extended)
+    meta["fingerprint"] = _records_fingerprint(db)
+    atomic_write_text(path, json.dumps(meta))
+    db._hnsw_cache = None
+    return n_new

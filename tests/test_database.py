@@ -318,6 +318,14 @@ def test_cli_verbs_roundtrip(spark, tmp_path, capsys):
     assert [h["id"] for h in hqm["results"]["0"]] == [rid]
     assert [h["id"] for h in hqm["results"]["1"]] == [rid]
 
+    # append one record, extend the graph through the CLI, serve again
+    run("insert", "--dir", d, "--id", "late1", "--vector", "7,7,7")
+    ex = run("extend-hnsw", "--dir", d)
+    assert ex["ok"] is True and ex["n_new"] == 1
+    hq2 = run("query", "--dir", d, "--vector", "7,7,7", "-k", "1",
+              "--approx", "hnsw")
+    assert [h["id"] for h in hq2["results"]] == ["late1"]
+
 
 def test_time_travel_surface(spark, tmp_path, capsys):
     """Database-level time travel: a delete produces a new version while
@@ -539,3 +547,59 @@ def test_hnsw_tier_lifecycle(spark, tmp_path):
     build_hnsw(db, m=8, ef_construction=50, shards=4)
     res = db.query([500.0] * DIM, k=1, approx="hnsw")
     assert res[0]["distance"] == 0.0  # the new record is in the graph
+
+
+def test_hnsw_extend_appends_without_rebuild(spark, tmp_path):
+    """Shard-incremental HNSW maintenance: after build, a pure-append
+    ingest makes serving refuse (stale), extend_hnsw indexes ONLY the
+    new vectors' shards, serving then matches the exact query over the
+    grown table, and the extended graph is IDENTICAL to a from-scratch
+    rebuild (per-shard graphs are pure functions of shard content).
+    Deletes are refused with the rebuild error; a second extend is a
+    fingerprint-refresh no-op."""
+    from oasysdb_spark.core.tables import VersionedTable
+    from oasysdb_spark.index.hnsw import GRAPH_DIR, build_hnsw, extend_hnsw
+
+    d = str(tmp_path / "db_hnsw_ext")
+    db = Database.configure(spark, d, dimension=DIM, metric="euclidean")
+    rows = [
+        (f"r{i:05d}", [float(i)] * DIM, {}, {"number": float(i)}, {})
+        for i in range(100)
+    ]
+    db.insert_batch(spark.createDataFrame(rows, RECORD_SCHEMA))
+    build_hnsw(db, m=8, ef_construction=50, shards=4)
+
+    # append 50 more; serving must refuse until maintenance runs
+    more = [
+        (f"r{i:05d}", [float(i)] * DIM, {}, {"number": float(i)}, {})
+        for i in range(100, 150)
+    ]
+    db.insert_batch(spark.createDataFrame(more, RECORD_SCHEMA))
+    with pytest.raises(InvalidArgumentError, match="extend_hnsw"):
+        db.query([120.0] * DIM, k=5, approx="hnsw")
+
+    assert extend_hnsw(db) == 50
+    exact = db.query([120.0] * DIM, k=10)
+    approx = db.query([120.0] * DIM, k=10, approx="hnsw")
+    assert [r["id"] for r in approx] == [r["id"] for r in exact]
+    assert any(r["id"] == "r00120" for r in approx)
+
+    # extended graph == from-scratch rebuild, bit for bit
+    ext_rows = sorted(
+        tuple(map(str, r))
+        for r in VersionedTable(f"{d}/{GRAPH_DIR}").read(spark).collect()
+    )
+    build_hnsw(db, m=8, ef_construction=50, shards=4)
+    fresh_rows = sorted(
+        tuple(map(str, r))
+        for r in VersionedTable(f"{d}/{GRAPH_DIR}").read(spark).collect()
+    )
+    assert ext_rows == fresh_rows
+
+    # fresh graph + no new records -> no-op refresh
+    assert extend_hnsw(db) == 0
+
+    # a delete is NOT an append: extension refuses, rebuild required
+    db.delete("r00000")
+    with pytest.raises(InvalidArgumentError, match="pure appends"):
+        extend_hnsw(db)
