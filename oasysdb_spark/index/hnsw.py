@@ -378,7 +378,11 @@ def extend_hnsw_graph(
     content (ascending-id insertion, deterministic md5 levels), the
     result is IDENTICAL to a fresh full build over the union — pinned
     by an equality test — so extension is a pure cost optimization:
-    an ingest batch touching t of S shards costs t/S of a rebuild.
+    an ingest batch touching t of S shards costs t/S of a rebuild's
+    TOTAL compute (wall-clock on an idle cluster is the slowest
+    touched shard's insert loop either way; measured at 20k/32
+    shards: extend 3.8 s vs fresh 9.2 s — 0.41× — for both a 5-vector
+    and a 1000-vector batch).
 
     Scale shape: the touched-shard list is one bounded collect
     (≤ ``shards`` ints); pass-through rows never deserialize; the
