@@ -979,3 +979,56 @@ def test_funnel_stream_matches_batch_and_survives_restart(
     for r in got.collect():
         seen[r["user_id"]].append(r["reached"])
     assert all(len(set(v)) == len(v) for v in seen.values())
+
+
+def test_funnel_stream_out_of_order_is_conservative(spark, sf_dir, tmp_path):
+    """The documented no-retraction approximation pinned: delivering the
+    LATE half of time first, then the early half, never crashes, never
+    over-counts (per-step counts <= batch truth), and per-user progress
+    stays monotone — late-arriving earlier events cannot retro-improve
+    a match."""
+    from oasysdb_spark.operators.relational import event_funnel
+    from oasysdb_spark.streaming.ingest import funnel_stream_progress
+
+    batch = {r["step"]: r["n_users"] for r in event_funnel(spark, sf_dir).collect()}
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cut = events.selectExpr(
+        "percentile(unix_micros(cast(ts as timestamp)), 0.5) p"
+    ).first()["p"]
+
+    src = str(tmp_path / "fo_src")
+    out = str(tmp_path / "fo_out")
+    ckpt = str(tmp_path / "fo_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            funnel_stream_progress(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    # REVERSED phases: late half first
+    events.where(
+        f"unix_micros(cast(ts as timestamp)) > {int(cut)}"
+    ).write.parquet(src)
+    drain()
+    events.where(
+        f"unix_micros(cast(ts as timestamp)) <= {int(cut)}"
+    ).write.mode("append").parquet(src)
+    got = drain()
+
+    per_user = {
+        r["user_id"]: r["m"]
+        for r in got.groupBy("user_id").agg(F.max("reached").alias("m")).collect()
+    }
+    for s in (1, 2, 3):
+        streamed = sum(1 for v in per_user.values() if v >= s)
+        assert streamed <= batch[s], (s, streamed, batch[s])
+    assert sum(1 for v in per_user.values() if v >= 1) > 0
