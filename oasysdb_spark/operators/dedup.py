@@ -1624,14 +1624,19 @@ def decontaminate_against(
     )
 
 
-def _token_ngram_hashes(df: DataFrame, n: int) -> DataFrame:
-    """``(doc_id, gh)`` — per doc, the 64-bit hashes of its token
+def _token_ngram_hashes(
+    df: DataFrame, n: int, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """``(doc_id, *keep, gh)`` — per doc, the 64-bit hashes of its token
     ``n``-grams in position order (empty array when shorter than ``n``).
     Row-local: the oracle-replayable md5 family over space-joined token
-    slices; raw text never leaves the row."""
+    slices; raw text never leaves the row. ``keep`` names extra columns
+    carried through unchanged (so callers never need a re-join — and the
+    shuffle it would cost — to recover per-doc attributes)."""
     tk = tokens(F.col("text"))
-    return df.select("doc_id", tk.alias("tk")).select(
+    return df.select("doc_id", *keep, tk.alias("tk")).select(
         "doc_id",
+        *keep,
         F.when(
             F.size("tk") >= n,
             F.transform(
@@ -2021,4 +2026,50 @@ def component_size_histogram(
             "n_components",
             "n_docs",
         )
+    )
+
+
+def leakage_safe_split(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    threshold: float = 0.5,
+    test_frac: float = 0.1,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup-aware train/test SPLIT — the step after dedup that naive
+    pipelines get wrong: splitting by a per-document coin leaks
+    near-duplicate pairs across the boundary (a test doc whose twin sits
+    in train is a free answer, and measured eval numbers go soft).
+    The unit of assignment here is the near-dup CONNECTED COMPONENT:
+    every member of a component lands on the same side, so no candidate
+    near-dup edge can straddle the split by construction.
+
+    The coin is a deterministic 60-bit hash of the component id (the
+    oracle-replayable md5 family, salt ``"split"``) compared against
+    ``test_frac`` in millionths — reproducible across runs, engines, and
+    cluster sizes; no RNG, no driver state. Returns
+    ``(doc_id, component_id, split)`` with split in {'train','test'}.
+
+    Scale shape: the cost IS :func:`dedup_components` (banded equi-join
+    + shallow min-label fixpoint — see its docstring); the assignment
+    itself is a row-local projection, zero additional shuffles, and the
+    split stays balanced because components are overwhelmingly size 1-3
+    (see :func:`component_size_histogram`). Oracle: the components
+    recursive CTE plus the same hash comparison, hash-checked end to end.
+    """
+    if not 0.0 < test_frac < 1.0:
+        from oasysdb_spark.errors import InvalidArgumentError
+
+        raise InvalidArgumentError(
+            f"test_frac must be in (0, 1), got {test_frac}"
+        )
+    comps = dedup_components(spark, sf_dir, threshold=threshold, docs=docs)
+    cut = int(round(test_frac * 1_000_000))
+    coin = hash64(F.col("component_id").cast("string"), salt="split") % 1_000_000
+    return comps.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("component_id").cast("bigint").alias("component_id"),
+        F.when(coin < F.lit(cut), F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
     )

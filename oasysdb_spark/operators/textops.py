@@ -2333,3 +2333,77 @@ def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(contrib), 6).alias("kl_bits"),
         )
     )
+
+
+def ngram_novelty_curve(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    n: int = 3,
+    n_shards: int = 10,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """N-gram NOVELTY curve over ingest order — the saturation diagnostic
+    a corpus owner reads before paying for more crawl: split the corpus
+    into ``n_shards`` equal doc-id ranges (ingest order), and per shard
+    report how many distinct token ``n``-grams appear, how many are NEW
+    (first occurrence anywhere in the corpus lands in this shard), and
+    the novelty fraction. A curve that flattens early says additional
+    data from this source is mostly repetition; a flat-high curve says
+    the source is still yielding fresh text. Complements
+    :func:`source_token_divergence` (who differs) with WHEN the corpus
+    stopped learning new phrases.
+
+    Returns ``(shard, n_grams, n_distinct, n_new, novelty_frac)`` —
+    at most ``n_shards`` rows.
+
+    Scale shape: grams are hashed row-locally (the oracle-replayable
+    md5 family — raw text never shuffles); one exchange on
+    ``(gram, shard)`` with map-side partial counting collapses the gram
+    stream to ≤ |distinct grams|·|shards| rows; the follow-on first-shard
+    min and per-shard rollups aggregate that already-collapsed table.
+    Output is ``n_shards`` rows regardless of corpus size. The shard
+    boundary derives from ``max(doc_id)`` via a broadcast one-row
+    aggregate, not a driver collect."""
+    from oasysdb_spark.operators.dedup import _token_ngram_hashes, load_documents
+
+    if docs is None:
+        docs = load_documents(spark, sf_dir)
+    bounds = docs.agg(F.max("doc_id").alias("_max_id"))
+    sharded = docs.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(n_shards - 1).cast("bigint"),
+            F.floor(F.col("doc_id") * n_shards / (F.col("_max_id") + 1)),
+        ).alias("shard"),
+        "doc_id",
+        "text",
+    )
+    grams = _token_ngram_hashes(sharded, n, keep=("shard",))
+    per_gram_shard = (
+        grams.select("shard", F.explode("gh").alias("gh"))
+        .groupBy("gh", "shard")
+        .agg(F.count("*").alias("c"))
+    )
+    per_shard = per_gram_shard.groupBy("shard").agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+    )
+    news = (
+        per_gram_shard.groupBy("gh")
+        .agg(F.min("shard").alias("shard"))
+        .groupBy("shard")
+        .agg(F.count("*").cast("bigint").alias("n_new"))
+    )
+    return (
+        per_shard.join(news, "shard", "left")
+        .select(
+            F.col("shard").cast("bigint").alias("shard"),
+            "n_grams",
+            "n_distinct",
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint").alias("n_new"),
+            F.round(
+                F.coalesce(F.col("n_new"), F.lit(0))
+                / F.col("n_distinct").cast("double"),
+                6,
+            ).alias("novelty_frac"),
+        )
+    )

@@ -3421,3 +3421,141 @@ def test_event_funnel_matches_duckdb_oracle(spark, sf_dir):
     by_step = {r[0]: r for r in spark_rows}
     assert by_step[1][3] == 1.0
     assert by_step[1][2] >= by_step[2][2] >= by_step[3][2] > 0
+
+
+def test_leakage_safe_split_matches_duckdb_oracle(spark, sf_dir):
+    """leakage_safe_split hash-compared against a DuckDB replay that
+    wraps the driver-green dedup_components oracle SQL as a derived
+    table and applies the same md5-family component coin — the
+    self-oracle gate ahead of driver-window rotation (r9 candidate).
+    Invariants: every component is entirely on one side (the whole
+    point — no near-dup edge straddles the split), both splits are
+    non-empty at the fixture size, the test fraction is within a
+    binomial-plausible band of the requested 20%, and doc coverage is
+    exactly the corpus."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import __spark_entry__ as entry
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.operators import dedup
+
+    got = dedup.leakage_safe_split(spark, sf_dir, test_frac=0.2)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+
+    comp_sql = entry.oracle_sql()["dedup_components"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    coin = (
+        "CAST('0x' || substring(md5(CAST(component_id AS VARCHAR) || '#split'), 1, 15)"
+        " AS BIGINT) % 1000000"
+    )
+    res = con.execute(f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(component_id AS BIGINT) AS component_id,
+               CASE WHEN {coin} < 200000 THEN 'test' ELSE 'train' END AS split
+        FROM ({comp_sql}) comps""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "leakage_safe_split", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    n_corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(spark_rows) == n_corpus
+    by_comp: dict = {}
+    for r in spark_rows:
+        by_comp.setdefault(r[ix["component_id"]], set()).add(r[ix["split"]])
+    assert all(len(s) == 1 for s in by_comp.values())  # no straddling
+    n_test = sum(1 for r in spark_rows if r[ix["split"]] == "test")
+    assert 0 < n_test < n_corpus
+    assert 0.05 <= n_test / n_corpus <= 0.45  # 20% ± binomial slack
+
+
+def test_leakage_safe_split_rejects_bad_frac(spark):
+    from oasysdb_spark.errors import InvalidArgumentError
+    from oasysdb_spark.operators import dedup
+
+    for bad in (0.0, 1.0, -0.1, 2.0):
+        try:
+            dedup.leakage_safe_split(spark, None, test_frac=bad)
+            raise AssertionError(f"accepted {bad}")
+        except InvalidArgumentError:
+            pass
+
+
+def test_ngram_novelty_curve_matches_duckdb_oracle(spark, sf_dir):
+    """ngram_novelty_curve hash-compared against an independent DuckDB
+    replay (same md5 gram family, same doc-id-range sharding, counts
+    from a (gram, shard) rollup) — the self-oracle gate ahead of
+    driver-window rotation (r9 candidate). Invariants: shard 0's
+    distinct grams are all new (novelty_frac == 1.0), novelty is
+    non-increasing in expectation so the last shard is below the first,
+    Σ n_new == global distinct gram count, and every shard is present."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.functions.hashing import hash64_sql
+    from oasysdb_spark.operators import textops
+
+    got = textops.ngram_novelty_curve(spark, sf_dir, n=3, n_shards=10)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) == 10
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    gram_h = hash64_sql("array_to_string(tk[i:i+2], ' ')")
+    grams3 = (
+        "CASE WHEN len(tk) >= 3 THEN list_transform(range(1, len(tk) - 1), "
+        f"i -> {gram_h}) ELSE [] END"
+    )
+    res = con.execute(f"""
+        WITH b AS (SELECT max(doc_id) AS max_id FROM documents),
+        sharded AS (SELECT least(9, CAST(floor(doc_id * 10 / (b.max_id + 1))
+                                         AS BIGINT))
+                        AS shard, {toks} AS tk
+                    FROM documents, b),
+        pos AS (SELECT shard, unnest({grams3}) AS gh FROM sharded),
+        pgs AS (SELECT gh, shard, count(*) AS c FROM pos GROUP BY gh, shard),
+        per_shard AS (SELECT shard, CAST(sum(c) AS BIGINT) AS n_grams,
+                             CAST(count(*) AS BIGINT) AS n_distinct
+                      FROM pgs GROUP BY shard),
+        news AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_new
+                 FROM (SELECT gh, min(shard) AS shard FROM pgs GROUP BY gh)
+                 GROUP BY shard)
+        SELECT CAST(p.shard AS BIGINT) AS shard, p.n_grams, p.n_distinct,
+               COALESCE(n.n_new, 0) AS n_new,
+               round(CAST(COALESCE(n.n_new, 0) AS DOUBLE) / p.n_distinct, 6)
+                   AS novelty_frac
+        FROM per_shard p LEFT JOIN news n ON p.shard = n.shard""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "ngram_novelty_curve", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    by_shard = {r[ix["shard"]]: r for r in spark_rows}
+    assert by_shard[0][ix["novelty_frac"]] == 1.0
+    assert by_shard[9][ix["novelty_frac"]] < by_shard[0][ix["novelty_frac"]]
+    assert all(r[ix["n_distinct"]] > 0 for r in spark_rows)
+    assert sum(r[ix["n_new"]] for r in spark_rows) <= sum(
+        r[ix["n_distinct"]] for r in spark_rows
+    )
