@@ -413,3 +413,90 @@ def cluster_balanced_sample(
         "vec_id", assigner(F.col("embedding")).alias("cluster_id")
     )
     return _balanced_sample_summary(labeled, "cluster_id")
+
+
+def embedding_outlier_stats(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    min_cos: float = 0.5,
+    embs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-label embedding OUTLIER audit — the mislabel/noise detector a
+    training pipeline runs before trusting labels: for each label,
+    compute the label centroid, every member's cosine similarity to its
+    OWN centroid, and report how many members sit below ``min_cos``
+    (likely mislabeled, near-empty, or junk vectors) plus the mean and
+    10th-percentile cohesion. A label whose p10 collapses after an
+    ingest batch is the classic label-drift signal.
+
+    Returns ``(label, n_vecs, mean_cos, p10_cos, n_outliers,
+    outlier_frac)`` — one row per label.
+
+    Float discipline (cross-engine oracle): centroid components are
+    exact integer micro-sums (``round(val·1e8)`` per element, summed as
+    bigint, divided once) so the centroid doubles are bit-identical in
+    Spark and DuckDB regardless of partition order; per-row cosines are
+    quantized to 1e-6 units before aggregation, so the mean is an exact
+    integer sum and the percentile interpolates exact integers.
+
+    Scale shape: the centroid pass shuffles only ``(label, pos)`` pairs
+    (reduce state O(labels × dim), same as ``label_centroids``); the
+    cosine pass is a broadcast join of the tiny centroid table onto one
+    scan of the vectors; the final rollup shuffles one quantized bigint
+    per row with map-side partial aggregation. Output is |labels| rows."""
+    from oasysdb_spark.functions.vectors import dot_product, l2_norm
+    from oasysdb_spark.operators.vectorops import load_embeddings
+
+    if embs is None:
+        embs = load_embeddings(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    cent = (
+        embs.select("label", F.posexplode(v).alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.round(F.col("val") * 1e8).cast("bigint")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            F.round((F.col("s") / F.col("n")) / 1e8, 6).alias("cv"),
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s["cv"]).alias("cvec"))
+    )
+    denom = l2_norm(v) * l2_norm(F.col("cvec"))
+    joined = embs.join(F.broadcast(cent), "label").select(
+        "label",
+        F.when(denom != 0.0, dot_product(v, F.col("cvec")) / denom).alias(
+            "cos_sim"
+        ),
+    )
+    cm = F.round(F.col("cos_sim") * 1e6).cast("bigint")
+    cut = int(round(min_cos * 1_000_000))
+    return (
+        joined.where(F.col("cos_sim").isNotNull())
+        .select("label", cm.alias("cm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.round((F.sum("cm") / F.count("*")) / 1e6, 6).alias("mean_cos"),
+            F.round(F.percentile(F.col("cm"), F.lit(0.1)) / 1e6, 6).alias(
+                "p10_cos"
+            ),
+            F.sum(F.when(F.col("cm") < cut, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "mean_cos",
+            "p10_cos",
+            "n_outliers",
+            F.round(F.col("n_outliers") / F.col("n_vecs").cast("double"), 6).alias(
+                "outlier_frac"
+            ),
+        )
+    )

@@ -3559,3 +3559,70 @@ def test_ngram_novelty_curve_matches_duckdb_oracle(spark, sf_dir):
     assert sum(r[ix["n_new"]] for r in spark_rows) <= sum(
         r[ix["n_distinct"]] for r in spark_rows
     )
+
+
+def test_embedding_outlier_stats_matches_duckdb_oracle(spark, sf_dir):
+    """embedding_outlier_stats hash-compared against an independent
+    DuckDB replay (exact integer micro-sum centroids, same fold-order
+    cosine arithmetic, quantile_cont over the same quantized integers)
+    — the self-oracle gate ahead of driver-window rotation (r9
+    candidate). Invariants: every fixture label present, outlier_frac
+    strictly between 0 and 1 for at least one label at min_cos=0 (the
+    p10 straddles zero in the fixture), and mean_cos within (-1, 1)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.operators import embed
+
+    got = embed.embedding_outlier_stats(spark, sf_dir, min_cos=0.0)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) >= 2
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    dot = (
+        "list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.cvec),"
+        " x -> x[1]*x[2]))"
+    )
+    norm_v = "sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), z -> z*z)))"
+    norm_c = "sqrt(list_sum(list_transform(c.cvec, z -> z*z)))"
+    res = con.execute(f"""
+        WITH p AS (SELECT unnest(range((SELECT len(embedding) FROM embeddings LIMIT 1))) AS pos),
+        comp AS (SELECT label, CAST(p.pos AS INTEGER) AS pos,
+                   CAST(sum(CAST(round(CAST(embedding[CAST(p.pos AS INTEGER) + 1] AS DOUBLE) * 100000000) AS BIGINT)) AS BIGINT) AS s,
+                   count(*) AS n
+                 FROM embeddings, p GROUP BY label, p.pos),
+        cent AS (SELECT label,
+                   list(round((s / n) / 100000000, 6) ORDER BY pos) AS cvec
+                 FROM comp GROUP BY label),
+        cs AS (SELECT e.label,
+                 CAST(round(({dot} / ({norm_v} * {norm_c})) * 1000000) AS BIGINT) AS cm
+               FROM embeddings e JOIN cent c ON e.label = c.label
+               WHERE {norm_v} * {norm_c} <> 0),
+        agg AS (SELECT label, count(*) AS n_vecs,
+                  round((sum(cm) / count(*)) / 1000000, 6) AS mean_cos,
+                  round(quantile_cont(cm, 0.1) / 1000000, 6) AS p10_cos,
+                  sum(CASE WHEN cm < 0 THEN 1 ELSE 0 END) AS n_outliers
+                FROM cs GROUP BY label)
+        SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs, mean_cos, p10_cos,
+               CAST(n_outliers AS BIGINT) AS n_outliers,
+               round(CAST(n_outliers AS DOUBLE) / n_vecs, 6) AS outlier_frac
+        FROM agg""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "embedding_outlier_stats", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    assert any(0.0 < r[ix["outlier_frac"]] < 1.0 for r in spark_rows)
+    assert all(-1.0 < r[ix["mean_cos"]] < 1.0 for r in spark_rows)
+    assert all(r[ix["p10_cos"]] <= r[ix["mean_cos"]] for r in spark_rows)
