@@ -415,6 +415,32 @@ def cluster_balanced_sample(
     return _balanced_sample_summary(labeled, "cluster_id")
 
 
+def _exact_label_centroids(embs: DataFrame) -> DataFrame:
+    """(label, cvec): per-label mean vector with cross-engine-exact
+    arithmetic — each component is an integer micro-sum
+    (``round(val·1e8)`` per element, accumulated as bigint so partition
+    order can't perturb it), divided once and rounded to 6 dp. The
+    shuffle carries only ``(label, pos)`` pairs; reduce state is
+    O(labels × dim)."""
+    v = F.col("embedding").cast("array<double>")
+    return (
+        embs.select("label", F.posexplode(v).alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.round(F.col("val") * 1e8).cast("bigint")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            F.round((F.col("s") / F.col("n")) / 1e8, 6).alias("cv"),
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
+        .select("label", F.transform("pc", lambda s: s["cv"]).alias("cvec"))
+    )
+
+
 def embedding_outlier_stats(
     spark: SparkSession,
     sf_dir: str | None = None,
@@ -450,22 +476,7 @@ def embedding_outlier_stats(
     if embs is None:
         embs = load_embeddings(spark, sf_dir)
     v = F.col("embedding").cast("array<double>")
-    cent = (
-        embs.select("label", F.posexplode(v).alias("pos", "val"))
-        .groupBy("label", "pos")
-        .agg(
-            F.sum(F.round(F.col("val") * 1e8).cast("bigint")).alias("s"),
-            F.count("*").alias("n"),
-        )
-        .select(
-            "label",
-            "pos",
-            F.round((F.col("s") / F.col("n")) / 1e8, 6).alias("cv"),
-        )
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))
-        .select("label", F.transform("pc", lambda s: s["cv"]).alias("cvec"))
-    )
+    cent = _exact_label_centroids(embs)
     denom = l2_norm(v) * l2_norm(F.col("cvec"))
     joined = embs.join(F.broadcast(cent), "label").select(
         "label",
@@ -499,4 +510,66 @@ def embedding_outlier_stats(
                 "outlier_frac"
             ),
         )
+    )
+
+
+def label_centroid_similarity(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    embs: DataFrame | None = None,
+) -> DataFrame:
+    """Label-confusion proxy matrix — the embedding-space audit run
+    before trusting labels as training classes: pairwise cosine
+    similarity between LABEL CENTROIDS. Two labels whose centroids sit
+    near cosine 1 are candidates for merging (or evidence of systematic
+    mislabeling); a label far from every other is either genuinely
+    distinct or junk. Complements :func:`embedding_outlier_stats`
+    (within-label cohesion) with the between-label separation half.
+
+    Returns ``(label_a, label_b, n_a, n_b, cos_sim)`` for every
+    unordered label pair (``label_a < label_b``), ordered by pair.
+
+    Float discipline: centroids via :func:`_exact_label_centroids`
+    (integer micro-sums — bit-identical cross-engine); the pair cosine
+    is one dot/norm evaluation over the 6-dp centroid components,
+    rounded once to 6 dp.
+
+    Scale shape: one (label, pos) shuffle builds the centroid table
+    (O(labels × dim) reduce state); the pair matrix is a broadcast
+    self-join of that TINY table — |labels|² rows total, no data-sized
+    shuffle anywhere. The raw vectors are scanned exactly once."""
+    from oasysdb_spark.functions.vectors import dot_product, l2_norm
+    from oasysdb_spark.operators.vectorops import load_embeddings
+
+    if embs is None:
+        embs = load_embeddings(spark, sf_dir)
+    counts = embs.groupBy("label").agg(F.count("*").cast("bigint").alias("n"))
+    cent = _exact_label_centroids(embs).join(counts, "label")
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        F.col("n").alias("n_a"),
+        F.col("cvec").alias("cvec_a"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("n").alias("n_b"),
+        F.col("cvec").alias("cvec_b"),
+    )
+    denom = l2_norm(F.col("cvec_a")) * l2_norm(F.col("cvec_b"))
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            F.round(
+                F.when(
+                    denom != 0.0,
+                    dot_product(F.col("cvec_a"), F.col("cvec_b")) / denom,
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy("label_a", "label_b")
     )

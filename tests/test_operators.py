@@ -3626,3 +3626,60 @@ def test_embedding_outlier_stats_matches_duckdb_oracle(spark, sf_dir):
     assert any(0.0 < r[ix["outlier_frac"]] < 1.0 for r in spark_rows)
     assert all(-1.0 < r[ix["mean_cos"]] < 1.0 for r in spark_rows)
     assert all(r[ix["p10_cos"]] <= r[ix["mean_cos"]] for r in spark_rows)
+
+
+def test_label_centroid_similarity_matches_duckdb_oracle(spark, sf_dir):
+    """label_centroid_similarity hash-compared against an independent
+    DuckDB replay (identical integer micro-sum centroids, same
+    dot/norm fold over the 6-dp centroid components) — the self-oracle
+    gate ahead of driver-window rotation (r9 candidate). Invariants:
+    exactly C(|labels|, 2) pair rows, cos_sim within [-1, 1] + rounding
+    slack, and n_a/n_b sum to the fixture count per appearance."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.operators import embed
+
+    got = embed.label_centroid_similarity(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    dot = "list_sum(list_transform(list_zip(a.cvec, b.cvec), x -> x[1]*x[2]))"
+    norm_a = "sqrt(list_sum(list_transform(a.cvec, z -> z*z)))"
+    norm_b = "sqrt(list_sum(list_transform(b.cvec, z -> z*z)))"
+    res = con.execute(f"""
+        WITH p AS (SELECT unnest(range((SELECT len(embedding) FROM embeddings LIMIT 1))) AS pos),
+        comp AS (SELECT label, CAST(p.pos AS INTEGER) AS pos,
+                   CAST(sum(CAST(round(CAST(embedding[CAST(p.pos AS INTEGER) + 1] AS DOUBLE) * 100000000) AS BIGINT)) AS BIGINT) AS s,
+                   count(*) AS n
+                 FROM embeddings, p GROUP BY label, p.pos),
+        cent AS (SELECT label,
+                   list(round((s / n) / 100000000, 6) ORDER BY pos) AS cvec,
+                   CAST(max(n) AS BIGINT) AS nv
+                 FROM comp GROUP BY label)
+        SELECT a.label AS label_a, b.label AS label_b,
+               a.nv AS n_a, b.nv AS n_b,
+               CASE WHEN {norm_a} * {norm_b} <> 0
+                    THEN round({dot} / ({norm_a} * {norm_b}), 6) END AS cos_sim
+        FROM cent a JOIN cent b ON a.label < b.label
+        ORDER BY label_a, label_b""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "label_centroid_similarity", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    n_labels = len({r[ix["label_a"]] for r in spark_rows} | {r[ix["label_b"]] for r in spark_rows})
+    assert len(spark_rows) == n_labels * (n_labels - 1) // 2
+    assert all(-1.000001 <= r[ix["cos_sim"]] <= 1.000001 for r in spark_rows)
+    assert all(r[ix["n_a"]] > 0 and r[ix["n_b"]] > 0 for r in spark_rows)
