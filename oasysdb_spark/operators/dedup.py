@@ -787,6 +787,110 @@ def minhash_candidate_edges(
     return pairs.where(jac >= threshold).select("doc_a", "doc_b")
 
 
+def minhash_jaccard_calibration(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash ACCURACY audit — how well does the signature-agreement
+    estimate track exact Jaccard on this corpus? For every LSH candidate
+    pair, compute the estimated Jaccard (fraction of agreeing signature
+    components) and the exact shingle Jaccard, then roll up a
+    calibration curve grouped by agreement count. A pipeline tunes
+    ``num_hashes``/``band_size`` against this table before trusting the
+    estimate at scale (a mean-exact far below est_jaccard at high
+    agreement means the signature is too short for the corpus's
+    shingle-set sizes).
+
+    Returns ``(n_agree, n_pairs, est_jaccard, mean_exact_jaccard,
+    min_exact_jaccard, max_exact_jaccard)`` — one row per observed
+    agreement count, ≤ ``num_hashes + 1`` rows, ordered by ``n_agree``.
+    LSH candidates share ≥ 1 full band, so ``n_agree ≥ band_size``
+    always.
+
+    Float discipline: per-pair exact Jaccard is quantized to 1e-6 units
+    (``round(inter/union · 1e6)`` as bigint — the same HALF_UP-on-ratio
+    rounding every other Jaccard op uses) BEFORE aggregation, so means
+    are exact integer sums divided once; ``est_jaccard`` is an integer
+    ratio rounded once.
+
+    Scale shape: identical to :func:`minhash_lsh_pairs` — signatures are
+    row-local, candidates come from the banded equi-join (never
+    all-pairs), the verify join ships 8-byte shingle digests, and the
+    per-pair agreement sum is ``num_hashes`` unrolled ``element_at``
+    comparisons (codegen-friendly; no interpreted higher-order fold on
+    the join hot path). The final rollup is a map-side-combined groupBy
+    on one small int — output is bounded by ``num_hashes + 1`` rows."""
+    if docs is None:
+        docs = load_documents(spark, sf_dir, spread=True)
+    sigs = minhash_signatures(docs, num_hashes=num_hashes, hashed=True).cache()
+    bands = lsh_bands(sigs, num_hashes, band_size)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sides = sigs.select("doc_id", "sh", "sig")
+    pairs = cand.join(
+        sides.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("sh").alias("sh_a"),
+            F.col("sig").alias("sig_a"),
+        ),
+        "doc_a",
+    ).join(
+        sides.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("sh").alias("sh_b"),
+            F.col("sig").alias("sig_b"),
+        ),
+        "doc_b",
+    )
+    n_agree = sum(
+        [
+            F.when(
+                F.element_at("sig_a", j + 1) == F.element_at("sig_b", j + 1), 1
+            ).otherwise(0)
+            for j in range(num_hashes)
+        ],
+        F.lit(0),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jm = F.round((inter.cast("double") / union) * 1e6).cast("bigint")
+    return (
+        pairs.select(n_agree.alias("n_agree"), jm.alias("jm"))
+        .groupBy("n_agree")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round((F.sum("jm") / F.count("*")) / 1e6, 6).alias(
+                "mean_exact_jaccard"
+            ),
+            F.round(F.min("jm") / 1e6, 6).alias("min_exact_jaccard"),
+            F.round(F.max("jm") / 1e6, 6).alias("max_exact_jaccard"),
+        )
+        .select(
+            F.col("n_agree").cast("bigint").alias("n_agree"),
+            "n_pairs",
+            F.round(F.col("n_agree") / F.lit(num_hashes).cast("double"), 6).alias(
+                "est_jaccard"
+            ),
+            "mean_exact_jaccard",
+            "min_exact_jaccard",
+            "max_exact_jaccard",
+        )
+        .orderBy("n_agree")
+    )
+
+
 def dedup_components(
     spark: SparkSession,
     sf_dir: str | None = None,

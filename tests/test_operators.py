@@ -3683,3 +3683,88 @@ def test_label_centroid_similarity_matches_duckdb_oracle(spark, sf_dir):
     assert len(spark_rows) == n_labels * (n_labels - 1) // 2
     assert all(-1.000001 <= r[ix["cos_sim"]] <= 1.000001 for r in spark_rows)
     assert all(r[ix["n_a"]] > 0 and r[ix["n_b"]] > 0 for r in spark_rows)
+
+
+def test_minhash_jaccard_calibration_matches_duckdb_oracle(spark, sf_dir):
+    """minhash_jaccard_calibration hash-compared against a full DuckDB
+    replay of the MinHash pipeline (same md5→15-hex shingle hashing,
+    same affine permutations, same banding) plus the per-pair agreement
+    count — the self-oracle gate ahead of driver-window rotation (r9
+    candidate). Invariants: every row has n_agree >= band_size (a
+    candidate shares at least one full band), est/exact both within
+    [0, 1], and min <= mean <= max per row."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    got = dedup.minhash_jaccard_calibration(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) >= 2
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    res = con.execute("""
+        WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS tk FROM documents),
+        sh AS (SELECT doc_id,
+                 CASE WHEN len(tk) >= 3
+                      THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                                         i -> array_to_string(tk[i:i+2], ' ')))
+                      ELSE [] END AS shingles
+               FROM toks),
+        ne AS (SELECT * FROM sh WHERE len(shingles) > 0),
+        shing AS (SELECT doc_id, CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) % 2147483647 AS h0
+                  FROM (SELECT doc_id, unnest(shingles) AS s FROM ne)),
+        sig_elems AS (SELECT doc_id, j,
+                        min(((2654435761 * (j + 1)) % 2147483647 * h0
+                             + (40503 * (j + 7)) % 2147483647) % 2147483647) AS mh
+                      FROM shing, (SELECT unnest(range(16)) AS j)
+                      GROUP BY doc_id, j),
+        sigs AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM sig_elems GROUP BY doc_id),
+        bandrows AS (SELECT doc_id, b,
+                       CAST(sig[2*CAST(b AS INTEGER)+1] AS VARCHAR) || '_' ||
+                       CAST(sig[2*CAST(b AS INTEGER)+2] AS VARCHAR) AS band_key
+                     FROM sigs, (SELECT unnest(range(8)) AS b)),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+                 FROM bandrows a JOIN bandrows c
+                 ON a.b = c.b AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+        pairs AS (SELECT doc_a, doc_b,
+                    len(list_filter(range(16), j ->
+                        ga.sig[CAST(j AS INTEGER) + 1] = gb.sig[CAST(j AS INTEGER) + 1])) AS n_agree,
+                    len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS inter,
+                    len(sa.shingles) AS la, len(sb.shingles) AS lb
+                  FROM cand JOIN ne sa ON sa.doc_id = cand.doc_a
+                            JOIN ne sb ON sb.doc_id = cand.doc_b
+                            JOIN sigs ga ON ga.doc_id = cand.doc_a
+                            JOIN sigs gb ON gb.doc_id = cand.doc_b),
+        jmt AS (SELECT n_agree,
+                  CAST(round(CAST(inter AS DOUBLE) / (la + lb - inter) * 1000000) AS BIGINT) AS jm
+                FROM pairs)
+        SELECT CAST(n_agree AS BIGINT) AS n_agree,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(CAST(n_agree AS DOUBLE) / 16, 6) AS est_jaccard,
+               round((sum(jm) / count(*)) / 1000000, 6) AS mean_exact_jaccard,
+               round(min(jm) / 1000000, 6) AS min_exact_jaccard,
+               round(max(jm) / 1000000, 6) AS max_exact_jaccard
+        FROM jmt GROUP BY n_agree ORDER BY n_agree""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "minhash_jaccard_calibration", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    assert all(r[ix["n_agree"]] >= 2 for r in spark_rows)
+    assert all(0.0 <= r[ix["est_jaccard"]] <= 1.0 for r in spark_rows)
+    assert all(
+        r[ix["min_exact_jaccard"]]
+        <= r[ix["mean_exact_jaccard"]]
+        <= r[ix["max_exact_jaccard"]]
+        for r in spark_rows
+    )
