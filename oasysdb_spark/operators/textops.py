@@ -2407,3 +2407,79 @@ def ngram_novelty_curve(
             ).alias("novelty_frac"),
         )
     )
+
+
+def tfidf_top_terms(
+    spark: SparkSession,
+    sf_dir: str,
+    top_k: int = 10,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-source CHARACTERISTIC terms via TF-IDF — the "what is this
+    source actually about" audit read next to
+    :func:`source_token_divergence`: for each ``source``, the ``top_k``
+    terms by ``tf · ln(n_docs/df)`` (corpus-wide document frequency, so
+    a term every source uses scores ~0 however often it appears).
+    :func:`vocabulary` ranks by raw frequency within a language; this
+    ranks by DISTINCTIVENESS across the corpus — the pair catches
+    template farms whose top terms are distinctive but whose raw
+    vocabulary looks normal. Returns ``(source, rank, term, tf, df,
+    score)`` ordered by (source, rank).
+
+    Float discipline: ``score = round(tf · ln(n_docs/df), 6)`` — an
+    integer ratio into ``ln`` then ONE multiply by an exact integer and
+    one round; no double summation anywhere. Rank ties break (score
+    desc, tf desc, term asc) so row_number is deterministic.
+
+    Scale shape: one corpus-scale shuffle — the (doc_id, source, term)
+    pre-aggregation that collapses the token stream (map-side combine) —
+    then every later aggregate/join is vocabulary-bounded: df and the
+    doc-count scalar derive from the pre-agg, tf joins df on ``term``
+    with both sides already reduced. The ranking window partitions by
+    ``source`` over per-source vocab only. Text never shuffles."""
+    from oasysdb_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    d1 = (
+        docs.select(
+            "doc_id", "source", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("doc_id", "source", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    st = d1.groupBy("source", "term").agg(F.sum("c").cast("bigint").alias("tf"))
+    ct = d1.groupBy("term").agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
+    nd = F.broadcast(
+        d1.agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    )
+    scored = (
+        st.join(ct.where(F.col("df") >= min_df), "term")
+        .crossJoin(nd)
+        .select(
+            "source",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("tf").desc(), F.col("term")
+    )
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "source",
+            F.col("rank").cast("bigint").alias("rank"),
+            "term",
+            "tf",
+            "df",
+            "score",
+        )
+        .orderBy("source", "rank")
+    )

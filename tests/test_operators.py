@@ -3768,3 +3768,55 @@ def test_minhash_jaccard_calibration_matches_duckdb_oracle(spark, sf_dir):
         <= r[ix["max_exact_jaccard"]]
         for r in spark_rows
     )
+
+
+def test_tfidf_top_terms_matches_duckdb_oracle(spark, sf_dir):
+    """tfidf_top_terms hash-compared against an independent DuckDB
+    replay (same tokenization, same integer-ratio-into-ln score, same
+    deterministic tie-break) — the self-oracle gate ahead of
+    driver-window rotation (r9 candidate). Invariants: ranks are
+    1..top_k dense per source, every score is non-negative (df <=
+    n_docs), and no term with df below min_df appears."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    got = textops.tfidf_top_terms(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) >= 10
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    res = con.execute("""
+        WITH toks AS (SELECT doc_id, source,
+                        unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+                      FROM documents),
+        d1 AS (SELECT doc_id, source, term, count(*) AS c FROM toks GROUP BY doc_id, source, term),
+        st AS (SELECT source, term, CAST(sum(c) AS BIGINT) AS tf FROM d1 GROUP BY source, term),
+        ct AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM d1 GROUP BY term),
+        nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM d1),
+        scored AS (SELECT source, term, tf, df,
+                     round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+                   FROM st JOIN ct USING (term) CROSS JOIN nd WHERE df >= 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, tf DESC, term) AS rnk
+              FROM scored)
+        SELECT source, CAST(rnk AS BIGINT) AS rank, term, tf, df, score
+        FROM r WHERE rnk <= 10 ORDER BY source, rank""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare("tfidf_top_terms", spark_rows, spark_cols, duck_rows, duck_cols)
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    by_source = {}
+    for r in spark_rows:
+        by_source.setdefault(r[ix["source"]], []).append(r[ix["rank"]])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_source.values())
+    assert all(r[ix["score"]] >= 0.0 for r in spark_rows)
+    assert all(r[ix["df"]] >= 2 for r in spark_rows)
