@@ -2431,12 +2431,16 @@ def tfidf_top_terms(
     one round; no double summation anywhere. Rank ties break (score
     desc, tf desc, term asc) so row_number is deterministic.
 
-    Scale shape: one corpus-scale shuffle — the (doc_id, source, term)
-    pre-aggregation that collapses the token stream (map-side combine) —
-    then every later aggregate/join is vocabulary-bounded: df and the
-    doc-count scalar derive from the pre-agg, tf joins df on ``term``
-    with both sides already reduced. The ranking window partitions by
-    ``source`` over per-source vocab only. Text never shuffles."""
+    Scale shape: ONE corpus-scale shuffle — the (doc_id, source, term)
+    pre-aggregation that collapses the token stream (map-side combine).
+    Everything downstream derives from vocab-bounded tables: since
+    (doc_id, term) is unique in the pre-agg and source is functionally
+    dependent on doc_id, per-source document frequency is a plain
+    ``count(*)`` in the (source, term) rollup and corpus df is its sum —
+    no ``countDistinct`` expand, no second pass over the token stream.
+    The doc-count scalar comes from a shuffle-free scan aggregate. The
+    ranking window partitions by ``source`` over per-source vocab only.
+    Text never shuffles."""
     from oasysdb_spark.functions.text import tokens
 
     docs = _docs(spark, sf_dir)
@@ -2447,10 +2451,19 @@ def tfidf_top_terms(
         .groupBy("doc_id", "source", "term")
         .agg(F.count("*").alias("c"))
     )
-    st = d1.groupBy("source", "term").agg(F.sum("c").cast("bigint").alias("tf"))
-    ct = d1.groupBy("term").agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
+    st = d1.groupBy("source", "term").agg(
+        F.sum("c").cast("bigint").alias("tf"),
+        F.count("*").cast("bigint").alias("df_s"),
+    )
+    ct = st.groupBy("term").agg(F.sum("df_s").cast("bigint").alias("df"))
     nd = F.broadcast(
-        d1.agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+        docs.agg(
+            F.sum(
+                F.when(F.size(tokens(F.col("text"))) > 0, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_docs")
+        )
     )
     scored = (
         st.join(ct.where(F.col("df") >= min_df), "term")
