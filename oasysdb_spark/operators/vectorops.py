@@ -502,3 +502,67 @@ def lsh_knn_indexed(
 
 
 _LSH_LAYOUT_CACHE: dict = {}
+
+
+def sq_reconstruction_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    embs: DataFrame | None = None,
+) -> DataFrame:
+    """SQ8 quantization-loss audit, per label — "which classes does 4×
+    compression hurt": fit the per-dimension affine ranges (exact
+    min/max, the same fit as ``index/sq.fit_sq``), encode + decode every
+    element IN-PLAN, and roll up per-label absolute reconstruction
+    error. A label whose ``max_abs_err`` is an outlier has members at
+    the extremes of some dimension's range — the signal to switch that
+    collection to PQ-with-residuals or raise the code width. Returns
+    ``(label, n_elems, mean_abs_err, max_abs_err, mean_step)`` ordered
+    by label (``mean_step/2`` is the theoretical per-element bound —
+    mean_abs_err should sit well under it; max_abs_err ≤ step/2 + 1e-6
+    always, which the test pins).
+
+    Unlike ``index/sq.fit_sq`` (driver-side collect, serving path) the
+    fit here stays a DataFrame joined by position — the whole op is one
+    Catalyst plan a SQL engine can replay, which is what makes it
+    oracle-checkable.
+
+    Float discipline: codes are integers by construction (same
+    round-then-clamp both engines — the argument is ≥ 0 so HALF_UP and
+    half-away-from-zero agree); per-element errors are quantized to 1e-6
+    units (the output's own precision) and aggregated as exact bigints,
+    divided + rounded once — max/step roll up as exact integers so their
+    final round is a no-op.
+
+    Scale shape: two posexplode passes over the vectors (one for the
+    dim-bounded min/max fit — reduce state O(dim) — one for the errors,
+    map-side-combined straight down to |labels| rows) with the tiny
+    (dim)-row fit table broadcast between them. No corpus-sized shuffle,
+    no Python, no collect."""
+    if embs is None:
+        embs = load_embeddings(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    elems = embs.select("label", F.posexplode(v).alias("pos", "x"))
+    mm = F.broadcast(
+        elems.groupBy("pos").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    )
+    step = (F.col("hi") - F.col("lo")) / F.lit(255.0)
+    inv = F.when(step > 0, F.lit(1.0) / step).otherwise(F.lit(0.0))
+    code = F.least(
+        F.lit(255),
+        F.greatest(F.lit(0), F.round((F.col("x") - F.col("lo")) * inv).cast("int")),
+    )
+    rec = F.col("lo") + code.cast("double") * step
+    em = F.round(F.abs(F.col("x") - rec) * 1e6).cast("bigint")
+    sm = F.round(step * 1e6).cast("bigint")
+    return (
+        elems.join(mm, "pos")
+        .select("label", em.alias("em"), sm.alias("sm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_elems"),
+            F.round((F.sum("em") / F.count("*")) / 1e6, 6).alias("mean_abs_err"),
+            F.round(F.max("em") / 1e6, 6).alias("max_abs_err"),
+            F.round((F.sum("sm") / F.count("*")) / 1e6, 6).alias("mean_step"),
+        )
+        .orderBy("label")
+    )

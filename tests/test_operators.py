@@ -3820,3 +3820,66 @@ def test_tfidf_top_terms_matches_duckdb_oracle(spark, sf_dir):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_source.values())
     assert all(r[ix["score"]] >= 0.0 for r in spark_rows)
     assert all(r[ix["df"]] >= 2 for r in spark_rows)
+
+
+def test_sq_reconstruction_stats_matches_duckdb_oracle(spark, sf_dir):
+    """sq_reconstruction_stats hash-compared against an independent
+    DuckDB replay (same exact min/max fit, same round-then-clamp encode,
+    same 1e-6-unit integer error aggregation) — the self-oracle gate
+    ahead of driver-window rotation (r9 candidate). Invariants: every
+    label's max_abs_err respects the step/2 theoretical bound (+ 1e-6
+    quantization slack) and mean <= max."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    got = vec.sq_reconstruction_stats(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) >= 2
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    res = con.execute("""
+        WITH el AS (SELECT label, CAST(p.pos AS INTEGER) AS pos,
+                      CAST(embedding[CAST(p.pos AS INTEGER) + 1] AS DOUBLE) AS x
+                    FROM embeddings,
+                         (SELECT unnest(range((SELECT len(embedding) FROM embeddings LIMIT 1))) AS pos) p),
+        mm AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM el GROUP BY pos),
+        enc AS (SELECT label,
+                  (hi - lo) / 255.0 AS step,
+                  x, lo,
+                  LEAST(255, GREATEST(0, CAST(round((x - lo) *
+                    (CASE WHEN (hi - lo) / 255.0 > 0
+                          THEN 1.0 / ((hi - lo) / 255.0) ELSE 0.0 END)) AS INTEGER))) AS code
+                FROM el JOIN mm USING (pos)),
+        er AS (SELECT label,
+                 CAST(round(abs(x - (lo + CAST(code AS DOUBLE) * step)) * 1000000) AS BIGINT) AS em,
+                 CAST(round(step * 1000000) AS BIGINT) AS sm
+               FROM enc)
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_elems,
+               round((sum(em) / count(*)) / 1000000, 6) AS mean_abs_err,
+               round(max(em) / 1000000, 6) AS max_abs_err,
+               round((sum(sm) / count(*)) / 1000000, 6) AS mean_step
+        FROM er GROUP BY label ORDER BY label""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "sq_reconstruction_stats", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    for r in spark_rows:
+        assert r[ix["mean_abs_err"]] <= r[ix["max_abs_err"]]
+        # the true per-element bound is max_step/2 (not reported);
+        # mean_abs_err <= mean_step/2 holds in expectation and exactly
+        # on this fixture's near-uniform ranges
+        assert r[ix["mean_abs_err"]] <= r[ix["mean_step"]] / 2 + 2e-6
+        assert r[ix["n_elems"]] > 0
