@@ -302,3 +302,61 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "n", "n_users", "sum_value")
     )
+
+
+def event_rate_anomalies(
+    spark: SparkSession,
+    sf_dir: str,
+    z_threshold: float = 2.5,
+) -> DataFrame:
+    """Hourly event-RATE anomaly detection per event type — the ops
+    audit run over an ingest stream's history: bucket events into
+    (event_type, hour) counts, compute each bucket's population z-score
+    against its type's own hourly distribution, and return the buckets
+    whose |z| meets ``z_threshold`` (traffic spikes and outage troughs).
+    Returns ``(event_type, hour_ts, n_events, z_score)`` ordered by
+    (event_type, hour_ts).
+
+    Float discipline: the z-score is formed from EXACT integers only —
+    with per-type n (hours), S1 = Σc, S2 = Σc², a bucket count c has
+
+        z = (c·n − S1) / sqrt(n·S2 − S1²)
+
+    (algebraically (c − μ)/σ_pop scaled into one integer numerator and
+    one integer sqrt argument), so both engines evaluate the identical
+    expression tree over identical integers; rounded once to 6 dp.
+    Zero-variance types produce no rows (sqrt argument 0 → filtered).
+
+    Scale shape: one shuffle — the (event_type, hour) count with
+    map-side partial aggregation (state = types × hours, far below the
+    event stream). Per-type moments roll up from those buckets (state =
+    |types|) and broadcast back; the anomaly filter is bucket-local.
+    The raw stream is scanned once and never reshuffled."""
+    events = _t(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    num = F.col("c") * F.col("n") - F.col("s1")
+    den2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    z = F.round(num.cast("double") / F.sqrt(den2.cast("double")), 6)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .where(den2 > 0)
+        .select(
+            "event_type",
+            "hour_ts",
+            F.col("c").alias("n_events"),
+            z.alias("z_score"),
+        )
+        .where(F.abs(F.col("z_score")) >= z_threshold)
+        .orderBy("event_type", "hour_ts")
+    )

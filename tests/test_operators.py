@@ -3883,3 +3883,55 @@ def test_sq_reconstruction_stats_matches_duckdb_oracle(spark, sf_dir):
         # on this fixture's near-uniform ranges
         assert r[ix["mean_abs_err"]] <= r[ix["mean_step"]] / 2 + 2e-6
         assert r[ix["n_elems"]] > 0
+
+
+def test_event_rate_anomalies_matches_duckdb_oracle(spark, sf_dir):
+    """event_rate_anomalies hash-compared against an independent DuckDB
+    replay (identical integer-moment z-score expression, same filter on
+    the ROUNDED score) — the self-oracle gate ahead of driver-window
+    rotation (r9 candidate). Invariants: non-empty at the default
+    threshold, every |z| >= threshold, and per (type, hour) rows are
+    unique."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.operators import temporal
+
+    got = temporal.event_rate_anomalies(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) > 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    res = con.execute("""
+        WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+                          CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        stats AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c*c) AS BIGINT) AS s2
+                  FROM hourly GROUP BY event_type),
+        z AS (SELECT event_type, hour_ts, c AS n_events,
+                round(CAST(c*n - s1 AS DOUBLE) / sqrt(CAST(n*s2 - s1*s1 AS DOUBLE)), 6) AS z_score
+              FROM hourly JOIN stats USING (event_type)
+              WHERE n*s2 - s1*s1 > 0)
+        SELECT event_type, hour_ts, n_events, z_score
+        FROM z WHERE abs(z_score) >= 2.5
+        ORDER BY event_type, hour_ts""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "event_rate_anomalies", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    assert all(abs(r[ix["z_score"]]) >= 2.5 for r in spark_rows)
+    keys = [(r[ix["event_type"]], r[ix["hour_ts"]]) for r in spark_rows]
+    assert len(keys) == len(set(keys))
