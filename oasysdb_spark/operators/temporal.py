@@ -333,18 +333,8 @@ def event_rate_anomalies(
     |types|) and broadcast back; the anomaly filter is bucket-local.
     The raw stream is scanned once and never reshuffled."""
     events = _t(spark, sf_dir, "events")
-    hourly = (
-        events.groupBy(
-            F.col("event_type"),
-            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
-        )
-        .agg(F.count("*").cast("bigint").alias("c"))
-    )
-    stats = hourly.groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("c").cast("bigint").alias("s1"),
-        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
-    )
+    hourly = _hourly_type_counts(events)
+    stats = event_rate_baseline(events)
     num = F.col("c") * F.col("n") - F.col("s1")
     den2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
     z = F.round(num.cast("double") / F.sqrt(den2.cast("double")), 6)
@@ -359,4 +349,28 @@ def event_rate_anomalies(
         )
         .where(F.abs(F.col("z_score")) >= z_threshold)
         .orderBy("event_type", "hour_ts")
+    )
+
+
+def _hourly_type_counts(events: DataFrame) -> DataFrame:
+    """(event_type, hour_ts, c): hourly bucket counts — ONE map-side-
+    combined shuffle whose state is types × hours, far below the
+    stream."""
+    return events.groupBy(
+        F.col("event_type"),
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+
+
+def event_rate_baseline(events: DataFrame) -> DataFrame:
+    """(event_type, n, s1, s2): per-type moments of the HOURLY count
+    distribution (n hours, Σc, Σc²) — the offline fit
+    :func:`event_rate_anomalies` scores against, and the tiny table the
+    streaming scorer (``streaming.ingest.event_rate_anomaly_stream_flags``)
+    broadcasts. Exact integers only, so the z-score expression is
+    bit-identical wherever it is evaluated."""
+    return _hourly_type_counts(events).groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
     )

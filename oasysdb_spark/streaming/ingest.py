@@ -819,3 +819,49 @@ def heavy_hitter_stream_sketches(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def event_rate_anomaly_stream_flags(
+    events_stream: DataFrame,
+    baseline_stats: DataFrame,
+    z_threshold: float = 2.5,
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``operators.temporal.event_rate_anomalies`` —
+    the production split: the per-type hourly-count moments are fit
+    OFFLINE (``temporal.event_rate_baseline``, a tiny |types|-row table)
+    and the stream scores each closing hour against them, flagging
+    buckets whose |z| meets ``z_threshold`` the moment the watermark
+    closes the hour. Emits ``(event_type, hour_ts, n_events, z_score)``
+    in append mode.
+
+    The z expression is the identical integer-moment form as the batch
+    op — ``(c·n − S1)/sqrt(n·S2 − S1²)`` — so a flagged hour here equals
+    the batch op's row exactly when the baseline was fit on the same
+    history (pinned in tests/test_streaming.py).
+
+    Scale shape: ONE stateful windowed count (state = open hours ×
+    types, reclaimed by the watermark — bounded on an unbounded feed),
+    then a broadcast join against the static moments and a row-local
+    filter. Late events beyond ``watermark_delay`` are dropped, the
+    standard completeness/latency trade."""
+    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    hourly = (
+        events_stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    num = F.col("c") * F.col("n") - F.col("s1")
+    den2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    z = F.round(num.cast("double") / F.sqrt(den2.cast("double")), 6)
+    return (
+        hourly.join(F.broadcast(baseline_stats), "event_type")
+        .where(den2 > 0)
+        .select(
+            "event_type",
+            F.col("w.start").alias("hour_ts"),
+            F.col("c").alias("n_events"),
+            z.alias("z_score"),
+        )
+        .where(F.abs(F.col("z_score")) >= F.lit(float(z_threshold)))
+    )

@@ -1032,3 +1032,53 @@ def test_funnel_stream_out_of_order_is_conservative(spark, sf_dir, tmp_path):
         streamed = sum(1 for v in per_user.values() if v >= s)
         assert streamed <= batch[s], (s, streamed, batch[s])
     assert sum(1 for v in per_user.values() if v >= 1) > 0
+
+
+def test_event_rate_anomaly_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming anomaly scorer over the fixture events, with the
+    baseline fit on the same history, must flag exactly the rows the
+    batch op returns (identical integer-moment z expression on both
+    paths). Also pins that a checkpointed restart over the same source
+    re-emits nothing (exactly-once on re-delivery)."""
+    from oasysdb_spark.operators import temporal
+    from oasysdb_spark.streaming.ingest import event_rate_anomaly_stream_flags
+
+    events = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+    baseline = temporal.event_rate_baseline(events)
+
+    out = str(tmp_path / "anom_out")
+
+    def run():
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        flags = event_rate_anomaly_stream_flags(stream, baseline)
+        q = (
+            flags.writeStream.format("parquet")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt_anom"))
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["event_type"], r["hour_ts"]): (r["n_events"], r["z_score"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    got = run()
+    expected = {
+        (r["event_type"], r["hour_ts"]): (r["n_events"], r["z_score"])
+        for r in temporal.event_rate_anomalies(spark, sf_dir).collect()
+    }
+    # availableNow closes every window at end-of-stream, so the flagged
+    # sets must be identical — including z values, which are the same
+    # integer-moment expression both sides
+    assert got == expected
+    assert got
+
+    # restart over the same checkpoint + source: the sink must be
+    # unchanged (no duplicate emission on re-delivery)
+    rerun = run()
+    assert rerun == got
