@@ -162,6 +162,31 @@ def cross_source_duplication_stats(
 MINHASH_P = 2_147_483_647
 
 
+def _np_round6_half_up(a):
+    """Match round_dist (Spark F.round: HALF_UP over the double's
+    SHORTEST decimal repr, then -0.0 → +0.0) so numpy-side cosine paths
+    hash identically to every expression-side cosine op (r7, advisor
+    finding). np.round is half-to-even — it disagrees with HALF_UP only
+    when the repr lands exactly on a half boundary at the 7th decimal,
+    so round fast with numpy and Decimal-requantize just the boundary
+    suspects."""
+    import numpy as np
+
+    out = np.round(a, 6)
+    scaled = a * 1e6
+    frac = np.abs(scaled - np.floor(scaled) - 0.5)
+    sus = np.nonzero(frac < 1e-6)[0]
+    if len(sus):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q6 = Decimal("0.000001")
+        for i in sus:
+            out[i] = float(
+                Decimal(repr(float(a[i]))).quantize(q6, rounding=ROUND_HALF_UP)
+            )
+    return out + 0.0
+
+
 def minhash_coeffs(j: int) -> tuple[int, int]:
     return (2654435761 * (j + 1)) % MINHASH_P, (40503 * (j + 7)) % MINHASH_P
 
@@ -1479,29 +1504,7 @@ def embedding_near_pairs_ivf(
     thr = threshold
     cap = None if threshold is not None else top_n
 
-    def _round6_half_up(a):
-        # Match round_dist (Spark F.round: HALF_UP over the double's
-        # SHORTEST decimal repr, then -0.0 → +0.0) so this path hashes
-        # identically to every other cosine op if promoted into the
-        # driver window (r7, advisor finding). np.round is half-to-even
-        # — it disagrees with HALF_UP only when the repr lands exactly
-        # on a half boundary at the 7th decimal, so round fast with
-        # numpy and Decimal-requantize just the boundary suspects.
-        out = np.round(a, 6)
-        scaled = a * 1e6
-        frac = np.abs(scaled - np.floor(scaled) - 0.5)
-        sus = np.nonzero(frac < 1e-6)[0]
-        if len(sus):
-            from decimal import ROUND_HALF_UP, Decimal
-
-            q6 = Decimal("0.000001")
-            for i in sus:
-                out[i] = float(
-                    Decimal(repr(float(a[i]))).quantize(
-                        q6, rounding=ROUND_HALF_UP
-                    )
-                )
-        return out + 0.0
+    _round6_half_up = _np_round6_half_up
 
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
@@ -2176,4 +2179,118 @@ def leakage_safe_split(
         F.when(coin < F.lit(cut), F.lit("test"))
         .otherwise(F.lit("train"))
         .alias("split"),
+    )
+
+
+def embedding_decontaminate(
+    train: DataFrame,
+    evals: DataFrame,
+    threshold: float = 0.9,
+    eval_broadcast_limit: int = 100_000,
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-space member
+    of the decontamination family (LSH-text ``decontaminate_against``,
+    exact n-gram ``ngram_overlap_flags``, probabilistic
+    ``bloom_overlap_flags``): flag train vectors whose cosine similarity
+    to ANY eval vector meets ``threshold``, catching paraphrased leakage
+    that n-gram methods miss. Inputs are ``(vec_id, embedding)`` frames;
+    returns ``(vec_id, eval_vec_id, cos_sim)`` — each contaminated train
+    vector with its best eval match (max rounded cosine, ties → min
+    eval id). Anti-join the corpus against it to scrub.
+
+    EXACT, not ANN: the eval side (a benchmark suite) is small by
+    nature, so it ships to every task and each Arrow batch of train
+    vectors scores against the whole eval matrix — the train corpus
+    NEVER shuffles (the same never-shuffle-the-big-side contract as the
+    LSH decontaminator's broadcast path). An eval set beyond
+    ``eval_broadcast_limit`` rows processes in deterministic
+    ``vec_id``-hash chunks — still exact, one train pass per chunk —
+    and the per-chunk winners reduce with a skew-proof max-struct
+    groupBy (never a window over a hot key).
+
+    Float discipline (hash-compare-able against a brute-force SQL
+    oracle): dot products and squared norms accumulate SEQUENTIALLY over
+    the dimension axis (vectorized across rows, ordered over dims — the
+    same left-to-right fold as ``list_sum``/``F.aggregate``), and
+    rounding is the shared ``_np_round6_half_up`` (HALF_UP over the
+    shortest repr, −0.0 normalized) — bit-identical to ``round_dist``
+    on every other cosine path."""
+    import math
+
+    import numpy as np
+
+    n_eval = evals.count()
+    if n_eval == 0:
+        schema = "vec_id long, eval_vec_id long, cos_sim double"
+        return train.sparkSession.createDataFrame([], schema)
+    n_chunks = max(1, math.ceil(n_eval / eval_broadcast_limit))
+
+    parts = []
+    for ci in range(n_chunks):
+        ev = evals.select("vec_id", "embedding")
+        if n_chunks > 1:
+            ev = ev.where(F.pmod(F.col("vec_id"), F.lit(n_chunks)) == ci)
+        pdf = ev.toPandas().sort_values("vec_id")
+        if len(pdf) == 0:
+            continue
+        ev_ids = pdf["vec_id"].to_numpy(dtype="int64")
+        E = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        d = E.shape[1]
+        en2 = np.zeros(len(ev_ids))
+        for dd in range(d):
+            en2 += E[:, dd] * E[:, dd]
+        en = np.sqrt(en2)
+
+        def score(batches, _E=E, _en=en, _ev_ids=ev_ids, _d=d):
+            for b in batches:
+                ids = b["vec_id"].to_numpy(dtype="int64")
+                if len(ids) == 0:
+                    continue
+                T = np.asarray(b["embedding"].tolist(), dtype=np.float64)
+                acc = np.zeros((len(ids), len(_ev_ids)))
+                tn2 = np.zeros(len(ids))
+                # ordered fold over dims == list_sum / F.aggregate
+                for dd in range(_d):
+                    col = T[:, dd]
+                    tn2 += col * col
+                    acc += col[:, None] * _E[None, :, dd]
+                denom = np.sqrt(tn2)[:, None] * _en[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom != 0.0, acc / denom, -np.inf)
+                cs = _np_round6_half_up(cos.ravel()).reshape(cos.shape)
+                cs[cos == -np.inf] = -np.inf
+                cs[cs < threshold] = -np.inf
+                # argmax picks the FIRST max → lowest eval id on ties
+                # (eval ids are sorted ascending)
+                bi = np.argmax(cs, axis=1)
+                best = cs[np.arange(len(ids)), bi]
+                keep = best > -np.inf
+                yield pd.DataFrame(
+                    {
+                        "vec_id": ids[keep],
+                        "eval_vec_id": _ev_ids[bi[keep]],
+                        "cos_sim": best[keep],
+                    }
+                )
+
+        parts.append(
+            train.select("vec_id", "embedding").mapInPandas(
+                score, schema="vec_id long, eval_vec_id long, cos_sim double"
+            )
+        )
+
+    flagged = parts[0]
+    for p in parts[1:]:
+        flagged = flagged.unionByName(p)
+    if n_chunks == 1:
+        return flagged
+    best = flagged.groupBy("vec_id").agg(
+        F.max(
+            F.struct(F.col("cos_sim"), (-F.col("eval_vec_id")).alias("neg"))
+        ).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("b.neg")).cast("long").alias("eval_vec_id"),
+        F.col("b.cos_sim").alias("cos_sim"),
     )

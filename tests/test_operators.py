@@ -3935,3 +3935,64 @@ def test_event_rate_anomalies_matches_duckdb_oracle(spark, sf_dir):
     assert all(abs(r[ix["z_score"]]) >= 2.5 for r in spark_rows)
     keys = [(r[ix["event_type"]], r[ix["hour_ts"]]) for r in spark_rows]
     assert len(keys) == len(set(keys))
+
+
+def test_embedding_decontaminate_matches_duckdb_oracle(spark, sf_dir):
+    """embedding_decontaminate (vec_id%10==0 as the eval split) against
+    a brute-force DuckDB replay: same sequential-fold cosine, same
+    HALF_UP rounding, same best-match tie-break (max cos, min eval id).
+    The threshold sits in the fixture's meaningful range (the synthetic
+    embeddings are near-random; production near-dup thresholds like 0.9
+    are exercised by the components tier). Also pins the chunked
+    multi-pass path (eval_broadcast_limit < |eval|) bit-identical to the
+    single-broadcast path."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    train = embs.where(F.col("vec_id") % 10 != 0)
+    evals = embs.where(F.col("vec_id") % 10 == 0)
+    got = dedup.embedding_decontaminate(train, evals, threshold=0.35)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) > 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    res = con.execute("""
+        WITH tr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 10 <> 0),
+        ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 10 = 0),
+        pairs AS (SELECT tr.vec_id, ev.vec_id AS eval_vec_id,
+                    round(list_sum(list_transform(list_zip(tr.e, ev.e), x -> x[1]*x[2]))
+                          / (sqrt(list_sum(list_transform(tr.e, z -> z*z)))
+                             * sqrt(list_sum(list_transform(ev.e, z -> z*z)))), 6) AS cos_sim
+                  FROM tr CROSS JOIN ev
+                  WHERE sqrt(list_sum(list_transform(tr.e, z -> z*z)))
+                        * sqrt(list_sum(list_transform(ev.e, z -> z*z))) <> 0),
+        flagged AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY cos_sim DESC, eval_vec_id) AS rn
+                    FROM pairs WHERE cos_sim >= 0.35)
+        SELECT vec_id, eval_vec_id, cos_sim FROM flagged WHERE rn = 1""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "embedding_decontaminate", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    # chunked multi-pass (3 passes over train) must be bit-identical
+    chunked = dedup.embedding_decontaminate(
+        train, evals, threshold=0.35, eval_broadcast_limit=20
+    )
+    assert sorted(tuple(r) for r in chunked.collect()) == sorted(spark_rows)
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    assert all(r[ix["cos_sim"]] >= 0.35 for r in spark_rows)
+    assert all(r[ix["eval_vec_id"]] % 10 == 0 for r in spark_rows)
+    assert all(r[ix["vec_id"]] % 10 != 0 for r in spark_rows)
