@@ -865,3 +865,50 @@ def event_rate_anomaly_stream_flags(
         )
         .where(F.abs(F.col("z_score")) >= F.lit(float(z_threshold)))
     )
+
+
+def embedding_decontaminate_stream_flags(
+    train_stream: DataFrame,
+    evals: DataFrame,
+    threshold: float = 0.9,
+    eval_broadcast_limit: int = 100_000,
+) -> DataFrame:
+    """Streaming twin of ``operators/dedup.embedding_decontaminate`` —
+    SEMANTIC benchmark decontamination AT INGEST TIME: each arriving
+    train vector scores against the static eval matrix and contaminated
+    rows emit ``(vec_id, eval_vec_id, cos_sim)`` (best match: max
+    rounded cosine, ties → min eval id), same contract and same
+    sequential-fold + HALF_UP arithmetic as the batch op, so stream
+    flags == batch flags row-for-row (pinned in tests).
+
+    Shape: the eval matrix collects ONCE at plan-build time and ships
+    inside the ``mapInPandas`` closure — completely STATELESS streaming
+    (no watermark, no state store, no shuffle): each micro-batch's Arrow
+    batches score row-locally, which is why the train stream can run at
+    ingest line rate. Exactly-once de-duplication of re-delivered rows
+    is the source/sink checkpoint's job (parquet-source replay is
+    idempotent per file, pinned in the test's restart pass).
+
+    The batch op processes oversized eval sets in multiple exact passes;
+    a stream can't re-scan, so an eval side beyond
+    ``eval_broadcast_limit`` rows raises ``InvalidArgumentError`` — a
+    documented boundary, not a silent recall cut (split the eval suite
+    and run parallel flag streams if you genuinely need more)."""
+    from oasysdb_spark.errors import InvalidArgumentError
+    from oasysdb_spark.operators.dedup import embedding_decontaminate
+
+    n_eval = evals.count()
+    if n_eval > eval_broadcast_limit:
+        raise InvalidArgumentError(
+            f"streaming embedding decontamination broadcasts the whole eval"
+            f" matrix; {n_eval} eval rows exceed eval_broadcast_limit="
+            f"{eval_broadcast_limit} (split the eval suite across streams"
+            f" or use the multi-pass batch op)"
+        )
+    # the batch op with one chunk builds exactly the stateless
+    # mapInPandas plan we want; mapInPandas composes with streaming
+    # DataFrames unchanged
+    return embedding_decontaminate(
+        train_stream, evals, threshold=threshold,
+        eval_broadcast_limit=eval_broadcast_limit,
+    )

@@ -1082,3 +1082,55 @@ def test_event_rate_anomaly_stream_matches_batch(spark, sf_dir, tmp_path):
     # unchanged (no duplicate emission on re-delivery)
     rerun = run()
     assert rerun == got
+
+
+def test_embedding_decontaminate_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming semantic decontaminator must flag exactly the rows
+    the batch op flags (same closure, same arithmetic), a checkpointed
+    restart must not re-emit, and an oversized eval side must raise the
+    documented boundary error instead of silently cutting recall."""
+    import pytest as _pytest
+
+    from oasysdb_spark.errors import InvalidArgumentError
+    from oasysdb_spark.operators import dedup
+    from oasysdb_spark.streaming.ingest import embedding_decontaminate_stream_flags
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    train = embs.where(F.col("vec_id") % 10 != 0).select("vec_id", "embedding")
+    evals = embs.where(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    src = str(tmp_path / "train_src")
+    train.write.parquet(src)
+
+    out = str(tmp_path / "edc_out")
+
+    def run():
+        stream = spark.readStream.schema(train.schema).parquet(src)
+        flags = embedding_decontaminate_stream_flags(stream, evals, threshold=0.35)
+        q = (
+            flags.writeStream.format("parquet")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt_edc"))
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    got = run()
+    expected = sorted(
+        tuple(r)
+        for r in dedup.embedding_decontaminate(train, evals, threshold=0.35).collect()
+    )
+    assert got == expected
+    assert got
+
+    # restart over the same checkpoint + source: sink unchanged
+    assert run() == got
+
+    with _pytest.raises(InvalidArgumentError):
+        embedding_decontaminate_stream_flags(
+            spark.readStream.schema(train.schema).parquet(src),
+            evals,
+            eval_broadcast_limit=3,
+        )
