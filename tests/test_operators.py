@@ -3996,3 +3996,64 @@ def test_embedding_decontaminate_matches_duckdb_oracle(spark, sf_dir):
     assert all(r[ix["cos_sim"]] >= 0.35 for r in spark_rows)
     assert all(r[ix["eval_vec_id"]] % 10 == 0 for r in spark_rows)
     assert all(r[ix["vec_id"]] % 10 != 0 for r in spark_rows)
+
+
+def test_session3_audit_ops_edge_cases(spark, sf_dir):
+    """Edge pins for the r9-candidate audit tier: zero-norm vectors drop
+    out of cohesion stats (not counted, not crashed), single-member
+    labels cohere at exactly 1.0, a single-label corpus yields an empty
+    pair matrix, an unreachable min_df yields an empty TF-IDF result,
+    and constant hourly rates yield no anomaly rows (zero variance is
+    filtered, not divided by)."""
+    from oasysdb_spark.operators import embed, temporal, textops
+
+    rows = [
+        ("a", [1.0, 0.0]),
+        ("a", [0.0, 1.0]),
+        ("a", [1.0, 1.0]),
+        ("b", [0.0, 0.0]),  # zero norm -> null cosine, dropped
+        ("b", [2.0, 2.0]),
+        ("c", [-1.0, -1.0]),  # single member: cos to own centroid = 1
+    ]
+    df = spark.createDataFrame(
+        [(i, l, v) for i, (l, v) in enumerate(rows)],
+        "vec_id bigint, label string, embedding array<double>",
+    )
+    got = {
+        r["label"]: r
+        for r in embed.embedding_outlier_stats(spark, embs=df, min_cos=0.9).collect()
+    }
+    assert got["b"]["n_vecs"] == 1  # the zero-norm member is excluded
+    assert got["b"]["mean_cos"] == 1.0
+    assert got["c"]["n_vecs"] == 1 and got["c"]["mean_cos"] == 1.0
+    assert got["a"]["n_outliers"] == 2  # the two axis vectors vs the mean
+
+    single = df.where(F.col("label") == "a")
+    assert embed.label_centroid_similarity(spark, embs=single).count() == 0
+
+    assert textops.tfidf_top_terms(spark, sf_dir, min_df=10**9).count() == 0
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    const = spark.createDataFrame(
+        [(t0 + dt.timedelta(hours=h, minutes=m), "tick") for h in range(6) for m in (0, 30)],
+        "ts timestamp, event_type string",
+    )
+    hourly = temporal._hourly_type_counts(const)
+    assert hourly.count() == 6  # sanity: 6 buckets of 2
+    stats = temporal.event_rate_baseline(const).first()
+    assert stats["n"] * stats["s2"] - stats["s1"] * stats["s1"] == 0  # zero variance
+    from oasysdb_spark.streaming.ingest import event_rate_anomaly_stream_flags
+
+    # the batch op reads from sf_dir; exercise the shared scoring path
+    # directly on the zero-variance frame via the stream plan builder's
+    # expression twin: a zero-variance baseline must filter everything
+    flagged = (
+        hourly.withColumnRenamed("hour_ts", "w")  # shape only; batch join twin
+        .join(F.broadcast(temporal.event_rate_baseline(const)), "event_type")
+        .where(
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")) > 0
+        )
+    )
+    assert flagged.count() == 0
