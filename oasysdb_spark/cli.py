@@ -30,8 +30,8 @@ def _vector(s: str) -> list[float]:
     return [float(x) for x in s.replace(",", " ").split()]
 
 
-def _emit(obj) -> None:
-    print(json.dumps(obj, sort_keys=True))
+def _emit(obj, default=None) -> None:
+    print(json.dumps(obj, sort_keys=True, default=default))
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -204,6 +204,23 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument("--scrub", action="store_true",
                     help="probe first and exclude flagged dups from the append")
     se.add_argument("--threshold", type=float, default=0.5)
+
+    au = sub.add_parser(
+        "corpus-audit",
+        help="run a data-quality audit over a data directory holding "
+             "documents/embeddings/events parquet tables",
+    )
+    au.add_argument("--data", required=True,
+                    help="directory with documents.parquet / "
+                         "embeddings.parquet / events.parquet as needed")
+    au.add_argument(
+        "--audit", required=True,
+        choices=["tfidf-top-terms", "minhash-calibration", "event-anomalies",
+                 "embedding-outliers", "label-separation",
+                 "sq-reconstruction", "embedding-decontaminate"],
+    )
+    au.add_argument("--limit", type=int, default=100,
+                    help="max rows to print (count is always exact)")
     return p
 
 
@@ -283,6 +300,26 @@ def main(argv: list[str] | None = None) -> int:
                 batch, args.index, exclude_ids=exclude
             )
             _emit({"ok": True, "n_appended": n})
+        return 0
+
+    if args.cmd == "corpus-audit":
+        from oasysdb_spark.operators import dedup, embed, temporal, textops
+        from oasysdb_spark.operators import vectorops as vec
+
+        audits = {
+            "tfidf-top-terms": textops.tfidf_top_terms,
+            "minhash-calibration": dedup.minhash_jaccard_calibration,
+            "event-anomalies": temporal.event_rate_anomalies,
+            "embedding-outliers": embed.embedding_outlier_stats,
+            "label-separation": embed.label_centroid_similarity,
+            "sq-reconstruction": vec.sq_reconstruction_stats,
+            "embedding-decontaminate": dedup.embedding_decontaminate_stats,
+        }
+        res = audits[args.audit](spark, args.data).cache()
+        n = res.count()
+        rows = [r.asDict() for r in res.limit(args.limit).collect()]
+        res.unpersist()
+        _emit({"audit": args.audit, "n_rows": n, "rows": rows}, default=str)
         return 0
 
     db = Database.open(spark, args.dir)

@@ -220,3 +220,27 @@ def test_cli_corpus_to_wds_verb(spark, tmp_path, capsys):
         "n_malformed = 0 AND field = 'text.txt'"
     )
     assert back.count() == 2
+
+
+def test_cli_corpus_audit_verb(spark, sf_dir, capsys):
+    """The corpus-audit CLI verb runs each audit over a fixture-shaped
+    data directory and emits one JSON object with exact counts and
+    bounded rows."""
+    import json
+
+    from oasysdb_spark.cli import main
+
+    for audit, key in [
+        ("tfidf-top-terms", "score"),
+        ("event-anomalies", "z_score"),
+        ("label-separation", "cos_sim"),
+        ("sq-reconstruction", "mean_abs_err"),
+    ]:
+        rc = main(["corpus-audit", "--data", sf_dir, "--audit", audit,
+                   "--limit", "5"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["audit"] == audit
+        assert out["n_rows"] > 0
+        assert len(out["rows"]) <= 5
+        assert key in out["rows"][0]
