@@ -1305,7 +1305,7 @@ def _centroid_tree(C, seed: int, fanout: int = 256):
 
 def embedding_near_pairs_ivf(
     spark: SparkSession,
-    sf_dir: str,
+    sf_dir: str | None = None,
     top_n: int = 50,
     n_clusters: int | None = None,
     seed: int = 42,
@@ -1314,6 +1314,7 @@ def embedding_near_pairs_ivf(
     fit_sample_size: int = 100_000,
     max_clusters: int = 65_536,
     tree_fanout: int = 256,
+    embs: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup with the PRODUCTION blocking key: an IVF
     cluster id (nearest centroid of a seeded sampled k-means fit), not a
@@ -1367,7 +1368,8 @@ def embedding_near_pairs_ivf(
 
     from oasysdb_spark.index.ivf import fit_centroids
 
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if embs is None:
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # Centroid fit goes through the shared guarded path (seeded uniform
     # sample + local-BLAS-vs-MLlib choice) — a `limit(...).collect()` here
     # would fit the first parquet splits only, and on a corpus partitioned
@@ -2315,4 +2317,67 @@ def embedding_decontaminate_stats(
     evals = embs.where((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 5000))
     return embedding_decontaminate(train, evals, threshold=threshold).orderBy(
         "vec_id"
+    )
+
+
+def embedding_decontaminate_ivf(
+    train: DataFrame,
+    evals: DataFrame,
+    threshold: float = 0.9,
+    depth: int = 3,
+    n_clusters: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """LARGE-EVAL semantic decontamination — the scale path when the
+    eval side outgrows :func:`embedding_decontaminate`'s broadcast/
+    multi-pass design (that op is EXACT but costs one train pass per
+    ``eval_broadcast_limit`` chunk; this one is IVF-blocked and handles
+    both sides at corpus scale in one pass). Same contract:
+    ``(vec_id, eval_vec_id, cos_sim)`` — best eval match per flagged
+    train vector (max rounded cosine, ties → min eval id).
+
+    Composition, not new machinery: the two frames union under a
+    side-tagged id remap (train → ``2·id``, eval → ``2·id + 1`` — ids
+    stay unique, the side survives as the parity bit), ride the shared
+    :func:`embedding_near_pairs_ivf` blocking (beam-tree assignment,
+    per-block GEMM verify, all its probed scale behavior), and only
+    cross-parity pairs survive. Blocking recall follows the underlying
+    op's gates (≥0.9 at depth=3 on the isotropic worst-case fixture;
+    gated again cross-frame in tests). The best-match pick is the
+    skew-proof max-struct groupBy.
+
+    100 TB story: train and eval each shuffle once (into blocks);
+    nothing is broadcast, no pass-per-chunk — the trade vs the exact op
+    is blocking recall for one-pass scale symmetry."""
+    t = train.select((F.col("vec_id") * 2).alias("vec_id"), "embedding")
+    e = evals.select((F.col("vec_id") * 2 + 1).alias("vec_id"), "embedding")
+    union = t.unionByName(e)
+    pairs = embedding_near_pairs_ivf(
+        train.sparkSession,
+        threshold=threshold,
+        depth=depth,
+        n_clusters=n_clusters,
+        seed=seed,
+        embs=union,
+    )
+    cross = pairs.where(F.col("vec_a") % 2 != F.col("vec_b") % 2)
+    tid = F.shiftright(
+        F.when(F.col("vec_a") % 2 == 0, F.col("vec_a")).otherwise(F.col("vec_b")), 1
+    )
+    eid = F.shiftright(
+        F.when(F.col("vec_a") % 2 == 1, F.col("vec_a")).otherwise(F.col("vec_b")), 1
+    )
+    best = (
+        cross.select(tid.alias("vec_id"), eid.alias("eval_vec_id"), "cos_sim")
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("cos_sim"), (-F.col("eval_vec_id")).alias("neg"))
+            ).alias("b")
+        )
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("b.neg")).cast("long").alias("eval_vec_id"),
+        F.col("b.cos_sim").alias("cos_sim"),
     )

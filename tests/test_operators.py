@@ -4057,3 +4057,39 @@ def test_session3_audit_ops_edge_cases(spark, sf_dir):
         )
     )
     assert flagged.count() == 0
+
+
+def test_embedding_decontaminate_ivf_recall_vs_exact(spark, sf_dir):
+    """The IVF-blocked large-eval decontaminator against the exact
+    broadcast op on the fixture split: flagged-train-id recall >= 0.9
+    (the underlying blocking's gate, re-asserted cross-frame), no
+    false flags below threshold, and for every train id where both
+    picked the same eval match the rounded cosine is identical."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    train = embs.where(F.col("vec_id") % 10 != 0).select("vec_id", "embedding")
+    evals = embs.where(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+
+    exact = {
+        r["vec_id"]: (r["eval_vec_id"], r["cos_sim"])
+        for r in dedup.embedding_decontaminate(train, evals, threshold=0.35).collect()
+    }
+    got = {
+        r["vec_id"]: (r["eval_vec_id"], r["cos_sim"])
+        for r in dedup.embedding_decontaminate_ivf(
+            train, evals, threshold=0.35
+        ).collect()
+    }
+    assert exact
+    recall = len(set(got) & set(exact)) / len(exact)
+    assert recall >= 0.9, f"flagged-id recall {recall}"
+    # IVF can only MISS pairs, never invent them: every flagged id must
+    # be exact-flagged, with cos at least threshold
+    assert set(got) <= set(exact)
+    for vid, (eid, cs) in got.items():
+        assert cs >= 0.35
+        if exact[vid][0] == eid:
+            assert exact[vid][1] == cs
+        else:
+            # a different pick can only happen when blocking missed the
+            # true best; the picked one can then only be weaker
+            assert cs <= exact[vid][1]
