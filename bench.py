@@ -63,6 +63,12 @@ BENCH_QUERIES = [
     # graph tier (r7): sharded HNSW — the reference family's pre-v0.7
     # index lineage; build untimed like the other index tiers
     "vec_hnsw_knn",
+    # audit tier (r7 session 3): the data-quality queries a pipeline
+    # runs per ingest batch — tracked so an audit regression (a new
+    # shuffle, a lost pushdown) shows up in the per-round bench
+    "tfidf_top_terms",
+    "event_rate_anomalies",
+    "embedding_decontaminate_stats",
 ]
 
 # Bench-local callables for operators outside the driver-oracle window
@@ -140,7 +146,28 @@ def _bench_vec_hnsw_knn(spark, sf_dir):
     return hnsw.hnsw_knn(spark, sf_dir, graph_df=_ANN_STATE[key])
 
 
+def _bench_tfidf_top_terms(spark, sf_dir):
+    from oasysdb_spark.operators.textops import tfidf_top_terms
+
+    return tfidf_top_terms(spark, sf_dir)
+
+
+def _bench_event_rate_anomalies(spark, sf_dir):
+    from oasysdb_spark.operators.temporal import event_rate_anomalies
+
+    return event_rate_anomalies(spark, sf_dir)
+
+
+def _bench_embedding_decontaminate_stats(spark, sf_dir):
+    from oasysdb_spark.operators.dedup import embedding_decontaminate_stats
+
+    return embedding_decontaminate_stats(spark, sf_dir)
+
+
 EXTRA_BENCH = {
+    "tfidf_top_terms": _bench_tfidf_top_terms,
+    "event_rate_anomalies": _bench_event_rate_anomalies,
+    "embedding_decontaminate_stats": _bench_embedding_decontaminate_stats,
     "vec_pq_knn": _bench_vec_pq_knn,
     "vec_ivfpq_knn": _bench_vec_ivfpq_knn,
     "vec_sq_knn": _bench_vec_sq_knn,
