@@ -2381,3 +2381,63 @@ def embedding_decontaminate_ivf(
         (-F.col("b.neg")).cast("long").alias("eval_vec_id"),
         F.col("b.cos_sim").alias("cos_sim"),
     )
+
+
+def dedup_saturation_curve(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    n_shards: int = 10,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """DOCUMENT-level dedup saturation over ingest order — the whole-doc
+    twin of ``textops.ngram_novelty_curve``: split the corpus into
+    ``n_shards`` equal doc-id ranges and per shard report how many docs
+    are exact duplicates of a document first seen in an EARLIER shard.
+    A rising dup_frac says the crawl is re-fetching what it already has
+    (stop paying for it); the n-gram curve can stay novel while this one
+    saturates (templated pages with fresh slot-fill), which is why both
+    exist. Returns ``(shard, n_docs, n_dup_prior, dup_frac)``.
+
+    Same-shard duplicates do NOT count (they're batch-internal, handled
+    by ordinary exact dedup); only docs whose digest's FIRST shard
+    precedes theirs. All counts are exact integers; the fraction is one
+    division rounded once.
+
+    Scale shape: text hashes to an 8-byte digest row-locally (raw text
+    never shuffles); ONE exchange on (digest, shard) with map-side
+    partial counting collapses the corpus to ≤ |distinct| · |shards|
+    rows; the first-shard min and the per-shard rollups aggregate that
+    collapsed table. Output is ``n_shards`` rows at any corpus size.
+    The shard boundary derives from a broadcast one-row max, not a
+    driver collect."""
+    if docs is None:
+        docs = load_documents(spark, sf_dir)
+    bounds = docs.agg(F.max("doc_id").alias("_max_id"))
+    sharded = docs.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(n_shards - 1).cast("bigint"),
+            F.floor(F.col("doc_id") * n_shards / (F.col("_max_id") + 1)),
+        ).alias("shard"),
+        hash64(F.col("text")).alias("digest"),
+    )
+    per_ds = sharded.groupBy("digest", "shard").agg(F.count("*").alias("c"))
+    first = per_ds.groupBy("digest").agg(F.min("shard").alias("fs"))
+    joined = per_ds.join(first, "digest")
+    return (
+        joined.groupBy("shard")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("shard") > F.col("fs"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_prior"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "n_dup_prior",
+            F.round(
+                F.col("n_dup_prior") / F.col("n_docs").cast("double"), 6
+            ).alias("dup_frac"),
+        )
+        .orderBy("shard")
+    )

@@ -4093,3 +4093,55 @@ def test_embedding_decontaminate_ivf_recall_vs_exact(spark, sf_dir):
             # a different pick can only happen when blocking missed the
             # true best; the picked one can then only be weaker
             assert cs <= exact[vid][1]
+
+
+def test_dedup_saturation_curve_matches_duckdb_oracle(spark, sf_dir):
+    """dedup_saturation_curve hash-compared against an independent
+    DuckDB replay (same md5 digest, same doc-id-range sharding, same
+    first-shard rule) — the self-oracle gate ahead of driver-window
+    rotation (r9 candidate). Invariants: shard 0 has zero prior-dups by
+    definition, every shard present, dup counts bounded by doc counts,
+    and Σ n_docs equals the corpus size."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    got = dedup.dedup_saturation_curve(spark, sf_dir, n_shards=10)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) == 10
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    res = con.execute("""
+        WITH b AS (SELECT max(doc_id) AS max_id FROM documents),
+        sharded AS (SELECT least(9, CAST(floor(doc_id * 10 / (b.max_id + 1)) AS BIGINT)) AS shard,
+                      CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS digest
+                    FROM documents, b),
+        per_ds AS (SELECT digest, shard, count(*) AS c FROM sharded GROUP BY digest, shard),
+        first AS (SELECT digest, min(shard) AS fs FROM per_ds GROUP BY digest)
+        SELECT shard,
+               CAST(sum(c) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN shard > fs THEN c ELSE 0 END) AS BIGINT) AS n_dup_prior,
+               round(sum(CASE WHEN shard > fs THEN c ELSE 0 END)
+                     / CAST(sum(c) AS DOUBLE), 6) AS dup_frac
+        FROM per_ds JOIN first USING (digest)
+        GROUP BY shard ORDER BY shard""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "dedup_saturation_curve", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    by_shard = {r[ix["shard"]]: r for r in spark_rows}
+    assert by_shard[0][ix["n_dup_prior"]] == 0
+    assert all(r[ix["n_dup_prior"]] <= r[ix["n_docs"]] for r in spark_rows)
+    n_total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r[ix["n_docs"]] for r in spark_rows) == n_total
