@@ -2496,3 +2496,75 @@ def tfidf_top_terms(
         )
         .orderBy("source", "rank")
     )
+
+
+def source_length_drift(
+    spark: SparkSession,
+    sf_dir: str,
+) -> DataFrame:
+    """Per-source LENGTH-distribution drift — the structural twin of
+    :func:`source_token_divergence` (that op asks "does this source use
+    different words"; this one asks "does it ship differently-SHAPED
+    documents"): a KS-style statistic, the maximum absolute gap between
+    each source's empirical token-length CDF and the corpus CDF,
+    evaluated on the corpus's own decile grid. A source whose ks_stat
+    spikes is structurally off-distribution (tweet dumps in a book
+    corpus, truncation bugs, template farms) even when its vocabulary
+    looks normal. Returns ``(source, n_docs, ks_stat)`` ordered by
+    source.
+
+    Float discipline: every CDF value is ONE division of two exact
+    integers (doc counts at or below a grid point); the decile grid is
+    Spark's exact ``percentile`` over integer lengths, which matches
+    DuckDB ``quantile_cont`` bit-for-bit; the KS max runs over nine such
+    values and rounds once.
+
+    Scale shape: one corpus-scale pass computes token counts row-locally
+    and collapses to a (source, len) histogram in a single
+    map-side-combined shuffle (distinct lengths are bounded — hundreds,
+    not corpus-sized); the decile grid is a broadcast one-row aggregate
+    over the already-collapsed histogram, and every CDF/KS step
+    aggregates histogram rows. Text never shuffles; output is
+    |sources| rows."""
+    from oasysdb_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    lens = docs.select(
+        "source", F.size(tokens(F.col("text"))).cast("bigint").alias("len")
+    )
+    hist = lens.groupBy("source", "len").agg(F.count("*").alias("c"))
+    # frequency-weighted percentile over the collapsed histogram —
+    # re-expanding rows just for the grid would be corpus-sized again
+    grid = F.broadcast(
+        hist.agg(
+            F.percentile(
+                F.col("len"),
+                F.array(*[F.lit(i / 10.0) for i in range(1, 10)]),
+                F.col("c"),
+            ).alias("qs")
+        )
+    )
+    g = grid.select(F.posexplode("qs").alias("d", "q"))
+    joined = hist.crossJoin(F.broadcast(g))
+    per_sd = joined.groupBy("source", "d", "q").agg(
+        F.sum(F.when(F.col("len") <= F.col("q"), F.col("c")).otherwise(0)).alias(
+            "le"
+        ),
+        F.sum("c").alias("n_s"),
+    )
+    corpus = per_sd.groupBy("d").agg(
+        F.sum("le").alias("le_all"), F.sum("n_s").alias("n_all")
+    )
+    gap = F.abs(
+        F.col("le") / F.col("n_s").cast("double")
+        - F.col("le_all") / F.col("n_all").cast("double")
+    )
+    return (
+        per_sd.join(F.broadcast(corpus), "d")
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("bigint").alias("n_docs"),
+            F.round(F.max(gap), 6).alias("ks_stat"),
+        )
+        .orderBy("source")
+    )

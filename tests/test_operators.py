@@ -4145,3 +4145,55 @@ def test_dedup_saturation_curve_matches_duckdb_oracle(spark, sf_dir):
     assert all(r[ix["n_dup_prior"]] <= r[ix["n_docs"]] for r in spark_rows)
     n_total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert sum(r[ix["n_docs"]] for r in spark_rows) == n_total
+
+
+def test_source_length_drift_matches_duckdb_oracle(spark, sf_dir):
+    """source_length_drift hash-compared against an independent DuckDB
+    replay (same tokenization, quantile_cont decile grid == Spark's
+    exact weighted percentile, same integer-ratio CDF gaps) — the
+    self-oracle gate ahead of driver-window rotation (r9 candidate).
+    Invariants: every source present, 0 <= ks_stat < 1, and Σ n_docs
+    equals the corpus size."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    got = textops.source_length_drift(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) >= 2
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    res = con.execute("""
+        WITH lens AS (SELECT source,
+                        CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS l
+                      FROM documents),
+        qs AS (SELECT quantile_cont(l, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS a FROM lens),
+        grid AS (SELECT CAST(i AS BIGINT) - 1 AS d, a[CAST(i AS INTEGER)] AS q
+                 FROM qs, (SELECT unnest(range(1, 10)) AS i)),
+        per_sd AS (SELECT source, d,
+                     sum(CASE WHEN l <= q THEN 1 ELSE 0 END) AS le,
+                     count(*) AS n_s
+                   FROM lens, grid GROUP BY source, d),
+        corpus AS (SELECT d, sum(le) AS le_all, sum(n_s) AS n_all FROM per_sd GROUP BY d)
+        SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
+               round(max(abs(CAST(le AS DOUBLE) / n_s - CAST(le_all AS DOUBLE) / n_all)), 6) AS ks_stat
+        FROM per_sd JOIN corpus USING (d)
+        GROUP BY source ORDER BY source""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "source_length_drift", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    assert all(0.0 <= r[ix["ks_stat"]] < 1.0 for r in spark_rows)
+    n_total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r[ix["n_docs"]] for r in spark_rows) == n_total
