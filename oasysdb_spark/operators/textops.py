@@ -2568,3 +2568,64 @@ def source_length_drift(
         )
         .orderBy("source")
     )
+
+
+def term_burstiness(
+    spark: SparkSession,
+    sf_dir: str,
+    top_k: int = 25,
+    min_df: int = 5,
+) -> DataFrame:
+    """Term BURSTINESS audit (Church-Gale): for each term, the
+    variance-to-mean ratio of its per-document counts GIVEN presence —
+    content words burst (a doc about trains says "train" nine times),
+    function words and template boilerplate spread flat. The top of
+    this table is what the corpus is actually about; a term with high
+    df AND flat burstiness that isn't a stopword is boilerplate the
+    scrubbers missed. Returns the ``top_k`` terms by burstiness among
+    terms with ``df >= min_df``: ``(rank, term, df, tf, burstiness)``.
+
+    Float discipline: with per-term integer moments df, S1 = Σc,
+    S2 = Σc² over the docs containing the term,
+
+        burstiness = VMR = (df·S2 − S1²) / (df·S1)
+
+    — ONE division of two exact integers, rounded once; the rank
+    tie-break (burstiness desc, tf desc, term asc) is total.
+
+    Scale shape: the same single corpus-scale shuffle as
+    :func:`tfidf_top_terms` (the (doc, term) pre-aggregation with
+    map-side combine); moments roll up vocab-bounded; the top-k window
+    runs over one partition of vocab-bounded rows (an explicit
+    single-key ranking — acceptable because the input is the collapsed
+    vocabulary, never the corpus)."""
+    from oasysdb_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    d1 = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    mom = (
+        d1.groupBy("term")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.sum("c").cast("bigint").alias("tf"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+        )
+        .where(F.col("df") >= min_df)
+    )
+    b = F.round(
+        (F.col("df") * F.col("s2") - F.col("tf") * F.col("tf")).cast("double")
+        / (F.col("df") * F.col("tf")).cast("double"),
+        6,
+    )
+    w = Window.orderBy(F.col("burstiness").desc(), F.col("tf").desc(), F.col("term"))
+    return (
+        mom.select("term", "df", "tf", b.alias("burstiness"))
+        .select("*", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= top_k)
+        .select(F.col("rank").cast("bigint").alias("rank"), "term", "df", "tf", "burstiness")
+        .orderBy("rank")
+    )

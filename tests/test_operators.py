@@ -4197,3 +4197,50 @@ def test_source_length_drift_matches_duckdb_oracle(spark, sf_dir):
     assert all(0.0 <= r[ix["ks_stat"]] < 1.0 for r in spark_rows)
     n_total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert sum(r[ix["n_docs"]] for r in spark_rows) == n_total
+
+
+def test_term_burstiness_matches_duckdb_oracle(spark, sf_dir):
+    """term_burstiness hash-compared against an independent DuckDB
+    replay (same tokenization, same integer-moment VMR, same total
+    tie-break) — the self-oracle gate ahead of driver-window rotation
+    (r9 candidate). Invariants: exactly top_k dense ranks, burstiness
+    >= 0 (variance is non-negative), df >= min_df."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    got = textops.term_burstiness(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) == 25
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    res = con.execute("""
+        WITH toks AS (SELECT doc_id,
+                        unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+                      FROM documents),
+        d1 AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY doc_id, term),
+        mom AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                  CAST(sum(c) AS BIGINT) AS tf, CAST(sum(c*c) AS BIGINT) AS s2
+                FROM d1 GROUP BY term HAVING count(*) >= 5),
+        scored AS (SELECT term, df, tf,
+                     round(CAST(df*s2 - tf*tf AS DOUBLE) / CAST(df*tf AS DOUBLE), 6) AS burstiness
+                   FROM mom),
+        r AS (SELECT *, row_number() OVER (ORDER BY burstiness DESC, tf DESC, term) AS rnk FROM scored)
+        SELECT CAST(rnk AS BIGINT) AS rank, term, df, tf, burstiness
+        FROM r WHERE rnk <= 25 ORDER BY rank""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare("term_burstiness", spark_rows, spark_cols, duck_rows, duck_cols)
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    assert [r[ix["rank"]] for r in spark_rows] == list(range(1, 26))
+    assert all(r[ix["burstiness"]] >= 0.0 for r in spark_rows)
+    assert all(r[ix["df"]] >= 5 for r in spark_rows)
