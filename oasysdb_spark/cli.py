@@ -215,8 +215,8 @@ def build_parser() -> argparse.ArgumentParser:
                          "embeddings.parquet / events.parquet as needed")
     au.add_argument(
         "--audit", required=True,
-        choices=["tfidf-top-terms", "minhash-calibration", "event-anomalies",
-                 "embedding-outliers", "label-separation",
+        choices=["all", "tfidf-top-terms", "minhash-calibration",
+                 "event-anomalies", "embedding-outliers", "label-separation",
                  "sq-reconstruction", "embedding-decontaminate"],
     )
     au.add_argument("--limit", type=int, default=100,
@@ -303,6 +303,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "corpus-audit":
+        if args.audit == "all":
+            from oasysdb_spark.pipeline import corpus_audit_report
+
+            report = corpus_audit_report(spark, args.data, limit=args.limit)
+            _emit({"audit": "all", "report": report}, default=str)
+            return 0
         from oasysdb_spark.operators import dedup, embed, temporal, textops
         from oasysdb_spark.operators import vectorops as vec
 

@@ -226,3 +226,47 @@ def corpus_to_wds(
         "n_nonempty_shards": len(shards),
         "shards": shards,
     }
+
+
+def corpus_audit_report(
+    spark: SparkSession, data_dir: str, limit: int = 25
+) -> dict:
+    """ONE corpus-health report — every audit in the tier over a
+    fixture-shaped data directory (``documents``/``embeddings``/
+    ``events`` parquet tables, whichever each audit needs), returned as
+    a JSON-able dict: per audit the exact row count and the first
+    ``limit`` rows. The one-call answer to "is this ingest batch safe
+    to train on", and what the ``corpus-audit --audit all`` CLI verb
+    emits.
+
+    Audits that need a table the directory lacks are reported as
+    ``{"error": ...}`` rather than failing the report — a corpus
+    without embeddings still gets its text/event audits."""
+    from oasysdb_spark.operators import dedup, embed, temporal, textops
+    from oasysdb_spark.operators import vectorops as vec
+
+    audits = {
+        "tfidf_top_terms": textops.tfidf_top_terms,
+        "term_burstiness": textops.term_burstiness,
+        "source_length_drift": textops.source_length_drift,
+        "source_token_divergence": textops.source_token_divergence,
+        "encoding_quality_stats": textops.encoding_quality_stats,
+        "dedup_saturation_curve": dedup.dedup_saturation_curve,
+        "minhash_jaccard_calibration": dedup.minhash_jaccard_calibration,
+        "embedding_outlier_stats": embed.embedding_outlier_stats,
+        "label_centroid_similarity": embed.label_centroid_similarity,
+        "sq_reconstruction_stats": vec.sq_reconstruction_stats,
+        "embedding_decontaminate": dedup.embedding_decontaminate_stats,
+        "event_rate_anomalies": temporal.event_rate_anomalies,
+    }
+    report: dict = {}
+    for name, fn in audits.items():
+        try:
+            res = fn(spark, data_dir).cache()
+            n = res.count()
+            rows = [r.asDict() for r in res.limit(limit).collect()]
+            res.unpersist()
+            report[name] = {"n_rows": n, "rows": rows}
+        except Exception as exc:  # noqa: BLE001 — report, don't abort the rest
+            report[name] = {"error": f"{type(exc).__name__}: {exc}"}
+    return report

@@ -244,3 +244,41 @@ def test_cli_corpus_audit_verb(spark, sf_dir, capsys):
         assert out["n_rows"] > 0
         assert len(out["rows"]) <= 5
         assert key in out["rows"][0]
+
+
+def test_corpus_audit_report_all(spark, sf_dir, capsys):
+    """corpus_audit_report runs the whole audit tier in one call; every
+    audit over the full fixture dir succeeds with exact counts, a
+    directory missing a table degrades that audit to an error entry
+    instead of failing the report, and the CLI 'all' verb emits it."""
+    import json
+    import shutil
+
+    from oasysdb_spark.cli import main
+    from oasysdb_spark.pipeline import corpus_audit_report
+
+    report = corpus_audit_report(spark, sf_dir, limit=3)
+    assert len(report) == 12
+    for name, entry in report.items():
+        assert "error" not in entry, (name, entry)
+        assert entry["n_rows"] > 0
+        assert len(entry["rows"]) <= 3
+
+    # text-only directory: embeddings/events audits degrade gracefully
+    import os as _os
+    import tempfile
+
+    tdir = tempfile.mkdtemp(prefix="audit_textonly_")
+    shutil.copy(_os.path.join(sf_dir, "documents.parquet"),
+                _os.path.join(tdir, "documents.parquet"))
+    partial = corpus_audit_report(spark, tdir, limit=3)
+    assert "error" not in partial["tfidf_top_terms"]
+    assert "error" in partial["embedding_outlier_stats"]
+    assert "error" in partial["event_rate_anomalies"]
+
+    rc = main(["corpus-audit", "--data", sf_dir, "--audit", "all",
+               "--limit", "2"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["audit"] == "all"
+    assert set(out["report"]) == set(report)
