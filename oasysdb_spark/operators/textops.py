@@ -2629,3 +2629,77 @@ def term_burstiness(
         .select(F.col("rank").cast("bigint").alias("rank"), "term", "df", "tf", "burstiness")
         .orderBy("rank")
     )
+
+
+def zipf_slope(
+    spark: SparkSession,
+    sf_dir: str,
+    top_n: int = 100,
+) -> DataFrame:
+    """Per-source ZIPF-fit audit: the OLS slope of ln(frequency) against
+    ln(rank) over each source's ``top_n`` most frequent terms. Natural
+    text sits near slope −1; a source that flattens (−0.5ish) is
+    boilerplate/template-heavy (many near-equal-frequency strings), one
+    that steepens is dominated by a few tokens (log spam, genome dumps).
+    Reads next to :func:`term_burstiness` (which flags the offending
+    terms) as the distribution-level summary. Returns
+    ``(source, n_terms, slope, intercept)`` ordered by source.
+
+    Float discipline: ranks and frequencies are exact integers; ln of
+    an integer is the identical double in both engines; the four OLS
+    sums fold SEQUENTIALLY over the rank-sorted list (``F.aggregate``
+    over ``array_sort``ed structs == DuckDB ``list_sum`` over
+    ``ORDER BY``ed lists — the proven cross-engine fold), and slope/
+    intercept are single closed-form expressions of those sums, each
+    rounded once.
+
+    Scale shape: the same single corpus shuffle as every vocabulary op
+    (the (source, term) count with map-side combine); ranking windows
+    run per source over vocab-bounded rows; the fold list is ≤ top_n
+    structs per source. Output is |sources| rows."""
+    from oasysdb_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    st = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tf").desc(), F.col("term"))
+    ranked = st.select(
+        "source", "tf", F.row_number().over(w).alias("rnk")
+    ).where(F.col("rnk") <= top_n)
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("rnk").alias("rnk"),
+                F.log(F.col("rnk").cast("double")).alias("x"),
+                F.log(F.col("tf").cast("double")).alias("y"),
+            )
+        )
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_terms"), arr.alias("a")
+    )
+
+    def fold(expr):
+        return F.aggregate(expr, F.lit(0.0), lambda acc, v: acc + v)
+
+    sx = fold(F.transform("a", lambda s: s["x"]))
+    sy = fold(F.transform("a", lambda s: s["y"]))
+    sxy = fold(F.transform("a", lambda s: s["x"] * s["y"]))
+    sxx = fold(F.transform("a", lambda s: s["x"] * s["x"]))
+    n = F.col("n_terms").cast("double")
+    den = n * sxx - sx * sx
+    slope = F.when(den != 0.0, (n * sxy - sx * sy) / den)
+    return (
+        agg.select(
+            "source",
+            "n_terms",
+            F.round(slope, 6).alias("slope"),
+            F.round(F.when(den != 0.0, (sy - ((n * sxy - sx * sy) / den) * sx) / n), 6).alias(
+                "intercept"
+            ),
+        )
+        .orderBy("source")
+    )

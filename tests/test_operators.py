@@ -4244,3 +4244,56 @@ def test_term_burstiness_matches_duckdb_oracle(spark, sf_dir):
     assert [r[ix["rank"]] for r in spark_rows] == list(range(1, 26))
     assert all(r[ix["burstiness"]] >= 0.0 for r in spark_rows)
     assert all(r[ix["df"]] >= 5 for r in spark_rows)
+
+
+def test_zipf_slope_matches_duckdb_oracle(spark, sf_dir):
+    """zipf_slope hash-compared against an independent DuckDB replay
+    (same rank tie-break, ln over exact integers, the proven sequential
+    fold: F.aggregate over array_sort == list_sum over ORDER BY) — the
+    self-oracle gate ahead of driver-window rotation (r9 candidate).
+    Invariants: every source present with slope < 0 (frequencies
+    decrease in rank by construction) and n_terms <= top_n."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    got = textops.zipf_slope(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) >= 2
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    res = con.execute("""
+        WITH toks AS (SELECT source,
+                        unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+                      FROM documents),
+        st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY source, term),
+        ranked AS (SELECT source, tf,
+                     row_number() OVER (PARTITION BY source ORDER BY tf DESC, term) AS rnk
+                   FROM st QUALIFY rnk <= 100),
+        folds AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+                    list_sum(list(ln(CAST(rnk AS DOUBLE)) ORDER BY rnk)) AS sx,
+                    list_sum(list(ln(CAST(tf AS DOUBLE)) ORDER BY rnk)) AS sy,
+                    list_sum(list(ln(CAST(rnk AS DOUBLE)) * ln(CAST(tf AS DOUBLE)) ORDER BY rnk)) AS sxy,
+                    list_sum(list(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE)) ORDER BY rnk)) AS sxx
+                  FROM ranked GROUP BY source)
+        SELECT source, n_terms,
+               round(CASE WHEN n_terms * sxx - sx * sx <> 0
+                 THEN (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) END, 6) AS slope,
+               round(CASE WHEN n_terms * sxx - sx * sx <> 0
+                 THEN (sy - ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)) * sx) / n_terms END, 6) AS intercept
+        FROM folds ORDER BY source""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare("zipf_slope", spark_rows, spark_cols, duck_rows, duck_cols)
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    assert all(r[ix["slope"]] < 0 for r in spark_rows)
+    assert all(r[ix["n_terms"]] <= 100 for r in spark_rows)
