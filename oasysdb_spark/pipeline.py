@@ -248,6 +248,7 @@ def corpus_audit_report(
     audits = {
         "tfidf_top_terms": textops.tfidf_top_terms,
         "term_burstiness": textops.term_burstiness,
+        "zipf_slope": textops.zipf_slope,
         "source_length_drift": textops.source_length_drift,
         "source_token_divergence": textops.source_token_divergence,
         "encoding_quality_stats": textops.encoding_quality_stats,
