@@ -573,3 +573,49 @@ def label_centroid_similarity(
         )
         .orderBy("label_a", "label_b")
     )
+
+
+def embedding_norm_stats(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    embs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-label embedding NORM distribution — the collapsed/exploded-
+    vector detector: an encoder bug (dead model, fp16 overflow, wrong
+    normalization) shows up as a label whose norms collapse toward 0,
+    blow up, or bimodalize long before cosine-level audits move.
+    Returns ``(label, n_vecs, mean_norm, p10_norm, p90_norm, min_norm,
+    max_norm)`` ordered by label.
+
+    Float discipline: the norm is the expression-side sequential fold
+    (``sqrt(Σx²)`` == ``sqrt(list_sum(...))``), quantized to 1e-6 units
+    before aggregation — mean is an exact integer sum divided once,
+    percentiles interpolate exact integers (Spark exact ``percentile``
+    == DuckDB ``quantile_cont``), min/max are exact.
+
+    Scale shape: one scan, one map-side-combined shuffle of a single
+    bigint per row down to |labels| rows. Nothing else moves."""
+    from oasysdb_spark.functions.vectors import l2_norm
+    from oasysdb_spark.operators.vectorops import load_embeddings
+
+    if embs is None:
+        embs = load_embeddings(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    nm = F.round(l2_norm(v) * 1e6).cast("bigint")
+    return (
+        embs.select("label", nm.alias("nm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.round((F.sum("nm") / F.count("*")) / 1e6, 6).alias("mean_norm"),
+            F.round(F.percentile(F.col("nm"), F.lit(0.1)) / 1e6, 6).alias(
+                "p10_norm"
+            ),
+            F.round(F.percentile(F.col("nm"), F.lit(0.9)) / 1e6, 6).alias(
+                "p90_norm"
+            ),
+            F.round(F.min("nm") / 1e6, 6).alias("min_norm"),
+            F.round(F.max("nm") / 1e6, 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )

@@ -255,6 +255,7 @@ def corpus_audit_report(
         "dedup_saturation_curve": dedup.dedup_saturation_curve,
         "minhash_jaccard_calibration": dedup.minhash_jaccard_calibration,
         "embedding_outlier_stats": embed.embedding_outlier_stats,
+        "embedding_norm_stats": embed.embedding_norm_stats,
         "label_centroid_similarity": embed.label_centroid_similarity,
         "sq_reconstruction_stats": vec.sq_reconstruction_stats,
         "embedding_decontaminate": dedup.embedding_decontaminate_stats,

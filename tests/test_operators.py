@@ -4297,3 +4297,57 @@ def test_zipf_slope_matches_duckdb_oracle(spark, sf_dir):
     ix = {c: i for i, c in enumerate(spark_cols)}
     assert all(r[ix["slope"]] < 0 for r in spark_rows)
     assert all(r[ix["n_terms"]] <= 100 for r in spark_rows)
+
+
+def test_embedding_norm_stats_matches_duckdb_oracle(spark, sf_dir):
+    """embedding_norm_stats hash-compared against an independent DuckDB
+    replay (same sqrt-of-list_sum norm, same 1e-6 quantization,
+    quantile_cont == exact percentile over the quantized integers) —
+    the self-oracle gate ahead of driver-window rotation (r9
+    candidate). Invariants: min <= p10 <= mean/p90 <= max per label and
+    all norms positive on the fixture."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.operators import embed
+
+    got = embed.embedding_norm_stats(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) >= 2
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    res = con.execute("""
+        WITH nm AS (SELECT label,
+                      CAST(round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), z -> z*z))) * 1000000) AS BIGINT) AS nm
+                    FROM embeddings)
+        SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+               round((sum(nm) / count(*)) / 1000000, 6) AS mean_norm,
+               round(quantile_cont(nm, 0.1) / 1000000, 6) AS p10_norm,
+               round(quantile_cont(nm, 0.9) / 1000000, 6) AS p90_norm,
+               round(min(nm) / 1000000, 6) AS min_norm,
+               round(max(nm) / 1000000, 6) AS max_norm
+        FROM nm GROUP BY label ORDER BY label""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "embedding_norm_stats", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    for r in spark_rows:
+        assert (
+            r[ix["min_norm"]]
+            <= r[ix["p10_norm"]]
+            <= r[ix["p90_norm"]]
+            <= r[ix["max_norm"]]
+        )
+        assert r[ix["min_norm"]] > 0
