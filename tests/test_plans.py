@@ -377,3 +377,42 @@ def test_line_dedup_shuffles_ints_not_text(spark, sf_dir):
     for seg in plan.split("Exchange")[1:]:
         head = seg.split("\n")[0]
         assert "text#" not in head
+
+
+def test_audit_tier_plan_shapes(spark, sf_dir):
+    """The session-3 audit tier's scale claims as plan assertions:
+    - embedding_decontaminate (single-chunk path) plans with NO Exchange
+      anywhere — the train corpus genuinely never shuffles; scoring is
+      one Arrow map.
+    - tfidf_top_terms ships no text through any Exchange (the corpus
+      collapses to (doc, source, term) counts first).
+    - event_rate_anomalies broadcasts the per-type moments (no
+      sort-merge join of bucket tables) and has no nested loop.
+    - sq_reconstruction_stats broadcasts the dim-row fit table.
+    - dedup_saturation_curve exchanges digests, never text."""
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.operators import dedup, temporal, textops
+    from oasysdb_spark.operators import vectorops as vec
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    train = embs.where(F.col("vec_id") % 10 != 0).select("vec_id", "embedding")
+    evals = embs.where(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    p = _plan(dedup.embedding_decontaminate(train, evals, threshold=0.35))
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
+
+    p = _plan(textops.tfidf_top_terms(spark, sf_dir))
+    for seg in p.split("Exchange")[1:]:
+        assert "text#" not in seg.split("\n")[0]
+
+    p = _plan(temporal.event_rate_anomalies(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+    p = _plan(vec.sq_reconstruction_stats(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+    p = _plan(dedup.dedup_saturation_curve(spark, sf_dir))
+    for seg in p.split("Exchange")[1:]:
+        assert "text#" not in seg.split("\n")[0]
