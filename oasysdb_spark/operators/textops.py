@@ -2703,3 +2703,54 @@ def zipf_slope(
         )
         .orderBy("source")
     )
+
+
+def weighted_sample_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 100,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weight-proportional sampling WITHOUT replacement
+    (Efraimidis-Spirakis 2006 priority sampling), deterministic: each
+    doc draws a pseudo-uniform u from the oracle-replayable hash family
+    and keeps priority ``ln(u)/w`` with w = its token count; the top-k
+    priorities ARE a weight-proportional sample. The standard "sample
+    2 % of the corpus, long docs proportionally more" primitive —
+    :func:`stratified_sample_stats` fixes per-group rates, DSIR targets
+    a distribution; this one is the plain weighted draw, reproducible
+    across engines and runs because the randomness is a salted content
+    hash, not an RNG. Returns ``(rank, doc_id, n_tokens, priority)``.
+
+    Float discipline: u = hash64(doc_id, salt)/2^60 is an exact-dyadic
+    double in (0, 1]; ``ln(u)/w`` is one log and one divide of
+    identical doubles (the monotone transform of u^(1/w) — same order,
+    no pow); ranking compares the rounded priority with a doc_id
+    tie-break so the cut is total. u = 0 is impossible (md5 of a
+    non-empty string; hash64 yields ≥ 0 — the +1 shift keeps it
+    positive).
+
+    Scale shape: weight and priority are row-local (one scan, no text
+    leaving the row); the top-k is a bounded TakeOrderedAndProject,
+    never a global sort. Output is k rows."""
+    from oasysdb_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    w = F.size(tokens(F.col("text"))).cast("bigint")
+    u = (hash64(F.col("doc_id").cast("string"), salt=salt) + 1).cast(
+        "double"
+    ) / F.lit(float(1 << 60))
+    pri = F.round(F.log(u) / w.cast("double"), 6)
+    ranked = (
+        docs.select("doc_id", w.alias("n_tokens"), pri.alias("priority"))
+        .where(F.col("n_tokens") > 0)
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(k)
+    )
+    win = Window.orderBy(F.col("priority").desc(), F.col("doc_id"))
+    return ranked.select(
+        F.row_number().over(win).cast("bigint").alias("rank"),
+        "doc_id",
+        "n_tokens",
+        "priority",
+    ).orderBy("rank")

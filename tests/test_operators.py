@@ -4351,3 +4351,64 @@ def test_embedding_norm_stats_matches_duckdb_oracle(spark, sf_dir):
             <= r[ix["max_norm"]]
         )
         assert r[ix["min_norm"]] > 0
+
+
+def test_weighted_sample_topk_matches_duckdb_oracle(spark, sf_dir):
+    """weighted_sample_topk hash-compared against an independent DuckDB
+    replay (same salted hash64 uniform, same ln(u)/w priority, same
+    total tie-break) — the self-oracle gate ahead of driver-window
+    rotation (r9 candidate). Invariants: k dense ranks, priorities
+    non-increasing and negative, and the sample leans long (mean
+    sampled length > corpus mean length — weight-proportionality on the
+    fixture)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    got = textops.weighted_sample_topk(spark, sf_dir, k=100)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) == 100
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    res = con.execute("""
+        WITH d AS (SELECT doc_id,
+                     CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_tokens
+                   FROM documents),
+        p AS (SELECT doc_id, n_tokens,
+                round(ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#wsample'), 1, 15) AS BIGINT) + 1)
+                         / 1152921504606846976.0) / n_tokens, 6) AS priority
+              FROM d WHERE n_tokens > 0),
+        r AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rnk FROM p)
+        SELECT CAST(rnk AS BIGINT) AS rank, doc_id, n_tokens, priority
+        FROM r WHERE rnk <= 100 ORDER BY rank""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "weighted_sample_topk", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    assert [r[ix["rank"]] for r in spark_rows] == list(range(1, 101))
+    pris = [r[ix["priority"]] for r in spark_rows]
+    assert all(a >= b for a, b in zip(pris, pris[1:]))
+    assert all(p < 0 for p in pris)
+    corpus_mean = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("avg(n_chars)").first()[0]
+    )
+    # proxy: chars correlate with tokens on the fixture
+    sampled = {r[ix["doc_id"]] for r in spark_rows}
+    samp_mean = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id").isin(list(sampled)))
+        .selectExpr("avg(n_chars)").first()[0]
+    )
+    assert samp_mean > corpus_mean
