@@ -1250,3 +1250,53 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def lineitem_price_qty_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between quantity and extended price per
+    return flag — the statistical-functions entry, computed the
+    HASH-SAFE way: NOT ``F.corr`` (whose running double accumulation is
+    partition-order dependent and engine-specific) but exact integer
+    moments — quantity is already integral, price quantizes to cents,
+    and the five sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    DECIMAL(38,0)/HUGEINT EXACTLY in both engines; the closed form
+
+        r = (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²) · (nΣy² − (Σy)²))
+
+    then evaluates over identical doubles and rounds once. Returns
+    ``(l_returnflag, n_rows, corr_qty_price)`` ordered by flag.
+
+    Scale shape: one scan, one map-side-combined aggregation to
+    |flags| rows. Decimal partials are a few bytes wider than longs —
+    the price of bit-exactness at any row count (Σy² overflows int64
+    past ~60k rows of 5-digit prices)."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(20,0)")
+    y = F.round(F.col("l_extendedprice") * 100).cast("decimal(20,0)")
+    agg = li.select("l_returnflag", x.alias("x"), y.alias("y")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return (
+        agg.select(
+            "l_returnflag",
+            F.col("n").alias("n_rows"),
+            F.round(F.when(den != 0.0, (n * sxy - sx * sy) / den), 6).alias(
+                "corr_qty_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

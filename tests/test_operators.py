@@ -4412,3 +4412,62 @@ def test_weighted_sample_topk_matches_duckdb_oracle(spark, sf_dir):
         .selectExpr("avg(n_chars)").first()[0]
     )
     assert samp_mean > corpus_mean
+
+
+def test_lineitem_correlation_matches_duckdb_oracle(spark, sf_dir):
+    """lineitem_price_qty_correlation hash-compared against an
+    independent DuckDB replay (HUGEINT moments == Spark DECIMAL(38,0)
+    moments — both exact integers — then the identical closed form) —
+    the self-oracle gate ahead of driver-window rotation (r9
+    candidate). Invariants: |r| <= 1, all flags present, and r agrees
+    with DuckDB's own corr() to float tolerance (the statistical
+    cross-check of the integer-moment formula)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.operators import relational as rel
+
+    got = rel.lineitem_price_qty_correlation(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) == 3
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    res = con.execute("""
+        WITH v AS (SELECT l_returnflag,
+                     CAST(l_quantity AS HUGEINT) AS x,
+                     CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+                   FROM lineitem),
+        agg AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                  sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+                  sum(x*x) AS sxx, sum(y*y) AS syy
+                FROM v GROUP BY l_returnflag)
+        SELECT l_returnflag, n AS n_rows,
+               round(CASE WHEN sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                                   * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) <> 0
+                 THEN (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                      / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                             * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) END, 6)
+                 AS corr_qty_price
+        FROM agg ORDER BY l_returnflag""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "lineitem_price_qty_correlation", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    assert all(abs(r[ix["corr_qty_price"]]) <= 1.0 for r in spark_rows)
+    ref = dict(con.execute(
+        "SELECT l_returnflag, corr(l_quantity, l_extendedprice) FROM lineitem GROUP BY l_returnflag"
+    ).fetchall())
+    for r in spark_rows:
+        assert abs(r[ix["corr_qty_price"]] - ref[r[ix["l_returnflag"]]]) < 1e-4
