@@ -1300,3 +1300,65 @@ def lineitem_price_qty_correlation(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("l_returnflag")
     )
+
+
+def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation over the event stream — the classic
+    recency/frequency/monetary quartile grid marketing and growth teams
+    run daily: per user compute recency (last event time), frequency
+    (event count) and monetary (summed value in exact cents), bucket
+    each into quartiles against the USER population's exact
+    percentiles, and return the segment grid
+    ``(r_q, f_q, m_q, n_users, avg_monetary)`` (≤ 64 rows). Segment
+    (4,4,4) is the champions cell; a growing (1,4,4) cell is churning
+    whales — the actionable read.
+
+    Float discipline: all three per-user metrics are exact integers
+    (epoch millis, counts, cents); quartile thresholds are Spark's
+    exact ``percentile`` over those integers (== ``quantile_cont``);
+    bucketing is strict-greater comparison against the thresholds
+    (ties fall low — deterministic, no rank ambiguity);
+    ``avg_monetary`` is an integer-cents sum divided once and rounded.
+
+    Scale shape: one map-side-combined shuffle collapses the stream to
+    |users| rows; the threshold pass is one broadcast one-row aggregate
+    over that table; bucketing is row-local and the final rollup is
+    segment-bounded. The event stream is scanned exactly once."""
+    events = _t(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        epoch_ms(F.max("ts")).cast("bigint").alias("r"),
+        F.count("*").cast("bigint").alias("f"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("m"),
+    )
+    qs = F.broadcast(
+        per_user.agg(
+            F.percentile(F.col("r"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("rq"),
+            F.percentile(F.col("f"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("fq"),
+            F.percentile(F.col("m"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("mq"),
+        )
+    )
+
+    def bucket(col, q):
+        one = F.lit(1).cast("bigint")
+        return (
+            one
+            + (F.col(col) > F.element_at(F.col(q), 1)).cast("bigint")
+            + (F.col(col) > F.element_at(F.col(q), 2)).cast("bigint")
+            + (F.col(col) > F.element_at(F.col(q), 3)).cast("bigint")
+        )
+
+    return (
+        per_user.crossJoin(qs)
+        .select(
+            bucket("r", "rq").alias("r_q"),
+            bucket("f", "fq").alias("f_q"),
+            bucket("m", "mq").alias("m_q"),
+            "m",
+        )
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.round((F.sum("m") / F.count("*")) / 100, 6).alias("avg_monetary"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )

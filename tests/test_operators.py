@@ -4471,3 +4471,64 @@ def test_lineitem_correlation_matches_duckdb_oracle(spark, sf_dir):
     ).fetchall())
     for r in spark_rows:
         assert abs(r[ix["corr_qty_price"]] - ref[r[ix["l_returnflag"]]]) < 1e-4
+
+
+def test_user_rfm_segments_matches_duckdb_oracle(spark, sf_dir):
+    """user_rfm_segments hash-compared against an independent DuckDB
+    replay (same integer metrics, quantile_cont thresholds, same
+    strict-greater bucketing) — the self-oracle gate ahead of
+    driver-window rotation (r9 candidate). Invariants: buckets in 1..4,
+    user counts conserve the population, and each dimension's marginal
+    is roughly balanced (exact quartiles over distinct-heavy integers)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.operators import relational as rel
+
+    got = rel.user_rfm_segments(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) >= 8
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    res = con.execute("""
+        WITH pu AS (SELECT user_id,
+                      CAST(epoch_ms(max(ts)) AS BIGINT) AS r,
+                      CAST(count(*) AS BIGINT) AS f,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+                    FROM events GROUP BY user_id),
+        qs AS (SELECT quantile_cont(r, [0.25, 0.5, 0.75]) AS rq,
+                 quantile_cont(f, [0.25, 0.5, 0.75]) AS fq,
+                 quantile_cont(m, [0.25, 0.5, 0.75]) AS mq
+               FROM pu),
+        b AS (SELECT
+                1 + CAST(r > rq[1] AS BIGINT) + CAST(r > rq[2] AS BIGINT) + CAST(r > rq[3] AS BIGINT) AS r_q,
+                1 + CAST(f > fq[1] AS BIGINT) + CAST(f > fq[2] AS BIGINT) + CAST(f > fq[3] AS BIGINT) AS f_q,
+                1 + CAST(m > mq[1] AS BIGINT) + CAST(m > mq[2] AS BIGINT) + CAST(m > mq[3] AS BIGINT) AS m_q,
+                m
+              FROM pu, qs)
+        SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_users,
+               round((sum(m) / count(*)) / 100, 6) AS avg_monetary
+        FROM b GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "user_rfm_segments", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    for r in spark_rows:
+        assert all(1 <= r[ix[c]] <= 4 for c in ("r_q", "f_q", "m_q"))
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert sum(r[ix["n_users"]] for r in spark_rows) == n_users
