@@ -2441,3 +2441,51 @@ def dedup_saturation_curve(
         )
         .orderBy("shard")
     )
+
+
+def simhash_band_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BANDING-health audit — the check that predicts the degenerate-
+    band knee BEFORE a production run hits it (r7 found it the hard
+    way: one near-universal band value turned the banded equi-join into
+    1.5 B materialized rows): per 30-bit band of the wide simhash,
+    the bucket-size distribution that drives the candidate join —
+    ``(band_id, n_rows, n_distinct, max_bucket, cand_pairs)`` where
+    ``cand_pairs = Σ c·(c−1)/2`` is EXACTLY the number of join rows
+    that band will generate. A ``max_bucket`` at a meaningful fraction
+    of the corpus, or ``cand_pairs`` far above ``n_rows``, says route
+    that band through the degenerate-bucket engine (or fix the
+    constant-region feature upstream) before running the pair join.
+    All-integer output.
+
+    Scale shape: hashes are row-local; ONE map-side-combined shuffle on
+    (band_id, band_value) collapses the corpus to bucket counts; the
+    rollup is band-bounded (4 rows). Strictly cheaper than the pair
+    join it audits."""
+    b = simhash_wide_buckets(spark, sf_dir)
+    melted = b.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("bigint").alias("band_id"),
+                        F.col(f"b{j}").alias("val"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(F.col("bk.band_id").alias("band_id"), F.col("bk.val").alias("val"))
+    buckets = melted.groupBy("band_id", "val").agg(F.count("*").alias("c"))
+    return (
+        buckets.groupBy("band_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.max("c").cast("bigint").alias("max_bucket"),
+            F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("bigint").alias(
+                "cand_pairs"
+            ),
+        )
+        .orderBy("band_id")
+    )

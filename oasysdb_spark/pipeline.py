@@ -254,6 +254,7 @@ def corpus_audit_report(
         "encoding_quality_stats": textops.encoding_quality_stats,
         "dedup_saturation_curve": dedup.dedup_saturation_curve,
         "minhash_jaccard_calibration": dedup.minhash_jaccard_calibration,
+        "simhash_band_health": dedup.simhash_band_health,
         "embedding_outlier_stats": embed.embedding_outlier_stats,
         "embedding_norm_stats": embed.embedding_norm_stats,
         "label_centroid_similarity": embed.label_centroid_similarity,

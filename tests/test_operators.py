@@ -4532,3 +4532,70 @@ def test_user_rfm_segments_matches_duckdb_oracle(spark, sf_dir):
         .select("user_id").distinct().count()
     )
     assert sum(r[ix["n_users"]] for r in spark_rows) == n_users
+
+
+def test_simhash_band_health_matches_duckdb_oracle(spark, sf_dir):
+    """simhash_band_health hash-compared against an independent DuckDB
+    replay of the salted wide simhash + 30-bit band split — the
+    self-oracle gate ahead of driver-window rotation (r9 candidate).
+    Invariants: all four bands cover every doc, max_bucket <= n_rows,
+    and cand_pairs == Σ c·(c−1)/2 >= max_bucket·(max_bucket−1)/2."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    got = dedup.simhash_band_health(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) == 4
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    word = """
+        (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS w FROM (
+           SELECT doc_id, b,
+             CASE WHEN sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                  THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE CAST(0 AS BIGINT) END AS bv
+           FROM (SELECT doc_id, CAST('0x' || substring(md5((t) || '#{salt}'), 1, 15) AS BIGINT) AS h
+                 FROM (SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS t
+                       FROM documents)),
+                (SELECT unnest(range(60)) AS b)
+           GROUP BY doc_id, b) GROUP BY doc_id)
+    """
+    res = con.execute(f"""
+        WITH s0 AS {word.replace('{salt}', 's0')},
+        s1 AS {word.replace('{salt}', 's1')},
+        allw AS (SELECT d.doc_id, COALESCE(s0.w, 0) AS w0, COALESCE(s1.w, 0) AS w1
+                 FROM documents d
+                 LEFT JOIN s0 ON d.doc_id = s0.doc_id
+                 LEFT JOIN s1 ON d.doc_id = s1.doc_id),
+        melted AS (
+          SELECT CAST(0 AS BIGINT) AS band_id, w0 & 1073741823 AS val FROM allw
+          UNION ALL SELECT 1, (w0 >> 30) & 1073741823 FROM allw
+          UNION ALL SELECT 2, w1 & 1073741823 FROM allw
+          UNION ALL SELECT 3, (w1 >> 30) & 1073741823 FROM allw),
+        buckets AS (SELECT band_id, val, count(*) AS c FROM melted GROUP BY band_id, val)
+        SELECT band_id, CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(max(c) AS BIGINT) AS max_bucket,
+               CAST(sum(c * (c - 1) / 2) AS BIGINT) AS cand_pairs
+        FROM buckets GROUP BY band_id ORDER BY band_id""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "simhash_band_health", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    for r in spark_rows:
+        assert r[ix["n_rows"]] == n_docs
+        mb = r[ix["max_bucket"]]
+        assert mb <= r[ix["n_rows"]]
+        assert r[ix["cand_pairs"]] >= mb * (mb - 1) // 2

@@ -258,7 +258,7 @@ def test_corpus_audit_report_all(spark, sf_dir, capsys):
     from oasysdb_spark.pipeline import corpus_audit_report
 
     report = corpus_audit_report(spark, sf_dir, limit=3)
-    assert len(report) == 14
+    assert len(report) == 15
     for name, entry in report.items():
         assert "error" not in entry, (name, entry)
         assert entry["n_rows"] > 0
