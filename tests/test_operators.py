@@ -4599,3 +4599,49 @@ def test_simhash_band_health_matches_duckdb_oracle(spark, sf_dir):
         mb = r[ix["max_bucket"]]
         assert mb <= r[ix["n_rows"]]
         assert r[ix["cand_pairs"]] >= mb * (mb - 1) // 2
+
+
+def test_round6_half_up_matches_spark_round(spark):
+    """The shared numpy HALF_UP helper (dedup._np_round6_half_up) must
+    be bit-identical to Spark F.round(col, 6) — the contract every
+    numpy-side cosine path leans on. Pinned over a seeded batch that
+    deliberately includes exact half-boundary reprs, negative values,
+    and -0.0 (normalized to +0.0)."""
+    import numpy as np
+
+    from oasysdb_spark.operators.dedup import _np_round6_half_up
+
+    rng = np.random.RandomState(7)
+    vals = list(rng.uniform(-1, 1, 2000))
+    # adversarial: exact 7th-decimal halves (repr '0.0000005'), negative
+    # halves, -0.0, and values one ulp off a half
+    vals += [0.0000005, -0.0000005, 1.0000005, -0.0, 0.1234565, -0.1234565,
+             float(np.nextafter(0.0000005, 0)), float(np.nextafter(0.0000005, 1))]
+    arr = np.asarray(vals, dtype=np.float64)
+
+    got = _np_round6_half_up(arr)
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    expected = [r["r"] for r in
+                df.select(F.round(F.col("x"), 6).alias("r")).collect()]
+    for g, e, v in zip(got, expected, vals):
+        assert g == e and not (g == 0.0 and str(g) == "-0.0"), (v, g, e)
+
+
+def test_compare_harness_detects_mismatches():
+    """Negative control for the oracle gate itself: tools'
+    check_correctness.compare must flag row-count, column and value
+    mismatches — a compare that silently passes everything would turn
+    every green row in this suite into noise."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    cols = ["a", "b"]
+    rows = [(1, 2.0), (3, 4.0)]
+    assert not compare("ok", rows, cols, rows, cols)
+    assert compare("rowcount", rows, cols, rows[:1], cols)
+    assert compare("colnames", rows, cols, rows, ["a", "c"])
+    assert compare("values", rows, cols, [(1, 2.0), (3, 4.5)], cols)
+    # order-insensitive: permuted rows must PASS
+    assert not compare("perm", rows, cols, list(reversed(rows)), cols)
