@@ -82,7 +82,8 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--approx", default=None, choices=["pq", "hnsw"],
                    help="serve from an approx tier: the PQ compression "
                    "tier (build-pq first) or the HNSW graph tier "
-                   "(build-hnsw first; no --filter)")
+                   "(build-hnsw first; --filter post-filters with "
+                   "doubling expansion, exact in the worst case)")
     q.add_argument("--rerank", type=int, default=128,
                    help="exact re-rank depth (pq) / beam width ef_search "
                    "(hnsw)")

@@ -570,12 +570,15 @@ class Database:
         re-rank through the exact JVM distance path — output values
         bit-match the exact query for shared ids. Radius applies to the
         exact distances; ``probes`` is moot (candidates come from graph
-        edges, not cluster pruning). Metadata FILTERS are rejected with
-        a clean error: graph traversal cannot apply a predicate
-        mid-beam, so pre-filtering semantics — the reference contract —
-        cannot hold on this tier (post-filtering would silently return
-        fewer than k matching rows); use approx='pq' or the exact path
-        for filtered queries. A graph built before any record mutation
+        edges, not cluster pruning). Metadata FILTERS compose via
+        post-filtering with DOUBLING expansion: graph traversal cannot
+        apply a predicate mid-beam, so a filtered query over-fetches
+        (4k), post-filters, and quadruples ef_search until k rows match
+        or the candidate set covers the whole graph — at which point
+        the answer is EXACT; a selective filter therefore degrades
+        toward brute force instead of silently under-filling k (the
+        reference's pre-filter contract holds at every stop). A graph
+        built before any record mutation
         is refused as stale (see ``index.hnsw.load_hnsw_graph``)."""
         vec = self._validate_dim(vector)
         if k <= 0:
@@ -589,13 +592,6 @@ class Database:
         pred = compile_filter(filter, MapLayout())
 
         if approx == "hnsw":
-            if filter is not None:
-                raise errors.InvalidArgumentError(
-                    "approx='hnsw' cannot honor pre-filtering semantics "
-                    "(graph traversal ignores predicates; post-filtering "
-                    "would under-fill k): use approx='pq' or the exact "
-                    "path for filtered queries"
-                )
             if self.params.metric != "euclidean":
                 raise errors.InvalidArgumentError(
                     "approx='hnsw' supports the euclidean metric only"
@@ -606,10 +602,33 @@ class Database:
             )
 
             graph = load_hnsw_graph(self)
-            cand = batched_candidates(
-                graph, [(0, vec)], ef_search=max(rerank, k), id_type="string"
-            ).select(F.col("vec_id").alias("id"))
-            df = self.records_df().join(F.broadcast(cand), "id")
+            recs = self.records_df()
+            # Filters compose with the graph tier via POST-filtering
+            # with DOUBLING expansion (r7): graph traversal can't honor
+            # a predicate, so a filtered query over-fetches (4k to
+            # start), post-filters, and quadruples ef until k rows
+            # match or ef covers the whole graph — at which point the
+            # candidate set is exhaustive and the answer EXACT. Bounded:
+            # ≤ log₄(n/k) re-searches, each one graph pass; selective
+            # filters degrade toward brute force instead of silently
+            # under-filling k (the failure mode this branch used to
+            # refuse with an error).
+            ef = max(rerank, k)
+            n_total = None
+            if filter is not None:
+                ef = max(ef, 4 * k)
+                n_total = recs.count()
+            while True:
+                cand = batched_candidates(
+                    graph, [(0, vec)], ef_search=ef, id_type="string"
+                ).select(F.col("vec_id").alias("id"))
+                df = recs.join(F.broadcast(cand), "id")
+                if filter is None:
+                    break
+                df = df.where(pred)
+                if ef >= n_total or df.count() >= k:
+                    break
+                ef = min(n_total, ef * 4)
             dist = distance_expr(
                 self.params.metric,
                 F.array(*[F.lit(x) for x in vec]),
@@ -795,7 +814,8 @@ class Database:
         graph tier: one pass over the persisted graph beams EVERY query
         through each shard's adjacency (rebuilt once per task), and the
         candidates re-rank exactly. Same contract as the single-query
-        hnsw path: no metadata filters (clean error), euclidean only,
+        hnsw path: filters via batch-global doubling expansion (every
+        query fills k or the search goes exhaustive-exact), euclidean only,
         stale graphs refused; each query's list equals its standalone
         ``query(..., approx='hnsw')`` call."""
         if k <= 0:
@@ -844,14 +864,11 @@ class Database:
             # query (each shard task rebuilds its adjacency once), then
             # the candidate (query_id, id) rows join back for the exact
             # re-rank — same contract as the single-query hnsw branch
-            # (no filters, euclidean only, stale graph refused)
-            if filter is not None:
-                raise errors.InvalidArgumentError(
-                    "approx='hnsw' cannot honor pre-filtering semantics "
-                    "(graph traversal ignores predicates; post-filtering "
-                    "would under-fill k): use approx='pq' or the exact "
-                    "path for filtered queries"
-                )
+            # (euclidean only, stale graph refused; filters compose via
+            # the same post-filter + doubling expansion, batch-global:
+            # ef quadruples until EVERY query has ≥ k matched rows or
+            # the whole graph is candidates, so a selective filter
+            # degrades to exact instead of under-filling any query)
             if self.params.metric != "euclidean":
                 raise errors.InvalidArgumentError(
                     "approx='hnsw' supports the euclidean metric only"
@@ -866,14 +883,30 @@ class Database:
                 qvec_rows = [
                     (r["query_id"], list(r["qvec"])) for r in queries.collect()
                 ]
-            cand = batched_candidates(
-                graph,
-                qvec_rows,
-                ef_search=max(rerank, k),
-                id_type="string",
-            ).select("query_id", F.col("vec_id").alias("id"))
-            cand = cand.join(F.broadcast(queries), "query_id")
-            pairs = recs.join(F.broadcast(cand), "id")
+            ef = max(rerank, k)
+            n_total = None
+            if filter is not None:
+                ef = max(ef, 4 * k)
+                n_total = recs.count()
+            while True:
+                cand = batched_candidates(
+                    graph,
+                    qvec_rows,
+                    ef_search=ef,
+                    id_type="string",
+                ).select("query_id", F.col("vec_id").alias("id"))
+                cand = cand.join(F.broadcast(queries), "query_id")
+                pairs = recs.join(F.broadcast(cand), "id")
+                if filter is None:
+                    break
+                pairs = pairs.where(pred)
+                if ef >= n_total:
+                    break
+                matched = pairs.groupBy("query_id").count().collect()
+                got = {r["query_id"]: r["count"] for r in matched}
+                if all(got.get(qid, 0) >= k for qid, _ in qvec_rows):
+                    break
+                ef = min(n_total, ef * 4)
             dist = distance_expr(
                 self.params.metric, F.col("qvec"), F.col("embedding")
             )

@@ -493,7 +493,8 @@ def test_hnsw_tier_lifecycle(spark, tmp_path):
     query/query_many approx='hnsw'): results match the exact query
     bit-for-bit on this fixture (per-shard graphs beam far more than k
     over 200 sequential vectors); filters are rejected with the
-    documented pre-filtering error; a record mutation makes the graph
+    post-filter + doubling-expansion contract (exact in the worst
+    case, never an under-filled k); a record mutation makes the graph
     STALE and serving refuses it until rebuild; the batched form equals
     N single calls; radius applies to the exact distances."""
     from oasysdb_spark.index.hnsw import build_hnsw
@@ -525,11 +526,29 @@ def test_hnsw_tier_lifecycle(spark, tmp_path):
         "r00000", "r00001", "r00002", "r00003",
     ]
 
-    # pre-filtering cannot hold on a graph: clean error, not silent loss
-    with pytest.raises(InvalidArgumentError, match="pre-filter"):
-        db.query([1.0] * DIM, k=5, filter="number > 1050", approx="hnsw")
-    with pytest.raises(InvalidArgumentError, match="pre-filter"):
-        db.query_many([[1.0] * DIM], k=5, filter="number > 1050", approx="hnsw")
+    # filters compose via post-filter + doubling expansion (r7): a
+    # SELECTIVE filter (50 of 200 rows match, none in the first beam)
+    # must return exactly the exact path's filtered top-k — the loop
+    # widens ef until k match or the search is exhaustive-exact, never
+    # an under-filled k
+    f_exact = db.query([1.0] * DIM, k=5, filter="number > 1150")
+    f_hnsw = db.query([1.0] * DIM, k=5, filter="number > 1150", approx="hnsw")
+    assert [(r["id"], r["distance"]) for r in f_hnsw] == [
+        (r["id"], r["distance"]) for r in f_exact
+    ]
+    assert len(f_hnsw) == 5
+    # filter matching fewer than k rows: returns all matches, not k
+    f_few = db.query([1.0] * DIM, k=5, filter="number > 1197", approx="hnsw")
+    assert sorted(r["id"] for r in f_few) == ["r00198", "r00199"]
+    # batched filtered == N single filtered calls
+    fb = db.query_many(
+        [[1.0] * DIM, [199.0] * DIM], k=5, filter="number > 1150", approx="hnsw"
+    )
+    for qi, qv in enumerate([[1.0] * DIM, [199.0] * DIM]):
+        fs = db.query(qv, k=5, filter="number > 1150", approx="hnsw")
+        assert [(r["id"], r["distance"]) for r in fb[qi]] == [
+            (r["id"], r["distance"]) for r in fs
+        ]
 
     # batched == N singles
     qs = [[1.0] * DIM, [50.0] * DIM, [199.0] * DIM]
