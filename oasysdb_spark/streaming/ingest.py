@@ -44,7 +44,9 @@ def _read_epoch(path: str) -> int:
         return -1
 
 
-def make_epoch_idempotent_ingest(db, checkpoint_dir: str):
+def make_epoch_idempotent_ingest(
+    db, checkpoint_dir: str, maintain_hnsw: bool = False
+):
     """Build the ``foreachBatch`` function that makes micro-batch appends
     idempotent under replay. ``foreachBatch`` is at-least-once: after a
     crash between the table append and the checkpoint commit, Spark
@@ -66,6 +68,15 @@ def make_epoch_idempotent_ingest(db, checkpoint_dir: str):
     the anti-join removes). The happy path costs two tiny file writes and
     never touches the records table; recovery requires records to carry
     stable ``id`` values, which the ingest schema mandates.
+
+    ``maintain_hnsw=True`` keeps the graph serving tier FRESH across
+    micro-batches: after each non-empty append (and before the commit
+    marker, so ``committed`` implies indexed), ``index.hnsw.extend_hnsw``
+    rebuilds only the shards the new vectors hash into. Idempotent by
+    construction — extension finds ALL not-yet-indexed records, so a
+    crash anywhere in the epoch is healed by the next extend, and a
+    replayed epoch extends zero vectors. Appends only (the extend
+    contract); update/delete streams still need a rebuild.
     """
     started_f = os.path.join(checkpoint_dir, _STARTED)
     committed_f = os.path.join(checkpoint_dir, _COMMITTED)
@@ -84,6 +95,10 @@ def make_epoch_idempotent_ingest(db, checkpoint_dir: str):
                 existing = db.records_df().select("id")
                 batch_df = batch_df.join(existing, "id", "left_anti")
             db.insert_batch(batch_df)
+            if maintain_hnsw:
+                from oasysdb_spark.index.hnsw import extend_hnsw
+
+                extend_hnsw(db)
         atomic_write_text(committed_f, str(epoch_id))
 
     return _ingest
@@ -94,6 +109,7 @@ def stream_ingest_records(
     stream_df: DataFrame,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    maintain_hnsw: bool = False,
 ) -> StreamingQuery:
     """Continuously ingest a record stream (schema: id, embedding, and
     optionally m_text/m_num/m_bool) into ``db``.
@@ -105,7 +121,9 @@ def stream_ingest_records(
     """
     writer = (
         stream_df.writeStream.foreachBatch(
-            make_epoch_idempotent_ingest(db, checkpoint_dir)
+            make_epoch_idempotent_ingest(
+                db, checkpoint_dir, maintain_hnsw=maintain_hnsw
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")

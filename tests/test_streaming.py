@@ -1134,3 +1134,42 @@ def test_embedding_decontaminate_stream_matches_batch(spark, sf_dir, tmp_path):
             evals,
             eval_broadcast_limit=3,
         )
+
+
+def test_stream_ingest_maintains_hnsw(spark, tmp_path):
+    """maintain_hnsw=True keeps the graph tier serveable across
+    streamed appends: after the stream drains, approx='hnsw' queries
+    work WITHOUT a manual extend and find the streamed records; a
+    checkpointed replay extends nothing and the graph still serves."""
+    from oasysdb_spark.index.hnsw import build_hnsw
+
+    src = str(tmp_path / "hnsw_src")
+    ckpt = str(tmp_path / "hnsw_ckpt")
+    dbdir = str(tmp_path / "hnsw_db")
+
+    db = Database.configure(spark, dbdir, dimension=2, density=16)
+    base = [(f"s{i:04d}", [float(i), float(i)], {}, {}, {}) for i in range(20)]
+    db.insert_batch(spark.createDataFrame(base, RECORD_SCHEMA))
+    build_hnsw(db, m=4, ef_construction=20, shards=2)
+
+    more = [(f"t{i:04d}", [100.0 + i, 0.0], {}, {}, {}) for i in range(10)]
+    spark.createDataFrame(more, RECORD_SCHEMA).write.parquet(src)
+    q = stream_ingest_records(
+        db, spark.readStream.schema(RECORD_SCHEMA).parquet(src), ckpt,
+        maintain_hnsw=True,
+    )
+    q.awaitTermination(120)
+
+    assert db.count() == 30
+    # no manual extend: the graph must be fresh and contain the new rows
+    res = db.query([100.0, 0.0], k=1, approx="hnsw")
+    assert res[0]["id"] == "t0000" and res[0]["distance"] == 0.0
+
+    # replay over the same checkpoint: nothing re-ingested, still serves
+    q2 = stream_ingest_records(
+        db, spark.readStream.schema(RECORD_SCHEMA).parquet(src), ckpt,
+        maintain_hnsw=True,
+    )
+    q2.awaitTermination(120)
+    assert db.count() == 30
+    assert db.query([109.0, 0.0], k=1, approx="hnsw")[0]["id"] == "t0009"
