@@ -537,7 +537,11 @@ def label_centroid_similarity(
     Scale shape: one (label, pos) shuffle builds the centroid table
     (O(labels × dim) reduce state); the pair matrix is a broadcast
     self-join of that TINY table — |labels|² rows total, no data-sized
-    shuffle anywhere. The raw vectors are scanned exactly once."""
+    shuffle anywhere; Catalyst plans the inequality join as a
+    BroadcastNestedLoopJoin, which is CORRECT here (both sides are the
+    label-bounded centroid table — whitelist it in the repo-wide
+    nested-loop guard on promotion). The raw vectors are scanned
+    exactly once."""
     from oasysdb_spark.functions.vectors import dot_product, l2_norm
     from oasysdb_spark.operators.vectorops import load_embeddings
 

@@ -76,7 +76,9 @@ def make_epoch_idempotent_ingest(
     construction — extension finds ALL not-yet-indexed records, so a
     crash anywhere in the epoch is healed by the next extend, and a
     replayed epoch extends zero vectors. Appends only (the extend
-    contract); update/delete streams still need a rebuild.
+    contract); update/delete streams still need a rebuild, and the
+    graph must exist before the first epoch (``build_hnsw`` first —
+    a missing tier raises its clean not-built error into the stream).
     """
     started_f = os.path.join(checkpoint_dir, _STARTED)
     committed_f = os.path.join(checkpoint_dir, _COMMITTED)
