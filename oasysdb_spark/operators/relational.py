@@ -1362,3 +1362,57 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / stickiness over the event stream — the product-
+    analytics daily: per calendar day, distinct active users that day
+    (DAU), distinct users over the trailing 7 days (WAU), and the
+    DAU/WAU stickiness ratio. Returns ``(day, dau, wau, stickiness)``
+    ordered by day (days with no trailing-window activity don't occur:
+    every emitted day has ≥ 1 active user).
+
+    The rolling DISTINCT is the interesting plan problem: a window
+    ``countDistinct`` doesn't exist, and re-scanning the stream per day
+    is quadratic. Instead the stream collapses ONCE to distinct
+    (day, user) pairs (map-side combined); each pair then explodes to
+    the ≤ 7 window-days it serves (a bounded explode of an already
+    day-bounded table), and WAU is a plain countDistinct over that
+    small frame. Spark-side cost: one corpus-scale shuffle + day-scale
+    aggregates.
+
+    Float discipline: DAU/WAU are exact integers; stickiness is one
+    integer ratio rounded once."""
+    events = _t(spark, sf_dir, "events")
+    du = (
+        events.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+        )
+        .distinct()
+    )
+    dau = du.groupBy("day").agg(F.countDistinct("user_id").cast("bigint").alias("dau"))
+    served = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+        "user_id",
+    )
+    # only days that actually occur in the data (the explode also emits
+    # 6 days past the last event)
+    wau = (
+        served.join(dau.select("day"), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -4645,3 +4645,51 @@ def test_compare_harness_detects_mismatches():
     assert compare("values", rows, cols, [(1, 2.0), (3, 4.5)], cols)
     # order-insensitive: permuted rows must PASS
     assert not compare("perm", rows, cols, list(reversed(rows)), cols)
+
+
+def test_events_active_users_matches_duckdb_oracle(spark, sf_dir):
+    """events_active_users hash-compared against an independent DuckDB
+    replay (same distinct (day, user) collapse, same 7-day explode) —
+    the self-oracle gate ahead of driver-window rotation (r9
+    candidate). Invariants: wau >= dau every day, stickiness in (0, 1],
+    and the first day's wau equals its dau (no earlier history)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.operators import relational as rel
+
+    got = rel.events_active_users(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) >= 3
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    res = con.execute("""
+        WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events),
+        dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM du GROUP BY day),
+        served AS (SELECT CAST(day + CAST(i AS INTEGER) AS DATE) AS day, user_id
+                   FROM du, (SELECT unnest(range(7)) AS i)),
+        wau AS (SELECT s.day, CAST(count(DISTINCT s.user_id) AS BIGINT) AS wau
+                FROM served s JOIN dau USING (day) GROUP BY s.day)
+        SELECT day, dau, wau, round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+        FROM dau JOIN wau USING (day) ORDER BY day""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "events_active_users", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    for r in spark_rows:
+        assert r[ix["wau"]] >= r[ix["dau"]]
+        assert 0.0 < r[ix["stickiness"]] <= 1.0
+    first = spark_rows[0]
+    assert first[ix["wau"]] == first[ix["dau"]]
