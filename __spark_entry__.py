@@ -120,42 +120,136 @@ def _bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver oracle-checks the FIRST 50 entries.
 
-    Round-7 rotation (window math: 115 entries, 50-slot window, every
+    Round-8 rotation (window math: 122 entries, 50-slot window, every
     out-of-window entry must hold a green row no older than round N-2):
 
-    (a) the twelve deferred TPC-H shapes whose latest green row is
-        CORRECTNESS_r04 — at the two-round staleness limit, so they
+    (a) the eighteen r5-green leftovers whose latest green row is
+        CORRECTNESS_r05 — at the two-round staleness limit, so they
         MUST lead this window (pinned by name in tests/test_entry.py's
-        r6 deferral assertion);
-    (b) five NEW entries promoted from r6-staged pytest self-oracles:
-        `dedup_simhash_wide_pairs` (the scale-safe 2×60-bit tier, now
-        also the `simhash_near_pairs` default), `domain_mixture_sample`
-        (uniform-target mode — the oracle-exact one),
-        `encoding_quality_stats`, `source_token_divergence`,
-        `hard_negative_mining`;
-    (c) three entries whose CODE changed in r7 (a stale green row
-        doesn't cover changed code): `dedup_simhash_pairs` (now pinned
-        `wide=False` — the oracle-matched narrow twin of the flipped
-        default), `multimodal_dhash_near_pairs` (follows the NEW
-        hash_bits=256 default, oracle rewritten to the 256-bit
-        replay), `customers_without_orders` (subtrahend restricted to
-        URGENT orders so the anti-join is non-empty at sf0.01 — the
-        old row matched 0-vs-0);
-    (d) 30 of the 48 entries whose latest green row is CORRECTNESS_r05
-        (2-stale at r7, the allowed maximum). 12+5+3+30 = exactly 50.
+        r7 deferral assertion);
+    (b) eight NEW entries promoted from r7-staged pytest self-oracles
+        (the judge's r7 task-1 list, each already hash-gated in
+        tests/test_operators.py and 3-rung scale-probed):
+        `line_dedup_stats` (CCNet line-level dedup), `dsir_importance_sample`
+        (DSIR hashed-bigram importance resampling), `chunk_documents`
+        (RAG token-window chunking), `chunk_retrieval_topk` (chunk-level
+        retrieval over signed-bucket hash embeddings),
+        `component_size_histogram` (near-dup cluster size distribution),
+        `event_funnel` (greedy-earliest ordered funnel — dual-algorithm
+        oracle), `quality_percentile_filter` (per-source surprisal
+        quantile pruning), `cross_source_duplication_stats` (source-pair
+        duplication matrix from digest products, pairs never
+        materialized);
+    (c) 24 of the 46 entries whose latest green row is CORRECTNESS_r06
+        (2-stale at r8, the allowed maximum). 18+8+24 = exactly 50.
 
-    Below the window: the 18 r5-green leftovers (3-stale at r8 — they
-    MUST lead the r8 window), then the r6-green cohort (2-stale at r8,
-    rotate by r9). `text_bpe_tokenizer` moved below the window this
-    round (judge r6 task 5): a permanently `no_oracle` rows-only entry
-    spends a hash-checked slot; its SQL-expressible half
-    (`text_pretoken_counts`) is the in-contract twin and the merge
-    sequence stays pytest-pinned (tests/test_tokenizer.py), so outside
-    the window it is pytest-gated rather than stale. The boundary
-    comment below marks entry 50 — but the rotation test checks the
-    real slice, not the comment."""
+    RETIRED this round (judge r7 task 4): `dedup_simhash_pairs` — the
+    narrow 16-bit-banded twin measured 15.33x per 10x in r6 and was the
+    one window entry whose plan the repo documents as quadratic at
+    scale. Its oracle-continuity round (r7) is done; the scale-safe
+    2x60-bit `dedup_simhash_wide_pairs` (r7-green) owns the family's
+    driver slot, and the narrow path stays pytest-only
+    (tests/test_operators.py narrow-twin pins over simhash_near_pairs).
+
+    Below the window: the 22 r6-green leftovers (3-stale at r9 — they
+    MUST lead the r9 window, pinned in tests/test_entry.py), then the
+    49 r7-green entries (2-stale at r9, safe until r10).
+    `text_bpe_tokenizer` stays below the window (judge r6 task 5): a
+    permanently `no_oracle` rows-only entry spends a hash-checked slot;
+    its SQL-expressible half (`text_pretoken_counts`) is the
+    in-contract twin and the merge sequence stays pytest-pinned
+    (tests/test_tokenizer.py), so outside the window it is pytest-gated
+    rather than stale. The boundary comment below marks entry 50 — but
+    the rotation test checks the real slice, not the comment."""
     return {
-        # --- (a) deferred r4-green TPC-H: staleness limit, must lead ---
+        # --- (a) deferred r5-green leftovers: staleness limit, must lead ---
+        "text_token_stats": textops.token_stats,
+        "text_fingerprints": textops.fingerprints,
+        "text_stratified_sample": textops.stratified_sample_stats,
+        "events_sliding_windows": tmp.events_sliding_windows,
+        "vec_knn_euclidean": vec.knn_bruteforce,
+        "vec_knn_filtered": vec.knn_filtered,
+        "vec_radius": vec.radius_search,
+        "vec_knn_batched": vec.knn_batched,
+        "vec_label_centroids": vec.label_centroids,
+        "vec_lsh_knn": vec.lsh_knn,
+        "vec_knn_manhattan": _manhattan_knn,
+        "vec_knn_join_blocked": sj.knn_join_blocked,
+        "q8_market_share": rel.q8_market_share,
+        "q16_supplier_variety": rel.q16_supplier_variety,
+        "percentile_stats": rel.percentile_stats,
+        "math_stats": rel.math_stats,
+        "string_part_stats": rel.string_part_stats,
+        "json_event_stats": rel.json_event_stats,
+        # --- (b) new in round 8: staged self-oracles promoted ---
+        "line_dedup_stats": textops.line_dedup_stats,
+        "dsir_importance_sample": textops.dsir_importance_sample,
+        "chunk_documents": textops.chunk_documents,
+        "chunk_retrieval_topk": embed.chunk_retrieval_topk,
+        "component_size_histogram": dedup.component_size_histogram,
+        "event_funnel": rel.event_funnel,
+        "quality_percentile_filter": textops.quality_percentile_filter,
+        "cross_source_duplication_stats": dedup.cross_source_duplication_stats,
+        # --- (c) latest driver row is r06: cycle back in before a third
+        # unchecked round ---
+        "text_bigram_surprisal": textops.bigram_surprisal,
+        "text_trigram_surprisal": textops.trigram_backoff_surprisal,
+        "text_curriculum_buckets": textops.curriculum_buckets,
+        "text_shard_plan": textops.shard_plan,
+        "source_curation_stats": textops.source_curation_stats,
+        "text_oov_rate": lambda s, d: textops.oov_rate(s, d, top_k=20),
+        "ngram_decontaminate_stats": textops.ngram_decontaminate_stats,
+        "ngram_contamination_report_stats": (
+            textops.ngram_contamination_report_stats
+        ),
+        "text_pretoken_counts": _pretoken_counts,
+        "multimodal_video_stats": mm.multimodal_video_stats,
+        "multimodal_dhash_dedup": mm.multimodal_dhash_dedup,
+        "dedup_decontaminate": _decontaminate,
+        "dedup_components": dedup.dedup_components,
+        "dedup_embedding_cosine": dedup.embedding_near_pairs,
+        "dedup_exact_pick": dedup.exact_dedup_pick,
+        "dedup_exact_stats": dedup.exact_dedup_stats,
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "text_clean_pipeline": textops.clean_corpus_pipeline,
+        "text_boilerplate_ngrams": textops.boilerplate_ngrams,
+        "text_pii_scrub": textops.pii_scrub_stats,
+        "text_hash_embeddings": embed.hash_embeddings,
+        "multimodal_features": mm.multimodal_features,
+        "multimodal_pixel_stats": mm.multimodal_pixel_stats,
+        "asof_click_view": tmp.asof_click_view,
+        # ---- driver window boundary: asof_click_view above is entry 50
+        # (count them — don't trust a comment's position; the rotation
+        # test in tests/test_entry.py checks the REAL first-50 slice).
+        # Every entry below holds a green hash-matched row from the most
+        # recent round that checked it and is unchanged since: first the
+        # 22 r6-green leftovers (2-stale — the allowed maximum — they
+        # MUST lead the r9 window), then the pytest-gated rows-only bpe
+        # entry, then the r7-green cohort (rotate by r10) ----
+        "sessionize_events": rel.sessionize_events,
+        "interval_overlap_join": tmp.interval_overlap_sessions,
+        "events_tumbling_hourly": tmp.events_tumbling_hourly,
+        "vec_knn_cosine": lambda s, d: vec.knn_bruteforce(s, d, metric="cosine"),
+        "parts_above_avg_price": rel.parts_above_avg_price,
+        "orders_by_month": rel.orders_by_month,
+        "rollup_lineitem": rel.rollup_lineitem,
+        "unpivot_lineitem": rel.unpivot_lineitem,
+        "top_orders_per_customer": rel.top_orders_per_customer,
+        "running_revenue": rel.running_revenue,
+        "cube_orders": rel.cube_orders,
+        "setop_intersect": rel.setop_intersect,
+        "ship_latency": rel.ship_latency,
+        "parts_like_patterns": rel.parts_like_patterns,
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q2_min_cost_supplier": rel.q2_min_cost_supplier,
+        "q11_important_parts": rel.q11_important_parts,
+        "q18_large_volume_customers": rel.q18_large_volume_customers,
+        "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
+        "q20_excess_shippers": rel.q20_excess_shippers,
+        "q21_waiting_supplier": rel.q21_waiting_supplier,
+        "q22_idle_customers": rel.q22_idle_customers,
+        "text_bpe_tokenizer": _bpe_tokenizer,
+        # ---- r7-green below (latest driver row is CORRECTNESS_r07) ----
         "q3_shipping_priority": rel.q3_shipping_priority,
         "q4_order_priority": rel.q4_order_priority,
         "q5_local_supplier_volume": rel.q5_local_supplier_volume,
@@ -168,20 +262,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_share": rel.q14_promo_share,
         "q15_top_supplier": rel.q15_top_supplier,
         "q17_small_qty_revenue": rel.q17_small_qty_revenue,
-        # --- (b) new in round 7: staged self-oracles promoted ---
         "dedup_simhash_wide_pairs": dedup.simhash_wide_pairs,
         "domain_mixture_sample": textops.domain_mixture_sample,
         "encoding_quality_stats": textops.encoding_quality_stats,
         "source_token_divergence": textops.source_token_divergence,
         "hard_negative_mining": vec.hard_negative_mining,
-        # --- (c) code changed in round 7: re-verify through the driver ---
-        "dedup_simhash_pairs": lambda s, d: dedup.simhash_near_pairs(
-            s, d, wide=False
-        ),
         "multimodal_dhash_near_pairs": mm.multimodal_dhash_near_pairs,
         "customers_without_orders": rel.customers_without_orders,
-        # --- (d) latest driver row is r05: cycle back in before a third
-        # unchecked round ---
         "text_boilerplate_scrub": textops.boilerplate_scrub,
         "text_bm25_search": textops.bm25_search,
         "text_gopher_quality": textops.gopher_quality_flags,
@@ -212,82 +299,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "text_language_id": textops.language_id,
         "text_quality": textops.quality_scores,
-        # ---- driver window boundary: text_quality above is entry 50
-        # (count them — don't trust a comment's position; the rotation
-        # test in tests/test_entry.py checks the REAL first-50 slice).
-        # Every entry below holds a green hash-matched row from the most
-        # recent round that checked it and is unchanged since: first the
-        # 18 r5-green leftovers (2-stale — the allowed maximum — they
-        # MUST lead the r8 window), then the r6-green cohort (rotate by
-        # r9), plus the pytest-gated rows-only bpe entry ----
-        "text_token_stats": textops.token_stats,
-        "text_fingerprints": textops.fingerprints,
-        "text_stratified_sample": textops.stratified_sample_stats,
-        "events_sliding_windows": tmp.events_sliding_windows,
-        "vec_knn_euclidean": vec.knn_bruteforce,
-        "vec_knn_filtered": vec.knn_filtered,
-        "vec_radius": vec.radius_search,
-        "vec_knn_batched": vec.knn_batched,
-        "vec_label_centroids": vec.label_centroids,
-        "vec_lsh_knn": vec.lsh_knn,
-        "vec_knn_manhattan": _manhattan_knn,
-        "vec_knn_join_blocked": sj.knn_join_blocked,
-        "q8_market_share": rel.q8_market_share,
-        "q16_supplier_variety": rel.q16_supplier_variety,
-        "percentile_stats": rel.percentile_stats,
-        "math_stats": rel.math_stats,
-        "string_part_stats": rel.string_part_stats,
-        "json_event_stats": rel.json_event_stats,
-        # ---- r6-green below (latest driver row is CORRECTNESS_r06) ----
-        "text_bigram_surprisal": textops.bigram_surprisal,
-        "text_trigram_surprisal": textops.trigram_backoff_surprisal,
-        "text_curriculum_buckets": textops.curriculum_buckets,
-        "text_shard_plan": textops.shard_plan,
-        "source_curation_stats": textops.source_curation_stats,
-        "text_oov_rate": lambda s, d: textops.oov_rate(s, d, top_k=20),
-        "ngram_decontaminate_stats": textops.ngram_decontaminate_stats,
-        "ngram_contamination_report_stats": (
-            textops.ngram_contamination_report_stats
-        ),
-        "text_pretoken_counts": _pretoken_counts,
-        "text_bpe_tokenizer": _bpe_tokenizer,
-        "multimodal_video_stats": mm.multimodal_video_stats,
-        "multimodal_dhash_dedup": mm.multimodal_dhash_dedup,
-        "dedup_decontaminate": _decontaminate,
-        "dedup_components": dedup.dedup_components,
-        "dedup_embedding_cosine": dedup.embedding_near_pairs,
-        "dedup_exact_pick": dedup.exact_dedup_pick,
-        "dedup_exact_stats": dedup.exact_dedup_stats,
-        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
-        "text_clean_pipeline": textops.clean_corpus_pipeline,
-        "text_boilerplate_ngrams": textops.boilerplate_ngrams,
-        "text_pii_scrub": textops.pii_scrub_stats,
-        "text_hash_embeddings": embed.hash_embeddings,
-        "multimodal_features": mm.multimodal_features,
-        "multimodal_pixel_stats": mm.multimodal_pixel_stats,
-        "asof_click_view": tmp.asof_click_view,
-        "sessionize_events": rel.sessionize_events,
-        "interval_overlap_join": tmp.interval_overlap_sessions,
-        "events_tumbling_hourly": tmp.events_tumbling_hourly,
-        "vec_knn_cosine": lambda s, d: vec.knn_bruteforce(s, d, metric="cosine"),
-        "parts_above_avg_price": rel.parts_above_avg_price,
-        "orders_by_month": rel.orders_by_month,
-        "rollup_lineitem": rel.rollup_lineitem,
-        "unpivot_lineitem": rel.unpivot_lineitem,
-        "top_orders_per_customer": rel.top_orders_per_customer,
-        "running_revenue": rel.running_revenue,
-        "cube_orders": rel.cube_orders,
-        "setop_intersect": rel.setop_intersect,
-        "ship_latency": rel.ship_latency,
-        "parts_like_patterns": rel.parts_like_patterns,
-        "q1_pricing_summary": rel.q1_pricing_summary,
-        "q2_min_cost_supplier": rel.q2_min_cost_supplier,
-        "q11_important_parts": rel.q11_important_parts,
-        "q18_large_volume_customers": rel.q18_large_volume_customers,
-        "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
-        "q20_excess_shippers": rel.q20_excess_shippers,
-        "q21_waiting_supplier": rel.q21_waiting_supplier,
-        "q22_idle_customers": rel.q22_idle_customers,
     }
 
 
@@ -791,14 +802,10 @@ def oracle_sql() -> dict[str, str]:
                simhash & 65535 AS lo16, (simhash >> 16) & 65535 AS hi16
         FROM allsims"""
 
-    q["dedup_simhash_pairs"] = f"""
-        WITH {_simhash_cte},
-        hv AS (SELECT doc_id, simhash, simhash & 65535 AS lo16, (simhash >> 16) & 65535 AS hi16 FROM allsims)
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-        FROM hv a JOIN hv b ON a.doc_id < b.doc_id AND (a.lo16 = b.lo16 OR a.hi16 = b.hi16)
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
-        ORDER BY hamming, doc_a, doc_b LIMIT 50"""
+    # `dedup_simhash_pairs` retired from the driver contract in round 8
+    # (judge r7 task 4): the narrow 16-bit-banded twin is quadratic at
+    # scale; `dedup_simhash_wide_pairs` owns the family slot and the
+    # narrow path stays pytest-only (tests/test_operators.py).
 
     q["dedup_ngram_jaccard"] = """
         WITH d AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
@@ -2042,5 +2049,247 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY distance, vec_id) AS rn FROM d)
         SELECT query_id, vec_id, distance, CAST(rn AS INTEGER) AS rn
         FROM r WHERE rn <= 5"""
+
+    # ------------------------------------------------------------------
+    # round-8 promotions: the eight r7-staged self-oracles (each SQL is
+    # verbatim the hash-gated replay from tests/test_operators.py)
+    # ------------------------------------------------------------------
+
+    # CCNet line-level dedup: first winner by (doc_id, position) per
+    # 10-token line hash; per-doc keep stats + reassembly checksum
+    _line_h = hash64_sql("array_to_string(tk[i*10+1 : i*10+10], ' ')")
+    q["line_dedup_stats"] = f"""
+        WITH aug AS (SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN '{textops.LINE_TEMPLATE} ' ELSE '' END || text AS text
+             FROM documents),
+        base AS (SELECT doc_id, {_TOKS} AS tk FROM aug),
+        ln AS (SELECT doc_id, s['p'] AS p, s['h'] AS h, s['nc'] AS nc
+               FROM (SELECT doc_id,
+                       unnest(CASE WHEN len(tk) > 0
+                              THEN list_transform(
+                                   range(0, CAST(ceil(len(tk) / 10.0) AS INT)),
+                                   i -> {{'p': i, 'h': {_line_h},
+                                         'nc': length(array_to_string(
+                                                  tk[i*10+1 : i*10+10], ' '))}})
+                              ELSE [] END) AS s
+                     FROM base)),
+        r AS (SELECT doc_id, p, h, nc,
+                     row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+              FROM ln),
+        per AS (SELECT doc_id,
+                  CAST(count(*) AS BIGINT) AS n_lines,
+                  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                  CAST(sum(CASE WHEN rn = 1 THEN nc ELSE 0 END) AS BIGINT) AS kept_chars,
+                  CAST(sum(CASE WHEN rn = 1 THEN h % 1000000007 ELSE 0 END) AS BIGINT)
+                      AS kept_hash_sum
+                FROM r GROUP BY doc_id)
+        SELECT b.doc_id,
+               COALESCE(per.n_lines, 0) AS n_lines,
+               COALESCE(per.n_kept, 0) AS n_kept,
+               COALESCE(per.n_lines, 0) - COALESCE(per.n_kept, 0) AS n_dup_dropped,
+               COALESCE(per.kept_chars, 0) AS kept_chars,
+               COALESCE(per.kept_hash_sum, 0) AS kept_hash_sum,
+               CASE WHEN COALESCE(per.n_lines, 0) > 0
+                    THEN round(CAST(per.n_kept AS DOUBLE) / per.n_lines, 6)
+                    ELSE 1.0 END AS keep_frac
+        FROM (SELECT doc_id FROM base) b
+        LEFT JOIN per ON b.doc_id = per.doc_id"""
+
+    # DSIR importance resampling: hashed-bigram likelihood ratios in
+    # integer micro-bits (partition-order-proof), deterministic top-k
+    _dsir_h = hash64_sql("array_to_string(tk[i:i+1], ' ')")
+    q["dsir_importance_sample"] = f"""
+        WITH tk AS (SELECT doc_id, source, lang, {_TOKS} AS tk FROM documents),
+        feats AS (SELECT doc_id, source, lang, {_dsir_h} % 1024 AS f
+                  FROM (SELECT doc_id, source, lang, tk,
+                               unnest(range(1, len(tk))) AS i
+                        FROM tk WHERE len(tk) >= 2)),
+        t AS (SELECT f, count(*) AS t_f FROM feats WHERE lang = 'en' GROUP BY f),
+        r AS (SELECT f, count(*) AS r_f FROM feats GROUP BY f),
+        tot AS (SELECT (SELECT count(*) FROM feats WHERE lang = 'en') AS T,
+                       (SELECT count(*) FROM feats) AS R),
+        lr AS (SELECT r.f,
+                      CAST(round(log2(CAST(COALESCE(t.t_f, 0) + 1 AS DOUBLE)
+                                 * (tot.R + 1024)
+                                 / (CAST(r.r_f + 1 AS DOUBLE) * (tot.T + 1024)))
+                            * 1e6) AS BIGINT) AS lr_micro
+               FROM r LEFT JOIN t ON r.f = t.f, tot),
+        pf AS (SELECT doc_id, source, lang, f, count(*) AS c
+               FROM feats GROUP BY doc_id, source, lang, f),
+        scored AS (SELECT doc_id, source, lang,
+                          CAST(sum(c) AS BIGINT) AS n_bigrams,
+                          round(sum(c * lr_micro) / (sum(c) * 1e6), 6)
+                              AS score_bits
+                   FROM pf JOIN lr USING (f)
+                   GROUP BY doc_id, source, lang),
+        ranked AS (SELECT row_number() OVER (ORDER BY score_bits DESC, doc_id)
+                       AS rank, *
+                   FROM scored)
+        SELECT CAST(rank AS BIGINT) AS rank, doc_id, source, lang,
+               n_bigrams, score_bits
+        FROM ranked WHERE rank <= 100"""
+
+    # RAG token-window chunking: stride-24 windows of 32 tokens, total
+    # coverage, md5-family chunk hashes (zero-shuffle on the Spark side)
+    _chunk_h = hash64_sql("array_to_string(tk[i*24+1 : i*24+32], ' ')")
+    q["chunk_documents"] = f"""
+        WITH tk AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        n AS (SELECT doc_id, tk,
+                     greatest(1, CAST(ceil((len(tk) - 8) / 24.0) AS INT)) AS nc
+              FROM tk WHERE len(tk) > 0)
+        SELECT doc_id,
+               CAST(c['chunk_id'] AS BIGINT) AS chunk_id,
+               CAST(c['start_tok'] AS BIGINT) AS start_tok,
+               CAST(c['n_tokens'] AS BIGINT) AS n_tokens,
+               c['chunk_hash'] AS chunk_hash
+        FROM (SELECT doc_id,
+                unnest(list_transform(range(0, nc),
+                  i -> {{'chunk_id': i, 'start_tok': i*24,
+                        'n_tokens': len(tk[i*24+1 : i*24+32]),
+                        'chunk_hash': {_chunk_h}}})) AS c
+              FROM n)"""
+
+    # chunk-level retrieval: signed-bucket hash embeddings (integer
+    # accumulators), exact cosine top-10 against doc 0's query embedding
+    _tok_h = hash64_sql("t")
+    q["chunk_retrieval_topk"] = f"""
+        WITH tk AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        n AS (SELECT doc_id, tk,
+                     greatest(1, CAST(ceil((len(tk) - 8) / 24.0) AS INT)) AS nch
+              FROM tk WHERE len(tk) > 0 AND doc_id <> 0),
+        ct AS (SELECT doc_id, c['chunk_id'] AS chunk_id, unnest(c['toks']) AS t
+               FROM (SELECT doc_id,
+                       unnest(list_transform(range(0, nch),
+                         i -> {{'chunk_id': i, 'toks': tk[i*24+1 : i*24+32]}})) AS c
+                     FROM n)),
+        emb AS (SELECT doc_id, chunk_id, CAST(h % 16 AS INT) AS pos,
+                       CAST(sum(CASE WHEN (h >> 40) & 1 = 1 THEN 1 ELSE -1 END)
+                            AS BIGINT) AS val
+                FROM (SELECT doc_id, chunk_id, {_tok_h} AS h FROM ct)
+                GROUP BY doc_id, chunk_id, pos),
+        qe AS (SELECT CAST(h % 16 AS INT) AS pos,
+                      CAST(sum(CASE WHEN (h >> 40) & 1 = 1 THEN 1 ELSE -1 END)
+                           AS BIGINT) AS val
+               FROM (SELECT {_tok_h} AS h
+                     FROM (SELECT unnest({_TOKS}) AS t
+                           FROM documents WHERE doc_id = 0))
+               GROUP BY pos),
+        nq AS (SELECT sum(val * val) AS nq FROM qe),
+        ncs AS (SELECT doc_id, chunk_id, sum(val * val) AS nc2
+                FROM emb GROUP BY doc_id, chunk_id),
+        dots AS (SELECT e.doc_id, e.chunk_id, sum(e.val * q.val) AS dot
+                 FROM emb e JOIN qe q USING (pos)
+                 GROUP BY e.doc_id, e.chunk_id),
+        scored AS (SELECT ncs.doc_id, ncs.chunk_id,
+                          round(COALESCE(dots.dot, 0)
+                                / sqrt(CAST(ncs.nc2 * nq.nq AS DOUBLE)), 6)
+                              AS cos_sim
+                   FROM ncs LEFT JOIN dots
+                     ON ncs.doc_id = dots.doc_id
+                    AND ncs.chunk_id = dots.chunk_id, nq
+                   WHERE ncs.nc2 > 0),
+        ranked AS (SELECT row_number() OVER (ORDER BY cos_sim DESC, doc_id,
+                                             chunk_id) AS rank, *
+                   FROM scored)
+        SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+               CAST(chunk_id AS BIGINT) AS chunk_id, cos_sim
+        FROM ranked WHERE rank <= 10"""
+
+    # near-dup cluster size distribution: wraps the driver-green
+    # dedup_components oracle as a derived table (same components,
+    # histogram on top — doc conservation pinned in pytest)
+    q["component_size_histogram"] = f"""
+        WITH per AS (SELECT component_id, count(*) AS size
+                     FROM ({q["dedup_components"]}) comps GROUP BY component_id)
+        SELECT CAST(size AS BIGINT) AS size,
+               CAST(count(*) AS BIGINT) AS n_components,
+               CAST(sum(size) AS BIGINT) AS n_docs
+        FROM per GROUP BY size"""
+
+    # greedy-earliest ordered funnel, replayed the OTHER way: chained
+    # argmin self-joins with (ts, event_id) row comparisons — the two
+    # engines implement genuinely different algorithms for the same
+    # semantics (Spark side is a per-user greedy sort-fold)
+    q["event_funnel"] = """
+        WITH m1 AS (SELECT user_id, ts, event_id
+                    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS rn
+                          FROM events WHERE event_type = 'view')
+                    WHERE rn = 1),
+        m2 AS (SELECT user_id, ts, event_id
+               FROM (SELECT e.user_id, e.ts, e.event_id,
+                            row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+                     FROM events e JOIN m1 USING (user_id)
+                     WHERE e.event_type = 'click'
+                       AND (e.ts, e.event_id) > (m1.ts, m1.event_id))
+               WHERE rn = 1),
+        m3 AS (SELECT user_id, ts, event_id
+               FROM (SELECT e.user_id, e.ts, e.event_id,
+                            row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+                     FROM events e JOIN m2 USING (user_id)
+                     WHERE e.event_type = 'purchase'
+                       AND (e.ts, e.event_id) > (m2.ts, m2.event_id))
+               WHERE rn = 1),
+        c AS (SELECT 1 AS step, 'view' AS step_name,
+                     CAST((SELECT count(*) FROM m1) AS BIGINT) AS n_users
+              UNION ALL SELECT 2, 'click',
+                     CAST((SELECT count(*) FROM m2) AS BIGINT)
+              UNION ALL SELECT 3, 'purchase',
+                     CAST((SELECT count(*) FROM m3) AS BIGINT)),
+        f AS (SELECT max(CASE WHEN step = 1 THEN n_users END) AS n1 FROM c)
+        SELECT CAST(step AS BIGINT) AS step, step_name, n_users,
+               CASE WHEN f.n1 > 0
+                    THEN round(CAST(n_users AS DOUBLE) / f.n1, 6)
+                    ELSE 0.0 END AS conversion_frac
+        FROM c, f"""
+
+    # per-source LM-quality percentile pruning: same surprisal
+    # arithmetic as text_unigram_surprisal (integer micro-bits), exact
+    # per-source median threshold, keep = bits <= thr
+    q["quality_percentile_filter"] = f"""
+        WITH t AS (SELECT doc_id, source, unnest({_TOKS}) AS term FROM documents),
+        v AS (SELECT term, count(*) AS tf FROM t GROUP BY term),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
+        vm AS (SELECT term,
+                      CAST(round(ln(n.n / v.tf) / ln(2.0) * 1e6) AS BIGINT) AS bm
+               FROM v, n),
+        pd AS (SELECT t.doc_id, t.source, CAST(count(*) AS BIGINT) AS n_tokens,
+                      round(sum(vm.bm) / (count(*) * 1e6), 6) AS bits
+               FROM t JOIN vm USING (term) GROUP BY t.doc_id, t.source),
+        th AS (SELECT source, quantile_cont(bits, 0.5) AS thr
+               FROM pd GROUP BY source)
+        SELECT pd.source, CAST(count(*) AS BIGINT) AS n_docs,
+               round(max(th.thr), 6) AS thr_bits,
+               CAST(sum(CASE WHEN bits <= thr THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               round(CAST(sum(CASE WHEN bits <= thr THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*), 6) AS kept_frac,
+               CAST(sum(CASE WHEN bits <= thr THEN n_tokens ELSE 0 END)
+                    AS BIGINT) AS kept_tokens
+        FROM pd JOIN th USING (source) GROUP BY pd.source"""
+
+    # cross-source duplication matrix: digest-per-source counts, pair
+    # counts from (c_a, c_b) PRODUCTS — doc pairs never materialize
+    q["cross_source_duplication_stats"] = f"""
+        WITH aug AS (SELECT doc_id, source,
+               CASE WHEN doc_id % 4 = 0
+                    THEN '{dedup.DUPLICATION_TEMPLATE} '
+                         || CAST((doc_id // 4) % 2 AS VARCHAR)
+                    ELSE text END AS text
+             FROM documents),
+        h AS (SELECT {hash64_sql("text")} AS content_hash, source, count(*) AS c
+              FROM aug GROUP BY 1, 2),
+        p AS (SELECT a.source AS source_a, b.source AS source_b,
+                CASE WHEN a.source = b.source
+                     THEN CAST(a.c * (a.c - 1) // 2 AS BIGINT)
+                     ELSE CAST(a.c * b.c AS BIGINT) END AS np
+              FROM h a JOIN h b ON a.content_hash = b.content_hash
+                               AND a.source <= b.source)
+        SELECT source_a, source_b, CAST(sum(np) AS BIGINT) AS n_dup_pairs,
+               CAST(count(*) AS BIGINT) AS n_groups
+        FROM p WHERE np > 0 GROUP BY 1, 2"""
 
     return q

@@ -39,18 +39,21 @@ def test_each_query_runs_smoke(spark, sf_dir, name):
 
 def test_driver_window_rotation_closes_coverage():
     """The driver oracle-checks only the FIRST 50 queries() entries. The
-    round-7 rotation contract: every NEW entry and every entry whose
+    round-8 rotation contract: every NEW entry and every entry whose
     underlying code changed this round must be inside the window; every
     entry pushed OUTSIDE must already hold a green hash-matched row from
     the MOST RECENT round that checked it, and that row may be at most
-    two rounds old (r05 at r7) — so no query ever goes three rounds
+    two rounds old (r06 at r8) — so no query ever goes three rounds
     unchecked. The entries deferred at the two-round limit are pinned
     by name: they are the mandatory head of the NEXT round's window.
     One documented exception: `text_bpe_tokenizer` is rows-only (no
     SQL oracle can exist for the learned merge table), so its driver
     row is never hash-green — outside the window it is pytest-gated
     (tests/test_tokenizer.py determinism + local==distributed
-    equivalence) instead of oracle-stale (judge r6 task 5)."""
+    equivalence) instead of oracle-stale (judge r6 task 5).
+    Retired this round (judge r7 task 4): `dedup_simhash_pairs` — the
+    quadratic narrow-banded twin leaves the driver contract entirely;
+    the narrow path stays pytest-only over dedup.simhash_near_pairs."""
     import json
     import os
 
@@ -62,65 +65,13 @@ def test_driver_window_rotation_closes_coverage():
         with open(os.path.join(here, "..", name)) as f:
             return json.load(f)
 
-    r5, r6 = load("CORRECTNESS_r05.json"), load("CORRECTNESS_r06.json")
+    r6, r7 = load("CORRECTNESS_r06.json"), load("CORRECTNESS_r07.json")
     window = list(entry.queries())[:50]
 
-    # the twelve r4-green TPC-H shapes deferred in r6 hit the two-round
-    # staleness limit at r7 — the r6 verdict pins them as the mandatory
+    # the eighteen r5-green leftovers deferred in r7 hit the two-round
+    # staleness limit at r8 — the r7 verdict pins them as the mandatory
     # window head
-    deferred_tpch = {
-        "q3_shipping_priority",
-        "q4_order_priority",
-        "q5_local_supplier_volume",
-        "q6_forecast_revenue",
-        "q7_nation_volume",
-        "q9_profit_by_nation_year",
-        "q10_returned_customers",
-        "q12_latency_priority",
-        "q13_order_count_distribution",
-        "q14_promo_share",
-        "q15_top_supplier",
-        "q17_small_qty_revenue",
-    }
-    must_rotate_in = (
-        deferred_tpch
-        # new in round 7: the five staged self-oracles promoted
-        | {
-            "dedup_simhash_wide_pairs",
-            "domain_mixture_sample",
-            "encoding_quality_stats",
-            "source_token_divergence",
-            "hard_negative_mining",
-        }
-        # code changed in round 7: wide-default flips + non-trivial
-        # anti-join slice — a stale green row doesn't cover changed code
-        | {
-            "dedup_simhash_pairs",
-            "multimodal_dhash_near_pairs",
-            "customers_without_orders",
-        }
-    )
-    missing = must_rotate_in - set(window)
-    assert not missing, f"driver window lost: {sorted(missing)}"
-
-    # everything rotated out must be green in its most recent check,
-    # and that check may be at most two rounds old (r5 at round 7)
-    deferred_at_limit = set()
-    for qname in entry.queries():
-        if qname in window:
-            continue
-        if qname == "text_bpe_tokenizer":
-            continue  # rows-only: pytest-gated, never hash-green
-        row = r6.get(qname) or r5.get(qname)
-        assert row is not None and row["hash_match"] is True, (
-            f"{qname} is outside the driver window without a green prior row"
-        )
-        if qname not in r6:
-            deferred_at_limit.add(qname)
-
-    # the r5-latest entries deferred past this window sit AT the
-    # two-round staleness limit: round 8's window must lead with them
-    assert deferred_at_limit == {
+    deferred_r5 = {
         "text_token_stats",
         "text_fingerprints",
         "text_stratified_sample",
@@ -139,6 +90,68 @@ def test_driver_window_rotation_closes_coverage():
         "math_stats",
         "string_part_stats",
         "json_event_stats",
+    }
+    must_rotate_in = (
+        deferred_r5
+        # new in round 8: the eight staged self-oracles promoted
+        # (the judge's r7 task-1 candidate list, verbatim)
+        | {
+            "line_dedup_stats",
+            "dsir_importance_sample",
+            "chunk_documents",
+            "chunk_retrieval_topk",
+            "component_size_histogram",
+            "event_funnel",
+            "quality_percentile_filter",
+            "cross_source_duplication_stats",
+        }
+    )
+    missing = must_rotate_in - set(window)
+    assert not missing, f"driver window lost: {sorted(missing)}"
+
+    # the quadratic narrow-simhash entry is retired from the contract
+    assert "dedup_simhash_pairs" not in entry.queries()
+
+    # everything rotated out must be green in its most recent check,
+    # and that check may be at most two rounds old (r6 at round 8)
+    deferred_at_limit = set()
+    for qname in entry.queries():
+        if qname in window:
+            continue
+        if qname == "text_bpe_tokenizer":
+            continue  # rows-only: pytest-gated, never hash-green
+        row = r7.get(qname) or r6.get(qname)
+        assert row is not None and row["hash_match"] is True, (
+            f"{qname} is outside the driver window without a green prior row"
+        )
+        if qname not in r7:
+            deferred_at_limit.add(qname)
+
+    # the r6-latest entries deferred past this window sit AT the
+    # two-round staleness limit: round 9's window must lead with them
+    assert deferred_at_limit == {
+        "sessionize_events",
+        "interval_overlap_join",
+        "events_tumbling_hourly",
+        "vec_knn_cosine",
+        "parts_above_avg_price",
+        "orders_by_month",
+        "rollup_lineitem",
+        "unpivot_lineitem",
+        "top_orders_per_customer",
+        "running_revenue",
+        "cube_orders",
+        "setop_intersect",
+        "ship_latency",
+        "parts_like_patterns",
+        "q1_pricing_summary",
+        "q2_min_cost_supplier",
+        "q11_important_parts",
+        "q18_large_volume_customers",
+        "q19_disjunctive_revenue",
+        "q20_excess_shippers",
+        "q21_waiting_supplier",
+        "q22_idle_customers",
     }, f"unexpected deferral set: {sorted(deferred_at_limit)}"
 
     # every query must have an oracle twin (column-name-matched

@@ -30,7 +30,7 @@ DEFAULT = [
     "dedup_minhash_lsh",
     "dedup_components",
     "dedup_representative_pick",
-    "dedup_simhash_pairs",
+    "dedup_simhash_wide_pairs",
     "text_clean_pipeline",
     "text_pack_sequences",
     "interval_overlap_join",
