@@ -129,6 +129,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="index appended records into the HNSW graph "
         "(touched shards only; pure appends)")
 
+    th = add("tombstone-hnsw",
+             help="record deleted ids as HNSW tombstones so serving "
+             "continues from the existing graph (pure deletes; widened "
+             "beams — rebuild past --max-tombstones)")
+    th.add_argument("--max-tombstones", type=int, default=4096)
+
     bh = add("build-hnsw", help="build/rebuild the HNSW graph tier")
     bh.add_argument("--m", type=int, default=16,
                     help="max neighbors per node per layer (2M at layer 0)")
@@ -411,6 +417,11 @@ def main(argv: list[str] | None = None) -> int:
 
         n = extend_hnsw(db)
         _emit({"ok": True, "n_new": n})
+    elif args.cmd == "tombstone-hnsw":
+        from oasysdb_spark.index.hnsw import tombstone_hnsw
+
+        n = tombstone_hnsw(db, max_tombstones=args.max_tombstones)
+        _emit({"ok": True, "n_tombstones": n})
     elif args.cmd == "build-hnsw":
         from oasysdb_spark.index.hnsw import build_hnsw
 

@@ -568,7 +568,13 @@ class Database:
         the persisted graph tier: every shard's graph beams
         ``max(rerank, k)`` candidates (ef_search), then ONLY those ids
         re-rank through the exact JVM distance path — output values
-        bit-match the exact query for shared ids. Radius applies to the
+        bit-match the exact query for shared ids. Serving is RESIDENT
+        (r8): the job fans out over shard ids and each worker memoizes
+        its decoded shard graphs keyed by the graph version, so
+        steady-state queries read no graph rows at all (first touch per
+        worker loads just that shard's parquet row groups). Euclidean
+        and cosine metrics (cosine via a unit-normalized graph — same
+        candidate order, exact re-rank unchanged). Radius applies to the
         exact distances; ``probes`` is moot (candidates come from graph
         edges, not cluster pruning). Metadata FILTERS compose via
         post-filtering with DOUBLING expansion: graph traversal cannot
@@ -592,35 +598,61 @@ class Database:
         pred = compile_filter(filter, MapLayout())
 
         if approx == "hnsw":
-            if self.params.metric != "euclidean":
+            if self.params.metric not in ("euclidean", "cosine"):
                 raise errors.InvalidArgumentError(
-                    "approx='hnsw' supports the euclidean metric only"
+                    "approx='hnsw' supports the euclidean and cosine "
+                    "metrics only"
                 )
             from oasysdb_spark.index.hnsw import (
-                batched_candidates,
-                load_hnsw_graph,
+                hnsw_serving_state,
+                resident_candidates,
             )
 
-            graph = load_hnsw_graph(self)
+            gpath, gshards, gtoken, gmeta = hnsw_serving_state(self)
+            if gmeta.get("metric", "euclidean") != self.params.metric:
+                raise errors.InvalidArgumentError(
+                    "HNSW graph was built for metric "
+                    f"{gmeta.get('metric', 'euclidean')!r}; run build_hnsw "
+                    f"to rebuild it for {self.params.metric!r}"
+                )
             recs = self.records_df()
+            # cosine serves from a unit-normalized graph (build_hnsw):
+            # beam the NORMALIZED query (euclidean order ≡ cosine order
+            # on unit vectors); the exact re-rank below still runs the
+            # true metric expression on the raw records
+            qbeam = vec
+            if self.params.metric == "cosine":
+                qn = math.sqrt(sum(x * x for x in vec))
+                if qn > 0:
+                    qbeam = [float(x) / qn for x in vec]
             # Filters compose with the graph tier via POST-filtering
             # with DOUBLING expansion (r7): graph traversal can't honor
             # a predicate, so a filtered query over-fetches (4k to
             # start), post-filters, and quadruples ef until k rows
             # match or ef covers the whole graph — at which point the
             # candidate set is exhaustive and the answer EXACT. Bounded:
-            # ≤ log₄(n/k) re-searches, each one graph pass; selective
-            # filters degrade toward brute force instead of silently
-            # under-filling k (the failure mode this branch used to
-            # refuse with an error).
-            ef = max(rerank, k)
+            # ≤ log₄(n/k) re-searches — and with the r8 resident cache
+            # each rung re-beams WARM worker-local graphs instead of
+            # re-scanning the table; selective filters degrade toward
+            # brute force instead of silently under-filling k (the
+            # failure mode this branch used to refuse with an error).
+            # Tombstoned ids (tombstone_hnsw) drop at the records join;
+            # widening ef by their count keeps k fillable even if every
+            # dead id lands in the beam.
+            ef = max(rerank, k) + len(gmeta.get("tombstones", []))
             n_total = None
             if filter is not None:
                 ef = max(ef, 4 * k)
                 n_total = recs.count()
             while True:
-                cand = batched_candidates(
-                    graph, [(0, vec)], ef_search=ef, id_type="string"
+                cand = resident_candidates(
+                    self.spark,
+                    gpath,
+                    gshards,
+                    gtoken,
+                    [(0, qbeam)],
+                    ef_search=ef,
+                    id_type="string",
                 ).select(F.col("vec_id").alias("id"))
                 df = recs.join(F.broadcast(cand), "id")
                 if filter is None:
@@ -811,13 +843,15 @@ class Database:
         its standalone ``query(..., approx='pq')`` call.
 
         ``approx="hnsw"`` (after ``index.hnsw.build_hnsw``) batches the
-        graph tier: one pass over the persisted graph beams EVERY query
-        through each shard's adjacency (rebuilt once per task), and the
-        candidates re-rank exactly. Same contract as the single-query
-        hnsw path: filters via batch-global doubling expansion (every
-        query fills k or the search goes exhaustive-exact), euclidean only,
-        stale graphs refused; each query's list equals its standalone
-        ``query(..., approx='hnsw')`` call."""
+        graph tier: the query batch BROADCASTS into the resident shard
+        tasks (r8 — decoded graphs memoized per worker by graph
+        version, no graph-table scan in steady state), every query
+        beams through each shard's adjacency, and the candidates
+        re-rank exactly. Same contract as the single-query hnsw path:
+        filters via batch-global doubling expansion (every query fills
+        k or the search goes exhaustive-exact), euclidean and cosine
+        metrics, stale graphs refused; each query's list equals its
+        standalone ``query(..., approx='hnsw')`` call."""
         if k <= 0:
             raise errors.InvalidArgumentError(
                 "k must be > 0 (/root/reference/src/cores/database.rs:321-325)"
@@ -860,38 +894,63 @@ class Database:
         recs = self.records_df()
 
         if approx == "hnsw":
-            # batched graph tier: ONE pass over the graph beams every
-            # query (each shard task rebuilds its adjacency once), then
+            # batched graph tier: the broadcast query batch beams
+            # through each shard's RESIDENT adjacency (worker-memoized
+            # by graph version — no graph scan in steady state), then
             # the candidate (query_id, id) rows join back for the exact
             # re-rank — same contract as the single-query hnsw branch
-            # (euclidean only, stale graph refused; filters compose via
+            # (euclidean/cosine, stale graph refused; filters compose via
             # the same post-filter + doubling expansion, batch-global:
             # ef quadruples until EVERY query has ≥ k matched rows or
             # the whole graph is candidates, so a selective filter
             # degrades to exact instead of under-filling any query)
-            if self.params.metric != "euclidean":
+            if self.params.metric not in ("euclidean", "cosine"):
                 raise errors.InvalidArgumentError(
-                    "approx='hnsw' supports the euclidean metric only"
+                    "approx='hnsw' supports the euclidean and cosine "
+                    "metrics only"
                 )
             from oasysdb_spark.index.hnsw import (
-                batched_candidates,
-                load_hnsw_graph,
+                hnsw_serving_state,
+                resident_candidates,
             )
 
-            graph = load_hnsw_graph(self)
+            gpath, gshards, gtoken, gmeta = hnsw_serving_state(self)
+            if gmeta.get("metric", "euclidean") != self.params.metric:
+                raise errors.InvalidArgumentError(
+                    "HNSW graph was built for metric "
+                    f"{gmeta.get('metric', 'euclidean')!r}; run build_hnsw "
+                    f"to rebuild it for {self.params.metric!r}"
+                )
             if qvec_rows is None:  # DataFrame input: one collect (tiny batch)
                 qvec_rows = [
                     (r["query_id"], list(r["qvec"])) for r in queries.collect()
                 ]
-            ef = max(rerank, k)
+            # cosine: beam NORMALIZED queries through the unit-vector
+            # graph; the exact re-rank keeps the raw qvec column
+            beam_rows = qvec_rows
+            if self.params.metric == "cosine":
+                beam_rows = []
+                for qid, qv in qvec_rows:
+                    qn = math.sqrt(sum(x * x for x in qv))
+                    beam_rows.append(
+                        (qid, [float(x) / qn for x in qv])
+                        if qn > 0
+                        else (qid, list(qv))
+                    )
+            # tombstoned ids drop at the records join — widen ef so a
+            # beam full of dead ids can never under-fill any query's k
+            ef = max(rerank, k) + len(gmeta.get("tombstones", []))
             n_total = None
             if filter is not None:
                 ef = max(ef, 4 * k)
                 n_total = recs.count()
             while True:
-                cand = batched_candidates(
-                    graph,
-                    qvec_rows,
+                cand = resident_candidates(
+                    self.spark,
+                    gpath,
+                    gshards,
+                    gtoken,
+                    beam_rows,
                     ef_search=ef,
                     id_type="string",
                 ).select("query_id", F.col("vec_id").alias("id"))
