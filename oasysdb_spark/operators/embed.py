@@ -623,3 +623,85 @@ def embedding_norm_stats(
         )
         .orderBy("label")
     )
+
+
+def rp_sign_matrix(dim_in: int, dim_out: int) -> "list[list[int]]":
+    """The deterministic Johnson-Lindenstrauss sign matrix, shared by
+    the Spark operator and its DuckDB oracle: ``s[i][j] = +1`` iff the
+    repo's 60-bit md5 hash of ``"{i},{j}"`` salted ``"rp"`` is odd
+    (functions/hashing.py family — both engines can re-derive it, and
+    the pytest self-oracle does, via ``hash64_sql`` over the same
+    literals). A fixed public hash instead of an RNG keeps every build
+    of the projection bit-identical everywhere — the repo-wide
+    determinism rule."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{i},{j}#rp".encode()).hexdigest()[:15], 16
+            )
+            & 1
+            else -1
+            for j in range(dim_out)
+        ]
+        for i in range(dim_in)
+    ]
+
+
+def random_projection(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    dim_out: int = 16,
+    embs: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic sign random projection (Achlioptas 2003,
+    "Database-friendly random projections": ±1 entries satisfy the
+    Johnson-Lindenstrauss lemma) — the standard cheap dimensionality
+    cut before large-scale near-dup / ANN passes: a 64-d corpus
+    projected to 16-d costs 4× less in every downstream distance, with
+    pairwise distances preserved in expectation (``E[‖Px‖²] = ‖x‖²``
+    after the 1/√k scale — pinned by the pytest distortion gate).
+
+    Returns ``(vec_id, rp_00..rp_{k-1})`` wide, one column per output
+    dimension, each ``round(Σᵢ ±eᵢ / √k, 6)`` with the sign matrix from
+    :func:`rp_sign_matrix` and the sum chained in ascending-dimension
+    order — the cross-engine float discipline (DuckDB replays the same
+    left-associated chain bit-for-bit).
+
+    Scale shape: a pure narrow map — dim_in×dim_out literal-sign adds
+    inside whole-stage codegen (no UDF, no matrix broadcast, no
+    shuffle); at 100 TB this runs at scan speed. The unrolled-terms
+    form is the r7 lesson (higher-order folds are interpreted; ±
+    chains codegen)."""
+    import math
+
+    from oasysdb_spark.errors import InvalidArgumentError
+    from oasysdb_spark.operators.vectorops import load_embeddings
+
+    if embs is None:
+        embs = load_embeddings(spark, sf_dir)
+    first = embs.select(F.size("embedding").alias("d")).first()
+    if first is None:
+        raise InvalidArgumentError("random_projection over zero vectors")
+    dim_in = int(first["d"])
+    if not (0 < dim_out <= dim_in):
+        raise InvalidArgumentError(
+            f"dim_out must be in (0, {dim_in}], got {dim_out}"
+        )
+    signs = rp_sign_matrix(dim_in, dim_out)
+    scale = math.sqrt(float(dim_out))
+    cols = [F.col("vec_id")]
+    for j in range(dim_out):
+        acc = None
+        for i in range(dim_in):
+            term = F.element_at("embedding", i + 1).cast("double")
+            if acc is None:
+                acc = term if signs[i][j] > 0 else -term
+            elif signs[i][j] > 0:
+                acc = acc + term
+            else:
+                acc = acc - term
+        cols.append(F.round(acc / F.lit(scale), 6).alias(f"rp_{j:02d}"))
+    return embs.select(*cols)

@@ -4693,3 +4693,106 @@ def test_events_active_users_matches_duckdb_oracle(spark, sf_dir):
         assert 0.0 < r[ix["stickiness"]] <= 1.0
     first = spark_rows[0]
     assert first[ix["wau"]] == first[ix["dau"]]
+
+
+def test_random_projection_matches_duckdb_oracle(spark, sf_dir):
+    """random_projection (deterministic ±1 Johnson-Lindenstrauss cut)
+    hash-compared against an independent DuckDB replay of the same
+    left-chained per-dimension sums — the self-oracle gate ahead of a
+    future driver-window rotation (r9 candidate). The sign matrix's
+    DERIVATION is itself verified in DuckDB (hash64_sql over the same
+    "{i},{j}"#rp literals reproduces every ±1), so the inline literals
+    in the oracle are pinned to the shared public hash family, not
+    trusted. Invariants: the JL distortion gate — mean projected/
+    original squared-distance ratio within [0.7, 1.3] over 200 pairs
+    and every single ratio positive — and degenerate dims raise."""
+    import math
+    import sys
+
+    import duckdb
+    import pytest as _pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.errors import InvalidArgumentError
+    from oasysdb_spark.functions.hashing import hash64_sql
+    from oasysdb_spark.operators import embed
+
+    got = embed.random_projection(spark, sf_dir, dim_out=16)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) > 50
+    assert spark_cols == ["vec_id"] + [f"rp_{j:02d}" for j in range(16)]
+
+    dim_in = 64
+    signs = embed.rp_sign_matrix(dim_in, 16)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    # 1) derivation check: DuckDB re-derives every sign from the hash
+    pairs = ", ".join(
+        "({}, {}, {})".format(
+            i, j, hash64_sql("'{},{}'".format(i, j), salt="rp")
+        )
+        for i in range(dim_in)
+        for j in range(16)
+    )
+    derived = con.execute(
+        f"SELECT i, j, CASE WHEN h & 1 = 1 THEN 1 ELSE -1 END "
+        f"FROM (VALUES {pairs}) AS t(i, j, h)"
+    ).fetchall()
+    for i, j, s in derived:
+        assert signs[i][j] == s, (i, j)
+
+    # 2) value replay: same left-associated chain, same scale and round
+    scale = math.sqrt(16.0)
+    proj_cols = []
+    for j in range(16):
+        chain = " ".join(
+            ("+" if signs[i][j] > 0 else "-")
+            + f" CAST(embedding[{i + 1}] AS DOUBLE)"
+            for i in range(dim_in)
+        ).lstrip("+ ")
+        if signs[0][j] < 0:
+            chain = "- " + chain.lstrip("- ")
+        proj_cols.append(
+            f"round(({chain}) / {scale!r}, 6) AS rp_{j:02d}"
+        )
+    res = con.execute(
+        "SELECT vec_id, " + ", ".join(proj_cols) + " FROM embeddings"
+    )
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "random_projection", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    # 3) JL distortion gate over deterministic pairs
+    orig = {
+        r["vec_id"]: list(r["embedding"])
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    proj = {r[0]: list(r[1:]) for r in spark_rows}
+    ids = sorted(orig)
+    ratios = []
+    for t in range(200):
+        a, b = ids[(7 * t) % len(ids)], ids[(13 * t + 1) % len(ids)]
+        if a == b:
+            continue
+        d_o = sum((x - y) ** 2 for x, y in zip(orig[a], orig[b]))
+        d_p = sum((x - y) ** 2 for x, y in zip(proj[a], proj[b]))
+        if d_o > 0:
+            ratios.append(d_p / d_o)
+    assert ratios and all(r > 0 for r in ratios)
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 < mean < 1.3, mean
+
+    with _pytest.raises(InvalidArgumentError):
+        embed.random_projection(spark, sf_dir, dim_out=0)
+    with _pytest.raises(InvalidArgumentError):
+        embed.random_projection(spark, sf_dir, dim_out=65)
