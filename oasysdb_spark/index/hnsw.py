@@ -477,10 +477,41 @@ def batched_candidates(
 # scanning and rebuilding the whole table on every query batch. Spark
 # does not pin a shard's task to one worker, so warm-up can take a few
 # batches (each worker caches the shards it happens to serve — ≤
-# workers × shards loads total, then 100% hits); the cap below bounds
-# worst-case memory to CAP shard graphs per worker.
+# workers × shards loads total, then 100% hits). Eviction is BYTE-
+# budgeted, not entry-counted: a production shard (100k × 768-d
+# float64 + adjacency) decodes to hundreds of MB, so a fixed entry cap
+# would let 64 of them OOM an executor — the budget (env
+# OASYSDB_HNSW_CACHE_BYTES, default 4 GiB per worker process) evicts
+# oldest-inserted entries until the new one fits; one entry larger
+# than the whole budget is still served, just never retained.
 _RESIDENT_CACHE: "dict[tuple, object]" = {}
-_RESIDENT_CACHE_CAP = 64
+_RESIDENT_CACHE_BYTES: "dict[tuple, int]" = {}
+
+
+def _cache_budget_bytes() -> int:
+    import os
+
+    try:
+        return int(
+            os.environ.get("OASYSDB_HNSW_CACHE_BYTES", 4 * 1024**3)
+        )
+    except ValueError:
+        return 4 * 1024**3
+
+
+def _entry_nbytes(entry) -> int:
+    """Approximate resident size of one decoded shard: id + vector
+    arrays dominate; adjacency adds one int64 per edge."""
+    if entry is None:
+        return 64
+    ids, vecs, levels, adj = entry
+    n = int(vecs.nbytes) + getattr(ids, "nbytes", 8 * len(ids)) + 8 * len(
+        levels
+    )
+    for layer in adj:
+        for arr in layer.values():
+            n += int(arr.nbytes)
+    return n
 
 
 def _decode_shard(pdf: pd.DataFrame):
@@ -533,9 +564,21 @@ def _resident_shard(graph_path: str, token: str, shard_id: int):
     ]
     for k in stale:
         _RESIDENT_CACHE.pop(k, None)
-    while len(_RESIDENT_CACHE) >= _RESIDENT_CACHE_CAP:
-        _RESIDENT_CACHE.pop(next(iter(_RESIDENT_CACHE)))
+        _RESIDENT_CACHE_BYTES.pop(k, None)
+    budget = _cache_budget_bytes()
+    nbytes = _entry_nbytes(entry)
+    if nbytes > budget:
+        # larger than the whole budget: serve it, never retain it
+        return entry, False
+    while (
+        _RESIDENT_CACHE
+        and sum(_RESIDENT_CACHE_BYTES.values()) + nbytes > budget
+    ):
+        victim = next(iter(_RESIDENT_CACHE))
+        _RESIDENT_CACHE.pop(victim, None)
+        _RESIDENT_CACHE_BYTES.pop(victim, None)
     _RESIDENT_CACHE[key] = entry
+    _RESIDENT_CACHE_BYTES[key] = nbytes
     return entry, False
 
 

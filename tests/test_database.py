@@ -854,3 +854,56 @@ def test_hnsw_tombstones_serve_through_small_deletes(spark, tmp_path):
     assert [r["id"] for r in got] == [
         r["id"] for r in db.query([31.0] * DIM, k=4)
     ]
+
+
+def test_hnsw_resident_cache_byte_budget(spark, tmp_path, monkeypatch):
+    """The resident cache evicts by BYTES, not entries (a production
+    shard decodes to hundreds of MB — an entry-count cap would OOM an
+    executor): under a tiny OASYSDB_HNSW_CACHE_BYTES budget an
+    oversized shard is served but never retained (miss twice, cache
+    stays empty); under a budget that fits exactly one shard, loading a
+    second evicts the first; restoring the default retains normally."""
+    from oasysdb_spark.index import hnsw
+    from oasysdb_spark.index.hnsw import (
+        _entry_nbytes,
+        _resident_shard,
+        build_hnsw,
+        hnsw_serving_state,
+    )
+
+    d = str(tmp_path / "db_hnsw_budget")
+    db = Database.configure(spark, d, dimension=DIM, metric="euclidean")
+    rows = [
+        (f"r{i:05d}", [float(i)] * DIM, {}, {"number": float(i)}, {})
+        for i in range(80)
+    ]
+    db.insert_batch(spark.createDataFrame(rows, RECORD_SCHEMA))
+    build_hnsw(db, m=8, ef_construction=50, shards=4)
+    gpath, _, gtoken, _ = hnsw_serving_state(db)
+    hnsw._RESIDENT_CACHE.clear()
+    hnsw._RESIDENT_CACHE_BYTES.clear()
+
+    # oversized: served, never retained
+    monkeypatch.setenv("OASYSDB_HNSW_CACHE_BYTES", "100")
+    e1, hit1 = _resident_shard(gpath, gtoken, 0)
+    e2, hit2 = _resident_shard(gpath, gtoken, 0)
+    assert e1 is not None and (hit1, hit2) == (False, False)
+    assert not hnsw._RESIDENT_CACHE
+
+    # budget fits ~one shard: second load evicts the first
+    one = _entry_nbytes(e1)
+    monkeypatch.setenv("OASYSDB_HNSW_CACHE_BYTES", str(int(one * 1.5)))
+    _resident_shard(gpath, gtoken, 0)
+    assert len(hnsw._RESIDENT_CACHE) == 1
+    _resident_shard(gpath, gtoken, 1)
+    keys = list(hnsw._RESIDENT_CACHE)
+    assert len(keys) == 1 and keys[0][2] == 1
+    # accounting tracks the dict exactly
+    assert set(hnsw._RESIDENT_CACHE_BYTES) == set(hnsw._RESIDENT_CACHE)
+
+    # default budget: both retained, hits thereafter
+    monkeypatch.delenv("OASYSDB_HNSW_CACHE_BYTES")
+    _resident_shard(gpath, gtoken, 0)
+    _, hit = _resident_shard(gpath, gtoken, 0)
+    assert hit is True
+    assert len(hnsw._RESIDENT_CACHE) == 2
