@@ -705,3 +705,115 @@ def random_projection(
                 acc = acc - term
         cols.append(F.round(acc / F.lit(scale), 6).alias(f"rp_{j:02d}"))
     return embs.select(*cols)
+
+
+def hybrid_search_rrf(
+    spark: SparkSession,
+    sf_dir: str,
+    query: str = "hash join merge sort window",
+    k: int = 10,
+    dim: int = 16,
+    pool: int = 50,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack, Clarke &
+    Buettcher 2009: RRF outperforms either ranker alone and needs no
+    score calibration): fuse the BM25 lexical top-``pool`` and the
+    signed-bucket hash-embedding cosine top-``pool`` by ``score(d) =
+    Σ_legs 1/(rrf_k + rank_leg(d))`` — the standard first stage of a
+    modern RAG stack (lexical recall + semantic recall, union'd).
+
+    Returns ``(rank, doc_id, rrf_score, bm25_rank, cos_rank)`` for the
+    ``k`` best; a doc absent from one leg's pool carries a NULL rank
+    there and contributes only the other leg's term.
+
+    Float discipline: leg ranks are integers derived from ALREADY
+    ROUNDED leg scores with doc_id tie-breaks (both engines rank the
+    identical rounded values), and the fused score is a two-term sum of
+    exact reciprocals rounded ONCE — cross-engine bit-stable.
+
+    Scale shape: each leg is the already-audited operator (BM25's only
+    corpus shuffle is the query-term-filtered tf; the embedding leg is
+    one scan + an Arrow row-local embed + TakeOrderedAndProject); the
+    fusion joins two ``pool``-row frames — broadcast-trivial at any
+    corpus size."""
+    import re
+
+    from pyspark.sql import Window
+
+    from oasysdb_spark.errors import InvalidArgumentError
+    from oasysdb_spark.operators import textops
+
+    if k <= 0 or pool < k:
+        raise InvalidArgumentError(
+            f"need 0 < k <= pool (got k={k}, pool={pool})"
+        )
+    qtoks = [w for w in re.split("[^a-z0-9]+", query.lower()) if w]
+    if not qtoks:
+        raise InvalidArgumentError("query tokenizes to nothing")
+
+    lex_w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = (
+        textops.bm25_search(spark, sf_dir, query=query, top_k=pool)
+        .withColumn("bm25_rank", F.row_number().over(lex_w).cast("bigint"))
+        .select("doc_id", "bm25_rank")
+    )
+
+    qv = _hash_embed_py(qtoks, dim)
+    nq = sum(x * x for x in qv)
+    if nq == 0:
+        raise InvalidArgumentError(
+            "query hash-embeds to the zero vector (signs cancelled): "
+            "cosine is undefined — use a longer query or larger dim"
+        )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qlit = F.array(*[F.lit(int(x)).cast("long") for x in qv])
+    emb = hashing_embedding_udf(dim)(F.col("text"))
+    dot = F.aggregate(
+        F.zip_with(F.col("emb"), qlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nc = F.aggregate(
+        F.col("emb"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    scored = (
+        docs.select("doc_id", emb.alias("emb"))
+        .select("doc_id", dot.alias("dot"), nc.alias("nc"))
+        .where(F.col("nc") > 0)
+        .select(
+            "doc_id",
+            F.round(
+                F.col("dot")
+                / F.sqrt((F.col("nc") * F.lit(int(nq))).cast("double")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    sem_top = scored.orderBy(F.desc("cos_sim"), F.asc("doc_id")).limit(pool)
+    sem_w = Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    sem = sem_top.withColumn(
+        "cos_rank", F.row_number().over(sem_w).cast("bigint")
+    ).select("doc_id", "cos_rank")
+
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rank",
+        "cos_rank",
+        F.round(
+            F.coalesce(
+                1.0 / (F.lit(rrf_k) + F.col("bm25_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                1.0 / (F.lit(rrf_k) + F.col("cos_rank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf_score"),
+    )
+    out_w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(out_w).cast("bigint"))
+        .select("rank", "doc_id", "rrf_score", "bm25_rank", "cos_rank")
+    )

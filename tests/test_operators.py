@@ -4796,3 +4796,132 @@ def test_random_projection_matches_duckdb_oracle(spark, sf_dir):
         embed.random_projection(spark, sf_dir, dim_out=0)
     with _pytest.raises(InvalidArgumentError):
         embed.random_projection(spark, sf_dir, dim_out=65)
+
+
+def test_hybrid_search_rrf_matches_duckdb_oracle(spark, sf_dir):
+    """hybrid_search_rrf (BM25 ∪ hash-embedding cosine, Reciprocal Rank
+    Fusion) hash-compared against an independent DuckDB replay that
+    rebuilds BOTH legs from scratch — BM25 from the token stream,
+    the semantic leg from the signed-bucket hash family — and fuses
+    with the same 1/(60+rank) arithmetic. Self-oracle gate ahead of a
+    future driver-window rotation (r9 candidate). Invariants: ranks
+    dense 1..k, scores non-increasing, at least one doc present in
+    both pools and at least one in a single pool (the fusion actually
+    unions), degenerate queries raise."""
+    import sys
+
+    import duckdb
+    import pytest as _pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.errors import InvalidArgumentError
+    from oasysdb_spark.functions.hashing import hash64_sql
+    from oasysdb_spark.operators import embed
+
+    got = embed.hybrid_search_rrf(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) == 10
+
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    th = hash64_sql("t")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    res = con.execute(f"""
+        WITH tk AS (SELECT doc_id, {toks} AS tk FROM documents),
+        len AS (SELECT doc_id, len(tk) AS dl FROM tk),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM len),
+        tf AS (SELECT doc_id, t AS term, count(*) AS tf
+               FROM (SELECT doc_id, unnest(tk) AS t FROM tk)
+               WHERE t IN ('hash', 'join', 'merge', 'sort', 'window')
+               GROUP BY doc_id, t),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        sc AS (SELECT tf.doc_id,
+                 ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * (tf.tf * (1.2 + 1.0))
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * len.dl / stats.avgdl)) AS s
+               FROM tf JOIN df USING (term)
+                       JOIN len ON tf.doc_id = len.doc_id, stats),
+        lexpool AS (SELECT doc_id, round(sum(s), 6) AS bm25
+                    FROM sc GROUP BY doc_id
+                    ORDER BY bm25 DESC, doc_id LIMIT 50),
+        lexr AS (SELECT doc_id, row_number()
+                     OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+                 FROM lexpool),
+        emb AS (SELECT doc_id, CAST(h % 16 AS INT) AS pos,
+                       CAST(sum(CASE WHEN (h >> 40) & 1 = 1
+                                     THEN 1 ELSE -1 END) AS BIGINT) AS val
+                FROM (SELECT doc_id, {th} AS h
+                      FROM (SELECT doc_id, unnest(tk) AS t FROM tk))
+                GROUP BY doc_id, pos),
+        qe AS (SELECT CAST(h % 16 AS INT) AS pos,
+                      CAST(sum(CASE WHEN (h >> 40) & 1 = 1
+                                    THEN 1 ELSE -1 END) AS BIGINT) AS val
+               FROM (SELECT {th} AS h
+                     FROM (SELECT unnest(['hash','join','merge','sort',
+                                          'window']) AS t))
+               GROUP BY pos),
+        nq AS (SELECT sum(val * val) AS nq FROM qe),
+        ncs AS (SELECT doc_id, sum(val * val) AS nc2
+                FROM emb GROUP BY doc_id),
+        dots AS (SELECT e.doc_id, sum(e.val * q.val) AS dot
+                 FROM emb e JOIN qe q USING (pos) GROUP BY e.doc_id),
+        cs AS (SELECT ncs.doc_id,
+                      round(COALESCE(dots.dot, 0)
+                            / sqrt(CAST(ncs.nc2 * nq.nq AS DOUBLE)), 6)
+                          AS cos_sim
+               FROM ncs LEFT JOIN dots USING (doc_id), nq
+               WHERE ncs.nc2 > 0),
+        sempool AS (SELECT * FROM cs ORDER BY cos_sim DESC, doc_id LIMIT 50),
+        semr AS (SELECT doc_id, row_number()
+                     OVER (ORDER BY cos_sim DESC, doc_id) AS cos_rank
+                 FROM sempool),
+        fused AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                         l.bm25_rank, s.cos_rank,
+                         round(COALESCE(1.0 / (60 + l.bm25_rank), 0.0)
+                               + COALESCE(1.0 / (60 + s.cos_rank), 0.0), 6)
+                             AS rrf_score
+                  FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id)
+        SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                    AS BIGINT) AS rank,
+               doc_id, rrf_score, bm25_rank, cos_rank
+        FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "hybrid_search_rrf", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    by_rank = sorted(spark_rows, key=lambda r: r[ix["rank"]])
+    assert [r[ix["rank"]] for r in by_rank] == list(range(1, 11))
+    scores = [r[ix["rrf_score"]] for r in by_rank]
+    assert scores == sorted(scores, reverse=True)
+    both = [
+        r
+        for r in spark_rows
+        if r[ix["bm25_rank"]] is not None and r[ix["cos_rank"]] is not None
+    ]
+    assert both, "no doc ranked by both legs — fusion untested"
+    # at pool=50 on 500 docs the fused top-10 may sit entirely in the
+    # intersection; a tighter pool exercises the single-leg (NULL rank)
+    # union path deterministically
+    tight = embed.hybrid_search_rrf(spark, sf_dir, k=12, pool=12).collect()
+    single = [
+        r for r in tight if (r["bm25_rank"] is None) != (r["cos_rank"] is None)
+    ]
+    assert single, "every doc in both pools — union untested"
+    for r in single:  # a one-leg doc scores exactly its one reciprocal
+        rk = r["bm25_rank"] if r["bm25_rank"] is not None else r["cos_rank"]
+        assert r["rrf_score"] == round(1.0 / (60 + rk), 6)
+
+    with _pytest.raises(InvalidArgumentError):
+        embed.hybrid_search_rrf(spark, sf_dir, query="   ")
+    with _pytest.raises(InvalidArgumentError):
+        embed.hybrid_search_rrf(spark, sf_dir, k=20, pool=10)
