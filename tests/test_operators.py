@@ -4925,3 +4925,70 @@ def test_hybrid_search_rrf_matches_duckdb_oracle(spark, sf_dir):
         embed.hybrid_search_rrf(spark, sf_dir, query="   ")
     with _pytest.raises(InvalidArgumentError):
         embed.hybrid_search_rrf(spark, sf_dir, k=20, pool=10)
+
+
+def test_customer_fuzzy_matches_duckdb_oracle(spark, sf_dir):
+    """edit_distance_pairs / customer_fuzzy_matches (SymSpell
+    deletion-neighborhood blocking + levenshtein verify) hash-compared
+    against a DuckDB oracle that runs the QUADRATIC all-pairs
+    levenshtein join — the two engines find the same pairs by
+    genuinely different algorithms. Also pins: banding == quadratic
+    truth on the FULL uncapped pair set (exhaustiveness, not just the
+    top-50 slice), every emitted pair verifies at dist <= 1, and
+    max_dist >= 2 refuses cleanly."""
+    import sys
+
+    import duckdb
+    import pytest as _pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.errors import InvalidArgumentError
+    from oasysdb_spark.operators import similarity_join as sj
+
+    got = sj.customer_fuzzy_matches(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) == 50
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/customer.parquet')"
+    )
+    res = con.execute("""
+        WITH n AS (SELECT DISTINCT c_name AS nm FROM customer
+                   WHERE c_name IS NOT NULL AND length(c_name) > 0)
+        SELECT a.nm AS name_a, b.nm AS name_b,
+               CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist
+        FROM n a JOIN n b ON a.nm < b.nm
+        WHERE levenshtein(a.nm, b.nm) <= 1
+        ORDER BY name_a, name_b LIMIT 50""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "customer_fuzzy_matches", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+    assert all(r[2] == 1 for r in spark_rows)  # distinct names, so dist==1
+
+    # exhaustiveness beyond the slice: the banded engine's FULL pair
+    # set equals the quadratic truth
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    full = sorted(
+        (r["name_a"], r["name_b"])
+        for r in sj.edit_distance_pairs(cust, col="c_name").collect()
+    )
+    truth = sorted(
+        (a, b)
+        for (a, b, _) in con.execute("""
+            WITH n AS (SELECT DISTINCT c_name AS nm FROM customer)
+            SELECT a.nm, b.nm, 1 FROM n a JOIN n b ON a.nm < b.nm
+            WHERE levenshtein(a.nm, b.nm) <= 1""").fetchall()
+    )
+    assert full == truth
+    assert len(full) > 100  # the fixture genuinely exercises blocking
+
+    with _pytest.raises(InvalidArgumentError):
+        sj.edit_distance_pairs(cust, col="c_name", max_dist=2)
