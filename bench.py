@@ -63,6 +63,11 @@ BENCH_QUERIES = [
     # graph tier (r7): sharded HNSW — the reference family's pre-v0.7
     # index lineage; build untimed like the other index tiers
     "vec_hnsw_knn",
+    # r8: the worker-RESIDENT Database graph serving path (build + ingest
+    # untimed; timed = an 8-query query_many batch through the per-worker
+    # decoded-shard cache) — tracked so a residency regression (per-batch
+    # rescan creeping back) shows up in the per-round bench
+    "vec_hnsw_db_knn",
     # audit tier (r7 session 3): the data-quality queries a pipeline
     # runs per ingest batch — tracked so an audit regression (a new
     # shuffle, a lost pushdown) shows up in the per-round bench
@@ -146,6 +151,52 @@ def _bench_vec_hnsw_knn(spark, sf_dir):
     return hnsw.hnsw_knn(spark, sf_dir, graph_df=_ANN_STATE[key])
 
 
+def _bench_vec_hnsw_db_knn(spark, sf_dir):
+    """Resident Database graph serving (r8): the embeddings fixture is
+    ingested into a string-id Database and build_hnsw persists the
+    graph ONCE untimed (ingest amortizes, like every index tier); the
+    timed path is query_many_df over a fixed 8-query batch served from
+    the worker-resident shard cache — the steady-state number the r8
+    residency rework exists for (cold scan+rebuild would re-read the
+    whole graph table per pass)."""
+    import tempfile
+
+    key = ("hnsw_db", sf_dir)
+    if key not in _ANN_STATE:
+        from pyspark.sql import functions as F
+
+        from oasysdb_spark.core.database import Database
+        from oasysdb_spark.index.hnsw import build_hnsw
+        from oasysdb_spark.operators.vectorops import load_embeddings
+
+        d = tempfile.mkdtemp(prefix="bench_hnsw_db_")
+        embs = load_embeddings(spark, sf_dir)
+        first = embs.select("embedding").first()
+        dim = len(first["embedding"])
+        db = Database.configure(spark, d, dimension=dim, metric="euclidean")
+        db.insert_batch(
+            embs.select(
+                F.format_string("v%08d", F.col("vec_id").cast("int")).alias(
+                    "id"
+                ),
+                F.col("embedding").cast("array<float>").alias("embedding"),
+                F.lit(None)
+                .cast("map<string,string>")
+                .alias("m_text"),
+                F.lit(None).cast("map<string,double>").alias("m_num"),
+                F.lit(None).cast("map<string,boolean>").alias("m_bool"),
+            )
+        )
+        build_hnsw(db, m=16, ef_construction=100, shards=8)
+        qvecs = [
+            [float(x) for x in r["embedding"]]
+            for r in embs.orderBy("vec_id").limit(8).collect()
+        ]
+        _ANN_STATE[key] = (db, qvecs)
+    db, qvecs = _ANN_STATE[key]
+    return db.query_many_df(qvecs, k=10, approx="hnsw")
+
+
 def _bench_tfidf_top_terms(spark, sf_dir):
     from oasysdb_spark.operators.textops import tfidf_top_terms
 
@@ -173,6 +224,7 @@ EXTRA_BENCH = {
     "vec_sq_knn": _bench_vec_sq_knn,
     "vec_opq_knn": _bench_vec_opq_knn,
     "vec_hnsw_knn": _bench_vec_hnsw_knn,
+    "vec_hnsw_db_knn": _bench_vec_hnsw_db_knn,
 }
 
 
@@ -221,6 +273,7 @@ def main():
         "vec_ivfpq_knn",
         "vec_sq_knn",
         "vec_hnsw_knn",
+        "vec_hnsw_db_knn",
     ):
         # Same steady-state rationale for the LSH bucket layout: build
         # untimed, the timed query below measures partition-pruned serving.

@@ -4992,3 +4992,52 @@ def test_customer_fuzzy_matches_duckdb_oracle(spark, sf_dir):
 
     with _pytest.raises(InvalidArgumentError):
         sj.edit_distance_pairs(cust, col="c_name", max_dist=2)
+
+
+def test_edit_distance_pairs_adversarial_truth(spark):
+    """edit_distance_pairs against a Python brute-force truth on a
+    hand-built adversarial set: transpositions (share a deletion at
+    lev 2 — must be verified OUT), single-char and empty-adjacent
+    strings (the "" variant is the hottest bucket), pure
+    insert/delete chains, unicode (levenshtein must count codepoints,
+    not bytes), and long shared prefixes."""
+    from oasysdb_spark.operators.similarity_join import edit_distance_pairs
+
+    names = [
+        "a", "b", "ab", "ba", "abc", "acb", "bac", "abcd", "abce",
+        "xabc", "abcx", "café", "cafe", "caffé",
+        "prefix_000", "prefix_001", "prefix_010", "prefix_100",
+        "prefix_0000", "zz",
+    ]
+
+    def lev(s, t):
+        if len(s) < len(t):
+            s, t = t, s
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (cs != ct))
+                )
+            prev = cur
+        return prev[-1]
+
+    truth = sorted(
+        (a, b)
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+        if lev(*sorted((a, b))) <= 1
+    )
+    truth = sorted((min(a, b), max(a, b)) for a, b in truth)
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = sorted(
+        (r["name_a"], r["name_b"])
+        for r in edit_distance_pairs(df, col="name").collect()
+    )
+    assert got == truth
+    # the cases that make it adversarial actually bind
+    assert ("ab", "ba") not in got and lev("ab", "ba") == 2  # transposition
+    assert ("cafe", "café") in got  # unicode substitution
+    assert ("a", "ab") in got and ("a", "b") in got  # "" hot bucket
