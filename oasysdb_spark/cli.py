@@ -126,8 +126,9 @@ def build_parser() -> argparse.ArgumentParser:
     bp.add_argument("--opq-iter", type=int, default=5)
 
     add("extend-hnsw",
-        help="index appended records into the HNSW graph "
-        "(touched shards only; pure appends)")
+        help="ingest maintenance for the HNSW graph: index appended "
+        "records (touched shards only) and record deletions as "
+        "tombstones; changed vectors (same-id re-insert) refuse")
 
     th = add("tombstone-hnsw",
              help="record deleted ids as HNSW tombstones so serving "

@@ -639,11 +639,20 @@ class Database:
             # Tombstoned ids (tombstone_hnsw) drop at the records join;
             # widening ef by their count keeps k fillable even if every
             # dead id lands in the beam.
-            ef = max(rerank, k) + len(gmeta.get("tombstones", []))
+            n_tomb = len(gmeta.get("tombstones", []))
+            ef = max(rerank, k) + n_tomb
             n_total = None
             if filter is not None:
                 ef = max(ef, 4 * k)
-                n_total = recs.count()
+                # the exhaustive-exact termination bound is over GRAPH
+                # nodes — live records PLUS tombstoned nodes still in
+                # the graph (capping at the live count could truncate
+                # the final beam below the shard's node count and break
+                # the "ef covers the graph ⇒ EXACT" guarantee — r8
+                # review finding); live+tombs over-approximates under
+                # cosine (zero-norm rows never enter the graph), which
+                # only means one extra rung, never a truncated one
+                n_total = recs.count() + n_tomb
             while True:
                 cand = resident_candidates(
                     self.spark,
@@ -939,11 +948,14 @@ class Database:
                     )
             # tombstoned ids drop at the records join — widen ef so a
             # beam full of dead ids can never under-fill any query's k
-            ef = max(rerank, k) + len(gmeta.get("tombstones", []))
+            n_tomb = len(gmeta.get("tombstones", []))
+            ef = max(rerank, k) + n_tomb
             n_total = None
             if filter is not None:
                 ef = max(ef, 4 * k)
-                n_total = recs.count()
+                # exhaustiveness bound = GRAPH nodes (live + tombstoned),
+                # not live records — see query_df's hnsw branch
+                n_total = recs.count() + n_tomb
             while True:
                 cand = resident_candidates(
                     self.spark,

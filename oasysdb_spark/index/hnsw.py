@@ -304,22 +304,28 @@ def graph_from_df(
     return _build_shard_tasks(sharded, m, ef_construction, conv, schema)
 
 
-def _unit_normalize(col):
-    """Unit-normalize an embedding column (double accumulation, float32
-    storage — the graph schema's type). Zero vectors pass through
-    unchanged: cosine distance to them is NULL on the exact path, so
-    they can never win a re-rank; leaving them un-normalized just
-    parks them far from every unit vector in the beam. One-time build
-    cost, not a query hot path, so the interpreted fold is fine."""
-    nrm = F.sqrt(
+def _norm_expr(col):
+    """L2 norm of an embedding column (double accumulation)."""
+    return F.sqrt(
         F.aggregate(
             col.cast("array<double>"), F.lit(0.0), lambda a, x: a + x * x
         )
     )
-    return F.when(
-        nrm > 0,
-        F.transform(col, lambda x: (x.cast("double") / nrm).cast("float")),
-    ).otherwise(col.cast("array<float>"))
+
+
+def _unit_normalize(col):
+    """Unit-normalize an embedding column (double accumulation, float32
+    storage — the graph schema's type). Callers must FILTER zero-norm
+    rows out first (`_norm_expr(col) > 0`): a zero vector left at the
+    origin sits at euclidean distance exactly 1 from EVERY unit vector
+    — nearer than any record with cos < 0.5 — so it would crowd the
+    cosine beam while being unservable (the exact path NULLs its
+    cosine distance); excluding it from the graph is the only
+    placement that cannot displace a real candidate (r8 review
+    finding). One-time build cost, not a query hot path, so the
+    interpreted fold is fine."""
+    nrm = _norm_expr(col)
+    return F.transform(col, lambda x: (x.cast("double") / nrm).cast("float"))
 
 
 def _shard_of(vec_id_col, shards: int):
@@ -700,8 +706,12 @@ def build_hnsw(
         # over NORMALIZED vectors, beam normalized queries through it,
         # and let the exact re-rank run the true cosine expression on
         # the raw records — candidate order is preserved, output values
-        # bit-match the exact query path
-        records = records.select(
+        # bit-match the exact query path. Zero-norm rows are EXCLUDED
+        # from the graph: cosine is undefined for them (the exact path
+        # NULLs them out of every result), and at the origin they'd sit
+        # distance 1 from every unit vector — crowding the beam with
+        # unservable nodes (r8 review finding)
+        records = records.where(_norm_expr(F.col("embedding")) > 0).select(
             "vec_id", _unit_normalize(F.col("embedding")).alias("embedding")
         )
     if shards is None:
@@ -800,18 +810,29 @@ def load_hnsw_graph(db) -> DataFrame:
 def hnsw_serving_state(db) -> "tuple[str, int, str, dict]":
     """Validated ``(graph_path, shards, cache_token, meta)`` for the
     resident serving path: the persisted graph version's directory, the
-    shard count, and a token that changes whenever the graph content
-    does (graph table version + hnsw.json mtime — build_hnsw and
-    extend_hnsw both write a new table version AND rewrite hnsw.json),
-    so worker-side caches can never serve a superseded graph."""
+    shard count, and a token that changes exactly when the graph
+    CONTENT does — the table version plus the version directory's
+    mtime (build/extend write a new version dir; the mtime component
+    guards the drop-and-recreate-same-dir corner where a version name
+    could repeat with different content). Deliberately NOT the
+    hnsw.json mtime: tombstone_hnsw and a no-op extend rewrite only
+    the metadata, and invalidating every worker's decoded shards over
+    a metadata refresh would force the full re-warm-up the residency
+    rework exists to avoid (r8 review finding — old graphs stay
+    CORRECT under tombstones, dead ids drop at the records join)."""
     import os
 
     from oasysdb_spark.core.tables import VersionedTable
 
-    meta, stamp = _validated_hnsw_meta(db)
+    meta, _ = _validated_hnsw_meta(db)
     table = VersionedTable(os.path.join(db.dir, GRAPH_DIR))
-    token = f"{table.current_version()}:{stamp}"
-    return table.current_path(), int(meta["shards"]), token, meta
+    gpath = table.current_path()
+    try:
+        g_stamp = os.stat(gpath).st_mtime_ns
+    except FileNotFoundError:
+        g_stamp = 0
+    token = f"{table.current_version()}:{g_stamp}"
+    return gpath, int(meta["shards"]), token, meta
 
 
 def hnsw_knn(
@@ -853,17 +874,31 @@ def hnsw_knn(
     return exact.orderBy(F.col("distance").asc(), "vec_id").limit(k)
 
 
-def extend_hnsw(db) -> int:
-    """Shard-incremental maintenance for PURE APPENDS — the ingest-time
-    companion to :func:`build_hnsw`: finds records not yet in the
-    persisted graph, rebuilds only the shards they hash into
-    (:func:`extend_hnsw_graph` — result provably identical to a fresh
-    full build), writes the new graph version, and refreshes the
-    fingerprint so serving accepts it. Returns the number of new
-    vectors indexed (0 = already fresh, a no-op). Raises a clean error
-    when records were UPDATED or DELETED since the build — extension
-    can only add shard content; mutation invalidates existing edges
-    and needs ``build_hnsw``."""
+def extend_hnsw(db, max_tombstones: int = 4096) -> int:
+    """Shard-incremental ingest maintenance — the companion to
+    :func:`build_hnsw`. ONE classification pass over (graph ⋈ records)
+    splits the delta since the last maintenance into:
+
+    - **appends** (record id not in the graph): rebuilt into only the
+      shards they hash into (:func:`extend_hnsw_graph` — result
+      provably identical to a fresh full build);
+    - **pure deletions** (graph id not in records): recorded as
+      TOMBSTONES (the :func:`tombstone_hnsw` contract — dead ids drop
+      at the records join, serving widens ef by their count), bounded
+      by ``max_tombstones``, so the normal ingest pattern of appends
+      and deletes arriving TOGETHER needs one call, not a
+      refuse-deadlock (r8 review finding);
+    - **changed vectors** (id in both, stored vector ≠ graph vector —
+      i.e. a delete + re-insert under the same id): REFUSED with the
+      rebuild error. This bit-compare is load-bearing: the previous
+      id-only check let a same-id re-insert slip through and serve
+      from its STALE graph position forever (r8 self-review). An
+      identical re-insert (streaming replay) bit-matches and is a
+      no-op, as replay safety requires.
+
+    Returns the number of new vectors indexed (0 = nothing to index;
+    the fingerprint still refreshes so a metadata-only records version
+    bump stops reading as stale)."""
     import json
     import os
 
@@ -884,45 +919,57 @@ def extend_hnsw(db) -> int:
     records = db.records_df().select(
         F.col("id").alias("vec_id"), "embedding"
     )
-    removed = (
-        graph.select("vec_id").join(records.select("vec_id"), "vec_id", "left_anti")
-    )
-    tombs = set(meta.get("tombstones", []))
-    if tombs:
-        # ids already tombstoned (tombstone_hnsw) are EXPECTED to be
-        # missing from records — only a NEW disappearance is a mutation
-        removed = removed.where(~F.col("vec_id").isin(list(tombs)))
-    if removed.limit(1).count() > 0:
-        raise _IAE(
-            "extend_hnsw handles pure appends only: records present at "
-            "build time are gone (delete/update detected) — run "
-            "tombstone_hnsw for small delete volumes or build_hnsw to "
-            "rebuild the graph"
-        )
-    new = records.join(graph.select("vec_id"), "vec_id", "left_anti")
-    if meta.get("metric", "euclidean") == "cosine":
-        # the graph holds unit vectors (build_hnsw) — new rows must
-        # enter in the same space or extension ≠ rebuild
-        new = new.select(
+    cosine = meta.get("metric", "euclidean") == "cosine"
+    if cosine:
+        # the graph holds unit vectors with zero-norm rows EXCLUDED
+        # (build_hnsw) — records enter the comparison in the same
+        # space and under the same exclusion or extension ≠ rebuild
+        records = records.where(_norm_expr(F.col("embedding")) > 0).select(
             "vec_id", _unit_normalize(F.col("embedding")).alias("embedding")
         )
-    n_new = new.count()
-    if n_new == 0:
-        # nothing to index; still refresh the fingerprint so a
-        # metadata-only records version bump stops reading as stale
-        meta["fingerprint"] = _records_fingerprint(db)
-        atomic_write_text(path, json.dumps(meta))
-        db._hnsw_cache = None
-        return 0
-    extended = extend_hnsw_graph(
-        graph,
-        new,
-        shards=int(meta["shards"]),
-        m=int(meta["m"]),
-        ef_construction=int(meta["ef_construction"]),
-        id_type="string",
+    j = graph.select("vec_id", F.col("embedding").alias("g_emb")).join(
+        records, "vec_id", "full_outer"
     )
-    table.write(extended)
+    n_changed = j.where(
+        F.col("g_emb").isNotNull()
+        & F.col("embedding").isNotNull()
+        & (F.col("embedding").cast("array<float>") != F.col("g_emb"))
+    ).count()
+    if n_changed:
+        raise _IAE(
+            f"extend_hnsw found {n_changed} record(s) whose vector "
+            "changed since the build (delete + re-insert under the same "
+            "id) — serving them from their old graph position would "
+            "silently degrade recall: run build_hnsw to rebuild"
+        )
+    tombs = set(meta.get("tombstones", []))
+    removed_df = j.where(F.col("embedding").isNull()).select("vec_id")
+    n_removed = removed_df.count()
+    if len(tombs) + n_removed > max_tombstones:  # conservative pre-bound
+        n_dead = removed_df.where(
+            ~F.col("vec_id").isin(list(tombs)) if tombs else F.lit(True)
+        ).count()
+        if len(tombs) + n_dead > max_tombstones:
+            raise _IAE(
+                f"{len(tombs) + n_dead} tombstones exceed max_tombstones="
+                f"{max_tombstones}: the widened beams now cost more than "
+                "a rebuild amortizes — run build_hnsw"
+            )
+    tombs |= {r["vec_id"] for r in removed_df.collect()}
+    new = j.where(F.col("g_emb").isNull()).select("vec_id", "embedding")
+    n_new = new.count()
+    if n_new:
+        extended = extend_hnsw_graph(
+            graph,
+            new,
+            shards=int(meta["shards"]),
+            m=int(meta["m"]),
+            ef_construction=int(meta["ef_construction"]),
+            id_type="string",
+        )
+        table.write(extended)
+    if tombs:
+        meta["tombstones"] = sorted(tombs)
     meta["fingerprint"] = _records_fingerprint(db)
     atomic_write_text(path, json.dumps(meta))
     db._hnsw_cache = None
@@ -974,8 +1021,24 @@ def tombstone_hnsw(db, max_tombstones: int = 4096) -> int:
         F.col("id").alias("vec_id"), "embedding"
     )
     if meta.get("metric", "euclidean") == "cosine":
-        records = records.select(
+        # mirror the build's space: unit vectors, zero-norm rows
+        # excluded (they are intentionally un-indexed under cosine)
+        records = records.where(_norm_expr(F.col("embedding")) > 0).select(
             "vec_id", _unit_normalize(F.col("embedding")).alias("embedding")
+        )
+    # appended-but-unindexed records must be refused BEFORE the
+    # fingerprint refresh below: blessing them would disarm the
+    # staleness gate and those rows would silently never be served
+    # (r8 review finding) — index appends first, then tombstone
+    n_unindexed = records.join(
+        graph.select("vec_id"), "vec_id", "left_anti"
+    ).count()
+    if n_unindexed:
+        raise _IAE(
+            f"tombstone_hnsw found {n_unindexed} record(s) not in the "
+            "graph (appended since the last build/extend): run "
+            "extend_hnsw first — refreshing the fingerprint over "
+            "un-indexed rows would silently drop them from every result"
         )
     # one pass splits graph ids into survivors (vector must bit-match
     # the graph's stored copy) and deletions; a survivor with a CHANGED

@@ -351,14 +351,31 @@ def event_funnel(
         .cast("bigint")
         .alias("n_users")
     )
+    # anchor on a driver-built steps frame so EVERY step emits a row
+    # even when no user performed it (zero events of the step types →
+    # counts is empty, but the funnel's shape is |steps| rows with
+    # n_users=0 — the oracle's UNION ALL form, r8 review finding)
+    steps_df = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step bigint, step_name string",
+    )
+    base = steps_df.join(
+        counts.select(F.col("step").cast("bigint").alias("step"), "n_users"),
+        "step",
+        "left",
+    ).select(
+        "step",
+        "step_name",
+        F.coalesce("n_users", F.lit(0)).cast("bigint").alias("n_users"),
+    )
     # k-row bounded window: conversion relative to step 1
     w = Window.orderBy("step").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     first_n = F.max(F.when(F.col("step") == 1, F.col("n_users"))).over(w)
-    return counts.select(
-        F.col("step").cast("bigint").alias("step"),
-        F.element_at(steps_lit, F.col("step")).alias("step_name"),
+    return base.select(
+        "step",
+        "step_name",
         "n_users",
         F.when(
             first_n > 0,

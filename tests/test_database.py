@@ -618,9 +618,24 @@ def test_hnsw_extend_appends_without_rebuild(spark, tmp_path):
     # fresh graph + no new records -> no-op refresh
     assert extend_hnsw(db) == 0
 
-    # a delete is NOT an append: extension refuses, rebuild required
+    # a delete is not an append: extension records it as a TOMBSTONE
+    # (r8 — the refuse-deadlock fix) and serving matches the exact
+    # path over the shrunken table
     db.delete("r00000")
-    with pytest.raises(InvalidArgumentError, match="pure appends"):
+    assert extend_hnsw(db) == 0
+    exact = db.query([0.0] * DIM, k=5)
+    approx = db.query([0.0] * DIM, k=5, approx="hnsw")
+    assert [(r["id"], r["distance"]) for r in approx] == [
+        (r["id"], r["distance"]) for r in exact
+    ]
+    assert all(r["id"] != "r00000" for r in approx)
+
+    # a delete + re-insert under the SAME id with a different vector is
+    # an UPDATE: the bit-compare refuses (the id-only check used to let
+    # this serve from its stale graph position forever)
+    db.delete("r00005")
+    db.insert([12345.0] * DIM, {"number": 5.0}, record_id="r00005")
+    with pytest.raises(InvalidArgumentError, match="changed"):
         extend_hnsw(db)
 
 
@@ -907,3 +922,121 @@ def test_hnsw_resident_cache_byte_budget(spark, tmp_path, monkeypatch):
     _, hit = _resident_shard(gpath, gtoken, 0)
     assert hit is True
     assert len(hnsw._RESIDENT_CACHE) == 2
+
+
+def test_hnsw_tombstone_review_pins(spark, tmp_path):
+    """r8 self-review regression pins: (1) tombstone_hnsw REFUSES when
+    appended records are not yet indexed — refreshing the fingerprint
+    over them would disarm the staleness gate and silently drop them
+    from every result; (2) tombstone maintenance does NOT rotate the
+    resident-cache token (only graph-content changes do), so warm
+    worker caches survive a metadata-only refresh; (3) the filtered
+    doubling ladder's exhaustive bound counts GRAPH nodes (live +
+    tombstoned) — a needle filter over a tombstone-carrying graph
+    still returns the exact path's rows."""
+    from oasysdb_spark.index.hnsw import (
+        build_hnsw,
+        extend_hnsw,
+        hnsw_serving_state,
+        tombstone_hnsw,
+    )
+
+    d = str(tmp_path / "db_hnsw_pins")
+    db = Database.configure(spark, d, dimension=DIM, metric="euclidean")
+    rows = [
+        (f"r{i:05d}", [float(i)] * DIM, {}, {"number": float(i)}, {})
+        for i in range(60)
+    ]
+    db.insert_batch(spark.createDataFrame(rows, RECORD_SCHEMA))
+    build_hnsw(db, m=8, ef_construction=50, shards=4)
+
+    # (1) append + delete together: tombstone must refuse until the
+    # append is indexed
+    db.insert([999.0] * DIM, {"number": 999.0}, record_id="r99999")
+    db.delete("r00000")
+    with pytest.raises(InvalidArgumentError, match="extend_hnsw first"):
+        tombstone_hnsw(db)
+    assert extend_hnsw(db) == 1
+    assert tombstone_hnsw(db) == 1
+    got = db.query([999.0] * DIM, k=1, approx="hnsw")
+    assert got[0]["id"] == "r99999" and got[0]["distance"] == 0.0
+
+    # (2) token stability: another tombstone round must not rotate it
+    _, _, tok_before, _ = hnsw_serving_state(db)
+    db.delete("r00001")
+    tombstone_hnsw(db)
+    _, _, tok_after, meta = hnsw_serving_state(db)
+    assert tok_before == tok_after
+    assert meta["tombstones"] == ["r00000", "r00001"]
+    # ...but a real graph change does rotate it
+    db.insert([777.0] * DIM, {"number": 777.0}, record_id="r77777")
+    extend_hnsw(db)
+    _, _, tok_extended, _ = hnsw_serving_state(db)
+    assert tok_extended != tok_after
+
+    # (3) needle filter + tombstones: exhaustive termination still exact
+    f_exact = db.query([1.0] * DIM, k=5, filter="number > 57")
+    f_hnsw = db.query([1.0] * DIM, k=5, filter="number > 57", approx="hnsw")
+    assert [(r["id"], r["distance"]) for r in f_hnsw] == [
+        (r["id"], r["distance"]) for r in f_exact
+    ]
+
+
+def test_hnsw_cosine_zero_vectors_excluded(spark, tmp_path):
+    """r8 self-review pin: zero-norm rows never enter a cosine graph
+    (at the origin they'd sit distance 1 from every unit vector and
+    crowd the beam while being unservable — the exact path NULLs their
+    cosine distance). Serving matches the exact path with zeros
+    present, and extension under zeros stays bit-identical to a fresh
+    rebuild."""
+    from oasysdb_spark.core.tables import VersionedTable
+    from oasysdb_spark.index.hnsw import GRAPH_DIR, build_hnsw, extend_hnsw
+
+    d = str(tmp_path / "db_hnsw_zeros")
+    db = Database.configure(spark, d, dimension=4, metric="cosine")
+    rows = [
+        (f"z{i:05d}", [0.0, 0.0, 0.0, 0.0], {}, {}, {}) for i in range(30)
+    ] + [
+        (
+            f"v{i:05d}",
+            [1.0, float(i) * 0.01, 0.0, 0.0],
+            {},
+            {},
+            {},
+        )
+        for i in range(30)
+    ]
+    db.insert_batch(spark.createDataFrame(rows, RECORD_SCHEMA))
+    build_hnsw(db, m=8, ef_construction=50, shards=4)
+    g = VersionedTable(f"{d}/{GRAPH_DIR}").read(spark)
+    assert g.count() == 30  # zeros excluded
+    assert g.where(F.col("vec_id").startswith("z")).isEmpty()
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    exact = db.query(q, k=10)
+    approx = db.query(q, k=10, rerank=10, approx="hnsw")
+    assert [(r["id"], r["distance"]) for r in approx] == [
+        (r["id"], r["distance"]) for r in exact
+    ]
+    assert len(approx) == 10
+
+    # extension with a mixed batch (one zero, one real): only the real
+    # row is indexed, and the result equals a from-scratch rebuild
+    more = [
+        ("z99999", [0.0] * 4, {}, {}, {}),
+        ("w00000", [0.0, 0.0, 1.0, 0.0], {}, {}, {}),
+    ]
+    db.insert_batch(spark.createDataFrame(more, RECORD_SCHEMA))
+    assert extend_hnsw(db) == 1
+    ext_rows = sorted(
+        tuple(map(str, r))
+        for r in VersionedTable(f"{d}/{GRAPH_DIR}").read(spark).collect()
+    )
+    build_hnsw(db, m=8, ef_construction=50, shards=4)
+    fresh_rows = sorted(
+        tuple(map(str, r))
+        for r in VersionedTable(f"{d}/{GRAPH_DIR}").read(spark).collect()
+    )
+    assert ext_rows == fresh_rows
+    res = db.query([0.0, 0.0, 1.0, 0.0], k=1, approx="hnsw")
+    assert res[0]["id"] == "w00000" and res[0]["distance"] == 0.0

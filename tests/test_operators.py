@@ -5041,3 +5041,29 @@ def test_edit_distance_pairs_adversarial_truth(spark):
     assert ("ab", "ba") not in got and lev("ab", "ba") == 2  # transposition
     assert ("cafe", "café") in got  # unicode substitution
     assert ("a", "ab") in got and ("a", "b") in got  # "" hot bucket
+
+
+def test_event_funnel_empty_events_matches_oracle_shape(spark, tmp_path):
+    """r8 self-review pin: with ZERO events of the funnel's step types
+    the op must still emit one row per step with n_users=0 — the
+    oracle's UNION ALL shape — not an empty frame (the old groupBy-only
+    form returned 0 rows and would hash-mismatch a degenerate
+    fixture)."""
+    from oasysdb_spark.operators import relational as rel
+
+    d = str(tmp_path / "empty_sf")
+    spark.createDataFrame(
+        [(0, 7, "scroll", "2024-01-01 00:00:00")],
+        "event_id bigint, user_id bigint, event_type string, ts string",
+    ).selectExpr(
+        "event_id", "user_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts"
+    ).write.parquet(f"{d}/events.parquet")
+
+    rows = sorted(
+        tuple(r) for r in rel.event_funnel(spark, d).collect()
+    )
+    assert rows == [
+        (1, "view", 0, 0.0),
+        (2, "click", 0, 0.0),
+        (3, "purchase", 0, 0.0),
+    ]

@@ -142,7 +142,8 @@ def main() -> None:
     for t_shards in (1, 8, 32):
         want = {s for s in range(t_shards)}
         ids = [rid for rid in pool if shard_of(rid, SHARDS) in want][:512]
-        pool = [rid for rid in pool if rid not in set(ids)]
+        taken = set(ids)
+        pool = [rid for rid in pool if rid not in taken]
         more = [
             (
                 rid,
