@@ -1528,7 +1528,12 @@ def oracle_sql() -> dict[str, str]:
         f"AS BIGINT) AS c{t}"
         for t in range(8)
     )
-    _g256_ham = " + ".join(f"bit_count(xor(a.c{t}, b.c{t}))" for t in range(8))
+    # DuckDB's bit_count returns TINYINT: eight 32-bit chunks can sum
+    # to 256 > 127, overflowing on any pair whose running sum crosses
+    # 128 (surfaced by the sf0.001 gate, r8) — cast each term first
+    _g256_ham = " + ".join(
+        f"CAST(bit_count(xor(a.c{t}, b.c{t})) AS INTEGER)" for t in range(8)
+    )
     q["multimodal_dhash_near_pairs"] = f"""
         WITH {_dhash_ctes},
         grad AS (
@@ -1959,10 +1964,12 @@ def oracle_sql() -> dict[str, str]:
                     LEFT JOIN sims0 s0 ON d.doc_id = s0.doc_id
                     LEFT JOIN sims1 s1 ON d.doc_id = s1.doc_id)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(bit_count(xor(a.w0, b.w0))
-                  + bit_count(xor(a.w1, b.w1)) AS BIGINT) AS hamming
+               CAST(CAST(bit_count(xor(a.w0, b.w0)) AS INTEGER)
+                  + CAST(bit_count(xor(a.w1, b.w1)) AS INTEGER)
+                    AS BIGINT) AS hamming
         FROM allsims a JOIN allsims b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 3
+        WHERE CAST(bit_count(xor(a.w0, b.w0)) AS INTEGER)
+            + CAST(bit_count(xor(a.w1, b.w1)) AS INTEGER) <= 3
         ORDER BY hamming, doc_a, doc_b LIMIT 50"""
 
     # uniform-target domain mixture: integer-ppm thresholds from corpus
