@@ -125,10 +125,11 @@ def build_parser() -> argparse.ArgumentParser:
                     "before quantizing; composes with --residual")
     bp.add_argument("--opq-iter", type=int, default=5)
 
-    add("extend-hnsw",
-        help="ingest maintenance for the HNSW graph: index appended "
-        "records (touched shards only) and record deletions as "
-        "tombstones; changed vectors (same-id re-insert) refuse")
+    eh = add("extend-hnsw",
+             help="ingest maintenance for the HNSW graph: index appended "
+             "records (touched shards only) and record deletions as "
+             "tombstones; changed vectors (same-id re-insert) refuse")
+    eh.add_argument("--max-tombstones", type=int, default=4096)
 
     th = add("tombstone-hnsw",
              help="record deleted ids as HNSW tombstones so serving "
@@ -416,7 +417,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "extend-hnsw":
         from oasysdb_spark.index.hnsw import extend_hnsw
 
-        n = extend_hnsw(db)
+        n = extend_hnsw(db, max_tombstones=args.max_tombstones)
         _emit({"ok": True, "n_new": n})
     elif args.cmd == "tombstone-hnsw":
         from oasysdb_spark.index.hnsw import tombstone_hnsw

@@ -328,6 +328,20 @@ def _unit_normalize(col):
     return F.transform(col, lambda x: (x.cast("double") / nrm).cast("float"))
 
 
+def _graph_space_records(records: DataFrame, metric: str) -> DataFrame:
+    """Records projected into the graph's vector space: unit-normalized
+    with zero-norm rows EXCLUDED under cosine, identity otherwise. The
+    ONE definition every maintenance site shares (build / extend /
+    tombstone) — the extension == rebuild bit-identity and the
+    changed-vector classification both depend on all of them agreeing,
+    so the rule lives in one place (r8 review)."""
+    if metric != "cosine":
+        return records
+    return records.where(_norm_expr(F.col("embedding")) > 0).select(
+        "vec_id", _unit_normalize(F.col("embedding")).alias("embedding")
+    )
+
+
 def _shard_of(vec_id_col, shards: int):
     """The ONE shard-assignment expression (build and extension must
     agree or extension rebuilds the wrong shards)."""
@@ -699,21 +713,19 @@ def build_hnsw(
     records = db.records_df().select(
         F.col("id").alias("vec_id"), "embedding"
     )
-    if metric == "cosine":
-        # cosine order ≡ euclidean order on unit vectors (‖a−b‖² =
-        # 2 − 2·cos when ‖a‖=‖b‖=1, reference metric family
-        # /root/reference/src/types/metric.rs:13-16): store the graph
-        # over NORMALIZED vectors, beam normalized queries through it,
-        # and let the exact re-rank run the true cosine expression on
-        # the raw records — candidate order is preserved, output values
-        # bit-match the exact query path. Zero-norm rows are EXCLUDED
-        # from the graph: cosine is undefined for them (the exact path
-        # NULLs them out of every result), and at the origin they'd sit
-        # distance 1 from every unit vector — crowding the beam with
-        # unservable nodes (r8 review finding)
-        records = records.where(_norm_expr(F.col("embedding")) > 0).select(
-            "vec_id", _unit_normalize(F.col("embedding")).alias("embedding")
-        )
+    # cosine order ≡ euclidean order on unit vectors (‖a−b‖² = 2 − 2·cos
+    # when ‖a‖=‖b‖=1, reference metric family
+    # /root/reference/src/types/metric.rs:13-16): store the graph over
+    # NORMALIZED vectors, beam normalized queries through it, and let
+    # the exact re-rank run the true cosine expression on the raw
+    # records — candidate order preserved, output values bit-match the
+    # exact query path. Zero-norm rows are EXCLUDED from a cosine
+    # graph: cosine is undefined for them (the exact path NULLs them
+    # out of every result), and at the origin they'd sit distance 1
+    # from every unit vector — crowding the beam with unservable nodes
+    # (r8 review finding). _graph_space_records is the one shared
+    # definition of this projection.
+    records = _graph_space_records(records, metric)
     if shards is None:
         shards = max(2, db.spark.sparkContext.defaultParallelism)
     graph = graph_from_df(
@@ -887,7 +899,11 @@ def extend_hnsw(db, max_tombstones: int = 4096) -> int:
       at the records join, serving widens ef by their count), bounded
       by ``max_tombstones``, so the normal ingest pattern of appends
       and deletes arriving TOGETHER needs one call, not a
-      refuse-deadlock (r8 review finding);
+      refuse-deadlock (r8 review finding). The list is REPLACED with
+      the freshly-computed dead set each call, so a tombstoned id
+      re-inserted bit-identically (resurrection) leaves the list
+      automatically instead of accumulating toward a spurious
+      max_tombstones refusal;
     - **changed vectors** (id in both, stored vector ≠ graph vector —
       i.e. a delete + re-insert under the same id): REFUSED with the
       rebuild error. This bit-compare is load-bearing: the previous
@@ -916,60 +932,66 @@ def extend_hnsw(db, max_tombstones: int = 4096) -> int:
         ) from None
     table = VersionedTable(os.path.join(db.dir, GRAPH_DIR))
     graph = table.read(db.spark)
-    records = db.records_df().select(
-        F.col("id").alias("vec_id"), "embedding"
+    records = _graph_space_records(
+        db.records_df().select(F.col("id").alias("vec_id"), "embedding"),
+        meta.get("metric", "euclidean"),
     )
-    cosine = meta.get("metric", "euclidean") == "cosine"
-    if cosine:
-        # the graph holds unit vectors with zero-norm rows EXCLUDED
-        # (build_hnsw) — records enter the comparison in the same
-        # space and under the same exclusion or extension ≠ rebuild
-        records = records.where(_norm_expr(F.col("embedding")) > 0).select(
-            "vec_id", _unit_normalize(F.col("embedding")).alias("embedding")
-        )
-    j = graph.select("vec_id", F.col("embedding").alias("g_emb")).join(
-        records, "vec_id", "full_outer"
+    # ONE persisted full-outer pass feeds every classification action
+    # below (counts, the dead-id collect, the extension input) — the
+    # unpersisted form re-ran the join per action, ~5-7 table scans
+    # per maintenance call (r8 review)
+    j = (
+        graph.select("vec_id", F.col("embedding").alias("g_emb"))
+        .join(records, "vec_id", "full_outer")
+        .persist()
     )
-    n_changed = j.where(
-        F.col("g_emb").isNotNull()
-        & F.col("embedding").isNotNull()
-        & (F.col("embedding").cast("array<float>") != F.col("g_emb"))
-    ).count()
-    if n_changed:
-        raise _IAE(
-            f"extend_hnsw found {n_changed} record(s) whose vector "
-            "changed since the build (delete + re-insert under the same "
-            "id) — serving them from their old graph position would "
-            "silently degrade recall: run build_hnsw to rebuild"
-        )
-    tombs = set(meta.get("tombstones", []))
-    removed_df = j.where(F.col("embedding").isNull()).select("vec_id")
-    n_removed = removed_df.count()
-    if len(tombs) + n_removed > max_tombstones:  # conservative pre-bound
-        n_dead = removed_df.where(
-            ~F.col("vec_id").isin(list(tombs)) if tombs else F.lit(True)
+    try:
+        n_changed = j.where(
+            F.col("g_emb").isNotNull()
+            & F.col("embedding").isNotNull()
+            & (F.col("embedding").cast("array<float>") != F.col("g_emb"))
         ).count()
-        if len(tombs) + n_dead > max_tombstones:
+        if n_changed:
             raise _IAE(
-                f"{len(tombs) + n_dead} tombstones exceed max_tombstones="
+                f"extend_hnsw found {n_changed} record(s) whose vector "
+                "changed since the build (delete + re-insert under the "
+                "same id) — serving them from their old graph position "
+                "would silently degrade recall: run build_hnsw to rebuild"
+            )
+        # the dead set (graph ids with no live record) IS the tombstone
+        # list — recomputing it wholesale rather than unioning onto the
+        # stored list reconciles RESURRECTIONS for free: a tombstoned id
+        # re-inserted bit-identically classifies as an unchanged
+        # survivor and simply leaves the list (r8 review — the union
+        # form let dead entries accumulate until a spurious
+        # max_tombstones rebuild refusal)
+        dead_df = j.where(F.col("embedding").isNull()).select("vec_id")
+        n_dead = dead_df.count()
+        if n_dead > max_tombstones:
+            raise _IAE(
+                f"{n_dead} tombstones exceed max_tombstones="
                 f"{max_tombstones}: the widened beams now cost more than "
                 "a rebuild amortizes — run build_hnsw"
             )
-    tombs |= {r["vec_id"] for r in removed_df.collect()}
-    new = j.where(F.col("g_emb").isNull()).select("vec_id", "embedding")
-    n_new = new.count()
-    if n_new:
-        extended = extend_hnsw_graph(
-            graph,
-            new,
-            shards=int(meta["shards"]),
-            m=int(meta["m"]),
-            ef_construction=int(meta["ef_construction"]),
-            id_type="string",
-        )
-        table.write(extended)
+        tombs = sorted(r["vec_id"] for r in dead_df.collect())
+        new = j.where(F.col("g_emb").isNull()).select("vec_id", "embedding")
+        n_new = new.count()
+        if n_new:
+            extended = extend_hnsw_graph(
+                graph,
+                new,
+                shards=int(meta["shards"]),
+                m=int(meta["m"]),
+                ef_construction=int(meta["ef_construction"]),
+                id_type="string",
+            )
+            table.write(extended)
+    finally:
+        j.unpersist()
     if tombs:
-        meta["tombstones"] = sorted(tombs)
+        meta["tombstones"] = tombs
+    else:
+        meta.pop("tombstones", None)
     meta["fingerprint"] = _records_fingerprint(db)
     atomic_write_text(path, json.dumps(meta))
     db._hnsw_cache = None
@@ -994,13 +1016,15 @@ def tombstone_hnsw(db, max_tombstones: int = 4096) -> int:
     absent (a deletion). One maintenance-time join, no query-time cost
     beyond the widened ef.
 
-    Tombstones accumulate across calls; past ``max_tombstones`` the
-    widened beams stop being "small overhead" and the call refuses with
-    the rebuild hint — that is the measured crossover to build_hnsw
-    (SURVEY §6). build_hnsw resets the list; extend_hnsw tolerates and
-    preserves it (its touched-shard rebuilds re-index dead vectors —
-    harmless: they stay tombstoned and still drop at the join).
-    Returns the TOTAL tombstone count now in force."""
+    The list is REPLACED with the freshly-computed dead set each call
+    (resurrected ids leave it automatically); past ``max_tombstones``
+    the widened beams stop being "small overhead" and the call refuses
+    with the rebuild hint — that is the measured crossover to
+    build_hnsw (SURVEY §6). build_hnsw resets the list; extend_hnsw
+    maintains it in the same classification pass (its touched-shard
+    rebuilds re-index dead vectors — harmless: they stay tombstoned
+    and still drop at the join). Returns the TOTAL tombstone count now
+    in force."""
     import json
     import os
 
@@ -1017,60 +1041,64 @@ def tombstone_hnsw(db, max_tombstones: int = 4096) -> int:
             "HNSW tier not built: call build_hnsw before tombstone_hnsw"
         ) from None
     graph = VersionedTable(os.path.join(db.dir, GRAPH_DIR)).read(db.spark)
-    records = db.records_df().select(
-        F.col("id").alias("vec_id"), "embedding"
+    records = _graph_space_records(
+        db.records_df().select(F.col("id").alias("vec_id"), "embedding"),
+        meta.get("metric", "euclidean"),
     )
-    if meta.get("metric", "euclidean") == "cosine":
-        # mirror the build's space: unit vectors, zero-norm rows
-        # excluded (they are intentionally un-indexed under cosine)
-        records = records.where(_norm_expr(F.col("embedding")) > 0).select(
-            "vec_id", _unit_normalize(F.col("embedding")).alias("embedding")
-        )
-    # appended-but-unindexed records must be refused BEFORE the
-    # fingerprint refresh below: blessing them would disarm the
-    # staleness gate and those rows would silently never be served
-    # (r8 review finding) — index appends first, then tombstone
-    n_unindexed = records.join(
-        graph.select("vec_id"), "vec_id", "left_anti"
-    ).count()
-    if n_unindexed:
-        raise _IAE(
-            f"tombstone_hnsw found {n_unindexed} record(s) not in the "
-            "graph (appended since the last build/extend): run "
-            "extend_hnsw first — refreshing the fingerprint over "
-            "un-indexed rows would silently drop them from every result"
-        )
-    # one pass splits graph ids into survivors (vector must bit-match
-    # the graph's stored copy) and deletions; a survivor with a CHANGED
-    # vector is an update — refused
-    joined = graph.select(
-        "vec_id", F.col("embedding").alias("g_emb")
-    ).join(records, "vec_id", "left_outer")
-    n_updated = joined.where(
-        F.col("embedding").isNotNull()
-        & (F.col("embedding").cast("array<float>") != F.col("g_emb"))
-    ).count()
-    if n_updated:
-        raise _IAE(
-            f"tombstone_hnsw handles pure deletes only: {n_updated} "
-            "record(s) changed their vector since the build (update "
-            "detected) — run build_hnsw to rebuild the graph"
-        )
-    dead_df = joined.where(F.col("embedding").isNull()).select("vec_id")
-    # bound the collect BEFORE collecting: a mass delete must refuse,
-    # not pull an unbounded id list to the driver (dead ⊇ the already
-    # recorded tombstones — graph rows keep dead ids — so its count
-    # alone is the total)
-    n_dead = dead_df.count()
-    if n_dead > max_tombstones:
-        raise _IAE(
-            f"{n_dead} tombstones exceed max_tombstones="
-            f"{max_tombstones}: the widened beams now cost more than a "
-            "rebuild amortizes — run build_hnsw"
-        )
-    dead = [r["vec_id"] for r in dead_df.collect()]
-    tombs = sorted(set(meta.get("tombstones", [])) | set(dead))
-    meta["tombstones"] = tombs
+    # ONE persisted full-outer pass classifies the whole delta —
+    # unindexed appends, updates, deletions — instead of a dedicated
+    # join per check (r8 review)
+    j = (
+        graph.select("vec_id", F.col("embedding").alias("g_emb"))
+        .join(records, "vec_id", "full_outer")
+        .persist()
+    )
+    try:
+        # appended-but-unindexed records must be refused BEFORE the
+        # fingerprint refresh below: blessing them would disarm the
+        # staleness gate and those rows would silently never be served
+        # (r8 review finding) — index appends first, then tombstone
+        n_unindexed = j.where(F.col("g_emb").isNull()).count()
+        if n_unindexed:
+            raise _IAE(
+                f"tombstone_hnsw found {n_unindexed} record(s) not in "
+                "the graph (appended since the last build/extend): run "
+                "extend_hnsw first — refreshing the fingerprint over "
+                "un-indexed rows would silently drop them from every "
+                "result"
+            )
+        # survivors must bit-match the graph's stored vector; a CHANGED
+        # vector is an update — refused
+        n_updated = j.where(
+            F.col("embedding").isNotNull()
+            & F.col("g_emb").isNotNull()
+            & (F.col("embedding").cast("array<float>") != F.col("g_emb"))
+        ).count()
+        if n_updated:
+            raise _IAE(
+                f"tombstone_hnsw handles pure deletes only: {n_updated} "
+                "record(s) changed their vector since the build (update "
+                "detected) — run build_hnsw to rebuild the graph"
+            )
+        dead_df = j.where(F.col("embedding").isNull()).select("vec_id")
+        # bound the collect BEFORE collecting: a mass delete must
+        # refuse, not pull an unbounded id list to the driver (dead ⊇
+        # the already recorded tombstones — graph rows keep dead ids —
+        # so its count alone is the total)
+        n_dead = dead_df.count()
+        if n_dead > max_tombstones:
+            raise _IAE(
+                f"{n_dead} tombstones exceed max_tombstones="
+                f"{max_tombstones}: the widened beams now cost more "
+                "than a rebuild amortizes — run build_hnsw"
+            )
+        tombs = sorted(r["vec_id"] for r in dead_df.collect())
+    finally:
+        j.unpersist()
+    if tombs:
+        meta["tombstones"] = tombs
+    else:
+        meta.pop("tombstones", None)
     meta["fingerprint"] = _records_fingerprint(db)
     atomic_write_text(path, json.dumps(meta))
     db._hnsw_cache = None

@@ -968,6 +968,17 @@ def test_hnsw_tombstone_review_pins(spark, tmp_path):
     _, _, tok_after, meta = hnsw_serving_state(db)
     assert tok_before == tok_after
     assert meta["tombstones"] == ["r00000", "r00001"]
+
+    # (2b) RESURRECTION reconciles: a tombstoned id re-inserted
+    # bit-identically leaves the list (the union form accumulated dead
+    # entries toward a spurious max_tombstones rebuild refusal) and
+    # serves again
+    db.insert([0.0] * DIM, {"number": 0.0}, record_id="r00000")
+    assert extend_hnsw(db) == 0  # already in the graph, vector unchanged
+    _, _, _, meta = hnsw_serving_state(db)
+    assert meta["tombstones"] == ["r00001"]
+    back = db.query([0.0] * DIM, k=1, approx="hnsw")
+    assert back[0]["id"] == "r00000" and back[0]["distance"] == 0.0
     # ...but a real graph change does rotate it
     db.insert([777.0] * DIM, {"number": 777.0}, record_id="r77777")
     extend_hnsw(db)
