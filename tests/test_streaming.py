@@ -1173,3 +1173,88 @@ def test_stream_ingest_maintains_hnsw(spark, tmp_path):
     q2.awaitTermination(120)
     assert db.count() == 30
     assert db.query([109.0, 0.0], k=1, approx="hnsw")[0]["id"] == "t0009"
+
+
+def test_fuzzy_match_stream_matches_batch_and_truth(spark, sf_dir, tmp_path):
+    """The streaming fuzzy-name lookup must flag exactly the rows the
+    batch op flags (same closure), both must equal a Python quadratic
+    Levenshtein truth over the bipartite (stream x reference) grid, a
+    checkpointed restart must not re-emit, and an oversized reference
+    side must raise the documented boundary error."""
+    import pytest as _pytest
+
+    from oasysdb_spark.errors import InvalidArgumentError
+    from oasysdb_spark.operators.similarity_join import fuzzy_match_against
+    from oasysdb_spark.streaming.ingest import fuzzy_match_stream_flags
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    stream_names = cust.where(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_name").alias("name")
+    )
+    reference = cust.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_name").alias("name")
+    )
+    src = str(tmp_path / "names_src")
+    stream_names.write.parquet(src)
+
+    out = str(tmp_path / "fz_out")
+
+    def run():
+        stream = spark.readStream.schema(stream_names.schema).parquet(src)
+        flags = fuzzy_match_stream_flags(stream, reference)
+        q = (
+            flags.writeStream.format("parquet")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt_fz"))
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    got = run()
+    batch = sorted(
+        tuple(r)
+        for r in fuzzy_match_against(stream_names, reference).collect()
+    )
+    assert got == batch
+    assert got  # sequential customer names guarantee dist-1 hits
+
+    # quadratic truth over the bipartite grid (python DP)
+    def lev(s, t):
+        if len(s) < len(t):
+            s, t = t, s
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (cs != ct))
+                )
+            prev = cur
+        return prev[-1]
+
+    s_names = [r["name"] for r in stream_names.collect()]
+    r_names = sorted({r["name"] for r in reference.collect()})
+    truth = sorted(
+        (nm, ref, lev(nm, ref))
+        for nm in s_names
+        for ref in r_names
+        if lev(nm, ref) <= 1
+    )
+    assert got == truth
+    # bipartite: no same-side pairs, dist 0 impossible here (disjoint
+    # key slices), every dist is exactly 1
+    assert all(d == 1 for (_, _, d) in got)
+
+    # restart over the same checkpoint + source: sink unchanged
+    assert run() == got
+
+    with _pytest.raises(InvalidArgumentError):
+        fuzzy_match_stream_flags(
+            spark.readStream.schema(stream_names.schema).parquet(src),
+            reference,
+            max_reference=3,
+        )
