@@ -655,6 +655,7 @@ def random_projection(
     sf_dir: str | None = None,
     dim_out: int = 16,
     embs: DataFrame | None = None,
+    max_codegen_terms: int = 4096,
 ) -> DataFrame:
     """Deterministic sign random projection (Achlioptas 2003,
     "Database-friendly random projections": ±1 entries satisfy the
@@ -670,11 +671,32 @@ def random_projection(
     order — the cross-engine float discipline (DuckDB replays the same
     left-associated chain bit-for-bit).
 
-    Scale shape: a pure narrow map — dim_in×dim_out literal-sign adds
-    inside whole-stage codegen (no UDF, no matrix broadcast, no
-    shuffle); at 100 TB this runs at scan speed. The unrolled-terms
-    form is the r7 lesson (higher-order folds are interpreted; ±
-    chains codegen)."""
+    Scale shape: a pure narrow map, two value-identical engines picked
+    by term count (``dim_in × dim_out``):
+
+    - at or below ``max_codegen_terms`` (default 4096 — the fixture's
+      64→16 = 1024 sits comfortably under it): literal-sign ± chains
+      inside whole-stage codegen (no UDF, no matrix broadcast, no
+      shuffle) — the r7 lesson (higher-order folds are interpreted;
+      ± chains codegen), runs at scan speed;
+    - above it, or past chain DEPTH 256 (measured, r9: a 768-deep ±
+      chain never reaches codegen — Spark 4's per-node-recursive
+      ColumnNodeToExpressionConverter throws StackOverflowError at
+      plan conversion; depth 384 still converts on the default JVM
+      stack but the knee is a JVM -Xss artifact, so the guard stays
+      conservative at 256 — and even below the overflow, Janino
+      method-size limits + quadratic Catalyst analysis make ~98k
+      nodes interpreted-slow): an Arrow-batched numpy twin
+      (``mapInPandas``) that accumulates the SAME left-associated
+      ascending-dimension float64 chain vectorized over the batch —
+      IEEE addition order identical term for term, so the two engines
+      are bit-equal (pinned by the pytest equivalence gate). The twin
+      emits raw sums; the shared final projection applies the same
+      ``round(x / √k, 6)`` Spark expression on both paths.
+
+    Still zero-shuffle on either path; at 100 TB both run at scan
+    speed, the twin bounded by one ``rows × dim_out`` float64 batch
+    buffer."""
     import math
 
     from oasysdb_spark.errors import InvalidArgumentError
@@ -692,19 +714,64 @@ def random_projection(
         )
     signs = rp_sign_matrix(dim_in, dim_out)
     scale = math.sqrt(float(dim_out))
-    cols = [F.col("vec_id")]
-    for j in range(dim_out):
-        acc = None
-        for i in range(dim_in):
-            term = F.element_at("embedding", i + 1).cast("double")
-            if acc is None:
-                acc = term if signs[i][j] > 0 else -term
-            elif signs[i][j] > 0:
-                acc = acc + term
-            else:
-                acc = acc - term
-        cols.append(F.round(acc / F.lit(scale), 6).alias(f"rp_{j:02d}"))
-    return embs.select(*cols)
+    out_names = [f"rp_{j:02d}" for j in range(dim_out)]
+
+    if dim_in * dim_out <= max_codegen_terms and dim_in <= 256:
+        cols = [F.col("vec_id")]
+        for j in range(dim_out):
+            acc = None
+            for i in range(dim_in):
+                term = F.element_at("embedding", i + 1).cast("double")
+                if acc is None:
+                    acc = term if signs[i][j] > 0 else -term
+                elif signs[i][j] > 0:
+                    acc = acc + term
+                else:
+                    acc = acc - term
+            cols.append(
+                F.round(acc / F.lit(scale), 6).alias(out_names[j])
+            )
+        return embs.select(*cols)
+
+    # GEMM twin: same chain, vectorized over the Arrow batch. np.float64
+    # widening of float32 inputs is exact (like the CAST above); x - e is
+    # IEEE-defined as x + (-e) and ±1.0 * e flips only the sign bit, so
+    # each per-row accumulator sees the bit-identical sequence of adds.
+    import numpy as np
+    import pandas as pd
+
+    sgn = np.asarray(signs, dtype=np.float64)  # dim_in × dim_out
+    raw_names = [f"__s_{j:02d}" for j in range(dim_out)]
+    out_schema = "vec_id bigint, " + ", ".join(
+        f"{c} double" for c in raw_names
+    )
+
+    def _project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            # left-associated: start at ±e₀ (NOT 0 + ±e₀ — a -0.0 first
+            # term must survive), then fold dims in ascending order
+            acc = emb[:, 0:1] * sgn[0:1, :]
+            for i in range(1, dim_in):
+                acc = acc + emb[:, i : i + 1] * sgn[i : i + 1, :]
+            out = pd.DataFrame(acc, columns=raw_names)
+            out.insert(0, "vec_id", pdf["vec_id"].to_numpy())
+            yield out
+
+    raw = embs.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
+    ).mapInPandas(_project, schema=out_schema)
+    return raw.select(
+        "vec_id",
+        *[
+            F.round(F.col(r) / F.lit(scale), 6).alias(o)
+            for r, o in zip(raw_names, out_names)
+        ],
+    )
 
 
 def hybrid_search_rrf(
