@@ -940,22 +940,26 @@ def fuzzy_match_stream_flags(
     col: str = "name",
     ref_col: str = "name",
     max_reference: int = 200_000,
+    max_dist: int = 1,
 ) -> DataFrame:
     """Streaming twin of
     ``operators/similarity_join.fuzzy_match_against`` — entity
     resolution AT INGEST TIME: each arriving row emits ``(name,
     ref_name, dist)`` for every static reference name within
-    Levenshtein distance 1 of its ``col`` value (dist 0 = exact match).
-    Same SymSpell deletion index, same exact DP verify, same rows as
-    the batch op (pinned stream == batch in tests).
+    Levenshtein distance ``max_dist`` (1 or 2) of its ``col`` value
+    (dist 0 = exact match). Same SymSpell deletion index, same exact
+    verifier — the structural O(|s|) two-pointer check at d ≤ 1, the
+    banded Ukkonen-cutoff DP at d = 2 (never the full quadratic DP) —
+    same rows as the batch op (pinned stream == batch in tests).
 
     Shape: the reference index builds ONCE at plan-build time (bounded
-    by ``max_reference`` — beyond it the call refuses with a clean
-    error) and ships inside the ``mapInPandas`` closure — completely
-    STATELESS streaming: no watermark, no state store, no shuffle, so
-    the lookup runs at ingest line rate. Exactly-once handling of
-    re-delivered rows is the source/sink checkpoint's job (parquet
-    replay is idempotent, pinned in the test's restart pass)."""
+    by ``max_reference`` / ``max_index_entries`` — beyond either the
+    call refuses with a clean error) and ships as a SparkContext
+    BROADCAST into the ``mapInPandas`` tasks — completely STATELESS
+    streaming: no watermark, no state store, no shuffle, so the lookup
+    runs at ingest line rate. Exactly-once handling of re-delivered
+    rows is the source/sink checkpoint's job (parquet replay is
+    idempotent, pinned in the test's restart pass)."""
     from oasysdb_spark.operators.similarity_join import fuzzy_match_against
 
     return fuzzy_match_against(
@@ -964,4 +968,5 @@ def fuzzy_match_stream_flags(
         col=col,
         ref_col=ref_col,
         max_reference=max_reference,
+        max_dist=max_dist,
     )

@@ -5065,8 +5065,33 @@ def test_customer_fuzzy_matches_duckdb_oracle(spark, sf_dir):
     assert full == truth
     assert len(full) > 100  # the fixture genuinely exercises blocking
 
+    # d=2 (r8 judge task 7): the deletion-2 banding must equal the
+    # quadratic truth at radius 2 — real ER corpora have two-typo
+    # pairs, and the customer fixture has plenty (two digit subs)
+    full2 = sorted(
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in sj.edit_distance_pairs(
+            cust, col="c_name", max_dist=2
+        ).collect()
+    )
+    truth2 = sorted(
+        tuple(r)
+        for r in con.execute("""
+            WITH n AS (SELECT DISTINCT c_name AS nm FROM customer)
+            SELECT a.nm, b.nm, CAST(levenshtein(a.nm, b.nm) AS INTEGER)
+            FROM n a JOIN n b ON a.nm < b.nm
+            WHERE levenshtein(a.nm, b.nm) <= 2""").fetchall()
+    )
+    assert full2 == truth2
+    assert any(d == 2 for (_, _, d) in full2)  # radius-2 pairs bind
+
+    # wider radii refuse cleanly; so do over-long keys at d=2
     with _pytest.raises(InvalidArgumentError):
-        sj.edit_distance_pairs(cust, col="c_name", max_dist=2)
+        sj.edit_distance_pairs(cust, col="c_name", max_dist=3)
+    with _pytest.raises(InvalidArgumentError):
+        sj.edit_distance_pairs(
+            cust, col="c_name", max_dist=2, max_len_d2=5
+        )
 
 
 def test_edit_distance_pairs_adversarial_truth(spark):
@@ -5116,6 +5141,81 @@ def test_edit_distance_pairs_adversarial_truth(spark):
     assert ("ab", "ba") not in got and lev("ab", "ba") == 2  # transposition
     assert ("cafe", "café") in got  # unicode substitution
     assert ("a", "ab") in got and ("a", "b") in got  # "" hot bucket
+
+    # d=2 on the same adversarial set: transpositions now INCLUDED,
+    # three-apart strings still verified OUT
+    truth2 = sorted(
+        (a, b, lev(a, b))
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+        if lev(a, b) <= 2
+    )
+    truth2 = sorted((min(a, b), max(a, b), d) for a, b, d in truth2)
+    got2 = sorted(
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in edit_distance_pairs(df, col="name", max_dist=2).collect()
+    )
+    assert got2 == truth2
+    assert ("ab", "ba", 2) in got2  # the transposition binds at d=2
+    assert not any(a == "a" and b == "abcd" for a, b, _ in got2)  # lev 3
+
+
+def test_fuzzy_match_against_d2_matches_quadratic_truth(spark, sf_dir):
+    """Bipartite fuzzy lookup at max_dist=2 (r8 judge task 7): the
+    broadcast deletion-2 index + banded-DP verify must emit exactly
+    the quadratic bipartite truth, radius-2 hits must bind, and the
+    banded verifier itself is pinned against a full DP on adversarial
+    strings."""
+    from oasysdb_spark.operators import similarity_join as sj
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    probe = cust.where(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_name").alias("name")
+    )
+    reference = cust.where(F.col("c_custkey") % 5 != 0).select(
+        F.col("c_name").alias("name")
+    )
+    got = sorted(
+        tuple(r)
+        for r in sj.fuzzy_match_against(
+            probe, reference, max_dist=2
+        ).collect()
+    )
+
+    def lev(s, t):
+        if len(s) < len(t):
+            s, t = t, s
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (cs != ct))
+                )
+            prev = cur
+        return prev[-1]
+
+    p_names = [r["name"] for r in probe.collect()]
+    r_names = sorted({r["name"] for r in reference.collect()})
+    truth = sorted(
+        (p, r, lev(p, r))
+        for p in p_names
+        for r in r_names
+        if lev(p, r) <= 2
+    )
+    assert got == truth
+    assert any(d == 2 for (_, _, d) in got)
+
+    # the banded verifier == full DP on hand-built adversarial strings
+    cases = [
+        ("abc", "abc"), ("abc", "acb"), ("ab", "ba"), ("abc", "xbz"),
+        ("abcd", "cd"), ("", "ab"), ("a", "aaa"), ("kitten", "sitting"),
+        ("café", "caffe"), ("abcdef", "abzdxf"), ("xy", "yx"),
+    ]
+    for s, t in cases:
+        want = min(lev(s, t), 3)
+        assert sj._lev_capped(s, t, 2) == want, (s, t)
 
 
 def test_event_funnel_empty_events_matches_oracle_shape(spark, tmp_path):
