@@ -535,6 +535,28 @@ class Database:
     # query
     # ------------------------------------------------------------------
 
+    def _track_serving_broadcast(self, bc) -> None:
+        """Retain the newest HNSW query-batch broadcast and unpersist
+        the previous one: a long-lived serving session otherwise grows
+        executor broadcast memory without bound (one batch per query —
+        r8 ADVICE). ``unpersist`` — never ``destroy`` — so a caller
+        still holding an earlier query's lazy DataFrame re-fetches from
+        the driver on re-execution instead of failing."""
+        prev = getattr(self, "_serving_bcs", None)
+        if prev:
+            for old in prev:
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass  # already released / context gone
+        self._serving_bcs = [bc] if bc is not None else []
+
+    def release_serving_broadcasts(self) -> None:
+        """Unpersist any retained HNSW query-batch broadcast (call at
+        the end of a serving session; the next query re-creates its
+        own)."""
+        self._track_serving_broadcast(None)
+
     def query_df(
         self,
         vector: Iterable[float],
@@ -604,6 +626,7 @@ class Database:
                     "metrics only"
                 )
             from oasysdb_spark.index.hnsw import (
+                broadcast_queries,
                 hnsw_serving_state,
                 resident_candidates,
             )
@@ -653,15 +676,21 @@ class Database:
                 # cosine (zero-norm rows never enter the graph), which
                 # only means one extra rung, never a truncated one
                 n_total = recs.count() + n_tomb
+            # ONE broadcast per query, shared across every ladder rung
+            # (not one per rung), and the PREVIOUS query's broadcast is
+            # unpersisted — executor copies don't accumulate over a
+            # long-lived serving session (r8 ADVICE)
+            qb = broadcast_queries(self.spark, [(0, qbeam)])
+            self._track_serving_broadcast(qb)
             while True:
                 cand = resident_candidates(
                     self.spark,
                     gpath,
                     gshards,
                     gtoken,
-                    [(0, qbeam)],
                     ef_search=ef,
                     id_type="string",
+                    qb=qb,
                 ).select(F.col("vec_id").alias("id"))
                 df = recs.join(F.broadcast(cand), "id")
                 if filter is None:
@@ -919,6 +948,7 @@ class Database:
                     "metrics only"
                 )
             from oasysdb_spark.index.hnsw import (
+                broadcast_queries,
                 hnsw_serving_state,
                 resident_candidates,
             )
@@ -956,15 +986,19 @@ class Database:
                 # exhaustiveness bound = GRAPH nodes (live + tombstoned),
                 # not live records — see query_df's hnsw branch
                 n_total = recs.count() + n_tomb
+            # one broadcast for the whole batch, shared across ladder
+            # rungs; the previous batch's broadcast unpersists (r8 ADVICE)
+            qb = broadcast_queries(self.spark, beam_rows)
+            self._track_serving_broadcast(qb)
             while True:
                 cand = resident_candidates(
                     self.spark,
                     gpath,
                     gshards,
                     gtoken,
-                    beam_rows,
                     ef_search=ef,
                     id_type="string",
+                    qb=qb,
                 ).select("query_id", F.col("vec_id").alias("id"))
                 cand = cand.join(F.broadcast(queries), "query_id")
                 pairs = recs.join(F.broadcast(cand), "id")
