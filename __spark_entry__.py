@@ -120,49 +120,114 @@ def _bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver oracle-checks the FIRST 50 entries.
 
-    Round-8 rotation (window math: 122 entries, 50-slot window, every
+    Round-9 rotation (window math: 134 entries, 50-slot window, every
     out-of-window entry must hold a green row no older than round N-2):
 
-    (a) the eighteen r5-green leftovers whose latest green row is
-        CORRECTNESS_r05 — at the two-round staleness limit, so they
+    (a) the 22 r6-green leftovers whose latest green row is
+        CORRECTNESS_r06 — at the two-round staleness limit, so they
         MUST lead this window (pinned by name in tests/test_entry.py's
-        r7 deferral assertion);
-    (b) eight NEW entries promoted from r7-staged pytest self-oracles
-        (the judge's r7 task-1 list, each already hash-gated in
-        tests/test_operators.py and 3-rung scale-probed):
-        `line_dedup_stats` (CCNet line-level dedup), `dsir_importance_sample`
-        (DSIR hashed-bigram importance resampling), `chunk_documents`
-        (RAG token-window chunking), `chunk_retrieval_topk` (chunk-level
-        retrieval over signed-bucket hash embeddings),
-        `component_size_histogram` (near-dup cluster size distribution),
-        `event_funnel` (greedy-earliest ordered funnel — dual-algorithm
-        oracle), `quality_percentile_filter` (per-source surprisal
-        quantile pruning), `cross_source_duplication_stats` (source-pair
-        duplication matrix from digest products, pairs never
-        materialized);
-    (c) 24 of the 46 entries whose latest green row is CORRECTNESS_r06
-        (2-stale at r8, the allowed maximum). 18+8+24 = exactly 50.
+        r8 deferral assertion and in the r8 verdict's task 1);
+    (b) twelve NEW entries promoted from staged pytest self-oracles
+        (each already hash-gated in tests/test_operators.py and
+        scale-probed through sf10), new families first per the r8
+        verdict: `event_rate_anomalies` (integer-moment z-scores over
+        hourly rates), `tfidf_top_terms` (grain-aware df, the r7
+        countDistinct lesson), `events_active_users` (DAU/WAU/
+        stickiness via bounded 7-day explode),
+        `minhash_jaccard_calibration` (estimator-vs-exact audit of the
+        dedup tier's own knob), `customer_fuzzy_matches` (SymSpell
+        deletion banding + levenshtein verify; the DuckDB oracle runs
+        the genuinely QUADRATIC join), `hybrid_search_rrf` (BM25 ∪
+        hash-embed cosine, reciprocal-rank fusion),
+        `label_centroid_similarity` (label-pair centroid cosine,
+        integer micro-sum centroids), `random_projection`
+        (deterministic ±1 JL cut — r9 closed its codegen-vs-dims
+        corner with the bit-equal GEMM twin before this promotion),
+        `leakage_safe_split` (component-atomic train/test split — no
+        near-dup edge straddles), `zipf_slope` (per-source log-log OLS
+        over exact integer ranks), `sq_reconstruction_stats` (SQ8
+        quantization error audit), `dedup_saturation_curve` (dup-frac
+        by ingest decile);
+    (c) 16 of the 49 entries whose latest green row is CORRECTNESS_r07
+        (2-stale at r9, the allowed maximum — refreshing them now
+        shrinks r10's mandatory head to the 33 pinned in
+        tests/test_entry.py). 22+12+16 = exactly 50.
 
-    RETIRED this round (judge r7 task 4): `dedup_simhash_pairs` — the
-    narrow 16-bit-banded twin measured 15.33x per 10x in r6 and was the
-    one window entry whose plan the repo documents as quadratic at
-    scale. Its oracle-continuity round (r7) is done; the scale-safe
-    2x60-bit `dedup_simhash_wide_pairs` (r7-green) owns the family's
-    driver slot, and the narrow path stays pytest-only
-    (tests/test_operators.py narrow-twin pins over simhash_near_pairs).
-
-    Below the window: the 22 r6-green leftovers (3-stale at r9 — they
-    MUST lead the r9 window, pinned in tests/test_entry.py), then the
-    49 r7-green entries (2-stale at r9, safe until r10).
-    `text_bpe_tokenizer` stays below the window (judge r6 task 5): a
-    permanently `no_oracle` rows-only entry spends a hash-checked slot;
-    its SQL-expressible half (`text_pretoken_counts`) is the
-    in-contract twin and the merge sequence stays pytest-pinned
-    (tests/test_tokenizer.py), so outside the window it is pytest-gated
-    rather than stale. The boundary comment below marks entry 50 — but
-    the rotation test checks the real slice, not the comment."""
+    Below the window: the 50 r8-green entries of the previous window,
+    the 33 r7-green entries that MUST lead the r10 window (pinned by
+    name in tests/test_entry.py — the ledger discipline), and
+    `text_bpe_tokenizer` (judge r6 task 5): a permanently `no_oracle`
+    rows-only entry spends a hash-checked slot; its SQL-expressible
+    half (`text_pretoken_counts`) is the in-contract twin and the
+    merge sequence stays pytest-pinned (tests/test_tokenizer.py), so
+    outside the window it is pytest-gated rather than stale. The
+    boundary comment below marks entry 50 — but the rotation test
+    checks the real slice, not the comment."""
     return {
-        # --- (a) deferred r5-green leftovers: staleness limit, must lead ---
+        # --- (a) deferred r6-green leftovers: staleness limit, must lead ---
+        "sessionize_events": rel.sessionize_events,
+        "interval_overlap_join": tmp.interval_overlap_sessions,
+        "events_tumbling_hourly": tmp.events_tumbling_hourly,
+        "vec_knn_cosine": lambda s, d: vec.knn_bruteforce(s, d, metric="cosine"),
+        "parts_above_avg_price": rel.parts_above_avg_price,
+        "orders_by_month": rel.orders_by_month,
+        "rollup_lineitem": rel.rollup_lineitem,
+        "unpivot_lineitem": rel.unpivot_lineitem,
+        "top_orders_per_customer": rel.top_orders_per_customer,
+        "running_revenue": rel.running_revenue,
+        "cube_orders": rel.cube_orders,
+        "setop_intersect": rel.setop_intersect,
+        "ship_latency": rel.ship_latency,
+        "parts_like_patterns": rel.parts_like_patterns,
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q2_min_cost_supplier": rel.q2_min_cost_supplier,
+        "q11_important_parts": rel.q11_important_parts,
+        "q18_large_volume_customers": rel.q18_large_volume_customers,
+        "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
+        "q20_excess_shippers": rel.q20_excess_shippers,
+        "q21_waiting_supplier": rel.q21_waiting_supplier,
+        "q22_idle_customers": rel.q22_idle_customers,
+        # --- (b) new in round 9: staged self-oracles promoted ---
+        "event_rate_anomalies": tmp.event_rate_anomalies,
+        "tfidf_top_terms": textops.tfidf_top_terms,
+        "events_active_users": rel.events_active_users,
+        "minhash_jaccard_calibration": dedup.minhash_jaccard_calibration,
+        "customer_fuzzy_matches": sj.customer_fuzzy_matches,
+        "hybrid_search_rrf": embed.hybrid_search_rrf,
+        "label_centroid_similarity": embed.label_centroid_similarity,
+        "random_projection": embed.random_projection,
+        "leakage_safe_split": lambda s, d: dedup.leakage_safe_split(
+            s, d, test_frac=0.2
+        ),
+        "zipf_slope": textops.zipf_slope,
+        "sq_reconstruction_stats": vec.sq_reconstruction_stats,
+        "dedup_saturation_curve": dedup.dedup_saturation_curve,
+        # --- (c) latest driver row is r07: cycle back in before a third
+        # unchecked round (the rest of the r7 cohort is r10's head) ---
+        "q3_shipping_priority": rel.q3_shipping_priority,
+        "q4_order_priority": rel.q4_order_priority,
+        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
+        "q6_forecast_revenue": rel.q6_forecast_revenue,
+        "q7_nation_volume": rel.q7_nation_volume,
+        "q9_profit_by_nation_year": rel.q9_profit_by_nation_year,
+        "q10_returned_customers": rel.q10_returned_customers,
+        "q12_latency_priority": rel.q12_latency_priority,
+        "q13_order_count_distribution": rel.q13_order_count_distribution,
+        "q14_promo_share": rel.q14_promo_share,
+        "q15_top_supplier": rel.q15_top_supplier,
+        "q17_small_qty_revenue": rel.q17_small_qty_revenue,
+        "dedup_simhash_wide_pairs": dedup.simhash_wide_pairs,
+        "multimodal_dhash_near_pairs": mm.multimodal_dhash_near_pairs,
+        "text_bm25_search": textops.bm25_search,
+        "vec_ivf_knn": _ivf_knn,
+        # ---- driver window boundary: vec_ivf_knn above is entry 50
+        # (count them — don't trust a comment's position; the rotation
+        # test in tests/test_entry.py checks the REAL first-50 slice).
+        # Every entry below holds a green hash-matched row from the most
+        # recent round that checked it and is unchanged since: first the
+        # 50 r8-green entries of the previous window, then the
+        # pytest-gated rows-only bpe entry, then the 33 r7-green
+        # entries that MUST lead the r10 window (2-stale then) ----
         "text_token_stats": textops.token_stats,
         "text_fingerprints": textops.fingerprints,
         "text_stratified_sample": textops.stratified_sample_stats,
@@ -181,7 +246,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "math_stats": rel.math_stats,
         "string_part_stats": rel.string_part_stats,
         "json_event_stats": rel.json_event_stats,
-        # --- (b) new in round 8: staged self-oracles promoted ---
         "line_dedup_stats": textops.line_dedup_stats,
         "dsir_importance_sample": textops.dsir_importance_sample,
         "chunk_documents": textops.chunk_documents,
@@ -190,8 +254,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": rel.event_funnel,
         "quality_percentile_filter": textops.quality_percentile_filter,
         "cross_source_duplication_stats": dedup.cross_source_duplication_stats,
-        # --- (c) latest driver row is r06: cycle back in before a third
-        # unchecked round ---
         "text_bigram_surprisal": textops.bigram_surprisal,
         "text_trigram_surprisal": textops.trigram_backoff_surprisal,
         "text_curriculum_buckets": textops.curriculum_buckets,
@@ -218,59 +280,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": mm.multimodal_features,
         "multimodal_pixel_stats": mm.multimodal_pixel_stats,
         "asof_click_view": tmp.asof_click_view,
-        # ---- driver window boundary: asof_click_view above is entry 50
-        # (count them — don't trust a comment's position; the rotation
-        # test in tests/test_entry.py checks the REAL first-50 slice).
-        # Every entry below holds a green hash-matched row from the most
-        # recent round that checked it and is unchanged since: first the
-        # 22 r6-green leftovers (2-stale — the allowed maximum — they
-        # MUST lead the r9 window), then the pytest-gated rows-only bpe
-        # entry, then the r7-green cohort (rotate by r10) ----
-        "sessionize_events": rel.sessionize_events,
-        "interval_overlap_join": tmp.interval_overlap_sessions,
-        "events_tumbling_hourly": tmp.events_tumbling_hourly,
-        "vec_knn_cosine": lambda s, d: vec.knn_bruteforce(s, d, metric="cosine"),
-        "parts_above_avg_price": rel.parts_above_avg_price,
-        "orders_by_month": rel.orders_by_month,
-        "rollup_lineitem": rel.rollup_lineitem,
-        "unpivot_lineitem": rel.unpivot_lineitem,
-        "top_orders_per_customer": rel.top_orders_per_customer,
-        "running_revenue": rel.running_revenue,
-        "cube_orders": rel.cube_orders,
-        "setop_intersect": rel.setop_intersect,
-        "ship_latency": rel.ship_latency,
-        "parts_like_patterns": rel.parts_like_patterns,
-        "q1_pricing_summary": rel.q1_pricing_summary,
-        "q2_min_cost_supplier": rel.q2_min_cost_supplier,
-        "q11_important_parts": rel.q11_important_parts,
-        "q18_large_volume_customers": rel.q18_large_volume_customers,
-        "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
-        "q20_excess_shippers": rel.q20_excess_shippers,
-        "q21_waiting_supplier": rel.q21_waiting_supplier,
-        "q22_idle_customers": rel.q22_idle_customers,
         "text_bpe_tokenizer": _bpe_tokenizer,
-        # ---- r7-green below (latest driver row is CORRECTNESS_r07) ----
-        "q3_shipping_priority": rel.q3_shipping_priority,
-        "q4_order_priority": rel.q4_order_priority,
-        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
-        "q6_forecast_revenue": rel.q6_forecast_revenue,
-        "q7_nation_volume": rel.q7_nation_volume,
-        "q9_profit_by_nation_year": rel.q9_profit_by_nation_year,
-        "q10_returned_customers": rel.q10_returned_customers,
-        "q12_latency_priority": rel.q12_latency_priority,
-        "q13_order_count_distribution": rel.q13_order_count_distribution,
-        "q14_promo_share": rel.q14_promo_share,
-        "q15_top_supplier": rel.q15_top_supplier,
-        "q17_small_qty_revenue": rel.q17_small_qty_revenue,
-        "dedup_simhash_wide_pairs": dedup.simhash_wide_pairs,
+        # ---- r7-green below (latest driver row is CORRECTNESS_r07):
+        # 2-stale at r9 — pinned as the MANDATORY head of the r10
+        # window in tests/test_entry.py ----
         "domain_mixture_sample": textops.domain_mixture_sample,
         "encoding_quality_stats": textops.encoding_quality_stats,
         "source_token_divergence": textops.source_token_divergence,
         "hard_negative_mining": vec.hard_negative_mining,
-        "multimodal_dhash_near_pairs": mm.multimodal_dhash_near_pairs,
         "customers_without_orders": rel.customers_without_orders,
         "text_boilerplate_scrub": textops.boilerplate_scrub,
-        "text_bm25_search": textops.bm25_search,
         "text_gopher_quality": textops.gopher_quality_flags,
         "events_funnel": rel.events_funnel,
         "text_repetition_stats": textops.repetition_stats,
@@ -286,7 +305,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_functions_suite": rel.window_functions_suite,
         "grouping_sets_orders": rel.grouping_sets_orders,
         "pivot_lineitem": rel.pivot_lineitem,
-        "vec_ivf_knn": _ivf_knn,
         "filter_dsl_embeddings": rel.filter_dsl_embeddings,
         "skew_salted_user_join": rel.skew_salted_user_join,
         "bucketed_revenue_by_priority": rel.bucketed_revenue_by_priority,
@@ -2298,5 +2316,292 @@ def oracle_sql() -> dict[str, str]:
         SELECT source_a, source_b, CAST(sum(np) AS BIGINT) AS n_dup_pairs,
                CAST(count(*) AS BIGINT) AS n_groups
         FROM p WHERE np > 0 GROUP BY 1, 2"""
+
+    # ------------------------------------------------------------------
+    # round-9 promotions: each SQL is the pytest self-oracle from
+    # tests/test_operators.py, verbatim
+    # ------------------------------------------------------------------
+
+    # hourly event-rate z-scores from exact integer moments; filter on
+    # the ROUNDED score so both engines cut at the same boundary
+    q["event_rate_anomalies"] = """
+        WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+                          CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY event_type, date_trunc('hour', ts)),
+        stats AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c*c) AS BIGINT) AS s2
+                  FROM hourly GROUP BY event_type),
+        z AS (SELECT event_type, hour_ts, c AS n_events,
+                round(CAST(c*n - s1 AS DOUBLE) / sqrt(CAST(n*s2 - s1*s1 AS DOUBLE)), 6) AS z_score
+              FROM hourly JOIN stats USING (event_type)
+              WHERE n*s2 - s1*s1 > 0)
+        SELECT event_type, hour_ts, n_events, z_score
+        FROM z WHERE abs(z_score) >= 2.5
+        ORDER BY event_type, hour_ts"""
+
+    # per-source TF-IDF top terms; df = count(*) over the unique
+    # (doc_id, term) pre-agg (the r7 countDistinct-grain lesson)
+    q["tfidf_top_terms"] = f"""
+        WITH toks AS (SELECT doc_id, source, unnest({_TOKS}) AS term
+                      FROM documents),
+        d1 AS (SELECT doc_id, source, term, count(*) AS c FROM toks GROUP BY doc_id, source, term),
+        st AS (SELECT source, term, CAST(sum(c) AS BIGINT) AS tf FROM d1 GROUP BY source, term),
+        ct AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM d1 GROUP BY term),
+        nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM d1),
+        scored AS (SELECT source, term, tf, df,
+                     round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+                   FROM st JOIN ct USING (term) CROSS JOIN nd WHERE df >= 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, tf DESC, term) AS rnk
+              FROM scored)
+        SELECT source, CAST(rnk AS BIGINT) AS rank, term, tf, df, score
+        FROM r WHERE rnk <= 10 ORDER BY source, rank"""
+
+    # DAU/WAU/stickiness: distinct (day, user) collapse, bounded 7-day
+    # explode — never a 7-day self-join over raw events
+    q["events_active_users"] = """
+        WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events),
+        dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM du GROUP BY day),
+        served AS (SELECT CAST(day + CAST(i AS INTEGER) AS DATE) AS day, user_id
+                   FROM du, (SELECT unnest(range(7)) AS i)),
+        wau AS (SELECT s.day, CAST(count(DISTINCT s.user_id) AS BIGINT) AS wau
+                FROM served s JOIN dau USING (day) GROUP BY s.day)
+        SELECT day, dau, wau, round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+        FROM dau JOIN wau USING (day) ORDER BY day"""
+
+    # MinHash estimator calibration: full pipeline replay (same md5
+    # shingles, same affine permutations, same banding) + exact Jaccard
+    # per candidate pair, grouped by signature agreement count
+    q["minhash_jaccard_calibration"] = f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        sh AS (SELECT doc_id,
+                 CASE WHEN len(tk) >= 3
+                      THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                                         i -> array_to_string(tk[i:i+2], ' ')))
+                      ELSE [] END AS shingles
+               FROM toks),
+        ne AS (SELECT * FROM sh WHERE len(shingles) > 0),
+        shing AS (SELECT doc_id, CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) % 2147483647 AS h0
+                  FROM (SELECT doc_id, unnest(shingles) AS s FROM ne)),
+        sig_elems AS (SELECT doc_id, j,
+                        min(((2654435761 * (j + 1)) % 2147483647 * h0
+                             + (40503 * (j + 7)) % 2147483647) % 2147483647) AS mh
+                      FROM shing, (SELECT unnest(range(16)) AS j)
+                      GROUP BY doc_id, j),
+        sigs AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM sig_elems GROUP BY doc_id),
+        bandrows AS (SELECT doc_id, b,
+                       CAST(sig[2*CAST(b AS INTEGER)+1] AS VARCHAR) || '_' ||
+                       CAST(sig[2*CAST(b AS INTEGER)+2] AS VARCHAR) AS band_key
+                     FROM sigs, (SELECT unnest(range(8)) AS b)),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+                 FROM bandrows a JOIN bandrows c
+                 ON a.b = c.b AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+        pairs AS (SELECT doc_a, doc_b,
+                    len(list_filter(range(16), j ->
+                        ga.sig[CAST(j AS INTEGER) + 1] = gb.sig[CAST(j AS INTEGER) + 1])) AS n_agree,
+                    len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS inter,
+                    len(sa.shingles) AS la, len(sb.shingles) AS lb
+                  FROM cand JOIN ne sa ON sa.doc_id = cand.doc_a
+                            JOIN ne sb ON sb.doc_id = cand.doc_b
+                            JOIN sigs ga ON ga.doc_id = cand.doc_a
+                            JOIN sigs gb ON gb.doc_id = cand.doc_b),
+        jmt AS (SELECT n_agree,
+                  CAST(round(CAST(inter AS DOUBLE) / (la + lb - inter) * 1000000) AS BIGINT) AS jm
+                FROM pairs)
+        SELECT CAST(n_agree AS BIGINT) AS n_agree,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(CAST(n_agree AS DOUBLE) / 16, 6) AS est_jaccard,
+               round((sum(jm) / count(*)) / 1000000, 6) AS mean_exact_jaccard,
+               round(min(jm) / 1000000, 6) AS min_exact_jaccard,
+               round(max(jm) / 1000000, 6) AS max_exact_jaccard
+        FROM jmt GROUP BY n_agree ORDER BY n_agree"""
+
+    # entity resolution: the oracle runs the QUADRATIC all-pairs
+    # levenshtein join — the Spark side blocks on deletion variants, so
+    # the two engines find the same pairs by different algorithms
+    q["customer_fuzzy_matches"] = """
+        WITH n AS (SELECT DISTINCT c_name AS nm FROM customer
+                   WHERE c_name IS NOT NULL AND length(c_name) > 0)
+        SELECT a.nm AS name_a, b.nm AS name_b,
+               CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist
+        FROM n a JOIN n b ON a.nm < b.nm
+        WHERE levenshtein(a.nm, b.nm) <= 1
+        ORDER BY name_a, name_b LIMIT 50"""
+
+    # hybrid retrieval: rebuild BOTH legs (BM25 + signed-bucket hash
+    # embedding cosine) and fuse with 1/(60+rank)
+    _rrf_th = hash64_sql("t")
+    q["hybrid_search_rrf"] = f"""
+        WITH tk AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        len AS (SELECT doc_id, len(tk) AS dl FROM tk),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM len),
+        tf AS (SELECT doc_id, t AS term, count(*) AS tf
+               FROM (SELECT doc_id, unnest(tk) AS t FROM tk)
+               WHERE t IN ('hash', 'join', 'merge', 'sort', 'window')
+               GROUP BY doc_id, t),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        sc AS (SELECT tf.doc_id,
+                 ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * (tf.tf * (1.2 + 1.0))
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * len.dl / stats.avgdl)) AS s
+               FROM tf JOIN df USING (term)
+                       JOIN len ON tf.doc_id = len.doc_id, stats),
+        lexpool AS (SELECT doc_id, round(sum(s), 6) AS bm25
+                    FROM sc GROUP BY doc_id
+                    ORDER BY bm25 DESC, doc_id LIMIT 50),
+        lexr AS (SELECT doc_id, row_number()
+                     OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+                 FROM lexpool),
+        emb AS (SELECT doc_id, CAST(h % 16 AS INT) AS pos,
+                       CAST(sum(CASE WHEN (h >> 40) & 1 = 1
+                                     THEN 1 ELSE -1 END) AS BIGINT) AS val
+                FROM (SELECT doc_id, {_rrf_th} AS h
+                      FROM (SELECT doc_id, unnest(tk) AS t FROM tk))
+                GROUP BY doc_id, pos),
+        qe AS (SELECT CAST(h % 16 AS INT) AS pos,
+                      CAST(sum(CASE WHEN (h >> 40) & 1 = 1
+                                    THEN 1 ELSE -1 END) AS BIGINT) AS val
+               FROM (SELECT {_rrf_th} AS h
+                     FROM (SELECT unnest(['hash','join','merge','sort',
+                                          'window']) AS t))
+               GROUP BY pos),
+        nq AS (SELECT sum(val * val) AS nq FROM qe),
+        ncs AS (SELECT doc_id, sum(val * val) AS nc2
+                FROM emb GROUP BY doc_id),
+        dots AS (SELECT e.doc_id, sum(e.val * q.val) AS dot
+                 FROM emb e JOIN qe q USING (pos) GROUP BY e.doc_id),
+        cs AS (SELECT ncs.doc_id,
+                      round(COALESCE(dots.dot, 0)
+                            / sqrt(CAST(ncs.nc2 * nq.nq AS DOUBLE)), 6)
+                          AS cos_sim
+               FROM ncs LEFT JOIN dots USING (doc_id), nq
+               WHERE ncs.nc2 > 0),
+        sempool AS (SELECT * FROM cs ORDER BY cos_sim DESC, doc_id LIMIT 50),
+        semr AS (SELECT doc_id, row_number()
+                     OVER (ORDER BY cos_sim DESC, doc_id) AS cos_rank
+                 FROM sempool),
+        fused AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                         l.bm25_rank, s.cos_rank,
+                         round(COALESCE(1.0 / (60 + l.bm25_rank), 0.0)
+                               + COALESCE(1.0 / (60 + s.cos_rank), 0.0), 6)
+                             AS rrf_score
+                  FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id)
+        SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                    AS BIGINT) AS rank,
+               doc_id, rrf_score, bm25_rank, cos_rank
+        FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10"""
+
+    # label-pair centroid cosine from exact integer micro-sum centroids
+    q["label_centroid_similarity"] = """
+        WITH p AS (SELECT unnest(range((SELECT len(embedding) FROM embeddings LIMIT 1))) AS pos),
+        comp AS (SELECT label, CAST(p.pos AS INTEGER) AS pos,
+                   CAST(sum(CAST(round(CAST(embedding[CAST(p.pos AS INTEGER) + 1] AS DOUBLE) * 100000000) AS BIGINT)) AS BIGINT) AS s,
+                   count(*) AS n
+                 FROM embeddings, p GROUP BY label, p.pos),
+        cent AS (SELECT label,
+                   list(round((s / n) / 100000000, 6) ORDER BY pos) AS cvec,
+                   CAST(max(n) AS BIGINT) AS nv
+                 FROM comp GROUP BY label)
+        SELECT a.label AS label_a, b.label AS label_b,
+               a.nv AS n_a, b.nv AS n_b,
+               CASE WHEN sqrt(list_sum(list_transform(a.cvec, z -> z*z)))
+                         * sqrt(list_sum(list_transform(b.cvec, z -> z*z))) <> 0
+                    THEN round(list_sum(list_transform(list_zip(a.cvec, b.cvec), x -> x[1]*x[2]))
+                               / (sqrt(list_sum(list_transform(a.cvec, z -> z*z)))
+                                  * sqrt(list_sum(list_transform(b.cvec, z -> z*z)))), 6) END AS cos_sim
+        FROM cent a JOIN cent b ON a.label < b.label
+        ORDER BY label_a, label_b"""
+
+    # deterministic ±1 JL projection: the oracle replays the same
+    # left-associated per-dimension sign chain (the signs come from the
+    # shared rp_sign_matrix — itself derivation-checked in DuckDB by the
+    # pytest gate), same /√k scale, same 6-dp round
+    _rp_signs = embed.rp_sign_matrix(64, 16)
+    _rp_cols = []
+    for _j in range(16):
+        _chain = " ".join(
+            ("+" if _rp_signs[_i][_j] > 0 else "-")
+            + f" CAST(embedding[{_i + 1}] AS DOUBLE)"
+            for _i in range(64)
+        ).lstrip("+ ")
+        if _rp_signs[0][_j] < 0:
+            _chain = "- " + _chain.lstrip("- ")
+        _rp_cols.append(f"round(({_chain}) / 4.0, 6) AS rp_{_j:02d}")
+    q["random_projection"] = (
+        "SELECT vec_id, " + ", ".join(_rp_cols) + " FROM embeddings"
+    )
+
+    # component-atomic split: wraps the driver-green dedup_components
+    # oracle and applies the same md5-family component coin
+    q["leakage_safe_split"] = f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(component_id AS BIGINT) AS component_id,
+               CASE WHEN CAST('0x' || substring(md5(CAST(component_id AS VARCHAR) || '#split'), 1, 15)
+                         AS BIGINT) % 1000000 < 200000
+                    THEN 'test' ELSE 'train' END AS split
+        FROM ({q["dedup_components"]}) comps"""
+
+    # per-source Zipf log-log OLS over the top-100 terms (sorted-list
+    # folds == the proven sequential F.aggregate ordering)
+    q["zipf_slope"] = f"""
+        WITH toks AS (SELECT source, unnest({_TOKS}) AS term FROM documents),
+        st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY source, term),
+        ranked AS (SELECT source, tf,
+                     row_number() OVER (PARTITION BY source ORDER BY tf DESC, term) AS rnk
+                   FROM st QUALIFY rnk <= 100),
+        folds AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+                    list_sum(list(ln(CAST(rnk AS DOUBLE)) ORDER BY rnk)) AS sx,
+                    list_sum(list(ln(CAST(tf AS DOUBLE)) ORDER BY rnk)) AS sy,
+                    list_sum(list(ln(CAST(rnk AS DOUBLE)) * ln(CAST(tf AS DOUBLE)) ORDER BY rnk)) AS sxy,
+                    list_sum(list(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE)) ORDER BY rnk)) AS sxx
+                  FROM ranked GROUP BY source)
+        SELECT source, n_terms,
+               round(CASE WHEN n_terms * sxx - sx * sx <> 0
+                 THEN (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) END, 6) AS slope,
+               round(CASE WHEN n_terms * sxx - sx * sx <> 0
+                 THEN (sy - ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)) * sx) / n_terms END, 6) AS intercept
+        FROM folds ORDER BY source"""
+
+    # SQ8 reconstruction-error audit: exact min/max fit per dimension,
+    # round-then-clamp encode, 1e-6-unit integer error aggregation
+    q["sq_reconstruction_stats"] = """
+        WITH el AS (SELECT label, CAST(p.pos AS INTEGER) AS pos,
+                      CAST(embedding[CAST(p.pos AS INTEGER) + 1] AS DOUBLE) AS x
+                    FROM embeddings,
+                         (SELECT unnest(range((SELECT len(embedding) FROM embeddings LIMIT 1))) AS pos) p),
+        mm AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM el GROUP BY pos),
+        enc AS (SELECT label,
+                  (hi - lo) / 255.0 AS step,
+                  x, lo,
+                  LEAST(255, GREATEST(0, CAST(round((x - lo) *
+                    (CASE WHEN (hi - lo) / 255.0 > 0
+                          THEN 1.0 / ((hi - lo) / 255.0) ELSE 0.0 END)) AS INTEGER))) AS code
+                FROM el JOIN mm USING (pos)),
+        er AS (SELECT label,
+                 CAST(round(abs(x - (lo + CAST(code AS DOUBLE) * step)) * 1000000) AS BIGINT) AS em,
+                 CAST(round(step * 1000000) AS BIGINT) AS sm
+               FROM enc)
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_elems,
+               round((sum(em) / count(*)) / 1000000, 6) AS mean_abs_err,
+               round(max(em) / 1000000, 6) AS max_abs_err,
+               round((sum(sm) / count(*)) / 1000000, 6) AS mean_step
+        FROM er GROUP BY label ORDER BY label"""
+
+    # dedup saturation by ingest decile: first-shard rule over exact
+    # digests — dup_frac grows as later shards re-see earlier content
+    q["dedup_saturation_curve"] = """
+        WITH b AS (SELECT max(doc_id) AS max_id FROM documents),
+        sharded AS (SELECT least(9, CAST(floor(doc_id * 10 / (b.max_id + 1)) AS BIGINT)) AS shard,
+                      CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS digest
+                    FROM documents, b),
+        per_ds AS (SELECT digest, shard, count(*) AS c FROM sharded GROUP BY digest, shard),
+        first AS (SELECT digest, min(shard) AS fs FROM per_ds GROUP BY digest)
+        SELECT shard,
+               CAST(sum(c) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN shard > fs THEN c ELSE 0 END) AS BIGINT) AS n_dup_prior,
+               round(sum(CASE WHEN shard > fs THEN c ELSE 0 END)
+                     / CAST(sum(c) AS DOUBLE), 6) AS dup_frac
+        FROM per_ds JOIN first USING (digest)
+        GROUP BY shard ORDER BY shard"""
 
     return q

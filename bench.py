@@ -74,6 +74,13 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "event_rate_anomalies",
     "embedding_decontaminate_stats",
+    # r9 promotions with standalone scale claims, wall-clock-tracked:
+    # fuzzy ER (deletion banding — a banding regression shows as a
+    # knee), hybrid retrieval (two audited legs + fusion), and the JL
+    # cut (the GEMM-twin routing keeps this scan-speed at any dims)
+    "customer_fuzzy_matches",
+    "hybrid_search_rrf",
+    "random_projection",
 ]
 
 # Bench-local callables for operators outside the driver-oracle window

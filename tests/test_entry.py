@@ -39,21 +39,19 @@ def test_each_query_runs_smoke(spark, sf_dir, name):
 
 def test_driver_window_rotation_closes_coverage():
     """The driver oracle-checks only the FIRST 50 queries() entries. The
-    round-8 rotation contract: every NEW entry and every entry whose
+    round-9 rotation contract: every NEW entry and every entry whose
     underlying code changed this round must be inside the window; every
     entry pushed OUTSIDE must already hold a green hash-matched row from
     the MOST RECENT round that checked it, and that row may be at most
-    two rounds old (r06 at r8) — so no query ever goes three rounds
+    two rounds old (r07 at r9) — so no query ever goes three rounds
     unchecked. The entries deferred at the two-round limit are pinned
-    by name: they are the mandatory head of the NEXT round's window.
+    by name: they are the mandatory head of the NEXT round's window
+    (the r10 ledger, judge r8 task 4).
     One documented exception: `text_bpe_tokenizer` is rows-only (no
     SQL oracle can exist for the learned merge table), so its driver
     row is never hash-green — outside the window it is pytest-gated
     (tests/test_tokenizer.py determinism + local==distributed
-    equivalence) instead of oracle-stale (judge r6 task 5).
-    Retired this round (judge r7 task 4): `dedup_simhash_pairs` — the
-    quadratic narrow-banded twin leaves the driver contract entirely;
-    the narrow path stays pytest-only over dedup.simhash_near_pairs."""
+    equivalence) instead of oracle-stale (judge r6 task 5)."""
     import json
     import os
 
@@ -65,71 +63,13 @@ def test_driver_window_rotation_closes_coverage():
         with open(os.path.join(here, "..", name)) as f:
             return json.load(f)
 
-    r6, r7 = load("CORRECTNESS_r06.json"), load("CORRECTNESS_r07.json")
+    r7, r8 = load("CORRECTNESS_r07.json"), load("CORRECTNESS_r08.json")
     window = list(entry.queries())[:50]
 
-    # the eighteen r5-green leftovers deferred in r7 hit the two-round
-    # staleness limit at r8 — the r7 verdict pins them as the mandatory
-    # window head
-    deferred_r5 = {
-        "text_token_stats",
-        "text_fingerprints",
-        "text_stratified_sample",
-        "events_sliding_windows",
-        "vec_knn_euclidean",
-        "vec_knn_filtered",
-        "vec_radius",
-        "vec_knn_batched",
-        "vec_label_centroids",
-        "vec_lsh_knn",
-        "vec_knn_manhattan",
-        "vec_knn_join_blocked",
-        "q8_market_share",
-        "q16_supplier_variety",
-        "percentile_stats",
-        "math_stats",
-        "string_part_stats",
-        "json_event_stats",
-    }
-    must_rotate_in = (
-        deferred_r5
-        # new in round 8: the eight staged self-oracles promoted
-        # (the judge's r7 task-1 candidate list, verbatim)
-        | {
-            "line_dedup_stats",
-            "dsir_importance_sample",
-            "chunk_documents",
-            "chunk_retrieval_topk",
-            "component_size_histogram",
-            "event_funnel",
-            "quality_percentile_filter",
-            "cross_source_duplication_stats",
-        }
-    )
-    missing = must_rotate_in - set(window)
-    assert not missing, f"driver window lost: {sorted(missing)}"
-
-    # the quadratic narrow-simhash entry is retired from the contract
-    assert "dedup_simhash_pairs" not in entry.queries()
-
-    # everything rotated out must be green in its most recent check,
-    # and that check may be at most two rounds old (r6 at round 8)
-    deferred_at_limit = set()
-    for qname in entry.queries():
-        if qname in window:
-            continue
-        if qname == "text_bpe_tokenizer":
-            continue  # rows-only: pytest-gated, never hash-green
-        row = r7.get(qname) or r6.get(qname)
-        assert row is not None and row["hash_match"] is True, (
-            f"{qname} is outside the driver window without a green prior row"
-        )
-        if qname not in r7:
-            deferred_at_limit.add(qname)
-
-    # the r6-latest entries deferred past this window sit AT the
-    # two-round staleness limit: round 9's window must lead with them
-    assert deferred_at_limit == {
+    # the 22 r6-green leftovers deferred in r8 hit the two-round
+    # staleness limit at r9 — the r8 verdict (task 1) pins them as the
+    # mandatory window head
+    deferred_r6 = {
         "sessionize_events",
         "interval_overlap_join",
         "events_tumbling_hourly",
@@ -152,6 +92,88 @@ def test_driver_window_rotation_closes_coverage():
         "q20_excess_shippers",
         "q21_waiting_supplier",
         "q22_idle_customers",
+    }
+    must_rotate_in = (
+        deferred_r6
+        # new in round 9: the twelve staged self-oracles promoted
+        # (the judge's r8 task-1 new-family list plus the closed-corner
+        # random_projection and four more staged families).
+        # customer_fuzzy_matches and random_projection also had CODE
+        # changes this round (d<=2 banding / the GEMM twin), so window
+        # membership is doubly mandatory for them.
+        | {
+            "event_rate_anomalies",
+            "tfidf_top_terms",
+            "events_active_users",
+            "minhash_jaccard_calibration",
+            "customer_fuzzy_matches",
+            "hybrid_search_rrf",
+            "label_centroid_similarity",
+            "random_projection",
+            "leakage_safe_split",
+            "zipf_slope",
+            "sq_reconstruction_stats",
+            "dedup_saturation_curve",
+        }
+    )
+    missing = must_rotate_in - set(window)
+    assert not missing, f"driver window lost: {sorted(missing)}"
+
+    # the quadratic narrow-simhash entry stays retired (judge r7 task 4)
+    assert "dedup_simhash_pairs" not in entry.queries()
+
+    # everything rotated out must be green in its most recent check,
+    # and that check may be at most two rounds old (r7 at round 9)
+    deferred_at_limit = set()
+    for qname in entry.queries():
+        if qname in window:
+            continue
+        if qname == "text_bpe_tokenizer":
+            continue  # rows-only: pytest-gated, never hash-green
+        row = r8.get(qname) or r7.get(qname)
+        assert row is not None and row["hash_match"] is True, (
+            f"{qname} is outside the driver window without a green prior row"
+        )
+        if qname not in r8:
+            deferred_at_limit.add(qname)
+
+    # the r7-latest entries deferred past this window sit AT the
+    # two-round staleness limit: round 10's window MUST lead with these
+    # 33 (the ledger discipline — 17 slots remain free at r10)
+    assert deferred_at_limit == {
+        "domain_mixture_sample",
+        "encoding_quality_stats",
+        "source_token_divergence",
+        "hard_negative_mining",
+        "customers_without_orders",
+        "text_boilerplate_scrub",
+        "text_gopher_quality",
+        "events_funnel",
+        "text_repetition_stats",
+        "text_vocabulary",
+        "text_span_dedup",
+        "embedding_balanced_sample",
+        "text_heavy_hitters",
+        "orders_trailing_spend",
+        "events_retention_cohorts",
+        "text_unigram_surprisal",
+        "multimodal_audio_fingerprints",
+        "dedup_representative_pick",
+        "window_functions_suite",
+        "grouping_sets_orders",
+        "pivot_lineitem",
+        "filter_dsl_embeddings",
+        "skew_salted_user_join",
+        "bucketed_revenue_by_priority",
+        "setop_customers",
+        "range_join_price_bands",
+        "vec_golden_distance",
+        "vec_lsh_knn_indexed",
+        "text_pack_sequences",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "text_language_id",
+        "text_quality",
     }, f"unexpected deferral set: {sorted(deferred_at_limit)}"
 
     # every query must have an oracle twin (column-name-matched
