@@ -742,7 +742,11 @@ def random_projection(
 
     sgn = np.asarray(signs, dtype=np.float64)  # dim_in × dim_out
     raw_names = [f"__s_{j:02d}" for j in range(dim_out)]
-    out_schema = "vec_id bigint, " + ", ".join(
+    # preserve the caller's id type (the literal engine does) — a
+    # bigint cast here would silently NULL string-keyed frames on one
+    # engine only (r9 self-review)
+    id_type = dict(embs.dtypes)["vec_id"]
+    out_schema = f"vec_id {id_type}, " + ", ".join(
         f"{c} double" for c in raw_names
     )
 
@@ -762,9 +766,9 @@ def random_projection(
             out.insert(0, "vec_id", pdf["vec_id"].to_numpy())
             yield out
 
-    raw = embs.select(
-        F.col("vec_id").cast("bigint").alias("vec_id"), "embedding"
-    ).mapInPandas(_project, schema=out_schema)
+    raw = embs.select("vec_id", "embedding").mapInPandas(
+        _project, schema=out_schema
+    )
     return raw.select(
         "vec_id",
         *[

@@ -373,6 +373,13 @@ def fuzzy_match_against(
         )
     bc = df.sparkSession.sparkContext.broadcast(index)
     d = int(max_dist)
+    # a probe can only match references within length ±d, so names
+    # outside [min_ref - d, max_ref + d] skip BEFORE generating their
+    # deletion neighborhood — correctness no-op, and the bound that
+    # keeps one pathological long input row (whose d=2 neighborhood is
+    # ~|s|²/2 variants) from stalling a worker (r9 self-review)
+    len_lo = min((len(r) for r in ref_names), default=0) - d
+    len_hi = max((len(r) for r in ref_names), default=0) + d
 
     import pandas as pd  # noqa: PLC0415 — worker-side import
 
@@ -381,7 +388,7 @@ def fuzzy_match_against(
         for pdf in batches:
             rows = []
             for nm in pdf["__nm"]:
-                if nm is None or nm == "":
+                if nm is None or nm == "" or not (len_lo <= len(nm) <= len_hi):
                     continue
                 cands: set = set()
                 for v in _deletions_upto(nm, d):

@@ -93,7 +93,7 @@ def get_spark(
     # while workers are reused across tasks. The default is true; warn
     # loudly if a deployment turned it off, because serving then
     # silently degrades to a cold load per task (r8 judge note).
-    if spark.conf.get("spark.python.worker.reuse", "true") == "false":
+    if spark.conf.get("spark.python.worker.reuse", "true").lower() == "false":
         import warnings
 
         warnings.warn(

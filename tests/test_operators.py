@@ -4850,6 +4850,20 @@ def test_random_projection_gemm_twin_bit_equal_and_scales(spark, sf_dir):
         tuple(r) for r in twin16.collect()
     )
 
+    # (1c) the twin preserves the caller's id TYPE like the literal
+    # engine (a bigint-cast schema would silently NULL string keys)
+    sdeep = spark.createDataFrame(
+        [(f"v{i:04d}", v) for i, v in deep_rows],
+        "vec_id string, embedding array<double>",
+    )
+    sids = [
+        r["vec_id"]
+        for r in embed.random_projection(
+            spark, embs=sdeep, dim_out=16, max_codegen_terms=0
+        ).collect()
+    ]
+    assert sorted(sids) == sorted(f"v{i:04d}" for i, _ in deep_rows)
+
     # (2) production shape: 768→128 (98,304 terms, 768-deep) auto-routes
     # to the twin; schema + JL distortion sanity
     n_rows = 48
@@ -5216,6 +5230,22 @@ def test_fuzzy_match_against_d2_matches_quadratic_truth(spark, sf_dir):
     for s, t in cases:
         want = min(lev(s, t), 3)
         assert sj._lev_capped(s, t, 2) == want, (s, t)
+
+    # a pathologically long probe name (out of the reference length
+    # band, so it can match nothing) is SKIPPED before its ~|s|²/2
+    # deletion-2 neighborhood is ever generated — the task returns
+    # promptly instead of stalling a worker on 50M variants
+    import time as _time
+
+    long_probe = spark.createDataFrame(
+        [("x" * 10_000,), ("Customer#000000001",)], "name string"
+    )
+    t0 = _time.time()
+    long_rows = sj.fuzzy_match_against(
+        long_probe, reference, max_dist=2
+    ).collect()
+    assert _time.time() - t0 < 30
+    assert all(r["name"] != "x" * 10_000 for r in long_rows)
 
 
 def test_event_funnel_empty_events_matches_oracle_shape(spark, tmp_path):
