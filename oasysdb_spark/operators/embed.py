@@ -750,21 +750,55 @@ def random_projection(
         f"{c} double" for c in raw_names
     )
 
+    def _accumulate(emb):
+        # left-associated: start at ±e₀ (NOT 0 + ±e₀ — a -0.0 first
+        # term must survive), then fold dims in ascending order
+        acc = emb[:, 0:1] * sgn[0:1, :]
+        for i in range(1, dim_in):
+            acc = acc + emb[:, i : i + 1] * sgn[i : i + 1, :]
+        return acc
+
     def _project(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            emb = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
-            # left-associated: start at ±e₀ (NOT 0 + ±e₀ — a -0.0 first
-            # term must survive), then fold dims in ascending order
-            acc = emb[:, 0:1] * sgn[0:1, :]
-            for i in range(1, dim_in):
-                acc = acc + emb[:, i : i + 1] * sgn[i : i + 1, :]
-            out = pd.DataFrame(acc, columns=raw_names)
-            out.insert(0, "vec_id", pdf["vec_id"].to_numpy())
-            yield out
+            vals = list(pdf["embedding"])
+            null_mask = [v is None for v in vals]
+            good = [
+                np.asarray(v, dtype=np.float64)
+                for v, isnull in zip(vals, null_mask)
+                if not isnull
+            ]
+            for g in good:
+                # the literal engine raises INVALID_ARRAY_INDEX on a
+                # ragged row under ANSI — the twin must not silently
+                # differ (r9 code review)
+                if g.ndim != 1 or g.shape[0] != dim_in:
+                    raise ValueError(
+                        "random_projection: embedding of length "
+                        f"{g.shape[0] if g.ndim == 1 else g.shape} does "
+                        f"not match dim_in={dim_in}"
+                    )
+            if not any(null_mask):
+                out = pd.DataFrame(_accumulate(np.asarray(good)),
+                                   columns=raw_names)
+                out.insert(0, "vec_id", pdf["vec_id"].to_numpy())
+                yield out
+                continue
+            # NULL embeddings propagate to NULL outputs, exactly like
+            # element_at over a NULL array on the literal path
+            acc = _accumulate(np.asarray(good)) if good else None
+            n = len(vals)
+            cols: dict = {"vec_id": list(pdf["vec_id"])}
+            for j, name in enumerate(raw_names):
+                col = [None] * n
+                gi = 0
+                for i2, isnull in enumerate(null_mask):
+                    if not isnull:
+                        col[i2] = float(acc[gi, j])
+                        gi += 1
+                cols[name] = col
+            yield pd.DataFrame(cols)
 
     raw = embs.select("vec_id", "embedding").mapInPandas(
         _project, schema=out_schema

@@ -169,13 +169,16 @@ def edit_distance_pairs(
     ).distinct()
     variant_arrays = [F.array(F.col("nm")), F.expr(_DEL1_SQL)]
     if max_dist == 2:
-        too_long = names.where(F.length("nm") > max_len_d2).count()
-        if too_long:
+        # guard = ONE map-side max over the raw column (no distinct
+        # shuffle, no second scan of the deduped frame — r9 code review)
+        row = df.select(F.max(F.length(F.col(col))).alias("m")).first()
+        max_len = int(row["m"]) if row and row["m"] is not None else 0
+        if max_len > max_len_d2:
             raise InvalidArgumentError(
                 f"max_dist=2 deletion neighborhoods are quadratic in "
-                f"string length; {too_long} value(s) exceed max_len_d2="
-                f"{max_len_d2} — raise the bound explicitly or block on "
-                "a different key"
+                f"string length; the longest value has {max_len} chars "
+                f"> max_len_d2={max_len_d2} — raise the bound "
+                "explicitly or block on a different key"
             )
         variant_arrays.append(F.expr(_DEL2_SQL))
     variants = names.select(
@@ -214,6 +217,33 @@ def customer_fuzzy_matches(
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     pairs = edit_distance_pairs(cust, col="c_name", max_dist=1)
     return pairs.orderBy("name_a", "name_b").limit(top_n)
+
+
+# newest-only deletion-index broadcast ledger: each fuzzy_match_against
+# call unpersists the PREVIOUS call's index (the database.py
+# _track_serving_broadcast idiom — r9 code review: a long-lived session
+# refreshing an hourly ER reference would otherwise retain one
+# multi-hundred-MB broadcast per refresh forever). unpersist, never
+# destroy: a still-held lazy DataFrame from an earlier call re-fetches
+# from the driver on re-execution instead of failing.
+_INDEX_BCS: list = []
+
+
+def _track_index_broadcast(bc) -> None:
+    while _INDEX_BCS:
+        old = _INDEX_BCS.pop()
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # already released / context gone
+    if bc is not None:
+        _INDEX_BCS.append(bc)
+
+
+def release_index_broadcasts() -> None:
+    """Unpersist the retained fuzzy-lookup index broadcast (end of a
+    serving session; the next call re-creates its own)."""
+    _track_index_broadcast(None)
 
 
 def _deletions_upto(s: str, d: int) -> set:
@@ -372,6 +402,7 @@ def fuzzy_match_against(
             "or shard the reference"
         )
     bc = df.sparkSession.sparkContext.broadcast(index)
+    _track_index_broadcast(bc)
     d = int(max_dist)
     # a probe can only match references within length ±d, so names
     # outside [min_ref - d, max_ref + d] skip BEFORE generating their

@@ -941,6 +941,7 @@ def fuzzy_match_stream_flags(
     ref_col: str = "name",
     max_reference: int = 200_000,
     max_dist: int = 1,
+    max_index_entries: int = 8_000_000,
 ) -> DataFrame:
     """Streaming twin of
     ``operators/similarity_join.fuzzy_match_against`` — entity
@@ -969,4 +970,5 @@ def fuzzy_match_stream_flags(
         ref_col=ref_col,
         max_reference=max_reference,
         max_dist=max_dist,
+        max_index_entries=max_index_entries,
     )

@@ -801,6 +801,45 @@ def test_hnsw_resident_cache_lru_keeps_hot_shard_under_pressure(
         hnsw._RESIDENT_CACHE_BYTES.update(saved_bytes)
 
 
+def test_hnsw_serving_broadcast_lifecycle(spark, tmp_path):
+    """Query-batch broadcasts must not accumulate over a serving
+    session (r8 ADVICE): each hnsw query tracks ONE broadcast and
+    unpersists the previous query's; a lazy DataFrame held from an
+    EARLIER query still collects after its broadcast was unpersisted
+    (unpersist re-fetches from the driver — destroy would break this);
+    release_serving_broadcasts() empties the ledger."""
+    from oasysdb_spark.index.hnsw import build_hnsw
+
+    d = str(tmp_path / "db_hnsw_bc")
+    db = Database.configure(spark, d, dimension=DIM, metric="euclidean")
+    rows = [
+        (f"r{i:05d}", [float(i)] * DIM, {}, {"number": float(i)}, {})
+        for i in range(60)
+    ]
+    db.insert_batch(spark.createDataFrame(rows, RECORD_SCHEMA))
+    build_hnsw(db, m=8, ef_construction=50, shards=2)
+
+    df1 = db.query_df([10.0] * DIM, k=3, approx="hnsw")  # held, uncollected
+    assert len(db._serving_bcs) == 1
+    bc1 = db._serving_bcs[0]
+
+    got2 = db.query([40.0] * DIM, k=3, approx="hnsw")
+    assert got2[0]["id"] == "r00040"
+    assert len(db._serving_bcs) == 1 and db._serving_bcs[0] is not bc1
+
+    # the held frame still executes after bc1 was unpersisted, and
+    # matches a fresh identical query
+    held = [(r["id"], r["distance"]) for r in df1.collect()]
+    fresh = [
+        (r["id"], r["distance"])
+        for r in db.query([10.0] * DIM, k=3, approx="hnsw")
+    ]
+    assert held == fresh and held[0][0] == "r00010"
+
+    db.release_serving_broadcasts()
+    assert db._serving_bcs == []
+
+
 def test_hnsw_cosine_metric_serves_by_angle(spark, tmp_path):
     """Cosine HNSW (judge r7 task 3): the graph is built over
     unit-normalized vectors and queries beam normalized, so candidate

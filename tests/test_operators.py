@@ -4850,6 +4850,45 @@ def test_random_projection_gemm_twin_bit_equal_and_scales(spark, sf_dir):
         tuple(r) for r in twin16.collect()
     )
 
+    # (1d) malformed-input parity (r9 code review): a NULL embedding
+    # null-propagates to NULL outputs on BOTH engines; a ragged
+    # (wrong-length) row raises on BOTH (the literal engine's ANSI
+    # INVALID_ARRAY_INDEX, the twin's explicit dim check)
+    import pytest as _pytest
+
+    nulled = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, None), (2, [2.0] * 8)],
+        "vec_id bigint, embedding array<double>",
+    )
+    lit_n = {
+        r["vec_id"]: tuple(r)[1:]
+        for r in embed.random_projection(
+            spark, embs=nulled, dim_out=4, max_codegen_terms=10**9
+        ).collect()
+    }
+    twin_n = {
+        r["vec_id"]: tuple(r)[1:]
+        for r in embed.random_projection(
+            spark, embs=nulled, dim_out=4, max_codegen_terms=0
+        ).collect()
+    }
+    assert lit_n == twin_n
+    assert all(v is None for v in lit_n[1])
+    assert all(v is not None for v in lit_n[0])
+
+    ragged = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [1.0] * 3)],
+        "vec_id bigint, embedding array<double>",
+    )
+    with _pytest.raises(Exception):  # ANSI INVALID_ARRAY_INDEX
+        embed.random_projection(
+            spark, embs=ragged, dim_out=4, max_codegen_terms=10**9
+        ).collect()
+    with _pytest.raises(Exception):  # twin's dim check
+        embed.random_projection(
+            spark, embs=ragged, dim_out=4, max_codegen_terms=0
+        ).collect()
+
     # (1c) the twin preserves the caller's id TYPE like the literal
     # engine (a bigint-cast schema would silently NULL string keys)
     sdeep = spark.createDataFrame(
@@ -5241,11 +5280,25 @@ def test_fuzzy_match_against_d2_matches_quadratic_truth(spark, sf_dir):
         [("x" * 10_000,), ("Customer#000000001",)], "name string"
     )
     t0 = _time.time()
-    long_rows = sj.fuzzy_match_against(
-        long_probe, reference, max_dist=2
-    ).collect()
+    held = sj.fuzzy_match_against(long_probe, reference, max_dist=2)
+    long_rows = held.collect()
     assert _time.time() - t0 < 30
     assert all(r["name"] != "x" * 10_000 for r in long_rows)
+
+    # broadcast ledger (r9 code review): each call unpersists the
+    # previous call's deletion index — the ledger holds exactly the
+    # newest — and a held DataFrame from an earlier call still
+    # re-executes after its broadcast was unpersisted
+    assert len(sj._INDEX_BCS) == 1
+    bc_prev = sj._INDEX_BCS[0]
+    again = sj.fuzzy_match_against(probe, reference, max_dist=1)
+    assert len(sj._INDEX_BCS) == 1 and sj._INDEX_BCS[0] is not bc_prev
+    assert again.count() > 0
+    assert sorted(tuple(r) for r in held.collect()) == sorted(
+        tuple(r) for r in long_rows
+    )
+    sj.release_index_broadcasts()
+    assert sj._INDEX_BCS == []
 
 
 def test_event_funnel_empty_events_matches_oracle_shape(spark, tmp_path):
