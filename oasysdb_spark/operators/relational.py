@@ -900,6 +900,86 @@ def skew_salted_user_join(spark: SparkSession, sf_dir: str, salts: int = 8) -> D
     )
 
 
+def join_key_skew_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "events",
+    key: str = "user_id",
+    top_k: int = 10,
+) -> DataFrame:
+    """Pre-join key-skew diagnostic — the audit a pipeline runs BEFORE
+    deciding between a plain shuffle join, AQE skew handling, and the
+    manual salting of :func:`skew_salted_user_join`: the ``top_k``
+    hottest key values with their row share, plus the global shape of
+    the key distribution (distinct keys, max/p50/p99 per-key rows, and
+    the distribution's Shannon entropy in bits next to the uniform
+    bound ``log2(n_keys)`` — the gap between the two IS the skew; a
+    hot-key-dominated table reads several bits under uniform).
+
+    Float discipline: the per-key entropy term ``c·log2(c)`` quantizes
+    to 1e-6-unit BIGINTs before the sum (exact integer accumulation —
+    the DSIR partition-order-flake fix), one divide + round at the end;
+    p50/p99 are Spark's exact ``percentile`` == DuckDB
+    ``quantile_cont`` bit-for-bit.
+
+    Scale shape: ONE map-side-combined shuffle to (key, count) — the
+    same pass any aggregation would make — then everything downstream
+    is key-cardinality-bounded: a TakeOrderedAndProject for the top-k
+    (never a global window over all keys) and a one-row global
+    aggregate crossJoined back (broadcast scalar pattern). Nothing
+    re-reads the fact table."""
+    df = _t(spark, sf_dir, table)
+    per_key = df.groupBy(key).agg(
+        F.count("*").cast("bigint").alias("key_rows")
+    )
+    c = F.col("key_rows").cast("double")
+    em = F.round(c * F.log2(c) * 1e6).cast("bigint")
+    stats = per_key.agg(
+        F.sum("key_rows").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.max("key_rows").cast("bigint").alias("max_key_rows"),
+        F.percentile(F.col("key_rows"), F.lit(0.5)).alias("__p50"),
+        F.percentile(F.col("key_rows"), F.lit(0.99)).alias("__p99"),
+        F.sum(em).alias("__sm"),
+    ).select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        F.round(F.col("__p50"), 6).alias("p50_key_rows"),
+        F.round(F.col("__p99"), 6).alias("p99_key_rows"),
+        F.round(
+            F.log2(F.col("n_rows").cast("double"))
+            - (F.col("__sm") / 1e6) / F.col("n_rows"),
+            6,
+        ).alias("entropy_bits"),
+        F.round(F.log2(F.col("n_keys").cast("double")), 6).alias(
+            "uniform_bits"
+        ),
+    )
+    top = per_key.orderBy(F.desc("key_rows"), F.asc(key)).limit(top_k)
+    w = Window.orderBy(F.desc("key_rows"), F.asc(key))
+    ranked = top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+    return (
+        ranked.crossJoin(F.broadcast(stats))
+        .select(
+            "rank",
+            F.col(key).cast("bigint").alias("key_value"),
+            "key_rows",
+            F.round(F.col("key_rows") / F.col("n_rows"), 6).alias(
+                "key_frac"
+            ),
+            "n_rows",
+            "n_keys",
+            "max_key_rows",
+            "p50_key_rows",
+            "p99_key_rows",
+            "entropy_bits",
+            "uniform_bits",
+        )
+        .orderBy("rank")
+    )
+
+
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: NATION_1 suppliers' share of AMERICA-region
     customers' STANDARD-part volume, per order year. Every dimension

@@ -4695,6 +4695,77 @@ def test_events_active_users_matches_duckdb_oracle(spark, sf_dir):
     assert first[ix["wau"]] == first[ix["dau"]]
 
 
+def test_join_key_skew_stats_matches_duckdb_oracle(spark, sf_dir):
+    """join_key_skew_stats hash-compared against an independent DuckDB
+    replay (same (key, count) rollup, quantile_cont == exact
+    percentile, same 1e-6-unit integer entropy accumulation, same
+    top-k tie-break) — the self-oracle gate ahead of driver-window
+    rotation (r10 candidate). Invariants: ranks dense 1..top_k,
+    key_rows non-increasing in rank, rank-1 row carries max_key_rows,
+    entropy_bits <= uniform_bits (Jensen) with a positive gap on the
+    skewed events fixture, and Σ over ALL keys (n_rows) bounds the
+    top-k sum."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.operators import relational as rel
+
+    got = rel.join_key_skew_stats(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) == 10
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    res = con.execute("""
+        WITH pk AS (SELECT user_id, CAST(count(*) AS BIGINT) AS key_rows
+                    FROM events GROUP BY user_id),
+        g AS (SELECT CAST(sum(key_rows) AS BIGINT) AS n_rows,
+                CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(max(key_rows) AS BIGINT) AS max_key_rows,
+                quantile_cont(key_rows, 0.5) AS p50d,
+                quantile_cont(key_rows, 0.99) AS p99d,
+                CAST(sum(CAST(round(key_rows * log2(CAST(key_rows AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS sm
+              FROM pk),
+        stats AS (SELECT n_rows, n_keys, max_key_rows,
+                round(p50d, 6) AS p50_key_rows, round(p99d, 6) AS p99_key_rows,
+                round(log2(CAST(n_rows AS DOUBLE)) - (sm / 1000000.0) / n_rows, 6) AS entropy_bits,
+                round(log2(CAST(n_keys AS DOUBLE)), 6) AS uniform_bits
+              FROM g),
+        top AS (SELECT user_id, key_rows,
+                  row_number() OVER (ORDER BY key_rows DESC, user_id) AS rnk
+                FROM pk QUALIFY rnk <= 10)
+        SELECT CAST(rnk AS BIGINT) AS rank,
+               CAST(user_id AS BIGINT) AS key_value, key_rows,
+               round(CAST(key_rows AS DOUBLE) / n_rows, 6) AS key_frac,
+               n_rows, n_keys, max_key_rows, p50_key_rows, p99_key_rows,
+               entropy_bits, uniform_bits
+        FROM top, stats ORDER BY rank""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "join_key_skew_stats", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    by_rank = sorted(spark_rows, key=lambda r: r[ix["rank"]])
+    assert [r[ix["rank"]] for r in by_rank] == list(range(1, 11))
+    kr = [r[ix["key_rows"]] for r in by_rank]
+    assert kr == sorted(kr, reverse=True)
+    assert by_rank[0][ix["key_rows"]] == by_rank[0][ix["max_key_rows"]]
+    assert all(
+        r[ix["entropy_bits"]] < r[ix["uniform_bits"]] for r in spark_rows
+    )  # the events fixture is genuinely skewed
+    assert sum(kr) <= by_rank[0][ix["n_rows"]]
+
+
 def test_random_projection_matches_duckdb_oracle(spark, sf_dir):
     """random_projection (deterministic ±1 Johnson-Lindenstrauss cut)
     hash-compared against an independent DuckDB replay of the same
