@@ -226,10 +226,29 @@ def build_parser() -> argparse.ArgumentParser:
         "--audit", required=True,
         choices=["all", "tfidf-top-terms", "minhash-calibration",
                  "event-anomalies", "embedding-outliers", "label-separation",
-                 "sq-reconstruction", "embedding-decontaminate"],
+                 "sq-reconstruction", "embedding-decontaminate",
+                 "join-key-skew"],
     )
     au.add_argument("--limit", type=int, default=100,
                     help="max rows to print (count is always exact)")
+
+    fz = sub.add_parser(
+        "fuzzy-match",
+        help="entity resolution lookup: for each input name, the "
+             "reference names within Levenshtein distance --max-dist "
+             "(SymSpell deletion banding + exact verify, never the "
+             "quadratic join)",
+    )
+    fz.add_argument("--names", required=True,
+                    help="text file with one name per line (or .parquet "
+                    "with a name column)")
+    fz.add_argument("--reference", required=True,
+                    help="text file with one reference name per line "
+                    "(or .parquet with a name column)")
+    fz.add_argument("--max-dist", type=int, default=1, choices=[1, 2])
+    fz.add_argument("--max-reference", type=int, default=200_000)
+    fz.add_argument("--limit", type=int, default=100,
+                    help="max match rows to print (count is always exact)")
     return p
 
 
@@ -311,6 +330,35 @@ def main(argv: list[str] | None = None) -> int:
             _emit({"ok": True, "n_appended": n})
         return 0
 
+    if args.cmd == "fuzzy-match":
+        from pyspark.sql import functions as F
+
+        from oasysdb_spark.operators.similarity_join import (
+            fuzzy_match_against,
+        )
+
+        def _names_df(path):
+            if path.endswith(".parquet"):
+                return spark.read.parquet(path).select("name")
+            return spark.read.text(path).select(
+                F.col("value").alias("name")
+            ).where(F.length("name") > 0)
+
+        flags = fuzzy_match_against(
+            _names_df(args.names),
+            _names_df(args.reference),
+            max_dist=args.max_dist,
+            max_reference=args.max_reference,
+        ).cache()
+        n = flags.count()
+        rows = [
+            r.asDict()
+            for r in flags.orderBy("name", "ref_name").limit(args.limit).collect()
+        ]
+        flags.unpersist()
+        _emit({"n_matches": n, "matches": rows})
+        return 0
+
     if args.cmd == "corpus-audit":
         if args.audit == "all":
             from oasysdb_spark.pipeline import corpus_audit_report
@@ -318,7 +366,7 @@ def main(argv: list[str] | None = None) -> int:
             report = corpus_audit_report(spark, args.data, limit=args.limit)
             _emit({"audit": "all", "report": report}, default=str)
             return 0
-        from oasysdb_spark.operators import dedup, embed, temporal, textops
+        from oasysdb_spark.operators import dedup, embed, relational, temporal, textops
         from oasysdb_spark.operators import vectorops as vec
 
         audits = {
@@ -329,6 +377,7 @@ def main(argv: list[str] | None = None) -> int:
             "label-separation": embed.label_centroid_similarity,
             "sq-reconstruction": vec.sq_reconstruction_stats,
             "embedding-decontaminate": dedup.embedding_decontaminate_stats,
+            "join-key-skew": relational.join_key_skew_stats,
         }
         res = audits[args.audit](spark, args.data).cache()
         n = res.count()

@@ -242,7 +242,7 @@ def corpus_audit_report(
     Audits that need a table the directory lacks are reported as
     ``{"error": ...}`` rather than failing the report — a corpus
     without embeddings still gets its text/event audits."""
-    from oasysdb_spark.operators import dedup, embed, temporal, textops
+    from oasysdb_spark.operators import dedup, embed, relational, temporal, textops
     from oasysdb_spark.operators import vectorops as vec
 
     audits = {
@@ -261,6 +261,7 @@ def corpus_audit_report(
         "sq_reconstruction_stats": vec.sq_reconstruction_stats,
         "embedding_decontaminate": dedup.embedding_decontaminate_stats,
         "event_rate_anomalies": temporal.event_rate_anomalies,
+        "join_key_skew_stats": relational.join_key_skew_stats,
     }
     report: dict = {}
     for name, fn in audits.items():

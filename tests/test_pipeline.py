@@ -235,6 +235,7 @@ def test_cli_corpus_audit_verb(spark, sf_dir, capsys):
         ("event-anomalies", "z_score"),
         ("label-separation", "cos_sim"),
         ("sq-reconstruction", "mean_abs_err"),
+        ("join-key-skew", "entropy_bits"),
     ]:
         rc = main(["corpus-audit", "--data", sf_dir, "--audit", audit,
                    "--limit", "5"])
@@ -244,6 +245,45 @@ def test_cli_corpus_audit_verb(spark, sf_dir, capsys):
         assert out["n_rows"] > 0
         assert len(out["rows"]) <= 5
         assert key in out["rows"][0]
+
+
+def test_cli_fuzzy_match_verb(spark, sf_dir, tmp_path, capsys):
+    """The fuzzy-match CLI verb resolves a names file against a
+    reference file (text or parquet), emits exact match counts with
+    bounded rows, and honors --max-dist=2."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.cli import main
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    ref_pq = str(tmp_path / "ref.parquet")
+    cust.where(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_name").alias("name")
+    ).write.parquet(ref_pq)
+    names_txt = str(tmp_path / "names.txt")
+    probe = [
+        r["c_name"]
+        for r in cust.where(F.col("c_custkey") % 2 == 1).limit(40).collect()
+    ]
+    with open(names_txt, "w") as fh:
+        fh.write("\n".join(probe) + "\n")
+
+    rc = main(["fuzzy-match", "--names", names_txt, "--reference", ref_pq,
+               "--limit", "5"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_matches"] > 0
+    assert len(out["matches"]) <= 5
+    assert {"name", "ref_name", "dist"} <= set(out["matches"][0])
+    assert all(m["dist"] <= 1 for m in out["matches"])
+
+    rc = main(["fuzzy-match", "--names", names_txt, "--reference", ref_pq,
+               "--max-dist", "2", "--limit", "5"])
+    assert rc == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["n_matches"] >= out["n_matches"]
 
 
 def test_corpus_audit_report_all(spark, sf_dir, capsys):
@@ -258,7 +298,7 @@ def test_corpus_audit_report_all(spark, sf_dir, capsys):
     from oasysdb_spark.pipeline import corpus_audit_report
 
     report = corpus_audit_report(spark, sf_dir, limit=3)
-    assert len(report) == 15
+    assert len(report) == 16
     for name, entry in report.items():
         assert "error" not in entry, (name, entry)
         assert entry["n_rows"] > 0
