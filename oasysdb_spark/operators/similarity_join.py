@@ -311,7 +311,12 @@ def _lev_capped(s: str, t: str, cap: int) -> int:
     for i in range(1, ls + 1):
         cur = [i if i <= cap else inf] + [inf] * lt
         lo, hi = max(1, i - cap), min(lt, i + cap)
-        best = inf
+        # the j=0 column is a live band cell (deleting s's first i
+        # chars) — starting `best` at inf instead of cur[0] made the
+        # early exit fire on rows whose only finite cell is column 0
+        # (found by the hypothesis fuzz: _lev_capped('a', '', 1) read
+        # 2, true distance 1)
+        best = cur[0]
         for j in range(lo, hi + 1):
             c = 0 if s[i - 1] == t[j - 1] else 1
             v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + c)

@@ -103,3 +103,76 @@ def test_merge_word_invariants(sym, left, right):
     assert "".join(out) == "".join(sym)
     assert len(out) <= len(sym)
     assert (left, right) not in tok._pairs(out)
+
+
+def _lev_reference(s: str, t: str) -> int:
+    """Textbook full-DP Levenshtein — the truth the fuzzy tier's fast
+    verifiers are fuzzed against."""
+    if len(s) < len(t):
+        s, t = t, s
+    prev = list(range(len(t) + 1))
+    for i, cs in enumerate(s, 1):
+        cur = [i]
+        for j, ct in enumerate(t, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=300, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.text(alphabet="abcé", max_size=12),
+    st.text(alphabet="abcé", max_size=12),
+)
+def test_fuzzy_verifiers_match_full_dp(s, t):
+    """The fuzzy tier's two fast verifiers are exact within their caps
+    on arbitrary strings (small alphabet maximizes near-miss density;
+    é keeps codepoint-vs-byte counting honest): the structural
+    two-pointer check == min(lev, 2), the banded Ukkonen DP ==
+    min(lev, cap+1) at caps 1-3."""
+    from oasysdb_spark.operators import similarity_join as sj
+
+    true = _lev_reference(s, t)
+    assert sj._dist_within1(s, t) == min(true, 2)
+    for cap in (1, 2, 3):
+        assert sj._lev_capped(s, t, cap) == min(true, cap + 1)
+
+
+@settings(max_examples=120, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.text(alphabet="abc", min_size=1, max_size=8), min_size=2, max_size=12, unique=True),
+    st.sampled_from([1, 2]),
+)
+def test_deletion_banding_exhaustive_on_arbitrary_names(names, d):
+    """The SymSpell banding theorem the Spark join relies on, fuzzed in
+    pure Python (same _deletions_upto neighborhoods, dict-join instead
+    of Spark): candidates-sharing-a-variant + exact verify finds
+    EXACTLY the pairs within lev <= d — no true pair escapes blocking,
+    no false pair survives the verify."""
+    from oasysdb_spark.operators import similarity_join as sj
+
+    index: dict = {}
+    for nm in names:
+        for v in sj._deletions_upto(nm, d):
+            index.setdefault(v, set()).add(nm)
+    cands = set()
+    for nm in names:
+        hits = set()
+        for v in sj._deletions_upto(nm, d):
+            hits |= index.get(v, set())
+        for other in hits:
+            if nm < other:
+                cands.add((nm, other))
+    got = sorted(
+        (a, b)
+        for (a, b) in cands
+        if _lev_reference(a, b) <= d
+    )
+    truth = sorted(
+        (a, b)
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+        if _lev_reference(*sorted((a, b))) <= d
+    )
+    truth = sorted((min(a, b), max(a, b)) for a, b in truth)
+    assert got == truth
