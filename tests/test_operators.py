@@ -5372,6 +5372,36 @@ def test_fuzzy_match_against_d2_matches_quadratic_truth(spark, sf_dir):
     assert sj._INDEX_BCS == []
 
 
+def test_deletion_variant_sql_matches_python_exhaustively(spark):
+    """The SQL deletion-variant generators (_DEL1_SQL / _DEL2_SQL —
+    the substring index math the banding join's exhaustiveness rests
+    on) produce EXACTLY the python _deletions_upto neighborhoods, over
+    every string of length 1-4 on a 2-letter alphabet plus unicode and
+    longer spot cases — one Spark job, bounded-exhaustive."""
+    from itertools import product
+
+    from oasysdb_spark.operators import similarity_join as sj
+
+    names = [
+        "".join(p)
+        for ln in (1, 2, 3, 4)
+        for p in product("ab", repeat=ln)
+    ] + ["café", "abcdef", "xyzzy"]
+    df = spark.createDataFrame([(n,) for n in names], "nm string")
+    got_rows = df.select(
+        "nm",
+        F.array_distinct(
+            F.concat(
+                F.array(F.col("nm")),
+                F.expr(sj._DEL1_SQL),
+                F.expr(sj._DEL2_SQL),
+            )
+        ).alias("vs"),
+    ).collect()
+    for r in got_rows:
+        assert set(r["vs"]) == sj._deletions_upto(r["nm"], 2), r["nm"]
+
+
 def test_event_funnel_empty_events_matches_oracle_shape(spark, tmp_path):
     """r8 self-review pin: with ZERO events of the funnel's step types
     the op must still emit one row per step with n_users=0 — the
