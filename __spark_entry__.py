@@ -928,10 +928,13 @@ def oracle_sql() -> dict[str, str]:
 
     # faithful correlated-min Q2 form; the Spark side decorrelates to
     # groupBy-min + equi-join on p_partkey
+    # avg_price accumulates in exact CENTS (per-row round to integer,
+    # one divide + round at the end) — round(avg(double)) flipped a 2dp
+    # boundary between engines at sf0.1 (r9 third-scale sweep)
     q["q2_min_cost_supplier"] = """
         WITH offers AS (
             SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
-                   round(avg(l_extendedprice * (1 - l_discount)), 2) AS avg_price
+                   round((sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0) / count(*), 2) AS avg_price
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
             JOIN supplier ON l_suppkey = s_suppkey

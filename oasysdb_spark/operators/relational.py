@@ -1157,13 +1157,21 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    # per-row price quantizes to exact CENTS before the mean (integer
+    # accumulation, one divide + round at the end): round(avg(double))
+    # sat within 1 ulp of a .005 boundary at sf0.1 and flipped the 2dp
+    # round across engines (r9 third-scale sweep find) — the same
+    # partition-order hazard the DSIR fix killed, at output precision
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
     offers = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(eur), li.l_suppkey == eur.s_suppkey)
         .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(
             F.round(
-                F.avg(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                (F.sum(cents) / 100.0) / F.count("*"), 2
             ).alias("avg_price")
         )
     )
