@@ -148,13 +148,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         over exact integer ranks), `sq_reconstruction_stats` (SQ8
         quantization error audit), `dedup_saturation_curve` (dup-frac
         by ingest decile);
-    (c) 16 of the 49 entries whose latest green row is CORRECTNESS_r07
+    (c) three entries whose CODE AND ORACLE changed this round — the
+        third-scale sweep's rounding-boundary fixes
+        (`dsir_importance_sample`, `quality_percentile_filter`,
+        `multimodal_features`): window re-entry is mandatory for
+        changed entries regardless of their green r8 rows;
+    (d) 13 of the 49 entries whose latest green row is CORRECTNESS_r07
         (2-stale at r9, the allowed maximum — refreshing them now
-        shrinks r10's mandatory head to the 33 pinned in
-        tests/test_entry.py). 22+12+16 = exactly 50.
+        shrinks r10's mandatory head to the 36 pinned in
+        tests/test_entry.py; q3/q4/q5 ceded their refresh slots to the
+        (c) re-entries). 22+12+3+13 = exactly 50.
 
-    Below the window: the 50 r8-green entries of the previous window,
-    the 33 r7-green entries that MUST lead the r10 window (pinned by
+    Below the window: 47 of the previous window's r8-green entries,
+    the 36 r7-green entries that MUST lead the r10 window (pinned by
     name in tests/test_entry.py — the ledger discipline), and
     `text_bpe_tokenizer` (judge r6 task 5): a permanently `no_oracle`
     rows-only entry spends a hash-checked slot; its SQL-expressible
@@ -202,11 +208,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope": textops.zipf_slope,
         "sq_reconstruction_stats": vec.sq_reconstruction_stats,
         "dedup_saturation_curve": dedup.dedup_saturation_curve,
-        # --- (c) latest driver row is r07: cycle back in before a third
+        # --- (c) code+oracle changed THIS round (the r9 third-scale
+        # sweep's rounding-boundary fixes) — window re-entry is
+        # mandatory for changed entries regardless of their green r8
+        # rows ---
+        "dsir_importance_sample": textops.dsir_importance_sample,
+        "quality_percentile_filter": textops.quality_percentile_filter,
+        "multimodal_features": mm.multimodal_features,
+        # --- (d) latest driver row is r07: cycle back in before a third
         # unchecked round (the rest of the r7 cohort is r10's head) ---
-        "q3_shipping_priority": rel.q3_shipping_priority,
-        "q4_order_priority": rel.q4_order_priority,
-        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
         "q6_forecast_revenue": rel.q6_forecast_revenue,
         "q7_nation_volume": rel.q7_nation_volume,
         "q9_profit_by_nation_year": rel.q9_profit_by_nation_year,
@@ -247,12 +257,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_part_stats": rel.string_part_stats,
         "json_event_stats": rel.json_event_stats,
         "line_dedup_stats": textops.line_dedup_stats,
-        "dsir_importance_sample": textops.dsir_importance_sample,
         "chunk_documents": textops.chunk_documents,
         "chunk_retrieval_topk": embed.chunk_retrieval_topk,
         "component_size_histogram": dedup.component_size_histogram,
         "event_funnel": rel.event_funnel,
-        "quality_percentile_filter": textops.quality_percentile_filter,
         "cross_source_duplication_stats": dedup.cross_source_duplication_stats,
         "text_bigram_surprisal": textops.bigram_surprisal,
         "text_trigram_surprisal": textops.trigram_backoff_surprisal,
@@ -283,7 +291,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokenizer": _bpe_tokenizer,
         # ---- r7-green below (latest driver row is CORRECTNESS_r07):
         # 2-stale at r9 — pinned as the MANDATORY head of the r10
-        # window in tests/test_entry.py ----
+        # window in tests/test_entry.py. q3/q4/q5 moved down here when
+        # the third-scale rounding fixes claimed their window slots ----
+        "q3_shipping_priority": rel.q3_shipping_priority,
+        "q4_order_priority": rel.q4_order_priority,
+        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
         "domain_mixture_sample": textops.domain_mixture_sample,
         "encoding_quality_stats": textops.encoding_quality_stats,
         "source_token_divergence": textops.source_token_divergence,
@@ -934,7 +946,7 @@ def oracle_sql() -> dict[str, str]:
     q["q2_min_cost_supplier"] = """
         WITH offers AS (
             SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
-                   round((sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0) / count(*), 2) AS avg_price
+                   round(CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / count(*)) AS BIGINT) / 100.0, 2) AS avg_price
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
             JOIN supplier ON l_suppkey = s_suppkey
@@ -1139,11 +1151,13 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 2) AS sum_value
         FROM s GROUP BY 1"""
 
+    # byte_mean micro-quantizes at scale 0 (×1e6, round, /1e6) — the
+    # engines round the identical pre-scaled double (r9 sweep find)
     q["multimodal_features"] = """
         SELECT doc_id AS media_id, 'image/fake' AS media_type,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-               round(list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
-                     * 1.0 / length(text), 6) AS byte_mean,
+               round(CAST(round((list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
+                     * 1.0 / length(text)) * 1e6) AS BIGINT) / 1e6, 6) AS byte_mean,
                CAST(ceil((n_chars % 100 + 1) / 10.0) AS BIGINT) AS n_sampled_frames
         FROM documents"""
 
@@ -2147,7 +2161,8 @@ def oracle_sql() -> dict[str, str]:
                FROM feats GROUP BY doc_id, source, lang, f),
         scored AS (SELECT doc_id, source, lang,
                           CAST(sum(c) AS BIGINT) AS n_bigrams,
-                          round(sum(c * lr_micro) / (sum(c) * 1e6), 6)
+                          round(CAST(round(sum(c * lr_micro) / sum(c))
+                                     AS BIGINT) / 1e6, 6)
                               AS score_bits
                    FROM pf JOIN lr USING (f)
                    GROUP BY doc_id, source, lang),
@@ -2285,17 +2300,17 @@ def oracle_sql() -> dict[str, str]:
                       CAST(round(ln(n.n / v.tf) / ln(2.0) * 1e6) AS BIGINT) AS bm
                FROM v, n),
         pd AS (SELECT t.doc_id, t.source, CAST(count(*) AS BIGINT) AS n_tokens,
-                      round(sum(vm.bm) / (count(*) * 1e6), 6) AS bits
+                      CAST(round(sum(vm.bm) / count(*)) AS BIGINT) AS bits_micro
                FROM t JOIN vm USING (term) GROUP BY t.doc_id, t.source),
-        th AS (SELECT source, quantile_cont(bits, 0.5) AS thr
+        th AS (SELECT source, quantile_cont(bits_micro, 0.5) AS thr
                FROM pd GROUP BY source)
         SELECT pd.source, CAST(count(*) AS BIGINT) AS n_docs,
-               round(max(th.thr), 6) AS thr_bits,
-               CAST(sum(CASE WHEN bits <= thr THEN 1 ELSE 0 END) AS BIGINT)
+               round(CAST(round(max(th.thr)) AS BIGINT) / 1e6, 6) AS thr_bits,
+               CAST(sum(CASE WHEN bits_micro <= thr THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_kept,
-               round(CAST(sum(CASE WHEN bits <= thr THEN 1 ELSE 0 END)
+               round(CAST(sum(CASE WHEN bits_micro <= thr THEN 1 ELSE 0 END)
                           AS DOUBLE) / count(*), 6) AS kept_frac,
-               CAST(sum(CASE WHEN bits <= thr THEN n_tokens ELSE 0 END)
+               CAST(sum(CASE WHEN bits_micro <= thr THEN n_tokens ELSE 0 END)
                     AS BIGINT) AS kept_tokens
         FROM pd JOIN th USING (source) GROUP BY pd.source"""
 

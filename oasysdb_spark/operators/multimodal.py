@@ -651,13 +651,34 @@ def extract_features(media: DataFrame) -> DataFrame:
             for media_id, content, meta in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
                 n, mean, std, ent = fake_decode_stats(bytes(content))
                 media_type = meta["media_type"] if isinstance(meta, dict) else meta[0]
-                rows.append((int(media_id), media_type, n, round(mean, 6), round(std, 6), round(ent, 6)))
+                rows.append((int(media_id), media_type, n, mean, std, ent))
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "media_type", "n_bytes", "byte_mean", "byte_std", "entropy8"],
             )
 
-    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+    # rounding happens JVM-side, never in the worker: python's round()
+    # is half-EVEN, and a dyadic-rational byte_mean landing exactly on
+    # the 6dp boundary (93.7265625 at sf0.1) rounded DOWN here while
+    # DuckDB rounded up (r9 third-scale sweep find). The oracle-compared
+    # byte_mean additionally micro-quantizes at SCALE 0 (×1e6, round,
+    # /1e6) — both engines round the identical pre-scaled double, where
+    # scale-6 rounding of the unscaled value can disagree at decimal
+    # boundaries (Spark rounds the exact binary expansion, DuckDB
+    # re-rounds through its own ×1e6 multiply)
+    raw = media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+    return raw.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.round(
+            F.round(F.col("byte_mean") * F.lit(1e6)).cast("bigint")
+            / F.lit(1e6),
+            6,
+        ).alias("byte_mean"),
+        F.round("byte_std", 6).alias("byte_std"),
+        F.round("entropy8", 6).alias("entropy8"),
+    )
 
 
 PIXEL_FEATURE_SCHEMA = T.StructType(

@@ -1170,8 +1170,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(eur), li.l_suppkey == eur.s_suppkey)
         .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(
+            # mean in CENTS rounded at SCALE 0 (both engines round the
+            # identical double half-away at integer boundaries), then
+            # one exact /100 — scale-2 rounding of the unscaled mean
+            # can still disagree at decimal boundaries
             F.round(
-                (F.sum(cents) / 100.0) / F.count("*"), 2
+                F.round(F.sum(cents) / F.count("*")).cast("bigint")
+                / F.lit(100.0),
+                2,
             ).alias("avg_price")
         )
     )

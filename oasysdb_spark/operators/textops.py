@@ -1700,12 +1700,14 @@ def quality_percentile_filter(
     micro-bits (``round(bits·10⁶)`` as bigint), so the per-doc
     accumulation is exact integer math immune to partial-aggregation
     summation order (the DSIR double-sum flake, fixed here too, r7);
-    one division + ``round(…, 6)`` yields the per-doc bits BEFORE the
-    quantile (both engines see identical doubles), Spark's exact
-    ``percentile`` matches DuckDB's ``quantile_cont`` bit-for-bit on
-    identical inputs, and the keep comparison is ``bits <= thr`` on
-    those unrounded-threshold doubles — so the kept SET is identical
-    across engines; the threshold is rounded only for display.
+    the per-doc score STAYS an integer — one scale-0 round of Σbm/n
+    (identical on both engines) — and the quantile runs over those
+    integers, where midpoint interpolation is exactly representable
+    (r9: a quantile over 6dp-rounded DOUBLES flipped the last digit
+    between engines at sf0.1). The keep comparison is
+    ``bits_micro <= thr`` on the unrounded threshold, so the kept SET
+    is identical across engines; the display threshold micro-rounds at
+    scale 0 before the /1e6.
 
     Scale shape: one (term) aggregation for the LM, one scoring join,
     one (doc) aggregation, one per-source exact percentile (each
@@ -1737,31 +1739,46 @@ def quality_percentile_filter(
             * 1e6
         )
     ).cast("bigint")
+    # the per-doc score stays an INTEGER (micro-bits): one scale-0
+    # round of Σbm/n — identical on both engines — instead of a
+    # scale-6 round of the unscaled double, and the PERCENTILE runs
+    # over integers, where midpoint interpolation is exactly
+    # representable on both engines (r9 third-scale sweep find: the
+    # even-count median of two rounded doubles flipped the 6th digit)
     per_doc = (
         terms.join(vocab.withColumn("bm", bits_micro), "term")
         .groupBy("doc_id", "source")
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),
-            F.round(
-                F.sum("bm") / (F.count("*") * F.lit(1e6)), 6
-            ).alias("bits"),
+            F.round(F.sum("bm") / F.count("*"))
+            .cast("bigint")
+            .alias("bits_micro"),
         )
     )
     if approx_accuracy is not None:
         thr = per_doc.groupBy("source").agg(
-            F.percentile_approx("bits", q, approx_accuracy).alias("thr")
+            F.percentile_approx("bits_micro", q, approx_accuracy)
+            .cast("double")
+            .alias("thr")
         )
     else:
         thr = per_doc.groupBy("source").agg(
-            F.expr(f"percentile(bits, {q})").alias("thr")
+            F.expr(f"percentile(bits_micro, {q})").alias("thr")
         )
-    keep = F.col("bits") <= F.col("thr")
+    keep = F.col("bits_micro") <= F.col("thr")
     return (
         per_doc.join(F.broadcast(thr), "source")
         .groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
-            F.round(F.max("thr"), 6).alias("thr_bits"),
+            # display threshold micro-rounds at scale 0 first (an
+            # even-count median is x.5 micro-bits — exactly the 6dp
+            # half boundary the engines disagree on); the KEEP
+            # comparison above uses the unrounded thr, so the kept set
+            # is untouched
+            F.round(
+                F.round(F.max("thr")).cast("bigint") / F.lit(1e6), 6
+            ).alias("thr_bits"),
             F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
             F.round(
                 F.sum(F.when(keep, 1).otherwise(0))
@@ -1875,14 +1892,23 @@ def dsir_importance_sample(
         .cast("bigint")
         .alias("lr_micro"),
     )
+    # the per-doc mean stays in INTEGER micro-bits to the end: one
+    # scale-0 round of S/n (both engines round the identical double
+    # half-away-from-zero at scale 0), then one exact /1e6. Rounding
+    # the unscaled double at scale 6 instead let the engines disagree
+    # at exact-decimal boundaries — Spark rounds the double's exact
+    # binary expansion, DuckDB re-rounds through a ×1e6 multiply
+    # (r9 third-scale sweep find: S/(24·1e6) = 0.0313235 exactly)
     scored = (
         feats.join(F.broadcast(lr), "f")
         .groupBy("doc_id", "source", "lang")
         .agg(
             F.sum("c").cast("bigint").alias("n_bigrams"),
             F.round(
-                F.sum(F.col("c") * F.col("lr_micro"))
-                / (F.sum("c") * F.lit(1e6)),
+                F.round(
+                    F.sum(F.col("c") * F.col("lr_micro")) / F.sum("c")
+                ).cast("bigint")
+                / F.lit(1e6),
                 6,
             ).alias("score_bits"),
         )

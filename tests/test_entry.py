@@ -115,6 +115,14 @@ def test_driver_window_rotation_closes_coverage():
             "sq_reconstruction_stats",
             "dedup_saturation_curve",
         }
+        # code+oracle changed this round (the third-scale sweep's
+        # rounding-boundary fixes): re-entry is mandatory even though
+        # each holds a green r8 row — it covers the OLD code
+        | {
+            "dsir_importance_sample",
+            "quality_percentile_filter",
+            "multimodal_features",
+        }
     )
     missing = must_rotate_in - set(window)
     assert not missing, f"driver window lost: {sorted(missing)}"
@@ -139,8 +147,12 @@ def test_driver_window_rotation_closes_coverage():
 
     # the r7-latest entries deferred past this window sit AT the
     # two-round staleness limit: round 10's window MUST lead with these
-    # 33 (the ledger discipline — 17 slots remain free at r10)
+    # 36 (the ledger discipline — 14 slots remain free at r10; q3/q4/q5
+    # ceded their r9 refresh slots to the changed-entry re-entries)
     assert deferred_at_limit == {
+        "q3_shipping_priority",
+        "q4_order_priority",
+        "q5_local_supplier_volume",
         "domain_mixture_sample",
         "encoding_quality_stats",
         "source_token_divergence",

@@ -2254,17 +2254,17 @@ def test_quality_percentile_filter_matches_duckdb_oracle(spark, sf_dir):
                       CAST(round(ln(n.n / v.tf) / ln(2.0) * 1e6) AS BIGINT) AS bm
                FROM v, n),
         pd AS (SELECT t.doc_id, t.source, CAST(count(*) AS BIGINT) AS n_tokens,
-                      round(sum(vm.bm) / (count(*) * 1e6), 6) AS bits
+                      CAST(round(sum(vm.bm) / count(*)) AS BIGINT) AS bits_micro
                FROM t JOIN vm USING (term) GROUP BY t.doc_id, t.source),
-        th AS (SELECT source, quantile_cont(bits, 0.5) AS thr
+        th AS (SELECT source, quantile_cont(bits_micro, 0.5) AS thr
                FROM pd GROUP BY source)
         SELECT pd.source, CAST(count(*) AS BIGINT) AS n_docs,
-               round(max(th.thr), 6) AS thr_bits,
-               CAST(sum(CASE WHEN bits <= thr THEN 1 ELSE 0 END) AS BIGINT)
+               round(CAST(round(max(th.thr)) AS BIGINT) / 1e6, 6) AS thr_bits,
+               CAST(sum(CASE WHEN bits_micro <= thr THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_kept,
-               round(CAST(sum(CASE WHEN bits <= thr THEN 1 ELSE 0 END)
+               round(CAST(sum(CASE WHEN bits_micro <= thr THEN 1 ELSE 0 END)
                           AS DOUBLE) / count(*), 6) AS kept_frac,
-               CAST(sum(CASE WHEN bits <= thr THEN n_tokens ELSE 0 END)
+               CAST(sum(CASE WHEN bits_micro <= thr THEN n_tokens ELSE 0 END)
                     AS BIGINT) AS kept_tokens
         FROM pd JOIN th USING (source) GROUP BY pd.source""")
     duck_cols = [d[0] for d in res.description]
@@ -2857,7 +2857,8 @@ def test_dsir_importance_sample_matches_duckdb_oracle(spark, sf_dir):
                FROM feats GROUP BY doc_id, source, lang, f),
         scored AS (SELECT doc_id, source, lang,
                           CAST(sum(c) AS BIGINT) AS n_bigrams,
-                          round(sum(c * lr_micro) / (sum(c) * 1e6), 6)
+                          round(CAST(round(sum(c * lr_micro) / sum(c))
+                                     AS BIGINT) / 1e6, 6)
                               AS score_bits
                    FROM pf JOIN lr USING (f)
                    GROUP BY doc_id, source, lang),
