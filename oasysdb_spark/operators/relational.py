@@ -947,14 +947,30 @@ def join_key_skew_stats(
         "max_key_rows",
         F.round(F.col("__p50"), 6).alias("p50_key_rows"),
         F.round(F.col("__p99"), 6).alias("p99_key_rows"),
+        # entropy/uniform display values micro-quantize at SCALE 0 of
+        # the identically-computed pre-scaled double (the r9 rounding
+        # rule: scale-6 rounds of unscaled doubles flip last digits
+        # between engines at exact decimal boundaries); the quantile
+        # rounds are safe as-is — integer-input midpoints carry at
+        # most one decimal digit
         F.round(
-            F.log2(F.col("n_rows").cast("double"))
-            - (F.col("__sm") / 1e6) / F.col("n_rows"),
+            F.round(
+                (
+                    F.log2(F.col("n_rows").cast("double"))
+                    - (F.col("__sm") / 1e6) / F.col("n_rows")
+                )
+                * 1e6
+            ).cast("bigint")
+            / 1e6,
             6,
         ).alias("entropy_bits"),
-        F.round(F.log2(F.col("n_keys").cast("double")), 6).alias(
-            "uniform_bits"
-        ),
+        F.round(
+            F.round(F.log2(F.col("n_keys").cast("double")) * 1e6).cast(
+                "bigint"
+            )
+            / 1e6,
+            6,
+        ).alias("uniform_bits"),
     )
     top = per_key.orderBy(F.desc("key_rows"), F.asc(key)).limit(top_k)
     w = Window.orderBy(F.desc("key_rows"), F.asc(key))
@@ -965,9 +981,13 @@ def join_key_skew_stats(
             "rank",
             F.col(key).cast("bigint").alias("key_value"),
             "key_rows",
-            F.round(F.col("key_rows") / F.col("n_rows"), 6).alias(
-                "key_frac"
-            ),
+            F.round(
+                F.round(
+                    F.col("key_rows") / F.col("n_rows") * 1e6
+                ).cast("bigint")
+                / 1e6,
+                6,
+            ).alias("key_frac"),
             "n_rows",
             "n_keys",
             "max_key_rows",

@@ -4736,15 +4736,15 @@ def test_join_key_skew_stats_matches_duckdb_oracle(spark, sf_dir):
               FROM pk),
         stats AS (SELECT n_rows, n_keys, max_key_rows,
                 round(p50d, 6) AS p50_key_rows, round(p99d, 6) AS p99_key_rows,
-                round(log2(CAST(n_rows AS DOUBLE)) - (sm / 1000000.0) / n_rows, 6) AS entropy_bits,
-                round(log2(CAST(n_keys AS DOUBLE)), 6) AS uniform_bits
+                round(CAST(round((log2(CAST(n_rows AS DOUBLE)) - (sm / 1000000.0) / n_rows) * 1e6) AS BIGINT) / 1e6, 6) AS entropy_bits,
+                round(CAST(round(log2(CAST(n_keys AS DOUBLE)) * 1e6) AS BIGINT) / 1e6, 6) AS uniform_bits
               FROM g),
         top AS (SELECT user_id, key_rows,
                   row_number() OVER (ORDER BY key_rows DESC, user_id) AS rnk
                 FROM pk QUALIFY rnk <= 10)
         SELECT CAST(rnk AS BIGINT) AS rank,
                CAST(user_id AS BIGINT) AS key_value, key_rows,
-               round(CAST(key_rows AS DOUBLE) / n_rows, 6) AS key_frac,
+               round(CAST(round(CAST(key_rows AS DOUBLE) / n_rows * 1e6) AS BIGINT) / 1e6, 6) AS key_frac,
                n_rows, n_keys, max_key_rows, p50_key_rows, p99_key_rows,
                entropy_bits, uniform_bits
         FROM top, stats ORDER BY rank""")
