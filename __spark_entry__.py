@@ -946,7 +946,7 @@ def oracle_sql() -> dict[str, str]:
     q["q2_min_cost_supplier"] = """
         WITH offers AS (
             SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
-                   round(CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / count(*)) AS BIGINT) / 100.0, 2) AS avg_price
+                   round(CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / count(*) / 100.0) AS BIGINT) / 100.0, 2) AS avg_price
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
             JOIN supplier ON l_suppkey = s_suppkey

@@ -764,12 +764,11 @@ def random_projection(
                 continue
             vals = list(pdf["embedding"])
             null_mask = [v is None for v in vals]
-            good = [
-                np.asarray(v, dtype=np.float64)
-                for v, isnull in zip(vals, null_mask)
-                if not isnull
-            ]
-            for g in good:
+            good = []
+            for i2, (v, isnull) in enumerate(zip(vals, null_mask)):
+                if isnull:
+                    continue
+                g = np.asarray(v, dtype=np.float64)
                 # the literal engine raises INVALID_ARRAY_INDEX on a
                 # ragged row under ANSI — the twin must not silently
                 # differ (r9 code review)
@@ -779,6 +778,16 @@ def random_projection(
                         f"{g.shape[0] if g.ndim == 1 else g.shape} does "
                         f"not match dim_in={dim_in}"
                     )
+                # a PER-ELEMENT null arrives from Arrow as NaN after
+                # asarray; the literal path's element_at yields NULL and
+                # the ± chain propagates it to a NULL output — the twin
+                # must match, so NaN-bearing rows join the null branch
+                # (r9 ADVICE; a genuine NaN payload is outside the
+                # engine's data model and maps the same way)
+                if np.isnan(g).any():
+                    null_mask[i2] = True
+                    continue
+                good.append(g)
             if not any(null_mask):
                 out = pd.DataFrame(_accumulate(np.asarray(good)),
                                    columns=raw_names)

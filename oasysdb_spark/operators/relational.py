@@ -979,7 +979,10 @@ def join_key_skew_stats(
         ranked.crossJoin(F.broadcast(stats))
         .select(
             "rank",
-            F.col(key).cast("bigint").alias("key_value"),
+            # display as STRING, not bigint: the key parameter is
+            # generic (any joinable column) — a bigint cast errors
+            # under ANSI mode / silently nulls on non-numeric keys
+            F.col(key).cast("string").alias("key_value"),
             "key_rows",
             F.round(
                 F.round(
@@ -1177,25 +1180,31 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    # per-row price quantizes to exact CENTS before the mean (integer
-    # accumulation, one divide + round at the end): round(avg(double))
-    # sat within 1 ulp of a .005 boundary at sf0.1 and flipped the 2dp
-    # round across engines (r9 third-scale sweep find) — the same
-    # partition-order hazard the DSIR fix killed, at output precision
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    # per-row price quantizes at the INPUT's exact precision (1e-4:
+    # 2dp extendedprice × 2dp discount factor = a 4-decimal product)
+    # before the mean — integer accumulation, one divide + round at
+    # the end. round(avg(double)) sat within 1 ulp of a .005 boundary
+    # at sf0.1 and flipped the 2dp round across engines (r9
+    # third-scale sweep find); the first fix quantized to CENTS, which
+    # shifted a group mean by up to half a cent vs the true mean (r9
+    # ADVICE) — 1e-4 units lose NOTHING per row, so avg_price is now
+    # the exact true mean displayed at 2dp
+    u4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
     ).cast("bigint")
     offers = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(eur), li.l_suppkey == eur.s_suppkey)
         .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(
-            # mean in CENTS rounded at SCALE 0 (both engines round the
-            # identical double half-away at integer boundaries), then
-            # one exact /100 — scale-2 rounding of the unscaled mean
-            # can still disagree at decimal boundaries
+            # exact integer mean scaled to display CENTS, rounded at
+            # SCALE 0 (both engines round the identical double
+            # half-away at integer boundaries), then one exact /100 —
+            # scale-2 rounding of the unscaled mean can still disagree
+            # at decimal boundaries
             F.round(
-                F.round(F.sum(cents) / F.count("*")).cast("bigint")
+                F.round(F.sum(u4) / F.count("*") / F.lit(100.0))
+                .cast("bigint")
                 / F.lit(100.0),
                 2,
             ).alias("avg_price")

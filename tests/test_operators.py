@@ -4743,7 +4743,7 @@ def test_join_key_skew_stats_matches_duckdb_oracle(spark, sf_dir):
                   row_number() OVER (ORDER BY key_rows DESC, user_id) AS rnk
                 FROM pk QUALIFY rnk <= 10)
         SELECT CAST(rnk AS BIGINT) AS rank,
-               CAST(user_id AS BIGINT) AS key_value, key_rows,
+               CAST(user_id AS VARCHAR) AS key_value, key_rows,
                round(CAST(round(CAST(key_rows AS DOUBLE) / n_rows * 1e6) AS BIGINT) / 1e6, 6) AS key_frac,
                n_rows, n_keys, max_key_rows, p50_key_rows, p99_key_rows,
                entropy_bits, uniform_bits
@@ -4947,6 +4947,30 @@ def test_random_projection_gemm_twin_bit_equal_and_scales(spark, sf_dir):
     assert lit_n == twin_n
     assert all(v is None for v in lit_n[1])
     assert all(v is not None for v in lit_n[0])
+
+    # PER-ELEMENT null (r9 ADVICE): element_at yields NULL on the
+    # literal path and the ± chain propagates it to NULL outputs; the
+    # twin sees the element as Arrow NaN after asarray and must emit
+    # the same NULL row, not a NaN-contaminated sum
+    elem_null = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [1.0, 2.0, None, 4.0, 5.0, 6.0, 7.0, 8.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    lit_e = {
+        r["vec_id"]: tuple(r)[1:]
+        for r in embed.random_projection(
+            spark, embs=elem_null, dim_out=4, max_codegen_terms=10**9
+        ).collect()
+    }
+    twin_e = {
+        r["vec_id"]: tuple(r)[1:]
+        for r in embed.random_projection(
+            spark, embs=elem_null, dim_out=4, max_codegen_terms=0
+        ).collect()
+    }
+    assert lit_e == twin_e
+    assert all(v is None for v in lit_e[1])
+    assert all(v is not None for v in lit_e[0])
 
     ragged = spark.createDataFrame(
         [(0, [1.0] * 8), (1, [1.0] * 3)],
@@ -5210,13 +5234,16 @@ def test_customer_fuzzy_matches_duckdb_oracle(spark, sf_dir):
     assert full2 == truth2
     assert any(d == 2 for (_, _, d) in full2)  # radius-2 pairs bind
 
-    # wider radii refuse cleanly; so do over-long keys at d=2
+    # wider radii refuse cleanly at plan build; over-long keys at d=2
+    # refuse at EXECUTION time (the guard is an assert_true inside the
+    # variants task — zero extra scans on the happy path, r10 fold of
+    # the old plan-build max-length pass) with the bound in the message
     with _pytest.raises(InvalidArgumentError):
         sj.edit_distance_pairs(cust, col="c_name", max_dist=3)
-    with _pytest.raises(InvalidArgumentError):
+    with _pytest.raises(Exception, match="max_len_d2=5"):
         sj.edit_distance_pairs(
             cust, col="c_name", max_dist=2, max_len_d2=5
-        )
+        ).collect()
 
 
 def test_edit_distance_pairs_adversarial_truth(spark):
@@ -5357,20 +5384,39 @@ def test_fuzzy_match_against_d2_matches_quadratic_truth(spark, sf_dir):
     assert _time.time() - t0 < 30
     assert all(r["name"] != "x" * 10_000 for r in long_rows)
 
-    # broadcast ledger (r9 code review): each call unpersists the
-    # previous call's deletion index — the ledger holds exactly the
-    # newest — and a held DataFrame from an earlier call still
-    # re-executes after its broadcast was unpersisted
-    assert len(sj._INDEX_BCS) == 1
-    bc_prev = sj._INDEX_BCS[0]
+    # broadcast ledger (r9 ADVICE rework): fingerprint-keyed LRU —
+    # concurrent plans over different (reference, max_dist) pairs
+    # coexist (the d=2 index built above and the d=1 index below hold
+    # separate slots instead of thrashing), a repeated call over the
+    # SAME reference reuses the existing broadcast object without
+    # rebuilding, the ledger is capped at _INDEX_BCS_CAP with LRU
+    # eviction, and a held DataFrame still re-executes after its
+    # broadcast was unpersisted (re-fetches from the driver)
+    before = dict(sj._INDEX_BCS)
+    assert len(before) >= 1  # the d=2 index from the long-probe call
     again = sj.fuzzy_match_against(probe, reference, max_dist=1)
-    assert len(sj._INDEX_BCS) == 1 and sj._INDEX_BCS[0] is not bc_prev
     assert again.count() > 0
+    after_d1 = dict(sj._INDEX_BCS)
+    assert len(after_d1) == len(before) + 1  # d=1 joined, d=2 kept
+    assert all(after_d1[k][0] is before[k][0] for k in before)
+    d1_key = next(k for k in after_d1 if k not in before)
+    # same (reference, max_dist) → broadcast object REUSED, no rebuild
+    sj.fuzzy_match_against(probe, reference, max_dist=1).count()
+    assert sj._INDEX_BCS[d1_key][0] is after_d1[d1_key][0]
+    assert len(sj._INDEX_BCS) == len(after_d1)
+    # cap: flooding with distinct single-name references evicts LRU
+    # entries but never grows past the cap
+    for i in range(sj._INDEX_BCS_CAP + 2):
+        tiny = spark.createDataFrame([(f"ref{i:02d}",)], "name string")
+        sj.fuzzy_match_against(probe, tiny, max_dist=1).count()
+    assert len(sj._INDEX_BCS) == sj._INDEX_BCS_CAP
+    # the d=2 broadcast was LRU-evicted (unpersisted), yet the held
+    # DataFrame re-executes identically
     assert sorted(tuple(r) for r in held.collect()) == sorted(
         tuple(r) for r in long_rows
     )
     sj.release_index_broadcasts()
-    assert sj._INDEX_BCS == []
+    assert sj._INDEX_BCS == {}
 
 
 def test_deletion_variant_sql_matches_python_exhaustively(spark):
