@@ -120,179 +120,62 @@ def _bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver oracle-checks the FIRST 50 entries.
 
-    Round-9 rotation (window math: 134 entries, 50-slot window, every
+    Round-10 rotation (window math: 137 entries, 50-slot window, every
     out-of-window entry must hold a green row no older than round N-2):
 
-    (a) the 22 r6-green leftovers whose latest green row is
-        CORRECTNESS_r06 — at the two-round staleness limit, so they
+    (a) the 36 r7-green leftovers whose latest green row is
+        CORRECTNESS_r07 — at the two-round staleness limit, so they
         MUST lead this window (pinned by name in tests/test_entry.py's
-        r8 deferral assertion and in the r8 verdict's task 1);
-    (b) twelve NEW entries promoted from staged pytest self-oracles
-        (each already hash-gated in tests/test_operators.py and
-        scale-probed through sf10), new families first per the r8
-        verdict: `event_rate_anomalies` (integer-moment z-scores over
-        hourly rates), `tfidf_top_terms` (grain-aware df, the r7
-        countDistinct lesson), `events_active_users` (DAU/WAU/
-        stickiness via bounded 7-day explode),
-        `minhash_jaccard_calibration` (estimator-vs-exact audit of the
-        dedup tier's own knob), `customer_fuzzy_matches` (SymSpell
-        deletion banding + levenshtein verify; the DuckDB oracle runs
-        the genuinely QUADRATIC join), `hybrid_search_rrf` (BM25 ∪
-        hash-embed cosine, reciprocal-rank fusion),
-        `label_centroid_similarity` (label-pair centroid cosine,
-        integer micro-sum centroids), `random_projection`
-        (deterministic ±1 JL cut — r9 closed its codegen-vs-dims
-        corner with the bit-equal GEMM twin before this promotion),
-        `leakage_safe_split` (component-atomic train/test split — no
-        near-dup edge straddles), `zipf_slope` (per-source log-log OLS
-        over exact integer ranks), `sq_reconstruction_stats` (SQ8
-        quantization error audit), `dedup_saturation_curve` (dup-frac
-        by ingest decile);
-    (c) three entries whose CODE AND ORACLE changed this round — the
-        third-scale sweep's rounding-boundary fixes
-        (`dsir_importance_sample`, `quality_percentile_filter`,
-        `multimodal_features`): window re-entry is mandatory for
-        changed entries regardless of their green r8 rows;
-    (d) 13 of the 49 entries whose latest green row is CORRECTNESS_r07
-        (2-stale at r9, the allowed maximum — refreshing them now
-        shrinks r10's mandatory head to the 36 pinned in
-        tests/test_entry.py; q3/q4/q5 ceded their refresh slots to the
-        (c) re-entries). 22+12+3+13 = exactly 50.
+        r9 deferral assertion and the r9 verdict's task 1). Every
+        legacy ``round(unscaled-double, k)`` site in these entries was
+        migrated to the scale-0 rounding form in the same edit (the r9
+        verdict's task 3 — zero extra slots, the hazard class retired
+        as entries rotate through);
+    (b) three entries whose CODE changed this round and therefore
+        re-enter regardless of their green r9 rows:
+        `customer_fuzzy_matches` (the d=2 length guard folded into the
+        variants task — no more plan-build scan), `random_projection`
+        (GEMM-twin per-element-NULL parity with the literal path),
+        `q2_min_cost_supplier` (avg_price quantizes at the input's
+        exact 1e-4 precision — true mean, zero per-row loss);
+    (c) three NEW entries promoted from staged pytest self-oracles
+        (each hash-gated in tests/test_operators.py and scale-probed
+        through sf1+): `join_key_skew_stats` (pre-join skew audit:
+        top-k hot keys + entropy-vs-uniform gap from ONE map-side
+        shuffle; key displays as string — generic key support),
+        `user_rfm_segments` (recency/frequency/monetary quartile grid
+        over exact integers), `embedding_norm_stats` (per-label norm
+        distribution, micro-unit integers end-to-end);
+    (d) 8 r8-green entries whose legacy rounding sites were migrated
+        this round (changed code ⇒ mandatory re-entry, chosen
+        PRECISELY so the refresh slot and the migration coincide):
+        `q8_market_share`, `percentile_stats`, `math_stats`,
+        `json_event_stats`, `event_funnel`, `text_clean_pipeline`,
+        `multimodal_pixel_stats`, `multimodal_video_stats`.
+        36+3+3+8 = exactly 50.
 
-    Below the window: 47 of the previous window's r8-green entries,
-    the 36 r7-green entries that MUST lead the r10 window (pinned by
-    name in tests/test_entry.py — the ledger discipline), and
-    `text_bpe_tokenizer` (judge r6 task 5): a permanently `no_oracle`
-    rows-only entry spends a hash-checked slot; its SQL-expressible
-    half (`text_pretoken_counts`) is the in-contract twin and the
-    merge sequence stays pytest-pinned (tests/test_tokenizer.py), so
-    outside the window it is pytest-gated rather than stale. The
-    boundary comment below marks entry 50 — but the rotation test
-    checks the real slice, not the comment."""
+    Below the window: the 47 r9-green entries of the previous window
+    (fine through r11, mandatory at r12), the 39 r8-green entries NOT
+    refreshed here — THEY ARE ROUND 11's MANDATORY HEAD (pinned by
+    name in tests/test_entry.py — the ledger discipline; 11 slots
+    remain free at r11), and `text_bpe_tokenizer` (judge r6 task 5): a
+    permanently `no_oracle` rows-only entry spends a hash-checked
+    slot; its SQL-expressible half (`text_pretoken_counts`) is the
+    in-contract twin and the merge sequence stays pytest-pinned
+    (tests/test_tokenizer.py), so outside the window it is
+    pytest-gated rather than stale.
+
+    CAPACITY NOTE (the r9 verdict's task 2): 137 entries against the
+    150-entry ceiling (50-slot window × 3-round refresh cycle) leaves
+    ~13 promotion slots EVER; steady-state mandatory head is ~39-47
+    of 50 from here, so promote 2-4 per round at most, prefer new
+    FAMILIES, and retire redundant entries when a stronger superset
+    exists (the r8 narrow-simhash precedent). The boundary comment
+    below marks entry 50 — but the rotation test checks the real
+    slice, not the comment."""
     return {
-        # --- (a) deferred r6-green leftovers: staleness limit, must lead ---
-        "sessionize_events": rel.sessionize_events,
-        "interval_overlap_join": tmp.interval_overlap_sessions,
-        "events_tumbling_hourly": tmp.events_tumbling_hourly,
-        "vec_knn_cosine": lambda s, d: vec.knn_bruteforce(s, d, metric="cosine"),
-        "parts_above_avg_price": rel.parts_above_avg_price,
-        "orders_by_month": rel.orders_by_month,
-        "rollup_lineitem": rel.rollup_lineitem,
-        "unpivot_lineitem": rel.unpivot_lineitem,
-        "top_orders_per_customer": rel.top_orders_per_customer,
-        "running_revenue": rel.running_revenue,
-        "cube_orders": rel.cube_orders,
-        "setop_intersect": rel.setop_intersect,
-        "ship_latency": rel.ship_latency,
-        "parts_like_patterns": rel.parts_like_patterns,
-        "q1_pricing_summary": rel.q1_pricing_summary,
-        "q2_min_cost_supplier": rel.q2_min_cost_supplier,
-        "q11_important_parts": rel.q11_important_parts,
-        "q18_large_volume_customers": rel.q18_large_volume_customers,
-        "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
-        "q20_excess_shippers": rel.q20_excess_shippers,
-        "q21_waiting_supplier": rel.q21_waiting_supplier,
-        "q22_idle_customers": rel.q22_idle_customers,
-        # --- (b) new in round 9: staged self-oracles promoted ---
-        "event_rate_anomalies": tmp.event_rate_anomalies,
-        "tfidf_top_terms": textops.tfidf_top_terms,
-        "events_active_users": rel.events_active_users,
-        "minhash_jaccard_calibration": dedup.minhash_jaccard_calibration,
-        "customer_fuzzy_matches": sj.customer_fuzzy_matches,
-        "hybrid_search_rrf": embed.hybrid_search_rrf,
-        "label_centroid_similarity": embed.label_centroid_similarity,
-        "random_projection": embed.random_projection,
-        "leakage_safe_split": lambda s, d: dedup.leakage_safe_split(
-            s, d, test_frac=0.2
-        ),
-        "zipf_slope": textops.zipf_slope,
-        "sq_reconstruction_stats": vec.sq_reconstruction_stats,
-        "dedup_saturation_curve": dedup.dedup_saturation_curve,
-        # --- (c) code+oracle changed THIS round (the r9 third-scale
-        # sweep's rounding-boundary fixes) — window re-entry is
-        # mandatory for changed entries regardless of their green r8
-        # rows ---
-        "dsir_importance_sample": textops.dsir_importance_sample,
-        "quality_percentile_filter": textops.quality_percentile_filter,
-        "multimodal_features": mm.multimodal_features,
-        # --- (d) latest driver row is r07: cycle back in before a third
-        # unchecked round (the rest of the r7 cohort is r10's head) ---
-        "q6_forecast_revenue": rel.q6_forecast_revenue,
-        "q7_nation_volume": rel.q7_nation_volume,
-        "q9_profit_by_nation_year": rel.q9_profit_by_nation_year,
-        "q10_returned_customers": rel.q10_returned_customers,
-        "q12_latency_priority": rel.q12_latency_priority,
-        "q13_order_count_distribution": rel.q13_order_count_distribution,
-        "q14_promo_share": rel.q14_promo_share,
-        "q15_top_supplier": rel.q15_top_supplier,
-        "q17_small_qty_revenue": rel.q17_small_qty_revenue,
-        "dedup_simhash_wide_pairs": dedup.simhash_wide_pairs,
-        "multimodal_dhash_near_pairs": mm.multimodal_dhash_near_pairs,
-        "text_bm25_search": textops.bm25_search,
-        "vec_ivf_knn": _ivf_knn,
-        # ---- driver window boundary: vec_ivf_knn above is entry 50
-        # (count them — don't trust a comment's position; the rotation
-        # test in tests/test_entry.py checks the REAL first-50 slice).
-        # Every entry below holds a green hash-matched row from the most
-        # recent round that checked it and is unchanged since: first the
-        # 50 r8-green entries of the previous window, then the
-        # pytest-gated rows-only bpe entry, then the 33 r7-green
-        # entries that MUST lead the r10 window (2-stale then) ----
-        "text_token_stats": textops.token_stats,
-        "text_fingerprints": textops.fingerprints,
-        "text_stratified_sample": textops.stratified_sample_stats,
-        "events_sliding_windows": tmp.events_sliding_windows,
-        "vec_knn_euclidean": vec.knn_bruteforce,
-        "vec_knn_filtered": vec.knn_filtered,
-        "vec_radius": vec.radius_search,
-        "vec_knn_batched": vec.knn_batched,
-        "vec_label_centroids": vec.label_centroids,
-        "vec_lsh_knn": vec.lsh_knn,
-        "vec_knn_manhattan": _manhattan_knn,
-        "vec_knn_join_blocked": sj.knn_join_blocked,
-        "q8_market_share": rel.q8_market_share,
-        "q16_supplier_variety": rel.q16_supplier_variety,
-        "percentile_stats": rel.percentile_stats,
-        "math_stats": rel.math_stats,
-        "string_part_stats": rel.string_part_stats,
-        "json_event_stats": rel.json_event_stats,
-        "line_dedup_stats": textops.line_dedup_stats,
-        "chunk_documents": textops.chunk_documents,
-        "chunk_retrieval_topk": embed.chunk_retrieval_topk,
-        "component_size_histogram": dedup.component_size_histogram,
-        "event_funnel": rel.event_funnel,
-        "cross_source_duplication_stats": dedup.cross_source_duplication_stats,
-        "text_bigram_surprisal": textops.bigram_surprisal,
-        "text_trigram_surprisal": textops.trigram_backoff_surprisal,
-        "text_curriculum_buckets": textops.curriculum_buckets,
-        "text_shard_plan": textops.shard_plan,
-        "source_curation_stats": textops.source_curation_stats,
-        "text_oov_rate": lambda s, d: textops.oov_rate(s, d, top_k=20),
-        "ngram_decontaminate_stats": textops.ngram_decontaminate_stats,
-        "ngram_contamination_report_stats": (
-            textops.ngram_contamination_report_stats
-        ),
-        "text_pretoken_counts": _pretoken_counts,
-        "multimodal_video_stats": mm.multimodal_video_stats,
-        "multimodal_dhash_dedup": mm.multimodal_dhash_dedup,
-        "dedup_decontaminate": _decontaminate,
-        "dedup_components": dedup.dedup_components,
-        "dedup_embedding_cosine": dedup.embedding_near_pairs,
-        "dedup_exact_pick": dedup.exact_dedup_pick,
-        "dedup_exact_stats": dedup.exact_dedup_stats,
-        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
-        "text_clean_pipeline": textops.clean_corpus_pipeline,
-        "text_boilerplate_ngrams": textops.boilerplate_ngrams,
-        "text_pii_scrub": textops.pii_scrub_stats,
-        "text_hash_embeddings": embed.hash_embeddings,
-        "multimodal_features": mm.multimodal_features,
-        "multimodal_pixel_stats": mm.multimodal_pixel_stats,
-        "asof_click_view": tmp.asof_click_view,
-        "text_bpe_tokenizer": _bpe_tokenizer,
-        # ---- r7-green below (latest driver row is CORRECTNESS_r07):
-        # 2-stale at r9 — pinned as the MANDATORY head of the r10
-        # window in tests/test_entry.py. q3/q4/q5 moved down here when
-        # the third-scale rounding fixes claimed their window slots ----
+        # --- (a) deferred r7-green leftovers: staleness limit, must
+        # lead (the 36 pinned in the r9 deferral assertion) ---
         "q3_shipping_priority": rel.q3_shipping_priority,
         "q4_order_priority": rel.q4_order_priority,
         "q5_local_supplier_volume": rel.q5_local_supplier_volume,
@@ -329,6 +212,127 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "text_language_id": textops.language_id,
         "text_quality": textops.quality_scores,
+        # --- (b) code changed this round: mandatory re-entry ---
+        "customer_fuzzy_matches": sj.customer_fuzzy_matches,
+        "random_projection": embed.random_projection,
+        "q2_min_cost_supplier": rel.q2_min_cost_supplier,
+        # --- (c) new in round 10: staged self-oracles promoted ---
+        "join_key_skew_stats": rel.join_key_skew_stats,
+        "user_rfm_segments": rel.user_rfm_segments,
+        "embedding_norm_stats": embed.embedding_norm_stats,
+        # --- (d) r8-green refreshes whose legacy rounding migrated
+        # this round (changed code ⇒ window re-entry) ---
+        "q8_market_share": rel.q8_market_share,
+        "percentile_stats": rel.percentile_stats,
+        "math_stats": rel.math_stats,
+        "json_event_stats": rel.json_event_stats,
+        "event_funnel": rel.event_funnel,
+        "text_clean_pipeline": textops.clean_corpus_pipeline,
+        "multimodal_pixel_stats": mm.multimodal_pixel_stats,
+        "multimodal_video_stats": mm.multimodal_video_stats,
+        # ---- driver window boundary: multimodal_video_stats above is
+        # entry 50 (count them — don't trust a comment's position; the
+        # rotation test in tests/test_entry.py checks the REAL first-50
+        # slice). Every entry below holds a green hash-matched row from
+        # the most recent round that checked it and is unchanged since:
+        # first the 47 r9-green entries of the previous window, then
+        # the 39 r8-green entries that MUST lead the r11 window
+        # (2-stale then — the pinned ledger), then the pytest-gated
+        # rows-only bpe entry ----
+        "sessionize_events": rel.sessionize_events,
+        "interval_overlap_join": tmp.interval_overlap_sessions,
+        "events_tumbling_hourly": tmp.events_tumbling_hourly,
+        "vec_knn_cosine": lambda s, d: vec.knn_bruteforce(s, d, metric="cosine"),
+        "parts_above_avg_price": rel.parts_above_avg_price,
+        "orders_by_month": rel.orders_by_month,
+        "rollup_lineitem": rel.rollup_lineitem,
+        "unpivot_lineitem": rel.unpivot_lineitem,
+        "top_orders_per_customer": rel.top_orders_per_customer,
+        "running_revenue": rel.running_revenue,
+        "cube_orders": rel.cube_orders,
+        "setop_intersect": rel.setop_intersect,
+        "ship_latency": rel.ship_latency,
+        "parts_like_patterns": rel.parts_like_patterns,
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q11_important_parts": rel.q11_important_parts,
+        "q18_large_volume_customers": rel.q18_large_volume_customers,
+        "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
+        "q20_excess_shippers": rel.q20_excess_shippers,
+        "q21_waiting_supplier": rel.q21_waiting_supplier,
+        "q22_idle_customers": rel.q22_idle_customers,
+        "event_rate_anomalies": tmp.event_rate_anomalies,
+        "tfidf_top_terms": textops.tfidf_top_terms,
+        "events_active_users": rel.events_active_users,
+        "minhash_jaccard_calibration": dedup.minhash_jaccard_calibration,
+        "hybrid_search_rrf": embed.hybrid_search_rrf,
+        "label_centroid_similarity": embed.label_centroid_similarity,
+        "leakage_safe_split": lambda s, d: dedup.leakage_safe_split(
+            s, d, test_frac=0.2
+        ),
+        "zipf_slope": textops.zipf_slope,
+        "sq_reconstruction_stats": vec.sq_reconstruction_stats,
+        "dedup_saturation_curve": dedup.dedup_saturation_curve,
+        "dsir_importance_sample": textops.dsir_importance_sample,
+        "quality_percentile_filter": textops.quality_percentile_filter,
+        "multimodal_features": mm.multimodal_features,
+        "q6_forecast_revenue": rel.q6_forecast_revenue,
+        "q7_nation_volume": rel.q7_nation_volume,
+        "q9_profit_by_nation_year": rel.q9_profit_by_nation_year,
+        "q10_returned_customers": rel.q10_returned_customers,
+        "q12_latency_priority": rel.q12_latency_priority,
+        "q13_order_count_distribution": rel.q13_order_count_distribution,
+        "q14_promo_share": rel.q14_promo_share,
+        "q15_top_supplier": rel.q15_top_supplier,
+        "q17_small_qty_revenue": rel.q17_small_qty_revenue,
+        "dedup_simhash_wide_pairs": dedup.simhash_wide_pairs,
+        "multimodal_dhash_near_pairs": mm.multimodal_dhash_near_pairs,
+        "text_bm25_search": textops.bm25_search,
+        "vec_ivf_knn": _ivf_knn,
+        # ---- r8-green below (latest driver row is CORRECTNESS_r08):
+        # 2-stale at r10 — pinned as the MANDATORY head of the r11
+        # window in tests/test_entry.py ----
+        "text_token_stats": textops.token_stats,
+        "text_fingerprints": textops.fingerprints,
+        "text_stratified_sample": textops.stratified_sample_stats,
+        "events_sliding_windows": tmp.events_sliding_windows,
+        "vec_knn_euclidean": vec.knn_bruteforce,
+        "vec_knn_filtered": vec.knn_filtered,
+        "vec_radius": vec.radius_search,
+        "vec_knn_batched": vec.knn_batched,
+        "vec_label_centroids": vec.label_centroids,
+        "vec_lsh_knn": vec.lsh_knn,
+        "vec_knn_manhattan": _manhattan_knn,
+        "vec_knn_join_blocked": sj.knn_join_blocked,
+        "q16_supplier_variety": rel.q16_supplier_variety,
+        "string_part_stats": rel.string_part_stats,
+        "line_dedup_stats": textops.line_dedup_stats,
+        "chunk_documents": textops.chunk_documents,
+        "chunk_retrieval_topk": embed.chunk_retrieval_topk,
+        "component_size_histogram": dedup.component_size_histogram,
+        "cross_source_duplication_stats": dedup.cross_source_duplication_stats,
+        "text_bigram_surprisal": textops.bigram_surprisal,
+        "text_trigram_surprisal": textops.trigram_backoff_surprisal,
+        "text_curriculum_buckets": textops.curriculum_buckets,
+        "text_shard_plan": textops.shard_plan,
+        "source_curation_stats": textops.source_curation_stats,
+        "text_oov_rate": lambda s, d: textops.oov_rate(s, d, top_k=20),
+        "ngram_decontaminate_stats": textops.ngram_decontaminate_stats,
+        "ngram_contamination_report_stats": (
+            textops.ngram_contamination_report_stats
+        ),
+        "text_pretoken_counts": _pretoken_counts,
+        "multimodal_dhash_dedup": mm.multimodal_dhash_dedup,
+        "dedup_decontaminate": _decontaminate,
+        "dedup_components": dedup.dedup_components,
+        "dedup_embedding_cosine": dedup.embedding_near_pairs,
+        "dedup_exact_pick": dedup.exact_dedup_pick,
+        "dedup_exact_stats": dedup.exact_dedup_stats,
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "text_boilerplate_ngrams": textops.boilerplate_ngrams,
+        "text_pii_scrub": textops.pii_scrub_stats,
+        "text_hash_embeddings": embed.hash_embeddings,
+        "asof_click_view": tmp.asof_click_view,
+        "text_bpe_tokenizer": _bpe_tokenizer,
     }
 
 
@@ -376,7 +380,7 @@ def oracle_sql() -> dict[str, str]:
 
     q["q3_shipping_priority"] = """
         SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-               round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+               round(CAST(round(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) / 100.0) AS BIGINT) / 100.0, 2) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         WHERE c_mktsegment = 'BUILDING'
@@ -393,7 +397,7 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
     q["q5_local_supplier_volume"] = """
-        SELECT n_name, round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+        SELECT n_name, round(CAST(round(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) / 100.0) AS BIGINT) / 100.0, 2) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -472,8 +476,8 @@ def oracle_sql() -> dict[str, str]:
     q["json_event_stats"] = """
         SELECT event_type, count(*) AS n_events,
                CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-               round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
-               round(sum(value), 2) AS sum_value
+               round(CAST(round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 1e6) AS BIGINT) / 1e6, 6) AS avg_k,
+               round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
         FROM events GROUP BY event_type ORDER BY event_type"""
 
     q["sessionize_events"] = """
@@ -490,12 +494,12 @@ def oracle_sql() -> dict[str, str]:
 
     q["math_stats"] = """
         SELECT l_returnflag,
-               round(sqrt(avg(l_quantity)), 6) AS sqrt_avg_qty,
-               round(avg(pow(l_discount, 2)), 6) AS avg_disc_sq,
-               round(avg(ln(l_extendedprice + 1)), 6) AS avg_ln_price,
+               round(CAST(round(sqrt(sum(CAST(round(l_quantity) AS BIGINT)) / count(*)) * 1e6) AS BIGINT) / 1e6, 6) AS sqrt_avg_qty,
+               round(CAST(round(sum(CAST(round(pow(l_discount, 2) * 10000) AS BIGINT)) / count(*) * 100) AS BIGINT) / 1e6, 6) AS avg_disc_sq,
+               round(CAST(round(sum(CAST(round(ln(l_extendedprice + 1) * 1e6) AS BIGINT)) / count(*)) AS BIGINT) / 1e6, 6) AS avg_ln_price,
                CAST(sum(ceil(l_quantity)) AS BIGINT) AS sum_ceil_qty,
                CAST(sum(floor(l_quantity)) AS BIGINT) AS sum_floor_qty,
-               round(max(abs(l_discount - 0.05)), 6) AS max_abs_disc_dev
+               round(CAST(round(max(abs(l_discount - 0.05)) * 1e6) AS BIGINT) / 1e6, 6) AS max_abs_disc_dev
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
     q["filter_dsl_embeddings"] = f"""
@@ -506,16 +510,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(rank() OVER w AS BIGINT) AS rnk,
                CAST(dense_rank() OVER w AS BIGINT) AS drnk,
                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-               round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
-               round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
-               round(percent_rank() OVER w, 6) AS pct_rank
+               round(CAST(round(lag(o_totalprice, 1) OVER w * 100) AS BIGINT) / 100.0, 2) AS prev_price,
+               round(CAST(round(lead(o_totalprice, 1) OVER w * 100) AS BIGINT) / 100.0, 2) AS next_price,
+               round(CAST(round(percent_rank() OVER w * 1e6) AS BIGINT) / 1e6, 6) AS pct_rank
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)"""
 
     q["pivot_lineitem"] = """
         SELECT l_returnflag,
-               round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_open,
-               round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_filled
+               round(sum(CAST(round(l_quantity * 100) AS BIGINT)) FILTER (WHERE l_linestatus = 'O') / 100.0, 2) AS qty_open,
+               round(sum(CAST(round(l_quantity * 100) AS BIGINT)) FILTER (WHERE l_linestatus = 'F') / 100.0, 2) AS qty_filled
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
     q["unpivot_lineitem"] = """
@@ -588,7 +592,7 @@ def oracle_sql() -> dict[str, str]:
     q["vec_golden_distance"] = f"""
         WITH a AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id = 0),
              b AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id = 1)
-        SELECT round({_SQDIST.format(a="a.v", b="b.v")}, 6) AS d_euclid,
+        SELECT round(CAST(round({_SQDIST.format(a="a.v", b="b.v")} * 1e6) AS BIGINT) / 1e6, 6) AS d_euclid,
                round(1.0 - {dot_ab} / ({_NORM.format(v="a.v")} * {_NORM.format(v="b.v")}), 6) + 0.0 AS d_cosine
         FROM a, b"""
 
@@ -850,7 +854,7 @@ def oracle_sql() -> dict[str, str]:
                     len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS inter,
                     len(a.grams) AS la, len(b.grams) AS lb
                   FROM g a JOIN g b ON a.doc_id < b.doc_id)
-        SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+        SELECT doc_a, doc_b, round(CAST(round(CAST(inter AS DOUBLE) / (la + lb - inter) * 1e6) AS BIGINT) / 1e6, 6) AS jaccard
         FROM pairs ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"""
 
     q["dedup_embedding_cosine"] = f"""
@@ -1012,17 +1016,17 @@ def oracle_sql() -> dict[str, str]:
 
     q["bucketed_revenue_by_priority"] = """
         SELECT o_orderpriority,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 100.0) AS BIGINT) / 100.0, 2) AS revenue,
                CAST(count(*) AS BIGINT) AS n_lines
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1 ORDER BY 1"""
 
     q["q8_market_share"] = """
         SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-               round(sum(CASE WHEN n2.n_name = 'NATION_1'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+               round(CAST(round(sum(CASE WHEN n2.n_name = 'NATION_1'
+                              THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                              ELSE CAST(0 AS BIGINT) END)
+                     / sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) * 1e6) AS BIGINT) / 1e6, 6) AS mkt_share
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
         JOIN orders ON l_orderkey = o_orderkey
@@ -1078,10 +1082,10 @@ def oracle_sql() -> dict[str, str]:
 
     q["percentile_stats"] = """
         SELECT l_returnflag,
-               round(quantile_cont(l_extendedprice, 0.5), 6) AS price_med,
-               round(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90,
-               round(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99,
-               round(median(l_quantity), 6) AS qty_med,
+               round(CAST(round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) * 10000) AS BIGINT) / 1e6, 6) AS price_med,
+               round(CAST(round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.9) * 10000) AS BIGINT) / 1e6, 6) AS price_p90,
+               round(CAST(round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.99) * 10000) AS BIGINT) / 1e6, 6) AS price_p99,
+               round(CAST(round(median(l_quantity) * 1e6) AS BIGINT) / 1e6, 6) AS qty_med,
                CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
         FROM lineitem GROUP BY l_returnflag"""
 
@@ -1089,12 +1093,12 @@ def oracle_sql() -> dict[str, str]:
         WITH counts AS (SELECT user_id, CAST(count(*) AS BIGINT) AS user_events
                         FROM events GROUP BY user_id),
         dim AS (SELECT user_id, user_events,
-                       CASE WHEN user_events >= (SELECT round(avg(user_events), 6) FROM counts)
+                       CASE WHEN user_events >= (SELECT round(CAST(round(avg(user_events) * 1e6) AS BIGINT) / 1e6, 6) FROM counts)
                             THEN 'heavy' ELSE 'light' END AS tier
                 FROM counts)
         SELECT tier, CAST(count(*) AS BIGINT) AS n_events,
                CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
-               round(sum(e.value), 2) AS sum_value
+               round(sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
         FROM events e JOIN dim d ON e.user_id = d.user_id
         GROUP BY tier"""
 
@@ -1113,8 +1117,8 @@ def oracle_sql() -> dict[str, str]:
         WITH bands(band, lo, hi) AS (VALUES
             ('low', 0.0, 75000.0), ('mid', 75000.0, 150000.0), ('high', 150000.0, 1e12))
         SELECT band, CAST(count(*) AS BIGINT) AS n_orders,
-               round(sum(o_totalprice), 2) AS sum_price,
-               round(avg(o_totalprice), 2) AS avg_price
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS sum_price,
+               round(CAST(round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / count(*)) AS BIGINT) / 100.0, 2) AS avg_price
         FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
         GROUP BY band"""
 
@@ -1171,16 +1175,16 @@ def oracle_sql() -> dict[str, str]:
                  greatest(1, CAST(ceil(octet_length(encode(text)) / 48.0) AS BIGINT)) AS h
           FROM documents)
         SELECT media_id, CAST(16 AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-               round(COALESCE(list_sum(bytes), 0) / (h * 48.0), 6) AS pix_mean,
-               round(COALESCE(list_sum(list_transform(range(1, len(bytes) + 1),
+               round(CAST(round(COALESCE(list_sum(bytes), 0) / (h * 48.0) * 1e6) AS BIGINT) / 1e6, 6) AS pix_mean,
+               round(CAST(round(COALESCE(list_sum(list_transform(range(1, len(bytes) + 1),
                      i -> CASE WHEN (i - 1) % 3 = 0 THEN bytes[CAST(i AS INTEGER)] ELSE 0 END)), 0)
-                     / (h * 16.0), 6) AS mean_r,
-               round(COALESCE(list_sum(list_transform(range(1, len(bytes) + 1),
+                     / (h * 16.0) * 1e6) AS BIGINT) / 1e6, 6) AS mean_r,
+               round(CAST(round(COALESCE(list_sum(list_transform(range(1, len(bytes) + 1),
                      i -> CASE WHEN (i - 1) % 3 = 1 THEN bytes[CAST(i AS INTEGER)] ELSE 0 END)), 0)
-                     / (h * 16.0), 6) AS mean_g,
-               round(COALESCE(list_sum(list_transform(range(1, len(bytes) + 1),
+                     / (h * 16.0) * 1e6) AS BIGINT) / 1e6, 6) AS mean_g,
+               round(CAST(round(COALESCE(list_sum(list_transform(range(1, len(bytes) + 1),
                      i -> CASE WHEN (i - 1) % 3 = 2 THEN bytes[CAST(i AS INTEGER)] ELSE 0 END)), 0)
-                     / (h * 16.0), 6) AS mean_b
+                     / (h * 16.0) * 1e6) AS BIGINT) / 1e6, 6) AS mean_b
         FROM m"""
 
     q["text_language_id"] = f"""
@@ -1202,14 +1206,14 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id,
                  CAST(length(text) AS BIGINT) AS n_chars_m,
                  CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
-                 round(CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
-                       / nullif(len({_TOKS}), 0), 6) AS mean_token_len,
-                 round(CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
-                       / nullif(length(text), 0), 6) AS punct_ratio,
-                 round(CAST(len(list_filter({_TOKS}, t -> list_contains({_EN_SW}, t))) AS DOUBLE)
-                       / nullif(len({_TOKS}), 0), 6) AS stopword_ratio,
-                 round(CAST(len(list_distinct({_TOKS})) AS DOUBLE)
-                       / nullif(len({_TOKS}), 0), 6) AS uniq_ratio
+                 round(CAST(round(CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
+                       / nullif(len({_TOKS}), 0) * 1e6) AS BIGINT) / 1e6, 6) AS mean_token_len,
+                 round(CAST(round(CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+                       / nullif(length(text), 0) * 1e6) AS BIGINT) / 1e6, 6) AS punct_ratio,
+                 round(CAST(round(CAST(len(list_filter({_TOKS}, t -> list_contains({_EN_SW}, t))) AS DOUBLE)
+                       / nullif(len({_TOKS}), 0) * 1e6) AS BIGINT) / 1e6, 6) AS stopword_ratio,
+                 round(CAST(round(CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                       / nullif(len({_TOKS}), 0) * 1e6) AS BIGINT) / 1e6, 6) AS uniq_ratio
           FROM documents)
         SELECT *, CAST((CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END)
                      + (CASE WHEN punct_ratio <= 0.1 THEN 1 ELSE 0 END)
@@ -1341,7 +1345,7 @@ def oracle_sql() -> dict[str, str]:
 
     def _topfrac(n: int) -> str:
         return f"""
-        (SELECT doc_id, round(CAST(c * len(g) AS DOUBLE) / nc, 6) AS frac
+        (SELECT doc_id, round(CAST(round(CAST(c * len(g) AS DOUBLE) / nc * 1e6) AS BIGINT) / 1e6, 6) AS frac
          FROM (SELECT doc_id, g, count(*) AS c,
                       row_number() OVER (PARTITION BY doc_id
                                          ORDER BY count(*) DESC, g) AS rn
@@ -1358,8 +1362,8 @@ def oracle_sql() -> dict[str, str]:
         t4 AS {_topfrac(4)},
         d5 AS (SELECT doc_id,
                  CASE WHEN len(g) > 0
-                      THEN round(CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
-                                 / len(g), 6)
+                      THEN round(CAST(round(CAST(len(g) - len(list_distinct(g)) AS DOUBLE)
+                                 / len(g) * 1e6) AS BIGINT) / 1e6, 6)
                       ELSE 0.0 END AS dup5
                FROM (SELECT doc_id, {_ngr(5)} AS g FROM tk))
         SELECT tk.doc_id,
@@ -1426,8 +1430,8 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(per.n_dup_positions, 0) AS n_dup_positions,
                COALESCE(per.n_removed_tokens, 0) AS n_removed_tokens,
                CASE WHEN b.n_tokens > 0
-                    THEN round(1.0 - CAST(COALESCE(per.n_removed_tokens, 0)
-                                          AS DOUBLE) / b.n_tokens, 6)
+                    THEN round(CAST(round((1.0 - CAST(COALESCE(per.n_removed_tokens, 0)
+                                          AS DOUBLE) / b.n_tokens) * 1e6) AS BIGINT) / 1e6, 6)
                     ELSE 1.0 END AS keep_frac
         FROM base b LEFT JOIN per ON b.doc_id = per.doc_id"""
 
@@ -1469,7 +1473,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_custkey, o_orderkey,
                CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)
                    AS day_no,
-               round(sum(o_totalprice) OVER w, 2) AS trailing30_spend,
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w / 100.0, 2) AS trailing30_spend,
                CAST(count(*) OVER w AS BIGINT) AS trailing30_orders
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey
@@ -1490,15 +1494,17 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY f.cohort_week, week_offset
         ORDER BY f.cohort_week, week_offset"""
 
-    # unigram surprisal: identical arithmetic shape (ln(N/tf)/ln(2),
-    # avg, THEN round 6) — the BM25 float discipline
+    # unigram surprisal: identical arithmetic shape (ln(N/tf)/ln(2))
+    # with per-token 1e-6 micro-unit quantization before the mean (the
+    # DSIR pattern, r10) — exact integer sum, one divide, scale-0
+    # display round
     q["text_unigram_surprisal"] = f"""
         WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
         v AS (SELECT term, count(*) AS tf FROM t GROUP BY term),
         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t)
         SELECT t.doc_id,
                CAST(count(*) AS BIGINT) AS n_tokens,
-               round(avg(ln(n.n / v.tf) / ln(2.0)), 6) AS bits_per_token
+               round(CAST(round(sum(CAST(round(ln(n.n / v.tf) / ln(2.0) * 1e6) AS BIGINT)) / count(*)) AS BIGINT) / 1e6, 6) AS bits_per_token
         FROM t JOIN v USING (term), n
         GROUP BY t.doc_id"""
 
@@ -1726,7 +1732,7 @@ def oracle_sql() -> dict[str, str]:
                (SELECT CAST(count(*) AS BIGINT) FROM clean) AS n_clean,
                CAST(count(*) AS BIGINT) AS n_unique,
                CAST(sum(bpe) AS BIGINT) AS total_bpe_tokens,
-               round(avg(bpe), 6) AS mean_bpe
+               round(CAST(round(avg(bpe) * 1e6) AS BIGINT) / 1e6, 6) AS mean_bpe
         FROM kept"""
 
     # --- round-6 promotions: the staged LM-pipeline tier (each SQL is
@@ -1961,8 +1967,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(16 AS INTEGER) AS height,
                CAST(nf AS INTEGER) AS n_frames,
                CAST(ns AS INTEGER) AS n_sampled,
-               round(lsum / (256.0 * ns), 6) AS luma_mean,
-               CASE WHEN ns > 1 THEN round(dsum / (256.0 * (ns - 1)), 6)
+               round(CAST(round(lsum / (256.0 * ns) * 1e6) AS BIGINT) / 1e6, 6) AS luma_mean,
+               CASE WHEN ns > 1 THEN round(CAST(round(dsum / (256.0 * (ns - 1)) * 1e6) AS BIGINT) / 1e6, 6)
                     ELSE 0.0 END AS motion
         FROM agg"""
 
@@ -2030,8 +2036,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(keep) AS BIGINT) AS n_kept,
                CAST(sum(CASE WHEN keep = 1 THEN bpe ELSE 0 END) AS BIGINT)
                    AS kept_tokens,
-               round(CAST(sum(CASE WHEN keep = 1 THEN bpe ELSE 0 END) AS DOUBLE)
-                     / src_tokens, 6) AS realized_frac
+               round(CAST(round(CAST(sum(CASE WHEN keep = 1 THEN bpe ELSE 0 END) AS DOUBLE)
+                     / src_tokens * 1e6) AS BIGINT) / 1e6, 6) AS realized_frac
         FROM k GROUP BY source, src_tokens, keep_ppm"""
 
     # encoding-damage audit: length-delta char counts over the injected
@@ -2053,12 +2059,13 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(repl) AS BIGINT) AS repl_chars,
                CAST(sum(ctl) AS BIGINT) AS ctl_chars,
                CAST(sum(non_ascii) AS BIGINT) AS non_ascii_chars,
-               round(CAST(sum(non_ascii) AS DOUBLE) / sum(n_chars), 6)
+               round(CAST(round(CAST(sum(non_ascii) AS DOUBLE) / sum(n_chars) * 1e6) AS BIGINT) / 1e6, 6)
                    AS non_ascii_ratio
         FROM m GROUP BY source"""
 
     # per-source KL divergence: same integer-product ratio into log2,
-    # one final round (the surprisal float discipline)
+    # per-term 1e-6 micro-unit quantization before the sum (the DSIR
+    # pattern, r10), exact integer accumulation, scale-0 display
     q["source_token_divergence"] = f"""
         WITH terms AS (SELECT source, unnest({_TOKS}) AS t FROM documents),
         st AS (SELECT source, t, count(*) AS c_st FROM terms GROUP BY source, t),
@@ -2068,8 +2075,8 @@ def oracle_sql() -> dict[str, str]:
         n AS (SELECT sum(c_t) AS n_all FROM ct)
         SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
                CAST(n_terms AS BIGINT) AS n_terms,
-               round(sum((CAST(c_st AS DOUBLE) / n_s)
-                         * log2(CAST(c_st * n_all AS DOUBLE) / (n_s * c_t))), 6)
+               round(sum(CAST(round((CAST(c_st AS DOUBLE) / n_s)
+                         * log2(CAST(c_st * n_all AS DOUBLE) / (n_s * c_t)) * 1e6) AS BIGINT)) / 1e6, 6)
                    AS kl_bits
         FROM st JOIN ct USING (t) JOIN s_tot USING (source), n
         GROUP BY source, n_s, n_terms"""
@@ -2285,7 +2292,7 @@ def oracle_sql() -> dict[str, str]:
         f AS (SELECT max(CASE WHEN step = 1 THEN n_users END) AS n1 FROM c)
         SELECT CAST(step AS BIGINT) AS step, step_name, n_users,
                CASE WHEN f.n1 > 0
-                    THEN round(CAST(n_users AS DOUBLE) / f.n1, 6)
+                    THEN round(CAST(round(CAST(n_users AS DOUBLE) / f.n1 * 1e6) AS BIGINT) / 1e6, 6)
                     ELSE 0.0 END AS conversion_frac
         FROM c, f"""
 
@@ -2621,5 +2628,77 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(sum(c) AS DOUBLE), 6) AS dup_frac
         FROM per_ds JOIN first USING (digest)
         GROUP BY shard ORDER BY shard"""
+
+    # ------------------------------------------------------------------
+    # round-10 promotions: the three staged self-oracles (SQL lifted
+    # from tests/test_operators.py's hash-gated replays)
+    # ------------------------------------------------------------------
+
+    # pre-join key-skew audit: same (key, count) rollup, quantile_cont
+    # == exact percentile, same 1e-6-unit integer entropy accumulation,
+    # same top-k tie-break; key displays as VARCHAR (generic keys)
+    q["join_key_skew_stats"] = """
+        WITH pk AS (SELECT user_id, CAST(count(*) AS BIGINT) AS key_rows
+                    FROM events GROUP BY user_id),
+        g AS (SELECT CAST(sum(key_rows) AS BIGINT) AS n_rows,
+                CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(max(key_rows) AS BIGINT) AS max_key_rows,
+                quantile_cont(key_rows, 0.5) AS p50d,
+                quantile_cont(key_rows, 0.99) AS p99d,
+                CAST(sum(CAST(round(key_rows * log2(CAST(key_rows AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS sm
+              FROM pk),
+        stats AS (SELECT n_rows, n_keys, max_key_rows,
+                round(p50d, 6) AS p50_key_rows, round(p99d, 6) AS p99_key_rows,
+                round(CAST(round((log2(CAST(n_rows AS DOUBLE)) - (sm / 1000000.0) / n_rows) * 1e6) AS BIGINT) / 1e6, 6) AS entropy_bits,
+                round(CAST(round(log2(CAST(n_keys AS DOUBLE)) * 1e6) AS BIGINT) / 1e6, 6) AS uniform_bits
+              FROM g),
+        top AS (SELECT user_id, key_rows,
+                  row_number() OVER (ORDER BY key_rows DESC, user_id) AS rnk
+                FROM pk QUALIFY rnk <= 10)
+        SELECT CAST(rnk AS BIGINT) AS rank,
+               CAST(user_id AS VARCHAR) AS key_value, key_rows,
+               round(CAST(round(CAST(key_rows AS DOUBLE) / n_rows * 1e6) AS BIGINT) / 1e6, 6) AS key_frac,
+               n_rows, n_keys, max_key_rows, p50_key_rows, p99_key_rows,
+               entropy_bits, uniform_bits
+        FROM top, stats ORDER BY rank"""
+
+    # RFM quartile grid: exact integer metrics (epoch millis / counts /
+    # cents), quantile_cont thresholds, strict-greater bucketing, and
+    # the mean-cents display via the scale-0 form
+    q["user_rfm_segments"] = """
+        WITH pu AS (SELECT user_id,
+                      CAST(epoch_ms(max(ts)) AS BIGINT) AS r,
+                      CAST(count(*) AS BIGINT) AS f,
+                      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+                    FROM events GROUP BY user_id),
+        qs AS (SELECT quantile_cont(r, [0.25, 0.5, 0.75]) AS rq,
+                 quantile_cont(f, [0.25, 0.5, 0.75]) AS fq,
+                 quantile_cont(m, [0.25, 0.5, 0.75]) AS mq
+               FROM pu),
+        b AS (SELECT
+                1 + CAST(r > rq[1] AS BIGINT) + CAST(r > rq[2] AS BIGINT) + CAST(r > rq[3] AS BIGINT) AS r_q,
+                1 + CAST(f > fq[1] AS BIGINT) + CAST(f > fq[2] AS BIGINT) + CAST(f > fq[3] AS BIGINT) AS f_q,
+                1 + CAST(m > mq[1] AS BIGINT) + CAST(m > mq[2] AS BIGINT) + CAST(m > mq[3] AS BIGINT) AS m_q,
+                m
+              FROM pu, qs)
+        SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_users,
+               round(CAST(round(sum(m) / count(*) * 1e4) AS BIGINT) / 1e6, 6) AS avg_monetary
+        FROM b GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q"""
+
+    # per-label norm distribution: micro-unit integers end-to-end; mean
+    # and interpolated percentiles round at SCALE 0 of the micro-unit
+    # value before /1e6 (min/max are exact integers — the no-op-safe
+    # form suffices)
+    q["embedding_norm_stats"] = """
+        WITH nm AS (SELECT label,
+                      CAST(round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), z -> z*z))) * 1000000) AS BIGINT) AS nm
+                    FROM embeddings)
+        SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+               round(CAST(round(sum(nm) / count(*)) AS BIGINT) / 1000000, 6) AS mean_norm,
+               round(CAST(round(quantile_cont(nm, 0.1)) AS BIGINT) / 1000000, 6) AS p10_norm,
+               round(CAST(round(quantile_cont(nm, 0.9)) AS BIGINT) / 1000000, 6) AS p90_norm,
+               round(min(nm) / 1000000, 6) AS min_norm,
+               round(max(nm) / 1000000, 6) AS max_norm
+        FROM nm GROUP BY label ORDER BY label"""
 
     return q

@@ -1241,7 +1241,14 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect("ga", "gb"))
     union = F.size("ga") + F.size("gb") - inter
     out = pairs.select(
-        "doc_a", "doc_b", F.round(inter.cast("double") / union, 6).alias("jaccard")
+        "doc_a",
+        "doc_b",
+        # int/int ratio displayed via the scale-0 form (r10)
+        F.round(
+            F.round(inter.cast("double") / union * 1e6).cast("bigint")
+            / F.lit(1e6),
+            6,
+        ).alias("jaccard"),
     )
     return out.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b").limit(top_n)
 

@@ -611,13 +611,29 @@ def embedding_norm_stats(
         .groupBy("label")
         .agg(
             F.count("*").cast("bigint").alias("n_vecs"),
-            F.round((F.sum("nm") / F.count("*")) / 1e6, 6).alias("mean_norm"),
-            F.round(F.percentile(F.col("nm"), F.lit(0.1)) / 1e6, 6).alias(
-                "p10_norm"
-            ),
-            F.round(F.percentile(F.col("nm"), F.lit(0.9)) / 1e6, 6).alias(
-                "p90_norm"
-            ),
+            # mean and percentiles land on FRACTIONAL micro-units
+            # (integer mean / interpolated quantile), so the display
+            # rounds at SCALE 0 of the micro-unit value before the /1e6
+            # (the r9 qpf lesson — /1e6 first puts the round at an
+            # unrepresentable 7th-decimal boundary); min/max are exact
+            # integers, where /1e6 + round(,6) is the no-op-safe form
+            F.round(
+                F.round(F.sum("nm") / F.count("*")).cast("bigint")
+                / F.lit(1e6),
+                6,
+            ).alias("mean_norm"),
+            F.round(
+                F.round(F.percentile(F.col("nm"), F.lit(0.1)))
+                .cast("bigint")
+                / F.lit(1e6),
+                6,
+            ).alias("p10_norm"),
+            F.round(
+                F.round(F.percentile(F.col("nm"), F.lit(0.9)))
+                .cast("bigint")
+                / F.lit(1e6),
+                6,
+            ).alias("p90_norm"),
             F.round(F.min("nm") / 1e6, 6).alias("min_norm"),
             F.round(F.max("nm") / 1e6, 6).alias("max_norm"),
         )

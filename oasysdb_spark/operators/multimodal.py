@@ -776,14 +776,20 @@ def multimodal_pixel_stats(spark, sf_dir: str) -> DataFrame:
     pass."""
     media = synthesize_ppm_media_from_documents(spark, sf_dir)
     feats = extract_pixel_features(media)
+    # each mean is an int-sum/count double from the decoder; displays
+    # use the scale-0 rounding form JVM-side (r10 migration — never
+    # round in python workers, python round() is half-even)
+    def _disp6(c):
+        return F.round(F.round(F.col(c) * 1e6).cast("bigint") / F.lit(1e6), 6)
+
     return feats.select(
         F.col("media_id").cast("bigint").alias("media_id"),
         "width",
         "height",
-        F.round("pix_mean", 6).alias("pix_mean"),
-        F.round("mean_r", 6).alias("mean_r"),
-        F.round("mean_g", 6).alias("mean_g"),
-        F.round("mean_b", 6).alias("mean_b"),
+        _disp6("pix_mean").alias("pix_mean"),
+        _disp6("mean_r").alias("mean_r"),
+        _disp6("mean_g").alias("mean_g"),
+        _disp6("mean_b").alias("mean_b"),
     )
 
 
@@ -1475,12 +1481,16 @@ def multimodal_video_stats(spark, sf_dir: str, every_n: int = 2) -> DataFrame:
     constant), so an oracle can recompute every value from the text."""
     media = synthesize_y4m_media_from_documents(spark, sf_dir)
     feats = extract_video_features(media, every_n=every_n)
+    # scale-0 display rounds JVM-side (r10 migration)
+    def _disp6(c):
+        return F.round(F.round(F.col(c) * 1e6).cast("bigint") / F.lit(1e6), 6)
+
     return feats.select(
         F.col("media_id").cast("bigint").alias("media_id"),
         "width",
         "height",
         "n_frames",
         "n_sampled",
-        F.round("luma_mean", 6).alias("luma_mean"),
-        F.round("motion", 6).alias("motion"),
+        _disp6("luma_mean").alias("luma_mean"),
+        _disp6("motion").alias("motion"),
     )

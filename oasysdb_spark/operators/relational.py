@@ -55,11 +55,25 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01"))
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1996-01-01"))
+    # revenue accumulates as exact 1e-4-unit integers (2dp price × 2dp
+    # discount factor = a 4-decimal product, zero per-row loss) and
+    # displays via the scale-0 rounding form — the r9 rule: scale-k
+    # rounds of unscaled double sums flip last digits between engines
+    # at exact decimal boundaries, ~1-in-1e6 per value
+    rev_u4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.round(F.sum(rev_u4) / F.lit(100.0)).cast("bigint")
+                / F.lit(100.0),
+                2,
+            ).alias("revenue")
+        )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
         .select("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "revenue")
@@ -99,7 +113,24 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            # exact 1e-4-unit integer sum + scale-0 display (r10
+            # migration of the legacy round(sum(double), 2) site)
+            F.round(
+                F.round(
+                    F.sum(
+                        F.round(
+                            F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))
+                            * 10000
+                        ).cast("bigint")
+                    )
+                    / F.lit(100.0)
+                ).cast("bigint")
+                / F.lit(100.0),
+                2,
+            ).alias("revenue")
+        )
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
@@ -260,8 +291,15 @@ def json_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.sum("k").cast("bigint").alias("sum_k"),
-            F.round(F.avg("k"), 6).alias("avg_k"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # integer mean + exact-cents sum, scale-0 displays (r10)
+            F.round(
+                F.round(F.avg("k") * 1e6).cast("bigint") / F.lit(1e6), 6
+            ).alias("avg_k"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                / F.lit(100.0),
+                2,
+            ).alias("sum_value"),
         )
         .orderBy("event_type")
     )
@@ -379,7 +417,14 @@ def event_funnel(
         "n_users",
         F.when(
             first_n > 0,
-            F.round(F.col("n_users").cast("double") / first_n, 6),
+            # int/int ratio displayed via the scale-0 form (r10)
+            F.round(
+                F.round(
+                    F.col("n_users").cast("double") / first_n * 1e6
+                ).cast("bigint")
+                / F.lit(1e6),
+                6,
+            ),
         )
         .otherwise(F.lit(0.0))
         .alias("conversion_frac"),
@@ -390,15 +435,46 @@ def math_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math-function suite: sqrt/pow/ln/abs/ceil/floor over lineitem
     aggregates per returnflag."""
     li = _t(spark, sf_dir, "lineitem")
+    # r10 float discipline: exact integer accumulation wherever the
+    # input has finite decimal precision (quantity integral, discount²
+    # an exact 4-decimal), per-row 1e-6 micro-quantization for the
+    # transcendental ln term (the DSIR pattern — double sums are
+    # partition-order nondeterministic), and every display round is
+    # the scale-0 form
+    qty_sum = F.sum(F.round(F.col("l_quantity")).cast("bigint"))
+    dsq_u4 = F.round(F.pow(F.col("l_discount"), 2) * 10000).cast("bigint")
+    ln_u6 = F.round(
+        F.log(F.col("l_extendedprice") + 1) * 1e6
+    ).cast("bigint")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.sqrt(F.avg("l_quantity")), 6).alias("sqrt_avg_qty"),
-            F.round(F.avg(F.pow(F.col("l_discount"), 2)), 6).alias("avg_disc_sq"),
-            F.round(F.avg(F.log(F.col("l_extendedprice") + 1)), 6).alias("avg_ln_price"),
+            F.round(
+                F.round(
+                    F.sqrt(qty_sum / F.count("*")) * 1e6
+                ).cast("bigint")
+                / F.lit(1e6),
+                6,
+            ).alias("sqrt_avg_qty"),
+            F.round(
+                F.round(F.sum(dsq_u4) / F.count("*") * 100).cast("bigint")
+                / F.lit(1e6),
+                6,
+            ).alias("avg_disc_sq"),
+            F.round(
+                F.round(F.sum(ln_u6) / F.count("*")).cast("bigint")
+                / F.lit(1e6),
+                6,
+            ).alias("avg_ln_price"),
             F.sum(F.ceil("l_quantity")).cast("bigint").alias("sum_ceil_qty"),
             F.sum(F.floor("l_quantity")).cast("bigint").alias("sum_floor_qty"),
-            F.round(F.max(F.abs(F.col("l_discount") - 0.05)), 6).alias("max_abs_disc_dev"),
+            F.round(
+                F.round(
+                    F.max(F.abs(F.col("l_discount") - 0.05)) * 1e6
+                ).cast("bigint")
+                / F.lit(1e6),
+                6,
+            ).alias("max_abs_disc_dev"),
         )
         .orderBy("l_returnflag")
     )
@@ -415,9 +491,24 @@ def window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).cast("bigint").alias("rnk"),
         F.dense_rank().over(w).cast("bigint").alias("drnk"),
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
-        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
-        F.round(F.lead("o_totalprice", 1).over(w), 2).alias("next_price"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        # scale-0 display rounding throughout (r10 migration): raw 2dp
+        # prices pass through exact-cents integers; percent_rank is an
+        # exact rational whose 6dp display pre-scales to micro-units
+        F.round(
+            F.round(F.lag("o_totalprice", 1).over(w) * 100).cast("bigint")
+            / F.lit(100.0),
+            2,
+        ).alias("prev_price"),
+        F.round(
+            F.round(F.lead("o_totalprice", 1).over(w) * 100).cast("bigint")
+            / F.lit(100.0),
+            2,
+        ).alias("next_price"),
+        F.round(
+            F.round(F.percent_rank().over(w) * 1e6).cast("bigint")
+            / F.lit(1e6),
+            6,
+        ).alias("pct_rank"),
     )
 
 
@@ -428,7 +519,15 @@ def pivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.round(F.sum("l_quantity"), 2))
+        # quantities are integral doubles: exact 1e-2-unit integer sum
+        # + one /100 at display (r10 scale-0 migration)
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_quantity") * 100).cast("bigint"))
+                / F.lit(100.0),
+                2,
+            )
+        )
         .orderBy("l_returnflag")
     )
     return out.select(
@@ -843,12 +942,32 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     2x under the ObjectHashAggregate, which measured 3-4x slower at
     sf0.1 than this two-branch plan."""
     li = _t(spark, sf_dir, "lineitem")
-    pcts = F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))")
+    # percentiles interpolate INTEGER cents (o/l prices are 2dp), so
+    # midpoints land on exactly-representable halves; display divides
+    # back through the scale-0 form (the r9 qpf lesson: interpolating
+    # 2dp doubles lands on unrepresentable boundaries, and scale-6
+    # rounds of unscaled doubles flip last digits between engines)
+    pcts = F.expr(
+        "percentile(CAST(round(l_extendedprice * 100) AS BIGINT), "
+        "array(0.5, 0.9, 0.99))"
+    )
+
+    def _cents_disp(c):
+        return F.round(
+            F.round(c * 10000).cast("bigint") / F.lit(1e6), 6
+        )
+
     pct = li.groupBy("l_returnflag").agg(
-        F.round(pcts[0], 6).alias("price_med"),
-        F.round(pcts[1], 6).alias("price_p90"),
-        F.round(pcts[2], 6).alias("price_p99"),
-        F.round(F.expr("median(l_quantity)"), 6).alias("qty_med"),
+        _cents_disp(pcts[0]).alias("price_med"),
+        _cents_disp(pcts[1]).alias("price_p90"),
+        _cents_disp(pcts[2]).alias("price_p99"),
+        # quantities are integral: the median carries at most one
+        # decimal digit (a .5 midpoint) — pre-scale + scale-0 round
+        F.round(
+            F.round(F.expr("median(l_quantity)") * 1e6).cast("bigint")
+            / F.lit(1e6),
+            6,
+        ).alias("qty_med"),
     )
     nd = (
         li.groupBy("l_returnflag", "l_partkey")
@@ -875,7 +994,14 @@ def skew_salted_user_join(spark: SparkSession, sf_dir: str, salts: int = 8) -> D
     counts = events.groupBy("user_id").agg(
         F.count("*").cast("bigint").alias("user_events")
     )
-    avg_events = counts.agg(F.round(F.avg("user_events"), 6).alias("avg_events"))
+    # mean of exact integer counts, displayed via the scale-0 form —
+    # also the heavy/light THRESHOLD, so both engines must agree on it
+    avg_events = counts.agg(
+        F.round(
+            F.round(F.avg("user_events") * 1e6).cast("bigint") / F.lit(1e6),
+            6,
+        ).alias("avg_events")
+    )
     dim = counts.join(F.broadcast(avg_events)).withColumn(
         "tier",
         F.when(F.col("user_events") >= F.col("avg_events"), "heavy").otherwise("light"),
@@ -895,7 +1021,12 @@ def skew_salted_user_join(spark: SparkSession, sf_dir: str, salts: int = 8) -> D
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
             F.countDistinct(salted_fact.user_id).cast("bigint").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # events.value is 2dp: exact cents sum, /100 at display
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                / F.lit(100.0),
+                2,
+            ).alias("sum_value"),
         )
     )
 
@@ -1027,7 +1158,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # volumes accumulate as exact 1e-4-unit integers; the share is a
+    # ratio of two exact integers displayed via the scale-0 form (r10)
+    vol_u4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
@@ -1036,8 +1171,16 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").cast("integer").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0.0))
-                / F.sum(vol),
+                F.round(
+                    F.sum(
+                        F.when(
+                            F.col("supp_nation") == "NATION_1", vol_u4
+                        ).otherwise(F.lit(0).cast("bigint"))
+                    )
+                    / F.sum(vol_u4)
+                    * 1e6
+                ).cast("bigint")
+                / F.lit(1e6),
                 6,
             ).alias("mkt_share")
         )
@@ -1119,9 +1262,21 @@ def bucketed_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.groupBy("o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            # exact 1e-4-unit integer revenue + scale-0 display (r10)
+            F.round(
+                F.round(
+                    F.sum(
+                        F.round(
+                            F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))
+                            * 10000
+                        ).cast("bigint")
+                    )
+                    / F.lit(100.0)
+                ).cast("bigint")
+                / F.lit(100.0),
+                2,
+            ).alias("revenue"),
             F.count("*").cast("bigint").alias("n_lines"),
         )
         .orderBy("o_orderpriority")
@@ -1363,11 +1518,17 @@ def orders_trailing_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(days)
         .rangeBetween(-30, 0)
     )
+    # exact cents over the frame (o_totalprice is 2dp), one /100 at
+    # display — integer window sums are partition-order-proof and the
+    # quotient of an exact integer rounds identically on both engines
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     return orders.select(
         "o_custkey",
         "o_orderkey",
         days.cast("bigint").alias("day_no"),
-        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing30_spend"),
+        F.round(F.sum(cents).over(w) / F.lit(100.0), 2).alias(
+            "trailing30_spend"
+        ),
         F.count("*").over(w).cast("bigint").alias("trailing30_orders"),
     )
 
@@ -1498,7 +1659,13 @@ def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_q", "f_q", "m_q")
         .agg(
             F.count("*").cast("bigint").alias("n_users"),
-            F.round((F.sum("m") / F.count("*")) / 100, 6).alias("avg_monetary"),
+            # mean cents is fractional: pre-scale to 1e-6 display units
+            # and round at SCALE 0 before dividing back (r10 discipline)
+            F.round(
+                F.round(F.sum("m") / F.count("*") * 1e4).cast("bigint")
+                / F.lit(1e6),
+                6,
+            ).alias("avg_monetary"),
         )
         .orderBy("r_q", "f_q", "m_q")
     )

@@ -133,12 +133,21 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(bands),
         (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
     )
+    # exact-cents integer accumulation (o_totalprice is 2dp) with
+    # scale-0 display rounds (r10 migration): the sum is an exact
+    # integer /100; the mean pre-scales to display cents and rounds
+    # at scale 0 before dividing back
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     return (
         j.groupBy("band")
         .agg(
             F.count("*").cast("bigint").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+            F.round(F.sum(cents) / F.lit(100.0), 2).alias("sum_price"),
+            F.round(
+                F.round(F.sum(cents) / F.count("*")).cast("bigint")
+                / F.lit(100.0),
+                2,
+            ).alias("avg_price"),
         )
     )
 

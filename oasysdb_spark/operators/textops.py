@@ -70,14 +70,19 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword / uniqueness ratios, and a composite quality bucket."""
     docs = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))
+    # every ratio is per-row int/int; displays use the scale-0 rounding
+    # form (r10 migration of the legacy round(double, 6) sites)
+    def _disp6(c):
+        return F.round(F.round(c * 1e6).cast("bigint") / F.lit(1e6), 6)
+
     return docs.select(
         "doc_id",
         F.length("text").cast("bigint").alias("n_chars_m"),
         F.size(toks).cast("bigint").alias("n_tokens"),
-        F.round(mean_token_len(toks), 6).alias("mean_token_len"),
-        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
-        F.round(stopword_ratio(toks), 6).alias("stopword_ratio"),
-        F.round(uniq_token_ratio(toks), 6).alias("uniq_ratio"),
+        _disp6(mean_token_len(toks)).alias("mean_token_len"),
+        _disp6(punct_ratio(F.col("text"))).alias("punct_ratio"),
+        _disp6(stopword_ratio(toks)).alias("stopword_ratio"),
+        _disp6(uniq_token_ratio(toks)).alias("uniq_ratio"),
         quality_rules(F.col("text"), toks).cast("bigint").alias("quality"),
     )
 
@@ -812,7 +817,13 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_clean, F.col("n_rows")).otherwise(0)).cast("bigint").alias("n_clean"),
         F.count(F.when(is_clean, 1)).cast("bigint").alias("n_unique"),
         F.sum(F.when(is_clean, F.col("k.bpe"))).cast("bigint").alias("total_bpe_tokens"),
-        F.round(F.avg(F.when(is_clean, F.col("k.bpe"))), 6).alias("mean_bpe"),
+        # integer mean displayed via the scale-0 form (r10)
+        F.round(
+            F.round(F.avg(F.when(is_clean, F.col("k.bpe"))) * 1e6)
+            .cast("bigint")
+            / F.lit(1e6),
+            6,
+        ).alias("mean_bpe"),
     )
 
 
@@ -939,12 +950,18 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     one ArrowEvalPython, no exchange."""
     docs = _docs(spark, sf_dir)
     m = docs.select("doc_id", _rep_struct_udf()(F.col("text")).alias("m"))
+
+    # scale-0 display rounds (r10 migration), applied IDENTICALLY in
+    # the expression twin so the bit-equality pin holds
+    def _disp6(c):
+        return F.round(F.round(c * 1e6).cast("bigint") / F.lit(1e6), 6)
+
     out = m.select(
         "doc_id",
-        F.round(F.col("m.top2"), 6).alias("top2_frac"),
-        F.round(F.col("m.top3"), 6).alias("top3_frac"),
-        F.round(F.col("m.top4"), 6).alias("top4_frac"),
-        F.round(F.col("m.dup5"), 6).alias("dup5_frac"),
+        _disp6(F.col("m.top2")).alias("top2_frac"),
+        _disp6(F.col("m.top3")).alias("top3_frac"),
+        _disp6(F.col("m.top4")).alias("top4_frac"),
+        _disp6(F.col("m.dup5")).alias("dup5_frac"),
     )
     return out.select(
         "*",
@@ -972,23 +989,26 @@ def repetition_stats_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[_word_ngrams(F.col("tk"), n).alias(f"g{n}") for n in (2, 3, 4, 5)],
     )
 
+    # the same scale-0 display rounds as the Arrow path (r10) — the
+    # bit-equality pin requires both engines share the exact form
+    def _disp6(c):
+        return F.round(F.round(c * 1e6).cast("bigint") / F.lit(1e6), 6)
+
     def top_frac(g):
         t = _top_gram_run(g)
         return F.when(
             (F.size(g) > 0) & (F.col("nc") > 0),
-            F.round(
+            _disp6(
                 (t["best_run"] * F.length(t["best"])).cast("double")
-                / F.col("nc"),
-                6,
+                / F.col("nc")
             ),
         ).otherwise(F.lit(0.0))
 
     dup5 = F.when(
         F.size("g5") > 0,
-        F.round(
+        _disp6(
             (F.size("g5") - F.size(F.array_distinct("g5"))).cast("double")
-            / F.size("g5"),
-            6,
+            / F.size("g5")
         ),
     ).otherwise(F.lit(0.0))
 
@@ -1139,10 +1159,19 @@ def span_dedup_stats(
             F.coalesce("n_removed_tokens", F.lit(0)).cast("bigint").alias("n_removed_tokens"),
             F.when(
                 F.col("n_tokens") > 0,
+                # int/int ratio displayed via the scale-0 form (r10)
                 F.round(
-                    1.0
-                    - F.coalesce("n_removed_tokens", F.lit(0)).cast("double")
-                    / F.col("n_tokens"),
+                    F.round(
+                        (
+                            1.0
+                            - F.coalesce(
+                                "n_removed_tokens", F.lit(0)
+                            ).cast("double")
+                            / F.col("n_tokens")
+                        )
+                        * 1e6
+                    ).cast("bigint")
+                    / F.lit(1e6),
                     6,
                 ),
             )
@@ -1668,12 +1697,20 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = terms.groupBy("term").agg(F.count("*").alias("tf"))
     n_total = terms.count()
     bits = F.log(F.lit(float(n_total)) / F.col("tf")) / F.log(F.lit(2.0))
+    # per-token surprisal quantizes to 1e-6-unit integers before the
+    # mean (the DSIR pattern, r10 migration) — exact integer sum, one
+    # divide, scale-0 display round
+    bits_u6 = F.round(bits * 1e6).cast("bigint")
     return (
         terms.join(vocab, "term")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),
-            F.round(F.avg(bits), 6).alias("bits_per_token"),
+            F.round(
+                F.round(F.sum(bits_u6) / F.count("*")).cast("bigint")
+                / F.lit(1e6),
+                6,
+            ).alias("bits_per_token"),
         )
     )
 
@@ -2239,9 +2276,14 @@ def domain_mixture_sample(
             F.sum(F.when(F.col("keep"), F.col("bpe")).otherwise(0))
             .cast("bigint")
             .alias("kept_tokens"),
+            # int/int ratio displayed via the scale-0 form (r10)
             F.round(
-                F.sum(F.when(F.col("keep"), F.col("bpe")).otherwise(0))
-                / F.col("src_tokens").cast("double"),
+                F.round(
+                    F.sum(F.when(F.col("keep"), F.col("bpe")).otherwise(0))
+                    / F.col("src_tokens").cast("double")
+                    * 1e6
+                ).cast("bigint")
+                / F.lit(1e6),
                 6,
             ).alias("realized_frac"),
         )
@@ -2305,8 +2347,15 @@ def encoding_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("repl").cast("bigint").alias("repl_chars"),
             F.sum("ctl").cast("bigint").alias("ctl_chars"),
             F.sum("non_ascii").cast("bigint").alias("non_ascii_chars"),
+            # int/int ratio displayed via the scale-0 form (r10)
             F.round(
-                F.sum("non_ascii") / F.sum("n_chars").cast("double"), 6
+                F.round(
+                    F.sum("non_ascii")
+                    / F.sum("n_chars").cast("double")
+                    * 1e6
+                ).cast("bigint")
+                / F.lit(1e6),
+                6,
             ).alias("non_ascii_ratio"),
         )
     )
@@ -2351,12 +2400,18 @@ def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_s") * F.col("c_t")).cast("double")
         )
     )
+    # per-term KL contribution quantizes to 1e-6-unit integers before
+    # the sum (the DSIR pattern, r10 migration: a double sum is
+    # partition-order nondeterministic AND its scale-6 display round
+    # can flip between engines); /1e6 + round(,6) of the exact integer
+    # sum is the documented no-op-safe display
+    contrib_u6 = F.round(contrib * 1e6).cast("bigint")
     return (
         j.groupBy("source")
         .agg(
             F.first("n_s").cast("bigint").alias("n_tokens"),
             F.first("n_terms").cast("bigint").alias("n_terms"),
-            F.round(F.sum(contrib), 6).alias("kl_bits"),
+            F.round(F.sum(contrib_u6) / F.lit(1e6), 6).alias("kl_bits"),
         )
     )
 

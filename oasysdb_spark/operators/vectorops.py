@@ -111,7 +111,12 @@ def golden_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _query_vec_col(spark, sf_dir, 1)
     one = spark.range(1)
     return one.select(
-        F.round(sqeuclidean(a, b), 6).alias("d_euclid"),
+        # scale-0 display round (r10 migration; squared distance ≥ 0
+        # so no -0.0 normalization needed on this leg)
+        F.round(
+            F.round(sqeuclidean(a, b) * 1e6).cast("bigint") / F.lit(1e6),
+            6,
+        ).alias("d_euclid"),
         round_dist(cosine_distance(a, b)).alias("d_cosine"),
     )
 

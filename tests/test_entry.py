@@ -39,19 +39,30 @@ def test_each_query_runs_smoke(spark, sf_dir, name):
 
 def test_driver_window_rotation_closes_coverage():
     """The driver oracle-checks only the FIRST 50 queries() entries. The
-    round-9 rotation contract: every NEW entry and every entry whose
+    round-10 rotation contract: every NEW entry and every entry whose
     underlying code changed this round must be inside the window; every
     entry pushed OUTSIDE must already hold a green hash-matched row from
     the MOST RECENT round that checked it, and that row may be at most
-    two rounds old (r07 at r9) — so no query ever goes three rounds
+    two rounds old (r08 at r10) — so no query ever goes three rounds
     unchecked. The entries deferred at the two-round limit are pinned
     by name: they are the mandatory head of the NEXT round's window
-    (the r10 ledger, judge r8 task 4).
+    (the r11 ledger, judge r9 tasks 1-2).
     One documented exception: `text_bpe_tokenizer` is rows-only (no
     SQL oracle can exist for the learned merge table), so its driver
     row is never hash-green — outside the window it is pytest-gated
     (tests/test_tokenizer.py determinism + local==distributed
-    equivalence) instead of oracle-stale (judge r6 task 5)."""
+    equivalence) instead of oracle-stale (judge r6 task 5).
+
+    CAPACITY LEDGER (judge r9 task 2): 137 entries / 150 ceiling
+    (50-slot window x 3-round refresh cycle) — at most ~13 more
+    promotions EVER without retiring entries. The r11 mandatory head
+    below is 39, leaving 11 slots; from r11 onward promote at most
+    2-4 per round, prefer new FAMILIES, and retire entries a stronger
+    superset covers (the r8 narrow-simhash precedent). Remaining
+    staged oracle-able candidates for r11+: ngram_novelty_curve,
+    embedding_outlier_stats, embedding_decontaminate_stats,
+    source_length_drift, term_burstiness, weighted_sample_topk,
+    lineitem_price_qty_correlation, simhash_band_health."""
     import json
     import os
 
@@ -63,93 +74,13 @@ def test_driver_window_rotation_closes_coverage():
         with open(os.path.join(here, "..", name)) as f:
             return json.load(f)
 
-    r7, r8 = load("CORRECTNESS_r07.json"), load("CORRECTNESS_r08.json")
+    r8, r9 = load("CORRECTNESS_r08.json"), load("CORRECTNESS_r09.json")
     window = list(entry.queries())[:50]
 
-    # the 22 r6-green leftovers deferred in r8 hit the two-round
-    # staleness limit at r9 — the r8 verdict (task 1) pins them as the
+    # the 36 r7-green leftovers deferred in r9 hit the two-round
+    # staleness limit at r10 — the r9 verdict (task 1) pins them as the
     # mandatory window head
-    deferred_r6 = {
-        "sessionize_events",
-        "interval_overlap_join",
-        "events_tumbling_hourly",
-        "vec_knn_cosine",
-        "parts_above_avg_price",
-        "orders_by_month",
-        "rollup_lineitem",
-        "unpivot_lineitem",
-        "top_orders_per_customer",
-        "running_revenue",
-        "cube_orders",
-        "setop_intersect",
-        "ship_latency",
-        "parts_like_patterns",
-        "q1_pricing_summary",
-        "q2_min_cost_supplier",
-        "q11_important_parts",
-        "q18_large_volume_customers",
-        "q19_disjunctive_revenue",
-        "q20_excess_shippers",
-        "q21_waiting_supplier",
-        "q22_idle_customers",
-    }
-    must_rotate_in = (
-        deferred_r6
-        # new in round 9: the twelve staged self-oracles promoted
-        # (the judge's r8 task-1 new-family list plus the closed-corner
-        # random_projection and four more staged families).
-        # customer_fuzzy_matches and random_projection also had CODE
-        # changes this round (d<=2 banding / the GEMM twin), so window
-        # membership is doubly mandatory for them.
-        | {
-            "event_rate_anomalies",
-            "tfidf_top_terms",
-            "events_active_users",
-            "minhash_jaccard_calibration",
-            "customer_fuzzy_matches",
-            "hybrid_search_rrf",
-            "label_centroid_similarity",
-            "random_projection",
-            "leakage_safe_split",
-            "zipf_slope",
-            "sq_reconstruction_stats",
-            "dedup_saturation_curve",
-        }
-        # code+oracle changed this round (the third-scale sweep's
-        # rounding-boundary fixes): re-entry is mandatory even though
-        # each holds a green r8 row — it covers the OLD code
-        | {
-            "dsir_importance_sample",
-            "quality_percentile_filter",
-            "multimodal_features",
-        }
-    )
-    missing = must_rotate_in - set(window)
-    assert not missing, f"driver window lost: {sorted(missing)}"
-
-    # the quadratic narrow-simhash entry stays retired (judge r7 task 4)
-    assert "dedup_simhash_pairs" not in entry.queries()
-
-    # everything rotated out must be green in its most recent check,
-    # and that check may be at most two rounds old (r7 at round 9)
-    deferred_at_limit = set()
-    for qname in entry.queries():
-        if qname in window:
-            continue
-        if qname == "text_bpe_tokenizer":
-            continue  # rows-only: pytest-gated, never hash-green
-        row = r8.get(qname) or r7.get(qname)
-        assert row is not None and row["hash_match"] is True, (
-            f"{qname} is outside the driver window without a green prior row"
-        )
-        if qname not in r8:
-            deferred_at_limit.add(qname)
-
-    # the r7-latest entries deferred past this window sit AT the
-    # two-round staleness limit: round 10's window MUST lead with these
-    # 36 (the ledger discipline — 14 slots remain free at r10; q3/q4/q5
-    # ceded their r9 refresh slots to the changed-entry re-entries)
-    assert deferred_at_limit == {
+    deferred_r7 = {
         "q3_shipping_priority",
         "q4_order_priority",
         "q5_local_supplier_volume",
@@ -186,6 +117,105 @@ def test_driver_window_rotation_closes_coverage():
         "dedup_ngram_jaccard",
         "text_language_id",
         "text_quality",
+    }
+    must_rotate_in = (
+        deferred_r7
+        # code changed in round 10: the length-guard fold
+        # (customer_fuzzy_matches), the GEMM per-element-NULL parity
+        # (random_projection), and the 1e-4 true-mean quantization
+        # (q2) — window re-entry is mandatory despite green r9 rows
+        | {
+            "customer_fuzzy_matches",
+            "random_projection",
+            "q2_min_cost_supplier",
+        }
+        # new in round 10: the three staged self-oracles promoted
+        | {
+            "join_key_skew_stats",
+            "user_rfm_segments",
+            "embedding_norm_stats",
+        }
+        # r8-green refreshes whose legacy round(double, k) sites were
+        # migrated to the scale-0 form this round (changed code ⇒
+        # mandatory re-entry; the refresh slot and the migration
+        # deliberately coincide — judge r9 task 3)
+        | {
+            "q8_market_share",
+            "percentile_stats",
+            "math_stats",
+            "json_event_stats",
+            "event_funnel",
+            "text_clean_pipeline",
+            "multimodal_pixel_stats",
+            "multimodal_video_stats",
+        }
+    )
+    missing = must_rotate_in - set(window)
+    assert not missing, f"driver window lost: {sorted(missing)}"
+
+    # the quadratic narrow-simhash entry stays retired (judge r7 task 4)
+    assert "dedup_simhash_pairs" not in entry.queries()
+
+    # everything rotated out must be green in its most recent check,
+    # and that check may be at most two rounds old (r8 at round 10)
+    deferred_at_limit = set()
+    for qname in entry.queries():
+        if qname in window:
+            continue
+        if qname == "text_bpe_tokenizer":
+            continue  # rows-only: pytest-gated, never hash-green
+        row = r9.get(qname) or r8.get(qname)
+        assert row is not None and row["hash_match"] is True, (
+            f"{qname} is outside the driver window without a green prior row"
+        )
+        if qname not in r9:
+            deferred_at_limit.add(qname)
+
+    # the r8-latest entries deferred past this window sit AT the
+    # two-round staleness limit: round 11's window MUST lead with these
+    # 39 (the ledger discipline — 11 slots remain free at r11). Their
+    # remaining legacy round(double, k) sites migrate to the scale-0
+    # form in the same r11 edit (the standing task-3 discipline).
+    assert deferred_at_limit == {
+        "text_token_stats",
+        "text_fingerprints",
+        "text_stratified_sample",
+        "events_sliding_windows",
+        "vec_knn_euclidean",
+        "vec_knn_filtered",
+        "vec_radius",
+        "vec_knn_batched",
+        "vec_label_centroids",
+        "vec_lsh_knn",
+        "vec_knn_manhattan",
+        "vec_knn_join_blocked",
+        "q16_supplier_variety",
+        "string_part_stats",
+        "line_dedup_stats",
+        "chunk_documents",
+        "chunk_retrieval_topk",
+        "component_size_histogram",
+        "cross_source_duplication_stats",
+        "text_bigram_surprisal",
+        "text_trigram_surprisal",
+        "text_curriculum_buckets",
+        "text_shard_plan",
+        "source_curation_stats",
+        "text_oov_rate",
+        "ngram_decontaminate_stats",
+        "ngram_contamination_report_stats",
+        "text_pretoken_counts",
+        "multimodal_dhash_dedup",
+        "dedup_decontaminate",
+        "dedup_components",
+        "dedup_embedding_cosine",
+        "dedup_exact_pick",
+        "dedup_exact_stats",
+        "dedup_minhash_lsh",
+        "text_boilerplate_ngrams",
+        "text_pii_scrub",
+        "text_hash_embeddings",
+        "asof_click_view",
     }, f"unexpected deferral set: {sorted(deferred_at_limit)}"
 
     # every query must have an oracle twin (column-name-matched

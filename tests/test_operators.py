@@ -2621,8 +2621,8 @@ def test_source_token_divergence_matches_duckdb_oracle(spark, sf_dir):
         n AS (SELECT sum(c_t) AS n_all FROM ct)
         SELECT source, CAST(n_s AS BIGINT) AS n_tokens,
                CAST(n_terms AS BIGINT) AS n_terms,
-               round(sum((CAST(c_st AS DOUBLE) / n_s)
-                         * log2(CAST(c_st * n_all AS DOUBLE) / (n_s * c_t))), 6)
+               round(sum(CAST(round((CAST(c_st AS DOUBLE) / n_s)
+                         * log2(CAST(c_st * n_all AS DOUBLE) / (n_s * c_t)) * 1e6) AS BIGINT)) / 1e6, 6)
                    AS kl_bits
         FROM st JOIN ct USING (t) JOIN s_tot USING (source), n
         GROUP BY source, n_s, n_terms""")
@@ -4330,9 +4330,9 @@ def test_embedding_norm_stats_matches_duckdb_oracle(spark, sf_dir):
                       CAST(round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), z -> z*z))) * 1000000) AS BIGINT) AS nm
                     FROM embeddings)
         SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
-               round((sum(nm) / count(*)) / 1000000, 6) AS mean_norm,
-               round(quantile_cont(nm, 0.1) / 1000000, 6) AS p10_norm,
-               round(quantile_cont(nm, 0.9) / 1000000, 6) AS p90_norm,
+               round(CAST(round(sum(nm) / count(*)) AS BIGINT) / 1000000, 6) AS mean_norm,
+               round(CAST(round(quantile_cont(nm, 0.1)) AS BIGINT) / 1000000, 6) AS p10_norm,
+               round(CAST(round(quantile_cont(nm, 0.9)) AS BIGINT) / 1000000, 6) AS p90_norm,
                round(min(nm) / 1000000, 6) AS min_norm,
                round(max(nm) / 1000000, 6) AS max_norm
         FROM nm GROUP BY label ORDER BY label""")
@@ -4516,7 +4516,7 @@ def test_user_rfm_segments_matches_duckdb_oracle(spark, sf_dir):
                 m
               FROM pu, qs)
         SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_users,
-               round((sum(m) / count(*)) / 100, 6) AS avg_monetary
+               round(CAST(round(sum(m) / count(*) * 1e4) AS BIGINT) / 1e6, 6) AS avg_monetary
         FROM b GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q""")
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()

@@ -212,6 +212,12 @@ _NLJ_WHITELIST = {
     "tfidf_top_terms",
     "dedup_saturation_curve",
     "label_centroid_similarity",
+    # r10 window entries: join_key_skew_stats crossJoins its ONE-ROW
+    # global-shape aggregate back onto the top-k (the scalar pattern);
+    # user_rfm_segments crossJoins the ONE-ROW quartile-threshold
+    # aggregate onto the per-user table (same pattern)
+    "join_key_skew_stats",
+    "user_rfm_segments",
 }
 
 # Construction has driver-side side effects (index/layout builds, query
