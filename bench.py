@@ -81,6 +81,20 @@ BENCH_QUERIES = [
     "customer_fuzzy_matches",
     "hybrid_search_rrf",
     "random_projection",
+    # r10 promotions, wall-clock-tracked: the pre-join skew audit (one
+    # map-side-combined shuffle — flat 1.0/0.8/0.85 s across three
+    # probe decades), the RFM quartile grid (one shuffle + a one-row
+    # threshold broadcast), and the per-label norm audit (one bigint
+    # per row shuffled)
+    "join_key_skew_stats",
+    "user_rfm_segments",
+    "embedding_norm_stats",
+    # r10: the COMPOSED product-shaped pipeline (filter → repetition →
+    # boilerplate → exact dedup → near-dup components → pack) — tracked
+    # end-to-end so a COMPOSITION regression (a stage order change, a
+    # lost cache, an extra shuffle between stages) surfaces per round,
+    # not just per-stage (judge r9 task 5)
+    "prepare_training_corpus",
 ]
 
 # Bench-local callables for operators outside the driver-oracle window
@@ -222,7 +236,17 @@ def _bench_embedding_decontaminate_stats(spark, sf_dir):
     return embedding_decontaminate_stats(spark, sf_dir)
 
 
+def _bench_prepare_training_corpus(spark, sf_dir):
+    """The full composed pipeline. The call runs its per-stage actions
+    eagerly inside the timed section (counts between stages are part of
+    the composition's real cost) and returns the one-row summary."""
+    from oasysdb_spark.operators.textops import prepare_training_corpus
+
+    return prepare_training_corpus(spark, sf_dir)
+
+
 EXTRA_BENCH = {
+    "prepare_training_corpus": _bench_prepare_training_corpus,
     "tfidf_top_terms": _bench_tfidf_top_terms,
     "event_rate_anomalies": _bench_event_rate_anomalies,
     "embedding_decontaminate_stats": _bench_embedding_decontaminate_stats,
