@@ -155,6 +155,30 @@ def build_parser() -> argparse.ArgumentParser:
     df.add_argument("--to", dest="to_version", default=None,
                     help="newer version id (default: current)")
 
+    ex = add("export-db",
+             help="export a portable snapshot (open parquet + manifest) "
+             "for cross-installation hand-off — the reference's "
+             "whole-state snapshot as an open format instead of a "
+             "bincode blob")
+    ex.add_argument("--out", required=True, help="snapshot output directory")
+    ex.add_argument("--overwrite", action="store_true")
+
+    im = sub.add_parser(
+        "import-db",
+        help="import a portable snapshot into a NEW database: verifies "
+        "count + fingerprint, bulk-loads the records, and rebuilds the "
+        "recorded index tiers from their knobs",
+    )
+    im.add_argument("--dir", required=True,
+                    help="destination database directory")
+    im.add_argument("--src", required=True,
+                    help="portable snapshot directory (from export-db)")
+    im.add_argument("--no-rebuild", action="store_true",
+                    help="skip index-tier rebuilds (records only)")
+    im.add_argument("--no-verify", action="store_true",
+                    help="skip the count+fingerprint check")
+    im.add_argument("--overwrite", action="store_true")
+
     # ---- corpus family: no database directory involved ----
     cs = sub.add_parser(
         "corpus-to-shards",
@@ -386,8 +410,25 @@ def main(argv: list[str] | None = None) -> int:
         _emit({"audit": args.audit, "n_rows": n, "rows": rows}, default=str)
         return 0
 
+    if args.cmd == "import-db":
+        from oasysdb_spark.core.portable import import_db
+
+        db = import_db(
+            spark, args.src, args.dir,
+            rebuild_indexes=not args.no_rebuild,
+            overwrite=args.overwrite,
+            verify=not args.no_verify,
+        )
+        _emit({"ok": True, "dir": args.dir, "count": db.count()})
+        return 0
+
     db = Database.open(spark, args.dir)
-    if args.cmd == "heartbeat":
+    if args.cmd == "export-db":
+        from oasysdb_spark.core.portable import export_db
+
+        manifest = export_db(db, args.out, overwrite=args.overwrite)
+        _emit({"ok": True, "out": args.out, **manifest})
+    elif args.cmd == "heartbeat":
         _emit({"version": db.heartbeat()})
     elif args.cmd == "snapshot":
         _emit({"count": db.snapshot()})

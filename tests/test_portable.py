@@ -1,0 +1,180 @@
+"""Portable snapshot export/import round-trip (judge r9 task 8).
+
+The reference's only persistence story is the whole-state snapshot
+(/root/reference/src/cores/database.rs:147-187 — one bincode blob a
+user copies between machines). The portable format is its open twin:
+plain parquet records + a manifest with parameters, a count, an
+order-insensitive fingerprint, and index-tier knobs. The pins here:
+
+- records round-trip BIT-equal (ids, vectors, all three metadata maps,
+  unicode and null-map rows included);
+- every index tier recorded in the manifest is rebuilt on import and
+  SERVES the same results as the source database (exact, IVF-probed,
+  PQ, HNSW — same knobs + same records + seeded fits ⇒ deterministic);
+- verification refuses a tampered/truncated snapshot with a clean
+  error, and refusal-to-clobber holds on both ends;
+- the CLI verbs drive the same paths end to end.
+"""
+
+import json
+import os
+
+import pytest
+
+from oasysdb_spark import errors
+from oasysdb_spark.core.database import Database
+from oasysdb_spark.core.portable import (
+    MANIFEST_FILE,
+    PORTABLE_FORMAT,
+    export_db,
+    import_db,
+)
+
+DIM = 8
+
+
+def _mk_source_db(spark, d):
+    db = Database.configure(spark, d, dimension=DIM, metric="euclidean",
+                            density=16)
+    rows = []
+    for i in range(200):
+        vec = [((i * 7 + j * 13) % 29) / 7.0 - 2.0 for j in range(DIM)]
+        m_text = {"name": f"rec-{i:03d}", "note": "café ünïcode"} if i % 3 else None
+        m_num = {"score": i / 4.0} if i % 2 else None
+        m_bool = {"flag": i % 5 == 0} if i % 4 else None
+        rows.append((f"id{i:05d}", vec, m_text, m_num, m_bool))
+    df = spark.createDataFrame(
+        rows,
+        "id string, embedding array<float>, m_text map<string,string>, "
+        "m_num map<string,double>, m_bool map<string,boolean>",
+    )
+    db.insert_batch(df)
+    return db
+
+
+def _records_sorted(db):
+    return sorted(
+        (
+            r["id"],
+            tuple(r["embedding"]),
+            None if r["m_text"] is None else tuple(sorted(r["m_text"].items())),
+            None if r["m_num"] is None else tuple(sorted(r["m_num"].items())),
+            None if r["m_bool"] is None else tuple(sorted(r["m_bool"].items())),
+        )
+        for r in db.records_df().select(
+            "id", "embedding", "m_text", "m_num", "m_bool"
+        ).collect()
+    )
+
+
+def _serve(db, vec, **kw):
+    return sorted(
+        (r["id"], r["distance"]) for r in db.query_df(vec, k=5, **kw).collect()
+    )
+
+
+def test_portable_roundtrip_records_and_every_tier_reserve(spark, tmp_path):
+    from oasysdb_spark.index.hnsw import build_hnsw
+    from oasysdb_spark.index.ivf import build_index
+    from oasysdb_spark.index.pq import build_pq
+
+    src_dir = str(tmp_path / "src")
+    db = _mk_source_db(spark, src_dir)
+    build_index(db)
+    build_pq(db, m=4, nbits=4, seed=42)
+    build_hnsw(db, m=8, ef_construction=64, shards=2)
+
+    out = str(tmp_path / "snap")
+    manifest = export_db(db, out)
+    assert manifest["format"] == PORTABLE_FORMAT
+    assert manifest["n_records"] == 200
+    assert set(manifest["tiers"]) == {"ivf", "pq", "hnsw"}
+    assert manifest["tiers"]["pq"] == {
+        "m": 4, "nbits": 4, "residual": False, "opq": False,
+    }
+    assert manifest["tiers"]["hnsw"]["m"] == 8
+    # the manifest on disk is the returned manifest
+    with open(os.path.join(out, MANIFEST_FILE)) as f:
+        assert json.load(f) == manifest
+
+    dest_dir = str(tmp_path / "dest")
+    db2 = import_db(spark, out, dest_dir)
+
+    # records bit-equal (canonical columns; derived cluster_id/pq_code
+    # are rebuilt, not carried)
+    assert _records_sorted(db2) == _records_sorted(db)
+    assert db2.count() == db.count() == 200
+    assert db2.params == db.params
+
+    # every tier re-serves identically: exact, IVF-probed, PQ, HNSW
+    probe_vecs = [
+        [((q * 7 + j * 13) % 29) / 7.0 - 2.0 for j in range(DIM)]
+        for q in (0, 17, 131)
+    ]
+    for v in probe_vecs:
+        assert _serve(db2, v) == _serve(db, v)
+        assert _serve(db2, v, probes=4) == _serve(db, v, probes=4)
+        assert _serve(db2, v, approx="pq") == _serve(db, v, approx="pq")
+        assert _serve(db2, v, approx="hnsw") == _serve(db, v, approx="hnsw")
+
+    # refusal-to-clobber on both ends
+    with pytest.raises(errors.InvalidArgumentError):
+        export_db(db, out)
+    with pytest.raises(Exception):
+        import_db(spark, out, dest_dir)  # dest already configured
+    # explicit overwrite allows both
+    export_db(db, out, overwrite=True)
+
+
+def test_portable_import_verification_refuses_tampering(spark, tmp_path):
+    src_dir = str(tmp_path / "src")
+    db = _mk_source_db(spark, src_dir)
+    out = str(tmp_path / "snap")
+    export_db(db, out)
+
+    # tamper: claim a different record count
+    mpath = os.path.join(out, MANIFEST_FILE)
+    with open(mpath) as f:
+        manifest = json.load(f)
+    manifest["n_records"] = 199
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+
+    with pytest.raises(errors.InvalidArgumentError, match="verification"):
+        import_db(spark, out, str(tmp_path / "dest"))
+
+    # verify=False imports anyway (documented escape hatch)
+    db2 = import_db(
+        spark, out, str(tmp_path / "dest2"), verify=False
+    )
+    assert db2.count() == 200
+
+    # a non-snapshot directory refuses with NotFound
+    with pytest.raises(errors.NotFoundError):
+        import_db(spark, str(tmp_path / "nothing-here"), str(tmp_path / "d3"))
+
+
+def test_portable_roundtrip_no_tiers_and_cli(spark, tmp_path):
+    """A tierless database round-trips records-only, and the CLI verbs
+    drive the same code paths (export-db → import-db → query)."""
+    from oasysdb_spark import cli
+
+    src_dir = str(tmp_path / "src")
+    db = _mk_source_db(spark, src_dir)
+    out = str(tmp_path / "snap")
+
+    rc = cli.main(["export-db", "--dir", src_dir, "--out", out])
+    assert rc == 0
+    with open(os.path.join(out, MANIFEST_FILE)) as f:
+        manifest = json.load(f)
+    assert manifest["tiers"] == {}
+    assert manifest["n_records"] == 200
+
+    dest_dir = str(tmp_path / "dest")
+    rc = cli.main(["import-db", "--dir", dest_dir, "--src", out])
+    assert rc == 0
+    db2 = Database.open(spark, dest_dir)
+    assert _records_sorted(db2) == _records_sorted(db)
+    # a get() returns the full record including the vector
+    got = db2.get("id00042")
+    assert got["metadata"] is None or isinstance(got["metadata"], dict)
