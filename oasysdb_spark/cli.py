@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -161,6 +162,14 @@ def build_parser() -> argparse.ArgumentParser:
              "whole-state snapshot as an open format instead of a "
              "bincode blob")
     ex.add_argument("--out", required=True, help="snapshot output directory")
+    ex.add_argument("--since", default=None, metavar="SNAPSHOT_DIR",
+                    help="write a DELTA snapshot: only records changed "
+                    "since the PRIOR export at this directory (its "
+                    "state/ signature table defines exactly what the "
+                    "receiver has — sound under in-place appends, "
+                    "unlike any as-of-version base), with base/end "
+                    "fingerprints so application is provably "
+                    "equivalent to a full export — the 100 TB sync path")
     ex.add_argument("--overwrite", action="store_true")
 
     im = sub.add_parser(
@@ -411,22 +420,42 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "import-db":
-        from oasysdb_spark.core.portable import import_db
-
-        db = import_db(
-            spark, args.src, args.dir,
-            rebuild_indexes=not args.no_rebuild,
-            overwrite=args.overwrite,
-            verify=not args.no_verify,
+        from oasysdb_spark.core.portable import (
+            DELTA_FORMAT,
+            MANIFEST_FILE,
+            import_db,
+            import_delta,
         )
+
+        mpath = os.path.join(args.src, MANIFEST_FILE)
+        fmt = None
+        if os.path.exists(mpath):
+            with open(mpath) as fh:
+                fmt = json.load(fh).get("format")
+        if fmt == DELTA_FORMAT:
+            db = import_delta(
+                spark, args.src, args.dir, verify=not args.no_verify
+            )
+        else:
+            db = import_db(
+                spark, args.src, args.dir,
+                rebuild_indexes=not args.no_rebuild,
+                overwrite=args.overwrite,
+                verify=not args.no_verify,
+            )
         _emit({"ok": True, "dir": args.dir, "count": db.count()})
         return 0
 
     db = Database.open(spark, args.dir)
     if args.cmd == "export-db":
-        from oasysdb_spark.core.portable import export_db
+        from oasysdb_spark.core.portable import export_db, export_delta
 
-        manifest = export_db(db, args.out, overwrite=args.overwrite)
+        if args.since:
+            manifest = export_delta(
+                db, args.out, args.since, overwrite=args.overwrite
+            )
+        else:
+            manifest = export_db(db, args.out, overwrite=args.overwrite)
         _emit({"ok": True, "out": args.out, **manifest})
     elif args.cmd == "heartbeat":
         _emit({"version": db.heartbeat()})

@@ -50,8 +50,11 @@ from oasysdb_spark import errors
 from oasysdb_spark.core.config import atomic_write_text
 
 PORTABLE_FORMAT = "oasysdb-portable/1"
+DELTA_FORMAT = "oasysdb-portable-delta/1"
 MANIFEST_FILE = "manifest.json"
 RECORDS_SUBDIR = "records"
+DELETED_SUBDIR = "deleted"
+STATE_SUBDIR = "state"
 _CANONICAL_COLS = ["id", "embedding", "m_text", "m_num", "m_bool"]
 
 
@@ -81,16 +84,27 @@ def _fingerprint_expr():
     )
 
 
-def _fingerprint(df: DataFrame) -> tuple[int, int]:
-    row = (
-        _canonical(df)
-        .select(_fingerprint_expr().alias("k"))
-        .agg(F.count("*").alias("n"), F.expr("bit_xor(k)").alias("fp"))
-        .first()
-    )
+def _state(df: DataFrame) -> DataFrame:
+    """The rsync-style signature table: ``(id, k)`` with ``k`` the
+    per-row content fingerprint. ~1/1000th the record size, it is what
+    a delta export diffs against — NEVER a local table version, because
+    ``VersionedTable.append`` writes into the current version IN PLACE,
+    so a version dir recorded as 'the base' would silently absorb rows
+    appended after the hand-off."""
+    return _canonical(df).select(F.col("id"), _fingerprint_expr().alias("k"))
+
+
+def _fingerprint_of_state(state: DataFrame) -> tuple[int, int]:
+    row = state.agg(
+        F.count("*").alias("n"), F.expr("bit_xor(k)").alias("fp")
+    ).first()
     n = int(row["n"])
     fp = int(row["fp"]) if row["fp"] is not None else 0
     return n, fp
+
+
+def _fingerprint(df: DataFrame) -> tuple[int, int]:
+    return _fingerprint_of_state(_state(df))
 
 
 def _tier_knobs(db) -> dict:
@@ -143,9 +157,15 @@ def export_db(db, out_dir: str, overwrite: bool = False) -> dict:
         os.path.join(out_dir, RECORDS_SUBDIR)
     )
     # fingerprint the WRITTEN files (not the source frame) so the check
-    # covers the bytes that actually travel
+    # covers the bytes that actually travel; persist the (id, fp) state
+    # table beside them — the base a future DELTA export diffs against
     written = db.spark.read.parquet(os.path.join(out_dir, RECORDS_SUBDIR))
-    n, fp = _fingerprint(written)
+    _state(written).write.mode("overwrite").parquet(
+        os.path.join(out_dir, STATE_SUBDIR)
+    )
+    n, fp = _fingerprint_of_state(
+        db.spark.read.parquet(os.path.join(out_dir, STATE_SUBDIR))
+    )
     manifest = {
         "format": PORTABLE_FORMAT,
         "engine_version": db.heartbeat(),
@@ -238,5 +258,180 @@ def import_db(
                 m=int(knobs.get("m", 16)),
                 ef_construction=int(knobs.get("ef_construction", 100)),
                 shards=knobs.get("shards"),
+            )
+    return db
+
+
+def export_delta(db, out_dir: str, base_snapshot_dir: str,
+                 overwrite: bool = False) -> dict:
+    """Export a DELTA snapshot: only the records that changed since a
+    PRIOR EXPORT — the sync story at 100 TB, where re-shipping the
+    world per hand-off is the anti-pattern.
+
+    The base is the previous snapshot directory (full or delta), whose
+    ``state/`` table holds the rsync-style ``(id, fingerprint)``
+    signature of exactly what the receiver has. Diffing against THAT —
+    never against a local table version — is what makes the delta
+    sound: ``VersionedTable.append`` writes into the current version in
+    place, so any "as-of version" base would silently absorb rows
+    appended after the hand-off and the delta would miss them (found by
+    this module's own round-trip test).
+
+    The delta carries the full NEW row for every added/updated id (one
+    join of the signature tables — only (id, 8-byte fp) pairs shuffle,
+    then one semi-join pulls the payload rows), the deleted ids, the
+    refreshed end-state signature (the next hop's base), and two
+    fingerprints: the BASE (the state a receiver must be at before
+    applying — the apply precondition) and the END (what the receiver
+    must equal after applying — the postcondition). Together they make
+    delta application provably equivalent to a full re-export."""
+    manifest_path = os.path.join(out_dir, MANIFEST_FILE)
+    if os.path.exists(manifest_path) and not overwrite:
+        raise errors.InvalidArgumentError(
+            f"{out_dir} already holds a portable snapshot "
+            "(pass overwrite=True / --overwrite to replace it)"
+        )
+    base_manifest_path = os.path.join(base_snapshot_dir, MANIFEST_FILE)
+    base_state_path = os.path.join(base_snapshot_dir, STATE_SUBDIR)
+    if not (os.path.exists(base_manifest_path)
+            and os.path.exists(base_state_path)):
+        raise errors.NotFoundError(
+            f"{base_snapshot_dir} is not a portable snapshot with a "
+            f"state table (need {MANIFEST_FILE} + {STATE_SUBDIR}/) — "
+            "deltas chain off a prior export-db output"
+        )
+    with open(base_manifest_path) as f:
+        base_manifest = json.load(f)
+    base_n = base_manifest.get(
+        "end_n_records", base_manifest.get("n_records")
+    )
+    base_fp = base_manifest.get(
+        "end_fingerprint_xxh64_xor",
+        base_manifest.get("fingerprint_xxh64_xor"),
+    )
+
+    cur_state = _state(db.records_df())
+    base_state = db.spark.read.parquet(base_state_path)
+    b, c = base_state.alias("b"), cur_state.alias("c")
+    joined = b.join(c, F.col("b.id") == F.col("c.id"), "full_outer")
+    upsert_ids = joined.where(
+        F.col("b.id").isNull()  # added
+        | (F.col("c.id").isNotNull() & (F.col("b.k") != F.col("c.k")))
+    ).select(F.col("c.id").alias("id"))
+    deleted_ids = joined.where(F.col("c.id").isNull()).select(
+        F.col("b.id").alias("id")
+    )
+    upserts = _canonical(
+        db.records_df().join(upsert_ids, "id", "left_semi")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    upserts.write.mode("overwrite").parquet(
+        os.path.join(out_dir, RECORDS_SUBDIR)
+    )
+    deleted_ids.write.mode("overwrite").parquet(
+        os.path.join(out_dir, DELETED_SUBDIR)
+    )
+    cur_state.write.mode("overwrite").parquet(
+        os.path.join(out_dir, STATE_SUBDIR)
+    )
+    end_n, end_fp = _fingerprint_of_state(
+        db.spark.read.parquet(os.path.join(out_dir, STATE_SUBDIR))
+    )
+    n_upserts = db.spark.read.parquet(
+        os.path.join(out_dir, RECORDS_SUBDIR)
+    ).count()
+    n_deleted = db.spark.read.parquet(
+        os.path.join(out_dir, DELETED_SUBDIR)
+    ).count()
+    manifest = {
+        "format": DELTA_FORMAT,
+        "engine_version": db.heartbeat(),
+        "parameters": {
+            "dimension": db.params.dimension,
+            "metric": db.params.metric,
+            "density": db.params.density,
+        },
+        "base_snapshot": os.path.basename(os.path.normpath(base_snapshot_dir)),
+        "base_n_records": base_n,
+        "base_fingerprint_xxh64_xor": base_fp,
+        "end_n_records": end_n,
+        "end_fingerprint_xxh64_xor": end_fp,
+        "n_upserts": int(n_upserts),
+        "n_deleted": int(n_deleted),
+    }
+    atomic_write_text(manifest_path, json.dumps(manifest, sort_keys=True))
+    return manifest
+
+
+def import_delta(spark: SparkSession, in_dir: str, dest_dir: str,
+                 verify: bool = True):
+    """Apply a delta snapshot to an EXISTING database at ``dest_dir``.
+    Refuses cleanly when the destination is not at the delta's base
+    state (precondition fingerprint) and proves the application landed
+    (postcondition fingerprint) — so a delta chain is exactly as
+    trustworthy as a full export. Index-tier maintenance then follows
+    the normal mutation contract (PQ codes re-encode inside the
+    ``insert_batch`` ingest; IVF assignments happen there too; an
+    attached HNSW graph goes stale and its serving gate refuses until
+    ``extend-hnsw`` / ``build-hnsw`` runs — stale edges never serve
+    silently). Returns the opened :class:`Database`."""
+    from oasysdb_spark.core.database import Database
+
+    manifest_path = os.path.join(in_dir, MANIFEST_FILE)
+    if not os.path.exists(manifest_path):
+        raise errors.NotFoundError(
+            f"{in_dir} is not a portable snapshot (no {MANIFEST_FILE})"
+        )
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    if manifest.get("format") != DELTA_FORMAT:
+        raise errors.InvalidArgumentError(
+            f"{in_dir} holds {manifest.get('format')!r}, not a delta "
+            f"({DELTA_FORMAT}) — use import_db for full snapshots"
+        )
+    db = Database.open(spark, dest_dir)
+    params = manifest["parameters"]
+    if (db.params.dimension, db.params.metric) != (
+        int(params["dimension"]), params["metric"],
+    ):
+        raise errors.InvalidArgumentError(
+            "delta parameters do not match the destination database "
+            f"(delta: dim={params['dimension']} metric={params['metric']}; "
+            f"dest: dim={db.params.dimension} metric={db.params.metric})"
+        )
+    if verify:
+        n, fp = _fingerprint(db.records_df())
+        if (n, fp) != (
+            manifest["base_n_records"],
+            manifest["base_fingerprint_xxh64_xor"],
+        ):
+            raise errors.InvalidArgumentError(
+                "delta precondition failed: the destination is not at "
+                f"the delta's base state (dest count {n} / fingerprint "
+                f"{fp} vs base {manifest['base_n_records']} / "
+                f"{manifest['base_fingerprint_xxh64_xor']}) — apply "
+                "deltas in order, or ship a full export"
+            )
+    upserts = spark.read.parquet(os.path.join(in_dir, RECORDS_SUBDIR))
+    deleted = spark.read.parquet(os.path.join(in_dir, DELETED_SUBDIR))
+    # one anti-join pass clears deleted AND to-be-updated ids (delete of
+    # a missing id is the documented silent no-op, so added ids cost
+    # nothing), then one bulk append lands the new rows
+    to_clear = deleted.select("id").union(upserts.select("id"))
+    db.delete(to_clear)
+    db.insert_batch(upserts)
+    if verify:
+        n, fp = _fingerprint(db.records_df())
+        if (n, fp) != (
+            manifest["end_n_records"],
+            manifest["end_fingerprint_xxh64_xor"],
+        ):
+            raise errors.InvalidArgumentError(
+                "delta postcondition failed: after applying, the "
+                f"destination (count {n}, fingerprint {fp}) does not "
+                f"match the source's end state "
+                f"({manifest['end_n_records']}, "
+                f"{manifest['end_fingerprint_xxh64_xor']}) — the delta "
+                "files are inconsistent with their manifest"
             )
     return db

@@ -27,7 +27,9 @@ from oasysdb_spark.core.portable import (
     MANIFEST_FILE,
     PORTABLE_FORMAT,
     export_db,
+    export_delta,
     import_db,
+    import_delta,
 )
 
 DIM = 8
@@ -152,6 +154,100 @@ def test_portable_import_verification_refuses_tampering(spark, tmp_path):
     # a non-snapshot directory refuses with NotFound
     with pytest.raises(errors.NotFoundError):
         import_db(spark, str(tmp_path / "nothing-here"), str(tmp_path / "d3"))
+
+
+def test_portable_delta_chain_roundtrip(spark, tmp_path):
+    """Delta export/apply — the 100 TB sync path: after a full hand-off,
+    only changed records travel. Two chained deltas exercise all three
+    change kinds (added via append, deleted via bulk delete, updated via
+    batch metadata replace), the base-fingerprint PRECONDITION refuses
+    an out-of-order apply, and the end-fingerprint POSTCONDITION proves
+    each application equals a full re-export. Each hop diffs against the
+    PRIOR SNAPSHOT's state table — crucially, hop 1 includes rows
+    APPENDED after the full export (appends land in the current table
+    version IN PLACE, so an as-of-version base would absorb them and
+    silently drop them from the delta — the bug this design retired)."""
+    src_dir = str(tmp_path / "src")
+    db = _mk_source_db(spark, src_dir)
+    out_full = str(tmp_path / "full")
+    export_db(db, out_full)
+    dest_dir = str(tmp_path / "dest")
+    db2 = import_db(spark, out_full, dest_dir)
+
+    # ---- hop 1: 20 appended + 10 deleted
+    new_rows = [
+        (
+            f"new{i:03d}",
+            [float((i + j) % 7) for j in range(DIM)],
+            {"name": f"new-{i}"},
+            None,
+            None,
+        )
+        for i in range(20)
+    ]
+    db.insert_batch(spark.createDataFrame(
+        new_rows,
+        "id string, embedding array<float>, m_text map<string,string>, "
+        "m_num map<string,double>, m_bool map<string,boolean>",
+    ))
+    db.delete([f"id{i:05d}" for i in range(10)])
+
+    d1 = str(tmp_path / "delta1")
+    m1 = export_delta(db, d1, out_full)
+    assert m1["format"] == "oasysdb-portable-delta/1"
+    assert m1["n_upserts"] == 20 and m1["n_deleted"] == 10
+    assert m1["end_n_records"] == 210
+
+    db2 = import_delta(spark, d1, dest_dir)
+    assert _records_sorted(db2) == _records_sorted(db)
+
+    # ---- hop 2: 5 metadata updates (chains off delta 1's state)
+    upd = spark.createDataFrame(
+        [
+            (f"id{i:05d}", {"name": f"renamed-{i}"}, {}, {})
+            for i in range(20, 25)
+        ],
+        "id string, m_text map<string,string>, m_num map<string,double>, "
+        "m_bool map<string,boolean>",
+    )
+    db.update_metadata_batch(upd)
+    d2 = str(tmp_path / "delta2")
+    m2 = export_delta(db, d2, d1)
+    assert m2["n_upserts"] == 5 and m2["n_deleted"] == 0
+
+    # out-of-order apply refuses: a FRESH import of the full snapshot is
+    # at delta-1's base, not delta-2's
+    stale_dir = str(tmp_path / "stale")
+    import_db(spark, out_full, stale_dir)
+    with pytest.raises(errors.InvalidArgumentError, match="precondition"):
+        import_delta(spark, d2, stale_dir)
+
+    # in-order apply lands and the postcondition proves equality
+    db2 = import_delta(spark, d2, dest_dir)
+    assert _records_sorted(db2) == _records_sorted(db)
+    got = db2.get("id00022")
+    assert got["metadata"] == {"name": "renamed-22"}
+
+    # a delta refuses to masquerade as a full snapshot and vice versa
+    with pytest.raises(errors.InvalidArgumentError, match="delta"):
+        import_db(spark, d2, str(tmp_path / "d3"))
+    with pytest.raises(errors.InvalidArgumentError, match="full"):
+        import_delta(spark, out_full, dest_dir)
+
+    # CLI drives the same paths: hop 3 through export-db --since /
+    # import-db auto-detect
+    from oasysdb_spark import cli
+
+    db.delete(["new000", "new001"])
+    d3 = str(tmp_path / "delta3")
+    rc = cli.main(["export-db", "--dir", src_dir, "--out", d3,
+                   "--since", d2])
+    assert rc == 0
+    rc = cli.main(["import-db", "--dir", dest_dir, "--src", d3])
+    assert rc == 0
+    db2 = Database.open(spark, dest_dir)
+    assert _records_sorted(db2) == _records_sorted(db)
+    assert db2.count() == 208
 
 
 def test_portable_roundtrip_no_tiers_and_cli(spark, tmp_path):
