@@ -170,6 +170,10 @@ def build_parser() -> argparse.ArgumentParser:
                     "unlike any as-of-version base), with base/end "
                     "fingerprints so application is provably "
                     "equivalent to a full export — the 100 TB sync path")
+    ex.add_argument("--no-state", action="store_true",
+                    help="terminal delta: skip the refreshed state/ "
+                    "signature (needed only to chain a FURTHER delta; "
+                    "it costs ~1-3%% of a full export per hop)")
     ex.add_argument("--overwrite", action="store_true")
 
     im = sub.add_parser(
@@ -452,7 +456,8 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.since:
             manifest = export_delta(
-                db, args.out, args.since, overwrite=args.overwrite
+                db, args.out, args.since, overwrite=args.overwrite,
+                write_state=not args.no_state,
             )
         else:
             manifest = export_db(db, args.out, overwrite=args.overwrite)

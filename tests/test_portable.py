@@ -249,6 +249,18 @@ def test_portable_delta_chain_roundtrip(spark, tmp_path):
     assert _records_sorted(db2) == _records_sorted(db)
     assert db2.count() == 208
 
+    # terminal delta (write_state=False): applies fine, carries only
+    # the changes, and refuses to be CHAINED off (no state table)
+    db.delete(["new002"])
+    d4 = str(tmp_path / "delta4")
+    export_delta(db, d4, d3, write_state=False)
+    assert not os.path.exists(os.path.join(d4, "state"))
+    db2 = import_delta(spark, d4, dest_dir)
+    assert db2.count() == 207
+    db.delete(["new003"])
+    with pytest.raises(errors.NotFoundError, match="state"):
+        export_delta(db, str(tmp_path / "delta5"), d4)
+
 
 def test_portable_roundtrip_no_tiers_and_cli(spark, tmp_path):
     """A tierless database round-trips records-only, and the CLI verbs
