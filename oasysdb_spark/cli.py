@@ -437,6 +437,17 @@ def main(argv: list[str] | None = None) -> int:
             with open(mpath) as fh:
                 fmt = json.load(fh).get("format")
         if fmt == DELTA_FORMAT:
+            if args.overwrite or args.no_rebuild:
+                print(
+                    json.dumps({
+                        "error": "--overwrite/--no-rebuild do not apply "
+                        "to DELTA snapshots (a delta mutates an "
+                        "existing database in place; tier maintenance "
+                        "follows the normal mutation contract)"
+                    }),
+                    file=sys.stderr,
+                )
+                return 2
             db = import_delta(
                 spark, args.src, args.dir, verify=not args.no_verify
             )

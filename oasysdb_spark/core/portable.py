@@ -129,6 +129,8 @@ def _tier_knobs(db) -> dict:
             # pq.json stores the learned rotation itself; the portable
             # knob is just whether to learn one again on import
             "opq": meta.get("rotation") is not None,
+            "seed": meta.get("seed", 42),
+            "opq_iter": meta.get("opq_iter", 5),
         }
     hnsw_path = os.path.join(db.dir, "hnsw.json")
     if os.path.exists(hnsw_path):
@@ -236,7 +238,10 @@ def import_db(
         if "ivf" in tiers:
             from oasysdb_spark.index.ivf import build_index
 
-            build_index(db)
+            # rebuild at the RECORDED cluster count — a default-k
+            # rebuild over the same records would change probe
+            # fractions and therefore probed-query results (r10 review)
+            build_index(db, k=tiers["ivf"].get("n_clusters"))
         if "pq" in tiers:
             from oasysdb_spark.index.pq import build_pq
 
@@ -248,6 +253,7 @@ def import_db(
                 seed=int(knobs.get("seed", 42)),
                 residual=bool(knobs.get("residual", False)),
                 opq=bool(knobs.get("opq", False)),
+                opq_iter=int(knobs.get("opq_iter", 5)),
             )
         if "hnsw" in tiers:
             from oasysdb_spark.index.hnsw import build_hnsw
@@ -316,7 +322,21 @@ def export_delta(db, out_dir: str, base_snapshot_dir: str,
         base_manifest.get("fingerprint_xxh64_xor"),
     )
 
-    cur_state = _state(db.records_df())
+    # Materialize the current signature FIRST and derive EVERYTHING
+    # downstream (diff, payload membership, end fingerprint) from the
+    # frozen on-disk copy — each Spark action re-scans its source, so
+    # three separate reads of the live records table could straddle a
+    # concurrent in-place append and ship a records/ inconsistent with
+    # its own state/ (r10 review). With this ordering an append after
+    # the freeze is simply invisible to this hop and ships next hop;
+    # only a concurrent UPDATE to an already-upserted id can still
+    # desynchronize payload from signature (then the receiver's
+    # postcondition refuses) — exports assume no concurrent REWRITES,
+    # like the reference's snapshot.
+    os.makedirs(out_dir, exist_ok=True)
+    state_path = os.path.join(out_dir, STATE_SUBDIR)
+    _state(db.records_df()).write.mode("overwrite").parquet(state_path)
+    cur_state = db.spark.read.parquet(state_path)
     base_state = db.spark.read.parquet(base_state_path)
     b, c = base_state.alias("b"), cur_state.alias("c")
     joined = b.join(c, F.col("b.id") == F.col("c.id"), "full_outer")
@@ -330,22 +350,22 @@ def export_delta(db, out_dir: str, base_snapshot_dir: str,
     upserts = _canonical(
         db.records_df().join(upsert_ids, "id", "left_semi")
     )
-    os.makedirs(out_dir, exist_ok=True)
     upserts.write.mode("overwrite").parquet(
         os.path.join(out_dir, RECORDS_SUBDIR)
     )
     deleted_ids.write.mode("overwrite").parquet(
         os.path.join(out_dir, DELETED_SUBDIR)
     )
-    if write_state:
-        cur_state.write.mode("overwrite").parquet(
-            os.path.join(out_dir, STATE_SUBDIR)
-        )
-        end_n, end_fp = _fingerprint_of_state(
-            db.spark.read.parquet(os.path.join(out_dir, STATE_SUBDIR))
-        )
-    else:
-        end_n, end_fp = _fingerprint_of_state(cur_state)
+    end_n, end_fp = _fingerprint_of_state(cur_state)
+    if not write_state:
+        # terminal hop: drop the signature AFTER everything derived
+        # from it landed — also clears any STALE state/ left by a
+        # previous export into the same dir under overwrite=True
+        # (a chain off stale signatures would diff against the wrong
+        # base — r10 review)
+        import shutil
+
+        shutil.rmtree(state_path, ignore_errors=True)
     n_upserts = db.spark.read.parquet(
         os.path.join(out_dir, RECORDS_SUBDIR)
     ).count()
@@ -423,24 +443,58 @@ def import_delta(spark: SparkSession, in_dir: str, dest_dir: str,
             )
     upserts = spark.read.parquet(os.path.join(in_dir, RECORDS_SUBDIR))
     deleted = spark.read.parquet(os.path.join(in_dir, DELETED_SUBDIR))
-    # one anti-join pass clears deleted AND to-be-updated ids (delete of
-    # a missing id is the documented silent no-op, so added ids cost
-    # nothing), then one bulk append lands the new rows
     to_clear = deleted.select("id").union(upserts.select("id"))
-    db.delete(to_clear)
-    db.insert_batch(upserts)
     if verify:
-        n, fp = _fingerprint(db.records_df())
-        if (n, fp) != (
+        # PREDICT the post-apply fingerprint BEFORE mutating — XOR is
+        # its own inverse, so end = dest ⊖ cleared-rows ⊕ upsert-rows,
+        # all computable from the destination + the delta files. A
+        # truncated/corrupt delta therefore refuses while the
+        # destination is still intact at base state, instead of
+        # failing a post-check after a half-applied mutation with no
+        # rollback (r10 review).
+        dest_state = _state(db.records_df())
+        rm = (
+            dest_state.join(to_clear, "id", "left_semi")
+            .agg(F.count("*").alias("n"), F.expr("bit_xor(k)").alias("fp"))
+            .first()
+        )
+        rm_n = int(rm["n"])
+        rm_fp = int(rm["fp"]) if rm["fp"] is not None else 0
+        up_n, up_fp = _fingerprint(upserts)
+        pred_n = n - rm_n + up_n
+        pred_fp = fp ^ rm_fp ^ up_fp
+        if (pred_n, pred_fp) != (
             manifest["end_n_records"],
             manifest["end_fingerprint_xxh64_xor"],
         ):
             raise errors.InvalidArgumentError(
-                "delta postcondition failed: after applying, the "
-                f"destination (count {n}, fingerprint {fp}) does not "
-                f"match the source's end state "
+                "delta refused BEFORE applying: the predicted "
+                f"post-apply state (count {pred_n}, fingerprint "
+                f"{pred_fp}) does not match the manifest's end state "
                 f"({manifest['end_n_records']}, "
                 f"{manifest['end_fingerprint_xxh64_xor']}) — the delta "
-                "files are inconsistent with their manifest"
+                "files are inconsistent with their manifest (truncated "
+                "copy or tampered records/deleted); the destination "
+                "was NOT modified"
+            )
+    # one anti-join pass clears deleted AND to-be-updated ids (delete of
+    # a missing id is the documented silent no-op, so added ids cost
+    # nothing), then one bulk append lands the new rows
+    db.delete(to_clear)
+    db.insert_batch(upserts)
+    if verify:
+        n2, fp2 = _fingerprint(db.records_df())
+        if (n2, fp2) != (
+            manifest["end_n_records"],
+            manifest["end_fingerprint_xxh64_xor"],
+        ):  # pragma: no cover — the prediction above makes this an
+            # engine-invariant check, not an input check
+            raise errors.InvalidArgumentError(
+                "delta postcondition failed AFTER applying (count "
+                f"{n2}, fingerprint {fp2} vs manifest end "
+                f"{manifest['end_n_records']}, "
+                f"{manifest['end_fingerprint_xxh64_xor']}) — this "
+                "indicates an apply-path bug, not a bad delta; restore "
+                "the destination from its snapshot"
             )
     return db

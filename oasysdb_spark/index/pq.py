@@ -372,6 +372,12 @@ def build_pq(
                 "m": m,
                 "nbits": nbits,
                 "residual": residual,
+                # build knobs beyond the learned artifacts: a portable
+                # import rebuilds from these, so a non-default seed /
+                # opq_iter must survive the manifest round-trip
+                # (r10 review — knobs.get("seed", 42) was dead code)
+                "seed": seed,
+                "opq_iter": opq_iter,
                 "codebooks": books.tolist(),
                 "rotation": None if rot is None else rot.tolist(),
             }

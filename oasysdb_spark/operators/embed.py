@@ -798,8 +798,13 @@ def random_projection(
                 # asarray; the literal path's element_at yields NULL and
                 # the ± chain propagates it to a NULL output — the twin
                 # must match, so NaN-bearing rows join the null branch
-                # (r9 ADVICE; a genuine NaN payload is outside the
-                # engine's data model and maps the same way)
+                # (r9 ADVICE). KNOWN divergence: a genuine float-NaN
+                # payload (outside the engine's data model) would
+                # propagate as NaN on the literal path but maps to NULL
+                # here — Arrow conflates the two worker-side, so the
+                # twin cannot tell them apart; we pick the NULL-parity
+                # side because per-element nulls are the real input
+                # class
                 if np.isnan(g).any():
                     null_mask[i2] = True
                     continue

@@ -82,8 +82,12 @@ def test_portable_roundtrip_records_and_every_tier_reserve(spark, tmp_path):
 
     src_dir = str(tmp_path / "src")
     db = _mk_source_db(spark, src_dir)
-    build_index(db)
-    build_pq(db, m=4, nbits=4, seed=42)
+    # NON-DEFAULT knobs everywhere: the round-trip must reproduce the
+    # source's tier geometry, not a default rebuild (r10 review — a
+    # default-k IVF rebuild changes probe fractions, a default-seed PQ
+    # rebuild changes codebooks)
+    build_index(db, k=11)
+    build_pq(db, m=4, nbits=4, seed=7)
     build_hnsw(db, m=8, ef_construction=64, shards=2)
 
     out = str(tmp_path / "snap")
@@ -91,8 +95,10 @@ def test_portable_roundtrip_records_and_every_tier_reserve(spark, tmp_path):
     assert manifest["format"] == PORTABLE_FORMAT
     assert manifest["n_records"] == 200
     assert set(manifest["tiers"]) == {"ivf", "pq", "hnsw"}
+    assert manifest["tiers"]["ivf"] == {"n_clusters": 11}
     assert manifest["tiers"]["pq"] == {
         "m": 4, "nbits": 4, "residual": False, "opq": False,
+        "seed": 7, "opq_iter": 5,
     }
     assert manifest["tiers"]["hnsw"]["m"] == 8
     # the manifest on disk is the returned manifest
@@ -260,6 +266,45 @@ def test_portable_delta_chain_roundtrip(spark, tmp_path):
     db.delete(["new003"])
     with pytest.raises(errors.NotFoundError, match="state"):
         export_delta(db, str(tmp_path / "delta5"), d4)
+
+    # a truncated delta refuses BEFORE mutating (r10 review): the
+    # predicted post-apply fingerprint cannot match the manifest, so
+    # the destination stays intact at its pre-apply state. First level
+    # the destination with db (dest missed the new003 delete made to
+    # test chain refusal above) and re-anchor on a fresh FULL export.
+    db2 = Database.open(spark, dest_dir)
+    db2.delete(["new003"])
+    assert _records_sorted(db2) == _records_sorted(db)
+    full2 = str(tmp_path / "full2")
+    export_db(db, full2)
+
+    db.insert_batch(spark.createDataFrame(
+        [("tail01", [1.0] * DIM, None, None, None)],
+        "id string, embedding array<float>, m_text map<string,string>, "
+        "m_num map<string,double>, m_bool map<string,boolean>",
+    ))
+    d6 = str(tmp_path / "delta6")
+    export_delta(db, d6, full2)
+    import glob
+    victim = max(
+        glob.glob(os.path.join(d6, "records", "part-*")),
+        key=os.path.getsize,
+    )  # the shard that actually holds the upsert row
+    os.remove(victim)
+    pre_state = _records_sorted(db2)
+    with pytest.raises(errors.InvalidArgumentError, match="NOT modified"):
+        import_delta(spark, d6, dest_dir)
+    assert _records_sorted(Database.open(spark, dest_dir)) == pre_state
+    # repair: re-export the same hop and apply cleanly
+    export_delta(db, d6, full2, overwrite=True)
+    db2 = import_delta(spark, d6, dest_dir)
+    assert _records_sorted(db2) == _records_sorted(db)
+
+    # --overwrite / --no-rebuild are full-snapshot flags: a delta src
+    # refuses them loudly instead of silently dropping them
+    rc = cli.main(["import-db", "--dir", dest_dir, "--src", d6,
+                   "--overwrite"])
+    assert rc == 2
 
 
 def test_portable_roundtrip_no_tiers_and_cli(spark, tmp_path):
