@@ -403,7 +403,14 @@ def import_delta(spark: SparkSession, in_dir: str, dest_dir: str,
     ``insert_batch`` ingest; IVF assignments happen there too; an
     attached HNSW graph goes stale and its serving gate refuses until
     ``extend-hnsw`` / ``build-hnsw`` runs — stale edges never serve
-    silently). Returns the opened :class:`Database`."""
+    silently). Returns the opened :class:`Database`.
+
+    ``verify=False`` skips BOTH fingerprint gates — including the
+    precondition that makes a double-apply refuse. ``insert_batch`` is
+    append-only (existence checks don't belong on the ingest hot
+    path), so applying the same delta twice unverified duplicates its
+    upserted ids; keep verification on unless the destination state is
+    known out-of-band."""
     from oasysdb_spark.core.database import Database
 
     manifest_path = os.path.join(in_dir, MANIFEST_FILE)

@@ -307,6 +307,100 @@ def test_portable_delta_chain_roundtrip(spark, tmp_path):
     assert rc == 2
 
 
+def test_portable_delta_randomized_chain_equals_full_export(spark, tmp_path):
+    """Seeded randomized mutation chain: 4 hops of mixed inserts /
+    deletes / metadata updates (including a hop with NO changes — the
+    empty delta must export 0/0 and apply as a verified no-op), each
+    hop shipped as a delta and applied; after every hop the destination
+    must be record-for-record equal to the source — the
+    apply-equivalence property the fingerprints claim, checked
+    directly. Deterministic seed; no wall-clock or randomness-at-spark
+    involved."""
+    import random
+
+    rng = random.Random(20260815)
+    src_dir = str(tmp_path / "src")
+    db = _mk_source_db(spark, src_dir)
+    prev = str(tmp_path / "full")
+    export_db(db, prev)
+    dest_dir = str(tmp_path / "dest")
+    db2 = import_db(spark, prev, dest_dir)
+
+    live = [f"id{i:05d}" for i in range(200)]
+    next_new = 0
+    for hop in range(4):
+        if hop != 2:  # hop 2 is the deliberate empty delta
+            # random deletes
+            for rid in rng.sample(live, k=min(len(live), rng.randint(1, 8))):
+                live.remove(rid)
+                db.delete(rid)
+            # random inserts
+            n_ins = rng.randint(1, 6)
+            rows = []
+            for _ in range(n_ins):
+                rid = f"rnd{next_new:04d}"
+                next_new += 1
+                live.append(rid)
+                rows.append((
+                    rid,
+                    [rng.uniform(-2, 2) for _ in range(DIM)],
+                    {"hop": str(hop)},
+                    None,
+                    None,
+                ))
+            db.insert_batch(spark.createDataFrame(
+                rows,
+                "id string, embedding array<float>, "
+                "m_text map<string,string>, m_num map<string,double>, "
+                "m_bool map<string,boolean>",
+            ))
+            # random metadata updates on survivors
+            upd_ids = rng.sample(live, k=min(len(live), rng.randint(1, 4)))
+            db.update_metadata_batch(spark.createDataFrame(
+                [(rid, {"u": f"h{hop}"}, {}, {}) for rid in upd_ids],
+                "id string, m_text map<string,string>, "
+                "m_num map<string,double>, m_bool map<string,boolean>",
+            ))
+        d = str(tmp_path / f"hop{hop}")
+        m = export_delta(db, d, prev)
+        if hop == 2:
+            assert m["n_upserts"] == 0 and m["n_deleted"] == 0
+        db2 = import_delta(spark, d, dest_dir)
+        assert _records_sorted(db2) == _records_sorted(db), f"hop {hop}"
+        prev = d
+
+
+def test_promoted_r10_ops_degenerate_inputs(spark, tmp_path):
+    """The three r10 promotions over an EMPTY source table: no crashes,
+    shape-stable empty (or degenerate-documented) results — the
+    degenerate-input discipline every promoted family carries."""
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.operators import embed
+    from oasysdb_spark.operators import relational as rel
+
+    d = str(tmp_path / "empty_sf")
+    import os as _os
+
+    _os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(
+        [],
+        "event_id bigint, user_id bigint, event_type string, "
+        "value double, ts timestamp, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    spark.createDataFrame(
+        [], "vec_id bigint, label int, embedding array<float>"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+
+    # skew audit: zero keys → zero top-k rows (the crossJoin side is a
+    # one-row aggregate of an empty frame; no error)
+    assert rel.join_key_skew_stats(spark, d).count() == 0
+    # RFM: zero users → zero segments
+    assert rel.user_rfm_segments(spark, d).count() == 0
+    # norm stats: zero vectors → zero labels
+    assert embed.embedding_norm_stats(spark, d).count() == 0
+
+
 def test_portable_roundtrip_no_tiers_and_cli(spark, tmp_path):
     """A tierless database round-trips records-only, and the CLI verbs
     drive the same code paths (export-db → import-db → query)."""
