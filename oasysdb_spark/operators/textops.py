@@ -542,6 +542,16 @@ def prepare_training_corpus(
     from oasysdb_spark.session import free_local_checkpoint
 
     free_local_checkpoint(comps)
+    # likewise the per-stage caches: nothing downstream reads them, so
+    # a long-lived session calling the pipeline repeatedly (the bench
+    # does; an hourly curation job would) must not accumulate one set
+    # of cached stage frames per call (r10 — the pipeline is now
+    # bench-tracked per round, which made the leak visible)
+    for staged in (clean, rep_kept, shingled, scrubbed):
+        try:
+            staged.unpersist()
+        except Exception:
+            pass
 
     return spark.createDataFrame(
         [
