@@ -43,6 +43,12 @@ DEFAULT = [
     "text_span_dedup",
     "text_vocabulary",
     "embedding_balanced_sample",
+    # r10 promotions + the composed pipeline (bench-tracked; probed
+    # here so the 3-rung evidence stays one command away)
+    "join_key_skew_stats",
+    "user_rfm_segments",
+    "embedding_norm_stats",
+    "prepare_training_corpus",
     # not a queries() entry (no SQL oracle by nature) — resolved from
     # operators.dedup below; the IVF-blocked semantic-dedup scale path
     "embedding_dedup_components",
