@@ -120,69 +120,136 @@ def _bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver oracle-checks the FIRST 50 entries.
 
-    Round-10 rotation (window math: 137 entries, 50-slot window, every
+    Round-11 rotation (window math: 140 entries, 50-slot window, every
     out-of-window entry must hold a green row no older than round N-2):
 
-    (a) the 36 r7-green leftovers whose latest green row is
-        CORRECTNESS_r07 — at the two-round staleness limit, so they
+    (a) the 39 r8-green leftovers whose latest green row is
+        CORRECTNESS_r08 — at the two-round staleness limit, so they
         MUST lead this window (pinned by name in tests/test_entry.py's
-        r9 deferral assertion and the r9 verdict's task 1). Every
-        legacy ``round(unscaled-double, k)`` site in these entries was
-        migrated to the scale-0 rounding form in the same edit (the r9
-        verdict's task 3 — zero extra slots, the hazard class retired
-        as entries rotate through);
-    (b) three entries whose CODE changed this round and therefore
-        re-enter regardless of their green r9 rows:
-        `customer_fuzzy_matches` (the d=2 length guard folded into the
-        variants task — no more plan-build scan), `random_projection`
-        (GEMM-twin per-element-NULL parity with the literal path),
-        `q2_min_cost_supplier` (avg_price quantizes at the input's
-        exact 1e-4 precision — true mean, zero per-row loss);
-    (c) three NEW entries promoted from staged pytest self-oracles
+        r10 deferral assertion and the r10 verdict's task 1). Their
+        remaining legacy ``round(unscaled-double, k)`` sites migrated
+        to the scale-0 rounding form in the same edit (13 direct sites
+        audited at r10 close — the standing task-3 discipline);
+    (b) the one-shot ``round_dist`` migration (operators/vectorops.py
+        — the shared distance display-round moves to the scale-0 form
+        EXACTLY ONCE, with every oracle-entry user in-window): its two
+        r9-green users re-enter (`vec_knn_cosine`, `vec_ivf_knn`) and
+        its three freshly-r10-green users re-enter
+        (`hard_negative_mining`, `vec_golden_distance`,
+        `vec_lsh_knn_indexed`) — the remaining users are already in
+        the (a) head;
+    (c) three more r10-green entries whose CODE changed this round and
+        therefore re-enter: `customer_fuzzy_matches` (broadcast-ledger
+        race fix + the d=2 over-length failure now re-raised as the
+        typed InvalidArgumentError at the API boundary),
+        `join_key_skew_stats` (p50/p99 display moves to the scale-0
+        form — ADVICE r10 — and the op grows the documented
+        ``approx_accuracy`` lever), `percentile_stats` (same approx
+        lever; the driver oracle row stays exact);
+    (d) three NEW entries promoted from staged pytest self-oracles
         (each hash-gated in tests/test_operators.py and scale-probed
-        through sf1+): `join_key_skew_stats` (pre-join skew audit:
-        top-k hot keys + entropy-vs-uniform gap from ONE map-side
-        shuffle; key displays as string — generic key support),
-        `user_rfm_segments` (recency/frequency/monetary quartile grid
-        over exact integers), `embedding_norm_stats` (per-label norm
-        distribution, micro-unit integers end-to-end);
-    (d) 8 r8-green entries whose legacy rounding sites were migrated
-        this round (changed code ⇒ mandatory re-entry, chosen
-        PRECISELY so the refresh slot and the migration coincide):
-        `q8_market_share`, `percentile_stats`, `math_stats`,
-        `json_event_stats`, `event_funnel`, `text_clean_pipeline`,
-        `multimodal_pixel_stats`, `multimodal_video_stats`.
-        36+3+3+8 = exactly 50.
+        through sf1+, display rounds migrated to scale-0 AT promotion):
+        `weighted_sample_topk` (Efraimidis-Spirakis weight-proportional
+        sampling without replacement — deterministic salted-hash
+        priorities), `lineitem_price_qty_correlation` (exact
+        DECIMAL(38)-moment Pearson correlation — the F.corr
+        replacement), `simhash_band_health` (banding diagnostics:
+        per-band bucket histogram + candidate-pair mass, all-integer).
+        39+2+3+3+3 = exactly 50.
 
-    Below the window: the 47 r9-green entries of the previous window
-    (fine through r11, mandatory at r12), the 39 r8-green entries NOT
-    refreshed here — THEY ARE ROUND 11's MANDATORY HEAD (pinned by
-    name in tests/test_entry.py — the ledger discipline; 11 slots
-    remain free at r11), and `text_bpe_tokenizer` (judge r6 task 5): a
-    permanently `no_oracle` rows-only entry spends a hash-checked
-    slot; its SQL-expressible half (`text_pretoken_counts`) is the
-    in-contract twin and the merge sequence stays pytest-pinned
-    (tests/test_tokenizer.py), so outside the window it is
-    pytest-gated rather than stale.
+    Below the window: the 44 r10-green entries of the previous window
+    not re-entered here (fine through r12, mandatory at r13), the 45
+    r9-green entries NOT pulled in here — THEY ARE ROUND 12's
+    MANDATORY HEAD (pinned by name in tests/test_entry.py — the ledger
+    discipline; 5 slots remain free at r12), and `text_bpe_tokenizer`
+    (judge r6 task 5): a permanently `no_oracle` rows-only entry
+    spends a hash-checked slot; its SQL-expressible half
+    (`text_pretoken_counts`) is the in-contract twin and the merge
+    sequence stays pytest-pinned (tests/test_tokenizer.py), so outside
+    the window it is pytest-gated rather than stale.
 
-    CAPACITY NOTE (the r9 verdict's task 2): 137 entries against the
-    150-entry ceiling (50-slot window × 3-round refresh cycle) leaves
-    ~13 promotion slots EVER; steady-state mandatory head is ~39-47
-    of 50 from here, so promote 2-4 per round at most, prefer new
-    FAMILIES, and retire redundant entries when a stronger superset
-    exists (the r8 narrow-simhash precedent). The boundary comment
-    below marks entry 50 — but the rotation test checks the real
-    slice, not the comment."""
+    CAPACITY NOTE: 140 entries against the 150-entry ceiling (50-slot
+    window × 3-round refresh cycle) leaves ~10 promotion slots EVER;
+    the r12 mandatory head is 45 of 50, so promote AT MOST 2-4 there
+    and prefer retiring a redundant entry per promotion from r12 on
+    (the r8 narrow-simhash precedent). The boundary comment below
+    marks entry 50 — but the rotation test checks the real slice, not
+    the comment."""
     return {
-        # --- (a) deferred r7-green leftovers: staleness limit, must
-        # lead (the 36 pinned in the r9 deferral assertion) ---
+        # --- (a) deferred r8-green leftovers: staleness limit, must
+        # lead (the 39 pinned in the r10 deferral assertion) ---
+        "text_token_stats": textops.token_stats,
+        "text_fingerprints": textops.fingerprints,
+        "text_stratified_sample": textops.stratified_sample_stats,
+        "events_sliding_windows": tmp.events_sliding_windows,
+        "vec_knn_euclidean": vec.knn_bruteforce,
+        "vec_knn_filtered": vec.knn_filtered,
+        "vec_radius": vec.radius_search,
+        "vec_knn_batched": vec.knn_batched,
+        "vec_label_centroids": vec.label_centroids,
+        "vec_lsh_knn": vec.lsh_knn,
+        "vec_knn_manhattan": _manhattan_knn,
+        "vec_knn_join_blocked": sj.knn_join_blocked,
+        "q16_supplier_variety": rel.q16_supplier_variety,
+        "string_part_stats": rel.string_part_stats,
+        "line_dedup_stats": textops.line_dedup_stats,
+        "chunk_documents": textops.chunk_documents,
+        "chunk_retrieval_topk": embed.chunk_retrieval_topk,
+        "component_size_histogram": dedup.component_size_histogram,
+        "cross_source_duplication_stats": dedup.cross_source_duplication_stats,
+        "text_bigram_surprisal": textops.bigram_surprisal,
+        "text_trigram_surprisal": textops.trigram_backoff_surprisal,
+        "text_curriculum_buckets": textops.curriculum_buckets,
+        "text_shard_plan": textops.shard_plan,
+        "source_curation_stats": textops.source_curation_stats,
+        "text_oov_rate": lambda s, d: textops.oov_rate(s, d, top_k=20),
+        "ngram_decontaminate_stats": textops.ngram_decontaminate_stats,
+        "ngram_contamination_report_stats": (
+            textops.ngram_contamination_report_stats
+        ),
+        "text_pretoken_counts": _pretoken_counts,
+        "multimodal_dhash_dedup": mm.multimodal_dhash_dedup,
+        "dedup_decontaminate": _decontaminate,
+        "dedup_components": dedup.dedup_components,
+        "dedup_embedding_cosine": dedup.embedding_near_pairs,
+        "dedup_exact_pick": dedup.exact_dedup_pick,
+        "dedup_exact_stats": dedup.exact_dedup_stats,
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "text_boilerplate_ngrams": textops.boilerplate_ngrams,
+        "text_pii_scrub": textops.pii_scrub_stats,
+        "text_hash_embeddings": embed.hash_embeddings,
+        "asof_click_view": tmp.asof_click_view,
+        # --- (b) round_dist migration re-entries: the helper's two
+        # r9-green oracle users + its three r10-green users (changed
+        # code ⇒ mandatory re-entry; the rest of its users are in (a))
+        "vec_knn_cosine": lambda s, d: vec.knn_bruteforce(s, d, metric="cosine"),
+        "vec_ivf_knn": _ivf_knn,
+        "hard_negative_mining": vec.hard_negative_mining,
+        "vec_golden_distance": vec.golden_distances,
+        "vec_lsh_knn_indexed": vec.lsh_knn_indexed,
+        # --- (c) r10-green re-entries: code changed this round ---
+        "customer_fuzzy_matches": sj.customer_fuzzy_matches,
+        "join_key_skew_stats": rel.join_key_skew_stats,
+        "percentile_stats": rel.percentile_stats,
+        # --- (d) new in round 11: staged self-oracles promoted ---
+        "weighted_sample_topk": textops.weighted_sample_topk,
+        "lineitem_price_qty_correlation": rel.lineitem_price_qty_correlation,
+        "simhash_band_health": dedup.simhash_band_health,
+        # ---- driver window boundary: simhash_band_health above is
+        # entry 50 (count them — don't trust a comment's position; the
+        # rotation test in tests/test_entry.py checks the REAL first-50
+        # slice). Every entry below holds a green hash-matched row from
+        # the most recent round that checked it and is unchanged since:
+        # first the 44 r10-green entries of the previous window, then
+        # the 45 r9-green entries that MUST lead the r12 window
+        # (2-stale then — the pinned ledger), then the pytest-gated
+        # rows-only bpe entry ----
         "q3_shipping_priority": rel.q3_shipping_priority,
         "q4_order_priority": rel.q4_order_priority,
         "q5_local_supplier_volume": rel.q5_local_supplier_volume,
         "domain_mixture_sample": textops.domain_mixture_sample,
         "encoding_quality_stats": textops.encoding_quality_stats,
         "source_token_divergence": textops.source_token_divergence,
-        "hard_negative_mining": vec.hard_negative_mining,
         "customers_without_orders": rel.customers_without_orders,
         "text_boilerplate_scrub": textops.boilerplate_scrub,
         "text_gopher_quality": textops.gopher_quality_flags,
@@ -205,44 +272,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_revenue_by_priority": rel.bucketed_revenue_by_priority,
         "setop_customers": rel.setop_customers,
         "range_join_price_bands": tmp.range_join_price_bands,
-        "vec_golden_distance": vec.golden_distances,
-        "vec_lsh_knn_indexed": vec.lsh_knn_indexed,
         "text_pack_sequences": textops.pack_sequences,
         "dedup_simhash": dedup.simhash_buckets,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "text_language_id": textops.language_id,
         "text_quality": textops.quality_scores,
-        # --- (b) code changed this round: mandatory re-entry ---
-        "customer_fuzzy_matches": sj.customer_fuzzy_matches,
         "random_projection": embed.random_projection,
         "q2_min_cost_supplier": rel.q2_min_cost_supplier,
-        # --- (c) new in round 10: staged self-oracles promoted ---
-        "join_key_skew_stats": rel.join_key_skew_stats,
         "user_rfm_segments": rel.user_rfm_segments,
         "embedding_norm_stats": embed.embedding_norm_stats,
-        # --- (d) r8-green refreshes whose legacy rounding migrated
-        # this round (changed code ⇒ window re-entry) ---
         "q8_market_share": rel.q8_market_share,
-        "percentile_stats": rel.percentile_stats,
         "math_stats": rel.math_stats,
         "json_event_stats": rel.json_event_stats,
         "event_funnel": rel.event_funnel,
         "text_clean_pipeline": textops.clean_corpus_pipeline,
         "multimodal_pixel_stats": mm.multimodal_pixel_stats,
         "multimodal_video_stats": mm.multimodal_video_stats,
-        # ---- driver window boundary: multimodal_video_stats above is
-        # entry 50 (count them — don't trust a comment's position; the
-        # rotation test in tests/test_entry.py checks the REAL first-50
-        # slice). Every entry below holds a green hash-matched row from
-        # the most recent round that checked it and is unchanged since:
-        # first the 47 r9-green entries of the previous window, then
-        # the 39 r8-green entries that MUST lead the r11 window
-        # (2-stale then — the pinned ledger), then the pytest-gated
-        # rows-only bpe entry ----
+        # ---- r9-green below (latest driver row is CORRECTNESS_r09):
+        # 2-stale at r11 — pinned as the MANDATORY head of the r12
+        # window in tests/test_entry.py ----
         "sessionize_events": rel.sessionize_events,
         "interval_overlap_join": tmp.interval_overlap_sessions,
         "events_tumbling_hourly": tmp.events_tumbling_hourly,
-        "vec_knn_cosine": lambda s, d: vec.knn_bruteforce(s, d, metric="cosine"),
         "parts_above_avg_price": rel.parts_above_avg_price,
         "orders_by_month": rel.orders_by_month,
         "rollup_lineitem": rel.rollup_lineitem,
@@ -287,51 +338,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_wide_pairs": dedup.simhash_wide_pairs,
         "multimodal_dhash_near_pairs": mm.multimodal_dhash_near_pairs,
         "text_bm25_search": textops.bm25_search,
-        "vec_ivf_knn": _ivf_knn,
-        # ---- r8-green below (latest driver row is CORRECTNESS_r08):
-        # 2-stale at r10 — pinned as the MANDATORY head of the r11
-        # window in tests/test_entry.py ----
-        "text_token_stats": textops.token_stats,
-        "text_fingerprints": textops.fingerprints,
-        "text_stratified_sample": textops.stratified_sample_stats,
-        "events_sliding_windows": tmp.events_sliding_windows,
-        "vec_knn_euclidean": vec.knn_bruteforce,
-        "vec_knn_filtered": vec.knn_filtered,
-        "vec_radius": vec.radius_search,
-        "vec_knn_batched": vec.knn_batched,
-        "vec_label_centroids": vec.label_centroids,
-        "vec_lsh_knn": vec.lsh_knn,
-        "vec_knn_manhattan": _manhattan_knn,
-        "vec_knn_join_blocked": sj.knn_join_blocked,
-        "q16_supplier_variety": rel.q16_supplier_variety,
-        "string_part_stats": rel.string_part_stats,
-        "line_dedup_stats": textops.line_dedup_stats,
-        "chunk_documents": textops.chunk_documents,
-        "chunk_retrieval_topk": embed.chunk_retrieval_topk,
-        "component_size_histogram": dedup.component_size_histogram,
-        "cross_source_duplication_stats": dedup.cross_source_duplication_stats,
-        "text_bigram_surprisal": textops.bigram_surprisal,
-        "text_trigram_surprisal": textops.trigram_backoff_surprisal,
-        "text_curriculum_buckets": textops.curriculum_buckets,
-        "text_shard_plan": textops.shard_plan,
-        "source_curation_stats": textops.source_curation_stats,
-        "text_oov_rate": lambda s, d: textops.oov_rate(s, d, top_k=20),
-        "ngram_decontaminate_stats": textops.ngram_decontaminate_stats,
-        "ngram_contamination_report_stats": (
-            textops.ngram_contamination_report_stats
-        ),
-        "text_pretoken_counts": _pretoken_counts,
-        "multimodal_dhash_dedup": mm.multimodal_dhash_dedup,
-        "dedup_decontaminate": _decontaminate,
-        "dedup_components": dedup.dedup_components,
-        "dedup_embedding_cosine": dedup.embedding_near_pairs,
-        "dedup_exact_pick": dedup.exact_dedup_pick,
-        "dedup_exact_stats": dedup.exact_dedup_stats,
-        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
-        "text_boilerplate_ngrams": textops.boilerplate_ngrams,
-        "text_pii_scrub": textops.pii_scrub_stats,
-        "text_hash_embeddings": embed.hash_embeddings,
-        "asof_click_view": tmp.asof_click_view,
         "text_bpe_tokenizer": _bpe_tokenizer,
     }
 
@@ -592,14 +598,19 @@ def oracle_sql() -> dict[str, str]:
     q["vec_golden_distance"] = f"""
         WITH a AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id = 0),
              b AS (SELECT CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id = 1)
-        SELECT round(CAST(round({_SQDIST.format(a="a.v", b="b.v")} * 1e6) AS BIGINT) / 1e6, 6) AS d_euclid,
-               round(1.0 - {dot_ab} / ({_NORM.format(v="a.v")} * {_NORM.format(v="b.v")}), 6) + 0.0 AS d_cosine
+        SELECT round(CAST(round({_SQDIST.format(a="a.v", b="b.v")} * 1e6) AS BIGINT) / 1e6, 6) + 0.0 AS d_euclid,
+               round(CAST(round((1.0 - {dot_ab} / ({_NORM.format(v="a.v")} * {_NORM.format(v="b.v")})) * 1e6) AS BIGINT) / 1e6, 6) + 0.0 AS d_cosine
         FROM a, b"""
+
+    # the scale-0 display round every distance column shares from r11 on
+    # (mirrors operators/vectorops.round_dist term-for-term)
+    def _r6(expr: str) -> str:
+        return f"round(CAST(round(({expr}) * 1e6) AS BIGINT) / 1e6, 6) + 0.0"
 
     knn_dist = _SQDIST.format(a="e.embedding", b="q.qv")
     q["vec_knn_euclidean"] = f"""
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0)
-        SELECT vec_id, label, round({knn_dist}, 6) AS distance
+        SELECT vec_id, label, {_r6(knn_dist)} AS distance
         FROM embeddings e, q
         ORDER BY distance, vec_id LIMIT 10"""
 
@@ -607,18 +618,17 @@ def oracle_sql() -> dict[str, str]:
         f"1.0 - {_DOT.format(a='e.embedding', b='q.qv')}"
         f" / ({_NORM.format(v='e.embedding')} * {_NORM.format(v='q.qv')})"
     )
-    # '+ 0.0' canonicalizes the -0.0 a rounded cosine self-match produces
-    # (DuckDB renders -0.0, Spark 0.0 — equal values, different driver hash);
-    # the Spark side applies the identical normalization (vectorops.round_dist)
+    # '+ 0.0' canonicalizes -0.0 (kept in the SQL so both sides stay
+    # term-for-term mirrors of vectorops.round_dist's scale-0 form)
     q["vec_knn_cosine"] = f"""
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0)
-        SELECT vec_id, label, round({cos_dist}, 6) + 0.0 AS distance
+        SELECT vec_id, label, {_r6(cos_dist)} AS distance
         FROM embeddings e, q
         ORDER BY distance, vec_id LIMIT 10"""
 
     q["vec_knn_filtered"] = f"""
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0)
-        SELECT vec_id, label, round({knn_dist}, 6) AS distance
+        SELECT vec_id, label, {_r6(knn_dist)} AS distance
         FROM embeddings e, q
         WHERE {_EMB_FILTER_SQL}
         ORDER BY distance, vec_id LIMIT 10"""
@@ -626,21 +636,23 @@ def oracle_sql() -> dict[str, str]:
     q["vec_radius"] = f"""
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0)
         SELECT vec_id, distance FROM
-          (SELECT vec_id, round({knn_dist}, 6) AS distance FROM embeddings e, q)
+          (SELECT vec_id, {_r6(knn_dist)} AS distance FROM embeddings e, q)
         WHERE distance <= 1.5 ORDER BY vec_id"""
 
     q["vec_knn_batched"] = f"""
         WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv
                    FROM embeddings WHERE vec_id < 8),
-        d AS (SELECT q.query_id, e.vec_id, round({knn_dist}, 6) AS distance
+        d AS (SELECT q.query_id, e.vec_id, {_r6(knn_dist)} AS distance
               FROM embeddings e, q WHERE e.vec_id <> q.query_id),
         r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rn FROM d)
         SELECT query_id, vec_id, distance, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 5"""
 
+    # mean over per-element 1e-6-unit integers (mirrors the Spark side's
+    # quantize-before-sum migration — exact integers, one divide)
     q["vec_label_centroids"] = """
         WITH p AS (SELECT unnest(range((SELECT len(embedding) FROM embeddings LIMIT 1))) AS pos)
         SELECT label, CAST(p.pos AS INTEGER) AS pos,
-               round(avg(CAST(embedding[CAST(p.pos AS INTEGER) + 1] AS DOUBLE)), 6) AS mean_val
+               round(CAST(round(sum(CAST(round(CAST(embedding[CAST(p.pos AS INTEGER) + 1] AS DOUBLE) * 1e6) AS BIGINT)) / count(*)) AS BIGINT) / 1e6, 6) AS mean_val
         FROM embeddings, p GROUP BY label, p.pos"""
 
     # exact because every cluster is probed (probes = #clusters degenerates
@@ -653,7 +665,7 @@ def oracle_sql() -> dict[str, str]:
     )
     q["vec_knn_manhattan"] = f"""
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) qv FROM embeddings WHERE vec_id = 0)
-        SELECT vec_id, label, round({_manh}, 6) AS distance
+        SELECT vec_id, label, {_r6(_manh)} AS distance
         FROM embeddings e, q
         ORDER BY distance, vec_id LIMIT 10"""
 
@@ -682,8 +694,8 @@ def oracle_sql() -> dict[str, str]:
                     OR {" OR ".join(f"s.bucket = xor(qb.qbucket, CAST({1 << j} AS BIGINT))" for j in range(_LSH_PLANES))}),
         q AS (SELECT ev AS qv FROM emb WHERE vec_id = 0)
         SELECT e.vec_id, e.label,
-               round(1.0 - {_DOT.format(a="e.ev", b="q.qv")}
-                     / ({_NORM.format(v="e.ev")} * {_NORM.format(v="q.qv")}), 6) + 0.0 AS distance
+               {_r6(f'''1.0 - {_DOT.format(a="e.ev", b="q.qv")}
+                     / ({_NORM.format(v="e.ev")} * {_NORM.format(v="q.qv")})''')} AS distance
         FROM emb e JOIN cand c ON e.vec_id = c.vec_id, q
         ORDER BY distance, e.vec_id LIMIT 10"""
 
@@ -695,7 +707,7 @@ def oracle_sql() -> dict[str, str]:
     q["vec_knn_join_blocked"] = f"""
         WITH pairs AS (
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-                 round({_SQDIST.format(a="a.embedding", b="b.embedding")}, 6) AS distance
+                 {_r6(_SQDIST.format(a="a.embedding", b="b.embedding"))} AS distance
           FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id <> b.vec_id
           WHERE a.vec_id < 100),
@@ -748,7 +760,7 @@ def oracle_sql() -> dict[str, str]:
 
     q["dedup_minhash_lsh"] = f"""
         WITH {_mh_cte}
-        SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / (la + lb - inter), 6) AS jaccard
+        SELECT doc_a, doc_b, round(CAST(round(CAST(inter AS DOUBLE) / (la + lb - inter) * 1e6) AS BIGINT) / 1e6, 6) AS jaccard
         FROM pairs ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50"""
 
     # two-sided decontamination: same signature/band prep, cross-subset
@@ -858,7 +870,7 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"""
 
     q["dedup_embedding_cosine"] = f"""
-        SELECT label, vec_a, vec_b, round(dp / (na * nb), 6) + 0.0 AS cos_sim FROM
+        SELECT label, vec_a, vec_b, round(CAST(round(dp / (na * nb) * 1e6) AS BIGINT) / 1e6, 6) + 0.0 AS cos_sim FROM
           (SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
                   {_DOT.format(a="a.embedding", b="b.embedding")} AS dp,
                   {_NORM.format(v="a.embedding")} AS na,
@@ -1152,7 +1164,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM events CROSS JOIN (VALUES (0), (1)) o(off))
         SELECT window_start, CAST(count(*) AS BIGINT) AS n,
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-               round(sum(value), 2) AS sum_value
+               round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
         FROM s GROUP BY 1"""
 
     # byte_mean micro-quantizes at scale 0 (×1e6, round, /1e6) — the
@@ -1229,7 +1241,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, count(*) AS n_docs,
                CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
                CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
-               round(avg(ws_tokens), 6) AS mean_ws_tokens
+               round(CAST(round(avg(ws_tokens) * 1e6) AS BIGINT) / 1e6, 6) AS mean_ws_tokens
         FROM t GROUP BY lang ORDER BY lang"""
 
     _BPE = "CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)"
@@ -1670,7 +1682,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
                CAST(sum(keep) AS BIGINT) AS n_kept,
                CAST(sum(CASE WHEN keep = 1 THEN bpe ELSE 0 END) AS BIGINT) AS kept_tokens,
-               round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS kept_frac
+               round(CAST(round(avg(keep) * 1e6) AS BIGINT) / 1e6, 6) AS kept_frac
         FROM k GROUP BY lang ORDER BY lang"""
 
     _eml = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -1694,7 +1706,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(len(regexp_extract_all(aug, '{_url}'))) AS BIGINT) AS urls_found,
                CAST(sum(len(regexp_extract_all(aug, '{_dig}'))) AS BIGINT) AS digit_runs_found,
                CAST(sum(length(aug) - length(clean)) AS BIGINT) AS chars_removed,
-               round(avg(length(clean)), 6) AS mean_clean_len
+               round(CAST(round(avg(length(clean)) * 1e6) AS BIGINT) / 1e6, 6) AS mean_clean_len
         FROM s"""
 
     norm_text = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1754,7 +1766,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM bg b JOIN bgc USING (bg)
                    JOIN ctx ON string_split(b.bg, ' ')[1] = ctx.w1, v)
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-               ROUND(avg(bits), 6) AS bits_per_bigram
+               round(CAST(round(sum(CAST(round(bits * 1e6) AS BIGINT)) / count(*)) AS BIGINT) / 1e6, 6) AS bits_per_bigram
         FROM scored GROUP BY doc_id"""
 
     q["text_trigram_surprisal"] = f"""
@@ -1792,7 +1804,7 @@ def oracle_sql() -> dict[str, str]:
           LEFT JOIN uni u2 ON p.w2 = u2.w
           LEFT JOIN uni u3 ON p.w3 = u3.w, nv)
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
-               ROUND(avg(-(ln(s) / ln(2.0))), 6) AS bits_per_trigram
+               round(CAST(round(sum(CAST(round(-(ln(s) / ln(2.0)) * 1e6) AS BIGINT)) / count(*)) AS BIGINT) / 1e6, 6) AS bits_per_trigram
         FROM scored GROUP BY doc_id"""
 
     q["text_curriculum_buckets"] = f"""
@@ -1837,7 +1849,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                CAST(sum(CASE WHEN ch IN (SELECT ch FROM dups) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
-               round(avg(quality), 6) AS mean_quality
+               round(CAST(round(avg(quality) * 1e6) AS BIGINT) / 1e6, 6) AS mean_quality
         FROM scored GROUP BY source"""
 
     q["text_oov_rate"] = f"""
@@ -2091,7 +2103,7 @@ def oracle_sql() -> dict[str, str]:
         WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) qv,
                           label AS qlabel
                    FROM embeddings WHERE vec_id < 8),
-        d AS (SELECT q.query_id, e.vec_id, round({_hn_sqd}, 6) AS distance
+        d AS (SELECT q.query_id, e.vec_id, round(CAST(round({_hn_sqd} * 1e6) AS BIGINT) / 1e6, 6) + 0.0 AS distance
               FROM embeddings e, q
               WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel),
         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -2140,7 +2152,7 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(per.kept_chars, 0) AS kept_chars,
                COALESCE(per.kept_hash_sum, 0) AS kept_hash_sum,
                CASE WHEN COALESCE(per.n_lines, 0) > 0
-                    THEN round(CAST(per.n_kept AS DOUBLE) / per.n_lines, 6)
+                    THEN round(CAST(round(CAST(per.n_kept AS DOUBLE) / per.n_lines * 1e6) AS BIGINT) / 1e6, 6)
                     ELSE 1.0 END AS keep_frac
         FROM (SELECT doc_id FROM base) b
         LEFT JOIN per ON b.doc_id = per.doc_id"""
@@ -2232,8 +2244,8 @@ def oracle_sql() -> dict[str, str]:
                  FROM emb e JOIN qe q USING (pos)
                  GROUP BY e.doc_id, e.chunk_id),
         scored AS (SELECT ncs.doc_id, ncs.chunk_id,
-                          round(COALESCE(dots.dot, 0)
-                                / sqrt(CAST(ncs.nc2 * nq.nq AS DOUBLE)), 6)
+                          round(CAST(round(COALESCE(dots.dot, 0)
+                                / sqrt(CAST(ncs.nc2 * nq.nq AS DOUBLE)) * 1e6) AS BIGINT) / 1e6, 6)
                               AS cos_sim
                    FROM ncs LEFT JOIN dots
                      ON ncs.doc_id = dots.doc_id
@@ -2648,7 +2660,8 @@ def oracle_sql() -> dict[str, str]:
                 CAST(sum(CAST(round(key_rows * log2(CAST(key_rows AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS sm
               FROM pk),
         stats AS (SELECT n_rows, n_keys, max_key_rows,
-                round(p50d, 6) AS p50_key_rows, round(p99d, 6) AS p99_key_rows,
+                round(CAST(round(p50d * 1e6) AS BIGINT) / 1e6, 6) AS p50_key_rows,
+                round(CAST(round(p99d * 1e6) AS BIGINT) / 1e6, 6) AS p99_key_rows,
                 round(CAST(round((log2(CAST(n_rows AS DOUBLE)) - (sm / 1000000.0) / n_rows) * 1e6) AS BIGINT) / 1e6, 6) AS entropy_bits,
                 round(CAST(round(log2(CAST(n_keys AS DOUBLE)) * 1e6) AS BIGINT) / 1e6, 6) AS uniform_bits
               FROM g),
@@ -2700,5 +2713,77 @@ def oracle_sql() -> dict[str, str]:
                round(min(nm) / 1000000, 6) AS min_norm,
                round(max(nm) / 1000000, 6) AS max_norm
         FROM nm GROUP BY label ORDER BY label"""
+
+    # ------------------------------------------------------------------
+    # round-11 promotions: the three staged self-oracles (SQL lifted
+    # from tests/test_operators.py's hash-gated replays; display rounds
+    # migrated to the scale-0 form at promotion, mirrored in the ops)
+    # ------------------------------------------------------------------
+
+    # Efraimidis-Spirakis weighted sampling: same salted hash64 uniform,
+    # same ln(u)/w priority (scale-0 rounded), same total tie-break
+    q["weighted_sample_topk"] = f"""
+        WITH d AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                   FROM documents),
+        p AS (SELECT doc_id, n_tokens,
+                round(CAST(round(ln(({hash64_sql("CAST(doc_id AS VARCHAR)", salt="wsample")} + 1)
+                         / 1152921504606846976.0) / n_tokens * 1e6) AS BIGINT) / 1e6, 6) AS priority
+              FROM d WHERE n_tokens > 0),
+        r AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rnk FROM p)
+        SELECT CAST(rnk AS BIGINT) AS rank, doc_id, n_tokens, priority
+        FROM r WHERE rnk <= 100 ORDER BY rank"""
+
+    # exact-moment Pearson correlation: HUGEINT moments == Spark
+    # DECIMAL(38,0) moments (both exact integers), identical closed
+    # form over identical doubles, scale-0 display round
+    q["lineitem_price_qty_correlation"] = """
+        WITH v AS (SELECT l_returnflag,
+                     CAST(l_quantity AS HUGEINT) AS x,
+                     CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+                   FROM lineitem),
+        agg AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                  sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+                  sum(x*x) AS sxx, sum(y*y) AS syy
+                FROM v GROUP BY l_returnflag)
+        SELECT l_returnflag, n AS n_rows,
+               round(CAST(round(CASE WHEN sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                                   * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) <> 0
+                 THEN (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                      / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                             * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) END * 1e6) AS BIGINT) / 1e6, 6)
+                 AS corr_qty_price
+        FROM agg ORDER BY l_returnflag"""
+
+    # simhash banding diagnostics: salted wide simhash + 30-bit band
+    # split, all-integer output (no rounding anywhere)
+    _sbh_word = f"""
+        (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS w FROM (
+           SELECT doc_id, b,
+             CASE WHEN sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                  THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE CAST(0 AS BIGINT) END AS bv
+           FROM (SELECT doc_id, {{h}} AS h
+                 FROM (SELECT doc_id, unnest(list_distinct({_TOKS})) AS t
+                       FROM documents)),
+                (SELECT unnest(range(60)) AS b)
+           GROUP BY doc_id, b) GROUP BY doc_id)
+    """
+    q["simhash_band_health"] = f"""
+        WITH s0 AS {_sbh_word.format(h=hash64_sql("t", salt="s0"))},
+        s1 AS {_sbh_word.format(h=hash64_sql("t", salt="s1"))},
+        allw AS (SELECT d.doc_id, COALESCE(s0.w, 0) AS w0, COALESCE(s1.w, 0) AS w1
+                 FROM documents d
+                 LEFT JOIN s0 ON d.doc_id = s0.doc_id
+                 LEFT JOIN s1 ON d.doc_id = s1.doc_id),
+        melted AS (
+          SELECT CAST(0 AS BIGINT) AS band_id, w0 & 1073741823 AS val FROM allw
+          UNION ALL SELECT 1, (w0 >> 30) & 1073741823 FROM allw
+          UNION ALL SELECT 2, w1 & 1073741823 FROM allw
+          UNION ALL SELECT 3, (w1 >> 30) & 1073741823 FROM allw),
+        buckets AS (SELECT band_id, val, count(*) AS c FROM melted GROUP BY band_id, val)
+        SELECT band_id, CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(max(c) AS BIGINT) AS max_bucket,
+               CAST(sum(c * (c - 1) / 2) AS BIGINT) AS cand_pairs
+        FROM buckets GROUP BY band_id ORDER BY band_id"""
 
     return q

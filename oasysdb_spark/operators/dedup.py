@@ -766,7 +766,13 @@ def minhash_lsh_pairs(
     out = pairs.select(
         "doc_a",
         "doc_b",
-        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        # scale-0 display round (r11 migration): integer ratio in 1e-6
+        # display units, rounded at scale 0, divided back
+        F.round(
+            F.round(inter.cast("double") / union * 1e6).cast("bigint")
+            / F.lit(1e6),
+            6,
+        ).alias("jaccard"),
     )
     return out.orderBy(F.col("jaccard").desc(), "doc_a", "doc_b").limit(top_n)
 

@@ -305,9 +305,15 @@ def chunk_retrieval_topk(
         .select(
             "doc_id",
             "chunk_id",
+            # scale-0 display round (r11 migration): the int/sqrt(int)
+            # double pre-scales to 1e-6 units and rounds at scale 0
             F.round(
-                F.col("dot")
-                / F.sqrt((F.col("nc") * F.lit(int(nq))).cast("double")),
+                F.round(
+                    F.col("dot")
+                    / F.sqrt((F.col("nc") * F.lit(int(nq))).cast("double"))
+                    * 1e6
+                ).cast("bigint")
+                / F.lit(1e6),
                 6,
             ).alias("cos_sim"),
         )

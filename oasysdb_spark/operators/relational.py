@@ -929,12 +929,27 @@ def sketch_stats(spark: SparkSession, sf_dir: str, rsd: float = 0.02) -> DataFra
     )
 
 
-def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def percentile_stats(
+    spark: SparkSession, sf_dir: str, approx_accuracy: int | None = None
+) -> DataFrame:
     """Exact percentiles/median per group — the ordered-aggregate surface.
     Spark's ``percentile`` (exact, linear interpolation) matches DuckDB's
     ``quantile_cont`` bit-for-bit on the same doubles; the approximate
     twins (``percentile_approx`` / ``approx_quantile``) use different
     sketches per engine and are deliberately NOT on the oracle surface.
+
+    ``approx_accuracy`` is the 100 TB lever (the same switch
+    ``textops.quality_percentile_filter`` ships): the exact
+    ``percentile`` buffers every group's values in the aggregation
+    state — fine at key-bounded group counts, the memory-risk variant
+    when one group holds billions of rows. Passing an accuracy (e.g.
+    10000 → ~1/10000 max rank error) swaps in ``percentile_approx``,
+    Spark's mergeable KLL-style sketch with O(accuracy) state per
+    group, keeping the identical output schema and display rounding.
+    The driver oracle calls with ``None`` (exact) — cross-engine
+    hash-equality of an engine-specific sketch is not a meaningful
+    contract; the approx band is pytest-gated instead
+    (tests/test_operators.py).
 
     The exact distinct count runs as a separate pre-aggregated branch
     joined back on the 3-row group key: mixing count_distinct with the
@@ -947,9 +962,11 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # back through the scale-0 form (the r9 qpf lesson: interpolating
     # 2dp doubles lands on unrepresentable boundaries, and scale-6
     # rounds of unscaled doubles flip last digits between engines)
+    _pfn = "percentile" if approx_accuracy is None else "percentile_approx"
+    _acc = "" if approx_accuracy is None else f", {int(approx_accuracy)}"
     pcts = F.expr(
-        "percentile(CAST(round(l_extendedprice * 100) AS BIGINT), "
-        "array(0.5, 0.9, 0.99))"
+        f"{_pfn}(CAST(round(l_extendedprice * 100) AS BIGINT), "
+        f"array(0.5, 0.9, 0.99){_acc})"
     )
 
     def _cents_disp(c):
@@ -964,7 +981,14 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # quantities are integral: the median carries at most one
         # decimal digit (a .5 midpoint) — pre-scale + scale-0 round
         F.round(
-            F.round(F.expr("median(l_quantity)") * 1e6).cast("bigint")
+            F.round(
+                F.expr(
+                    "median(l_quantity)"
+                    if approx_accuracy is None
+                    else f"percentile_approx(l_quantity, 0.5{_acc})"
+                )
+                * 1e6
+            ).cast("bigint")
             / F.lit(1e6),
             6,
         ).alias("qty_med"),
@@ -1037,6 +1061,7 @@ def join_key_skew_stats(
     table: str = "events",
     key: str = "user_id",
     top_k: int = 10,
+    approx_accuracy: int | None = None,
 ) -> DataFrame:
     """Pre-join key-skew diagnostic — the audit a pipeline runs BEFORE
     deciding between a plain shuffle join, AQE skew handling, and the
@@ -1051,7 +1076,18 @@ def join_key_skew_stats(
     to 1e-6-unit BIGINTs before the sum (exact integer accumulation —
     the DSIR partition-order-flake fix), one divide + round at the end;
     p50/p99 are Spark's exact ``percentile`` == DuckDB
-    ``quantile_cont`` bit-for-bit.
+    ``quantile_cont`` bit-for-bit, displayed through the scale-0 form
+    (p99 interpolates at frac(0.99·(n−1)) — an arbitrary fraction, so
+    the interpolated double is NOT guaranteed representable and the
+    plain scale-6 round is the cross-engine last-digit hazard; r10
+    ADVICE).
+
+    ``approx_accuracy`` swaps the exact percentiles for the mergeable
+    ``percentile_approx`` sketch (O(accuracy) state instead of the
+    buffered per-group value list) — the 100 TB lever, though this audit's
+    aggregation input is (key, count) pairs, key-cardinality-bounded
+    rather than row-bounded, so exact is usually safe here. The driver
+    oracle calls with ``None``; the approx band is pytest-gated.
 
     Scale shape: ONE map-side-combined shuffle to (key, count) — the
     same pass any aggregation would make — then everything downstream
@@ -1069,21 +1105,37 @@ def join_key_skew_stats(
         F.sum("key_rows").cast("bigint").alias("n_rows"),
         F.count("*").cast("bigint").alias("n_keys"),
         F.max("key_rows").cast("bigint").alias("max_key_rows"),
-        F.percentile(F.col("key_rows"), F.lit(0.5)).alias("__p50"),
-        F.percentile(F.col("key_rows"), F.lit(0.99)).alias("__p99"),
+        (
+            F.percentile(F.col("key_rows"), F.lit(0.5))
+            if approx_accuracy is None
+            else F.percentile_approx(
+                F.col("key_rows"), F.lit(0.5), F.lit(int(approx_accuracy))
+            ).cast("double")
+        ).alias("__p50"),
+        (
+            F.percentile(F.col("key_rows"), F.lit(0.99))
+            if approx_accuracy is None
+            else F.percentile_approx(
+                F.col("key_rows"), F.lit(0.99), F.lit(int(approx_accuracy))
+            ).cast("double")
+        ).alias("__p99"),
         F.sum(em).alias("__sm"),
     ).select(
         "n_rows",
         "n_keys",
         "max_key_rows",
-        F.round(F.col("__p50"), 6).alias("p50_key_rows"),
-        F.round(F.col("__p99"), 6).alias("p99_key_rows"),
+        # scale-0 display round (r10 ADVICE): p99's interpolation
+        # fraction is arbitrary, so pre-scale + scale-0 + divide back
+        F.round(
+            F.round(F.col("__p50") * 1e6).cast("bigint") / F.lit(1e6), 6
+        ).alias("p50_key_rows"),
+        F.round(
+            F.round(F.col("__p99") * 1e6).cast("bigint") / F.lit(1e6), 6
+        ).alias("p99_key_rows"),
         # entropy/uniform display values micro-quantize at SCALE 0 of
         # the identically-computed pre-scaled double (the r9 rounding
         # rule: scale-6 rounds of unscaled doubles flip last digits
-        # between engines at exact decimal boundaries); the quantile
-        # rounds are safe as-is — integer-input midpoints carry at
-        # most one decimal digit
+        # between engines at exact decimal boundaries)
         F.round(
             F.round(
                 (
@@ -1595,9 +1647,15 @@ def lineitem_price_qty_correlation(spark: SparkSession, sf_dir: str) -> DataFram
         agg.select(
             "l_returnflag",
             F.col("n").alias("n_rows"),
-            F.round(F.when(den != 0.0, (n * sxy - sx * sy) / den), 6).alias(
-                "corr_qty_price"
-            ),
+            # scale-0 display round (promoted at r11 with the migrated
+            # form): the closed-form double pre-scales to 1e-6 units
+            F.round(
+                F.round(
+                    F.when(den != 0.0, (n * sxy - sx * sy) / den) * 1e6
+                ).cast("bigint")
+                / F.lit(1e6),
+                6,
+            ).alias("corr_qty_price"),
         )
         .orderBy("l_returnflag")
     )

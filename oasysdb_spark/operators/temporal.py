@@ -307,7 +307,11 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n"),
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact-cents accumulation (r11 migration): events.value is
+            # an exact 2-decimal input, so sum bigint cents and divide
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0, 2
+            ).alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n", "n_users", "sum_value")
     )

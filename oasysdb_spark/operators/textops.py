@@ -102,7 +102,11 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("ws_tokens").cast("bigint").alias("total_ws_tokens"),
             F.sum("bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
-            F.round(F.avg("ws_tokens"), 6).alias("mean_ws_tokens"),
+            # scale-0 display round (r11 migration): the integer mean is
+            # an exact double, rounded at scale 0 in display units
+            F.round(
+                F.round(F.avg("ws_tokens") * 1e6).cast("bigint") / F.lit(1e6), 6
+            ).alias("mean_ws_tokens"),
         )
         .orderBy("lang")
     )
@@ -327,9 +331,13 @@ def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("keep"), F.col("bpe")).otherwise(0))
             .cast("bigint")
             .alias("kept_tokens"),
+            # scale-0 display round (r11 migration): exact 0/1 integer
+            # mean, pre-scaled to 1e-6 display units, rounded at scale 0
             F.round(
-                F.sum(F.when(F.col("keep"), 1).otherwise(0))
-                / F.count("*").cast("double"),
+                F.round(
+                    F.avg(F.when(F.col("keep"), 1).otherwise(0)) * 1e6
+                ).cast("bigint")
+                / F.lit(1e6),
                 6,
             ).alias("kept_frac"),
         )
@@ -381,7 +389,10 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_url").cast("bigint").alias("urls_found"),
         F.sum("n_digits").cast("bigint").alias("digit_runs_found"),
         F.sum(F.col("len_raw") - F.col("len_clean")).cast("bigint").alias("chars_removed"),
-        F.round(F.avg("len_clean"), 6).alias("mean_clean_len"),
+        # scale-0 display round (r11 migration): exact integer mean
+        F.round(
+            F.round(F.avg("len_clean") * 1e6).cast("bigint") / F.lit(1e6), 6
+        ).alias("mean_clean_len"),
     )
 
 
@@ -1307,11 +1318,18 @@ def line_dedup_stats(
             F.coalesce("kept_hash_sum", F.lit(0))
             .cast("bigint")
             .alias("kept_hash_sum"),
+            # scale-0 display round (r11 migration): the integer ratio
+            # pre-scales to 1e-6 display units, rounds at scale 0, and
+            # divides back — identical double math on both engines
             F.when(
                 F.coalesce("n_lines", F.lit(0)) > 0,
                 F.round(
-                    F.coalesce("n_kept", F.lit(0)).cast("double")
-                    / F.col("n_lines"),
+                    F.round(
+                        F.coalesce("n_kept", F.lit(0)).cast("double")
+                        / F.col("n_lines")
+                        * 1e6
+                    ).cast("bigint")
+                    / F.lit(1e6),
                     6,
                 ),
             )
@@ -1499,7 +1517,10 @@ def source_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
             .cast("bigint")
             .alias("n_dup_docs"),
-            F.round(F.avg("quality"), 6).alias("mean_quality"),
+            # scale-0 display round (r11 migration): exact integer mean
+            F.round(
+                F.round(F.avg("quality") * 1e6).cast("bigint") / F.lit(1e6), 6
+            ).alias("mean_quality"),
         )
     )
 
@@ -1673,6 +1694,10 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c1") + F.lit(int(vocab_size))).cast("double")
         / (F.col("c2") + F.lit(1.0))
     ) / F.log(F.lit(2.0))
+    # per-bigram surprisal quantizes to 1e-6-unit integers before the
+    # mean (the unigram/DSIR pattern, r11 migration) — exact integer
+    # sum, one divide, scale-0 display round
+    bits_u6 = F.round(bits * 1e6).cast("bigint")
     return (
         bigr.join(bg_counts, "bg")
         .withColumn("w1", F.split("bg", " ")[0])
@@ -1680,7 +1705,11 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_bigrams"),
-            F.round(F.avg(bits), 6).alias("bits_per_bigram"),
+            F.round(
+                F.round(F.sum(bits_u6) / F.count("*")).cast("bigint")
+                / F.lit(1e6),
+                6,
+            ).alias("bits_per_bigram"),
         )
     )
 
@@ -2112,9 +2141,15 @@ def trigram_backoff_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bits = -(F.log(s) / F.log(F.lit(2.0)))
+    # 1e-6-unit integer quantization before the mean (r11 migration —
+    # same recipe as unigram/bigram): exact sum, one divide, scale-0
+    bits_u6 = F.round(bits * 1e6).cast("bigint")
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_trigrams"),
-        F.round(F.avg(bits), 6).alias("bits_per_trigram"),
+        F.round(
+            F.round(F.sum(bits_u6) / F.count("*")).cast("bigint") / F.lit(1e6),
+            6,
+        ).alias("bits_per_trigram"),
     )
 
 
@@ -2831,7 +2866,12 @@ def weighted_sample_topk(
     u = (hash64(F.col("doc_id").cast("string"), salt=salt) + 1).cast(
         "double"
     ) / F.lit(float(1 << 60))
-    pri = F.round(F.log(u) / w.cast("double"), 6)
+    # scale-0 display round (promoted at r11 with the migrated form):
+    # the ln(u)/w double pre-scales to 1e-6 units, rounds at scale 0
+    pri = F.round(
+        F.round(F.log(u) / w.cast("double") * 1e6).cast("bigint") / F.lit(1e6),
+        6,
+    )
     ranked = (
         docs.select("doc_id", w.alias("n_tokens"), pri.alias("priority"))
         .where(F.col("n_tokens") > 0)

@@ -29,16 +29,21 @@ def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def round_dist(c, scale: int = 6):
-    """``round(c, scale)`` with negative zero normalized to +0.0.
+    """Display-round a distance at 10^-scale, cross-engine-safe.
 
-    A cosine self-match computes ``1.0 - dot/(na*nb)`` where the ratio can
-    land an ulp above 1.0, so the rounded distance is ``-0.0``: equal to
-    ``0.0`` under float compare but DIFFERENT under the driver's
-    formatted-value hash (DuckDB renders ``-0.0``, Spark ``0.0``).
-    IEEE ``-0.0 + 0.0 = +0.0``, so adding literal zero canonicalizes the
-    sign on both engines; every oracle SQL that can emit a rounded cosine
-    appends the same ``+ 0.0``."""
-    return F.round(c, scale) + F.lit(0.0)
+    Scale-0 form (the r9 lesson, migrated here in r11): rounding an
+    UNSCALED double at scale k is engine-divergent at exact decimal
+    boundaries (Spark rounds the double's binary expansion, DuckDB
+    re-rounds through a ×10^k multiply — last-digit flips ~1-in-1e6
+    values). Safe recipe both engines compute identically: pre-scale to
+    display units, round AT SCALE 0 (same double, half-away semantics
+    agree), cast to bigint, divide back. The trailing ``+ 0.0``
+    canonicalizes ``-0.0`` (a cosine self-match can land an ulp above
+    1.0; after the bigint round-trip the sign cannot survive, but every
+    oracle appends the same literal so the two sides stay term-for-term
+    mirrors)."""
+    unit = F.lit(float(10**scale))
+    return F.round(F.round(c * unit).cast("bigint") / unit, scale) + F.lit(0.0)
 
 
 def _query_vec_col(spark: SparkSession, sf_dir: str, query_vec_id: int):
@@ -95,7 +100,7 @@ def knn_filtered(
     dist = sqeuclidean(q, F.col("embedding"))
     return (
         embs.where(pred)
-        .select("vec_id", "label", F.round(dist, 6).alias("distance"))
+        .select("vec_id", "label", round_dist(dist).alias("distance"))
         .orderBy("distance", "vec_id")
         .limit(k)
     )
@@ -111,12 +116,9 @@ def golden_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _query_vec_col(spark, sf_dir, 1)
     one = spark.range(1)
     return one.select(
-        # scale-0 display round (r10 migration; squared distance ≥ 0
-        # so no -0.0 normalization needed on this leg)
-        F.round(
-            F.round(sqeuclidean(a, b) * 1e6).cast("bigint") / F.lit(1e6),
-            6,
-        ).alias("d_euclid"),
+        # both legs through the shared scale-0 helper (r11: round_dist
+        # itself migrated, so the hand-rolled r10 form folds back in)
+        round_dist(sqeuclidean(a, b)).alias("d_euclid"),
         round_dist(cosine_distance(a, b)).alias("d_cosine"),
     )
 
@@ -133,7 +135,7 @@ def radius_search(
     embs = load_embeddings(spark, sf_dir)
     dist = sqeuclidean(q, F.col("embedding"))
     return (
-        embs.select("vec_id", F.round(dist, 6).alias("distance"))
+        embs.select("vec_id", round_dist(dist).alias("distance"))
         .where(F.col("distance") <= radius)
         .orderBy("vec_id")
     )
@@ -214,7 +216,19 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
         )
         .groupBy("label", "pos")
-        .agg(F.round(F.avg("val"), 6).alias("mean_val"))
+        # scale-0 display round over an exact integer mean: per-element
+        # values quantize to 1e-6 units BEFORE the sum (kills both the
+        # cross-engine last-digit flip and partition-order float drift)
+        .agg(
+            F.round(
+                F.round(
+                    F.sum(F.round(F.col("val") * 1e6).cast("bigint"))
+                    / F.count("*")
+                ).cast("bigint")
+                / F.lit(1e6),
+                6,
+            ).alias("mean_val")
+        )
         .select("label", F.col("pos").cast("int").alias("pos"), "mean_val")
     )
 
@@ -275,7 +289,7 @@ def ivf_knn(
         .select(
             "vec_id",
             "label",
-            F.round(sqeuclidean(q, F.col("embedding")), 6).alias("distance"),
+            round_dist(sqeuclidean(q, F.col("embedding"))).alias("distance"),
         )
     )
 

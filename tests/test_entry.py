@@ -39,30 +39,30 @@ def test_each_query_runs_smoke(spark, sf_dir, name):
 
 def test_driver_window_rotation_closes_coverage():
     """The driver oracle-checks only the FIRST 50 queries() entries. The
-    round-10 rotation contract: every NEW entry and every entry whose
+    round-11 rotation contract: every NEW entry and every entry whose
     underlying code changed this round must be inside the window; every
     entry pushed OUTSIDE must already hold a green hash-matched row from
     the MOST RECENT round that checked it, and that row may be at most
-    two rounds old (r08 at r10) — so no query ever goes three rounds
+    two rounds old (r09 at r11) — so no query ever goes three rounds
     unchecked. The entries deferred at the two-round limit are pinned
     by name: they are the mandatory head of the NEXT round's window
-    (the r11 ledger, judge r9 tasks 1-2).
+    (the r12 ledger, judge r10 tasks 1+7).
     One documented exception: `text_bpe_tokenizer` is rows-only (no
     SQL oracle can exist for the learned merge table), so its driver
     row is never hash-green — outside the window it is pytest-gated
     (tests/test_tokenizer.py determinism + local==distributed
     equivalence) instead of oracle-stale (judge r6 task 5).
 
-    CAPACITY LEDGER (judge r9 task 2): 137 entries / 150 ceiling
-    (50-slot window x 3-round refresh cycle) — at most ~13 more
-    promotions EVER without retiring entries. The r11 mandatory head
-    below is 39, leaving 11 slots; from r11 onward promote at most
-    2-4 per round, prefer new FAMILIES, and retire entries a stronger
-    superset covers (the r8 narrow-simhash precedent). Remaining
-    staged oracle-able candidates for r11+: ngram_novelty_curve,
-    embedding_outlier_stats, embedding_decontaminate_stats,
-    source_length_drift, term_burstiness, weighted_sample_topk,
-    lineitem_price_qty_correlation, simhash_band_health."""
+    CAPACITY LEDGER (judge r9 task 2, updated at r11): 140 entries /
+    150 ceiling (50-slot window x 3-round refresh cycle) — at most
+    ~10 more promotions EVER without retiring entries. The r12
+    mandatory head below is 45, leaving only 5 slots; from r12 onward
+    promote at most 2-4 per round, prefer new FAMILIES, and pair each
+    promotion with a retirement candidate (the r8 narrow-simhash
+    precedent). Remaining staged oracle-able candidates for r12+:
+    ngram_novelty_curve, embedding_outlier_stats,
+    embedding_decontaminate_stats, source_length_drift,
+    term_burstiness."""
     import json
     import os
 
@@ -74,109 +74,13 @@ def test_driver_window_rotation_closes_coverage():
         with open(os.path.join(here, "..", name)) as f:
             return json.load(f)
 
-    r8, r9 = load("CORRECTNESS_r08.json"), load("CORRECTNESS_r09.json")
+    r9, r10 = load("CORRECTNESS_r09.json"), load("CORRECTNESS_r10.json")
     window = list(entry.queries())[:50]
 
-    # the 36 r7-green leftovers deferred in r9 hit the two-round
-    # staleness limit at r10 — the r9 verdict (task 1) pins them as the
-    # mandatory window head
-    deferred_r7 = {
-        "q3_shipping_priority",
-        "q4_order_priority",
-        "q5_local_supplier_volume",
-        "domain_mixture_sample",
-        "encoding_quality_stats",
-        "source_token_divergence",
-        "hard_negative_mining",
-        "customers_without_orders",
-        "text_boilerplate_scrub",
-        "text_gopher_quality",
-        "events_funnel",
-        "text_repetition_stats",
-        "text_vocabulary",
-        "text_span_dedup",
-        "embedding_balanced_sample",
-        "text_heavy_hitters",
-        "orders_trailing_spend",
-        "events_retention_cohorts",
-        "text_unigram_surprisal",
-        "multimodal_audio_fingerprints",
-        "dedup_representative_pick",
-        "window_functions_suite",
-        "grouping_sets_orders",
-        "pivot_lineitem",
-        "filter_dsl_embeddings",
-        "skew_salted_user_join",
-        "bucketed_revenue_by_priority",
-        "setop_customers",
-        "range_join_price_bands",
-        "vec_golden_distance",
-        "vec_lsh_knn_indexed",
-        "text_pack_sequences",
-        "dedup_simhash",
-        "dedup_ngram_jaccard",
-        "text_language_id",
-        "text_quality",
-    }
-    must_rotate_in = (
-        deferred_r7
-        # code changed in round 10: the length-guard fold
-        # (customer_fuzzy_matches), the GEMM per-element-NULL parity
-        # (random_projection), and the 1e-4 true-mean quantization
-        # (q2) — window re-entry is mandatory despite green r9 rows
-        | {
-            "customer_fuzzy_matches",
-            "random_projection",
-            "q2_min_cost_supplier",
-        }
-        # new in round 10: the three staged self-oracles promoted
-        | {
-            "join_key_skew_stats",
-            "user_rfm_segments",
-            "embedding_norm_stats",
-        }
-        # r8-green refreshes whose legacy round(double, k) sites were
-        # migrated to the scale-0 form this round (changed code ⇒
-        # mandatory re-entry; the refresh slot and the migration
-        # deliberately coincide — judge r9 task 3)
-        | {
-            "q8_market_share",
-            "percentile_stats",
-            "math_stats",
-            "json_event_stats",
-            "event_funnel",
-            "text_clean_pipeline",
-            "multimodal_pixel_stats",
-            "multimodal_video_stats",
-        }
-    )
-    missing = must_rotate_in - set(window)
-    assert not missing, f"driver window lost: {sorted(missing)}"
-
-    # the quadratic narrow-simhash entry stays retired (judge r7 task 4)
-    assert "dedup_simhash_pairs" not in entry.queries()
-
-    # everything rotated out must be green in its most recent check,
-    # and that check may be at most two rounds old (r8 at round 10)
-    deferred_at_limit = set()
-    for qname in entry.queries():
-        if qname in window:
-            continue
-        if qname == "text_bpe_tokenizer":
-            continue  # rows-only: pytest-gated, never hash-green
-        row = r9.get(qname) or r8.get(qname)
-        assert row is not None and row["hash_match"] is True, (
-            f"{qname} is outside the driver window without a green prior row"
-        )
-        if qname not in r9:
-            deferred_at_limit.add(qname)
-
-    # the r8-latest entries deferred past this window sit AT the
-    # two-round staleness limit: round 11's window MUST lead with these
-    # 39 (the ledger discipline — 11 slots remain free at r11). Their
-    # remaining legacy round(double, k) sites migrate to the scale-0
-    # form in the same r11 edit (the standing task-3 discipline).
-    assert deferred_at_limit == {
+    # the 39 r8-green leftovers deferred in r10 hit the two-round
+    # staleness limit at r11 — the r10 verdict (task 1) pins them as
+    # the mandatory window head
+    deferred_r8 = {
         "text_token_stats",
         "text_fingerprints",
         "text_stratified_sample",
@@ -216,6 +120,107 @@ def test_driver_window_rotation_closes_coverage():
         "text_pii_scrub",
         "text_hash_embeddings",
         "asof_click_view",
+    }
+    must_rotate_in = (
+        deferred_r8
+        # the one-shot round_dist scale-0 migration (judge r10 task 1):
+        # the shared helper's oracle users OUTSIDE the mandatory head
+        # re-enter so every changed entry is checked this round — its
+        # two r9-green users and its three r10-green users
+        | {
+            "vec_knn_cosine",
+            "vec_ivf_knn",
+            "hard_negative_mining",
+            "vec_golden_distance",
+            "vec_lsh_knn_indexed",
+        }
+        # code changed in round 11: the broadcast-ledger race fix + the
+        # typed d=2 over-length error (customer_fuzzy_matches), the
+        # p50/p99 scale-0 display + approx lever (join_key_skew_stats),
+        # and the approx lever (percentile_stats) — window re-entry is
+        # mandatory despite green r10 rows
+        | {
+            "customer_fuzzy_matches",
+            "join_key_skew_stats",
+            "percentile_stats",
+        }
+        # new in round 11: the three staged self-oracles promoted
+        | {
+            "weighted_sample_topk",
+            "lineitem_price_qty_correlation",
+            "simhash_band_health",
+        }
+    )
+    missing = must_rotate_in - set(window)
+    assert not missing, f"driver window lost: {sorted(missing)}"
+
+    # the quadratic narrow-simhash entry stays retired (judge r7 task 4)
+    assert "dedup_simhash_pairs" not in entry.queries()
+
+    # everything rotated out must be green in its most recent check,
+    # and that check may be at most two rounds old (r9 at round 11)
+    deferred_at_limit = set()
+    for qname in entry.queries():
+        if qname in window:
+            continue
+        if qname == "text_bpe_tokenizer":
+            continue  # rows-only: pytest-gated, never hash-green
+        row = r10.get(qname) or r9.get(qname)
+        assert row is not None and row["hash_match"] is True, (
+            f"{qname} is outside the driver window without a green prior row"
+        )
+        if qname not in r10:
+            deferred_at_limit.add(qname)
+
+    # the r9-latest entries deferred past this window sit AT the
+    # two-round staleness limit: round 12's window MUST lead with these
+    # 45 (the ledger discipline — only 5 slots remain free at r12).
+    assert deferred_at_limit == {
+        "sessionize_events",
+        "interval_overlap_join",
+        "events_tumbling_hourly",
+        "parts_above_avg_price",
+        "orders_by_month",
+        "rollup_lineitem",
+        "unpivot_lineitem",
+        "top_orders_per_customer",
+        "running_revenue",
+        "cube_orders",
+        "setop_intersect",
+        "ship_latency",
+        "parts_like_patterns",
+        "q1_pricing_summary",
+        "q11_important_parts",
+        "q18_large_volume_customers",
+        "q19_disjunctive_revenue",
+        "q20_excess_shippers",
+        "q21_waiting_supplier",
+        "q22_idle_customers",
+        "event_rate_anomalies",
+        "tfidf_top_terms",
+        "events_active_users",
+        "minhash_jaccard_calibration",
+        "hybrid_search_rrf",
+        "label_centroid_similarity",
+        "leakage_safe_split",
+        "zipf_slope",
+        "sq_reconstruction_stats",
+        "dedup_saturation_curve",
+        "dsir_importance_sample",
+        "quality_percentile_filter",
+        "multimodal_features",
+        "q6_forecast_revenue",
+        "q7_nation_volume",
+        "q9_profit_by_nation_year",
+        "q10_returned_customers",
+        "q12_latency_priority",
+        "q13_order_count_distribution",
+        "q14_promo_share",
+        "q15_top_supplier",
+        "q17_small_qty_revenue",
+        "dedup_simhash_wide_pairs",
+        "multimodal_dhash_near_pairs",
+        "text_bm25_search",
     }, f"unexpected deferral set: {sorted(deferred_at_limit)}"
 
     # every query must have an oracle twin (column-name-matched

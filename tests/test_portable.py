@@ -95,7 +95,12 @@ def test_portable_roundtrip_records_and_every_tier_reserve(spark, tmp_path):
     assert manifest["format"] == PORTABLE_FORMAT
     assert manifest["n_records"] == 200
     assert set(manifest["tiers"]) == {"ivf", "pq", "hnsw"}
-    assert manifest["tiers"]["ivf"] == {"n_clusters": 11}
+    # r11: the IVF entry now carries the recorded build seed + fit
+    # knobs (ivf.json) so the import's rebuild is bit-identical
+    assert manifest["tiers"]["ivf"] == {
+        "n_clusters": 11, "seed": 42, "max_iter": 20,
+        "fit_sample_size": 200_000, "local_fit_limit": 1_000_000,
+    }
     assert manifest["tiers"]["pq"] == {
         "m": 4, "nbits": 4, "residual": False, "opq": False,
         "seed": 7, "opq_iter": 5,
