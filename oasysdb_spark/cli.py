@@ -192,6 +192,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="skip the count+fingerprint check")
     im.add_argument("--overwrite", action="store_true")
 
+    rd = sub.add_parser(
+        "repair-delta",
+        help="converge a database onto a delta's END state — recovers "
+        "an import interrupted between its delete and insert (the "
+        "crash window), using the delta's shipped state/ signature + "
+        "payload; proven by the end fingerprint",
+    )
+    rd.add_argument("--dir", required=True,
+                    help="destination database directory")
+    rd.add_argument("--src", required=True,
+                    help="delta snapshot directory (from export-db --since)")
+
     # ---- corpus family: no database directory involved ----
     cs = sub.add_parser(
         "corpus-to-shards",
@@ -459,6 +471,13 @@ def main(argv: list[str] | None = None) -> int:
                 verify=not args.no_verify,
             )
         _emit({"ok": True, "dir": args.dir, "count": db.count()})
+        return 0
+
+    if args.cmd == "repair-delta":
+        from oasysdb_spark.core.portable import repair_delta
+
+        summary = repair_delta(spark, args.src, args.dir)
+        _emit({"ok": True, "dir": args.dir, **summary})
         return 0
 
     db = Database.open(spark, args.dir)

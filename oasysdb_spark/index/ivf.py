@@ -191,7 +191,22 @@ def fit_centroids(
     fit_df = df
     n_fit = n
     if n > fit_sample_size:
-        fit_df = df.sample(fraction=fit_sample_size / n, seed=seed)
+        # content-keyed Bernoulli sample (r11): df.sample draws per
+        # PARTITION, so the sampled set depends on file layout — a
+        # portable import (same rows, different layout) would fit on a
+        # different sample and break the bit-identical rebuild the
+        # recorded seed promises. Keying the draw on a per-row content
+        # hash makes the sample a pure function of (row multiset, seed)
+        # at the same one-scan row-local cost.
+        frac = fit_sample_size / n
+        key = F.pmod(
+            F.xxhash64(
+                F.to_json(F.struct(F.col("embedding").alias("v"))),
+                F.lit(int(seed)),
+            ),
+            F.lit(1_000_000),
+        )
+        fit_df = df.where(key < int(frac * 1_000_000))
         n_fit = fit_sample_size  # expected sample size; exact count not needed
 
     if k > 1 and n_fit > local_fit_limit:
@@ -254,6 +269,18 @@ def _kmeans_fit_local(mat: "np.ndarray", k: int, seed: int, max_iter: int) -> li
     k-means++ loop is replaced by a seeded distinct-row draw
     (data-sampled Voronoi sites — cells follow the data density, which
     is all candidate blocking needs) and Lloyd is capped at 3 sweeps."""
+    # canonicalize row order (r11): the collected order follows the
+    # source's partition layout, and both k-means++ draws and the
+    # empty-cluster reseed index into the array — so two layouts of the
+    # SAME rows fit different centroids under the same seed. A full
+    # lexicographic row sort makes the fit a pure function of (row
+    # multiset, seed) — the property the portable import's
+    # bit-identical rebuild rests on. O(d·n log n) driver-side over a
+    # bounded sample (≤ local_fit_limit; the >limit MLlib k-means||
+    # path remains layout-dependent and is documented as such).
+    mat = np.asarray(mat, dtype=np.float64)
+    if len(mat):
+        mat = mat[np.lexsort(mat.T[::-1])]
     rng = np.random.default_rng(seed)
     n = len(mat)
     k = min(k, n)
