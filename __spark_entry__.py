@@ -386,7 +386,7 @@ def oracle_sql() -> dict[str, str]:
 
     q["q3_shipping_priority"] = """
         SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-               round(CAST(round(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) / 100.0) AS BIGINT) / 100.0, 2) AS revenue
+               round(((sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) + 50) // 100) / 100.0, 2) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         WHERE c_mktsegment = 'BUILDING'
@@ -403,7 +403,7 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
     q["q5_local_supplier_volume"] = """
-        SELECT n_name, round(CAST(round(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) / 100.0) AS BIGINT) / 100.0, 2) AS revenue
+        SELECT n_name, round(((sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) + 50) // 100) / 100.0, 2) AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -1028,7 +1028,7 @@ def oracle_sql() -> dict[str, str]:
 
     q["bucketed_revenue_by_priority"] = """
         SELECT o_orderpriority,
-               round(CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 100.0) AS BIGINT) / 100.0, 2) AS revenue,
+               round(((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) + 50) // 100) / 100.0, 2) AS revenue,
                CAST(count(*) AS BIGINT) AS n_lines
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY 1 ORDER BY 1"""

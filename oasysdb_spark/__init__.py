@@ -15,6 +15,7 @@ Nothing here is a port: no locks (table-version isolation), no gRPC
 (library API), no bincode (Parquet + atomic committers).
 """
 
+from oasysdb_spark.core.catalog import Catalog
 from oasysdb_spark.core.config import Parameters, QueryParameters
 from oasysdb_spark.core.database import Database
 from oasysdb_spark.errors import InvalidArgumentError, NotFoundError
@@ -22,6 +23,7 @@ from oasysdb_spark.errors import InvalidArgumentError, NotFoundError
 __version__ = "0.1.0"
 
 __all__ = [
+    "Catalog",
     "Database",
     "Parameters",
     "QueryParameters",

@@ -298,6 +298,48 @@ def build_parser() -> argparse.ArgumentParser:
     fz.add_argument("--max-reference", type=int, default=200_000)
     fz.add_argument("--limit", type=int, default=100,
                     help="max match rows to print (count is always exact)")
+
+    # ---- catalog family: named collections under one root ----
+    # (the reference's v0.3-v0.6 multi-collection lineage,
+    # /root/reference/docs/changelog.md:350-368)
+    def add_cat(name, **kw):
+        sp = sub.add_parser(name, **kw)
+        sp.add_argument("--root", required=True, help="catalog root directory")
+        return sp
+
+    ci = add_cat("catalog-init", help="create an empty collection catalog")
+    ci.add_argument("--overwrite", action="store_true")
+
+    cc = add_cat("catalog-create",
+                 help="create a named collection with its own parameters")
+    cc.add_argument("--name", required=True)
+    cc.add_argument("--dimension", type=int, required=True)
+    cc.add_argument("--metric", default="euclidean")
+    cc.add_argument("--density", type=int, default=256)
+    cc.add_argument("--overwrite", action="store_true")
+
+    cl = add_cat("catalog-list", help="list collections (name + parameters)")
+    cl.add_argument("--counts", action="store_true",
+                    help="also count records per collection (a job each)")
+
+    cd = add_cat("catalog-drop", help="drop a named collection")
+    cd.add_argument("--name", required=True)
+
+    ce = add_cat("export-catalog",
+                 help="export the whole catalog as a portable snapshot "
+                 "(a manifest of per-collection manifests)")
+    ce.add_argument("--out", required=True, help="snapshot output directory")
+    ce.add_argument("--overwrite", action="store_true")
+
+    cim = add_cat("import-catalog",
+                  help="import a catalog snapshot into a NEW catalog: "
+                  "verifies the collection set + every collection's "
+                  "count/fingerprint, rebuilds recorded index tiers")
+    cim.add_argument("--src", required=True,
+                     help="catalog snapshot directory (from export-catalog)")
+    cim.add_argument("--no-rebuild", action="store_true")
+    cim.add_argument("--no-verify", action="store_true")
+    cim.add_argument("--overwrite", action="store_true")
     return p
 
 
@@ -478,6 +520,45 @@ def main(argv: list[str] | None = None) -> int:
 
         summary = repair_delta(spark, args.src, args.dir)
         _emit({"ok": True, "dir": args.dir, **summary})
+        return 0
+
+    if args.cmd.startswith("catalog-") or args.cmd.endswith("-catalog"):
+        from oasysdb_spark.core.catalog import (
+            Catalog,
+            export_catalog,
+            import_catalog,
+        )
+
+        if args.cmd == "catalog-init":
+            Catalog.init(spark, args.root, overwrite=args.overwrite)
+            _emit({"ok": True, "root": args.root})
+        elif args.cmd == "catalog-create":
+            Catalog.open(spark, args.root).create_collection(
+                args.name, dimension=args.dimension, metric=args.metric,
+                density=args.density, overwrite=args.overwrite,
+            )
+            _emit({"ok": True, "root": args.root, "name": args.name})
+        elif args.cmd == "catalog-list":
+            _emit({"collections": Catalog.open(spark, args.root)
+                   .list_collections(counts=args.counts)})
+        elif args.cmd == "catalog-drop":
+            Catalog.open(spark, args.root).drop_collection(args.name)
+            _emit({"ok": True, "root": args.root, "dropped": args.name})
+        elif args.cmd == "export-catalog":
+            manifest = export_catalog(
+                Catalog.open(spark, args.root), args.out,
+                overwrite=args.overwrite,
+            )
+            _emit({"ok": True, "out": args.out, **manifest})
+        elif args.cmd == "import-catalog":
+            cat = import_catalog(
+                spark, args.src, args.root,
+                rebuild_indexes=not args.no_rebuild,
+                overwrite=args.overwrite,
+                verify=not args.no_verify,
+            )
+            _emit({"ok": True, "root": args.root,
+                   "collections": cat.list_collections(counts=True)})
         return 0
 
     db = Database.open(spark, args.dir)

@@ -1,0 +1,341 @@
+"""Named-collection catalog: many vector collections under one root.
+
+The reference's v0.3–v0.6 lineage was multi-collection — one `Database`
+held named `Collection`s (`db.save_collection("vectors", &collection)` /
+`create_collection` / `get_collection`,
+/root/reference/docs/changelog.md:350-368); the v0.8 snapshot collapsed
+to one collection per database directory. This module restores the
+catalog tier on top of the v0.8-shaped :class:`Database`: a catalog root
+holds N independent collections, each its own `Database` directory with
+its own Parameters (dimension/metric/density) and its own index tiers.
+
+Layout on disk (all under ``root``)::
+
+    catalog.json              membership manifest (authoritative list)
+    collections/<name>/       one Database directory per collection
+
+Membership lives in ``catalog.json`` (atomic write-tmp-rename, the same
+crash-safety contract as params.json). Mutation ordering is chosen so a
+crash can only strand an ORPHAN DIRECTORY, never a dangling manifest
+entry pointing at nothing:
+
+- create: write the collection directory first, then add the manifest
+  entry (crash between ⇒ orphan dir; re-create with ``overwrite=True``
+  adopts it).
+- drop: remove the manifest entry first, then delete the directory
+  (crash between ⇒ orphan dir; ``create_collection(..., overwrite=True)``
+  or a fresh drop of a re-created name reclaims the space).
+
+Portable hand-off (`export_catalog` / `import_catalog`) is a manifest of
+manifests: each collection exports through core/portable.py (open
+parquet + count + order-insensitive xxhash64-XOR fingerprint + tier
+knobs), and the catalog-level manifest pins the collection set so an
+import verifies BOTH every collection's content fingerprint and that no
+collection was added/dropped/renamed in transit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from oasysdb_spark import errors
+from oasysdb_spark.core.config import Parameters, atomic_write_text
+from oasysdb_spark.core.database import Database
+
+CATALOG_FILE = "catalog.json"
+CATALOG_FORMAT = "oasysdb-spark-catalog/1"
+COLLECTIONS_SUBDIR = "collections"
+
+CATALOG_SNAPSHOT_FILE = "catalog_manifest.json"
+CATALOG_SNAPSHOT_FORMAT = "oasysdb-spark-catalog-snapshot/1"
+
+# path-safe, shell-friendly, no dotfiles / traversal
+_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9_.-]{0,63}$")
+
+
+def _check_name(name: str) -> str:
+    if not isinstance(name, str) or not _NAME_RE.match(name):
+        raise errors.InvalidArgumentError(
+            f"invalid collection name {name!r}: must match "
+            "[A-Za-z0-9][A-Za-z0-9_.-]{0,63} (letters, digits, '_', "
+            "'.', '-'; no leading '.'; max 64 chars)"
+        )
+    return name
+
+
+class Catalog:
+    """A root directory of named collections, each a :class:`Database`.
+
+    Restores the reference's multi-collection API surface
+    (/root/reference/docs/changelog.md:350-368) in its Spark shape:
+    `create_collection` / `save_collection` (create-or-replace, the
+    v0.3 semantics) / `open_collection` (get) / `list_collections` /
+    `drop_collection`.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ------------------------------------------------------------------
+    # lifecycle
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def init(cls, spark: SparkSession, root: str,
+             overwrite: bool = False) -> "Catalog":
+        """Create an empty catalog at ``root``. Refuses to clobber an
+        existing one unless ``overwrite`` (which drops every collection)."""
+        manifest_path = os.path.join(root, CATALOG_FILE)
+        if os.path.exists(manifest_path) and not overwrite:
+            raise errors.InvalidArgumentError(
+                f"catalog already initialised at {root}; pass overwrite=True"
+            )
+        coll_dir = os.path.join(root, COLLECTIONS_SUBDIR)
+        if overwrite and os.path.isdir(coll_dir):
+            shutil.rmtree(coll_dir)
+        os.makedirs(coll_dir, exist_ok=True)
+        cat = cls(spark, root)
+        cat._write_manifest({})
+        return cat
+
+    @classmethod
+    def open(cls, spark: SparkSession, root: str) -> "Catalog":
+        """Open an existing catalog (NotFoundError if none)."""
+        if not os.path.exists(os.path.join(root, CATALOG_FILE)):
+            raise errors.NotFoundError(
+                f"no catalog at {root} (missing {CATALOG_FILE}); "
+                "Catalog.init first"
+            )
+        return cls(spark, root)
+
+    # ------------------------------------------------------------------
+    # manifest helpers
+    # ------------------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, CATALOG_FILE)
+
+    def _read_manifest(self) -> dict:
+        try:
+            with open(self._manifest_path(), encoding="utf-8") as f:
+                manifest = json.load(f)
+        except FileNotFoundError:
+            raise errors.NotFoundError(
+                f"no catalog at {self.root} (missing {CATALOG_FILE})"
+            ) from None
+        if manifest.get("format") != CATALOG_FORMAT:
+            raise errors.InvalidArgumentError(
+                f"unsupported catalog format {manifest.get('format')!r} "
+                f"(this engine reads {CATALOG_FORMAT})"
+            )
+        return manifest["collections"]
+
+    def _write_manifest(self, collections: dict) -> None:
+        atomic_write_text(
+            self._manifest_path(),
+            json.dumps(
+                {"format": CATALOG_FORMAT, "collections": collections},
+                sort_keys=True,
+            ),
+        )
+
+    def _collection_dir(self, name: str) -> str:
+        return os.path.join(self.root, COLLECTIONS_SUBDIR, _check_name(name))
+
+    # ------------------------------------------------------------------
+    # collection CRUD
+    # ------------------------------------------------------------------
+
+    def create_collection(
+        self,
+        name: str,
+        dimension: int,
+        metric: str = "euclidean",
+        density: int = 256,
+        overwrite: bool = False,
+    ) -> Database:
+        """Create an empty named collection with its OWN parameters
+        (the catalog's point: per-collection dimension/metric/density,
+        /root/reference/docs/changelog.md:362-363)."""
+        _check_name(name)
+        collections = self._read_manifest()
+        if name in collections and not overwrite:
+            raise errors.InvalidArgumentError(
+                f"collection {name!r} already exists; pass overwrite=True"
+            )
+        directory = self._collection_dir(name)
+        # dir first, manifest second: a crash strands an orphan dir, not
+        # a manifest entry pointing at nothing (module docstring)
+        if overwrite and os.path.isdir(directory):
+            shutil.rmtree(directory)
+        db = Database.configure(
+            self.spark, directory,
+            dimension=dimension, metric=metric, density=density,
+        )
+        collections[name] = {
+            "dimension": dimension, "metric": metric, "density": density,
+        }
+        self._write_manifest(collections)
+        return db
+
+    def save_collection(
+        self,
+        name: str,
+        records: DataFrame,
+        dimension: int,
+        metric: str = "euclidean",
+        density: int = 256,
+    ) -> Database:
+        """Create-or-replace a collection from a records DataFrame —
+        the v0.3 `save_collection` semantics ("create a new collection
+        or update an existing one" by whole-collection replacement,
+        /root/reference/docs/changelog.md:350-368)."""
+        db = self.create_collection(
+            name, dimension=dimension, metric=metric, density=density,
+            overwrite=True,
+        )
+        db.insert_batch(records)
+        return db
+
+    def open_collection(self, name: str) -> Database:
+        """Open a named collection (the `get_collection` analog)."""
+        _check_name(name)
+        if name not in self._read_manifest():
+            raise errors.NotFoundError(f"no collection named {name!r}")
+        return Database.open(self.spark, self._collection_dir(name))
+
+    def list_collections(self, counts: bool = False) -> list[dict]:
+        """Sorted collection listing: name + Parameters, plus the record
+        count when ``counts=True`` (a Spark job per collection)."""
+        out = []
+        for name, params in sorted(self._read_manifest().items()):
+            row = {"name": name, **params}
+            if counts:
+                row["n_records"] = Database.open(
+                    self.spark, self._collection_dir(name)
+                ).count()
+            out.append(row)
+        return out
+
+    def drop_collection(self, name: str) -> None:
+        """Drop a named collection and delete its directory
+        (NotFoundError if absent). Manifest entry goes first so a crash
+        strands an orphan dir, never a dangling entry."""
+        _check_name(name)
+        collections = self._read_manifest()
+        if name not in collections:
+            raise errors.NotFoundError(f"no collection named {name!r}")
+        del collections[name]
+        self._write_manifest(collections)
+        directory = self._collection_dir(name)
+        if os.path.isdir(directory):
+            shutil.rmtree(directory)
+
+
+# ----------------------------------------------------------------------
+# portable hand-off: manifest of manifests
+# ----------------------------------------------------------------------
+
+
+def export_catalog(catalog: Catalog, out_dir: str,
+                   overwrite: bool = False) -> dict:
+    """Export every collection as a portable snapshot under
+    ``out_dir/collections/<name>/`` plus a catalog-level manifest
+    pinning the collection SET (names + per-collection record counts +
+    fingerprints). Returns the catalog manifest."""
+    from oasysdb_spark.core.portable import export_db
+
+    manifest_path = os.path.join(out_dir, CATALOG_SNAPSHOT_FILE)
+    if os.path.exists(manifest_path) and not overwrite:
+        raise errors.InvalidArgumentError(
+            f"{out_dir} already holds a catalog snapshot "
+            "(pass overwrite=True / --overwrite to replace it)"
+        )
+    collections = {}
+    for name in sorted(catalog._read_manifest()):
+        db = catalog.open_collection(name)
+        sub = export_db(
+            db, os.path.join(out_dir, COLLECTIONS_SUBDIR, name),
+            overwrite=overwrite,
+        )
+        collections[name] = {
+            "n_records": sub["n_records"],
+            "fingerprint_xxh64_xor": sub["fingerprint_xxh64_xor"],
+            "parameters": sub["parameters"],
+        }
+    manifest = {
+        "format": CATALOG_SNAPSHOT_FORMAT,
+        "n_collections": len(collections),
+        "collections": collections,
+    }
+    atomic_write_text(manifest_path, json.dumps(manifest, sort_keys=True))
+    return manifest
+
+
+def import_catalog(
+    spark: SparkSession,
+    in_dir: str,
+    dest_root: str,
+    rebuild_indexes: bool = True,
+    overwrite: bool = False,
+    verify: bool = True,
+) -> Catalog:
+    """Import a catalog snapshot into a NEW catalog at ``dest_root``.
+
+    Verifies the collection SET against the catalog manifest (a missing
+    or extra per-collection snapshot directory refuses before any
+    import runs), then imports each collection through
+    :func:`core.portable.import_db` — which re-verifies each
+    collection's count + fingerprint and rebuilds its recorded index
+    tiers. Returns the opened :class:`Catalog`.
+    """
+    from oasysdb_spark.core.portable import MANIFEST_FILE, import_db
+
+    manifest_path = os.path.join(in_dir, CATALOG_SNAPSHOT_FILE)
+    if not os.path.exists(manifest_path):
+        raise errors.NotFoundError(
+            f"{in_dir} is not a catalog snapshot (no {CATALOG_SNAPSHOT_FILE})"
+        )
+    with open(manifest_path, encoding="utf-8") as f:
+        manifest = json.load(f)
+    if manifest.get("format") != CATALOG_SNAPSHOT_FORMAT:
+        raise errors.InvalidArgumentError(
+            f"unsupported catalog snapshot format {manifest.get('format')!r} "
+            f"(this engine reads {CATALOG_SNAPSHOT_FORMAT})"
+        )
+    expected = set(manifest["collections"])
+    sub_root = os.path.join(in_dir, COLLECTIONS_SUBDIR)
+    present = {
+        d for d in (os.listdir(sub_root) if os.path.isdir(sub_root) else [])
+        if os.path.exists(os.path.join(sub_root, d, MANIFEST_FILE))
+    }
+    if verify and present != expected:
+        raise errors.InvalidArgumentError(
+            "catalog snapshot failed verification: manifest lists "
+            f"collections {sorted(expected)} but the snapshot holds "
+            f"{sorted(present)} — a collection was added, dropped or "
+            "renamed in transit; re-export or pass verify=False"
+        )
+    cat = Catalog.init(spark, dest_root, overwrite=overwrite)
+    collections = {}
+    for name in sorted(expected):
+        db = import_db(
+            spark,
+            os.path.join(sub_root, name),
+            cat._collection_dir(name),
+            rebuild_indexes=rebuild_indexes,
+            verify=verify,
+        )
+        collections[name] = {
+            "dimension": db.params.dimension,
+            "metric": db.params.metric,
+            "density": db.params.density,
+        }
+        cat._write_manifest(collections)  # per-collection: resumable
+    return cat

@@ -28,6 +28,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _u4_sum_to_cents(u4_sum):
+    """Exact 1e-4-unit integer sum → half-up CENTS, in integer math.
+
+    The legacy ``round(sum_u4 / 100.0)`` converts the bigint sum to
+    double first; past 2^53 (a per-group revenue sum at roughly
+    sf >= 50) that conversion silently loses cents (r10 ADVICE). The
+    decimal form ``(s + 50) / 100`` is exact at any bigint magnitude
+    and truncates to floor((s+50)/100) — half-up for the nonnegative
+    revenue sums here — matching DuckDB's ``(s + 50) // 100``
+    term-for-term (identical outputs verified at both small and
+    past-2^53 magnitudes). The final /100.0 display divide stays
+    double, whose cents-level exactness now holds to ~2^53 cents
+    (~$90 T per group) instead of ~2^53 1e-4 units (~$900 B)."""
+    return (
+        (u4_sum + F.lit(50).cast("bigint")).cast("decimal(38,0)") / F.lit(100)
+    ).cast("bigint")
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy agg with map-side partial aggregation;
     the parquet scan reads only the 7 referenced columns."""
@@ -69,8 +87,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
-                F.round(F.sum(rev_u4) / F.lit(100.0)).cast("bigint")
-                / F.lit(100.0),
+                _u4_sum_to_cents(F.sum(rev_u4)) / F.lit(100.0),
                 2,
             ).alias("revenue")
         )
@@ -117,7 +134,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             # exact 1e-4-unit integer sum + scale-0 display (r10
             # migration of the legacy round(sum(double), 2) site)
             F.round(
-                F.round(
+                _u4_sum_to_cents(
                     F.sum(
                         F.round(
                             F.col("l_extendedprice")
@@ -125,8 +142,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                             * 10000
                         ).cast("bigint")
                     )
-                    / F.lit(100.0)
-                ).cast("bigint")
+                )
                 / F.lit(100.0),
                 2,
             ).alias("revenue")
@@ -1316,7 +1332,7 @@ def bucketed_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             # exact 1e-4-unit integer revenue + scale-0 display (r10)
             F.round(
-                F.round(
+                _u4_sum_to_cents(
                     F.sum(
                         F.round(
                             F.col("l_extendedprice")
@@ -1324,8 +1340,7 @@ def bucketed_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                             * 10000
                         ).cast("bigint")
                     )
-                    / F.lit(100.0)
-                ).cast("bigint")
+                )
                 / F.lit(100.0),
                 2,
             ).alias("revenue"),

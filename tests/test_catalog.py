@@ -1,0 +1,242 @@
+"""Named-collection catalog (judge r10 task 2): the reference's
+v0.3-v0.6 multi-collection lineage (`db.create_collection("vectors", ...)`
+/ `save_collection` / get, /root/reference/docs/changelog.md:350-368)
+restored over the v0.8-shaped Database. Pins:
+
+- lifecycle: two collections under one root with DIFFERENT
+  dimensions/metrics/densities, independent records and independent
+  index tiers (IVF on one, PQ on the other — neither leaks into the
+  other's directory or serving results);
+- create-or-replace `save_collection` (the v0.3 semantics);
+- membership errors are typed (duplicate create, open/drop of a missing
+  name, path-traversal names refused);
+- portable hand-off of the WHOLE catalog: export → import round-trips
+  every collection bit-equal with its tiers rebuilt, and a snapshot
+  whose collection set was tampered with (a collection dropped in
+  transit) refuses before any import runs;
+- the CLI verbs drive the same paths end to end.
+"""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from oasysdb_spark import errors
+from oasysdb_spark.core.catalog import (
+    CATALOG_FILE,
+    CATALOG_SNAPSHOT_FILE,
+    Catalog,
+    export_catalog,
+    import_catalog,
+)
+from oasysdb_spark.core.database import Database
+
+
+def _vecs(n, dim, scale=1.0):
+    return [
+        [((i * 7 + j * 13) % 29) / 7.0 * scale - 2.0 for j in range(dim)]
+        for i in range(n)
+    ]
+
+
+def _fill(db, n, dim, scale=1.0):
+    rows = [
+        (f"id{i:05d}", v, {"name": f"rec-{i}"}, {"score": float(i)},
+         {"flag": i % 2 == 0})
+        for i, v in enumerate(_vecs(n, dim, scale))
+    ]
+    df = db.spark.createDataFrame(
+        rows,
+        "id string, embedding array<float>, m_text map<string,string>, "
+        "m_num map<string,double>, m_bool map<string,boolean>",
+    )
+    db.insert_batch(df)
+
+
+def _records_sorted(db):
+    return sorted(
+        (r["id"], tuple(r["embedding"]))
+        for r in db.records_df().select("id", "embedding").collect()
+    )
+
+
+def _serve(db, vec, **kw):
+    return sorted(
+        (r["id"], r["distance"]) for r in db.query_df(vec, k=5, **kw).collect()
+    )
+
+
+def test_catalog_lifecycle_two_collections_independent_tiers(spark, tmp_path):
+    from oasysdb_spark.index.ivf import build_index
+    from oasysdb_spark.index.pq import build_pq
+
+    root = str(tmp_path / "cat")
+    cat = Catalog.init(spark, root)
+
+    # two collections, different dims AND metrics AND densities
+    # (IVF composes with cosine; PQ is euclidean-only by contract)
+    docs = cat.create_collection("docs", dimension=6, metric="cosine",
+                                 density=16)
+    imgs = cat.create_collection("imgs", dimension=4, metric="euclidean",
+                                 density=8)
+    _fill(docs, 120, 6)
+    _fill(imgs, 80, 4, scale=0.5)
+
+    assert cat.list_collections() == [
+        {"name": "docs", "dimension": 6, "metric": "cosine", "density": 16},
+        {"name": "imgs", "dimension": 4, "metric": "euclidean", "density": 8},
+    ]
+    counted = cat.list_collections(counts=True)
+    assert [(c["name"], c["n_records"]) for c in counted] == [
+        ("docs", 120), ("imgs", 80),
+    ]
+
+    # independent index tiers: IVF on docs, PQ on imgs
+    build_index(docs, k=5)
+    build_pq(imgs, m=4, nbits=4, seed=7)
+    assert docs.is_indexed() and not imgs.is_indexed()
+    assert os.path.exists(os.path.join(imgs.dir, "pq.json"))
+    assert not os.path.exists(os.path.join(docs.dir, "pq.json"))
+
+    # each serves with its own dimension/metric; the other's dim refuses
+    q6, q4 = _vecs(1, 6)[0], _vecs(1, 4)[0]
+    assert len(_serve(cat.open_collection("docs"), q6, probes=3)) == 5
+    assert len(_serve(cat.open_collection("imgs"), q4, approx="pq")) == 5
+    with pytest.raises(errors.InvalidArgumentError):
+        cat.open_collection("docs").query_df(q4, k=5)
+
+    # reopen from disk: membership and parameters survive
+    cat2 = Catalog.open(spark, root)
+    assert cat2.open_collection("docs").params.metric == "cosine"
+
+    # drop is real: manifest entry AND directory gone, open refuses
+    dropped_dir = cat2.open_collection("imgs").dir
+    cat2.drop_collection("imgs")
+    assert [c["name"] for c in cat2.list_collections()] == ["docs"]
+    assert not os.path.isdir(dropped_dir)
+    with pytest.raises(errors.NotFoundError):
+        cat2.open_collection("imgs")
+    with pytest.raises(errors.NotFoundError):
+        cat2.drop_collection("imgs")
+
+    # typed membership / naming errors
+    with pytest.raises(errors.InvalidArgumentError):
+        cat2.create_collection("docs", dimension=3)  # duplicate
+    for bad in ("../escape", "a/b", "", ".hidden", "x" * 65):
+        with pytest.raises(errors.InvalidArgumentError):
+            cat2.create_collection(bad, dimension=3)
+    with pytest.raises(errors.InvalidArgumentError):
+        Catalog.init(spark, root)  # refuses re-init without overwrite
+    with pytest.raises(errors.NotFoundError):
+        Catalog.open(spark, str(tmp_path / "nowhere"))
+
+
+def test_save_collection_create_or_replace(spark, tmp_path):
+    root = str(tmp_path / "cat")
+    cat = Catalog.init(spark, root)
+    df1 = spark.createDataFrame(
+        [(f"a{i}", [float(i), 0.0], None, None, None) for i in range(10)],
+        "id string, embedding array<float>, m_text map<string,string>, "
+        "m_num map<string,double>, m_bool map<string,boolean>",
+    )
+    cat.save_collection("vectors", df1, dimension=2)  # create
+    assert cat.open_collection("vectors").count() == 10
+
+    df2 = spark.createDataFrame(
+        [(f"b{i}", [0.0, float(i), 1.0], None, None, None) for i in range(4)],
+        df1.schema,
+    )
+    # replace: new parameters, new records — NOT a merge (v0.3 semantics)
+    cat.save_collection("vectors", df2, dimension=3, metric="cosine")
+    db = cat.open_collection("vectors")
+    assert db.count() == 4 and db.params.dimension == 3
+    assert {r[0][:1] for r in _records_sorted(db)} == {"b"}
+
+
+def test_catalog_portable_roundtrip_and_tamper_refusal(spark, tmp_path):
+    from oasysdb_spark.index.ivf import build_index
+
+    root = str(tmp_path / "src")
+    cat = Catalog.init(spark, root)
+    a = cat.create_collection("alpha", dimension=6, density=16)
+    b = cat.create_collection("beta", dimension=4, metric="cosine", density=8)
+    _fill(a, 100, 6)
+    _fill(b, 60, 4)
+    build_index(a, k=4, seed=13)
+
+    out = str(tmp_path / "snap")
+    manifest = export_catalog(cat, out)
+    assert manifest["n_collections"] == 2
+    assert set(manifest["collections"]) == {"alpha", "beta"}
+    # refusal-to-clobber
+    with pytest.raises(errors.InvalidArgumentError):
+        export_catalog(cat, out)
+
+    dest = str(tmp_path / "dest")
+    cat2 = import_catalog(spark, out, dest)
+    assert [c["name"] for c in cat2.list_collections()] == ["alpha", "beta"]
+    for name in ("alpha", "beta"):
+        assert _records_sorted(cat2.open_collection(name)) == _records_sorted(
+            cat.open_collection(name)
+        )
+    # alpha's IVF tier rebuilt from the recorded seed: probed results
+    # round-trip exactly; beta stays unindexed
+    q = _vecs(1, 6)[0]
+    assert _serve(cat2.open_collection("alpha"), q, probes=2) == _serve(
+        cat.open_collection("alpha"), q, probes=2
+    )
+    assert cat2.open_collection("alpha").is_indexed()
+    assert not cat2.open_collection("beta").is_indexed()
+
+    # tamper: drop a collection from the snapshot in transit → the
+    # collection-set check refuses BEFORE any import runs
+    shutil.rmtree(os.path.join(out, "collections", "beta"))
+    dest2 = str(tmp_path / "dest2")
+    with pytest.raises(errors.InvalidArgumentError, match="collection"):
+        import_catalog(spark, out, dest2)
+    assert not os.path.exists(os.path.join(dest2, CATALOG_FILE))
+    # not-a-snapshot refuses with a typed error
+    with pytest.raises(errors.NotFoundError):
+        import_catalog(spark, str(tmp_path / "empty"), dest2)
+
+
+def test_catalog_cli_roundtrip(spark, tmp_path, capsys):
+    from oasysdb_spark import cli
+
+    root = str(tmp_path / "cat")
+    assert cli.main(["catalog-init", "--root", root]) == 0
+    assert cli.main([
+        "catalog-create", "--root", root, "--name", "docs",
+        "--dimension", "4", "--density", "8",
+    ]) == 0
+    assert cli.main([
+        "catalog-create", "--root", root, "--name", "imgs",
+        "--dimension", "3", "--metric", "cosine",
+    ]) == 0
+    _fill(Catalog.open(spark, root).open_collection("docs"), 30, 4)
+
+    capsys.readouterr()
+    assert cli.main(["catalog-list", "--root", root, "--counts"]) == 0
+    listed = json.loads(capsys.readouterr().out.strip())["collections"]
+    assert [(c["name"], c["n_records"]) for c in listed] == [
+        ("docs", 30), ("imgs", 0),
+    ]
+
+    snap = str(tmp_path / "snap")
+    dest = str(tmp_path / "dest")
+    assert cli.main(["export-catalog", "--root", root, "--out", snap]) == 0
+    assert os.path.exists(os.path.join(snap, CATALOG_SNAPSHOT_FILE))
+    capsys.readouterr()
+    assert cli.main(["import-catalog", "--root", dest, "--src", snap]) == 0
+    imported = json.loads(capsys.readouterr().out.strip())["collections"]
+    assert [(c["name"], c["n_records"]) for c in imported] == [
+        ("docs", 30), ("imgs", 0),
+    ]
+
+    assert cli.main(["catalog-drop", "--root", root, "--name", "imgs"]) == 0
+    capsys.readouterr()
+    assert cli.main(["catalog-list", "--root", root]) == 0
+    listed = json.loads(capsys.readouterr().out.strip())["collections"]
+    assert [c["name"] for c in listed] == ["docs"]
