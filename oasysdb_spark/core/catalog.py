@@ -171,8 +171,11 @@ class Catalog:
             )
         directory = self._collection_dir(name)
         # dir first, manifest second: a crash strands an orphan dir, not
-        # a manifest entry pointing at nothing (module docstring)
-        if overwrite and os.path.isdir(directory):
+        # a manifest entry pointing at nothing (module docstring). A dir
+        # NOT in the manifest is therefore always an interrupted create
+        # (empty, pre-manifest) or an interrupted drop (user asked for
+        # deletion) — reclaimable either way, no overwrite needed.
+        if os.path.isdir(directory) and (overwrite or name not in collections):
             shutil.rmtree(directory)
         db = Database.configure(
             self.spark, directory,

@@ -133,6 +133,27 @@ def test_catalog_lifecycle_two_collections_independent_tiers(spark, tmp_path):
         Catalog.open(spark, str(tmp_path / "nowhere"))
 
 
+def test_orphan_directory_reclaimed(spark, tmp_path):
+    """Crash-window recovery: the mutation ordering guarantees a dir
+    not in the manifest is an interrupted create (empty) or an
+    interrupted drop (user asked for deletion) — create_collection
+    reclaims it without overwrite instead of surfacing Database's
+    'already configured' refusal."""
+    root = str(tmp_path / "cat")
+    cat = Catalog.init(spark, root)
+    db = cat.create_collection("docs", dimension=2)
+    _fill(db, 5, 2)
+    # simulate a drop killed between manifest update and rmtree
+    manifest = cat._read_manifest()
+    del manifest["docs"]
+    cat._write_manifest(manifest)
+    assert os.path.isdir(db.dir)  # the orphan
+    with pytest.raises(errors.NotFoundError):
+        cat.open_collection("docs")
+    db2 = cat.create_collection("docs", dimension=3)  # no overwrite needed
+    assert db2.count() == 0 and db2.params.dimension == 3
+
+
 def test_save_collection_create_or_replace(spark, tmp_path):
     root = str(tmp_path / "cat")
     cat = Catalog.init(spark, root)

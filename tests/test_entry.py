@@ -56,8 +56,16 @@ def test_driver_window_rotation_closes_coverage():
     CAPACITY LEDGER (judge r9 task 2, updated at r11): 140 entries /
     150 ceiling (50-slot window x 3-round refresh cycle) — at most
     ~10 more promotions EVER without retiring entries. The r12
-    mandatory head below is 45, leaving only 5 slots; from r12 onward
-    promote at most 2-4 per round, prefer new FAMILIES, and pair each
+    mandatory head is 48: the 45 r9-latest deferrals pinned below PLUS
+    q3_shipping_priority / q5_local_supplier_volume /
+    bucketed_revenue_by_priority — those three took the u4→cents
+    integer-math display fix (r10 ADVICE #4) AFTER the r11 window was
+    frozen at 50 mandatory entries, so their driver rows are r10 ones
+    against the old (output-identical at every fixture scale,
+    oracle-mirrored term-for-term, local triple-scale sweep green)
+    form; the generic staleness rule below forces them in at r12
+    automatically. That leaves only 2 free r12 slots; from r12 onward
+    promote at most 1-2 per round, prefer new FAMILIES, and pair each
     promotion with a retirement candidate (the r8 narrow-simhash
     precedent). Remaining staged oracle-able candidates for r12+:
     ngram_novelty_curve, embedding_outlier_stats,
