@@ -2783,7 +2783,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT band_id, CAST(sum(c) AS BIGINT) AS n_rows,
                CAST(count(*) AS BIGINT) AS n_distinct,
                CAST(max(c) AS BIGINT) AS max_bucket,
-               CAST(sum(c * (c - 1) / 2) AS BIGINT) AS cand_pairs
+               CAST(sum(c * (c - 1)) AS BIGINT) // 2 AS cand_pairs
         FROM buckets GROUP BY band_id ORDER BY band_id"""
 
     return q

@@ -20,11 +20,19 @@ crash can only strand an ORPHAN DIRECTORY, never a dangling manifest
 entry pointing at nothing:
 
 - create: write the collection directory first, then add the manifest
-  entry (crash between ⇒ orphan dir; re-create with ``overwrite=True``
-  adopts it).
+  entry (crash between ⇒ orphan dir).
 - drop: remove the manifest entry first, then delete the directory
-  (crash between ⇒ orphan dir; ``create_collection(..., overwrite=True)``
-  or a fresh drop of a re-created name reclaims the space).
+  (crash between ⇒ orphan dir).
+- replace (create with ``overwrite`` / ``save_collection`` over an
+  existing name): manifest entry removed FIRST, then rmtree → configure
+  → entry re-added — every window in the sequence strands at most an
+  orphan dir, never an entry whose directory is missing or was
+  configured with different parameters than the manifest advertises.
+- init with ``overwrite``: empty manifest first, then the rmtree.
+
+A directory not listed in the manifest is therefore always an
+interrupted create (empty) or an interrupted drop/replace (deletion was
+requested) — ``create_collection`` reclaims it without ``overwrite``.
 
 Portable hand-off (`export_catalog` / `import_catalog`) is a manifest of
 manifests: each collection exports through core/portable.py (open
@@ -97,11 +105,15 @@ class Catalog:
                 f"catalog already initialised at {root}; pass overwrite=True"
             )
         coll_dir = os.path.join(root, COLLECTIONS_SUBDIR)
+        cat = cls(spark, root)
+        # empty manifest BEFORE the rmtree: a crash between the two
+        # strands orphan dirs (reclaimable), never manifest entries
+        # whose directories are gone (r11 self-review)
+        os.makedirs(root, exist_ok=True)
+        cat._write_manifest({})
         if overwrite and os.path.isdir(coll_dir):
             shutil.rmtree(coll_dir)
         os.makedirs(coll_dir, exist_ok=True)
-        cat = cls(spark, root)
-        cat._write_manifest({})
         return cat
 
     @classmethod
@@ -165,17 +177,24 @@ class Catalog:
         /root/reference/docs/changelog.md:362-363)."""
         _check_name(name)
         collections = self._read_manifest()
-        if name in collections and not overwrite:
-            raise errors.InvalidArgumentError(
-                f"collection {name!r} already exists; pass overwrite=True"
-            )
+        if name in collections:
+            if not overwrite:
+                raise errors.InvalidArgumentError(
+                    f"collection {name!r} already exists; pass overwrite=True"
+                )
+            # replace = drop-then-create: the manifest entry goes FIRST,
+            # so every crash window in the sequence (entry removed →
+            # rmtree → configure → entry re-added) strands at most an
+            # orphan dir — never an entry pointing at a missing dir or
+            # at a dir configured with the new parameters while the
+            # manifest still advertises the old ones (r11 self-review)
+            del collections[name]
+            self._write_manifest(collections)
         directory = self._collection_dir(name)
-        # dir first, manifest second: a crash strands an orphan dir, not
-        # a manifest entry pointing at nothing (module docstring). A dir
-        # NOT in the manifest is therefore always an interrupted create
-        # (empty, pre-manifest) or an interrupted drop (user asked for
-        # deletion) — reclaimable either way, no overwrite needed.
-        if os.path.isdir(directory) and (overwrite or name not in collections):
+        # a dir NOT in the manifest is always an interrupted create
+        # (empty, pre-manifest) or an interrupted drop/replace (deletion
+        # was requested) — reclaimable, no overwrite needed
+        if os.path.isdir(directory):
             shutil.rmtree(directory)
         db = Database.configure(
             self.spark, directory,
@@ -260,6 +279,13 @@ def export_catalog(catalog: Catalog, out_dir: str,
             f"{out_dir} already holds a catalog snapshot "
             "(pass overwrite=True / --overwrite to replace it)"
         )
+    # under overwrite, clear per-collection snapshots from the PREVIOUS
+    # export first: a collection dropped since then would otherwise
+    # survive on disk and make import_catalog's collection-set check
+    # refuse the tool's own output as tampered (r11 self-review)
+    sub_root = os.path.join(out_dir, COLLECTIONS_SUBDIR)
+    if overwrite and os.path.isdir(sub_root):
+        shutil.rmtree(sub_root)
     collections = {}
     for name in sorted(catalog._read_manifest()):
         db = catalog.open_collection(name)
@@ -340,5 +366,9 @@ def import_catalog(
             "metric": db.params.metric,
             "density": db.params.density,
         }
-        cat._write_manifest(collections)  # per-collection: resumable
+        # per-collection manifest write: already-imported collections
+        # stay listed/openable if a later one fails. A crashed import
+        # is restarted with overwrite=True (import_db rebuilds tiers,
+        # so partial re-import cannot be verified cheaper than redone).
+        cat._write_manifest(collections)
     return cat

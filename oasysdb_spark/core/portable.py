@@ -610,43 +610,62 @@ def repair_delta(spark: SparkSession, in_dir: str, dest_dir: str) -> dict:
     end_n = int(manifest["end_n_records"])
     end_fp = int(manifest["end_fingerprint_xxh64_xor"])
 
-    dest_state = _state(db.records_df())
-    dn, dfp = _fingerprint_of_state(dest_state)
-    if (dn, dfp) == (end_n, end_fp):
-        return {"n_removed": 0, "n_inserted": 0, "already_converged": True}
+    # Each intermediate below feeds 2+ actions (a count plus a join /
+    # delete / insert) — uncached, every action would re-run the
+    # destination scan and signature joins from scratch, ~3 redundant
+    # full passes per repair (r11 self-review). The cached frames are
+    # (id, fp) pairs except to_add (bounded by the delta payload).
+    cached = []
 
-    on = ["id", "k"]
-    # stale/extra destination rows: id absent from the end state OR
-    # present with a different fingerprint (the pre-update base row)
-    wrong_ids = dest_state.join(end_state, on, "left_anti").select("id")
-    # end-state rows the destination lacks (with the right content)
-    missing = end_state.join(dest_state, on, "left_anti").select("id")
-    upserts = spark.read.parquet(os.path.join(in_dir, RECORDS_SUBDIR))
-    to_add = _canonical(upserts).join(missing, "id", "left_semi")
-    n_missing = missing.count()
-    n_add = to_add.count()
-    if n_add != n_missing:
-        raise errors.InvalidArgumentError(
-            f"repair_delta cannot converge {dest_dir}: {n_missing} "
-            f"end-state rows are missing but the delta payload covers "
-            f"only {n_add} — the destination diverged beyond this "
-            "delta's reach (writes from another source?); restore from "
-            "a full export. The destination was NOT modified"
-        )
-    n_wrong = wrong_ids.count()
-    if n_wrong:
-        db.delete(wrong_ids)
-    if n_add:
-        db.insert_batch(to_add)
-    n2, fp2 = _fingerprint(db.records_df())
-    if (n2, fp2) != (end_n, end_fp):
-        raise errors.InvalidArgumentError(
-            f"repair_delta postcondition failed (count {n2}, "
-            f"fingerprint {fp2} vs end {end_n}, {end_fp}) — this "
-            "indicates a repair-path bug; restore from a full export"
-        )
-    return {
-        "n_removed": int(n_wrong),
-        "n_inserted": int(n_add),
-        "already_converged": False,
-    }
+    def _c(frame):
+        frame = frame.cache()
+        cached.append(frame)
+        return frame
+
+    try:
+        dest_state = _c(_state(db.records_df()))
+        dn, dfp = _fingerprint_of_state(dest_state)
+        if (dn, dfp) == (end_n, end_fp):
+            return {"n_removed": 0, "n_inserted": 0, "already_converged": True}
+
+        on = ["id", "k"]
+        # stale/extra destination rows: id absent from the end state OR
+        # present with a different fingerprint (the pre-update base row)
+        wrong_ids = _c(dest_state.join(end_state, on, "left_anti").select("id"))
+        # end-state rows the destination lacks (with the right content)
+        missing = _c(end_state.join(dest_state, on, "left_anti").select("id"))
+        upserts = spark.read.parquet(os.path.join(in_dir, RECORDS_SUBDIR))
+        to_add = _c(_canonical(upserts).join(missing, "id", "left_semi"))
+        n_missing = missing.count()
+        n_add = to_add.count()
+        if n_add != n_missing:
+            raise errors.InvalidArgumentError(
+                f"repair_delta cannot converge {dest_dir}: {n_missing} "
+                f"end-state rows are missing but the delta payload covers "
+                f"only {n_add} — the destination diverged beyond this "
+                "delta's reach (writes from another source?); restore from "
+                "a full export. The destination was NOT modified"
+            )
+        n_wrong = wrong_ids.count()
+        if n_wrong:
+            db.delete(wrong_ids)
+        if n_add:
+            db.insert_batch(to_add)
+        n2, fp2 = _fingerprint(db.records_df())
+        if (n2, fp2) != (end_n, end_fp):
+            raise errors.InvalidArgumentError(
+                f"repair_delta postcondition failed (count {n2}, "
+                f"fingerprint {fp2} vs end {end_n}, {end_fp}) — this "
+                "indicates a repair-path bug; restore from a full export"
+            )
+        return {
+            "n_removed": int(n_wrong),
+            "n_inserted": int(n_add),
+            "already_converged": False,
+        }
+    finally:
+        for frame in cached:
+            try:
+                frame.unpersist()
+            except Exception:
+                pass

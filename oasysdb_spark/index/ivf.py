@@ -206,8 +206,23 @@ def fit_centroids(
             ),
             F.lit(1_000_000),
         )
-        fit_df = df.where(key < int(frac * 1_000_000))
-        n_fit = fit_sample_size  # expected sample size; exact count not needed
+        # max(1,...): past n = fit_sample_size·1e6 rows the truncated
+        # threshold hits 0 and the sample goes empty (r11 self-review)
+        fit_df = df.where(key < max(1, int(round(frac * 1_000_000))))
+        # Dispatch on the REALIZED size, not the expectation: the
+        # content key makes duplicate embeddings co-travel (all-or-
+        # nothing per distinct vector), so a hot duplicate can inflate
+        # the sample far past fit_sample_size — assuming the expected
+        # size would then drive an unbounded driver collect below (r11
+        # self-review). One count action, large builds only; still a
+        # pure function of (row multiset, seed). An inflated sample
+        # routes to the distributed MLlib path via local_fit_limit.
+        n_fit = fit_df.count()
+        if n_fit == 0:
+            # degenerate content space (few distinct vectors, all
+            # hashing above the threshold): fit the full frame — the
+            # local/distributed guard below still bounds the driver
+            fit_df, n_fit = df, n
 
     if k > 1 and n_fit > local_fit_limit:
         from pyspark.ml.clustering import KMeans

@@ -163,28 +163,34 @@ MINHASH_P = 2_147_483_647
 
 
 def _np_round6_half_up(a):
-    """Match round_dist (Spark F.round: HALF_UP over the double's
-    SHORTEST decimal repr, then -0.0 → +0.0) so numpy-side cosine paths
-    hash identically to every expression-side cosine op (r7, advisor
-    finding). np.round is half-to-even — it disagrees with HALF_UP only
-    when the repr lands exactly on a half boundary at the 7th decimal,
-    so round fast with numpy and Decimal-requantize just the boundary
-    suspects."""
+    """Match round_dist's SCALE-0 form (vectorops.py round_dist, r11
+    migration): y = Spark ``round(c·1e6)`` — HALF_UP over the SCALED
+    double's shortest decimal repr — cast bigint, ÷1e6, then ``+ 0.0``.
+    The pre-r11 twin mirrored the old ``F.round(c, 6)``; the migration
+    changed round_dist's boundary class, so the twin re-rounds the
+    SCALED value now (r11 self-review finding — the two forms disagree
+    exactly on the ~1-in-1e6 boundary values the migration targets).
+    np.round(scaled) is half-to-even over the binary value; it can
+    disagree with Spark only when ``scaled`` sits within repr-rounding
+    distance of a .5 boundary, so round fast with numpy and
+    Decimal-requantize just the boundary suspects (same technique as
+    the old twin, applied to the scaled value). Bit-equality against
+    the Spark expression is pinned in tests/test_operators.py."""
     import numpy as np
 
-    out = np.round(a, 6)
     scaled = a * 1e6
+    out = np.round(scaled)
     frac = np.abs(scaled - np.floor(scaled) - 0.5)
     sus = np.nonzero(frac < 1e-6)[0]
     if len(sus):
         from decimal import ROUND_HALF_UP, Decimal
 
-        q6 = Decimal("0.000001")
+        one = Decimal(1)
         for i in sus:
             out[i] = float(
-                Decimal(repr(float(a[i]))).quantize(q6, rounding=ROUND_HALF_UP)
+                Decimal(repr(float(scaled[i]))).quantize(one, rounding=ROUND_HALF_UP)
             )
-    return out + 0.0
+    return out / 1e6 + 0.0
 
 
 def minhash_coeffs(j: int) -> tuple[int, int]:
@@ -2496,9 +2502,15 @@ def simhash_band_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("bigint").alias("n_rows"),
             F.count("*").cast("bigint").alias("n_distinct"),
             F.max("c").cast("bigint").alias("max_bucket"),
-            F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("bigint").alias(
-                "cand_pairs"
-            ),
+            # Σ c·(c−1) accumulates as exact bigint, halved by a shift
+            # (always even): the double form sum(c*(c-1)/2.0) loses
+            # integer precision past 2^53 per bucket AND is
+            # partition-order-nondeterministic once partial sums round
+            # (r11 self-review) — this column exists precisely to
+            # expose degenerate huge-bucket bands, where that bites
+            F.shiftright(
+                F.sum((F.col("c") * (F.col("c") - 1)).cast("bigint")), 1
+            ).alias("cand_pairs"),
         )
         .orderBy("band_id")
     )

@@ -211,9 +211,19 @@ def test_catalog_portable_roundtrip_and_tamper_refusal(spark, tmp_path):
     assert cat2.open_collection("alpha").is_indexed()
     assert not cat2.open_collection("beta").is_indexed()
 
+    # re-export with overwrite after dropping a collection: the stale
+    # per-collection snapshot dir from the previous export must NOT
+    # survive and trip the set check on the tool's own output
+    cat.drop_collection("beta")
+    export_catalog(cat, out, overwrite=True)
+    dest3 = str(tmp_path / "dest3")
+    cat3 = import_catalog(spark, out, dest3)
+    assert [c["name"] for c in cat3.list_collections()] == ["alpha"]
+
     # tamper: drop a collection from the snapshot in transit → the
     # collection-set check refuses BEFORE any import runs
-    shutil.rmtree(os.path.join(out, "collections", "beta"))
+    export_catalog(cat, out, overwrite=True)
+    shutil.rmtree(os.path.join(out, "collections", "alpha"))
     dest2 = str(tmp_path / "dest2")
     with pytest.raises(errors.InvalidArgumentError, match="collection"):
         import_catalog(spark, out, dest2)

@@ -4655,27 +4655,34 @@ def test_simhash_band_health_matches_duckdb_oracle(spark, sf_dir):
 
 
 def test_round6_half_up_matches_spark_round(spark):
-    """The shared numpy HALF_UP helper (dedup._np_round6_half_up) must
-    be bit-identical to Spark F.round(col, 6) — the contract every
-    numpy-side cosine path leans on. Pinned over a seeded batch that
-    deliberately includes exact half-boundary reprs, negative values,
-    and -0.0 (normalized to +0.0)."""
+    """The shared numpy twin (dedup._np_round6_half_up) must be
+    bit-identical to round_dist's SCALE-0 Spark expression — the
+    contract every numpy-side cosine path leans on. Before r11 the
+    twin (and this pin) mirrored the old F.round(col, 6); the r11
+    round_dist migration changed the boundary class, so both now pin
+    the scale-0 form (r11 self-review finding: the old twin diverged
+    from migrated round_dist exactly on the 7th-decimal-half values
+    below). Seeded batch plus adversarial values: exact 7th-decimal
+    halves (repr '0.0000005'), negative halves, -0.0, exact 6dp
+    multiples (where scaled lands ON an integer), and values one ulp
+    off a half."""
     import numpy as np
 
     from oasysdb_spark.operators.dedup import _np_round6_half_up
+    from oasysdb_spark.operators.vectorops import round_dist
 
     rng = np.random.RandomState(7)
     vals = list(rng.uniform(-1, 1, 2000))
-    # adversarial: exact 7th-decimal halves (repr '0.0000005'), negative
-    # halves, -0.0, and values one ulp off a half
     vals += [0.0000005, -0.0000005, 1.0000005, -0.0, 0.1234565, -0.1234565,
-             float(np.nextafter(0.0000005, 0)), float(np.nextafter(0.0000005, 1))]
+             0.123456, 2.0, 1.9999995, -1.9999995,
+             float(np.nextafter(0.0000005, 0)), float(np.nextafter(0.0000005, 1)),
+             float(np.nextafter(0.1234565, 0)), float(np.nextafter(0.1234565, 1))]
     arr = np.asarray(vals, dtype=np.float64)
 
     got = _np_round6_half_up(arr)
     df = spark.createDataFrame([(float(v),) for v in vals], "x double")
     expected = [r["r"] for r in
-                df.select(F.round(F.col("x"), 6).alias("r")).collect()]
+                df.select(round_dist(F.col("x")).alias("r")).collect()]
     for g, e, v in zip(got, expected, vals):
         assert g == e and not (g == 0.0 and str(g) == "-0.0"), (v, g, e)
 
