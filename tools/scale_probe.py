@@ -49,6 +49,12 @@ DEFAULT = [
     "user_rfm_segments",
     "embedding_norm_stats",
     "prepare_training_corpus",
+    # r11 promotions + the IVF probe path (its fit sample moved to the
+    # content-keyed draw with realized-count dispatch in r11)
+    "weighted_sample_topk",
+    "lineitem_price_qty_correlation",
+    "simhash_band_health",
+    "vec_ivf_knn",
     # not a queries() entry (no SQL oracle by nature) — resolved from
     # operators.dedup below; the IVF-blocked semantic-dedup scale path
     "embedding_dedup_components",
