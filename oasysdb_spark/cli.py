@@ -325,6 +325,25 @@ def build_parser() -> argparse.ArgumentParser:
     cd = add_cat("catalog-drop", help="drop a named collection")
     cd.add_argument("--name", required=True)
 
+    cr = add_cat("catalog-rename",
+                 help="atomically rename a collection (one manifest "
+                 "write, no data movement)")
+    cr.add_argument("--name", required=True)
+    cr.add_argument("--to", required=True)
+
+    cx = add_cat("catalog-swap",
+                 help="atomically exchange two collection names — the "
+                 "blue-green reindex cut-over (build the re-indexed "
+                 "copy under a staging name, swap, drop the staging "
+                 "name holding the old data)")
+    cx.add_argument("--a", required=True)
+    cx.add_argument("--b", required=True)
+
+    cv = add_cat("catalog-vacuum",
+                 help="delete unreferenced collection directories "
+                 "(crash residue from an interrupted create/drop/"
+                 "replace)")
+
     ce = add_cat("export-catalog",
                  help="export the whole catalog as a portable snapshot "
                  "(a manifest of per-collection manifests)")
@@ -544,6 +563,16 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "catalog-drop":
             Catalog.open(spark, args.root).drop_collection(args.name)
             _emit({"ok": True, "root": args.root, "dropped": args.name})
+        elif args.cmd == "catalog-rename":
+            Catalog.open(spark, args.root).rename_collection(args.name, args.to)
+            _emit({"ok": True, "root": args.root,
+                   "renamed": args.name, "to": args.to})
+        elif args.cmd == "catalog-swap":
+            Catalog.open(spark, args.root).swap_collections(args.a, args.b)
+            _emit({"ok": True, "root": args.root, "swapped": [args.a, args.b]})
+        elif args.cmd == "catalog-vacuum":
+            removed = Catalog.open(spark, args.root).vacuum()
+            _emit({"ok": True, "root": args.root, "removed_dirs": removed})
         elif args.cmd == "export-catalog":
             manifest = export_catalog(
                 Catalog.open(spark, args.root), args.out,

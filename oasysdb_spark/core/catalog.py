@@ -11,35 +11,36 @@ its own Parameters (dimension/metric/density) and its own index tiers.
 
 Layout on disk (all under ``root``)::
 
-    catalog.json              membership manifest (authoritative list)
-    collections/<name>/       one Database directory per collection
+    catalog.json              membership manifest (authoritative)
+    collections/<dir-id>/     one Database directory per collection
 
-Membership lives in ``catalog.json`` (atomic write-tmp-rename, the same
-crash-safety contract as params.json). Mutation ordering is chosen so a
-crash can only strand an ORPHAN DIRECTORY, never a dangling manifest
-entry pointing at nothing:
+Names are INDIRECTED: each manifest entry maps a collection name to a
+generated directory id, so every name-level operation — rename, swap,
+replace — is ONE atomic manifest write (write-tmp-rename, the same
+crash-safety contract as params.json) with no window where a reader can
+observe a half-moved collection. That is what makes the blue-green
+reindex pattern safe at 100 TB scale: build the re-indexed copy aside
+under a staging name, ``swap_collections("live", "staging")`` — readers
+atomically cut over — then drop the staging name holding the old data.
+Re-indexing in place would instead serve from a half-built index for
+hours.
 
-- create: write the collection directory first, then add the manifest
-  entry (crash between ⇒ orphan dir).
-- drop: remove the manifest entry first, then delete the directory
-  (crash between ⇒ orphan dir).
-- replace (create with ``overwrite`` / ``save_collection`` over an
-  existing name): manifest entry removed FIRST, then rmtree → configure
-  → entry re-added — every window in the sequence strands at most an
-  orphan dir, never an entry whose directory is missing or was
-  configured with different parameters than the manifest advertises.
-- init with ``overwrite``: empty manifest first, then the rmtree.
-
-A directory not listed in the manifest is therefore always an
-interrupted create (empty) or an interrupted drop/replace (deletion was
-requested) — ``create_collection`` reclaims it without ``overwrite``.
+Crash discipline: directories are only ever CREATED before their
+manifest entry appears and DELETED after their entry is gone, so the
+only crash residue is an UNREFERENCED directory — never a manifest
+entry pointing at a missing or misconfigured directory.
+:meth:`Catalog.vacuum` reclaims unreferenced directories; it is always
+safe because a directory the manifest doesn't reference is, by the
+ordering above, an interrupted create (no reader ever saw it) or an
+interrupted drop/replace (deletion was requested).
 
 Portable hand-off (`export_catalog` / `import_catalog`) is a manifest of
 manifests: each collection exports through core/portable.py (open
 parquet + count + order-insensitive xxhash64-XOR fingerprint + tier
-knobs), and the catalog-level manifest pins the collection set so an
-import verifies BOTH every collection's content fingerprint and that no
-collection was added/dropped/renamed in transit.
+knobs) keyed by NAME (directory ids are an installation-local detail and
+are regenerated on import), and the catalog-level manifest pins the
+collection set so an import verifies BOTH every collection's content
+fingerprint and that no collection was added/dropped/renamed in transit.
 """
 
 from __future__ import annotations
@@ -48,11 +49,12 @@ import json
 import os
 import re
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 from oasysdb_spark import errors
-from oasysdb_spark.core.config import Parameters, atomic_write_text
+from oasysdb_spark.core.config import atomic_write_text
 from oasysdb_spark.core.database import Database
 
 CATALOG_FILE = "catalog.json"
@@ -76,6 +78,10 @@ def _check_name(name: str) -> str:
     return name
 
 
+def _dir_id() -> str:
+    return uuid.uuid4().hex[:12]
+
+
 class Catalog:
     """A root directory of named collections, each a :class:`Database`.
 
@@ -83,7 +89,10 @@ class Catalog:
     (/root/reference/docs/changelog.md:350-368) in its Spark shape:
     `create_collection` / `save_collection` (create-or-replace, the
     v0.3 semantics) / `open_collection` (get) / `list_collections` /
-    `drop_collection`.
+    `drop_collection`, plus the name-indirection operations the
+    lineage never had but a production catalog needs:
+    `rename_collection`, `swap_collections` (atomic blue-green
+    cut-over), `vacuum`.
     """
 
     def __init__(self, spark: SparkSession, root: str):
@@ -107,8 +116,8 @@ class Catalog:
         coll_dir = os.path.join(root, COLLECTIONS_SUBDIR)
         cat = cls(spark, root)
         # empty manifest BEFORE the rmtree: a crash between the two
-        # strands orphan dirs (reclaimable), never manifest entries
-        # whose directories are gone (r11 self-review)
+        # strands unreferenced dirs (vacuum-able), never manifest
+        # entries whose directories are gone (r11 self-review)
         os.makedirs(root, exist_ok=True)
         cat._write_manifest({})
         if overwrite and os.path.isdir(coll_dir):
@@ -157,8 +166,14 @@ class Catalog:
             ),
         )
 
-    def _collection_dir(self, name: str) -> str:
-        return os.path.join(self.root, COLLECTIONS_SUBDIR, _check_name(name))
+    def _dir_path(self, dir_id: str) -> str:
+        return os.path.join(self.root, COLLECTIONS_SUBDIR, dir_id)
+
+    def _entry(self, collections: dict, name: str) -> dict:
+        _check_name(name)
+        if name not in collections:
+            raise errors.NotFoundError(f"no collection named {name!r}")
+        return collections[name]
 
     # ------------------------------------------------------------------
     # collection CRUD
@@ -174,36 +189,30 @@ class Catalog:
     ) -> Database:
         """Create an empty named collection with its OWN parameters
         (the catalog's point: per-collection dimension/metric/density,
-        /root/reference/docs/changelog.md:362-363)."""
+        /root/reference/docs/changelog.md:362-363). With ``overwrite``
+        an existing name is REPLACED: the new directory is configured
+        first, then one atomic manifest write repoints the name — a
+        reader sees the old collection or the new one, never neither —
+        and only then is the old directory deleted."""
         _check_name(name)
         collections = self._read_manifest()
-        if name in collections:
-            if not overwrite:
-                raise errors.InvalidArgumentError(
-                    f"collection {name!r} already exists; pass overwrite=True"
-                )
-            # replace = drop-then-create: the manifest entry goes FIRST,
-            # so every crash window in the sequence (entry removed →
-            # rmtree → configure → entry re-added) strands at most an
-            # orphan dir — never an entry pointing at a missing dir or
-            # at a dir configured with the new parameters while the
-            # manifest still advertises the old ones (r11 self-review)
-            del collections[name]
-            self._write_manifest(collections)
-        directory = self._collection_dir(name)
-        # a dir NOT in the manifest is always an interrupted create
-        # (empty, pre-manifest) or an interrupted drop/replace (deletion
-        # was requested) — reclaimable, no overwrite needed
-        if os.path.isdir(directory):
-            shutil.rmtree(directory)
+        if name in collections and not overwrite:
+            raise errors.InvalidArgumentError(
+                f"collection {name!r} already exists; pass overwrite=True"
+            )
+        old = collections.get(name)
+        dir_id = _dir_id()
         db = Database.configure(
-            self.spark, directory,
+            self.spark, self._dir_path(dir_id),
             dimension=dimension, metric=metric, density=density,
         )
         collections[name] = {
             "dimension": dimension, "metric": metric, "density": density,
+            "dir": dir_id,
         }
         self._write_manifest(collections)
+        if old is not None and os.path.isdir(self._dir_path(old["dir"])):
+            shutil.rmtree(self._dir_path(old["dir"]))
         return db
 
     def save_collection(
@@ -217,7 +226,10 @@ class Catalog:
         """Create-or-replace a collection from a records DataFrame —
         the v0.3 `save_collection` semantics ("create a new collection
         or update an existing one" by whole-collection replacement,
-        /root/reference/docs/changelog.md:350-368)."""
+        /root/reference/docs/changelog.md:350-368). NOTE: the records
+        load runs BEFORE the name repoints only in the create case; for
+        an atomic replace of a live name, load under a staging name and
+        :meth:`swap_collections`."""
         db = self.create_collection(
             name, dimension=dimension, metric=metric, density=density,
             overwrite=True,
@@ -227,20 +239,19 @@ class Catalog:
 
     def open_collection(self, name: str) -> Database:
         """Open a named collection (the `get_collection` analog)."""
-        _check_name(name)
-        if name not in self._read_manifest():
-            raise errors.NotFoundError(f"no collection named {name!r}")
-        return Database.open(self.spark, self._collection_dir(name))
+        entry = self._entry(self._read_manifest(), name)
+        return Database.open(self.spark, self._dir_path(entry["dir"]))
 
     def list_collections(self, counts: bool = False) -> list[dict]:
         """Sorted collection listing: name + Parameters, plus the record
         count when ``counts=True`` (a Spark job per collection)."""
         out = []
-        for name, params in sorted(self._read_manifest().items()):
-            row = {"name": name, **params}
+        for name, entry in sorted(self._read_manifest().items()):
+            row = {"name": name,
+                   **{k: v for k, v in entry.items() if k != "dir"}}
             if counts:
                 row["n_records"] = Database.open(
-                    self.spark, self._collection_dir(name)
+                    self.spark, self._dir_path(entry["dir"])
                 ).count()
             out.append(row)
         return out
@@ -248,16 +259,60 @@ class Catalog:
     def drop_collection(self, name: str) -> None:
         """Drop a named collection and delete its directory
         (NotFoundError if absent). Manifest entry goes first so a crash
-        strands an orphan dir, never a dangling entry."""
-        _check_name(name)
+        strands an unreferenced dir (vacuum-able), never a dangling
+        entry."""
         collections = self._read_manifest()
-        if name not in collections:
-            raise errors.NotFoundError(f"no collection named {name!r}")
+        entry = self._entry(collections, name)
         del collections[name]
         self._write_manifest(collections)
-        directory = self._collection_dir(name)
+        directory = self._dir_path(entry["dir"])
         if os.path.isdir(directory):
             shutil.rmtree(directory)
+
+    # ------------------------------------------------------------------
+    # atomic name operations (one manifest write each)
+    # ------------------------------------------------------------------
+
+    def rename_collection(self, name: str, to: str) -> None:
+        """Atomically rename a collection: one manifest write, no data
+        movement (the directory id travels with the entry)."""
+        _check_name(to)
+        collections = self._read_manifest()
+        entry = self._entry(collections, name)
+        if to in collections:
+            raise errors.InvalidArgumentError(
+                f"collection {to!r} already exists; drop it or swap instead"
+            )
+        del collections[name]
+        collections[to] = entry
+        self._write_manifest(collections)
+
+    def swap_collections(self, a: str, b: str) -> None:
+        """Atomically exchange two collection names — parameters and
+        data travel together, readers see pre-swap or post-swap and
+        nothing in between. THE blue-green reindex primitive: build the
+        re-encoded/re-indexed copy under a staging name, swap it with
+        the live name, drop the staging name (now holding the old
+        data). One manifest write; no bytes move."""
+        collections = self._read_manifest()
+        ea, eb = self._entry(collections, a), self._entry(collections, b)
+        collections[a], collections[b] = eb, ea
+        self._write_manifest(collections)
+
+    def vacuum(self) -> list[str]:
+        """Delete unreferenced collection directories (crash residue
+        from an interrupted create/drop/replace — safe by the module's
+        ordering discipline: no reader can hold a manifest that
+        references them). Returns the removed directory ids."""
+        collections = self._read_manifest()
+        referenced = {e["dir"] for e in collections.values()}
+        coll_root = os.path.join(self.root, COLLECTIONS_SUBDIR)
+        removed = []
+        for d in sorted(os.listdir(coll_root)) if os.path.isdir(coll_root) else []:
+            if d not in referenced:
+                shutil.rmtree(os.path.join(coll_root, d))
+                removed.append(d)
+        return removed
 
 
 # ----------------------------------------------------------------------
@@ -270,7 +325,8 @@ def export_catalog(catalog: Catalog, out_dir: str,
     """Export every collection as a portable snapshot under
     ``out_dir/collections/<name>/`` plus a catalog-level manifest
     pinning the collection SET (names + per-collection record counts +
-    fingerprints). Returns the catalog manifest."""
+    fingerprints). Snapshot subdirectories are keyed by NAME, not by
+    the installation-local directory id. Returns the catalog manifest."""
     from oasysdb_spark.core.portable import export_db
 
     manifest_path = os.path.join(out_dir, CATALOG_SNAPSHOT_FILE)
@@ -322,7 +378,8 @@ def import_catalog(
     import runs), then imports each collection through
     :func:`core.portable.import_db` — which re-verifies each
     collection's count + fingerprint and rebuilds its recorded index
-    tiers. Returns the opened :class:`Catalog`.
+    tiers. Directory ids are regenerated locally. Returns the opened
+    :class:`Catalog`.
     """
     from oasysdb_spark.core.portable import MANIFEST_FILE, import_db
 
@@ -354,10 +411,11 @@ def import_catalog(
     cat = Catalog.init(spark, dest_root, overwrite=overwrite)
     collections = {}
     for name in sorted(expected):
+        dir_id = _dir_id()
         db = import_db(
             spark,
             os.path.join(sub_root, name),
-            cat._collection_dir(name),
+            cat._dir_path(dir_id),
             rebuild_indexes=rebuild_indexes,
             verify=verify,
         )
@@ -365,6 +423,7 @@ def import_catalog(
             "dimension": db.params.dimension,
             "metric": db.params.metric,
             "density": db.params.density,
+            "dir": dir_id,
         }
         # per-collection manifest write: already-imported collections
         # stay listed/openable if a later one fails. A crashed import

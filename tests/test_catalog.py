@@ -133,25 +133,80 @@ def test_catalog_lifecycle_two_collections_independent_tiers(spark, tmp_path):
         Catalog.open(spark, str(tmp_path / "nowhere"))
 
 
-def test_orphan_directory_reclaimed(spark, tmp_path):
-    """Crash-window recovery: the mutation ordering guarantees a dir
-    not in the manifest is an interrupted create (empty) or an
-    interrupted drop (user asked for deletion) — create_collection
-    reclaims it without overwrite instead of surfacing Database's
-    'already configured' refusal."""
+def test_orphan_directory_vacuum(spark, tmp_path):
+    """Crash-window recovery: the ordering discipline (dirs created
+    before their entry, deleted after it) means the only crash residue
+    is an UNREFERENCED directory — a fresh create of the same name
+    works immediately (new dir id) and vacuum() reclaims exactly the
+    unreferenced dirs, touching nothing the manifest references."""
     root = str(tmp_path / "cat")
     cat = Catalog.init(spark, root)
     db = cat.create_collection("docs", dimension=2)
     _fill(db, 5, 2)
+    keep = cat.create_collection("keep", dimension=2)
     # simulate a drop killed between manifest update and rmtree
     manifest = cat._read_manifest()
     del manifest["docs"]
     cat._write_manifest(manifest)
-    assert os.path.isdir(db.dir)  # the orphan
+    assert os.path.isdir(db.dir)  # the unreferenced residue
     with pytest.raises(errors.NotFoundError):
         cat.open_collection("docs")
-    db2 = cat.create_collection("docs", dimension=3)  # no overwrite needed
+    db2 = cat.create_collection("docs", dimension=3)  # name free again
     assert db2.count() == 0 and db2.params.dimension == 3
+    removed = cat.vacuum()
+    assert removed == [os.path.basename(db.dir)]
+    assert not os.path.isdir(db.dir)
+    assert os.path.isdir(keep.dir) and os.path.isdir(db2.dir)
+    assert cat.vacuum() == []  # idempotent
+
+
+def test_rename_swap_and_blue_green_reindex(spark, tmp_path):
+    """The atomic name operations: rename is one manifest write with
+    the data travelling by reference; swap is THE blue-green reindex
+    cut-over — a live name atomically repoints to a rebuilt collection
+    (different density + an IVF tier) while the staging name ends up
+    holding the old data for inspection-then-drop."""
+    from oasysdb_spark.index.ivf import build_index
+
+    root = str(tmp_path / "cat")
+    cat = Catalog.init(spark, root)
+    live = cat.create_collection("live", dimension=4, density=64)
+    _fill(live, 40, 4)
+
+    # rename: data travels with the entry, old name gone
+    cat.rename_collection("live", "corpus")
+    assert cat.open_collection("corpus").count() == 40
+    with pytest.raises(errors.NotFoundError):
+        cat.open_collection("live")
+    with pytest.raises(errors.NotFoundError):
+        cat.rename_collection("live", "x")
+    cat.create_collection("other", dimension=2)
+    with pytest.raises(errors.InvalidArgumentError):
+        cat.rename_collection("corpus", "other")  # target exists
+
+    # blue-green: build the re-indexed copy aside, then swap
+    staging = cat.create_collection("corpus_staging", dimension=4, density=8)
+    _fill(staging, 60, 4, scale=0.5)
+    build_index(staging, k=3)
+    old_dir = cat.open_collection("corpus").dir
+    new_dir = staging.dir
+    cat.swap_collections("corpus", "corpus_staging")
+    # readers of the live name now see the rebuilt collection —
+    # parameters AND data travelled together, atomically
+    cut_over = cat.open_collection("corpus")
+    assert cut_over.dir == new_dir
+    assert cut_over.count() == 60 and cut_over.params.density == 8
+    assert cut_over.is_indexed()
+    assert len(cut_over.query_df(_vecs(1, 4)[0], k=5, probes=2).collect()) == 5
+    # the staging name holds the old data until dropped
+    parked = cat.open_collection("corpus_staging")
+    assert parked.dir == old_dir and parked.count() == 40
+    cat.drop_collection("corpus_staging")
+    assert not os.path.isdir(old_dir)
+    assert cat.open_collection("corpus").count() == 60
+
+    with pytest.raises(errors.NotFoundError):
+        cat.swap_collections("corpus", "corpus_staging")
 
 
 def test_save_collection_create_or_replace(spark, tmp_path):
@@ -271,3 +326,17 @@ def test_catalog_cli_roundtrip(spark, tmp_path, capsys):
     assert cli.main(["catalog-list", "--root", root]) == 0
     listed = json.loads(capsys.readouterr().out.strip())["collections"]
     assert [c["name"] for c in listed] == ["docs"]
+
+    # name ops + vacuum through the CLI
+    assert cli.main(["catalog-rename", "--root", root,
+                     "--name", "docs", "--to", "corpus"]) == 0
+    assert cli.main(["catalog-create", "--root", root, "--name", "docs",
+                     "--dimension", "4"]) == 0
+    assert cli.main(["catalog-swap", "--root", root,
+                     "--a", "corpus", "--b", "docs"]) == 0
+    cat2 = Catalog.open(spark, root)
+    assert cat2.open_collection("docs").count() == 30  # swapped back in
+    assert cat2.open_collection("corpus").count() == 0
+    capsys.readouterr()
+    assert cli.main(["catalog-vacuum", "--root", root]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["removed_dirs"] == []
