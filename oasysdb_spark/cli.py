@@ -343,6 +343,11 @@ def build_parser() -> argparse.ArgumentParser:
                  help="delete unreferenced collection directories "
                  "(crash residue from an interrupted create/drop/"
                  "replace)")
+    cv.add_argument("--min-age", type=float, default=3600.0,
+                    help="only remove residue older than this many "
+                    "seconds (grace window against an in-flight "
+                    "concurrent create); 0 if no concurrent writer "
+                    "can exist")
 
     ce = add_cat("export-catalog",
                  help="export the whole catalog as a portable snapshot "
@@ -571,7 +576,9 @@ def main(argv: list[str] | None = None) -> int:
             Catalog.open(spark, args.root).swap_collections(args.a, args.b)
             _emit({"ok": True, "root": args.root, "swapped": [args.a, args.b]})
         elif args.cmd == "catalog-vacuum":
-            removed = Catalog.open(spark, args.root).vacuum()
+            removed = Catalog.open(spark, args.root).vacuum(
+                min_age_seconds=args.min_age
+            )
             _emit({"ok": True, "root": args.root, "removed_dirs": removed})
         elif args.cmd == "export-catalog":
             manifest = export_catalog(

@@ -29,10 +29,12 @@ Crash discipline: directories are only ever CREATED before their
 manifest entry appears and DELETED after their entry is gone, so the
 only crash residue is an UNREFERENCED directory — never a manifest
 entry pointing at a missing or misconfigured directory.
-:meth:`Catalog.vacuum` reclaims unreferenced directories; it is always
-safe because a directory the manifest doesn't reference is, by the
-ordering above, an interrupted create (no reader ever saw it) or an
-interrupted drop/replace (deletion was requested).
+:meth:`Catalog.vacuum` reclaims unreferenced directories: by the
+ordering above a directory the manifest doesn't reference is an
+interrupted create (no reader ever saw it) or an interrupted
+drop/replace (deletion was requested) — plus, transiently, a CONCURRENT
+create's not-yet-committed directory, which vacuum spares via its
+listdir-before-manifest ordering and age-grace window (see the method).
 
 Portable hand-off (`export_catalog` / `import_catalog`) is a manifest of
 manifests: each collection exports through core/portable.py (open
@@ -58,7 +60,10 @@ from oasysdb_spark.core.config import atomic_write_text
 from oasysdb_spark.core.database import Database
 
 CATALOG_FILE = "catalog.json"
-CATALOG_FORMAT = "oasysdb-spark-catalog/1"
+# /2: entries gained the required "dir" key (name→directory-id
+# indirection) and data dirs moved from name-keyed to id-keyed — a /1
+# catalog must refuse cleanly at the format check, not KeyError later
+CATALOG_FORMAT = "oasysdb-spark-catalog/2"
 COLLECTIONS_SUBDIR = "collections"
 
 CATALOG_SNAPSHOT_FILE = "catalog_manifest.json"
@@ -226,15 +231,28 @@ class Catalog:
         """Create-or-replace a collection from a records DataFrame —
         the v0.3 `save_collection` semantics ("create a new collection
         or update an existing one" by whole-collection replacement,
-        /root/reference/docs/changelog.md:350-368). NOTE: the records
-        load runs BEFORE the name repoints only in the create case; for
-        an atomic replace of a live name, load under a staging name and
-        :meth:`swap_collections`."""
-        db = self.create_collection(
-            name, dimension=dimension, metric=metric, density=density,
-            overwrite=True,
+        /root/reference/docs/changelog.md:350-368). The records load
+        runs into a fresh unreferenced directory BEFORE the name
+        repoints (blue-green in miniature): a failed load leaves the
+        existing collection untouched — only vacuum-able residue — and
+        readers atomically see the old collection until the new one is
+        fully loaded."""
+        _check_name(name)
+        collections = self._read_manifest()
+        old = collections.get(name)
+        dir_id = _dir_id()
+        db = Database.configure(
+            self.spark, self._dir_path(dir_id),
+            dimension=dimension, metric=metric, density=density,
         )
-        db.insert_batch(records)
+        db.insert_batch(records)  # fails ⇒ old data never touched
+        collections[name] = {
+            "dimension": dimension, "metric": metric, "density": density,
+            "dir": dir_id,
+        }
+        self._write_manifest(collections)
+        if old is not None and os.path.isdir(self._dir_path(old["dir"])):
+            shutil.rmtree(self._dir_path(old["dir"]))
         return db
 
     def open_collection(self, name: str) -> Database:
@@ -299,18 +317,40 @@ class Catalog:
         collections[a], collections[b] = eb, ea
         self._write_manifest(collections)
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
         """Delete unreferenced collection directories (crash residue
-        from an interrupted create/drop/replace — safe by the module's
-        ordering discipline: no reader can hold a manifest that
-        references them). Returns the removed directory ids."""
-        collections = self._read_manifest()
-        referenced = {e["dir"] for e in collections.values()}
+        from an interrupted create/drop/replace). Returns the removed
+        directory ids.
+
+        Two safeguards against racing a CONCURRENT writer (r11 review):
+        the directory listing is taken BEFORE the manifest read, so any
+        create that commits its manifest entry in between is spared by
+        the newer reference set; and only residue older than
+        ``min_age_seconds`` is touched (directory mtime), so an
+        in-flight create that has configured its directory but not yet
+        committed its entry is spared by age. Run with the default
+        grace unless no concurrent writer can exist (e.g. tests:
+        ``min_age_seconds=0``) — a single-process catalog needs no
+        grace at all."""
+        import time
+
         coll_root = os.path.join(self.root, COLLECTIONS_SUBDIR)
+        listing = sorted(os.listdir(coll_root)) if os.path.isdir(coll_root) else []
+        referenced = {e["dir"] for e in self._read_manifest().values()}
+        now = time.time()
         removed = []
-        for d in sorted(os.listdir(coll_root)) if os.path.isdir(coll_root) else []:
-            if d not in referenced:
-                shutil.rmtree(os.path.join(coll_root, d))
+        for d in listing:
+            path = os.path.join(coll_root, d)
+            # skip stray plain files (not ours to delete) and anything
+            # the (newer) manifest references
+            if d in referenced or not os.path.isdir(path):
+                continue
+            try:
+                age = now - os.path.getmtime(path)
+            except OSError:
+                continue  # vanished concurrently
+            if age >= min_age_seconds:
+                shutil.rmtree(path)
                 removed.append(d)
         return removed
 

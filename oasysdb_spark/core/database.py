@@ -58,6 +58,10 @@ RECORD_SCHEMA = T.StructType(
 
 _PARAMS_FILE = "params.json"
 
+# embedded in insert_batch's in-task dimension guard; the API-boundary
+# translator keys on it (same mechanism as similarity_join's d=2 guard)
+_BATCH_DIM_GUARD_MARK = "insert_batch: every vector must have dimension {dim}"
+
 
 def split_metadata(metadata: dict[str, Any] | None):
     """Split a python metadata dict into the three typed maps.
@@ -313,8 +317,41 @@ class Database:
         the matching cluster partitions; density-triggered splits are a
         separate maintenance job (index/ivf.py) — at scale you never want
         index surgery on the ingest hot path.
+
+        Dimension validation (reference: EVERY inserted vector,
+        /root/reference/src/cores/database.rs:189-199): the single-record
+        path checks driver-side (:meth:`_validate_dim`); here the check
+        is an ``assert_true`` folded into the ingest projection — zero
+        extra scans, the same in-task-guard pattern as
+        ``similarity_join.typed_overlength_errors`` — and the job error
+        is translated back to the typed :class:`InvalidArgumentError` at
+        this API boundary. A failed batch never commits: the versioned
+        table's pointer only swaps after a successful write.
         """
         df = normalize_records(df)
+        dim = int(self.params.dimension)
+        df = df.withColumn(
+            "embedding",
+            F.when(
+                F.assert_true(
+                    F.size("embedding") == F.lit(dim),
+                    F.lit(_BATCH_DIM_GUARD_MARK.format(dim=dim)),
+                ).isNull(),
+                F.col("embedding"),
+            ),
+        )
+        try:
+            self._insert_batch_body(df)
+        except errors.OasysError:
+            raise
+        except Exception as exc:  # translate the in-task guard failure
+            if _BATCH_DIM_GUARD_MARK.format(dim=dim) in str(exc):
+                raise errors.InvalidArgumentError(
+                    _BATCH_DIM_GUARD_MARK.format(dim=dim)
+                ) from exc
+            raise
+
+    def _insert_batch_body(self, df: DataFrame) -> None:
         from oasysdb_spark.index.pq import (
             encode,
             encode_residual,

@@ -153,11 +153,19 @@ def test_orphan_directory_vacuum(spark, tmp_path):
         cat.open_collection("docs")
     db2 = cat.create_collection("docs", dimension=3)  # name free again
     assert db2.count() == 0 and db2.params.dimension == 3
-    removed = cat.vacuum()
+    # a stray plain file under collections/ is skipped, not rmtree'd
+    stray = os.path.join(root, "collections", ".DS_Store")
+    with open(stray, "w") as f:
+        f.write("x")
+    # default grace spares fresh residue (an in-flight concurrent
+    # create looks exactly like this); zero grace reclaims it
+    assert cat.vacuum() == []
+    removed = cat.vacuum(min_age_seconds=0)
     assert removed == [os.path.basename(db.dir)]
     assert not os.path.isdir(db.dir)
     assert os.path.isdir(keep.dir) and os.path.isdir(db2.dir)
-    assert cat.vacuum() == []  # idempotent
+    assert os.path.exists(stray)
+    assert cat.vacuum(min_age_seconds=0) == []  # idempotent
 
 
 def test_rename_swap_and_blue_green_reindex(spark, tmp_path):
@@ -229,6 +237,18 @@ def test_save_collection_create_or_replace(spark, tmp_path):
     db = cat.open_collection("vectors")
     assert db.count() == 4 and db.params.dimension == 3
     assert {r[0][:1] for r in _records_sorted(db)} == {"b"}
+
+    # a FAILED replace load must leave the existing collection intact
+    # (the load runs into an unreferenced dir before the name repoints
+    # — r11 review: the old order rmtree'd the live data first)
+    bad = spark.createDataFrame(
+        [("c0", [1.0, 2.0], None, None, None)], df1.schema
+    )  # wrong dimension for the declared 3
+    with pytest.raises(errors.InvalidArgumentError):
+        cat.save_collection("vectors", bad, dimension=3)
+    db = cat.open_collection("vectors")
+    assert db.count() == 4 and db.params.metric == "cosine"
+    assert cat.vacuum(min_age_seconds=0) != []  # only residue to reap
 
 
 def test_catalog_portable_roundtrip_and_tamper_refusal(spark, tmp_path):

@@ -133,6 +133,20 @@ def test_bulk_delete_via_ids_dataframe(spark, tmp_path):
     db.delete(ids_df)
     assert db.count() == 2_000
 
+    # batch dimension validation (reference: EVERY inserted vector,
+    # database.rs:189-199): one wrong-dim row anywhere in the batch
+    # refuses with the TYPED error — in-task assert_true, zero extra
+    # scans — and the failed batch never commits (r11 review: the
+    # batch path previously skipped the single-record path's check)
+    bad = [(f"b{i}", [1.0, 2.0] if i != 7 else [1.0, 2.0, 3.0], {}, {}, {})
+           for i in range(10)]
+    with pytest.raises(InvalidArgumentError, match="dimension 2"):
+        db.insert_batch(spark.createDataFrame(
+            bad, "id string, embedding array<float>, "
+            "m_text map<string,string>, m_num map<string,double>, "
+            "m_bool map<string,boolean>"))
+    assert db.count() == 2_000
+
 
 def test_configure_refuses_overwrite(spark, tmp_path):
     d = str(tmp_path / "db5")
