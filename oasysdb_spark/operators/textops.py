@@ -481,38 +481,54 @@ def prepare_training_corpus(
     docs = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))
     quality = quality_rules(F.col("text"), toks)
+    # Stage layout (r11 consolidation — same filters, same order, same
+    # counts; fewer materializations): pass A caches only what the
+    # quality gate needs (q + pl), with n_raw and n_clean folded into
+    # ONE aggregation over it; the fingerprint/BPE-count/shingle work
+    # moves into pass B where it runs on REP SURVIVORS only instead of
+    # every raw doc. Two text materializations instead of three, and
+    # fp/bpe never computed on rows the early gates drop.
     scored = docs.select(
         "doc_id",
         "text",
         quality.alias("q"),
         predict_lang(toks).alias("pl"),
-        doc_fingerprint(F.col("text")).alias("fp"),
-        token_count_bpe(F.col("text")).cast("bigint").alias("bpe"),
-    )
-    n_raw = docs.count()
-    clean = scored.where((F.col("q") >= 3) & (F.col("pl") == "en")).cache()
-    n_clean = clean.count()
+    ).cache()
+    keep = (F.col("q") >= 3) & (F.col("pl") == "en")
+    head_counts = scored.agg(
+        F.count("*").alias("n_raw"),
+        F.sum(keep.cast("bigint")).alias("n_clean"),
+    ).first()
+    n_raw = int(head_counts["n_raw"])
+    n_clean = int(head_counts["n_clean"] or 0)
+    clean = scored.where(keep)
 
     # Gopher repetition filter: the template/spam rules run right after
     # the format rules, before anything expensive touches the text —
-    # row-local Arrow pass, same flags as text_repetition_stats
+    # row-local Arrow pass, same flags as text_repetition_stats. The
+    # filter sits BEFORE the projection, so fp/bpe/grams are computed
+    # only on rows that pass it.
     rep_kept = (
         clean.withColumn("rep", _rep_struct_udf()(F.col("text")))
         .where(_rep_pass(F.col("rep")))
-        .drop("rep")
+        .select(
+            "doc_id",
+            "text",
+            doc_fingerprint(F.col("text")).alias("fp"),
+            token_count_bpe(F.col("text")).cast("bigint").alias("bpe"),
+            word_shingles(tokens(F.col("text")), n=3).alias("grams"),
+        )
         .cache()
     )
     n_rep = rep_kept.count()
+    scored.unpersist()  # nothing downstream reads pass A again
 
     # boilerplate scrub: mine the top-DF n-grams over the quality
     # survivors, drop docs carrying >= boiler_min_hits of them (row-local
     # array_intersect against the driver-collected top_n-row mined set —
     # no join, no extra shuffle beyond the mining count)
-    shingled = rep_kept.withColumn(
-        "grams", word_shingles(tokens(F.col("text")), n=3)
-    ).cache()
-    _, boiler = _mine_boilerplate(shingled, boiler_top_n)
-    scrubbed = shingled.where(
+    _, boiler = _mine_boilerplate(rep_kept, boiler_top_n)
+    scrubbed = rep_kept.where(
         F.size(F.array_intersect(F.col("grams"), boiler)) < boiler_min_hits
     ).drop("grams").cache()
     n_scrubbed = scrubbed.count()
@@ -557,10 +573,12 @@ def prepare_training_corpus(
     # a long-lived session calling the pipeline repeatedly (the bench
     # does; an hourly curation job would) must not accumulate one set
     # of cached stage frames per call (r10 — the pipeline is now
-    # bench-tracked per round, which made the leak visible)
-    for staged in (clean, rep_kept, shingled, scrubbed):
+    # bench-tracked per round, which made the leak visible; r11 adds
+    # the two frames exact_then_near_dedup caches internally — they
+    # were missing from the release set)
+    for stage_df in (rep_kept, scrubbed, exact_unique, final):
         try:
-            staged.unpersist()
+            stage_df.unpersist()
         except Exception:
             pass
 
