@@ -96,8 +96,13 @@ def cross_source_duplication(docs: DataFrame) -> DataFrame:
     ).agg(F.count("*").alias("c"))
     a, b = h.alias("a"), h.alias("b")
     same = F.col("a.source") == F.col("b.source")
+    # within-source C(c,2) in exact integer math (c·(c−1) is always
+    # even; shiftright halves it without the /2.0 double round-trip,
+    # which loses integer precision past 2^53 — the DuckDB oracle's
+    # `//` form was already exact; r11 self-review, same class as
+    # simhash_band_health's cand_pairs)
     n_pairs = F.when(
-        same, (F.col("a.c") * (F.col("a.c") - 1) / 2).cast("bigint")
+        same, F.shiftright(F.col("a.c") * (F.col("a.c") - 1), 1)
     ).otherwise((F.col("a.c") * F.col("b.c")).cast("bigint"))
     return (
         a.join(
