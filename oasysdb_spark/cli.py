@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--dimension", type=int, required=True)
     c.add_argument("--metric", default="euclidean")
     c.add_argument("--density", type=int, default=256)
+    c.add_argument("--relevancy", type=float, default=-1.0,
+                   help="default max-distance cutoff for queries that "
+                   "pass no --radius (the v0.4-lineage per-collection "
+                   "threshold; <=0 disables)")
     c.add_argument("--overwrite", action="store_true")
 
     add("heartbeat", help="engine version")
@@ -316,6 +320,9 @@ def build_parser() -> argparse.ArgumentParser:
     cc.add_argument("--dimension", type=int, required=True)
     cc.add_argument("--metric", default="euclidean")
     cc.add_argument("--density", type=int, default=256)
+    cc.add_argument("--relevancy", type=float, default=-1.0,
+                    help="default max-distance cutoff for queries that "
+                    "pass no --radius (<=0 disables)")
     cc.add_argument("--overwrite", action="store_true")
 
     cl = add_cat("catalog-list", help="list collections (name + parameters)")
@@ -378,7 +385,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "configure":
         Database.configure(
             spark, args.dir, dimension=args.dimension, metric=args.metric,
-            density=args.density, overwrite=args.overwrite,
+            density=args.density, relevancy=args.relevancy,
+            overwrite=args.overwrite,
         )
         _emit({"ok": True, "dir": args.dir})
         return 0
@@ -559,7 +567,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "catalog-create":
             Catalog.open(spark, args.root).create_collection(
                 args.name, dimension=args.dimension, metric=args.metric,
-                density=args.density, overwrite=args.overwrite,
+                density=args.density, relevancy=args.relevancy,
+                overwrite=args.overwrite,
             )
             _emit({"ok": True, "root": args.root, "name": args.name})
         elif args.cmd == "catalog-list":

@@ -190,6 +190,7 @@ class Catalog:
         dimension: int,
         metric: str = "euclidean",
         density: int = 256,
+        relevancy: float = -1.0,
         overwrite: bool = False,
     ) -> Database:
         """Create an empty named collection with its OWN parameters
@@ -210,10 +211,11 @@ class Catalog:
         db = Database.configure(
             self.spark, self._dir_path(dir_id),
             dimension=dimension, metric=metric, density=density,
+            relevancy=relevancy,
         )
         collections[name] = {
             "dimension": dimension, "metric": metric, "density": density,
-            "dir": dir_id,
+            "relevancy": relevancy, "dir": dir_id,
         }
         self._write_manifest(collections)
         if old is not None and os.path.isdir(self._dir_path(old["dir"])):
@@ -227,6 +229,7 @@ class Catalog:
         dimension: int,
         metric: str = "euclidean",
         density: int = 256,
+        relevancy: float = -1.0,
     ) -> Database:
         """Create-or-replace a collection from a records DataFrame —
         the v0.3 `save_collection` semantics ("create a new collection
@@ -244,11 +247,12 @@ class Catalog:
         db = Database.configure(
             self.spark, self._dir_path(dir_id),
             dimension=dimension, metric=metric, density=density,
+            relevancy=relevancy,
         )
         db.insert_batch(records)  # fails ⇒ old data never touched
         collections[name] = {
             "dimension": dimension, "metric": metric, "density": density,
-            "dir": dir_id,
+            "relevancy": relevancy, "dir": dir_id,
         }
         self._write_manifest(collections)
         if old is not None and os.path.isdir(self._dir_path(old["dir"])):
@@ -463,6 +467,7 @@ def import_catalog(
             "dimension": db.params.dimension,
             "metric": db.params.metric,
             "density": db.params.density,
+            "relevancy": db.params.relevancy,
             "dir": dir_id,
         }
         # per-collection manifest write: already-imported collections

@@ -18,11 +18,19 @@ from oasysdb_spark.functions.vectors import METRICS
 
 @dataclass(frozen=True)
 class Parameters:
-    """Static, set once at configure time (/root/reference/src/main.rs:72-102)."""
+    """Static, set once at configure time (/root/reference/src/main.rs:72-102).
+
+    ``relevancy`` restores the v0.4-lineage per-COLLECTION distance
+    cutoff (`collection.relevancy = 3.0`,
+    /root/reference/docs/changelog.md:322-331): the default radius for
+    queries that pass none. Any value ≤ 0 means disabled — the
+    lineage's own sentinel is -1.0 — and an explicit per-query
+    ``radius`` always wins (the v0.8 QueryParameters semantics)."""
 
     dimension: int
     metric: str = "euclidean"
     density: int = 256
+    relevancy: float = -1.0
 
     def __post_init__(self):
         if self.dimension <= 0:
@@ -33,7 +41,12 @@ class Parameters:
             )
         if self.density <= 0:
             raise InvalidArgumentError("density must be positive")
+        if not isinstance(self.relevancy, (int, float)) or math.isnan(
+            self.relevancy
+        ):
+            raise InvalidArgumentError("relevancy must be a number (≤0 disables)")
         object.__setattr__(self, "metric", self.metric.lower())
+        object.__setattr__(self, "relevancy", float(self.relevancy))
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)

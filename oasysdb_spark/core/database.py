@@ -143,17 +143,21 @@ class Database:
         dimension: int,
         metric: str = "euclidean",
         density: int = 256,
+        relevancy: float = -1.0,
         overwrite: bool = False,
     ) -> "Database":
         """Create a fresh database directory (reference `configure` CLI,
         /root/reference/src/cores/database.rs:79-109). Refuses to clobber an
-        existing one unless ``overwrite`` (the CLI prompts interactively)."""
+        existing one unless ``overwrite`` (the CLI prompts interactively).
+        ``relevancy`` is the v0.4-lineage per-collection default distance
+        cutoff (≤0 disables — see :class:`Parameters`)."""
         params_path = os.path.join(directory, _PARAMS_FILE)
         if os.path.exists(params_path) and not overwrite:
             raise errors.InvalidArgumentError(
                 f"database already configured at {directory}; pass overwrite=True"
             )
-        params = Parameters(dimension=dimension, metric=metric, density=density)
+        params = Parameters(dimension=dimension, metric=metric,
+                            density=density, relevancy=relevancy)
         os.makedirs(directory, exist_ok=True)
         db = cls(spark, directory, params)
         empty = spark.createDataFrame([], RECORD_SCHEMA)
@@ -168,6 +172,12 @@ class Database:
         with open(os.path.join(directory, _PARAMS_FILE), encoding="utf-8") as f:
             params = Parameters.from_json(f.read())
         return cls(spark, directory, params)
+
+    def _default_radius(self) -> float:
+        """The radius applied when a query passes none: the collection's
+        v0.4-lineage ``relevancy`` threshold if enabled, else ∞
+        (/root/reference/docs/changelog.md:322-331)."""
+        return self.params.relevancy if self.params.relevancy > 0 else math.inf
 
     def heartbeat(self) -> str:
         """Version string (/root/reference/src/cores/database.rs:204-213)."""
@@ -652,7 +662,7 @@ class Database:
             )
         qp = QueryParameters(
             probes=probes if probes is not None else 32,
-            radius=radius if radius is not None else math.inf,
+            radius=radius if radius is not None else self._default_radius(),
         )
         pred = compile_filter(filter, MapLayout())
 
@@ -962,7 +972,8 @@ class Database:
                 )
         n_probes = probes if probes is not None else 32
         qp = QueryParameters(
-            probes=n_probes, radius=radius if radius is not None else math.inf
+            probes=n_probes,
+            radius=radius if radius is not None else self._default_radius(),
         )
         pred = compile_filter(filter, MapLayout())
 

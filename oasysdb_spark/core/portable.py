@@ -190,6 +190,7 @@ def export_db(db, out_dir: str, overwrite: bool = False) -> dict:
             "dimension": db.params.dimension,
             "metric": db.params.metric,
             "density": db.params.density,
+            "relevancy": db.params.relevancy,
         },
         "n_records": n,
         "fingerprint_xxh64_xor": fp,
@@ -232,6 +233,8 @@ def import_db(
         dimension=int(params["dimension"]),
         metric=params["metric"],
         density=int(params["density"]),
+        # pre-r11 snapshots carry no relevancy — default = disabled
+        relevancy=float(params.get("relevancy", -1.0)),
         overwrite=overwrite,
     )
     records = spark.read.parquet(os.path.join(in_dir, RECORDS_SUBDIR))
@@ -417,6 +420,7 @@ def export_delta(db, out_dir: str, base_snapshot_dir: str,
             "dimension": db.params.dimension,
             "metric": db.params.metric,
             "density": db.params.density,
+            "relevancy": db.params.relevancy,
         },
         "base_snapshot": os.path.basename(os.path.normpath(base_snapshot_dir)),
         "base_n_records": base_n,

@@ -85,8 +85,10 @@ def test_catalog_lifecycle_two_collections_independent_tiers(spark, tmp_path):
     _fill(imgs, 80, 4, scale=0.5)
 
     assert cat.list_collections() == [
-        {"name": "docs", "dimension": 6, "metric": "cosine", "density": 16},
-        {"name": "imgs", "dimension": 4, "metric": "euclidean", "density": 8},
+        {"name": "docs", "dimension": 6, "metric": "cosine", "density": 16,
+         "relevancy": -1.0},
+        {"name": "imgs", "dimension": 4, "metric": "euclidean", "density": 8,
+         "relevancy": -1.0},
     ]
     counted = cat.list_collections(counts=True)
     assert [(c["name"], c["n_records"]) for c in counted] == [

@@ -148,6 +148,46 @@ def test_bulk_delete_via_ids_dataframe(spark, tmp_path):
     assert db.count() == 2_000
 
 
+def test_relevancy_default_radius(spark, tmp_path):
+    """The v0.4-lineage per-collection `relevancy` threshold
+    (/root/reference/docs/changelog.md:322-331): a persisted default
+    max-distance cutoff for queries that pass NO radius; disabled at
+    ≤0 (the lineage's -1.0 sentinel); an explicit per-query radius —
+    including math.inf — always wins. Survives reopen and the portable
+    round-trip (Parameters carry it through both manifests)."""
+    import math
+
+    from oasysdb_spark.core.portable import export_db, import_db
+
+    d = str(tmp_path / "db_rel")
+    db = Database.configure(spark, d, dimension=2, relevancy=2.0)
+    for i in range(5):
+        db.insert([float(i), 0.0], record_id=f"r{i}")
+    # squared-euclidean distances from origin: 0, 1, 4, 9, 16
+    hits = db.query([0.0, 0.0], k=10)
+    assert [h["id"] for h in hits] == ["r0", "r1"]  # cutoff at 2.0
+    # explicit radius wins — wider AND infinite
+    assert len(db.query([0.0, 0.0], k=10, radius=10.0)) == 4
+    assert len(db.query([0.0, 0.0], k=10, radius=math.inf)) == 5
+    # batched path honors the same default
+    res = db.query_many([[0.0, 0.0]], k=10)
+    assert [h["id"] for h in res[0]] == ["r0", "r1"]
+    # persisted: reopen sees it; disabled sentinel round-trips too
+    assert Database.open(spark, d).params.relevancy == 2.0
+    assert Database.configure(
+        spark, str(tmp_path / "db_rel2"), dimension=2
+    ).params.relevancy == -1.0
+    # portable round-trip carries the threshold
+    snap = str(tmp_path / "snap_rel")
+    export_db(db, snap)
+    db2 = import_db(spark, snap, str(tmp_path / "db_rel_imp"))
+    assert db2.params.relevancy == 2.0
+    assert [h["id"] for h in db2.query([0.0, 0.0], k=10)] == ["r0", "r1"]
+    with pytest.raises(InvalidArgumentError):
+        Database.configure(spark, str(tmp_path / "db_rel3"), dimension=2,
+                           relevancy=float("nan"))
+
+
 def test_configure_refuses_overwrite(spark, tmp_path):
     d = str(tmp_path / "db5")
     Database.configure(spark, d, dimension=2)
