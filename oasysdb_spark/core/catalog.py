@@ -60,9 +60,12 @@ from oasysdb_spark.core.config import atomic_write_text
 from oasysdb_spark.core.database import Database
 
 CATALOG_FILE = "catalog.json"
-# /2: entries gained the required "dir" key (name→directory-id
-# indirection) and data dirs moved from name-keyed to id-keyed — a /1
-# catalog must refuse cleanly at the format check, not KeyError later
+# /2 pins the id-indirected layout (required per-entry "dir" key +
+# id-keyed data dirs + per-entry relevancy). The /1 tag was written in
+# two incompatible shapes during r11 development (name-keyed dirs, then
+# dir-keyed without relevancy), so /1 refuses cleanly at the format
+# check rather than risking a KeyError or mis-shaped entry later; no
+# /1 catalogs exist outside that window, hence no migration path.
 CATALOG_FORMAT = "oasysdb-spark-catalog/2"
 COLLECTIONS_SUBDIR = "collections"
 
@@ -184,6 +187,26 @@ class Catalog:
     # collection CRUD
     # ------------------------------------------------------------------
 
+    def _commit_entry(self, name: str, dir_id: str, params: dict,
+                      require_absent: bool = False) -> None:
+        """The shared commit step for create/save/import: RE-READ the
+        manifest at commit time (never write back a snapshot taken
+        before a potentially long load — a concurrent create/drop
+        landing in between would be silently clobbered, r11 review),
+        repoint ``name`` in one atomic write, then delete the displaced
+        directory. ``require_absent`` turns an existing name into the
+        typed duplicate error (the create-without-overwrite contract)."""
+        collections = self._read_manifest()
+        old = collections.get(name)
+        if old is not None and require_absent:
+            raise errors.InvalidArgumentError(
+                f"collection {name!r} already exists; pass overwrite=True"
+            )
+        collections[name] = {**params, "dir": dir_id}
+        self._write_manifest(collections)
+        if old is not None and os.path.isdir(self._dir_path(old["dir"])):
+            shutil.rmtree(self._dir_path(old["dir"]))
+
     def create_collection(
         self,
         name: str,
@@ -201,25 +224,24 @@ class Catalog:
         reader sees the old collection or the new one, never neither —
         and only then is the old directory deleted."""
         _check_name(name)
-        collections = self._read_manifest()
-        if name in collections and not overwrite:
+        # early duplicate check (cheap, before the configure work);
+        # re-verified atomically inside _commit_entry
+        if not overwrite and name in self._read_manifest():
             raise errors.InvalidArgumentError(
                 f"collection {name!r} already exists; pass overwrite=True"
             )
-        old = collections.get(name)
         dir_id = _dir_id()
         db = Database.configure(
             self.spark, self._dir_path(dir_id),
             dimension=dimension, metric=metric, density=density,
             relevancy=relevancy,
         )
-        collections[name] = {
-            "dimension": dimension, "metric": metric, "density": density,
-            "relevancy": relevancy, "dir": dir_id,
-        }
-        self._write_manifest(collections)
-        if old is not None and os.path.isdir(self._dir_path(old["dir"])):
-            shutil.rmtree(self._dir_path(old["dir"]))
+        self._commit_entry(
+            name, dir_id,
+            {"dimension": dimension, "metric": metric, "density": density,
+             "relevancy": relevancy},
+            require_absent=not overwrite,
+        )
         return db
 
     def save_collection(
@@ -239,10 +261,9 @@ class Catalog:
         repoints (blue-green in miniature): a failed load leaves the
         existing collection untouched — only vacuum-able residue — and
         readers atomically see the old collection until the new one is
-        fully loaded."""
+        fully loaded. The manifest is re-read at commit time, so
+        catalog changes landing DURING a long load are not clobbered."""
         _check_name(name)
-        collections = self._read_manifest()
-        old = collections.get(name)
         dir_id = _dir_id()
         db = Database.configure(
             self.spark, self._dir_path(dir_id),
@@ -250,13 +271,11 @@ class Catalog:
             relevancy=relevancy,
         )
         db.insert_batch(records)  # fails ⇒ old data never touched
-        collections[name] = {
-            "dimension": dimension, "metric": metric, "density": density,
-            "relevancy": relevancy, "dir": dir_id,
-        }
-        self._write_manifest(collections)
-        if old is not None and os.path.isdir(self._dir_path(old["dir"])):
-            shutil.rmtree(self._dir_path(old["dir"]))
+        self._commit_entry(
+            name, dir_id,
+            {"dimension": dimension, "metric": metric, "density": density,
+             "relevancy": relevancy},
+        )
         return db
 
     def open_collection(self, name: str) -> Database:
@@ -326,16 +345,19 @@ class Catalog:
         from an interrupted create/drop/replace). Returns the removed
         directory ids.
 
-        Two safeguards against racing a CONCURRENT writer (r11 review):
-        the directory listing is taken BEFORE the manifest read, so any
+        Safeguards against racing a CONCURRENT writer (r11 review): the
+        directory listing is taken BEFORE the manifest read, so any
         create that commits its manifest entry in between is spared by
-        the newer reference set; and only residue older than
-        ``min_age_seconds`` is touched (directory mtime), so an
-        in-flight create that has configured its directory but not yet
-        committed its entry is spared by age. Run with the default
-        grace unless no concurrent writer can exist (e.g. tests:
-        ``min_age_seconds=0``) — a single-process catalog needs no
-        grace at all."""
+        the newer reference set; only residue whose NEWEST internal
+        activity (max mtime over the directory tree's directories — a
+        long ``save_collection`` load keeps touching its version dirs,
+        while the top-level dir mtime freezes at configure time) is
+        older than ``min_age_seconds`` is touched, so an in-flight
+        load longer than the grace is still spared as long as it keeps
+        writing; and a directory vanishing mid-removal (a concurrent
+        drop or vacuum won the race) is skipped, not an error. Run
+        with the default grace unless no concurrent writer can exist
+        (e.g. tests: ``min_age_seconds=0``)."""
         import time
 
         coll_root = os.path.join(self.root, COLLECTIONS_SUBDIR)
@@ -350,11 +372,23 @@ class Catalog:
             if d in referenced or not os.path.isdir(path):
                 continue
             try:
-                age = now - os.path.getmtime(path)
+                # newest dir-level mtime in the tree: cheap (#dirs is
+                # small — version dirs + partition dirs) and refreshed
+                # by every in-flight write, unlike the top-level mtime
+                mtimes = [os.path.getmtime(path)]
+                for sub_root_, dirs, _files in os.walk(path):
+                    mtimes.extend(
+                        os.path.getmtime(os.path.join(sub_root_, sd))
+                        for sd in dirs
+                    )
+                age = now - max(mtimes)
             except OSError:
                 continue  # vanished concurrently
             if age >= min_age_seconds:
-                shutil.rmtree(path)
+                try:
+                    shutil.rmtree(path)
+                except FileNotFoundError:
+                    continue  # a concurrent drop/vacuum won the race
                 removed.append(d)
         return removed
 
@@ -453,7 +487,6 @@ def import_catalog(
             "renamed in transit; re-export or pass verify=False"
         )
     cat = Catalog.init(spark, dest_root, overwrite=overwrite)
-    collections = {}
     for name in sorted(expected):
         dir_id = _dir_id()
         db = import_db(
@@ -463,16 +496,14 @@ def import_catalog(
             rebuild_indexes=rebuild_indexes,
             verify=verify,
         )
-        collections[name] = {
+        # per-collection manifest commit: already-imported collections
+        # stay listed/openable if a later one fails. A crashed import
+        # is restarted with overwrite=True (import_db rebuilds tiers,
+        # so partial re-import cannot be verified cheaper than redone).
+        cat._commit_entry(name, dir_id, {
             "dimension": db.params.dimension,
             "metric": db.params.metric,
             "density": db.params.density,
             "relevancy": db.params.relevancy,
-            "dir": dir_id,
-        }
-        # per-collection manifest write: already-imported collections
-        # stay listed/openable if a later one fails. A crashed import
-        # is restarted with overwrite=True (import_db rebuilds tiers,
-        # so partial re-import cannot be verified cheaper than redone).
-        cat._write_manifest(collections)
+        })
     return cat

@@ -335,8 +335,14 @@ class Database:
         extra scans, the same in-task-guard pattern as
         ``similarity_join.typed_overlength_errors`` — and the job error
         is translated back to the typed :class:`InvalidArgumentError` at
-        this API boundary. A failed batch never commits: the versioned
-        table's pointer only swaps after a successful write.
+        this API boundary. Failure atomicity is the output committer's:
+        under Spark's default v1 FileOutputCommitter a failed append
+        job publishes NO files into the live version (task outputs stay
+        in ``_temporary`` until job commit), so a refused batch leaves
+        the table unchanged; direct-write committers (e.g. cloud-store
+        magic committers, algorithm v2) weaken that to per-task
+        atomicity — on such deployments validate the batch eagerly or
+        route bulk loads through a staging collection + swap.
         """
         df = normalize_records(df)
         dim = int(self.params.dimension)
@@ -355,7 +361,23 @@ class Database:
         except errors.OasysError:
             raise
         except Exception as exc:  # translate the in-task guard failure
-            if _BATCH_DIM_GUARD_MARK.format(dim=dim) in str(exc):
+            # gate on the error class where available: plan-dump errors
+            # (e.g. AnalysisException) can embed the guard literal in
+            # their operator tree without any row failing the check
+            # (r11 review) — only assert_true's USER_RAISED_EXCEPTION
+            # (or a wrapper exposing no class) gets translated
+            err_class = None
+            get_class = getattr(exc, "getCondition", None) or getattr(
+                exc, "getErrorClass", None  # pre-4.0 name
+            )
+            if callable(get_class):
+                try:
+                    err_class = get_class()
+                except Exception:
+                    err_class = None
+            if _BATCH_DIM_GUARD_MARK.format(dim=dim) in str(exc) and (
+                err_class is None or err_class == "USER_RAISED_EXCEPTION"
+            ):
                 raise errors.InvalidArgumentError(
                     _BATCH_DIM_GUARD_MARK.format(dim=dim)
                 ) from exc
