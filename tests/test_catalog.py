@@ -310,6 +310,94 @@ def test_catalog_portable_roundtrip_and_tamper_refusal(spark, tmp_path):
         import_catalog(spark, str(tmp_path / "empty"), dest2)
 
 
+def test_catalog_random_walk_matches_model(spark, tmp_path):
+    """Model-based invariant check: a seeded random walk over
+    create / create-overwrite / save / drop / rename / swap / vacuum
+    must keep the on-disk catalog in lockstep with a trivial Python
+    dict model, and every manifest-referenced directory must exist and
+    open with the parameters the manifest advertises — the invariants
+    all the crash-ordering reasoning rests on."""
+    import random
+
+    rng = random.Random(11)
+    root = str(tmp_path / "cat")
+    cat = Catalog.init(spark, root)
+    names = ["a", "b", "c", "d"]
+    model: dict[str, int] = {}  # name -> dimension (the param we vary)
+    dims = iter(range(2, 200))
+
+    def check():
+        listed = cat.list_collections()
+        assert [(c["name"], c["dimension"]) for c in listed] == sorted(
+            model.items()
+        )
+        for c in listed:
+            db = cat.open_collection(c["name"])
+            assert db.params.dimension == model[c["name"]]
+            assert os.path.isdir(db.dir)
+
+    for _ in range(30):
+        op = rng.choice(["create", "overwrite", "save", "drop", "rename",
+                         "swap", "vacuum"])
+        name = rng.choice(names)
+        if op == "create":
+            dim = next(dims)
+            if name in model:
+                with pytest.raises(errors.InvalidArgumentError):
+                    cat.create_collection(name, dimension=dim)
+            else:
+                cat.create_collection(name, dimension=dim)
+                model[name] = dim
+        elif op == "overwrite":
+            dim = next(dims)
+            cat.create_collection(name, dimension=dim, overwrite=True)
+            model[name] = dim
+        elif op == "save":
+            dim = next(dims)
+            df = spark.createDataFrame(
+                [("x0", [0.0] * dim, None, None, None)],
+                "id string, embedding array<float>, "
+                "m_text map<string,string>, m_num map<string,double>, "
+                "m_bool map<string,boolean>",
+            )
+            cat.save_collection(name, df, dimension=dim)
+            model[name] = dim
+        elif op == "drop":
+            if name in model:
+                cat.drop_collection(name)
+                del model[name]
+            else:
+                with pytest.raises(errors.NotFoundError):
+                    cat.drop_collection(name)
+        elif op == "rename":
+            other = rng.choice(names)
+            if name not in model:
+                with pytest.raises(errors.NotFoundError):
+                    cat.rename_collection(name, other)
+            elif other in model:
+                with pytest.raises(errors.InvalidArgumentError):
+                    cat.rename_collection(name, other)
+            else:
+                cat.rename_collection(name, other)
+                model[other] = model.pop(name)
+        elif op == "swap":
+            other = rng.choice(names)
+            if name in model and other in model and name != other:
+                cat.swap_collections(name, other)
+                model[name], model[other] = model[other], model[name]
+            elif name not in model or other not in model:
+                with pytest.raises(errors.NotFoundError):
+                    cat.swap_collections(name, other)
+        else:
+            cat.vacuum(min_age_seconds=0)
+        check()
+    # end state: vacuum leaves exactly the referenced dirs on disk
+    cat.vacuum(min_age_seconds=0)
+    on_disk = set(os.listdir(os.path.join(root, "collections")))
+    referenced = {e["dir"] for e in cat._read_manifest().values()}
+    assert on_disk == referenced
+
+
 def test_catalog_cli_roundtrip(spark, tmp_path, capsys):
     from oasysdb_spark import cli
 
