@@ -52,6 +52,7 @@ import os
 import re
 import shutil
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -150,6 +151,30 @@ class Catalog:
     def _manifest_path(self) -> str:
         return os.path.join(self.root, CATALOG_FILE)
 
+    @contextmanager
+    def _manifest_lock(self):
+        """Advisory flock serializing manifest READ-MODIFY-WRITE
+        sections (and vacuum's list+delete) across processes on one
+        machine — without it, two writers' re-reads can interleave and
+        the loser's write silently erases the winner's committed entry
+        (r11 review). Readers never take it (the manifest write is an
+        atomic rename). flock is advisory and may be a no-op on some
+        network filesystems — there, the vacuum grace window is the
+        remaining cross-writer safeguard."""
+        os.makedirs(self.root, exist_ok=True)
+        fd = os.open(os.path.join(self.root, ".catalog.lock"),
+                     os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            try:
+                import fcntl
+
+                fcntl.flock(fd, fcntl.LOCK_EX)
+            except (ImportError, OSError):
+                pass  # no flock here (platform/FS) — grace window only
+            yield
+        finally:
+            os.close(fd)  # releases the flock
+
     def _read_manifest(self) -> dict:
         try:
             with open(self._manifest_path(), encoding="utf-8") as f:
@@ -196,14 +221,15 @@ class Catalog:
         repoint ``name`` in one atomic write, then delete the displaced
         directory. ``require_absent`` turns an existing name into the
         typed duplicate error (the create-without-overwrite contract)."""
-        collections = self._read_manifest()
-        old = collections.get(name)
-        if old is not None and require_absent:
-            raise errors.InvalidArgumentError(
-                f"collection {name!r} already exists; pass overwrite=True"
-            )
-        collections[name] = {**params, "dir": dir_id}
-        self._write_manifest(collections)
+        with self._manifest_lock():
+            collections = self._read_manifest()
+            old = collections.get(name)
+            if old is not None and require_absent:
+                raise errors.InvalidArgumentError(
+                    f"collection {name!r} already exists; pass overwrite=True"
+                )
+            collections[name] = {**params, "dir": dir_id}
+            self._write_manifest(collections)
         if old is not None and os.path.isdir(self._dir_path(old["dir"])):
             shutil.rmtree(self._dir_path(old["dir"]))
 
@@ -264,6 +290,8 @@ class Catalog:
         fully loaded. The manifest is re-read at commit time, so
         catalog changes landing DURING a long load are not clobbered."""
         _check_name(name)
+        self._read_manifest()  # fail on a missing/mis-formatted catalog
+        # BEFORE the expensive load, not after it (r11 review)
         dir_id = _dir_id()
         db = Database.configure(
             self.spark, self._dir_path(dir_id),
@@ -302,10 +330,11 @@ class Catalog:
         (NotFoundError if absent). Manifest entry goes first so a crash
         strands an unreferenced dir (vacuum-able), never a dangling
         entry."""
-        collections = self._read_manifest()
-        entry = self._entry(collections, name)
-        del collections[name]
-        self._write_manifest(collections)
+        with self._manifest_lock():
+            collections = self._read_manifest()
+            entry = self._entry(collections, name)
+            del collections[name]
+            self._write_manifest(collections)
         directory = self._dir_path(entry["dir"])
         if os.path.isdir(directory):
             shutil.rmtree(directory)
@@ -318,15 +347,16 @@ class Catalog:
         """Atomically rename a collection: one manifest write, no data
         movement (the directory id travels with the entry)."""
         _check_name(to)
-        collections = self._read_manifest()
-        entry = self._entry(collections, name)
-        if to in collections:
-            raise errors.InvalidArgumentError(
-                f"collection {to!r} already exists; drop it or swap instead"
-            )
-        del collections[name]
-        collections[to] = entry
-        self._write_manifest(collections)
+        with self._manifest_lock():
+            collections = self._read_manifest()
+            entry = self._entry(collections, name)
+            if to in collections:
+                raise errors.InvalidArgumentError(
+                    f"collection {to!r} already exists; drop it or swap instead"
+                )
+            del collections[name]
+            collections[to] = entry
+            self._write_manifest(collections)
 
     def swap_collections(self, a: str, b: str) -> None:
         """Atomically exchange two collection names — parameters and
@@ -335,62 +365,71 @@ class Catalog:
         re-encoded/re-indexed copy under a staging name, swap it with
         the live name, drop the staging name (now holding the old
         data). One manifest write; no bytes move."""
-        collections = self._read_manifest()
-        ea, eb = self._entry(collections, a), self._entry(collections, b)
-        collections[a], collections[b] = eb, ea
-        self._write_manifest(collections)
+        with self._manifest_lock():
+            collections = self._read_manifest()
+            ea, eb = self._entry(collections, a), self._entry(collections, b)
+            collections[a], collections[b] = eb, ea
+            self._write_manifest(collections)
 
     def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
         """Delete unreferenced collection directories (crash residue
         from an interrupted create/drop/replace). Returns the removed
         directory ids.
 
-        Safeguards against racing a CONCURRENT writer (r11 review): the
-        directory listing is taken BEFORE the manifest read, so any
-        create that commits its manifest entry in between is spared by
-        the newer reference set; only residue whose NEWEST internal
-        activity (max mtime over the directory tree's directories — a
-        long ``save_collection`` load keeps touching its version dirs,
-        while the top-level dir mtime freezes at configure time) is
-        older than ``min_age_seconds`` is touched, so an in-flight
-        load longer than the grace is still spared as long as it keeps
-        writing; and a directory vanishing mid-removal (a concurrent
-        drop or vacuum won the race) is skipped, not an error. Run
+        Safeguards against racing a CONCURRENT writer (r11 review):
+        the whole list+delete runs under the advisory manifest lock,
+        so a same-machine commit cannot interleave between the
+        reference-set read and the deletes; the directory listing is
+        taken BEFORE the manifest read (a create committing in between
+        is spared by the newer reference set — the cross-machine
+        fallback where flock is a no-op); only residue whose NEWEST
+        internal activity (any file or directory mtime in the tree —
+        an in-flight load keeps writing files, and the scan
+        short-circuits at the first young entry, so live loads cost
+        O(1)) is older than ``min_age_seconds`` is touched; and a
+        directory vanishing mid-removal is skipped, not an error. Run
         with the default grace unless no concurrent writer can exist
         (e.g. tests: ``min_age_seconds=0``)."""
         import time
 
         coll_root = os.path.join(self.root, COLLECTIONS_SUBDIR)
-        listing = sorted(os.listdir(coll_root)) if os.path.isdir(coll_root) else []
-        referenced = {e["dir"] for e in self._read_manifest().values()}
-        now = time.time()
         removed = []
-        for d in listing:
-            path = os.path.join(coll_root, d)
-            # skip stray plain files (not ours to delete) and anything
-            # the (newer) manifest references
-            if d in referenced or not os.path.isdir(path):
-                continue
-            try:
-                # newest dir-level mtime in the tree: cheap (#dirs is
-                # small — version dirs + partition dirs) and refreshed
-                # by every in-flight write, unlike the top-level mtime
-                mtimes = [os.path.getmtime(path)]
-                for sub_root_, dirs, _files in os.walk(path):
-                    mtimes.extend(
-                        os.path.getmtime(os.path.join(sub_root_, sd))
-                        for sd in dirs
-                    )
-                age = now - max(mtimes)
-            except OSError:
-                continue  # vanished concurrently
-            if age >= min_age_seconds:
+        with self._manifest_lock():
+            listing = sorted(os.listdir(coll_root)) if os.path.isdir(coll_root) else []
+            referenced = {e["dir"] for e in self._read_manifest().values()}
+            now = time.time()
+            for d in listing:
+                path = os.path.join(coll_root, d)
+                # skip stray plain files (not ours to delete) and
+                # anything the (newer) manifest references
+                if d in referenced or not os.path.isdir(path):
+                    continue
+                if not self._residue_is_stale(path, now, min_age_seconds):
+                    continue
                 try:
                     shutil.rmtree(path)
                 except FileNotFoundError:
                     continue  # a concurrent drop/vacuum won the race
                 removed.append(d)
         return removed
+
+    @staticmethod
+    def _residue_is_stale(path: str, now: float, grace: float) -> bool:
+        """True when NOTHING in the tree (dirs or files) was touched
+        within ``grace`` seconds — short-circuits at the first young
+        entry, so probing an actively-writing load is O(1)."""
+        try:
+            if now - os.path.getmtime(path) < grace:
+                return False
+            for sub_root, dirs, files in os.walk(path):
+                for entry in dirs + files:
+                    if now - os.path.getmtime(
+                        os.path.join(sub_root, entry)
+                    ) < grace:
+                        return False
+        except OSError:
+            return False  # vanished/changing concurrently — spare it
+        return True
 
 
 # ----------------------------------------------------------------------

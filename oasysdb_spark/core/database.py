@@ -361,22 +361,30 @@ class Database:
         except errors.OasysError:
             raise
         except Exception as exc:  # translate the in-task guard failure
-            # gate on the error class where available: plan-dump errors
-            # (e.g. AnalysisException) can embed the guard literal in
-            # their operator tree without any row failing the check
-            # (r11 review) — only assert_true's USER_RAISED_EXCEPTION
-            # (or a wrapper exposing no class) gets translated
-            err_class = None
-            get_class = getattr(exc, "getCondition", None) or getattr(
-                exc, "getErrorClass", None  # pre-4.0 name
-            )
-            if callable(get_class):
-                try:
-                    err_class = get_class()
-                except Exception:
-                    err_class = None
+            # gate on the error condition where available: plan-dump
+            # errors (e.g. AnalysisException) can embed the guard
+            # literal in their operator tree without any row failing
+            # the check (r11 review) — translate only when assert_true's
+            # USER_RAISED_EXCEPTION appears somewhere in the exception
+            # CHAIN (wrappers may re-class the outer error), or when no
+            # link exposes a condition at all (opaque wrappers)
+            conditions = []
+            link, seen = exc, 0
+            while link is not None and seen < 8:
+                get_class = getattr(link, "getCondition", None) or getattr(
+                    link, "getErrorClass", None  # pre-4.0 name
+                )
+                if callable(get_class):
+                    try:
+                        cond = get_class()
+                    except Exception:
+                        cond = None
+                    if cond is not None:
+                        conditions.append(cond)
+                link = link.__cause__ or link.__context__
+                seen += 1
             if _BATCH_DIM_GUARD_MARK.format(dim=dim) in str(exc) and (
-                err_class is None or err_class == "USER_RAISED_EXCEPTION"
+                not conditions or "USER_RAISED_EXCEPTION" in conditions
             ):
                 raise errors.InvalidArgumentError(
                     _BATCH_DIM_GUARD_MARK.format(dim=dim)
