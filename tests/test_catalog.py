@@ -258,7 +258,7 @@ def test_catalog_portable_roundtrip_and_tamper_refusal(spark, tmp_path):
 
     root = str(tmp_path / "src")
     cat = Catalog.init(spark, root)
-    a = cat.create_collection("alpha", dimension=6, density=16)
+    a = cat.create_collection("alpha", dimension=6, density=16, relevancy=9.5)
     b = cat.create_collection("beta", dimension=4, metric="cosine", density=8)
     _fill(a, 100, 6)
     _fill(b, 60, 4)
@@ -287,6 +287,10 @@ def test_catalog_portable_roundtrip_and_tamper_refusal(spark, tmp_path):
     )
     assert cat2.open_collection("alpha").is_indexed()
     assert not cat2.open_collection("beta").is_indexed()
+    # the full Parameters — including the v0.4 relevancy threshold —
+    # survive the catalog-level hand-off
+    assert cat2.open_collection("alpha").params.relevancy == 9.5
+    assert cat2.open_collection("beta").params.relevancy == -1.0
 
     # re-export with overwrite after dropping a collection: the stale
     # per-collection snapshot dir from the previous export must NOT
