@@ -120,177 +120,64 @@ def _bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver oracle-checks the FIRST 50 entries.
 
-    Round-11 rotation (window math: 140 entries, 50-slot window, every
+    Round-12 rotation (window math: 141 entries, 50-slot window, every
     out-of-window entry must hold a green row no older than round N-2):
 
-    (a) the 39 r8-green leftovers whose latest green row is
-        CORRECTNESS_r08 — at the two-round staleness limit, so they
+    (a) the 45 r9-green entries whose latest green row is
+        CORRECTNESS_r09 — at the two-round staleness limit, so they
         MUST lead this window (pinned by name in tests/test_entry.py's
-        r10 deferral assertion and the r10 verdict's task 1). Their
-        remaining legacy ``round(unscaled-double, k)`` sites migrated
-        to the scale-0 rounding form in the same edit (13 direct sites
-        audited at r10 close — the standing task-3 discipline);
-    (b) the one-shot ``round_dist`` migration (operators/vectorops.py
-        — the shared distance display-round moves to the scale-0 form
-        EXACTLY ONCE, with every oracle-entry user in-window): its two
-        r9-green users re-enter (`vec_knn_cosine`, `vec_ivf_knn`) and
-        its three freshly-r10-green users re-enter
-        (`hard_negative_mining`, `vec_golden_distance`,
-        `vec_lsh_knn_indexed`) — the remaining users are already in
-        the (a) head;
-    (c) three more r10-green entries whose CODE changed this round and
-        therefore re-enter: `customer_fuzzy_matches` (broadcast-ledger
-        race fix + the d=2 over-length failure now re-raised as the
-        typed InvalidArgumentError at the API boundary),
-        `join_key_skew_stats` (p50/p99 display moves to the scale-0
-        form — ADVICE r10 — and the op grows the documented
-        ``approx_accuracy`` lever), `percentile_stats` (same approx
-        lever; the driver oracle row stays exact);
-    (d) three NEW entries promoted from staged pytest self-oracles
-        (each hash-gated in tests/test_operators.py and scale-probed
-        through sf1+, display rounds migrated to scale-0 AT promotion):
-        `weighted_sample_topk` (Efraimidis-Spirakis weight-proportional
-        sampling without replacement — deterministic salted-hash
-        priorities), `lineitem_price_qty_correlation` (exact
-        DECIMAL(38)-moment Pearson correlation — the F.corr
-        replacement), `simhash_band_health` (banding diagnostics:
-        per-band bucket histogram + candidate-pair mass, all-integer).
-        39+2+3+3+3 = exactly 50.
+        r11 deferral assertion and the r11 verdict's task 1). The 17
+        audited sum/avg-of-double display sites among them (the r11
+        rounding-debt ledger: q1/q6/q7/q9/q10/q11/q14/q15/q17/q19/q22,
+        orders_by_month, rollup/unpivot/cube, running_revenue,
+        events_tumbling_hourly) migrated to integer-unit accumulation
+        (decimal(38,0) / HUGEINT twins) + scale-0 displays in the SAME
+        edit as this re-entry, oracles mirrored term-for-term, and
+        hybrid_search_rrf's two round(double,6) sites took the scale-0
+        form on window re-entry (r11 verdict tasks 1+5);
+    (b) three r10-green entries whose u4→cents integer-division display
+        fix (r10 ADVICE #4) landed AFTER the r11 window froze, so their
+        driver rows predate the current (output-identical,
+        oracle-mirrored) form: `q3_shipping_priority`,
+        `q5_local_supplier_volume`, `bucketed_revenue_by_priority`;
+    (c) two NEW entries promoted from staged pytest self-oracles (each
+        hash-gated in tests/test_operators.py and scale-probed, display
+        rounds migrated to scale-0 AT promotion): `ngram_novelty_curve`
+        (per-shard n-gram novelty/saturation curve over ingest order)
+        and `embedding_outlier_stats` (per-label centroid-cohesion
+        outlier audit). Paired retirement (the r8 narrow-simhash
+        precedent): `dedup_simhash` leaves the contract — its 32-bit
+        bucket layout is the narrow twin of `dedup_simhash_wide_pairs`
+        (in this window), stays wall-clock-tracked in bench.py via
+        EXTRA_BENCH for baseline continuity, and keeps a pytest
+        self-oracle (tests/test_operators.py simhash_buckets gate).
+        45+3+2 = exactly 50.
 
-    Below the window: the 44 r10-green entries of the previous window
-    not re-entered here (fine through r12, mandatory at r13), the 45
-    r9-green entries NOT pulled in here — THEY ARE ROUND 12's
-    MANDATORY HEAD (pinned by name in tests/test_entry.py — the ledger
-    discipline; 5 slots remain free at r12), and `text_bpe_tokenizer`
-    (judge r6 task 5): a permanently `no_oracle` rows-only entry
-    spends a hash-checked slot; its SQL-expressible half
-    (`text_pretoken_counts`) is the in-contract twin and the merge
-    sequence stays pytest-pinned (tests/test_tokenizer.py), so outside
-    the window it is pytest-gated rather than stale.
+    Below the window: the 50 r11-green entries of the previous window
+    (fine through r13, mandatory at r14), the 40 r10-green entries not
+    re-entered here — THEY ARE ROUND 13's MANDATORY HEAD (pinned by
+    name in tests/test_entry.py — the ledger discipline), PLUS the
+    r11-green entries whose code changes this round without window
+    room (`simhash_band_health` / `cross_source_duplication_stats`
+    take the ADVICE decimal pair-count fix;
+    `customer_fuzzy_matches` takes the ledger-hit fast path) — they
+    are pinned into the r13 head by the same test, and
+    `text_bpe_tokenizer` (judge r6 task 5): a permanently `no_oracle`
+    rows-only entry spends a hash-checked slot; its SQL-expressible
+    half (`text_pretoken_counts`) is the in-contract twin and the
+    merge sequence stays pytest-pinned (tests/test_tokenizer.py), so
+    outside the window it is pytest-gated rather than stale.
 
-    CAPACITY NOTE: 140 entries against the 150-entry ceiling (50-slot
-    window × 3-round refresh cycle) leaves ~10 promotion slots EVER;
-    the r12 mandatory head is 45 of 50, so promote AT MOST 2-4 there
-    and prefer retiring a redundant entry per promotion from r12 on
-    (the r8 narrow-simhash precedent). The boundary comment below
-    marks entry 50 — but the rotation test checks the real slice, not
-    the comment."""
+    CAPACITY NOTE: 141 entries against the 150-entry ceiling (50-slot
+    window × 3-round refresh cycle) leaves ~9 promotion slots EVER;
+    the r13 mandatory head is 43 of 50 (40 stale + 3 code-changed), so
+    promote AT MOST 2-4 there and pair each promotion with a
+    retirement. The boundary comment below marks entry 50 — but the
+    rotation test checks the real slice, not the comment."""
     return {
-        # --- (a) deferred r8-green leftovers: staleness limit, must
-        # lead (the 39 pinned in the r10 deferral assertion) ---
-        "text_token_stats": textops.token_stats,
-        "text_fingerprints": textops.fingerprints,
-        "text_stratified_sample": textops.stratified_sample_stats,
-        "events_sliding_windows": tmp.events_sliding_windows,
-        "vec_knn_euclidean": vec.knn_bruteforce,
-        "vec_knn_filtered": vec.knn_filtered,
-        "vec_radius": vec.radius_search,
-        "vec_knn_batched": vec.knn_batched,
-        "vec_label_centroids": vec.label_centroids,
-        "vec_lsh_knn": vec.lsh_knn,
-        "vec_knn_manhattan": _manhattan_knn,
-        "vec_knn_join_blocked": sj.knn_join_blocked,
-        "q16_supplier_variety": rel.q16_supplier_variety,
-        "string_part_stats": rel.string_part_stats,
-        "line_dedup_stats": textops.line_dedup_stats,
-        "chunk_documents": textops.chunk_documents,
-        "chunk_retrieval_topk": embed.chunk_retrieval_topk,
-        "component_size_histogram": dedup.component_size_histogram,
-        "cross_source_duplication_stats": dedup.cross_source_duplication_stats,
-        "text_bigram_surprisal": textops.bigram_surprisal,
-        "text_trigram_surprisal": textops.trigram_backoff_surprisal,
-        "text_curriculum_buckets": textops.curriculum_buckets,
-        "text_shard_plan": textops.shard_plan,
-        "source_curation_stats": textops.source_curation_stats,
-        "text_oov_rate": lambda s, d: textops.oov_rate(s, d, top_k=20),
-        "ngram_decontaminate_stats": textops.ngram_decontaminate_stats,
-        "ngram_contamination_report_stats": (
-            textops.ngram_contamination_report_stats
-        ),
-        "text_pretoken_counts": _pretoken_counts,
-        "multimodal_dhash_dedup": mm.multimodal_dhash_dedup,
-        "dedup_decontaminate": _decontaminate,
-        "dedup_components": dedup.dedup_components,
-        "dedup_embedding_cosine": dedup.embedding_near_pairs,
-        "dedup_exact_pick": dedup.exact_dedup_pick,
-        "dedup_exact_stats": dedup.exact_dedup_stats,
-        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
-        "text_boilerplate_ngrams": textops.boilerplate_ngrams,
-        "text_pii_scrub": textops.pii_scrub_stats,
-        "text_hash_embeddings": embed.hash_embeddings,
-        "asof_click_view": tmp.asof_click_view,
-        # --- (b) round_dist migration re-entries: the helper's two
-        # r9-green oracle users + its three r10-green users (changed
-        # code ⇒ mandatory re-entry; the rest of its users are in (a))
-        "vec_knn_cosine": lambda s, d: vec.knn_bruteforce(s, d, metric="cosine"),
-        "vec_ivf_knn": _ivf_knn,
-        "hard_negative_mining": vec.hard_negative_mining,
-        "vec_golden_distance": vec.golden_distances,
-        "vec_lsh_knn_indexed": vec.lsh_knn_indexed,
-        # --- (c) r10-green re-entries: code changed this round ---
-        "customer_fuzzy_matches": sj.customer_fuzzy_matches,
-        "join_key_skew_stats": rel.join_key_skew_stats,
-        "percentile_stats": rel.percentile_stats,
-        # --- (d) new in round 11: staged self-oracles promoted ---
-        "weighted_sample_topk": textops.weighted_sample_topk,
-        "lineitem_price_qty_correlation": rel.lineitem_price_qty_correlation,
-        "simhash_band_health": dedup.simhash_band_health,
-        # ---- driver window boundary: simhash_band_health above is
-        # entry 50 (count them — don't trust a comment's position; the
-        # rotation test in tests/test_entry.py checks the REAL first-50
-        # slice). Every entry below holds a green hash-matched row from
-        # the most recent round that checked it and is unchanged since:
-        # first the 44 r10-green entries of the previous window, then
-        # the 45 r9-green entries that MUST lead the r12 window
-        # (2-stale then — the pinned ledger), then the pytest-gated
-        # rows-only bpe entry ----
-        "q3_shipping_priority": rel.q3_shipping_priority,
-        "q4_order_priority": rel.q4_order_priority,
-        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
-        "domain_mixture_sample": textops.domain_mixture_sample,
-        "encoding_quality_stats": textops.encoding_quality_stats,
-        "source_token_divergence": textops.source_token_divergence,
-        "customers_without_orders": rel.customers_without_orders,
-        "text_boilerplate_scrub": textops.boilerplate_scrub,
-        "text_gopher_quality": textops.gopher_quality_flags,
-        "events_funnel": rel.events_funnel,
-        "text_repetition_stats": textops.repetition_stats,
-        "text_vocabulary": textops.vocabulary,
-        "text_span_dedup": textops.span_dedup_stats,
-        "embedding_balanced_sample": embed.label_balanced_sample,
-        "text_heavy_hitters": textops.heavy_hitter_terms,
-        "orders_trailing_spend": rel.orders_trailing_spend,
-        "events_retention_cohorts": rel.events_retention_cohorts,
-        "text_unigram_surprisal": textops.unigram_surprisal,
-        "multimodal_audio_fingerprints": mm.multimodal_audio_fingerprints,
-        "dedup_representative_pick": dedup.representative_pick,
-        "window_functions_suite": rel.window_functions_suite,
-        "grouping_sets_orders": rel.grouping_sets_orders,
-        "pivot_lineitem": rel.pivot_lineitem,
-        "filter_dsl_embeddings": rel.filter_dsl_embeddings,
-        "skew_salted_user_join": rel.skew_salted_user_join,
-        "bucketed_revenue_by_priority": rel.bucketed_revenue_by_priority,
-        "setop_customers": rel.setop_customers,
-        "range_join_price_bands": tmp.range_join_price_bands,
-        "text_pack_sequences": textops.pack_sequences,
-        "dedup_simhash": dedup.simhash_buckets,
-        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
-        "text_language_id": textops.language_id,
-        "text_quality": textops.quality_scores,
-        "random_projection": embed.random_projection,
-        "q2_min_cost_supplier": rel.q2_min_cost_supplier,
-        "user_rfm_segments": rel.user_rfm_segments,
-        "embedding_norm_stats": embed.embedding_norm_stats,
-        "q8_market_share": rel.q8_market_share,
-        "math_stats": rel.math_stats,
-        "json_event_stats": rel.json_event_stats,
-        "event_funnel": rel.event_funnel,
-        "text_clean_pipeline": textops.clean_corpus_pipeline,
-        "multimodal_pixel_stats": mm.multimodal_pixel_stats,
-        "multimodal_video_stats": mm.multimodal_video_stats,
-        # ---- r9-green below (latest driver row is CORRECTNESS_r09):
-        # 2-stale at r11 — pinned as the MANDATORY head of the r12
-        # window in tests/test_entry.py ----
+        # --- (a) deferred r9-green leftovers: staleness limit, must
+        # lead (the 45 pinned in the r11 deferral assertion; the 17
+        # rounding-debt sites among them migrated in this same edit) ---
         "sessionize_events": rel.sessionize_events,
         "interval_overlap_join": tmp.interval_overlap_sessions,
         "events_tumbling_hourly": tmp.events_tumbling_hourly,
@@ -338,6 +225,119 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_wide_pairs": dedup.simhash_wide_pairs,
         "multimodal_dhash_near_pairs": mm.multimodal_dhash_near_pairs,
         "text_bm25_search": textops.bm25_search,
+        # --- (b) r10-green re-entries: the u4→cents display fix landed
+        # after their last driver row froze (r11 verdict, memory ledger)
+        "q3_shipping_priority": rel.q3_shipping_priority,
+        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
+        "bucketed_revenue_by_priority": rel.bucketed_revenue_by_priority,
+        # --- (c) new in round 12: staged self-oracles promoted (paired
+        # retirement: dedup_simhash — see the docstring) ---
+        "ngram_novelty_curve": textops.ngram_novelty_curve,
+        "embedding_outlier_stats": embed.embedding_outlier_stats,
+        # ---- driver window boundary: embedding_outlier_stats above is
+        # entry 50 (count them — don't trust a comment's position; the
+        # rotation test in tests/test_entry.py checks the REAL first-50
+        # slice). Every entry below holds a green hash-matched row from
+        # the most recent round that checked it and is unchanged since:
+        # first the 50 r11-green entries of the previous window, then
+        # the 40 r10-green entries that MUST lead the r13 window
+        # (2-stale then — the pinned ledger), then the pytest-gated
+        # rows-only bpe entry ----
+        "text_token_stats": textops.token_stats,
+        "text_fingerprints": textops.fingerprints,
+        "text_stratified_sample": textops.stratified_sample_stats,
+        "events_sliding_windows": tmp.events_sliding_windows,
+        "vec_knn_euclidean": vec.knn_bruteforce,
+        "vec_knn_filtered": vec.knn_filtered,
+        "vec_radius": vec.radius_search,
+        "vec_knn_batched": vec.knn_batched,
+        "vec_label_centroids": vec.label_centroids,
+        "vec_lsh_knn": vec.lsh_knn,
+        "vec_knn_manhattan": _manhattan_knn,
+        "vec_knn_join_blocked": sj.knn_join_blocked,
+        "q16_supplier_variety": rel.q16_supplier_variety,
+        "string_part_stats": rel.string_part_stats,
+        "line_dedup_stats": textops.line_dedup_stats,
+        "chunk_documents": textops.chunk_documents,
+        "chunk_retrieval_topk": embed.chunk_retrieval_topk,
+        "component_size_histogram": dedup.component_size_histogram,
+        "cross_source_duplication_stats": dedup.cross_source_duplication_stats,
+        "text_bigram_surprisal": textops.bigram_surprisal,
+        "text_trigram_surprisal": textops.trigram_backoff_surprisal,
+        "text_curriculum_buckets": textops.curriculum_buckets,
+        "text_shard_plan": textops.shard_plan,
+        "source_curation_stats": textops.source_curation_stats,
+        "text_oov_rate": lambda s, d: textops.oov_rate(s, d, top_k=20),
+        "ngram_decontaminate_stats": textops.ngram_decontaminate_stats,
+        "ngram_contamination_report_stats": (
+            textops.ngram_contamination_report_stats
+        ),
+        "text_pretoken_counts": _pretoken_counts,
+        "multimodal_dhash_dedup": mm.multimodal_dhash_dedup,
+        "dedup_decontaminate": _decontaminate,
+        "dedup_components": dedup.dedup_components,
+        "dedup_embedding_cosine": dedup.embedding_near_pairs,
+        "dedup_exact_pick": dedup.exact_dedup_pick,
+        "dedup_exact_stats": dedup.exact_dedup_stats,
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "text_boilerplate_ngrams": textops.boilerplate_ngrams,
+        "text_pii_scrub": textops.pii_scrub_stats,
+        "text_hash_embeddings": embed.hash_embeddings,
+        "asof_click_view": tmp.asof_click_view,
+        "vec_knn_cosine": lambda s, d: vec.knn_bruteforce(s, d, metric="cosine"),
+        "vec_ivf_knn": _ivf_knn,
+        "hard_negative_mining": vec.hard_negative_mining,
+        "vec_golden_distance": vec.golden_distances,
+        "vec_lsh_knn_indexed": vec.lsh_knn_indexed,
+        "customer_fuzzy_matches": sj.customer_fuzzy_matches,
+        "join_key_skew_stats": rel.join_key_skew_stats,
+        "percentile_stats": rel.percentile_stats,
+        "weighted_sample_topk": textops.weighted_sample_topk,
+        "lineitem_price_qty_correlation": rel.lineitem_price_qty_correlation,
+        "simhash_band_health": dedup.simhash_band_health,
+        # ---- r10-green below (latest driver row is CORRECTNESS_r10):
+        # 2-stale at r12 — pinned as the MANDATORY head of the r13
+        # window in tests/test_entry.py ----
+        "q4_order_priority": rel.q4_order_priority,
+        "domain_mixture_sample": textops.domain_mixture_sample,
+        "encoding_quality_stats": textops.encoding_quality_stats,
+        "source_token_divergence": textops.source_token_divergence,
+        "customers_without_orders": rel.customers_without_orders,
+        "text_boilerplate_scrub": textops.boilerplate_scrub,
+        "text_gopher_quality": textops.gopher_quality_flags,
+        "events_funnel": rel.events_funnel,
+        "text_repetition_stats": textops.repetition_stats,
+        "text_vocabulary": textops.vocabulary,
+        "text_span_dedup": textops.span_dedup_stats,
+        "embedding_balanced_sample": embed.label_balanced_sample,
+        "text_heavy_hitters": textops.heavy_hitter_terms,
+        "orders_trailing_spend": rel.orders_trailing_spend,
+        "events_retention_cohorts": rel.events_retention_cohorts,
+        "text_unigram_surprisal": textops.unigram_surprisal,
+        "multimodal_audio_fingerprints": mm.multimodal_audio_fingerprints,
+        "dedup_representative_pick": dedup.representative_pick,
+        "window_functions_suite": rel.window_functions_suite,
+        "grouping_sets_orders": rel.grouping_sets_orders,
+        "pivot_lineitem": rel.pivot_lineitem,
+        "filter_dsl_embeddings": rel.filter_dsl_embeddings,
+        "skew_salted_user_join": rel.skew_salted_user_join,
+        "setop_customers": rel.setop_customers,
+        "range_join_price_bands": tmp.range_join_price_bands,
+        "text_pack_sequences": textops.pack_sequences,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "text_language_id": textops.language_id,
+        "text_quality": textops.quality_scores,
+        "random_projection": embed.random_projection,
+        "q2_min_cost_supplier": rel.q2_min_cost_supplier,
+        "user_rfm_segments": rel.user_rfm_segments,
+        "embedding_norm_stats": embed.embedding_norm_stats,
+        "q8_market_share": rel.q8_market_share,
+        "math_stats": rel.math_stats,
+        "json_event_stats": rel.json_event_stats,
+        "event_funnel": rel.event_funnel,
+        "text_clean_pipeline": textops.clean_corpus_pipeline,
+        "multimodal_pixel_stats": mm.multimodal_pixel_stats,
+        "multimodal_video_stats": mm.multimodal_video_stats,
         "text_bpe_tokenizer": _bpe_tokenizer,
     }
 
@@ -372,14 +372,38 @@ _EN_SW = _LANG_LISTS["en"]
 def oracle_sql() -> dict[str, str]:
     q = {}
 
-    q["q1_pricing_summary"] = """
+    # --- shared integer-unit fragments (r12 float-discipline migration;
+    # term-for-term mirrors of operators/relational.py's _dec_unit_sum /
+    # _dec_units_to_cents / _cents_disp: HUGEINT is DuckDB's 128-bit
+    # exact-integer twin of Spark's decimal(38,0) accumulator, and both
+    # engines' integer division truncates toward zero) ---
+    def _hsum(expr: str, scale: int) -> str:
+        """Exact integer-unit sum: per-row quantize to `scale` units."""
+        return f"sum(CAST(CAST(round(({expr}) * {scale}) AS BIGINT) AS HUGEINT))"
+
+    def _to_cents(sum_expr: str, per_cent: int) -> str:
+        """Integer-unit sum -> half-away-from-zero cents (signed)."""
+        h = per_cent // 2
+        return (
+            f"(CASE WHEN {sum_expr} >= 0 THEN ({sum_expr} + {h}) // {per_cent}"
+            f" ELSE ({sum_expr} - {h}) // {per_cent} END)"
+        )
+
+    def _disp2(cents_expr: str) -> str:
+        """Exact integer cents -> the shared 2dp double display."""
+        return f"round(CAST({cents_expr} AS DOUBLE) / 100.0, 2)"
+
+    _REV_U4 = _hsum("l_extendedprice * (1 - l_discount)", 10000)
+    _REV_2DP = _disp2(_to_cents(_REV_U4, 100))
+
+    q["q1_pricing_summary"] = f"""
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice*(1-l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 6) AS avg_qty,
-               round(avg(l_discount), 6) AS avg_disc,
+               {_disp2(_hsum('l_quantity', 100))} AS sum_qty,
+               {_disp2(_hsum('l_extendedprice', 100))} AS sum_base_price,
+               {_disp2(_to_cents(_hsum('l_extendedprice*(1-l_discount)', 10000), 100))} AS sum_disc_price,
+               {_disp2(_to_cents(_hsum('l_extendedprice*(1-l_discount)*(1+l_tax)', 1000000), 10000))} AS sum_charge,
+               round(CAST(round(avg(CAST(round(l_quantity) AS BIGINT)) * 1e6) AS BIGINT) / 1e6, 6) AS avg_qty,
+               round(CAST(round(avg(CAST(round(l_discount * 100) AS BIGINT)) * 1e4) AS BIGINT) / 1e6, 6) AS avg_disc,
                count(*) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus"""
@@ -413,8 +437,8 @@ def oracle_sql() -> dict[str, str]:
           AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name ORDER BY revenue DESC, n_name"""
 
-    q["q6_forecast_revenue"] = """
-        SELECT round(sum(l_extendedprice*l_discount), 2) AS revenue
+    q["q6_forecast_revenue"] = f"""
+        SELECT {_disp2(_to_cents(_hsum('l_extendedprice*l_discount', 10000), 100))} AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""
@@ -430,20 +454,20 @@ def oracle_sql() -> dict[str, str]:
 
     q["running_revenue"] = """
         SELECT o_custkey, o_orderkey,
-               round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (PARTITION BY o_custkey
                      ORDER BY o_orderdate, o_orderkey
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 2) AS running_total
         FROM orders"""
 
-    q["rollup_lineitem"] = """
+    q["rollup_lineitem"] = f"""
         SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-               round(sum(l_quantity), 2) AS sum_qty,
+               {_disp2(_hsum('l_quantity', 100))} AS sum_qty,
                CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
 
-    q["cube_orders"] = """
+    q["cube_orders"] = f"""
         SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total
+               {_disp2(_hsum('o_totalprice', 100))} AS total
         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
 
     q["setop_customers"] = """
@@ -472,11 +496,11 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT upper(p_type)) AS n_types
         FROM part GROUP BY 1 ORDER BY first_word"""
 
-    q["orders_by_month"] = """
+    q["orders_by_month"] = f"""
         SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
                CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
                CAST(month(o_orderdate) AS INTEGER) AS mo,
-               count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+               count(*) AS n_orders, {_disp2(_hsum('o_totalprice', 100))} AS total
         FROM orders GROUP BY 1, 2, 3 ORDER BY yr, mo"""
 
     q["json_event_stats"] = """
@@ -528,11 +552,11 @@ def oracle_sql() -> dict[str, str]:
                round(sum(CAST(round(l_quantity * 100) AS BIGINT)) FILTER (WHERE l_linestatus = 'F') / 100.0, 2) AS qty_filled
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
-    q["unpivot_lineitem"] = """
+    q["unpivot_lineitem"] = f"""
         WITH agg AS (SELECT l_returnflag,
-                            round(sum(l_quantity), 2) AS sum_qty,
-                            round(sum(l_extendedprice), 2) AS sum_price,
-                            round(sum(l_discount), 2) AS sum_disc
+                            {_disp2(_hsum('l_quantity', 100))} AS sum_qty,
+                            {_disp2(_hsum('l_extendedprice', 100))} AS sum_price,
+                            {_disp2(_hsum('l_discount', 100))} AS sum_disc
                      FROM lineitem GROUP BY 1)
         SELECT l_returnflag, measure, value
         FROM agg UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
@@ -568,11 +592,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN regexp_matches(p_name, '^(red|blue) ') THEN 1 ELSE 0 END) AS BIGINT) AS n_color_prefix
         FROM part"""
 
-    q["q14_promo_share"] = """
-        SELECT round(100.0 * sum(CASE WHEN p_type = 'ECONOMY'
-                                      THEN l_extendedprice*(1-l_discount) ELSE 0.0 END)
-                     / sum(l_extendedprice*(1-l_discount)), 6) AS promo_share,
-               round(sum(l_extendedprice*(1-l_discount)), 2) AS total_revenue
+    _promo_u4 = (
+        "sum(CASE WHEN p_type = 'ECONOMY' THEN CAST(CAST(round(l_extendedprice*(1-l_discount) * 10000) AS BIGINT) AS HUGEINT)"
+        " ELSE CAST(0 AS HUGEINT) END)"
+    )
+    q["q14_promo_share"] = f"""
+        SELECT round(CAST(round(CAST({_promo_u4} AS DOUBLE)
+                     / CAST({_REV_U4} AS DOUBLE) * 1e8) AS BIGINT) / 1e6, 6) AS promo_share,
+               {_REV_2DP} AS total_revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'"""
 
@@ -829,29 +856,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_members - 1 AS BIGINT) AS n_dropped
         FROM ranked WHERE rn = 1 AND n_members > 1"""
 
-    h_tok = hash64_sql("t")
-    _simhash_cte = f"""
-        toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
-        th AS (SELECT doc_id, {h_tok} AS h
-               FROM (SELECT doc_id, unnest(list_distinct(tk)) AS t FROM toks)),
-        bits AS (SELECT doc_id, b,
-                   CASE WHEN sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) > 0
-                        THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE CAST(0 AS BIGINT) END AS bv
-                 FROM th, (SELECT unnest(range(32)) AS b) GROUP BY doc_id, b),
-        sims AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS simhash FROM bits GROUP BY doc_id),
-        allsims AS (SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
-                    FROM documents d LEFT JOIN sims s ON d.doc_id = s.doc_id)"""
-
-    q["dedup_simhash"] = f"""
-        WITH {_simhash_cte}
-        SELECT doc_id, simhash,
-               simhash & 65535 AS lo16, (simhash >> 16) & 65535 AS hi16
-        FROM allsims"""
-
     # `dedup_simhash_pairs` retired from the driver contract in round 8
     # (judge r7 task 4): the narrow 16-bit-banded twin is quadratic at
     # scale; `dedup_simhash_wide_pairs` owns the family slot and the
     # narrow path stays pytest-only (tests/test_operators.py).
+    # `dedup_simhash` (the 32-bit bucket layout) retired in round 12 as
+    # the paired retirement for this round's two promotions: it keeps a
+    # pytest self-oracle (tests/test_operators.py
+    # test_simhash_buckets_matches_duckdb_oracle) and stays in bench.py's
+    # EXTRA_BENCH for frozen-baseline continuity.
 
     q["dedup_ngram_jaccard"] = """
         WITH d AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm
@@ -885,7 +898,7 @@ def oracle_sql() -> dict[str, str]:
         for lang in ("de", "en", "es", "fr")
     )
     g = "greatest(s_de, s_en, s_es, s_fr)"
-    q["q7_nation_volume"] = """
+    q["q7_nation_volume"] = f"""
         WITH supp AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
                       JOIN nation ON s_nationkey = n_nationkey
                       WHERE n_name IN ('NATION_1', 'NATION_2')),
@@ -893,7 +906,7 @@ def oracle_sql() -> dict[str, str]:
                  JOIN nation ON c_nationkey = n_nationkey
                  WHERE n_name IN ('NATION_1', 'NATION_2'))
         SELECT supp_nation, cust_nation, CAST(year(l_shipdate) AS INTEGER) AS l_year,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               {_REV_2DP} AS revenue
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         JOIN supp ON l_suppkey = s_suppkey
         JOIN cust ON o_custkey = c_custkey
@@ -901,10 +914,9 @@ def oracle_sql() -> dict[str, str]:
           AND l_shipdate BETWEEN '1996-01-01' AND '1997-12-31'
         GROUP BY 1, 2, 3"""
 
-    q["q9_profit_by_nation_year"] = """
+    q["q9_profit_by_nation_year"] = f"""
         SELECT n_name AS nation, CAST(year(l_shipdate) AS INTEGER) AS l_year,
-               round(sum(l_extendedprice * (1 - l_discount)
-                         - p_retailprice * l_quantity * 0.1), 2) AS sum_profit
+               {_disp2(_to_cents(_hsum('l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1', 10000), 100))} AS sum_profit
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -912,9 +924,9 @@ def oracle_sql() -> dict[str, str]:
         WHERE p_name LIKE '%red%'
         GROUP BY 1, 2"""
 
-    q["q10_returned_customers"] = """
+    q["q10_returned_customers"] = f"""
         SELECT c_custkey, c_name, n_name AS nation,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               {_REV_2DP} AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -943,9 +955,9 @@ def oracle_sql() -> dict[str, str]:
         FROM per_cust GROUP BY c_count
         ORDER BY custdist DESC, c_count DESC"""
 
-    q["q15_top_supplier"] = """
+    q["q15_top_supplier"] = f"""
         WITH rev AS (SELECT l_suppkey,
-                            round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                            {_REV_2DP} AS total_revenue
                      FROM lineitem
                      WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-03-31'
                      GROUP BY l_suppkey)
@@ -978,10 +990,10 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
         LIMIT 100"""
 
-    q["q11_important_parts"] = """
+    q["q11_important_parts"] = f"""
         WITH value AS (
             SELECT l_partkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
+                   {_REV_2DP} AS value
             FROM lineitem
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN nation ON s_nationkey = n_nationkey
@@ -989,7 +1001,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_partkey)
         SELECT CAST(l_partkey AS BIGINT) AS p_partkey, value
         FROM value
-        WHERE value > 0.001 * (SELECT round(sum(value), 2) FROM value)
+        WHERE value > 0.001 * (SELECT {_disp2(_hsum('value', 100))} FROM value)
         ORDER BY value DESC, p_partkey"""
 
     q["q20_excess_shippers"] = """
@@ -1006,18 +1018,18 @@ def oracle_sql() -> dict[str, str]:
                             THEN l_quantity ELSE 0.0 END) > 0.5 * sum(l_quantity))
         ORDER BY s_suppkey"""
 
-    q["q17_small_qty_revenue"] = """
+    q["q17_small_qty_revenue"] = f"""
         WITH a AS (SELECT l_partkey AS ap_partkey,
-                          round(0.2 * avg(l_quantity), 6) AS qty_cut
+                          round(CAST(round(avg(CAST(round(l_quantity) AS BIGINT)) * 2e5) AS BIGINT) / 1e6, 6) AS qty_cut
                    FROM lineitem GROUP BY l_partkey)
-        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        SELECT round(CAST(round(CAST({_hsum('l_extendedprice', 100)} AS DOUBLE) / 7.0) AS BIGINT) / 100.0, 2) AS avg_yearly
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
         JOIN a ON l_partkey = ap_partkey
         WHERE p_brand = 'Brand#1' AND l_quantity < qty_cut"""
 
-    q["q19_disjunctive_revenue"] = """
-        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    q["q19_disjunctive_revenue"] = f"""
+        SELECT {_REV_2DP} AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 1 AND 11)
@@ -1081,12 +1093,12 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY numwait DESC, s_name
         LIMIT 100"""
 
-    q["q22_idle_customers"] = """
+    q["q22_idle_customers"] = f"""
         SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS numcust,
-               round(sum(c_acctbal), 2) AS totacctbal
+               {_disp2(_hsum('c_acctbal', 100))} AS totacctbal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
-        WHERE c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer
+        WHERE c_acctbal > (SELECT round(CAST(round(avg(CAST(round(c_acctbal * 100) AS BIGINT)) * 1e4) AS BIGINT) / 1e6, 6) FROM customer
                            WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                           AND o_orderpriority = '1-URGENT')
@@ -1154,7 +1166,8 @@ def oracle_sql() -> dict[str, str]:
 
     q["events_tumbling_hourly"] = """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
-               CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
         FROM events GROUP BY 1, 2"""
 
     q["events_sliding_windows"] = """
@@ -2507,8 +2520,8 @@ def oracle_sql() -> dict[str, str]:
         dots AS (SELECT e.doc_id, sum(e.val * q.val) AS dot
                  FROM emb e JOIN qe q USING (pos) GROUP BY e.doc_id),
         cs AS (SELECT ncs.doc_id,
-                      round(COALESCE(dots.dot, 0)
-                            / sqrt(CAST(ncs.nc2 * nq.nq AS DOUBLE)), 6)
+                      round(CAST(round(COALESCE(dots.dot, 0)
+                            / sqrt(CAST(ncs.nc2 * nq.nq AS DOUBLE)) * 1e6) AS BIGINT) / 1e6, 6)
                           AS cos_sim
                FROM ncs LEFT JOIN dots USING (doc_id), nq
                WHERE ncs.nc2 > 0),
@@ -2518,8 +2531,8 @@ def oracle_sql() -> dict[str, str]:
                  FROM sempool),
         fused AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
                          l.bm25_rank, s.cos_rank,
-                         round(COALESCE(1.0 / (60 + l.bm25_rank), 0.0)
-                               + COALESCE(1.0 / (60 + s.cos_rank), 0.0), 6)
+                         round(CAST(round((COALESCE(1.0 / (60 + l.bm25_rank), 0.0)
+                               + COALESCE(1.0 / (60 + s.cos_rank), 0.0)) * 1e6) AS BIGINT) / 1e6, 6)
                              AS rrf_score
                   FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id)
         SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
@@ -2785,5 +2798,65 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(c) AS BIGINT) AS max_bucket,
                CAST(sum(c * (c - 1)) AS BIGINT) // 2 AS cand_pairs
         FROM buckets GROUP BY band_id ORDER BY band_id"""
+
+    # n-gram novelty/saturation curve (r12 promotion): same md5 gram
+    # family, doc-id-range sharding, counts from a (gram, shard) rollup;
+    # mirrors operators/textops.ngram_novelty_curve (n=3, n_shards=10)
+    _nnc_gram = hash64_sql("array_to_string(tk[i:i+2], ' ')")
+    q["ngram_novelty_curve"] = f"""
+        WITH b AS (SELECT max(doc_id) AS max_id FROM documents),
+        sharded AS (SELECT least(9, CAST(floor(doc_id * 10 / (b.max_id + 1))
+                                         AS BIGINT))
+                        AS shard, {_TOKS} AS tk
+                    FROM documents, b),
+        pos AS (SELECT shard, unnest(CASE WHEN len(tk) >= 3
+                    THEN list_transform(range(1, len(tk) - 1), i -> {_nnc_gram})
+                    ELSE [] END) AS gh
+                FROM sharded),
+        pgs AS (SELECT gh, shard, count(*) AS c FROM pos GROUP BY gh, shard),
+        per_shard AS (SELECT shard, CAST(sum(c) AS BIGINT) AS n_grams,
+                             CAST(count(*) AS BIGINT) AS n_distinct
+                      FROM pgs GROUP BY shard),
+        news AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_new
+                 FROM (SELECT gh, min(shard) AS shard FROM pgs GROUP BY gh)
+                 GROUP BY shard)
+        SELECT CAST(p.shard AS BIGINT) AS shard, p.n_grams, p.n_distinct,
+               COALESCE(n.n_new, 0) AS n_new,
+               round(CAST(round(CAST(COALESCE(n.n_new, 0) AS DOUBLE) / p.n_distinct * 1e6) AS BIGINT) / 1e6, 6)
+                   AS novelty_frac
+        FROM per_shard p LEFT JOIN news n ON p.shard = n.shard"""
+
+    # per-label centroid-cohesion outlier audit (r12 promotion): exact
+    # integer micro-sum centroids, same fold-order cosine arithmetic,
+    # quantile_cont over the same quantized integers; mirrors
+    # operators/embed.embedding_outlier_stats (min_cos=0.5 → cm < 500000)
+    _eos_dot = (
+        "list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.cvec),"
+        " x -> x[1]*x[2]))"
+    )
+    _eos_nv = "sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), z -> z*z)))"
+    _eos_nc = "sqrt(list_sum(list_transform(c.cvec, z -> z*z)))"
+    q["embedding_outlier_stats"] = f"""
+        WITH p AS (SELECT unnest(range((SELECT len(embedding) FROM embeddings LIMIT 1))) AS pos),
+        comp AS (SELECT label, CAST(p.pos AS INTEGER) AS pos,
+                   CAST(sum(CAST(round(CAST(embedding[CAST(p.pos AS INTEGER) + 1] AS DOUBLE) * 100000000) AS BIGINT)) AS BIGINT) AS s,
+                   count(*) AS n
+                 FROM embeddings, p GROUP BY label, p.pos),
+        cent AS (SELECT label,
+                   list(round((s / n) / 100000000, 6) ORDER BY pos) AS cvec
+                 FROM comp GROUP BY label),
+        cs AS (SELECT e.label,
+                 CAST(round(({_eos_dot} / ({_eos_nv} * {_eos_nc})) * 1000000) AS BIGINT) AS cm
+               FROM embeddings e JOIN cent c ON e.label = c.label
+               WHERE {_eos_nv} * {_eos_nc} <> 0),
+        agg AS (SELECT label, count(*) AS n_vecs,
+                  round(CAST(round(sum(cm) / count(*)) AS BIGINT) / 1e6, 6) AS mean_cos,
+                  round(CAST(round(quantile_cont(cm, 0.1)) AS BIGINT) / 1e6, 6) AS p10_cos,
+                  sum(CASE WHEN cm < 500000 THEN 1 ELSE 0 END) AS n_outliers
+                FROM cs GROUP BY label)
+        SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs, mean_cos, p10_cos,
+               CAST(n_outliers AS BIGINT) AS n_outliers,
+               round(CAST(round(CAST(n_outliers AS DOUBLE) / n_vecs * 1e6) AS BIGINT) / 1e6, 6) AS outlier_frac
+        FROM agg"""
 
     return q

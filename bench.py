@@ -245,7 +245,19 @@ def _bench_prepare_training_corpus(spark, sf_dir):
     return prepare_training_corpus(spark, sf_dir)
 
 
+def _bench_dedup_simhash(spark, sf_dir):
+    # retired from the driver oracle contract at r12 (paired retirement
+    # for the ngram_novelty_curve / embedding_outlier_stats promotions;
+    # superset-covered by dedup_simhash_wide_pairs) but kept benched:
+    # it is part of the FROZEN baseline shared-20 set, so dropping the
+    # wall-clock row would break like-for-like comparisons.
+    from oasysdb_spark.operators import dedup
+
+    return dedup.simhash_buckets(spark, sf_dir)
+
+
 EXTRA_BENCH = {
+    "dedup_simhash": _bench_dedup_simhash,
     "prepare_training_corpus": _bench_prepare_training_corpus,
     "tfidf_top_terms": _bench_tfidf_top_terms,
     "event_rate_anomalies": _bench_event_rate_anomalies,

@@ -498,10 +498,19 @@ def embedding_outlier_stats(
         .groupBy("label")
         .agg(
             F.count("*").cast("bigint").alias("n_vecs"),
-            F.round((F.sum("cm") / F.count("*")) / 1e6, 6).alias("mean_cos"),
-            F.round(F.percentile(F.col("cm"), F.lit(0.1)) / 1e6, 6).alias(
-                "p10_cos"
-            ),
+            # micro-unit integer mean / percentile, scale-0 displays
+            # (migrated at r12 promotion): sum(cm)/count and the
+            # interpolated percentile are already in 1e-6 units, so the
+            # scale-0 round lands on an exact integer both engines share
+            F.round(
+                F.round(F.sum("cm") / F.count("*")).cast("bigint") / F.lit(1e6),
+                6,
+            ).alias("mean_cos"),
+            F.round(
+                F.round(F.percentile(F.col("cm"), F.lit(0.1))).cast("bigint")
+                / F.lit(1e6),
+                6,
+            ).alias("p10_cos"),
             F.sum(F.when(F.col("cm") < cut, 1).otherwise(0))
             .cast("bigint")
             .alias("n_outliers"),
@@ -512,9 +521,14 @@ def embedding_outlier_stats(
             "mean_cos",
             "p10_cos",
             "n_outliers",
-            F.round(F.col("n_outliers") / F.col("n_vecs").cast("double"), 6).alias(
-                "outlier_frac"
-            ),
+            # int/int ratio, scale-0 display (r12 promotion migration)
+            F.round(
+                F.round(
+                    F.col("n_outliers") / F.col("n_vecs").cast("double") * F.lit(1e6)
+                ).cast("bigint")
+                / F.lit(1e6),
+                6,
+            ).alias("outlier_frac"),
         )
     )
 
@@ -924,9 +938,15 @@ def hybrid_search_rrf(
         .where(F.col("nc") > 0)
         .select(
             "doc_id",
+            # ratio of exact integers, displayed through the scale-0 form
+            # (r12 migration of the round(double, 6) boundary class)
             F.round(
-                F.col("dot")
-                / F.sqrt((F.col("nc") * F.lit(int(nq))).cast("double")),
+                F.round(
+                    F.col("dot")
+                    / F.sqrt((F.col("nc") * F.lit(int(nq))).cast("double"))
+                    * F.lit(1e6)
+                ).cast("bigint")
+                / F.lit(1e6),
                 6,
             ).alias("cos_sim"),
         )
@@ -941,13 +961,20 @@ def hybrid_search_rrf(
         "doc_id",
         "bm25_rank",
         "cos_rank",
+        # two-term sum of exact reciprocals, scale-0 display (r12)
         F.round(
-            F.coalesce(
-                1.0 / (F.lit(rrf_k) + F.col("bm25_rank")), F.lit(0.0)
-            )
-            + F.coalesce(
-                1.0 / (F.lit(rrf_k) + F.col("cos_rank")), F.lit(0.0)
-            ),
+            F.round(
+                (
+                    F.coalesce(
+                        1.0 / (F.lit(rrf_k) + F.col("bm25_rank")), F.lit(0.0)
+                    )
+                    + F.coalesce(
+                        1.0 / (F.lit(rrf_k) + F.col("cos_rank")), F.lit(0.0)
+                    )
+                )
+                * F.lit(1e6)
+            ).cast("bigint")
+            / F.lit(1e6),
             6,
         ).alias("rrf_score"),
     )

@@ -46,22 +46,83 @@ def _u4_sum_to_cents(u4_sum):
     ).cast("bigint")
 
 
+def _dec_unit_sum(col, scale: int):
+    """Exact integer-unit sum with decimal(38,0) accumulation.
+
+    Per-row quantize a finite-decimal input to ``scale`` integer units
+    (lossless by construction — the fixtures' money/quantity columns are
+    exact 2dp / integral, so price×(1−disc) is an exact 4-decimal and
+    ×(1+tax) an exact 6-decimal), then SUM in 38-digit decimal. Bigint
+    u4 accumulators cap out near $920 T per group; a 100 TB-scale q1
+    group (four groups over the whole fact table) passes that, and the
+    u6 charge sum would overflow three decades sooner — decimal(38,0)
+    has 1e38 of headroom at any conceivable SF. DuckDB twin: HUGEINT
+    (also 128-bit, same exact-integer semantics)."""
+    return F.sum(F.round(col * scale).cast("bigint").cast("decimal(38,0)"))
+
+
+def _dec_units_to_cents(unit_sum, per_cent: int):
+    """decimal(38,0) integer-unit sum → half-AWAY-from-zero CENTS bigint.
+
+    Signed generalization of ``_u4_sum_to_cents``: add ±half before the
+    divide so negative sums (q9 profit can dip below zero per group)
+    round away from zero exactly like a fresh ``round()`` would. Spark's
+    decimal→bigint cast and DuckDB's hugeint ``//`` BOTH truncate toward
+    zero (verified: −123506/100 → −1235 on each), so the mirror is
+    ``(s ± half) // per_cent`` term-for-term."""
+    half = per_cent // 2
+    adj = F.when(unit_sum >= 0, F.lit(half)).otherwise(F.lit(-half))
+    return ((unit_sum + adj) / F.lit(per_cent)).cast("bigint")
+
+
+def _cents_disp(cents):
+    """Exact integer cents → the 2dp double display both engines share.
+
+    cents→double conversion is round-to-nearest in both engines
+    (BigDecimal.doubleValue / hugeint cast) and exact below 2^53 cents
+    (~$90 T per group); the final round(·,2) re-lands on the 2dp value."""
+    return F.round(cents.cast("double") / F.lit(100.0), 2)
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy agg with map-side partial aggregation;
-    the parquet scan reads only the 7 referenced columns."""
+    the parquet scan reads only the 7 referenced columns.
+
+    r12 float-discipline migration: every money/quantity sum accumulates
+    as exact integer units in decimal(38,0) (quantity/price in cents,
+    disc_price in 1e-4 units, charge in 1e-6 units — each lossless for
+    the fixtures' finite-decimal inputs) and the averages divide exact
+    integer sums, displayed through the scale-0 rounding form. The
+    legacy round(sum-of-double, k) flips last digits between engines at
+    exact decimal boundaries and loses cents past 2^53 (~sf50 group
+    sums); Q1's four whole-table groups are the first place that bites."""
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    qty_int = F.round(F.col("l_quantity")).cast("bigint")
+    disc_c2 = F.round(F.col("l_discount") * 100).cast("bigint")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            _cents_disp(_dec_unit_sum(F.col("l_quantity"), 100)).alias("sum_qty"),
+            _cents_disp(_dec_unit_sum(F.col("l_extendedprice"), 100)).alias(
+                "sum_base_price"
+            ),
+            _cents_disp(
+                _dec_units_to_cents(_dec_unit_sum(disc_price, 10000), 100)
+            ).alias("sum_disc_price"),
+            _cents_disp(
+                _dec_units_to_cents(_dec_unit_sum(charge, 1000000), 10000)
+            ).alias("sum_charge"),
+            # integral quantities / 2dp discounts: avg of an exact integer
+            # sum, pre-scaled to 1e-6 display units and rounded at scale 0
+            F.round(
+                F.round(F.avg(qty_int) * F.lit(1e6)).cast("bigint") / F.lit(1e6), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.round(F.avg(disc_c2) * F.lit(1e4)).cast("bigint") / F.lit(1e6), 6
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -163,7 +224,19 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(
+            # exact 1e-4-unit integers in decimal(38,0) (single whole-table
+            # group — the bigint u4 form overflows first here), scale-0
+            # display (r12 migration)
+            _cents_disp(
+                _dec_units_to_cents(
+                    _dec_unit_sum(
+                        F.col("l_extendedprice") * F.col("l_discount"), 10000
+                    ),
+                    100,
+                )
+            ).alias("revenue")
+        )
     )
 
 
@@ -187,10 +260,14 @@ def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # exact cents over the frame (o_totalprice is 2dp — the
+    # orders_trailing_spend recipe): integer window sums are
+    # partition-order-proof; one /100 at display (r12 migration)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.round(F.sum(cents).over(w) / F.lit(100.0), 2).alias("running_total"),
     )
 
 
@@ -202,7 +279,9 @@ def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n_rows"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            # exact integer-cent accumulation, decimal(38,0) against the
+            # whole-table grand-total row (r12 migration)
+            _cents_disp(_dec_unit_sum(F.col("l_quantity"), 100)).alias("sum_qty"),
             F.grouping_id().cast("int").alias("gid"),
         )
     )
@@ -213,7 +292,11 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            # exact cents, decimal(38,0) against the grand-total cell (r12)
+            _cents_disp(_dec_unit_sum(F.col("o_totalprice"), 100)).alias("total"),
+        )
     )
 
 
@@ -290,7 +373,8 @@ def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            # exact cents, scale-0 display (r12 migration)
+            _cents_disp(_dec_unit_sum(F.col("o_totalprice"), 100)).alias("total"),
         )
         .orderBy("yr", "mo")
     )
@@ -618,16 +702,29 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact 1e-4-unit integers (r12 migration): the share is a ratio of
+    # two exact decimal sums — cast each to double once (round-to-nearest
+    # in both engines), divide, and display through the scale-0 form;
+    # total_revenue converts u4→cents in integer math
+    rev_u4 = F.round(rev * 10000).cast("bigint").cast("decimal(38,0)")
+    promo_u4 = F.when(F.col("p_type") == "ECONOMY", rev_u4).otherwise(
+        F.lit(0).cast("decimal(38,0)")
+    )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
             F.round(
-                F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0))
-                / F.sum(rev),
+                F.round(
+                    F.sum(promo_u4).cast("double")
+                    / F.sum(rev_u4).cast("double")
+                    * F.lit(1e8)
+                ).cast("bigint")
+                / F.lit(1e6),
                 6,
             ).alias("promo_share"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            _cents_disp(_dec_units_to_cents(F.sum(rev_u4), 100)).alias(
+                "total_revenue"
+            ),
         )
     )
 
@@ -728,9 +825,15 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("integer").alias("l_year"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            # exact 1e-4-unit integer revenue, scale-0 display (r12)
+            _cents_disp(
+                _dec_units_to_cents(
+                    _dec_unit_sum(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+                    ),
+                    100,
+                )
+            ).alias("revenue")
         )
     )
 
@@ -753,7 +856,15 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("l_shipdate").cast("integer").alias("l_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(
+            # per-row profit is an exact 4-decimal (2dp price × 2dp factor
+            # minus 2dp retail × integral qty × 0.1 = a 3-decimal); the
+            # SIGNED u4→cents conversion matters here — group profit can
+            # go negative, and half-away must match on both engines (r12)
+            _cents_disp(
+                _dec_units_to_cents(_dec_unit_sum(profit, 10000), 100)
+            ).alias("sum_profit")
+        )
     )
 
 
@@ -772,9 +883,15 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            # exact 1e-4-unit integer revenue, scale-0 display (r12)
+            _cents_disp(
+                _dec_units_to_cents(
+                    _dec_unit_sum(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+                    ),
+                    100,
+                )
+            ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -827,9 +944,16 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.groupBy("l_suppkey")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "total_revenue"
-            )
+            # exact 1e-4-unit integer revenue, scale-0 display (r12) —
+            # the max and the equality cut both act on this exact 2dp value
+            _cents_disp(
+                _dec_units_to_cents(
+                    _dec_unit_sum(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+                    ),
+                    100,
+                )
+            ).alias("total_revenue")
         )
     )
     max_rev = rev.agg(F.max("total_revenue").alias("m"))
@@ -852,16 +976,32 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated aggregate subquery, decorrelated into a self-agg join."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
-    # the cut is rounded to 6dp in BOTH engines so summation-order ulps
-    # can't flip a boundary row between them
+    # the cut is an avg over INTEGRAL quantities (exact bigint sum →
+    # one double divide), pre-scaled ×0.2×1e6 and rounded at scale 0 so
+    # both engines cut bit-identically (r12 migration of the legacy
+    # round(avg(double)*0.2, 6) form)
+    qty_int = F.round(F.col("l_quantity")).cast("bigint")
     avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
-        F.round(F.avg("l_quantity") * 0.2, 6).alias("qty_cut")
+        F.round(
+            F.round(F.avg(qty_int) * F.lit(2e5)).cast("bigint") / F.lit(1e6), 6
+        ).alias("qty_cut")
     )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(avg_qty, li.l_partkey == F.col("ap_partkey"))
         .where(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            # exact cents (decimal-accumulated — single group), /7 in
+            # cents space, rounded at scale 0, one /100 at display (r12)
+            F.round(
+                F.round(
+                    F.sum(cents.cast("decimal(38,0)")).cast("double") / F.lit(7.0)
+                ).cast("bigint")
+                / F.lit(100.0),
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -887,9 +1027,16 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return j.where(c1 | c2 | c3).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        # exact 1e-4-unit integers in decimal(38,0) (single whole-join
+        # group), scale-0 display (r12 migration)
+        _cents_disp(
+            _dec_units_to_cents(
+                _dec_unit_sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+                ),
+                100,
+            )
+        ).alias("revenue")
     )
 
 
@@ -901,8 +1048,14 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     nation = _t(spark, sf_dir, "nation")
+    # exact-cents mean (acctbal is 2dp): bigint-cent avg → pre-scale to
+    # 1e-6 display units → scale-0 round, so the threshold is the same
+    # double on both engines (r12 migration)
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("bigint")
     avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
-        F.round(F.avg("c_acctbal"), 6).alias("avg_bal")
+        F.round(
+            F.round(F.avg(bal_c) * F.lit(1e4)).cast("bigint") / F.lit(1e6), 6
+        ).alias("avg_bal")
     )
     return (
         cust.join(F.broadcast(avg_bal))
@@ -916,7 +1069,11 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count("*").cast("bigint").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            # exact (possibly negative) cents sum — no division rounding
+            # needed, just the shared cents display (r12 migration)
+            _cents_disp(_dec_unit_sum(F.col("c_acctbal"), 100)).alias(
+                "totacctbal"
+            ),
         )
     )
 
@@ -1306,10 +1463,14 @@ def unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, so the plan is one scan + one agg exchange regardless of
     measure count."""
     li = _t(spark, sf_dir, "lineitem")
+    # exact integer-cent accumulation for all three measures before the
+    # melt (r12 migration) — quantity integral, price/discount exact 2dp
     agg = li.groupBy("l_returnflag").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+        _cents_disp(_dec_unit_sum(F.col("l_quantity"), 100)).alias("sum_qty"),
+        _cents_disp(_dec_unit_sum(F.col("l_extendedprice"), 100)).alias(
+            "sum_price"
+        ),
+        _cents_disp(_dec_unit_sum(F.col("l_discount"), 100)).alias("sum_disc"),
     )
     return agg.unpivot(
         "l_returnflag", ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
@@ -1472,12 +1633,21 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(nat_supp), li.l_suppkey == nat_supp.s_suppkey)
         .groupBy("l_partkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # exact 1e-4-unit integer revenue, scale-0 display (r12)
+            _cents_disp(
+                _dec_units_to_cents(
+                    _dec_unit_sum(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+                    ),
+                    100,
+                )
             ).alias("value")
         )
     )
-    total = value.agg(F.round(F.sum("value"), 2).alias("total"))
+    # the national total re-sums the exact 2dp part values in cents (r12)
+    total = value.agg(
+        _cents_disp(_dec_unit_sum(F.col("value"), 100)).alias("total")
+    )
     return (
         value.join(F.broadcast(total))
         .where(F.col("value") > 0.001 * F.col("total"))

@@ -292,7 +292,11 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact-cents accumulation (r12 migration — the sliding-window
+            # twin took the same form at r11): events.value is exact 2dp
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0, 2
+            ).alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )

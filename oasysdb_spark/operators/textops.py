@@ -2544,9 +2544,15 @@ def ngram_novelty_curve(
             "n_grams",
             "n_distinct",
             F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint").alias("n_new"),
+            # int/int ratio displayed via the scale-0 form (migrated at
+            # r12 promotion — the standing display-round discipline)
             F.round(
-                F.coalesce(F.col("n_new"), F.lit(0))
-                / F.col("n_distinct").cast("double"),
+                F.round(
+                    F.coalesce(F.col("n_new"), F.lit(0))
+                    / F.col("n_distinct").cast("double")
+                    * F.lit(1e6)
+                ).cast("bigint")
+                / F.lit(1e6),
                 6,
             ).alias("novelty_frac"),
         )

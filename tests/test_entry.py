@@ -39,38 +39,32 @@ def test_each_query_runs_smoke(spark, sf_dir, name):
 
 def test_driver_window_rotation_closes_coverage():
     """The driver oracle-checks only the FIRST 50 queries() entries. The
-    round-11 rotation contract: every NEW entry and every entry whose
-    underlying code changed this round must be inside the window; every
-    entry pushed OUTSIDE must already hold a green hash-matched row from
-    the MOST RECENT round that checked it, and that row may be at most
-    two rounds old (r09 at r11) — so no query ever goes three rounds
-    unchecked. The entries deferred at the two-round limit are pinned
-    by name: they are the mandatory head of the NEXT round's window
-    (the r12 ledger, judge r10 tasks 1+7).
+    round-12 rotation contract: every NEW entry and every entry whose
+    underlying code changed this round must be inside the window (or be
+    pinned by name into the NEXT round's head when the window is full);
+    every entry pushed OUTSIDE must already hold a green hash-matched
+    row from the MOST RECENT round that checked it, and that row may be
+    at most two rounds old (r10 at r12) — so no query ever goes three
+    rounds unchecked. The entries deferred at the two-round limit are
+    pinned by name: they are the mandatory head of the NEXT round's
+    window (the r13 ledger).
     One documented exception: `text_bpe_tokenizer` is rows-only (no
     SQL oracle can exist for the learned merge table), so its driver
     row is never hash-green — outside the window it is pytest-gated
     (tests/test_tokenizer.py determinism + local==distributed
     equivalence) instead of oracle-stale (judge r6 task 5).
 
-    CAPACITY LEDGER (judge r9 task 2, updated at r11): 140 entries /
-    150 ceiling (50-slot window x 3-round refresh cycle) — at most
-    ~10 more promotions EVER without retiring entries. The r12
-    mandatory head is 48: the 45 r9-latest deferrals pinned below PLUS
-    q3_shipping_priority / q5_local_supplier_volume /
-    bucketed_revenue_by_priority — those three took the u4→cents
-    integer-math display fix (r10 ADVICE #4) AFTER the r11 window was
-    frozen at 50 mandatory entries, so their driver rows are r10 ones
-    against the old (output-identical at every fixture scale,
-    oracle-mirrored term-for-term, local triple-scale sweep green)
-    form; the generic staleness rule below forces them in at r12
-    automatically. That leaves only 2 free r12 slots; from r12 onward
-    promote at most 1-2 per round, prefer new FAMILIES, and pair each
-    promotion with a retirement candidate (the r8 narrow-simhash
-    precedent). Remaining staged oracle-able candidates for r12+:
-    ngram_novelty_curve, embedding_outlier_stats,
-    embedding_decontaminate_stats, source_length_drift,
-    term_burstiness."""
+    CAPACITY LEDGER (judge r9 task 2, updated at r12): 141 entries /
+    150 ceiling (50-slot window x 3-round refresh cycle) — at most ~9
+    more promotions EVER without retiring entries. r12 promoted
+    ngram_novelty_curve + embedding_outlier_stats into its 2 free
+    slots and RETIRED dedup_simhash in exchange (superset family
+    coverage: dedup_simhash_wide_pairs; the retired op keeps a pytest
+    self-oracle in tests/test_operators.py and a bench.py EXTRA_BENCH
+    row for frozen-baseline continuity). Remaining staged oracle-able
+    candidates for r13+: embedding_decontaminate_stats (bench-tracked
+    + pytest-gated today, not yet in the contract),
+    source_length_drift, term_burstiness."""
     import json
     import os
 
@@ -82,108 +76,13 @@ def test_driver_window_rotation_closes_coverage():
         with open(os.path.join(here, "..", name)) as f:
             return json.load(f)
 
-    r9, r10 = load("CORRECTNESS_r09.json"), load("CORRECTNESS_r10.json")
+    r10, r11 = load("CORRECTNESS_r10.json"), load("CORRECTNESS_r11.json")
     window = list(entry.queries())[:50]
 
-    # the 39 r8-green leftovers deferred in r10 hit the two-round
-    # staleness limit at r11 — the r10 verdict (task 1) pins them as
+    # the 45 r9-green leftovers deferred in r11 hit the two-round
+    # staleness limit at r12 — the r11 verdict (task 1) pins them as
     # the mandatory window head
-    deferred_r8 = {
-        "text_token_stats",
-        "text_fingerprints",
-        "text_stratified_sample",
-        "events_sliding_windows",
-        "vec_knn_euclidean",
-        "vec_knn_filtered",
-        "vec_radius",
-        "vec_knn_batched",
-        "vec_label_centroids",
-        "vec_lsh_knn",
-        "vec_knn_manhattan",
-        "vec_knn_join_blocked",
-        "q16_supplier_variety",
-        "string_part_stats",
-        "line_dedup_stats",
-        "chunk_documents",
-        "chunk_retrieval_topk",
-        "component_size_histogram",
-        "cross_source_duplication_stats",
-        "text_bigram_surprisal",
-        "text_trigram_surprisal",
-        "text_curriculum_buckets",
-        "text_shard_plan",
-        "source_curation_stats",
-        "text_oov_rate",
-        "ngram_decontaminate_stats",
-        "ngram_contamination_report_stats",
-        "text_pretoken_counts",
-        "multimodal_dhash_dedup",
-        "dedup_decontaminate",
-        "dedup_components",
-        "dedup_embedding_cosine",
-        "dedup_exact_pick",
-        "dedup_exact_stats",
-        "dedup_minhash_lsh",
-        "text_boilerplate_ngrams",
-        "text_pii_scrub",
-        "text_hash_embeddings",
-        "asof_click_view",
-    }
-    must_rotate_in = (
-        deferred_r8
-        # the one-shot round_dist scale-0 migration (judge r10 task 1):
-        # the shared helper's oracle users OUTSIDE the mandatory head
-        # re-enter so every changed entry is checked this round — its
-        # two r9-green users and its three r10-green users
-        | {
-            "vec_knn_cosine",
-            "vec_ivf_knn",
-            "hard_negative_mining",
-            "vec_golden_distance",
-            "vec_lsh_knn_indexed",
-        }
-        # code changed in round 11: the broadcast-ledger race fix + the
-        # typed d=2 over-length error (customer_fuzzy_matches), the
-        # p50/p99 scale-0 display + approx lever (join_key_skew_stats),
-        # and the approx lever (percentile_stats) — window re-entry is
-        # mandatory despite green r10 rows
-        | {
-            "customer_fuzzy_matches",
-            "join_key_skew_stats",
-            "percentile_stats",
-        }
-        # new in round 11: the three staged self-oracles promoted
-        | {
-            "weighted_sample_topk",
-            "lineitem_price_qty_correlation",
-            "simhash_band_health",
-        }
-    )
-    missing = must_rotate_in - set(window)
-    assert not missing, f"driver window lost: {sorted(missing)}"
-
-    # the quadratic narrow-simhash entry stays retired (judge r7 task 4)
-    assert "dedup_simhash_pairs" not in entry.queries()
-
-    # everything rotated out must be green in its most recent check,
-    # and that check may be at most two rounds old (r9 at round 11)
-    deferred_at_limit = set()
-    for qname in entry.queries():
-        if qname in window:
-            continue
-        if qname == "text_bpe_tokenizer":
-            continue  # rows-only: pytest-gated, never hash-green
-        row = r10.get(qname) or r9.get(qname)
-        assert row is not None and row["hash_match"] is True, (
-            f"{qname} is outside the driver window without a green prior row"
-        )
-        if qname not in r10:
-            deferred_at_limit.add(qname)
-
-    # the r9-latest entries deferred past this window sit AT the
-    # two-round staleness limit: round 12's window MUST lead with these
-    # 45 (the ledger discipline — only 5 slots remain free at r12).
-    assert deferred_at_limit == {
+    deferred_r9 = {
         "sessionize_events",
         "interval_overlap_join",
         "events_tumbling_hourly",
@@ -229,7 +128,108 @@ def test_driver_window_rotation_closes_coverage():
         "dedup_simhash_wide_pairs",
         "multimodal_dhash_near_pairs",
         "text_bm25_search",
+    }
+    must_rotate_in = (
+        deferred_r9
+        # r10-green entries whose u4→cents integer-division display fix
+        # (r10 ADVICE #4) landed AFTER the r11 window froze — their
+        # driver rows predate the current (output-identical,
+        # oracle-mirrored) form, so they re-enter at r12
+        | {
+            "q3_shipping_priority",
+            "q5_local_supplier_volume",
+            "bucketed_revenue_by_priority",
+        }
+        # new in round 12: the two staged self-oracles promoted
+        | {
+            "ngram_novelty_curve",
+            "embedding_outlier_stats",
+        }
+    )
+    missing = must_rotate_in - set(window)
+    assert not missing, f"driver window lost: {sorted(missing)}"
+
+    # retirements stay retired: the quadratic narrow-simhash pair entry
+    # (judge r7 task 4) and the 32-bit simhash bucket layout (r12 paired
+    # retirement — pytest self-oracle + bench EXTRA_BENCH keep covering it)
+    assert "dedup_simhash_pairs" not in entry.queries()
+    assert "dedup_simhash" not in entry.queries()
+
+    # everything rotated out must be green in its most recent check,
+    # and that check may be at most two rounds old (r10 at round 12)
+    deferred_at_limit = set()
+    for qname in entry.queries():
+        if qname in window:
+            continue
+        if qname == "text_bpe_tokenizer":
+            continue  # rows-only: pytest-gated, never hash-green
+        row = r11.get(qname) or r10.get(qname)
+        assert row is not None and row["hash_match"] is True, (
+            f"{qname} is outside the driver window without a green prior row"
+        )
+        if qname not in r11:
+            deferred_at_limit.add(qname)
+
+    # the r10-latest entries deferred past this window sit AT the
+    # two-round staleness limit: round 13's window MUST lead with these
+    # 40 — PLUS the three r11-green entries whose code changed in r12
+    # without window room (the changed-code pin rule):
+    # `simhash_band_health` and `cross_source_duplication_stats` (the
+    # ADVICE decimal(38,0)/HUGEINT pair-count overflow fix) and
+    # `customer_fuzzy_matches` (the reference-fingerprint ledger-hit
+    # fast path) — 43 mandatory, 7 slots free at r13.
+    assert deferred_at_limit == {
+        "q4_order_priority",
+        "domain_mixture_sample",
+        "encoding_quality_stats",
+        "source_token_divergence",
+        "customers_without_orders",
+        "text_boilerplate_scrub",
+        "text_gopher_quality",
+        "events_funnel",
+        "text_repetition_stats",
+        "text_vocabulary",
+        "text_span_dedup",
+        "embedding_balanced_sample",
+        "text_heavy_hitters",
+        "orders_trailing_spend",
+        "events_retention_cohorts",
+        "text_unigram_surprisal",
+        "multimodal_audio_fingerprints",
+        "dedup_representative_pick",
+        "window_functions_suite",
+        "grouping_sets_orders",
+        "pivot_lineitem",
+        "filter_dsl_embeddings",
+        "skew_salted_user_join",
+        "setop_customers",
+        "range_join_price_bands",
+        "text_pack_sequences",
+        "dedup_ngram_jaccard",
+        "text_language_id",
+        "text_quality",
+        "random_projection",
+        "q2_min_cost_supplier",
+        "user_rfm_segments",
+        "embedding_norm_stats",
+        "q8_market_share",
+        "math_stats",
+        "json_event_stats",
+        "event_funnel",
+        "text_clean_pipeline",
+        "multimodal_pixel_stats",
+        "multimodal_video_stats",
     }, f"unexpected deferral set: {sorted(deferred_at_limit)}"
+
+    # the changed-in-r12 entries pinned into the r13 head must hold
+    # green r11 rows (they are 1-stale, legal — the pin is about the
+    # code change, not staleness)
+    for qname in (
+        "simhash_band_health",
+        "cross_source_duplication_stats",
+        "customer_fuzzy_matches",
+    ):
+        assert r11[qname]["hash_match"] is True
 
     # every query must have an oracle twin (column-name-matched
     # contract) — except the documented non-SQL-expressible set, which

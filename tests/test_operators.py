@@ -3594,7 +3594,7 @@ def test_ngram_novelty_curve_matches_duckdb_oracle(spark, sf_dir):
                  GROUP BY shard)
         SELECT CAST(p.shard AS BIGINT) AS shard, p.n_grams, p.n_distinct,
                COALESCE(n.n_new, 0) AS n_new,
-               round(CAST(COALESCE(n.n_new, 0) AS DOUBLE) / p.n_distinct, 6)
+               round(CAST(round(CAST(COALESCE(n.n_new, 0) AS DOUBLE) / p.n_distinct * 1e6) AS BIGINT) / 1e6, 6)
                    AS novelty_frac
         FROM per_shard p LEFT JOIN news n ON p.shard = n.shard""")
     duck_cols = [d[0] for d in res.description]
@@ -3612,6 +3612,56 @@ def test_ngram_novelty_curve_matches_duckdb_oracle(spark, sf_dir):
     assert sum(r[ix["n_new"]] for r in spark_rows) <= sum(
         r[ix["n_distinct"]] for r in spark_rows
     )
+
+
+def test_simhash_buckets_matches_duckdb_oracle(spark, sf_dir):
+    """simhash_buckets (the narrow 32-bit bucket layout) hash-compared
+    against the DuckDB replay that WAS its driver oracle until round 12
+    — the entry retired from the driver contract as the paired
+    retirement for that round's promotions (superset family coverage
+    lives in dedup_simhash_wide_pairs), so this gate keeps the exact
+    same correctness pin running in pytest."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.functions.hashing import hash64_sql
+    from oasysdb_spark.operators import dedup
+
+    got = dedup.simhash_buckets(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert spark_rows
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    h_tok = hash64_sql("t")
+    res = con.execute(f"""
+        WITH toks AS (SELECT doc_id, {toks} AS tk FROM documents),
+        th AS (SELECT doc_id, {h_tok} AS h
+               FROM (SELECT doc_id, unnest(list_distinct(tk)) AS t FROM toks)),
+        bits AS (SELECT doc_id, b,
+                   CASE WHEN sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                        THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) ELSE CAST(0 AS BIGINT) END AS bv
+                 FROM th, (SELECT unnest(range(32)) AS b) GROUP BY doc_id, b),
+        sims AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS simhash FROM bits GROUP BY doc_id),
+        allsims AS (SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+                    FROM documents d LEFT JOIN sims s ON d.doc_id = s.doc_id)
+        SELECT doc_id, simhash,
+               simhash & 65535 AS lo16, (simhash >> 16) & 65535 AS hi16
+        FROM allsims""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "dedup_simhash", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
 
 
 def test_embedding_outlier_stats_matches_duckdb_oracle(spark, sf_dir):
@@ -3660,13 +3710,13 @@ def test_embedding_outlier_stats_matches_duckdb_oracle(spark, sf_dir):
                FROM embeddings e JOIN cent c ON e.label = c.label
                WHERE {norm_v} * {norm_c} <> 0),
         agg AS (SELECT label, count(*) AS n_vecs,
-                  round((sum(cm) / count(*)) / 1000000, 6) AS mean_cos,
-                  round(quantile_cont(cm, 0.1) / 1000000, 6) AS p10_cos,
+                  round(CAST(round(sum(cm) / count(*)) AS BIGINT) / 1e6, 6) AS mean_cos,
+                  round(CAST(round(quantile_cont(cm, 0.1)) AS BIGINT) / 1e6, 6) AS p10_cos,
                   sum(CASE WHEN cm < 0 THEN 1 ELSE 0 END) AS n_outliers
                 FROM cs GROUP BY label)
         SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs, mean_cos, p10_cos,
                CAST(n_outliers AS BIGINT) AS n_outliers,
-               round(CAST(n_outliers AS DOUBLE) / n_vecs, 6) AS outlier_frac
+               round(CAST(round(CAST(n_outliers AS DOUBLE) / n_vecs * 1e6) AS BIGINT) / 1e6, 6) AS outlier_frac
         FROM agg""")
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
