@@ -1326,7 +1326,7 @@ def oracle_sql() -> dict[str, str]:
                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * len.dl / stats.avgdl)) AS s
                FROM tf JOIN df USING (term)
                        JOIN len ON tf.doc_id = len.doc_id, stats)
-        SELECT doc_id, round(sum(s), 6) AS bm25
+        SELECT doc_id, round(sum(CAST(round(s * 1e6) AS BIGINT)) / 1e6, 6) AS bm25
         FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20"""
 
     # Gopher rules: whitespace words (the paper's definition), all-integer
@@ -2340,8 +2340,8 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(round(max(th.thr)) AS BIGINT) / 1e6, 6) AS thr_bits,
                CAST(sum(CASE WHEN bits_micro <= thr THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_kept,
-               round(CAST(sum(CASE WHEN bits_micro <= thr THEN 1 ELSE 0 END)
-                          AS DOUBLE) / count(*), 6) AS kept_frac,
+               round(CAST(round(CAST(sum(CASE WHEN bits_micro <= thr THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*) * 1e6) AS BIGINT) / 1e6, 6) AS kept_frac,
                CAST(sum(CASE WHEN bits_micro <= thr THEN n_tokens ELSE 0 END)
                     AS BIGINT) AS kept_tokens
         FROM pd JOIN th USING (source) GROUP BY pd.source"""
@@ -2382,7 +2382,7 @@ def oracle_sql() -> dict[str, str]:
                     CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c*c) AS BIGINT) AS s2
                   FROM hourly GROUP BY event_type),
         z AS (SELECT event_type, hour_ts, c AS n_events,
-                round(CAST(c*n - s1 AS DOUBLE) / sqrt(CAST(n*s2 - s1*s1 AS DOUBLE)), 6) AS z_score
+                round(CAST(round(CAST(c*n - s1 AS DOUBLE) / sqrt(CAST(n*s2 - s1*s1 AS DOUBLE)) * 1e6) AS BIGINT) / 1e6, 6) AS z_score
               FROM hourly JOIN stats USING (event_type)
               WHERE n*s2 - s1*s1 > 0)
         SELECT event_type, hour_ts, n_events, z_score
@@ -2399,7 +2399,7 @@ def oracle_sql() -> dict[str, str]:
         ct AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM d1 GROUP BY term),
         nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM d1),
         scored AS (SELECT source, term, tf, df,
-                     round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+                     round(CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1e6) AS BIGINT) / 1e6, 6) AS score
                    FROM st JOIN ct USING (term) CROSS JOIN nd WHERE df >= 2),
         r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, tf DESC, term) AS rnk
               FROM scored)
@@ -2415,7 +2415,8 @@ def oracle_sql() -> dict[str, str]:
                    FROM du, (SELECT unnest(range(7)) AS i)),
         wau AS (SELECT s.day, CAST(count(DISTINCT s.user_id) AS BIGINT) AS wau
                 FROM served s JOIN dau USING (day) GROUP BY s.day)
-        SELECT day, dau, wau, round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+        SELECT day, dau, wau,
+               round(CAST(round(CAST(dau AS DOUBLE) / wau * 1e6) AS BIGINT) / 1e6, 6) AS stickiness
         FROM dau JOIN wau USING (day) ORDER BY day"""
 
     # MinHash estimator calibration: full pipeline replay (same md5
@@ -2459,8 +2460,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM pairs)
         SELECT CAST(n_agree AS BIGINT) AS n_agree,
                CAST(count(*) AS BIGINT) AS n_pairs,
-               round(CAST(n_agree AS DOUBLE) / 16, 6) AS est_jaccard,
-               round((sum(jm) / count(*)) / 1000000, 6) AS mean_exact_jaccard,
+               round(CAST(round(CAST(n_agree AS DOUBLE) / 16 * 1e6) AS BIGINT) / 1e6, 6) AS est_jaccard,
+               round(CAST(round(sum(jm) / count(*)) AS BIGINT) / 1e6, 6) AS mean_exact_jaccard,
                round(min(jm) / 1000000, 6) AS min_exact_jaccard,
                round(max(jm) / 1000000, 6) AS max_exact_jaccard
         FROM jmt GROUP BY n_agree ORDER BY n_agree"""
@@ -2495,7 +2496,8 @@ def oracle_sql() -> dict[str, str]:
                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * len.dl / stats.avgdl)) AS s
                FROM tf JOIN df USING (term)
                        JOIN len ON tf.doc_id = len.doc_id, stats),
-        lexpool AS (SELECT doc_id, round(sum(s), 6) AS bm25
+        lexpool AS (SELECT doc_id,
+                      round(sum(CAST(round(s * 1e6) AS BIGINT)) / 1e6, 6) AS bm25
                     FROM sc GROUP BY doc_id
                     ORDER BY bm25 DESC, doc_id LIMIT 50),
         lexr AS (SELECT doc_id, row_number()
@@ -2555,9 +2557,9 @@ def oracle_sql() -> dict[str, str]:
                a.nv AS n_a, b.nv AS n_b,
                CASE WHEN sqrt(list_sum(list_transform(a.cvec, z -> z*z)))
                          * sqrt(list_sum(list_transform(b.cvec, z -> z*z))) <> 0
-                    THEN round(list_sum(list_transform(list_zip(a.cvec, b.cvec), x -> x[1]*x[2]))
+                    THEN round(CAST(round(list_sum(list_transform(list_zip(a.cvec, b.cvec), x -> x[1]*x[2]))
                                / (sqrt(list_sum(list_transform(a.cvec, z -> z*z)))
-                                  * sqrt(list_sum(list_transform(b.cvec, z -> z*z)))), 6) END AS cos_sim
+                                  * sqrt(list_sum(list_transform(b.cvec, z -> z*z)))) * 1e6) AS BIGINT) / 1e6, 6) END AS cos_sim
         FROM cent a JOIN cent b ON a.label < b.label
         ORDER BY label_a, label_b"""
 
@@ -2605,10 +2607,10 @@ def oracle_sql() -> dict[str, str]:
                     list_sum(list(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE)) ORDER BY rnk)) AS sxx
                   FROM ranked GROUP BY source)
         SELECT source, n_terms,
-               round(CASE WHEN n_terms * sxx - sx * sx <> 0
-                 THEN (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) END, 6) AS slope,
-               round(CASE WHEN n_terms * sxx - sx * sx <> 0
-                 THEN (sy - ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)) * sx) / n_terms END, 6) AS intercept
+               round(CAST(round((CASE WHEN n_terms * sxx - sx * sx <> 0
+                 THEN (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) END) * 1e6) AS BIGINT) / 1e6, 6) AS slope,
+               round(CAST(round((CASE WHEN n_terms * sxx - sx * sx <> 0
+                 THEN (sy - ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)) * sx) / n_terms END) * 1e6) AS BIGINT) / 1e6, 6) AS intercept
         FROM folds ORDER BY source"""
 
     # SQ8 reconstruction-error audit: exact min/max fit per dimension,
@@ -2649,8 +2651,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT shard,
                CAST(sum(c) AS BIGINT) AS n_docs,
                CAST(sum(CASE WHEN shard > fs THEN c ELSE 0 END) AS BIGINT) AS n_dup_prior,
-               round(sum(CASE WHEN shard > fs THEN c ELSE 0 END)
-                     / CAST(sum(c) AS DOUBLE), 6) AS dup_frac
+               round(CAST(round(sum(CASE WHEN shard > fs THEN c ELSE 0 END)
+                     / CAST(sum(c) AS DOUBLE) * 1e6) AS BIGINT) / 1e6, 6) AS dup_frac
         FROM per_ds JOIN first USING (digest)
         GROUP BY shard ORDER BY shard"""
 

@@ -913,18 +913,29 @@ def minhash_jaccard_calibration(
         .groupBy("n_agree")
         .agg(
             F.count("*").cast("bigint").alias("n_pairs"),
-            F.round((F.sum("jm") / F.count("*")) / 1e6, 6).alias(
-                "mean_exact_jaccard"
-            ),
+            # micro-unit integer mean, scale-0 display (r12 re-triage):
+            # sum(jm)/count is already in 1e-6 units, so the scale-0
+            # round lands on an exact integer both engines share
+            F.round(
+                F.round(F.sum("jm") / F.count("*")).cast("bigint") / F.lit(1e6),
+                6,
+            ).alias("mean_exact_jaccard"),
             F.round(F.min("jm") / 1e6, 6).alias("min_exact_jaccard"),
             F.round(F.max("jm") / 1e6, 6).alias("max_exact_jaccard"),
         )
         .select(
             F.col("n_agree").cast("bigint").alias("n_agree"),
             "n_pairs",
-            F.round(F.col("n_agree") / F.lit(num_hashes).cast("double"), 6).alias(
-                "est_jaccard"
-            ),
+            # int/int ratio, scale-0 display (r12 re-triage)
+            F.round(
+                F.round(
+                    F.col("n_agree")
+                    / F.lit(num_hashes).cast("double")
+                    * F.lit(1e6)
+                ).cast("bigint")
+                / F.lit(1e6),
+                6,
+            ).alias("est_jaccard"),
             "mean_exact_jaccard",
             "min_exact_jaccard",
             "max_exact_jaccard",
@@ -2459,8 +2470,15 @@ def dedup_saturation_curve(
             "shard",
             "n_docs",
             "n_dup_prior",
+            # int/int ratio, scale-0 display (r12 ledger re-triage)
             F.round(
-                F.col("n_dup_prior") / F.col("n_docs").cast("double"), 6
+                F.round(
+                    F.col("n_dup_prior")
+                    / F.col("n_docs").cast("double")
+                    * F.lit(1e6)
+                ).cast("bigint")
+                / F.lit(1e6),
+                6,
             ).alias("dup_frac"),
         )
         .orderBy("shard")

@@ -587,11 +587,17 @@ def label_centroid_similarity(
             "label_b",
             "n_a",
             "n_b",
+            # deterministic centroid doubles through one IEEE dot/divide,
+            # scale-0 display (r12 ledger re-triage)
             F.round(
-                F.when(
-                    denom != 0.0,
-                    dot_product(F.col("cvec_a"), F.col("cvec_b")) / denom,
-                ),
+                F.round(
+                    F.when(
+                        denom != 0.0,
+                        dot_product(F.col("cvec_a"), F.col("cvec_b")) / denom,
+                    )
+                    * F.lit(1e6)
+                ).cast("bigint")
+                / F.lit(1e6),
                 6,
             ).alias("cos_sim"),
         )

@@ -1960,9 +1960,14 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             "dau",
             "wau",
-            F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias(
-                "stickiness"
-            ),
+            # int/int ratio, scale-0 display (r12 ledger re-triage)
+            F.round(
+                F.round(
+                    F.col("dau") / F.col("wau").cast("double") * F.lit(1e6)
+                ).cast("bigint")
+                / F.lit(1e6),
+                6,
+            ).alias("stickiness"),
         )
         .orderBy("day")
     )

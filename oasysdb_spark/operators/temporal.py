@@ -354,7 +354,17 @@ def event_rate_anomalies(
     stats = event_rate_baseline(events)
     num = F.col("c") * F.col("n") - F.col("s1")
     den2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
-    z = F.round(num.cast("double") / F.sqrt(den2.cast("double")), 6)
+    # exact integers through one IEEE sqrt+divide (identical doubles on
+    # both engines), displayed via the scale-0 form (r12 ledger
+    # re-triage: scale-6 rounds of the unscaled double can disagree —
+    # Spark rounds the binary expansion, DuckDB re-rounds through ×1e6)
+    z = F.round(
+        F.round(
+            num.cast("double") / F.sqrt(den2.cast("double")) * F.lit(1e6)
+        ).cast("bigint")
+        / F.lit(1e6),
+        6,
+    )
     return (
         hourly.join(F.broadcast(stats), "event_type")
         .where(den2 > 0)

@@ -672,9 +672,17 @@ def bm25_search(
     )
     norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
     score = idf * (F.col("tf") * (k1 + 1.0)) / norm
+    # per-TERM score quantized to integer micro-units before the per-doc
+    # sum (the DSIR pattern, applied r12): each term's score is computed
+    # from exact integers identically on both engines, but a double SUM
+    # over terms is partial-aggregation-order dependent — integer
+    # accumulation is order-proof, and the display is one exact /1e6
+    score_micro = F.round(score * 1e6).cast("bigint")
     return (
         joined.groupBy("doc_id")
-        .agg(F.round(F.sum(score), 6).alias("bm25"))
+        .agg(
+            F.round(F.sum(score_micro) / F.lit(1e6), 6).alias("bm25")
+        )
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(top_k)
     )
@@ -1874,9 +1882,14 @@ def quality_percentile_filter(
                 F.round(F.max("thr")).cast("bigint") / F.lit(1e6), 6
             ).alias("thr_bits"),
             F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            # int/int ratio, scale-0 display (r12 ledger re-triage)
             F.round(
-                F.sum(F.when(keep, 1).otherwise(0))
-                / F.count("*").cast("double"),
+                F.round(
+                    F.sum(F.when(keep, 1).otherwise(0))
+                    / F.count("*").cast("double")
+                    * F.lit(1e6)
+                ).cast("bigint")
+                / F.lit(1e6),
                 6,
             ).alias("kept_frac"),
             F.sum(F.when(keep, F.col("n_tokens")).otherwise(0))
@@ -2623,9 +2636,15 @@ def tfidf_top_terms(
             "term",
             "tf",
             "df",
+            # exact integers through one IEEE log+multiply (identical
+            # doubles on both engines), scale-0 display (r12 re-triage)
             F.round(
-                F.col("tf")
-                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                F.round(
+                    F.col("tf")
+                    * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                    * F.lit(1e6)
+                ).cast("bigint")
+                / F.lit(1e6),
                 6,
             ).alias("score"),
         )
@@ -2842,14 +2861,21 @@ def zipf_slope(
     n = F.col("n_terms").cast("double")
     den = n * sxx - sx * sx
     slope = F.when(den != 0.0, (n * sxy - sx * sy) / den)
+    # fold over an ORDER-PINNED array → identical doubles on both
+    # engines; the displays take the scale-0 form (r12 ledger re-triage)
+    def _r6(expr):
+        return F.round(
+            F.round(expr * F.lit(1e6)).cast("bigint") / F.lit(1e6), 6
+        )
+
     return (
         agg.select(
             "source",
             "n_terms",
-            F.round(slope, 6).alias("slope"),
-            F.round(F.when(den != 0.0, (sy - ((n * sxy - sx * sy) / den) * sx) / n), 6).alias(
-                "intercept"
-            ),
+            _r6(slope).alias("slope"),
+            _r6(
+                F.when(den != 0.0, (sy - ((n * sxy - sx * sy) / den) * sx) / n)
+            ).alias("intercept"),
         )
         .orderBy("source")
     )

@@ -2262,8 +2262,8 @@ def test_quality_percentile_filter_matches_duckdb_oracle(spark, sf_dir):
                round(CAST(round(max(th.thr)) AS BIGINT) / 1e6, 6) AS thr_bits,
                CAST(sum(CASE WHEN bits_micro <= thr THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_kept,
-               round(CAST(sum(CASE WHEN bits_micro <= thr THEN 1 ELSE 0 END)
-                          AS DOUBLE) / count(*), 6) AS kept_frac,
+               round(CAST(round(CAST(sum(CASE WHEN bits_micro <= thr THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*) * 1e6) AS BIGINT) / 1e6, 6) AS kept_frac,
                CAST(sum(CASE WHEN bits_micro <= thr THEN n_tokens ELSE 0 END)
                     AS BIGINT) AS kept_tokens
         FROM pd JOIN th USING (source) GROUP BY pd.source""")
@@ -3771,7 +3771,7 @@ def test_label_centroid_similarity_matches_duckdb_oracle(spark, sf_dir):
         SELECT a.label AS label_a, b.label AS label_b,
                a.nv AS n_a, b.nv AS n_b,
                CASE WHEN {norm_a} * {norm_b} <> 0
-                    THEN round({dot} / ({norm_a} * {norm_b}), 6) END AS cos_sim
+                    THEN round(CAST(round({dot} / ({norm_a} * {norm_b}) * 1e6) AS BIGINT) / 1e6, 6) END AS cos_sim
         FROM cent a JOIN cent b ON a.label < b.label
         ORDER BY label_a, label_b""")
     duck_cols = [d[0] for d in res.description]
@@ -3850,8 +3850,8 @@ def test_minhash_jaccard_calibration_matches_duckdb_oracle(spark, sf_dir):
                 FROM pairs)
         SELECT CAST(n_agree AS BIGINT) AS n_agree,
                CAST(count(*) AS BIGINT) AS n_pairs,
-               round(CAST(n_agree AS DOUBLE) / 16, 6) AS est_jaccard,
-               round((sum(jm) / count(*)) / 1000000, 6) AS mean_exact_jaccard,
+               round(CAST(round(CAST(n_agree AS DOUBLE) / 16 * 1e6) AS BIGINT) / 1e6, 6) AS est_jaccard,
+               round(CAST(round(sum(jm) / count(*)) AS BIGINT) / 1e6, 6) AS mean_exact_jaccard,
                round(min(jm) / 1000000, 6) AS min_exact_jaccard,
                round(max(jm) / 1000000, 6) AS max_exact_jaccard
         FROM jmt GROUP BY n_agree ORDER BY n_agree""")
@@ -3905,7 +3905,7 @@ def test_tfidf_top_terms_matches_duckdb_oracle(spark, sf_dir):
         ct AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM d1 GROUP BY term),
         nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM d1),
         scored AS (SELECT source, term, tf, df,
-                     round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+                     round(CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1e6) AS BIGINT) / 1e6, 6) AS score
                    FROM st JOIN ct USING (term) CROSS JOIN nd WHERE df >= 2),
         r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, tf DESC, term) AS rnk
               FROM scored)
@@ -4021,7 +4021,7 @@ def test_event_rate_anomalies_matches_duckdb_oracle(spark, sf_dir):
                     CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c*c) AS BIGINT) AS s2
                   FROM hourly GROUP BY event_type),
         z AS (SELECT event_type, hour_ts, c AS n_events,
-                round(CAST(c*n - s1 AS DOUBLE) / sqrt(CAST(n*s2 - s1*s1 AS DOUBLE)), 6) AS z_score
+                round(CAST(round(CAST(c*n - s1 AS DOUBLE) / sqrt(CAST(n*s2 - s1*s1 AS DOUBLE)) * 1e6) AS BIGINT) / 1e6, 6) AS z_score
               FROM hourly JOIN stats USING (event_type)
               WHERE n*s2 - s1*s1 > 0)
         SELECT event_type, hour_ts, n_events, z_score
@@ -4231,8 +4231,8 @@ def test_dedup_saturation_curve_matches_duckdb_oracle(spark, sf_dir):
         SELECT shard,
                CAST(sum(c) AS BIGINT) AS n_docs,
                CAST(sum(CASE WHEN shard > fs THEN c ELSE 0 END) AS BIGINT) AS n_dup_prior,
-               round(sum(CASE WHEN shard > fs THEN c ELSE 0 END)
-                     / CAST(sum(c) AS DOUBLE), 6) AS dup_frac
+               round(CAST(round(sum(CASE WHEN shard > fs THEN c ELSE 0 END)
+                     / CAST(sum(c) AS DOUBLE) * 1e6) AS BIGINT) / 1e6, 6) AS dup_frac
         FROM per_ds JOIN first USING (digest)
         GROUP BY shard ORDER BY shard""")
     duck_cols = [d[0] for d in res.description]
@@ -4387,10 +4387,10 @@ def test_zipf_slope_matches_duckdb_oracle(spark, sf_dir):
                     list_sum(list(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE)) ORDER BY rnk)) AS sxx
                   FROM ranked GROUP BY source)
         SELECT source, n_terms,
-               round(CASE WHEN n_terms * sxx - sx * sx <> 0
-                 THEN (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) END, 6) AS slope,
-               round(CASE WHEN n_terms * sxx - sx * sx <> 0
-                 THEN (sy - ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)) * sx) / n_terms END, 6) AS intercept
+               round(CAST(round((CASE WHEN n_terms * sxx - sx * sx <> 0
+                 THEN (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) END) * 1e6) AS BIGINT) / 1e6, 6) AS slope,
+               round(CAST(round((CASE WHEN n_terms * sxx - sx * sx <> 0
+                 THEN (sy - ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)) * sx) / n_terms END) * 1e6) AS BIGINT) / 1e6, 6) AS intercept
         FROM folds ORDER BY source""")
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
@@ -4788,7 +4788,8 @@ def test_events_active_users_matches_duckdb_oracle(spark, sf_dir):
                    FROM du, (SELECT unnest(range(7)) AS i)),
         wau AS (SELECT s.day, CAST(count(DISTINCT s.user_id) AS BIGINT) AS wau
                 FROM served s JOIN dau USING (day) GROUP BY s.day)
-        SELECT day, dau, wau, round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+        SELECT day, dau, wau,
+               round(CAST(round(CAST(dau AS DOUBLE) / wau * 1e6) AS BIGINT) / 1e6, 6) AS stickiness
         FROM dau JOIN wau USING (day) ORDER BY day""")
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
@@ -5180,7 +5181,8 @@ def test_hybrid_search_rrf_matches_duckdb_oracle(spark, sf_dir):
                  / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * len.dl / stats.avgdl)) AS s
                FROM tf JOIN df USING (term)
                        JOIN len ON tf.doc_id = len.doc_id, stats),
-        lexpool AS (SELECT doc_id, round(sum(s), 6) AS bm25
+        lexpool AS (SELECT doc_id,
+                      round(sum(CAST(round(s * 1e6) AS BIGINT)) / 1e6, 6) AS bm25
                     FROM sc GROUP BY doc_id
                     ORDER BY bm25 DESC, doc_id LIMIT 50),
         lexr AS (SELECT doc_id, row_number()
@@ -5205,8 +5207,8 @@ def test_hybrid_search_rrf_matches_duckdb_oracle(spark, sf_dir):
         dots AS (SELECT e.doc_id, sum(e.val * q.val) AS dot
                  FROM emb e JOIN qe q USING (pos) GROUP BY e.doc_id),
         cs AS (SELECT ncs.doc_id,
-                      round(COALESCE(dots.dot, 0)
-                            / sqrt(CAST(ncs.nc2 * nq.nq AS DOUBLE)), 6)
+                      round(CAST(round(COALESCE(dots.dot, 0)
+                            / sqrt(CAST(ncs.nc2 * nq.nq AS DOUBLE)) * 1e6) AS BIGINT) / 1e6, 6)
                           AS cos_sim
                FROM ncs LEFT JOIN dots USING (doc_id), nq
                WHERE ncs.nc2 > 0),
@@ -5216,8 +5218,8 @@ def test_hybrid_search_rrf_matches_duckdb_oracle(spark, sf_dir):
                  FROM sempool),
         fused AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
                          l.bm25_rank, s.cos_rank,
-                         round(COALESCE(1.0 / (60 + l.bm25_rank), 0.0)
-                               + COALESCE(1.0 / (60 + s.cos_rank), 0.0), 6)
+                         round(CAST(round((COALESCE(1.0 / (60 + l.bm25_rank), 0.0)
+                               + COALESCE(1.0 / (60 + s.cos_rank), 0.0)) * 1e6) AS BIGINT) / 1e6, 6)
                              AS rrf_score
                   FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id)
         SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
