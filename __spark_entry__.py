@@ -2359,8 +2359,8 @@ def oracle_sql() -> dict[str, str]:
               FROM aug GROUP BY 1, 2),
         p AS (SELECT a.source AS source_a, b.source AS source_b,
                 CASE WHEN a.source = b.source
-                     THEN CAST(a.c * (a.c - 1) // 2 AS BIGINT)
-                     ELSE CAST(a.c * b.c AS BIGINT) END AS np
+                     THEN CAST(a.c AS HUGEINT) * (a.c - 1) // 2
+                     ELSE CAST(a.c AS HUGEINT) * b.c END AS np
               FROM h a JOIN h b ON a.content_hash = b.content_hash
                                AND a.source <= b.source)
         SELECT source_a, source_b, CAST(sum(np) AS BIGINT) AS n_dup_pairs,
@@ -2798,7 +2798,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT band_id, CAST(sum(c) AS BIGINT) AS n_rows,
                CAST(count(*) AS BIGINT) AS n_distinct,
                CAST(max(c) AS BIGINT) AS max_bucket,
-               CAST(sum(c * (c - 1)) AS BIGINT) // 2 AS cand_pairs
+               CAST(sum(CAST(c AS HUGEINT) * (c - 1)) // 2 AS BIGINT) AS cand_pairs
         FROM buckets GROUP BY band_id ORDER BY band_id"""
 
     # n-gram novelty/saturation curve (r12 promotion): same md5 gram

@@ -126,12 +126,21 @@ class Catalog:
         cat = cls(spark, root)
         # empty manifest BEFORE the rmtree: a crash between the two
         # strands unreferenced dirs (vacuum-able), never manifest
-        # entries whose directories are gone (r11 self-review)
+        # entries whose directories are gone (r11 self-review). Both
+        # steps run under the same manifest lock every other mutator
+        # takes (r12 ADVICE): without it a concurrent _commit_entry
+        # landing between them re-reads the empty manifest, commits its
+        # entry, and the rmtree then deletes that entry's directory —
+        # exactly the dangling state the ordering promise rules out. A
+        # commit arriving AFTER init(overwrite=True) releases the lock
+        # still loses its staged directory; that is the documented
+        # overwrite semantic (init clobbers everything), not a race.
         os.makedirs(root, exist_ok=True)
-        cat._write_manifest({})
-        if overwrite and os.path.isdir(coll_dir):
-            shutil.rmtree(coll_dir)
-        os.makedirs(coll_dir, exist_ok=True)
+        with cat._manifest_lock():
+            cat._write_manifest({})
+            if overwrite and os.path.isdir(coll_dir):
+                shutil.rmtree(coll_dir)
+            os.makedirs(coll_dir, exist_ok=True)
         return cat
 
     @classmethod
@@ -218,9 +227,16 @@ class Catalog:
         manifest at commit time (never write back a snapshot taken
         before a potentially long load — a concurrent create/drop
         landing in between would be silently clobbered, r11 review),
-        repoint ``name`` in one atomic write, then delete the displaced
-        directory. ``require_absent`` turns an existing name into the
-        typed duplicate error (the create-without-overwrite contract)."""
+        repoint ``name`` in one atomic write, then LEAVE the displaced
+        directory for vacuum. Deleting it here yanked parquet files out
+        from under any reader that resolved the old dir id just before
+        the repoint (r12 ADVICE); instead the dir is touched (so the
+        vacuum staleness clock starts at displacement, not at its last
+        data write) and reclaimed by the next ``vacuum`` after its
+        grace window — in-flight readers get the same grace as
+        interrupted-create residue. ``require_absent`` turns an
+        existing name into the typed duplicate error (the
+        create-without-overwrite contract)."""
         with self._manifest_lock():
             collections = self._read_manifest()
             old = collections.get(name)
@@ -231,7 +247,10 @@ class Catalog:
             collections[name] = {**params, "dir": dir_id}
             self._write_manifest(collections)
         if old is not None and os.path.isdir(self._dir_path(old["dir"])):
-            shutil.rmtree(self._dir_path(old["dir"]))
+            try:
+                os.utime(self._dir_path(old["dir"]))
+            except OSError:
+                pass  # grace clock falls back to the last write mtime
 
     def create_collection(
         self,
@@ -329,7 +348,14 @@ class Catalog:
         """Drop a named collection and delete its directory
         (NotFoundError if absent). Manifest entry goes first so a crash
         strands an unreferenced dir (vacuum-able), never a dangling
-        entry."""
+        entry.
+
+        Drop deletes EAGERLY — it is the explicit destructive verb, and
+        an open reader of the dropped collection loses its files
+        mid-query. When readers may be in flight, rename the collection
+        aside (or swap in the replacement) and let ``vacuum``'s grace
+        window reclaim it instead; create/save with overwrite already
+        defer the displaced directory that way (r12 ADVICE)."""
         with self._manifest_lock():
             collections = self._read_manifest()
             entry = self._entry(collections, name)
@@ -513,6 +539,14 @@ def import_catalog(
             f"(this engine reads {CATALOG_SNAPSHOT_FORMAT})"
         )
     expected = set(manifest["collections"])
+    # snapshot manifests are untrusted input (r12 ADVICE): validate every
+    # name BEFORE any path join or manifest commit, regardless of the
+    # verify flag — a crafted name like '../x' would otherwise traverse
+    # out of the snapshot on read, and an invalid committed name becomes
+    # a stuck manifest entry (open/drop _check_name first and refuse
+    # before lookup)
+    for name in sorted(expected):
+        _check_name(name)
     sub_root = os.path.join(in_dir, COLLECTIONS_SUBDIR)
     present = {
         d for d in (os.listdir(sub_root) if os.path.isdir(sub_root) else [])

@@ -96,14 +96,18 @@ def cross_source_duplication(docs: DataFrame) -> DataFrame:
     ).agg(F.count("*").alias("c"))
     a, b = h.alias("a"), h.alias("b")
     same = F.col("a.source") == F.col("b.source")
-    # within-source C(c,2) in exact integer math (c·(c−1) is always
-    # even; shiftright halves it without the /2.0 double round-trip,
-    # which loses integer precision past 2^53 — the DuckDB oracle's
-    # `//` form was already exact; r11 self-review, same class as
-    # simhash_band_health's cand_pairs)
+    # within-source C(c,2) in exact integer math: the products compute
+    # in decimal(38,0) (r12 ADVICE — a bigint c·(c−1) wraps SILENTLY
+    # negative past c ≈ 3.04e9 under non-ANSI Spark, and this column
+    # exists precisely to expose such degenerate groups; c·(c−1) is
+    # even so the /2 is exact, and the final bigint display cast turns
+    # a >2^63 total into a visible null instead of a wrapped negative).
+    # DuckDB twin: HUGEINT (same 128-bit exact-integer semantics).
+    ca = F.col("a.c").cast("decimal(38,0)")
+    cb = F.col("b.c").cast("decimal(38,0)")
     n_pairs = F.when(
-        same, F.shiftright(F.col("a.c") * (F.col("a.c") - 1), 1)
-    ).otherwise((F.col("a.c") * F.col("b.c")).cast("bigint"))
+        same, (ca * (ca - 1) / F.lit(2)).cast("decimal(38,0)")
+    ).otherwise(ca * cb)
     return (
         a.join(
             b,
@@ -2525,15 +2529,22 @@ def simhash_band_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("bigint").alias("n_rows"),
             F.count("*").cast("bigint").alias("n_distinct"),
             F.max("c").cast("bigint").alias("max_bucket"),
-            # Σ c·(c−1) accumulates as exact bigint, halved by a shift
-            # (always even): the double form sum(c*(c-1)/2.0) loses
-            # integer precision past 2^53 per bucket AND is
-            # partition-order-nondeterministic once partial sums round
-            # (r11 self-review) — this column exists precisely to
-            # expose degenerate huge-bucket bands, where that bites
-            F.shiftright(
-                F.sum((F.col("c") * (F.col("c") - 1)).cast("bigint")), 1
-            ).alias("cand_pairs"),
+            # Σ c·(c−1) accumulates in decimal(38,0) (r12 ADVICE — the
+            # bigint product wraps SILENTLY negative past c ≈ 3.04e9
+            # under non-ANSI Spark, and this column exists precisely to
+            # expose degenerate huge buckets; the old double form lost
+            # precision past 2^53 instead). c·(c−1) is even so the /2
+            # is exact; the final bigint display cast turns a >2^63
+            # total into a visible null, never a wrapped negative.
+            # DuckDB twin: HUGEINT.
+            (
+                F.sum(
+                    F.col("c").cast("decimal(38,0)") * (F.col("c") - 1)
+                )
+                / F.lit(2)
+            )
+            .cast("bigint")
+            .alias("cand_pairs"),
         )
         .orderBy("band_id")
     )

@@ -253,6 +253,64 @@ def test_save_collection_create_or_replace(spark, tmp_path):
     assert cat.vacuum(min_age_seconds=0) != []  # only residue to reap
 
 
+def test_replace_defers_displaced_dir_to_vacuum_grace(spark, tmp_path):
+    """r12 ADVICE: create/save with overwrite must NOT rmtree the
+    displaced directory at commit — a reader that resolved the old dir
+    id just before the repoint would lose its parquet files mid-query.
+    The displaced dir stays on disk (unreferenced, grace clock touched
+    at displacement) until vacuum's grace window passes; drop stays
+    eager by documented contract."""
+    root = str(tmp_path / "cat")
+    cat = Catalog.init(spark, root)
+    df1 = spark.createDataFrame(
+        [(f"a{i}", [float(i), 0.0], None, None, None) for i in range(6)],
+        "id string, embedding array<float>, m_text map<string,string>, "
+        "m_num map<string,double>, m_bool map<string,boolean>",
+    )
+    cat.save_collection("vectors", df1, dimension=2)
+    old_dir = cat.open_collection("vectors").dir
+    old_df = cat.open_collection("vectors").records_df()
+
+    cat.save_collection("vectors", df1, dimension=2)  # replace
+    assert cat.open_collection("vectors").dir != old_dir
+    # the displaced dir survives the commit AND a graced vacuum — the
+    # in-flight reader above can still finish
+    assert os.path.isdir(old_dir)
+    assert cat.vacuum(min_age_seconds=3600) == []
+    assert old_df.count() == 6  # reader of the OLD version still serves
+    # and the ungraced vacuum reclaims exactly it
+    removed = cat.vacuum(min_age_seconds=0)
+    assert removed == [os.path.basename(old_dir)]
+    assert not os.path.isdir(old_dir)
+
+
+def test_import_catalog_rejects_invalid_manifest_names(spark, tmp_path):
+    """r12 ADVICE: collection names inside a snapshot manifest are
+    untrusted input — a crafted name like '../x' must refuse with the
+    typed error BEFORE any path join or import, even with verify=False."""
+    root = str(tmp_path / "cat")
+    cat = Catalog.init(spark, root)
+    df = spark.createDataFrame(
+        [("a0", [1.0, 2.0], None, None, None)],
+        "id string, embedding array<float>, m_text map<string,string>, "
+        "m_num map<string,double>, m_bool map<string,boolean>",
+    )
+    cat.save_collection("alpha", df, dimension=2)
+    out = str(tmp_path / "snap")
+    export_catalog(cat, out)
+    # tamper: traversal name in the snapshot manifest
+    mpath = os.path.join(out, CATALOG_SNAPSHOT_FILE)
+    with open(mpath, encoding="utf-8") as f:
+        manifest = json.load(f)
+    manifest["collections"] = ["../escape"]
+    with open(mpath, "w", encoding="utf-8") as f:
+        json.dump(manifest, f)
+    for verify in (True, False):
+        dest = str(tmp_path / f"dest_{verify}")
+        with pytest.raises(errors.InvalidArgumentError, match="invalid"):
+            import_catalog(spark, out, dest, verify=verify)
+
+
 def test_catalog_portable_roundtrip_and_tamper_refusal(spark, tmp_path):
     from oasysdb_spark.index.ivf import build_index
 

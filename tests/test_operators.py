@@ -2191,8 +2191,8 @@ def test_cross_source_duplication_matches_duckdb_oracle(spark, sf_dir):
               FROM aug GROUP BY 1, 2),
         p AS (SELECT a.source AS source_a, b.source AS source_b,
                 CASE WHEN a.source = b.source
-                     THEN CAST(a.c * (a.c - 1) // 2 AS BIGINT)
-                     ELSE CAST(a.c * b.c AS BIGINT) END AS np
+                     THEN CAST(a.c AS HUGEINT) * (a.c - 1) // 2
+                     ELSE CAST(a.c AS HUGEINT) * b.c END AS np
               FROM h a JOIN h b ON a.content_hash = b.content_hash
                                AND a.source <= b.source)
         SELECT source_a, source_b, CAST(sum(np) AS BIGINT) AS n_dup_pairs,
@@ -4686,7 +4686,7 @@ def test_simhash_band_health_matches_duckdb_oracle(spark, sf_dir):
         SELECT band_id, CAST(sum(c) AS BIGINT) AS n_rows,
                CAST(count(*) AS BIGINT) AS n_distinct,
                CAST(max(c) AS BIGINT) AS max_bucket,
-               CAST(sum(c * (c - 1) / 2) AS BIGINT) AS cand_pairs
+               CAST(sum(CAST(c AS HUGEINT) * (c - 1)) // 2 AS BIGINT) AS cand_pairs
         FROM buckets GROUP BY band_id ORDER BY band_id""")
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
