@@ -118,6 +118,33 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--seed", type=int, default=42)
     b.add_argument("--k", type=int, default=None)
 
+    fj = add("from-jdbc",
+             help="configure + bulk-load records from a SQL database "
+             "via JDBC (the v0.7 SQL storage lineage): read, validate "
+             "dimensions in-task, build the IVF tier in one pass")
+    fj.add_argument("--url", required=True, help="JDBC url")
+    fj.add_argument("--table", required=True)
+    fj.add_argument("--id-col", default="id")
+    fj.add_argument("--vector-col", default="embedding",
+                    help="SQL array column or JSON-array text column")
+    fj.add_argument("--dimension", type=int, default=None,
+                    help="omit to infer from one probed row")
+    fj.add_argument("--metric", default="euclidean")
+    fj.add_argument("--density", type=int, default=256)
+    fj.add_argument("--relevancy", type=float, default=-1.0)
+    fj.add_argument("--driver", default=None, help="JDBC driver class")
+    fj.add_argument("--where", default=None,
+                    help="metadata pre-filter, compiled into the "
+                    "connector's WHERE clause")
+    fj.add_argument("--partition-column", default=None)
+    fj.add_argument("--lower-bound", default=None)
+    fj.add_argument("--upper-bound", default=None)
+    fj.add_argument("--num-partitions", type=int, default=None)
+    fj.add_argument("--no-index", action="store_true",
+                    help="load without building the IVF tier")
+    fj.add_argument("--seed", type=int, default=42)
+    fj.add_argument("--overwrite", action="store_true")
+
     bp = add("build-pq", help="build/rebuild the PQ compression tier")
     bp.add_argument("--m", type=int, default=8)
     bp.add_argument("--nbits", type=int, default=4)
@@ -389,6 +416,25 @@ def main(argv: list[str] | None = None) -> int:
             overwrite=args.overwrite,
         )
         _emit({"ok": True, "dir": args.dir})
+        return 0
+
+    if args.cmd == "from-jdbc":
+        db = Database.from_jdbc(
+            spark, args.dir, args.url, args.table,
+            dimension=args.dimension, id_col=args.id_col,
+            vector_col=args.vector_col, metric=args.metric,
+            density=args.density, relevancy=args.relevancy,
+            properties={"driver": args.driver} if args.driver else None,
+            where=args.where, partition_column=args.partition_column,
+            lower_bound=args.lower_bound, upper_bound=args.upper_bound,
+            num_partitions=args.num_partitions,
+            build_index=not args.no_index, seed=args.seed,
+            overwrite=args.overwrite,
+        )
+        _emit({
+            "ok": True, "dir": args.dir, "count": db.count(),
+            "dimension": db.params.dimension, "indexed": db.is_indexed(),
+        })
         return 0
 
     if args.cmd == "corpus-to-shards":

@@ -34,6 +34,7 @@ from __future__ import annotations
 import math
 import os
 import uuid
+from contextlib import contextmanager
 from typing import Any, Iterable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -172,6 +173,84 @@ class Database:
         with open(os.path.join(directory, _PARAMS_FILE), encoding="utf-8") as f:
             params = Parameters.from_json(f.read())
         return cls(spark, directory, params)
+
+    @classmethod
+    def from_jdbc(
+        cls,
+        spark: SparkSession,
+        directory: str,
+        url: str,
+        table: str,
+        *,
+        dimension: int | None = None,
+        id_col: str = "id",
+        vector_col: str = "embedding",
+        metadata_cols: list[str] | None = None,
+        metric: str = "euclidean",
+        density: int = 256,
+        relevancy: float = -1.0,
+        properties: dict | None = None,
+        predicates: list[str] | None = None,
+        where: str | None = None,
+        partition_column: str | None = None,
+        lower_bound=None,
+        upper_bound=None,
+        num_partitions: int | None = None,
+        build_index: bool = True,
+        seed: int = 42,
+        overwrite: bool = False,
+    ) -> "Database":
+        """Configure + bulk-load a database from a SQL table via JDBC —
+        the reference family's v0.7 SQL storage lineage (records sourced
+        from SQLite/PostgreSQL with metadata pre-filtering before the
+        index build, /root/reference/docs/changelog.md:41-64) in its
+        Spark shape: the SQL database stays the durable system of
+        record; this engine reads it through the JDBC connector,
+        validates every vector's dimension in-task, and builds its
+        serving tiers.
+
+        ``dimension=None`` infers it from one probed row (pass it
+        explicitly on huge remote tables to skip the probe query).
+        ``where`` is the v0.7 metadata pre-filter — it compiles into the
+        connector's WHERE clause, so excluded rows never leave the
+        database. ``partition_column``/bounds/``num_partitions`` (or
+        ``predicates``) issue the read as parallel range queries — the
+        bulk-load scale path. With ``build_index`` the records table is
+        written exactly ONCE, already clustered (the ``build_index``
+        source fast path — no unpartitioned write + read-back +
+        rewrite); otherwise the load is a plain validated append."""
+        from oasysdb_spark.sources.jdbc import read_jdbc_records
+
+        records = read_jdbc_records(
+            spark, url, table,
+            id_col=id_col, vector_col=vector_col,
+            metadata_cols=metadata_cols, properties=properties,
+            predicates=predicates, where=where,
+            partition_column=partition_column, lower_bound=lower_bound,
+            upper_bound=upper_bound, num_partitions=num_partitions,
+        )
+        if dimension is None:
+            probe = records.select(F.size("embedding").alias("d")).first()
+            if probe is None or probe["d"] is None:
+                raise errors.InvalidArgumentError(
+                    f"cannot infer dimension from JDBC table {table!r}: "
+                    "no rows (or the first vector failed to parse) — "
+                    "pass dimension explicitly"
+                )
+            dimension = int(probe["d"])
+        db = cls.configure(
+            spark, directory, dimension=int(dimension), metric=metric,
+            density=density, relevancy=relevancy, overwrite=overwrite,
+        )
+        guarded = db._with_dim_guard(normalize_records(records))
+        with db._dim_guard_boundary():
+            if build_index:
+                from oasysdb_spark.index.ivf import build_index as _build
+
+                _build(db, seed=seed, source=guarded)
+            else:
+                db._insert_batch_body(guarded)
+        return db
 
     def _default_radius(self) -> float:
         """The radius applied when a query passes none: the collection's
@@ -344,9 +423,17 @@ class Database:
         atomicity — on such deployments validate the batch eagerly or
         route bulk loads through a staging collection + swap.
         """
-        df = normalize_records(df)
+        df = self._with_dim_guard(normalize_records(df))
+        with self._dim_guard_boundary():
+            self._insert_batch_body(df)
+
+    def _with_dim_guard(self, df: DataFrame) -> DataFrame:
+        """Fold the per-row dimension check into the projection as an
+        ``assert_true`` (zero extra scans); a NULL embedding — e.g. a
+        JSON vector that failed to parse on the from_jdbc path — also
+        fails the guard (assert_true raises on a non-true condition)."""
         dim = int(self.params.dimension)
-        df = df.withColumn(
+        return df.withColumn(
             "embedding",
             F.when(
                 F.assert_true(
@@ -356,18 +443,26 @@ class Database:
                 F.col("embedding"),
             ),
         )
+
+    @contextmanager
+    def _dim_guard_boundary(self):
+        """Translate an in-task dim-guard failure raised while the
+        wrapped jobs run into the typed :class:`InvalidArgumentError`
+        at this API boundary.
+
+        Gate on the error condition where available: plan-dump errors
+        (e.g. AnalysisException) can embed the guard literal in their
+        operator tree without any row failing the check (r11 review) —
+        translate only when assert_true's USER_RAISED_EXCEPTION appears
+        somewhere in the exception CHAIN (wrappers may re-class the
+        outer error), or when no link exposes a condition at all
+        (opaque wrappers)."""
+        dim = int(self.params.dimension)
         try:
-            self._insert_batch_body(df)
+            yield
         except errors.OasysError:
             raise
-        except Exception as exc:  # translate the in-task guard failure
-            # gate on the error condition where available: plan-dump
-            # errors (e.g. AnalysisException) can embed the guard
-            # literal in their operator tree without any row failing
-            # the check (r11 review) — translate only when assert_true's
-            # USER_RAISED_EXCEPTION appears somewhere in the exception
-            # CHAIN (wrappers may re-class the outer error), or when no
-            # link exposes a condition at all (opaque wrappers)
+        except Exception as exc:
             conditions = []
             link, seen = exc, 0
             while link is not None and seen < 8:

@@ -332,6 +332,87 @@ def test_jdbc_roundtrip_embedded_derby(spark, sf_dir, tmp_path):
     assert len(one) == 1 and one[0]["r_regionkey"] == 1
 
 
+def test_from_jdbc_full_lifecycle_embedded_derby(spark, tmp_path, capsys):
+    """Database.from_jdbc closes the v0.7 changelog lineage (records
+    sourced from a SQL database with metadata pre-filtering,
+    /root/reference/docs/changelog.md:41-64): a Derby table with
+    JSON-text vectors and typed metadata columns loads through the JDBC
+    connector into a configured database — dimension inferred from one
+    probed row, WHERE pre-filter applied connector-side, IVF tier built
+    in the one-pass source fast path — and serves queries/gets. A
+    wrong-dimension row refuses with the typed error; the CLI verb runs
+    the same path end to end."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark import cli, errors
+    from oasysdb_spark.core.database import Database
+
+    dbdir = str(tmp_path / "derby_store")
+    url = f"jdbc:derby:{dbdir};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+
+    src = spark.createDataFrame(
+        [
+            (f"r{i}", [float(i), float(i % 3)], i, f"lang{i % 2}", i % 2 == 0)
+            for i in range(40)
+        ],
+        "id string, vec array<double>, label int, lang string, flag boolean",
+    ).select(
+        "id", F.to_json("vec").alias("embedding"), "label", "lang", "flag"
+    )
+    src.write.jdbc(url, "vectors", mode="overwrite", properties=props)
+
+    # library path: pre-filter keeps label < 30, dimension inferred
+    d1 = str(tmp_path / "db1")
+    db = Database.from_jdbc(
+        spark, d1, url, "vectors",
+        properties=props, where="label < 30", density=8,
+    )
+    assert db.count() == 30
+    assert db.params.dimension == 2
+    assert db.is_indexed()
+    hits = db.query_df([5.0, 2.0], k=3).collect()
+    assert hits[0]["id"] == "r5"  # exact match is nearest
+    rec = db.get("r7")
+    assert rec["metadata"] == {"label": 7.0, "lang": "lang1", "flag": False}
+
+    # a wrong-dimension row refuses with the typed error (in-task guard)
+    bad = spark.createDataFrame(
+        [("b0", "[1.0, 2.0]", 0), ("b1", "[1.0, 2.0, 3.0]", 1)],
+        "id string, embedding string, label int",
+    )
+    bad.write.jdbc(url, "bad_vectors", mode="overwrite", properties=props)
+    with pytest.raises(errors.InvalidArgumentError, match="dimension"):
+        Database.from_jdbc(
+            spark, str(tmp_path / "db2"), url, "bad_vectors",
+            dimension=2, properties=props, density=8,
+        )
+    # unparseable vector text also fails the guard, not silently loads
+    ugly = spark.createDataFrame(
+        [("u0", "[1.0, 2.0]",), ("u1", "not json",)],
+        "id string, embedding string",
+    )
+    ugly.write.jdbc(url, "ugly_vectors", mode="overwrite", properties=props)
+    with pytest.raises(errors.InvalidArgumentError, match="dimension"):
+        Database.from_jdbc(
+            spark, str(tmp_path / "db3"), url, "ugly_vectors",
+            dimension=2, properties=props, density=8,
+        )
+
+    # CLI verb: same path end to end, summary JSON on stdout
+    d4 = str(tmp_path / "db4")
+    rc = cli.main([
+        "from-jdbc", "--dir", d4, "--url", url, "--table", "vectors",
+        "--driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+        "--density", "8",
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["ok"] is True
+    assert out["count"] == 40 and out["dimension"] == 2 and out["indexed"]
+
+
 def test_webdataset_roundtrip_deterministic_and_quarantines(spark, tmp_path):
     """WebDataset tar shard sink + source: documents written as
     {key}.text.txt members round-trip byte-exact through the binaryFile
