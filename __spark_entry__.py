@@ -2550,7 +2550,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
                  FROM embeddings, p GROUP BY label, p.pos),
         cent AS (SELECT label,
-                   list(round((s / n) / 100000000, 6) ORDER BY pos) AS cvec,
+                   list(round(CAST(round(s / n / 100) AS BIGINT) / 1e6, 6) ORDER BY pos) AS cvec,
                    CAST(max(n) AS BIGINT) AS nv
                  FROM comp GROUP BY label)
         SELECT a.label AS label_a, b.label AS label_b,
@@ -2845,7 +2845,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
                  FROM embeddings, p GROUP BY label, p.pos),
         cent AS (SELECT label,
-                   list(round((s / n) / 100000000, 6) ORDER BY pos) AS cvec
+                   list(round(CAST(round(s / n / 100) AS BIGINT) / 1e6, 6) ORDER BY pos) AS cvec
                  FROM comp GROUP BY label),
         cs AS (SELECT e.label,
                  CAST(round(({_eos_dot} / ({_eos_nv} * {_eos_nc})) * 1000000) AS BIGINT) AS cm

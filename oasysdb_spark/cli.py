@@ -136,6 +136,11 @@ def build_parser() -> argparse.ArgumentParser:
     fj.add_argument("--where", default=None,
                     help="metadata pre-filter, compiled into the "
                     "connector's WHERE clause")
+    fj.add_argument("--metadata-cols", default=None,
+                    help="comma-separated metadata columns to carry "
+                    "(default: every non-id/vector column — tables with "
+                    "timestamp/binary columns must restrict, since the "
+                    "record metadata enum is text|number|boolean)")
     fj.add_argument("--partition-column", default=None)
     fj.add_argument("--lower-bound", default=None)
     fj.add_argument("--upper-bound", default=None)
@@ -422,7 +427,13 @@ def main(argv: list[str] | None = None) -> int:
         db = Database.from_jdbc(
             spark, args.dir, args.url, args.table,
             dimension=args.dimension, id_col=args.id_col,
-            vector_col=args.vector_col, metric=args.metric,
+            vector_col=args.vector_col,
+            metadata_cols=(
+                [c.strip() for c in args.metadata_cols.split(",") if c.strip()]
+                if args.metadata_cols is not None
+                else None
+            ),
+            metric=args.metric,
             density=args.density, relevancy=args.relevancy,
             properties={"driver": args.driver} if args.driver else None,
             where=args.where, partition_column=args.partition_column,

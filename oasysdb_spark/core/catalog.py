@@ -137,6 +137,16 @@ class Catalog:
         # overwrite semantic (init clobbers everything), not a race.
         os.makedirs(root, exist_ok=True)
         with cat._manifest_lock():
+            # re-evaluate the refuse-to-clobber decision UNDER the lock
+            # (r12 review): two concurrent inits both pass the unlocked
+            # pre-check above; without this re-check the second one
+            # silently erases whatever the first (plus any creates that
+            # beat it to the lock) just committed
+            if os.path.exists(manifest_path) and not overwrite:
+                raise errors.InvalidArgumentError(
+                    f"catalog already initialised at {root}; "
+                    "pass overwrite=True"
+                )
             cat._write_manifest({})
             if overwrite and os.path.isdir(coll_dir):
                 shutil.rmtree(coll_dir)

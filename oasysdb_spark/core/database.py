@@ -429,16 +429,23 @@ class Database:
 
     def _with_dim_guard(self, df: DataFrame) -> DataFrame:
         """Fold the per-row dimension check into the projection as an
-        ``assert_true`` (zero extra scans); a NULL embedding — e.g. a
-        JSON vector that failed to parse on the from_jdbc path — also
-        fails the guard (assert_true raises on a non-true condition)."""
+        ``assert_true`` (zero extra scans). A NULL embedding — e.g. a
+        JSON vector that failed to parse on the from_jdbc path — fails
+        the guard (assert_true raises on a non-true condition), and so
+        does a NULL ELEMENT (r12 review: a PostgreSQL '{1.0,NULL}'
+        array or a '[1.0, null]' JSON vector keeps the declared size,
+        but a None inside the float array would crash or NaN-poison
+        every downstream distance kernel — refuse at the boundary
+        instead)."""
         dim = int(self.params.dimension)
+        ok = (F.size("embedding") == F.lit(dim)) & (
+            ~F.exists("embedding", lambda x: x.isNull())
+        )
         return df.withColumn(
             "embedding",
             F.when(
                 F.assert_true(
-                    F.size("embedding") == F.lit(dim),
-                    F.lit(_BATCH_DIM_GUARD_MARK.format(dim=dim)),
+                    ok, F.lit(_BATCH_DIM_GUARD_MARK.format(dim=dim))
                 ).isNull(),
                 F.col("embedding"),
             ),

@@ -425,8 +425,11 @@ def _exact_label_centroids(embs: DataFrame) -> DataFrame:
     """(label, cvec): per-label mean vector with cross-engine-exact
     arithmetic — each component is an integer micro-sum
     (``round(val·1e8)`` per element, accumulated as bigint so partition
-    order can't perturb it), divided once and rounded to 6 dp. The
-    shuffle carries only ``(label, pos)`` pairs; reduce state is
+    order can't perturb it), divided once and displayed through the
+    scale-0 form (r12 review: the old ``round(s/n/1e8, 6)`` rounded an
+    unscaled double at scale 6 — the exact class the display-round
+    discipline bans, and this helper feeds two driver-window entries).
+    The shuffle carries only ``(label, pos)`` pairs; reduce state is
     O(labels × dim)."""
     v = F.col("embedding").cast("array<double>")
     return (
@@ -439,7 +442,11 @@ def _exact_label_centroids(embs: DataFrame) -> DataFrame:
         .select(
             "label",
             "pos",
-            F.round((F.col("s") / F.col("n")) / 1e8, 6).alias("cv"),
+            F.round(
+                F.round(F.col("s") / F.col("n") / F.lit(100.0)).cast("bigint")
+                / F.lit(1e6),
+                6,
+            ).alias("cv"),
         )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc"))

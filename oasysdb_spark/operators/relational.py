@@ -84,6 +84,15 @@ def _cents_disp(cents):
     return F.round(cents.cast("double") / F.lit(100.0), 2)
 
 
+
+def _money_disp(expr, scale: int = 10000):
+    """The shared 2dp money display (the Spark twin of the oracle's
+    _REV_2DP fragment): exact integer units in decimal(38,0), signed
+    half-away cents conversion, one /100 at display."""
+    return _cents_disp(
+        _dec_units_to_cents(_dec_unit_sum(expr, scale), scale // 100)
+    )
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy agg with map-side partial aggregation;
     the parquet scan reads only the 7 referenced columns.
@@ -109,12 +118,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cents_disp(_dec_unit_sum(F.col("l_extendedprice"), 100)).alias(
                 "sum_base_price"
             ),
-            _cents_disp(
-                _dec_units_to_cents(_dec_unit_sum(disc_price, 10000), 100)
-            ).alias("sum_disc_price"),
-            _cents_disp(
-                _dec_units_to_cents(_dec_unit_sum(charge, 1000000), 10000)
-            ).alias("sum_charge"),
+            _money_disp(disc_price).alias("sum_disc_price"),
+            _money_disp(charge, 1000000).alias("sum_charge"),
             # integral quantities / 2dp discounts: avg of an exact integer
             # sum, pre-scaled to 1e-6 display units and rounded at scale 0
             F.round(
@@ -228,13 +233,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             # exact 1e-4-unit integers in decimal(38,0) (single whole-table
             # group — the bigint u4 form overflows first here), scale-0
             # display (r12 migration)
-            _cents_disp(
-                _dec_units_to_cents(
-                    _dec_unit_sum(
-                        F.col("l_extendedprice") * F.col("l_discount"), 10000
-                    ),
-                    100,
-                )
+            _money_disp(
+                F.col("l_extendedprice") * F.col("l_discount")
             ).alias("revenue")
         )
     )
@@ -826,13 +826,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("integer").alias("l_year"))
         .agg(
             # exact 1e-4-unit integer revenue, scale-0 display (r12)
-            _cents_disp(
-                _dec_units_to_cents(
-                    _dec_unit_sum(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
-                    ),
-                    100,
-                )
+            _money_disp(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
@@ -861,9 +856,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             # minus 2dp retail × integral qty × 0.1 = a 3-decimal); the
             # SIGNED u4→cents conversion matters here — group profit can
             # go negative, and half-away must match on both engines (r12)
-            _cents_disp(
-                _dec_units_to_cents(_dec_unit_sum(profit, 10000), 100)
-            ).alias("sum_profit")
+            _money_disp(profit).alias("sum_profit")
         )
     )
 
@@ -884,13 +877,8 @@ def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(
             # exact 1e-4-unit integer revenue, scale-0 display (r12)
-            _cents_disp(
-                _dec_units_to_cents(
-                    _dec_unit_sum(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
-                    ),
-                    100,
-                )
+            _money_disp(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -946,13 +934,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             # exact 1e-4-unit integer revenue, scale-0 display (r12) —
             # the max and the equality cut both act on this exact 2dp value
-            _cents_disp(
-                _dec_units_to_cents(
-                    _dec_unit_sum(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
-                    ),
-                    100,
-                )
+            _money_disp(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("total_revenue")
         )
     )
@@ -1029,13 +1012,8 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.where(c1 | c2 | c3).agg(
         # exact 1e-4-unit integers in decimal(38,0) (single whole-join
         # group), scale-0 display (r12 migration)
-        _cents_disp(
-            _dec_units_to_cents(
-                _dec_unit_sum(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
-                ),
-                100,
-            )
+        _money_disp(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
         ).alias("revenue")
     )
 
@@ -1634,13 +1612,8 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(
             # exact 1e-4-unit integer revenue, scale-0 display (r12)
-            _cents_disp(
-                _dec_units_to_cents(
-                    _dec_unit_sum(
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
-                    ),
-                    100,
-                )
+            _money_disp(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("value")
         )
     )

@@ -298,7 +298,7 @@ _INDEX_BCS_LOCK = __import__("threading").Lock()
 # same path serves the stale index until release_index_broadcasts() or
 # reuse_plan_cache=False); the content ledger stays the source of truth
 # — an evicted broadcast falls back to the slow path and refreshes.
-_PLAN_FPS: "dict[str, tuple]" = {}  # plan_fp -> (content_key, lo, hi)
+_PLAN_FPS: "dict[str, tuple]" = {}  # plan_fp -> (content_key, lo, hi, n_ref)
 _PLAN_FPS_CAP = 32
 
 
@@ -528,14 +528,19 @@ def fuzzy_match_against(
     # plan was first collected. Falls through to the slow path when the
     # content broadcast was LRU-evicted or the plan dump is unavailable.
     bc = n_entries = len_lo = len_hi = None
-    plan_fp = (
-        _plan_fingerprint(reference_df, ref_col, max_dist)
-        if reuse_plan_cache
-        else None
-    )
-    if plan_fp is not None:
+    # the fingerprint is computed even when reuse_plan_cache=False: the
+    # opt-out call re-collects AND refreshes/invalidates the plan entry
+    # below, so the documented post-mutation remedy actually clears the
+    # stale mapping instead of leaving it for the next default call
+    # (r12 review)
+    plan_fp = _plan_fingerprint(reference_df, ref_col, max_dist)
+    if plan_fp is not None and reuse_plan_cache:
         with _INDEX_BCS_LOCK:
-            hit = _PLAN_FPS.get(plan_fp)
+            # pop/re-insert: recency order, so eviction is LRU — a hot
+            # serving plan is never displaced by one-shot lookups (r12)
+            hit = _PLAN_FPS.pop(plan_fp, None)
+            if hit is not None:
+                _PLAN_FPS[plan_fp] = hit
         if hit is not None:
             content_key, lo, hi, cached_n_ref = hit
             # the boundary guards bind on the fast path too: a hit must

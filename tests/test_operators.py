@@ -3703,7 +3703,7 @@ def test_embedding_outlier_stats_matches_duckdb_oracle(spark, sf_dir):
                    count(*) AS n
                  FROM embeddings, p GROUP BY label, p.pos),
         cent AS (SELECT label,
-                   list(round((s / n) / 100000000, 6) ORDER BY pos) AS cvec
+                   list(round(CAST(round(s / n / 100) AS BIGINT) / 1e6, 6) ORDER BY pos) AS cvec
                  FROM comp GROUP BY label),
         cs AS (SELECT e.label,
                  CAST(round(({dot} / ({norm_v} * {norm_c})) * 1000000) AS BIGINT) AS cm
@@ -3765,7 +3765,7 @@ def test_label_centroid_similarity_matches_duckdb_oracle(spark, sf_dir):
                    count(*) AS n
                  FROM embeddings, p GROUP BY label, p.pos),
         cent AS (SELECT label,
-                   list(round((s / n) / 100000000, 6) ORDER BY pos) AS cvec,
+                   list(round(CAST(round(s / n / 100) AS BIGINT) / 1e6, 6) ORDER BY pos) AS cvec,
                    CAST(max(n) AS BIGINT) AS nv
                  FROM comp GROUP BY label)
         SELECT a.label AS label_a, b.label AS label_b,

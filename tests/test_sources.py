@@ -400,6 +400,18 @@ def test_from_jdbc_full_lifecycle_embedded_derby(spark, tmp_path, capsys):
             spark, str(tmp_path / "db3"), url, "ugly_vectors",
             dimension=2, properties=props, density=8,
         )
+    # a NULL ELEMENT keeps the declared size but would NaN-poison every
+    # distance kernel downstream — the guard refuses it too (r12 review)
+    holey = spark.createDataFrame(
+        [("h0", "[1.0, 2.0]",), ("h1", "[1.0, null]",)],
+        "id string, embedding string",
+    )
+    holey.write.jdbc(url, "holey_vectors", mode="overwrite", properties=props)
+    with pytest.raises(errors.InvalidArgumentError, match="dimension"):
+        Database.from_jdbc(
+            spark, str(tmp_path / "db3b"), url, "holey_vectors",
+            dimension=2, properties=props, density=8,
+        )
 
     # CLI verb: same path end to end, summary JSON on stdout
     d4 = str(tmp_path / "db4")

@@ -77,18 +77,15 @@ def main():
     listing = cat.list_collections()
     list_s = time.time() - t0
 
-    # displaced-directory pressure: overwrite half the collections (each
-    # leaves its old dir for vacuum under the r12 grace policy), then
-    # time the vacuum that reclaims them all
+    # displaced-directory pressure: overwrite half the LIVE collections
+    # (each save displaces its old dir, which the r12 grace policy
+    # leaves for vacuum), then time the vacuum that reclaims them all
     over_t = []
-    for i in range(0, n, 2):
-        nm = f"coll_{i:04d}" if i != n - 1 else f"coll_{i:04d}"
-        try:
-            t0 = time.time()
-            cat.save_collection(nm, df, dimension=2)
-            over_t.append(time.time() - t0)
-        except Exception:
-            pass  # renamed/swapped names: fine, pressure not exactness
+    live = [c["name"] for c in cat.list_collections()]
+    for nm in live[: n // 2]:
+        t0 = time.time()
+        cat.save_collection(nm, df, dimension=2)
+        over_t.append(time.time() - t0)
     t0 = time.time()
     removed = cat.vacuum(min_age_seconds=0)
     vacuum_s = time.time() - t0
