@@ -47,18 +47,31 @@ def _u4_sum_to_cents(u4_sum):
 
 
 def _dec_unit_sum(col, scale: int):
-    """Exact integer-unit sum with decimal(38,0) accumulation.
+    """Exact integer-unit sum, overflow-proof and hash-agg fast.
 
     Per-row quantize a finite-decimal input to ``scale`` integer units
     (lossless by construction — the fixtures' money/quantity columns are
     exact 2dp / integral, so price×(1−disc) is an exact 4-decimal and
-    ×(1+tax) an exact 6-decimal), then SUM in 38-digit decimal. Bigint
-    u4 accumulators cap out near $920 T per group; a 100 TB-scale q1
-    group (four groups over the whole fact table) passes that, and the
-    u6 charge sum would overflow three decades sooner — decimal(38,0)
-    has 1e38 of headroom at any conceivable SF. DuckDB twin: HUGEINT
-    (also 128-bit, same exact-integer semantics)."""
-    return F.sum(F.round(col * scale).cast("bigint").cast("decimal(38,0)"))
+    ×(1+tax) an exact 6-decimal). A single bigint accumulator caps out
+    near $920 T per group at u4 (three decades sooner at u6 — a
+    100 TB-scale q1 whole-table group passes both), and a straight
+    decimal(38,0) SUM is exact but ~2.8× slower than the double it
+    replaced (measured 1.04 s vs 0.38 s on the q1 shape — Decimal128
+    update per row, off the codegen fast path). So: TWO bigint lanes —
+    per-row split v into (lo = v % 1e6, hi = (v−lo)/1e6, exact for
+    |v| < 2^53 units and sign-consistent for negatives), sum each as a
+    codegen'd long (measured 0.60 s), and recombine hi·1e6+lo in
+    decimal(38,0) on the handful of OUTPUT rows. Exact while
+    n·max(|v|)/1e6 and n·1e6 stay under 2^63 — ≳ sf300k whole-table
+    groups, two decades past the 100 TB target. The DuckDB twin sums
+    the unsplit units as HUGEINT (always exact): identical integer
+    VALUE, and every display op downstream mirrors term-for-term."""
+    v = F.round(col * scale).cast("bigint")
+    lo = v % F.lit(1_000_000)
+    hi = ((v - lo) / F.lit(1_000_000)).cast("bigint")
+    return (
+        F.sum(hi).cast("decimal(38,0)") * F.lit(1_000_000) + F.sum(lo)
+    )
 
 
 def _dec_units_to_cents(unit_sum, per_cent: int):

@@ -218,6 +218,11 @@ _NLJ_WHITELIST = {
     # aggregate onto the per-user table (same pattern)
     "join_key_skew_stats",
     "user_rfm_segments",
+    # r12 window entry: ngram_novelty_curve crossJoins the ONE-ROW
+    # max(doc_id) shard-boundary aggregate onto the corpus scan (the
+    # scalar pattern above) — the gram work itself is a single
+    # (gram, shard) equi-rollup
+    "ngram_novelty_curve",
 }
 
 # Construction has driver-side side effects (index/layout builds, query
