@@ -150,6 +150,24 @@ def build_parser() -> argparse.ArgumentParser:
     fj.add_argument("--seed", type=int, default=42)
     fj.add_argument("--overwrite", action="store_true")
 
+    sj_ = add("sync-jdbc",
+              help="incremental watermark pull from the SQL system of "
+              "record into an existing database (append-only; advances "
+              "the persisted high-water mark after the append commits)")
+    sj_.add_argument("--url", required=True)
+    sj_.add_argument("--table", required=True)
+    sj_.add_argument("--watermark-col", required=True,
+                     help="monotonic column (autoincrement id / "
+                     "inserted_at) the sync filters on")
+    sj_.add_argument("--id-col", default="id")
+    sj_.add_argument("--vector-col", default="embedding")
+    sj_.add_argument("--metadata-cols", default=None)
+    sj_.add_argument("--driver", default=None)
+    sj_.add_argument("--where", default=None)
+    sj_.add_argument("--no-dedup-ids", action="store_true",
+                     help="skip the crash-replay anti-join (at-least-"
+                     "once instead of exactly-once ingest)")
+
     bp = add("build-pq", help="build/rebuild the PQ compression tier")
     bp.add_argument("--m", type=int, default=8)
     bp.add_argument("--nbits", type=int, default=4)
@@ -737,6 +755,19 @@ def main(argv: list[str] | None = None) -> int:
 
         n = build_index(db, k=args.k, seed=args.seed)
         _emit({"ok": True, "n_clusters": n})
+    elif args.cmd == "sync-jdbc":
+        n = db.sync_jdbc(
+            args.url, args.table, watermark_col=args.watermark_col,
+            id_col=args.id_col, vector_col=args.vector_col,
+            metadata_cols=(
+                [c.strip() for c in args.metadata_cols.split(",") if c.strip()]
+                if args.metadata_cols is not None
+                else None
+            ),
+            properties={"driver": args.driver} if args.driver else None,
+            where=args.where, dedup_ids=not args.no_dedup_ids,
+        )
+        _emit({"ok": True, "ingested": n, "count": db.count()})
     elif args.cmd == "build-pq":
         from oasysdb_spark.index.pq import build_pq
 

@@ -58,6 +58,7 @@ RECORD_SCHEMA = T.StructType(
 )
 
 _PARAMS_FILE = "params.json"
+_JDBC_SYNC_FILE = "jdbc_sync.json"
 
 # embedded in insert_batch's in-task dimension guard; the API-boundary
 # translator keys on it (same mechanism as similarity_join's d=2 guard)
@@ -251,6 +252,127 @@ class Database:
             else:
                 db._insert_batch_body(guarded)
         return db
+
+    def sync_jdbc(
+        self,
+        url: str,
+        table: str,
+        *,
+        watermark_col: str,
+        id_col: str = "id",
+        vector_col: str = "embedding",
+        metadata_cols: list[str] | None = None,
+        properties: dict | None = None,
+        where: str | None = None,
+        dedup_ids: bool = True,
+    ) -> int:
+        """Incremental pull from the SQL system of record (the
+        operational half of the v0.7 lineage :meth:`from_jdbc` opens,
+        /root/reference/docs/changelog.md:41-64): ingest rows whose
+        ``watermark_col`` exceeds the persisted high-water mark, then
+        advance the mark. Returns the number of rows ingested.
+
+        The watermark predicate compiles into the connector's WHERE
+        clause, so already-synced rows never leave the database; the
+        mark (max watermark of the ingested batch, computed in the same
+        read) persists in ``jdbc_sync.json`` AFTER the append commits —
+        a crash between the two re-ingests the tail on the next sync
+        (at-least-once), which ``dedup_ids`` (default on) collapses by
+        anti-joining incoming ids against the records table: one
+        broadcast-incoming equi-join per sync, the price of
+        exactly-once ingest without a transactional mark. Rows DELETED
+        or UPDATED in the SQL table do not propagate — watermark sync
+        is append-only by contract; route mutations through
+        :meth:`delete` / :meth:`update_metadata` or rebuild via
+        :meth:`from_jdbc` (blue-green through a catalog swap).
+
+        The watermark column must be monotically non-decreasing for new
+        rows (an autoincrement id, an inserted_at timestamp); rows that
+        arrive with a watermark at or below the current mark are
+        invisible to sync — the standard late-data caveat of any
+        watermark ingest."""
+        import json as _json
+
+        from oasysdb_spark.sources.jdbc import read_jdbc_records
+
+        state_path = os.path.join(self.dir, _JDBC_SYNC_FILE)
+        state: dict = {}
+        if os.path.exists(state_path):
+            with open(state_path, encoding="utf-8") as f:
+                state = _json.load(f)
+            if state.get("table") != table or (
+                state.get("watermark_col") != watermark_col
+            ):
+                raise errors.InvalidArgumentError(
+                    f"jdbc sync state at {state_path} tracks "
+                    f"{state.get('table')!r} on {state.get('watermark_col')!r}"
+                    f"; refusing to mix with {table!r} on {watermark_col!r} "
+                    "(one sync stream per database — delete the state file "
+                    "to re-baseline)"
+                )
+        high = state.get("high")
+
+        mark_pred = None
+        if high is not None:
+            lit = (
+                "'" + high.replace("'", "''") + "'"
+                if isinstance(high, str)
+                else repr(high)
+            )
+            mark_pred = f"{watermark_col} > {lit}"
+        full_where = (
+            f"({where}) AND ({mark_pred})"
+            if where and mark_pred
+            else (where or mark_pred)
+        )
+
+        src = self.spark.read.jdbc(
+            url, table, properties=dict(properties or {})
+        )
+        if watermark_col not in src.columns:
+            raise errors.InvalidArgumentError(
+                f"JDBC table {table!r} has no watermark column "
+                f"{watermark_col!r}"
+            )
+        wm_df = src.where(full_where) if full_where else src
+        agg = wm_df.agg(F.max(watermark_col).alias("h")).first()
+        if agg is None or agg["h"] is None:
+            return 0  # nothing past the mark
+        new_high = agg["h"]
+
+        batch = normalize_records(
+            read_jdbc_records(
+                self.spark, url, table,
+                id_col=id_col, vector_col=vector_col,
+                metadata_cols=metadata_cols, properties=properties,
+                where=full_where,
+            )
+        )
+        if dedup_ids:
+            # crash-replay collapse: a previous sync that appended but
+            # died before advancing the mark re-surfaces its tail here;
+            # the anti-join drops rows whose id already landed
+            batch = batch.join(self.records_df().select("id"), "id", "left_anti")
+        n_before = self.count()
+        guarded = self._with_dim_guard(batch)
+        with self._dim_guard_boundary():
+            self._insert_batch_body(guarded)
+        n_ingested = self.count() - n_before
+        high_out = (
+            new_high
+            if isinstance(new_high, (int, float, str))
+            else str(new_high)  # timestamps/dates: ISO text, the JDBC
+            # dialects compare 'yyyy-mm-dd hh:mm:ss' literals correctly
+        )
+        atomic_write_text(
+            state_path,
+            _json.dumps(
+                {"table": table, "watermark_col": watermark_col,
+                 "high": high_out},
+                sort_keys=True,
+            ),
+        )
+        return int(n_ingested)
 
     def _default_radius(self) -> float:
         """The radius applied when a query passes none: the collection's

@@ -425,6 +425,96 @@ def test_from_jdbc_full_lifecycle_embedded_derby(spark, tmp_path, capsys):
     assert out["count"] == 40 and out["dimension"] == 2 and out["indexed"]
 
 
+def test_sync_jdbc_incremental_watermark_lifecycle(spark, tmp_path, capsys):
+    """sync_jdbc is the operational half of the v0.7 SQL-sourcing
+    lineage: the SQL table stays the system of record; the engine pulls
+    only rows past the persisted high-water mark, appends them through
+    the validated ingest path (cluster assignment included), and
+    advances the mark AFTER the append commits. Pins: incremental
+    counts, watermark filter (no re-reads), crash-replay idempotence
+    via the id anti-join, no-new-rows fast exit, mixed-stream refusal,
+    and the CLI verb."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark import cli, errors
+    from oasysdb_spark.core.database import Database
+
+    dbdir = str(tmp_path / "derby_sync")
+    url = f"jdbc:derby:{dbdir};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+
+    def rows(lo, hi):
+        return spark.createDataFrame(
+            [(f"r{i}", [float(i), float(i % 5)], i) for i in range(lo, hi)],
+            "id string, vec array<double>, seq int",
+        ).select("id", F.to_json("vec").alias("embedding"), "seq")
+
+    rows(0, 30).write.jdbc(url, "vectors", mode="overwrite", properties=props)
+
+    d1 = str(tmp_path / "db1")
+    db = Database.from_jdbc(
+        spark, d1, url, "vectors", properties=props, density=8,
+    )
+    assert db.count() == 30 and db.is_indexed()
+
+    # first sync: nothing new past the baseline... except from_jdbc does
+    # not itself write sync state — the FIRST sync baselines by reading
+    # everything past no mark, and the id anti-join collapses the rows
+    # the bulk load already ingested (exactly-once end to end)
+    assert db.sync_jdbc(
+        url, "vectors", watermark_col="seq", properties=props
+    ) == 0
+    state = _json.loads(
+        open(f"{d1}/jdbc_sync.json", encoding="utf-8").read()
+    )
+    assert state["high"] == 29
+
+    # append to the SQL side, sync: only the new rows land, assigned to
+    # clusters through the standard ingest path
+    rows(30, 42).write.jdbc(url, "vectors", mode="append", properties=props)
+    assert db.sync_jdbc(
+        url, "vectors", watermark_col="seq", properties=props
+    ) == 12
+    assert db.count() == 42
+    assert db.get("r41")["metadata"] == {"seq": 41.0}
+    hits = db.query_df([41.0, 1.0], k=1).collect()
+    assert hits[0]["id"] == "r41"
+
+    # idempotent: nothing new → 0, mark unchanged
+    assert db.sync_jdbc(
+        url, "vectors", watermark_col="seq", properties=props
+    ) == 0
+
+    # crash replay: roll the mark back (the append-committed-but-mark-
+    # unwritten crash), re-sync — the anti-join drops every replayed id
+    import oasysdb_spark.core.config as cfg
+
+    cfg.atomic_write_text(
+        f"{d1}/jdbc_sync.json",
+        _json.dumps({"table": "vectors", "watermark_col": "seq", "high": 35}),
+    )
+    assert db.sync_jdbc(
+        url, "vectors", watermark_col="seq", properties=props
+    ) == 0
+    assert db.count() == 42  # no duplicates
+
+    # mixing streams refuses with the typed error
+    with pytest.raises(errors.InvalidArgumentError, match="sync state"):
+        db.sync_jdbc(url, "other_table", watermark_col="seq", properties=props)
+
+    # CLI verb end to end
+    rows(42, 45).write.jdbc(url, "vectors", mode="append", properties=props)
+    rc = cli.main([
+        "sync-jdbc", "--dir", d1, "--url", url, "--table", "vectors",
+        "--watermark-col", "seq",
+        "--driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["ingested"] == 3 and out["count"] == 45
+
+
 def test_webdataset_roundtrip_deterministic_and_quarantines(spark, tmp_path):
     """WebDataset tar shard sink + source: documents written as
     {key}.text.txt members round-trip byte-exact through the binaryFile
