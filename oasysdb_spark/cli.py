@@ -375,6 +375,26 @@ def build_parser() -> argparse.ArgumentParser:
                     "pass no --radius (<=0 disables)")
     cc.add_argument("--overwrite", action="store_true")
 
+    cj = add_cat("catalog-from-jdbc",
+                 help="bulk-load a named collection from a SQL table "
+                 "(the blue-green SQL-rebuild composition: load under a "
+                 "staging name, then catalog-swap)")
+    cj.add_argument("--name", required=True)
+    cj.add_argument("--url", required=True)
+    cj.add_argument("--table", required=True)
+    cj.add_argument("--id-col", default="id")
+    cj.add_argument("--vector-col", default="embedding")
+    cj.add_argument("--metadata-cols", default=None)
+    cj.add_argument("--dimension", type=int, default=None)
+    cj.add_argument("--metric", default="euclidean")
+    cj.add_argument("--density", type=int, default=256)
+    cj.add_argument("--relevancy", type=float, default=-1.0)
+    cj.add_argument("--driver", default=None)
+    cj.add_argument("--where", default=None)
+    cj.add_argument("--no-index", action="store_true")
+    cj.add_argument("--seed", type=int, default=42)
+    cj.add_argument("--overwrite", action="store_true")
+
     cl = add_cat("catalog-list", help="list collections (name + parameters)")
     cl.add_argument("--counts", action="store_true",
                     help="also count records per collection (a job each)")
@@ -646,6 +666,29 @@ def main(argv: list[str] | None = None) -> int:
                 overwrite=args.overwrite,
             )
             _emit({"ok": True, "root": args.root, "name": args.name})
+        elif args.cmd == "catalog-from-jdbc":
+            db = Catalog.open(spark, args.root).create_collection_from_jdbc(
+                args.name, args.url, args.table,
+                overwrite=args.overwrite,
+                dimension=args.dimension, id_col=args.id_col,
+                vector_col=args.vector_col,
+                metadata_cols=(
+                    [c.strip() for c in args.metadata_cols.split(",")
+                     if c.strip()]
+                    if args.metadata_cols is not None
+                    else None
+                ),
+                metric=args.metric, density=args.density,
+                relevancy=args.relevancy,
+                properties=(
+                    {"driver": args.driver} if args.driver else None
+                ),
+                where=args.where, build_index=not args.no_index,
+                seed=args.seed,
+            )
+            _emit({"ok": True, "root": args.root, "name": args.name,
+                   "count": db.count(), "dimension": db.params.dimension,
+                   "indexed": db.is_indexed()})
         elif args.cmd == "catalog-list":
             _emit({"collections": Catalog.open(spark, args.root)
                    .list_collections(counts=args.counts)})

@@ -299,6 +299,43 @@ class Catalog:
         )
         return db
 
+    def create_collection_from_jdbc(
+        self,
+        name: str,
+        url: str,
+        table: str,
+        overwrite: bool = False,
+        **from_jdbc_kwargs,
+    ) -> Database:
+        """Bulk-load a named collection from a SQL table in one call —
+        the blue-green SQL-rebuild composition: the load and index
+        build run into an UNREFERENCED directory; one atomic manifest
+        write publishes the name only after they succeed (a failed load
+        leaves the existing collection untouched, its residue
+        vacuum-able). Accepts every :meth:`Database.from_jdbc` keyword
+        (dimension/vector_col/where/partition bounds/...). The standard
+        zero-downtime reindex stays: load under a staging name, then
+        :meth:`swap_collections`."""
+        _check_name(name)
+        if not overwrite and name in self._read_manifest():
+            raise errors.InvalidArgumentError(
+                f"collection {name!r} already exists; pass overwrite=True"
+            )
+        from_jdbc_kwargs.pop("overwrite", None)
+        dir_id = _dir_id()
+        db = Database.from_jdbc(
+            self.spark, self._dir_path(dir_id), url, table,
+            **from_jdbc_kwargs,
+        )
+        self._commit_entry(
+            name, dir_id,
+            {"dimension": db.params.dimension, "metric": db.params.metric,
+             "density": db.params.density,
+             "relevancy": db.params.relevancy},
+            require_absent=not overwrite,
+        )
+        return db
+
     def save_collection(
         self,
         name: str,

@@ -311,6 +311,113 @@ def test_import_catalog_rejects_invalid_manifest_names(spark, tmp_path):
             import_catalog(spark, out, dest, verify=verify)
 
 
+def test_catalog_from_jdbc_blue_green_rebuild(spark, tmp_path, capsys):
+    """create_collection_from_jdbc composes the v0.7 SQL sourcing with
+    the catalog's blue-green primitive: bulk-load under a staging name
+    (load + index build run into an UNREFERENCED dir; one manifest
+    write publishes), swap with the live name, drop staging — readers
+    cut over atomically. A failed load (dim mismatch) must leave the
+    live collection untouched. CLI verb included."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark import cli
+
+    dbdir = str(tmp_path / "derby_cat")
+    url = f"jdbc:derby:{dbdir};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    src = spark.createDataFrame(
+        [(f"r{i}", [float(i), 0.0], i % 3) for i in range(24)],
+        "id string, vec array<double>, label int",
+    ).select("id", F.to_json("vec").alias("embedding"), "label")
+    src.write.jdbc(url, "vectors", mode="overwrite", properties=props)
+
+    root = str(tmp_path / "cat")
+    cat = Catalog.init(spark, root)
+    live = cat.create_collection_from_jdbc(
+        "serving", url, "vectors", properties=props, density=8,
+    )
+    assert live.count() == 24 and live.is_indexed()
+    assert live.params.dimension == 2
+
+    # SQL side re-written (say, re-embedded at a new dimension): rebuild
+    # under staging, swap, drop — the blue-green path
+    src3 = spark.createDataFrame(
+        [(f"n{i}", [float(i), 1.0, 2.0], i % 3) for i in range(10)],
+        "id string, vec array<double>, label int",
+    ).select("id", F.to_json("vec").alias("embedding"), "label")
+    src3.write.jdbc(url, "vectors_v2", mode="overwrite", properties=props)
+    cat.create_collection_from_jdbc(
+        "serving_staging", url, "vectors_v2", properties=props, density=8,
+    )
+    cat.swap_collections("serving", "serving_staging")
+    cat.drop_collection("serving_staging")
+    now = cat.open_collection("serving")
+    assert now.count() == 10 and now.params.dimension == 3
+
+    # a failed load never touches the live name: bad dim refuses inside
+    # the unreferenced staging dir, manifest unchanged, residue
+    # vacuum-able
+    with pytest.raises(errors.InvalidArgumentError):
+        cat.create_collection_from_jdbc(
+            "serving", url, "vectors", dimension=7,
+            properties=props, overwrite=True,
+        )
+    assert cat.open_collection("serving").count() == 10
+    assert cat.vacuum(min_age_seconds=0) != []
+
+    # duplicate-name refusal without overwrite
+    with pytest.raises(errors.InvalidArgumentError, match="exists"):
+        cat.create_collection_from_jdbc(
+            "serving", url, "vectors", properties=props,
+        )
+
+    # CLI verb
+    rc = cli.main([
+        "catalog-from-jdbc", "--root", root, "--name", "cli_coll",
+        "--url", url, "--table", "vectors",
+        "--driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+        "--density", "8",
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["count"] == 24 and out["indexed"]
+
+
+def _commit_worker(args):
+    """Module-level so multiprocessing can pickle it: commit M distinct
+    entries against a shared catalog root from this process."""
+    root, worker, n_commits = args
+    from oasysdb_spark.core.catalog import Catalog
+
+    cat = Catalog(None, root)  # manifest ops never touch the session
+    for i in range(n_commits):
+        cat._commit_entry(f"w{worker:02d}_c{i:03d}", f"dir_{worker}_{i}", {
+            "dimension": 2, "metric": "euclidean", "density": 8,
+            "relevancy": -1.0,
+        })
+    return worker
+
+
+def test_catalog_manifest_flock_across_processes(spark, tmp_path):
+    """The advisory flock must serialize manifest read-modify-write
+    sections ACROSS PROCESSES, not just threads (the r11 claim, pinned
+    same-process until now): 8 forked workers x 25 commits each against
+    one root — without the lock, interleaved re-reads lose entries
+    (the loser's write erases the winner's). Every one of the 200
+    committed names must survive in the final manifest."""
+    import multiprocessing as mp
+
+    root = str(tmp_path / "cat")
+    cat = Catalog.init(spark, root)
+    with mp.get_context("fork").Pool(8) as pool:
+        done = pool.map(_commit_worker, [(root, w, 25) for w in range(8)])
+    assert sorted(done) == list(range(8))
+    names = {c["name"] for c in cat.list_collections()}
+    want = {f"w{w:02d}_c{i:03d}" for w in range(8) for i in range(25)}
+    assert names == want, f"lost {len(want - names)} committed entries"
+
+
 def test_catalog_portable_roundtrip_and_tamper_refusal(spark, tmp_path):
     from oasysdb_spark.index.ivf import build_index
 
