@@ -31,6 +31,17 @@ def _vector(s: str) -> list[float]:
     return [float(x) for x in s.replace(",", " ").split()]
 
 
+def _csv_cols(s: str | None) -> list[str] | None:
+    """--metadata-cols style comma list -> list (None passes through)."""
+    if s is None:
+        return None
+    return [c.strip() for c in s.split(",") if c.strip()]
+
+
+def _jdbc_props(args) -> dict | None:
+    return {"driver": args.driver} if args.driver else None
+
+
 def _emit(obj, default=None) -> None:
     print(json.dumps(obj, sort_keys=True, default=default))
 
@@ -391,6 +402,11 @@ def build_parser() -> argparse.ArgumentParser:
     cj.add_argument("--relevancy", type=float, default=-1.0)
     cj.add_argument("--driver", default=None)
     cj.add_argument("--where", default=None)
+    cj.add_argument("--partition-column", default=None,
+                    help="issue the bulk read as parallel range queries")
+    cj.add_argument("--lower-bound", default=None)
+    cj.add_argument("--upper-bound", default=None)
+    cj.add_argument("--num-partitions", type=int, default=None)
     cj.add_argument("--no-index", action="store_true")
     cj.add_argument("--seed", type=int, default=42)
     cj.add_argument("--overwrite", action="store_true")
@@ -466,14 +482,10 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.dir, args.url, args.table,
             dimension=args.dimension, id_col=args.id_col,
             vector_col=args.vector_col,
-            metadata_cols=(
-                [c.strip() for c in args.metadata_cols.split(",") if c.strip()]
-                if args.metadata_cols is not None
-                else None
-            ),
+            metadata_cols=_csv_cols(args.metadata_cols),
             metric=args.metric,
             density=args.density, relevancy=args.relevancy,
-            properties={"driver": args.driver} if args.driver else None,
+            properties=_jdbc_props(args),
             where=args.where, partition_column=args.partition_column,
             lower_bound=args.lower_bound, upper_bound=args.upper_bound,
             num_partitions=args.num_partitions,
@@ -672,18 +684,16 @@ def main(argv: list[str] | None = None) -> int:
                 overwrite=args.overwrite,
                 dimension=args.dimension, id_col=args.id_col,
                 vector_col=args.vector_col,
-                metadata_cols=(
-                    [c.strip() for c in args.metadata_cols.split(",")
-                     if c.strip()]
-                    if args.metadata_cols is not None
-                    else None
-                ),
+                metadata_cols=_csv_cols(args.metadata_cols),
                 metric=args.metric, density=args.density,
                 relevancy=args.relevancy,
-                properties=(
-                    {"driver": args.driver} if args.driver else None
-                ),
-                where=args.where, build_index=not args.no_index,
+                properties=_jdbc_props(args),
+                where=args.where,
+                partition_column=args.partition_column,
+                lower_bound=args.lower_bound,
+                upper_bound=args.upper_bound,
+                num_partitions=args.num_partitions,
+                build_index=not args.no_index,
                 seed=args.seed,
             )
             _emit({"ok": True, "root": args.root, "name": args.name,
@@ -802,12 +812,8 @@ def main(argv: list[str] | None = None) -> int:
         n = db.sync_jdbc(
             args.url, args.table, watermark_col=args.watermark_col,
             id_col=args.id_col, vector_col=args.vector_col,
-            metadata_cols=(
-                [c.strip() for c in args.metadata_cols.split(",") if c.strip()]
-                if args.metadata_cols is not None
-                else None
-            ),
-            properties={"driver": args.driver} if args.driver else None,
+            metadata_cols=_csv_cols(args.metadata_cols),
+            properties=_jdbc_props(args),
             where=args.where, dedup_ids=not args.no_dedup_ids,
         )
         _emit({"ok": True, "ingested": n, "count": db.count()})

@@ -321,7 +321,6 @@ class Catalog:
             raise errors.InvalidArgumentError(
                 f"collection {name!r} already exists; pass overwrite=True"
             )
-        from_jdbc_kwargs.pop("overwrite", None)
         dir_id = _dir_id()
         db = Database.from_jdbc(
             self.spark, self._dir_path(dir_id), url, table,

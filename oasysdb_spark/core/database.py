@@ -269,58 +269,79 @@ class Database:
         """Incremental pull from the SQL system of record (the
         operational half of the v0.7 lineage :meth:`from_jdbc` opens,
         /root/reference/docs/changelog.md:41-64): ingest rows whose
-        ``watermark_col`` exceeds the persisted high-water mark, then
+        ``watermark_col`` lies in (persisted mark, current max], then
         advance the mark. Returns the number of rows ingested.
 
-        The watermark predicate compiles into the connector's WHERE
-        clause, so already-synced rows never leave the database; the
-        mark (max watermark of the ingested batch, computed in the same
-        read) persists in ``jdbc_sync.json`` AFTER the append commits —
-        a crash between the two re-ingests the tail on the next sync
-        (at-least-once), which ``dedup_ids`` (default on) collapses by
-        anti-joining incoming ids against the records table: one
-        broadcast-incoming equi-join per sync, the price of
-        exactly-once ingest without a transactional mark. Rows DELETED
-        or UPDATED in the SQL table do not propagate — watermark sync
-        is append-only by contract; route mutations through
-        :meth:`delete` / :meth:`update_metadata` or rebuild via
-        :meth:`from_jdbc` (blue-green through a catalog swap).
+        The watermark window compiles into the connector's WHERE clause
+        — already-synced rows never leave the database, and the UPPER
+        bound (the max read before the batch) makes the ingested set
+        and the persisted mark agree even while the SQL table keeps
+        receiving inserts (rows landing mid-sync are simply the next
+        sync's window). The mark persists in ``jdbc_sync.json`` AFTER
+        the append commits — a crash between the two re-surfaces the
+        tail on the next sync (at-least-once), which ``dedup_ids``
+        (default on) collapses to exactly-once: collision ids are found
+        by broadcasting the SMALL incoming id set against the records
+        table (one broadcast semi-join), then anti-joined off the batch
+        — per-sync cost stays O(batch) + one records scan, never a
+        full-table shuffle. Rows DELETED or UPDATED in the SQL table do
+        not propagate — watermark sync is append-only by contract;
+        route mutations through :meth:`delete` /
+        :meth:`update_metadata` or rebuild via :meth:`from_jdbc`
+        (blue-green through a catalog swap).
 
-        The watermark column must be monotically non-decreasing for new
-        rows (an autoincrement id, an inserted_at timestamp); rows that
-        arrive with a watermark at or below the current mark are
-        invisible to sync — the standard late-data caveat of any
-        watermark ingest."""
+        The watermark column must be monotonically non-decreasing for
+        new rows — an autoincrement id, an inserted_at timestamp
+        (temporal marks persist as ISO text and re-enter the predicate
+        as a typed ``TIMESTAMP`` literal; Spark pushes the typed filter
+        through the connector — verified against Derby), or any
+        string-ordered key. It is excluded from the default metadata
+        set (it is the sync mechanism, and temporal types are outside
+        the text|number|boolean metadata enum); list it in
+        ``metadata_cols`` explicitly to carry a numeric/text mark as
+        metadata too. Rows that arrive with a watermark at or below the
+        current mark are invisible to sync — the standard late-data
+        caveat of any watermark ingest. The sync stream is keyed to
+        (url, table, watermark_col, where): changing any of them
+        against existing state refuses — a different source or a
+        loosened pre-filter under an advanced mark silently gaps the
+        stream (delete the state file to re-baseline deliberately)."""
         import json as _json
 
         from oasysdb_spark.sources.jdbc import read_jdbc_records
 
         state_path = os.path.join(self.dir, _JDBC_SYNC_FILE)
+        stream_key = {"url": url, "table": table,
+                      "watermark_col": watermark_col, "where": where}
         state: dict = {}
         if os.path.exists(state_path):
             with open(state_path, encoding="utf-8") as f:
                 state = _json.load(f)
-            if state.get("table") != table or (
-                state.get("watermark_col") != watermark_col
-            ):
+            recorded = {k: state.get(k) for k in stream_key}
+            if recorded != stream_key:
                 raise errors.InvalidArgumentError(
-                    f"jdbc sync state at {state_path} tracks "
-                    f"{state.get('table')!r} on {state.get('watermark_col')!r}"
-                    f"; refusing to mix with {table!r} on {watermark_col!r} "
-                    "(one sync stream per database — delete the state file "
-                    "to re-baseline)"
+                    f"jdbc sync state at {state_path} tracks {recorded!r}; "
+                    f"refusing to mix with {stream_key!r} — one sync stream "
+                    "per database (a different url/table/watermark/filter "
+                    "under an advanced mark gaps or merges streams "
+                    "silently); delete the state file to re-baseline"
                 )
         high = state.get("high")
+        high_is_ts = bool(state.get("high_is_timestamp"))
 
-        mark_pred = None
-        if high is not None:
-            lit = (
-                "'" + high.replace("'", "''") + "'"
-                if isinstance(high, str)
-                else repr(high)
-            )
-            mark_pred = f"{watermark_col} > {lit}"
-        full_where = (
+        def _wm_literal(value, is_ts: bool) -> str:
+            if is_ts:
+                return f"TIMESTAMP '{value}'"
+            if isinstance(value, str):
+                return "'" + value.replace("'", "''") + "'"
+            return repr(value)
+
+        mark_pred = (
+            f"{watermark_col} > {_wm_literal(high, high_is_ts)}"
+            if high is not None
+            else None
+        )
+        scan_where = (
             f"({where}) AND ({mark_pred})"
             if where and mark_pred
             else (where or mark_pred)
@@ -334,41 +355,62 @@ class Database:
                 f"JDBC table {table!r} has no watermark column "
                 f"{watermark_col!r}"
             )
-        wm_df = src.where(full_where) if full_where else src
+        wm_df = src.where(scan_where) if scan_where else src
         agg = wm_df.agg(F.max(watermark_col).alias("h")).first()
         if agg is None or agg["h"] is None:
             return 0  # nothing past the mark
         new_high = agg["h"]
+        new_is_ts = not isinstance(new_high, (int, float, str))
+        high_out = new_high if not new_is_ts else str(new_high)
 
+        # the batch is the CLOSED window (old mark, new_high]: an upper
+        # bound from the max read above, so inserts landing between the
+        # two reads belong to the NEXT sync instead of being ingested
+        # under a mark that predates them (which would re-ingest them)
+        upper = f"{watermark_col} <= {_wm_literal(high_out, new_is_ts)}"
+        batch_where = f"({scan_where}) AND ({upper})" if scan_where else upper
+        if metadata_cols is None:
+            # the watermark is the sync mechanism, not metadata (and a
+            # temporal mark is outside the metadata type enum)
+            metadata_cols = [
+                c for c in src.columns
+                if c not in (id_col, vector_col, watermark_col)
+            ]
         batch = normalize_records(
             read_jdbc_records(
                 self.spark, url, table,
                 id_col=id_col, vector_col=vector_col,
                 metadata_cols=metadata_cols, properties=properties,
-                where=full_where,
+                where=batch_where,
             )
         )
         if dedup_ids:
-            # crash-replay collapse: a previous sync that appended but
-            # died before advancing the mark re-surfaces its tail here;
-            # the anti-join drops rows whose id already landed
-            batch = batch.join(self.records_df().select("id"), "id", "left_anti")
-        n_before = self.count()
-        guarded = self._with_dim_guard(batch)
-        with self._dim_guard_boundary():
-            self._insert_batch_body(guarded)
-        n_ingested = self.count() - n_before
-        high_out = (
-            new_high
-            if isinstance(new_high, (int, float, str))
-            else str(new_high)  # timestamps/dates: ISO text, the JDBC
-            # dialects compare 'yyyy-mm-dd hh:mm:ss' literals correctly
-        )
+            # crash-replay collapse, O(batch): find collision ids by
+            # broadcasting the SMALL incoming id set (left-semi build
+            # side), then anti-join the (also small) collision set off
+            # the batch — the records table is scanned once, never
+            # shuffled or broadcast whole
+            incoming_ids = batch.select("id")
+            collisions = self.records_df().select("id").join(
+                F.broadcast(incoming_ids), "id", "left_semi"
+            )
+            batch = batch.join(F.broadcast(collisions), "id", "left_anti")
+        batch = batch.persist()
+        try:
+            n_ingested = batch.count()
+            if n_ingested > 0:
+                guarded = self._with_dim_guard(batch)
+                with self._dim_guard_boundary():
+                    self._insert_batch_body(guarded)
+        finally:
+            batch.unpersist()
+        # the mark advances even when the batch deduped to nothing
+        # (crash replay fully collapsed): the window is consumed
         atomic_write_text(
             state_path,
             _json.dumps(
-                {"table": table, "watermark_col": watermark_col,
-                 "high": high_out},
+                {**stream_key, "high": high_out,
+                 "high_is_timestamp": new_is_ts},
                 sort_keys=True,
             ),
         )

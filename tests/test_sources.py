@@ -478,7 +478,10 @@ def test_sync_jdbc_incremental_watermark_lifecycle(spark, tmp_path, capsys):
         url, "vectors", watermark_col="seq", properties=props
     ) == 12
     assert db.count() == 42
-    assert db.get("r41")["metadata"] == {"seq": 41.0}
+    # the watermark column is the sync mechanism, excluded from default
+    # metadata (temporal marks are outside the metadata enum); carrying
+    # a numeric mark as metadata is an explicit metadata_cols opt-in
+    assert db.get("r41")["metadata"] == {}
     hits = db.query_df([41.0, 1.0], k=1).collect()
     assert hits[0]["id"] == "r41"
 
@@ -493,16 +496,27 @@ def test_sync_jdbc_incremental_watermark_lifecycle(spark, tmp_path, capsys):
 
     cfg.atomic_write_text(
         f"{d1}/jdbc_sync.json",
-        _json.dumps({"table": "vectors", "watermark_col": "seq", "high": 35}),
+        _json.dumps({"url": url, "table": "vectors", "watermark_col": "seq",
+                     "where": None, "high": 35,
+                     "high_is_timestamp": False}),
     )
     assert db.sync_jdbc(
         url, "vectors", watermark_col="seq", properties=props
     ) == 0
     assert db.count() == 42  # no duplicates
+    # ...and the fully-collapsed replay still CONSUMED its window
+    assert _json.loads(
+        open(f"{d1}/jdbc_sync.json", encoding="utf-8").read()
+    )["high"] == 41
 
-    # mixing streams refuses with the typed error
+    # mixing streams refuses with the typed error — a different table,
+    # and ALSO a different where-filter under the same table (a loosened
+    # pre-filter under an advanced mark would silently gap the stream)
     with pytest.raises(errors.InvalidArgumentError, match="sync state"):
         db.sync_jdbc(url, "other_table", watermark_col="seq", properties=props)
+    with pytest.raises(errors.InvalidArgumentError, match="sync state"):
+        db.sync_jdbc(url, "vectors", watermark_col="seq",
+                     where="seq >= 0", properties=props)
 
     # CLI verb end to end
     rows(42, 45).write.jdbc(url, "vectors", mode="append", properties=props)
@@ -513,6 +527,40 @@ def test_sync_jdbc_incremental_watermark_lifecycle(spark, tmp_path, capsys):
     ])
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["ingested"] == 3 and out["count"] == 45
+
+    # TIMESTAMP watermark (the review's Derby 42818 concern): the mark
+    # round-trips as a typed TIMESTAMP literal and the column is
+    # auto-excluded from metadata (temporal types are outside the enum)
+    ts_rows = spark.createDataFrame(
+        [(f"t{i}", [float(i), 0.0], f"2026-01-0{i + 1} 10:00:00.00{i}")
+         for i in range(3)],
+        "id string, vec array<double>, ins string",
+    ).select(
+        "id", F.to_json("vec").alias("embedding"),
+        F.col("ins").cast("timestamp").alias("inserted_at"),
+    )
+    ts_rows.write.jdbc(url, "ts_vectors", mode="overwrite", properties=props)
+    d2 = str(tmp_path / "db_ts")
+    db2 = Database.configure(spark, d2, dimension=2, density=8)
+    assert db2.sync_jdbc(
+        url, "ts_vectors", watermark_col="inserted_at", properties=props
+    ) == 3
+    assert db2.get("t2")["metadata"] == {}  # watermark not metadata
+    more = spark.createDataFrame(
+        [("t9", [9.0, 0.0], "2026-02-01 10:00:00.5")],
+        "id string, vec array<double>, ins string",
+    ).select(
+        "id", F.to_json("vec").alias("embedding"),
+        F.col("ins").cast("timestamp").alias("inserted_at"),
+    )
+    more.write.jdbc(url, "ts_vectors", mode="append", properties=props)
+    assert db2.sync_jdbc(
+        url, "ts_vectors", watermark_col="inserted_at", properties=props
+    ) == 1
+    assert db2.count() == 4
+    assert db2.sync_jdbc(
+        url, "ts_vectors", watermark_col="inserted_at", properties=props
+    ) == 0
 
 
 def test_webdataset_roundtrip_deterministic_and_quarantines(spark, tmp_path):
