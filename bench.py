@@ -230,12 +230,6 @@ def _bench_event_rate_anomalies(spark, sf_dir):
     return event_rate_anomalies(spark, sf_dir)
 
 
-def _bench_embedding_decontaminate_stats(spark, sf_dir):
-    from oasysdb_spark.operators.dedup import embedding_decontaminate_stats
-
-    return embedding_decontaminate_stats(spark, sf_dir)
-
-
 def _bench_prepare_training_corpus(spark, sf_dir):
     """The full composed pipeline. The call runs its per-stage actions
     eagerly inside the timed section (counts between stages are part of
@@ -243,6 +237,18 @@ def _bench_prepare_training_corpus(spark, sf_dir):
     from oasysdb_spark.operators.textops import prepare_training_corpus
 
     return prepare_training_corpus(spark, sf_dir)
+
+
+def _bench_events_funnel(spark, sf_dir):
+    # retired from the driver oracle contract at r13 (paired retirement
+    # for the embedding_decontaminate_stats / term_burstiness
+    # promotions; exact special case of event_funnel's k-step greedy
+    # funnel — equivalence pinned in tests/test_operators.py) but kept
+    # benched: its wall-clock row predates the retirement, so dropping
+    # it would break like-for-like comparisons.
+    from oasysdb_spark.operators import relational as rel
+
+    return rel.events_funnel(spark, sf_dir)
 
 
 def _bench_dedup_simhash(spark, sf_dir):
@@ -257,11 +263,14 @@ def _bench_dedup_simhash(spark, sf_dir):
 
 
 EXTRA_BENCH = {
+    "events_funnel": _bench_events_funnel,
     "dedup_simhash": _bench_dedup_simhash,
     "prepare_training_corpus": _bench_prepare_training_corpus,
     "tfidf_top_terms": _bench_tfidf_top_terms,
     "event_rate_anomalies": _bench_event_rate_anomalies,
-    "embedding_decontaminate_stats": _bench_embedding_decontaminate_stats,
+    # (embedding_decontaminate_stats left EXTRA_BENCH at r13: promoted
+    # into the driver contract, so queries() now supplies the same
+    # callable and its wall-clock row continues unbroken)
     "vec_pq_knn": _bench_vec_pq_knn,
     "vec_ivfpq_knn": _bench_vec_ivfpq_knn,
     "vec_sq_knn": _bench_vec_sq_knn,

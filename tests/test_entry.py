@@ -39,32 +39,33 @@ def test_each_query_runs_smoke(spark, sf_dir, name):
 
 def test_driver_window_rotation_closes_coverage():
     """The driver oracle-checks only the FIRST 50 queries() entries. The
-    round-12 rotation contract: every NEW entry and every entry whose
+    round-13 rotation contract: every NEW entry and every entry whose
     underlying code changed this round must be inside the window (or be
     pinned by name into the NEXT round's head when the window is full);
     every entry pushed OUTSIDE must already hold a green hash-matched
     row from the MOST RECENT round that checked it, and that row may be
-    at most two rounds old (r10 at r12) — so no query ever goes three
+    at most two rounds old (r11 at r13) — so no query ever goes three
     rounds unchecked. The entries deferred at the two-round limit are
     pinned by name: they are the mandatory head of the NEXT round's
-    window (the r13 ledger).
+    window (the r14 ledger).
     One documented exception: `text_bpe_tokenizer` is rows-only (no
     SQL oracle can exist for the learned merge table), so its driver
     row is never hash-green — outside the window it is pytest-gated
     (tests/test_tokenizer.py determinism + local==distributed
     equivalence) instead of oracle-stale (judge r6 task 5).
 
-    CAPACITY LEDGER (judge r9 task 2, updated at r12): 141 entries /
+    CAPACITY LEDGER (judge r9 task 2, updated at r13): 141 entries /
     150 ceiling (50-slot window x 3-round refresh cycle) — at most ~9
-    more promotions EVER without retiring entries. r12 promoted
-    ngram_novelty_curve + embedding_outlier_stats into its 2 free
-    slots and RETIRED dedup_simhash in exchange (superset family
-    coverage: dedup_simhash_wide_pairs; the retired op keeps a pytest
-    self-oracle in tests/test_operators.py and a bench.py EXTRA_BENCH
-    row for frozen-baseline continuity). Remaining staged oracle-able
-    candidates for r13+: embedding_decontaminate_stats (bench-tracked
-    + pytest-gated today, not yet in the contract),
-    source_length_drift, term_burstiness."""
+    more promotions EVER without retiring entries. r13 promoted
+    embedding_decontaminate_stats + term_burstiness into 2 of its free
+    slots and RETIRED two entries in exchange: events_funnel (exact
+    special case of event_funnel's k-step greedy funnel — pytest
+    self-oracle + equivalence pin in tests/test_operators.py, bench.py
+    EXTRA_BENCH row for frozen-baseline continuity) and
+    text_bigram_surprisal (middle rung of the unigram→bigram→trigram
+    surprisal ladder, both neighbors stay — pytest DuckDB self-oracle
+    in tests/test_operators.py). Remaining staged oracle-able
+    candidate for r14+: source_length_drift."""
     import json
     import os
 
@@ -76,109 +77,13 @@ def test_driver_window_rotation_closes_coverage():
         with open(os.path.join(here, "..", name)) as f:
             return json.load(f)
 
-    r10, r11 = load("CORRECTNESS_r10.json"), load("CORRECTNESS_r11.json")
+    r11, r12 = load("CORRECTNESS_r11.json"), load("CORRECTNESS_r12.json")
     window = list(entry.queries())[:50]
 
-    # the 45 r9-green leftovers deferred in r11 hit the two-round
-    # staleness limit at r12 — the r11 verdict (task 1) pins them as
-    # the mandatory window head
-    deferred_r9 = {
-        "sessionize_events",
-        "interval_overlap_join",
-        "events_tumbling_hourly",
-        "parts_above_avg_price",
-        "orders_by_month",
-        "rollup_lineitem",
-        "unpivot_lineitem",
-        "top_orders_per_customer",
-        "running_revenue",
-        "cube_orders",
-        "setop_intersect",
-        "ship_latency",
-        "parts_like_patterns",
-        "q1_pricing_summary",
-        "q11_important_parts",
-        "q18_large_volume_customers",
-        "q19_disjunctive_revenue",
-        "q20_excess_shippers",
-        "q21_waiting_supplier",
-        "q22_idle_customers",
-        "event_rate_anomalies",
-        "tfidf_top_terms",
-        "events_active_users",
-        "minhash_jaccard_calibration",
-        "hybrid_search_rrf",
-        "label_centroid_similarity",
-        "leakage_safe_split",
-        "zipf_slope",
-        "sq_reconstruction_stats",
-        "dedup_saturation_curve",
-        "dsir_importance_sample",
-        "quality_percentile_filter",
-        "multimodal_features",
-        "q6_forecast_revenue",
-        "q7_nation_volume",
-        "q9_profit_by_nation_year",
-        "q10_returned_customers",
-        "q12_latency_priority",
-        "q13_order_count_distribution",
-        "q14_promo_share",
-        "q15_top_supplier",
-        "q17_small_qty_revenue",
-        "dedup_simhash_wide_pairs",
-        "multimodal_dhash_near_pairs",
-        "text_bm25_search",
-    }
-    must_rotate_in = (
-        deferred_r9
-        # r10-green entries whose u4→cents integer-division display fix
-        # (r10 ADVICE #4) landed AFTER the r11 window froze — their
-        # driver rows predate the current (output-identical,
-        # oracle-mirrored) form, so they re-enter at r12
-        | {
-            "q3_shipping_priority",
-            "q5_local_supplier_volume",
-            "bucketed_revenue_by_priority",
-        }
-        # new in round 12: the two staged self-oracles promoted
-        | {
-            "ngram_novelty_curve",
-            "embedding_outlier_stats",
-        }
-    )
-    missing = must_rotate_in - set(window)
-    assert not missing, f"driver window lost: {sorted(missing)}"
-
-    # retirements stay retired: the quadratic narrow-simhash pair entry
-    # (judge r7 task 4) and the 32-bit simhash bucket layout (r12 paired
-    # retirement — pytest self-oracle + bench EXTRA_BENCH keep covering it)
-    assert "dedup_simhash_pairs" not in entry.queries()
-    assert "dedup_simhash" not in entry.queries()
-
-    # everything rotated out must be green in its most recent check,
-    # and that check may be at most two rounds old (r10 at round 12)
-    deferred_at_limit = set()
-    for qname in entry.queries():
-        if qname in window:
-            continue
-        if qname == "text_bpe_tokenizer":
-            continue  # rows-only: pytest-gated, never hash-green
-        row = r11.get(qname) or r10.get(qname)
-        assert row is not None and row["hash_match"] is True, (
-            f"{qname} is outside the driver window without a green prior row"
-        )
-        if qname not in r11:
-            deferred_at_limit.add(qname)
-
-    # the r10-latest entries deferred past this window sit AT the
-    # two-round staleness limit: round 13's window MUST lead with these
-    # 40 — PLUS the three r11-green entries whose code changed in r12
-    # without window room (the changed-code pin rule):
-    # `simhash_band_health` and `cross_source_duplication_stats` (the
-    # ADVICE decimal(38,0)/HUGEINT pair-count overflow fix) and
-    # `customer_fuzzy_matches` (the reference-fingerprint ledger-hit
-    # fast path) — 43 mandatory, 7 slots free at r13.
-    assert deferred_at_limit == {
+    # (a) 39 of the 40 r10-green entries deferred past the r12 window —
+    # at the two-round staleness limit (the r12 ledger pinned all 40;
+    # the 40th, events_funnel, retired instead of re-entering)
+    deferred_r10 = {
         "q4_order_priority",
         "domain_mixture_sample",
         "encoding_quality_stats",
@@ -186,7 +91,6 @@ def test_driver_window_rotation_closes_coverage():
         "customers_without_orders",
         "text_boilerplate_scrub",
         "text_gopher_quality",
-        "events_funnel",
         "text_repetition_stats",
         "text_vocabulary",
         "text_span_dedup",
@@ -219,11 +123,113 @@ def test_driver_window_rotation_closes_coverage():
         "text_clean_pipeline",
         "multimodal_pixel_stats",
         "multimodal_video_stats",
+    }
+    must_rotate_in = (
+        deferred_r10
+        # (b) r11-green entries whose code changed in r12 without
+        # window room — the changed-code pin from the r12 ledger
+        | {
+            "simhash_band_health",
+            "cross_source_duplication_stats",
+            "customer_fuzzy_matches",
+        }
+        # (c) new in round 13: the two staged self-oracles promoted
+        | {
+            "embedding_decontaminate_stats",
+            "term_burstiness",
+        }
+        # (d) r11-green pull-forwards smoothing the r14 head to 40
+        | {
+            "text_token_stats",
+            "text_fingerprints",
+            "text_stratified_sample",
+            "events_sliding_windows",
+            "vec_knn_euclidean",
+            "vec_radius",
+        }
+    )
+    missing = must_rotate_in - set(window)
+    assert not missing, f"driver window lost: {sorted(missing)}"
+
+    # retirements stay retired: the quadratic narrow-simhash pair entry
+    # (judge r7 task 4), the 32-bit simhash bucket layout (r12), and
+    # the r13 pair — events_funnel (special case of event_funnel) and
+    # text_bigram_surprisal (middle surprisal rung); each keeps a
+    # pytest self-oracle in tests/test_operators.py
+    for retired in (
+        "dedup_simhash_pairs",
+        "dedup_simhash",
+        "events_funnel",
+        "text_bigram_surprisal",
+    ):
+        assert retired not in entry.queries()
+
+    # everything rotated out must be green in its most recent check,
+    # and that check may be at most two rounds old (r11 at round 13)
+    deferred_at_limit = set()
+    for qname in entry.queries():
+        if qname in window:
+            continue
+        if qname == "text_bpe_tokenizer":
+            continue  # rows-only: pytest-gated, never hash-green
+        row = r12.get(qname) or r11.get(qname)
+        assert row is not None and row["hash_match"] is True, (
+            f"{qname} is outside the driver window without a green prior row"
+        )
+        if qname not in r12:
+            deferred_at_limit.add(qname)
+
+    # the r11-latest entries deferred past this window sit AT the
+    # two-round staleness limit: round 14's window MUST lead with
+    # these 40 (plus any entry whose code changes in r13 without
+    # window room — none planned; the r13 code work is the JDBC
+    # sync/reconcile lineage, pytest-gated, not a queries() surface)
+    assert deferred_at_limit == {
+        "vec_knn_filtered",
+        "vec_knn_batched",
+        "vec_label_centroids",
+        "vec_lsh_knn",
+        "vec_knn_manhattan",
+        "vec_knn_join_blocked",
+        "q16_supplier_variety",
+        "string_part_stats",
+        "line_dedup_stats",
+        "chunk_documents",
+        "chunk_retrieval_topk",
+        "component_size_histogram",
+        "text_trigram_surprisal",
+        "text_curriculum_buckets",
+        "text_shard_plan",
+        "source_curation_stats",
+        "text_oov_rate",
+        "ngram_decontaminate_stats",
+        "ngram_contamination_report_stats",
+        "text_pretoken_counts",
+        "multimodal_dhash_dedup",
+        "dedup_decontaminate",
+        "dedup_components",
+        "dedup_embedding_cosine",
+        "dedup_exact_pick",
+        "dedup_exact_stats",
+        "dedup_minhash_lsh",
+        "text_boilerplate_ngrams",
+        "text_pii_scrub",
+        "text_hash_embeddings",
+        "asof_click_view",
+        "vec_knn_cosine",
+        "vec_ivf_knn",
+        "hard_negative_mining",
+        "vec_golden_distance",
+        "vec_lsh_knn_indexed",
+        "join_key_skew_stats",
+        "percentile_stats",
+        "weighted_sample_topk",
+        "lineitem_price_qty_correlation",
     }, f"unexpected deferral set: {sorted(deferred_at_limit)}"
 
-    # the changed-in-r12 entries pinned into the r13 head must hold
-    # green r11 rows (they are 1-stale, legal — the pin is about the
-    # code change, not staleness)
+    # the changed-in-r12 entries pinned into this head hold green r11
+    # rows (1-stale was legal — the pin was about the code change);
+    # the two promotions are NEW, so they have no prior row by nature
     for qname in (
         "simhash_band_health",
         "cross_source_duplication_stats",

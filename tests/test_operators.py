@@ -5653,3 +5653,162 @@ def test_event_funnel_empty_events_matches_oracle_shape(spark, tmp_path):
         (2, "click", 0, 0.0),
         (3, "purchase", 0, 0.0),
     ]
+
+
+def test_events_funnel_matches_duckdb_oracle_after_retirement(spark, sf_dir):
+    """events_funnel retired from the driver oracle contract at r13
+    (paired retirement for the embedding_decontaminate_stats /
+    term_burstiness promotions): its semantics are event_funnel's
+    k-step greedy funnel specialized to (view, click, purchase) and
+    reshaped to one row of counts, so the contract slot was double
+    coverage. This gate keeps the exact DuckDB twin the contract held
+    (the r12 dedup_simhash precedent), plus the equivalence pin: each
+    stage count equals event_funnel's n_users for the same step. The
+    ONE semantic edge between the two ops is same-timestamp stage
+    crossings (events_funnel requires a strictly-LATER timestamp;
+    event_funnel's greedy fold admits a same-timestamp successor that
+    sorts later by event_id) — the fixture generator never emits them
+    (pinned in test_events_funnel_tie_semantics_divergence below), so
+    equality is exact here."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.operators import relational as rel
+
+    got = rel.events_funnel(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) == 1
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    res = con.execute("""
+        WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+              JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.t_view
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+              JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+              GROUP BY e.user_id)
+        SELECT CAST(count(*) AS BIGINT) AS n_viewed,
+               CAST(count(c.t_click) AS BIGINT) AS n_clicked_after_view,
+               CAST(count(p.t_purchase) AS BIGINT) AS n_purchased_after_click
+        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "events_funnel", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    # equivalence pin: the k-step generalization that stays in the
+    # contract produces the same stage counts on tie-free streams
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    per_step = {
+        r["step_name"]: r["n_users"] for r in rel.event_funnel(spark, sf_dir).collect()
+    }
+    assert spark_rows[0][ix["n_viewed"]] == per_step["view"]
+    assert spark_rows[0][ix["n_clicked_after_view"]] == per_step["click"]
+    assert spark_rows[0][ix["n_purchased_after_click"]] == per_step["purchase"]
+
+
+def test_events_funnel_tie_semantics_divergence(spark, tmp_path, sf_dir):
+    """Documents the ONE edge where the retired events_funnel and the
+    surviving event_funnel disagree — a click sharing the first view's
+    exact timestamp: events_funnel's strict `ts >` drops it,
+    event_funnel's greedy fold (ordered by (ts, event_id)) admits it
+    when the click's event_id sorts later. Also pins that the fixture
+    generator never emits same-timestamp stage crossings, which is
+    what makes the retirement's equivalence pin exact on fixture
+    data."""
+    from oasysdb_spark.operators import relational as rel
+
+    d = str(tmp_path / "tie_sf")
+    spark.createDataFrame(
+        [
+            (1, 7, "view", "2024-01-01 00:00:00"),
+            (2, 7, "click", "2024-01-01 00:00:00"),
+            (3, 7, "purchase", "2024-01-01 00:00:05"),
+        ],
+        "event_id bigint, user_id bigint, event_type string, ts string",
+    ).selectExpr(
+        "event_id", "user_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts"
+    ).write.parquet(f"{d}/events.parquet")
+
+    strict = rel.events_funnel(spark, d).collect()[0]
+    assert (strict["n_viewed"], strict["n_clicked_after_view"]) == (1, 0)
+    greedy = {
+        r["step_name"]: r["n_users"] for r in rel.event_funnel(spark, d).collect()
+    }
+    assert greedy == {"view": 1, "click": 1, "purchase": 1}
+
+    # the fixture generator never emits same-ts stage crossings
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ties = (
+        ev.alias("x")
+        .join(ev.alias("y"), ["user_id", "ts"])
+        .where(F.col("x.event_id") != F.col("y.event_id"))
+        .where(F.col("x.event_type") != F.col("y.event_type"))
+        .count()
+    )
+    assert ties == 0
+
+
+def test_bigram_surprisal_matches_duckdb_oracle_after_retirement(spark, sf_dir):
+    """text_bigram_surprisal retired from the driver oracle contract at
+    r13 (the middle rung of the unigram→bigram→trigram surprisal
+    ladder; both neighbors stay in the contract). This gate keeps the
+    exact DuckDB twin the contract held — same row-local bigram
+    formation, add-one-smoothed integer-count ratios into log2, the
+    DSIR-style 1e-6-unit integer quantization before the mean, one
+    scale-0 display round."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    got = textops.bigram_surprisal(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) > 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    res = con.execute(f"""
+        WITH toks AS (SELECT doc_id, {toks} AS tk FROM documents),
+        bg AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(tk)),
+                        i -> tk[i] || ' ' || tk[i+1])) AS bg
+               FROM toks WHERE len(tk) >= 2),
+        bgc AS (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+        ctx AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c2) AS c1
+                FROM bgc GROUP BY 1),
+        v AS (SELECT count(DISTINCT t) AS vs
+              FROM (SELECT unnest(tk) AS t FROM toks)),
+        scored AS (SELECT b.doc_id,
+                     ln(CAST(c1 + vs AS DOUBLE) / (c2 + 1.0)) / ln(2) AS bits
+                   FROM bg b JOIN bgc USING (bg)
+                   JOIN ctx ON string_split(b.bg, ' ')[1] = ctx.w1, v)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(CAST(round(sum(CAST(round(bits * 1e6) AS BIGINT)) / count(*)) AS BIGINT) / 1e6, 6) AS bits_per_bigram
+        FROM scored GROUP BY doc_id""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "text_bigram_surprisal", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
