@@ -156,6 +156,11 @@ def build_parser() -> argparse.ArgumentParser:
     fj.add_argument("--lower-bound", default=None)
     fj.add_argument("--upper-bound", default=None)
     fj.add_argument("--num-partitions", type=int, default=None)
+    fj.add_argument("--watermark-col", default=None,
+                    help="declare the column a later sync-jdbc will "
+                    "watermark on: excluded from default metadata and "
+                    "the sync state seeds at the loaded max, so the "
+                    "first sync reads only newer rows")
     fj.add_argument("--no-index", action="store_true",
                     help="load without building the IVF tier")
     fj.add_argument("--seed", type=int, default=42)
@@ -177,7 +182,17 @@ def build_parser() -> argparse.ArgumentParser:
     sj_.add_argument("--where", default=None)
     sj_.add_argument("--no-dedup-ids", action="store_true",
                      help="skip the crash-replay anti-join (at-least-"
-                     "once instead of exactly-once ingest)")
+                     "once instead of exactly-once ingest; also "
+                     "hardens the contract to a strictly increasing "
+                     "watermark — tied late arrivals are invisible)")
+    sj_.add_argument("--dedup-broadcast-limit", type=int, default=100_000,
+                     help="incoming batches above this row count dedup "
+                     "via a shuffled anti-join instead of broadcasting "
+                     "the id set")
+    sj_.add_argument("--num-partitions", type=int, default=None,
+                     help="read the batch as N parallel range queries "
+                     "over the watermark window (numeric/date/timestamp "
+                     "marks) — the backfill scale path")
 
     bp = add("build-pq", help="build/rebuild the PQ compression tier")
     bp.add_argument("--m", type=int, default=8)
@@ -489,6 +504,7 @@ def main(argv: list[str] | None = None) -> int:
             where=args.where, partition_column=args.partition_column,
             lower_bound=args.lower_bound, upper_bound=args.upper_bound,
             num_partitions=args.num_partitions,
+            watermark_col=args.watermark_col,
             build_index=not args.no_index, seed=args.seed,
             overwrite=args.overwrite,
         )
@@ -815,6 +831,8 @@ def main(argv: list[str] | None = None) -> int:
             metadata_cols=_csv_cols(args.metadata_cols),
             properties=_jdbc_props(args),
             where=args.where, dedup_ids=not args.no_dedup_ids,
+            dedup_broadcast_limit=args.dedup_broadcast_limit,
+            num_partitions=args.num_partitions,
         )
         _emit({"ok": True, "ingested": n, "count": db.count()})
     elif args.cmd == "build-pq":

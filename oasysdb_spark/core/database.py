@@ -197,6 +197,7 @@ class Database:
         lower_bound=None,
         upper_bound=None,
         num_partitions: int | None = None,
+        watermark_col: str | None = None,
         build_index: bool = True,
         seed: int = 42,
         overwrite: bool = False,
@@ -219,9 +220,38 @@ class Database:
         bulk-load scale path. With ``build_index`` the records table is
         written exactly ONCE, already clustered (the ``build_index``
         source fast path — no unpartitioned write + read-back +
-        rewrite); otherwise the load is a plain validated append."""
-        from oasysdb_spark.sources.jdbc import read_jdbc_records
+        rewrite); otherwise the load is a plain validated append.
 
+        ``watermark_col`` declares the column a later :meth:`sync_jdbc`
+        will watermark on, making the documented load-then-sync
+        composition work out of the box: the column is excluded from
+        the DEFAULT metadata set under the same rule sync uses (it is
+        the sync mechanism, and temporal marks are outside the
+        text|number|boolean metadata enum — so both ingest paths
+        produce the same metadata schema), and the sync state file is
+        SEEDED with the loaded batch's max mark, so the first sync
+        reads only rows newer than the bulk load instead of re-pulling
+        (and re-deduplicating) the whole table. Seeding costs one extra
+        aggregate scan of the filtered source (JDBC pushes the filter
+        down, not the max)."""
+        from oasysdb_spark.sources.jdbc import (
+            read_jdbc_records,
+            watermark_kind,
+        )
+
+        if watermark_col is not None and predicates is not None:
+            # predicates DROP rows matching none of them (unlike
+            # partition bounds, which only shape the ranges); seeding
+            # the mark at the table max would then permanently skip the
+            # dropped rows — they sit at or below the mark but never
+            # loaded. Refuse the combination instead of gapping.
+            raise errors.InvalidArgumentError(
+                "watermark_col cannot combine with explicit predicates: "
+                "rows the predicates exclude would sit below the seeded "
+                "mark and never sync — bulk-load with "
+                "partition_column/bounds (range-shaping, not filtering) "
+                "or a where pre-filter instead"
+            )
         records = read_jdbc_records(
             spark, url, table,
             id_col=id_col, vector_col=vector_col,
@@ -229,14 +259,18 @@ class Database:
             predicates=predicates, where=where,
             partition_column=partition_column, lower_bound=lower_bound,
             upper_bound=upper_bound, num_partitions=num_partitions,
+            exclude_cols=(watermark_col,) if watermark_col else (),
         )
         if dimension is None:
             probe = records.select(F.size("embedding").alias("d")).first()
-            if probe is None or probe["d"] is None:
+            # size(NULL) is -1 under Spark's legacy sizeOfNull default,
+            # so a corrupt first vector must hit THIS message, not
+            # Parameters' generic 'dimension must be positive'
+            if probe is None or probe["d"] is None or probe["d"] <= 0:
                 raise errors.InvalidArgumentError(
                     f"cannot infer dimension from JDBC table {table!r}: "
-                    "no rows (or the first vector failed to parse) — "
-                    "pass dimension explicitly"
+                    "no rows, or the first vector failed to parse or is "
+                    "empty — pass dimension explicitly"
                 )
             dimension = int(probe["d"])
         db = cls.configure(
@@ -251,6 +285,33 @@ class Database:
                 _build(db, seed=seed, source=guarded)
             else:
                 db._insert_batch_body(guarded)
+        if watermark_col is not None:
+            import json as _json
+
+            src = spark.read.jdbc(url, table, properties=dict(properties or {}))
+            if watermark_col not in src.columns:
+                raise errors.InvalidArgumentError(
+                    f"JDBC table {table!r} has no watermark column "
+                    f"{watermark_col!r}"
+                )
+            wm_df = src.where(where) if where else src
+            agg = wm_df.agg(F.max(watermark_col).alias("h")).first()
+            high = agg["h"] if agg is not None else None
+            state: dict = {
+                "url": url, "table": table,
+                "watermark_col": watermark_col, "where": where,
+                "high": None, "high_kind": None,
+            }
+            if high is not None:
+                kind = watermark_kind(high)
+                state["high"] = (
+                    high if isinstance(high, (int, float, str)) else str(high)
+                )
+                state["high_kind"] = kind
+            atomic_write_text(
+                os.path.join(db.dir, _JDBC_SYNC_FILE),
+                _json.dumps(state, sort_keys=True),
+            )
         return db
 
     def sync_jdbc(
@@ -265,12 +326,15 @@ class Database:
         properties: dict | None = None,
         where: str | None = None,
         dedup_ids: bool = True,
+        dedup_broadcast_limit: int = 100_000,
+        num_partitions: int | None = None,
     ) -> int:
         """Incremental pull from the SQL system of record (the
         operational half of the v0.7 lineage :meth:`from_jdbc` opens,
         /root/reference/docs/changelog.md:41-64): ingest rows whose
-        ``watermark_col`` lies in (persisted mark, current max], then
-        advance the mark. Returns the number of rows ingested.
+        ``watermark_col`` lies past the persisted mark (see below for
+        the exact bound), then advance the mark. Returns the number of
+        rows ingested.
 
         The watermark window compiles into the connector's WHERE clause
         — already-synced rows never leave the database, and the UPPER
@@ -280,35 +344,57 @@ class Database:
         sync's window). The mark persists in ``jdbc_sync.json`` AFTER
         the append commits — a crash between the two re-surfaces the
         tail on the next sync (at-least-once), which ``dedup_ids``
-        (default on) collapses to exactly-once: collision ids are found
-        by broadcasting the SMALL incoming id set against the records
-        table (one broadcast semi-join), then anti-joined off the batch
-        — per-sync cost stays O(batch) + one records scan, never a
-        full-table shuffle. Rows DELETED or UPDATED in the SQL table do
-        not propagate — watermark sync is append-only by contract;
-        route mutations through :meth:`delete` /
-        :meth:`update_metadata` or rebuild via :meth:`from_jdbc`
-        (blue-green through a catalog swap).
+        (default on) collapses to exactly-once: when the incoming batch
+        is small (``dedup_broadcast_limit`` rows or fewer) collision
+        ids are found by broadcasting the incoming id set against the
+        records table (one broadcast semi-join — per-sync cost stays
+        O(batch) + one records scan); a LARGER batch (a first sync or a
+        long-gap backfill can be the whole table) falls back to a plain
+        shuffled left-anti join instead of shipping an unbounded id set
+        to every executor — the same count-guarded pattern as the
+        decontamination twins' ``eval_broadcast_limit``. Rows DELETED
+        or UPDATED in the SQL table do not propagate — watermark sync
+        is append-only by contract; route mutations through
+        :meth:`delete` / :meth:`update_metadata`, reconcile
+        periodically via :meth:`reconcile_jdbc`, or rebuild via
+        :meth:`from_jdbc` (blue-green through a catalog swap).
 
         The watermark column must be monotonically non-decreasing for
-        new rows — an autoincrement id, an inserted_at timestamp
-        (temporal marks persist as ISO text and re-enter the predicate
-        as a typed ``TIMESTAMP`` literal; Spark pushes the typed filter
-        through the connector — verified against Derby), or any
-        string-ordered key. It is excluded from the default metadata
-        set (it is the sync mechanism, and temporal types are outside
-        the text|number|boolean metadata enum); list it in
-        ``metadata_cols`` explicitly to carry a numeric/text mark as
-        metadata too. Rows that arrive with a watermark at or below the
-        current mark are invisible to sync — the standard late-data
-        caveat of any watermark ingest. The sync stream is keyed to
-        (url, table, watermark_col, where): changing any of them
-        against existing state refuses — a different source or a
-        loosened pre-filter under an advanced mark silently gaps the
-        stream (delete the state file to re-baseline deliberately)."""
+        new rows — an autoincrement id, an inserted_at timestamp, a
+        DATE, or a NUMERIC/DECIMAL sequence (temporal and decimal marks
+        persist as ISO/decimal text and re-enter the predicate as typed
+        ``TIMESTAMP``/``DATE``/bare-numeric literals; Spark pushes the
+        typed filter through the connector — verified against Derby).
+        String marks work too (quoted-literal ordering). An
+        unrecognized watermark type refuses loudly rather than guessing
+        a literal form. TIED marks are safe under ``dedup_ids``: the
+        scan re-reads the boundary INCLUSIVELY (``>= mark``), so a row
+        that commits under the current max AFTER a sync read it is
+        picked up next time and the id anti-join collapses the
+        re-read; with ``dedup_ids=False`` the bound stays strict
+        (``> mark``) and the contract hardens to a strictly INCREASING
+        watermark — tied late arrivals are invisible, the standard
+        late-data caveat. The sync stream is keyed to (url, table,
+        watermark_col, where): changing any of them against existing
+        state refuses — a different source or a loosened pre-filter
+        under an advanced mark silently gaps the stream (delete the
+        state file to re-baseline deliberately).
+
+        ``num_partitions`` issues the BATCH read as that many parallel
+        range queries over the watermark window itself (exact typed cut
+        literals — numeric/date/timestamp marks only), so a backfill
+        window doesn't pull through one socket; the pre-scan that finds
+        the window max stays a single filtered connection (it reads the
+        same window, but only to aggregate — the row payload transfer
+        is the batch read). Steady-state increments don't need it."""
         import json as _json
 
-        from oasysdb_spark.sources.jdbc import read_jdbc_records
+        from oasysdb_spark.sources.jdbc import (
+            read_jdbc_records,
+            watermark_kind,
+            watermark_literal,
+            watermark_range_predicates,
+        )
 
         state_path = os.path.join(self.dir, _JDBC_SYNC_FILE)
         stream_key = {"url": url, "table": table,
@@ -327,17 +413,24 @@ class Database:
                     "silently); delete the state file to re-baseline"
                 )
         high = state.get("high")
-        high_is_ts = bool(state.get("high_is_timestamp"))
+        high_kind = state.get("high_kind")
+        if high is not None and high_kind is None:
+            # pre-r13 state files recorded only a timestamp bit; map it
+            # onto the kind enum (non-ts marks persisted as native JSON,
+            # so the JSON type disambiguates)
+            high_kind = (
+                "ts" if state.get("high_is_timestamp")
+                else ("str" if isinstance(high, str) else "num")
+            )
 
-        def _wm_literal(value, is_ts: bool) -> str:
-            if is_ts:
-                return f"TIMESTAMP '{value}'"
-            if isinstance(value, str):
-                return "'" + value.replace("'", "''") + "'"
-            return repr(value)
-
+        # tied-mark discipline: under dedup_ids the lower bound is
+        # INCLUSIVE, so rows committing late under the current max are
+        # re-scanned and the id anti-join collapses the boundary
+        # re-read; without dedup the bound stays strict and the
+        # contract requires a strictly increasing mark (docstring)
+        low_op = ">=" if dedup_ids else ">"
         mark_pred = (
-            f"{watermark_col} > {_wm_literal(high, high_is_ts)}"
+            f"{watermark_col} {low_op} {watermark_literal(high, high_kind)}"
             if high is not None
             else None
         )
@@ -356,19 +449,23 @@ class Database:
                 f"{watermark_col!r}"
             )
         wm_df = src.where(scan_where) if scan_where else src
-        agg = wm_df.agg(F.max(watermark_col).alias("h")).first()
+        agg = wm_df.agg(
+            F.max(watermark_col).alias("h"), F.min(watermark_col).alias("l")
+        ).first()
         if agg is None or agg["h"] is None:
             return 0  # nothing past the mark
         new_high = agg["h"]
-        new_is_ts = not isinstance(new_high, (int, float, str))
-        high_out = new_high if not new_is_ts else str(new_high)
+        new_kind = watermark_kind(new_high)  # typed refusal on exotics
+        high_out = (
+            new_high if isinstance(new_high, (int, float, str))
+            else str(new_high)
+        )
 
-        # the batch is the CLOSED window (old mark, new_high]: an upper
-        # bound from the max read above, so inserts landing between the
-        # two reads belong to the NEXT sync instead of being ingested
-        # under a mark that predates them (which would re-ingest them)
-        upper = f"{watermark_col} <= {_wm_literal(high_out, new_is_ts)}"
-        batch_where = f"({scan_where}) AND ({upper})" if scan_where else upper
+        # the batch is the window (old mark, new_high] — [old, new_high]
+        # under dedup_ids — with an upper bound from the max read above,
+        # so inserts landing between the two reads belong to the NEXT
+        # sync instead of being ingested under a mark that predates them
+        # (which would re-ingest them)
         if metadata_cols is None:
             # the watermark is the sync mechanism, not metadata (and a
             # temporal mark is outside the metadata type enum)
@@ -376,41 +473,86 @@ class Database:
                 c for c in src.columns
                 if c not in (id_col, vector_col, watermark_col)
             ]
-        batch = normalize_records(
-            read_jdbc_records(
-                self.spark, url, table,
-                id_col=id_col, vector_col=vector_col,
-                metadata_cols=metadata_cols, properties=properties,
-                where=batch_where,
+        if num_partitions is not None and int(num_partitions) > 1:
+            # parallel-range backfill: split [window low, new_high] into
+            # exact typed cut predicates; the first cut is the persisted
+            # mark when one exists (honouring the dedup-inclusive bound),
+            # else the window min from the scan above
+            window_low = high if high is not None else agg["l"]
+            low_kind = high_kind if high is not None else new_kind
+            if low_kind != new_kind:
+                raise errors.InvalidArgumentError(
+                    f"watermark kind changed mid-stream: persisted mark is "
+                    f"{low_kind}, the scanned max is {new_kind}"
+                )
+            preds = watermark_range_predicates(
+                watermark_col, window_low, high_out, new_kind,
+                int(num_partitions),
+                include_low=(high is None) or dedup_ids,
             )
-        )
-        if dedup_ids:
-            # crash-replay collapse, O(batch): find collision ids by
-            # broadcasting the SMALL incoming id set (left-semi build
-            # side), then anti-join the (also small) collision set off
-            # the batch — the records table is scanned once, never
-            # shuffled or broadcast whole
-            incoming_ids = batch.select("id")
-            collisions = self.records_df().select("id").join(
-                F.broadcast(incoming_ids), "id", "left_semi"
+            batch = normalize_records(
+                read_jdbc_records(
+                    self.spark, url, table,
+                    id_col=id_col, vector_col=vector_col,
+                    metadata_cols=metadata_cols, properties=properties,
+                    predicates=preds, where=where,
+                )
             )
-            batch = batch.join(F.broadcast(collisions), "id", "left_anti")
+        else:
+            upper = (
+                f"{watermark_col} <= {watermark_literal(high_out, new_kind)}"
+            )
+            batch_where = (
+                f"({scan_where}) AND ({upper})" if scan_where else upper
+            )
+            batch = normalize_records(
+                read_jdbc_records(
+                    self.spark, url, table,
+                    id_col=id_col, vector_col=vector_col,
+                    metadata_cols=metadata_cols, properties=properties,
+                    where=batch_where,
+                )
+            )
         batch = batch.persist()
+        deduped = None
         try:
-            n_ingested = batch.count()
+            if dedup_ids:
+                # crash-replay collapse: broadcast the incoming id set
+                # only while it is provably small; a backfill-sized
+                # batch anti-joins shuffled instead (both paths pinned
+                # output-equal in tests/test_sources.py)
+                n_incoming = batch.count()
+                record_ids = self.records_df().select("id")
+                if n_incoming <= int(dedup_broadcast_limit):
+                    incoming_ids = batch.select("id")
+                    collisions = record_ids.join(
+                        F.broadcast(incoming_ids), "id", "left_semi"
+                    )
+                    deduped = batch.join(
+                        F.broadcast(collisions), "id", "left_anti"
+                    ).persist()
+                else:
+                    deduped = batch.join(
+                        record_ids, "id", "left_anti"
+                    ).persist()
+                final = deduped
+            else:
+                final = batch
+            n_ingested = final.count()
             if n_ingested > 0:
-                guarded = self._with_dim_guard(batch)
+                guarded = self._with_dim_guard(final)
                 with self._dim_guard_boundary():
                     self._insert_batch_body(guarded)
         finally:
             batch.unpersist()
+            if deduped is not None:
+                deduped.unpersist()
         # the mark advances even when the batch deduped to nothing
         # (crash replay fully collapsed): the window is consumed
         atomic_write_text(
             state_path,
             _json.dumps(
-                {**stream_key, "high": high_out,
-                 "high_is_timestamp": new_is_ts},
+                {**stream_key, "high": high_out, "high_kind": new_kind},
                 sort_keys=True,
             ),
         )

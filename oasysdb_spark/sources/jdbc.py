@@ -32,6 +32,141 @@ _NUMERIC = (
 )
 
 
+# ---------------------------------------------------------------------------
+# watermark typing (shared by Database.from_jdbc / sync_jdbc)
+# ---------------------------------------------------------------------------
+
+def watermark_kind(value) -> str:
+    """Classify a watermark value into the literal family its SQL
+    predicate must render as: ``num`` (int/float/Decimal — NUMERIC
+    watermarks such as Oracle NUMBER or Derby/Postgres NUMERIC render
+    as bare digits, never as a guessed TIMESTAMP), ``str`` (quoted),
+    ``ts`` (datetime → typed TIMESTAMP literal) or ``date`` (date →
+    typed DATE literal). Anything else refuses loudly instead of
+    guessing — a mis-typed literal would crash the NEXT sync's
+    predicate parse, one failure later than the cause."""
+    import datetime
+    import decimal
+
+    if isinstance(value, bool):
+        raise errors.InvalidArgumentError(
+            "a boolean column cannot be a sync watermark (two values "
+            "never advance monotonically)"
+        )
+    if isinstance(value, (int, float, decimal.Decimal)):
+        return "num"
+    if isinstance(value, str):
+        return "str"
+    # datetime before date: datetime.datetime subclasses datetime.date
+    if isinstance(value, datetime.datetime):
+        return "ts"
+    if isinstance(value, datetime.date):
+        return "date"
+    raise errors.InvalidArgumentError(
+        f"unsupported watermark type {type(value).__name__}: supported "
+        "marks are numeric (int/float/decimal), string, date and "
+        "timestamp columns"
+    )
+
+
+def watermark_literal(value, kind: str, *, remote: bool = False) -> str:
+    """Render a watermark value as a SQL literal of its ``kind`` (see
+    :func:`watermark_kind`). Values reloaded from persisted sync state
+    may arrive as strings for the temporal/decimal kinds — the kind,
+    not the Python type, decides the rendering.
+
+    ``remote`` selects the audience: the default renders Spark-SQL
+    datetime literals (``TIMESTAMP '...'``) for fragments Spark parses
+    and pushes itself; ``remote=True`` renders the JDBC escape forms
+    (``{ts '...'}`` / ``{d '...'}``) for predicate text that ships
+    VERBATIM to the remote database — every JDBC driver translates the
+    escapes into its own dialect, where the ANSI keyword-literal form
+    is not universal (Derby rejects it)."""
+    if kind == "num":
+        return str(value)
+    if kind == "str":
+        return "'" + str(value).replace("'", "''") + "'"
+    if kind == "ts":
+        return "{ts '%s'}" % value if remote else f"TIMESTAMP '{value}'"
+    if kind == "date":
+        return "{d '%s'}" % value if remote else f"DATE '{value}'"
+    raise errors.InvalidArgumentError(f"unknown watermark kind {kind!r}")
+
+
+def watermark_range_predicates(
+    column: str,
+    low,
+    high,
+    kind: str,
+    num_partitions: int,
+    *,
+    include_low: bool,
+) -> list[str]:
+    """Split the closed watermark window (low, high] (or [low, high]
+    when ``include_low``) into ``num_partitions`` contiguous range
+    predicates for a parallel JDBC read — the sync-path twin of
+    ``spark.read.jdbc``'s partitionColumn contract, built here so the
+    bounds can be exact typed literals (Decimal, DATE, TIMESTAMP)
+    instead of the long-only classic API. Coverage is exact by
+    construction: each interior cut renders ONCE and the adjacent
+    predicates reuse the identical literal (``> c_i`` / ``<= c_i``),
+    so no row can fall between partitions however the cut arithmetic
+    rounds. String watermarks refuse — there is no portable way to
+    interpolate an evenly-spaced string range.
+
+    Unlike the window's WHERE fragments (which Spark parses and pushes
+    with dialect quoting), these predicates ship VERBATIM to the remote
+    database — so the column renders ANSI-double-quoted, matching the
+    case-preserved identifiers Spark's own JDBC writer creates (and
+    Spark's dialect quoting for Derby/Postgres/Oracle). Pass the exact
+    stored identifier."""
+    import datetime
+    import decimal
+
+    if kind == "str":
+        raise errors.InvalidArgumentError(
+            "cannot range-partition a string watermark: pass "
+            "num_partitions only for numeric/date/timestamp marks "
+            "(or backfill through Database.from_jdbc with explicit "
+            "predicates)"
+        )
+    n = int(num_partitions)
+    if n < 1:
+        raise errors.InvalidArgumentError("num_partitions must be >= 1")
+
+    def _parse(v):
+        if kind == "num":
+            return v if isinstance(v, (int, float, decimal.Decimal)) else decimal.Decimal(str(v))
+        if kind == "ts":
+            return v if isinstance(v, datetime.datetime) else datetime.datetime.fromisoformat(str(v))
+        return v if isinstance(v, datetime.date) else datetime.date.fromisoformat(str(v))
+
+    lo, hi = _parse(low), _parse(high)
+    cuts = [watermark_literal(low, kind, remote=True)]
+    for i in range(1, n):
+        if kind == "num":
+            c = lo + (hi - lo) * i / n
+            cut_val = c
+        elif kind == "ts":
+            c = lo + (hi - lo) * i / n
+            cut_val = c.isoformat(sep=" ")
+        else:  # date: interpolate on ordinals
+            c = datetime.date.fromordinal(
+                lo.toordinal() + (hi.toordinal() - lo.toordinal()) * i // n
+            )
+            cut_val = c.isoformat()
+        cuts.append(watermark_literal(cut_val, kind, remote=True))
+    cuts.append(watermark_literal(high, kind, remote=True))
+    qcol = '"' + column.replace('"', '""') + '"'
+    preds = []
+    for i in range(n):
+        lo_op = (">=" if include_low else ">") if i == 0 else ">"
+        preds.append(
+            f"{qcol} {lo_op} {cuts[i]} AND {qcol} <= {cuts[i + 1]}"
+        )
+    return preds
+
+
 def read_jdbc_records(
     spark: SparkSession,
     url: str,
@@ -47,6 +182,7 @@ def read_jdbc_records(
     lower_bound=None,
     upper_bound=None,
     num_partitions: int | None = None,
+    exclude_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Read a SQL table as canonical vector records.
 
@@ -57,7 +193,10 @@ def read_jdbc_records(
     ``from_json``; a row whose text does not parse yields a NULL
     embedding, which the dimension guard downstream refuses loudly.
 
-    Metadata columns (default: every column that is not id/vector) map
+    Metadata columns (default: every column that is not id/vector and
+    not in ``exclude_cols`` — the hook that keeps a sync watermark out
+    of the metadata maps on BOTH ingest paths, so a bulk load and the
+    incremental syncs that follow produce the same metadata schema) map
     onto the closed text|number|boolean enum by their SQL type —
     strings to m_text, numerics to m_num (cast double), booleans to
     m_bool — mirroring the reference's metadata typing
@@ -107,7 +246,10 @@ def read_jdbc_records(
         )
 
     if metadata_cols is None:
-        metadata_cols = [n for n in df.columns if n not in (id_col, vector_col)]
+        metadata_cols = [
+            n for n in df.columns
+            if n not in (id_col, vector_col) and n not in exclude_cols
+        ]
     text_pairs, num_pairs, bool_pairs = [], [], []
     for name in metadata_cols:
         if name not in names:

@@ -563,6 +563,361 @@ def test_sync_jdbc_incremental_watermark_lifecycle(spark, tmp_path, capsys):
     ) == 0
 
 
+def test_sync_jdbc_tied_watermark_and_typed_kinds(spark, tmp_path):
+    """r12 ADVICE hardening of the sync contract. (1) TIED marks: a row
+    that commits under the current max AFTER a sync read it must not be
+    lost — under dedup_ids the scan's lower bound is INCLUSIVE and the
+    id anti-join collapses the boundary re-read; with dedup_ids=False
+    the bound stays strict and the tied late arrival is (documentedly)
+    invisible. (2) Typed marks: NUMERIC/DECIMAL and DATE watermark
+    columns previously fell into the TIMESTAMP-literal guess, which
+    crashed the NEXT sync's predicate parse — each kind now renders its
+    own literal and round-trips through persisted state."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.core.database import Database
+
+    dbdir = str(tmp_path / "derby_tied")
+    url = f"jdbc:derby:{dbdir};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+
+    def vecs(ids_marks, mark_expr):
+        return spark.createDataFrame(
+            [(i, [float(n), 0.0], m) for n, (i, m) in enumerate(ids_marks)],
+            "id string, vec array<double>, m string",
+        ).select(
+            "id", F.to_json("vec").alias("embedding"), mark_expr.alias("wm")
+        )
+
+    # --- tied integer watermark: late commit under the current max ---
+    ints = F.col("m").cast("int")
+    vecs([("a1", "1"), ("a2", "1"), ("a3", "2")], ints).write.jdbc(
+        url, "tied_v", mode="overwrite", properties=props
+    )
+    d1 = str(tmp_path / "db_tied")
+    db = Database.configure(spark, d1, dimension=2, density=8)
+    assert db.sync_jdbc(url, "tied_v", watermark_col="wm", properties=props) == 3
+    # a4 lands with wm == the persisted mark (a tie the strict scan
+    # would skip forever); the inclusive scan + anti-join recovers it
+    vecs([("a4", "2")], ints).write.jdbc(
+        url, "tied_v", mode="append", properties=props
+    )
+    assert db.sync_jdbc(url, "tied_v", watermark_col="wm", properties=props) == 1
+    assert db.count() == 4
+    # idempotent: the boundary re-read fully collapses
+    assert db.sync_jdbc(url, "tied_v", watermark_col="wm", properties=props) == 0
+    # dedup_ids=False hardens to strictly-increasing marks: a tied late
+    # arrival is invisible (the documented contract)...
+    vecs([("a5", "2")], ints).write.jdbc(
+        url, "tied_v", mode="append", properties=props
+    )
+    assert db.sync_jdbc(
+        url, "tied_v", watermark_col="wm", properties=props, dedup_ids=False
+    ) == 0
+    # ...and the next dedup sync recovers it
+    assert db.sync_jdbc(url, "tied_v", watermark_col="wm", properties=props) == 1
+    assert db.count() == 5
+
+    # --- DECIMAL watermark (Derby NUMERIC): bare-numeric literal ---
+    decs = F.col("m").cast("decimal(10,2)")
+    vecs([("d1", "1.25"), ("d2", "2.50")], decs).write.jdbc(
+        url, "dec_v", mode="overwrite", properties=props
+    )
+    d2 = str(tmp_path / "db_dec")
+    db2 = Database.configure(spark, d2, dimension=2, density=8)
+    assert db2.sync_jdbc(url, "dec_v", watermark_col="wm", properties=props) == 2
+    state = _json.loads(open(f"{d2}/jdbc_sync.json", encoding="utf-8").read())
+    assert state["high_kind"] == "num" and state["high"] == "2.50"
+    # the next sync parses the persisted decimal mark back into a bare
+    # numeric predicate (the old code rendered TIMESTAMP '2.50' here
+    # and crashed on the remote parse)
+    vecs([("d3", "3.75")], decs).write.jdbc(
+        url, "dec_v", mode="append", properties=props
+    )
+    assert db2.sync_jdbc(url, "dec_v", watermark_col="wm", properties=props) == 1
+    assert db2.count() == 3
+
+    # --- DATE watermark: typed DATE literal ---
+    dates = F.col("m").cast("date")
+    vecs([("e1", "2026-01-01"), ("e2", "2026-01-02")], dates).write.jdbc(
+        url, "date_v", mode="overwrite", properties=props
+    )
+    d3 = str(tmp_path / "db_date")
+    db3 = Database.configure(spark, d3, dimension=2, density=8)
+    assert db3.sync_jdbc(url, "date_v", watermark_col="wm", properties=props) == 2
+    state = _json.loads(open(f"{d3}/jdbc_sync.json", encoding="utf-8").read())
+    assert state["high_kind"] == "date" and state["high"] == "2026-01-02"
+    vecs([("e3", "2026-01-03")], dates).write.jdbc(
+        url, "date_v", mode="append", properties=props
+    )
+    assert db3.sync_jdbc(url, "date_v", watermark_col="wm", properties=props) == 1
+    assert db3.count() == 3
+
+
+def test_sync_jdbc_dedup_fallback_and_parallel_range(spark, tmp_path):
+    """r12 verdict hazards 1+2. (1) The crash-replay dedup broadcast is
+    count-guarded: an incoming batch above dedup_broadcast_limit
+    anti-joins SHUFFLED instead of shipping an unbounded id set to
+    every executor — forced here with a tiny limit and pinned
+    output-equal to the broadcast path (the decontamination twins'
+    fallback pattern). (2) num_partitions reads the batch window as N
+    parallel range queries with exact typed cut literals — pinned
+    state- and content-equal to the single-connection sync, for both a
+    fresh baseline (window = [min, max]) and an incremental window
+    (persisted mark exclusive/inclusive bound); a string watermark
+    refuses num_partitions with the typed error."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark import errors
+    from oasysdb_spark.core.database import Database
+
+    dbdir = str(tmp_path / "derby_fb")
+    url = f"jdbc:derby:{dbdir};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+
+    def rows(lo, hi):
+        return spark.createDataFrame(
+            [(f"r{i}", [float(i), float(i % 5)], i) for i in range(lo, hi)],
+            "id string, vec array<double>, seq int",
+        ).select("id", F.to_json("vec").alias("embedding"), "seq")
+
+    rows(0, 10).write.jdbc(url, "fb_v", mode="overwrite", properties=props)
+
+    def ids(db):
+        return sorted(r["id"] for r in db.records_df().select("id").collect())
+
+    # two identical databases; replay the same overlapping window into
+    # both — one through the forced shuffled fallback, one broadcast
+    dbs = {}
+    for name, limit in (("bcast", 100_000), ("shuffled", 1)):
+        d = str(tmp_path / f"db_{name}")
+        db = Database.configure(spark, d, dimension=2, density=8)
+        assert db.sync_jdbc(
+            url, "fb_v", watermark_col="seq", properties=props,
+            dedup_broadcast_limit=limit,
+        ) == 10
+        # roll the mark back (append-committed-but-mark-unwritten crash)
+        import oasysdb_spark.core.config as cfg
+
+        cfg.atomic_write_text(
+            f"{d}/jdbc_sync.json",
+            _json.dumps({"url": url, "table": "fb_v", "watermark_col": "seq",
+                         "where": None, "high": 4, "high_kind": "num"}),
+        )
+        dbs[name] = db
+    rows(10, 13).write.jdbc(url, "fb_v", mode="append", properties=props)
+    for name, limit in (("bcast", 100_000), ("shuffled", 1)):
+        assert dbs[name].sync_jdbc(
+            url, "fb_v", watermark_col="seq", properties=props,
+            dedup_broadcast_limit=limit,
+        ) == 3
+        assert dbs[name].count() == 13
+    assert ids(dbs["bcast"]) == ids(dbs["shuffled"])
+
+    # --- parallel-range batch read: fresh baseline + incremental ---
+    rows(0, 20).write.jdbc(url, "np_v", mode="overwrite", properties=props)
+    d_np = str(tmp_path / "db_np")
+    d_plain = str(tmp_path / "db_plain")
+    db_np = Database.configure(spark, d_np, dimension=2, density=8)
+    db_plain = Database.configure(spark, d_plain, dimension=2, density=8)
+    assert db_np.sync_jdbc(
+        url, "np_v", watermark_col="seq", properties=props, num_partitions=4
+    ) == 20
+    assert db_plain.sync_jdbc(
+        url, "np_v", watermark_col="seq", properties=props
+    ) == 20
+    rows(20, 30).write.jdbc(url, "np_v", mode="append", properties=props)
+    assert db_np.sync_jdbc(
+        url, "np_v", watermark_col="seq", properties=props, num_partitions=3
+    ) == 10
+    assert db_plain.sync_jdbc(
+        url, "np_v", watermark_col="seq", properties=props
+    ) == 10
+    assert ids(db_np) == ids(db_plain)
+    s_np = _json.loads(open(f"{d_np}/jdbc_sync.json", encoding="utf-8").read())
+    s_plain = _json.loads(
+        open(f"{d_plain}/jdbc_sync.json", encoding="utf-8").read()
+    )
+    assert s_np["high"] == s_plain["high"] == 29
+    assert s_np["high_kind"] == "num"
+
+    # timestamp window splits on interpolated TIMESTAMP cut literals
+    ts_rows = spark.createDataFrame(
+        [(f"t{i}", [float(i), 0.0], f"2026-01-01 10:00:0{i}.25") for i in range(6)],
+        "id string, vec array<double>, ins string",
+    ).select(
+        "id", F.to_json("vec").alias("embedding"),
+        F.col("ins").cast("timestamp").alias("inserted_at"),
+    )
+    ts_rows.write.jdbc(url, "tsnp_v", mode="overwrite", properties=props)
+    d_ts = str(tmp_path / "db_tsnp")
+    db_ts = Database.configure(spark, d_ts, dimension=2, density=8)
+    assert db_ts.sync_jdbc(
+        url, "tsnp_v", watermark_col="inserted_at", properties=props,
+        num_partitions=2,
+    ) == 6
+
+    # a string watermark cannot range-split: typed refusal
+    str_rows = spark.createDataFrame(
+        [("s1", [1.0, 0.0], "aa"), ("s2", [2.0, 0.0], "bb")],
+        "id string, vec array<double>, wm string",
+    ).select("id", F.to_json("vec").alias("embedding"), "wm")
+    # Derby quirk: Spark's writer maps StringType to CLOB, which Derby
+    # cannot compare against a literal — declare the mark VARCHAR (a
+    # real string key column would be VARCHAR anywhere)
+    str_rows.write.option(
+        "createTableColumnTypes",
+        "id VARCHAR(10), embedding VARCHAR(100), wm VARCHAR(10)",
+    ).jdbc(url, "str_v", mode="overwrite", properties=props)
+    d_str = str(tmp_path / "db_str")
+    db_str = Database.configure(spark, d_str, dimension=2, density=8)
+    with _pytest.raises(errors.InvalidArgumentError, match="range-partition"):
+        db_str.sync_jdbc(
+            url, "str_v", watermark_col="wm", properties=props,
+            num_partitions=2,
+        )
+    # ...but syncs fine single-connection (quoted-literal ordering)
+    assert db_str.sync_jdbc(
+        url, "str_v", watermark_col="wm", properties=props
+    ) == 2
+
+
+def test_from_jdbc_watermark_composition(spark, tmp_path):
+    """r12 ADVICE #4: the documented from_jdbc-then-sync_jdbc
+    composition works out of the box when the load declares the
+    watermark column — it is excluded from the DEFAULT metadata set on
+    BOTH paths (a timestamp mark previously crashed the bulk load's
+    metadata typing; a numeric mark produced a schema the synced rows
+    lacked), and the sync state seeds at the loaded max so the first
+    sync reads only newer rows instead of re-pulling the table.
+    predicates + watermark_col refuses (predicate-dropped rows would
+    sit below the seeded mark and never sync)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark import errors
+    from oasysdb_spark.core.database import Database
+
+    dbdir = str(tmp_path / "derby_comp")
+    url = f"jdbc:derby:{dbdir};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+
+    def rows(lo, hi):
+        return spark.createDataFrame(
+            [(f"r{i}", [float(i), 0.0], i % 3,
+              f"2026-01-01 10:00:{i:02d}") for i in range(lo, hi)],
+            "id string, vec array<double>, label int, ins string",
+        ).select(
+            "id", F.to_json("vec").alias("embedding"), "label",
+            F.col("ins").cast("timestamp").alias("inserted_at"),
+        )
+
+    rows(0, 12).write.jdbc(url, "comp_v", mode="overwrite", properties=props)
+
+    # a TIMESTAMP watermark in the default metadata set used to refuse
+    # the whole bulk load (unsupported metadata type); declaring it
+    # excludes it on the same rule sync uses
+    d1 = str(tmp_path / "db_comp")
+    db = Database.from_jdbc(
+        spark, d1, url, "comp_v", properties=props, density=8,
+        watermark_col="inserted_at",
+    )
+    assert db.count() == 12
+    assert db.get("r3")["metadata"] == {"label": 0.0}
+
+    # state seeded at the loaded max: the first sync is incremental
+    state = _json.loads(open(f"{d1}/jdbc_sync.json", encoding="utf-8").read())
+    assert state["high_kind"] == "ts"
+    assert state["high"].startswith("2026-01-01 10:00:11")
+    assert db.sync_jdbc(
+        url, "comp_v", watermark_col="inserted_at", properties=props
+    ) == 0
+    rows(12, 15).write.jdbc(url, "comp_v", mode="append", properties=props)
+    assert db.sync_jdbc(
+        url, "comp_v", watermark_col="inserted_at", properties=props
+    ) == 3
+    assert db.count() == 15
+    # bulk-loaded and synced rows carry the SAME metadata schema
+    assert db.get("r13")["metadata"] == {"label": 1.0}
+
+    # numeric watermark: consistent m_num maps across both paths (the
+    # old default carried the mark as metadata on the bulk rows only)
+    num_rows = spark.createDataFrame(
+        [(f"n{i}", [float(i), 0.0], i, i * 10) for i in range(5)],
+        "id string, vec array<double>, seq int, score int",
+    ).select(
+        "id", F.to_json("vec").alias("embedding"), "seq", "score",
+    )
+    num_rows.write.jdbc(url, "nc_v", mode="overwrite", properties=props)
+    d2 = str(tmp_path / "db_nc")
+    db2 = Database.from_jdbc(
+        spark, d2, url, "nc_v", properties=props, density=8,
+        watermark_col="seq",
+    )
+    assert db2.get("n2")["metadata"] == {"score": 20.0}
+    spark.createDataFrame(
+        [("n9", [9.0, 0.0], 9, 90)],
+        "id string, vec array<double>, seq int, score int",
+    ).select(
+        "id", F.to_json("vec").alias("embedding"), "seq", "score"
+    ).write.jdbc(url, "nc_v", mode="append", properties=props)
+    assert db2.sync_jdbc(
+        url, "nc_v", watermark_col="seq", properties=props
+    ) == 1
+    assert db2.get("n9")["metadata"] == {"score": 90.0}
+
+    # predicates drop rows; combining them with a seeded mark would gap
+    with _pytest.raises(errors.InvalidArgumentError, match="predicates"):
+        Database.from_jdbc(
+            spark, str(tmp_path / "db_bad"), url, "nc_v",
+            properties=props, density=8, watermark_col="seq",
+            predicates=['"seq" < 3'],
+        )
+
+
+def test_from_jdbc_dimension_inference_guard(spark, tmp_path):
+    """r12 ADVICE #3: dimension inference must hit the explicit
+    cannot-infer message — not Parameters' generic 'dimension must be
+    positive' — when the first probed vector is unparseable (size of a
+    NULL embedding is -1 under legacy sizeOfNull / NULL under ANSI) or
+    an empty array (size 0)."""
+    import pytest as _pytest
+
+    from oasysdb_spark import errors
+    from oasysdb_spark.core.database import Database
+
+    dbdir = str(tmp_path / "derby_dim")
+    url = f"jdbc:derby:{dbdir};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+
+    spark.createDataFrame(
+        [("u0", "not json")], "id string, embedding string"
+    ).write.jdbc(url, "all_ugly", mode="overwrite", properties=props)
+    with _pytest.raises(errors.InvalidArgumentError, match="cannot infer"):
+        Database.from_jdbc(
+            spark, str(tmp_path / "db_u"), url, "all_ugly",
+            properties=props, density=8,
+        )
+
+    spark.createDataFrame(
+        [("z0", "[]")], "id string, embedding string"
+    ).write.jdbc(url, "all_empty", mode="overwrite", properties=props)
+    with _pytest.raises(errors.InvalidArgumentError, match="cannot infer"):
+        Database.from_jdbc(
+            spark, str(tmp_path / "db_z"), url, "all_empty",
+            properties=props, density=8,
+        )
+
+
 def test_webdataset_roundtrip_deterministic_and_quarantines(spark, tmp_path):
     """WebDataset tar shard sink + source: documents written as
     {key}.text.txt members round-trip byte-exact through the binaryFile
