@@ -194,6 +194,26 @@ def build_parser() -> argparse.ArgumentParser:
                      "over the watermark window (numeric/date/timestamp "
                      "marks) — the backfill scale path")
 
+    rj = add("reconcile-jdbc",
+             help="make the records table content-equal to the SQL "
+             "system of record: inserts adds, deletes removals, "
+             "replaces rows whose content fingerprint changed — the "
+             "mutation-propagating complement of append-only sync-jdbc")
+    rj.add_argument("--url", required=True)
+    rj.add_argument("--table", required=True)
+    rj.add_argument("--id-col", default="id")
+    rj.add_argument("--vector-col", default="embedding")
+    rj.add_argument("--metadata-cols", default=None,
+                    help="default: every non-id/vector column, minus "
+                    "the sync stream's watermark column when "
+                    "jdbc_sync.json tracks this table")
+    rj.add_argument("--driver", default=None)
+    rj.add_argument("--where", default=None)
+    rj.add_argument("--partition-column", default=None)
+    rj.add_argument("--lower-bound", default=None)
+    rj.add_argument("--upper-bound", default=None)
+    rj.add_argument("--num-partitions", type=int, default=None)
+
     bp = add("build-pq", help="build/rebuild the PQ compression tier")
     bp.add_argument("--m", type=int, default=8)
     bp.add_argument("--nbits", type=int, default=4)
@@ -835,6 +855,17 @@ def main(argv: list[str] | None = None) -> int:
             num_partitions=args.num_partitions,
         )
         _emit({"ok": True, "ingested": n, "count": db.count()})
+    elif args.cmd == "reconcile-jdbc":
+        res = db.reconcile_jdbc(
+            args.url, args.table,
+            id_col=args.id_col, vector_col=args.vector_col,
+            metadata_cols=_csv_cols(args.metadata_cols),
+            properties=_jdbc_props(args),
+            where=args.where, partition_column=args.partition_column,
+            lower_bound=args.lower_bound, upper_bound=args.upper_bound,
+            num_partitions=args.num_partitions,
+        )
+        _emit({"ok": True, **res, "count": db.count()})
     elif args.cmd == "build-pq":
         from oasysdb_spark.index.pq import build_pq
 

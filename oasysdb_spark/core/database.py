@@ -60,6 +60,23 @@ RECORD_SCHEMA = T.StructType(
 _PARAMS_FILE = "params.json"
 _JDBC_SYNC_FILE = "jdbc_sync.json"
 
+
+def _content_fingerprint(df: DataFrame) -> DataFrame:
+    """Row-local md5 content fingerprint over the canonical record
+    payload (embedding + each metadata map canonicalized via
+    ``array_sort(map_entries(...))`` — Spark cannot compare map columns
+    directly). Shared by :meth:`Database.diff` (snapshot deltas) and
+    :meth:`Database.reconcile_jdbc` (source-of-record reconciliation):
+    downstream joins shuffle only ``(id, 16-byte fp)`` pairs, never
+    vectors or metadata payloads."""
+    canon = F.struct(
+        F.col("embedding"),
+        F.array_sort(F.map_entries("m_text")),
+        F.array_sort(F.map_entries("m_num")),
+        F.array_sort(F.map_entries("m_bool")),
+    )
+    return df.select("id", F.md5(F.to_json(canon)).alias("__fp"))
+
 # embedded in insert_batch's in-task dimension guard; the API-boundary
 # translator keys on it (same mechanism as similarity_join's d=2 guard)
 _BATCH_DIM_GUARD_MARK = "insert_batch: every vector must have dimension {dim}"
@@ -558,6 +575,145 @@ class Database:
         )
         return int(n_ingested)
 
+    def reconcile_jdbc(
+        self,
+        url: str,
+        table: str,
+        *,
+        id_col: str = "id",
+        vector_col: str = "embedding",
+        metadata_cols: list[str] | None = None,
+        properties: dict | None = None,
+        where: str | None = None,
+        predicates: list[str] | None = None,
+        partition_column: str | None = None,
+        lower_bound=None,
+        upper_bound=None,
+        num_partitions: int | None = None,
+        apply_broadcast_limit: int = 100_000,
+    ) -> dict:
+        """Full reconciliation against the SQL system of record — the
+        CDC-shaped complement of :meth:`sync_jdbc`'s append-only
+        watermark pull (the v0.7 lineage treated the SQL database as
+        the COMPLETE system of record, /root/reference/docs/
+        changelog.md:57-64, so UPDATEs and DELETEs there must be able
+        to propagate): make the records table content-equal to the
+        (``where``-filtered) source table. Rows only in the source are
+        inserted, rows only in the records table are deleted, rows
+        whose content fingerprint differs (a changed vector OR changed
+        metadata) are replaced (delete + re-insert through the
+        validated ingest path, cluster assignment included). Returns
+        ``{"added": n, "deleted": n, "updated": n}``.
+
+        Scale shape: both sides reduce to row-local ``(id, 16-byte
+        md5)`` content fingerprints (:func:`_content_fingerprint`, the
+        same machinery :meth:`diff` uses), so the classifying
+        full-outer join shuffles only id/fp pairs — never vectors or
+        metadata payloads. The changed-id sets then drive the writes:
+        deletes go through :meth:`delete`'s partition-scoped
+        copy-on-write, and the insert side semi-joins the source
+        against the changed ids (broadcast while the set is under
+        ``apply_broadcast_limit``, shuffled past it — the sync path's
+        count-guard pattern). Pass ``partition_column``/bounds/
+        ``num_partitions`` (or ``predicates``) to issue the source
+        reads as parallel range queries, exactly as :meth:`from_jdbc`.
+
+        Coherence with a live sync stream: when ``jdbc_sync.json``
+        tracks this (url, table), its watermark column is auto-excluded
+        from the DEFAULT metadata set — otherwise every synced row
+        would fingerprint-mismatch (or a temporal mark would fail the
+        metadata enum) and the reconcile would churn the whole table.
+        The sync mark itself does not move: rows past the mark that
+        reconcile adds are re-read by the next sync and collapse in its
+        id dedup.
+
+        NOT atomic across the two writes: a crash between the delete
+        and the insert leaves updated/added rows missing until the next
+        reconcile, which self-heals (they classify as added). The
+        blue-green alternative — :meth:`from_jdbc` into a staging
+        collection + catalog swap — stays the zero-downtime path; this
+        verb is the cheap periodic one (cost scales with the CHANGED
+        set, not the table)."""
+        import json as _json
+
+        from oasysdb_spark.sources.jdbc import read_jdbc_records
+
+        if metadata_cols is None:
+            state_path = os.path.join(self.dir, _JDBC_SYNC_FILE)
+            if os.path.exists(state_path):
+                with open(state_path, encoding="utf-8") as f:
+                    state = _json.load(f)
+                if state.get("url") == url and state.get("table") == table:
+                    wm = state.get("watermark_col")
+                    if wm:
+                        src_cols = self.spark.read.jdbc(
+                            url, table, properties=dict(properties or {})
+                        ).columns
+                        metadata_cols = [
+                            c for c in src_cols
+                            if c not in (id_col, vector_col, wm)
+                        ]
+
+        source = normalize_records(
+            read_jdbc_records(
+                self.spark, url, table,
+                id_col=id_col, vector_col=vector_col,
+                metadata_cols=metadata_cols, properties=properties,
+                predicates=predicates, where=where,
+                partition_column=partition_column,
+                lower_bound=lower_bound, upper_bound=upper_bound,
+                num_partitions=num_partitions,
+            )
+        )
+
+        s = _content_fingerprint(source).alias("s")
+        r = _content_fingerprint(self.records_df()).alias("r")
+        change = (
+            F.when(F.col("r.id").isNull(), F.lit("added"))
+            .when(F.col("s.id").isNull(), F.lit("deleted"))
+            .when(F.col("s.__fp") != F.col("r.__fp"), F.lit("updated"))
+        )
+        delta = (
+            s.join(r, F.col("s.id") == F.col("r.id"), "full_outer")
+            .withColumn("change", change)
+            .where(F.col("change").isNotNull())
+            .select(
+                "change",
+                F.coalesce(F.col("s.id"), F.col("r.id")).alias("id"),
+            )
+            .persist()
+        )
+        try:
+            counts = {
+                row["change"]: row["n"]
+                for row in delta.groupBy("change")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            result = {k: int(counts.get(k, 0))
+                      for k in ("added", "deleted", "updated")}
+            if result["deleted"] or result["updated"]:
+                self.delete(
+                    delta.where(F.col("change") != "added").select("id")
+                )
+            n_incoming = result["added"] + result["updated"]
+            if n_incoming:
+                ins_ids = delta.where(F.col("change") != "deleted").select(
+                    "id"
+                )
+                if n_incoming <= int(apply_broadcast_limit):
+                    batch = source.join(
+                        F.broadcast(ins_ids), "id", "left_semi"
+                    )
+                else:
+                    batch = source.join(ins_ids, "id", "left_semi")
+                guarded = self._with_dim_guard(batch)
+                with self._dim_guard_boundary():
+                    self._insert_batch_body(guarded)
+        finally:
+            delta.unpersist()
+        return result
+
     def _default_radius(self) -> float:
         """The radius applied when a query passes none: the collection's
         v0.4-lineage ``relevancy`` threshold if enabled, else ∞
@@ -614,16 +770,8 @@ class Database:
             else self.records_df()
         )
 
-        def fp(df: DataFrame) -> DataFrame:
-            canon = F.struct(
-                F.col("embedding"),
-                F.array_sort(F.map_entries("m_text")),
-                F.array_sort(F.map_entries("m_num")),
-                F.array_sort(F.map_entries("m_bool")),
-            )
-            return df.select("id", F.md5(F.to_json(canon)).alias("__fp"))
-
-        o, n = fp(old).alias("o"), fp(new).alias("n")
+        o = _content_fingerprint(old).alias("o")
+        n = _content_fingerprint(new).alias("n")
         change = (
             F.when(F.col("o.id").isNull(), F.lit("added"))
             .when(F.col("n.id").isNull(), F.lit("deleted"))
