@@ -316,6 +316,11 @@ def main():
     # maintained index (build amortizes over every query), so the timed
     # vec_ivf_knn below measures the steady-state serving path. The entry's
     # per-sf work_dir cache makes this run reuse the built tables.
+    # The first call of each tier is build+query; record it as that
+    # tier's BUILD row (r12 verdict task 2: the per-query rows below
+    # are steady-state serving only — this keys the ingest/build cost
+    # separately instead of leaving it invisible in the warm-up)
+    build_secs: dict[str, float] = {}
     for _builder in (
         "vec_ivf_knn",
         "vec_lsh_knn_indexed",
@@ -330,7 +335,9 @@ def main():
         # Same steady-state rationale for the LSH bucket layout: build
         # untimed, the timed query below measures partition-pruned serving.
         try:
+            t0 = time.time()
             qs[_builder](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            build_secs[_builder] = round(time.time() - t0, 3)
         except Exception:  # noqa: BLE001
             pass
 
@@ -361,6 +368,10 @@ def main():
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # first-call build/ingest wall per index tier (includes one
+        # query); the "queries" rows are steady-state serving only.
+        # Kept OUT of "value" — the frozen baseline total predates it.
+        "build_secs": build_secs,
     }
     if errors:
         out["errors"] = errors
