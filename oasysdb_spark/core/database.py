@@ -246,11 +246,15 @@ class Database:
         the sync mechanism, and temporal marks are outside the
         text|number|boolean metadata enum — so both ingest paths
         produce the same metadata schema), and the sync state file is
-        SEEDED with the loaded batch's max mark, so the first sync
-        reads only rows newer than the bulk load instead of re-pulling
-        (and re-deduplicating) the whole table. Seeding costs one extra
-        aggregate scan of the filtered source (JDBC pushes the filter
-        down, not the max)."""
+        SEEDED with the source's max mark scanned just BEFORE the bulk
+        read (a pre-load scan is the safe order: rows committing
+        between the scan and the load are re-read by the first sync's
+        inclusive bound and collapsed by its id dedup, whereas a
+        post-load scan could cover never-loaded rows), so the first
+        sync reads only rows newer than the bulk load instead of
+        re-pulling (and re-deduplicating) the whole table. Seeding
+        costs one extra aggregate scan of the filtered source (JDBC
+        pushes the filter down, not the max)."""
         from oasysdb_spark.sources.jdbc import (
             read_jdbc_records,
             watermark_kind,
@@ -269,6 +273,39 @@ class Database:
                 "partition_column/bounds (range-shaping, not filtering) "
                 "or a where pre-filter instead"
             )
+        seed_state: dict | None = None
+        if watermark_col is not None:
+            # validate the column and scan the seed mark BEFORE the
+            # bulk read: a row committing between this scan and the
+            # load is either loaded (if the load sees it) or re-read
+            # by the first sync's inclusive bound and collapsed by its
+            # id dedup — whereas a post-load scan would seed a max
+            # covering never-loaded rows, permanently gapping them.
+            # The early check also fails a misspelled column in one
+            # cheap schema read instead of after an hours-long build
+            # (or, worse, via the metadata-enum error when the real
+            # mark column falls into the default metadata set).
+            import json as _json
+
+            src = spark.read.jdbc(url, table, properties=dict(properties or {}))
+            if watermark_col not in src.columns:
+                raise errors.InvalidArgumentError(
+                    f"JDBC table {table!r} has no watermark column "
+                    f"{watermark_col!r}"
+                )
+            wm_df = src.where(where) if where else src
+            agg = wm_df.agg(F.max(watermark_col).alias("h")).first()
+            high = agg["h"] if agg is not None else None
+            seed_state = {
+                "url": url, "table": table,
+                "watermark_col": watermark_col, "where": where,
+                "high": None, "high_kind": None,
+            }
+            if high is not None:
+                seed_state["high"] = (
+                    high if isinstance(high, (int, float, str)) else str(high)
+                )
+                seed_state["high_kind"] = watermark_kind(high)
         records = read_jdbc_records(
             spark, url, table,
             id_col=id_col, vector_col=vector_col,
@@ -302,32 +339,10 @@ class Database:
                 _build(db, seed=seed, source=guarded)
             else:
                 db._insert_batch_body(guarded)
-        if watermark_col is not None:
-            import json as _json
-
-            src = spark.read.jdbc(url, table, properties=dict(properties or {}))
-            if watermark_col not in src.columns:
-                raise errors.InvalidArgumentError(
-                    f"JDBC table {table!r} has no watermark column "
-                    f"{watermark_col!r}"
-                )
-            wm_df = src.where(where) if where else src
-            agg = wm_df.agg(F.max(watermark_col).alias("h")).first()
-            high = agg["h"] if agg is not None else None
-            state: dict = {
-                "url": url, "table": table,
-                "watermark_col": watermark_col, "where": where,
-                "high": None, "high_kind": None,
-            }
-            if high is not None:
-                kind = watermark_kind(high)
-                state["high"] = (
-                    high if isinstance(high, (int, float, str)) else str(high)
-                )
-                state["high_kind"] = kind
+        if seed_state is not None:
             atomic_write_text(
                 os.path.join(db.dir, _JDBC_SYNC_FILE),
-                _json.dumps(state, sort_keys=True),
+                _json.dumps(seed_state, sort_keys=True),
             )
         return db
 
@@ -585,7 +600,6 @@ class Database:
         metadata_cols: list[str] | None = None,
         properties: dict | None = None,
         where: str | None = None,
-        predicates: list[str] | None = None,
         partition_column: str | None = None,
         lower_bound=None,
         upper_bound=None,
@@ -615,17 +629,26 @@ class Database:
         against the changed ids (broadcast while the set is under
         ``apply_broadcast_limit``, shuffled past it — the sync path's
         count-guard pattern). Pass ``partition_column``/bounds/
-        ``num_partitions`` (or ``predicates``) to issue the source
-        reads as parallel range queries, exactly as :meth:`from_jdbc`.
+        ``num_partitions`` to issue the source reads as parallel range
+        queries. Explicit ``predicates`` are deliberately NOT accepted:
+        a predicate list DROPS rows matching none of its entries, and
+        every dropped row would classify as ``deleted`` and be
+        destructively removed — partition bounds only shape the ranges
+        and never filter, so they are the one safe parallelism knob
+        here.
 
         Coherence with a live sync stream: when ``jdbc_sync.json``
         tracks this (url, table), its watermark column is auto-excluded
         from the DEFAULT metadata set — otherwise every synced row
         would fingerprint-mismatch (or a temporal mark would fail the
-        metadata enum) and the reconcile would churn the whole table.
-        The sync mark itself does not move: rows past the mark that
-        reconcile adds are re-read by the next sync and collapse in its
-        id dedup.
+        metadata enum) and the reconcile would churn the whole table —
+        and the reconcile's ``where`` must MATCH the stream's recorded
+        pre-filter (a looser filter would mass-insert rows the stream
+        deliberately excludes; a tighter one would mass-delete
+        everything outside it — the same mixed-stream hazard
+        :meth:`sync_jdbc` refuses). The sync mark itself does not move:
+        rows past the mark that reconcile adds are re-read by the next
+        sync and collapse in its id dedup.
 
         NOT atomic across the two writes: a crash between the delete
         and the insert leaves updated/added rows missing until the next
@@ -638,31 +661,34 @@ class Database:
 
         from oasysdb_spark.sources.jdbc import read_jdbc_records
 
-        if metadata_cols is None:
-            state_path = os.path.join(self.dir, _JDBC_SYNC_FILE)
-            if os.path.exists(state_path):
-                with open(state_path, encoding="utf-8") as f:
-                    state = _json.load(f)
-                if state.get("url") == url and state.get("table") == table:
-                    wm = state.get("watermark_col")
-                    if wm:
-                        src_cols = self.spark.read.jdbc(
-                            url, table, properties=dict(properties or {})
-                        ).columns
-                        metadata_cols = [
-                            c for c in src_cols
-                            if c not in (id_col, vector_col, wm)
-                        ]
+        exclude: tuple[str, ...] = ()
+        state_path = os.path.join(self.dir, _JDBC_SYNC_FILE)
+        if os.path.exists(state_path):
+            with open(state_path, encoding="utf-8") as f:
+                state = _json.load(f)
+            if state.get("url") == url and state.get("table") == table:
+                if state.get("where") != where:
+                    raise errors.InvalidArgumentError(
+                        f"jdbc sync state at {state_path} tracks "
+                        f"where={state.get('where')!r}; reconciling with "
+                        f"where={where!r} would mass-insert or mass-delete "
+                        "rows the sync stream's pre-filter scopes out — "
+                        "pass the stream's filter (or delete the state "
+                        "file to re-baseline deliberately)"
+                    )
+                if state.get("watermark_col"):
+                    exclude = (state["watermark_col"],)
 
         source = normalize_records(
             read_jdbc_records(
                 self.spark, url, table,
                 id_col=id_col, vector_col=vector_col,
                 metadata_cols=metadata_cols, properties=properties,
-                predicates=predicates, where=where,
+                where=where,
                 partition_column=partition_column,
                 lower_bound=lower_bound, upper_bound=upper_bound,
                 num_partitions=num_partitions,
+                exclude_cols=exclude,
             )
         )
 

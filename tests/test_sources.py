@@ -1030,6 +1030,16 @@ def test_reconcile_jdbc_full_lifecycle(spark, tmp_path, capsys):
     assert db2.reconcile_jdbc(url, "recon_wm", properties=props) == {
         "added": 0, "deleted": 0, "updated": 0
     }
+    # ...and a reconcile whose where-filter diverges from the live sync
+    # stream's recorded pre-filter refuses (a looser filter would
+    # mass-insert rows the stream scopes out; a tighter one would
+    # mass-delete everything outside it)
+    from oasysdb_spark import errors as _errors
+
+    with pytest.raises(_errors.InvalidArgumentError, match="where"):
+        db2.reconcile_jdbc(
+            url, "recon_wm", properties=props, where="seq >= 0"
+        )
 
     # CLI verb end to end
     frame([("r12", [12.0, 0.0], 0)]).write.jdbc(
