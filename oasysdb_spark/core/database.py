@@ -412,17 +412,25 @@ class Database:
         under an advanced mark silently gaps the stream (delete the
         state file to re-baseline deliberately).
 
-        ``num_partitions`` issues the BATCH read as that many parallel
-        range queries over the watermark window itself (exact typed cut
-        literals — numeric/date/timestamp marks only), so a backfill
-        window doesn't pull through one socket; the pre-scan that finds
-        the window max stays a single filtered connection (it reads the
-        same window, but only to aggregate — the row payload transfer
-        is the batch read). Steady-state increments don't need it."""
+        The window transfers from the SQL database exactly ONCE either
+        way. Steady state (no ``num_partitions``): the raw window reads
+        through one connection into the executor cache, and the next
+        mark derives from that SAME cached frame (max(batch) — no
+        separate max-only scan). ``num_partitions`` issues the BATCH
+        read as that many parallel range queries over the watermark
+        window itself (exact typed cut literals — numeric/date/
+        timestamp marks only), so a backfill window doesn't pull
+        through one socket; its bounds come from a one-row MIN/MAX
+        aggregate subquery pushed to the remote database (falling back
+        to a client-side aggregate when the remote can't parse the
+        filter). Steady-state increments don't need partitioning."""
         import json as _json
 
         from oasysdb_spark.sources.jdbc import (
+            quote_sql_ident,
             read_jdbc_records,
+            records_from_df,
+            remote_watermark_minmax,
             watermark_kind,
             watermark_literal,
             watermark_range_predicates,
@@ -480,24 +488,6 @@ class Database:
                 f"JDBC table {table!r} has no watermark column "
                 f"{watermark_col!r}"
             )
-        wm_df = src.where(scan_where) if scan_where else src
-        agg = wm_df.agg(
-            F.max(watermark_col).alias("h"), F.min(watermark_col).alias("l")
-        ).first()
-        if agg is None or agg["h"] is None:
-            return 0  # nothing past the mark
-        new_high = agg["h"]
-        new_kind = watermark_kind(new_high)  # typed refusal on exotics
-        high_out = (
-            new_high if isinstance(new_high, (int, float, str))
-            else str(new_high)
-        )
-
-        # the batch is the window (old mark, new_high] — [old, new_high]
-        # under dedup_ids — with an upper bound from the max read above,
-        # so inserts landing between the two reads belong to the NEXT
-        # sync instead of being ingested under a mark that predates them
-        # (which would re-ingest them)
         if metadata_cols is None:
             # the watermark is the sync mechanism, not metadata (and a
             # temporal mark is outside the metadata type enum)
@@ -505,12 +495,55 @@ class Database:
                 c for c in src.columns
                 if c not in (id_col, vector_col, watermark_col)
             ]
+
+        raw = None
         if num_partitions is not None and int(num_partitions) > 1:
-            # parallel-range backfill: split [window low, new_high] into
-            # exact typed cut predicates; the first cut is the persisted
-            # mark when one exists (honouring the dedup-inclusive bound),
-            # else the window min from the scan above
-            window_low = high if high is not None else agg["l"]
+            # parallel-range backfill. Bounds must exist BEFORE the read,
+            # so this path scans the window min/max first — pushed down
+            # as a one-row remote aggregate subquery when the remote can
+            # parse the filter (v1 JDBC never pushes aggregates, so the
+            # naive df.agg(max) would pull the whole backfill window
+            # through one socket just to find its edge), falling back to
+            # the client-side aggregate otherwise (e.g. a Spark-only
+            # `where` fragment).
+            mark_pred_remote = (
+                f"{quote_sql_ident(watermark_col)} {low_op} "
+                f"{watermark_literal(high, high_kind, remote=True)}"
+                if high is not None
+                else None
+            )
+            where_remote = (
+                f"({where}) AND ({mark_pred_remote})"
+                if where and mark_pred_remote
+                else (where or mark_pred_remote)
+            )
+            try:
+                lo_scan, new_high = remote_watermark_minmax(
+                    self.spark, url, table, watermark_col,
+                    properties=properties, where_remote=where_remote,
+                )
+            except Exception:  # noqa: BLE001 — remote dialect refusal
+                wm_df = src.where(scan_where) if scan_where else src
+                agg = wm_df.agg(
+                    F.max(watermark_col).alias("h"),
+                    F.min(watermark_col).alias("l"),
+                ).first()
+                lo_scan = agg["l"] if agg is not None else None
+                new_high = agg["h"] if agg is not None else None
+            if new_high is None:
+                return 0  # nothing past the mark
+            new_kind = watermark_kind(new_high)  # typed refusal on exotics
+            high_out = (
+                new_high if isinstance(new_high, (int, float, str))
+                else str(new_high)
+            )
+            # split [window low, new_high] into exact typed cut
+            # predicates; the first cut is the persisted mark when one
+            # exists (honouring the dedup-inclusive bound), else the
+            # window min from the scan above. Rows committing during the
+            # partitioned read land beyond new_high and belong to the
+            # next window (the monotonic-mark contract).
+            window_low = high if high is not None else lo_scan
             low_kind = high_kind if high is not None else new_kind
             if low_kind != new_kind:
                 raise errors.InvalidArgumentError(
@@ -529,23 +562,40 @@ class Database:
                     metadata_cols=metadata_cols, properties=properties,
                     predicates=preds, where=where,
                 )
-            )
+            ).persist()
         else:
-            upper = (
-                f"{watermark_col} <= {watermark_literal(high_out, new_kind)}"
+            # steady-state ONE-PULL path: read the raw window once,
+            # cache it, derive the next mark from the SAME cached frame,
+            # and map it to records off that cache — the old design
+            # pulled the window twice (a max-only scan, then the batch).
+            # The mark equals max(batch) by construction, so ingested
+            # set and persisted mark agree with no explicit upper bound;
+            # rows committing mid-read are either in the cache (covered
+            # by the mark) or re-read by the next sync's window under
+            # the monotonic-mark contract (ties via the inclusive bound
+            # + id dedup). A cache eviction that re-pulls from JDBC can
+            # only ADD rows above the mark — the next sync's inclusive
+            # re-read collapses them (dedup_ids).
+            raw = (src.where(scan_where) if scan_where else src).persist()
+            agg = raw.agg(F.max(watermark_col).alias("h")).first()
+            if agg is None or agg["h"] is None:
+                raw.unpersist()
+                return 0  # nothing past the mark
+            new_high = agg["h"]
+            new_kind = watermark_kind(new_high)  # typed refusal on exotics
+            high_out = (
+                new_high if isinstance(new_high, (int, float, str))
+                else str(new_high)
             )
-            batch_where = (
-                f"({scan_where}) AND ({upper})" if scan_where else upper
-            )
+            # row-local mapping over the cached window — not persisted
+            # again; each downstream action recomputes the cheap map
             batch = normalize_records(
-                read_jdbc_records(
-                    self.spark, url, table,
+                records_from_df(
+                    raw, table,
                     id_col=id_col, vector_col=vector_col,
-                    metadata_cols=metadata_cols, properties=properties,
-                    where=batch_where,
+                    metadata_cols=metadata_cols,
                 )
             )
-        batch = batch.persist()
         deduped = None
         try:
             if dedup_ids:
@@ -576,7 +626,10 @@ class Database:
                 with self._dim_guard_boundary():
                     self._insert_batch_body(guarded)
         finally:
-            batch.unpersist()
+            if raw is not None:
+                raw.unpersist()
+            else:
+                batch.unpersist()
             if deduped is not None:
                 deduped.unpersist()
         # the mark advances even when the batch deduped to nothing

@@ -93,6 +93,44 @@ def watermark_literal(value, kind: str, *, remote: bool = False) -> str:
     raise errors.InvalidArgumentError(f"unknown watermark kind {kind!r}")
 
 
+def quote_sql_ident(name: str) -> str:
+    """ANSI-double-quote an identifier for SQL text that ships VERBATIM
+    to the remote database (matching the case-preserved identifiers
+    Spark's own JDBC writer creates). Embedded quotes double."""
+    return '"' + name.replace('"', '""') + '"'
+
+
+def remote_watermark_minmax(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    column: str,
+    *,
+    properties: dict | None = None,
+    where_remote: str | None = None,
+):
+    """Push MIN/MAX of the watermark column down to the remote database
+    as a one-row aggregate subquery. The v1 JDBC source pushes filters
+    but never aggregates, so a client-side ``df.agg(max)`` pulls the
+    whole filtered window through one socket just to find its edge —
+    for a backfill window that is the entire table. ``where_remote``
+    must be REMOTE-dialect SQL (render marks with
+    ``watermark_literal(..., remote=True)``); callers catch remote
+    parse failures and fall back to the client-side aggregate.
+    Returns ``(min, max)`` Python values (``(None, None)`` on an empty
+    window)."""
+    qcol = quote_sql_ident(column)
+    pred = f" WHERE {where_remote}" if where_remote else ""
+    sub = (
+        f'(SELECT MIN({qcol}) AS "wm_l", MAX({qcol}) AS "wm_h" '
+        f"FROM {table}{pred}) oasys_wm_scan"
+    )
+    row = spark.read.jdbc(url, sub, properties=dict(properties or {})).first()
+    if row is None:
+        return None, None
+    return row["wm_l"], row["wm_h"]
+
+
 def watermark_range_predicates(
     column: str,
     low,
@@ -157,7 +195,7 @@ def watermark_range_predicates(
             cut_val = c.isoformat()
         cuts.append(watermark_literal(cut_val, kind, remote=True))
     cuts.append(watermark_literal(high, kind, remote=True))
-    qcol = '"' + column.replace('"', '""') + '"'
+    qcol = quote_sql_ident(column)
     preds = []
     for i in range(n):
         lo_op = (">=" if include_low else ">") if i == 0 else ">"
@@ -224,7 +262,28 @@ def read_jdbc_records(
         # metadata pre-filter (v0.7 lineage): simple predicates compile
         # into the JDBC WHERE clause, so excluded rows never transfer
         df = df.where(where)
+    return records_from_df(
+        df, table,
+        id_col=id_col, vector_col=vector_col,
+        metadata_cols=metadata_cols, exclude_cols=exclude_cols,
+    )
 
+
+def records_from_df(
+    df: DataFrame,
+    table: str,
+    *,
+    id_col: str = "id",
+    vector_col: str = "embedding",
+    metadata_cols: list[str] | None = None,
+    exclude_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Map an already-read relational frame onto the canonical record
+    schema — the row-mapping half of :func:`read_jdbc_records`, split
+    out so a caller that must keep the RAW frame (e.g. ``sync_jdbc``'s
+    one-pull path, which derives the next watermark from the same
+    cached window it ingests) doesn't re-pull the table to map it.
+    Same typing rules and errors; ``table`` is only for messages."""
     names = {f.name for f in df.schema.fields}
     for need in (id_col, vector_col):
         if need not in names:

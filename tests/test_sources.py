@@ -763,6 +763,24 @@ def test_sync_jdbc_dedup_fallback_and_parallel_range(spark, tmp_path):
         num_partitions=2,
     ) == 6
 
+    # the remote one-row MIN/MAX aggregate subquery (the partitioned
+    # path's bounds source) parses on the remote — including a JDBC
+    # {ts} escape literal in its pushed-down filter. Pinned directly so
+    # the silent client-side fallback can't mask a remote-dialect break
+    from oasysdb_spark.sources.jdbc import remote_watermark_minmax
+
+    lo_hi = remote_watermark_minmax(
+        spark, url, "np_v", "seq", properties=props,
+        where_remote='"seq" > 4',
+    )
+    assert (lo_hi[0], lo_hi[1]) == (5, 29)
+    ts_lo, ts_hi = remote_watermark_minmax(
+        spark, url, "tsnp_v", "inserted_at", properties=props,
+        where_remote="\"inserted_at\" > {ts '2026-01-01 10:00:01.25'}",
+    )
+    assert str(ts_lo).startswith("2026-01-01 10:00:02")
+    assert str(ts_hi).startswith("2026-01-01 10:00:05")
+
     # a string watermark cannot range-split: typed refusal
     str_rows = spark.createDataFrame(
         [("s1", [1.0, 0.0], "aa"), ("s2", [2.0, 0.0], "bb")],
