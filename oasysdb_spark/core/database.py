@@ -257,7 +257,7 @@ class Database:
         pushes the filter down, not the max)."""
         from oasysdb_spark.sources.jdbc import (
             read_jdbc_records,
-            watermark_kind,
+            watermark_state,
         )
 
         if watermark_col is not None and predicates is not None:
@@ -302,10 +302,9 @@ class Database:
                 "high": None, "high_kind": None,
             }
             if high is not None:
-                seed_state["high"] = (
-                    high if isinstance(high, (int, float, str)) else str(high)
-                )
-                seed_state["high_kind"] = watermark_kind(high)
+                kind, out = watermark_state(high)
+                seed_state["high"] = out
+                seed_state["high_kind"] = kind
         records = read_jdbc_records(
             spark, url, table,
             id_col=id_col, vector_col=vector_col,
@@ -431,9 +430,9 @@ class Database:
             read_jdbc_records,
             records_from_df,
             remote_watermark_minmax,
-            watermark_kind,
             watermark_literal,
             watermark_range_predicates,
+            watermark_state,
         )
 
         state_path = os.path.join(self.dir, _JDBC_SYNC_FILE)
@@ -496,108 +495,119 @@ class Database:
                 if c not in (id_col, vector_col, watermark_col)
             ]
 
-        raw = None
-        if num_partitions is not None and int(num_partitions) > 1:
-            # parallel-range backfill. Bounds must exist BEFORE the read,
-            # so this path scans the window min/max first — pushed down
-            # as a one-row remote aggregate subquery when the remote can
-            # parse the filter (v1 JDBC never pushes aggregates, so the
-            # naive df.agg(max) would pull the whole backfill window
-            # through one socket just to find its edge), falling back to
-            # the client-side aggregate otherwise (e.g. a Spark-only
-            # `where` fragment).
-            mark_pred_remote = (
-                f"{quote_sql_ident(watermark_col)} {low_op} "
-                f"{watermark_literal(high, high_kind, remote=True)}"
-                if high is not None
-                else None
-            )
-            where_remote = (
-                f"({where}) AND ({mark_pred_remote})"
-                if where and mark_pred_remote
-                else (where or mark_pred_remote)
-            )
-            try:
-                lo_scan, new_high = remote_watermark_minmax(
-                    self.spark, url, table, watermark_col,
-                    properties=properties, where_remote=where_remote,
-                )
-            except Exception:  # noqa: BLE001 — remote dialect refusal
-                wm_df = src.where(scan_where) if scan_where else src
-                agg = wm_df.agg(
-                    F.max(watermark_col).alias("h"),
-                    F.min(watermark_col).alias("l"),
-                ).first()
-                lo_scan = agg["l"] if agg is not None else None
-                new_high = agg["h"] if agg is not None else None
-            if new_high is None:
-                return 0  # nothing past the mark
-            new_kind = watermark_kind(new_high)  # typed refusal on exotics
-            high_out = (
-                new_high if isinstance(new_high, (int, float, str))
-                else str(new_high)
-            )
-            # split [window low, new_high] into exact typed cut
-            # predicates; the first cut is the persisted mark when one
-            # exists (honouring the dedup-inclusive bound), else the
-            # window min from the scan above. Rows committing during the
-            # partitioned read land beyond new_high and belong to the
-            # next window (the monotonic-mark contract).
-            window_low = high if high is not None else lo_scan
-            low_kind = high_kind if high is not None else new_kind
-            if low_kind != new_kind:
-                raise errors.InvalidArgumentError(
-                    f"watermark kind changed mid-stream: persisted mark is "
-                    f"{low_kind}, the scanned max is {new_kind}"
-                )
-            preds = watermark_range_predicates(
-                watermark_col, window_low, high_out, new_kind,
-                int(num_partitions),
-                include_low=(high is None) or dedup_ids,
-            )
-            batch = normalize_records(
-                read_jdbc_records(
-                    self.spark, url, table,
-                    id_col=id_col, vector_col=vector_col,
-                    metadata_cols=metadata_cols, properties=properties,
-                    predicates=preds, where=where,
-                )
-            ).persist()
-        else:
-            # steady-state ONE-PULL path: read the raw window once,
-            # cache it, derive the next mark from the SAME cached frame,
-            # and map it to records off that cache — the old design
-            # pulled the window twice (a max-only scan, then the batch).
-            # The mark equals max(batch) by construction, so ingested
-            # set and persisted mark agree with no explicit upper bound;
-            # rows committing mid-read are either in the cache (covered
-            # by the mark) or re-read by the next sync's window under
-            # the monotonic-mark contract (ties via the inclusive bound
-            # + id dedup). A cache eviction that re-pulls from JDBC can
-            # only ADD rows above the mark — the next sync's inclusive
-            # re-read collapses them (dedup_ids).
-            raw = (src.where(scan_where) if scan_where else src).persist()
-            agg = raw.agg(F.max(watermark_col).alias("h")).first()
-            if agg is None or agg["h"] is None:
-                raw.unpersist()
-                return 0  # nothing past the mark
-            new_high = agg["h"]
-            new_kind = watermark_kind(new_high)  # typed refusal on exotics
-            high_out = (
-                new_high if isinstance(new_high, (int, float, str))
-                else str(new_high)
-            )
-            # row-local mapping over the cached window — not persisted
-            # again; each downstream action recomputes the cheap map
-            batch = normalize_records(
-                records_from_df(
-                    raw, table,
-                    id_col=id_col, vector_col=vector_col,
-                    metadata_cols=metadata_cols,
-                )
-            )
-        deduped = None
+        pins: list = []  # persisted frames; released in the one finally
         try:
+            if num_partitions is not None and int(num_partitions) > 1:
+                # parallel-range backfill. Bounds must exist BEFORE the
+                # read, so this path scans the window min/max first —
+                # pushed down as a one-row remote aggregate subquery
+                # when the remote can parse the filter (v1 JDBC never
+                # pushes aggregates, so the naive df.agg(max) would pull
+                # the whole backfill window through one socket just to
+                # find its edge), falling back to the client-side
+                # aggregate otherwise — with a warning, because the
+                # fallback re-pulls the window an extra time and an
+                # operator should see WHY a backfill got slow.
+                mark_pred_remote = (
+                    f"{quote_sql_ident(watermark_col)} {low_op} "
+                    f"{watermark_literal(high, high_kind, remote=True)}"
+                    if high is not None
+                    else None
+                )
+                where_remote = (
+                    f"({where}) AND ({mark_pred_remote})"
+                    if where and mark_pred_remote
+                    else (where or mark_pred_remote)
+                )
+                try:
+                    lo_scan, new_high = remote_watermark_minmax(
+                        self.spark, url, table, watermark_col,
+                        properties=properties, where_remote=where_remote,
+                    )
+                except Exception as exc:  # noqa: BLE001 — dialect refusal
+                    import warnings
+
+                    warnings.warn(
+                        "remote MIN/MAX pushdown failed; falling back to "
+                        "a client-side aggregate (the window transfers "
+                        "an extra time through one socket): "
+                        f"{type(exc).__name__}: {str(exc)[:200]}",
+                        stacklevel=2,
+                    )
+                    wm_df = src.where(scan_where) if scan_where else src
+                    agg = wm_df.agg(
+                        F.max(watermark_col).alias("h"),
+                        F.min(watermark_col).alias("l"),
+                    ).first()
+                    lo_scan = agg["l"] if agg is not None else None
+                    new_high = agg["h"] if agg is not None else None
+                if new_high is None:
+                    return 0  # nothing past the mark
+                new_kind, high_out = watermark_state(new_high)
+                # split [window low, new_high] into exact typed cut
+                # predicates; the first cut is the persisted mark when
+                # one exists (honouring the dedup-inclusive bound), else
+                # the window min from the scan above. Rows committing
+                # during the partitioned read land beyond new_high and
+                # belong to the next window (the monotonic-mark
+                # contract).
+                window_low = high if high is not None else lo_scan
+                low_kind = high_kind if high is not None else new_kind
+                if low_kind != new_kind:
+                    raise errors.InvalidArgumentError(
+                        "watermark kind changed mid-stream: persisted "
+                        f"mark is {low_kind}, the scanned max is "
+                        f"{new_kind}"
+                    )
+                preds = watermark_range_predicates(
+                    watermark_col, window_low, high_out, new_kind,
+                    int(num_partitions),
+                    include_low=(high is None) or dedup_ids,
+                )
+                batch = normalize_records(
+                    read_jdbc_records(
+                        self.spark, url, table,
+                        id_col=id_col, vector_col=vector_col,
+                        metadata_cols=metadata_cols, properties=properties,
+                        predicates=preds, where=where,
+                    )
+                ).persist()
+                pins.append(batch)
+            else:
+                # steady-state ONE-PULL path: read the raw window once,
+                # cache it, derive the next mark from the SAME cached
+                # frame, and map it to records off that cache — the old
+                # design pulled the window twice (a max-only scan, then
+                # the batch). Rows committing mid-read are either in the
+                # cache (covered by the mark) or re-read by the next
+                # sync's window under the monotonic-mark contract. The
+                # explicit upper bound below makes the batch
+                # DETERMINISTIC under a cache eviction/recompute: a
+                # re-pull from JDBC could otherwise pick up rows
+                # committed after the mark was fixed, which dedup_ids
+                # would absorb next sync but dedup_ids=False would
+                # ingest twice (round-13 review finding).
+                raw = (src.where(scan_where) if scan_where else src).persist()
+                pins.append(raw)
+                agg = raw.agg(F.max(watermark_col).alias("h")).first()
+                if agg is None or agg["h"] is None:
+                    return 0  # nothing past the mark
+                new_high = agg["h"]
+                new_kind, high_out = watermark_state(new_high)
+                bounded = raw.where(
+                    f"{watermark_col} <= "
+                    f"{watermark_literal(high_out, new_kind)}"
+                )
+                # row-local mapping over the cached window — not
+                # persisted again; each downstream action recomputes the
+                # cheap map off the cache
+                batch = normalize_records(
+                    records_from_df(
+                        bounded, table,
+                        id_col=id_col, vector_col=vector_col,
+                        metadata_cols=metadata_cols,
+                    )
+                )
             if dedup_ids:
                 # crash-replay collapse: broadcast the incoming id set
                 # only while it is provably small; a backfill-sized
@@ -610,14 +620,14 @@ class Database:
                     collisions = record_ids.join(
                         F.broadcast(incoming_ids), "id", "left_semi"
                     )
-                    deduped = batch.join(
+                    final = batch.join(
                         F.broadcast(collisions), "id", "left_anti"
                     ).persist()
                 else:
-                    deduped = batch.join(
+                    final = batch.join(
                         record_ids, "id", "left_anti"
                     ).persist()
-                final = deduped
+                pins.append(final)
             else:
                 final = batch
             n_ingested = final.count()
@@ -626,12 +636,8 @@ class Database:
                 with self._dim_guard_boundary():
                     self._insert_batch_body(guarded)
         finally:
-            if raw is not None:
-                raw.unpersist()
-            else:
-                batch.unpersist()
-            if deduped is not None:
-                deduped.unpersist()
+            for df in pins:
+                df.unpersist()
         # the mark advances even when the batch deduped to nothing
         # (crash replay fully collapsed): the window is consumed
         atomic_write_text(

@@ -93,6 +93,19 @@ def watermark_literal(value, kind: str, *, remote: bool = False) -> str:
     raise errors.InvalidArgumentError(f"unknown watermark kind {kind!r}")
 
 
+def watermark_state(value) -> tuple[str, object]:
+    """Classify a scanned watermark value and coerce it to its
+    JSON-persistable state form in one step: ``(kind, state_value)``
+    where temporal/decimal values become their string renderings (the
+    kind, not the Python type, drives literal rendering on reload).
+    The single home for this pairing — sync's two paths and from_jdbc's
+    seed block all persist marks through it, so the state format cannot
+    silently diverge between them."""
+    kind = watermark_kind(value)  # typed refusal on exotics
+    out = value if isinstance(value, (int, float, str)) else str(value)
+    return kind, out
+
+
 def quote_sql_ident(name: str) -> str:
     """ANSI-double-quote an identifier for SQL text that ships VERBATIM
     to the remote database (matching the case-preserved identifiers
