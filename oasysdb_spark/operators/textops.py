@@ -2800,6 +2800,104 @@ def term_burstiness(
     )
 
 
+def term_pmi_collocations(
+    spark: SparkSession,
+    sf_dir: str,
+    top_k: int = 30,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information (Church & Hanks
+    1990) — the corpus-audit rung between :func:`term_burstiness`
+    (per-term dispersion) and :func:`text_boilerplate_ngrams` (verbatim
+    repeats): adjacent token pairs that co-occur far above chance.
+    The top of this table is the corpus's multi-word vocabulary
+    ("new york", "machine learning"); template garbage shows up as
+    impossibly high PMI at low counts, which the ``min_count`` floor
+    suppresses (the classic PMI low-frequency pathology). Returns the
+    ``top_k`` pairs with pair count >= ``min_count``:
+    ``(rank, bigram, pair_count, pmi)``.
+
+    Float discipline: with integer counts c12 (pair), c1/c2 (unigram),
+    Np (bigram positions), Nt (tokens),
+
+        pmi = log2( (c12/Np) / ((c1/Nt)(c2/Nt)) )
+
+    evaluates as ONE double expression with identical parenthesization
+    in the DuckDB twin — every operand an exact integer cast once to
+    double — then takes the shared scale-0 display round. The rank
+    tie-break (pmi desc at full double precision, c12 desc, bigram asc)
+    is total.
+
+    Scale shape: bigrams form ROW-LOCALLY (the same expression-level
+    transform as :func:`bigram_surprisal` — no window, no shuffle);
+    pair counts collapse in one map-side-combined shuffle; unigram
+    counts derive from the already-collapsed pair table (vocab-bounded,
+    ≪ corpus) rather than a second corpus pass; the two scalar totals
+    broadcast; the top-k window runs over vocab²-bounded rows."""
+    docs = _docs(spark, sf_dir)
+    tk = docs.select(tokens(F.col("text")).alias("tk"))
+    bigr = tk.where(F.size("tk") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("tk", i + 1),
+                    F.element_at("tk", i + 2),
+                ),
+            )
+        ).alias("bg")
+    )
+    pair_counts = bigr.groupBy("bg").agg(F.count("*").alias("c12"))
+    # unigram counts from the corpus token stream (a bigram-derived
+    # count would miss each doc's final token)
+    uni = (
+        tk.select(F.explode("tk").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = uni.agg(
+        F.sum("c").cast("bigint").alias("nt"),
+    ).crossJoin(pair_counts.agg(F.sum("c12").cast("bigint").alias("np_")))
+    w1 = F.split("bg", " ")[0]
+    w2 = F.split("bg", " ")[1]
+    scored = (
+        pair_counts.where(F.col("c12") >= min_count)
+        .withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(uni.select(F.col("t").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("t").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    # one double expression, mirrored term-for-term in the oracle:
+    # (c12/Np) / ((c1/Nt)*(c2/Nt)), then ln/ln(2)
+    x = (
+        F.col("c12").cast("double") / F.col("np_").cast("double")
+    ) / (
+        (F.col("c1").cast("double") / F.col("nt").cast("double"))
+        * (F.col("c2").cast("double") / F.col("nt").cast("double"))
+    )
+    pmi_full = F.log(x) / F.log(F.lit(2.0))
+    rank_w = Window.orderBy(
+        F.col("pmi_full").desc(), F.col("c12").desc(), F.col("bg")
+    )
+    return (
+        scored.select("bg", "c12", pmi_full.alias("pmi_full"))
+        .select("*", F.row_number().over(rank_w).alias("rank"))
+        .where(F.col("rank") <= top_k)
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("bg").alias("bigram"),
+            F.col("c12").cast("bigint").alias("pair_count"),
+            F.round(
+                F.round(F.col("pmi_full") * 1e6).cast("bigint") / F.lit(1e6),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy("rank")
+    )
+
+
 def zipf_slope(
     spark: SparkSession,
     sf_dir: str,

@@ -5812,3 +5812,65 @@ def test_bigram_surprisal_matches_duckdb_oracle_after_retirement(spark, sf_dir):
         "text_bigram_surprisal", spark_rows, spark_cols, duck_rows, duck_cols
     )
     assert not issues, issues
+
+
+def test_term_pmi_collocations_matches_duckdb_oracle(spark, sf_dir):
+    """term_pmi_collocations hash-compared against an independent DuckDB
+    replay (same tokenization, same one-expression double PMI with
+    identical parenthesization, same full-precision rank tie-break,
+    shared scale-0 display round) — the self-oracle gate ahead of a
+    driver-window rotation (staged r14 candidate). Invariants: exactly
+    top_k dense ranks, pair_count >= min_count, and every bigram's two
+    tokens exist in the corpus."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    got = textops.term_pmi_collocations(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) == 30
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    res = con.execute(f"""
+        WITH tk AS (SELECT {toks} AS tk FROM documents),
+        bg AS (SELECT unnest(list_transform(range(1, len(tk)),
+                      i -> tk[i] || ' ' || tk[i+1])) AS bg
+               FROM tk WHERE len(tk) >= 2),
+        pc AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+        uni AS (SELECT t, count(*) AS c
+                FROM (SELECT unnest(tk) AS t FROM tk) GROUP BY t),
+        tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS nt,
+                       (SELECT CAST(sum(c12) AS BIGINT) FROM pc) AS np_),
+        scored AS (SELECT pc.bg, pc.c12,
+                     ln((CAST(pc.c12 AS DOUBLE) / CAST(tot.np_ AS DOUBLE))
+                        / ((CAST(u1.c AS DOUBLE) / CAST(tot.nt AS DOUBLE))
+                           * (CAST(u2.c AS DOUBLE) / CAST(tot.nt AS DOUBLE)))) / ln(2) AS pmi_full
+                   FROM pc
+                   JOIN uni u1 ON string_split(pc.bg, ' ')[1] = u1.t
+                   JOIN uni u2 ON string_split(pc.bg, ' ')[2] = u2.t
+                   CROSS JOIN tot
+                   WHERE pc.c12 >= 5),
+        r AS (SELECT *, row_number() OVER (ORDER BY pmi_full DESC, c12 DESC, bg) AS rnk
+              FROM scored)
+        SELECT CAST(rnk AS BIGINT) AS rank, bg AS bigram,
+               CAST(c12 AS BIGINT) AS pair_count,
+               round(CAST(round(pmi_full * 1e6) AS BIGINT) / 1e6, 6) AS pmi
+        FROM r WHERE rnk <= 30 ORDER BY rank""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "term_pmi_collocations", spark_rows, spark_cols, duck_rows, duck_cols
+    )
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    assert [r[ix["rank"]] for r in spark_rows] == list(range(1, 31))
+    assert all(r[ix["pair_count"]] >= 5 for r in spark_rows)
