@@ -436,3 +436,53 @@ def test_audit_tier_plan_shapes(spark, sf_dir):
     p = _plan(dedup.dedup_saturation_curve(spark, sf_dir))
     for seg in p.split("Exchange")[1:]:
         assert "text#" not in seg.split("\n")[0]
+
+
+def test_content_fingerprint_delta_shuffles_ids_not_payloads(spark, tmp_path):
+    """The reconcile/diff scale contract: the classifying full-outer
+    join between content-fingerprinted sides may exchange only
+    (id, 16-byte __fp) pairs — the embedding vectors and metadata maps
+    must be reduced row-locally BEFORE any Exchange, or a 100 TB
+    reconcile would shuffle the whole payload to compare it."""
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.core.database import _content_fingerprint
+
+    schema = (
+        "id string, embedding array<float>, m_text map<string,string>, "
+        "m_num map<string,double>, m_bool map<string,boolean>"
+    )
+    a = spark.createDataFrame(
+        [("r%d" % i, [float(i), 0.0], {"s": "x"}, {"n": float(i)}, {"b": True})
+         for i in range(50)],
+        schema,
+    )
+    b = spark.createDataFrame(
+        [("r%d" % i, [float(i), 0.0], {"s": "x"}, {"n": float(i)}, {"b": True})
+         for i in range(25, 75)],
+        schema,
+    )
+    s, r = _content_fingerprint(a).alias("s"), _content_fingerprint(b).alias("r")
+    change = (
+        F.when(F.col("r.id").isNull(), F.lit("added"))
+        .when(F.col("s.id").isNull(), F.lit("deleted"))
+        .when(F.col("s.__fp") != F.col("r.__fp"), F.lit("updated"))
+    )
+    delta = (
+        s.join(r, F.col("s.id") == F.col("r.id"), "full_outer")
+        .withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select("change", F.coalesce(F.col("s.id"), F.col("r.id")).alias("id"))
+    )
+    plan = _plan(delta)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every Exchange carries only the id and the md5 fingerprint — the
+    # vector and map payloads never transit a shuffle
+    exchanges = plan.split("Exchange")[1:]
+    assert exchanges, "expected a shuffle for the full-outer join"
+    for seg in exchanges:
+        head = seg.split("\n")[0]
+        assert "embedding#" not in head
+        assert "m_text#" not in head and "m_num#" not in head
+        assert "m_bool#" not in head
