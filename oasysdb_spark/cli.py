@@ -442,9 +442,45 @@ def build_parser() -> argparse.ArgumentParser:
     cj.add_argument("--lower-bound", default=None)
     cj.add_argument("--upper-bound", default=None)
     cj.add_argument("--num-partitions", type=int, default=None)
+    cj.add_argument("--watermark-col", default=None,
+                    help="declare the later sync watermark: excluded "
+                    "from default metadata, sync state seeded pre-load")
     cj.add_argument("--no-index", action="store_true")
     cj.add_argument("--seed", type=int, default=42)
     cj.add_argument("--overwrite", action="store_true")
+
+    cs = add_cat("catalog-sync-jdbc",
+                 help="incremental watermark pull into a NAMED "
+                 "collection (sync-jdbc resolved through the catalog)")
+    cs.add_argument("--name", required=True)
+    cs.add_argument("--url", required=True)
+    cs.add_argument("--table", required=True)
+    cs.add_argument("--watermark-col", required=True)
+    cs.add_argument("--id-col", default="id")
+    cs.add_argument("--vector-col", default="embedding")
+    cs.add_argument("--metadata-cols", default=None)
+    cs.add_argument("--driver", default=None)
+    cs.add_argument("--where", default=None)
+    cs.add_argument("--no-dedup-ids", action="store_true")
+    cs.add_argument("--dedup-broadcast-limit", type=int, default=100_000)
+    cs.add_argument("--num-partitions", type=int, default=None)
+
+    crj = add_cat("catalog-reconcile-jdbc",
+                  help="content reconciliation of a NAMED collection "
+                  "against its SQL system of record (reconcile-jdbc "
+                  "resolved through the catalog)")
+    crj.add_argument("--name", required=True)
+    crj.add_argument("--url", required=True)
+    crj.add_argument("--table", required=True)
+    crj.add_argument("--id-col", default="id")
+    crj.add_argument("--vector-col", default="embedding")
+    crj.add_argument("--metadata-cols", default=None)
+    crj.add_argument("--driver", default=None)
+    crj.add_argument("--where", default=None)
+    crj.add_argument("--partition-column", default=None)
+    crj.add_argument("--lower-bound", default=None)
+    crj.add_argument("--upper-bound", default=None)
+    crj.add_argument("--num-partitions", type=int, default=None)
 
     cl = add_cat("catalog-list", help="list collections (name + parameters)")
     cl.add_argument("--counts", action="store_true",
@@ -729,12 +765,40 @@ def main(argv: list[str] | None = None) -> int:
                 lower_bound=args.lower_bound,
                 upper_bound=args.upper_bound,
                 num_partitions=args.num_partitions,
+                watermark_col=args.watermark_col,
                 build_index=not args.no_index,
                 seed=args.seed,
             )
             _emit({"ok": True, "root": args.root, "name": args.name,
                    "count": db.count(), "dimension": db.params.dimension,
                    "indexed": db.is_indexed()})
+        elif args.cmd == "catalog-sync-jdbc":
+            db = Catalog.open(spark, args.root).open_collection(args.name)
+            n = db.sync_jdbc(
+                args.url, args.table, watermark_col=args.watermark_col,
+                id_col=args.id_col, vector_col=args.vector_col,
+                metadata_cols=_csv_cols(args.metadata_cols),
+                properties=_jdbc_props(args), where=args.where,
+                dedup_ids=not args.no_dedup_ids,
+                dedup_broadcast_limit=args.dedup_broadcast_limit,
+                num_partitions=args.num_partitions,
+            )
+            _emit({"ok": True, "root": args.root, "name": args.name,
+                   "ingested": n, "count": db.count()})
+        elif args.cmd == "catalog-reconcile-jdbc":
+            db = Catalog.open(spark, args.root).open_collection(args.name)
+            res = db.reconcile_jdbc(
+                args.url, args.table,
+                id_col=args.id_col, vector_col=args.vector_col,
+                metadata_cols=_csv_cols(args.metadata_cols),
+                properties=_jdbc_props(args), where=args.where,
+                partition_column=args.partition_column,
+                lower_bound=args.lower_bound,
+                upper_bound=args.upper_bound,
+                num_partitions=args.num_partitions,
+            )
+            _emit({"ok": True, "root": args.root, "name": args.name,
+                   **res, "count": db.count()})
         elif args.cmd == "catalog-list":
             _emit({"collections": Catalog.open(spark, args.root)
                    .list_collections(counts=args.counts)})

@@ -619,3 +619,68 @@ def test_catalog_cli_roundtrip(spark, tmp_path, capsys):
     capsys.readouterr()
     assert cli.main(["catalog-vacuum", "--root", root]) == 0
     assert json.loads(capsys.readouterr().out.strip())["removed_dirs"] == []
+
+
+def test_catalog_sync_and_reconcile_jdbc_verbs(spark, tmp_path, capsys):
+    """The named-collection operational lifecycle of the v0.7 SQL
+    lineage in one CLI flow: catalog-from-jdbc with a declared
+    watermark (state seeded pre-load, mark excluded from metadata),
+    catalog-sync-jdbc pulling only rows newer than the bulk load, and
+    catalog-reconcile-jdbc propagating an UPDATE + DELETE — all
+    resolved through collection NAMES, never directory paths."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark import cli
+
+    dbdir = str(tmp_path / "derby_catops")
+    url = f"jdbc:derby:{dbdir};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "id string, vec array<double>, seq int"
+        ).select("id", F.to_json("vec").alias("embedding"), "seq")
+
+    frame([(f"r{i}", [float(i), 0.0], i) for i in range(10)]).write.jdbc(
+        url, "vectors", mode="overwrite", properties=props
+    )
+    root = str(tmp_path / "cat")
+    assert cli.main(["catalog-init", "--root", root]) == 0
+    rc = cli.main([
+        "catalog-from-jdbc", "--root", root, "--name", "serving",
+        "--url", url, "--table", "vectors", "--watermark-col", "seq",
+        "--driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+        "--density", "8",
+    ])
+    assert rc == 0
+
+    # sync by NAME: only the two appended rows land (seeded mark)
+    frame([("r10", [10.0, 0.0], 10), ("r11", [11.0, 0.0], 11)]).write.jdbc(
+        url, "vectors", mode="append", properties=props
+    )
+    rc = cli.main([
+        "catalog-sync-jdbc", "--root", root, "--name", "serving",
+        "--url", url, "--table", "vectors", "--watermark-col", "seq",
+        "--driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["ingested"] == 2 and out["count"] == 12
+
+    # mutate the source (update r3's vector, delete r7), reconcile by NAME
+    mutated = [
+        (f"r{i}", [float(i), 0.0], i) for i in range(12) if i not in (3, 7)
+    ] + [("r3", [3.0, 9.0], 3)]
+    frame(mutated).write.jdbc(url, "vectors", mode="overwrite", properties=props)
+    rc = cli.main([
+        "catalog-reconcile-jdbc", "--root", root, "--name", "serving",
+        "--url", url, "--table", "vectors",
+        "--driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["updated"] == 1 and out["deleted"] == 1
+    assert out["added"] == 0 and out["count"] == 11
+
+    db = Catalog.open(spark, root).open_collection("serving")
+    assert db.query_df([3.0, 9.0], k=1).collect()[0]["id"] == "r3"
