@@ -176,3 +176,130 @@ def test_deletion_banding_exhaustive_on_arbitrary_names(names, d):
     )
     truth = sorted((min(a, b), max(a, b)) for a, b in truth)
     assert got == truth
+
+
+# ---------------------------------------------------------------------------
+# watermark helpers (sources/jdbc.py) — pure-Python properties, no Spark
+# ---------------------------------------------------------------------------
+
+def _wm_values():
+    import datetime
+    import decimal
+
+    from hypothesis import strategies as st
+
+    return st.one_of(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.decimals(
+            allow_nan=False, allow_infinity=False, places=6,
+            min_value=-10**18, max_value=10**18,
+        ).map(decimal.Decimal),
+        st.datetimes(
+            min_value=datetime.datetime(1900, 1, 1),
+            max_value=datetime.datetime(2200, 1, 1),
+        ),
+        st.dates(
+            min_value=datetime.date(1900, 1, 1),
+            max_value=datetime.date(2200, 1, 1),
+        ),
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(_wm_values())
+def test_watermark_state_roundtrip_lossless(value):
+    """The persisted state form must reload to the ORIGINAL value under
+    each kind's parse (the partitioned path re-parses persisted marks
+    for cut arithmetic): str(datetime) keeps microseconds through
+    fromisoformat, str(Decimal) through Decimal(), ints/floats pass
+    native. A lossy round-trip would silently shift the next sync's
+    window bound."""
+    import datetime
+    import decimal
+
+    from oasysdb_spark.sources.jdbc import watermark_kind, watermark_state
+
+    kind, out = watermark_state(value)
+    assert kind == watermark_kind(value)
+    if kind == "num":
+        parsed = (
+            out if isinstance(out, (int, float))
+            else decimal.Decimal(str(out))
+        )
+        assert parsed == value
+    elif kind == "ts":
+        assert datetime.datetime.fromisoformat(str(out)) == value
+    elif kind == "date":
+        assert datetime.date.fromisoformat(str(out)) == value
+
+
+def _wm_pairs():
+    """A (low, high) pair of the SAME kind with low <= high — drawn as
+    a sorted pair from one kind's strategy, so nothing filters."""
+    import datetime
+    import decimal
+
+    from hypothesis import strategies as st
+
+    kinds = [
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.decimals(
+            allow_nan=False, allow_infinity=False, places=6,
+            min_value=-10**18, max_value=10**18,
+        ).map(decimal.Decimal),
+        st.datetimes(
+            min_value=datetime.datetime(1900, 1, 1),
+            max_value=datetime.datetime(2200, 1, 1),
+        ),
+        st.dates(
+            min_value=datetime.date(1900, 1, 1),
+            max_value=datetime.date(2200, 1, 1),
+        ),
+    ]
+    return st.one_of(
+        *[st.tuples(k, k).map(lambda t: (min(t), max(t))) for k in kinds]
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(_wm_pairs(), st.integers(min_value=1, max_value=16), st.booleans())
+def test_watermark_range_predicates_structure(pair, n, include_low):
+    """Structural exhaustiveness of the parallel-range split, for every
+    kind and bound pair: exactly n predicates; the FIRST predicate's
+    lower literal is exactly literal(low) with the requested
+    inclusivity, the LAST predicate's upper literal is exactly
+    literal(high); adjacent predicates share one identical cut literal
+    (`> c` follows `<= c`), so coverage of (low, high] — or
+    [low, high] — is exact by construction regardless of how the cut
+    interpolation rounds."""
+    from oasysdb_spark.sources.jdbc import (
+        quote_sql_ident,
+        watermark_kind,
+        watermark_literal,
+        watermark_range_predicates,
+    )
+
+    low, high = pair
+    kind = watermark_kind(low)
+
+    preds = watermark_range_predicates(
+        "wm", low, high, kind, n, include_low=include_low
+    )
+    assert len(preds) == n
+    qcol = quote_sql_ident("wm")
+    first_op = ">=" if include_low else ">"
+    lo_lit = watermark_literal(low, kind, remote=True)
+    hi_lit = watermark_literal(high, kind, remote=True)
+    assert preds[0].startswith(f"{qcol} {first_op} {lo_lit} AND ")
+    assert preds[-1].endswith(f" {hi_lit}")
+    # adjacency: predicate i's upper literal == predicate i+1's lower
+    # literal, verbatim — the shared-literal exactness argument
+    uppers = [p.split(f" AND {qcol} <= ", 1)[1] for p in preds]
+    lowers = [
+        p.split(" AND ", 1)[0].split(" ", 2)[2] for p in preds
+    ]
+    for i in range(n - 1):
+        assert uppers[i] == lowers[i + 1]
+    # interior operators strict
+    for p in preds[1:]:
+        assert p.split(" AND ")[0].split(" ")[1] == ">"
