@@ -2359,6 +2359,75 @@ def embedding_decontaminate_stats(
     )
 
 
+def embedding_contamination_report_stats(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.35
+) -> DataFrame:
+    """EVAL-side contamination report for the embedding rung — the
+    semantic twin of :func:`textops.ngram_contamination_report_stats`
+    (that one reports which eval docs leak into train by n-gram
+    overlap; this one by cosine proximity, catching paraphrase-level
+    leakage): one row per eval vector with how many train vectors sit
+    at or above ``threshold`` and the best (max rounded) cosine among
+    them. Benchmark integrity reads this table directly: an eval item
+    with a large ``n_contaminated`` is memorized, not measured. Clean
+    eval vectors stay in the report with ``n_contaminated = 0`` and
+    the sentinel ``max_cos = -1.0`` (below any real cosine — a NULL
+    would be the honest value, but the sentinel keeps the row
+    hash-comparable and sorts cleanly). Eval split mirrors
+    :func:`embedding_decontaminate_stats` (``vec_id % 10 == 0 AND
+    vec_id < 5000`` — a fixed-size benchmark by nature).
+
+    Scale shape: the eval side (a benchmark suite) is small by nature
+    and BROADCASTS; the train corpus scans once, never shuffles, and
+    the cosine evaluates expression-level (``F.aggregate`` fold ==
+    ``list_sum`` — the proven cross-engine form); the only exchange is
+    the final |eval|-bounded aggregation. Float discipline: the shared
+    scale-0 ``round_dist`` form per pair, max over rounded values."""
+    from oasysdb_spark.functions.vectors import dot_product, l2_norm
+    from oasysdb_spark.operators.vectorops import round_dist
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # norms materialize PER SIDE before the cross join — computed once
+    # per input row instead of re-folding the dimension axis for every
+    # (train, eval) pair; only the dot product stays per-pair
+    train = embs.where(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("t_id"),
+        F.col("embedding").alias("t_emb"),
+        l2_norm(F.col("embedding")).alias("t_norm"),
+    )
+    evals = embs.where(
+        (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 5000)
+    ).select(
+        F.col("vec_id").alias("eval_vec_id"),
+        F.col("embedding").alias("e_emb"),
+        l2_norm(F.col("embedding")).alias("e_norm"),
+    )
+    denom = F.col("t_norm") * F.col("e_norm")
+    cos_r = round_dist(dot_product(F.col("t_emb"), F.col("e_emb")) / denom)
+    pairs = (
+        train.crossJoin(F.broadcast(evals))
+        .where(denom != 0.0)
+        .select("eval_vec_id", cos_r.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+    hits = pairs.groupBy("eval_vec_id").agg(
+        F.count("*").cast("bigint").alias("n_contaminated"),
+        F.max("cos_sim").alias("max_cos"),
+    )
+    return (
+        evals.select("eval_vec_id")
+        .join(hits, "eval_vec_id", "left")
+        .select(
+            "eval_vec_id",
+            F.coalesce("n_contaminated", F.lit(0)).cast("bigint").alias(
+                "n_contaminated"
+            ),
+            F.coalesce("max_cos", F.lit(-1.0)).alias("max_cos"),
+        )
+        .orderBy("eval_vec_id")
+    )
+
+
 def embedding_decontaminate_ivf(
     train: DataFrame,
     evals: DataFrame,

@@ -5874,3 +5874,72 @@ def test_term_pmi_collocations_matches_duckdb_oracle(spark, sf_dir):
     ix = {c: i for i, c in enumerate(spark_cols)}
     assert [r[ix["rank"]] for r in spark_rows] == list(range(1, 31))
     assert all(r[ix["pair_count"]] >= 5 for r in spark_rows)
+
+
+def test_embedding_contamination_report_matches_duckdb_oracle(spark, sf_dir):
+    """embedding_contamination_report_stats against a brute-force DuckDB
+    replay (same sequential-fold cosine, same scale-0 round per pair,
+    max over rounded values, -1.0 clean-row sentinel) — the self-oracle
+    gate ahead of a driver-window rotation (staged r14 candidate).
+    Invariants: one row per eval vector, n_contaminated consistent with
+    the decontaminate op's flagged-train view (every flagged train
+    vector's best eval appears here with n_contaminated >= 1)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    got = dedup.embedding_contamination_report_stats(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) > 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    res = con.execute("""
+        WITH tr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings WHERE vec_id % 10 <> 0),
+        ev AS (SELECT vec_id AS eval_vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 5000),
+        pairs AS (SELECT ev.eval_vec_id,
+                    round(CAST(round(
+                      (list_sum(list_transform(list_zip(tr.e, ev.e), x -> x[1]*x[2]))
+                       / (sqrt(list_sum(list_transform(tr.e, z -> z*z)))
+                          * sqrt(list_sum(list_transform(ev.e, z -> z*z))))) * 1e6
+                    ) AS BIGINT) / 1e6, 6) + 0.0 AS cos_sim
+                  FROM tr CROSS JOIN ev
+                  WHERE sqrt(list_sum(list_transform(tr.e, z -> z*z)))
+                        * sqrt(list_sum(list_transform(ev.e, z -> z*z))) <> 0),
+        hits AS (SELECT eval_vec_id, CAST(count(*) AS BIGINT) AS n_contaminated,
+                        max(cos_sim) AS max_cos
+                 FROM pairs WHERE cos_sim >= 0.35 GROUP BY eval_vec_id)
+        SELECT ev.eval_vec_id,
+               CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+               COALESCE(h.max_cos, -1.0) AS max_cos
+        FROM ev LEFT JOIN hits h USING (eval_vec_id)
+        ORDER BY ev.eval_vec_id""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "embedding_contamination_report", spark_rows, spark_cols,
+        duck_rows, duck_cols,
+    )
+    assert not issues, issues
+
+    # cross-op consistency: every eval id the decontaminate op reports
+    # as some train vector's best match must show >= 1 here
+    from pyspark.sql import functions as F
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    flagged = dedup.embedding_decontaminate(
+        embs.where(F.col("vec_id") % 10 != 0),
+        embs.where((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 5000)),
+        threshold=0.35,
+    )
+    report = {r[0]: r[1] for r in spark_rows}
+    for row in flagged.collect():
+        assert report[row["eval_vec_id"]] >= 1
