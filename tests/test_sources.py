@@ -1059,6 +1059,31 @@ def test_reconcile_jdbc_full_lifecycle(spark, tmp_path, capsys):
             url, "recon_wm", properties=props, where="seq >= 0"
         )
 
+    # cross-verb contract: reconcile does NOT move the sync mark, so
+    # rows past the mark that reconcile ingests are re-read by the next
+    # sync's window and must fully collapse in its id dedup — never
+    # duplicate, and the mark catches up
+    spark.createDataFrame(
+        [("s9", [9.0, 0.0], 9, 18)],
+        "id string, vec array<double>, seq int, score int",
+    ).select(
+        "id", F.to_json("vec").alias("embedding"), "seq", "score"
+    ).write.jdbc(url, "recon_wm", mode="append", properties=props)
+    assert db2.reconcile_jdbc(url, "recon_wm", properties=props) == {
+        "added": 1, "deleted": 0, "updated": 0
+    }
+    mark_before = _json.loads(
+        open(f"{d2}/jdbc_sync.json", encoding="utf-8").read()
+    )["high"]
+    assert mark_before == 3  # seeded at the bulk-load max, untouched
+    assert db2.sync_jdbc(
+        url, "recon_wm", watermark_col="seq", properties=props
+    ) == 0
+    assert db2.count() == 5  # no duplicate of the reconciled row
+    assert _json.loads(
+        open(f"{d2}/jdbc_sync.json", encoding="utf-8").read()
+    )["high"] == 9  # the window was consumed, mark caught up
+
     # CLI verb end to end
     frame([("r12", [12.0, 0.0], 0)]).write.jdbc(
         url, "recon_v", mode="append", properties=props
