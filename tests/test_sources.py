@@ -1084,6 +1084,18 @@ def test_reconcile_jdbc_full_lifecycle(spark, tmp_path, capsys):
         open(f"{d2}/jdbc_sync.json", encoding="utf-8").read()
     )["high"] == 9  # the window was consumed, mark caught up
 
+    # crash self-healing: the docstring documents that reconcile is NOT
+    # atomic across its two writes — a crash between the delete and the
+    # insert leaves updated rows missing until the next reconcile
+    # re-adds them. Simulate the crash point (deletes applied, inserts
+    # lost) and assert the follow-up reconcile restores content
+    # equality with the source.
+    db.delete(["r5", "r10"])  # r5 pretend-updated, r10 pretend-re-added
+    assert db.count() == 7
+    healed = db.reconcile_jdbc(url, "recon_v", properties=props)
+    assert healed == {"added": 2, "deleted": 0, "updated": 0}
+    assert content(db) == content(fresh)
+
     # CLI verb end to end
     frame([("r12", [12.0, 0.0], 0)]).write.jdbc(
         url, "recon_v", mode="append", properties=props
