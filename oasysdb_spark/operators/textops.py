@@ -2800,6 +2800,73 @@ def term_burstiness(
     )
 
 
+def source_vocab_overlap_matrix(
+    spark: SparkSession,
+    sf_dir: str,
+) -> DataFrame:
+    """PAIRWISE source-vocabulary overlap — the attribution view the
+    one-vs-all :func:`source_token_divergence` cannot give: for every
+    source pair, the Jaccard similarity of their distinct-term
+    vocabularies. A pair with outlier overlap is a duplication CHANNEL
+    (mirror sites, a re-crawled feed, the same wire story syndicated)
+    even when no document is an exact or near duplicate — vocabulary
+    identity survives paraphrase and reformatting that defeats the
+    digest-level :func:`dedup.cross_source_duplication_stats`. Returns
+    ``(source_a, source_b, n_a, n_b, n_common, jaccard)`` for every
+    unordered pair, ordered by the pair.
+
+    Float discipline: n_a / n_b / n_common are exact distinct-term
+    counts; jaccard = n_common / (n_a + n_b − n_common) is ONE division
+    of two exact integers, rounded once — the documented-safe class.
+
+    Scale shape: one corpus-scale pass collapses to the DISTINCT
+    (source, term) table (map-side-combined — the same single shuffle
+    every vocabulary op pays); the intersection is a term-keyed
+    self-join of that vocab-bounded table (never the corpus) with the
+    ``source_a < source_b`` triangle filter, and sizes broadcast onto
+    the |sources|²-bounded pair table. Text never shuffles."""
+    docs = _docs(spark, sf_dir)
+    st = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    a, b = st.alias("a"), st.alias("b")
+    inter = (
+        a.join(b, F.col("a.term") == F.col("b.term"))
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    # anchor on the full pair grid so disjoint-vocabulary pairs emit a
+    # 0-overlap row instead of vanishing (the oracle's cross-join shape)
+    grid = (
+        sa.crossJoin(sb)
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    return (
+        grid.join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
+            F.round(
+                F.coalesce("n_common", F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce("n_common", F.lit(0))).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 def term_pmi_collocations(
     spark: SparkSession,
     sf_dir: str,

@@ -66,10 +66,11 @@ def test_driver_window_rotation_closes_coverage():
     surprisal ladder, both neighbors stay — pytest DuckDB self-oracle
     in tests/test_operators.py). Remaining staged oracle-able
     candidates for r14+: source_length_drift,
-    term_pmi_collocations, and embedding_contamination_report_stats
-    (each DuckDB-self-oracle-gated in tests/test_operators.py, probed
-    sub-linear at the sf0.1->sf1 decade; the latter two additionally
-    oracle-verified at sf0.01/sf0.1)."""
+    term_pmi_collocations, embedding_contamination_report_stats, and
+    source_vocab_overlap_matrix (each DuckDB-self-oracle-gated in
+    tests/test_operators.py, probed sub-linear at the sf0.1->sf1
+    decade; the latter three additionally oracle-verified at
+    sf0.01/sf0.1)."""
     import json
     import os
 

@@ -5943,3 +5943,60 @@ def test_embedding_contamination_report_matches_duckdb_oracle(spark, sf_dir):
     report = {r[0]: r[1] for r in spark_rows}
     for row in flagged.collect():
         assert report[row["eval_vec_id"]] >= 1
+
+
+def test_source_vocab_overlap_matrix_matches_duckdb_oracle(spark, sf_dir):
+    """source_vocab_overlap_matrix against an independent DuckDB replay
+    (same tokenization, distinct (source, term) sets, inclusion-
+    exclusion Jaccard of exact integer counts) — the self-oracle gate
+    ahead of a driver-window rotation (staged r14 candidate).
+    Invariants: the full unordered pair grid (k choose 2 rows),
+    0 <= jaccard <= 1, n_common <= min(n_a, n_b), and symmetry of the
+    underlying sets (n_a for a source is identical wherever it
+    appears)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    got = textops.source_vocab_overlap_matrix(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    n_sources = len({r[0] for r in spark_rows} | {r[1] for r in spark_rows})
+    assert len(spark_rows) == n_sources * (n_sources - 1) // 2
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    toks = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    res = con.execute(f"""
+        WITH st AS (SELECT DISTINCT source, unnest({toks}) AS term FROM documents),
+        sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY source),
+        inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                    CAST(count(*) AS BIGINT) AS n_common
+                  FROM st a JOIN st b ON a.term = b.term
+                  WHERE a.source < b.source GROUP BY 1, 2),
+        grid AS (SELECT sa.source AS source_a, sb.source AS source_b,
+                   sa.n AS n_a, sb.n AS n_b
+                 FROM sizes sa CROSS JOIN sizes sb WHERE sa.source < sb.source)
+        SELECT g.source_a, g.source_b, g.n_a, g.n_b,
+               CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+               round(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                     / CAST(g.n_a + g.n_b - COALESCE(i.n_common, 0) AS DOUBLE), 6) AS jaccard
+        FROM grid g LEFT JOIN inter i USING (source_a, source_b)
+        ORDER BY g.source_a, g.source_b""")
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    issues = compare(
+        "source_vocab_overlap_matrix", spark_rows, spark_cols,
+        duck_rows, duck_cols,
+    )
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    for r in spark_rows:
+        assert 0.0 <= r[ix["jaccard"]] <= 1.0
+        assert r[ix["n_common"]] <= min(r[ix["n_a"]], r[ix["n_b"]])
