@@ -2764,10 +2764,10 @@ def term_burstiness(
 
     Scale shape: the same single corpus-scale shuffle as
     :func:`tfidf_top_terms` (the (doc, term) pre-aggregation with
-    map-side combine); moments roll up vocab-bounded; the top-k window
-    runs over one partition of vocab-bounded rows (an explicit
-    single-key ranking — acceptable because the input is the collapsed
-    vocabulary, never the corpus)."""
+    map-side combine); moments roll up vocab-bounded; the top-k is a
+    bounded ``orderBy(...).limit(top_k)`` (TakeOrderedAndProject —
+    per-partition heaps, never a global sort), and the rank window
+    then runs over ≤ ``top_k`` rows, not the vocabulary."""
     from oasysdb_spark.functions.text import tokens
 
     docs = _docs(spark, sf_dir)
@@ -2790,11 +2790,16 @@ def term_burstiness(
         / (F.col("df") * F.col("tf")).cast("double"),
         6,
     )
+    scored = mom.select("term", "df", "tf", b.alias("burstiness"))
+    # bounded top-k FIRST (TakeOrderedAndProject — never a global sort),
+    # then the rank window runs over ≤ top_k rows, not the vocabulary;
+    # the orderBy tie-break is total, so the set and order are identical
+    top = scored.orderBy(
+        F.col("burstiness").desc(), F.col("tf").desc(), F.col("term")
+    ).limit(top_k)
     w = Window.orderBy(F.col("burstiness").desc(), F.col("tf").desc(), F.col("term"))
     return (
-        mom.select("term", "df", "tf", b.alias("burstiness"))
-        .select("*", F.row_number().over(w).alias("rank"))
-        .where(F.col("rank") <= top_k)
+        top.select("*", F.row_number().over(w).alias("rank"))
         .select(F.col("rank").cast("bigint").alias("rank"), "term", "df", "tf", "burstiness")
         .orderBy("rank")
     )
@@ -2821,24 +2826,48 @@ def source_vocab_overlap_matrix(
 
     Scale shape: one corpus-scale pass collapses to the DISTINCT
     (source, term) table (map-side-combined — the same single shuffle
-    every vocabulary op pays); the intersection is a term-keyed
-    self-join of that vocab-bounded table (never the corpus) with the
-    ``source_a < source_b`` triangle filter, and sizes broadcast onto
-    the |sources|²-bounded pair table. Text never shuffles."""
+    every vocabulary op pays); that table rolls up to ONE sorted
+    source-set array per term (|sources|-bounded), and the C(S,2)
+    pairs per term are generated ROW-LOCALLY from the array — a
+    generator feeding the partial aggregate in the same stage, so the
+    per-term S² fan-out is CPU inside a map task with immediate
+    combine, and the only rows that ever shuffle are the
+    |sources|²-bounded (source_a, source_b) partial counts (never an
+    S²-row join output — a term shared by hundreds of sources would
+    otherwise emit tens of thousands of join rows per stopword).
+    Sizes broadcast onto the pair grid. Text never shuffles."""
     docs = _docs(spark, sf_dir)
     st = (
         docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
         .distinct()
     )
     sizes = st.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
-    a, b = st.alias("a"), st.alias("b")
+    # per-term sorted source SET; sort_array makes the nondeterministic
+    # collect_set order total AND gives source_a < source_b for free
+    ss = (
+        st.groupBy("term")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .where(F.size("ss") >= 2)
+    )
+    pairs = ss.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ss") - 2),
+                    lambda i: F.transform(
+                        F.slice(F.col("ss"), i + 2, F.size("ss")),
+                        lambda s: F.struct(
+                            F.element_at("ss", i + 1).alias("source_a"),
+                            s.alias("source_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     inter = (
-        a.join(b, F.col("a.term") == F.col("b.term"))
-        .where(F.col("a.source") < F.col("b.source"))
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-        )
+        pairs.select("p.source_a", "p.source_b")
+        .groupBy("source_a", "source_b")
         .agg(F.count("*").cast("bigint").alias("n_common"))
     )
     sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
@@ -2898,9 +2927,12 @@ def term_pmi_collocations(
     Scale shape: bigrams form ROW-LOCALLY (the same expression-level
     transform as :func:`bigram_surprisal` — no window, no shuffle);
     pair counts collapse in one map-side-combined shuffle; unigram
-    counts derive from the already-collapsed pair table (vocab-bounded,
-    ≪ corpus) rather than a second corpus pass; the two scalar totals
-    broadcast; the top-k window runs over vocab²-bounded rows."""
+    counts take a SECOND corpus-scale pass over the token stream (a
+    bigram-derived count would miss each document's final token), also
+    map-side-combined to a vocab-bounded table; the two scalar totals
+    broadcast; the top-k is a bounded ``orderBy(...).limit(top_k)``
+    (TakeOrderedAndProject — per-partition heaps, never a global sort),
+    and the rank window then runs over ≤ ``top_k`` rows."""
     docs = _docs(spark, sf_dir)
     tk = docs.select(tokens(F.col("text")).alias("tk"))
     bigr = tk.where(F.size("tk") >= 2).select(
@@ -2945,13 +2977,19 @@ def term_pmi_collocations(
         * (F.col("c2").cast("double") / F.col("nt").cast("double"))
     )
     pmi_full = F.log(x) / F.log(F.lit(2.0))
+    # bounded top-k FIRST (TakeOrderedAndProject — never a global sort),
+    # then the rank window runs over ≤ top_k rows, not the bigram table;
+    # the orderBy tie-break is total, so the set and order are identical
+    top = (
+        scored.select("bg", "c12", pmi_full.alias("pmi_full"))
+        .orderBy(F.col("pmi_full").desc(), F.col("c12").desc(), F.col("bg"))
+        .limit(top_k)
+    )
     rank_w = Window.orderBy(
         F.col("pmi_full").desc(), F.col("c12").desc(), F.col("bg")
     )
     return (
-        scored.select("bg", "c12", pmi_full.alias("pmi_full"))
-        .select("*", F.row_number().over(rank_w).alias("rank"))
-        .where(F.col("rank") <= top_k)
+        top.select("*", F.row_number().over(rank_w).alias("rank"))
         .select(
             F.col("rank").cast("bigint").alias("rank"),
             F.col("bg").alias("bigram"),
