@@ -678,11 +678,17 @@ class Database:
         validated ingest path, cluster assignment included). Returns
         ``{"added": n, "deleted": n, "updated": n}``.
 
-        Scale shape: both sides reduce to row-local ``(id, 16-byte
-        md5)`` content fingerprints (:func:`_content_fingerprint`, the
-        same machinery :meth:`diff` uses), so the classifying
-        full-outer join shuffles only id/fp pairs — never vectors or
-        metadata payloads. The changed-id sets then drive the writes:
+        Scale shape: the source table crosses the wire exactly ONCE
+        per reconcile — the read pins into the executor cache, the
+        fingerprint-classify pass scans the pinned copy, and the apply
+        side's semi-join re-reads the cache instead of re-executing
+        the JDBC pull (the same one-pull discipline as
+        :meth:`sync_jdbc`'s steady-state window). Both sides reduce to
+        row-local ``(id, 16-byte md5)`` content fingerprints
+        (:func:`_content_fingerprint`, the same machinery :meth:`diff`
+        uses), so the classifying full-outer join shuffles only id/fp
+        pairs — never vectors or metadata payloads. The changed-id
+        sets then drive the writes:
         deletes go through :meth:`delete`'s partition-scoped
         copy-on-write, and the insert side semi-joins the source
         against the changed ids (broadcast while the set is under
@@ -707,15 +713,22 @@ class Database:
         everything outside it — the same mixed-stream hazard
         :meth:`sync_jdbc` refuses). The sync mark itself does not move:
         rows past the mark that reconcile adds are re-read by the next
-        sync and collapse in its id dedup.
+        sync and collapse in its id dedup — which means a sync stream
+        run with ``dedup_ids=False`` must NOT be mixed with periodic
+        reconciles: without the id anti-join, the next sync re-ingests
+        every reconcile-added row past the mark as a duplicate (the
+        strict-mark contract assumes sync is the ONLY writer ahead of
+        the mark). Keep ``dedup_ids=True`` (the default) on any stream
+        that reconciles.
 
         NOT atomic across the two writes: a crash between the delete
         and the insert leaves updated/added rows missing until the next
         reconcile, which self-heals (they classify as added). The
         blue-green alternative — :meth:`from_jdbc` into a staging
         collection + catalog swap — stays the zero-downtime path; this
-        verb is the cheap periodic one (cost scales with the CHANGED
-        set, not the table)."""
+        verb is the cheap periodic one (the WRITE cost scales with the
+        changed set, not the table; the wire cost is the one full
+        source transfer the fingerprint comparison inherently needs)."""
         import json as _json
 
         from oasysdb_spark.sources.jdbc import read_jdbc_records
@@ -738,6 +751,17 @@ class Database:
                 if state.get("watermark_col"):
                     exclude = (state["watermark_col"],)
 
+        # ONE-PULL: the source crosses the wire exactly once per
+        # reconcile. Without the pin, the lazy JDBC frame would execute
+        # TWICE — once for the fingerprint-classify pass and again when
+        # the apply side's semi-join re-evaluates it — so a large table
+        # paid two full transfers even when nothing changed (the same
+        # double-pull sync_jdbc shed in round 13). The pin also makes
+        # the classify and apply passes see the SAME rows: an uncached
+        # re-pull could observe source mutations committed mid-reconcile
+        # and insert a row the classify pass never counted (the next
+        # reconcile would still self-heal, but the returned counts would
+        # lie about what was applied).
         source = normalize_records(
             read_jdbc_records(
                 self.spark, url, table,
@@ -749,7 +773,7 @@ class Database:
                 num_partitions=num_partitions,
                 exclude_cols=exclude,
             )
-        )
+        ).persist()
 
         s = _content_fingerprint(source).alias("s")
         r = _content_fingerprint(self.records_df()).alias("r")
@@ -797,6 +821,7 @@ class Database:
                     self._insert_batch_body(guarded)
         finally:
             delta.unpersist()
+            source.unpersist()
         return result
 
     def _default_radius(self) -> float:

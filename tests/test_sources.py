@@ -1247,3 +1247,83 @@ def test_webdataset_midparse_truncation_discards_partial_members(spark, tmp_path
     got = read_webdataset(spark, d)
     assert got.where("n_malformed = 1").count() == 1
     assert got.where("n_malformed = 0").count() == 0
+
+
+def test_reconcile_jdbc_single_source_scan(spark, tmp_path):
+    """The one-pull gate for reconcile_jdbc (r13 verdict "What's wrong"
+    #1): the source table must cross the JDBC wire exactly ONCE per
+    reconcile. Before the pin, the lazy JDBC frame executed twice — the
+    fingerprint-classify pass, then the apply semi-join's re-evaluation
+    — so a large table paid two full transfers even when nothing
+    changed. Derby's statement log is the wire-level evidence: enable
+    ``derby.language.logStatementText``, reconcile a mutated source,
+    and count the data SELECTs on the table (the ``WHERE 1=0`` schema
+    probe excluded). Mirrors sync_jdbc's one-pull rework."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.core.database import Database
+
+    dbdir = str(tmp_path / "derby_onepull")
+    url = f"jdbc:derby:{dbdir};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    table = "recon_one_pull_gate"
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "id string, vec array<double>, label int"
+        ).select("id", F.to_json("vec").alias("embedding"), "label")
+
+    base = [(f"r{i}", [float(i), 0.0], i % 3) for i in range(8)]
+    frame(base).write.jdbc(url, table, mode="overwrite", properties=props)
+    db = Database.from_jdbc(
+        spark, str(tmp_path / "db_onepull"), url, table,
+        properties=props, density=8,
+    )
+    # mutate so every apply branch runs: delete r7, update r5, add r8
+    mutated = [
+        (f"r{i}", [float(i), 0.0], i % 3) for i in range(5)
+    ] + [("r5", [5.5, 1.0], 2), ("r6", [6.0, 0.0], 99),
+         ("r8", [8.0, 0.0], 1)]
+    frame(mutated).write.jdbc(url, table, mode="overwrite", properties=props)
+
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.execute(
+        "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY("
+        "'derby.language.logStatementText', 'true')"
+    )
+    st.close()
+    conn.close()
+    derby_home = jvm.java.lang.System.getProperty("derby.system.home")
+    log_path = os.path.join(
+        derby_home or jvm.java.lang.System.getProperty("user.dir"),
+        "derby.log",
+    )
+    before = os.path.getsize(log_path) if os.path.exists(log_path) else 0
+    try:
+        res = db.reconcile_jdbc(url, table, properties=props)
+    finally:
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        st = conn.createStatement()
+        st.execute(
+            "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY("
+            "'derby.language.logStatementText', NULL)"
+        )
+        st.close()
+        conn.close()
+    assert res == {"added": 1, "deleted": 1, "updated": 2}
+    with open(log_path, encoding="utf-8", errors="replace") as f:
+        f.seek(before)
+        tail = f.read()
+    scans = [
+        ln for ln in tail.splitlines()
+        if "Executing" in ln and table in ln.lower()
+        and "1=0" not in ln.replace(" ", "")
+    ]
+    assert len(scans) == 1, (
+        f"expected exactly one data scan of {table} per reconcile, saw "
+        f"{len(scans)}:\n" + "\n".join(s[-220:] for s in scans)
+    )
