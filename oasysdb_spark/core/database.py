@@ -178,6 +178,16 @@ class Database:
         params = Parameters(dimension=dimension, metric=metric,
                             density=density, relevancy=relevancy)
         os.makedirs(directory, exist_ok=True)
+        # a rebuild re-baselines: jdbc_sync.json is sync-STREAM state,
+        # not table state, and params/records overwrites never touched
+        # it — a stale mark surviving an overwrite would silently resume
+        # the old stream mid-table on the next sync_jdbc (double-ingest
+        # under dedup_ids=False, permanent gaps against a re-baselined
+        # source). from_jdbc(watermark_col=...) writes its fresh seed
+        # AFTER this, so the load-then-sync composition is unaffected.
+        stale_sync = os.path.join(directory, _JDBC_SYNC_FILE)
+        if os.path.exists(stale_sync):
+            os.remove(stale_sync)
         db = cls(spark, directory, params)
         empty = spark.createDataFrame([], RECORD_SCHEMA)
         db.records.write(empty)

@@ -85,7 +85,18 @@ def watermark_literal(value, kind: str, *, remote: bool = False) -> str:
     if kind == "num":
         return str(value)
     if kind == "str":
-        return "'" + str(value).replace("'", "''") + "'"
+        s = str(value).replace("'", "''")
+        if not remote:
+            # Spark parses its SQL fragments with C-style backslash
+            # escapes active (spark.sql.parser.escapedStringLiterals
+            # defaults to false), so an unescaped backslash in the mark
+            # would parse to a DIFFERENT bound than the value actually
+            # persisted and silently shift the Spark-side filter. The
+            # remote form stays verbatim: ANSI string literals have no
+            # backslash escapes, and a doubled backslash would shift
+            # the bound on the remote instead.
+            s = s.replace("\\", "\\\\")
+        return "'" + s + "'"
     if kind == "ts":
         return "{ts '%s'}" % value if remote else f"TIMESTAMP '{value}'"
     if kind == "date":

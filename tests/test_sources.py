@@ -1327,3 +1327,79 @@ def test_reconcile_jdbc_single_source_scan(spark, tmp_path):
         f"expected exactly one data scan of {table} per reconcile, saw "
         f"{len(scans)}:\n" + "\n".join(s[-220:] for s in scans)
     )
+
+
+def test_watermark_literal_spark_backslash_roundtrip(spark):
+    """Spark parses its SQL fragments with C-style backslash escapes
+    active (spark.sql.parser.escapedStringLiterals defaults false), so
+    the non-remote string-literal form must escape backslashes or a
+    mark containing one parses to a DIFFERENT bound than the persisted
+    value (r13 ADVICE). Round-trip every adversarial shape through a
+    real Spark filter: equality hits exactly the value, and the strict
+    bound partitions the set exactly where Python's code-point order
+    says it should."""
+    from oasysdb_spark.sources.jdbc import watermark_literal
+
+    vals = ["a\\b", "trail\\", "\\\\lead", "mix'q\\uote", "a\\'b", "plain"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    for v in vals:
+        lit = watermark_literal(v, "str")
+        assert [r["s"] for r in df.where(f"s = {lit}").collect()] == [v]
+        got = sorted(r["s"] for r in df.where(f"s > {lit}").collect())
+        assert got == sorted(x for x in vals if x > v)
+
+
+def test_from_jdbc_overwrite_clears_stale_sync_state(spark, tmp_path):
+    """A rebuild re-baselines (r13 ADVICE): configure/from_jdbc with
+    overwrite=True rewrites params and records but jdbc_sync.json is
+    sync-STREAM state — left in place, a rebuild without watermark_col
+    would silently resume the old stream from a stale mark on the next
+    sync_jdbc (double-ingest under dedup_ids=False, permanent gaps
+    against a re-baselined source). The overwrite must delete it; a
+    rebuild WITH watermark_col re-seeds it fresh."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.core.database import Database
+    from oasysdb_spark.core.database import _JDBC_SYNC_FILE
+
+    dbdir = str(tmp_path / "derby_stale")
+    url = f"jdbc:derby:{dbdir};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    rows = spark.createDataFrame(
+        [(f"r{i}", [float(i), 0.0], i) for i in range(5)],
+        "id string, vec array<double>, seq int",
+    ).select("id", F.to_json("vec").alias("embedding"), "seq")
+    rows.write.jdbc(url, "stale_t", mode="overwrite", properties=props)
+
+    d = str(tmp_path / "db_stale")
+    Database.from_jdbc(
+        spark, d, url, "stale_t", properties=props, density=8,
+        watermark_col="seq",
+    )
+    state_path = os.path.join(d, _JDBC_SYNC_FILE)
+    with open(state_path, encoding="utf-8") as f:
+        assert json.load(f)["high"] == 4
+
+    # rebuild WITHOUT watermark_col: the stale stream state must go
+    db2 = Database.from_jdbc(
+        spark, d, url, "stale_t", properties=props, density=8,
+        overwrite=True,
+    )
+    assert not os.path.exists(state_path)
+    # ...so a fresh sync stream starts from NO mark: it re-reads the
+    # whole table and the id dedup collapses it to zero new rows
+    assert db2.sync_jdbc(url, "stale_t", watermark_col="seq",
+                         properties=props) == 0
+    assert db2.count() == 5
+
+    # rebuild WITH watermark_col re-seeds fresh state
+    os.remove(state_path)
+    Database.from_jdbc(
+        spark, d, url, "stale_t", properties=props, density=8,
+        overwrite=True, watermark_col="seq",
+    )
+    with open(state_path, encoding="utf-8") as f:
+        assert json.load(f)["high"] == 4
