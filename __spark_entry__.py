@@ -120,194 +120,68 @@ def _bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver oracle-checks the FIRST 50 entries.
 
-    Round-13 rotation (window math: 141 entries, 50-slot window, every
+    Round-14 rotation (window math: 145 entries, 50-slot window, every
     out-of-window entry must hold a green row no older than round N-2):
 
-    (a) 39 of the 40 r10-green entries deferred past the r12 window —
-        at the two-round staleness limit, so they MUST lead (pinned by
-        name in tests/test_entry.py's r12 deferral assertion and the
-        r12 verdict's task 1). The 40th, `events_funnel`, RETIRES at
-        this rotation instead of re-entering: its semantics are
-        `event_funnel(steps=("view","click","purchase"))` reshaped
-        (greedy-earliest matching == first-view / first-click-after /
-        first-purchase-after on tie-free streams; the one divergence —
-        same-timestamp stage crossings, which events_funnel's strict
-        `ts >` drops and the greedy fold admits — is pinned never to
-        occur in the fixture and documented in
-        tests/test_operators.py's tie-divergence gate), so the slot
-        was double coverage of the k-step generalization. Retirement
-        continuity (the r12 dedup_simhash precedent): a pytest
-        self-oracle (tests/test_operators.py: DuckDB twin + bit-pinned
-        equivalence to event_funnel's counts) and its bench.py row
-        moves to EXTRA_BENCH for frozen-baseline continuity;
-    (b) the 3 r11-green entries whose code changed in r12 without
-        window room, pinned into this head by tests/test_entry.py's
-        changed-code rule: `simhash_band_health` +
-        `cross_source_duplication_stats` (decimal(38,0)/HUGEINT pair
-        counts, r12 ADVICE) and `customer_fuzzy_matches` (the
-        plan-fingerprint zero-job fast path);
-    (c) 2 promotions from staged pytest self-oracles (each hash-gated
+    (a) the 40 r11-green entries deferred past the r13 window — at the
+        two-round staleness limit, so they MUST lead (pinned by name in
+        tests/test_entry.py's r13 deferral assertion and the r13
+        verdict's task 1: `vec_knn_filtered` through
+        `lineitem_price_qty_correlation`);
+    (b) 1 changed-code pin: `term_burstiness` is r13-green, but its
+        rank plan was rewritten this round to bounded top-k-first
+        (orderBy().limit() → TakeOrderedAndProject before the
+        row_number window — the r13 verdict's What's-wrong #2), and an
+        entry whose code changes re-checks in-window by the ledger
+        rule;
+    (c) 4 promotions from staged pytest self-oracles (each hash-gated
         against an independent DuckDB replay in tests/test_operators.py
-        and scale-probed before promotion):
-        `embedding_decontaminate_stats` (the semantic-decontamination
-        rung of the dedup ladder, bench-tracked since r9) and
-        `term_burstiness` (Church-Gale variance-to-mean corpus audit).
-        Paired retirements (capacity discipline): `events_funnel` (see
-        (a)) and `text_bigram_surprisal` — the middle rung of the
-        unigram→bigram→trigram surprisal ladder; both neighbors stay in
-        the contract, the retired rung keeps a pytest DuckDB
-        self-oracle (tests/test_operators.py);
-    (d) 6 r11-green pull-forwards (`text_token_stats`,
-        `text_fingerprints`, `text_stratified_sample`,
-        `events_sliding_windows`, `vec_knn_euclidean`, `vec_radius`) —
-        they would otherwise all land in r14's mandatory head; checking
-        them now smooths the cycle (r14 head = 40, not 46).
-        39+3+2+6 = exactly 50.
+        and verified at three scales before promotion):
+        `term_pmi_collocations` (Church & Hanks collocation audit —
+        promoted only AFTER the same bounded top-k rewrite as (b)),
+        `source_length_drift` (per-source KS drift over the decile
+        grid), `embedding_contamination_report_stats` (the
+        embedding-side reverse decontamination report, eval-anchored),
+        and `source_vocab_overlap_matrix` (pairwise source-vocabulary
+        Jaccard — promoted only AFTER its S²-per-shared-term
+        intersection join was reshaped to row-local pair generation,
+        the r13 verdict's What's-wrong #3). NO paired retirements this
+        round: the r13 retirement survey found no remaining exact
+        special cases or redundant ladder rungs (the knn family's
+        remaining variants differ in schema and plan shape; the two
+        pick operators are different algorithms), and retiring unique
+        coverage to hold a capacity number would trade real coverage
+        for bookkeeping — the honest price is 4 of the ~9 remaining
+        ceiling slots (see CAPACITY NOTE);
+    (d) 5 r12-green pull-forwards (`setop_intersect`, `ship_latency`,
+        `orders_by_month`, `parts_like_patterns`, `rollup_lineitem`) —
+        they would otherwise all land in r15's mandatory head;
+        checking them now smooths the cycle (r15 head = 45, not 50).
+        40+1+4+5 = exactly 50.
 
-    Below the window: the 50 r12-green entries of the previous window
-    (fine through r14, mandatory at r15), the 40 r11-green entries not
-    pulled forward — THEY ARE ROUND 14's MANDATORY HEAD (pinned by
+    Below the window: the 49 remaining r13-green entries of the
+    previous window (fine through r15), the 45 r12-green entries not
+    pulled forward — THEY ARE ROUND 15's MANDATORY HEAD (pinned by
     name in tests/test_entry.py — the ledger discipline), plus any
-    entry whose code changes in r13 without window room (none planned:
-    this round's code work is the JDBC sync/reconcile lineage, which
-    is pytest-gated, not a queries() surface), and
-    `text_bpe_tokenizer` (judge r6 task 5): permanently `no_oracle`
-    rows-only; its SQL-expressible half (`text_pretoken_counts`) is
-    the in-contract twin and the merge sequence stays pytest-pinned
+    entry whose code changes in r14 without window room (none: this
+    round's other code work is the JDBC reconcile one-pull, which is
+    pytest-gated, not a queries() surface), and `text_bpe_tokenizer`
+    (judge r6 task 5): permanently `no_oracle` rows-only; its
+    SQL-expressible half (`text_pretoken_counts`) is the in-contract
+    twin and the merge sequence stays pytest-pinned
     (tests/test_tokenizer.py), so outside the window it is
     pytest-gated rather than stale.
 
-    CAPACITY NOTE: 141 entries against the 150-entry ceiling (50-slot
-    window × 3-round refresh cycle) — r13 promoted 2 and retired 2, so
-    capacity is unchanged and ~9 promotion slots remain EVER; keep
-    pairing promotions with retirements. The boundary comment below
-    marks entry 50 — but the rotation test checks the real slice, not
-    the comment."""
+    CAPACITY NOTE: 145 entries against the 150-entry ceiling (50-slot
+    window × 3-round refresh cycle) — r14 promoted 4 and retired 0
+    (rationale in (c)), so 5 promotion slots remain EVER; from r15 on,
+    every promotion MUST pair with a retirement or the rotation stops
+    closing. The boundary comment below marks entry 50 — but the
+    rotation test checks the real slice, not the comment."""
     return {
-        # --- (a) the r10-stale mandatory head (39 of the r12 ledger's
-        # 40; events_funnel retired — see the docstring) ---
-        "q4_order_priority": rel.q4_order_priority,
-        "domain_mixture_sample": textops.domain_mixture_sample,
-        "encoding_quality_stats": textops.encoding_quality_stats,
-        "source_token_divergence": textops.source_token_divergence,
-        "customers_without_orders": rel.customers_without_orders,
-        "text_boilerplate_scrub": textops.boilerplate_scrub,
-        "text_gopher_quality": textops.gopher_quality_flags,
-        "text_repetition_stats": textops.repetition_stats,
-        "text_vocabulary": textops.vocabulary,
-        "text_span_dedup": textops.span_dedup_stats,
-        "embedding_balanced_sample": embed.label_balanced_sample,
-        "text_heavy_hitters": textops.heavy_hitter_terms,
-        "orders_trailing_spend": rel.orders_trailing_spend,
-        "events_retention_cohorts": rel.events_retention_cohorts,
-        "text_unigram_surprisal": textops.unigram_surprisal,
-        "multimodal_audio_fingerprints": mm.multimodal_audio_fingerprints,
-        "dedup_representative_pick": dedup.representative_pick,
-        "window_functions_suite": rel.window_functions_suite,
-        "grouping_sets_orders": rel.grouping_sets_orders,
-        "pivot_lineitem": rel.pivot_lineitem,
-        "filter_dsl_embeddings": rel.filter_dsl_embeddings,
-        "skew_salted_user_join": rel.skew_salted_user_join,
-        "setop_customers": rel.setop_customers,
-        "range_join_price_bands": tmp.range_join_price_bands,
-        "text_pack_sequences": textops.pack_sequences,
-        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
-        "text_language_id": textops.language_id,
-        "text_quality": textops.quality_scores,
-        "random_projection": embed.random_projection,
-        "q2_min_cost_supplier": rel.q2_min_cost_supplier,
-        "user_rfm_segments": rel.user_rfm_segments,
-        "embedding_norm_stats": embed.embedding_norm_stats,
-        "q8_market_share": rel.q8_market_share,
-        "math_stats": rel.math_stats,
-        "json_event_stats": rel.json_event_stats,
-        "event_funnel": rel.event_funnel,
-        "text_clean_pipeline": textops.clean_corpus_pipeline,
-        "multimodal_pixel_stats": mm.multimodal_pixel_stats,
-        "multimodal_video_stats": mm.multimodal_video_stats,
-        # --- (b) r11-green entries whose code changed in r12 (the
-        # changed-code pin, tests/test_entry.py r12 ledger) ---
-        "simhash_band_health": dedup.simhash_band_health,
-        "cross_source_duplication_stats": dedup.cross_source_duplication_stats,
-        "customer_fuzzy_matches": sj.customer_fuzzy_matches,
-        # --- (c) new in round 13: staged self-oracles promoted (paired
-        # retirements: events_funnel + text_bigram_surprisal — see the
-        # docstring) ---
-        "embedding_decontaminate_stats": dedup.embedding_decontaminate_stats,
-        "term_burstiness": textops.term_burstiness,
-        # --- (d) r11-green pull-forwards (smoothing r14's head) ---
-        "text_token_stats": textops.token_stats,
-        "text_fingerprints": textops.fingerprints,
-        "text_stratified_sample": textops.stratified_sample_stats,
-        "events_sliding_windows": tmp.events_sliding_windows,
-        "vec_knn_euclidean": vec.knn_bruteforce,
-        "vec_radius": vec.radius_search,
-        # ---- driver window boundary: vec_radius above is entry 50
-        # (count them — don't trust a comment's position; the rotation
-        # test in tests/test_entry.py checks the REAL first-50 slice).
-        # Every entry below holds a green hash-matched row from the
-        # most recent round that checked it and is unchanged since:
-        # first the 50 r12-green entries of the previous window, then
-        # the 40 r11-green entries that MUST lead the r14 window
-        # (2-stale then — the pinned ledger), then the pytest-gated
-        # rows-only bpe entry ----
-        # r12-green (latest driver row is CORRECTNESS_r12; fine
-        # through r14, mandatory head at r15):
-        "sessionize_events": rel.sessionize_events,
-        "interval_overlap_join": tmp.interval_overlap_sessions,
-        "events_tumbling_hourly": tmp.events_tumbling_hourly,
-        "parts_above_avg_price": rel.parts_above_avg_price,
-        "orders_by_month": rel.orders_by_month,
-        "rollup_lineitem": rel.rollup_lineitem,
-        "unpivot_lineitem": rel.unpivot_lineitem,
-        "top_orders_per_customer": rel.top_orders_per_customer,
-        "running_revenue": rel.running_revenue,
-        "cube_orders": rel.cube_orders,
-        "setop_intersect": rel.setop_intersect,
-        "ship_latency": rel.ship_latency,
-        "parts_like_patterns": rel.parts_like_patterns,
-        "q1_pricing_summary": rel.q1_pricing_summary,
-        "q11_important_parts": rel.q11_important_parts,
-        "q18_large_volume_customers": rel.q18_large_volume_customers,
-        "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
-        "q20_excess_shippers": rel.q20_excess_shippers,
-        "q21_waiting_supplier": rel.q21_waiting_supplier,
-        "q22_idle_customers": rel.q22_idle_customers,
-        "event_rate_anomalies": tmp.event_rate_anomalies,
-        "tfidf_top_terms": textops.tfidf_top_terms,
-        "events_active_users": rel.events_active_users,
-        "minhash_jaccard_calibration": dedup.minhash_jaccard_calibration,
-        "hybrid_search_rrf": embed.hybrid_search_rrf,
-        "label_centroid_similarity": embed.label_centroid_similarity,
-        "leakage_safe_split": lambda s, d: dedup.leakage_safe_split(
-            s, d, test_frac=0.2
-        ),
-        "zipf_slope": textops.zipf_slope,
-        "sq_reconstruction_stats": vec.sq_reconstruction_stats,
-        "dedup_saturation_curve": dedup.dedup_saturation_curve,
-        "dsir_importance_sample": textops.dsir_importance_sample,
-        "quality_percentile_filter": textops.quality_percentile_filter,
-        "multimodal_features": mm.multimodal_features,
-        "q6_forecast_revenue": rel.q6_forecast_revenue,
-        "q7_nation_volume": rel.q7_nation_volume,
-        "q9_profit_by_nation_year": rel.q9_profit_by_nation_year,
-        "q10_returned_customers": rel.q10_returned_customers,
-        "q12_latency_priority": rel.q12_latency_priority,
-        "q13_order_count_distribution": rel.q13_order_count_distribution,
-        "q14_promo_share": rel.q14_promo_share,
-        "q15_top_supplier": rel.q15_top_supplier,
-        "q17_small_qty_revenue": rel.q17_small_qty_revenue,
-        "dedup_simhash_wide_pairs": dedup.simhash_wide_pairs,
-        "multimodal_dhash_near_pairs": mm.multimodal_dhash_near_pairs,
-        "text_bm25_search": textops.bm25_search,
-        "q3_shipping_priority": rel.q3_shipping_priority,
-        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
-        "bucketed_revenue_by_priority": rel.bucketed_revenue_by_priority,
-        "ngram_novelty_curve": textops.ngram_novelty_curve,
-        "embedding_outlier_stats": embed.embedding_outlier_stats,
-        # r11-green below (latest driver row is CORRECTNESS_r11):
-        # 2-stale at r13 — the MANDATORY head of the r14 window,
-        # pinned in tests/test_entry.py ----
+        # --- (a) the 40-entry MANDATORY head: r11-green entries at the
+        # two-round staleness limit (pinned by name in tests/test_entry.py
+        # — the r13 ledger's deferred_at_limit set) ---
         "vec_knn_filtered": vec.knn_filtered,
         "vec_knn_batched": vec.knn_batched,
         "vec_label_centroids": vec.label_centroids,
@@ -350,6 +224,135 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_stats": rel.percentile_stats,
         "weighted_sample_topk": textops.weighted_sample_topk,
         "lineitem_price_qty_correlation": rel.lineitem_price_qty_correlation,
+        # --- (b) changed-code pin: term_burstiness was r13-green but its
+        # rank plan was rewritten to bounded top-k-first this round (the
+        # r13 verdict's What's-wrong #2), so it re-checks in-window ---
+        "term_burstiness": textops.term_burstiness,
+        # --- (c) promotions from staged pytest self-oracles (each DuckDB
+        # hash-gated in tests/test_operators.py and three-scale-verified;
+        # term_pmi_collocations promoted only AFTER its bounded top-k
+        # rewrite; source_vocab_overlap_matrix only AFTER its S²-fan-out
+        # reshape to row-local pair generation) ---
+        "term_pmi_collocations": textops.term_pmi_collocations,
+        "source_length_drift": textops.source_length_drift,
+        "embedding_contamination_report_stats": (
+            dedup.embedding_contamination_report_stats
+        ),
+        "source_vocab_overlap_matrix": textops.source_vocab_overlap_matrix,
+        # --- (d) r12-green pull-forwards (smoothing r15's head to 45) ---
+        "setop_intersect": rel.setop_intersect,
+        "ship_latency": rel.ship_latency,
+        "orders_by_month": rel.orders_by_month,
+        "parts_like_patterns": rel.parts_like_patterns,
+        "rollup_lineitem": rel.rollup_lineitem,
+        # ---- driver window boundary: rollup_lineitem above is entry 50
+        # (count them — don't trust a comment's position; the rotation
+        # test in tests/test_entry.py checks the REAL first-50 slice).
+        # Every entry below holds a green hash-matched row from the most
+        # recent round that checked it and is unchanged since: first the
+        # 49 r13-green entries of the previous window (fine through r15),
+        # then the 45 r12-green entries not pulled forward (2-stale at
+        # r14 — they are r15's MANDATORY head, pinned in
+        # tests/test_entry.py), then the pytest-gated rows-only bpe entry ----
+        # r13-green (latest driver row is CORRECTNESS_r13):
+        "q4_order_priority": rel.q4_order_priority,
+        "domain_mixture_sample": textops.domain_mixture_sample,
+        "encoding_quality_stats": textops.encoding_quality_stats,
+        "source_token_divergence": textops.source_token_divergence,
+        "customers_without_orders": rel.customers_without_orders,
+        "text_boilerplate_scrub": textops.boilerplate_scrub,
+        "text_gopher_quality": textops.gopher_quality_flags,
+        "text_repetition_stats": textops.repetition_stats,
+        "text_vocabulary": textops.vocabulary,
+        "text_span_dedup": textops.span_dedup_stats,
+        "embedding_balanced_sample": embed.label_balanced_sample,
+        "text_heavy_hitters": textops.heavy_hitter_terms,
+        "orders_trailing_spend": rel.orders_trailing_spend,
+        "events_retention_cohorts": rel.events_retention_cohorts,
+        "text_unigram_surprisal": textops.unigram_surprisal,
+        "multimodal_audio_fingerprints": mm.multimodal_audio_fingerprints,
+        "dedup_representative_pick": dedup.representative_pick,
+        "window_functions_suite": rel.window_functions_suite,
+        "grouping_sets_orders": rel.grouping_sets_orders,
+        "pivot_lineitem": rel.pivot_lineitem,
+        "filter_dsl_embeddings": rel.filter_dsl_embeddings,
+        "skew_salted_user_join": rel.skew_salted_user_join,
+        "setop_customers": rel.setop_customers,
+        "range_join_price_bands": tmp.range_join_price_bands,
+        "text_pack_sequences": textops.pack_sequences,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "text_language_id": textops.language_id,
+        "text_quality": textops.quality_scores,
+        "random_projection": embed.random_projection,
+        "q2_min_cost_supplier": rel.q2_min_cost_supplier,
+        "user_rfm_segments": rel.user_rfm_segments,
+        "embedding_norm_stats": embed.embedding_norm_stats,
+        "q8_market_share": rel.q8_market_share,
+        "math_stats": rel.math_stats,
+        "json_event_stats": rel.json_event_stats,
+        "event_funnel": rel.event_funnel,
+        "text_clean_pipeline": textops.clean_corpus_pipeline,
+        "multimodal_pixel_stats": mm.multimodal_pixel_stats,
+        "multimodal_video_stats": mm.multimodal_video_stats,
+        "simhash_band_health": dedup.simhash_band_health,
+        "cross_source_duplication_stats": dedup.cross_source_duplication_stats,
+        "customer_fuzzy_matches": sj.customer_fuzzy_matches,
+        "embedding_decontaminate_stats": dedup.embedding_decontaminate_stats,
+        "text_token_stats": textops.token_stats,
+        "text_fingerprints": textops.fingerprints,
+        "text_stratified_sample": textops.stratified_sample_stats,
+        "events_sliding_windows": tmp.events_sliding_windows,
+        "vec_knn_euclidean": vec.knn_bruteforce,
+        "vec_radius": vec.radius_search,
+        # r12-green below (latest driver row is CORRECTNESS_r12):
+        # 2-stale at r14 — the MANDATORY head of the r15 window ----
+        "sessionize_events": rel.sessionize_events,
+        "interval_overlap_join": tmp.interval_overlap_sessions,
+        "events_tumbling_hourly": tmp.events_tumbling_hourly,
+        "parts_above_avg_price": rel.parts_above_avg_price,
+        "unpivot_lineitem": rel.unpivot_lineitem,
+        "top_orders_per_customer": rel.top_orders_per_customer,
+        "running_revenue": rel.running_revenue,
+        "cube_orders": rel.cube_orders,
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q11_important_parts": rel.q11_important_parts,
+        "q18_large_volume_customers": rel.q18_large_volume_customers,
+        "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
+        "q20_excess_shippers": rel.q20_excess_shippers,
+        "q21_waiting_supplier": rel.q21_waiting_supplier,
+        "q22_idle_customers": rel.q22_idle_customers,
+        "event_rate_anomalies": tmp.event_rate_anomalies,
+        "tfidf_top_terms": textops.tfidf_top_terms,
+        "events_active_users": rel.events_active_users,
+        "minhash_jaccard_calibration": dedup.minhash_jaccard_calibration,
+        "hybrid_search_rrf": embed.hybrid_search_rrf,
+        "label_centroid_similarity": embed.label_centroid_similarity,
+        "leakage_safe_split": lambda s, d: dedup.leakage_safe_split(
+            s, d, test_frac=0.2
+        ),
+        "zipf_slope": textops.zipf_slope,
+        "sq_reconstruction_stats": vec.sq_reconstruction_stats,
+        "dedup_saturation_curve": dedup.dedup_saturation_curve,
+        "dsir_importance_sample": textops.dsir_importance_sample,
+        "quality_percentile_filter": textops.quality_percentile_filter,
+        "multimodal_features": mm.multimodal_features,
+        "q6_forecast_revenue": rel.q6_forecast_revenue,
+        "q7_nation_volume": rel.q7_nation_volume,
+        "q9_profit_by_nation_year": rel.q9_profit_by_nation_year,
+        "q10_returned_customers": rel.q10_returned_customers,
+        "q12_latency_priority": rel.q12_latency_priority,
+        "q13_order_count_distribution": rel.q13_order_count_distribution,
+        "q14_promo_share": rel.q14_promo_share,
+        "q15_top_supplier": rel.q15_top_supplier,
+        "q17_small_qty_revenue": rel.q17_small_qty_revenue,
+        "dedup_simhash_wide_pairs": dedup.simhash_wide_pairs,
+        "multimodal_dhash_near_pairs": mm.multimodal_dhash_near_pairs,
+        "text_bm25_search": textops.bm25_search,
+        "q3_shipping_priority": rel.q3_shipping_priority,
+        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
+        "bucketed_revenue_by_priority": rel.bucketed_revenue_by_priority,
+        "ngram_novelty_curve": textops.ngram_novelty_curve,
+        "embedding_outlier_stats": embed.embedding_outlier_stats,
         "text_bpe_tokenizer": _bpe_tokenizer,
     }
 
@@ -1709,6 +1712,105 @@ def oracle_sql() -> dict[str, str]:
         r AS (SELECT *, row_number() OVER (ORDER BY burstiness DESC, tf DESC, term) AS rnk FROM scored)
         SELECT CAST(rnk AS BIGINT) AS rank, term, df, tf, burstiness
         FROM r WHERE rnk <= 25 ORDER BY rank"""
+
+    # PMI collocations: one double expression with identical
+    # parenthesization on both engines (every operand an exact integer
+    # cast once to double), full-precision rank tie-break, shared
+    # scale-0 display round — promoted r14 after the bounded top-k
+    # rewrite (the DuckDB window replay IS the rank semantics the
+    # Spark TakeOrderedAndProject + ≤top_k window must reproduce)
+    q["term_pmi_collocations"] = f"""
+        WITH tk AS (SELECT {_TOKS} AS tk FROM documents),
+        bg AS (SELECT unnest(list_transform(range(1, len(tk)),
+                      i -> tk[i] || ' ' || tk[i+1])) AS bg
+               FROM tk WHERE len(tk) >= 2),
+        pc AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+        uni AS (SELECT t, count(*) AS c
+                FROM (SELECT unnest(tk) AS t FROM tk) GROUP BY t),
+        tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS nt,
+                       (SELECT CAST(sum(c12) AS BIGINT) FROM pc) AS np_),
+        scored AS (SELECT pc.bg, pc.c12,
+                     ln((CAST(pc.c12 AS DOUBLE) / CAST(tot.np_ AS DOUBLE))
+                        / ((CAST(u1.c AS DOUBLE) / CAST(tot.nt AS DOUBLE))
+                           * (CAST(u2.c AS DOUBLE) / CAST(tot.nt AS DOUBLE)))) / ln(2) AS pmi_full
+                   FROM pc
+                   JOIN uni u1 ON string_split(pc.bg, ' ')[1] = u1.t
+                   JOIN uni u2 ON string_split(pc.bg, ' ')[2] = u2.t
+                   CROSS JOIN tot
+                   WHERE pc.c12 >= 5),
+        r AS (SELECT *, row_number() OVER (ORDER BY pmi_full DESC, c12 DESC, bg) AS rnk
+              FROM scored)
+        SELECT CAST(rnk AS BIGINT) AS rank, bg AS bigram,
+               CAST(c12 AS BIGINT) AS pair_count,
+               round(CAST(round(pmi_full * 1e6) AS BIGINT) / 1e6, 6) AS pmi
+        FROM r WHERE rnk <= 30 ORDER BY rank"""
+
+    # per-source KS drift against the corpus length distribution over
+    # the frequency-weighted decile grid — exact integer-ratio CDF
+    # gaps, one round of the max gap (promoted r14)
+    q["source_length_drift"] = f"""
+        WITH lens AS (SELECT source, CAST(len({_TOKS}) AS BIGINT) AS l
+                      FROM documents),
+        qs AS (SELECT quantile_cont(l, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS a FROM lens),
+        grid AS (SELECT CAST(i AS BIGINT) - 1 AS d, a[CAST(i AS INTEGER)] AS q
+                 FROM qs, (SELECT unnest(range(1, 10)) AS i)),
+        per_sd AS (SELECT source, d,
+                     sum(CASE WHEN l <= q THEN 1 ELSE 0 END) AS le,
+                     count(*) AS n_s
+                   FROM lens, grid GROUP BY source, d),
+        corpus AS (SELECT d, sum(le) AS le_all, sum(n_s) AS n_all FROM per_sd GROUP BY d)
+        SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
+               round(max(abs(CAST(le AS DOUBLE) / n_s - CAST(le_all AS DOUBLE) / n_all)), 6) AS ks_stat
+        FROM per_sd JOIN corpus USING (d)
+        GROUP BY source ORDER BY source"""
+
+    # eval-anchored reverse decontamination report on the embedding
+    # side: brute-force cosine replay, scale-0 round PER PAIR then max
+    # over rounded values, -1.0 clean-row sentinel (promoted r14)
+    q["embedding_contamination_report_stats"] = f"""
+        WITH tr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings WHERE vec_id % 10 <> 0),
+        ev AS (SELECT vec_id AS eval_vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 5000),
+        pairs AS (SELECT ev.eval_vec_id,
+                    round(CAST(round(
+                      (list_sum(list_transform(list_zip(tr.e, ev.e), x -> x[1]*x[2]))
+                       / (sqrt(list_sum(list_transform(tr.e, z -> z*z)))
+                          * sqrt(list_sum(list_transform(ev.e, z -> z*z))))) * 1e6
+                    ) AS BIGINT) / 1e6, 6) + 0.0 AS cos_sim
+                  FROM tr CROSS JOIN ev
+                  WHERE sqrt(list_sum(list_transform(tr.e, z -> z*z)))
+                        * sqrt(list_sum(list_transform(ev.e, z -> z*z))) <> 0),
+        hits AS (SELECT eval_vec_id, CAST(count(*) AS BIGINT) AS n_contaminated,
+                        max(cos_sim) AS max_cos
+                 FROM pairs WHERE cos_sim >= 0.35 GROUP BY eval_vec_id)
+        SELECT ev.eval_vec_id,
+               CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+               COALESCE(h.max_cos, -1.0) AS max_cos
+        FROM ev LEFT JOIN hits h USING (eval_vec_id)
+        ORDER BY ev.eval_vec_id"""
+
+    # pairwise source-vocabulary Jaccard: exact distinct-term counts,
+    # one division of two exact integers rounded once; the DuckDB
+    # term-keyed self-join replays the SET SEMANTICS the Spark side's
+    # row-local pair generation must reproduce (promoted r14 after the
+    # S²-fan-out reshape)
+    q["source_vocab_overlap_matrix"] = f"""
+        WITH st AS (SELECT DISTINCT source, unnest({_TOKS}) AS term FROM documents),
+        sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY source),
+        inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                    CAST(count(*) AS BIGINT) AS n_common
+                  FROM st a JOIN st b ON a.term = b.term
+                  WHERE a.source < b.source GROUP BY 1, 2),
+        grid AS (SELECT sa.source AS source_a, sb.source AS source_b,
+                   sa.n AS n_a, sb.n AS n_b
+                 FROM sizes sa CROSS JOIN sizes sb WHERE sa.source < sb.source)
+        SELECT g.source_a, g.source_b, g.n_a, g.n_b,
+               CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+               round(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                     / CAST(g.n_a + g.n_b - COALESCE(i.n_common, 0) AS DOUBLE), 6) AS jaccard
+        FROM grid g LEFT JOIN inter i USING (source_a, source_b)
+        ORDER BY g.source_a, g.source_b"""
 
     # feature-hashing embedding (signed bucket counts, sign bit 40) —
     # integer sums, so cross-engine exact with no float hazards

@@ -95,6 +95,14 @@ BENCH_QUERIES = [
     # lost cache, an extra shuffle between stages) surfaces per round,
     # not just per-stage (judge r9 task 5)
     "prepare_training_corpus",
+    # r14 promotions with plan-shape claims, wall-clock-tracked: the
+    # PMI collocation audit (corpus-scale bigram + unigram tables, rank
+    # via bounded TakeOrderedAndProject — a regression back to the
+    # unpartitioned full-table window shows as a knee here) and the
+    # pairwise vocab overlap (row-local per-term pair generation — a
+    # regression back to the S²-row term self-join likewise)
+    "term_pmi_collocations",
+    "source_vocab_overlap_matrix",
 ]
 
 # Bench-local callables for operators outside the driver-oracle window
