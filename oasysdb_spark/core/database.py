@@ -263,10 +263,16 @@ class Database:
         post-load scan could cover never-loaded rows), so the first
         sync reads only rows newer than the bulk load instead of
         re-pulling (and re-deduplicating) the whole table. Seeding
-        costs one extra aggregate scan of the filtered source (JDBC
-        pushes the filter down, not the max)."""
+        costs one extra ONE-ROW remote MAX aggregate subquery (the v1
+        JDBC source pushes filters but never aggregates, so a
+        client-side max would pull the whole filtered table through
+        one socket just to find its edge — the same pushdown
+        :meth:`sync_jdbc`'s backfill bounds use), falling back to the
+        client-side aggregate with a warning when the remote can't
+        parse the filter."""
         from oasysdb_spark.sources.jdbc import (
             read_jdbc_records,
+            remote_watermark_minmax,
             watermark_state,
         )
 
@@ -303,9 +309,31 @@ class Database:
                     f"JDBC table {table!r} has no watermark column "
                     f"{watermark_col!r}"
                 )
-            wm_df = src.where(where) if where else src
-            agg = wm_df.agg(F.max(watermark_col).alias("h")).first()
-            high = agg["h"] if agg is not None else None
+            # remote one-row MAX pushdown (the sync-backfill pattern):
+            # the user's `where` is the v0.7 pre-filter and ships to
+            # the remote verbatim in read_jdbc_records already, so the
+            # same text is the remote-dialect filter here; a remote
+            # that can't parse it falls back to the client-side
+            # aggregate (one extra window transfer) with a warning so
+            # an operator sees WHY a huge-table load got slow
+            try:
+                _, high = remote_watermark_minmax(
+                    spark, url, table, watermark_col,
+                    properties=properties, where_remote=where,
+                )
+            except Exception as exc:  # noqa: BLE001 — dialect refusal
+                import warnings
+
+                warnings.warn(
+                    "remote MAX pushdown for the seed mark failed; "
+                    "falling back to a client-side aggregate (the "
+                    "filtered table transfers once just to find its "
+                    f"max): {type(exc).__name__}: {str(exc)[:200]}",
+                    stacklevel=2,
+                )
+                wm_df = src.where(where) if where else src
+                agg = wm_df.agg(F.max(watermark_col).alias("h")).first()
+                high = agg["h"] if agg is not None else None
             seed_state = {
                 "url": url, "table": table,
                 "watermark_col": watermark_col, "where": where,
@@ -340,14 +368,27 @@ class Database:
             spark, directory, dimension=int(dimension), metric=metric,
             density=density, relevancy=relevancy, overwrite=overwrite,
         )
-        guarded = db._with_dim_guard(normalize_records(records))
-        with db._dim_guard_boundary():
-            if build_index:
-                from oasysdb_spark.index.ivf import build_index as _build
+        # ONE-PULL: the indexed build path runs THREE actions over the
+        # source (the k-sizing count, the k-means fit sample, and the
+        # clustered write), and an un-persisted JDBC frame re-executes
+        # the remote read for each — a huge table crossed the wire
+        # twice in full plus a whole-table count. Pin the normalized
+        # frame so the first action materializes the cache and the
+        # rest read it; this also makes the fit, the count and the
+        # write see the SAME snapshot of a table that keeps receiving
+        # writes mid-load (the sync/reconcile one-pull discipline).
+        pinned = normalize_records(records).persist()
+        try:
+            guarded = db._with_dim_guard(pinned)
+            with db._dim_guard_boundary():
+                if build_index:
+                    from oasysdb_spark.index.ivf import build_index as _build
 
-                _build(db, seed=seed, source=guarded)
-            else:
-                db._insert_batch_body(guarded)
+                    _build(db, seed=seed, source=guarded)
+                else:
+                    db._insert_batch_body(guarded)
+        finally:
+            pinned.unpersist()
         if seed_state is not None:
             atomic_write_text(
                 os.path.join(db.dir, _JDBC_SYNC_FILE),

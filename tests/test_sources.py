@@ -1403,3 +1403,153 @@ def test_from_jdbc_overwrite_clears_stale_sync_state(spark, tmp_path):
     )
     with open(state_path, encoding="utf-8") as f:
         assert json.load(f)["high"] == 4
+
+
+def test_from_jdbc_seed_scan_uses_remote_max_pushdown(spark, tmp_path):
+    """The watermark seed mark must come from a ONE-ROW remote MIN/MAX
+    aggregate subquery (the sync-backfill pushdown), not a client-side
+    max that pulls the whole filtered table through one socket just to
+    find its edge. Derby's statement log is the wire evidence: during
+    from_jdbc(watermark_col=...), the `oasys_wm_scan` subquery executes
+    and the TABLE data-scan count stays at the bulk load's one."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.core.database import Database
+
+    dbdir = str(tmp_path / "derby_seedpush")
+    url = f"jdbc:derby:{dbdir};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    table = "seed_push_gate"
+    rows = spark.createDataFrame(
+        [(f"r{i}", [float(i), 0.0], i) for i in range(6)],
+        "id string, vec array<double>, seq int",
+    ).select("id", F.to_json("vec").alias("embedding"), "seq")
+    rows.write.jdbc(url, table, mode="overwrite", properties=props)
+
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.execute(
+        "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY("
+        "'derby.language.logStatementText', 'true')"
+    )
+    st.close()
+    conn.close()
+    derby_home = jvm.java.lang.System.getProperty("derby.system.home")
+    log_path = os.path.join(
+        derby_home or jvm.java.lang.System.getProperty("user.dir"),
+        "derby.log",
+    )
+    before = os.path.getsize(log_path) if os.path.exists(log_path) else 0
+    try:
+        db = Database.from_jdbc(
+            spark, str(tmp_path / "db_seedpush"), url, table,
+            properties=props, density=8, watermark_col="seq",
+        )
+    finally:
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        st = conn.createStatement()
+        st.execute(
+            "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY("
+            "'derby.language.logStatementText', NULL)"
+        )
+        st.close()
+        conn.close()
+    assert db.count() == 6
+    with open(log_path, encoding="utf-8", errors="replace") as f:
+        f.seek(before)
+        tail = f.read()
+    execs = [
+        ln for ln in tail.splitlines()
+        if "Executing" in ln and table in ln.lower()
+        and "1=0" not in ln.replace(" ", "")
+    ]
+    # the seed's one-row MIN/MAX subquery ran remotely...
+    assert any("oasys_wm_scan" in ln for ln in execs)
+    # ...and NO client-side watermark scan happened (pre-pushdown, the
+    # seed read `SELECT "seq" FROM t` — the whole column through one
+    # socket just to find its max). The remaining scans are the bulk
+    # load (id+embedding) plus the documented small probes (a
+    # first-row dimension probe, a pruned count) — none touch seq.
+    seq_scans = [
+        ln for ln in execs
+        if '"seq"' in ln and "oasys_wm_scan" not in ln
+    ]
+    assert not seq_scans, (
+        "client-side watermark scan crept back:\n"
+        + "\n".join(s[-220:] for s in seq_scans)
+    )
+
+
+def test_from_jdbc_indexed_load_single_source_scan(spark, tmp_path):
+    """One-pull bulk load: the indexed build path runs three actions
+    over the source (k-sizing count, k-means fit sample, clustered
+    write) — un-persisted, a JDBC table crossed the wire twice in full
+    plus a whole-table count. With the pin, the table transfers exactly
+    ONCE (dimension passed explicitly, so no probe either). Derby's
+    statement log is the wire evidence, k > 1 so the fit path runs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.core.database import Database
+
+    dbdir = str(tmp_path / "derby_loadpull")
+    url = f"jdbc:derby:{dbdir};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    table = "load_one_pull_gate"
+    rows = spark.createDataFrame(
+        [(f"r{i}", [float(i), 0.0]) for i in range(40)],
+        "id string, vec array<double>",
+    ).select("id", F.to_json("vec").alias("embedding"))
+    rows.write.jdbc(url, table, mode="overwrite", properties=props)
+
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.execute(
+        "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY("
+        "'derby.language.logStatementText', 'true')"
+    )
+    st.close()
+    conn.close()
+    derby_home = jvm.java.lang.System.getProperty("derby.system.home")
+    log_path = os.path.join(
+        derby_home or jvm.java.lang.System.getProperty("user.dir"),
+        "derby.log",
+    )
+    before = os.path.getsize(log_path) if os.path.exists(log_path) else 0
+    try:
+        db = Database.from_jdbc(
+            spark, str(tmp_path / "db_loadpull"), url, table,
+            properties=props, density=4, dimension=2,
+        )
+    finally:
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        st = conn.createStatement()
+        st.execute(
+            "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY("
+            "'derby.language.logStatementText', NULL)"
+        )
+        st.close()
+        conn.close()
+    assert db.count() == 40 and db.is_indexed()
+    # ...and the loaded index serves correctly off the one pull
+    assert [r["id"] for r in db.query_df([3.0, 0.0], k=2).collect()] == [
+        "r3", "r2"
+    ]
+    with open(log_path, encoding="utf-8", errors="replace") as f:
+        f.seek(before)
+        tail = f.read()
+    scans = [
+        ln for ln in tail.splitlines()
+        if "Executing" in ln and table in ln.lower()
+        and "1=0" not in ln.replace(" ", "")
+    ]
+    assert len(scans) == 1, (
+        f"expected exactly one data scan of {table} for the whole "
+        f"indexed bulk load, saw {len(scans)}:\n"
+        + "\n".join(s[-220:] for s in scans)
+    )
