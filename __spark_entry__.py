@@ -1760,7 +1760,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM lens, grid GROUP BY source, d),
         corpus AS (SELECT d, sum(le) AS le_all, sum(n_s) AS n_all FROM per_sd GROUP BY d)
         SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
-               round(max(abs(CAST(le AS DOUBLE) / n_s - CAST(le_all AS DOUBLE) / n_all)), 6) AS ks_stat
+               round(max(CAST(round(abs(CAST(le AS DOUBLE) / n_s - CAST(le_all AS DOUBLE) / n_all) * 1e6) AS BIGINT)) / 1e6, 6) AS ks_stat
         FROM per_sd JOIN corpus USING (d)
         GROUP BY source ORDER BY source"""
 

@@ -238,8 +238,10 @@ class Database:
         validates every vector's dimension in-task, and builds its
         serving tiers.
 
-        ``dimension=None`` infers it from one probed row (pass it
-        explicitly on huge remote tables to skip the probe query).
+        ``dimension=None`` infers it from one probed row (the probe
+        reads the first partition of the same pinned one-pull frame
+        the load uses, so it costs no extra transfer; passing the
+        dimension explicitly just skips the early materialization).
         ``where`` is the v0.7 metadata pre-filter — it compiles into the
         connector's WHERE clause, so excluded rows never leave the
         database. ``partition_column``/bounds/``num_partitions`` (or
@@ -256,23 +258,24 @@ class Database:
         the sync mechanism, and temporal marks are outside the
         text|number|boolean metadata enum — so both ingest paths
         produce the same metadata schema), and the sync state file is
-        SEEDED with the source's max mark scanned just BEFORE the bulk
-        read (a pre-load scan is the safe order: rows committing
-        between the scan and the load are re-read by the first sync's
-        inclusive bound and collapsed by its id dedup, whereas a
-        post-load scan could cover never-loaded rows), so the first
-        sync reads only rows newer than the bulk load instead of
-        re-pulling (and re-deduplicating) the whole table. Seeding
-        costs one extra ONE-ROW remote MAX aggregate subquery (the v1
-        JDBC source pushes filters but never aggregates, so a
-        client-side max would pull the whole filtered table through
-        one socket just to find its edge — the same pushdown
-        :meth:`sync_jdbc`'s backfill bounds use), falling back to the
-        client-side aggregate with a warning when the remote can't
-        parse the filter."""
+        SEEDED with the max mark of the rows ACTUALLY LOADED — derived
+        from the same pinned frame the load reads, so seeding costs
+        ZERO extra scans and cannot gap by construction: every loaded
+        row is at or below the mark, every row not in the pull commits
+        after it and (under the monotonic-watermark contract) at or
+        above it, where the first sync's inclusive bound plus id dedup
+        pick it up. This dominates both scan orders a separate seed
+        query allows — a pre-load table scan can seed above rows the
+        load never sees only if the filter text means different things
+        to Spark and the remote (the ``where`` is SPARK-dialect; a
+        remote-shipped copy risks a dialect misread that silently
+        inflates the mark), and a post-load table scan can cover rows
+        that committed after the pull. The first sync then reads only
+        rows newer than the bulk load instead of re-pulling (and
+        re-deduplicating) the whole table."""
         from oasysdb_spark.sources.jdbc import (
-            read_jdbc_records,
-            remote_watermark_minmax,
+            read_jdbc_raw,
+            records_from_df,
             watermark_state,
         )
 
@@ -289,97 +292,73 @@ class Database:
                 "partition_column/bounds (range-shaping, not filtering) "
                 "or a where pre-filter instead"
             )
-        seed_state: dict | None = None
-        if watermark_col is not None:
-            # validate the column and scan the seed mark BEFORE the
-            # bulk read: a row committing between this scan and the
-            # load is either loaded (if the load sees it) or re-read
-            # by the first sync's inclusive bound and collapsed by its
-            # id dedup — whereas a post-load scan would seed a max
-            # covering never-loaded rows, permanently gapping them.
-            # The early check also fails a misspelled column in one
-            # cheap schema read instead of after an hours-long build
-            # (or, worse, via the metadata-enum error when the real
-            # mark column falls into the default metadata set).
-            import json as _json
+        import json as _json
 
-            src = spark.read.jdbc(url, table, properties=dict(properties or {}))
-            if watermark_col not in src.columns:
-                raise errors.InvalidArgumentError(
-                    f"JDBC table {table!r} has no watermark column "
-                    f"{watermark_col!r}"
-                )
-            # remote one-row MAX pushdown (the sync-backfill pattern):
-            # the user's `where` is the v0.7 pre-filter and ships to
-            # the remote verbatim in read_jdbc_records already, so the
-            # same text is the remote-dialect filter here; a remote
-            # that can't parse it falls back to the client-side
-            # aggregate (one extra window transfer) with a warning so
-            # an operator sees WHY a huge-table load got slow
-            try:
-                _, high = remote_watermark_minmax(
-                    spark, url, table, watermark_col,
-                    properties=properties, where_remote=where,
-                )
-            except Exception as exc:  # noqa: BLE001 — dialect refusal
-                import warnings
-
-                warnings.warn(
-                    "remote MAX pushdown for the seed mark failed; "
-                    "falling back to a client-side aggregate (the "
-                    "filtered table transfers once just to find its "
-                    f"max): {type(exc).__name__}: {str(exc)[:200]}",
-                    stacklevel=2,
-                )
-                wm_df = src.where(where) if where else src
-                agg = wm_df.agg(F.max(watermark_col).alias("h")).first()
-                high = agg["h"] if agg is not None else None
-            seed_state = {
-                "url": url, "table": table,
-                "watermark_col": watermark_col, "where": where,
-                "high": None, "high_kind": None,
-            }
-            if high is not None:
-                kind, out = watermark_state(high)
-                seed_state["high"] = out
-                seed_state["high_kind"] = kind
-        records = read_jdbc_records(
-            spark, url, table,
-            id_col=id_col, vector_col=vector_col,
-            metadata_cols=metadata_cols, properties=properties,
+        # ONE-PULL: the whole load — dimension probe, seed-mark
+        # derivation, the indexed build's k-sizing count, the k-means
+        # fit sample, and the clustered write — runs over ONE pinned
+        # raw frame, so the source table crosses the wire exactly once
+        # however many actions the build takes (un-persisted, a huge
+        # table crossed it twice in full plus a whole-table count and
+        # a separate seed scan). The pin also makes every stage see the
+        # SAME snapshot of a table that keeps receiving writes mid-load
+        # (the sync/reconcile one-pull discipline), and the seed mark
+        # is the max of the rows ACTUALLY loaded — no scan-order or
+        # dialect-translation gap is possible (see the docstring).
+        raw = read_jdbc_raw(
+            spark, url, table, properties=properties,
             predicates=predicates, where=where,
             partition_column=partition_column, lower_bound=lower_bound,
             upper_bound=upper_bound, num_partitions=num_partitions,
-            exclude_cols=(watermark_col,) if watermark_col else (),
         )
-        if dimension is None:
-            probe = records.select(F.size("embedding").alias("d")).first()
-            # size(NULL) is -1 under Spark's legacy sizeOfNull default,
-            # so a corrupt first vector must hit THIS message, not
-            # Parameters' generic 'dimension must be positive'
-            if probe is None or probe["d"] is None or probe["d"] <= 0:
-                raise errors.InvalidArgumentError(
-                    f"cannot infer dimension from JDBC table {table!r}: "
-                    "no rows, or the first vector failed to parse or is "
-                    "empty — pass dimension explicitly"
-                )
-            dimension = int(probe["d"])
-        db = cls.configure(
-            spark, directory, dimension=int(dimension), metric=metric,
-            density=density, relevancy=relevancy, overwrite=overwrite,
-        )
-        # ONE-PULL: the indexed build path runs THREE actions over the
-        # source (the k-sizing count, the k-means fit sample, and the
-        # clustered write), and an un-persisted JDBC frame re-executes
-        # the remote read for each — a huge table crossed the wire
-        # twice in full plus a whole-table count. Pin the normalized
-        # frame so the first action materializes the cache and the
-        # rest read it; this also makes the fit, the count and the
-        # write see the SAME snapshot of a table that keeps receiving
-        # writes mid-load (the sync/reconcile one-pull discipline).
-        pinned = normalize_records(records).persist()
+        if watermark_col is not None and watermark_col not in raw.columns:
+            # fail a misspelled column on the cheap schema read instead
+            # of after an hours-long build (or, worse, via the
+            # metadata-enum error when the real mark column falls into
+            # the default metadata set)
+            raise errors.InvalidArgumentError(
+                f"JDBC table {table!r} has no watermark column "
+                f"{watermark_col!r}"
+            )
+        raw = raw.persist()
         try:
-            guarded = db._with_dim_guard(pinned)
+            records = records_from_df(
+                raw, table,
+                id_col=id_col, vector_col=vector_col,
+                metadata_cols=metadata_cols,
+                exclude_cols=(watermark_col,) if watermark_col else (),
+            )
+            if dimension is None:
+                probe = records.select(F.size("embedding").alias("d")).first()
+                # size(NULL) is -1 under Spark's legacy sizeOfNull
+                # default, so a corrupt first vector must hit THIS
+                # message, not Parameters' generic 'dimension must be
+                # positive'
+                if probe is None or probe["d"] is None or probe["d"] <= 0:
+                    raise errors.InvalidArgumentError(
+                        f"cannot infer dimension from JDBC table {table!r}: "
+                        "no rows, or the first vector failed to parse or "
+                        "is empty — pass dimension explicitly"
+                    )
+                dimension = int(probe["d"])
+            seed_state: dict | None = None
+            if watermark_col is not None:
+                agg = raw.agg(F.max(watermark_col).alias("h")).first()
+                high = agg["h"] if agg is not None else None
+                seed_state = {
+                    "url": url, "table": table,
+                    "watermark_col": watermark_col, "where": where,
+                    "high": None, "high_kind": None,
+                }
+                if high is not None:
+                    kind, out = watermark_state(high)
+                    seed_state["high"] = out
+                    seed_state["high_kind"] = kind
+            db = cls.configure(
+                spark, directory, dimension=int(dimension), metric=metric,
+                density=density, relevancy=relevancy, overwrite=overwrite,
+            )
+            guarded = db._with_dim_guard(normalize_records(records))
             with db._dim_guard_boundary():
                 if build_index:
                     from oasysdb_spark.index.ivf import build_index as _build
@@ -388,7 +367,7 @@ class Database:
                 else:
                     db._insert_batch_body(guarded)
         finally:
-            pinned.unpersist()
+            raw.unpersist()
         if seed_state is not None:
             atomic_write_text(
                 os.path.join(db.dir, _JDBC_SYNC_FILE),
@@ -813,37 +792,40 @@ class Database:
         # and insert a row the classify pass never counted (the next
         # reconcile would still self-heal, but the returned counts would
         # lie about what was applied).
-        source = normalize_records(
-            read_jdbc_records(
-                self.spark, url, table,
-                id_col=id_col, vector_col=vector_col,
-                metadata_cols=metadata_cols, properties=properties,
-                where=where,
-                partition_column=partition_column,
-                lower_bound=lower_bound, upper_bound=upper_bound,
-                num_partitions=num_partitions,
-                exclude_cols=exclude,
-            )
-        ).persist()
-
-        s = _content_fingerprint(source).alias("s")
-        r = _content_fingerprint(self.records_df()).alias("r")
-        change = (
-            F.when(F.col("r.id").isNull(), F.lit("added"))
-            .when(F.col("s.id").isNull(), F.lit("deleted"))
-            .when(F.col("s.__fp") != F.col("r.__fp"), F.lit("updated"))
-        )
-        delta = (
-            s.join(r, F.col("s.id") == F.col("r.id"), "full_outer")
-            .withColumn("change", change)
-            .where(F.col("change").isNotNull())
-            .select(
-                "change",
-                F.coalesce(F.col("s.id"), F.col("r.id")).alias("id"),
-            )
-            .persist()
-        )
+        pins: list = []  # persisted frames; released in the one finally
         try:
+            source = normalize_records(
+                read_jdbc_records(
+                    self.spark, url, table,
+                    id_col=id_col, vector_col=vector_col,
+                    metadata_cols=metadata_cols, properties=properties,
+                    where=where,
+                    partition_column=partition_column,
+                    lower_bound=lower_bound, upper_bound=upper_bound,
+                    num_partitions=num_partitions,
+                    exclude_cols=exclude,
+                )
+            ).persist()
+            pins.append(source)
+
+            s = _content_fingerprint(source).alias("s")
+            r = _content_fingerprint(self.records_df()).alias("r")
+            change = (
+                F.when(F.col("r.id").isNull(), F.lit("added"))
+                .when(F.col("s.id").isNull(), F.lit("deleted"))
+                .when(F.col("s.__fp") != F.col("r.__fp"), F.lit("updated"))
+            )
+            delta = (
+                s.join(r, F.col("s.id") == F.col("r.id"), "full_outer")
+                .withColumn("change", change)
+                .where(F.col("change").isNotNull())
+                .select(
+                    "change",
+                    F.coalesce(F.col("s.id"), F.col("r.id")).alias("id"),
+                )
+                .persist()
+            )
+            pins.append(delta)
             counts = {
                 row["change"]: row["n"]
                 for row in delta.groupBy("change")
@@ -871,8 +853,8 @@ class Database:
                 with self._dim_guard_boundary():
                     self._insert_batch_body(guarded)
         finally:
-            delta.unpersist()
-            source.unpersist()
+            for p in pins:
+                p.unpersist()
         return result
 
     def _default_radius(self) -> float:

@@ -2685,8 +2685,13 @@ def source_length_drift(
     Float discipline: every CDF value is ONE division of two exact
     integers (doc counts at or below a grid point); the decile grid is
     Spark's exact ``percentile`` over integer lengths, which matches
-    DuckDB ``quantile_cont`` bit-for-bit; the KS max runs over nine such
-    values and rounds once.
+    DuckDB ``quantile_cont`` bit-for-bit. Each per-decile gap — a
+    DIFFERENCE of two such ratios, i.e. a composite double outside the
+    one-division-rounded-once safe class — quantizes to a 1e-6-unit
+    bigint FIRST (scale-0 round, the engines' shared class); the KS
+    max runs over those integers and one exact /1e6 converts back
+    (the r14 review caught the direct ``round(max(gap), 6)`` form —
+    the banned round-of-an-unscaled-double).
 
     Scale shape: one corpus-scale pass computes token counts row-locally
     and collapses to a (source, len) histogram in a single
@@ -2728,12 +2733,13 @@ def source_length_drift(
         F.col("le") / F.col("n_s").cast("double")
         - F.col("le_all") / F.col("n_all").cast("double")
     )
+    gap_u6 = F.round(gap * F.lit(1e6)).cast("bigint")
     return (
         per_sd.join(F.broadcast(corpus), "d")
         .groupBy("source")
         .agg(
             F.max("n_s").cast("bigint").alias("n_docs"),
-            F.round(F.max(gap), 6).alias("ks_stat"),
+            F.round(F.max(gap_u6) / F.lit(1e6), 6).alias("ks_stat"),
         )
         .orderBy("source")
     )

@@ -265,6 +265,39 @@ def read_jdbc_records(
     (/root/reference/src/types/record.rs:42-47). NULL values are
     dropped from the maps (an absent key, not a null entry).
     """
+    return records_from_df(
+        read_jdbc_raw(
+            spark, url, table, properties=properties,
+            predicates=predicates, where=where,
+            partition_column=partition_column, lower_bound=lower_bound,
+            upper_bound=upper_bound, num_partitions=num_partitions,
+        ),
+        table,
+        id_col=id_col, vector_col=vector_col,
+        metadata_cols=metadata_cols, exclude_cols=exclude_cols,
+    )
+
+
+def read_jdbc_raw(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    properties: dict | None = None,
+    predicates: list[str] | None = None,
+    where: str | None = None,
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The raw-reading half of :func:`read_jdbc_records`: the JDBC scan
+    with its parallelism shape (predicates / partition-column ranges /
+    single connection) and the Spark-parsed ``where`` pre-filter, BEFORE
+    the record mapping. Split out so a caller can pin the raw frame and
+    derive extra facts from the SAME one pull (from_jdbc seeds its sync
+    mark from the loaded frame's own max — no separate scan, no
+    dialect-translation hazard) the way sync's cached window does."""
     props = dict(properties or {})
     if predicates is not None:
         df = spark.read.jdbc(url, table, predicates=predicates,
@@ -286,11 +319,7 @@ def read_jdbc_records(
         # metadata pre-filter (v0.7 lineage): simple predicates compile
         # into the JDBC WHERE clause, so excluded rows never transfer
         df = df.where(where)
-    return records_from_df(
-        df, table,
-        id_col=id_col, vector_col=vector_col,
-        metadata_cols=metadata_cols, exclude_cols=exclude_cols,
-    )
+    return df
 
 
 def records_from_df(

@@ -4286,7 +4286,7 @@ def test_source_length_drift_matches_duckdb_oracle(spark, sf_dir):
                    FROM lens, grid GROUP BY source, d),
         corpus AS (SELECT d, sum(le) AS le_all, sum(n_s) AS n_all FROM per_sd GROUP BY d)
         SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
-               round(max(abs(CAST(le AS DOUBLE) / n_s - CAST(le_all AS DOUBLE) / n_all)), 6) AS ks_stat
+               round(max(CAST(round(abs(CAST(le AS DOUBLE) / n_s - CAST(le_all AS DOUBLE) / n_all) * 1e6) AS BIGINT)) / 1e6, 6) AS ks_stat
         FROM per_sd JOIN corpus USING (d)
         GROUP BY source ORDER BY source""")
     duck_cols = [d[0] for d in res.description]

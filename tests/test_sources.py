@@ -1249,6 +1249,56 @@ def test_webdataset_midparse_truncation_discards_partial_members(spark, tmp_path
     assert got.where("n_malformed = 0").count() == 0
 
 
+def _derby_stmt_log(spark, url):
+    """Context manager: enable Derby's statement-text logging for the
+    database at ``url``, yield ``scans(table)`` — the data-scan
+    statements logged for a table since entry (the ``WHERE 1=0`` schema
+    probes excluded) — and disable logging on exit. The engine-wide
+    derby.log lives in derby.system.home (user.dir fallback); filtering
+    by the per-test-unique table name keeps concurrent tests out."""
+    import os
+    from contextlib import contextmanager
+
+    jvm = spark._jvm
+
+    def _set(val):
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        st = conn.createStatement()
+        st.execute(
+            "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY("
+            f"'derby.language.logStatementText', {val})"
+        )
+        st.close()
+        conn.close()
+
+    @contextmanager
+    def _cm():
+        _set("'true'")
+        derby_home = jvm.java.lang.System.getProperty("derby.system.home")
+        log_path = os.path.join(
+            derby_home or jvm.java.lang.System.getProperty("user.dir"),
+            "derby.log",
+        )
+        before = os.path.getsize(log_path) if os.path.exists(log_path) else 0
+
+        def scans(table):
+            with open(log_path, encoding="utf-8", errors="replace") as f:
+                f.seek(before)
+                tail = f.read()
+            return [
+                ln for ln in tail.splitlines()
+                if "Executing" in ln and table in ln.lower()
+                and "1=0" not in ln.replace(" ", "")
+            ]
+
+        try:
+            yield scans
+        finally:
+            _set("NULL")
+
+    return _cm()
+
+
 def test_reconcile_jdbc_single_source_scan(spark, tmp_path):
     """The one-pull gate for reconcile_jdbc (r13 verdict "What's wrong"
     #1): the source table must cross the JDBC wire exactly ONCE per
@@ -1259,8 +1309,6 @@ def test_reconcile_jdbc_single_source_scan(spark, tmp_path):
     ``derby.language.logStatementText``, reconcile a mutated source,
     and count the data SELECTs on the table (the ``WHERE 1=0`` schema
     probe excluded). Mirrors sync_jdbc's one-pull rework."""
-    import os
-
     from pyspark.sql import functions as F
 
     from oasysdb_spark.core.database import Database
@@ -1288,44 +1336,13 @@ def test_reconcile_jdbc_single_source_scan(spark, tmp_path):
          ("r8", [8.0, 0.0], 1)]
     frame(mutated).write.jdbc(url, table, mode="overwrite", properties=props)
 
-    jvm = spark._jvm
-    conn = jvm.java.sql.DriverManager.getConnection(url)
-    st = conn.createStatement()
-    st.execute(
-        "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY("
-        "'derby.language.logStatementText', 'true')"
-    )
-    st.close()
-    conn.close()
-    derby_home = jvm.java.lang.System.getProperty("derby.system.home")
-    log_path = os.path.join(
-        derby_home or jvm.java.lang.System.getProperty("user.dir"),
-        "derby.log",
-    )
-    before = os.path.getsize(log_path) if os.path.exists(log_path) else 0
-    try:
+    with _derby_stmt_log(spark, url) as scans:
         res = db.reconcile_jdbc(url, table, properties=props)
-    finally:
-        conn = jvm.java.sql.DriverManager.getConnection(url)
-        st = conn.createStatement()
-        st.execute(
-            "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY("
-            "'derby.language.logStatementText', NULL)"
-        )
-        st.close()
-        conn.close()
     assert res == {"added": 1, "deleted": 1, "updated": 2}
-    with open(log_path, encoding="utf-8", errors="replace") as f:
-        f.seek(before)
-        tail = f.read()
-    scans = [
-        ln for ln in tail.splitlines()
-        if "Executing" in ln and table in ln.lower()
-        and "1=0" not in ln.replace(" ", "")
-    ]
-    assert len(scans) == 1, (
+    got = scans(table)
+    assert len(got) == 1, (
         f"expected exactly one data scan of {table} per reconcile, saw "
-        f"{len(scans)}:\n" + "\n".join(s[-220:] for s in scans)
+        f"{len(got)}:\n" + "\n".join(s[-220:] for s in got)
     )
 
 
@@ -1405,15 +1422,15 @@ def test_from_jdbc_overwrite_clears_stale_sync_state(spark, tmp_path):
         assert json.load(f)["high"] == 4
 
 
-def test_from_jdbc_seed_scan_uses_remote_max_pushdown(spark, tmp_path):
-    """The watermark seed mark must come from a ONE-ROW remote MIN/MAX
-    aggregate subquery (the sync-backfill pushdown), not a client-side
-    max that pulls the whole filtered table through one socket just to
-    find its edge. Derby's statement log is the wire evidence: during
-    from_jdbc(watermark_col=...), the `oasys_wm_scan` subquery executes
-    and the TABLE data-scan count stays at the bulk load's one."""
-    import os
-
+def test_from_jdbc_seed_costs_zero_extra_scans(spark, tmp_path):
+    """The watermark seed mark derives from the pinned loaded frame
+    itself — NOT a separate pre-load scan (which pulled the whole
+    watermark column through one socket, and whose remote-pushdown
+    variant risked a Spark-vs-remote dialect misread of the `where`
+    text silently inflating the mark past rows the load never saw).
+    Derby's statement log is the wire evidence: the WHOLE
+    from_jdbc(watermark_col=...) — dimension probe, seed derivation,
+    load — issues exactly ONE data scan of the table."""
     from pyspark.sql import functions as F
 
     from oasysdb_spark.core.database import Database
@@ -1428,58 +1445,17 @@ def test_from_jdbc_seed_scan_uses_remote_max_pushdown(spark, tmp_path):
     ).select("id", F.to_json("vec").alias("embedding"), "seq")
     rows.write.jdbc(url, table, mode="overwrite", properties=props)
 
-    jvm = spark._jvm
-    conn = jvm.java.sql.DriverManager.getConnection(url)
-    st = conn.createStatement()
-    st.execute(
-        "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY("
-        "'derby.language.logStatementText', 'true')"
-    )
-    st.close()
-    conn.close()
-    derby_home = jvm.java.lang.System.getProperty("derby.system.home")
-    log_path = os.path.join(
-        derby_home or jvm.java.lang.System.getProperty("user.dir"),
-        "derby.log",
-    )
-    before = os.path.getsize(log_path) if os.path.exists(log_path) else 0
-    try:
+    with _derby_stmt_log(spark, url) as scans:
         db = Database.from_jdbc(
             spark, str(tmp_path / "db_seedpush"), url, table,
             properties=props, density=8, watermark_col="seq",
         )
-    finally:
-        conn = jvm.java.sql.DriverManager.getConnection(url)
-        st = conn.createStatement()
-        st.execute(
-            "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY("
-            "'derby.language.logStatementText', NULL)"
-        )
-        st.close()
-        conn.close()
     assert db.count() == 6
-    with open(log_path, encoding="utf-8", errors="replace") as f:
-        f.seek(before)
-        tail = f.read()
-    execs = [
-        ln for ln in tail.splitlines()
-        if "Executing" in ln and table in ln.lower()
-        and "1=0" not in ln.replace(" ", "")
-    ]
-    # the seed's one-row MIN/MAX subquery ran remotely...
-    assert any("oasys_wm_scan" in ln for ln in execs)
-    # ...and NO client-side watermark scan happened (pre-pushdown, the
-    # seed read `SELECT "seq" FROM t` — the whole column through one
-    # socket just to find its max). The remaining scans are the bulk
-    # load (id+embedding) plus the documented small probes (a
-    # first-row dimension probe, a pruned count) — none touch seq.
-    seq_scans = [
-        ln for ln in execs
-        if '"seq"' in ln and "oasys_wm_scan" not in ln
-    ]
-    assert not seq_scans, (
-        "client-side watermark scan crept back:\n"
-        + "\n".join(s[-220:] for s in seq_scans)
+    got = scans(table)
+    assert len(got) == 1, (
+        "expected the whole watermarked load (probe + seed + build) to "
+        f"issue exactly one data scan, saw {len(got)}:\n"
+        + "\n".join(s[-220:] for s in got)
     )
 
 
@@ -1490,8 +1466,6 @@ def test_from_jdbc_indexed_load_single_source_scan(spark, tmp_path):
     plus a whole-table count. With the pin, the table transfers exactly
     ONCE (dimension passed explicitly, so no probe either). Derby's
     statement log is the wire evidence, k > 1 so the fit path runs."""
-    import os
-
     from pyspark.sql import functions as F
 
     from oasysdb_spark.core.database import Database
@@ -1506,50 +1480,19 @@ def test_from_jdbc_indexed_load_single_source_scan(spark, tmp_path):
     ).select("id", F.to_json("vec").alias("embedding"))
     rows.write.jdbc(url, table, mode="overwrite", properties=props)
 
-    jvm = spark._jvm
-    conn = jvm.java.sql.DriverManager.getConnection(url)
-    st = conn.createStatement()
-    st.execute(
-        "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY("
-        "'derby.language.logStatementText', 'true')"
-    )
-    st.close()
-    conn.close()
-    derby_home = jvm.java.lang.System.getProperty("derby.system.home")
-    log_path = os.path.join(
-        derby_home or jvm.java.lang.System.getProperty("user.dir"),
-        "derby.log",
-    )
-    before = os.path.getsize(log_path) if os.path.exists(log_path) else 0
-    try:
+    with _derby_stmt_log(spark, url) as scans:
         db = Database.from_jdbc(
             spark, str(tmp_path / "db_loadpull"), url, table,
             properties=props, density=4, dimension=2,
         )
-    finally:
-        conn = jvm.java.sql.DriverManager.getConnection(url)
-        st = conn.createStatement()
-        st.execute(
-            "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY("
-            "'derby.language.logStatementText', NULL)"
-        )
-        st.close()
-        conn.close()
     assert db.count() == 40 and db.is_indexed()
     # ...and the loaded index serves correctly off the one pull
     assert [r["id"] for r in db.query_df([3.0, 0.0], k=2).collect()] == [
         "r3", "r2"
     ]
-    with open(log_path, encoding="utf-8", errors="replace") as f:
-        f.seek(before)
-        tail = f.read()
-    scans = [
-        ln for ln in tail.splitlines()
-        if "Executing" in ln and table in ln.lower()
-        and "1=0" not in ln.replace(" ", "")
-    ]
-    assert len(scans) == 1, (
+    got = scans(table)
+    assert len(got) == 1, (
         f"expected exactly one data scan of {table} for the whole "
-        f"indexed bulk load, saw {len(scans)}:\n"
-        + "\n".join(s[-220:] for s in scans)
+        f"indexed bulk load, saw {len(got)}:\n"
+        + "\n".join(s[-220:] for s in got)
     )
