@@ -223,6 +223,21 @@ _NLJ_WHITELIST = {
     # scalar pattern above) — the gram work itself is a single
     # (gram, shard) equi-rollup
     "ngram_novelty_curve",
+    # r14 promotions, each intentionally bounded:
+    # term_pmi_collocations crossJoins the ONE-ROW (Nt, Np) totals
+    # aggregate (the scalar pattern); source_length_drift crossJoins
+    # the broadcast NINE-ROW decile grid onto the collapsed (source,
+    # len) histogram — both sides vocab/grid-bounded, never the corpus;
+    # embedding_contamination_report_stats' brute-force verify
+    # crossJoins the eval split, which is FIXED-SIZE by construction
+    # (vec_id % 10 = 0 AND vec_id < 5000 → ≤ 500 rows at ANY scale);
+    # source_vocab_overlap_matrix crossJoins the two per-source size
+    # aggregates to anchor the |sources|²-bounded pair grid (disjoint
+    # pairs must emit 0-overlap rows)
+    "term_pmi_collocations",
+    "source_length_drift",
+    "embedding_contamination_report_stats",
+    "source_vocab_overlap_matrix",
 }
 
 # Construction has driver-side side effects (index/layout builds, query
