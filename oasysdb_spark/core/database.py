@@ -258,20 +258,27 @@ class Database:
         the sync mechanism, and temporal marks are outside the
         text|number|boolean metadata enum — so both ingest paths
         produce the same metadata schema), and the sync state file is
-        SEEDED with the max mark of the rows ACTUALLY LOADED — derived
-        from the same pinned frame the load reads, so seeding costs
-        ZERO extra scans and cannot gap by construction: every loaded
-        row is at or below the mark, every row not in the pull commits
-        after it and (under the monotonic-watermark contract) at or
-        above it, where the first sync's inclusive bound plus id dedup
-        pick it up. This dominates both scan orders a separate seed
-        query allows — a pre-load table scan can seed above rows the
-        load never sees only if the filter text means different things
-        to Spark and the remote (the ``where`` is SPARK-dialect; a
-        remote-shipped copy risks a dialect misread that silently
-        inflates the mark), and a post-load table scan can cover rows
-        that committed after the pull. The first sync then reads only
-        rows newer than the bulk load instead of re-pulling (and
+        SEEDED safely for the pull shape, and the LOAD IS BOUNDED at
+        the seeded mark (``wm <= mark`` on the pinned frame) so a
+        cache-eviction re-pull can never ingest rows above the
+        persisted mark — the same determinism discipline as
+        :meth:`sync_jdbc`'s windows. Single-statement pulls (no
+        ``partition_column``) seed from the max of the rows ACTUALLY
+        LOADED, derived from the same pinned frame — zero extra scans,
+        and safe because one JDBC statement is one snapshot: anything
+        absent committed after it, hence at or above the mark under
+        the monotonic-watermark contract, where the first sync's
+        inclusive bound plus id dedup pick it up. PARTITIONED pulls
+        are N independent range queries at different instants (a
+        ragged snapshot: a row can commit into an already-scanned
+        range while a later range observes newer rows), so their seed
+        scans BEFORE any load read — the one-row remote MIN/MAX
+        pushdown when there is no ``where`` (no filter text, no
+        dialect hazard), else a column-pruned client-side max over a
+        Spark-parsed scan (one watermark-column transfer; the
+        SPARK-dialect filter must not ship verbatim to a remote whose
+        dialect could silently misread it). The first sync then reads
+        only rows newer than the bulk load instead of re-pulling (and
         re-deduplicating) the whole table."""
         from oasysdb_spark.sources.jdbc import (
             read_jdbc_raw,
@@ -302,9 +309,7 @@ class Database:
         # table crossed it twice in full plus a whole-table count and
         # a separate seed scan). The pin also makes every stage see the
         # SAME snapshot of a table that keeps receiving writes mid-load
-        # (the sync/reconcile one-pull discipline), and the seed mark
-        # is the max of the rows ACTUALLY loaded — no scan-order or
-        # dialect-translation gap is possible (see the docstring).
+        # (the sync/reconcile one-pull discipline).
         raw = read_jdbc_raw(
             spark, url, table, properties=properties,
             predicates=predicates, where=where,
@@ -320,10 +325,92 @@ class Database:
                 f"JDBC table {table!r} has no watermark column "
                 f"{watermark_col!r}"
             )
-        raw = raw.persist()
+        seed_state: dict | None = None
+        high = None
+        if watermark_col is not None and partition_column is not None:
+            # RAGGED-SNAPSHOT guard: a partitioned pull issues N
+            # independent range queries at different instants, so a row
+            # can commit into an already-scanned range while a later
+            # range still observes newer rows — a loaded-frame max
+            # would then exceed that skipped row's mark and the first
+            # sync would never read it (round-14 second-review find).
+            # The seed must therefore be scanned BEFORE any load read:
+            # every row missing from the load committed after this
+            # scan, so its mark is >= the seed by the monotonic
+            # contract and the first sync's window covers it. With no
+            # `where` the scan is the one-row remote MIN/MAX pushdown
+            # (no filter text, so no dialect hazard); with a `where`
+            # the filter is SPARK-dialect text that must not ship
+            # verbatim to the remote, so the max comes from a
+            # column-pruned client-side aggregate over a Spark-parsed
+            # scan — one watermark-column transfer, the documented
+            # price of filtered partitioned seeding.
+            if where is None:
+                from oasysdb_spark.sources.jdbc import (
+                    remote_watermark_minmax,
+                )
+
+                try:
+                    _, high = remote_watermark_minmax(
+                        spark, url, table, watermark_col,
+                        properties=properties,
+                    )
+                except Exception as exc:  # noqa: BLE001 — dialect refusal
+                    import warnings
+
+                    warnings.warn(
+                        "remote MAX pushdown for the seed mark failed; "
+                        "falling back to a client-side aggregate: "
+                        f"{type(exc).__name__}: {str(exc)[:200]}",
+                        stacklevel=2,
+                    )
+                    high = None
+            if high is None:
+                pre = read_jdbc_raw(
+                    spark, url, table, properties=properties, where=where,
+                )
+                agg = pre.agg(F.max(watermark_col).alias("h")).first()
+                high = agg["h"] if agg is not None else None
+        pinned = raw.persist()
+        loaded = pinned
         try:
+            if watermark_col is not None and partition_column is None:
+                # single-statement pull: one JDBC snapshot, so the max
+                # of the rows actually loaded IS a safe seed (anything
+                # absent committed after the snapshot, hence at or
+                # above it under the monotonic contract) and costs zero
+                # extra scans — this agg is the action that fills the
+                # cache.
+                agg = pinned.agg(F.max(watermark_col).alias("h")).first()
+                high = agg["h"] if agg is not None else None
+            if watermark_col is not None:
+                seed_state = {
+                    "url": url, "table": table,
+                    "watermark_col": watermark_col, "where": where,
+                    "high": None, "high_kind": None,
+                }
+                if high is not None:
+                    kind, out = watermark_state(high)
+                    seed_state["high"] = out
+                    seed_state["high_kind"] = kind
+                    # bound the LOAD at the seeded mark — without it, a
+                    # cache eviction re-executes the JDBC pull and can
+                    # ingest rows committed mid-load ABOVE the persisted
+                    # mark (the round-13 sync determinism find, carried
+                    # over): dedup_ids=False syncs would re-ingest them
+                    # as duplicates. Rows past the bound are the first
+                    # sync's window. Late TIED commits (== the mark) are
+                    # the same boundary class sync documents: re-read
+                    # inclusively and collapsed by the id dedup.
+                    from oasysdb_spark.sources.jdbc import (
+                        watermark_literal,
+                    )
+
+                    loaded = pinned.where(
+                        f"{watermark_col} <= {watermark_literal(out, kind)}"
+                    )
             records = records_from_df(
-                raw, table,
+                loaded, table,
                 id_col=id_col, vector_col=vector_col,
                 metadata_cols=metadata_cols,
                 exclude_cols=(watermark_col,) if watermark_col else (),
@@ -341,19 +428,6 @@ class Database:
                         "is empty — pass dimension explicitly"
                     )
                 dimension = int(probe["d"])
-            seed_state: dict | None = None
-            if watermark_col is not None:
-                agg = raw.agg(F.max(watermark_col).alias("h")).first()
-                high = agg["h"] if agg is not None else None
-                seed_state = {
-                    "url": url, "table": table,
-                    "watermark_col": watermark_col, "where": where,
-                    "high": None, "high_kind": None,
-                }
-                if high is not None:
-                    kind, out = watermark_state(high)
-                    seed_state["high"] = out
-                    seed_state["high_kind"] = kind
             db = cls.configure(
                 spark, directory, dimension=int(dimension), metric=metric,
                 density=density, relevancy=relevancy, overwrite=overwrite,
@@ -367,7 +441,7 @@ class Database:
                 else:
                     db._insert_batch_body(guarded)
         finally:
-            raw.unpersist()
+            pinned.unpersist()
         if seed_state is not None:
             atomic_write_text(
                 os.path.join(db.dir, _JDBC_SYNC_FILE),

@@ -4261,6 +4261,8 @@ def test_source_length_drift_matches_duckdb_oracle(spark, sf_dir):
 
     import duckdb
 
+    import __spark_entry__ as entry
+
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from tools.check_correctness import compare
 
@@ -4273,22 +4275,10 @@ def test_source_length_drift_matches_duckdb_oracle(spark, sf_dir):
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
     )
-    res = con.execute("""
-        WITH lens AS (SELECT source,
-                        CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS l
-                      FROM documents),
-        qs AS (SELECT quantile_cont(l, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS a FROM lens),
-        grid AS (SELECT CAST(i AS BIGINT) - 1 AS d, a[CAST(i AS INTEGER)] AS q
-                 FROM qs, (SELECT unnest(range(1, 10)) AS i)),
-        per_sd AS (SELECT source, d,
-                     sum(CASE WHEN l <= q THEN 1 ELSE 0 END) AS le,
-                     count(*) AS n_s
-                   FROM lens, grid GROUP BY source, d),
-        corpus AS (SELECT d, sum(le) AS le_all, sum(n_s) AS n_all FROM per_sd GROUP BY d)
-        SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
-               round(max(CAST(round(abs(CAST(le AS DOUBLE) / n_s - CAST(le_all AS DOUBLE) / n_all) * 1e6) AS BIGINT)) / 1e6, 6) AS ks_stat
-        FROM per_sd JOIN corpus USING (d)
-        GROUP BY source ORDER BY source""")
+    # the SAME SQL the driver gate runs (single source of truth — a
+    # float-discipline change edited in one place cannot silently
+    # diverge the two oracles; r14 second-review find)
+    res = con.execute(entry.oracle_sql()["source_length_drift"])
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
     issues = compare(

@@ -3,6 +3,8 @@ through csv/json/orc yields the same rows and the same query results as
 the parquet original (SURVEY.md §2.2: Spark's readers come for free; these
 tests make the claim concrete)."""
 
+from contextlib import contextmanager
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -1249,15 +1251,15 @@ def test_webdataset_midparse_truncation_discards_partial_members(spark, tmp_path
     assert got.where("n_malformed = 0").count() == 0
 
 
+@contextmanager
 def _derby_stmt_log(spark, url):
-    """Context manager: enable Derby's statement-text logging for the
-    database at ``url``, yield ``scans(table)`` — the data-scan
-    statements logged for a table since entry (the ``WHERE 1=0`` schema
-    probes excluded) — and disable logging on exit. The engine-wide
-    derby.log lives in derby.system.home (user.dir fallback); filtering
-    by the per-test-unique table name keeps concurrent tests out."""
+    """Enable Derby's statement-text logging for the database at
+    ``url``, yield ``scans(table)`` — the data-scan statements logged
+    for a table since entry (the ``WHERE 1=0`` schema probes excluded)
+    — and disable logging on exit. The engine-wide derby.log lives in
+    derby.system.home (user.dir fallback); filtering by the
+    per-test-unique table name keeps concurrent tests out."""
     import os
-    from contextlib import contextmanager
 
     jvm = spark._jvm
 
@@ -1271,32 +1273,28 @@ def _derby_stmt_log(spark, url):
         st.close()
         conn.close()
 
-    @contextmanager
-    def _cm():
-        _set("'true'")
-        derby_home = jvm.java.lang.System.getProperty("derby.system.home")
-        log_path = os.path.join(
-            derby_home or jvm.java.lang.System.getProperty("user.dir"),
-            "derby.log",
-        )
-        before = os.path.getsize(log_path) if os.path.exists(log_path) else 0
+    _set("'true'")
+    derby_home = jvm.java.lang.System.getProperty("derby.system.home")
+    log_path = os.path.join(
+        derby_home or jvm.java.lang.System.getProperty("user.dir"),
+        "derby.log",
+    )
+    before = os.path.getsize(log_path) if os.path.exists(log_path) else 0
 
-        def scans(table):
-            with open(log_path, encoding="utf-8", errors="replace") as f:
-                f.seek(before)
-                tail = f.read()
-            return [
-                ln for ln in tail.splitlines()
-                if "Executing" in ln and table in ln.lower()
-                and "1=0" not in ln.replace(" ", "")
-            ]
+    def scans(table):
+        with open(log_path, encoding="utf-8", errors="replace") as f:
+            f.seek(before)
+            tail = f.read()
+        return [
+            ln for ln in tail.splitlines()
+            if "Executing" in ln and table in ln.lower()
+            and "1=0" not in ln.replace(" ", "")
+        ]
 
-        try:
-            yield scans
-        finally:
-            _set("NULL")
-
-    return _cm()
+    try:
+        yield scans
+    finally:
+        _set("NULL")
 
 
 def test_reconcile_jdbc_single_source_scan(spark, tmp_path):
@@ -1496,3 +1494,54 @@ def test_from_jdbc_indexed_load_single_source_scan(spark, tmp_path):
         f"indexed bulk load, saw {len(got)}:\n"
         + "\n".join(s[-220:] for s in got)
     )
+
+
+def test_from_jdbc_partitioned_seed_scans_before_load(spark, tmp_path):
+    """A partitioned pull is N independent range queries at different
+    instants — a ragged snapshot — so its watermark seed must be
+    scanned BEFORE any load read (a loaded-frame max could exceed a row
+    that committed into an already-scanned range, permanently gapping
+    it from every future sync). Wire evidence: the one-row remote
+    MIN/MAX subquery executes (no `where` → no dialect hazard), the
+    data scans are exactly the N range queries, and the persisted seed
+    equals the table max."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.core.database import Database, _JDBC_SYNC_FILE
+
+    dbdir = str(tmp_path / "derby_partseed")
+    url = f"jdbc:derby:{dbdir};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    table = "part_seed_gate"
+    rows = spark.createDataFrame(
+        [(f"r{i}", [float(i), 0.0], i) for i in range(20)],
+        "id string, vec array<double>, seq int",
+    ).select("id", F.to_json("vec").alias("embedding"), "seq")
+    rows.write.jdbc(url, table, mode="overwrite", properties=props)
+
+    d = str(tmp_path / "db_partseed")
+    with _derby_stmt_log(spark, url) as scans:
+        db = Database.from_jdbc(
+            spark, d, url, table, properties=props, density=8,
+            dimension=2, watermark_col="seq",
+            partition_column="seq", lower_bound=0, upper_bound=19,
+            num_partitions=3,
+        )
+    assert db.count() == 20
+    with open(os.path.join(d, _JDBC_SYNC_FILE), encoding="utf-8") as f:
+        assert json.load(f)["high"] == 19
+    got = scans(table)
+    # the pre-load seed ran as the one-row remote aggregate...
+    assert any("oasys_wm_scan" in ln for ln in got)
+    # ...and the data scans are exactly the three range queries
+    data = [ln for ln in got if "oasys_wm_scan" not in ln]
+    assert len(data) == 3, (
+        f"expected exactly the 3 range scans, saw {len(data)}:\n"
+        + "\n".join(s[-220:] for s in data)
+    )
+    # a follow-up sync from the seeded mark ingests nothing new
+    assert db.sync_jdbc(url, table, watermark_col="seq",
+                        properties=props) == 0
