@@ -5990,3 +5990,91 @@ def test_source_vocab_overlap_matrix_matches_duckdb_oracle(spark, sf_dir):
     for r in spark_rows:
         assert 0.0 <= r[ix["jaccard"]] <= 1.0
         assert r[ix["n_common"]] <= min(r[ix["n_a"]], r[ix["n_b"]])
+
+
+def test_source_vocab_overlap_constructed_edges(spark, tmp_path):
+    """Edge pins for the r14 row-local pair generator (sorted
+    collect_set → nested-transform C(S,2) explode) on constructed data
+    the fixture can't express: a term shared by ALL sources, disjoint
+    vocabularies (the 0-overlap grid row must appear), identical
+    vocabularies (jaccard exactly 1.0), and a single-source term
+    (appears in sizes, never in any intersection). Expected values
+    computed independently with Python sets over the same
+    tokenization."""
+    import itertools
+    import re
+
+    docs = [
+        # s_a and s_b share their full vocabulary -> jaccard 1.0
+        (0, "alpha beta gamma", "en", "s_a", 0),
+        (1, "gamma beta alpha", "en", "s_b", 0),
+        # s_c overlaps s_a/s_b only on the everywhere-term 'alpha'
+        (2, "alpha delta", "en", "s_c", 0),
+        # s_d is fully disjoint (0-overlap rows vs everyone)
+        (3, "omega psi", "en", "s_d", 0),
+        # s_c also holds a single-source term 'epsilon'
+        (4, "epsilon delta", "en", "s_c", 0),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        (r["source_a"], r["source_b"]):
+            (r["n_a"], r["n_b"], r["n_common"], r["jaccard"])
+        for r in textops.source_vocab_overlap_matrix(
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    vocab = {}
+    for _, text, _, src, _ in docs:
+        vocab.setdefault(src, set()).update(
+            t for t in re.split(r"[^a-z0-9]+", text.lower()) if t
+        )
+    want = {}
+    for a, b in itertools.combinations(sorted(vocab), 2):
+        inter = len(vocab[a] & vocab[b])
+        union = len(vocab[a] | vocab[b])
+        want[(a, b)] = (
+            len(vocab[a]), len(vocab[b]), inter, round(inter / union, 6)
+        )
+    assert got == want
+    # the disjoint pairs emitted 0-overlap rows rather than vanishing
+    assert got[("s_a", "s_d")][2] == 0
+    # identical vocabularies read exactly 1.0
+    assert got[("s_a", "s_b")][3] == 1.0
+
+
+def test_term_burstiness_tie_order_constructed(spark, tmp_path):
+    """The burstiness rank tie-break (burstiness desc, tf desc, term
+    asc) is claimed TOTAL — the property that makes the bounded
+    orderBy().limit() set identical to the old full-table window rank.
+    Constructed data where two terms have bit-identical moments (same
+    df, tf, s2 → same burstiness, same tf) pins the final term-asc leg:
+    'aa' must outrank 'bb'."""
+    rows = []
+    for i in range(6):
+        # identical per-doc counts for aa and bb in every doc;
+        # 'zz' bursts harder (one doc with many repeats) to occupy
+        # rank 1, proving ties sort below non-ties correctly
+        text = "aa bb aa bb" if i else "aa bb aa bb " + "zz " * 9
+        rows.append((i, text.strip(), "en", "s", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = [
+        (r["rank"], r["term"], r["df"], r["tf"], r["burstiness"])
+        for r in textops.term_burstiness(
+            spark, str(tmp_path), top_k=5, min_df=5
+        ).collect()
+    ]
+    # aa and bb: df=6, tf=12, s2=24 each -> identical burstiness
+    by_term = {t: (rk, df, tf, b) for rk, t, df, tf, b in got}
+    assert by_term["aa"][1:] == by_term["bb"][1:]
+    assert by_term["aa"][0] == by_term["bb"][0] - 1  # term-asc tiebreak
+    # zz appears in ONE doc (df=1 < min_df=5): the min_df floor drops
+    # it before ranking — the PMI-style low-frequency pathology guard
+    assert "zz" not in by_term
+    assert [rk for rk, *_ in sorted(got)] == list(range(1, len(got) + 1))
