@@ -142,7 +142,19 @@ def remote_watermark_minmax(
     ``watermark_literal(..., remote=True)``); callers catch remote
     parse failures and fall back to the client-side aggregate.
     Returns ``(min, max)`` Python values (``(None, None)`` on an empty
-    window)."""
+    window).
+
+    Dialect-safety note: sync's backfill passes the user's (Spark-
+    dialect) pre-filter through here, which is safe FOR BOUNDS even if
+    an exotic remote parses the text to a different row set — the
+    bounds only SHAPE the range predicates (the batch read re-applies
+    the Spark-parsed filter), a too-low max just defers rows to the
+    next window, and a too-high max is still a real watermark value
+    present in the table at scan time, so the monotonic contract keeps
+    every later-committed row at or above it. Do NOT reuse this
+    tolerance for marks that GATE data (a bulk-load seed must not come
+    through a remote-shipped Spark-dialect filter — see
+    ``Database.from_jdbc``'s partitioned seed path)."""
     qcol = quote_sql_ident(column)
     pred = f" WHERE {where_remote}" if where_remote else ""
     sub = (

@@ -6078,3 +6078,47 @@ def test_term_burstiness_tie_order_constructed(spark, tmp_path):
     # it before ranking — the PMI-style low-frequency pathology guard
     assert "zz" not in by_term
     assert [rk for rk, *_ in sorted(got)] == list(range(1, len(got) + 1))
+
+
+@pytest.mark.parametrize(
+    "name,op,table",
+    [
+        ("rollup_lineitem", "rollup_lineitem", "lineitem"),
+        ("cube_orders", "cube_orders", "orders"),
+    ],
+)
+def test_grouping_family_self_oracles(spark, sf_dir, name, op, table):
+    """Standalone pytest DuckDB self-oracles for the ROLLUP/CUBE
+    entries, executing the SAME oracle SQL string the driver gate runs
+    (single source of truth). Today these duplicate the driver window's
+    coverage; they exist as RETIREMENT CONTINUITY — ROLLUP(a,b) is
+    exactly GROUPING SETS((a,b),(a),()) and CUBE(a,b) the full subset
+    lattice, so if a future rotation retires either entry as a
+    grouping-sets special case (the events_funnel precedent,
+    `grouping_sets_orders` staying as the general form), this test is
+    the self-oracle that keeps the coverage claim true."""
+    import sys
+
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    got = entry.queries()[op](spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) > 3  # subtotal + grand-total rows present
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW {table} AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/{table}.parquet')"
+    )
+    res = con.execute(entry.oracle_sql()[name])
+    issues = compare(
+        name, spark_rows, spark_cols,
+        res.fetchall(), [d[0] for d in res.description],
+    )
+    assert not issues, issues
