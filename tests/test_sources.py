@@ -1545,3 +1545,40 @@ def test_from_jdbc_partitioned_seed_scans_before_load(spark, tmp_path):
     # a follow-up sync from the seeded mark ingests nothing new
     assert db.sync_jdbc(url, table, watermark_col="seq",
                         properties=props) == 0
+
+
+def test_reconcile_jdbc_empty_edges(spark, tmp_path):
+    """Boundary contract of the CDC reconcile after the one-pull
+    restructure: reconciling a fresh EMPTY collection bulk-adds the
+    whole source through the validated ingest path, and reconciling
+    against an EMPTIED source deletes everything — content-equality to
+    the system of record is the verb's definition, which is also why
+    the where-coherence refusal exists (a tighter filter would look
+    exactly like this mass-delete)."""
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.core.database import Database
+
+    dbdir = str(tmp_path / "derby_empty")
+    url = f"jdbc:derby:{dbdir};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    rows = spark.createDataFrame(
+        [(f"r{i}", [float(i), 0.0], i % 3) for i in range(6)],
+        "id string, vec array<double>, label int",
+    ).select("id", F.to_json("vec").alias("embedding"), "label")
+    rows.write.jdbc(url, "empty_t", mode="overwrite", properties=props)
+
+    db = Database.configure(spark, str(tmp_path / "db_e"), dimension=2,
+                            density=8)
+    assert db.reconcile_jdbc(url, "empty_t", properties=props) == {
+        "added": 6, "deleted": 0, "updated": 0
+    }
+    assert db.count() == 6
+
+    spark.createDataFrame(
+        [], "id string, embedding string, label int"
+    ).write.jdbc(url, "empty_t", mode="overwrite", properties=props)
+    assert db.reconcile_jdbc(url, "empty_t", properties=props) == {
+        "added": 0, "deleted": 6, "updated": 0
+    }
+    assert db.count() == 0
