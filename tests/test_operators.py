@@ -6122,3 +6122,57 @@ def test_grouping_family_self_oracles(spark, sf_dir, name, op, table):
         res.fetchall(), [d[0] for d in res.description],
     )
     assert not issues, issues
+
+
+def test_source_vocab_overlap_randomized_seeded(spark, tmp_path):
+    """Seeded-random stress of the row-local pair generator: 8 sources
+    x ~200 terms with random membership (incl. all-sources terms and
+    singletons by chance), expected Jaccard grid computed independently
+    with Python sets. Catches nested-transform slice/element_at
+    off-by-ones the hand-built edges might miss — deterministic seed,
+    one Spark run."""
+    import itertools
+    import random
+
+    rng = random.Random(1405)
+    sources = [f"src{i}" for i in range(8)]
+    terms = [f"t{i}" for i in range(200)]
+    vocab = {s: set() for s in sources}
+    rows = []
+    doc_id = 0
+    for t in terms:
+        members = [s for s in sources if rng.random() < rng.choice(
+            (0.1, 0.35, 0.8, 1.0)
+        )]
+        for s in members:
+            vocab[s].add(t)
+    for s in sources:
+        # split each source's vocabulary across a few docs
+        ts = sorted(vocab[s])
+        rng.shuffle(ts)
+        for i in range(0, len(ts), 37):
+            rows.append(
+                (doc_id, " ".join(ts[i:i + 37]), "en", s, 0)
+            )
+            doc_id += 1
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        (r["source_a"], r["source_b"]):
+            (r["n_a"], r["n_b"], r["n_common"], r["jaccard"])
+        for r in textops.source_vocab_overlap_matrix(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    live = [s for s in sources if vocab[s]]
+    want = {}
+    for a, b in itertools.combinations(sorted(live), 2):
+        inter = len(vocab[a] & vocab[b])
+        union = len(vocab[a] | vocab[b])
+        want[(a, b)] = (
+            len(vocab[a]), len(vocab[b]), inter, round(inter / union, 6)
+        )
+    assert got == want
