@@ -2834,14 +2834,18 @@ def source_vocab_overlap_matrix(
     (source, term) table (map-side-combined — the same single shuffle
     every vocabulary op pays); that table rolls up to ONE sorted
     source-set array per term (|sources|-bounded), and the C(S,2)
-    pairs per term are generated ROW-LOCALLY from the array — a
-    generator feeding the partial aggregate in the same stage, so the
-    per-term S² fan-out is CPU inside a map task with immediate
-    combine, and the only rows that ever shuffle are the
-    |sources|²-bounded (source_a, source_b) partial counts (never an
-    S²-row join output — a term shared by hundreds of sources would
-    otherwise emit tens of thousands of join rows per stopword).
-    Sizes broadcast onto the pair grid. Text never shuffles."""
+    pairs per term are generated ROW-LOCALLY by a NESTED pair of
+    Generates — first the anchor index, then that index's tail slice —
+    feeding the partial aggregate in the same stage, so the per-term
+    S² fan-out is streamed CPU inside a map task with immediate
+    combine and O(|sources|) peak allocation per generated row (never
+    one flattened C(S,2) struct array: a term present in 10⁴ sources
+    would otherwise materialize ~5·10⁷ structs in a single task), and
+    the only rows that ever shuffle are the |sources|²-bounded
+    (source_a, source_b) partial counts (never an S²-row join output —
+    a term shared by hundreds of sources would otherwise emit tens of
+    thousands of join rows per stopword). Sizes broadcast onto the
+    pair grid. Text never shuffles."""
     docs = _docs(spark, sf_dir)
     st = (
         docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
@@ -2855,25 +2859,24 @@ def source_vocab_overlap_matrix(
         .agg(F.sort_array(F.collect_set("source")).alias("ss"))
         .where(F.size("ss") >= 2)
     )
-    pairs = ss.select(
+    # nested Generates: explode the anchor index first (one row per
+    # (term, i) carrying the O(S) array), then that anchor's tail
+    # slice — the pair stream is identical to the old flattened form
+    # but peak per-row allocation stays O(S), never a C(S,2) struct
+    # array (the r14 audit's stopword-at-S≈10⁴ hazard). Both Generates
+    # chain in one stage into the map-side-combined count below.
+    anchors = ss.select(
+        "ss",
+        F.explode(F.sequence(F.lit(0), F.size("ss") - 2)).alias("i"),
+    )
+    pairs = anchors.select(
+        F.element_at("ss", F.col("i") + 1).alias("source_a"),
         F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ss") - 2),
-                    lambda i: F.transform(
-                        F.slice(F.col("ss"), i + 2, F.size("ss")),
-                        lambda s: F.struct(
-                            F.element_at("ss", i + 1).alias("source_a"),
-                            s.alias("source_b"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
+            F.slice(F.col("ss"), F.col("i") + 2, F.size("ss"))
+        ).alias("source_b"),
     )
     inter = (
-        pairs.select("p.source_a", "p.source_b")
-        .groupBy("source_a", "source_b")
+        pairs.groupBy("source_a", "source_b")
         .agg(F.count("*").cast("bigint").alias("n_common"))
     )
     sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
