@@ -120,68 +120,126 @@ def _bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver oracle-checks the FIRST 50 entries.
 
-    Round-14 rotation (window math: 145 entries, 50-slot window, every
-    out-of-window entry must hold a green row no older than round N-2):
+    Round-15 rotation (window math: 143 entries after the paired
+    retirements, 50-slot window, every out-of-window entry must hold a
+    green row no older than round N-2):
 
-    (a) the 40 r11-green entries deferred past the r13 window — at the
-        two-round staleness limit, so they MUST lead (pinned by name in
-        tests/test_entry.py's r13 deferral assertion and the r13
-        verdict's task 1: `vec_knn_filtered` through
-        `lineitem_price_qty_correlation`);
-    (b) 1 changed-code pin: `term_burstiness` is r13-green, but its
-        rank plan was rewritten this round to bounded top-k-first
-        (orderBy().limit() → TakeOrderedAndProject before the
-        row_number window — the r13 verdict's What's-wrong #2), and an
-        entry whose code changes re-checks in-window by the ledger
-        rule;
-    (c) 4 promotions from staged pytest self-oracles (each hash-gated
-        against an independent DuckDB replay in tests/test_operators.py
-        and verified at three scales before promotion):
-        `term_pmi_collocations` (Church & Hanks collocation audit —
-        promoted only AFTER the same bounded top-k rewrite as (b)),
-        `source_length_drift` (per-source KS drift over the decile
-        grid), `embedding_contamination_report_stats` (the
-        embedding-side reverse decontamination report, eval-anchored),
-        and `source_vocab_overlap_matrix` (pairwise source-vocabulary
-        Jaccard — promoted only AFTER its S²-per-shared-term
-        intersection join was reshaped to row-local pair generation,
-        the r13 verdict's What's-wrong #3). NO paired retirements this
-        round: the r13 retirement survey found no remaining exact
-        special cases or redundant ladder rungs (the knn family's
-        remaining variants differ in schema and plan shape; the two
-        pick operators are different algorithms), and retiring unique
-        coverage to hold a capacity number would trade real coverage
-        for bookkeeping — the honest price is 4 of the ~9 remaining
-        ceiling slots (see CAPACITY NOTE);
-    (d) 5 r12-green pull-forwards (`setop_intersect`, `ship_latency`,
-        `orders_by_month`, `parts_like_patterns`, `rollup_lineitem`) —
-        they would otherwise all land in r15's mandatory head;
-        checking them now smooths the cycle (r15 head = 45, not 50).
-        40+1+4+5 = exactly 50.
+    (a) the 44 surviving r12-green entries deferred past BOTH the r13
+        and r14 windows — at the two-round staleness limit, so they
+        MUST lead (the r14 ledger pinned 45 by name in
+        tests/test_entry.py; `cube_orders` was retired this round, see
+        RETIREMENTS, leaving 44: `bucketed_revenue_by_priority`
+        through `zipf_slope`);
+    (b) 1 changed-code pin: `source_vocab_overlap_matrix` is r14-green,
+        but its row-local pair generator was rewritten this round from
+        one flattened C(S,2) struct array per term row to nested
+        Generates with O(S) peak allocation (the r14 verdict's
+        What's-wrong #2), and an entry whose code changes re-checks
+        in-window by the ledger rule;
+    (c) RETIREMENTS, paired per the r15-on capacity rule:
+        `rollup_lineitem` and `cube_orders` left the contract — both
+        are exact grouping-sets special cases (ROLLUP(a,b) ≡
+        GROUPING SETS((a,b),(a),()); CUBE(a,b) ≡ the full subset
+        lattice) with `grouping_sets_orders` staying in-contract as
+        the general form — the events_funnel precedent. Their exact
+        DuckDB twins live on as pytest self-oracles
+        (tests/test_operators.py test_grouping_family_self_oracles,
+        SQL inlined verbatim from the retired oracle_sql() entries),
+        and the operators themselves stay exported;
+    (d) 5 r13-green pull-forwards (`q4_order_priority`,
+        `domain_mixture_sample`, `encoding_quality_stats`,
+        `source_token_divergence`, `customers_without_orders`) —
+        checking them now smooths the cycle (r16's mandatory head
+        shrinks from 49 to 44). 44+1+5 = exactly 50.
 
-    Below the window: the 49 remaining r13-green entries of the
-    previous window (fine through r15), the 45 r12-green entries not
-    pulled forward — THEY ARE ROUND 15's MANDATORY HEAD (pinned by
-    name in tests/test_entry.py — the ledger discipline), plus any
-    entry whose code changes in r14 without window room (none: this
-    round's other code work is the JDBC reconcile one-pull, which is
-    pytest-gated, not a queries() surface), and `text_bpe_tokenizer`
-    (judge r6 task 5): permanently `no_oracle` rows-only; its
-    SQL-expressible half (`text_pretoken_counts`) is the in-contract
-    twin and the merge sequence stays pytest-pinned
+    Below the window: the 48 remaining r14-green entries of the
+    previous window (fine through r16), the 44 r13-green entries not
+    pulled forward — THEY ARE ROUND 16's MANDATORY HEAD (pinned by
+    name in tests/test_entry.py — the ledger discipline), and
+    `text_bpe_tokenizer` (judge r6 task 5): permanently `no_oracle`
+    rows-only; its SQL-expressible half (`text_pretoken_counts`) is
+    the in-contract twin and the merge sequence stays pytest-pinned
     (tests/test_tokenizer.py), so outside the window it is
     pytest-gated rather than stale.
 
-    CAPACITY NOTE: 145 entries against the 150-entry ceiling (50-slot
-    window × 3-round refresh cycle) — r14 promoted 4 and retired 0
-    (rationale in (c)), so 5 promotion slots remain EVER; from r15 on,
-    every promotion MUST pair with a retirement or the rotation stops
-    closing. The boundary comment below marks entry 50 — but the
-    rotation test checks the real slice, not the comment."""
+    CAPACITY NOTE: 143 entries against the 150-entry ceiling (50-slot
+    window × 3-round refresh cycle) — r14 closed at 145/150 with the
+    rule that from r15 on every promotion MUST pair with a retirement;
+    r15 retired 2 (rationale in (c)), so 7 slots remain, still
+    one-for-one paired. The boundary comment below marks entry 50 —
+    but the rotation test checks the REAL slice, not the comment."""
     return {
-        # --- (a) the 40-entry MANDATORY head: r11-green entries at the
-        # two-round staleness limit (pinned by name in tests/test_entry.py
-        # — the r13 ledger's deferred_at_limit set) ---
+        # --- (a) the 44-entry MANDATORY head: r12-green entries at the
+        # two-round staleness limit (the r14 ledger's deferred_at_limit
+        # set, minus the retired cube_orders) ---
+        "bucketed_revenue_by_priority": rel.bucketed_revenue_by_priority,
+        "dedup_saturation_curve": dedup.dedup_saturation_curve,
+        "dedup_simhash_wide_pairs": dedup.simhash_wide_pairs,
+        "dsir_importance_sample": textops.dsir_importance_sample,
+        "embedding_outlier_stats": embed.embedding_outlier_stats,
+        "event_rate_anomalies": tmp.event_rate_anomalies,
+        "events_active_users": rel.events_active_users,
+        "events_tumbling_hourly": tmp.events_tumbling_hourly,
+        "hybrid_search_rrf": embed.hybrid_search_rrf,
+        "interval_overlap_join": tmp.interval_overlap_sessions,
+        "label_centroid_similarity": embed.label_centroid_similarity,
+        "leakage_safe_split": lambda s, d: dedup.leakage_safe_split(
+            s, d, test_frac=0.2
+        ),
+        "minhash_jaccard_calibration": dedup.minhash_jaccard_calibration,
+        "multimodal_dhash_near_pairs": mm.multimodal_dhash_near_pairs,
+        "multimodal_features": mm.multimodal_features,
+        "ngram_novelty_curve": textops.ngram_novelty_curve,
+        "parts_above_avg_price": rel.parts_above_avg_price,
+        "q10_returned_customers": rel.q10_returned_customers,
+        "q11_important_parts": rel.q11_important_parts,
+        "q12_latency_priority": rel.q12_latency_priority,
+        "q13_order_count_distribution": rel.q13_order_count_distribution,
+        "q14_promo_share": rel.q14_promo_share,
+        "q15_top_supplier": rel.q15_top_supplier,
+        "q17_small_qty_revenue": rel.q17_small_qty_revenue,
+        "q18_large_volume_customers": rel.q18_large_volume_customers,
+        "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q20_excess_shippers": rel.q20_excess_shippers,
+        "q21_waiting_supplier": rel.q21_waiting_supplier,
+        "q22_idle_customers": rel.q22_idle_customers,
+        "q3_shipping_priority": rel.q3_shipping_priority,
+        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
+        "q6_forecast_revenue": rel.q6_forecast_revenue,
+        "q7_nation_volume": rel.q7_nation_volume,
+        "q9_profit_by_nation_year": rel.q9_profit_by_nation_year,
+        "quality_percentile_filter": textops.quality_percentile_filter,
+        "running_revenue": rel.running_revenue,
+        "sessionize_events": rel.sessionize_events,
+        "sq_reconstruction_stats": vec.sq_reconstruction_stats,
+        "text_bm25_search": textops.bm25_search,
+        "tfidf_top_terms": textops.tfidf_top_terms,
+        "top_orders_per_customer": rel.top_orders_per_customer,
+        "unpivot_lineitem": rel.unpivot_lineitem,
+        "zipf_slope": textops.zipf_slope,
+        # --- (b) changed-code pin: source_vocab_overlap_matrix was
+        # r14-green but its pair generator was rewritten to nested
+        # Generates with O(S) peak allocation this round (the r14
+        # verdict's What's-wrong #2), so it re-checks in-window ---
+        "source_vocab_overlap_matrix": textops.source_vocab_overlap_matrix,
+        # --- (d) r13-green pull-forwards (smoothing r16's head to 44) ---
+        "q4_order_priority": rel.q4_order_priority,
+        "domain_mixture_sample": textops.domain_mixture_sample,
+        "encoding_quality_stats": textops.encoding_quality_stats,
+        "source_token_divergence": textops.source_token_divergence,
+        "customers_without_orders": rel.customers_without_orders,
+        # ---- driver window boundary: customers_without_orders above is
+        # entry 50 (count them — don't trust a comment's position; the
+        # rotation test in tests/test_entry.py checks the REAL first-50
+        # slice). Every entry below holds a green hash-matched row from
+        # the most recent round that checked it and is unchanged since:
+        # first the 48 r14-green entries of the previous window (fine
+        # through r16), then the 44 r13-green entries not pulled forward
+        # (2-stale at r15 — they are r16's MANDATORY head, pinned in
+        # tests/test_entry.py), then the pytest-gated rows-only bpe
+        # entry ----
+        # r14-green (latest driver row is CORRECTNESS_r14):
         "vec_knn_filtered": vec.knn_filtered,
         "vec_knn_batched": vec.knn_batched,
         "vec_label_centroids": vec.label_centroids,
@@ -224,42 +282,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_stats": rel.percentile_stats,
         "weighted_sample_topk": textops.weighted_sample_topk,
         "lineitem_price_qty_correlation": rel.lineitem_price_qty_correlation,
-        # --- (b) changed-code pin: term_burstiness was r13-green but its
-        # rank plan was rewritten to bounded top-k-first this round (the
-        # r13 verdict's What's-wrong #2), so it re-checks in-window ---
         "term_burstiness": textops.term_burstiness,
-        # --- (c) promotions from staged pytest self-oracles (each DuckDB
-        # hash-gated in tests/test_operators.py and three-scale-verified;
-        # term_pmi_collocations promoted only AFTER its bounded top-k
-        # rewrite; source_vocab_overlap_matrix only AFTER its S²-fan-out
-        # reshape to row-local pair generation) ---
         "term_pmi_collocations": textops.term_pmi_collocations,
         "source_length_drift": textops.source_length_drift,
         "embedding_contamination_report_stats": (
             dedup.embedding_contamination_report_stats
         ),
-        "source_vocab_overlap_matrix": textops.source_vocab_overlap_matrix,
-        # --- (d) r12-green pull-forwards (smoothing r15's head to 45) ---
         "setop_intersect": rel.setop_intersect,
         "ship_latency": rel.ship_latency,
         "orders_by_month": rel.orders_by_month,
         "parts_like_patterns": rel.parts_like_patterns,
-        "rollup_lineitem": rel.rollup_lineitem,
-        # ---- driver window boundary: rollup_lineitem above is entry 50
-        # (count them — don't trust a comment's position; the rotation
-        # test in tests/test_entry.py checks the REAL first-50 slice).
-        # Every entry below holds a green hash-matched row from the most
-        # recent round that checked it and is unchanged since: first the
-        # 49 r13-green entries of the previous window (fine through r15),
-        # then the 45 r12-green entries not pulled forward (2-stale at
-        # r14 — they are r15's MANDATORY head, pinned in
-        # tests/test_entry.py), then the pytest-gated rows-only bpe entry ----
-        # r13-green (latest driver row is CORRECTNESS_r13):
-        "q4_order_priority": rel.q4_order_priority,
-        "domain_mixture_sample": textops.domain_mixture_sample,
-        "encoding_quality_stats": textops.encoding_quality_stats,
-        "source_token_divergence": textops.source_token_divergence,
-        "customers_without_orders": rel.customers_without_orders,
+        # r13-green below (latest driver row is CORRECTNESS_r13):
+        # 2-stale at r15 — the MANDATORY head of the r16 window ----
         "text_boilerplate_scrub": textops.boilerplate_scrub,
         "text_gopher_quality": textops.gopher_quality_flags,
         "text_repetition_stats": textops.repetition_stats,
@@ -304,55 +338,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_windows": tmp.events_sliding_windows,
         "vec_knn_euclidean": vec.knn_bruteforce,
         "vec_radius": vec.radius_search,
-        # r12-green below (latest driver row is CORRECTNESS_r12):
-        # 2-stale at r14 — the MANDATORY head of the r15 window ----
-        "sessionize_events": rel.sessionize_events,
-        "interval_overlap_join": tmp.interval_overlap_sessions,
-        "events_tumbling_hourly": tmp.events_tumbling_hourly,
-        "parts_above_avg_price": rel.parts_above_avg_price,
-        "unpivot_lineitem": rel.unpivot_lineitem,
-        "top_orders_per_customer": rel.top_orders_per_customer,
-        "running_revenue": rel.running_revenue,
-        "cube_orders": rel.cube_orders,
-        "q1_pricing_summary": rel.q1_pricing_summary,
-        "q11_important_parts": rel.q11_important_parts,
-        "q18_large_volume_customers": rel.q18_large_volume_customers,
-        "q19_disjunctive_revenue": rel.q19_disjunctive_revenue,
-        "q20_excess_shippers": rel.q20_excess_shippers,
-        "q21_waiting_supplier": rel.q21_waiting_supplier,
-        "q22_idle_customers": rel.q22_idle_customers,
-        "event_rate_anomalies": tmp.event_rate_anomalies,
-        "tfidf_top_terms": textops.tfidf_top_terms,
-        "events_active_users": rel.events_active_users,
-        "minhash_jaccard_calibration": dedup.minhash_jaccard_calibration,
-        "hybrid_search_rrf": embed.hybrid_search_rrf,
-        "label_centroid_similarity": embed.label_centroid_similarity,
-        "leakage_safe_split": lambda s, d: dedup.leakage_safe_split(
-            s, d, test_frac=0.2
-        ),
-        "zipf_slope": textops.zipf_slope,
-        "sq_reconstruction_stats": vec.sq_reconstruction_stats,
-        "dedup_saturation_curve": dedup.dedup_saturation_curve,
-        "dsir_importance_sample": textops.dsir_importance_sample,
-        "quality_percentile_filter": textops.quality_percentile_filter,
-        "multimodal_features": mm.multimodal_features,
-        "q6_forecast_revenue": rel.q6_forecast_revenue,
-        "q7_nation_volume": rel.q7_nation_volume,
-        "q9_profit_by_nation_year": rel.q9_profit_by_nation_year,
-        "q10_returned_customers": rel.q10_returned_customers,
-        "q12_latency_priority": rel.q12_latency_priority,
-        "q13_order_count_distribution": rel.q13_order_count_distribution,
-        "q14_promo_share": rel.q14_promo_share,
-        "q15_top_supplier": rel.q15_top_supplier,
-        "q17_small_qty_revenue": rel.q17_small_qty_revenue,
-        "dedup_simhash_wide_pairs": dedup.simhash_wide_pairs,
-        "multimodal_dhash_near_pairs": mm.multimodal_dhash_near_pairs,
-        "text_bm25_search": textops.bm25_search,
-        "q3_shipping_priority": rel.q3_shipping_priority,
-        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
-        "bucketed_revenue_by_priority": rel.bucketed_revenue_by_priority,
-        "ngram_novelty_curve": textops.ngram_novelty_curve,
-        "embedding_outlier_stats": embed.embedding_outlier_stats,
         "text_bpe_tokenizer": _bpe_tokenizer,
     }
 
@@ -474,16 +459,10 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 2) AS running_total
         FROM orders"""
 
-    q["rollup_lineitem"] = f"""
-        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-               {_disp2(_hsum('l_quantity', 100))} AS sum_qty,
-               CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
-        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
-
-    q["cube_orders"] = f"""
-        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-               {_disp2(_hsum('o_totalprice', 100))} AS total
-        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
+    # (rollup_lineitem / cube_orders retired r15 — their exact SQL twins
+    # moved verbatim into tests/test_operators.py
+    # test_grouping_family_self_oracles; grouping_sets_orders below is
+    # the in-contract general form)
 
     q["setop_customers"] = """
         SELECT custkey FROM

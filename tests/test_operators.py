@@ -6080,43 +6080,70 @@ def test_term_burstiness_tie_order_constructed(spark, tmp_path):
     assert [rk for rk, *_ in sorted(got)] == list(range(1, len(got) + 1))
 
 
+# the exact oracle SQL strings the driver contract held for the two
+# grouping-family entries through round 14 (retired r15; see the test
+# docstring below). _hsum/_disp2 mirrors of __spark_entry__'s shared
+# integer-unit fragments, inlined so the retired oracles stay the
+# single source of truth HERE.
+_RETIRED_GROUPING_ORACLES = {
+    "rollup_lineitem": (
+        "lineitem",
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+               round(CAST(sum(CAST(CAST(round((l_quantity) * 100) AS BIGINT)
+                                   AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS sum_qty,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    ),
+    "cube_orders": (
+        "orders",
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               round(CAST(sum(CAST(CAST(round((o_totalprice) * 100) AS BIGINT)
+                                   AS HUGEINT)) AS DOUBLE) / 100.0, 2) AS total
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    ),
+}
+
+
 @pytest.mark.parametrize(
-    "name,op,table",
-    [
-        ("rollup_lineitem", "rollup_lineitem", "lineitem"),
-        ("cube_orders", "cube_orders", "orders"),
-    ],
+    "name",
+    ["rollup_lineitem", "cube_orders"],
 )
-def test_grouping_family_self_oracles(spark, sf_dir, name, op, table):
-    """Standalone pytest DuckDB self-oracles for the ROLLUP/CUBE
-    entries, executing the SAME oracle SQL string the driver gate runs
-    (single source of truth). Today these duplicate the driver window's
-    coverage; they exist as RETIREMENT CONTINUITY — ROLLUP(a,b) is
-    exactly GROUPING SETS((a,b),(a),()) and CUBE(a,b) the full subset
-    lattice, so if a future rotation retires either entry as a
-    grouping-sets special case (the events_funnel precedent,
-    `grouping_sets_orders` staying as the general form), this test is
-    the self-oracle that keeps the coverage claim true."""
+def test_grouping_family_self_oracles(spark, sf_dir, name):
+    """RETIREMENT CONTINUITY for the grouping family: rollup_lineitem
+    and cube_orders were retired from the driver oracle contract at r15
+    (paired retirement for the r15 promotions, the events_funnel
+    precedent) because both are exact grouping-sets special cases —
+    ROLLUP(a,b) ≡ GROUPING SETS((a,b),(a),()) and CUBE(a,b) the full
+    subset lattice — with `grouping_sets_orders` staying in-contract as
+    the general form. This gate keeps the EXACT DuckDB twins the
+    contract held through r14 (SQL inlined above, verbatim from the
+    retired oracle_sql() entries with the shared money fragments
+    expanded), so the coverage claim stays true after retirement."""
     import sys
 
     import duckdb
 
-    import __spark_entry__ as entry
+    from oasysdb_spark.operators import relational as rel
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from tools.check_correctness import compare
 
-    got = entry.queries()[op](spark, sf_dir)
+    op = {"rollup_lineitem": rel.rollup_lineitem,
+          "cube_orders": rel.cube_orders}[name]
+    got = op(spark, sf_dir)
     spark_cols = got.columns
     spark_rows = [tuple(r) for r in got.collect()]
     assert len(spark_rows) > 3  # subtotal + grand-total rows present
 
+    table, sql = _RETIRED_GROUPING_ORACLES[name]
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW {table} AS SELECT * FROM "
         f"read_parquet('{sf_dir}/{table}.parquet')"
     )
-    res = con.execute(entry.oracle_sql()[name])
+    res = con.execute(sql)
     issues = compare(
         name, spark_rows, spark_cols,
         res.fetchall(), [d[0] for d in res.description],
