@@ -77,6 +77,24 @@ def _content_fingerprint(df: DataFrame) -> DataFrame:
     )
     return df.select("id", F.md5(F.to_json(canon)).alias("__fp"))
 
+def _raw_id_literals(dt, ids):
+    """Canonical string ids → raw-typed Python literals for a pushable
+    ``In`` filter on the remote id column (reconcile's large-source
+    changed-set re-read). The canonical id is ``CAST(id_col AS STRING)``
+    (``records_from_df``), so the inverse is exact for strings and
+    integral types; returns ``None`` when the raw type's string cast is
+    not losslessly invertible (float/temporal/scaled-decimal ids) — the
+    caller then falls back to the full-scan semi-join rather than risk
+    a literal that misses its own row."""
+    if isinstance(dt, T.StringType):
+        return list(ids)
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return [int(s) for s in ids]
+    if isinstance(dt, T.DecimalType) and dt.scale == 0:
+        return [int(s) for s in ids]
+    return None
+
+
 # embedded in insert_batch's in-task dimension guard; the API-boundary
 # translator keys on it (same mechanism as similarity_join's d=2 guard)
 _BATCH_DIM_GUARD_MARK = "insert_batch: every vector must have dimension {dim}"
@@ -768,6 +786,7 @@ class Database:
         upper_bound=None,
         num_partitions: int | None = None,
         apply_broadcast_limit: int = 100_000,
+        large_source: bool = False,
     ) -> dict:
         """Full reconciliation against the SQL system of record — the
         CDC-shaped complement of :meth:`sync_jdbc`'s append-only
@@ -806,6 +825,28 @@ class Database:
         and never filter, so they are the one safe parallelism knob
         here.
 
+        ``large_source=True`` trades the one-pull pin's cache footprint
+        for a second TARGETED remote scan: the default path persists the
+        whole normalized source (vectors + metadata — a table-sized
+        MEMORY_AND_DISK footprint on the executors per reconcile, fine
+        until the source is itself huge), while the large-source path
+        persists only the ``(id, 16-byte fp)`` classify projection and
+        re-reads JUST the changed rows for the apply through a
+        pushed-down ``id IN (...)`` predicate on the raw remote column
+        (typed literals via the exact string-cast inverse,
+        :func:`_raw_id_literals`; falls back to a full re-scan +
+        semi-join when the changed set exceeds ``apply_broadcast_limit``
+        or the id type's cast is not invertible). Wire cost: one full
+        scan (the fingerprint classify — irreducible, fingerprints are
+        computed Spark-side) plus one changed-set scan; a
+        nothing-changed reconcile still reads the table exactly once.
+        The consistency trade: the apply re-read is a SECOND snapshot,
+        so a row mutated remotely between classify and apply lands with
+        its newer content (the returned counts describe the classify
+        snapshot; the next reconcile self-heals) — the default path's
+        single pinned pull has no such window. Both paths are Derby
+        statement-log gated in tests/test_sources.py.
+
         Coherence with a live sync stream: when ``jdbc_sync.json``
         tracks this (url, table), its watermark column is auto-excluded
         from the DEFAULT metadata set — otherwise every synced row
@@ -835,7 +876,11 @@ class Database:
         source transfer the fingerprint comparison inherently needs)."""
         import json as _json
 
-        from oasysdb_spark.sources.jdbc import read_jdbc_records
+        from oasysdb_spark.sources.jdbc import (
+            read_jdbc_raw,
+            read_jdbc_records,
+            records_from_df,
+        )
 
         exclude: tuple[str, ...] = ()
         state_path = os.path.join(self.dir, _JDBC_SYNC_FILE)
@@ -866,9 +911,8 @@ class Database:
         # and insert a row the classify pass never counted (the next
         # reconcile would still self-heal, but the returned counts would
         # lie about what was applied).
-        pins: list = []  # persisted frames; released in the one finally
-        try:
-            source = normalize_records(
+        def _read_source() -> DataFrame:
+            return normalize_records(
                 read_jdbc_records(
                     self.spark, url, table,
                     id_col=id_col, vector_col=vector_col,
@@ -879,10 +923,24 @@ class Database:
                     num_partitions=num_partitions,
                     exclude_cols=exclude,
                 )
-            ).persist()
-            pins.append(source)
+            )
 
-            s = _content_fingerprint(source).alias("s")
+        pins: list = []  # persisted frames; released in the one finally
+        try:
+            if large_source:
+                # pin ONLY the (id, 16-byte fp) classify projection —
+                # the full pull still happens once (fingerprints are
+                # computed Spark-side), but the executor cache holds
+                # pairs, not vectors + metadata; the apply side
+                # re-reads just the changed rows below
+                source = None
+                s_fp = _content_fingerprint(_read_source()).persist()
+                pins.append(s_fp)
+                s = s_fp.alias("s")
+            else:
+                source = _read_source().persist()
+                pins.append(source)
+                s = _content_fingerprint(source).alias("s")
             r = _content_fingerprint(self.records_df()).alias("r")
             change = (
                 F.when(F.col("r.id").isNull(), F.lit("added"))
@@ -917,7 +975,37 @@ class Database:
                 ins_ids = delta.where(F.col("change") != "deleted").select(
                     "id"
                 )
-                if n_incoming <= int(apply_broadcast_limit):
+                if large_source:
+                    typed = None
+                    if n_incoming <= int(apply_broadcast_limit):
+                        raw = read_jdbc_raw(
+                            self.spark, url, table,
+                            properties=properties, where=where,
+                        )
+                        typed = _raw_id_literals(
+                            raw.schema[id_col].dataType,
+                            [row["id"] for row in ins_ids.collect()],
+                        )
+                    if typed is not None:
+                        # changed-set re-read: the In filter sits
+                        # directly on the raw relation, so it compiles
+                        # into the remote WHERE and only changed rows
+                        # cross the wire (Derby-gated)
+                        batch = records_from_df(
+                            raw.where(F.col(id_col).isin(typed)),
+                            table,
+                            id_col=id_col, vector_col=vector_col,
+                            metadata_cols=metadata_cols,
+                            exclude_cols=exclude,
+                        )
+                    else:
+                        # mass-change or non-invertible id type: re-pay
+                        # the full transfer once; the footprint win
+                        # (no table-sized pin) still holds
+                        batch = _read_source().join(
+                            ins_ids, "id", "left_semi"
+                        )
+                elif n_incoming <= int(apply_broadcast_limit):
                     batch = source.join(
                         F.broadcast(ins_ids), "id", "left_semi"
                     )

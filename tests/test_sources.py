@@ -1344,6 +1344,108 @@ def test_reconcile_jdbc_single_source_scan(spark, tmp_path):
     )
 
 
+def test_reconcile_jdbc_large_source_fp_pin_and_pushed_apply(spark, tmp_path):
+    """``large_source=True`` (r14 verdict What's-wrong #1): the default
+    one-pull pin caches the WHOLE normalized source per reconcile — a
+    table-sized executor footprint at a huge system of record — so the
+    large-source path pins only the ``(id, fp)`` classify projection
+    and re-reads just the changed rows through a pushed-down
+    ``id IN (...)`` predicate. Wire gates, Derby statement log:
+
+    - changed reconcile: exactly TWO data scans — the fingerprint
+      classify full scan plus the changed-set read, and the changed-set
+      statement carries the IN predicate (the filter provably reached
+      the remote, it is not a client-side filter over a full pull);
+    - nothing-changed reconcile: exactly ONE scan (no apply, no second
+      read);
+    - forced fallback (changed set over ``apply_broadcast_limit``):
+      two scans, neither with the IN predicate (full re-read +
+      semi-join), results identical.
+
+    Results are pinned equal to the default path on a twin database
+    reconciled from the same mutated source. INT ids exercise the
+    typed string-cast inverse (_raw_id_literals)."""
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.core.database import Database
+
+    dbdir = str(tmp_path / "derby_large_src")
+    url = f"jdbc:derby:{dbdir};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    table = "recon_large_source_gate"
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "id int, vec array<double>, label int"
+        ).select("id", F.to_json("vec").alias("embedding"), "label")
+
+    base = [(i, [float(i), 0.0], i % 3) for i in range(8)]
+    frame(base).write.jdbc(url, table, mode="overwrite", properties=props)
+    db = Database.from_jdbc(
+        spark, str(tmp_path / "db_large"), url, table,
+        properties=props, density=8,
+    )
+    twin = Database.from_jdbc(
+        spark, str(tmp_path / "db_twin"), url, table,
+        properties=props, density=8,
+    )
+    # mutate so every apply branch runs: delete 7, update 5 and 6, add 8
+    mutated = [
+        (i, [float(i), 0.0], i % 3) for i in range(5)
+    ] + [(5, [5.5, 1.0], 2), (6, [6.0, 0.0], 99), (8, [8.0, 0.0], 1)]
+    frame(mutated).write.jdbc(url, table, mode="overwrite", properties=props)
+
+    with _derby_stmt_log(spark, url) as scans:
+        res = db.reconcile_jdbc(
+            url, table, properties=props, large_source=True
+        )
+    assert res == {"added": 1, "deleted": 1, "updated": 2}
+    got = scans(table)
+    assert len(got) == 2, (
+        f"expected classify + changed-set scans of {table}, saw "
+        f"{len(got)}:\n" + "\n".join(s[-220:] for s in got)
+    )
+    with_in = [s for s in got if " in (" in s.lower()]
+    assert len(with_in) == 1, (
+        "exactly one scan must carry the pushed-down IN predicate:\n"
+        + "\n".join(s[-220:] for s in got)
+    )
+
+    # parity with the default (full-pin) path on the same mutation
+    res_twin = twin.reconcile_jdbc(url, table, properties=props)
+    assert res_twin == res
+    pick = lambda db_: sorted(
+        (r["id"], r["embedding"], r["m_num"]) for r in
+        db_.records_df().select("id", "embedding", "m_num").collect()
+    )
+    assert pick(db) == pick(twin)
+
+    # nothing changed: still exactly one scan (the classify pull)
+    with _derby_stmt_log(spark, url) as scans:
+        res = db.reconcile_jdbc(
+            url, table, properties=props, large_source=True
+        )
+    assert res == {"added": 0, "deleted": 0, "updated": 0}
+    got = scans(table)
+    assert len(got) == 1, "\n".join(s[-220:] for s in got)
+
+    # forced fallback: changed set larger than apply_broadcast_limit →
+    # full re-read + semi-join (two scans, no IN predicate)
+    frame(base).write.jdbc(url, table, mode="overwrite", properties=props)
+    with _derby_stmt_log(spark, url) as scans:
+        res = db.reconcile_jdbc(
+            url, table, properties=props, large_source=True,
+            apply_broadcast_limit=1,
+        )
+    assert res == {"added": 1, "deleted": 1, "updated": 2}
+    got = scans(table)
+    assert len(got) == 2, "\n".join(s[-220:] for s in got)
+    assert not [s for s in got if " in (" in s.lower()]
+    assert pick(db) == sorted(
+        (str(i), [float(i), 0.0], {"label": float(i % 3)}) for i in range(8)
+    )
+
+
 def test_watermark_literal_spark_backslash_roundtrip(spark):
     """Spark parses its SQL fragments with C-style backslash escapes
     active (spark.sql.parser.escapedStringLiterals defaults false), so
