@@ -363,6 +363,7 @@ class Database:
             # column-pruned client-side aggregate over a Spark-parsed
             # scan — one watermark-column transfer, the documented
             # price of filtered partitioned seeding.
+            seed_exc = None
             if where is None:
                 from oasysdb_spark.sources.jdbc import (
                     remote_watermark_minmax,
@@ -383,11 +384,23 @@ class Database:
                         stacklevel=2,
                     )
                     high = None
+                    seed_exc = exc
             if high is None:
                 pre = read_jdbc_raw(
                     spark, url, table, properties=properties, where=where,
                 )
-                agg = pre.agg(F.max(watermark_col).alias("h")).first()
+                try:
+                    agg = pre.agg(F.max(watermark_col).alias("h")).first()
+                except Exception as fb_exc:
+                    if seed_exc is not None:
+                        # a genuine connectivity/auth failure fails BOTH
+                        # paths — chain the original remote error as the
+                        # cause so the pointed message survives instead
+                        # of only the fallback's generic scan failure
+                        # (r14 ADVICE; dialect refusals still fall back
+                        # cleanly because the client-side scan succeeds)
+                        raise fb_exc from seed_exc
+                    raise
                 high = agg["h"] if agg is not None else None
         pinned = raw.persist()
         loaded = pinned
@@ -573,6 +586,17 @@ class Database:
                     "under an advanced mark gaps or merges streams "
                     "silently); delete the state file to re-baseline"
                 )
+        if not dedup_ids and state.get("reconciled"):
+            raise errors.InvalidArgumentError(
+                f"jdbc sync state at {state_path} records a reconcile on "
+                "this stream: reconcile inserts rows PAST the sync mark, "
+                "and without the id anti-join the next sync would "
+                "re-ingest every one of them as a duplicate (the "
+                "strict-mark contract assumes sync is the only writer "
+                "ahead of the mark) — keep dedup_ids=True on a stream "
+                "that reconciles, or delete the state file to "
+                "re-baseline deliberately"
+            )
         high = state.get("high")
         high_kind = state.get("high_kind")
         if high is not None and high_kind is None:
@@ -761,11 +785,20 @@ class Database:
             for df in pins:
                 df.unpersist()
         # the mark advances even when the batch deduped to nothing
-        # (crash replay fully collapsed): the window is consumed
+        # (crash replay fully collapsed): the window is consumed. The
+        # reconciled marker is STICKY across mark advances: rows a past
+        # reconcile added ahead of the mark stay ahead until the mark
+        # passes them, so the dedup_ids=False hazard never expires
         atomic_write_text(
             state_path,
             _json.dumps(
-                {**stream_key, "high": high_out, "high_kind": new_kind},
+                {
+                    **stream_key,
+                    "high": high_out,
+                    "high_kind": new_kind,
+                    **({"reconciled": True} if state.get("reconciled")
+                       else {}),
+                },
                 sort_keys=True,
             ),
         )
@@ -864,7 +897,11 @@ class Database:
         every reconcile-added row past the mark as a duplicate (the
         strict-mark contract assumes sync is the ONLY writer ahead of
         the mark). Keep ``dedup_ids=True`` (the default) on any stream
-        that reconciles.
+        that reconciles — and the mix is now REFUSED, not just
+        documented: a reconcile on a tracked stream writes a sticky
+        ``reconciled`` marker into ``jdbc_sync.json`` (preserved across
+        later mark advances), and :meth:`sync_jdbc` raises on
+        ``dedup_ids=False`` when the marker is present.
 
         NOT atomic across the two writes: a crash between the delete
         and the insert leaves updated/added rows missing until the next
@@ -883,11 +920,13 @@ class Database:
         )
 
         exclude: tuple[str, ...] = ()
+        sync_state: dict | None = None
         state_path = os.path.join(self.dir, _JDBC_SYNC_FILE)
         if os.path.exists(state_path):
             with open(state_path, encoding="utf-8") as f:
                 state = _json.load(f)
             if state.get("url") == url and state.get("table") == table:
+                sync_state = state
                 if state.get("where") != where:
                     raise errors.InvalidArgumentError(
                         f"jdbc sync state at {state_path} tracks "
@@ -1017,6 +1056,18 @@ class Database:
         finally:
             for p in pins:
                 p.unpersist()
+        if sync_state is not None and not sync_state.get("reconciled"):
+            # sticky reconciled marker (r14 ADVICE): reconcile inserts
+            # rows PAST the sync mark, so a later sync_jdbc with
+            # dedup_ids=False would silently re-ingest them as
+            # duplicates — the marker lets sync refuse that mix instead
+            # of documenting it away
+            atomic_write_text(
+                state_path,
+                _json.dumps(
+                    {**sync_state, "reconciled": True}, sort_keys=True
+                ),
+            )
         return result
 
     def _default_radius(self) -> float:

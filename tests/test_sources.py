@@ -1446,6 +1446,74 @@ def test_reconcile_jdbc_large_source_fp_pin_and_pushed_apply(spark, tmp_path):
     )
 
 
+def test_sync_refuses_dedup_ids_false_after_reconcile(spark, tmp_path):
+    """r14 ADVICE hardening: a reconcile inserts rows PAST the sync
+    mark, so a later ``sync_jdbc(dedup_ids=False)`` would re-ingest
+    every one of them as a duplicate (the strict-mark contract assumes
+    sync is the only writer ahead of the mark). The hazard was only
+    documented; now a reconcile on a tracked stream writes a sticky
+    ``reconciled`` marker into jdbc_sync.json and sync REFUSES the mix
+    — including after later dedup_ids=True syncs advance the mark (the
+    marker must survive the mark rewrite)."""
+    import json
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark import errors
+    from oasysdb_spark.core.database import Database, _JDBC_SYNC_FILE
+
+    dbdir = str(tmp_path / "derby_reconmark")
+    url = f"jdbc:derby:{dbdir};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    table = "recon_marker_gate"
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "id string, vec array<double>, seq int"
+        ).select("id", F.to_json("vec").alias("embedding"), "seq")
+
+    frame([(f"r{i}", [float(i), 0.0], i) for i in range(4)]).write.jdbc(
+        url, table, mode="overwrite", properties=props
+    )
+    d = str(tmp_path / "db_reconmark")
+    db = Database.from_jdbc(
+        spark, d, url, table, properties=props, density=8,
+        dimension=2, watermark_col="seq",
+    )
+    # before any reconcile, dedup_ids=False is the caller's contract
+    assert db.sync_jdbc(url, table, watermark_col="seq",
+                        properties=props, dedup_ids=False) == 0
+
+    assert db.reconcile_jdbc(url, table, properties=props) == {
+        "added": 0, "deleted": 0, "updated": 0
+    }
+    state_path = os.path.join(d, _JDBC_SYNC_FILE)
+    with open(state_path, encoding="utf-8") as f:
+        assert json.load(f)["reconciled"] is True
+
+    with _pytest.raises(errors.InvalidArgumentError,
+                        match="records a reconcile"):
+        db.sync_jdbc(url, table, watermark_col="seq",
+                     properties=props, dedup_ids=False)
+
+    # dedup_ids=True stays fine and the marker survives the mark
+    # rewrite — the refusal is permanent, not one-sync deep
+    frame([("r9", [9.0, 0.0], 9)]).write.jdbc(
+        url, table, mode="append", properties=props
+    )
+    assert db.sync_jdbc(url, table, watermark_col="seq",
+                        properties=props) == 1
+    with open(state_path, encoding="utf-8") as f:
+        st = json.load(f)
+    assert st["reconciled"] is True and st["high"] == 9
+    with _pytest.raises(errors.InvalidArgumentError,
+                        match="records a reconcile"):
+        db.sync_jdbc(url, table, watermark_col="seq",
+                     properties=props, dedup_ids=False)
+
+
 def test_watermark_literal_spark_backslash_roundtrip(spark):
     """Spark parses its SQL fragments with C-style backslash escapes
     active (spark.sql.parser.escapedStringLiterals defaults false), so
@@ -1636,8 +1704,15 @@ def test_from_jdbc_partitioned_seed_scans_before_load(spark, tmp_path):
     with open(os.path.join(d, _JDBC_SYNC_FILE), encoding="utf-8") as f:
         assert json.load(f)["high"] == 19
     got = scans(table)
-    # the pre-load seed ran as the one-row remote aggregate...
-    assert any("oasys_wm_scan" in ln for ln in got)
+    # the pre-load seed ran as the one-row remote aggregate, and it ran
+    # FIRST — Derby's statement log is chronological, so the seed
+    # preceding every range scan is the actual ordering property the
+    # ragged-snapshot guard claims (r14 ADVICE: asserting mere presence
+    # would stay green if a regression moved the seed after the load)
+    assert got and "oasys_wm_scan" in got[0], (
+        "seed scan must precede all range scans:\n"
+        + "\n".join(s[-220:] for s in got)
+    )
     # ...and the data scans are exactly the three range queries
     data = [ln for ln in got if "oasys_wm_scan" not in ln]
     assert len(data) == 3, (
