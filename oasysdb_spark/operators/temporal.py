@@ -302,6 +302,55 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral audit between :func:`event_funnel`'s
+    fixed step ladder and :func:`sessionize_events`' gap cutting: for
+    every ordered pair of event types, how often does ``next`` follow
+    ``prev`` in some user's timeline, and with what conditional
+    probability. The curation read: a transition matrix that shifts
+    between two crawls of an interaction log is drift the per-type
+    rate audit (:func:`event_rate_anomalies`) cannot see, because
+    SEQUENCE changes don't move marginal counts.
+
+    Returns ``(prev_type, next_type, n_transitions, p_next)`` with
+    ``p_next = n / Σ_next n`` per ``prev_type`` — one division of two
+    exact integer counts, rounded once (the documented-safe class).
+    Successor order is total: ``ts`` then ``event_id`` breaks
+    same-timestamp ties identically in both engines.
+
+    Scale shape: ONE exchange on ``user_id`` (narrow rows: user, type,
+    ts, event_id — props/value pruned at the scan) feeds the per-user
+    lag window; the pair rollup is map-side combined down to the
+    ≤ |types|² matrix, and the per-prev totals window runs over that
+    tiny matrix, partitioned by ``prev_type`` (never a single-partition
+    window over event-scale rows)."""
+    events = _t(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(seq))
+        .where(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").cast("bigint").alias("n_transitions"))
+    per_prev = Window.partitionBy("prev_type")
+    return (
+        counts.select(
+            "prev_type",
+            "next_type",
+            "n_transitions",
+            F.round(
+                F.col("n_transitions").cast("double")
+                / F.sum("n_transitions").over(per_prev).cast("double"),
+                6,
+            ).alias("p_next"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
 def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (1 h size, 30 min slide): each event lands in two
     overlapping windows. ``F.window`` expands the buckets JVM-side."""

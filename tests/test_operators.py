@@ -6203,3 +6203,191 @@ def test_source_vocab_overlap_randomized_seeded(spark, tmp_path):
             len(vocab[a]), len(vocab[b]), inter, round(inter / union, 6)
         )
     assert got == want
+
+
+def test_dedup_token_inflation_matches_duckdb_oracle(spark, sf_dir):
+    """dedup_token_inflation against an independent DuckDB replay (same
+    injection arithmetic, same keep-first rule, token counts re-derived
+    from the shared tokenizer regex) — the r15 promotion's self-oracle
+    gate. Invariants: dup_docs <= n_docs, tokens_dup <= tokens_total,
+    every source appears exactly once, and the injected cliques
+    guarantee a strictly positive global dup token count."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    got = dedup.token_inflation_stats(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) == len({r[0] for r in spark_rows})
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+            " t -> t <> '')")
+    res = con.execute(f"""
+        WITH aug AS (SELECT doc_id, source,
+               CASE WHEN doc_id % 4 = 0
+                    THEN '{dedup.DUPLICATION_TEMPLATE} '
+                         || CAST((doc_id // 4) % 2 AS VARCHAR)
+                    ELSE text END AS text
+             FROM documents),
+        slim AS (SELECT doc_id, source,
+                        CAST('0x' || substring(md5(text), 1, 15) AS BIGINT)
+                          AS h,
+                        CAST(len({toks}) AS BIGINT) AS tok
+                 FROM aug),
+        f AS (SELECT source, tok,
+                     doc_id <> min(doc_id) OVER (PARTITION BY h) AS is_dup
+              FROM slim)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                 AS dup_docs,
+               CAST(sum(tok) AS BIGINT) AS tokens_total,
+               CAST(sum(CASE WHEN is_dup THEN tok ELSE 0 END) AS BIGINT)
+                 AS tokens_dup,
+               round(CAST(sum(CASE WHEN is_dup THEN tok ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(tok) AS DOUBLE), 6) AS dup_token_ratio
+        FROM f GROUP BY source ORDER BY source""")
+    duck_cols = [d[0] for d in res.description]
+    issues = compare(
+        "dedup_token_inflation", spark_rows, spark_cols,
+        res.fetchall(), duck_cols,
+    )
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    assert all(r[ix["dup_docs"]] <= r[ix["n_docs"]] for r in spark_rows)
+    assert all(
+        r[ix["tokens_dup"]] <= r[ix["tokens_total"]] for r in spark_rows
+    )
+    assert sum(r[ix["tokens_dup"]] for r in spark_rows) > 0
+
+
+def test_dedup_token_inflation_constructed(spark, tmp_path):
+    """Hand-built corpus where the expected numbers are computable on
+    paper: two duplicate cliques of different token lengths spanning
+    two sources plus unique docs. Pins the keep-first attribution rule
+    (the representative's own source pays NOTHING for the kept copy;
+    every later copy pays ITS OWN token count) and the exact ratio.
+    doc_id % 4 != 0 throughout so the fixture injection stays inert."""
+    d = str(tmp_path / "ti_sf")
+    rows = [
+        # clique A "a b c" (3 tokens): keeper 1@s1, copies 2@s1, 3@s2
+        (1, "a b c", "en", "s1", 5),
+        (2, "a b c", "en", "s1", 5),
+        (3, "a b c", "en", "s2", 5),
+        # clique B "x y" (2 tokens): keeper 5@s2, copy 6@s1
+        (5, "x y", "en", "s2", 3),
+        (6, "x y", "en", "s1", 3),
+        # unique docs
+        (7, "unique seven words here now", "en", "s1", 26),
+        (9, "another solo", "en", "s2", 12),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = {
+        r["source"]: (
+            r["n_docs"], r["dup_docs"], r["tokens_total"],
+            r["tokens_dup"], r["dup_token_ratio"],
+        )
+        for r in dedup.token_inflation_stats(spark, d).collect()
+    }
+    # s1: docs 1,2,6,7 → dup copies: 2 (3 tok) + 6 (2 tok) = 5 of 13
+    assert got["s1"] == (4, 2, 13, 5, round(5 / 13, 6))
+    # s2: docs 3,5,9 → dup copy: 3 (3 tok) of 7
+    assert got["s2"] == (3, 1, 7, 3, round(3 / 7, 6))
+
+
+def test_events_markov_transitions_matches_duckdb_oracle(spark, sf_dir):
+    """events_markov_transitions against an independent DuckDB replay
+    (lag window, same (ts, event_id) total tie-break). Invariants: the
+    per-prev probabilities sum to 1 within the 6dp quantum, counts are
+    positive, and the global transition count equals n_events minus
+    the number of distinct users with at least one event."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    from oasysdb_spark.operators import temporal as tmp
+
+    got = tmp.event_markov_transitions(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    res = con.execute("""
+        WITH seq AS (SELECT user_id, event_type, ts, event_id,
+                            lag(event_type) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id
+                            ) AS prev_type
+                     FROM events),
+        c AS (SELECT prev_type, event_type AS next_type,
+                     CAST(count(*) AS BIGINT) AS n_transitions
+              FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        SELECT prev_type, next_type, n_transitions,
+               round(CAST(n_transitions AS DOUBLE)
+                     / CAST(sum(n_transitions) OVER (PARTITION BY prev_type)
+                            AS DOUBLE), 6) AS p_next
+        FROM c ORDER BY prev_type, next_type""")
+    issues = compare(
+        "events_markov_transitions", spark_rows, spark_cols,
+        res.fetchall(), [d[0] for d in res.description],
+    )
+    assert not issues, issues
+
+    ix = {c: i for i, c in enumerate(spark_cols)}
+    by_prev: dict = {}
+    for r in spark_rows:
+        assert r[ix["n_transitions"]] > 0
+        by_prev.setdefault(r[ix["prev_type"]], []).append(r[ix["p_next"]])
+    for ps in by_prev.values():
+        assert abs(sum(ps) - 1.0) <= 1e-6 * len(ps)
+    (total_events, n_users), = con.execute(
+        "SELECT count(*), count(DISTINCT user_id) FROM events"
+    ).fetchall()
+    assert (
+        sum(r[ix["n_transitions"]] for r in spark_rows)
+        == total_events - n_users
+    )
+
+
+def test_events_markov_transitions_tie_break(spark, tmp_path):
+    """Same-timestamp successors order by event_id — the total
+    tie-break both engines share. One user, three events at ONE
+    instant: the chain must be a→b→c by event_id, never a→c or b→a."""
+    from oasysdb_spark.operators import temporal as tmp
+
+    d = str(tmp_path / "mk_sf")
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 42, "a", 0.0, "{}"),
+            (2, "2024-01-01 00:00:00", 42, "b", 0.0, "{}"),
+            (3, "2024-01-01 00:00:00", 42, "c", 0.0, "{}"),
+        ],
+        "event_id bigint, ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.parquet(f"{d}/events.parquet")
+
+    rows = sorted(
+        tuple(r) for r in tmp.event_markov_transitions(spark, d).collect()
+    )
+    assert rows == [("a", "b", 1, 1.0), ("b", "c", 1, 1.0)]
