@@ -120,9 +120,9 @@ def _bpe_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering contract: the driver oracle-checks the FIRST 50 entries.
 
-    Round-15 rotation (window math: 143 entries after the paired
-    retirements, 50-slot window, every out-of-window entry must hold a
-    green row no older than round N-2):
+    Round-15 rotation (window math: 145 entries after the paired
+    2-retire/2-promote swap, 50-slot window, every out-of-window entry
+    must hold a green row no older than round N-2):
 
     (a) the 44 surviving r12-green entries deferred past BOTH the r13
         and r14 windows — at the two-round staleness limit, so they
@@ -246,11 +246,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation test in tests/test_entry.py checks the REAL first-50
         # slice). Every entry below holds a green hash-matched row from
         # the most recent round that checked it and is unchanged since:
-        # first the 48 r14-green entries of the previous window (fine
-        # through r16), then the 44 r13-green entries not pulled forward
-        # (2-stale at r15 — they are r16's MANDATORY head, pinned in
-        # tests/test_entry.py), then the pytest-gated rows-only bpe
-        # entry ----
+        # the two r13-green entries the (c) promotions displaced, the
+        # 48 r14-green entries of the previous window (fine through
+        # r16), the remaining 44 r13-green entries (all 46 r13-latest
+        # names are 2-stale at r15 — they are r16's MANDATORY head,
+        # pinned in tests/test_entry.py), then the pytest-gated
+        # rows-only bpe entry ----
         # r13-green pull-forward candidates returned below-window when
         # the (c) promotions took their slots — they rejoin the r16
         # mandatory head with the rest of the r13-latest set:

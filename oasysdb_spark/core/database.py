@@ -77,6 +77,12 @@ def _content_fingerprint(df: DataFrame) -> DataFrame:
     )
     return df.select("id", F.md5(F.to_json(canon)).alias("__fp"))
 
+# literals per IN group in the large-source changed-set re-read: Oracle
+# hard-caps a single IN list at 1000 expressions (ORA-01795), so chunks
+# of 900 OR'd together stay portable while keeping the statement short
+_IN_CHUNK = 900
+
+
 def _raw_id_literals(dt, ids):
     """Canonical string ids → raw-typed Python literals for a pushable
     ``In`` filter on the remote id column (reconcile's large-source
@@ -820,6 +826,7 @@ class Database:
         num_partitions: int | None = None,
         apply_broadcast_limit: int = 100_000,
         large_source: bool = False,
+        apply_pushdown_limit: int = 10_000,
     ) -> dict:
         """Full reconciliation against the SQL system of record — the
         CDC-shaped complement of :meth:`sync_jdbc`'s append-only
@@ -864,12 +871,15 @@ class Database:
         MEMORY_AND_DISK footprint on the executors per reconcile, fine
         until the source is itself huge), while the large-source path
         persists only the ``(id, 16-byte fp)`` classify projection and
-        re-reads JUST the changed rows for the apply through a
-        pushed-down ``id IN (...)`` predicate on the raw remote column
+        re-reads JUST the changed rows for the apply through
+        pushed-down ``id IN (...)`` predicates on the raw remote column
         (typed literals via the exact string-cast inverse,
-        :func:`_raw_id_literals`; falls back to a full re-scan +
-        semi-join when the changed set exceeds ``apply_broadcast_limit``
-        or the id type's cast is not invertible). Wire cost: one full
+        :func:`_raw_id_literals`, chunked into OR'd groups of 900 —
+        under Oracle's 1000-expression IN cap; falls back to a full
+        re-scan + broadcast semi-join when the changed set exceeds
+        ``apply_pushdown_limit`` — sized for SQL statement length, NOT
+        the Spark-side ``apply_broadcast_limit`` — or the id type's
+        cast is not invertible). Wire cost: one full
         scan (the fingerprint classify — irreducible, fingerprints are
         computed Spark-side) plus one changed-set scan; a
         nothing-changed reconcile still reads the table exactly once.
@@ -1016,7 +1026,7 @@ class Database:
                 )
                 if large_source:
                     typed = None
-                    if n_incoming <= int(apply_broadcast_limit):
+                    if n_incoming <= int(apply_pushdown_limit):
                         raw = read_jdbc_raw(
                             self.spark, url, table,
                             properties=properties, where=where,
@@ -1026,12 +1036,21 @@ class Database:
                             [row["id"] for row in ins_ids.collect()],
                         )
                     if typed is not None:
-                        # changed-set re-read: the In filter sits
-                        # directly on the raw relation, so it compiles
+                        # changed-set re-read: the In filters sit
+                        # directly on the raw relation, so they compile
                         # into the remote WHERE and only changed rows
-                        # cross the wire (Derby-gated)
+                        # cross the wire (Derby-gated). Chunked into
+                        # OR'd IN groups of 900 literals: Oracle
+                        # hard-caps one IN list at 1000 (ORA-01795)
+                        # and other remotes have statement-size limits
+                        # a single 10k-literal list would court
+                        pred = F.col(id_col).isin(typed[:_IN_CHUNK])
+                        for i in range(_IN_CHUNK, len(typed), _IN_CHUNK):
+                            pred = pred | F.col(id_col).isin(
+                                typed[i:i + _IN_CHUNK]
+                            )
                         batch = records_from_df(
-                            raw.where(F.col(id_col).isin(typed)),
+                            raw.where(pred),
                             table,
                             id_col=id_col, vector_col=vector_col,
                             metadata_cols=metadata_cols,
@@ -1039,10 +1058,17 @@ class Database:
                         )
                     else:
                         # mass-change or non-invertible id type: re-pay
-                        # the full transfer once; the footprint win
-                        # (no table-sized pin) still holds
+                        # the full transfer once; the footprint win (no
+                        # table-sized pin) still holds. Broadcast the
+                        # tiny id set when it fits — the full re-read
+                        # must never shuffle just to meet 50 ids
+                        right = (
+                            F.broadcast(ins_ids)
+                            if n_incoming <= int(apply_broadcast_limit)
+                            else ins_ids
+                        )
                         batch = _read_source().join(
-                            ins_ids, "id", "left_semi"
+                            right, "id", "left_semi"
                         )
                 elif n_incoming <= int(apply_broadcast_limit):
                     batch = source.join(
@@ -1056,18 +1082,30 @@ class Database:
         finally:
             for p in pins:
                 p.unpersist()
-        if sync_state is not None and not sync_state.get("reconciled"):
+        if sync_state is not None:
             # sticky reconciled marker (r14 ADVICE): reconcile inserts
             # rows PAST the sync mark, so a later sync_jdbc with
             # dedup_ids=False would silently re-ingest them as
             # duplicates — the marker lets sync refuse that mix instead
-            # of documenting it away
-            atomic_write_text(
-                state_path,
-                _json.dumps(
-                    {**sync_state, "reconciled": True}, sort_keys=True
-                ),
-            )
+            # of documenting it away. RE-READ the state file rather
+            # than rewriting the pre-reconcile snapshot: a scheduled
+            # sync finishing mid-reconcile has advanced the mark, and
+            # writing the stale snapshot back would silently revert it
+            current: dict = {}
+            if os.path.exists(state_path):
+                with open(state_path, encoding="utf-8") as f:
+                    current = _json.load(f)
+            if (
+                current.get("url") == url
+                and current.get("table") == table
+                and not current.get("reconciled")
+            ):
+                atomic_write_text(
+                    state_path,
+                    _json.dumps(
+                        {**current, "reconciled": True}, sort_keys=True
+                    ),
+                )
         return result
 
     def _default_radius(self) -> float:

@@ -1429,13 +1429,13 @@ def test_reconcile_jdbc_large_source_fp_pin_and_pushed_apply(spark, tmp_path):
     got = scans(table)
     assert len(got) == 1, "\n".join(s[-220:] for s in got)
 
-    # forced fallback: changed set larger than apply_broadcast_limit →
-    # full re-read + semi-join (two scans, no IN predicate)
+    # forced fallback: changed set larger than apply_pushdown_limit →
+    # full re-read + broadcast semi-join (two scans, no IN predicate)
     frame(base).write.jdbc(url, table, mode="overwrite", properties=props)
     with _derby_stmt_log(spark, url) as scans:
         res = db.reconcile_jdbc(
             url, table, properties=props, large_source=True,
-            apply_broadcast_limit=1,
+            apply_pushdown_limit=1,
         )
     assert res == {"added": 1, "deleted": 1, "updated": 2}
     got = scans(table)
@@ -1444,6 +1444,126 @@ def test_reconcile_jdbc_large_source_fp_pin_and_pushed_apply(spark, tmp_path):
     assert pick(db) == sorted(
         (str(i), [float(i), 0.0], {"label": float(i % 3)}) for i in range(8)
     )
+
+
+def test_reconcile_large_source_chunked_in_groups(spark, tmp_path, monkeypatch):
+    """The changed-set re-read chunks its id literals into OR'd IN
+    groups of 900 (Oracle hard-caps one IN list at 1000 expressions —
+    ORA-01795 — so a single 10k-literal list would fail exactly when
+    large_source matters most). Chunk size shrunk to 2 via monkeypatch:
+    3 changed ids must produce ONE remote statement whose WHERE carries
+    TWO IN groups, and the apply must land all three rows."""
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.core import database as dbmod
+    from oasysdb_spark.core.database import Database
+
+    monkeypatch.setattr(dbmod, "_IN_CHUNK", 2)
+
+    dbdir = str(tmp_path / "derby_chunked")
+    url = f"jdbc:derby:{dbdir};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    table = "recon_chunked_in_gate"
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "id int, vec array<double>, label int"
+        ).select("id", F.to_json("vec").alias("embedding"), "label")
+
+    base = [(i, [float(i), 0.0], i % 3) for i in range(6)]
+    frame(base).write.jdbc(url, table, mode="overwrite", properties=props)
+    db = Database.from_jdbc(
+        spark, str(tmp_path / "db_chunked"), url, table,
+        properties=props, density=8,
+    )
+    mutated = base[:3] + [(3, [3.5, 1.0], 0), (4, [4.5, 1.0], 1),
+                          (6, [6.0, 0.0], 0)]
+    frame(mutated).write.jdbc(url, table, mode="overwrite", properties=props)
+
+    with _derby_stmt_log(spark, url) as scans:
+        res = db.reconcile_jdbc(
+            url, table, properties=props, large_source=True
+        )
+    assert res == {"added": 1, "deleted": 1, "updated": 2}
+    got = scans(table)
+    assert len(got) == 2
+    (in_stmt,) = [s for s in got if " in (" in s.lower()]
+    # two OR'd groups reached the remote in ONE statement: Spark
+    # compiles the 2-wide chunk to IN and the 1-wide tail to equality
+    pred = in_stmt.lower().split(" where ", 1)[1]
+    assert " or " in pred, in_stmt[-300:]
+    assert pred.count(" in (") + pred.count('"id" = ') == 2, in_stmt[-300:]
+    assert sorted(
+        (r["id"], r["embedding"]) for r in
+        db.records_df().select("id", "embedding").collect()
+    ) == sorted(
+        (str(i), [float(v) for v in vec])
+        for i, vec, _ in mutated
+    )
+
+
+def test_reconcile_marker_preserves_concurrent_mark_advance(spark, tmp_path):
+    """The reconciled-marker write must MERGE into the CURRENT
+    jdbc_sync.json, not rewrite the snapshot read at reconcile entry: a
+    scheduled sync finishing mid-reconcile advances the mark, and
+    writing the stale snapshot back would silently revert it (the next
+    sync would re-read the consumed window). Simulated by advancing the
+    persisted mark from inside the reconcile's apply (delete hook),
+    then asserting the final state keeps BOTH the advanced mark and
+    the marker."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.core.database import Database, _JDBC_SYNC_FILE
+
+    dbdir = str(tmp_path / "derby_markkeep")
+    url = f"jdbc:derby:{dbdir};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    table = "recon_markkeep_gate"
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "id string, vec array<double>, seq int"
+        ).select("id", F.to_json("vec").alias("embedding"), "seq")
+
+    frame([(f"r{i}", [float(i), 0.0], i) for i in range(4)]).write.jdbc(
+        url, table, mode="overwrite", properties=props
+    )
+    d = str(tmp_path / "db_markkeep")
+    db = Database.from_jdbc(
+        spark, d, url, table, properties=props, density=8,
+        dimension=2, watermark_col="seq",
+    )
+    state_path = os.path.join(d, _JDBC_SYNC_FILE)
+
+    # mutate so the apply runs its delete (which hosts the simulated
+    # concurrent sync advancing the persisted mark to 99)
+    frame([(f"r{i}", [float(i), 0.0], i) for i in range(3)]).write.jdbc(
+        url, table, mode="overwrite", properties=props
+    )
+    real_delete = db.delete
+
+    def delete_with_concurrent_sync(ids):
+        with open(state_path, encoding="utf-8") as f:
+            st = json.load(f)
+        st["high"] = 99
+        with open(state_path, "w", encoding="utf-8") as f:
+            json.dump(st, f)
+        return real_delete(ids)
+
+    db.delete = delete_with_concurrent_sync
+    try:
+        assert db.reconcile_jdbc(url, table, properties=props) == {
+            "added": 0, "deleted": 1, "updated": 0
+        }
+    finally:
+        db.delete = real_delete
+    with open(state_path, encoding="utf-8") as f:
+        st = json.load(f)
+    assert st["reconciled"] is True
+    assert st["high"] == 99, "stale snapshot reverted a concurrent mark"
 
 
 def test_sync_refuses_dedup_ids_false_after_reconcile(spark, tmp_path):
