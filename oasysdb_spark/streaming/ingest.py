@@ -775,6 +775,90 @@ def funnel_stream_progress(
     )
 
 
+def markov_stream_transitions(events_stream: DataFrame) -> DataFrame:
+    """STREAMING first-order transition extraction — the live twin of
+    :func:`oasysdb_spark.operators.temporal.event_markov_transitions`:
+    per-user keyed state holds just the LAST consumed event
+    ``(etype, ts, eid)``; each micro-batch sorts its rows by
+    ``(ts, event_id)`` and emits one ``(prev_type, next_type)`` row per
+    consecutive consumed pair, so grouping the emitted log by the pair
+    reproduces the batch matrix EXACTLY under chronological delivery
+    (pinned across a checkpointed two-phase restart). Re-delivered
+    events sit at or before the stored ``(ts, eid)`` mark and are
+    skipped — idempotent replay; a LATE out-of-order event cannot
+    retroactively split an already-emitted transition (the documented
+    no-retraction approximation shared by the funnel twin: the
+    consumed subsequence is increasing, so emitted transitions are
+    ordered pairs of the true sequence and the total never exceeds the
+    batch count; the batch op is the exact audit).
+
+    State: three fixed-width values per user — bounded by the user
+    population, not the stream length."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = events_stream.select("user_id", "ts", "event_id", "event_type")
+    out_schema = (
+        "user_id bigint, prev_type string, next_type string, ts timestamp"
+    )
+    state_schema = "etype string, ts timestamp, eid bigint"
+
+    def _update(key, pdfs, state: GroupState):
+        import pandas as pd_  # noqa: N813 — keep the module alias clear
+
+        if state.exists:
+            last_type, last_ts, last_eid = state.get
+        else:
+            last_type, last_ts, last_eid = None, None, None
+
+        def _empty():
+            return pd_.DataFrame(
+                {"user_id": [], "prev_type": [], "next_type": [], "ts": []}
+            ).astype(
+                {
+                    "user_id": "int64",
+                    "prev_type": "object",
+                    "next_type": "object",
+                    "ts": "datetime64[ns]",
+                }
+            )
+
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            yield _empty()
+            return
+        pdf = pd_.concat(frames).sort_values(["ts", "event_id"])
+        prevs, nexts, tss = [], [], []
+        for _, row in pdf.iterrows():
+            ts, eid = row["ts"], int(row["event_id"])
+            if last_ts is not None and (ts, eid) <= (last_ts, last_eid):
+                continue  # ordered-after guard across batches
+            if last_type is not None:
+                prevs.append(last_type)
+                nexts.append(row["event_type"])
+                tss.append(ts)
+            last_type, last_ts, last_eid = row["event_type"], ts, eid
+        state.update((last_type, last_ts, last_eid))
+        if prevs:
+            yield pd_.DataFrame(
+                {
+                    "user_id": [int(key[0])] * len(prevs),
+                    "prev_type": prevs,
+                    "next_type": nexts,
+                    "ts": tss,
+                }
+            )
+        else:
+            yield _empty()
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def heavy_hitter_stream_sketches(
     docs_stream: DataFrame, sketch_k: int = 64, shards: int = 8
 ) -> DataFrame:

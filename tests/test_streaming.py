@@ -1336,3 +1336,123 @@ def test_fuzzy_match_stream_matches_batch_and_truth(spark, sf_dir, tmp_path):
             reference,
             max_reference=3,
         )
+
+
+def test_markov_stream_matches_batch_and_replays(spark, sf_dir, tmp_path):
+    """Streaming Markov transition extraction: chronological two-phase
+    delivery with a checkpointed restart reproduces the batch
+    transition matrix EXACTLY (grouping the emitted log by the pair
+    equals event_markov_transitions' n_transitions for every pair),
+    and a third drain over the same source emits nothing new
+    (idempotent re-delivery through the ordered-after guard)."""
+    from oasysdb_spark.operators.temporal import event_markov_transitions
+    from oasysdb_spark.streaming.ingest import markov_stream_transitions
+
+    batch = {
+        (r["prev_type"], r["next_type"]): r["n_transitions"]
+        for r in event_markov_transitions(spark, sf_dir).collect()
+    }
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cut = events.selectExpr(
+        "percentile(unix_micros(cast(ts as timestamp)), 0.5) p"
+    ).first()["p"]
+
+    src = str(tmp_path / "mk_src")
+    out = str(tmp_path / "mk_out")
+    ckpt = str(tmp_path / "mk_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            markov_stream_transitions(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    events.where(
+        f"unix_micros(cast(ts as timestamp)) <= {int(cut)}"
+    ).write.parquet(src)
+    drain()
+    events.where(
+        f"unix_micros(cast(ts as timestamp)) > {int(cut)}"
+    ).write.mode("append").parquet(src)
+    got = drain()
+
+    streamed = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in got.groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert streamed == batch
+
+    # idempotent re-delivery: a restart over the SAME source adds rows
+    # for no user (every event sits at or before its stored mark)
+    n_before = got.count()
+    assert drain().count() == n_before
+
+
+def test_markov_stream_out_of_order_is_conservative(spark, sf_dir, tmp_path):
+    """The documented no-retraction approximation pinned: delivering
+    the LATE half of time first, then the early half, never crashes and
+    never over-counts — the consumed per-user subsequence is increasing
+    in (ts, event_id), so the emitted total is at most the batch total
+    and every emitted pair is an ordered pair of the true sequence."""
+    from oasysdb_spark.operators.temporal import event_markov_transitions
+    from oasysdb_spark.streaming.ingest import markov_stream_transitions
+
+    batch_total = sum(
+        r["n_transitions"]
+        for r in event_markov_transitions(spark, sf_dir).collect()
+    )
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cut = events.selectExpr(
+        "percentile(unix_micros(cast(ts as timestamp)), 0.5) p"
+    ).first()["p"]
+
+    src = str(tmp_path / "mo_src")
+    out = str(tmp_path / "mo_out")
+    ckpt = str(tmp_path / "mo_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            markov_stream_transitions(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    events.where(
+        f"unix_micros(cast(ts as timestamp)) > {int(cut)}"
+    ).write.parquet(src)
+    drain()
+    events.where(
+        f"unix_micros(cast(ts as timestamp)) <= {int(cut)}"
+    ).write.mode("append").parquet(src)
+    got = drain()
+
+    from pyspark.sql import Window
+
+    total = got.count()
+    assert 0 < total <= batch_total
+    # per user the emitted transitions chain through increasing ts
+    w = Window.partitionBy("user_id").orderBy("ts")
+    bad = (
+        got.withColumn("prev_ts", F.lag("ts").over(w))
+        .where(F.col("prev_ts") > F.col("ts"))
+        .count()
+    )
+    assert bad == 0
