@@ -213,6 +213,15 @@ def build_parser() -> argparse.ArgumentParser:
     rj.add_argument("--lower-bound", default=None)
     rj.add_argument("--upper-bound", default=None)
     rj.add_argument("--num-partitions", type=int, default=None)
+    rj.add_argument("--large-source", action="store_true",
+                    help="pin only the (id, fingerprint) classify "
+                    "projection instead of the whole source, and "
+                    "re-read just the changed rows through pushed-down "
+                    "id predicates — for sources too big to cache")
+    rj.add_argument("--apply-pushdown-limit", type=int, default=10_000,
+                    help="max changed rows fetched via pushed-down id "
+                    "IN predicates before falling back to a full "
+                    "re-scan + semi-join (large-source mode only)")
 
     bp = add("build-pq", help="build/rebuild the PQ compression tier")
     bp.add_argument("--m", type=int, default=8)
@@ -478,6 +487,8 @@ def build_parser() -> argparse.ArgumentParser:
     crj.add_argument("--driver", default=None)
     crj.add_argument("--where", default=None)
     crj.add_argument("--partition-column", default=None)
+    crj.add_argument("--large-source", action="store_true")
+    crj.add_argument("--apply-pushdown-limit", type=int, default=10_000)
     crj.add_argument("--lower-bound", default=None)
     crj.add_argument("--upper-bound", default=None)
     crj.add_argument("--num-partitions", type=int, default=None)
@@ -796,6 +807,8 @@ def main(argv: list[str] | None = None) -> int:
                 lower_bound=args.lower_bound,
                 upper_bound=args.upper_bound,
                 num_partitions=args.num_partitions,
+                large_source=args.large_source,
+                apply_pushdown_limit=args.apply_pushdown_limit,
             )
             _emit({"ok": True, "root": args.root, "name": args.name,
                    **res, "count": db.count()})
@@ -928,6 +941,8 @@ def main(argv: list[str] | None = None) -> int:
             where=args.where, partition_column=args.partition_column,
             lower_bound=args.lower_bound, upper_bound=args.upper_bound,
             num_partitions=args.num_partitions,
+            large_source=args.large_source,
+            apply_pushdown_limit=args.apply_pushdown_limit,
         )
         _emit({"ok": True, **res, "count": db.count()})
     elif args.cmd == "build-pq":

@@ -1024,6 +1024,25 @@ class Database:
                 ins_ids = delta.where(F.col("change") != "deleted").select(
                     "id"
                 )
+                def _fallback_batch():
+                    # mass-change, non-invertible id type, or a remote
+                    # that refused the pushed predicate: re-pay the
+                    # full transfer once; the footprint win (no
+                    # table-sized pin) still holds. Broadcast the tiny
+                    # id set when it fits — the full re-read must
+                    # never shuffle just to meet 50 ids
+                    right = (
+                        F.broadcast(ins_ids)
+                        if n_incoming <= int(apply_broadcast_limit)
+                        else ins_ids
+                    )
+                    return _read_source().join(right, "id", "left_semi")
+
+                def _apply(batch):
+                    guarded = self._with_dim_guard(batch)
+                    with self._dim_guard_boundary():
+                        self._insert_batch_body(guarded)
+
                 if large_source:
                     typed = None
                     if n_incoming <= int(apply_pushdown_limit):
@@ -1056,29 +1075,40 @@ class Database:
                             metadata_cols=metadata_cols,
                             exclude_cols=exclude,
                         )
+                        try:
+                            _apply(batch)
+                        except errors.InvalidArgumentError:
+                            raise  # real validation failures propagate
+                        except Exception as exc:  # noqa: BLE001
+                            # some remotes refuse the compiled literal
+                            # comparison at EXECUTION time (e.g. Derby
+                            # cannot compare a CLOB id column against
+                            # CHAR literals), which would otherwise
+                            # strand the reconcile AFTER its deletes
+                            # committed. Table writes are atomic
+                            # (copy-on-write pointer swap), so a failed
+                            # insert left nothing behind and the
+                            # full-scan fallback is a safe retry.
+                            import warnings
+
+                            warnings.warn(
+                                "pushed-down changed-set re-read failed;"
+                                " retrying via a full re-scan + "
+                                "semi-join: "
+                                f"{type(exc).__name__}: {str(exc)[:200]}",
+                                stacklevel=2,
+                            )
+                            _apply(_fallback_batch())
                     else:
-                        # mass-change or non-invertible id type: re-pay
-                        # the full transfer once; the footprint win (no
-                        # table-sized pin) still holds. Broadcast the
-                        # tiny id set when it fits — the full re-read
-                        # must never shuffle just to meet 50 ids
-                        right = (
-                            F.broadcast(ins_ids)
-                            if n_incoming <= int(apply_broadcast_limit)
-                            else ins_ids
-                        )
-                        batch = _read_source().join(
-                            right, "id", "left_semi"
-                        )
-                elif n_incoming <= int(apply_broadcast_limit):
-                    batch = source.join(
-                        F.broadcast(ins_ids), "id", "left_semi"
-                    )
+                        _apply(_fallback_batch())
                 else:
-                    batch = source.join(ins_ids, "id", "left_semi")
-                guarded = self._with_dim_guard(batch)
-                with self._dim_guard_boundary():
-                    self._insert_batch_body(guarded)
+                    if n_incoming <= int(apply_broadcast_limit):
+                        batch = source.join(
+                            F.broadcast(ins_ids), "id", "left_semi"
+                        )
+                    else:
+                        batch = source.join(ins_ids, "id", "left_semi")
+                    _apply(batch)
         finally:
             for p in pins:
                 p.unpersist()

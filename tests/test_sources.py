@@ -1109,6 +1109,19 @@ def test_reconcile_jdbc_full_lifecycle(spark, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["added"] == 1 and out["count"] == 10
 
+    # the large-source flag routes through the fp-only pin + pushed
+    # apply path end to end (wire shape gated in the dedicated tests)
+    frame([("r13", [13.0, 0.0], 1)]).write.jdbc(
+        url, "recon_v", mode="append", properties=props
+    )
+    rc = cli.main([
+        "reconcile-jdbc", "--dir", d1, "--url", url, "--table", "recon_v",
+        "--driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+        "--large-source", "--apply-pushdown-limit", "5",
+    ])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["added"] == 1 and out["count"] == 11
+
 
 def test_webdataset_roundtrip_deterministic_and_quarantines(spark, tmp_path):
     """WebDataset tar shard sink + source: documents written as
@@ -1444,6 +1457,159 @@ def test_reconcile_jdbc_large_source_fp_pin_and_pushed_apply(spark, tmp_path):
     assert pick(db) == sorted(
         (str(i), [float(i), 0.0], {"label": float(i % 3)}) for i in range(8)
     )
+
+
+def test_reconcile_large_source_where_scope_and_watermark_exclusion(
+    spark, tmp_path
+):
+    """Two large-source interplays the dedicated wire gates don't
+    cover: (1) a ``where``-scoped reconcile composes the scope filter
+    with the changed-set IN predicate on the SAME remote statement —
+    out-of-scope rows are invisible (not deleted, not inserted); (2) on
+    a watermark-tracked stream the changed-set RE-READ honours the
+    auto-excluded watermark column, so an updated row re-ingests
+    without the mark leaking into its metadata maps (the exclusion is
+    applied on a different code path than the classify pull)."""
+    import json
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.core.database import Database
+
+    dbdir = str(tmp_path / "derby_ls_scope")
+    url = f"jdbc:derby:{dbdir};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+
+    # --- (1) where scope composes with the pushed IN ---
+    t1 = "ls_scope_gate"
+
+    def frame1(rows):
+        return spark.createDataFrame(
+            rows, "id string, vec array<double>, label int"
+        ).select("id", F.to_json("vec").alias("embedding"), "label")
+
+    def write1(rows):
+        # VARCHAR id DDL: Spark's writer maps string -> Derby CLOB by
+        # default, and Derby refuses CLOB-vs-literal comparisons, which
+        # would route this reconcile through the fallback instead of
+        # the pushed path under test (the CLOB shape has its own retry
+        # pin below)
+        (frame1(rows).write
+         .option("createTableColumnTypes", "id VARCHAR(64)")
+         .jdbc(url, t1, mode="overwrite", properties=props))
+
+    base = [(f"r{i}", [float(i), 0.0], i % 4) for i in range(8)]
+    write1(base)
+    db = Database.from_jdbc(
+        spark, str(tmp_path / "db_scope"), url, t1,
+        properties=props, density=8, where="label < 2",
+    )
+    assert db.count() == 4  # labels 0,1 of 0..3
+    # mutate one in-scope row and one out-of-scope row
+    mutated = [r for r in base if r[0] not in ("r1", "r2")] + [
+        ("r1", [1.5, 9.0], 1), ("r2", [2.5, 9.0], 2),
+    ]
+    write1(mutated)
+    with _derby_stmt_log(spark, url) as scans:
+        res = db.reconcile_jdbc(
+            url, t1, properties=props, where="label < 2",
+            large_source=True,
+        )
+    assert res == {"added": 0, "deleted": 0, "updated": 1}
+    got = scans(t1)
+    assert len(got) == 2
+    # a single changed id compiles to equality rather than IN — match
+    # the literal either way; the statement must also carry the scope
+    (in_stmt,) = [s for s in got if "'r1'" in s.lower()]
+    pred = in_stmt.lower().split(" where ", 1)[1]
+    assert "label" in pred, in_stmt[-300:]
+    rows = {r["id"]: r["embedding"] for r in
+            db.records_df().select("id", "embedding").collect()}
+    assert rows["r1"] == [1.5, 9.0]          # in-scope update applied
+    assert "r2" not in rows                  # out-of-scope stays invisible
+    assert db.count() == 4
+
+    # --- (2) watermark exclusion holds on the changed-set re-read ---
+    t2 = "ls_wm_gate"
+
+    def frame2(rows):
+        return spark.createDataFrame(
+            rows, "id string, vec array<double>, seq int, tag string"
+        ).select("id", F.to_json("vec").alias("embedding"), "seq", "tag")
+
+    def write2(rows):
+        (frame2(rows).write
+         .option("createTableColumnTypes", "id VARCHAR(64)")
+         .jdbc(url, t2, mode="overwrite", properties=props))
+
+    write2([(f"w{i}", [float(i), 0.0], i, f"t{i}") for i in range(4)])
+    d2 = str(tmp_path / "db_wm")
+    db2 = Database.from_jdbc(
+        spark, d2, url, t2, properties=props, density=8,
+        dimension=2, watermark_col="seq",
+    )
+    write2(
+        [(f"w{i}", [float(i), 0.0], i, f"t{i}") for i in range(3)]
+        + [("w3", [3.5, 1.0], 3, "t3x")]
+    )
+    res = db2.reconcile_jdbc(
+        url, t2, properties=props, large_source=True
+    )
+    assert res == {"added": 0, "deleted": 0, "updated": 1}
+    rec = db2.get("w3")
+    assert rec["metadata"] == {"tag": "t3x"}  # mark excluded, tag updated
+    # the sticky marker landed on the tracked stream too
+    with open(f"{d2}/jdbc_sync.json", encoding="utf-8") as f:
+        assert json.load(f)["reconciled"] is True
+
+
+def test_reconcile_large_source_clob_id_retries_via_fallback(
+    spark, tmp_path
+):
+    """A remote that refuses the compiled literal comparison at
+    EXECUTION time must not strand the reconcile after its deletes
+    committed: Spark's JDBC writer maps string ids to Derby CLOB, and
+    Derby cannot compare CLOB against CHAR literals, so the pushed
+    changed-set read fails mid-apply — the retry re-reads the full
+    source and semi-joins (safe: table writes are an atomic pointer
+    swap, the failed insert left nothing), with a pointed warning."""
+    import warnings as _warnings
+
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.core.database import Database
+
+    dbdir = str(tmp_path / "derby_clob")
+    url = f"jdbc:derby:{dbdir};create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    table = "recon_clob_gate"
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "id string, vec array<double>, label int"
+        ).select("id", F.to_json("vec").alias("embedding"), "label")
+
+    base = [(f"c{i}", [float(i), 0.0], i % 3) for i in range(5)]
+    # default writer DDL: id lands as CLOB
+    frame(base).write.jdbc(url, table, mode="overwrite", properties=props)
+    db = Database.from_jdbc(
+        spark, str(tmp_path / "db_clob"), url, table,
+        properties=props, density=8,
+    )
+    frame(base[:4] + [("c4", [4.5, 1.0], 1), ("c5", [5.0, 0.0], 2)]).write.jdbc(
+        url, table, mode="overwrite", properties=props
+    )
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        res = db.reconcile_jdbc(
+            url, table, properties=props, large_source=True
+        )
+    assert res == {"added": 1, "deleted": 0, "updated": 1}
+    assert any("retrying via a full re-scan" in str(w.message)
+               for w in caught)
+    rows = {r["id"]: r["embedding"] for r in
+            db.records_df().select("id", "embedding").collect()}
+    assert rows["c4"] == [4.5, 1.0] and rows["c5"] == [5.0, 0.0]
+    assert len(rows) == 6
 
 
 def test_reconcile_large_source_chunked_in_groups(spark, tmp_path, monkeypatch):
