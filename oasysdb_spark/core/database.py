@@ -1074,21 +1074,22 @@ class Database:
                             id_col=id_col, vector_col=vector_col,
                             metadata_cols=metadata_cols,
                             exclude_cols=exclude,
-                        )
+                        ).persist()
+                        pins.append(batch)
+                        # force the remote READ here, before any write:
+                        # some remotes refuse the compiled literal
+                        # comparison only at EXECUTION time (e.g. Derby
+                        # cannot compare a CLOB id column against CHAR
+                        # literals), and without this split the retry
+                        # would also swallow APPLY-side failures (disk
+                        # full, schema mismatch) and pointlessly re-pull
+                        # the whole table into the same wall. The
+                        # persist means the wire still sees exactly one
+                        # changed-set scan — the insert reads the cache.
                         try:
-                            _apply(batch)
-                        except errors.InvalidArgumentError:
-                            raise  # real validation failures propagate
+                            batch.count()
+                            pushed_ok = True
                         except Exception as exc:  # noqa: BLE001
-                            # some remotes refuse the compiled literal
-                            # comparison at EXECUTION time (e.g. Derby
-                            # cannot compare a CLOB id column against
-                            # CHAR literals), which would otherwise
-                            # strand the reconcile AFTER its deletes
-                            # committed. Table writes are atomic
-                            # (copy-on-write pointer swap), so a failed
-                            # insert left nothing behind and the
-                            # full-scan fallback is a safe retry.
                             import warnings
 
                             warnings.warn(
@@ -1098,6 +1099,13 @@ class Database:
                                 f"{type(exc).__name__}: {str(exc)[:200]}",
                                 stacklevel=2,
                             )
+                            pushed_ok = False
+                        if pushed_ok:
+                            _apply(batch)
+                        else:
+                            # the failed read wrote nothing, so the
+                            # fallback is a clean first attempt — no
+                            # partially-committed rows to collide with
                             _apply(_fallback_batch())
                     else:
                         _apply(_fallback_batch())

@@ -798,7 +798,8 @@ def markov_stream_transitions(events_stream: DataFrame) -> DataFrame:
 
     ev = events_stream.select("user_id", "ts", "event_id", "event_type")
     out_schema = (
-        "user_id bigint, prev_type string, next_type string, ts timestamp"
+        "user_id bigint, prev_type string, next_type string, "
+        "ts timestamp, event_id bigint"
     )
     state_schema = "etype string, ts timestamp, eid bigint"
 
@@ -812,13 +813,20 @@ def markov_stream_transitions(events_stream: DataFrame) -> DataFrame:
 
         def _empty():
             return pd_.DataFrame(
-                {"user_id": [], "prev_type": [], "next_type": [], "ts": []}
+                {
+                    "user_id": [],
+                    "prev_type": [],
+                    "next_type": [],
+                    "ts": [],
+                    "event_id": [],
+                }
             ).astype(
                 {
                     "user_id": "int64",
                     "prev_type": "object",
                     "next_type": "object",
                     "ts": "datetime64[ns]",
+                    "event_id": "int64",
                 }
             )
 
@@ -826,25 +834,37 @@ def markov_stream_transitions(events_stream: DataFrame) -> DataFrame:
         if not frames:
             yield _empty()
             return
-        pdf = pd_.concat(frames).sort_values(["ts", "event_id"])
-        prevs, nexts, tss = [], [], []
-        for _, row in pdf.iterrows():
-            ts, eid = row["ts"], int(row["event_id"])
-            if last_ts is not None and (ts, eid) <= (last_ts, last_eid):
-                continue  # ordered-after guard across batches
-            if last_type is not None:
-                prevs.append(last_type)
-                nexts.append(row["event_type"])
-                tss.append(ts)
-            last_type, last_ts, last_eid = row["event_type"], ts, eid
-        state.update((last_type, last_ts, last_eid))
-        if prevs:
+        # fully vectorized hot path (a catch-up drain funnels a user's
+        # WHOLE history through here — no per-row Python): sort, drop
+        # the at-or-before-the-mark prefix, pair consecutive rows via
+        # shift(1) with the stored last type prepended
+        pdf = frames[0] if len(frames) == 1 else pd_.concat(frames)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        if last_ts is not None:
+            pdf = pdf[
+                (pdf["ts"] > last_ts)
+                | ((pdf["ts"] == last_ts) & (pdf["event_id"] > last_eid))
+            ]  # ordered-after guard across batches (sorted => prefix)
+        if not len(pdf):
+            yield _empty()
+            return
+        prevs = pdf["event_type"].shift(1)
+        if last_type is not None:
+            prevs.iloc[0] = last_type
+        tail = pdf.iloc[-1]
+        state.update(
+            (str(tail["event_type"]), tail["ts"], int(tail["event_id"]))
+        )
+        emit = prevs.notna()
+        if emit.any():
+            out = pdf.loc[emit, ["event_type", "ts", "event_id"]]
             yield pd_.DataFrame(
                 {
-                    "user_id": [int(key[0])] * len(prevs),
-                    "prev_type": prevs,
-                    "next_type": nexts,
-                    "ts": tss,
+                    "user_id": [int(key[0])] * len(out),
+                    "prev_type": prevs[emit].tolist(),
+                    "next_type": out["event_type"].tolist(),
+                    "ts": out["ts"].tolist(),
+                    "event_id": out["event_id"].astype("int64").tolist(),
                 }
             )
         else:

@@ -1393,9 +1393,13 @@ def test_markov_stream_matches_batch_and_replays(spark, sf_dir, tmp_path):
     }
     assert streamed == batch
 
-    # idempotent re-delivery: a restart over the SAME source adds rows
-    # for no user (every event sits at or before its stored mark)
+    # ROW-level idempotent re-delivery: append the SAME events again as
+    # NEW files (the file source would skip identical committed files,
+    # so a same-directory drain proves nothing about the guard) — every
+    # re-delivered row sits at or before its user's stored (ts, eid)
+    # mark and must be skipped by the ordered-after guard
     n_before = got.count()
+    events.write.mode("append").parquet(src)
     assert drain().count() == n_before
 
 
@@ -1448,11 +1452,16 @@ def test_markov_stream_out_of_order_is_conservative(spark, sf_dir, tmp_path):
 
     total = got.count()
     assert 0 < total <= batch_total
-    # per user the emitted transitions chain through increasing ts
-    w = Window.partitionBy("user_id").orderBy("ts")
+    # REAL chain pin (not ts-monotonicity, which any ts-ordered window
+    # yields by construction): ordering each user's emissions by the
+    # consumed successor's (ts, event_id), every row's prev_type must
+    # equal the PREVIOUS row's next_type — the consumed subsequence is
+    # one path, so the emitted log must chain link-by-link
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     bad = (
-        got.withColumn("prev_ts", F.lag("ts").over(w))
-        .where(F.col("prev_ts") > F.col("ts"))
+        got.withColumn("link", F.lag("next_type").over(w))
+        .where(F.col("link").isNotNull()
+               & (F.col("link") != F.col("prev_type")))
         .count()
     )
     assert bad == 0
