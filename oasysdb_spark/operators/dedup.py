@@ -2697,3 +2697,90 @@ def simhash_band_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band_id")
     )
+
+
+def containment_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    top_n: int = 50,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT over banded candidates — the
+    near-SUPERSET detector symmetric Jaccard structurally misses:
+    ``C(A,B) = |A∩B| / min(|A|,|B|)`` is 1.0 when one document is
+    embedded whole in another (quote inclusion, wrapper pages,
+    concatenated shards) even while ``|A∩B| / |A∪B|`` stays low
+    because the sizes differ. Returns the ``top_n`` pairs by
+    (containment desc, jaccard desc, doc_a, doc_b) with both metrics
+    and the shingle-set sizes, so a curation pass can split
+    "true near-dup" from "one-contains-the-other". STAGED r16
+    promotion candidate (pytest self-oracle; not in the driver
+    contract yet).
+
+    Candidate generation reuses the MinHash-LSH banding
+    (:func:`minhash_signatures` / :func:`lsh_bands`, unchanged — kept
+    standalone rather than refactored so the in-contract
+    ``dedup_minhash_lsh`` code is untouched this round). Honest
+    caveat: banding recall is tuned to JACCARD, so a tiny document
+    embedded in a much larger one may not band-collide; banded
+    containment is the standard first pass for the dominant
+    moderate-overlap regime, and a guaranteed-recall variant needs
+    size-stratified banding (a documented follow-up, not claimed
+    here).
+
+    Scale shape: identical to the minhash pair pipeline — candidates
+    carry only (doc_id, band); shingle DIGEST arrays (8-byte, never
+    strings) join back per candidate pair; both ratios are
+    integer-exact before the scale-0 display round."""
+    docs = load_documents(spark, sf_dir, spread=True)
+    sigs = minhash_signatures(docs, num_hashes=num_hashes, hashed=True).cache()
+    bands = lsh_bands(sigs, num_hashes, band_size)
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ss = sigs.select("doc_id", "sh")
+    pairs = cand.join(
+        ss.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+        "doc_a",
+    ).join(
+        ss.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    la, lb = F.size("sh_a"), F.size("sh_b")
+    union = la + lb - inter
+
+    def _disp(num, den):
+        # scale-0 display round (r11 migration): integer ratio in 1e-6
+        # display units, rounded at scale 0, divided back
+        return F.round(
+            F.round(num.cast("double") / den * 1e6).cast("bigint")
+            / F.lit(1e6),
+            6,
+        )
+
+    out = pairs.select(
+        "doc_a",
+        "doc_b",
+        la.cast("bigint").alias("n_a"),
+        lb.cast("bigint").alias("n_b"),
+        _disp(inter, union).alias("jaccard"),
+        _disp(inter, F.least(la, lb)).alias("containment"),
+    )
+    return out.orderBy(
+        F.col("containment").desc(), F.col("jaccard").desc(), "doc_a", "doc_b"
+    ).limit(top_n)

@@ -3147,3 +3147,57 @@ def weighted_sample_topk(
         "n_tokens",
         "priority",
     ).orderBy("rank")
+
+
+def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram Shannon entropy — the distribution-SHAPE audit
+    between :func:`zipf_slope` (the power-law exponent) and
+    :func:`source_token_divergence` (the one-vs-all KL): for each
+    source, ``H = -Σ p(t)·log2 p(t)`` over its token unigram
+    distribution, with type/token counts. Low entropy flags templated
+    or boilerplate-heavy sources (probability mass collapsed onto few
+    terms); a drift in H between two crawls of the same source is a
+    distribution change the count audits cannot see. STAGED r16
+    promotion candidate (pytest self-oracle; not in the driver
+    contract yet).
+
+    Float discipline (the DSIR micro-bit pattern): each term's
+    contribution ``-(c/N)·log2(c/N)`` is computed as a double, rounded
+    to integer MICRO-bits (``round(v·10⁶)`` as bigint) PER TERM, then
+    exactly summed — sums of raw per-row transcendental doubles are
+    partial-agg-order nondeterministic; the micro-bit sum is exact and
+    the final ÷10⁶ + round(6) is display-only.
+
+    Scale shape: one corpus-scale pass collapses to the (source, term)
+    count table (map-side combined — the same single shuffle every
+    vocabulary op pays); the per-source totals broadcast back onto it,
+    the entropy terms are row-local, and only |sources|-bounded rows
+    leave the final aggregate."""
+    docs = _docs(spark, sf_dir)
+    st = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    totals = st.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+    )
+    p = F.col("c").cast("double") / F.col("n_tokens").cast("double")
+    ubits = F.round(-p * F.log2(p) * 1e6).cast("bigint")
+    return (
+        st.join(F.broadcast(totals), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.max("n_types").alias("n_types"),
+            F.sum(ubits).alias("ub"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            F.round(F.col("ub").cast("double") / 1e6, 6).alias("entropy_bits"),
+        )
+        .orderBy("source")
+    )

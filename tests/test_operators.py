@@ -6391,3 +6391,201 @@ def test_events_markov_transitions_tie_break(spark, tmp_path):
         tuple(r) for r in tmp.event_markov_transitions(spark, d).collect()
     )
     assert rows == [("a", "b", 1, 1.0), ("b", "c", 1, 1.0)]
+
+
+def test_source_token_entropy_matches_duckdb_oracle(spark, sf_dir):
+    """source_token_entropy against an independent DuckDB replay (same
+    tokenizer regex, same per-term micro-bit quantization before the
+    exact sum — the DSIR discipline). STAGED r16 promotion candidate:
+    this is the self-oracle gate a future rotation would move into
+    oracle_sql(). Invariants: 0 <= H <= log2(n_types) + quantization
+    slack, and a single-type source would pin H = 0."""
+    import math
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    got = textops.source_token_entropy(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert len(spark_rows) == len({r[0] for r in spark_rows})
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+            " t -> t <> '')")
+    res = con.execute(f"""
+        WITH st AS (SELECT source, unnest({toks}) AS term FROM documents),
+        c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+              FROM st GROUP BY 1, 2),
+        t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_types
+              FROM c GROUP BY source)
+        SELECT source, n_tokens, n_types,
+               round(CAST(sum(CAST(round(
+                   -(CAST(c AS DOUBLE)/n_tokens)
+                   * log2(CAST(c AS DOUBLE)/n_tokens) * 1e6) AS BIGINT))
+                 AS DOUBLE) / 1e6, 6) AS entropy_bits
+        FROM c JOIN t USING (source)
+        GROUP BY source, n_tokens, n_types ORDER BY source""")
+    issues = compare(
+        "source_token_entropy", spark_rows, spark_cols,
+        res.fetchall(), [d[0] for d in res.description],
+    )
+    assert not issues, issues
+
+    ix = {c_: i for i, c_ in enumerate(spark_cols)}
+    for r in spark_rows:
+        assert -1e-5 <= r[ix["entropy_bits"]] <= (
+            math.log2(r[ix["n_types"]]) + 1e-5
+        )
+
+
+def test_source_token_entropy_constructed(spark, tmp_path):
+    """Hand-built corpus with paper-computable entropies: a
+    single-type source pins H = 0 exactly; a uniform two-type source
+    pins H = 1 bit; a 3:1 skewed source pins the closed form."""
+    d = str(tmp_path / "ent_sf")
+    rows = [
+        (1, "aa aa aa aa", "en", "mono", 11),
+        (2, "xx yy xx yy", "en", "uni2", 11),
+        (3, "kk kk kk zz", "en", "skew", 11),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    got = {
+        r["source"]: (r["n_tokens"], r["n_types"], r["entropy_bits"])
+        for r in textops.source_token_entropy(spark, d).collect()
+    }
+    assert got["mono"] == (4, 1, 0.0)
+    assert got["uni2"] == (4, 2, 1.0)
+    # H(3/4, 1/4) = 0.75·log2(4/3) + 0.25·2, per-term micro-bit
+    # quantized then summed (mirror the op's arithmetic exactly)
+    import math
+
+    expect = (
+        round(0.75 * math.log2(4 / 3) * 1e6) + round(0.25 * 2.0 * 1e6)
+    ) / 1e6
+    assert got["skew"] == (4, 2, round(expect, 6))
+
+
+def test_containment_pairs_matches_duckdb_oracle(spark, sf_dir):
+    """containment_pairs against an independent DuckDB replay of the
+    full pipeline (tokenize → 3-shingle → md5 affine MinHash family →
+    2-wide bands → candidate join → exact intersection over raw
+    shingle strings, the dedup_minhash_lsh oracle's machinery extended
+    with the min-denominator ratio). STAGED r16 promotion candidate.
+    Invariant: containment >= jaccard on every row (min(|A|,|B|) <=
+    |A∪B| always)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.check_correctness import compare
+
+    got = dedup.containment_pairs(spark, sf_dir)
+    spark_cols = got.columns
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert 0 < len(spark_rows) <= 50
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    toks = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+            " t -> t <> '')")
+    h64 = "CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)"
+    res = con.execute(f"""
+        WITH toks AS (SELECT doc_id, {toks} AS tk FROM documents),
+        sh AS (SELECT doc_id,
+                 CASE WHEN len(tk) >= 3
+                      THEN list_distinct(list_transform(range(1, len(tk) - 1),
+                                         i -> array_to_string(tk[i:i+2], ' ')))
+                      ELSE [] END AS shingles
+               FROM toks),
+        ne AS (SELECT * FROM sh WHERE len(shingles) > 0),
+        shing AS (SELECT doc_id, {h64} % 2147483647 AS h0
+                  FROM (SELECT doc_id, unnest(shingles) AS s FROM ne)),
+        sig_elems AS (SELECT doc_id, j,
+                        min(((2654435761 * (j + 1)) % 2147483647 * h0
+                             + (40503 * (j + 7)) % 2147483647) % 2147483647) AS mh
+                      FROM shing, (SELECT unnest(range(16)) AS j)
+                      GROUP BY doc_id, j),
+        sigs AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM sig_elems GROUP BY doc_id),
+        bandrows AS (SELECT doc_id, b,
+                       CAST(sig[2*CAST(b AS INTEGER)+1] AS VARCHAR) || '_' ||
+                       CAST(sig[2*CAST(b AS INTEGER)+2] AS VARCHAR) AS band_key
+                     FROM sigs, (SELECT unnest(range(8)) AS b)),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+                 FROM bandrows a JOIN bandrows c
+                 ON a.b = c.b AND a.band_key = c.band_key AND a.doc_id < c.doc_id),
+        pairs AS (SELECT doc_a, doc_b,
+                    len(list_filter(sa.shingles, x -> list_contains(sb.shingles, x))) AS inter,
+                    len(sa.shingles) AS la, len(sb.shingles) AS lb
+                  FROM cand JOIN ne sa ON sa.doc_id = cand.doc_a
+                            JOIN ne sb ON sb.doc_id = cand.doc_b)
+        SELECT doc_a, doc_b,
+               CAST(la AS BIGINT) AS n_a, CAST(lb AS BIGINT) AS n_b,
+               round(CAST(round(CAST(inter AS DOUBLE) / (la + lb - inter) * 1e6)
+                          AS BIGINT) / 1e6, 6) AS jaccard,
+               round(CAST(round(CAST(inter AS DOUBLE) / least(la, lb) * 1e6)
+                          AS BIGINT) / 1e6, 6) AS containment
+        FROM pairs
+        ORDER BY containment DESC, jaccard DESC, doc_a, doc_b LIMIT 50""")
+    issues = compare(
+        "containment_pairs", spark_rows, spark_cols,
+        res.fetchall(), [d[0] for d in res.description],
+    )
+    assert not issues, issues
+
+    ix = {c_: i for i, c_ in enumerate(spark_cols)}
+    assert all(
+        r[ix["containment"]] >= r[ix["jaccard"]] - 1e-9 for r in spark_rows
+    )
+
+
+def test_containment_pairs_embedded_doc(spark, tmp_path):
+    """The asymmetric point pinned on a constructed corpus: doc B's
+    full text embedded as a prefix of doc A makes every B-shingle an
+    A-shingle — containment must be exactly 1.0 while Jaccard sits at
+    |B|/|A| < 1, and the pair must outrank a same-Jaccard-class
+    symmetric near-dup under the containment ordering."""
+    words = [f"w{i}" for i in range(30)]
+    b_text = " ".join(words)
+    a_text = b_text + " extra tail tokens appended here now"
+    # symmetric near-dup pair: same length, a few substitutions
+    c_text = " ".join(f"v{i}" for i in range(30))
+    d_words = [f"v{i}" for i in range(30)]
+    d_words[14] = "changed"
+    d_text = " ".join(d_words)
+
+    d = str(tmp_path / "ct_sf")
+    spark.createDataFrame(
+        [
+            (1, a_text, "en", "s1", len(a_text)),
+            (2, b_text, "en", "s1", len(b_text)),
+            (3, c_text, "en", "s2", len(c_text)),
+            (5, d_text, "en", "s2", len(d_text)),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    rows = {(r["doc_a"], r["doc_b"]): r
+            for r in dedup.containment_pairs(spark, d).collect()}
+    emb = rows[(1, 2)]
+    assert emb["containment"] == 1.0
+    assert emb["jaccard"] < 1.0
+    # B has 28 3-shingles, A has 34; all of B's appear in A
+    assert (emb["n_a"], emb["n_b"]) == (34, 28)
+    assert (3, 5) in rows
+    assert rows[(3, 5)]["containment"] < 1.0
