@@ -6589,3 +6589,123 @@ def test_containment_pairs_embedded_doc(spark, tmp_path):
     assert (emb["n_a"], emb["n_b"]) == (34, 28)
     assert (3, 5) in rows
     assert rows[(3, 5)]["containment"] < 1.0
+
+
+def test_dedup_token_inflation_randomized_seeded(spark, tmp_path):
+    """Seeded-random stress of the keep-first attribution arithmetic:
+    ~120 docs over 6 sources with random dup-group membership (group
+    sizes 1-5, random lengths, random source placement), expected
+    per-source numbers computed independently in Python. doc_ids avoid
+    multiples of 4 so the fixture injection stays inert."""
+    import random
+
+    rng = random.Random(20260817)
+    docs = []
+    doc_id = 1
+    texts = []
+    for g in range(40):
+        size = rng.choice([1, 1, 1, 2, 2, 3, 5])
+        words = " ".join(
+            f"g{g}w{j}" for j in range(rng.randint(2, 12))
+        )
+        for _ in range(size):
+            while doc_id % 4 == 0:
+                doc_id += 1
+            src = f"s{rng.randint(0, 5)}"
+            docs.append((doc_id, words, "en", src, len(words)))
+            texts.append((doc_id, words, src))
+            doc_id += 1
+
+    d = str(tmp_path / "ti_rand")
+    spark.createDataFrame(
+        docs,
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    # independent Python oracle
+    keeper: dict = {}
+    for did, txt, _ in sorted(texts):
+        keeper.setdefault(txt, did)
+    want: dict = {}
+    for did, txt, src in texts:
+        n_docs, dup_docs, tok_tot, tok_dup = want.get(src, (0, 0, 0, 0))
+        ntok = len(txt.split())
+        is_dup = keeper[txt] != did
+        want[src] = (
+            n_docs + 1,
+            dup_docs + (1 if is_dup else 0),
+            tok_tot + ntok,
+            tok_dup + (ntok if is_dup else 0),
+        )
+    expect = {
+        s: (nd, dd, tt, td, round(td / tt, 6))
+        for s, (nd, dd, tt, td) in want.items()
+    }
+
+    got = {
+        r["source"]: (
+            r["n_docs"], r["dup_docs"], r["tokens_total"],
+            r["tokens_dup"], r["dup_token_ratio"],
+        )
+        for r in dedup.token_inflation_stats(spark, d).collect()
+    }
+    assert got == expect
+
+
+def test_events_markov_transitions_randomized_seeded(spark, tmp_path):
+    """Seeded-random stress of the lag-window pair counting: 40 users
+    x random-length event sequences with DELIBERATE same-timestamp
+    collisions (a third of events share a timestamp with their
+    predecessor, ordered by event_id), transition matrix computed
+    independently in Python over the (ts, event_id)-sorted truth."""
+    import datetime as dt
+    import random
+    from collections import Counter
+
+    rng = random.Random(99173)
+    types = ["a", "b", "c", "d"]
+    rows = []
+    eid = 1
+    t0 = dt.datetime(2024, 3, 1)
+    truth: dict = {}
+    for u in range(40):
+        n = rng.randint(0, 12)
+        ts = t0
+        seq = []
+        for _ in range(n):
+            if seq and rng.random() < 0.33:
+                pass  # same-timestamp successor: tie broken by event_id
+            else:
+                ts = ts + dt.timedelta(seconds=rng.randint(1, 500))
+            et = rng.choice(types)
+            rows.append((eid, ts, u, et, 0.0, "{}"))
+            seq.append((ts, eid, et))
+            eid += 1
+        truth[u] = [e[2] for e in sorted(seq)]
+
+    d = str(tmp_path / "mk_rand")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+
+    from oasysdb_spark.operators import temporal as tmp_ops
+
+    counts = Counter()
+    for seq in truth.values():
+        for p, nx in zip(seq, seq[1:]):
+            counts[(p, nx)] += 1
+    totals = Counter()
+    for (p, _), n in counts.items():
+        totals[p] += n
+    expect = {
+        (p, nx): (n, round(n / totals[p], 6))
+        for (p, nx), n in counts.items()
+    }
+
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n_transitions"], r["p_next"])
+        for r in tmp_ops.event_markov_transitions(spark, d).collect()
+    }
+    assert got == expect
