@@ -1465,3 +1465,56 @@ def test_markov_stream_out_of_order_is_conservative(spark, sf_dir, tmp_path):
         .count()
     )
     assert bad == 0
+
+
+def test_markov_stream_same_ts_group_split_across_batches(spark, tmp_path):
+    """The batch-boundary tie edge: a user's same-TIMESTAMP event group
+    split across two delivery phases. The stored mark is the full
+    (ts, event_id) tuple, so phase 2's events at ts == mark but larger
+    event_id MUST still be consumed — a ts-only guard would drop them
+    and silently lose transitions. Chain: a@t1, then b,c (same t2) in
+    phase 1; d (ALSO t2, higher eid) + e@t3 in phase 2 → the full
+    a→b→c→d→e path."""
+    import datetime as dt
+
+    from oasysdb_spark.streaming.ingest import markov_stream_transitions
+
+    t1 = dt.datetime(2024, 5, 1, 0, 0, 0)
+    t2 = dt.datetime(2024, 5, 1, 0, 1, 0)
+    t3 = dt.datetime(2024, 5, 1, 0, 2, 0)
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    src = str(tmp_path / "tie_src")
+    out = str(tmp_path / "tie_out")
+    ckpt = str(tmp_path / "tie_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            markov_stream_transitions(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    spark.createDataFrame(
+        [(1, t1, 7, "a", 0.0, "{}"), (2, t2, 7, "b", 0.0, "{}"),
+         (3, t2, 7, "c", 0.0, "{}")],
+        schema,
+    ).write.parquet(src)
+    drain()
+    spark.createDataFrame(
+        [(4, t2, 7, "d", 0.0, "{}"), (5, t3, 7, "e", 0.0, "{}")],
+        schema,
+    ).write.mode("append").parquet(src)
+    got = sorted(
+        (r["prev_type"], r["next_type"], r["event_id"])
+        for r in drain().collect()
+    )
+    assert got == [("a", "b", 2), ("b", "c", 3), ("c", "d", 4),
+                   ("d", "e", 5)]
