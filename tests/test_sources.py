@@ -2050,3 +2050,59 @@ def test_reconcile_jdbc_empty_edges(spark, tmp_path):
         "added": 0, "deleted": 6, "updated": 0
     }
     assert db.count() == 0
+
+
+def test_raw_id_literals_chunked_predicate_roundtrip(spark):
+    """Seeded-random property of the large-source apply machinery in
+    isolation: for random id sets (strings with quotes/backslashes/
+    unicode, ints across byte/short/int/long, scale-0 decimals), the
+    canonical-string → typed-literal inverse plus the chunked OR'd
+    isin predicate selects EXACTLY the intended rows from a frame of
+    that raw type — no escaping loss, no chunk-boundary loss. Float
+    and temporal id types must refuse (None) rather than risk a
+    literal that misses its own row."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from oasysdb_spark.core import database as dbmod
+
+    rng = random.Random(424242)
+    tricky = ["it's", 'dq"x', "back\\slash", "tab\tx", "naïve",
+              "semi;drop", "percent%u", "und_er", " lead", "trail "]
+    cases = [
+        ("string", [f"id{i}" for i in range(40)] + tricky, T.StringType()),
+        ("int", list(range(-20, 20)), T.IntegerType()),
+        ("bigint", [rng.randint(-2**62, 2**62) for _ in range(30)],
+         T.LongType()),
+        ("decimal(10,0)",
+         [__import__("decimal").Decimal(v) for v in range(100, 140)],
+         T.DecimalType(10, 0)),
+    ]
+    for typename, pool, dt in cases:
+        df = spark.createDataFrame(
+            [(v,) for v in pool], f"rawid {typename}"
+        )
+        picked = rng.sample(pool, k=len(pool) // 3)
+        canon = [
+            r["c"] for r in
+            spark.createDataFrame([(v,) for v in picked],
+                                  f"rawid {typename}")
+            .select(F.col("rawid").cast("string").alias("c")).collect()
+        ]
+        typed = dbmod._raw_id_literals(dt, canon)
+        assert typed is not None, typename
+        # chunk exactly as reconcile does, with a tiny chunk width so
+        # the OR composition carries real weight
+        chunk = 3
+        pred = F.col("rawid").isin(typed[:chunk])
+        for i in range(chunk, len(typed), chunk):
+            pred = pred | F.col("rawid").isin(typed[i:i + chunk])
+        got = sorted(
+            str(r["rawid"]) for r in df.where(pred).collect()
+        )
+        assert got == sorted(str(v) for v in picked), typename
+
+    for bad in (T.DoubleType(), T.TimestampType(), T.DecimalType(10, 2)):
+        assert dbmod._raw_id_literals(bad, ["1.5"]) is None
