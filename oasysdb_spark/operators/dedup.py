@@ -2784,3 +2784,200 @@ def containment_pairs(
     return out.orderBy(
         F.col("containment").desc(), F.col("jaccard").desc(), "doc_a", "doc_b"
     ).limit(top_n)
+
+
+def containment_pairs_stratified(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 48,
+    band_size: int = 2,
+    s_min: int = 8,
+    min_containment: float = 0.9,
+    top_n: int = 100,
+) -> DataFrame:
+    """Size-stratified containment detection — the high-recall follow-up
+    :func:`containment_pairs` documents: Jaccard-tuned banding misses a
+    SMALL document embedded in a much larger one (J = |B|/|A| shrinks
+    with the size ratio no matter how complete the containment), so
+    this variant bands each size class of small documents against
+    sliding WINDOWS of the larger documents, where an embedded doc
+    reappears at window-comparable size and the Jaccard signal returns.
+
+    Mechanics: docs are classed by distinct-shingle count into
+    power-of-2 strata ``s = s_min·2^k``; every doc with ``n ≥ 2s``
+    contributes windows of ``⌈2.5s⌉`` consecutive (ordered, with
+    repeats) shingles at stride ``s/2`` to class ``s`` — a contiguous
+    embedded run of up to ``2s+1`` shingles lies WHOLLY inside some
+    window (coverage = window − stride + 1), so a class-``s`` doc B
+    embedded in A yields a window with ``J(window, B) ≥ |B|/2.5s ≥
+    0.4``; with 24 two-wide bands the per-pair detection probability
+    is ``≥ 1 − (1 − J²)^24`` (≈0.985 at the J=0.4 floor, ≈1 above
+    J≈0.5) — probabilistic like every MinHash tier here, recall-GATED
+    in pytest against brute-force exact containment on a planted
+    corpus rather than claimed absolute. Same-class containment (sizes within 2×) is covered by
+    banding class smalls against each other, where plain Jaccard is
+    ≥ 1/3 by construction. Candidates from both joins verify EXACTLY
+    on the full distinct-shingle digest sets; output matches
+    :func:`containment_pairs` (doc_a < doc_b, sizes, jaccard,
+    containment), filtered to ``containment ≥ min_containment``.
+
+    Scale shape: the window fan-out is bounded — Σ_s n/s ≤ 2n/s_min
+    shingle copies per doc across all its classes — and band rows
+    carry (class, doc_id, band) only; shingle digests join back per
+    surviving candidate exactly as in the symmetric pipeline. The
+    window signatures are in-plan array expressions (the
+    minhash_signatures_expr form); porting them to the Arrow UDF fast
+    path is a follow-up, not a semantic difference. STAGED r16
+    promotion candidate."""
+    docs = load_documents(spark, sf_dir, spread=True)
+    toks = tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    base = (
+        docs.where(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.transform(grams, lambda g: hash64(g) % MINHASH_P).alias("hs"),
+        )
+        .withColumn("shd", F.array_distinct("hs"))
+        .withColumn("n", F.size("shd"))
+    )
+
+    def _sig(arr):
+        # xxhash64(h, j): genuinely independent rankings per hash index.
+        # The shared affine family (a_j = c·(j+1)) is deliberately NOT
+        # used here: in the SUBSET regime this op lives in (B's shingles
+        # contained in a window's), the affine coefficients share one
+        # argmin across every non-wrapping j — the measured effect is a
+        # single Bernoulli(J) draw instead of banded amplification, and
+        # the recall gate below catches exactly that. No DuckDB replay
+        # is needed (candidates are recall-gated; the verify stage is
+        # exact), so replayability doesn't constrain the family.
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda j: F.array_min(
+                F.transform(arr, lambda h: F.xxhash64(h, j))
+            ),
+        )
+
+    # class of a SMALL doc: the stratum its set size falls in (docs
+    # under s_min band in the lowest class with reduced J floor —
+    # documented, not hidden)
+    klass = F.lit(s_min) * F.pow(
+        F.lit(2),
+        F.greatest(
+            F.lit(0),
+            F.floor(F.log2(F.col("n").cast("double") / F.lit(s_min))),
+        ),
+    ).cast("bigint")
+    smalls = base.select(
+        "doc_id",
+        klass.alias("cls"),
+        _sig(F.col("shd")).alias("sig"),
+    )
+
+    # windows: for every class s with 2s <= n, slices of ceil(2.5s)
+    # ordered shingles at stride s/2 (covers any embedded run of
+    # <= 2s+1 while keeping the J floor at 0.4)
+    classes = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(30)),
+            lambda k: F.lit(s_min) * F.pow(F.lit(2), k).cast("bigint"),
+        ),
+        lambda s: (s * 2 <= F.col("n")) & (s <= F.size("hs")),
+    )
+    wlen = F.ceil(F.col("s") * 2.5).cast("bigint")
+    stride = F.greatest(F.lit(1), (F.col("s") / 2).cast("bigint"))
+    win = (
+        base.select("doc_id", "hs", F.explode(classes).alias("s"))
+        .select(
+            "doc_id",
+            "s",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.lit(0),
+                        F.ceil(
+                            (F.size("hs") - wlen).cast("double") / stride
+                        ).cast("bigint"),
+                    ),
+                )
+            ).alias("w"),
+            F.col("hs"),
+        )
+        .select(
+            "doc_id",
+            F.col("s").alias("cls"),
+            F.slice(
+                F.col("hs"),
+                (F.col("w") * stride + 1).cast("int"),
+                wlen.cast("int"),
+            ).alias("wd"),
+        )
+        .select("doc_id", "cls", _sig(F.col("wd")).alias("sig"))
+    )
+
+    bandrows = lambda df, side: df.select(
+        "doc_id",
+        "cls",
+        F.lit(side).alias("side"),
+        F.explode(
+            lsh_band_structs(num_hashes, band_size)
+        ).alias("bb"),
+    ).select("doc_id", "cls", "side", "bb.band_id", "bb.band_key")
+
+    sm = bandrows(smalls, 0)
+    allrows = sm.unionByName(bandrows(win, 1))
+    a = sm.alias("a")
+    b = allrows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cls") == F.col("b.cls"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            # small-small pairs once (a < b); small-window pairs in
+            # full, normalized below
+            & ((F.col("b.side") == 1) | (F.col("a.doc_id") < F.col("b.doc_id"))),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    ss = base.select("doc_id", "shd")
+    pairs = cand.join(
+        ss.select(F.col("doc_id").alias("doc_a"), F.col("shd").alias("sh_a")),
+        "doc_a",
+    ).join(
+        ss.select(F.col("doc_id").alias("doc_b"), F.col("shd").alias("sh_b")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    la, lb = F.size("sh_a"), F.size("sh_b")
+    union = la + lb - inter
+
+    def _disp(num, den):
+        return F.round(
+            F.round(num.cast("double") / den * 1e6).cast("bigint")
+            / F.lit(1e6),
+            6,
+        )
+
+    out = pairs.select(
+        "doc_a",
+        "doc_b",
+        la.cast("bigint").alias("n_a"),
+        lb.cast("bigint").alias("n_b"),
+        _disp(inter, union).alias("jaccard"),
+        _disp(inter, F.least(la, lb)).alias("containment"),
+    ).where(F.col("containment") >= F.lit(float(min_containment)))
+    return out.orderBy(
+        F.col("containment").desc(), F.col("jaccard").desc(), "doc_a", "doc_b"
+    ).limit(top_n)

@@ -6709,3 +6709,91 @@ def test_events_markov_transitions_randomized_seeded(spark, tmp_path):
         for r in tmp_ops.event_markov_transitions(spark, d).collect()
     }
     assert got == expect
+
+
+def test_containment_stratified_recall_gate(spark, tmp_path):
+    """Recall gate for the size-stratified variant against brute-force
+    EXACT containment on a planted corpus: 25 big docs (150-400
+    tokens), 18 embedded smalls (12-80 token contiguous substrings →
+    true containment 1.0 across size ratios down to ~0.03), plus
+    decoys. The stratified op must recover ≥ 0.9 of all true pairs
+    (containment ≥ 0.9) AND beat the Jaccard-banded symmetric variant
+    on the small-ratio subset (size ratio < 0.4) — the regime the
+    stratification exists for."""
+    import random
+
+    rng = random.Random(31415)
+    vocab = [f"tok{i}" for i in range(600)]
+    docs = []
+    did = 1
+    bigs = []
+    for _ in range(25):
+        words = [rng.choice(vocab) for _ in range(rng.randint(150, 400))]
+        bigs.append((did, words))
+        docs.append((did, " ".join(words), "en", "big", 0))
+        did += 1
+    for _ in range(18):
+        bid, words = rng.choice(bigs)
+        m = rng.randint(12, 80)
+        start = rng.randint(0, len(words) - m)
+        sub = words[start:start + m]
+        docs.append((did, " ".join(sub), "en", "small", 0))
+        did += 1
+    for _ in range(10):  # decoys
+        docs.append(
+            (did, " ".join(rng.choice(vocab) for _ in range(40)),
+             "en", "decoy", 0),
+            )
+        did += 1
+
+    d = str(tmp_path / "strat_sf")
+    spark.createDataFrame(
+        docs,
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    # brute-force exact truth over distinct 3-gram sets
+    def shingles(text):
+        t = text.split()
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    sets = {i: shingles(t) for i, t, *_ in docs}
+    truth = set()
+    ids = sorted(sets)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            inter = len(sets[a] & sets[b])
+            denom = min(len(sets[a]), len(sets[b]))
+            if denom and inter / denom >= 0.9:
+                truth.add((a, b))
+    assert len(truth) >= 18  # every planted pair is a true pair
+
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.containment_pairs_stratified(
+            spark, d, top_n=500
+        ).collect()
+    }
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, (recall, sorted(truth - found))
+    # no false positives: the verify stage is exact
+    assert found <= truth
+
+    # the symmetric Jaccard-banded variant structurally under-recalls
+    # the small-ratio regime
+    small_ratio = {
+        (a, b) for (a, b) in truth
+        if min(len(sets[a]), len(sets[b]))
+        / max(len(sets[a]), len(sets[b])) < 0.4
+    }
+    assert small_ratio  # the corpus actually exercises the regime
+    sym = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.containment_pairs(spark, d, top_n=500).collect()
+        if r["containment"] >= 0.9
+    }
+    strat_hits = len(found & small_ratio)
+    sym_hits = len(sym & small_ratio)
+    assert strat_hits > sym_hits, (strat_hits, sym_hits)
+    assert strat_hits / len(small_ratio) >= 0.8
