@@ -2699,6 +2699,40 @@ def simhash_band_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _containment_verify(cand: DataFrame, shingle_sets: DataFrame) -> DataFrame:
+    """Exact verify shared by the two (staged, non-contract) containment
+    ops: join each candidate pair's distinct shingle-digest sets and
+    compute both ratios through the shared cross-engine display round
+    (vectorops.round_dist — no private rounding copies, the r11
+    single-home lesson). ``shingle_sets``: (doc_id, shd)."""
+    from oasysdb_spark.operators.vectorops import round_dist
+
+    pairs = cand.join(
+        shingle_sets.select(
+            F.col("doc_id").alias("doc_a"), F.col("shd").alias("sh_a")
+        ),
+        "doc_a",
+    ).join(
+        shingle_sets.select(
+            F.col("doc_id").alias("doc_b"), F.col("shd").alias("sh_b")
+        ),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    la, lb = F.size("sh_a"), F.size("sh_b")
+    union = la + lb - inter
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        la.cast("bigint").alias("n_a"),
+        lb.cast("bigint").alias("n_b"),
+        round_dist(inter.cast("double") / union).alias("jaccard"),
+        round_dist(
+            inter.cast("double") / F.least(la, lb)
+        ).alias("containment"),
+    )
+
+
 def containment_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -2752,34 +2786,8 @@ def containment_pairs(
         )
         .distinct()
     )
-    ss = sigs.select("doc_id", "sh")
-    pairs = cand.join(
-        ss.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
-        "doc_a",
-    ).join(
-        ss.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
-        "doc_b",
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    la, lb = F.size("sh_a"), F.size("sh_b")
-    union = la + lb - inter
-
-    def _disp(num, den):
-        # scale-0 display round (r11 migration): integer ratio in 1e-6
-        # display units, rounded at scale 0, divided back
-        return F.round(
-            F.round(num.cast("double") / den * 1e6).cast("bigint")
-            / F.lit(1e6),
-            6,
-        )
-
-    out = pairs.select(
-        "doc_a",
-        "doc_b",
-        la.cast("bigint").alias("n_a"),
-        lb.cast("bigint").alias("n_b"),
-        _disp(inter, union).alias("jaccard"),
-        _disp(inter, F.least(la, lb)).alias("containment"),
+    out = _containment_verify(
+        cand, sigs.select("doc_id", F.col("sh").alias("shd"))
     )
     return out.orderBy(
         F.col("containment").desc(), F.col("jaccard").desc(), "doc_a", "doc_b"
@@ -2821,9 +2829,13 @@ def containment_pairs_stratified(
     :func:`containment_pairs` (doc_a < doc_b, sizes, jaccard,
     containment), filtered to ``containment ≥ min_containment``.
 
-    Scale shape: the window fan-out is bounded — Σ_s n/s ≤ 2n/s_min
-    shingle copies per doc across all its classes — and band rows
-    carry (class, doc_id, band) only; shingle digests join back per
+    Scale shape: band rows carry (class, doc_id, band) only —
+    Σ_s 2n/s ≤ 4n/s_min window ROWS per doc across its classes. The
+    row-local signature cost is the real price: each class
+    materializes ~5n shingle copies (2n/s windows × 2.5s length) and
+    ~5n·num_hashes xxhash64 evaluations, times log₂(n/s_min) classes —
+    Θ(n log n) per doc, all inside the scan stage (nothing quadratic,
+    nothing shuffled beyond band rows); shingle digests join back per
     surviving candidate exactly as in the symmetric pipeline. The
     window signatures are in-plan array expressions (the
     minhash_signatures_expr form); porting them to the Arrow UDF fast
@@ -2835,14 +2847,20 @@ def containment_pairs_stratified(
         F.sequence(F.lit(1), F.size(toks) - 2),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
     )
+    # RAW 60-bit digests throughout (no % MINHASH_P fold): the xxhash64
+    # signature family needs no mod-P inputs, and the distinct counts /
+    # intersections below must keep the hashed=True discipline's
+    # ~1e-14 collision rate — a 2^31 fold would silently inflate
+    # containment on large-corpus small-denominator pairs
     base = (
         docs.where(F.size(toks) >= 3)
         .select(
             "doc_id",
-            F.transform(grams, lambda g: hash64(g) % MINHASH_P).alias("hs"),
+            F.transform(grams, lambda g: hash64(g)).alias("hs"),
         )
         .withColumn("shd", F.array_distinct("hs"))
         .withColumn("n", F.size("shd"))
+        .cache()
     )
 
     def _sig(arr):
@@ -2951,33 +2969,9 @@ def containment_pairs_stratified(
         .distinct()
     )
 
-    ss = base.select("doc_id", "shd")
-    pairs = cand.join(
-        ss.select(F.col("doc_id").alias("doc_a"), F.col("shd").alias("sh_a")),
-        "doc_a",
-    ).join(
-        ss.select(F.col("doc_id").alias("doc_b"), F.col("shd").alias("sh_b")),
-        "doc_b",
+    out = _containment_verify(cand, base.select("doc_id", "shd")).where(
+        F.col("containment") >= F.lit(float(min_containment))
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    la, lb = F.size("sh_a"), F.size("sh_b")
-    union = la + lb - inter
-
-    def _disp(num, den):
-        return F.round(
-            F.round(num.cast("double") / den * 1e6).cast("bigint")
-            / F.lit(1e6),
-            6,
-        )
-
-    out = pairs.select(
-        "doc_a",
-        "doc_b",
-        la.cast("bigint").alias("n_a"),
-        lb.cast("bigint").alias("n_b"),
-        _disp(inter, union).alias("jaccard"),
-        _disp(inter, F.least(la, lb)).alias("containment"),
-    ).where(F.col("containment") >= F.lit(float(min_containment)))
     return out.orderBy(
         F.col("containment").desc(), F.col("jaccard").desc(), "doc_a", "doc_b"
     ).limit(top_n)
