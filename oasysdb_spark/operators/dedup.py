@@ -2863,22 +2863,41 @@ def containment_pairs_stratified(
         .cache()
     )
 
-    def _sig(arr):
-        # xxhash64(h, j): genuinely independent rankings per hash index.
-        # The shared affine family (a_j = c·(j+1)) is deliberately NOT
-        # used here: in the SUBSET regime this op lives in (B's shingles
-        # contained in a window's), the affine coefficients share one
-        # argmin across every non-wrapping j — the measured effect is a
-        # single Bernoulli(J) draw instead of banded amplification, and
-        # the recall gate below catches exactly that. No DuckDB replay
-        # is needed (candidates are recall-gated; the verify stage is
-        # exact), so replayability doesn't constrain the family.
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda j: F.array_min(
-                F.transform(arr, lambda h: F.xxhash64(h, j))
-            ),
-        )
+    # Independent splitmix64 rankings per hash index, computed in ONE
+    # Arrow-batched numpy UDF (the minhash_signatures lesson: Spark's
+    # higher-order array functions are interpreted, and 48 hashes ×
+    # window length dominated this op's wall before the port). The
+    # shared affine family (a_j = c·(j+1)) is deliberately NOT used: in
+    # the SUBSET regime this op lives in (B's shingles contained in a
+    # window's), its coefficients share one argmin across every
+    # non-wrapping j — the measured effect is a single Bernoulli(J)
+    # draw instead of banded amplification, and the recall gate catches
+    # exactly that. No DuckDB replay is needed (candidates are
+    # recall-gated; the verify stage is exact), so replayability
+    # doesn't constrain the family.
+    import numpy as np
+
+    mix_keys = np.arange(1, num_hashes + 1, dtype=np.uint64) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+
+    @F.pandas_udf("array<bigint>")
+    def _sig_udf(arrs: pd.Series) -> pd.Series:
+        def mix(x):
+            x = x ^ (x >> np.uint64(30))
+            x = x * np.uint64(0xBF58476D1CE4E5B9)
+            x = x ^ (x >> np.uint64(27))
+            x = x * np.uint64(0x94D049BB133111EB)
+            return x ^ (x >> np.uint64(31))
+
+        out = []
+        for arr in arrs:
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            m = mix(h[None, :] ^ mix_keys[:, None]).min(axis=1)
+            out.append(m.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    _sig = _sig_udf
 
     # class of a SMALL doc: the stratum its set size falls in (docs
     # under s_min band in the lowest class with reduced J floor —
