@@ -704,7 +704,7 @@ def random_projection(
     sf_dir: str | None = None,
     dim_out: int = 16,
     embs: DataFrame | None = None,
-    max_codegen_terms: int = 4096,
+    max_codegen_terms: int = 256,
 ) -> DataFrame:
     """Deterministic sign random projection (Achlioptas 2003,
     "Database-friendly random projections": ±1 entries satisfy the
@@ -723,11 +723,14 @@ def random_projection(
     Scale shape: a pure narrow map, two value-identical engines picked
     by term count (``dim_in × dim_out``):
 
-    - at or below ``max_codegen_terms`` (default 4096 — the fixture's
-      64→16 = 1024 sits comfortably under it): literal-sign ± chains
-      inside whole-stage codegen (no UDF, no matrix broadcast, no
-      shuffle) — the r7 lesson (higher-order folds are interpreted;
-      ± chains codegen), runs at scan speed;
+    - at or below ``max_codegen_terms`` (default 256 — r15 measured:
+      the fixture's 64→16 = 1024-term chain costs ~7 s of DRIVER-side
+      Catalyst analysis + codegen per invocation against ~0.3 s of
+      executor work, so the literal engine only wins for genuinely tiny
+      matrices; the r7 "chains codegen, runs at scan speed" claim holds
+      for the executor but ignored the per-plan driver cost): literal
+      ± chains inside whole-stage codegen (no UDF, no matrix broadcast,
+      no shuffle);
     - above it, or past chain DEPTH 256 (measured, r9: a 768-deep ±
       chain never reaches codegen — Spark 4's per-node-recursive
       ColumnNodeToExpressionConverter throws StackOverflowError at

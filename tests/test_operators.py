@@ -4983,8 +4983,13 @@ def test_random_projection_gemm_twin_bit_equal_and_scales(spark, sf_dir):
     JL distortion gate."""
     from oasysdb_spark.operators import embed
 
-    # (1a) fixture shape 64→16: force the twin, compare bit-for-bit
-    lit = embed.random_projection(spark, sf_dir, dim_out=16)
+    # (1a) fixture shape 64→16: force EACH engine (r15: the default
+    # routes 1024 terms to the twin — the literal chain's ~7 s/call
+    # driver-side plan cost lost it the default — so the literal side
+    # must be forced to keep this gate covering both engines)
+    lit = embed.random_projection(
+        spark, sf_dir, dim_out=16, max_codegen_terms=4096
+    )
     twin = embed.random_projection(
         spark, sf_dir, dim_out=16, max_codegen_terms=0
     )
@@ -5014,7 +5019,9 @@ def test_random_projection_gemm_twin_bit_equal_and_scales(spark, sf_dir):
     deep = spark.createDataFrame(
         deep_rows, "vec_id bigint, embedding array<double>"
     )
-    lit16 = embed.random_projection(spark, embs=deep, dim_out=16)
+    lit16 = embed.random_projection(
+        spark, embs=deep, dim_out=16, max_codegen_terms=4096
+    )
     twin16 = embed.random_projection(
         spark, embs=deep, dim_out=16, max_codegen_terms=0
     )
