@@ -36,7 +36,13 @@ def load_documents(spark: SparkSession, sf_dir: str, spread: bool = False) -> Da
     provides this parallelism for free."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if spread:
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+        # conditional (r15): only add the exchange when the scan really
+        # is under-parallel — at corpus scale the split count already
+        # exceeds the core count and repartitioning here would be a
+        # full shuffle of the raw text for nothing
+        from oasysdb_spark.sources.tables import spread_scan
+
+        df = spread_scan(spark, df)
     return df
 
 

@@ -477,8 +477,12 @@ def prepare_training_corpus(
     pass (the injection-backed proof lives in :func:`boilerplate_scrub`)."""
     from oasysdb_spark.functions.text import word_shingles
     from oasysdb_spark.operators.dedup import dedup_components
+    from oasysdb_spark.sources.tables import spread_scan
 
-    docs = _docs(spark, sf_dir)
+    # spread the (locally single-split) scan before the expensive
+    # per-row stages — scale-adaptive: a real corpus's split count
+    # already covers the cores and no exchange is added (r15)
+    docs = spread_scan(spark, _docs(spark, sf_dir))
     toks = tokens(F.col("text"))
     quality = quality_rules(F.col("text"), toks)
     # Stage layout (r11 consolidation — same filters, same order, same
@@ -831,8 +835,15 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate group without a join-back (DuckDB twin: ``arg_min``). At
     100 TB this is the plan you want: one pass, one shuffle on a
     uniformly-distributed hash key, counters as conditional aggregates.
+
+    r15: the scan is spread (:func:`spread_scan`) so the expensive
+    per-row text expressions parallelize when the input is a single
+    small file — at corpus scale the condition is false and the plan
+    stays one scan + the one fp groupBy exchange.
     """
-    docs = _docs(spark, sf_dir)
+    from oasysdb_spark.sources.tables import spread_scan
+
+    docs = spread_scan(spark, _docs(spark, sf_dir))
     toks = tokens(F.col("text"))
     quality = quality_rules(F.col("text"), toks)
     scored = docs.select(

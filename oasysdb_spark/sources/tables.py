@@ -30,6 +30,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism for compute-heavy row-local stages
+    (r15, guide §2.5 "input skew"): when a scan plans FEWER input splits
+    than the session's parallelism (the local fixtures are single small
+    parquet files → one task → every per-row expression/UDF runs
+    serially), round-robin repartition to the default parallelism so the
+    expensive per-row work uses every core. On a real corpus the file
+    count/split size already provides the parallelism, the condition is
+    false, and NO exchange is added — the 100 TB plan is unchanged (an
+    unconditional repartition here would be a full shuffle of the raw
+    payload, the exact anti-pattern the no-text-exchange plan pins
+    exist to catch).
+
+    Only use under a row-local compute stage whose cost dominates one
+    extra small-input exchange; never on a path whose plan contract
+    forbids payload-bearing exchanges outright."""
+    par = spark.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n < par:
+        return df.repartition(par)
+    return df
+
+
 FORMATS = ("parquet", "csv", "json", "orc")
 
 
