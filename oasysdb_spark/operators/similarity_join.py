@@ -175,9 +175,23 @@ def edit_distance_pairs(
             "blocker (q-gram / length banding) — run the exact join "
             "instead"
         )
-    names = df.select(F.col(col).alias("nm")).where(
-        F.col("nm").isNotNull() & (F.length("nm") > 0)
-    ).distinct()
+    # r15 (guide §2.4/§2.6): the pipeline's cost is CPU per candidate
+    # row (variant explode, then the levenshtein verify over ~60×
+    # candidate fan-out), not bytes — but every exchange here carries
+    # only a few MB of short keys, so AQE's byte-based coalescing
+    # collapsed the whole chain onto 1-2 tasks and serialized it.
+    # Partition the distinct and the variant join explicitly at the
+    # session's core count (scale-adaptive: defaultParallelism, not a
+    # constant): hash on `nm` FEEDS the distinct (no extra exchange —
+    # the aggregate's clustered-distribution requirement is satisfied)
+    # and the explode then runs wide in the same stage.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    names = (
+        df.select(F.col(col).alias("nm"))
+        .where(F.col("nm").isNotNull() & (F.length("nm") > 0))
+        .repartition(par, "nm")
+        .distinct()
+    )
     variant_arrays = [F.array(F.col("nm")), F.expr(_DEL1_SQL)]
     if max_dist == 2:
         # length guard folded INTO the variants job (r9 judge nit /
@@ -204,22 +218,27 @@ def edit_distance_pairs(
         F.explode(
             F.array_distinct(F.concat(*variant_arrays))
         ).alias("v"),
-    )
+    # hash on the join key at the core count: the self-join reuses the
+    # single exchange for both sides and the verify stage runs wide
+    # instead of on AQE's byte-coalesced 1-2 tasks (r15)
+    ).repartition(par, "v")
     a = variants.alias("a")
     b = variants.alias("b")
-    cand = (
+    # levenshtein verify BEFORE the distinct (r15, guide §2.3 "shuffle
+    # fewer bytes"): dist is a pure function of the pair, so
+    # distinct∘filter ≡ filter∘distinct — but filtering first means the
+    # pair-collapse exchange carries only TRUE pairs (~60× fewer rows
+    # than raw shared-variant candidates on the fixture)
+    return (
         a.join(b, F.col("a.v") == F.col("b.v"))
         .where(F.col("a.nm") < F.col("b.nm"))
         .select(
             F.col("a.nm").alias("name_a"), F.col("b.nm").alias("name_b")
         )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= max_dist)
         .distinct()
     )
-    return cand.select(
-        "name_a",
-        "name_b",
-        F.levenshtein("name_a", "name_b").alias("dist"),
-    ).where(F.col("dist") <= max_dist)
 
 
 # marker the d=2 in-task guard embeds in its assert_true message; the
