@@ -1084,6 +1084,8 @@ def connected_components(
     large-star/small-star; rounds = component diameter, and near-dup
     clusters are shallow (cliques or near-cliques, diameter ≤ 2-3). The
     driver only ever sees a convergence COUNT per round, never data."""
+    from pyspark.sql import Observation
+
     id_col = nodes.columns[0]
     # undirected: propagate labels both ways
     sym = (
@@ -1128,6 +1130,11 @@ def connected_components(
         roots = relaxed.select(
             F.col("doc_id").alias("rid"), F.col("component_id").alias("rlabel")
         )
+        # the convergence count rides an observe() metric on the eager
+        # checkpoint's own materialization job (r15, guide §1/§5): the
+        # old separate .count() action re-read the full checkpoint every
+        # round — one whole extra pass per round at corpus scale
+        obs_changed = Observation()
         stepped = (
             relaxed.join(roots, relaxed["component_id"] == roots["rid"], "left")
             .select(
@@ -1138,11 +1145,17 @@ def connected_components(
                     F.coalesce("rlabel", F.col("component_id")),
                 ).alias("component_id"),
             )
+            .observe(
+                obs_changed,
+                F.count(
+                    F.when(
+                        F.col("component_id") < F.col("old_component_id"), 1
+                    )
+                ).alias("n"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = stepped.where(
-            F.col("component_id") < F.col("old_component_id")
-        ).count()
+        changed = int(obs_changed.get["n"])
         # the eager checkpoint above already materialized stepped, so the
         # frames it was derived from are now droppable. unpersist() is a
         # no-op on checkpoints — free their blocks explicitly.

@@ -414,17 +414,34 @@ def exact_then_near_dedup(
     already computed — the two can keep different survivors for the
     same component when char-longest ≠ token-longest.
 
-    Returns ``(exact_unique, survivors, comps)``: the first two cached,
-    ``comps`` backed by the components' final-round localCheckpoint —
-    the CALLER must release it with ``free_local_checkpoint`` once every
-    action over the survivors is finished (not merely once they are
-    cached: cache eviction recomputes through lineage)."""
+    Returns ``(exact_unique, survivors, comps, obs_exact, obs_final)``:
+    the first two cached, ``comps`` backed by the components'
+    final-round localCheckpoint — the CALLER must release it with
+    ``free_local_checkpoint`` once every action over the survivors is
+    finished (not merely once they are cached: cache eviction recomputes
+    through lineage). ``obs_exact``/``obs_final`` are ``Observation``
+    handles whose single metric ``n`` is the row count of
+    ``exact_unique``/``survivors``, collected as a free side effect of
+    the jobs the pipeline already runs (r15, guide §1/§5 — the callers'
+    separate ``.count()`` actions were whole extra passes; at corpus
+    scale each was a full scan of the cached text had the cache
+    evicted). ``obs_exact`` has always fired by the time this returns
+    (the components fixpoint scans ``exact_unique``); read
+    ``obs_final`` only after an action has consumed ``survivors``."""
+    from pyspark.sql import Observation
+
     from oasysdb_spark.operators.dedup import dedup_components
 
+    obs_exact = Observation()
+    obs_final = Observation()
     keep_exact = (
         scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     )
-    exact_unique = scored.join(keep_exact, "doc_id").cache()
+    exact_unique = (
+        scored.join(keep_exact, "doc_id")
+        .observe(obs_exact, F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
     comps = dedup_components(
         spark, threshold=near_threshold, docs=exact_unique.select("doc_id", "text")
     )
@@ -438,8 +455,12 @@ def exact_then_near_dedup(
         )
         .select((-F.col("best.neg_id")).alias("doc_id"))
     )
-    survivors = exact_unique.join(reps, "doc_id").cache()
-    return exact_unique, survivors, comps
+    survivors = (
+        exact_unique.join(reps, "doc_id")
+        .observe(obs_final, F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
+    return exact_unique, survivors, comps, obs_exact, obs_final
 
 
 def prepare_training_corpus(
@@ -482,29 +503,34 @@ def prepare_training_corpus(
     # spread the (locally single-split) scan before the expensive
     # per-row stages — scale-adaptive: a real corpus's split count
     # already covers the cores and no exchange is added (r15)
+    from pyspark.sql import Observation
+
     docs = spread_scan(spark, _docs(spark, sf_dir))
     toks = tokens(F.col("text"))
     quality = quality_rules(F.col("text"), toks)
-    # Stage layout (r11 consolidation — same filters, same order, same
-    # counts; fewer materializations): pass A caches only what the
-    # quality gate needs (q + pl), with n_raw and n_clean folded into
-    # ONE aggregation over it; the fingerprint/BPE-count/shingle work
-    # moves into pass B where it runs on REP SURVIVORS only instead of
-    # every raw doc. Two text materializations instead of three, and
-    # fp/bpe never computed on rows the early gates drop.
+    # Stage layout (r15 — same filters, same order, same counts; ONE
+    # text materialization and zero dedicated counting actions): every
+    # per-stage count is an ``observe()`` metric collected as a side
+    # effect of a job the pipeline must run anyway (guide §1/§5 — the
+    # old pass-A cache + 5 separate count()/first() actions were each a
+    # full extra pass locally and a cache-eviction recompute hazard at
+    # corpus scale). The quality/language expressions now run inline in
+    # the repetition-filter stage instead of materializing a scored
+    # cache first; fp/bpe/grams are still computed only on rows the
+    # early gates keep.
+    keep = (F.col("q") >= 3) & (F.col("pl") == "en")
+    obs_head = Observation()
+    obs_rep = Observation()
     scored = docs.select(
         "doc_id",
         "text",
         quality.alias("q"),
         predict_lang(toks).alias("pl"),
-    ).cache()
-    keep = (F.col("q") >= 3) & (F.col("pl") == "en")
-    head_counts = scored.agg(
-        F.count("*").alias("n_raw"),
+    ).observe(
+        obs_head,
+        F.count(F.lit(1)).alias("n_raw"),
         F.sum(keep.cast("bigint")).alias("n_clean"),
-    ).first()
-    n_raw = int(head_counts["n_raw"])
-    n_clean = int(head_counts["n_clean"] or 0)
+    )
     clean = scored.where(keep)
 
     # Gopher repetition filter: the template/spam rules run right after
@@ -522,27 +548,33 @@ def prepare_training_corpus(
             token_count_bpe(F.col("text")).cast("bigint").alias("bpe"),
             word_shingles(tokens(F.col("text")), n=3).alias("grams"),
         )
+        .observe(obs_rep, F.count(F.lit(1)).alias("n"))
         .cache()
     )
-    n_rep = rep_kept.count()
-    scored.unpersist()  # nothing downstream reads pass A again
 
     # boilerplate scrub: mine the top-DF n-grams over the quality
     # survivors, drop docs carrying >= boiler_min_hits of them (row-local
     # array_intersect against the driver-collected top_n-row mined set —
-    # no join, no extra shuffle beyond the mining count)
+    # no join, no extra shuffle beyond the mining count). The mining
+    # collect is the action that populates rep_kept's cache and fires
+    # obs_head/obs_rep.
     _, boiler = _mine_boilerplate(rep_kept, boiler_top_n)
-    scrubbed = rep_kept.where(
-        F.size(F.array_intersect(F.col("grams"), boiler)) < boiler_min_hits
-    ).drop("grams").cache()
-    n_scrubbed = scrubbed.count()
+    obs_scrub = Observation()
+    scrubbed = (
+        rep_kept.where(
+            F.size(F.array_intersect(F.col("grams"), boiler)) < boiler_min_hits
+        )
+        .drop("grams")
+        .observe(obs_scrub, F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
 
-    # exact dedup: keep the min doc_id per fingerprint
-    exact_unique, final, comps = exact_then_near_dedup(
+    # exact dedup: keep the min doc_id per fingerprint. The components
+    # fixpoint inside scans scrubbed and exact_unique, firing
+    # obs_scrub/obs_exact.
+    exact_unique, final, comps, obs_exact, obs_final = exact_then_near_dedup(
         spark, scrubbed, near_threshold
     )
-    n_exact = exact_unique.count()
-    n_final = final.count()
 
     # pack survivors into budgeted sequences, sharded by doc_id hash so
     # packing parallelizes (no corpus-wide ordering)
@@ -564,6 +596,16 @@ def prepare_training_corpus(
     seq_stats = packed.agg(
         F.count("*").alias("n_sequences"), F.sum("toks").alias("total_tokens")
     ).first()
+
+    # every observation has fired by now (mining → head/rep, the
+    # components fixpoint → scrub/exact, the packing agg above →
+    # final), so the gets below return immediately
+    n_raw = int(obs_head.get["n_raw"])
+    n_clean = int(obs_head.get["n_clean"] or 0)
+    n_rep = int(obs_rep.get["n"])
+    n_scrubbed = int(obs_scrub.get["n"])
+    n_exact = int(obs_exact.get["n"])
+    n_final = int(obs_final.get["n"])
 
     # every action over the dedup frames is done and the return row is
     # built from driver-side literals — the components checkpoint can't

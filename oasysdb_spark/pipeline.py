@@ -68,12 +68,22 @@ def _filter_and_dedup(
     (quarantine) → quality + language filter → exact dedup → near-dup
     representative pick. ONE definition, so the terminal artifacts
     (tokenized parquet, WebDataset tars, ...) can never filter or dedup
-    differently. Returns ``(counts, survivors, to_unpersist, comps)``
-    — the caller runs its terminal stage, then unpersists the frames
-    and frees the components checkpoint in its ``finally``; on failure
-    BEFORE returning, this helper cleans up its own caches."""
+    differently. Returns ``(counts, survivors, to_unpersist, comps,
+    obs_final)`` — the caller runs its terminal stage, then unpersists
+    the frames and frees the components checkpoint in its ``finally``;
+    on failure BEFORE returning, this helper cleans up its own caches.
+    ``obs_final`` is the survivor-count ``Observation`` (metric ``n``)
+    — read it only AFTER the terminal stage has consumed ``survivors``
+    (r15: the per-stage counts ride ``observe()`` metrics on jobs the
+    pipeline runs anyway instead of dedicated count() passes — at
+    corpus scale each count was a full extra scan if its cache
+    evicted, and the raw scored text no longer needs caching at all)."""
+    from pyspark.sql import Observation
+
     docs, quarantine = ingest(spark, in_path, fmt=fmt)
     toks = tokens(F.col("text"))
+    obs_raw = Observation()
+    obs_clean = Observation()
     scored = docs.select(
         "doc_id",
         "text",
@@ -82,32 +92,32 @@ def _filter_and_dedup(
         predict_lang(toks).alias("pl"),
         doc_fingerprint(F.col("text")).alias("fp"),
         token_count_bpe(F.col("text")).cast("bigint").alias("bpe"),
-    ).cache()
-    to_unpersist = [scored]
+    ).observe(obs_raw, F.count(F.lit(1)).alias("n"))
+    to_unpersist = []
     comps = None
     try:
-        n_raw = scored.count()
         n_quarantined = quarantine.count() if quarantine is not None else 0
 
         clean = scored.where(F.col("q") >= min_quality)
         if lang is not None:
             clean = clean.where(F.col("pl") == lang)
-        clean = clean.cache()
+        clean = clean.observe(obs_clean, F.count(F.lit(1)).alias("n")).cache()
         to_unpersist.append(clean)
-        n_clean = clean.count()
 
         # the dedup-survivors stage shared verbatim with
         # textops.prepare_training_corpus — one definition, so the
-        # pipeline entry points can never dedup differently
-        exact_unique, survivors, comps = exact_then_near_dedup(
-            spark, clean, near_threshold
+        # pipeline entry points can never dedup differently. Its
+        # components fixpoint populates clean's cache, firing
+        # obs_raw/obs_clean/obs_exact on the way.
+        exact_unique, survivors, comps, obs_exact, obs_final = (
+            exact_then_near_dedup(spark, clean, near_threshold)
         )
         to_unpersist += [exact_unique, survivors]
         counts = {
-            "n_raw": n_raw,
+            "n_raw": int(obs_raw.get["n"]),
             "n_quarantined": n_quarantined,
-            "n_clean": n_clean,
-            "n_exact_unique": exact_unique.count(),
+            "n_clean": int(obs_clean.get["n"]),
+            "n_exact_unique": int(obs_exact.get["n"]),
         }
     except Exception:
         for frame in to_unpersist:
@@ -115,7 +125,7 @@ def _filter_and_dedup(
         if comps is not None:
             free_local_checkpoint(comps)
         raise
-    return counts, survivors, to_unpersist, comps
+    return counts, survivors, to_unpersist, comps, obs_final
 
 
 def corpus_to_shards(
@@ -133,12 +143,10 @@ def corpus_to_shards(
     """Run the whole pipeline; returns the manifest dict:
     per-stage doc counts plus the per-shard (docs, tokens) rows read
     back from the written artifact."""
-    counts, survivors, to_unpersist, comps = _filter_and_dedup(
+    counts, survivors, to_unpersist, comps, obs_final = _filter_and_dedup(
         spark, in_path, fmt, min_quality, lang, near_threshold
     )
     try:
-        n_near = survivors.count()
-
         manifest_df = tokenize_and_shard(
             spark,
             sf_dir="",
@@ -156,6 +164,9 @@ def corpus_to_shards(
             {"shard": r["shard"], "n_docs": r["n_docs"], "n_tokens": r["n_tokens"]}
             for r in manifest_df.collect()
         ]
+        # the shard write consumed survivors, so the observation has
+        # fired — the survivor count is free (no dedicated pass)
+        n_near = int(obs_final.get["n"])
     finally:
         for frame in to_unpersist:
             frame.unpersist()
@@ -193,7 +204,7 @@ def corpus_to_wds(
     :func:`corpus_to_shards` runs — this entry point only swaps the
     terminal artifact. Returns the manifest dict with per-stage doc
     counts plus the per-shard rows read back from the written tars."""
-    counts, survivors, to_unpersist, comps = _filter_and_dedup(
+    counts, survivors, to_unpersist, comps, _obs_final = _filter_and_dedup(
         spark, in_path, fmt, min_quality, lang, near_threshold
     )
     try:
