@@ -176,6 +176,11 @@ def simhash32_text_udf(bits: int = 32):
 
     split = re.compile("[^a-z0-9]+")
     bit_range = np.arange(bits, dtype=np.int64)
+    # token→hash memo: Zipf repetition means most tokens recur across
+    # docs, so the md5 work per token amortizes to ~once per worker
+    # lifetime. Capped so an adversarial vocabulary can't grow unbounded.
+    memo: dict = {}
+    memo_cap = 1 << 20
 
     @F.pandas_udf("bigint")
     def udf(text: pd.Series) -> pd.Series:
@@ -188,14 +193,14 @@ def simhash32_text_udf(bits: int = 32):
             if not toks:
                 out.append(0)
                 continue
-            h = np.fromiter(
-                (
-                    int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
-                    for w in toks
-                ),
-                dtype=np.int64,
-                count=len(toks),
-            )
+            h = np.empty(len(toks), dtype=np.int64)
+            for i, w in enumerate(toks):
+                v = memo.get(w)
+                if v is None:
+                    v = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                    if len(memo) < memo_cap:
+                        memo[w] = v
+                h[i] = v
             signs = 2 * ((h[:, None] >> bit_range[None, :]) & 1) - 1
             sums = signs.sum(axis=0)
             out.append(int(((sums > 0).astype(np.int64) << bit_range).sum()))
@@ -259,6 +264,10 @@ def simhash_words_udf(words: int = 2, bits: int = 60):
 
     split = re.compile("[^a-z0-9]+")
     bit_range = np.arange(bits, dtype=np.int64)
+    # per-salt token→hash memos (see simhash32_text_udf): md5 amortizes
+    # to once per distinct (token, salt) per worker lifetime, capped.
+    memos: list[dict] = [{} for _ in range(words)]
+    memo_cap = 1 << 20
 
     @F.pandas_udf("array<bigint>")
     def udf(text: pd.Series) -> pd.Series:
@@ -274,19 +283,20 @@ def simhash_words_udf(words: int = 2, bits: int = 60):
             ws = []
             for j in range(words):
                 suf = f"#s{j}".encode()
-                h = np.fromiter(
-                    (
-                        int(
+                memo = memos[j]
+                h = np.empty(len(toks), dtype=np.int64)
+                for i, w in enumerate(toks):
+                    v = memo.get(w)
+                    if v is None:
+                        v = int(
                             hashlib.md5(w.encode("utf-8") + suf).hexdigest()[
                                 :15
                             ],
                             16,
                         )
-                        for w in toks
-                    ),
-                    dtype=np.int64,
-                    count=len(toks),
-                )
+                        if len(memo) < memo_cap:
+                            memo[w] = v
+                    h[i] = v
                 signs = 2 * ((h[:, None] >> bit_range[None, :]) & 1) - 1
                 sums = signs.sum(axis=0)
                 ws.append(int(((sums > 0).astype(np.int64) << bit_range).sum()))

@@ -491,6 +491,9 @@ def banded_hamming_pairs(
 
     a_name, b_name = out_names
     cached = banded.cache()
+    # eager populate — same cache-race rationale as
+    # banded_hamming_pairs_wide below.
+    cached.count()
     melted = _melt_bands(cached, [id_col, hash_col], band_cols)
     sizes = melted.groupBy("band_id", "band_val").agg(
         F.count("*").alias("__bc")
@@ -747,6 +750,12 @@ def banded_hamming_pairs_wide(
 
     a_name, b_name = out_names
     cached = banded.cache()
+    # populate the cache EAGERLY: the melt fans out into the bucket-size
+    # aggregate plus both self-join sides, and those branches otherwise
+    # race to materialize the cache concurrently — each recomputing the
+    # (expensive) upstream hash UDF before any one finishes populating
+    # it. One count() action computes the hashes exactly once.
+    cached.count()
     melted = _melt_bands(cached, [id_col, words_col], band_cols)
     sizes = melted.groupBy("band_id", "band_val").agg(
         F.count("*").alias("__bc")
