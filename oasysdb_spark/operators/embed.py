@@ -67,6 +67,11 @@ def hashing_embedding_udf(dim: int):
     import numpy as np
 
     split = re.compile("[^a-z0-9]+")
+    # token→(bucket, ±1) memo: md5 runs once per distinct token per
+    # worker lifetime instead of once per occurrence (Zipf repetition
+    # makes the hit rate ~99% on natural text). Capped; bit-identical.
+    memo: dict = {}
+    memo_cap = 1 << 20
 
     @F.pandas_udf("array<bigint>")
     def udf(text: pd.Series) -> pd.Series:
@@ -75,8 +80,13 @@ def hashing_embedding_udf(dim: int):
             toks_ = [w for w in split.split(t.lower()) if w]
             v = np.zeros(dim, dtype=np.int64)
             for w in toks_:
-                h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
-                v[h % dim] += 1 if (h >> SIGN_BIT) & 1 else -1
+                hit = memo.get(w)
+                if hit is None:
+                    h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                    hit = (h % dim, 1 if (h >> SIGN_BIT) & 1 else -1)
+                    if len(memo) < memo_cap:
+                        memo[w] = hit
+                v[hit[0]] += hit[1]
             out.append(v.tolist())
         return pd.Series(out)
 

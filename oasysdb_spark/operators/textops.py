@@ -686,48 +686,79 @@ def bm25_search(
     by (rounded score desc, doc_id) so the cut is deterministic across
     engines.
 
-    Scale shape: doc lengths are row-local; the term explode is filtered
-    to the query's terms BEFORE the tf groupBy, so the only per-corpus
-    shuffle carries ≈ |matching (doc, term)| rows, not the whole token
-    stream; df and the corpus stats (N, avgdl) are tiny aggregates that
-    broadcast back in. One scan of the corpus feeds lengths and terms."""
+    Scale shape (r15 rewrite, guide §2.1/§2.4): a query carries a
+    HANDFUL of terms, so per-doc tf for each query term is a row-local
+    ``size(filter(tk, = term))`` — no token explode, no (doc, term)
+    shuffle, no df join. ONE tiny aggregate collects every scalar the
+    score needs (N, avgdl, and per-term df = count of docs containing
+    the term) in a single pass over the cached token column; scoring is
+    then a pure per-row expression and the cut is a
+    TakeOrderedAndProject. The only corpus-wide work is the one
+    tokenize pass (cached) plus that scan aggregate; nothing about the
+    corpus ever shuffles."""
     q_terms = sorted({t for t in query.lower().split() if t})
     docs = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))
+    if not q_terms:
+        # no query terms → no (doc, term) matches; empty result, same
+        # schema as the scored path
+        return docs.select(
+            "doc_id", F.lit(0.0).alias("bm25")
+        ).where(F.lit(False))
     base = docs.select("doc_id", toks.alias("tk")).cache()
 
-    lengths = base.select("doc_id", F.size("tk").alias("dl"))
-    # two scalars, collected once like a centroid table (a crossJoin of
-    # the 1-row aggregate would plan as a BroadcastNestedLoopJoin and
-    # trip the no-nested-loops sweep)
-    stats = lengths.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    def _is_term(term: str):
+        return lambda x: x == term
+
+    tf_cols = [
+        F.size(F.filter(F.col("tk"), _is_term(t))).alias(f"tf_{i}")
+        for i, t in enumerate(q_terms)
+    ]
+    per_doc = base.select("doc_id", F.size("tk").alias("dl"), *tf_cols)
+    # every scalar the score needs — N, avgdl, per-term document
+    # frequency — in ONE tiny aggregate, collected once like a centroid
+    # table (a crossJoin of the 1-row aggregate would plan as a
+    # BroadcastNestedLoopJoin and trip the no-nested-loops sweep)
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(q_terms))
+        ],
     ).first()
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
-    tf = (
-        base.select("doc_id", F.explode("tk").alias("term"))
-        .where(F.col("term").isin(q_terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
 
-    joined = tf.join(F.broadcast(df_t), "term").join(lengths, "doc_id")
-    idf = F.log(
-        (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-    )
-    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
-    score = idf * (F.col("tf") * (k1 + 1.0)) / norm
     # per-TERM score quantized to integer micro-units before the per-doc
     # sum (the DSIR pattern, applied r12): each term's score is computed
     # from exact integers identically on both engines, but a double SUM
     # over terms is partial-aggregation-order dependent — integer
-    # accumulation is order-proof, and the display is one exact /1e6
-    score_micro = F.round(score * 1e6).cast("bigint")
+    # accumulation is order-proof, and the display is one exact /1e6.
+    # Identical arithmetic to the pre-r15 join shape: same idf/norm
+    # doubles, same per-term round — only the plan moved.
+    def term_micro(i: int):
+        df = float(stats[f"df_{i}"])
+        idf = F.log(
+            F.lit((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        )
+        tf = F.col(f"tf_{i}")
+        norm = tf + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+        score = idf * (tf * (k1 + 1.0)) / norm
+        return F.when(tf > 0, F.round(score * 1e6).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+
+    total_micro = term_micro(0)
+    for i in range(1, len(q_terms)):
+        total_micro = total_micro + term_micro(i)
+    matched = F.greatest(
+        *[F.col(f"tf_{i}") for i in range(len(q_terms))]
+    ) > 0 if len(q_terms) > 1 else F.col("tf_0") > 0
     return (
-        joined.groupBy("doc_id")
-        .agg(
-            F.round(F.sum(score_micro) / F.lit(1e6), 6).alias("bm25")
+        per_doc.where(matched)
+        .select(
+            "doc_id",
+            F.round(total_micro / F.lit(1e6), 6).alias("bm25"),
         )
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(top_k)
