@@ -894,14 +894,29 @@ def minhash_candidate_edges(
     band_size: int = 2,
     threshold: float = 0.5,
     docs: DataFrame | None = None,
+    _cache_out: list | None = None,
 ) -> DataFrame:
     """All near-duplicate edges (doc_a < doc_b) whose exact Jaccard meets
     ``threshold`` — the thresholded (not top-n) variant of
     :func:`minhash_lsh_pairs`, used as graph input for clustering. Pass
-    ``docs`` to run over any (doc_id, text) frame instead of the fixture."""
+    ``docs`` to run over any (doc_id, text) frame instead of the fixture.
+
+    The signature frame is cached because the returned plan reads it
+    three times (the band self-join plus both shingle-set joins). Pass
+    ``_cache_out`` (a list) to receive that cached frame: the caller
+    that finishes consuming the edges MUST ``unpersist()`` it, or the
+    entry outlives the call in the session CacheManager. A leaked entry
+    whose lineage carries ``observe()`` metrics (the composed pipeline's
+    per-stage counts) is not just memory pressure: a cached
+    CollectMetrics plan makes any LATER MLlib-model action in the same
+    session fail with ``NotSerializableException: ObservationManager``
+    (the cache lookup canonicalizes the model's ScalaUDF, whose training
+    summary drags the SparkSession into the task closure — found r15)."""
     if docs is None:
         docs = load_documents(spark, sf_dir, spread=True)
     sigs = minhash_signatures(docs, num_hashes=num_hashes, hashed=True).cache()
+    if _cache_out is not None:
+        _cache_out.append(sigs)
     bands = lsh_bands(sigs, num_hashes, band_size)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -1070,10 +1085,23 @@ def dedup_components(
     instead of the fixture table."""
     if docs is None:
         docs = load_documents(spark, sf_dir)
-    edges = minhash_candidate_edges(spark, sf_dir, threshold=threshold, docs=docs)
-    return connected_components(
-        docs.select("doc_id"), edges, "doc_a", "doc_b", max_iter=max_iter
+    caches: list = []
+    edges = minhash_candidate_edges(
+        spark, sf_dir, threshold=threshold, docs=docs, _cache_out=caches
     )
+    try:
+        return connected_components(
+            docs.select("doc_id"), edges, "doc_a", "doc_b", max_iter=max_iter
+        )
+    finally:
+        # the fixpoint ran eagerly (per-round localCheckpoint) and the
+        # returned labels are backed by the final checkpoint, so the
+        # signature cache behind the edges can never be re-read — free
+        # it here instead of leaking it into the session CacheManager
+        # (see minhash_candidate_edges on why a leaked observe()-lineage
+        # entry poisons later MLlib actions)
+        for frame in caches:
+            frame.unpersist()
 
 
 def connected_components(

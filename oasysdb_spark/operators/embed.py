@@ -155,6 +155,22 @@ def train_lang_classifier(
         ]
     )
     model = pipe.fit(train)
+    # Strip the training summary before transform: the fitted LR model
+    # holds a BinaryLogisticRegressionTrainingSummary that references
+    # the live SparkSession, and once ANY observe() query has run in
+    # the session (the composed pipeline's per-stage counts do), task
+    # serialization of the transform's ScalaUDF walks model → summary →
+    # session → ObservationManager and dies with
+    # NotSerializableException (Spark 4.1, found r15). A write/load
+    # roundtrip is the supported way to get a summary-free model; loads
+    # are eager, so the temp dir can be dropped immediately.
+    import tempfile
+
+    from pyspark.ml import PipelineModel
+
+    with tempfile.TemporaryDirectory(prefix="oasys_lang_clf_") as _d:
+        model.write().overwrite().save(_d)
+        model = PipelineModel.load(_d)
     pred = model.transform(test)
     metrics = pred.select(
         (F.col("label") == F.col("prediction")).cast("int").alias("hit")

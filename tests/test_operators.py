@@ -966,6 +966,43 @@ def test_boilerplate_scrub_drops_injected_template_docs(spark, sf_dir):
         assert by_id[d]["boiler_hits"] >= 9
 
 
+def test_dedup_components_leaves_cache_manager_empty(spark, sf_dir):
+    """r15 hygiene pin: dedup_components must unpersist the MinHash
+    signature cache its edge builder creates once the fixpoint has
+    consumed the edges. A leaked entry is not just memory pressure — a
+    cached plan whose lineage carries observe() metrics (the composed
+    pipeline's per-stage counts) makes any later MLlib-model action in
+    the same session fail with NotSerializableException:
+    ObservationManager (Spark 4.1)."""
+    from oasysdb_spark.operators import dedup
+
+    before = spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    dedup.dedup_components(spark, sf_dir).collect()
+    after = spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    assert after or not before, "dedup_components leaked a cache entry"
+
+
+def test_lang_classifier_survives_prior_observe_query(spark, sf_dir):
+    """r15 regression pin: once ANY observe() query has run in the
+    session, a fitted-model transform whose ScalaUDF still holds the
+    training summary dies in task serialization (summary → session →
+    ObservationManager, not serializable). train_lang_classifier strips
+    the summary via a write/load roundtrip; this test locks the fix by
+    poisoning the session first the way the composed pipeline does."""
+    from pyspark.sql import Observation
+
+    from oasysdb_spark.operators import embed
+
+    obs = Observation()
+    spark.range(8).observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    assert int(obs.get["n"]) == 8
+    _model, metrics = embed.train_lang_classifier(spark, sf_dir, dim=32)
+    r = metrics.first()
+    assert r["n_train"] > 0 and r["n_test"] > 0
+
+
 def test_lang_classifier_trains_on_hashed_features(spark, sf_dir):
     """Weak-supervision distillation: an MLlib classifier on the hashed
     embeddings must recover the engine's heuristic language prediction on
