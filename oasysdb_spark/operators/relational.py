@@ -1692,33 +1692,52 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage counts — the order-sensitive funnel metric (a click before any
     view does not count) that plain per-type counts can't express.
 
-    Scale shape: three per-type min-aggregates and two joins, ALL keyed
-    on user_id — after the first shuffle every stage is co-partitioned,
-    so the funnel costs one logical repartition of the events table no
-    matter how many stages are added. No windows over the full stream,
-    no per-user collect."""
-    ev = _t(spark, sf_dir, "events")
-    views = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+    Scale shape (r15 reshape, guide §2.4): ONE scan and ONE user-keyed
+    shuffle. The old three-branch lineage (per-type min-aggregate +
+    join per stage) made Spark recompute each earlier stage under the
+    later ones — six scans of the events table for three stages. Now
+    the funnel-relevant events shuffle by user_id once and three
+    chained whole-partition windows (``partitionBy(user_id)``, no
+    ordering — each frame is the full user group, so no sort beyond
+    the first) derive the staged minimums with the identical strict
+    ``ts >`` comparisons row-locally; the per-user rollup and the final
+    count ride the same partitioning, so the plan holds exactly two
+    exchanges (user hash + the 1-row final aggregate). No per-user
+    collect; window state is one timestamp per stage."""
+    w = Window.partitionBy("user_id")
+    is_type = lambda t: F.col("event_type") == t  # noqa: E731
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type")
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+        .withColumn("t_view", F.min(F.when(is_type("view"), F.col("ts"))).over(w))
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    is_type("click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    is_type("purchase") & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
-    clicks = (
-        ev.where(F.col("event_type") == "click")
-        .join(views, "user_id")
-        .where(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    purchases = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(clicks, "user_id")
-        .where(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    funnel = views.join(clicks, "user_id", "left").join(
-        purchases, "user_id", "left"
+    funnel = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("t_view").alias("t_view"),
+            F.max("t_click").alias("t_click"),
+            F.max("t_purchase").alias("t_purchase"),
+        )
+        .where(F.col("t_view").isNotNull())
     )
     return funnel.agg(
         F.count("*").cast("bigint").alias("n_viewed"),

@@ -2683,11 +2683,16 @@ def tfidf_top_terms(
     Everything downstream derives from vocab-bounded tables: since
     (doc_id, term) is unique in the pre-agg and source is functionally
     dependent on doc_id, per-source document frequency is a plain
-    ``count(*)`` in the (source, term) rollup and corpus df is its sum —
-    no ``countDistinct`` expand, no second pass over the token stream.
-    The doc-count scalar comes from a shuffle-free scan aggregate. The
-    ranking window partitions by ``source`` over per-source vocab only.
-    Text never shuffles."""
+    ``count(*)`` in the (source, term) rollup, and corpus df is a
+    ``sum(df_s)`` WINDOW over the (source, term) table partitioned by
+    term (r15, guide §2.4: the old ``groupBy("term")`` + join-back
+    branch made Spark RECOMPUTE the whole scan→explode→aggregate
+    subtree a second time — common subtrees are not shared across the
+    self-join — so the corpus was tokenized twice; the window keeps one
+    lineage and adds only a vocab-bounded exchange). The doc-count
+    scalar comes from a shuffle-free scan aggregate. The ranking window
+    partitions by ``source`` over per-source vocab only. Text never
+    shuffles."""
     from oasysdb_spark.functions.text import tokens
 
     docs = _docs(spark, sf_dir)
@@ -2702,7 +2707,7 @@ def tfidf_top_terms(
         F.sum("c").cast("bigint").alias("tf"),
         F.count("*").cast("bigint").alias("df_s"),
     )
-    ct = st.groupBy("term").agg(F.sum("df_s").cast("bigint").alias("df"))
+    w_term = Window.partitionBy("term")
     nd = F.broadcast(
         docs.agg(
             F.sum(
@@ -2713,7 +2718,8 @@ def tfidf_top_terms(
         )
     )
     scored = (
-        st.join(ct.where(F.col("df") >= min_df), "term")
+        st.withColumn("df", F.sum("df_s").over(w_term).cast("bigint"))
+        .where(F.col("df") >= min_df)
         .crossJoin(nd)
         .select(
             "source",
@@ -2895,6 +2901,26 @@ def term_burstiness(
     )
 
 
+def _term_source_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One corpus pass → one sorted source-set array per term.
+
+    The distinct (source, term) table collapses map-side-combined (the
+    single shuffle every vocabulary op pays), then rolls up to ONE
+    ``sort_array(collect_set(source))`` row per term — sort_array makes
+    the nondeterministic collect_set order total AND gives
+    source_a < source_b for free downstream. Split out as a named
+    helper so the plan pin can assert the collect_set shape below the
+    caller's lineage-truncating localCheckpoint."""
+    docs = _docs(spark, sf_dir)
+    st = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .distinct()
+    )
+    return st.groupBy("term").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    )
+
+
 def source_vocab_overlap_matrix(
     spark: SparkSession,
     sf_dir: str,
@@ -2930,19 +2956,28 @@ def source_vocab_overlap_matrix(
     a term shared by hundreds of sources would otherwise emit tens of
     thousands of join rows per stopword). Sizes broadcast onto the
     pair grid. Text never shuffles."""
-    docs = _docs(spark, sf_dir)
-    st = (
-        docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
-        .distinct()
+    # per-term sorted source SET (see _term_source_sets), materialized
+    # ONCE (eager localCheckpoint): three downstream branches read it —
+    # the pair stream plus both sides of the size grid — and without
+    # the pin each branch re-tokenized the corpus (r15, guide §2.4: 3
+    # full text passes measured in the plan; now 1). Vocab-bounded
+    # rows, so the checkpoint is the same retention class as the
+    # components fixpoint's final round. The plan pin
+    # (tests/test_plans.py test_vocab_overlap_pairs_generate_row_locally)
+    # asserts the collect_set shape on the helper directly, since the
+    # checkpoint truncates the final plan's visible lineage.
+    ss_all = _term_source_sets(spark, sf_dir).localCheckpoint(eager=True)
+    # per-source distinct-term counts, recovered from the checkpointed
+    # source sets instead of a second corpus pass: each distinct
+    # (source, term) contributes exactly one element of exactly one ss
+    # row, so the explode-count is the same integer the old
+    # st.groupBy("source") computed.
+    sizes = (
+        ss_all.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n"))
     )
-    sizes = st.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
-    # per-term sorted source SET; sort_array makes the nondeterministic
-    # collect_set order total AND gives source_a < source_b for free
-    ss = (
-        st.groupBy("term")
-        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
-        .where(F.size("ss") >= 2)
-    )
+    ss = ss_all.where(F.size("ss") >= 2)
     # nested Generates: explode the anchor index first (one row per
     # (term, i) carrying the O(S) array), then that anchor's tail
     # slice — the pair stream is identical to the old flattened form
@@ -3022,10 +3057,19 @@ def term_pmi_collocations(
     pair counts collapse in one map-side-combined shuffle; unigram
     counts take a SECOND corpus-scale pass over the token stream (a
     bigram-derived count would miss each document's final token), also
-    map-side-combined to a vocab-bounded table; the two scalar totals
-    broadcast; the top-k is a bounded ``orderBy(...).limit(top_k)``
+    map-side-combined to a vocab-bounded table that is materialized
+    ONCE (eager localCheckpoint) because the scoring join reads it
+    twice — without that pin Spark re-tokenized the whole corpus for
+    each of the c1/c2 joins (r15, guide §2.4: common subtrees are not
+    shared). The two scalar totals come from one tokenize-only scan
+    aggregate (``Nt = Σ size(tk)``, ``Np = Σ (size(tk)−1 | ≥2 tokens)``
+    — identical integers to summing the count tables, without
+    recomputing their explode+aggregate subtrees) and broadcast; the
+    top-k is a bounded ``orderBy(...).limit(top_k)``
     (TakeOrderedAndProject — per-partition heaps, never a global sort),
-    and the rank window then runs over ≤ ``top_k`` rows."""
+    and the rank window then runs over ≤ ``top_k`` rows. Net corpus
+    passes: 5 before the r15 reshape, 3 after (bigram, unigram, scalar
+    scan)."""
     docs = _docs(spark, sf_dir)
     tk = docs.select(tokens(F.col("text")).alias("tk"))
     bigr = tk.where(F.size("tk") >= 2).select(
@@ -3042,15 +3086,21 @@ def term_pmi_collocations(
     )
     pair_counts = bigr.groupBy("bg").agg(F.count("*").alias("c12"))
     # unigram counts from the corpus token stream (a bigram-derived
-    # count would miss each doc's final token)
+    # count would miss each doc's final token); vocab-bounded, pinned
+    # once for the two joins below. localCheckpoint (not cache) so a
+    # second invocation never silently reuses this run's blocks.
     uni = (
         tk.select(F.explode("tk").alias("t"))
         .groupBy("t")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
-    totals = uni.agg(
-        F.sum("c").cast("bigint").alias("nt"),
-    ).crossJoin(pair_counts.agg(F.sum("c12").cast("bigint").alias("np_")))
+    totals = tk.agg(
+        F.sum(F.size("tk")).cast("bigint").alias("nt"),
+        F.sum(F.greatest(F.size("tk") - 1, F.lit(0)))
+        .cast("bigint")
+        .alias("np_"),
+    )
     w1 = F.split("bg", " ")[0]
     w2 = F.split("bg", " ")[1]
     scored = (

@@ -532,10 +532,26 @@ def test_vocab_overlap_pairs_generate_row_locally(spark, sf_dir):
     term-keyed self-join of the (source, term) vocabulary, whose output
     is S² rows per shared term (the r13 verdict's What's-wrong #3).
     The only join left is the broadcast of the tiny |sources|²-bounded
-    grid/intersection tables."""
+    grid/intersection tables.
+
+    r15: the per-term source-set table is materialized once (eager
+    localCheckpoint — 3 corpus passes → 1) which truncates the final
+    plan's visible lineage, so the collect_set shape is asserted on the
+    `_term_source_sets` helper the query checkpoints, and the final
+    plan is pinned to generate pairs row-locally (Generate nodes, no
+    shuffled join) above it."""
     from oasysdb_spark.operators import textops
 
+    # the one corpus pass: distinct (source, term) → per-term sorted
+    # source-set array; no join anywhere below the rollup
+    helper = _plan(textops._term_source_sets(spark, sf_dir))
+    assert "collect_set" in helper
+    assert "Join" not in helper
+
     plan = _plan(textops.source_vocab_overlap_matrix(spark, sf_dir))
-    assert "collect_set" in plan
+    # the pair stream is a chain of row-local Generates (anchor index,
+    # then its tail slice) over the checkpointed source sets — never a
+    # term-keyed self-join
+    assert "Generate" in plan
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
