@@ -1531,9 +1531,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part×supplier offer relation is derived from lineitem, priced as the
     average discounted sale price): for each EUROPE-region part of the
     target size/type, the supplier(s) achieving the regional minimum
-    price. The correlated min subquery decorrelates to a groupBy-min +
-    equi-join on p_partkey; every dimension (part, supplier, nation,
-    region) broadcasts, so the only fact shuffle is the offer aggregate.
+    price. The correlated min subquery decorrelates to a per-part
+    window min over the offer aggregate (r15, guide §2.4: the old
+    groupBy-min + equi-join-back read ``offers`` twice, and Spark does
+    not share common subtrees across a self-join — the whole
+    lineitem-scan → broadcast-join → aggregate pipeline ran TWICE; the
+    window keeps one lineage and adds only an offer-bounded exchange
+    on p_partkey). Every dimension (part, supplier, nation, region)
+    broadcasts, so the only fact shuffle is the offer aggregate.
     Reference surface: /root/reference has no relational tier at all
     (SURVEY.md §2.5) — this is the completeness extension."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1584,9 +1589,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_price")
         )
     )
-    min_price = offers.groupBy("p_partkey").agg(F.min("avg_price").alias("min_price"))
+    w_part = Window.partitionBy("p_partkey")
     return (
-        offers.join(min_price, "p_partkey")
+        offers.withColumn("min_price", F.min("avg_price").over(w_part))
         .where(F.col("avg_price") == F.col("min_price"))
         .select(
             "s_acctbal",
