@@ -915,6 +915,14 @@ def minhash_candidate_edges(
     if docs is None:
         docs = load_documents(spark, sf_dir, spread=True)
     sigs = minhash_signatures(docs, num_hashes=num_hashes, hashed=True).cache()
+    # populate the cache EAGERLY before the fan-out: the band self-join
+    # and both shingle-verify joins plan broadcast futures that launch
+    # concurrently, and concurrent readers of a cold cache each
+    # recompute the signature UDF instead of waiting for the first
+    # writer (r15, measured 3-4 duplicate ~15s signature stages per
+    # fixpoint round-0 under prepare_training_corpus — the same race
+    # class as the banded-pair caches, fixed the same way)
+    sigs.count()
     if _cache_out is not None:
         _cache_out.append(sigs)
     bands = lsh_bands(sigs, num_hashes, band_size)
@@ -1124,11 +1132,19 @@ def connected_components(
     from pyspark.sql import Observation
 
     id_col = nodes.columns[0]
-    # undirected: propagate labels both ways
-    sym = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .unionByName(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
-        .cache()
+    # Materialize the edge list ONCE (eager localCheckpoint of the
+    # two-column id-pair frame) before symmetrizing: the undirected
+    # union reads `edges` twice, and a lazily-cached upstream (the
+    # banded candidate join + Jaccard verify) would be computed once
+    # per direction — plus once per round had the cache evicted (r15;
+    # the pinned rows are 16-byte pairs, the cheapest possible
+    # retention class). The union over the pin is a narrow op, so sym
+    # needs no cache of its own.
+    e0 = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
+    sym = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
 
     from oasysdb_spark.session import free_local_checkpoint
@@ -1139,7 +1155,10 @@ def connected_components(
     initial = labels  # the cache()d round-0 frame (plain unpersist works)
     ckpt = None  # previous round's checkpoint (needs explicit block free)
     converged = False
-    for _ in range(max_iter):
+    sc = nodes.sparkSession.sparkContext
+    prev_desc = sc.getLocalProperty("spark.job.description")
+    for _round in range(max_iter):
+        sc.setJobDescription(f"connected_components: round {_round}")
         neighbor_min = (
             sym.join(labels, sym["src"] == labels["doc_id"])
             .groupBy(F.col("dst").alias("doc_id"))
@@ -1206,7 +1225,8 @@ def connected_components(
         if changed == 0:
             converged = True
             break
-    sym.unpersist()
+    sc.setJobDescription(prev_desc)
+    free_local_checkpoint(e0)
     if not converged:
         # a fixpoint was NOT reached: wrong labels must never return
         # silently (they would under-merge components = under-dedup).

@@ -415,11 +415,14 @@ def exact_then_near_dedup(
     same component when char-longest ≠ token-longest.
 
     Returns ``(exact_unique, survivors, comps, obs_exact, obs_final)``:
-    the first two cached, ``comps`` backed by the components'
-    final-round localCheckpoint — the CALLER must release it with
-    ``free_local_checkpoint`` once every action over the survivors is
-    finished (not merely once they are cached: cache eviction recomputes
-    through lineage). ``obs_exact``/``obs_final`` are ``Observation``
+    ``exact_unique`` backed by an EAGER localCheckpoint (r15 — it is
+    the fan-out hub every downstream frame reads, and a cache would
+    keep the whole scoring lineage inside every downstream plan;
+    release with ``release_frame``/``free_local_checkpoint``),
+    ``survivors`` cached, ``comps`` backed by the components'
+    final-round localCheckpoint — the CALLER must release these once
+    every action over the survivors is finished (not merely once they
+    are cached: cache eviction recomputes through lineage). ``obs_exact``/``obs_final`` are ``Observation``
     handles whose single metric ``n`` is the row count of
     ``exact_unique``/``survivors``, collected as a free side effect of
     the jobs the pipeline already runs (r15, guide §1/§5 — the callers'
@@ -437,10 +440,18 @@ def exact_then_near_dedup(
     keep_exact = (
         scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     )
+    # eager localCheckpoint, not cache (r15, guide §7.3/§5): this frame
+    # is the FAN-OUT HUB — the MinHash signatures, the representative
+    # pick and the survivors join all read it — and a cache keeps the
+    # full six-UDF-deep scoring lineage inside every downstream plan,
+    # so Catalyst re-optimized a several-hundred-node tree per action
+    # (measured ~2.5s of driver gaps per composed-pipeline run). The
+    # checkpoint truncates downstream plans to a LogicalRDD leaf; the
+    # observation fires on the checkpoint's own materialization job.
     exact_unique = (
         scored.join(keep_exact, "doc_id")
         .observe(obs_exact, F.count(F.lit(1)).alias("n"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     comps = dedup_components(
         spark, threshold=near_threshold, docs=exact_unique.select("doc_id", "text")
@@ -558,6 +569,9 @@ def prepare_training_corpus(
     # no join, no extra shuffle beyond the mining count). The mining
     # collect is the action that populates rep_kept's cache and fires
     # obs_head/obs_rep.
+    _sc = spark.sparkContext
+    _prev_desc = _sc.getLocalProperty("spark.job.description")
+    _sc.setJobDescription("ptc: score+mine boilerplate")
     _, boiler = _mine_boilerplate(rep_kept, boiler_top_n)
     obs_scrub = Observation()
     scrubbed = (
@@ -572,6 +586,7 @@ def prepare_training_corpus(
     # exact dedup: keep the min doc_id per fingerprint. The components
     # fixpoint inside scans scrubbed and exact_unique, firing
     # obs_scrub/obs_exact.
+    _sc.setJobDescription("ptc: exact+near dedup")
     exact_unique, final, comps, obs_exact, obs_final = exact_then_near_dedup(
         spark, scrubbed, near_threshold
     )
@@ -593,9 +608,11 @@ def prepare_training_corpus(
         .groupBy("shard", "seq_id")
         .agg(F.sum("bpe").alias("toks"))
     )
+    _sc.setJobDescription("ptc: pack")
     seq_stats = packed.agg(
         F.count("*").alias("n_sequences"), F.sum("toks").alias("total_tokens")
     ).first()
+    _sc.setJobDescription(_prev_desc)
 
     # every observation has fired by now (mining → head/rep, the
     # components fixpoint → scrub/exact, the packing agg above →
@@ -612,7 +629,7 @@ def prepare_training_corpus(
     # be needed for any recompute now, so release its executor blocks
     # (a cached-but-not-checkpointed frame would NOT be safe to free
     # earlier: cache eviction recomputes through lineage)
-    from oasysdb_spark.session import free_local_checkpoint
+    from oasysdb_spark.session import free_local_checkpoint, release_frame
 
     free_local_checkpoint(comps)
     # likewise the per-stage caches: nothing downstream reads them, so
@@ -621,12 +638,11 @@ def prepare_training_corpus(
     # of cached stage frames per call (r10 — the pipeline is now
     # bench-tracked per round, which made the leak visible; r11 adds
     # the two frames exact_then_near_dedup caches internally — they
-    # were missing from the release set)
+    # were missing from the release set; r15 — exact_unique is now an
+    # eager localCheckpoint, released via release_frame's checkpoint
+    # path)
     for stage_df in (rep_kept, scrubbed, exact_unique, final):
-        try:
-            stage_df.unpersist()
-        except Exception:
-            pass
+        release_frame(stage_df)
 
     return spark.createDataFrame(
         [

@@ -36,7 +36,7 @@ from oasysdb_spark.functions.text import (
 )
 from oasysdb_spark.operators.textops import exact_then_near_dedup, quality_rules
 from oasysdb_spark.operators.tokenizer import tokenize_and_shard
-from oasysdb_spark.session import free_local_checkpoint
+from oasysdb_spark.session import free_local_checkpoint, release_frame
 from oasysdb_spark.sources import corpus as corpus_src
 
 
@@ -121,7 +121,7 @@ def _filter_and_dedup(
         }
     except Exception:
         for frame in to_unpersist:
-            frame.unpersist()
+            release_frame(frame)
         if comps is not None:
             free_local_checkpoint(comps)
         raise
@@ -169,7 +169,7 @@ def corpus_to_shards(
         n_near = int(obs_final.get["n"])
     finally:
         for frame in to_unpersist:
-            frame.unpersist()
+            release_frame(frame)
         if comps is not None:
             free_local_checkpoint(comps)
     return {
@@ -227,7 +227,7 @@ def corpus_to_wds(
         ]
     finally:
         for frame in to_unpersist:
-            frame.unpersist()
+            release_frame(frame)
         if comps is not None:
             free_local_checkpoint(comps)
     return {

@@ -129,3 +129,18 @@ def free_local_checkpoint(df) -> None:
                 leaf.rdd().unpersist(False)
     except Exception:
         pass
+
+
+def release_frame(df) -> None:
+    """Release a pipeline-stage frame whatever its retention class:
+    ``unpersist()`` for CacheManager entries (no-op on checkpoints) plus
+    :func:`free_local_checkpoint` for LogicalRDD-backed frames (no-op on
+    plain caches — they have no LogicalRDD leaves). Lets cleanup loops
+    stay uniform when a stage switches between cache and localCheckpoint
+    (r15: exact_unique moved to an eager checkpoint to truncate the
+    scoring lineage out of every downstream plan)."""
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+    free_local_checkpoint(df)
