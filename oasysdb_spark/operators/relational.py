@@ -936,7 +936,13 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
-    revenue — scalar-subquery-on-aggregate, decorrelated by Catalyst.
+    revenue — scalar-subquery-on-aggregate, decorrelated as a bounded
+    window max over the per-supplier aggregate (r15, guide §2.4: the
+    old separate max-aggregate + join-back read ``rev`` twice, and
+    Spark does not share common subtrees across a self-join — the
+    filtered lineitem scan + aggregate ran TWICE; the window keeps one
+    lineage, and its single-partition frame holds at most |suppliers|
+    rows — the same bounded-window class as the top-k rank passes).
     The max is taken over the ROUNDED revenue so both engines cut
     identically."""
     li = _t(spark, sf_dir, "lineitem").where(
@@ -952,10 +958,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_revenue")
         )
     )
-    max_rev = rev.agg(F.max("total_revenue").alias("m"))
     supp = _t(spark, sf_dir, "supplier")
+    w_all = Window.partitionBy()
     return (
-        rev.join(F.broadcast(max_rev), rev.total_revenue == max_rev.m)
+        rev.withColumn("m", F.max("total_revenue").over(w_all))
+        .where(F.col("total_revenue") == F.col("m"))
         .join(supp, rev.l_suppkey == supp.s_suppkey)
         .select(
             F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
@@ -969,7 +976,15 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: average yearly revenue lost if small-quantity
     orders (below 20% of the per-part mean quantity) were dropped —
-    correlated aggregate subquery, decorrelated into a self-agg join."""
+    correlated aggregate subquery, decorrelated as a per-part window
+    mean over the Brand-filtered join (r15, guide §2.4/§2.3: the old
+    self-agg join computed the mean for EVERY part over the FULL fact
+    table, then joined it back — a second complete lineitem scan plus
+    an all-parts fact-scale aggregate, of which only the Brand#1 part
+    keys were ever read. p_partkey is unique in part, so the broadcast
+    join adds no row multiplicity and the window's per-part frame holds
+    exactly that part's lineitems — the mean is bit-identical). ONE
+    scan, one partkey exchange of the filtered rows only."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
     # the cut is an avg over INTEGRAL quantities (exact bigint sum →
@@ -977,15 +992,16 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both engines cut bit-identically (r12 migration of the legacy
     # round(avg(double)*0.2, 6) form)
     qty_int = F.round(F.col("l_quantity")).cast("bigint")
-    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
-        F.round(
-            F.round(F.avg(qty_int) * F.lit(2e5)).cast("bigint") / F.lit(1e6), 6
-        ).alias("qty_cut")
+    w_part = Window.partitionBy("l_partkey")
+    qty_cut = F.round(
+        F.round(F.avg(qty_int).over(w_part) * F.lit(2e5)).cast("bigint")
+        / F.lit(1e6),
+        6,
     )
     cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(avg_qty, li.l_partkey == F.col("ap_partkey"))
+        .withColumn("qty_cut", qty_cut)
         .where(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
             # exact cents (decimal-accumulated — single group), /7 in

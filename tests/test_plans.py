@@ -79,8 +79,10 @@ def test_q19_disjunctive_pushdown(spark, sf_dir):
 
 
 def test_q17_decorrelates_without_explosion(spark, sf_dir):
-    """The correlated avg-quantity subquery must decorrelate into a
-    self-agg join: exactly one hash shuffle, no nested-loop fallback."""
+    """The correlated avg-quantity subquery must decorrelate without a
+    second lineitem scan: the per-part mean is a window over the
+    Brand-filtered join (r15), so the plan holds exactly one hash
+    shuffle and no nested-loop fallback."""
     plan = _plan(rel.q17_small_qty_revenue(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
