@@ -1192,12 +1192,20 @@ def skew_salted_user_join(spark: SparkSession, sf_dir: str, salts: int = 8) -> D
     the unsalted SQL. At fixture scale the dim also broadcasts; the
     salted shape is what survives when BOTH sides are too big to
     broadcast and one key dominates (AQE skew-join's manual twin).
+
+    The derived per-user dimension is materialized once (eager
+    localCheckpoint, r15 — guide §2.4: the tier threshold is an
+    aggregate of the dimension itself, and without the pin the
+    events scan + user groupBy ran twice, once under ``avg_events``
+    and once under ``dim``; the pinned rows are (id, count) pairs,
+    user-cardinality-bounded). The fact side still scans the raw
+    events table exactly once.
     """
     events = _t(spark, sf_dir, "events")
     # derived per-user dimension (stands in for a real user-profile table)
     counts = events.groupBy("user_id").agg(
         F.count("*").cast("bigint").alias("user_events")
-    )
+    ).localCheckpoint(eager=True)
     # mean of exact integer counts, displayed via the scale-0 form —
     # also the heavy/light THRESHOLD, so both engines must agree on it
     avg_events = counts.agg(
@@ -1273,12 +1281,17 @@ def join_key_skew_stats(
     same pass any aggregation would make — then everything downstream
     is key-cardinality-bounded: a TakeOrderedAndProject for the top-k
     (never a global window over all keys) and a one-row global
-    aggregate crossJoined back (broadcast scalar pattern). Nothing
-    re-reads the fact table."""
+    aggregate crossJoined back (broadcast scalar pattern). The (key,
+    count) table is materialized ONCE (eager localCheckpoint, r15 —
+    guide §2.4: the stats aggregate and the top-k cut are two branches
+    of the same lineage, and Spark does not share common subtrees, so
+    without the pin the fact scan + groupBy ran TWICE; the pinned rows
+    are 16-byte pairs, key-cardinality-bounded). Nothing re-reads the
+    fact table."""
     df = _t(spark, sf_dir, table)
     per_key = df.groupBy(key).agg(
         F.count("*").cast("bigint").alias("key_rows")
-    )
+    ).localCheckpoint(eager=True)
     c = F.col("key_rows").cast("double")
     em = F.round(c * F.log2(c) * 1e6).cast("bigint")
     stats = per_key.agg(
@@ -1626,10 +1639,15 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (no partsupp — part value is the discounted sale
     revenue from one nation's suppliers over lineitem): parts whose value
     exceeds ``fraction`` of the national total. The scalar total is a
-    broadcast single-row cross join — no second fact scan order is
-    imposed; Catalyst reuses the aggregated offers for both sides.
-    Both engines compare on ROUNDED values so the HAVING cut is
-    bit-identical."""
+    broadcast single-row cross join over the per-part value table,
+    which is materialized ONCE (eager localCheckpoint, r15 — guide
+    §2.4: Catalyst does NOT reuse the aggregated values for both sides
+    of a self-referencing join, so without the pin the lineitem join +
+    per-part aggregate ran twice; the pinned rows are (partkey, value)
+    pairs, part-cardinality-bounded — far below the fact table — and
+    they stay distributed, unlike the single-partition pass an
+    unpartitioned window total would force). Both engines compare on
+    ROUNDED values so the HAVING cut is bit-identical."""
     li = _t(spark, sf_dir, "lineitem")
     nat_supp = (
         _t(spark, sf_dir, "supplier")
@@ -1650,6 +1668,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("value")
         )
+        .localCheckpoint(eager=True)
     )
     # the national total re-sums the exact 2dp part values in cents (r12)
     total = value.agg(

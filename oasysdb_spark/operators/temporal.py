@@ -395,12 +395,26 @@ def event_rate_anomalies(
 
     Scale shape: one shuffle — the (event_type, hour) count with
     map-side partial aggregation (state = types × hours, far below the
-    event stream). Per-type moments roll up from those buckets (state =
-    |types|) and broadcast back; the anomaly filter is bucket-local.
-    The raw stream is scanned once and never reshuffled."""
+    event stream). Per-type moments are WINDOW aggregates over those
+    buckets (r15, guide §2.4: the old ``event_rate_baseline(events)``
+    join-back re-built the hourly table from the raw stream — Spark
+    does not share common subtrees across a self-join, so the events
+    scan + hourly aggregate ran TWICE; the window keeps one lineage at
+    the cost of one types-keyed exchange of the tiny bucket table).
+    The anomaly filter is bucket-local. The raw stream is scanned once
+    and never reshuffled. The streaming scorer still fits its offline
+    baseline via :func:`event_rate_baseline` — same integers, since the
+    window computes the identical n/S1/S2 per type."""
     events = _t(spark, sf_dir, "events")
-    hourly = _hourly_type_counts(events)
-    stats = event_rate_baseline(events)
+    w_type = Window.partitionBy("event_type")
+    hourly = _hourly_type_counts(events).select(
+        "event_type",
+        "hour_ts",
+        "c",
+        F.count("*").over(w_type).cast("bigint").alias("n"),
+        F.sum("c").over(w_type).cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).over(w_type).cast("bigint").alias("s2"),
+    )
     num = F.col("c") * F.col("n") - F.col("s1")
     den2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
     # exact integers through one IEEE sqrt+divide (identical doubles on
@@ -415,8 +429,7 @@ def event_rate_anomalies(
         6,
     )
     return (
-        hourly.join(F.broadcast(stats), "event_type")
-        .where(den2 > 0)
+        hourly.where(den2 > 0)
         .select(
             "event_type",
             "hour_ts",
