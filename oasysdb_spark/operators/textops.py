@@ -2396,8 +2396,20 @@ def domain_mixture_sample(
         "doc_id",
         token_count_bpe(F.col("text")).cast("bigint").alias("bpe"),
     )
-    totals = per_doc.groupBy("source").agg(
-        F.sum("bpe").cast("bigint").alias("src_tokens")
+    # the per-source token-mass table is materialized ONCE (eager
+    # localCheckpoint, r15 — guide §2.4): the min-scalar (uniform mode)
+    # or the driver collect (temperature mode) and the rates broadcast
+    # are separate consumers of this lineage, and Spark does not share
+    # common subtrees, so the expensive per-doc BPE-count pass ran once
+    # per consumer; the pinned rows are |sources| (source, tokens)
+    # pairs. The accept join below still re-reads per_doc — doc-level
+    # acceptance needs doc-level rows, and pinning the corpus-sized
+    # per_doc table would be a payload-scale cache, so that one pass
+    # stays.
+    totals = (
+        per_doc.groupBy("source")
+        .agg(F.sum("bpe").cast("bigint").alias("src_tokens"))
+        .localCheckpoint(eager=True)
     )
     if temperature is None:
         mt = totals.agg(F.min("src_tokens").alias("min_tokens"))
@@ -2556,7 +2568,16 @@ def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     terms = docs.select("source", F.explode(tokens(F.col("text"))).alias("t"))
-    st = terms.groupBy("source", "t").agg(F.count("*").alias("c_st"))
+    # the (source, term) count table is materialized ONCE (eager
+    # localCheckpoint, r15 — guide §2.4): s_tot, ct, n_total and the
+    # scoring join are FOUR consumers of this lineage, and Spark does
+    # not share common subtrees, so the corpus tokenize+explode+shuffle
+    # ran four times; the pinned rows are vocab×|sources|-bounded counts
+    st = (
+        terms.groupBy("source", "t")
+        .agg(F.count("*").alias("c_st"))
+        .localCheckpoint(eager=True)
+    )
     s_tot = st.groupBy("source").agg(
         F.sum("c_st").alias("n_s"), F.count("*").alias("n_terms")
     )
@@ -2812,7 +2833,16 @@ def source_length_drift(
     lens = docs.select(
         "source", F.size(tokens(F.col("text"))).cast("bigint").alias("len")
     )
-    hist = lens.groupBy("source", "len").agg(F.count("*").alias("c"))
+    # the histogram is materialized ONCE (eager localCheckpoint, r15 —
+    # guide §2.4): the decile grid and the CDF join are two consumers of
+    # this lineage, and Spark does not share common subtrees, so the
+    # corpus tokenize ran twice; the pinned rows are the bounded
+    # (source, len) counts
+    hist = (
+        lens.groupBy("source", "len")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     # frequency-weighted percentile over the collapsed histogram —
     # re-expanding rows just for the grid would be corpus-sized again
     grid = F.broadcast(
