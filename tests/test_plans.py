@@ -423,8 +423,9 @@ def test_audit_tier_plan_shapes(spark, sf_dir):
       one Arrow map.
     - tfidf_top_terms ships no text through any Exchange (the corpus
       collapses to (doc, source, term) counts first).
-    - event_rate_anomalies broadcasts the per-type moments (no
-      sort-merge join of bucket tables) and has no nested loop.
+    - event_rate_anomalies computes the per-type moments as a window
+      over one hourly-bucket lineage (r15: no join at all, one events
+      scan) and has no nested loop.
     - sq_reconstruction_stats broadcasts the dim-row fit table.
     - dedup_saturation_curve exchanges digests, never text."""
     from pyspark.sql import functions as F
@@ -444,8 +445,9 @@ def test_audit_tier_plan_shapes(spark, sf_dir):
         assert "text#" not in seg.split("\n")[0]
 
     p = _plan(temporal.event_rate_anomalies(spark, sf_dir))
-    assert "BroadcastHashJoin" in p
-    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "Join" not in p  # r15: moments are a window, not a join-back
+    assert "Window" in p
+    assert p.count("Scan parquet") == 1  # events scanned exactly once
 
     p = _plan(vec.sq_reconstruction_stats(spark, sf_dir))
     assert "BroadcastHashJoin" in p
