@@ -435,6 +435,19 @@ def exact_then_near_dedup(
 
     from oasysdb_spark.operators.dedup import dedup_components
 
+    if scored.is_cached:
+        # populate the observed input's cache in this single-branch pass
+        # BEFORE the checkpoint job below fans out over it: its groupBy
+        # and join-probe branches materialize as concurrent stages, and
+        # on a multi-executor cluster each can recompute a cold cached
+        # partition on a different executor, double-firing any
+        # CollectMetrics accumulators riding below the cache boundary
+        # (the callers' n_clean / n_scrubbed observe() counts). local[*]
+        # deduplicates the computation via per-block locks so the bench
+        # and oracle never see the race — this is the cluster-correctness
+        # guard (r15 review), and the scan is work the first branch paid
+        # anyway; only the job boundary is new.
+        scored.count()
     obs_exact = Observation()
     obs_final = Observation()
     keep_exact = (
@@ -744,6 +757,15 @@ def bm25_search(
         ],
     ).first()
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    if not n_docs or avgdl is None:
+        # zero docs (or all-null token arrays): no corpus scalars to
+        # score with — return the same empty frame the no-terms path
+        # and the pre-r15 join shape produce (the scalar path would
+        # otherwise crash on float(None) building the df literals)
+        base.unpersist()
+        return docs.select(
+            "doc_id", F.lit(0.0).alias("bm25")
+        ).where(F.lit(False))
 
     # per-TERM score quantized to integer micro-units before the per-doc
     # sum (the DSIR pattern, applied r12): each term's score is computed

@@ -573,6 +573,10 @@ def test_corpus_operators_handle_empty_tables(spark, tmp_path):
         dedup.exact_dedup_stats(spark, d).first()["n_docs"] == 0
     assert textops.pack_sequences(spark, d).count() == 0
     assert textops.stratified_sample_stats(spark, d).count() == 0
+    # r15 review: the scalar-stats BM25 rewrite must take the empty
+    # early-return (the pre-guard path crashed on float(None) building
+    # the per-term df literals where the old join shape returned 0 rows)
+    assert textops.bm25_search(spark, d).count() == 0
     assert textops.fingerprints(spark, d).count() == 0
     row = textops.pii_scrub_stats(spark, d).first()
     assert row["n_docs"] == 0
@@ -585,10 +589,18 @@ def test_dedup_components_match_union_find(spark, sf_dir):
     union-find over the same edge list produces (independent algorithm)."""
     from oasysdb_spark.operators import dedup
 
+    cache_out = []
     edges = [
         (r["doc_a"], r["doc_b"])
-        for r in dedup.minhash_candidate_edges(spark, sf_dir).collect()
+        for r in dedup.minhash_candidate_edges(
+            spark, sf_dir, _cache_out=cache_out
+        ).collect()
     ]
+    # release the signature cache the edge builder pinned for this call
+    # (r15 hygiene: a leaked entry can substitute InMemoryTableScan into
+    # later tests' plans and poison MLlib actions via observe() lineage)
+    for frame in cache_out:
+        frame.unpersist()
     docs = [
         r["doc_id"]
         for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
@@ -976,10 +988,15 @@ def test_dedup_components_leaves_cache_manager_empty(spark, sf_dir):
     ObservationManager (Spark 4.1)."""
     from oasysdb_spark.operators import dedup
 
-    before = spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    if not cache_mgr.isEmpty():
+        # an earlier test left entries behind — start from a clean
+        # CacheManager so the post-condition below is never vacuous
+        # (r15 review: `after or not before` passed regardless of a
+        # leak whenever any prior test had already dirtied the state)
+        spark.catalog.clearCache()
     dedup.dedup_components(spark, sf_dir).collect()
-    after = spark._jsparkSession.sharedState().cacheManager().isEmpty()
-    assert after or not before, "dedup_components leaked a cache entry"
+    assert cache_mgr.isEmpty(), "dedup_components leaked a cache entry"
 
 
 def test_lang_classifier_survives_prior_observe_query(spark, sf_dir):
