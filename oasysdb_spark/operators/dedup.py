@@ -1092,7 +1092,11 @@ def dedup_components(
     hash-checked row. Pass ``docs`` to cluster any (doc_id, text) frame
     instead of the fixture table."""
     if docs is None:
-        docs = load_documents(spark, sf_dir)
+        # spread load (r15): the signature UDF is the dominant cost and
+        # the single-file fixture otherwise plans it onto ONE task (the
+        # bench's minhash_lsh_pairs path already loads spread);
+        # conditional no-op at corpus scale
+        docs = load_documents(spark, sf_dir, spread=True)
     caches: list = []
     edges = minhash_candidate_edges(
         spark, sf_dir, threshold=threshold, docs=docs, _cache_out=caches
@@ -1767,9 +1771,14 @@ def embedding_near_pairs(
     (label = the blocking key; the production-scale variant blocks on an
     IVF cluster id instead — :func:`embedding_near_pairs_ivf`)."""
     from oasysdb_spark.functions.vectors import dot_product, l2_norm
+    from oasysdb_spark.sources.tables import spread_scan
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    a, b = embs.alias("a"), embs.alias("b")
+    # spread the probe side (r15): the single-file fixture otherwise
+    # plans the whole blocked-pair dot-product stage onto ONE task (the
+    # build side broadcasts); conditional no-op at corpus scale where
+    # the join becomes a shuffled label-partitioned join anyway
+    a, b = spread_scan(spark, embs).alias("a"), embs.alias("b")
     pairs = a.join(
         b,
         (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
@@ -1985,9 +1994,18 @@ def ngram_overlap_flags(
     equi-join — same answer, one extra exchange.
     """
 
+    # explode_outer + null filter rather than plain explode (r15):
+    # InferFiltersFromGenerate turns a plain explode into a size-test
+    # filter that predicate pushdown expands into the FULL md5 gram
+    # expression and sinks below the scan's exchange, evaluating the
+    # gram hash twice per row. The outer generate admits no inference;
+    # empty docs surface one null row each, dropped by the cheap
+    # attribute filter (gram hashes are conv()-built bigints, never
+    # null inside the arrays).
     ev = (
         _token_ngram_hashes(eval_docs, n)
-        .select(F.explode("gh").alias("h"))
+        .select(F.explode_outer("gh").alias("h"))
+        .where(F.col("h").isNotNull())
         .distinct()
         .cache()
     )
@@ -2091,9 +2109,11 @@ def ngram_contamination_report(
     broadcast_eval = ev_set.count() <= eval_broadcast_limit
     maybe_bc = F.broadcast if broadcast_eval else (lambda df: df)
 
+    # explode_outer + null filter for the same InferFiltersFromGenerate
+    # double-evaluation reason as ngram_overlap_flags' eval set above
     tr_pos = _token_ngram_hashes(train_docs, n).select(
-        F.col("doc_id").alias("train_doc_id"), F.explode("gh").alias("h")
-    )
+        F.col("doc_id").alias("train_doc_id"), F.explode_outer("gh").alias("h")
+    ).where(F.col("h").isNotNull())
     # map-side filter: only contaminated train grams survive the join
     matched = (
         tr_pos.join(maybe_bc(ev_set), "h").select("h", "train_doc_id").distinct().cache()
@@ -2226,9 +2246,18 @@ def bloom_overlap_flags(
     Arrow stays the probe path.)"""
     import numpy as np
 
+    # explode_outer + null filter rather than plain explode (r15):
+    # InferFiltersFromGenerate turns a plain explode into a size-test
+    # filter that predicate pushdown expands into the FULL md5 gram
+    # expression and sinks below the scan's exchange, evaluating the
+    # gram hash twice per row. The outer generate admits no inference;
+    # empty docs surface one null row each, dropped by the cheap
+    # attribute filter (gram hashes are conv()-built bigints, never
+    # null inside the arrays).
     ev = (
         _token_ngram_hashes(eval_docs, n)
-        .select(F.explode("gh").alias("h"))
+        .select(F.explode_outer("gh").alias("h"))
+        .where(F.col("h").isNotNull())
         .distinct()
         .cache()
     )
@@ -2545,8 +2574,12 @@ def embedding_contamination_report_stats(
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # norms materialize PER SIDE before the cross join — computed once
     # per input row instead of re-folding the dimension axis for every
-    # (train, eval) pair; only the dot product stays per-pair
-    train = embs.where(F.col("vec_id") % 10 != 0).select(
+    # (train, eval) pair; only the dot product stays per-pair.
+    # spread the TRAIN side (r15): the per-pair cosine stage otherwise
+    # runs on the single-file fixture's ONE split; no-op at corpus scale
+    from oasysdb_spark.sources.tables import spread_scan
+
+    train = spread_scan(spark, embs.where(F.col("vec_id") % 10 != 0)).select(
         F.col("vec_id").alias("t_id"),
         F.col("embedding").alias("t_emb"),
         l2_norm(F.col("embedding")).alias("t_norm"),

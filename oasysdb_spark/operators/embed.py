@@ -266,13 +266,22 @@ def chunk_retrieval_topk(
         F.lit(1),
         F.ceil((F.size("tk") - overlap) / F.lit(float(stride))).cast("int"),
     )
+    # spread (r15): chunking + per-chunk hash embedding is the op's
+    # dominant per-row cost and the single-file fixture otherwise plans
+    # it onto ONE task; conditional no-op at corpus scale. explode_outer
+    # + null filter rather than plain explode for the same reason: the
+    # inferred size-test filter would re-evaluate the whole chunk-embed
+    # transform per row (n_chunks >= 1 makes the array never empty, so
+    # the outer generate emits no null rows at all).
+    from oasysdb_spark.sources.tables import spread_scan
+
     chunks = (
-        docs.where(F.col("doc_id") != query_doc_id)
+        spread_scan(spark, docs.where(F.col("doc_id") != query_doc_id))
         .select("doc_id", tokens(F.col("text")).alias("tk"))
         .where(F.size("tk") > 0)
         .select(
             "doc_id",
-            F.explode(
+            F.explode_outer(
                 F.transform(
                     F.sequence(F.lit(0), n_chunks - 1),
                     lambda i: F.struct(
@@ -282,6 +291,7 @@ def chunk_retrieval_topk(
                 )
             ).alias("c"),
         )
+        .where(F.col("c").isNotNull())
         .select(
             "doc_id",
             F.col("c.chunk_id").alias("chunk_id"),

@@ -906,6 +906,12 @@ def synthesize_ppm16_with_near_copies(spark, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread (r15): the synthesis and every downstream per-blob stage
+    # (hash/fingerprint extraction inherits this partitioning) otherwise
+    # run on the single-file fixture's ONE split; no-op at corpus scale
+    from oasysdb_spark.sources.tables import spread_scan
+
+    docs = spread_scan(spark, docs)
     return docs.select("doc_id", "text").mapInPandas(
         _gen, schema="media_id long, content binary"
     )
@@ -1168,6 +1174,12 @@ def synthesize_wav_media_from_documents(spark, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread (r15): the synthesis and every downstream per-blob stage
+    # (hash/fingerprint extraction inherits this partitioning) otherwise
+    # run on the single-file fixture's ONE split; no-op at corpus scale
+    from oasysdb_spark.sources.tables import spread_scan
+
+    docs = spread_scan(spark, docs)
     return docs.select("doc_id", "text").mapInPandas(
         _gen, schema="media_id long, content binary"
     )

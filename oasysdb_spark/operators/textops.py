@@ -685,12 +685,20 @@ def boilerplate_ngrams(
     cleaning pipeline strips before training. Row-local shingling, one
     count shuffle on the n-gram, top-n cut — linear at corpus scale."""
     from oasysdb_spark.functions.text import tokens, word_shingles
+    from oasysdb_spark.operators.dedup import load_documents
 
-    docs = _docs(spark, sf_dir)
-    grams = (
-        docs.where(F.size(tokens(F.col("text"))) >= n)
-        .select(F.explode(word_shingles(tokens(F.col("text")), n=n)).alias("ngram"))
-    )
+    # spread load + explode_outer (r15): the md5-free but still heavy
+    # tokenize+shingle expression dominated a ONE-task stage on the
+    # single-file fixture, and the old `size(tokens) >= n` pre-filter +
+    # the explode's inferred size-test each re-evaluated the expression
+    # — word_shingles already guards short docs to an EMPTY array, so
+    # the outer explode + null drop yields the identical ngram multiset
+    # (shingles are concat_ws strings, never null) with the expression
+    # evaluated once, parallel.
+    docs = load_documents(spark, sf_dir, spread=True)
+    grams = docs.select(
+        F.explode_outer(word_shingles(tokens(F.col("text")), n=n)).alias("ngram")
+    ).where(F.col("ngram").isNotNull())
     return (
         grams.groupBy("ngram")
         .agg(F.count("*").cast("bigint").alias("doc_freq"))
@@ -889,8 +897,12 @@ def boilerplate_scrub(
     and hit-counting is a row-local ``array_intersect`` — no join, no
     second shuffle, one cached shingle scan feeding both consumers."""
     from oasysdb_spark.functions.text import tokens, word_shingles
+    from oasysdb_spark.operators.dedup import load_documents
 
-    docs = _docs(spark, sf_dir)
+    # spread load (r15): the cached shingle table materializes under the
+    # mining collect, and on the single-file fixture that tokenize+
+    # shingle pass planned onto ONE task; conditional no-op at scale
+    docs = load_documents(spark, sf_dir, spread=True)
     aug = F.concat(
         F.col("text"),
         F.when(
@@ -2323,9 +2335,12 @@ def ngram_decontaminate_stats(
     (11-token template ⇒ 4 fully-internal 8-grams; boundary-straddling
     grams match too when a train doc's trailing salad tokens coincide
     with an eval doc's)."""
-    from oasysdb_spark.operators.dedup import ngram_overlap_flags
+    from oasysdb_spark.operators.dedup import load_documents, ngram_overlap_flags
 
-    docs = _docs(spark, sf_dir)
+    # spread load (r15): the 8-gram hashing is the op's dominant cost
+    # and the single-file fixture otherwise plans it onto one task;
+    # conditional no-op at corpus scale (spread_scan)
+    docs = load_documents(spark, sf_dir, spread=True)
     aug_train = docs.where(F.col("doc_id") % 10 != 3).select(
         "doc_id",
         F.concat(
@@ -2357,9 +2372,13 @@ def ngram_contamination_report_stats(
     ``max_train_df=None`` for the exact audit, where every eval doc
     shows ≥4 dirty template positions and counts every injected train
     doc (both modes pinned by the pytest replays)."""
-    from oasysdb_spark.operators.dedup import ngram_contamination_report
+    from oasysdb_spark.operators.dedup import (
+        load_documents,
+        ngram_contamination_report,
+    )
 
-    docs = _docs(spark, sf_dir)
+    # spread load (r15): same rationale as ngram_decontaminate_stats
+    docs = load_documents(spark, sf_dir, spread=True)
     aug_train = docs.where(F.col("doc_id") % 10 != 3).select(
         "doc_id",
         F.concat(
@@ -2659,15 +2678,20 @@ def ngram_novelty_curve(
     Scale shape: grams are hashed row-locally (the oracle-replayable
     md5 family — raw text never shuffles); one exchange on
     ``(gram, shard)`` with map-side partial counting collapses the gram
-    stream to ≤ |distinct grams|·|shards| rows; the follow-on first-shard
-    min and per-shard rollups aggregate that already-collapsed table.
-    Output is ``n_shards`` rows regardless of corpus size. The shard
-    boundary derives from ``max(doc_id)`` via a broadcast one-row
-    aggregate, not a driver collect."""
+    stream to ≤ |distinct grams|·|shards| rows; the first-occurrence
+    shard is a ``gh``-partitioned window over that SAME collapsed
+    lineage (r15: the old ``groupBy("gh").min`` + join-back branch made
+    Spark re-run the whole tokenize/hash/explode/exchange pipeline a
+    second time — same bytes as the window's ``gh`` exchange, but a
+    duplicated gram-stream pass), and the per-shard rollup partials
+    map-side to ≤ |shards| rows per task. Output is ``n_shards`` rows
+    regardless of corpus size. The shard boundary derives from
+    ``max(doc_id)`` via a broadcast one-row aggregate, not a driver
+    collect."""
     from oasysdb_spark.operators.dedup import _token_ngram_hashes, load_documents
 
     if docs is None:
-        docs = load_documents(spark, sf_dir)
+        docs = load_documents(spark, sf_dir, spread=True)
     bounds = docs.agg(F.max("doc_id").alias("_max_id"))
     sharded = docs.crossJoin(F.broadcast(bounds)).select(
         F.least(
@@ -2678,35 +2702,51 @@ def ngram_novelty_curve(
         "text",
     )
     grams = _token_ngram_hashes(sharded, n, keep=("shard",))
+    # explode_outer + post-generate null filter instead of a plain
+    # explode (r15): InferFiltersFromGenerate turns a plain explode into
+    # a `size(gh) > 0` filter that predicate-pushdown rewrites through
+    # the projection into the FULL md5 gram-transform expression and
+    # sinks below the spread exchange — the whole gram hash then runs
+    # twice (once per row in the under-parallel scan stage just to test
+    # emptiness, again above the exchange to generate). The outer
+    # generate admits no such inference; empty-gram docs surface as one
+    # null row each and the cheap attribute filter drops them, with the
+    # identical (shard, gh) multiset coming out (array elements are
+    # conv()-built bigints, never null).
     per_gram_shard = (
-        grams.select("shard", F.explode("gh").alias("gh"))
+        grams.select("shard", F.explode_outer("gh").alias("gh"))
+        .where(F.col("gh").isNotNull())
         .groupBy("gh", "shard")
         .agg(F.count("*").alias("c"))
     )
-    per_shard = per_gram_shard.groupBy("shard").agg(
-        F.sum("c").cast("bigint").alias("n_grams"),
-        F.count("*").cast("bigint").alias("n_distinct"),
-    )
-    news = (
-        per_gram_shard.groupBy("gh")
-        .agg(F.min("shard").alias("shard"))
-        .groupBy("shard")
-        .agg(F.count("*").cast("bigint").alias("n_new"))
-    )
+    # a gram is NEW in the shard holding its min(shard); exactly one of
+    # each gh's rows satisfies shard == min-over-gh, so summing that
+    # indicator per shard reproduces the old groupBy("gh").min +
+    # join-back counts (left-join's missing-shard → 0 becomes the
+    # indicator summing to 0) without a second gram-stream pass
+    first_shard = F.min("shard").over(Window.partitionBy("gh"))
     return (
-        per_shard.join(news, "shard", "left")
+        per_gram_shard.withColumn("_first", first_shard)
+        .groupBy("shard")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.sum(
+                F.when(F.col("shard") == F.col("_first"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_new"),
+        )
         .select(
             F.col("shard").cast("bigint").alias("shard"),
             "n_grams",
             "n_distinct",
-            F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint").alias("n_new"),
+            "n_new",
             # int/int ratio displayed via the scale-0 form (migrated at
             # r12 promotion — the standing display-round discipline)
             F.round(
                 F.round(
-                    F.coalesce(F.col("n_new"), F.lit(0))
-                    / F.col("n_distinct").cast("double")
-                    * F.lit(1e6)
+                    F.col("n_new") / F.col("n_distinct").cast("double") * F.lit(1e6)
                 ).cast("bigint")
                 / F.lit(1e6),
                 6,
