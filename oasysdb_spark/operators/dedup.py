@@ -1985,7 +1985,10 @@ def ngram_overlap_flags(
 
     Scale shape (the 100 TB contract): each side hashes its n-grams to
     8 bytes ROW-LOCALLY (same ``hash64`` family the DuckDB oracle
-    replays bit-for-bit) — raw text never shuffles. The eval gram set
+    replays bit-for-bit) — raw text never shuffles at corpus scale (the
+    stats wrappers load through the conditional ``spread_scan``, which
+    adds one round-robin text exchange ONLY on an under-parallel local
+    fixture scan and is false on any real corpus). The eval gram set
     is distinct-aggregated to one bigint column and size-guard
     broadcast (``eval_broadcast_limit`` rows; benchmarks are a few
     million grams at most), so the train corpus streams map-side
@@ -2246,14 +2249,8 @@ def bloom_overlap_flags(
     Arrow stays the probe path.)"""
     import numpy as np
 
-    # explode_outer + null filter rather than plain explode (r15):
-    # InferFiltersFromGenerate turns a plain explode into a size-test
-    # filter that predicate pushdown expands into the FULL md5 gram
-    # expression and sinks below the scan's exchange, evaluating the
-    # gram hash twice per row. The outer generate admits no inference;
-    # empty docs surface one null row each, dropped by the cheap
-    # attribute filter (gram hashes are conv()-built bigints, never
-    # null inside the arrays).
+    # explode_outer + null filter for the InferFiltersFromGenerate
+    # double-evaluation reason documented at ngram_overlap_flags' eval set
     ev = (
         _token_ngram_hashes(eval_docs, n)
         .select(F.explode_outer("gh").alias("h"))
@@ -2563,11 +2560,15 @@ def embedding_contamination_report_stats(
     vec_id < 5000`` — a fixed-size benchmark by nature).
 
     Scale shape: the eval side (a benchmark suite) is small by nature
-    and BROADCASTS; the train corpus scans once, never shuffles, and
+    and BROADCASTS; the train corpus scans once and never shuffles at
+    corpus scale (the conditional ``spread_scan`` below adds one
+    round-robin exchange ONLY when the scan plans fewer splits than the
+    session's cores — the local-fixture ramp, false on any real corpus);
     the cosine evaluates expression-level (``F.aggregate`` fold ==
-    ``list_sum`` — the proven cross-engine form); the only exchange is
-    the final |eval|-bounded aggregation. Float discipline: the shared
-    scale-0 ``round_dist`` form per pair, max over rounded values."""
+    ``list_sum`` — the proven cross-engine form); the only other
+    exchange is the final |eval|-bounded aggregation. Float discipline:
+    the shared scale-0 ``round_dist`` form per pair, max over rounded
+    values."""
     from oasysdb_spark.functions.vectors import dot_product, l2_norm
     from oasysdb_spark.operators.vectorops import round_dist
 

@@ -905,13 +905,13 @@ def synthesize_ppm16_with_near_copies(spark, sf_dir: str) -> DataFrame:
                     rows.append((int(doc_id) + 100000, encode_ppm(arr2)))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # spread (r15): the synthesis and every downstream per-blob stage
-    # (hash/fingerprint extraction inherits this partitioning) otherwise
-    # run on the single-file fixture's ONE split; no-op at corpus scale
-    from oasysdb_spark.sources.tables import spread_scan
+    # spread load (r15): the synthesis and every downstream per-blob
+    # stage (hash/fingerprint extraction inherits this partitioning)
+    # otherwise run on the single-file fixture's ONE split; conditional
+    # no-op at corpus scale
+    from oasysdb_spark.operators.dedup import load_documents
 
-    docs = spread_scan(spark, docs)
+    docs = load_documents(spark, sf_dir, spread=True)
     return docs.select("doc_id", "text").mapInPandas(
         _gen, schema="media_id long, content binary"
     )
@@ -1173,13 +1173,13 @@ def synthesize_wav_media_from_documents(spark, sf_dir: str) -> DataFrame:
                     rows.append((int(doc_id) + 100000, encode_wav(pert, 16_000)))
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # spread (r15): the synthesis and every downstream per-blob stage
-    # (hash/fingerprint extraction inherits this partitioning) otherwise
-    # run on the single-file fixture's ONE split; no-op at corpus scale
-    from oasysdb_spark.sources.tables import spread_scan
+    # spread load (r15): the synthesis and every downstream per-blob
+    # stage (hash/fingerprint extraction inherits this partitioning)
+    # otherwise run on the single-file fixture's ONE split; conditional
+    # no-op at corpus scale
+    from oasysdb_spark.operators.dedup import load_documents
 
-    docs = spread_scan(spark, docs)
+    docs = load_documents(spark, sf_dir, spread=True)
     return docs.select("doc_id", "text").mapInPandas(
         _gen, schema="media_id long, content binary"
     )

@@ -38,7 +38,10 @@ def main():
     for name, fn in entry.queries().items():
         if name in skip:
             continue
-        sc.setJobDescription(f"sweep:{name}")
+        # label ends with a delimiter so metrics_for's startswith match
+        # can never absorb a longer entry name that shares this prefix
+        label = f"sweep:{name}|"
+        sc.setJobDescription(label)
         t0 = time.time()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -47,19 +50,28 @@ def main():
             err = f"{type(e).__name__}: {e}"[:200]
         wall = time.time() - t0
         sc.setJobDescription(None)
-        m = metrics_for(spark, f"sweep:{name}")
+        try:
+            m = metrics_for(spark, label)
+        except Exception as e:  # UI REST hiccup: keep the wall, keep going
+            m, err = {}, err or f"metrics: {type(e).__name__}: {e}"[:200]
         m["name"], m["wall_s"], m["err"] = name, round(wall, 3), err
         rows.append(m)
         print(json.dumps(m), flush=True)
+        # ops cache without unpersisting by documented contract; clear
+        # between entries so later rows aren't distorted by accumulated
+        # cache pressure (the r15 sweep's range_join exec anomaly)
+        spark.catalog.clearCache()
 
-    rows.sort(key=lambda r: -r["executorRunTime_s"])
+    rows.sort(key=lambda r: -r.get("executorRunTime_s", 0.0))
     print("\n=== top by executor run time ===")
     for r in rows[:25]:
         print(
-            f"{r['name']:45s} exec {r['executorRunTime_s']:7.2f}s "
-            f"cpu {r['executorCpuTime_s']:6.2f}s wall {r['wall_s']:6.2f}s "
-            f"in {r['inputBytes_mb']:7.1f}MB sh {r['shuffleRead_mb']:6.1f}MB "
-            f"stages {r['stages']:3d} {r['err']}"
+            f"{r['name']:45s} exec {r.get('executorRunTime_s', 0.0):7.2f}s "
+            f"cpu {r.get('executorCpuTime_s', 0.0):6.2f}s "
+            f"wall {r['wall_s']:6.2f}s "
+            f"in {r.get('inputBytes_mb', 0.0):7.1f}MB "
+            f"sh {r.get('shuffleRead_mb', 0.0):6.1f}MB "
+            f"stages {r.get('stages', 0):3d} {r['err']}"
         )
     spark.stop()
 
