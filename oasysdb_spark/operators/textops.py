@@ -2079,19 +2079,35 @@ def dsir_importance_sample(
     weighted mean ``Σ c_f·lr_f / Σ c_f`` (identical to the
     per-position mean). The final top-k is a bounded
     TakeOrderedAndProject, not a global sort."""
-    docs = _docs(spark, sf_dir)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("tk") - 2),
-        lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i + 1, 2)),
-    )
+    from oasysdb_spark.operators.dedup import load_documents
+
+    # spread load (r15): the tokenize+bigram-hash pass that materializes
+    # the feats cache otherwise runs on the single-file fixture's ONE
+    # task; the cache sits above the exchange so every consumer reads it
+    # and the exchange runs once. Conditional no-op at corpus scale.
+    docs = load_documents(spark, sf_dir, spread=True)
+    # guarded array + explode_outer (r15): the old `size(tk) >= 2` gate
+    # was a pushable tokenize-bearing filter that sank below the spread
+    # exchange onto the one-task scan stage (and sequence(0, size-2)
+    # counts DOWN for 1-token docs, so the guard must stay in some
+    # form). Short docs now yield an empty array -> one null row ->
+    # dropped by the cheap attribute filter; identical bigram multiset,
+    # tokenize evaluated once, above the exchange.
+    grams = F.when(
+        F.size("tk") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("tk") - 2),
+            lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     feats = (
         docs.select(
             "doc_id", "source", "lang", tokens(F.col("text")).alias("tk")
         )
-        .where(F.size("tk") >= 2)
         .select(
-            "doc_id", "source", "lang", F.explode(grams).alias("g")
+            "doc_id", "source", "lang", F.explode_outer(grams).alias("g")
         )
+        .where(F.col("g").isNotNull())
         .select(
             "doc_id",
             "source",
