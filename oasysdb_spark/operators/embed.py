@@ -973,7 +973,20 @@ def hybrid_search_rrf(
             "query hash-embeds to the zero vector (signs cancelled): "
             "cosine is undefined — use a longer query or larger dim"
         )
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread load (r15, guide §2.1): the hash-embedding UDF + the
+    # array dot/norm folds below otherwise run on the single-split
+    # fixture scan's ONE task; single consumer (the TakeOrdered cut),
+    # so the conditional exchange runs exactly once and not at all at
+    # real corpus split counts. Per-row deterministic arithmetic with a
+    # doc_id tie-broken cut — partitioning cannot change the result.
+    from oasysdb_spark.sources.tables import spread_scan
+
+    docs = spread_scan(
+        spark,
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        ),
+    )
     qlit = F.array(*[F.lit(int(x)).cast("long") for x in qv])
     emb = hashing_embedding_udf(dim)(F.col("text"))
     dot = F.aggregate(

@@ -1135,7 +1135,19 @@ def percentile_stats(
     joined back on the 3-row group key: mixing count_distinct with the
     percentile buffers in ONE aggregate makes Catalyst Expand every row
     2x under the ObjectHashAggregate, which measured 3-4x slower at
-    sf0.1 than this two-branch plan."""
+    sf0.1 than this two-branch plan.
+
+    The percentile branch's input is spread (r15, guide §2.1): the
+    local fixture scan plans ~3 splits, so the partial percentile
+    buffering (decode + cast + collect into ObjectHashAggregate state)
+    ran on 3 of 32 cores. The spread exchange carries only the three
+    projected columns and is a conditional no-op at real-table split
+    counts; the exact percentile sorts its buffered values internally,
+    so partitioning cannot change the result. The distinct branch stays
+    on the raw scan (its partial aggregate collapses to (flag, partkey)
+    pairs immediately — an exchange would cost more than it saves)."""
+    from oasysdb_spark.sources.tables import spread_scan
+
     li = _t(spark, sf_dir, "lineitem")
     # percentiles interpolate INTEGER cents (o/l prices are 2dp), so
     # midpoints land on exactly-representable halves; display divides
@@ -1154,7 +1166,10 @@ def percentile_stats(
             F.round(c * 10000).cast("bigint") / F.lit(1e6), 6
         )
 
-    pct = li.groupBy("l_returnflag").agg(
+    pct_src = spread_scan(
+        spark, li.select("l_returnflag", "l_extendedprice", "l_quantity")
+    )
+    pct = pct_src.groupBy("l_returnflag").agg(
         _cents_disp(pcts[0]).alias("price_med"),
         _cents_disp(pcts[1]).alias("price_p90"),
         _cents_disp(pcts[2]).alias("price_p99"),

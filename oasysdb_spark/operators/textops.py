@@ -732,7 +732,16 @@ def bm25_search(
     then a pure per-row expression and the cut is a
     TakeOrderedAndProject. The only corpus-wide work is the one
     tokenize pass (cached) plus that scan aggregate; nothing about the
-    corpus ever shuffles."""
+    corpus shuffles at scale — the spread under the token cache is the
+    local-fixture ramp (r15, guide §2.1: the single-split scan put the
+    tokenize pass on ONE core; the cache sits above the conditional
+    exchange, so both consumers read tokenized rows and the exchange
+    runs at most once, and never at real split counts). Result safety:
+    avgdl averages integral lengths (exact in double partial sums below
+    2^53) and the df/N sums are integer, so partial-aggregation order
+    cannot move any scored bit."""
+    from oasysdb_spark.sources.tables import spread_scan
+
     q_terms = sorted({t for t in query.lower().split() if t})
     docs = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))
@@ -742,7 +751,11 @@ def bm25_search(
         return docs.select(
             "doc_id", F.lit(0.0).alias("bm25")
         ).where(F.lit(False))
-    base = docs.select("doc_id", toks.alias("tk")).cache()
+    base = (
+        spread_scan(spark, docs.select("doc_id", "text"))
+        .select("doc_id", toks.alias("tk"))
+        .cache()
+    )
 
     def _is_term(term: str):
         return lambda x: x == term
@@ -2806,15 +2819,34 @@ def tfidf_top_terms(
     self-join — so the corpus was tokenized twice; the window keeps one
     lineage and adds only a vocab-bounded exchange). The doc-count
     scalar comes from a shuffle-free scan aggregate. The ranking window
-    partitions by ``source`` over per-source vocab only. Text never
-    shuffles."""
+    partitions by ``source`` over per-source vocab only. Text shuffles
+    only through the conditional spread ramp below — a local-fixture
+    parallelism fix that cannot fire at real corpus split counts
+    (parquet's 128 MB split sizing plans more splits than cores on any
+    genuinely large input)."""
     from oasysdb_spark.functions.text import tokens
 
+    from oasysdb_spark.sources.tables import spread_scan
+
     docs = _docs(spark, sf_dir)
+    # spread load + explode_outer (r15, guide §2.1 / the
+    # InferFiltersFromGenerate note at ngram_overlap_flags): the
+    # tokenize+explode pass feeding the ONE corpus shuffle otherwise
+    # runs on the single-split fixture scan's one task, and a plain
+    # explode makes Catalyst infer a size(tokens(text))>0 filter that
+    # evaluates the tokenize a second time below the exchange. Single
+    # consumer (the pre-agg shuffle sits above), so the conditional
+    # exchange runs exactly once — and never at real split counts.
+    # Token elements are never null, so the isNotNull drop removes
+    # exactly the empty-array marker rows: identical term multiset.
     d1 = (
-        docs.select(
-            "doc_id", "source", F.explode(tokens(F.col("text"))).alias("term")
+        spread_scan(spark, docs.select("doc_id", "source", "text"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode_outer(tokens(F.col("text"))).alias("term"),
         )
+        .where(F.col("term").isNotNull())
         .groupBy("doc_id", "source", "term")
         .agg(F.count("*").alias("c"))
     )
