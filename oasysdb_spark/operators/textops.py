@@ -68,7 +68,13 @@ def quality_rules(text_col, toks) -> "F.Column":
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality metrics: length, token stats, punctuation /
     stopword / uniqueness ratios, and a composite quality bucket."""
-    docs = _docs(spark, sf_dir)
+    from oasysdb_spark.sources.tables import spread_scan
+
+    # spread load (r15, guide §2.1): the per-doc ratio expressions ran
+    # on the single-split fixture scan's ONE task; single consumer, so
+    # the conditional exchange runs exactly once — and never at real
+    # corpus split counts. Per-row deterministic arithmetic.
+    docs = spread_scan(spark, _docs(spark, sf_dir).select("doc_id", "text"))
     toks = tokens(F.col("text"))
     # every ratio is per-row int/int; displays use the scale-0 rounding
     # form (r10 migration of the legacy round(double, 6) sites)
@@ -1140,9 +1146,16 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths share Spark's HALF_UP `F.round` — the raw doubles are
     IEEE-identical (integer counts, one division). The expression twin
     (:func:`repetition_stats_expr`) carries the plan-shape guarantee and
-    is asserted bit-identical in tests. Still zero-shuffle: one scan,
-    one ArrowEvalPython, no exchange."""
-    docs = _docs(spark, sf_dir)
+    is asserted bit-identical in tests. Still shuffle-free at scale:
+    one scan, one ArrowEvalPython, and no exchange beyond the
+    conditional spread ramp below (r15, guide §2.1 — the single-split
+    fixture scan put the Arrow Counter pass on ONE core; at real corpus
+    split counts the condition is false and the plan is exchange-free,
+    which the plan pin asserts as 'no hash exchange, at most one
+    round-robin ramp')."""
+    from oasysdb_spark.sources.tables import spread_scan
+
+    docs = spread_scan(spark, _docs(spark, sf_dir).select("doc_id", "text"))
     m = docs.select("doc_id", _rep_struct_udf()(F.col("text")).alias("m"))
 
     # scale-0 display rounds (r10 migration), applied IDENTICALLY in

@@ -292,14 +292,19 @@ def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
 
 def test_repetition_stats_zero_shuffle(spark, sf_dir):
     """The Gopher repetition rules are computed entirely row-locally:
-    BOTH paths (Arrow hot path, expression twin) must plan with NO
-    Exchange at all — the per-doc n-gram mode never becomes a
-    (doc, gram) aggregation shuffle; the hot path adds exactly one
-    ArrowEvalPython, nothing wider."""
+    the per-doc n-gram mode never becomes a (doc, gram) aggregation
+    shuffle — no hash-partitioned Exchange in either path. The hot path
+    adds exactly one ArrowEvalPython and (r15) at most one round-robin
+    spread ramp, which only fires when the fixture scan plans fewer
+    splits than cores (never at real corpus split counts); the
+    expression twin keeps the strict no-Exchange shape."""
     from oasysdb_spark.operators import textops
 
     hot = _plan(textops.repetition_stats(spark, sf_dir))
-    assert "Exchange" not in hot and "ArrowEvalPython" in hot
+    assert "hashpartitioning" not in hot and "ArrowEvalPython" in hot
+    assert hot.count("Exchange") <= 1
+    for seg in hot.split("Exchange")[1:]:
+        assert "roundrobin" in seg.split("\n")[0].lower()
     expr = _plan(textops.repetition_stats_expr(spark, sf_dir))
     assert "Exchange" not in expr and "ArrowEvalPython" not in expr
 
