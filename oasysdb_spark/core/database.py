@@ -45,7 +45,7 @@ from oasysdb_spark import errors
 from oasysdb_spark.core.config import Parameters, QueryParameters, atomic_write_text
 from oasysdb_spark.core.tables import VersionedTable
 from oasysdb_spark.filters import MapLayout, compile_filter
-from oasysdb_spark.functions.vectors import distance_expr, to_f32
+from oasysdb_spark.functions.vectors import const_distance, distance_expr, to_f32
 
 RECORD_SCHEMA = T.StructType(
     [
@@ -1764,11 +1764,7 @@ class Database:
                 if ef >= n_total or df.count() >= k:
                     break
                 ef = min(n_total, ef * 4)
-            dist = distance_expr(
-                self.params.metric,
-                F.array(*[F.lit(x) for x in vec]),
-                F.col("embedding"),
-            )
+            dist = const_distance(self.params.metric, vec)
             out = df.withColumn("distance", dist)
             if math.isfinite(qp.radius):
                 out = out.where(F.col("distance") <= F.lit(qp.radius))
@@ -1871,7 +1867,7 @@ class Database:
             df = df.select("id", "embedding").join(F.broadcast(cand), "id")
             pred = F.lit(True)  # already applied before the ADC cut
 
-        dist = distance_expr(self.params.metric, F.array(*[F.lit(x) for x in vec]), F.col("embedding"))
+        dist = const_distance(self.params.metric, vec)
         out = df.withColumn("distance", dist)
         if math.isfinite(qp.radius):
             out = out.where(F.col("distance") <= F.lit(qp.radius))

@@ -82,6 +82,75 @@ def cosine_distance(a: Column | str, b: Column | str) -> Column:
     return F.when(denom != 0.0, F.lit(1.0) - dot_product(a, b) / denom)
 
 
+def _sql_double_array(vals) -> "str | None":
+    """SQL literal ``array(...)`` of doubles, or None when any value is
+    non-finite (the SQL parser has no NaN/Inf literals — callers fall
+    back to the Column builders). ``repr`` emits the shortest decimal
+    that round-trips, and Spark's parser reads it back into the
+    identical IEEE double, so the folded expression is bit-equal to the
+    ``F.array(*[F.lit(float(x)) ...])`` form."""
+    import math
+
+    out = []
+    for v in vals:
+        f = float(v)
+        if not math.isfinite(f):
+            return None
+        out.append(repr(f) + "D")
+    return "array(" + ",".join(out) + ")"
+
+
+def _sql_col_double(col: str) -> str:
+    return f"transform({col}, x_cd -> CAST(x_cd AS DOUBLE))"
+
+
+def distance_expr_const(metric: str, vals, col: str) -> "Column | None":
+    """Constant-query fast path for the two built-in metrics: the whole
+    distance expression is ONE ``F.expr`` over a SQL string instead of
+    ~130 py4j Column constructions per 128-dim query (r15 gap
+    profiling: expression construction, not execution, dominated the
+    sub-second serving entries' wall). The generated SQL mirrors
+    :func:`sqeuclidean` / :func:`cosine_distance` term for term (same
+    fold shapes, same cast-to-double, same zero-denominator guard), so
+    the analyzed plan — and therefore every result bit — is unchanged.
+    Returns None for registered/unknown metrics or non-finite values;
+    callers fall back to the Column builders."""
+    arr = _sql_double_array(vals)
+    if arr is None:
+        return None
+    c = _sql_col_double(col)
+    m = metric.strip().lower()
+    if m == "euclidean":
+        return F.expr(
+            f"aggregate(zip_with({arr}, {c}, (x, y) -> (x - y) * (x - y)), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+    if m == "cosine":
+        norm_a = f"SQRT(aggregate({arr}, 0.0D, (acc, x) -> acc + x * x))"
+        norm_b = f"SQRT(aggregate({c}, 0.0D, (acc, x) -> acc + x * x))"
+        dot = (
+            f"aggregate(zip_with({arr}, {c}, (x, y) -> x * y), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+        denom = f"({norm_a} * {norm_b})"
+        return F.expr(
+            f"CASE WHEN {denom} != 0.0D THEN 1.0D - {dot} / {denom} END"
+        )
+    return None
+
+
+def const_distance(metric: str, vals, col: str = "embedding") -> Column:
+    """Distance column for a CONSTANT (driver-side) query vector: the
+    one-``F.expr`` SQL fast path when the metric is built-in and every
+    value is finite, else the Column builders via an array literal —
+    identical analyzed expression either way."""
+    d = distance_expr_const(metric, vals, col)
+    if d is not None:
+        return d
+    q = F.array(*[F.lit(float(x)) for x in vals])
+    return distance_expr(metric, q, F.col(col))
+
+
 # User-extensible metric registry — the UDF surface the reference lacks
 # (its metrics are a closed enum, /root/reference/src/types/metric.rs:19-22;
 # SURVEY.md §2.5 'UDF/UDAF/UDTF'). A metric is any (a, b) -> Column builder;

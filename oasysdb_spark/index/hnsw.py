@@ -897,24 +897,24 @@ def hnsw_knn(
 
     Pass ``graph_df`` to reuse a prebuilt (cached/persisted) graph —
     steady state: build once at ingest, query many times."""
-    from oasysdb_spark.functions.vectors import sqeuclidean
+    from oasysdb_spark.functions.vectors import const_distance
     from oasysdb_spark.operators.vectorops import load_embeddings, round_dist
 
     embs = load_embeddings(spark, sf_dir)
     if graph_df is None:
         graph_df = build_hnsw_shards(spark, sf_dir, shards=shards)
-    qrow = embs.where(F.col("vec_id") == query_vec_id).select("embedding").first()
-    if qrow is None:
+    from oasysdb_spark.operators.vectorops import query_embedding
+
+    qvec = query_embedding(spark, sf_dir, query_vec_id)
+    if qvec is None:
         raise InvalidArgumentError(f"query vec_id {query_vec_id} not found")
-    qvec = [float(x) for x in qrow["embedding"]]
 
     cand = batched_candidates(
         graph_df, [(0, qvec)], ef_search=ef_search, id_type="long"
     ).select("vec_id")
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
     exact = cand.join(embs, "vec_id").select(
         "vec_id",
-        round_dist(sqeuclidean(qlit, F.col("embedding"))).alias("distance"),
+        round_dist(const_distance("euclidean", qvec)).alias("distance"),
     )
     return exact.orderBy(F.col("distance").asc(), "vec_id").limit(k)
 

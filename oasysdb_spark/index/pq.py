@@ -484,7 +484,7 @@ def pq_knn(
 
     Pass ``codes_df``/``codebooks`` to reuse a prebuilt encode (the
     steady-state shape: encode once at ingest, query many times)."""
-    from oasysdb_spark.functions.vectors import sqeuclidean
+    from oasysdb_spark.functions.vectors import const_distance
     from oasysdb_spark.operators.vectorops import load_embeddings, round_dist
 
     embs = load_embeddings(spark, sf_dir)
@@ -494,10 +494,11 @@ def pq_knn(
         )
     if codes_df is None:
         codes_df = encode(embs, codebooks).cache()
-    qrow = embs.where(F.col("vec_id") == query_vec_id).select("embedding").first()
-    if qrow is None:
+    from oasysdb_spark.operators.vectorops import query_embedding
+
+    qvec = query_embedding(spark, sf_dir, query_vec_id)
+    if qvec is None:
         raise InvalidArgumentError(f"query vec_id {query_vec_id} not found")
-    qvec = list(qrow["embedding"])
 
     table = adc_table(qvec, codebooks)
     cand = (
@@ -505,9 +506,8 @@ def pq_knn(
         .orderBy(F.col("adc").asc(), "vec_id")
         .limit(rerank)
     )
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
     exact = cand.join(embs, "vec_id").select(
-        "vec_id", round_dist(sqeuclidean(qlit, F.col("embedding"))).alias("distance")
+        "vec_id", round_dist(const_distance("euclidean", qvec)).alias("distance")
     )
     return exact.orderBy(F.col("distance").asc(), "vec_id").limit(k)
 
@@ -536,7 +536,7 @@ def opq_knn(
     data (the fixture is isotropic — PQ's worst case and OPQ's
     no-op case — so the recall gate reuses PQ's bar and the
     MSE-improvement gate runs on correlated synthetic data)."""
-    from oasysdb_spark.functions.vectors import sqeuclidean
+    from oasysdb_spark.functions.vectors import const_distance
     from oasysdb_spark.operators.vectorops import load_embeddings, round_dist
 
     embs = load_embeddings(spark, sf_dir)
@@ -547,10 +547,12 @@ def opq_knn(
     rot, books = opq
     if codes_df is None:
         codes_df = encode(embs, books, rotation=rot).cache()
-    qrow = embs.where(F.col("vec_id") == query_vec_id).select("embedding").first()
-    if qrow is None:
+    from oasysdb_spark.operators.vectorops import query_embedding
+
+    _q = query_embedding(spark, sf_dir, query_vec_id)
+    if _q is None:
         raise InvalidArgumentError(f"query vec_id {query_vec_id} not found")
-    qvec = np.asarray(qrow["embedding"], dtype=np.float64)
+    qvec = np.asarray(_q, dtype=np.float64)
 
     table = adc_table(qvec @ rot, books)
     cand = (
@@ -558,9 +560,8 @@ def opq_knn(
         .orderBy(F.col("adc").asc(), "vec_id")
         .limit(rerank)
     )
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
     exact = cand.join(embs, "vec_id").select(
-        "vec_id", round_dist(sqeuclidean(qlit, F.col("embedding"))).alias("distance")
+        "vec_id", round_dist(const_distance("euclidean", qvec)).alias("distance")
     )
     return exact.orderBy(F.col("distance").asc(), "vec_id").limit(k)
 
@@ -656,7 +657,7 @@ def ivfpq_knn(
     Pass ``codes_df``/``centroids``/``codebooks`` from
     :func:`build_ivfpq` to reuse a prebuilt layout (the steady-state
     serving shape)."""
-    from oasysdb_spark.functions.vectors import sqeuclidean
+    from oasysdb_spark.functions.vectors import const_distance
     from oasysdb_spark.operators.vectorops import load_embeddings, round_dist
 
     prebuilt = (codes_df is not None, centroids is not None, codebooks is not None)
@@ -673,10 +674,12 @@ def ivfpq_knn(
             spark, sf_dir, n_clusters=n_clusters, m=m, nbits=nbits, seed=seed
         )
     embs = load_embeddings(spark, sf_dir)
-    qrow = embs.where(F.col("vec_id") == query_vec_id).select("embedding").first()
-    if qrow is None:
+    from oasysdb_spark.operators.vectorops import query_embedding
+
+    _q = query_embedding(spark, sf_dir, query_vec_id)
+    if _q is None:
         raise InvalidArgumentError(f"query vec_id {query_vec_id} not found")
-    qvec = np.asarray(qrow["embedding"], dtype=np.float64)
+    qvec = np.asarray(_q, dtype=np.float64)
 
     carr = np.asarray(centroids, dtype=np.float64)
     coarse = ((carr - qvec[None, :]) ** 2).sum(axis=1)
@@ -703,8 +706,7 @@ def ivfpq_knn(
         .orderBy(F.col("adc").asc_nulls_last(), "vec_id")
         .limit(max(rerank, k))
     )
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
     exact = cand.join(embs, "vec_id").select(
-        "vec_id", round_dist(sqeuclidean(qlit, F.col("embedding"))).alias("distance")
+        "vec_id", round_dist(const_distance("euclidean", qvec)).alias("distance")
     )
     return exact.orderBy(F.col("distance").asc(), "vec_id").limit(k)

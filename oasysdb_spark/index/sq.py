@@ -129,7 +129,7 @@ def sq_knn(
 
     Pass ``codes_df``/``model`` to reuse a prebuilt encode (steady
     state: encode once at ingest, query many times)."""
-    from oasysdb_spark.functions.vectors import sqeuclidean
+    from oasysdb_spark.functions.vectors import const_distance
     from oasysdb_spark.operators.vectorops import load_embeddings, round_dist
 
     embs = load_embeddings(spark, sf_dir)
@@ -137,10 +137,11 @@ def sq_knn(
         model = fit_sq(embs)
     if codes_df is None:
         codes_df = encode_sq(embs, model)
-    qrow = embs.where(F.col("vec_id") == query_vec_id).select("embedding").first()
-    if qrow is None:
+    from oasysdb_spark.operators.vectorops import query_embedding
+
+    qvec = query_embedding(spark, sf_dir, query_vec_id)
+    if qvec is None:
         raise InvalidArgumentError(f"query vec_id {query_vec_id} not found")
-    qvec = list(qrow["embedding"])
 
     cand = (
         codes_df.select("vec_id", sq_score_expr(qvec, model).alias("adc"))
@@ -149,9 +150,8 @@ def sq_knn(
         # result below k — same contract as pq_knn/ivfpq_knn/query
         .limit(max(rerank, k))
     )
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
     exact = cand.join(embs, "vec_id").select(
         "vec_id",
-        round_dist(sqeuclidean(qlit, F.col("embedding"))).alias("distance"),
+        round_dist(const_distance("euclidean", qvec)).alias("distance"),
     )
     return exact.orderBy(F.col("distance").asc(), "vec_id").limit(k)
