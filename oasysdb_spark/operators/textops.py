@@ -3240,26 +3240,48 @@ def term_pmi_collocations(
     passes: 5 before the r15 reshape, 3 after (bigram, unigram, scalar
     scan)."""
     docs = _docs(spark, sf_dir)
+    # (r15) a spread load here was measured and REJECTED: tk has three
+    # consumers (bigram, unigram, totals) and no pin over the raw text,
+    # so each pass repeats the exchange — the refuted trigram-surprisal
+    # shape (interleaved A/B: min 1.44 -> 1.68 s, executor CPU 4x).
     tk = docs.select(tokens(F.col("text")).alias("tk"))
-    bigr = tk.where(F.size("tk") >= 2).select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("tk") - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("tk", i + 1),
-                    F.element_at("tk", i + 2),
+    # guarded array + explode_outer (r15, the dsir shape): the old
+    # `size(tk) >= 2` gate was a pushable tokenize-bearing filter whose
+    # pushed-down form evaluated the FULL tokenize a second time per
+    # row below the tk projection (plan-verified: Filter(size(split(
+    # lower(text))...)>=2) under Project(split(lower(text))) — and
+    # sequence(0, size-2) counts DOWN for 1-token docs, so the guard
+    # must stay in some form). Short docs now yield an empty array ->
+    # one null row -> dropped on the generated attribute; identical
+    # bigram multiset, tokenize evaluated once.
+    bigr = tk.select(
+        F.explode_outer(
+            F.when(
+                F.size("tk") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tk") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("tk", i + 1),
+                        F.element_at("tk", i + 2),
+                    ),
                 ),
-            )
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("bg")
-    )
+    ).where(F.col("bg").isNotNull())
     pair_counts = bigr.groupBy("bg").agg(F.count("*").alias("c12"))
     # unigram counts from the corpus token stream (a bigram-derived
     # count would miss each doc's final token); vocab-bounded, pinned
     # once for the two joins below. localCheckpoint (not cache) so a
     # second invocation never silently reuses this run's blocks.
+    # explode_outer for the same reason as bigr: a plain explode's
+    # inferred size(tk)>0 filter substitutes tokens(text) and evaluates
+    # the tokenize a second time per row in the pin's materialization
+    # job. Token elements are never null, so the isNotNull drop removes
+    # exactly the empty-array marker rows.
     uni = (
-        tk.select(F.explode("tk").alias("t"))
+        tk.select(F.explode_outer("tk").alias("t"))
+        .where(F.col("t").isNotNull())
         .groupBy("t")
         .agg(F.count("*").alias("c"))
         .localCheckpoint(eager=True)
