@@ -42,7 +42,7 @@ def load_documents(spark: SparkSession, sf_dir: str, spread: bool = False) -> Da
         # full shuffle of the raw text for nothing
         from oasysdb_spark.sources.tables import spread_scan
 
-        df = spread_scan(spark, df)
+        df = spread_scan(spark, df, key_path=f"{sf_dir}/documents.parquet")
     return df
 
 
@@ -1778,7 +1778,12 @@ def embedding_near_pairs(
     # plans the whole blocked-pair dot-product stage onto ONE task (the
     # build side broadcasts); conditional no-op at corpus scale where
     # the join becomes a shuffled label-partitioned join anyway
-    a, b = spread_scan(spark, embs).alias("a"), embs.alias("b")
+    a, b = (
+        spread_scan(
+            spark, embs, key_path=f"{sf_dir}/embeddings.parquet"
+        ).alias("a"),
+        embs.alias("b"),
+    )
     pairs = a.join(
         b,
         (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
@@ -2580,7 +2585,11 @@ def embedding_contamination_report_stats(
     # runs on the single-file fixture's ONE split; no-op at corpus scale
     from oasysdb_spark.sources.tables import spread_scan
 
-    train = spread_scan(spark, embs.where(F.col("vec_id") % 10 != 0)).select(
+    train = spread_scan(
+        spark,
+        embs.where(F.col("vec_id") % 10 != 0),
+        key_path=f"{sf_dir}/embeddings.parquet",
+    ).select(
         F.col("vec_id").alias("t_id"),
         F.col("embedding").alias("t_emb"),
         l2_norm(F.col("embedding")).alias("t_norm"),

@@ -276,7 +276,11 @@ def chunk_retrieval_topk(
     from oasysdb_spark.sources.tables import spread_scan
 
     chunks = (
-        spread_scan(spark, docs.where(F.col("doc_id") != query_doc_id))
+        spread_scan(
+            spark,
+            docs.where(F.col("doc_id") != query_doc_id),
+            key_path=f"{sf_dir}/documents.parquet",
+        )
         .select("doc_id", tokens(F.col("text")).alias("tk"))
         .where(F.size("tk") > 0)
         .select(
@@ -986,6 +990,7 @@ def hybrid_search_rrf(
         spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", "text"
         ),
+        key_path=f"{sf_dir}/documents.parquet",
     )
     qlit = F.array(*[F.lit(int(x)).cast("long") for x in qv])
     emb = hashing_embedding_udf(dim)(F.col("text"))

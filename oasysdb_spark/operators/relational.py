@@ -1167,7 +1167,9 @@ def percentile_stats(
         )
 
     pct_src = spread_scan(
-        spark, li.select("l_returnflag", "l_extendedprice", "l_quantity")
+        spark,
+        li.select("l_returnflag", "l_extendedprice", "l_quantity"),
+        key_path=f"{sf_dir}/lineitem.parquet",
     )
     pct = pct_src.groupBy("l_returnflag").agg(
         _cents_disp(pcts[0]).alias("price_med"),

@@ -74,7 +74,11 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on the single-split fixture scan's ONE task; single consumer, so
     # the conditional exchange runs exactly once — and never at real
     # corpus split counts. Per-row deterministic arithmetic.
-    docs = spread_scan(spark, _docs(spark, sf_dir).select("doc_id", "text"))
+    docs = spread_scan(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        key_path=f"{sf_dir}/documents.parquet",
+    )
     toks = tokens(F.col("text"))
     # every ratio is per-row int/int; displays use the scale-0 rounding
     # form (r10 migration of the legacy round(double, 6) sites)
@@ -535,7 +539,9 @@ def prepare_training_corpus(
     # already covers the cores and no exchange is added (r15)
     from pyspark.sql import Observation
 
-    docs = spread_scan(spark, _docs(spark, sf_dir))
+    docs = spread_scan(
+        spark, _docs(spark, sf_dir), key_path=f"{sf_dir}/documents.parquet"
+    )
     toks = tokens(F.col("text"))
     quality = quality_rules(F.col("text"), toks)
     # Stage layout (r15 — same filters, same order, same counts; ONE
@@ -758,7 +764,11 @@ def bm25_search(
             "doc_id", F.lit(0.0).alias("bm25")
         ).where(F.lit(False))
     base = (
-        spread_scan(spark, docs.select("doc_id", "text"))
+        spread_scan(
+            spark,
+            docs.select("doc_id", "text"),
+            key_path=f"{sf_dir}/documents.parquet",
+        )
         .select("doc_id", toks.alias("tk"))
         .cache()
     )
@@ -985,7 +995,9 @@ def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from oasysdb_spark.sources.tables import spread_scan
 
-    docs = spread_scan(spark, _docs(spark, sf_dir))
+    docs = spread_scan(
+        spark, _docs(spark, sf_dir), key_path=f"{sf_dir}/documents.parquet"
+    )
     toks = tokens(F.col("text"))
     quality = quality_rules(F.col("text"), toks)
     scored = docs.select(
@@ -1155,7 +1167,11 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-robin ramp')."""
     from oasysdb_spark.sources.tables import spread_scan
 
-    docs = spread_scan(spark, _docs(spark, sf_dir).select("doc_id", "text"))
+    docs = spread_scan(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        key_path=f"{sf_dir}/documents.parquet",
+    )
     m = docs.select("doc_id", _rep_struct_udf()(F.col("text")).alias("m"))
 
     # scale-0 display rounds (r10 migration), applied IDENTICALLY in
@@ -2853,7 +2869,11 @@ def tfidf_top_terms(
     # Token elements are never null, so the isNotNull drop removes
     # exactly the empty-array marker rows: identical term multiset.
     d1 = (
-        spread_scan(spark, docs.select("doc_id", "source", "text"))
+        spread_scan(
+            spark,
+            docs.select("doc_id", "source", "text"),
+            key_path=f"{sf_dir}/documents.parquet",
+        )
         .select(
             "doc_id",
             "source",

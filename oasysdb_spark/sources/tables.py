@@ -30,7 +30,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def spread_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+_SPREAD_MEMO: dict = {}
+
+
+def _local_files_sig(path: str):
+    """mtime_ns+size signature of a local parquet file/dir, or None
+    (non-local/unreadable → memoization disabled)."""
+    import os
+
+    try:
+        if os.path.isfile(path):
+            st = os.stat(path)
+            return (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+        if os.path.isdir(path):
+            entries = []
+            with os.scandir(path) as it:
+                for e in it:
+                    st = e.stat()
+                    entries.append((e.name, st.st_mtime_ns, st.st_size))
+            return (os.path.abspath(path), tuple(sorted(entries)))
+    except OSError:
+        return None
+    return None
+
+
+def spread_scan(
+    spark: SparkSession, df: DataFrame, key_path: "str | None" = None
+) -> DataFrame:
     """Scale-adaptive parallelism for compute-heavy row-local stages
     (r15, guide §2.5 "input skew"): when a scan plans FEWER input splits
     than the session's parallelism (the local fixtures are single small
@@ -45,12 +71,31 @@ def spread_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
 
     Only use under a row-local compute stage whose cost dominates one
     extra small-input exchange; never on a path whose plan contract
-    forbids payload-bearing exchanges outright."""
+    forbids payload-bearing exchanges outright.
+
+    ``key_path``: the parquet path ``df`` is a plain scan/projection of.
+    When given (and local), the split-count probe — a full
+    analysis+planning pass via ``df.rdd``, ~40-70 ms of driver time per
+    call (r15 review note) — is memoized per (file signature,
+    parallelism): split planning depends only on the files, the reader
+    confs and the session parallelism, never on the projected columns
+    or pushed filters, so every projection of the same files shares one
+    probe. The mtime_ns+size signature makes a rewritten path miss."""
     par = spark.sparkContext.defaultParallelism
+    memo_key = None
+    if key_path is not None:
+        sig = _local_files_sig(key_path)
+        if sig is not None:
+            memo_key = (sig, par)
+            n = _SPREAD_MEMO.get(memo_key)
+            if n is not None:
+                return df.repartition(par) if n < par else df
     try:
         n = df.rdd.getNumPartitions()
     except Exception:
         return df
+    if memo_key is not None:
+        _SPREAD_MEMO[memo_key] = n
     if n < par:
         return df.repartition(par)
     return df

@@ -2106,3 +2106,47 @@ def test_raw_id_literals_chunked_predicate_roundtrip(spark):
 
     for bad in (T.DoubleType(), T.TimestampType(), T.DecimalType(10, 2)):
         assert dbmod._raw_id_literals(bad, ["1.5"]) is None
+
+
+def test_spread_scan_memo_tracks_file_signature(spark, tmp_path):
+    """spread_scan's key_path memo (r15): the split-count probe is
+    memoized per (file signature, parallelism), the memoized decision
+    matches a fresh probe, and REWRITING the path invalidates the memo
+    (mtime/size change) so a stale count can never misroute the
+    conditional repartition."""
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.sources import tables as tables_mod
+
+    path = str(tmp_path / "docs.parquet")
+    spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    par = spark.sparkContext.defaultParallelism
+    df = spark.read.parquet(path)
+    fresh = tables_mod.spread_scan(spark, df)
+    sig = tables_mod._local_files_sig(path)
+    assert sig is not None and (sig, par) not in tables_mod._SPREAD_MEMO
+
+    keyed = tables_mod.spread_scan(spark, df, key_path=path)
+    assert (sig, par) in tables_mod._SPREAD_MEMO
+    # memoized decision == fresh probe decision (both spread a 1-split
+    # local file when the session has more cores)
+    assert keyed.rdd.getNumPartitions() == fresh.rdd.getNumPartitions()
+    # second call hits the memo and still returns the same shape
+    again = tables_mod.spread_scan(spark, df, key_path=path)
+    assert again.rdd.getNumPartitions() == keyed.rdd.getNumPartitions()
+
+    # rewrite the path with MORE files than cores: the signature changes,
+    # the memo misses, and the fresh probe sees the new layout (no
+    # repartition -> partition count stays at the new file count)
+    spark.range(10000).select(
+        F.col("id").alias("doc_id"), F.lit("y").alias("text")
+    ).repartition(par + 8).write.mode("overwrite").parquet(path)
+    sig2 = tables_mod._local_files_sig(path)
+    assert sig2 != sig
+    df2 = spark.read.parquet(path)
+    spread2 = tables_mod.spread_scan(spark, df2, key_path=path)
+    assert (sig2, par) in tables_mod._SPREAD_MEMO
+    assert spread2.rdd.getNumPartitions() == df2.rdd.getNumPartitions()

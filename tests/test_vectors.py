@@ -534,3 +534,36 @@ def test_opq_knn_rerank_recall(spark, sf_dir):
         ).collect()
     ]
     assert again == got
+
+
+def test_query_embedding_memo_tracks_fixture_signature(spark, tmp_path):
+    """vectorops.query_embedding's memo (r15): values match a fresh
+    fetch, and rewriting the embeddings fixture at the same path changes
+    the file signature so the memo MISSES and the new vector is read —
+    the guard that keeps the serving-path amortization safe for tests
+    that overwrite tmp fixtures."""
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.operators import vectorops as vec
+
+    d = str(tmp_path)
+    path = f"{d}/embeddings.parquet"
+    spark.createDataFrame(
+        [(0, [1.0, 2.0], 0), (1, [3.0, 4.0], 1)],
+        "vec_id bigint, embedding array<double>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    assert vec.query_embedding(spark, d, 0) == [1.0, 2.0]
+    assert vec.embedding_dim(spark, d) == 2
+    assert vec.query_embedding(spark, d, 99) is None  # miss memoized too
+    # memo hit returns the same values without re-reading
+    assert vec.query_embedding(spark, d, 0) == [1.0, 2.0]
+
+    # rewrite the fixture: signature changes, memo misses, new values
+    spark.createDataFrame(
+        [(0, [9.0, 8.0, 7.0], 0)],
+        "vec_id bigint, embedding array<double>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    assert vec.query_embedding(spark, d, 0) == [9.0, 8.0, 7.0]
+    assert vec.embedding_dim(spark, d) == 3
+    assert vec.query_embedding(spark, d, 1) is None
