@@ -44,6 +44,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from oasysdb_spark.sources.tables import read_parquet_cached
+
 from oasysdb_spark.errors import InvalidArgumentError
 from oasysdb_spark.functions.hashing import hash64
 
@@ -268,7 +270,7 @@ def build_hnsw_shards(
     build in ~50 s each)."""
     if shards is None:
         shards = max(2, spark.sparkContext.defaultParallelism)
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    embs = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     return graph_from_df(
         embs.select("vec_id", "embedding"),
         shards=shards,

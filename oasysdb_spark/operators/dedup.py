@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from oasysdb_spark.sources.tables import read_parquet_cached
+
 from oasysdb_spark.functions.hashing import hash64
 from oasysdb_spark.functions.text import char_shingles, simhash32, tokens, word_shingles
 
@@ -34,7 +36,7 @@ def load_documents(spark: SparkSession, sf_dir: str, spread: bool = False) -> Da
     split = one task), which would serialize the compute-heavy row-local
     ops (md5 shingling, simhash bit loops). On a real corpus the file count
     provides this parallelism for free."""
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
     if spread:
         # conditional (r15): only add the exchange when the scan really
         # is under-parallel — at corpus scale the split count already
@@ -1568,7 +1570,7 @@ def embedding_near_pairs_ivf(
     from oasysdb_spark.index.ivf import fit_centroids
 
     if embs is None:
-        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        embs = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     # Centroid fit goes through the shared guarded path (seeded uniform
     # sample + local-BLAS-vs-MLlib choice) — a `limit(...).collect()` here
     # would fit the first parquet splits only, and on a corpus partitioned
@@ -1773,7 +1775,7 @@ def embedding_near_pairs(
     from oasysdb_spark.functions.vectors import dot_product, l2_norm
     from oasysdb_spark.sources.tables import spread_scan
 
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    embs = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     # spread the probe side (r15): the single-file fixture otherwise
     # plans the whole blocked-pair dot-product stage onto ONE task (the
     # build side broadcasts); conditional no-op at corpus scale where
@@ -1828,7 +1830,7 @@ def embedding_dedup_components(
     near-cliques so the fixpoint lands in 2-3 rounds. No SQL oracle by
     nature (learned blocking, iterative fixpoint); correctness is gated
     in pytest against exact all-pairs edges + driver-side union-find."""
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    embs = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     edges = embedding_near_pairs_ivf(
         spark, sf_dir, depth=depth, n_clusters=n_clusters, seed=seed,
         threshold=threshold,
@@ -2538,7 +2540,7 @@ def embedding_decontaminate_stats(
     near-random, max cross-split cosine ≈ 0.49; production semantic
     thresholds like 0.9 are exercised by the components tier's recall
     gates). Ordered for the deterministic oracle compare."""
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    embs = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     train = embs.where(F.col("vec_id") % 10 != 0)
     evals = embs.where((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 5000))
     return embedding_decontaminate(train, evals, threshold=threshold).orderBy(
@@ -2577,7 +2579,7 @@ def embedding_contamination_report_stats(
     from oasysdb_spark.functions.vectors import dot_product, l2_norm
     from oasysdb_spark.operators.vectorops import round_dist
 
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    embs = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     # norms materialize PER SIDE before the cross join — computed once
     # per input row instead of re-folding the dimension axis for every
     # (train, eval) pair; only the dot product stays per-pair.

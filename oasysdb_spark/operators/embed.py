@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from oasysdb_spark.sources.tables import read_parquet_cached
+
 from oasysdb_spark.functions.hashing import hash64
 from oasysdb_spark.functions.text import tokens
 
@@ -98,7 +100,7 @@ def hash_embeddings(
 ) -> DataFrame:
     """Driver-contract query: every document's feature-hashed embedding,
     exploded to (doc_id, pos, val) integer rows — cross-engine exact."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
     emb = hashing_embedding_expr(tokens(F.col("text")), dim)
     return (
         docs.select("doc_id", F.posexplode(emb).alias("pos", "val"))
@@ -137,7 +139,7 @@ def train_lang_classifier(
 
     from oasysdb_spark.functions.text import predict_lang
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
     data = docs.select(
         "doc_id",
         predict_lang(tokens(F.col("text"))).alias("lang"),
@@ -199,7 +201,7 @@ def corpus_text_search(
     from oasysdb_spark.functions.vectors import cosine_distance
     from oasysdb_spark.operators.vectorops import round_dist
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
     embedded = docs.select(
         "doc_id", hashing_embedding_udf(dim)(F.col("text")).alias("emb")
     )
@@ -258,7 +260,7 @@ def chunk_retrieval_topk(
             "window would never advance"
         )
     stride = chunk_tokens - overlap
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
     piece = lambda i: F.slice(  # noqa: E731 — row-local window expr
         F.col("tk"), i * stride + 1, chunk_tokens
     )
@@ -430,7 +432,7 @@ def label_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep rule, same median target), fully DuckDB-replayable since the
     stratum is a stored column instead of a learned cluster id. Carries
     the driver-oracle row for the sampling arithmetic."""
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    embs = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     return _balanced_sample_summary(embs.select("vec_id", "label"), "label")
 
 
@@ -450,7 +452,7 @@ def cluster_balanced_sample(
     and tests gate determinism + proportion convergence."""
     from oasysdb_spark.index.ivf import _argmin_assigner, fit_centroids
 
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    embs = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     n = embs.count()
     k = min(n_clusters, n)
     C = fit_centroids(embs.select("embedding"), k=k, seed=seed, max_iter=10, n=n)
@@ -795,11 +797,27 @@ def random_projection(
     from oasysdb_spark.operators.vectorops import load_embeddings
 
     if embs is None:
+        from oasysdb_spark.operators.vectorops import query_embedding
+
         embs = load_embeddings(spark, sf_dir)
-    first = embs.select(F.size("embedding").alias("d")).first()
-    if first is None:
-        raise InvalidArgumentError("random_projection over zero vectors")
-    dim_in = int(first["d"])
+        # memoized dim probe (r15, guide §5.4): the per-call first()
+        # probe rode a full-scan action. A spread of the GEMM input was
+        # measured and REJECTED (min wall 0.39 -> 0.56 s: the numpy
+        # GEMM over the whole fixture is faster on one task than 32
+        # worker batch setups + the ramp exchange).
+        emb0 = query_embedding(spark, sf_dir, 0)
+        if emb0 is None:
+            first = embs.select(F.size("embedding").alias("d")).first()
+            if first is None:
+                raise InvalidArgumentError("random_projection over zero vectors")
+            dim_in = int(first["d"])
+        else:
+            dim_in = len(emb0)
+    else:
+        first = embs.select(F.size("embedding").alias("d")).first()
+        if first is None:
+            raise InvalidArgumentError("random_projection over zero vectors")
+        dim_in = int(first["d"])
     if not (0 < dim_out <= dim_in):
         raise InvalidArgumentError(
             f"dim_out must be in (0, {dim_in}], got {dim_out}"
@@ -987,7 +1005,7 @@ def hybrid_search_rrf(
 
     docs = spread_scan(
         spark,
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        read_parquet_cached(spark, f"{sf_dir}/documents.parquet").select(
             "doc_id", "text"
         ),
         key_path=f"{sf_dir}/documents.parquet",

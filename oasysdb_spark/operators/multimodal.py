@@ -26,6 +26,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from oasysdb_spark.sources.tables import read_parquet_cached
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
@@ -753,7 +755,7 @@ def synthesize_ppm_media_from_documents(spark, sf_dir: str) -> DataFrame:
             out.append(encode_ppm(np.frombuffer(payload, np.uint8).reshape(h, 16, 3)))
         return pd.Series(out)
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
     return docs.select(
         F.col("doc_id").alias("media_id"),
         _ppm(F.col("text")).alias("content"),
@@ -811,7 +813,7 @@ def synthesize_media_from_documents(spark, sf_dir: str) -> DataFrame:
     """Deterministic fake media table built from the documents fixture
     (utf-8 text bytes standing in for encoded media) — gives the
     multimodal pipeline a reproducible input in any environment."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("content"),
@@ -1467,7 +1469,7 @@ def synthesize_y4m_media_from_documents(spark, sf_dir: str) -> DataFrame:
             out.append(encode_y4m(frames, fps=(30, 1), colorspace="420"))
         return pd.Series(out)
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
     return docs.select(
         F.col("doc_id").alias("media_id"),
         _y4m(F.col("text")).alias("content"),

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from oasysdb_spark.sources.tables import read_parquet_cached
+
 from oasysdb_spark.functions.vectors import sqeuclidean
 
 
@@ -48,7 +50,7 @@ def knn_join_blocked(
 ) -> DataFrame:
     """For each of the first ``max_left`` vectors: its top-k nearest
     neighbors sharing the same label (exact within the block)."""
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    embs = read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
     left = embs.where(F.col("vec_id") < max_left).alias("a")
     right = embs.alias("b")
     pairs = left.join(
@@ -286,7 +288,7 @@ def customer_fuzzy_matches(
     only). The DuckDB oracle runs the QUADRATIC levenshtein join, so
     the two engines find the same pairs by genuinely different
     algorithms."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = read_parquet_cached(spark, f"{sf_dir}/customer.parquet")
     pairs = edit_distance_pairs(cust, col="c_name", max_dist=1)
     return pairs.orderBy("name_a", "name_b").limit(top_n)
 

@@ -10,6 +10,8 @@ import pandas as pd  # module-level: pandas-UDF type hints resolve in module glo
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from oasysdb_spark.sources.tables import read_parquet_cached
+
 from oasysdb_spark.functions.hashing import hash64
 
 from oasysdb_spark.functions.text import (
@@ -26,7 +28,7 @@ from oasysdb_spark.functions.text import (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
 
 
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -55,6 +55,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from oasysdb_spark.sources.tables import read_parquet_cached
+
 from oasysdb_spark.functions.text import TOKEN_RE
 from oasysdb_spark.session import free_local_checkpoint
 
@@ -528,7 +530,7 @@ def tokenize_and_shard(
     from oasysdb_spark.functions.hashing import hash64
 
     if docs is None:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
     # trainer AND vocab builder read the pretoken table: cache it so the
     # corpus-scale aggregation executes once
     counts = pretoken_counts(docs).cache()
@@ -577,7 +579,7 @@ def tokenizer_stats(
     a pure function of the corpus. ``docs`` overrides the fixture read
     (any frame with text + source columns)."""
     if docs is None:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
     merges = bpe_train(
         pretoken_counts(docs), n_merges=n_merges, min_count=min_count
     )

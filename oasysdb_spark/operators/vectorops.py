@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from oasysdb_spark.sources.tables import read_parquet_cached
+
 from oasysdb_spark.functions.vectors import (
     const_distance,
     distance_expr,
@@ -29,7 +31,7 @@ from oasysdb_spark.functions.vectors import (
 
 
 def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return read_parquet_cached(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def round_dist(c, scale: int = 6):
@@ -235,11 +237,18 @@ def knn_batched(
     retrieve their top-k neighbors (excluding self). Broadcast queries ×
     window top-k — the distributed analog of running the reference's query
     loop once per request, amortized into one job."""
+    from oasysdb_spark.sources.tables import spread_scan
+
     embs = load_embeddings(spark, sf_dir)
+    # the tiny query side reads the raw scan; the corpus side of the
+    # broadcast fan-out is spread (r15, guide §2.1): the distance stage
+    # otherwise runs on the single-split fixture scan's one task.
+    # Single consumer, conditional no-op at real split counts.
     queries = embs.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    pairs = embs.crossJoin(F.broadcast(queries)).where(
+    big = spread_scan(spark, embs, key_path=f"{sf_dir}/embeddings.parquet")
+    pairs = big.crossJoin(F.broadcast(queries)).where(
         F.col("vec_id") != F.col("query_id")
     )
     dist = distance_expr(metric, F.col("qvec"), F.col("embedding"))
@@ -266,13 +275,18 @@ def hard_negative_mining(
     from oasysdb_spark.functions.vectors import distance_expr
     from oasysdb_spark.operators.vectorops import load_embeddings, round_dist
 
+    from oasysdb_spark.sources.tables import spread_scan
+
     embs = load_embeddings(spark, sf_dir)
+    # same shape as knn_batched (r15): tiny query side off the raw
+    # scan, corpus side of the broadcast fan-out spread conditionally
     queries = embs.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
         F.col("label").alias("qlabel"),
     )
-    pairs = embs.crossJoin(F.broadcast(queries)).where(
+    big = spread_scan(spark, embs, key_path=f"{sf_dir}/embeddings.parquet")
+    pairs = big.crossJoin(F.broadcast(queries)).where(
         (F.col("vec_id") != F.col("query_id"))
         & (F.col("label") != F.col("qlabel"))
     )
