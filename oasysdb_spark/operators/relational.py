@@ -1137,17 +1137,15 @@ def percentile_stats(
     2x under the ObjectHashAggregate, which measured 3-4x slower at
     sf0.1 than this two-branch plan.
 
-    The percentile branch's input is spread (r15, guide §2.1): the
-    local fixture scan plans ~3 splits, so the partial percentile
-    buffering (decode + cast + collect into ObjectHashAggregate state)
-    ran on 3 of 32 cores. The spread exchange carries only the three
-    projected columns and is a conditional no-op at real-table split
-    counts; the exact percentile sorts its buffered values internally,
-    so partitioning cannot change the result. The distinct branch stays
-    on the raw scan (its partial aggregate collapses to (flag, partkey)
-    pairs immediately — an exchange would cost more than it saves)."""
-    from oasysdb_spark.sources.tables import spread_scan
-
+    A spread of the percentile branch was measured TWICE and reverted
+    (r15): it won at sf0.1 (min wall 1.94 -> 1.70 — the 3-split fixture
+    scan left 29 cores idle) but LOST at sf1 (2.7 -> 3.3 s: ten
+    under-split files still trip the ramp there, and the exchange now
+    carries 6M rows while the per-row work is only decimal casts —
+    unlike the tokenize/UDF spreads, a compute-light aggregate never
+    pays for its own exchange once the input grows). The scale-first
+    call is no exchange: both branches read the pruned 3-column scan
+    directly."""
     li = _t(spark, sf_dir, "lineitem")
     # percentiles interpolate INTEGER cents (o/l prices are 2dp), so
     # midpoints land on exactly-representable halves; display divides
@@ -1166,12 +1164,7 @@ def percentile_stats(
             F.round(c * 10000).cast("bigint") / F.lit(1e6), 6
         )
 
-    pct_src = spread_scan(
-        spark,
-        li.select("l_returnflag", "l_extendedprice", "l_quantity"),
-        key_path=f"{sf_dir}/lineitem.parquet",
-    )
-    pct = pct_src.groupBy("l_returnflag").agg(
+    pct = li.groupBy("l_returnflag").agg(
         _cents_disp(pcts[0]).alias("price_med"),
         _cents_disp(pcts[1]).alias("price_p90"),
         _cents_disp(pcts[2]).alias("price_p99"),

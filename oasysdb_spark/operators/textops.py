@@ -70,17 +70,13 @@ def quality_rules(text_col, toks) -> "F.Column":
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality metrics: length, token stats, punctuation /
     stopword / uniqueness ratios, and a composite quality bucket."""
-    from oasysdb_spark.sources.tables import spread_scan
-
-    # spread load (r15, guide §2.1): the per-doc ratio expressions ran
-    # on the single-split fixture scan's ONE task; single consumer, so
-    # the conditional exchange runs exactly once — and never at real
-    # corpus split counts. Per-row deterministic arithmetic.
-    docs = spread_scan(
-        spark,
-        _docs(spark, sf_dir).select("doc_id", "text"),
-        key_path=f"{sf_dir}/documents.parquet",
-    )
+    # (r15) a spread load here was measured at TWO scales and reverted:
+    # it won at sf0.1 (0.83 -> 0.68 min wall) but lost at sf1 (2.90 ->
+    # 3.09 min, interleaved A/B) — the per-doc ratio EXPRESSIONS are
+    # too light per byte to pay for the ramp exchange once the input
+    # grows, unlike the Arrow-UDF pass in repetition_stats (its sf1
+    # A/B won 1.39 -> 1.00 and its spread stays).
+    docs = _docs(spark, sf_dir)
     toks = tokens(F.col("text"))
     # every ratio is per-row int/int; displays use the scale-0 rounding
     # form (r10 migration of the legacy round(double, 6) sites)

@@ -56,29 +56,17 @@ _EMB_PROBE_MEMO: dict = {}
 
 
 def _embeddings_sig(sf_dir: str):
-    """Best-effort signature (path + mtime_ns + size of every part) of
-    the local embeddings fixture; ``None`` disables memoization for
+    """Best-effort signature of the local embeddings fixture (shared
+    ``_local_files_sig`` machinery); ``None`` disables memoization for
     non-local or unreadable paths, so callers fall back to a fresh
     probe. A rewritten fixture at the same path changes mtime/size and
     misses the memo — the guard that keeps the in-process memo safe for
     tests that overwrite tmp fixtures."""
     import os
 
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        if os.path.isfile(path):
-            st = os.stat(path)
-            return (os.path.abspath(path), st.st_mtime_ns, st.st_size)
-        if os.path.isdir(path):
-            entries = []
-            with os.scandir(path) as it:
-                for e in it:
-                    st = e.stat()
-                    entries.append((e.name, st.st_mtime_ns, st.st_size))
-            return (os.path.abspath(path), tuple(sorted(entries)))
-    except OSError:
-        return None
-    return None
+    from oasysdb_spark.sources.tables import _local_files_sig
+
+    return _local_files_sig(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def query_embedding(
