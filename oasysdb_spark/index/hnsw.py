@@ -900,13 +900,11 @@ def hnsw_knn(
     Pass ``graph_df`` to reuse a prebuilt (cached/persisted) graph —
     steady state: build once at ingest, query many times."""
     from oasysdb_spark.functions.vectors import const_distance
-    from oasysdb_spark.operators.vectorops import load_embeddings, round_dist
+    from oasysdb_spark.operators.vectorops import load_embeddings, query_embedding, round_dist
 
     embs = load_embeddings(spark, sf_dir)
     if graph_df is None:
         graph_df = build_hnsw_shards(spark, sf_dir, shards=shards)
-    from oasysdb_spark.operators.vectorops import query_embedding
-
     qvec = query_embedding(spark, sf_dir, query_vec_id)
     if qvec is None:
         raise InvalidArgumentError(f"query vec_id {query_vec_id} not found")

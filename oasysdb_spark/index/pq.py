@@ -485,7 +485,7 @@ def pq_knn(
     Pass ``codes_df``/``codebooks`` to reuse a prebuilt encode (the
     steady-state shape: encode once at ingest, query many times)."""
     from oasysdb_spark.functions.vectors import const_distance
-    from oasysdb_spark.operators.vectorops import load_embeddings, round_dist
+    from oasysdb_spark.operators.vectorops import load_embeddings, query_embedding, round_dist
 
     embs = load_embeddings(spark, sf_dir)
     if codebooks is None:
@@ -494,8 +494,6 @@ def pq_knn(
         )
     if codes_df is None:
         codes_df = encode(embs, codebooks).cache()
-    from oasysdb_spark.operators.vectorops import query_embedding
-
     qvec = query_embedding(spark, sf_dir, query_vec_id)
     if qvec is None:
         raise InvalidArgumentError(f"query vec_id {query_vec_id} not found")
@@ -537,7 +535,7 @@ def opq_knn(
     no-op case — so the recall gate reuses PQ's bar and the
     MSE-improvement gate runs on correlated synthetic data)."""
     from oasysdb_spark.functions.vectors import const_distance
-    from oasysdb_spark.operators.vectorops import load_embeddings, round_dist
+    from oasysdb_spark.operators.vectorops import load_embeddings, query_embedding, round_dist
 
     embs = load_embeddings(spark, sf_dir)
     if opq is None:
@@ -547,8 +545,6 @@ def opq_knn(
     rot, books = opq
     if codes_df is None:
         codes_df = encode(embs, books, rotation=rot).cache()
-    from oasysdb_spark.operators.vectorops import query_embedding
-
     _q = query_embedding(spark, sf_dir, query_vec_id)
     if _q is None:
         raise InvalidArgumentError(f"query vec_id {query_vec_id} not found")
@@ -658,7 +654,11 @@ def ivfpq_knn(
     :func:`build_ivfpq` to reuse a prebuilt layout (the steady-state
     serving shape)."""
     from oasysdb_spark.functions.vectors import const_distance
-    from oasysdb_spark.operators.vectorops import load_embeddings, round_dist
+    from oasysdb_spark.operators.vectorops import (
+        load_embeddings,
+        query_embedding,
+        round_dist,
+    )
 
     prebuilt = (codes_df is not None, centroids is not None, codebooks is not None)
     if any(prebuilt) and not all(prebuilt):
@@ -674,8 +674,6 @@ def ivfpq_knn(
             spark, sf_dir, n_clusters=n_clusters, m=m, nbits=nbits, seed=seed
         )
     embs = load_embeddings(spark, sf_dir)
-    from oasysdb_spark.operators.vectorops import query_embedding
-
     _q = query_embedding(spark, sf_dir, query_vec_id)
     if _q is None:
         raise InvalidArgumentError(f"query vec_id {query_vec_id} not found")

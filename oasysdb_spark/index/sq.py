@@ -130,15 +130,13 @@ def sq_knn(
     Pass ``codes_df``/``model`` to reuse a prebuilt encode (steady
     state: encode once at ingest, query many times)."""
     from oasysdb_spark.functions.vectors import const_distance
-    from oasysdb_spark.operators.vectorops import load_embeddings, round_dist
+    from oasysdb_spark.operators.vectorops import load_embeddings, query_embedding, round_dist
 
     embs = load_embeddings(spark, sf_dir)
     if model is None:
         model = fit_sq(embs)
     if codes_df is None:
         codes_df = encode_sq(embs, model)
-    from oasysdb_spark.operators.vectorops import query_embedding
-
     qvec = query_embedding(spark, sf_dir, query_vec_id)
     if qvec is None:
         raise InvalidArgumentError(f"query vec_id {query_vec_id} not found")

@@ -796,24 +796,20 @@ def random_projection(
     from oasysdb_spark.errors import InvalidArgumentError
     from oasysdb_spark.operators.vectorops import load_embeddings
 
+    # memoized dim probe on the fixture path (r15, guide §5.4): the
+    # per-call first() rode a full-scan action. A spread of the GEMM
+    # input was measured and REJECTED (min wall 0.39 -> 0.56 s: the
+    # numpy GEMM over the whole fixture is faster on one task than 32
+    # worker batch setups + the ramp exchange).
+    dim_in = None
     if embs is None:
         from oasysdb_spark.operators.vectorops import query_embedding
 
         embs = load_embeddings(spark, sf_dir)
-        # memoized dim probe (r15, guide §5.4): the per-call first()
-        # probe rode a full-scan action. A spread of the GEMM input was
-        # measured and REJECTED (min wall 0.39 -> 0.56 s: the numpy
-        # GEMM over the whole fixture is faster on one task than 32
-        # worker batch setups + the ramp exchange).
         emb0 = query_embedding(spark, sf_dir, 0)
-        if emb0 is None:
-            first = embs.select(F.size("embedding").alias("d")).first()
-            if first is None:
-                raise InvalidArgumentError("random_projection over zero vectors")
-            dim_in = int(first["d"])
-        else:
+        if emb0 is not None:
             dim_in = len(emb0)
-    else:
+    if dim_in is None:
         first = embs.select(F.size("embedding").alias("d")).first()
         if first is None:
             raise InvalidArgumentError("random_projection over zero vectors")

@@ -84,33 +84,41 @@ def query_embedding(
     only this input fetch is amortized, and the mtime+size signature
     makes a rewritten fixture miss."""
     sig = _embeddings_sig(sf_dir)
-    key = (sig, int(query_vec_id))
-    if sig is not None and key in _EMB_PROBE_MEMO:
-        return _EMB_PROBE_MEMO[key]
+    if sig is not None:
+        # abspath-keyed, signature in the value (rewrites replace, not
+        # accumulate); stored as a TUPLE and returned as a fresh list
+        # so a caller that mutates its query vector in place cannot
+        # corrupt the memo (r15 review)
+        key = (sig[0], int(query_vec_id))
+        hit = _EMB_PROBE_MEMO.get(key)
+        if hit is not None and hit[0] == sig:
+            return None if hit[1] is None else list(hit[1])
     row = (
         load_embeddings(spark, sf_dir)
         .where(F.col("vec_id") == query_vec_id)
         .select("embedding")
         .first()
     )
-    val = None if row is None else [float(x) for x in row["embedding"]]
+    val = None if row is None else tuple(float(x) for x in row["embedding"])
     if sig is not None:
-        _EMB_PROBE_MEMO[key] = val
-    return val
+        _EMB_PROBE_MEMO[key] = (sig, val)
+    return None if val is None else list(val)
 
 
 def embedding_dim(spark: SparkSession, sf_dir: str) -> int:
     """Dimension of the embeddings fixture (any row), memoized with the
     same file-signature guard as :func:`query_embedding`."""
     sig = _embeddings_sig(sf_dir)
-    key = (sig, "__dim__")
-    if sig is not None and key in _EMB_PROBE_MEMO:
-        return _EMB_PROBE_MEMO[key]
+    if sig is not None:
+        key = (sig[0], "__dim__")
+        hit = _EMB_PROBE_MEMO.get(key)
+        if hit is not None and hit[0] == sig:
+            return hit[1]
     dim = len(
         load_embeddings(spark, sf_dir).select("embedding").first()["embedding"]
     )
     if sig is not None:
-        _EMB_PROBE_MEMO[key] = dim
+        _EMB_PROBE_MEMO[key] = (sig, dim)
     return dim
 
 

@@ -32,11 +32,17 @@ def read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
     sig = _local_files_sig(path)
     if sig is None:
         return spark.read.parquet(path)
-    key = (spark.sparkContext.applicationId, sig)
-    df = _READ_MEMO.get(key)
-    if df is None:
-        df = spark.read.parquet(path)
-        _READ_MEMO[key] = df
+    # keyed by the SESSION object, not the applicationId (r15 review: a
+    # newSession() shares the appId but carries its own confs, and a
+    # frame is bound to the session that created it), and by abspath
+    # with the signature stored in the VALUE — a rewritten path
+    # replaces its entry instead of accumulating one per version.
+    key = (spark, sig[0])
+    hit = _READ_MEMO.get(key)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    df = spark.read.parquet(path)
+    _READ_MEMO[key] = (sig, df)
     return df
 
 
@@ -59,7 +65,11 @@ _SPREAD_MEMO: dict = {}
 
 def _local_files_sig(path: str):
     """mtime_ns+size signature of a local parquet file/dir, or None
-    (non-local/unreadable → memoization disabled)."""
+    (non-local/unreadable → memoization disabled). Directories are
+    walked RECURSIVELY (r15 review: a partitioned layout's leaf rewrite
+    updates only the leaf directory's mtime, so a top-level-only scan
+    would return a stale signature and serve a memoized frame over a
+    changed dataset)."""
     import os
 
     try:
@@ -68,10 +78,11 @@ def _local_files_sig(path: str):
             return (os.path.abspath(path), st.st_mtime_ns, st.st_size)
         if os.path.isdir(path):
             entries = []
-            with os.scandir(path) as it:
-                for e in it:
-                    st = e.stat()
-                    entries.append((e.name, st.st_mtime_ns, st.st_size))
+            for root, _dirs, files in os.walk(path):
+                rel = os.path.relpath(root, path)
+                for name in files:
+                    st = os.stat(os.path.join(root, name))
+                    entries.append((rel, name, st.st_mtime_ns, st.st_size))
             return (os.path.abspath(path), tuple(sorted(entries)))
     except OSError:
         return None
@@ -107,19 +118,24 @@ def spread_scan(
     probe. The mtime_ns+size signature makes a rewritten path miss."""
     par = spark.sparkContext.defaultParallelism
     memo_key = None
+    sig = None
     if key_path is not None:
         sig = _local_files_sig(key_path)
         if sig is not None:
-            memo_key = (sig, par)
-            n = _SPREAD_MEMO.get(memo_key)
-            if n is not None:
+            # abspath-keyed with the signature in the value (r15
+            # review): a rewritten path replaces its entry rather than
+            # growing the memo one entry per version
+            memo_key = (sig[0], par)
+            hit = _SPREAD_MEMO.get(memo_key)
+            if hit is not None and hit[0] == sig:
+                n = hit[1]
                 return df.repartition(par) if n < par else df
     try:
         n = df.rdd.getNumPartitions()
     except Exception:
         return df
     if memo_key is not None:
-        _SPREAD_MEMO[memo_key] = n
+        _SPREAD_MEMO[memo_key] = (sig, n)
     if n < par:
         return df.repartition(par)
     return df

@@ -2127,10 +2127,11 @@ def test_spread_scan_memo_tracks_file_signature(spark, tmp_path):
     df = spark.read.parquet(path)
     fresh = tables_mod.spread_scan(spark, df)
     sig = tables_mod._local_files_sig(path)
-    assert sig is not None and (sig, par) not in tables_mod._SPREAD_MEMO
+    key = (sig[0], par)  # abspath-keyed; the signature lives in the value
+    assert sig is not None and key not in tables_mod._SPREAD_MEMO
 
     keyed = tables_mod.spread_scan(spark, df, key_path=path)
-    assert (sig, par) in tables_mod._SPREAD_MEMO
+    assert tables_mod._SPREAD_MEMO[key][0] == sig
     # memoized decision == fresh probe decision (both spread a 1-split
     # local file when the session has more cores)
     assert keyed.rdd.getNumPartitions() == fresh.rdd.getNumPartitions()
@@ -2146,7 +2147,8 @@ def test_spread_scan_memo_tracks_file_signature(spark, tmp_path):
     ).repartition(par + 8).write.mode("overwrite").parquet(path)
     sig2 = tables_mod._local_files_sig(path)
     assert sig2 != sig
+    # same abspath -> the rewrite REPLACES the entry (bounded memo)
     df2 = spark.read.parquet(path)
     spread2 = tables_mod.spread_scan(spark, df2, key_path=path)
-    assert (sig2, par) in tables_mod._SPREAD_MEMO
+    assert tables_mod._SPREAD_MEMO[key][0] == sig2
     assert spread2.rdd.getNumPartitions() == df2.rdd.getNumPartitions()
