@@ -443,24 +443,18 @@ def exact_then_near_dedup(
 
     from oasysdb_spark.operators.dedup import dedup_components
 
-    if scored.is_cached:
-        # populate the observed input's cache in this single-branch pass
-        # BEFORE the checkpoint job below fans out over it: its groupBy
-        # and join-probe branches materialize as concurrent stages, and
-        # on a multi-executor cluster each can recompute a cold cached
-        # partition on a different executor, double-firing any
-        # CollectMetrics accumulators riding below the cache boundary
-        # (the callers' n_clean / n_scrubbed observe() counts). local[*]
-        # deduplicates the computation via per-block locks so the bench
-        # and oracle never see the race — this is the cluster-correctness
-        # guard (r15 review), and the scan is work the first branch paid
-        # anyway; only the job boundary is new.
-        scored.count()
     obs_exact = Observation()
     obs_final = Observation()
-    keep_exact = (
-        scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-    )
+    # min-doc_id-per-fingerprint as ONE window over a single read of
+    # ``scored`` (r16, guide §2.4 — the r15 shape was a groupBy-min +
+    # equi-join-back that read ``scored`` twice through three exchanges,
+    # and its two concurrent branch stages needed a dedicated populate
+    # count() whenever the input was cached, to keep cluster runs from
+    # double-firing the callers' observe() counters riding below the
+    # cache; the single linear lineage removes both the extra pass and
+    # the race, so the guard job is gone too). Equivalence: doc_id is
+    # unique, so rank-1-by-doc_id within fp IS the min-doc_id row.
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
     # eager localCheckpoint, not cache (r15, guide §7.3/§5): this frame
     # is the FAN-OUT HUB — the MinHash signatures, the representative
     # pick and the survivors join all read it — and a cache keeps the
@@ -470,7 +464,9 @@ def exact_then_near_dedup(
     # checkpoint truncates downstream plans to a LogicalRDD leaf; the
     # observation fires on the checkpoint's own materialization job.
     exact_unique = (
-        scored.join(keep_exact, "doc_id")
+        scored.withColumn("_rn", F.row_number().over(w_fp))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
         .observe(obs_exact, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
@@ -597,13 +593,17 @@ def prepare_training_corpus(
     _sc.setJobDescription("ptc: score+mine boilerplate")
     _, boiler = _mine_boilerplate(rep_kept, boiler_top_n)
     obs_scrub = Observation()
+    # NOT cached (r16): the window-based exact dedup inside
+    # exact_then_near_dedup reads this exactly once, so a cache would be
+    # a third full text materialization (after rep_kept's cache and the
+    # exact_unique checkpoint) with no second reader; the row-local
+    # array_intersect filter recomputes off rep_kept's cache for free.
     scrubbed = (
         rep_kept.where(
             F.size(F.array_intersect(F.col("grams"), boiler)) < boiler_min_hits
         )
         .drop("grams")
         .observe(obs_scrub, F.count(F.lit(1)).alias("n"))
-        .cache()
     )
 
     # exact dedup: keep the min doc_id per fingerprint. The components
@@ -659,30 +659,30 @@ def prepare_training_corpus(
     # a long-lived session calling the pipeline repeatedly (the bench
     # does; an hourly curation job would) must not accumulate one set
     # of cached stage frames per call (r10 — the pipeline is now
-    # bench-tracked per round, which made the leak visible; r11 adds
-    # the two frames exact_then_near_dedup caches internally — they
-    # were missing from the release set; r15 — exact_unique is now an
-    # eager localCheckpoint, released via release_frame's checkpoint
-    # path)
-    for stage_df in (rep_kept, scrubbed, exact_unique, final):
+    # bench-tracked per round, which made the leak visible; r15 —
+    # exact_unique is an eager localCheckpoint, released via
+    # release_frame's checkpoint path; r16 — scrubbed is no longer
+    # cached at all, so only rep_kept / exact_unique / final retain)
+    for stage_df in (rep_kept, exact_unique, final):
         release_frame(stage_df)
 
-    return spark.createDataFrame(
-        [
-            (
-                n_raw,
-                n_clean,
-                n_rep,
-                n_scrubbed,
-                n_exact,
-                n_final,
-                seq_stats["n_sequences"],
-                int(seq_stats["total_tokens"] or 0),
-            )
-        ],
-        "n_raw bigint, n_clean bigint, n_rep_kept bigint, n_boiler_kept bigint, "
-        "n_exact_unique bigint, n_neardup_unique bigint, n_sequences bigint, "
-        "total_tokens bigint",
+    # one-row summary as a JVM-only literal projection over a
+    # single-partition range (r16): createDataFrame([...]) parallelizes
+    # the row across defaultParallelism pickled-Python slices, so the
+    # caller's action paid 32 Python-runner tasks (~0.3-1.8 s measured)
+    # to emit ONE row of driver-side literals
+    vals = [
+        ("n_raw", n_raw),
+        ("n_clean", n_clean),
+        ("n_rep_kept", n_rep),
+        ("n_boiler_kept", n_scrubbed),
+        ("n_exact_unique", n_exact),
+        ("n_neardup_unique", n_final),
+        ("n_sequences", int(seq_stats["n_sequences"])),
+        ("total_tokens", int(seq_stats["total_tokens"] or 0)),
+    ]
+    return spark.range(0, 1, 1, 1).select(
+        *[F.lit(v).cast("bigint").alias(k) for k, v in vals]
     )
 
 

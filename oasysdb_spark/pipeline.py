@@ -101,13 +101,16 @@ def _filter_and_dedup(
         clean = scored.where(F.col("q") >= min_quality)
         if lang is not None:
             clean = clean.where(F.col("pl") == lang)
-        clean = clean.observe(obs_clean, F.count(F.lit(1)).alias("n")).cache()
-        to_unpersist.append(clean)
+        # NOT cached (r16): exact_then_near_dedup's window-based exact
+        # dedup reads this exactly once into the exact_unique checkpoint,
+        # so a cache would materialize the scored text a second time
+        # with no second reader (obs_raw/obs_clean fire on that one pass)
+        clean = clean.observe(obs_clean, F.count(F.lit(1)).alias("n"))
 
         # the dedup-survivors stage shared verbatim with
         # textops.prepare_training_corpus — one definition, so the
         # pipeline entry points can never dedup differently. Its
-        # components fixpoint populates clean's cache, firing
+        # exact_unique checkpoint consumes clean in one pass, firing
         # obs_raw/obs_clean/obs_exact on the way.
         exact_unique, survivors, comps, obs_exact, obs_final = (
             exact_then_near_dedup(spark, clean, near_threshold)
