@@ -470,8 +470,20 @@ def exact_then_near_dedup(
         .observe(obs_exact, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    # spread the signature input (r16, guide §2.5 "input skew" class):
+    # AQE coalesces the fp-window exchange above to ~1 partition at
+    # fixture bytes, so the checkpoint hands the expensive MinHash
+    # signature UDF a SERIAL stage (profiled 0.69 s on one task at
+    # sf0.1; ~linear in corpus size). The probe is cheap here — the
+    # frame is a materialized LogicalRDD — and at corpus scale the
+    # post-AQE partition count already covers the cores, so no exchange
+    # is added.
+    from oasysdb_spark.sources.tables import spread_scan
+
     comps = dedup_components(
-        spark, threshold=near_threshold, docs=exact_unique.select("doc_id", "text")
+        spark,
+        threshold=near_threshold,
+        docs=spread_scan(spark, exact_unique.select("doc_id", "text")),
     )
     reps = (
         comps.join(exact_unique.select("doc_id", "bpe"), "doc_id")
