@@ -46,6 +46,7 @@ from oasysdb_spark.core.config import Parameters, QueryParameters, atomic_write_
 from oasysdb_spark.core.tables import VersionedTable
 from oasysdb_spark.filters import MapLayout, compile_filter
 from oasysdb_spark.functions.vectors import const_distance, distance_expr, to_f32
+from oasysdb_spark.session import tiny_df
 
 RECORD_SCHEMA = T.StructType(
     [
@@ -1276,9 +1277,7 @@ class Database:
         vec = self._validate_dim(vector)
         rid = record_id or str(uuid.uuid4())
         m_text, m_num, m_bool = split_metadata(metadata)
-        df = self.spark.createDataFrame(
-            [(rid, vec, m_text, m_num, m_bool)], RECORD_SCHEMA
-        )
+        df = tiny_df(self.spark, [(rid, vec, m_text, m_num, m_bool)], RECORD_SCHEMA)
         self.insert_batch(df)
         return rid
 
@@ -1424,7 +1423,7 @@ class Database:
             ids = [record_ids] if isinstance(record_ids, str) else list(record_ids)
             if not ids:
                 return
-            ids_df = self.spark.createDataFrame([(i,) for i in ids], "id string")
+            ids_df = tiny_df(self.spark, [(i,) for i in ids], "id string")
         current = self.records_df()
         if self.is_indexed():
             # IO is scoped to the clusters that actually hold the ids: find
@@ -1835,7 +1834,8 @@ class Database:
                     r = qarr - cmap[c]
                     return r if pq_rot is None else r @ pq_rot
 
-                tab_df = self.spark.createDataFrame(
+                tab_df = tiny_df(
+                    self.spark,
                     [
                         (
                             int(c),
@@ -1962,8 +1962,10 @@ class Database:
         if not isinstance(queries, DataFrame):
             vecs = [self._validate_dim(v) for v in queries]
             qvec_rows = list(enumerate(vecs))
-            queries = self.spark.createDataFrame(
-                qvec_rows, "query_id bigint, qvec array<double>"
+            # one slice, not defaultParallelism pickled slices (r16,
+            # guide §5 — the batch is broadcast-sized by contract)
+            queries = tiny_df(
+                self.spark, qvec_rows, "query_id bigint, qvec array<double>"
             )
         else:
             queries = queries.select(
@@ -2165,7 +2167,8 @@ class Database:
                                     [float(x) for x in adc_table(rq, books).ravel()],
                                 )
                             )
-                queries = self.spark.createDataFrame(
+                queries = tiny_df(
+                    self.spark,
                     pair_rows,
                     "query_id bigint, qvec array<double>, "
                     "cluster_id int, qtable array<double>",
@@ -2182,8 +2185,10 @@ class Database:
                     (qid, qv, [float(x) for x in adc_table(_rotq(qv), books).ravel()])
                     for qid, qv in qvec_rows
                 ]
-                queries = self.spark.createDataFrame(
-                    tabled, "query_id bigint, qvec array<double>, qtable array<double>"
+                queries = tiny_df(
+                    self.spark,
+                    tabled,
+                    "query_id bigint, qvec array<double>, qtable array<double>",
                 )
 
         if adc_k is not None and pq_residual:

@@ -686,9 +686,16 @@ def resident_candidates(
                         rows, columns=["query_id", "vec_id"]
                     )
 
-    shard_df = spark.createDataFrame(
-        [(s,) for s in range(int(shards))], "shard_id int"
-    ).repartition(int(shards), "shard_id")
+    # one JVM-built row per partition (r16, guide §5): the old
+    # createDataFrame([...]) parallelized the shard ints across
+    # defaultParallelism pickled-Python slices and the hash repartition
+    # both cost 32 Python/shuffle tasks per query batch to ship 8 ints;
+    # range(n, numPartitions=n) plans exactly one shard id per task with
+    # zero Python slices and no exchange, and the candidate SET is
+    # unchanged (every shard is still served exactly once).
+    shard_df = spark.range(0, int(shards), 1, int(shards)).select(
+        F.col("id").cast("int").alias("shard_id")
+    )
     return shard_df.mapInPandas(_serve, schema=out_schema)
 
 

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from oasysdb_spark.errors import InvalidArgumentError
+from oasysdb_spark.session import tiny_df
 
 
 def _records_with_vec(df: DataFrame) -> DataFrame:
@@ -395,8 +396,8 @@ def _argmin_assigner(spark, centroids: list[list[float]], metric: str):
 
 
 def _write_centroids(db, rows: list[tuple[int, list[float], int]]) -> None:
-    df = db.spark.createDataFrame(
-        rows, "cluster_id int, centroid array<double>, size bigint"
+    df = tiny_df(
+        db.spark, rows, "cluster_id int, centroid array<double>, size bigint"
     )
     db.centroids.write(df)
     db.invalidate_centroid_cache()

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from oasysdb_spark.errors import InvalidArgumentError
+from oasysdb_spark.session import tiny_df
 
 
 def fit_codebooks(
@@ -209,7 +210,8 @@ def residual_frame(
     ``zip_with`` against the broadcast-joined centroid table). ``df`` must
     carry ``cluster_id``; the joined ``__cent`` column is dropped."""
     spark = df.sparkSession
-    cent_df = spark.createDataFrame(
+    cent_df = tiny_df(
+        spark,
         [(int(c), [float(x) for x in v]) for c, v in centroid_rows],
         "cluster_id int, __cent array<double>",
     )
@@ -592,7 +594,8 @@ def build_ivfpq(
     embs = load_embeddings(spark, sf_dir)
     cents = fit_centroids(embs, k=n_clusters, seed=seed)
     assign = _argmin_assigner(spark, cents, "euclidean")
-    cent_df = spark.createDataFrame(
+    cent_df = tiny_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "cluster_id int, centroid array<double>",
     )
@@ -682,7 +685,8 @@ def ivfpq_knn(
     carr = np.asarray(centroids, dtype=np.float64)
     coarse = ((carr - qvec[None, :]) ** 2).sum(axis=1)
     probe_ids = [int(c) for c in np.argsort(coarse, kind="stable")[:probes]]
-    tab_df = spark.createDataFrame(
+    tab_df = tiny_df(
+        spark,
         [
             (c, [float(v) for v in adc_table(qvec - carr[c], codebooks).ravel()])
             for c in probe_ids

@@ -106,6 +106,23 @@ def get_spark(
     return spark
 
 
+def tiny_df(spark, rows, schema):
+    """Build a DataFrame from a SMALL driver-side row list as ONE slice.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the list across
+    ``defaultParallelism`` pickled-Python slices, so a broadcast-sized
+    table (a query batch, an ADC table, a centroid list) costs 32
+    Python-runner tasks per action on local[32] — measured ~0.2-0.5 s of
+    pure per-task startup per such frame in the ANN serving paths (r16,
+    guide §5: the driver/Python boundary should carry bytes, not pay
+    per-core task overhead for 8 rows). One slice keeps the identical
+    rows/schema with a single Python task; every caller broadcast-joins
+    the result, so partitioning is irrelevant downstream."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, numSlices=1), schema
+    )
+
+
 def free_local_checkpoint(df) -> None:
     """Release the executor-storage blocks behind a ``localCheckpoint``ed
     DataFrame. ``DataFrame.unpersist()`` is a NO-OP for checkpoint
