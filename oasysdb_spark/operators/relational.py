@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from oasysdb_spark.session import tiny_df
+
 from oasysdb_spark.functions.time import epoch_ms
 
 
@@ -506,7 +508,8 @@ def event_funnel(
     # even when no user performed it (zero events of the step types →
     # counts is empty, but the funnel's shape is |steps| rows with
     # n_users=0 — the oracle's UNION ALL form, r8 review finding)
-    steps_df = spark.createDataFrame(
+    steps_df = tiny_df(
+        spark,
         [(i + 1, s) for i, s in enumerate(steps)],
         "step bigint, step_name string",
     )

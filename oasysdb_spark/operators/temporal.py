@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from oasysdb_spark.session import tiny_df
+
 from oasysdb_spark.functions.time import epoch_ms
 from oasysdb_spark.sources.tables import load_table
 
@@ -125,7 +127,8 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality predicate. The dim is broadcast, so the physical plan is
     BroadcastNestedLoopJoin — correct at any fact-side scale."""
     orders = _t(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(
+    bands = tiny_df(
+        spark,
         [("low", 0.0, 75_000.0), ("mid", 75_000.0, 150_000.0), ("high", 150_000.0, 1e12)],
         "band string, lo double, hi double",
     )

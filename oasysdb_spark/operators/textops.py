@@ -2554,8 +2554,10 @@ def domain_mixture_sample(
         spark_rows = [
             (r["source"], int(r["src_tokens"]), ppm[r["source"]]) for r in rows
         ]
-        rates = spark.createDataFrame(
-            spark_rows, "source string, src_tokens bigint, keep_ppm bigint"
+        from oasysdb_spark.session import tiny_df
+
+        rates = tiny_df(
+            spark, spark_rows, "source string, src_tokens bigint, keep_ppm bigint"
         )
     keep = (
         hash64(F.col("doc_id").cast("string"), salt="mixture")

@@ -58,7 +58,7 @@ from pyspark.sql import functions as F
 from oasysdb_spark.sources.tables import read_parquet_cached
 
 from oasysdb_spark.functions.text import TOKEN_RE
-from oasysdb_spark.session import free_local_checkpoint
+from oasysdb_spark.session import free_local_checkpoint, tiny_df
 
 END_OF_WORD = "</w>"
 # compiled from the SAME constant functions/text.tokens splits on the
@@ -382,7 +382,8 @@ def bpe_train(
 def merges_df(spark: SparkSession, merges: list[tuple[str, str, int]]) -> DataFrame:
     """The learned merge table as a (rank, left, right, pair_count)
     frame — tiny by construction (≤ n_merges rows)."""
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "rank int, left string, right string, pair_count bigint",
     )
