@@ -3311,19 +3311,31 @@ def term_pmi_collocations(
     # the tokenize a second time per row in the pin's materialization
     # job. Token elements are never null, so the isNotNull drop removes
     # exactly the empty-array marker rows.
+    # the two scalar totals ride an observe() on the unigram pin's own
+    # materialization job (r16, guide §1.2/§5): the r15 shape ran a
+    # THIRD full corpus tokenize just to sum Nt/Np — identical integers
+    # are collected here as a free side effect of the pass the pin pays
+    # anyway, then enter the scoring expression as literals (the same
+    # exact-bigint operands the broadcast one-row aggregate carried).
+    from pyspark.sql import Observation
+
+    obs_tot = Observation()
     uni = (
-        tk.select(F.explode_outer("tk").alias("t"))
+        tk.observe(
+            obs_tot,
+            F.sum(F.size("tk")).cast("bigint").alias("nt"),
+            F.sum(F.greatest(F.size("tk") - 1, F.lit(0)))
+            .cast("bigint")
+            .alias("np_"),
+        )
+        .select(F.explode_outer("tk").alias("t"))
         .where(F.col("t").isNotNull())
         .groupBy("t")
         .agg(F.count("*").alias("c"))
         .localCheckpoint(eager=True)
     )
-    totals = tk.agg(
-        F.sum(F.size("tk")).cast("bigint").alias("nt"),
-        F.sum(F.greatest(F.size("tk") - 1, F.lit(0)))
-        .cast("bigint")
-        .alias("np_"),
-    )
+    nt_val = int(obs_tot.get["nt"] or 0)
+    np_val = int(obs_tot.get["np_"] or 0)
     w1 = F.split("bg", " ")[0]
     w2 = F.split("bg", " ")[1]
     scored = (
@@ -3332,7 +3344,8 @@ def term_pmi_collocations(
         .withColumn("w2", w2)
         .join(uni.select(F.col("t").alias("w1"), F.col("c").alias("c1")), "w1")
         .join(uni.select(F.col("t").alias("w2"), F.col("c").alias("c2")), "w2")
-        .crossJoin(F.broadcast(totals))
+        .withColumn("nt", F.lit(nt_val).cast("bigint"))
+        .withColumn("np_", F.lit(np_val).cast("bigint"))
     )
     # one double expression, mirrored term-for-term in the oracle:
     # (c12/Np) / ((c1/Nt)*(c2/Nt)), then ln/ln(2)
