@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from oasysdb_spark.session import tiny_df
+from oasysdb_spark.session import tiny_df, release_pins_with
 
 from oasysdb_spark.functions.time import epoch_ms
 
@@ -1241,18 +1241,21 @@ def skew_salted_user_join(spark: SparkSession, sf_dir: str, salts: int = 8) -> D
         salted_dim,
         (salted_fact.user_id == salted_dim.user_id) & (salted_fact.salt == salted_dim.salt),
     )
-    return (
-        j.groupBy("tier")
-        .agg(
-            F.count("*").cast("bigint").alias("n_events"),
-            F.countDistinct(salted_fact.user_id).cast("bigint").alias("n_users"),
-            # events.value is 2dp: exact cents sum, /100 at display
-            F.round(
-                F.sum(F.round(F.col("value") * 100).cast("bigint"))
-                / F.lit(100.0),
-                2,
-            ).alias("sum_value"),
-        )
+    return release_pins_with(
+        ((
+            j.groupBy("tier")
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.countDistinct(salted_fact.user_id).cast("bigint").alias("n_users"),
+                # events.value is 2dp: exact cents sum, /100 at display
+                F.round(
+                    F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                    / F.lit(100.0),
+                    2,
+                ).alias("sum_value"),
+            )
+        )),
+        counts,
     )
 
 
@@ -1364,31 +1367,34 @@ def join_key_skew_stats(
     top = per_key.orderBy(F.desc("key_rows"), F.asc(key)).limit(top_k)
     w = Window.orderBy(F.desc("key_rows"), F.asc(key))
     ranked = top.withColumn("rank", F.row_number().over(w).cast("bigint"))
-    return (
-        ranked.crossJoin(F.broadcast(stats))
-        .select(
-            "rank",
-            # display as STRING, not bigint: the key parameter is
-            # generic (any joinable column) — a bigint cast errors
-            # under ANSI mode / silently nulls on non-numeric keys
-            F.col(key).cast("string").alias("key_value"),
-            "key_rows",
-            F.round(
+    return release_pins_with(
+        ((
+            ranked.crossJoin(F.broadcast(stats))
+            .select(
+                "rank",
+                # display as STRING, not bigint: the key parameter is
+                # generic (any joinable column) — a bigint cast errors
+                # under ANSI mode / silently nulls on non-numeric keys
+                F.col(key).cast("string").alias("key_value"),
+                "key_rows",
                 F.round(
-                    F.col("key_rows") / F.col("n_rows") * 1e6
-                ).cast("bigint")
-                / 1e6,
-                6,
-            ).alias("key_frac"),
-            "n_rows",
-            "n_keys",
-            "max_key_rows",
-            "p50_key_rows",
-            "p99_key_rows",
-            "entropy_bits",
-            "uniform_bits",
-        )
-        .orderBy("rank")
+                    F.round(
+                        F.col("key_rows") / F.col("n_rows") * 1e6
+                    ).cast("bigint")
+                    / 1e6,
+                    6,
+                ).alias("key_frac"),
+                "n_rows",
+                "n_keys",
+                "max_key_rows",
+                "p50_key_rows",
+                "p99_key_rows",
+                "entropy_bits",
+                "uniform_bits",
+            )
+            .orderBy("rank")
+        )),
+        per_key,
     )
 
 
@@ -1687,11 +1693,14 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = value.agg(
         _cents_disp(_dec_unit_sum(F.col("value"), 100)).alias("total")
     )
-    return (
-        value.join(F.broadcast(total))
-        .where(F.col("value") > 0.001 * F.col("total"))
-        .select(F.col("l_partkey").cast("bigint").alias("p_partkey"), "value")
-        .orderBy(F.desc("value"), "p_partkey")
+    return release_pins_with(
+        ((
+            value.join(F.broadcast(total))
+            .where(F.col("value") > 0.001 * F.col("total"))
+            .select(F.col("l_partkey").cast("bigint").alias("p_partkey"), "value")
+            .orderBy(F.desc("value"), "p_partkey")
+        )),
+        value,
     )
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from oasysdb_spark.sources.tables import read_parquet_cached
 
 from oasysdb_spark.functions.hashing import hash64
+from oasysdb_spark.session import release_pins_with
 
 from oasysdb_spark.functions.text import (
     doc_fingerprint,
@@ -2563,7 +2564,7 @@ def domain_mixture_sample(
         hash64(F.col("doc_id").cast("string"), salt="mixture")
         % F.lit(1_000_000)
     ) < F.col("keep_ppm")
-    return (
+    return release_pins_with(
         per_doc.join(F.broadcast(rates), "source")
         .select("source", "src_tokens", "keep_ppm", "bpe", keep.alias("keep"))
         .groupBy("source", "src_tokens", "keep_ppm")
@@ -2585,7 +2586,8 @@ def domain_mixture_sample(
                 / F.lit(1e6),
                 6,
             ).alias("realized_frac"),
-        )
+        ),
+        totals,
     )
 
 
@@ -2714,13 +2716,14 @@ def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # can flip between engines); /1e6 + round(,6) of the exact integer
     # sum is the documented no-op-safe display
     contrib_u6 = F.round(contrib * 1e6).cast("bigint")
-    return (
+    return release_pins_with(
         j.groupBy("source")
         .agg(
             F.first("n_s").cast("bigint").alias("n_tokens"),
             F.first("n_terms").cast("bigint").alias("n_terms"),
             F.round(F.sum(contrib_u6) / F.lit(1e6), 6).alias("kl_bits"),
-        )
+        ),
+        st,
     )
 
 
@@ -3025,14 +3028,15 @@ def source_length_drift(
         - F.col("le_all") / F.col("n_all").cast("double")
     )
     gap_u6 = F.round(gap * F.lit(1e6)).cast("bigint")
-    return (
+    return release_pins_with(
         per_sd.join(F.broadcast(corpus), "d")
         .groupBy("source")
         .agg(
             F.max("n_s").cast("bigint").alias("n_docs"),
             F.round(F.max(gap_u6) / F.lit(1e6), 6).alias("ks_stat"),
         )
-        .orderBy("source")
+        .orderBy("source"),
+        hist,
     )
 
 
@@ -3207,7 +3211,7 @@ def source_vocab_overlap_matrix(
         sa.crossJoin(sb)
         .where(F.col("source_a") < F.col("source_b"))
     )
-    return (
+    return release_pins_with(
         grid.join(F.broadcast(inter), ["source_a", "source_b"], "left")
         .select(
             "source_a",
@@ -3221,7 +3225,8 @@ def source_vocab_overlap_matrix(
                 6,
             ).alias("jaccard"),
         )
-        .orderBy("source_a", "source_b")
+        .orderBy("source_a", "source_b"),
+        ss_all,
     )
 
 
@@ -3367,7 +3372,7 @@ def term_pmi_collocations(
     rank_w = Window.orderBy(
         F.col("pmi_full").desc(), F.col("c12").desc(), F.col("bg")
     )
-    return (
+    return release_pins_with(
         top.select("*", F.row_number().over(rank_w).alias("rank"))
         .select(
             F.col("rank").cast("bigint").alias("rank"),
@@ -3378,7 +3383,8 @@ def term_pmi_collocations(
                 6,
             ).alias("pmi"),
         )
-        .orderBy("rank")
+        .orderBy("rank"),
+        uni,
     )
 
 

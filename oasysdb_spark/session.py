@@ -148,6 +148,29 @@ def free_local_checkpoint(df) -> None:
         pass
 
 
+def release_pins_with(result_df, *pins):
+    """Tie intermediate pinned frames (eager localCheckpoints / caches)
+    to the RESULT frame's Python lifetime: when the caller's last
+    reference to ``result_df`` is collected, every pin's executor blocks
+    are released deterministically (r16 — the single-shot audit queries
+    pinned a key/vocab-bounded table per call and relied on JVM GC +
+    ContextCleaner to reclaim it *eventually*; a long-lived serving
+    session issuing thousands of audit calls accumulated pinned blocks
+    in the block manager meanwhile).
+
+    Contract: the pins back ``result_df``'s own plan, so a frame DERIVED
+    from the result (``result.where(...)``) must not outlive the result
+    object it came from — the checkpoint lineage is truncated once the
+    parent is collected. The intended single-shot use
+    (``fn(...).write/collect`` then drop) always satisfies this; callers
+    that keep deriving should hold the parent alive alongside."""
+    import weakref
+
+    for p in pins:
+        weakref.finalize(result_df, release_frame, p)
+    return result_df
+
+
 def release_frame(df) -> None:
     """Release a pipeline-stage frame whatever its retention class:
     ``unpersist()`` for CacheManager entries (no-op on checkpoints) plus
