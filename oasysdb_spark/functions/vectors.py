@@ -101,7 +101,11 @@ def _sql_double_array(vals) -> "str | None":
 
 
 def _sql_col_double(col: str) -> str:
-    return f"transform({col}, x_cd -> CAST(x_cd AS DOUBLE))"
+    # backtick-quoted identifier (r16, r15 ADVICE): every call site
+    # passes the default "embedding", but an unquoted interpolation
+    # would mis-parse a column name with spaces/specials
+    quoted = "`" + col.replace("`", "``") + "`"
+    return f"transform({quoted}, x_cd -> CAST(x_cd AS DOUBLE))"
 
 
 def distance_expr_const(metric: str, vals, col: str) -> "Column | None":

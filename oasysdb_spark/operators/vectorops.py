@@ -53,6 +53,16 @@ def round_dist(c, scale: int = 6):
 
 
 _EMB_PROBE_MEMO: dict = {}
+# bound for the probe memo (r16, r15 ADVICE): a serving workload issuing
+# many DISTINCT query-input fetches must not grow the memo without limit;
+# simple FIFO eviction — the working set is a handful of fixture vectors.
+_EMB_PROBE_MEMO_MAX = 256
+
+
+def _emb_memo_put(key, value) -> None:
+    if len(_EMB_PROBE_MEMO) >= _EMB_PROBE_MEMO_MAX:
+        _EMB_PROBE_MEMO.pop(next(iter(_EMB_PROBE_MEMO)))
+    _EMB_PROBE_MEMO[key] = value
 
 
 def _embeddings_sig(sf_dir: str):
@@ -101,7 +111,7 @@ def query_embedding(
     )
     val = None if row is None else tuple(float(x) for x in row["embedding"])
     if sig is not None:
-        _EMB_PROBE_MEMO[key] = (sig, val)
+        _emb_memo_put(key, (sig, val))
     return None if val is None else list(val)
 
 
@@ -118,7 +128,7 @@ def embedding_dim(spark: SparkSession, sf_dir: str) -> int:
         load_embeddings(spark, sf_dir).select("embedding").first()["embedding"]
     )
     if sig is not None:
-        _EMB_PROBE_MEMO[key] = (sig, dim)
+        _emb_memo_put(key, (sig, dim))
     return dim
 
 

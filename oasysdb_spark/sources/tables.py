@@ -37,13 +37,38 @@ def read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
     # frame is bound to the session that created it), and by abspath
     # with the signature stored in the VALUE — a rewritten path
     # replaces its entry instead of accumulating one per version.
-    key = (spark, sig[0])
+    # The one READ-time conf a caller flips per table
+    # (nanosAsLong for the events fixture) is part of the key (r16,
+    # r15 ADVICE): whichever caller reads a conf-sensitive path first
+    # must not pin its frame shape for every later caller.
+    try:
+        nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    except Exception:
+        nanos = None
+    key = (spark, sig[0], nanos)
     hit = _READ_MEMO.get(key)
     if hit is not None and hit[0] == sig:
         return hit[1]
+    _purge_stopped_sessions()
     df = spark.read.parquet(path)
     _READ_MEMO[key] = (sig, df)
     return df
+
+
+def _purge_stopped_sessions() -> None:
+    """Drop memo buckets owned by stopped sessions (r16, r15 ADVICE:
+    the memo held strong references to stopped sessions' JVM-backed
+    plans forever in long-lived multi-session processes). Runs on memo
+    misses only — the memo is small (one entry per fixture table per
+    live session), so the sweep is a few attribute probes."""
+    for key in list(_READ_MEMO):
+        s = key[0]
+        try:
+            dead = s._sc._jsc is None or s._sc._jsc.sc().isStopped()
+        except Exception:
+            dead = True
+        if dead:
+            _READ_MEMO.pop(key, None)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -74,8 +99,14 @@ def _local_files_sig(path: str):
 
     try:
         if os.path.isfile(path):
+            # st_ino tightens the bare-file guard (r16, r15 ADVICE): on
+            # coarse-mtime filesystems a same-size in-place rewrite
+            # within one tick would otherwise serve a stale memo entry;
+            # a replace-style rewrite (the normal tool behavior) always
+            # changes the inode. Spark's own part files are unique-named
+            # so the directory branch never needed this.
             st = os.stat(path)
-            return (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+            return (os.path.abspath(path), st.st_mtime_ns, st.st_size, st.st_ino)
         if os.path.isdir(path):
             entries = []
             for root, _dirs, files in os.walk(path):
@@ -87,6 +118,59 @@ def _local_files_sig(path: str):
     except OSError:
         return None
     return None
+
+
+def _conf_bytes(spark: SparkSession, key: str, default: int) -> int:
+    """Read a byte-valued reader conf ('134217728b' / '128m' forms)."""
+    try:
+        v = spark.conf.get(key)
+    except Exception:
+        return default
+    if v is None:
+        return default
+    v = str(v).strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if v.endswith(suf):
+            v, mult = v[: -len(suf)], m
+            break
+    try:
+        return int(float(v) * mult)
+    except ValueError:
+        return default
+
+
+def _estimate_splits(
+    sizes: "list[int]", max_part: int, open_cost: int, min_pn: int
+) -> int:
+    """Replicate Spark's file-split planning (FilePartition's next-fit-
+    decreasing packing over maxSplitBytes-sized chunks) from file sizes
+    alone — pure driver-side arithmetic, no analysis pass. Validated
+    against ``df.rdd.getNumPartitions()`` across the fixture tables and
+    reader-conf variants (tests/test_sources.py pins the agreement)."""
+    if not sizes:
+        return 0
+    total = sum(s + open_cost for s in sizes)
+    max_split = min(max_part, max(open_cost, total // max(1, min_pn)))
+    max_split = max(1, max_split)
+    chunks: list[int] = []
+    for s in sizes:
+        while s > max_split:
+            chunks.append(max_split)
+            s -= max_split
+        if s > 0:
+            chunks.append(s)
+    chunks.sort(reverse=True)
+    n, cur = 0, 0
+    for c in chunks:
+        if cur + c > max_split and cur > 0:
+            n += 1
+            cur = 0
+        cur += c + open_cost
+    if cur > 0:
+        n += 1
+    return n
 
 
 def spread_scan(
@@ -109,33 +193,57 @@ def spread_scan(
     forbids payload-bearing exchanges outright.
 
     ``key_path``: the parquet path ``df`` is a plain scan/projection of.
-    When given (and local), the split-count probe — a full
-    analysis+planning pass via ``df.rdd``, ~40-70 ms of driver time per
-    call (r15 review note) — is memoized per (file signature,
-    parallelism): split planning depends only on the files, the reader
-    confs and the session parallelism, never on the projected columns
-    or pushed filters, so every projection of the same files shares one
-    probe. The mtime_ns+size signature makes a rewritten path miss."""
+    When given (and local), the split count is COMPUTED from the file
+    sizes with :func:`_estimate_splits` — pure driver arithmetic, no
+    analysis pass at all (r16; the r15 shape still paid a full
+    analysis+planning ``df.rdd`` probe, ~40-70 ms, on every memo miss).
+    Split planning depends only on the files, the reader split confs
+    and the parallelism floor, never on the projected columns or pushed
+    filters, so the count is memoized per (abspath, parallelism, split
+    confs) — the conf values are IN the key (r15 ADVICE: a session with
+    different reader confs must not be served a stale count) and the
+    mtime_ns+size signature in the value makes a rewritten path miss.
+    Paths without ``key_path`` (non-scan frames, e.g. a checkpointed
+    hub) keep the ``df.rdd`` probe fallback."""
     par = spark.sparkContext.defaultParallelism
-    memo_key = None
-    sig = None
     if key_path is not None:
         sig = _local_files_sig(key_path)
         if sig is not None:
+            max_part = _conf_bytes(
+                spark, "spark.sql.files.maxPartitionBytes", 128 << 20
+            )
+            open_cost = _conf_bytes(
+                spark, "spark.sql.files.openCostInBytes", 4 << 20
+            )
+            min_pn = _conf_bytes(spark, "spark.sql.files.minPartitionNum", 0)
+            if min_pn <= 0:
+                min_pn = _conf_bytes(
+                    spark, "spark.sql.leafNodeDefaultParallelism", 0
+                )
+            if min_pn <= 0:
+                min_pn = par
             # abspath-keyed with the signature in the value (r15
             # review): a rewritten path replaces its entry rather than
             # growing the memo one entry per version
-            memo_key = (sig[0], par)
+            memo_key = (sig[0], par, max_part, open_cost, min_pn)
             hit = _SPREAD_MEMO.get(memo_key)
             if hit is not None and hit[0] == sig:
                 n = hit[1]
-                return df.repartition(par) if n < par else df
+            else:
+                if isinstance(sig[1], tuple):  # directory listing
+                    # Spark's InMemoryFileIndex skips _metadata/.hidden
+                    sizes = [e[3] for e in sig[1]
+                             if e[1].endswith(".parquet")
+                             and not e[1].startswith(("_", "."))]
+                else:  # bare file: (abspath, mtime_ns, size, ino)
+                    sizes = [sig[2]]
+                n = _estimate_splits(sizes, max_part, open_cost, min_pn)
+                _SPREAD_MEMO[memo_key] = (sig, n)
+            return df.repartition(par) if n < par else df
     try:
         n = df.rdd.getNumPartitions()
     except Exception:
         return df
-    if memo_key is not None:
-        _SPREAD_MEMO[memo_key] = (sig, n)
     if n < par:
         return df.repartition(par)
     return df

@@ -2108,6 +2108,58 @@ def test_raw_id_literals_chunked_predicate_roundtrip(spark):
         assert dbmod._raw_id_literals(bad, ["1.5"]) is None
 
 
+def test_split_estimator_matches_spark_planning(spark, tmp_path):
+    """_estimate_splits (r16) replicates Spark's file-split planning —
+    the spread_scan probe is now pure driver arithmetic, so its count
+    must agree with df.rdd.getNumPartitions() across layouts (single
+    small file, many files, multi-split big files) and reader confs."""
+    from pyspark.sql import functions as F
+
+    from oasysdb_spark.sources import tables as tables_mod
+
+    par = spark.sparkContext.defaultParallelism
+
+    def est_vs_actual(path):
+        sig = tables_mod._local_files_sig(path)
+        mp = tables_mod._conf_bytes(
+            spark, "spark.sql.files.maxPartitionBytes", 128 << 20
+        )
+        oc = tables_mod._conf_bytes(
+            spark, "spark.sql.files.openCostInBytes", 4 << 20
+        )
+        sizes = [
+            e[3]
+            for e in sig[1]
+            if e[1].endswith(".parquet") and not e[1].startswith(("_", "."))
+        ]
+        est = tables_mod._estimate_splits(sizes, mp, oc, par)
+        return est, spark.read.parquet(path).rdd.getNumPartitions()
+
+    one = str(tmp_path / "one")
+    spark.range(1000).coalesce(1).write.parquet(one)
+    many = str(tmp_path / "many")
+    spark.range(200_000).select(
+        F.col("id"), F.lit("y" * 64).alias("pad")
+    ).repartition(par + 7).write.parquet(many)
+
+    for path in (one, many):
+        est, act = est_vs_actual(path)
+        assert est == act, (path, est, act)
+
+    # conf variant: small split size forces multi-chunk packing
+    old_mp = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_oc = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "64k")
+        spark.conf.set("spark.sql.files.openCostInBytes", "4k")
+        for path in (one, many):
+            est, act = est_vs_actual(path)
+            assert est == act, ("conf-variant", path, est, act)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mp)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_oc)
+
+
 def test_spread_scan_memo_tracks_file_signature(spark, tmp_path):
     """spread_scan's key_path memo (r15): the split-count probe is
     memoized per (file signature, parallelism), the memoized decision
@@ -2127,7 +2179,15 @@ def test_spread_scan_memo_tracks_file_signature(spark, tmp_path):
     df = spark.read.parquet(path)
     fresh = tables_mod.spread_scan(spark, df)
     sig = tables_mod._local_files_sig(path)
-    key = (sig[0], par)  # abspath-keyed; the signature lives in the value
+    # r16: the split confs are part of the key (a session with different
+    # reader confs must never be served a stale count — r15 ADVICE)
+    key = (
+        sig[0],
+        par,
+        tables_mod._conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 128 << 20),
+        tables_mod._conf_bytes(spark, "spark.sql.files.openCostInBytes", 4 << 20),
+        par,
+    )
     assert sig is not None and key not in tables_mod._SPREAD_MEMO
 
     keyed = tables_mod.spread_scan(spark, df, key_path=path)
