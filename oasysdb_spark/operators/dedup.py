@@ -30,12 +30,18 @@ from oasysdb_spark.functions.hashing import hash64
 from oasysdb_spark.functions.text import char_shingles, simhash32, tokens, word_shingles
 
 
-def load_documents(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+def load_documents(
+    spark: SparkSession, sf_dir: str, spread: "bool | str" = False
+) -> DataFrame:
     """Load the documents table. ``spread=True`` repartitions to the default
     parallelism: the fixture is a single small parquet file (= one input
     split = one task), which would serialize the compute-heavy row-local
     ops (md5 shingling, simhash bit loops). On a real corpus the file count
-    provides this parallelism for free."""
+    provides this parallelism for free. ``spread="rescue"`` only
+    repartitions a SEVERELY under-split scan (see spread_scan's
+    rescue_only — the r16 sf1 A/B class for tokenize/hash-weight
+    stages, which lose a payload exchange once the scan has moderate
+    parallelism)."""
     df = read_parquet_cached(spark, f"{sf_dir}/documents.parquet")
     if spread:
         # conditional (r15): only add the exchange when the scan really
@@ -44,7 +50,12 @@ def load_documents(spark: SparkSession, sf_dir: str, spread: bool = False) -> Da
         # full shuffle of the raw text for nothing
         from oasysdb_spark.sources.tables import spread_scan
 
-        df = spread_scan(spark, df, key_path=f"{sf_dir}/documents.parquet")
+        df = spread_scan(
+            spark,
+            df,
+            key_path=f"{sf_dir}/documents.parquet",
+            rescue_only=(spread == "rescue"),
+        )
     return df
 
 
@@ -1098,7 +1109,7 @@ def dedup_components(
         # the single-file fixture otherwise plans it onto ONE task (the
         # bench's minhash_lsh_pairs path already loads spread);
         # conditional no-op at corpus scale
-        docs = load_documents(spark, sf_dir, spread=True)
+        docs = load_documents(spark, sf_dir, spread="rescue")
     caches: list = []
     edges = minhash_candidate_edges(
         spark, sf_dir, threshold=threshold, docs=docs, _cache_out=caches

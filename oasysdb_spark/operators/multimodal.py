@@ -913,7 +913,7 @@ def synthesize_ppm16_with_near_copies(spark, sf_dir: str) -> DataFrame:
     # no-op at corpus scale
     from oasysdb_spark.operators.dedup import load_documents
 
-    docs = load_documents(spark, sf_dir, spread=True)
+    docs = load_documents(spark, sf_dir, spread="rescue")
     return docs.select("doc_id", "text").mapInPandas(
         _gen, schema="media_id long, content binary"
     )
@@ -1181,7 +1181,7 @@ def synthesize_wav_media_from_documents(spark, sf_dir: str) -> DataFrame:
     # no-op at corpus scale
     from oasysdb_spark.operators.dedup import load_documents
 
-    docs = load_documents(spark, sf_dir, spread=True)
+    docs = load_documents(spark, sf_dir, spread="rescue")
     return docs.select("doc_id", "text").mapInPandas(
         _gen, schema="media_id long, content binary"
     )

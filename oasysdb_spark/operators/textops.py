@@ -942,7 +942,7 @@ def boilerplate_scrub(
     # spread load (r15): the cached shingle table materializes under the
     # mining collect, and on the single-file fixture that tokenize+
     # shingle pass planned onto ONE task; conditional no-op at scale
-    docs = load_documents(spark, sf_dir, spread=True)
+    docs = load_documents(spark, sf_dir, spread="rescue")
     aug = F.concat(
         F.col("text"),
         F.when(
@@ -2409,7 +2409,7 @@ def ngram_decontaminate_stats(
     # spread load (r15): the 8-gram hashing is the op's dominant cost
     # and the single-file fixture otherwise plans it onto one task;
     # conditional no-op at corpus scale (spread_scan)
-    docs = load_documents(spark, sf_dir, spread=True)
+    docs = load_documents(spark, sf_dir, spread="rescue")
     aug_train = docs.where(F.col("doc_id") % 10 != 3).select(
         "doc_id",
         F.concat(
@@ -2447,7 +2447,7 @@ def ngram_contamination_report_stats(
     )
 
     # spread load (r15): same rationale as ngram_decontaminate_stats
-    docs = load_documents(spark, sf_dir, spread=True)
+    docs = load_documents(spark, sf_dir, spread="rescue")
     aug_train = docs.where(F.col("doc_id") % 10 != 3).select(
         "doc_id",
         F.concat(
@@ -2764,7 +2764,7 @@ def ngram_novelty_curve(
     from oasysdb_spark.operators.dedup import _token_ngram_hashes, load_documents
 
     if docs is None:
-        docs = load_documents(spark, sf_dir, spread=True)
+        docs = load_documents(spark, sf_dir, spread="rescue")
     bounds = docs.agg(F.max("doc_id").alias("_max_id"))
     sharded = docs.crossJoin(F.broadcast(bounds)).select(
         F.least(

@@ -174,7 +174,10 @@ def _estimate_splits(
 
 
 def spread_scan(
-    spark: SparkSession, df: DataFrame, key_path: "str | None" = None
+    spark: SparkSession,
+    df: DataFrame,
+    key_path: "str | None" = None,
+    rescue_only: bool = False,
 ) -> DataFrame:
     """Scale-adaptive parallelism for compute-heavy row-local stages
     (r15, guide §2.5 "input skew"): when a scan plans FEWER input splits
@@ -204,8 +207,23 @@ def spread_scan(
     different reader confs must not be served a stale count) and the
     mtime_ns+size signature in the value makes a rewritten path miss.
     Paths without ``key_path`` (non-scan frames, e.g. a checkpointed
-    hub) keep the ``df.rdd`` probe fallback."""
+    hub) keep the ``df.rdd`` probe fallback.
+
+    ``rescue_only``: repartition only when the scan is SEVERELY
+    under-split (n < parallelism/4, e.g. the single-file local fixture)
+    instead of whenever n < parallelism. The r16 sf1 interleaved A/Bs
+    split the spread sites into two empirical classes: embed/verify-class
+    stages (per-row cost ≳100 µs — chunk embedding, pairwise cosine)
+    win the payload exchange at ANY under-split ratio (sf1: 6.9→3.4 s,
+    6.0→2.4 s), but tokenize/hash-class stages (md5 shingles, dhash,
+    signature UDFs) LOSE it once the scan already has moderate
+    parallelism (sf1, 10 splits on 32 cores: novelty 2.1→2.6 s wall with
+    25→192 s summed executor time; components 4.5→5.0; dhash pairs
+    15.9→19.3) — the exchange + round-robin pre-sort of the raw payload
+    costs more than a 3× parallelism gain returns. Both modes stay
+    no-ops at real corpus split counts."""
     par = spark.sparkContext.defaultParallelism
+    want = max(1, par // 4) if rescue_only else par
     if key_path is not None:
         sig = _local_files_sig(key_path)
         if sig is not None:
@@ -239,12 +257,12 @@ def spread_scan(
                     sizes = [sig[2]]
                 n = _estimate_splits(sizes, max_part, open_cost, min_pn)
                 _SPREAD_MEMO[memo_key] = (sig, n)
-            return df.repartition(par) if n < par else df
+            return df.repartition(par) if n < want else df
     try:
         n = df.rdd.getNumPartitions()
     except Exception:
         return df
-    if n < par:
+    if n < want:
         return df.repartition(par)
     return df
 
