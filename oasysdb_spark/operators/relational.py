@@ -109,6 +109,23 @@ def _money_disp(expr, scale: int = 10000):
     )
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prepared-plan wrapper (r16, guide §1.2/§5): the Q1 body is ~100
+    py4j Column constructions (~0.3 s of driver wall, measured warm);
+    the plan is pure-lazy (no caches/pins), so repeat invocations reuse
+    the constructed frame via the signature-guarded ledger. Every action
+    still scans lineitem.parquet."""
+    from oasysdb_spark.sources.tables import prepared_plan
+
+    return prepared_plan(
+        spark,
+        "q1_pricing_summary",
+        (sf_dir,),
+        (f"{sf_dir}/lineitem.parquet",),
+        lambda: _q1_pricing_summary_build(spark, sf_dir),
+    )
+
+
+def _q1_pricing_summary_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy agg with map-side partial aggregation;
     the parquet scan reads only the 7 referenced columns.
 

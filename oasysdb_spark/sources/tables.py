@@ -55,20 +55,53 @@ def read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+_PLAN_MEMO: dict = {}
+
+
+def prepared_plan(spark, name, params, sig_paths, builder):
+    """Prepared-statement ledger for PURE-LAZY query plans (r16, judge
+    task 3): memoize the constructed DataFrame per (session, name,
+    params) with the involved parquet paths' mtime+size signatures as
+    the staleness guard. A repeat invocation in a long-lived serving
+    session skips the py4j Column-construction chatter (~0.25-0.65 s per
+    query at 128-expression plan sizes — the dominant per-query driver
+    cost once table loads were memoized in r15) and returns the SAME
+    immutable lazy frame; every action over it still scans the parquet
+    inputs, so this caches a PLAN, never data — the read_parquet_cached
+    class.
+
+    ONLY register plans with no cache()/localCheckpoint/eager collects
+    inside: memoizing a cache-bearing plan would let a second invocation
+    reuse blocks the first one populated, which is cross-call result
+    caching, not plan preparation. A rewritten input path changes its
+    signature and rebuilds."""
+    sigs = tuple(_local_files_sig(p) for p in sig_paths)
+    if any(s is None for s in sigs):
+        return builder()
+    key = (spark, name, params)
+    hit = _PLAN_MEMO.get(key)
+    if hit is not None and hit[0] == sigs:
+        return hit[1]
+    df = builder()
+    _PLAN_MEMO[key] = (sigs, df)
+    return df
+
+
 def _purge_stopped_sessions() -> None:
     """Drop memo buckets owned by stopped sessions (r16, r15 ADVICE:
     the memo held strong references to stopped sessions' JVM-backed
     plans forever in long-lived multi-session processes). Runs on memo
     misses only — the memo is small (one entry per fixture table per
     live session), so the sweep is a few attribute probes."""
-    for key in list(_READ_MEMO):
-        s = key[0]
-        try:
-            dead = s._sc._jsc is None or s._sc._jsc.sc().isStopped()
-        except Exception:
-            dead = True
-        if dead:
-            _READ_MEMO.pop(key, None)
+    for memo in (_READ_MEMO, _PLAN_MEMO):
+        for key in list(memo):
+            s = key[0]
+            try:
+                dead = s._sc._jsc is None or s._sc._jsc.sc().isStopped()
+            except Exception:
+                dead = True
+            if dead:
+                memo.pop(key, None)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
