@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from oasysdb_spark.sources.tables import read_parquet_cached
+from oasysdb_spark.sources.tables import read_parquet_cached, prepared
 
 from oasysdb_spark.functions.hashing import hash64
 from oasysdb_spark.functions.text import tokens
@@ -654,6 +654,7 @@ def label_centroid_similarity(
     )
 
 
+@prepared("embedding_norm_stats")
 def embedding_norm_stats(
     spark: SparkSession,
     sf_dir: str | None = None,

@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from oasysdb_spark.sources.tables import read_parquet_cached
+from oasysdb_spark.sources.tables import read_parquet_cached, prepared
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
@@ -856,6 +856,7 @@ def load_media_dir(
     )
 
 
+@prepared("multimodal_features")
 def multimodal_features(spark, sf_dir: str) -> DataFrame:
     """Oracle-checkable end-to-end multimodal pipeline: synthesize media →
     Arrow-batched feature extraction → frame-sample schedule, joined into

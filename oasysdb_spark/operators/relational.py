@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from oasysdb_spark.sources.tables import prepared
+
 from oasysdb_spark.session import tiny_df, release_pins_with
 
 from oasysdb_spark.functions.time import epoch_ms
@@ -165,6 +167,7 @@ def _q1_pricing_summary_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@prepared("q3_shipping_priority")
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → fact join → agg → top-10.
     customer is broadcast; the only shuffle is lineitem⋈orders on orderkey."""
@@ -210,6 +213,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@prepared("q5_local_supplier_volume")
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join; all dimensions broadcast, facts shuffle
     once on orderkey. Customer and supplier must share the nation."""
@@ -249,6 +253,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@prepared("q6_forecast_revenue")
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure scan+filter+scalar agg — every predicate pushes
     into the parquet reader; zero shuffles (single-stage partial+final agg)."""
@@ -272,6 +277,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@prepared("top_orders_per_customer")
 def top_orders_per_customer(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     """Ranking window: top-n orders by value per customer."""
     orders = _t(spark, sf_dir, "orders")
@@ -1415,6 +1421,7 @@ def join_key_skew_stats(
     )
 
 
+@prepared("q8_market_share")
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: NATION_1 suppliers' share of AMERICA-region
     customers' STANDARD-part volume, per order year. Every dimension
@@ -1469,6 +1476,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@prepared("q21_waiting_supplier")
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape adapted to the fixture schema (no l_receiptdate /
     l_commitdate -> "late" means shipped >90 days after the order date):
@@ -1930,6 +1938,7 @@ def lineitem_price_qty_correlation(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@prepared("user_rfm_segments")
 def user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation over the event stream — the classic
     recency/frequency/monetary quartile grid marketing and growth teams

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from oasysdb_spark.session import tiny_df
 
 from oasysdb_spark.functions.time import epoch_ms
-from oasysdb_spark.sources.tables import load_table
+from oasysdb_spark.sources.tables import load_table, prepared
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -373,6 +373,7 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@prepared("event_rate_anomalies")
 def event_rate_anomalies(
     spark: SparkSession,
     sf_dir: str,

@@ -10,7 +10,7 @@ import pandas as pd  # module-level: pandas-UDF type hints resolve in module glo
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from oasysdb_spark.sources.tables import read_parquet_cached
+from oasysdb_spark.sources.tables import read_parquet_cached, prepared
 
 from oasysdb_spark.functions.hashing import hash64
 from oasysdb_spark.session import release_pins_with
@@ -2844,6 +2844,7 @@ def ngram_novelty_curve(
     )
 
 
+@prepared("tfidf_top_terms")
 def tfidf_top_terms(
     spark: SparkSession,
     sf_dir: str,

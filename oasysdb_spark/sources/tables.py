@@ -87,6 +87,29 @@ def prepared_plan(spark, name, params, sig_paths, builder):
     return df
 
 
+def prepared(name: str):
+    """Decorator form of :func:`prepared_plan` for the standard
+    ``fn(spark, sf_dir)`` operator shape: the default-parameter call is
+    served from the ledger (signature over the whole fixture directory —
+    any table rewrite invalidates), while any parameterized call bypasses
+    it and builds fresh. Apply ONLY to pure-lazy bodies (see
+    prepared_plan's contract)."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(spark, sf_dir, *args, **kwargs):
+            if args or kwargs:
+                return fn(spark, sf_dir, *args, **kwargs)
+            return prepared_plan(
+                spark, name, (sf_dir,), (sf_dir,), lambda: fn(spark, sf_dir)
+            )
+
+        return wrapper
+
+    return deco
+
+
 def _purge_stopped_sessions() -> None:
     """Drop memo buckets owned by stopped sessions (r16, r15 ADVICE:
     the memo held strong references to stopped sessions' JVM-backed
