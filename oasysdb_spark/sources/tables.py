@@ -74,17 +74,35 @@ def prepared_plan(spark, name, params, sig_paths, builder):
     inside: memoizing a cache-bearing plan would let a second invocation
     reuse blocks the first one populated, which is cross-call result
     caching, not plan preparation. A rewritten input path changes its
-    signature and rebuilds."""
+    signature and rebuilds.
+
+    What is stored is the ANALYZED LOGICAL plan, and every hit wraps it
+    in a FRESH Dataset (~0.5 ms): physical planning re-runs per
+    invocation, so session-conf changes between calls (AQE toggles,
+    shuffle sizing) are honored exactly as with a fresh build — only the
+    py4j expression-construction chatter is skipped. (A first cut
+    memoized the DataFrame object itself; its once-materialized
+    QueryExecution then served stale physical-plan snapshots to
+    conf-flipping callers — caught by the plan-shape tests.)"""
     sigs = tuple(_local_files_sig(p) for p in sig_paths)
     if any(s is None for s in sigs):
         return builder()
     key = (spark, name, params)
     hit = _PLAN_MEMO.get(key)
     if hit is not None and hit[0] == sigs:
-        return hit[1]
-    df = builder()
-    _PLAN_MEMO[key] = (sigs, df)
-    return df
+        jplan = hit[1]
+    else:
+        df = builder()
+        try:
+            jplan = df._jdf.queryExecution().analyzed()
+        except Exception:  # Connect or exotic frames: no ledger
+            return df
+        _PLAN_MEMO[key] = (sigs, jplan)
+        return df
+    jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+        spark._jsparkSession, jplan
+    )
+    return DataFrame(jdf, spark)
 
 
 def prepared(name: str):
