@@ -384,16 +384,15 @@ def _ivf_knn_build(
     probes: "int | None",
     work_dir: str,
 ) -> DataFrame:
-    import tempfile
+    # work_dir is always resolved by the ivf_knn wrapper (it is part of
+    # the ledger key and signature paths)
+    import os
 
     from oasysdb_spark.core.database import Database, RECORD_SCHEMA
     from oasysdb_spark.index.ivf import build_index
 
     embs = load_embeddings(spark, sf_dir)
     dim = embedding_dim(spark, sf_dir)
-
-    work_dir = work_dir or tempfile.mkdtemp(prefix="oasys_ivf_")
-    import os
 
     if not os.path.exists(os.path.join(work_dir, "params.json")):
         from oasysdb_spark.core.database import normalize_records

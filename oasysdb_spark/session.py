@@ -149,25 +149,27 @@ def free_local_checkpoint(df) -> None:
 
 
 def release_pins_with(result_df, *pins):
-    """Tie intermediate pinned frames (eager localCheckpoints / caches)
-    to the RESULT frame's Python lifetime: when the caller's last
-    reference to ``result_df`` is collected, every pin's executor blocks
-    are released deterministically (r16 — the single-shot audit queries
-    pinned a key/vocab-bounded table per call and relied on JVM GC +
-    ContextCleaner to reclaim it *eventually*; a long-lived serving
-    session issuing thousands of audit calls accumulated pinned blocks
-    in the block manager meanwhile).
+    """Attach intermediate pinned frames (eager localCheckpoints) to the
+    RESULT frame so :func:`release_frame` on the result releases them
+    too (r16): the single-shot audit queries pin a key/vocab-bounded
+    table per call, and a long-lived serving session that wants
+    deterministic reclamation calls ``release_frame(result)`` once it
+    has consumed the result — the repo's established cleanup idiom —
+    instead of waiting for JVM GC + ContextCleaner.
 
-    Contract: the pins back ``result_df``'s own plan, so a frame DERIVED
-    from the result (``result.where(...)``) must not outlive the result
-    object it came from — the checkpoint lineage is truncated once the
-    parent is collected. The intended single-shot use
-    (``fn(...).write/collect`` then drop) always satisfies this; callers
-    that keep deriving should hold the parent alive alongside."""
-    import weakref
-
-    for p in pins:
-        weakref.finalize(result_df, release_frame, p)
+    Deliberately NOT a GC finalizer (r16 review, CONFIRMED repro): a
+    ``weakref.finalize`` on the result fires the moment the parent
+    object's refcount drops, so an idiomatic derived chain like
+    ``fn(...).limit(3).collect()`` — where the parent is collected as
+    soon as ``.limit()`` returns — would free the checkpoint blocks a
+    still-live derived plan needs and crash at action time. Python-side
+    reachability is not plan reachability; the only sound automatic
+    signal is the JVM's own (ContextCleaner), which remains the default
+    for callers that never release explicitly."""
+    try:
+        result_df._oasys_pins = tuple(pins)
+    except Exception:
+        pass
     return result_df
 
 
@@ -178,7 +180,14 @@ def release_frame(df) -> None:
     plain caches — they have no LogicalRDD leaves). Lets cleanup loops
     stay uniform when a stage switches between cache and localCheckpoint
     (r15: exact_unique moved to an eager checkpoint to truncate the
-    scoring lineage out of every downstream plan)."""
+    scoring lineage out of every downstream plan). Pins attached by
+    :func:`release_pins_with` release with their result frame."""
+    for pin in getattr(df, "_oasys_pins", ()):
+        free_local_checkpoint(pin)
+        try:
+            pin.unpersist()
+        except Exception:
+            pass
     try:
         df.unpersist()
     except Exception:

@@ -56,6 +56,10 @@ def read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
 
 
 _PLAN_MEMO: dict = {}
+# FIFO bound (r16 review): parameter-keyed serving entries (ivf/lsh knn)
+# would otherwise pin one analyzed plan per distinct query forever in a
+# many-distinct-query serving session.
+_PLAN_MEMO_MAX = 64
 
 
 def prepared_plan(spark, name, params, sig_paths, builder):
@@ -87,7 +91,19 @@ def prepared_plan(spark, name, params, sig_paths, builder):
     sigs = tuple(_local_files_sig(p) for p in sig_paths)
     if any(s is None for s in sigs):
         return builder()
-    key = (spark, name, params)
+    # analysis-RESOLVED confs are baked into the stored plan (the
+    # analyzer resolves type coercion / timestamp semantics), so the
+    # two that could plausibly flip mid-session are part of the key
+    # (r16 review); physical-planning confs need no key entry - the
+    # fresh wrap below re-plans under them every call.
+    try:
+        aconf = (
+            spark.conf.get("spark.sql.ansi.enabled", None),
+            spark.conf.get("spark.sql.session.timeZone", None),
+        )
+    except Exception:
+        aconf = None
+    key = (spark, name, params, aconf)
     hit = _PLAN_MEMO.get(key)
     if hit is not None and hit[0] == sigs:
         jplan = hit[1]
@@ -97,6 +113,8 @@ def prepared_plan(spark, name, params, sig_paths, builder):
             jplan = df._jdf.queryExecution().analyzed()
         except Exception:  # Connect or exotic frames: no ledger
             return df
+        if len(_PLAN_MEMO) >= _PLAN_MEMO_MAX:
+            _PLAN_MEMO.pop(next(iter(_PLAN_MEMO)))
         _PLAN_MEMO[key] = (sigs, jplan)
         return df
     jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
@@ -116,12 +134,17 @@ def prepared(name: str):
 
     def deco(fn):
         @functools.wraps(fn)
-        def wrapper(spark, sf_dir, *args, **kwargs):
-            if args or kwargs:
-                return fn(spark, sf_dir, *args, **kwargs)
-            return prepared_plan(
-                spark, name, (sf_dir,), (sf_dir,), lambda: fn(spark, sf_dir)
-            )
+        def wrapper(spark, *args, **kwargs):
+            # ledger only the exact default-shape call fn(spark, sf_dir);
+            # anything else (extra params, keyword forms, frame inputs
+            # on sf_dir=None signatures) builds fresh (r16 review: the
+            # old wrapper made sf_dir a required positional)
+            if len(args) == 1 and not kwargs and isinstance(args[0], str):
+                sf_dir = args[0]
+                return prepared_plan(
+                    spark, name, (sf_dir,), (sf_dir,), lambda: fn(spark, sf_dir)
+                )
+            return fn(spark, *args, **kwargs)
 
         return wrapper
 
@@ -323,14 +346,38 @@ def spread_scan(
                 n = hit[1]
             else:
                 if isinstance(sig[1], tuple):  # directory listing
-                    # Spark's InMemoryFileIndex skips _metadata/.hidden
-                    sizes = [e[3] for e in sig[1]
-                             if e[1].endswith(".parquet")
-                             and not e[1].startswith(("_", "."))]
+                    # mirror InMemoryFileIndex: skip a file when ANY
+                    # path component is _/. -prefixed (staging dirs,
+                    # _SUCCESS, .crc), keep every other DATA file
+                    # regardless of suffix (r16 review: a suffix filter
+                    # dropped non-Spark part files and counted files
+                    # under _temporary/)
+                    import os as _os
+
+                    sizes = []
+                    for e in sig[1]:
+                        parts = [
+                            c
+                            for c in (e[0].split(_os.sep) + [e[1]])
+                            if c and c != "."
+                        ]
+                        if any(c.startswith(("_", ".")) for c in parts):
+                            continue
+                        sizes.append(e[3])
                 else:  # bare file: (abspath, mtime_ns, size, ino)
                     sizes = [sig[2]]
-                n = _estimate_splits(sizes, max_part, open_cost, min_pn)
-                _SPREAD_MEMO[memo_key] = (sig, n)
+                if not sizes:
+                    # nothing visible to estimate from: fall back to
+                    # the real probe rather than guessing 0 splits
+                    sizes = None
+                if sizes is not None:
+                    n = _estimate_splits(sizes, max_part, open_cost, min_pn)
+                    _SPREAD_MEMO[memo_key] = (sig, n)
+                else:
+                    try:
+                        n = df.rdd.getNumPartitions()
+                    except Exception:
+                        return df
             return df.repartition(par) if n < want else df
     try:
         n = df.rdd.getNumPartitions()
